@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Local approximation of the driver's correctness gate.
+
+Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
+
+Loads each <name>/ parquet result written by graft.Verify, runs the
+matching oracle SQL from oracle_sql.json in DuckDB over the sf parquet
+tables, sorts columns by name and rows by all columns, and compares
+row counts, schemas (loosely), and values (with float tolerance).
+
+Driver-side tooling only — the Scala engine never imports this.
+"""
+import json, math, sys, glob, os
+import duckdb
+
+def canon(rows, cols):
+    out = []
+    for r in rows:
+        vals = []
+        for c in cols:
+            v = r[c]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    vals.append("NaN")
+                else:
+                    vals.append(f"{v:.6g}")
+            elif v is None:
+                vals.append("NULL")
+            else:
+                vals.append(str(v))
+        out.append(tuple(vals))
+    return sorted(out)
+
+def main():
+    outdir, sfdir = sys.argv[1], sys.argv[2]
+    with open(os.path.join(outdir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    n_pass = n_fail = 0
+    results = {}
+    for name in sorted(os.listdir(outdir)):
+        d = os.path.join(outdir, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        got = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        if name not in oracles:
+            results[name] = f"NO-ORACLE rows={len(got)}"
+            continue
+        try:
+            exp = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            results[name] = f"ORACLE-SQL-ERROR {e}"
+            n_fail += 1
+            continue
+        gc, ec = sorted(got.columns), sorted(exp.columns)
+        if [c.lower() for c in gc] != [c.lower() for c in ec]:
+            results[name] = f"SCHEMA-MISMATCH got={gc} exp={ec}"
+            n_fail += 1
+            continue
+        if len(got) != len(exp):
+            results[name] = f"ROWCOUNT got={len(got)} exp={len(exp)}"
+            n_fail += 1
+            continue
+        g = canon(got.to_dict("records"), gc)
+        e = canon(exp.to_dict("records"), ec)
+        if g == e:
+            results[name] = f"PASS rows={len(got)}"
+            n_pass += 1
+        else:
+            diffs = [(a, b) for a, b in zip(g, e) if a != b][:3]
+            results[name] = f"VALUE-MISMATCH first_diffs={diffs}"
+            n_fail += 1
+    for k, v in results.items():
+        print(f"{k:28s} {v[:300]}")
+    print(f"\n{n_pass} pass, {n_fail} fail, "
+          f"{len(results)-n_pass-n_fail} no-oracle")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
