@@ -214,6 +214,19 @@ object SparkEntry {
       Tables.orders(s, d)
         .select(col("o_orderkey"),
           explode(sequence(lit(1L), col("o_orderkey") % 3 + 1)).as("seq_i"))
+    }),
+
+    // The reference's whole pipeline surface (P1-P15, A1-A7, J1, S6-S8)
+    // driven end-to-end over JSON payload fixtures: flatten -> clean ->
+    // quality gate -> star models -> fact. Rows-only check (the weather
+    // domain has no testdata table); unit-tested in PipelineSpec.
+    "q18_weather_pipeline" -> ((s, _) => {
+      val raw = graft.WeatherDemo.syntheticRaw(s, cities = 5, hours = 48)
+      val staged = graft.operators.Cleaning.clean(
+        graft.operators.Flatten.flattenResponses(raw, "demo-batch"))
+      val report = graft.operators.Quality.checkWeather(staged, "demo-batch")
+      require(report.passed, s"quality gate failed: $report")
+      graft.models.StarModels.factWeatherHourly(staged)
     })
   )
 

@@ -1,0 +1,99 @@
+package graft.runner
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Schemas
+import graft.operators.{Cleaning, Flatten, Quality}
+import graft.sinks.MergeWriter
+import graft.models.StarModels
+
+/** C1–C4 — the linear DAG
+  * `ingest >> transform >> quality >> load >> models >> model_tests`
+  * (/root/reference/airflow/dags/etl_pipeline_dag.py:80) as a driver
+  * program: each stage reads inputs, runs a DataFrame program, writes
+  * outputs; failures abort the run (fail-fast quality gate,
+  * quality/checks.py:156-157). Retry policy (retries=2,
+  * etl_pipeline_dag.py:16-21) is a wrapper around stage execution.
+  */
+object PipelineRunner {
+
+  final case class RunContext(batchId: String, workDir: String) {
+    def rawPath: String = s"$workDir/raw_responses"
+    def stagingParquet: String = s"$workDir/weather_hourly_$batchId"
+    def warehousePath: String = s"$workDir/staging_weather_hourly"
+    def reportPath: String = s"$workDir/quality_reports"
+  }
+
+  final case class StageFailure(stage: String, cause: Throwable)
+    extends RuntimeException(s"stage $stage failed", cause)
+
+  /** C3: retry wrapper (reference: 2 retries per task). */
+  def withRetries[T](stage: String, retries: Int = 2)(body: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: Throwable if attempt < retries => attempt += 1
+        case e: Throwable => throw StageFailure(stage, e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Full run from an already-landed raw layer (ingest is file-based in
+    * this zero-egress environment — FixtureSource in tests plays the
+    * HTTP source's role). Returns the quality report + model row counts.
+    */
+  def run(spark: SparkSession, ctx: RunContext): Quality.QualityReport = {
+    // transform: flatten + clean → staging parquet (S6)
+    val staged = withRetries("transform") {
+      val raw = spark.read.schema(Schemas.rawResponses).parquet(ctx.rawPath)
+        .filter(col("batch_id") === ctx.batchId)
+      val cleaned = Cleaning.clean(Flatten.flattenResponses(raw, ctx.batchId))
+      cleaned.write.mode(SaveMode.Overwrite).parquet(ctx.stagingParquet)
+      spark.read.parquet(ctx.stagingParquet)
+    }
+
+    // quality gate (C4): FAIL persists the report, then aborts
+    val report = withRetries("quality") {
+      Quality.checkWeather(staged, ctx.batchId)
+    }
+    persistReport(spark, ctx, report)
+    if (!report.passed)
+      throw StageFailure("quality", new RuntimeException(
+        s"Quality checks failed: $report"))
+
+    // load: keyed upsert into the warehouse table (S8)
+    withRetries("load") {
+      MergeWriter.merge(spark, ctx.warehousePath,
+        staged.withColumn("loaded_at", current_timestamp()),
+        keys = Seq("city", "ts_utc"))
+    }
+
+    // models + schema tests (dbt run / dbt test)
+    withRetries("models") {
+      val warehouse = spark.read.parquet(ctx.warehousePath)
+      val dimLoc = StarModels.dimLocation(warehouse)
+      val dimDt = StarModels.dimDate(warehouse)
+      val fact = StarModels.factWeatherHourly(warehouse)
+      dimLoc.write.mode(SaveMode.Overwrite).parquet(s"${ctx.workDir}/dim_location")
+      dimDt.write.mode(SaveMode.Overwrite).parquet(s"${ctx.workDir}/dim_date")
+      fact.write.mode(SaveMode.Overwrite).parquet(s"${ctx.workDir}/fact_weather_hourly")
+      val failures = StarModels.runSchemaTests(dimLoc, dimDt, fact)
+      require(failures.isEmpty, s"model tests failed: $failures")
+    }
+    report
+  }
+
+  /** S9: append the quality report to the report table. */
+  private def persistReport(spark: SparkSession, ctx: RunContext,
+                            r: Quality.QualityReport): Unit = {
+    import spark.implicits._
+    Seq((r.checkRunId, r.batchId, r.status, r.totalRows, r.duplicateRows,
+        r.nullViolations, r.rangeViolations))
+      .toDF("check_run_id", "batch_id", "status", "total_rows",
+        "duplicate_rows", "null_violations", "range_violations")
+      .withColumn("checked_at", current_timestamp())
+      .write.mode(SaveMode.Append).parquet(ctx.reportPath)
+  }
+}

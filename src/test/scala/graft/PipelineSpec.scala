@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import graft.runner.PipelineRunner
+import graft.runner.PipelineRunner.RunContext
+import graft.sinks.MergeWriter
+import graft.models.StarModels
+import graft.Fixtures._
+
+class MergeWriterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("merge inserts new keys and updates colliding keys; idempotent re-run") {
+    val dir = tmpDir("merge") + "/t"
+    val v1 = Seq(("a", 1, "x"), ("b", 2, "x")).toDF("k", "v", "tag")
+    MergeWriter.merge(spark, dir, v1, Seq("k"))
+    assert(spark.read.parquet(dir).count() === 2)
+
+    val v2 = Seq(("b", 20, "y"), ("c", 3, "y")).toDF("k", "v", "tag")
+    MergeWriter.merge(spark, dir, v2, Seq("k"))
+    val out = spark.read.parquet(dir).orderBy("k").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("a", "b", "c"))
+    assert(out(1).getInt(1) === 20) // b updated
+    // idempotent re-run: same state
+    MergeWriter.merge(spark, dir, v2, Seq("k"))
+    assert(spark.read.parquet(dir).count() === 3)
+    assert(spark.read.parquet(dir).filter($"k" === "b").head.getInt(1) === 20)
+  }
+
+  test("partitioned merge rewrites only touched partitions") {
+    val dir = tmpDir("mergep") + "/t"
+    val v1 = Seq(("a", 1, "p1"), ("b", 2, "p2")).toDF("k", "v", "pt")
+    MergeWriter.merge(spark, dir, v1, Seq("k"), Seq("pt"))
+    val v2 = Seq(("b", 20, "p2")).toDF("k", "v", "pt")
+    MergeWriter.merge(spark, dir, v2, Seq("k"), Seq("pt"))
+    val out = spark.read.parquet(dir)
+    assert(out.count() === 2)
+    assert(out.filter($"k" === "b").head.getAs[Int]("v") === 20)
+    assert(out.filter($"k" === "a").head.getAs[Int]("v") === 1)
+  }
+}
+
+class StarModelsSpec extends SparkSpec {
+
+  private def warehouse = {
+    val staged = graft.operators.Cleaning.clean(
+      graft.operators.Flatten.flattenResponses(standardBatch(spark), "b1"))
+    staged.withColumn("loaded_at", current_timestamp())
+  }
+
+  test("dim/fact keys agree (shared locationKey) and schema tests pass") {
+    val dimLoc = StarModels.dimLocation(warehouse)
+    val dimDt = StarModels.dimDate(warehouse)
+    val fact = StarModels.factWeatherHourly(warehouse)
+    assert(dimLoc.count() === 3)
+    assert(dimDt.count() === 1)
+    assert(fact.count() === 9)
+    assert(StarModels.runSchemaTests(dimLoc, dimDt, fact).isEmpty)
+  }
+
+  test("dim_date ISO parts: 2026-08-01 is a Saturday -> isodow 6") {
+    val dimDt = StarModels.dimDate(warehouse).collect()
+    assert(dimDt.head.getAs[Int]("iso_day_of_week") === 6)
+    assert(dimDt.head.getAs[Int]("iso_week") === 31)
+    assert(dimDt.head.getAs[Int]("month") === 8)
+    assert(dimDt.head.getAs[Int]("year") === 2026)
+  }
+
+  test("relationships test catches an orphan fact key") {
+    val dimLoc = StarModels.dimLocation(warehouse)
+    val orphan = StarModels.factWeatherHourly(warehouse)
+      .withColumn("location_id", lit("deadbeef"))
+    assert(StarModels.relationshipViolations(
+      orphan, "location_id", dimLoc, "location_id") === 9)
+  }
+}
+
+class PipelineSpec extends SparkSpec {
+
+  test("end-to-end run: raw -> staging -> quality -> warehouse -> models; idempotent") {
+    val work = tmpDir("pipe")
+    val ctx = RunContext("b1", work)
+    standardBatch(spark).write.mode(SaveMode.Overwrite).parquet(ctx.rawPath)
+
+    val report = PipelineRunner.run(spark, ctx)
+    assert(report.passed)
+    assert(spark.read.parquet(ctx.warehousePath).count() === 9)
+    assert(spark.read.parquet(s"$work/fact_weather_hourly").count() === 9)
+
+    // re-run same batch: upsert keeps row count stable (idempotency is a
+    // core reference guarantee — SURVEY §2.7)
+    PipelineRunner.run(spark, ctx)
+    assert(spark.read.parquet(ctx.warehousePath).count() === 9)
+    assert(spark.read.parquet(ctx.reportPath).count() === 2)
+  }
+
+  test("quality FAIL aborts before load (C4 fail-fast)") {
+    val work = tmpDir("pipefail")
+    val ctx = RunContext("b2", work)
+    val bad = rawDf(spark, Seq(rawRow("Hot", 0, 0, 200,
+      payloadJson(Seq("2026-08-01T00:00"), Seq(120.0), Seq(50L), Seq(0.0), Seq(5.0)),
+      batchId = "b2")))
+    bad.write.mode(SaveMode.Overwrite).parquet(ctx.rawPath)
+    intercept[PipelineRunner.StageFailure] { PipelineRunner.run(spark, ctx) }
+    // report persisted, warehouse never written
+    assert(spark.read.parquet(ctx.reportPath)
+      .filter(col("status") === "FAIL").count() === 1)
+    assert(!new java.io.File(ctx.warehousePath).exists())
+  }
+}
