@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -227,7 +229,99 @@ object SparkEntry {
       val report = graft.operators.Quality.checkWeather(staged, "demo-batch")
       require(report.passed, s"quality gate failed: $report")
       graft.models.StarModels.factWeatherHourly(staged)
-    })
+    }),
+
+    // ------------------- training-data extension operators -------------
+
+    // Text analysis: token counting (whitespace + subword estimate).
+    "q19_token_stats" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        size(array_distinct(TextFunctions.tokens(col("text"))))
+          .as("n_distinct_tokens"),
+        length(col("text")).as("len_chars"))
+    }),
+
+    // Text quality scoring aggregated per source (single-pass agg).
+    "q20_text_quality" -> ((s, d) => {
+      val sig = TextFunctions.qualitySignals(col("text"))
+      Tables.documents(s, d)
+        .select(col("source"), sig.as("sig"))
+        .groupBy("source")
+        .agg(
+          round(avg(col("sig.n_tokens")), 4).as("avg_tokens"),
+          round(avg(col("sig.stopword_ratio")), 4).as("avg_stopword_ratio"),
+          round(avg(col("sig.avg_token_len")), 4).as("avg_token_len"),
+          count(lit(1)).as("n_docs"))
+    }),
+
+    // Language ID (stopword-profile heuristic) — distribution by
+    // detected language. Heuristic, so rows-only check.
+    "q21_lang_id" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(TextFunctions.langId(col("text")).as("detected_lang"))
+        .groupBy("detected_lang").agg(count(lit(1)).as("n"))
+    }),
+
+    // Exact dedup: content-hash groupBy, deterministic keeper = min id.
+    "q22_exact_dedup" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("content_key"))
+        .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+    }),
+
+    // MinHash+LSH near-dup pairs, exact-Jaccard verified.
+    "q23_minhash_neardup" -> ((s, d) =>
+      Dedup.minhashNearDups(Tables.documents(s, d), "text", "doc_id",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)),
+
+    // SimHash near-dup pairs (Hamming ≤ 3 via pigeonhole chunk join).
+    "q24_simhash_neardup" -> ((s, d) =>
+      Dedup.simhashNearDups(Tables.documents(s, d), "text", "doc_id",
+        maxDistance = 3)),
+
+    // n-gram Jaccard pairs via inverted-index join.
+    "q25_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
+        n = 2, minJaccard = 0.6)),
+
+    // Document fingerprint (rolling hash) + quality score + subword
+    // count — deterministic per doc; rows-only (not SQL-expressible).
+    "q26_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fingerprint"),
+        TextFunctions.qualityScore(col("text")).as("quality_score"),
+        TextFunctions.subwordCount(col("text")).as("n_subwords"))
+    }),
+
+    // Brute-force cosine top-k ANN baseline: 8 query vectors vs corpus.
+    "q27_knn_brute" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.bruteForceTopK(corpus, queries, k = 5)
+    }),
+
+    // IVF ANN (coarse quantization + probe) — approximate, rows-only;
+    // recall vs brute force is asserted in SimilaritySpec.
+    "q28_knn_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.ivfTopK(corpus, queries, k = 5, nLists = 16, nProbe = 4)
+    }),
+
+    // Embedding-cosine near-dup pairs via hyperplane-LSH buckets.
+    // (This corpus is near-random — max pairwise cosine ≈ 0.48 — so the
+    // "near-dup" threshold is 0.4 with wide-recall LSH: 4 bits/table,
+    // 8 tables ⇒ P[collide | cos=0.4] ≈ 1-(1-0.16)^8 ≈ 0.75.)
+    "q29_embed_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDups(Tables.embeddings(s, d), "embedding",
+        "vec_id", threshold = 0.4, bits = 4, tables = 8))
   )
 
   // ---------------------------------------------------------------------
@@ -338,6 +432,45 @@ object SparkEntry {
 
     "q17_explode" ->
       """SELECT o_orderkey, CAST(u.seq_i AS BIGINT) AS seq_i
-        |FROM orders, LATERAL unnest(generate_series(1, o_orderkey % 3 + 1)) AS u(seq_i)""".stripMargin
+        |FROM orders, LATERAL unnest(generate_series(1, o_orderkey % 3 + 1)) AS u(seq_i)""".stripMargin,
+
+    "q19_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(lower(text), ' '))) AS INT) AS n_distinct_tokens,
+        |  CAST(length(text) AS INT) AS len_chars
+        |FROM documents""".stripMargin,
+
+    "q20_text_quality" ->
+      """WITH sig AS (
+        |  SELECT source,
+        |    len(string_split(lower(text), ' ')) AS n_tokens,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      x -> x IN ('the','a','an','and','or','of','to','in','is','it')))
+        |      AS n_stop,
+        |    length(text) AS n_chars
+        |  FROM documents)
+        |SELECT source,
+        |  round(avg(n_tokens), 4) AS avg_tokens,
+        |  round(avg(n_stop / greatest(n_tokens, 1)), 4) AS avg_stopword_ratio,
+        |  round(avg(n_chars / greatest(n_tokens, 1)), 4) AS avg_token_len,
+        |  count(*) AS n_docs
+        |FROM sig GROUP BY source""".stripMargin,
+
+    "q22_exact_dedup" ->
+      """SELECT md5(text) AS content_key, min(doc_id) AS keeper_doc_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q27_knn_brute" ->
+      """SELECT qid, neighbor_id, round(cosine, 4) AS cosine, rank FROM (
+        |  SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(c.embedding, q.embedding) AS cosine,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+        |               c.vec_id) AS rank
+        |  FROM embeddings c, embeddings q
+        |  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id) t
+        |WHERE rank <= 5""".stripMargin
   )
 }

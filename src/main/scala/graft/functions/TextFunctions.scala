@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data
+  * pipelines: tokenization, counting, quality scoring, language ID,
+  * fingerprinting. All pure Catalyst built-ins / higher-order functions
+  * — fully codegen'd, no UDFs, so they pipeline inside whole-stage
+  * codegen at 100 TB.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer (lowercased, empty tokens dropped). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword proxy: word-piece count estimated by splitting on
+    * non-alphanumerics AND intra-word boundaries every 4 chars (a cheap
+    * deterministic stand-in for a real BPE vocab — the plumbing point
+    * is a per-doc token budget column, not the exact vocab).
+    */
+  def subwordCount(text: Column): Column =
+    aggregate(tokens(text), lit(0),
+      (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("int"))
+
+  /** Character n-gram shingles of the raw text (for MinHash/Jaccard). */
+  def charShingles(text: Column, n: Int): Column = {
+    val t = lower(text)
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
+      i => t.substr(i, lit(n))))
+  }
+
+  /** Word n-gram shingles (space-joined), the standard MinHash unit for
+    * document dedup.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    array_distinct(
+      when(size(ts) < n, array(concat_ws(" ", ts)))
+        .otherwise(transform(
+          sequence(lit(0), size(ts) - n),
+          i => concat_ws(" ", slice(ts, i + 1, lit(n))))))
+  }
+
+  private val stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Quality signals: length, token stats, stopword ratio, punctuation
+    * ratio, digit ratio — the usual cheap pre-filters for web-scale
+    * corpus cleaning. Returns a struct column.
+    */
+  def qualitySignals(text: Column): Column = {
+    val ts = tokens(text)
+    val nTok = size(ts).cast("double")
+    struct(
+      length(text).as("n_chars"),
+      size(ts).as("n_tokens"),
+      (length(text).cast("double") / greatest(nTok, lit(1.0))).as("avg_token_len"),
+      (size(filter(ts, t => t.isin(stopwords.map(lit): _*))).cast("double") /
+        greatest(nTok, lit(1.0))).as("stopword_ratio"),
+      (length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", "")).cast("double") /
+        greatest(length(text).cast("double"), lit(1.0))).as("punct_ratio"),
+      (length(regexp_replace(text, "[^0-9]", "")).cast("double") /
+        greatest(length(text).cast("double"), lit(1.0))).as("digit_ratio"))
+  }
+
+  /** Composite quality score in [0,1]: penalize too-short/too-long
+    * docs, extreme stopword ratios, heavy punctuation/digits.
+    */
+  def qualityScore(text: Column): Column = {
+    val s = qualitySignals(text)
+    val lenScore = when(s("n_tokens") < 5, 0.2)
+      .when(s("n_tokens") > 10000, 0.5)
+      .otherwise(1.0)
+    val stopScore = when(s("stopword_ratio") > 0.6, 0.5)
+      .otherwise(1.0)
+    val punctScore = when(s("punct_ratio") > 0.3, 0.3).otherwise(1.0)
+    val digitScore = when(s("digit_ratio") > 0.3, 0.5).otherwise(1.0)
+    round(lenScore * stopScore * punctScore * digitScore, 4)
+  }
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword
+    * language-ID heuristic. Deterministic, vectorizable, no model file.
+    */
+  private val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "un", "une", "est"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "zu"),
+    "es" -> Seq("el", "la", "los", "y", "de", "un", "una", "es"),
+    "it" -> Seq("il", "la", "di", "e", "un", "una", "che", "per"))
+
+  /** Language ID: score = fraction of tokens hitting each language's
+    * stopword profile; argmax with 'und' (undetermined) when no profile
+    * scores above the floor.
+    */
+  def langId(text: Column, floor: Double = 0.05): Column = {
+    val ts = tokens(text)
+    val nTok = greatest(size(ts).cast("double"), lit(1.0))
+    val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        (size(filter(ts, t => t.isin(words.map(lit): _*))).cast("double") / nTok)
+          .as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best("score") >= floor, best("lang")).otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: 64-bit polynomial rolling hash over token
+    * hashes (order-sensitive — two docs with the same tokens in
+    * different order fingerprint differently, unlike a set hash).
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc * lit(31L) + xxhash64(t))
+}

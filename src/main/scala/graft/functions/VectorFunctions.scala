@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector column functions over `array<float/double>` embedding
+  * columns. Built from `zip_with`/`aggregate` higher-order functions —
+  * codegen-friendly, no UDF serialization, executor-parallel.
+  */
+object VectorFunctions {
+
+  /** Σ aᵢ·bᵢ — null-safe only in that null elements propagate nulls. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Squared L2 distance (cheaper than sqrt for nearest-neighbor
+    * ranking — monotone in the true distance).
+    */
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double"); d * d
+    }), lit(0.0), (acc, v) => acc + v)
+
+  /** Random-hyperplane LSH signature: `bits` sign bits, each from a
+    * deterministic pseudo-random hyperplane derived from (seed, bit,
+    * dimension) via a hash — no stored projection matrix, so the same
+    * expression reproduces the same signature on any executor.
+    * Returns an int bucket id in [0, 2^bits).
+    */
+  def hyperplaneBucket(vec: Column, bits: Int, seed: Int = 42): Column = {
+    val bitCols = (0 until bits).map { b =>
+      // pseudo-random ±1 weights per dimension: sign of xxhash64(seed,b,i)
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) => {
+          val h = xxhash64(lit(seed), lit(b), i)
+          x.cast("double") * when(h % 2 === 0, 1.0).otherwise(-1.0)
+        }),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1 << b)).otherwise(lit(0))
+    }
+    bitCols.reduce(_ + _)
+  }
+}

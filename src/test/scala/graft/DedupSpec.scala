@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.functions.TextFunctions
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 1
+    (3L, "completely different text about spark query engines and shuffles"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 1
+    (5L, "spark engines process distributed data with shuffles and joins"),
+    (6L, "an unrelated short sentence")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps smallest id per identical text") {
+    val out = Dedup.exact(corpus, "text", "doc_id")
+    assert(out.count() === 5)
+    assert(out.filter($"doc_id" === 4L).count() === 0)
+    assert(out.filter($"doc_id" === 1L).count() === 1)
+  }
+
+  test("minhash LSH finds planted near-dup and exact-dup pairs, not unrelated") {
+    val pairs = Dedup.minhashNearDups(corpus, "text", "doc_id",
+      shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)),
+      s"near-dup pair not found: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L && p._1 != 5L))
+  }
+
+  test("minhash jaccard values are exact (verified), not estimates") {
+    val out = Dedup.minhashNearDups(corpus, "text", "doc_id",
+      shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.95)
+    val exact = out.filter($"id_a" === 1L && $"id_b" === 4L).head()
+    assert(exact.getAs[Double]("jaccard") === 1.0)
+  }
+
+  test("simhash: identical docs hamming 0; near-dups small distance; pairs found") {
+    val sh = corpus.select($"doc_id",
+      Dedup.simhash(TextFunctions.tokens($"text")).as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) === sh(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) <= 8, s"near-dup hamming ${ham(sh(1L), sh(2L))}")
+    assert(ham(sh(1L), sh(3L)) > 8, "unrelated docs too close")
+
+    val pairs = Dedup.simhashNearDups(corpus, "text", "doc_id", maxDistance = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("ngram jaccard pairs: inverted-index join matches brute-force jaccard") {
+    val out = Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+      n = 2, minJaccard = 0.3)
+    val m = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(m((1L, 4L)) === 1.0)
+    // brute force check for (1,2): 12 bigrams each, 10 shared
+    val bi = (s: String) => s.split(" ").sliding(2).map(_.mkString(" ")).toSet
+    val (a, b) = (bi("the quick brown fox jumps over the lazy dog near the river bank"),
+      bi("the quick brown fox jumps over the lazy dog near the river bend"))
+    val expected = a.intersect(b).size.toDouble / a.union(b).size
+    assert(math.abs(m((1L, 2L)) - expected) < 1e-3)
+  }
+
+  test("embedding near-dups: planted duplicate vector found via LSH buckets") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f, -0.2f)),
+      (2L, Array(0.99f, 0.01f, 0.49f, -0.21f)), // near-dup of 1
+      (3L, Array(-1.0f, 0.3f, -0.5f, 0.8f)),
+      (4L, Array(0.0f, 1.0f, -0.7f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(vecs, "embedding", "vec_id",
+      threshold = 0.95, bits = 2, tables = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.functions.{TextFunctions, VectorFunctions}
+
+class SimilarityTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private lazy val corpus = emb.select($"vec_id".as("id"), $"embedding".as("v"))
+  private lazy val queries = emb.filter($"vec_id" < 5)
+    .select($"vec_id".as("qid"), $"embedding".as("qv"))
+
+  test("cosine/dot/l2 basics") {
+    val df = Seq((Array(1.0f, 2.0f), Array(2.0f, 1.0f))).toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.dot($"a", $"b").as("d"),
+      VectorFunctions.cosine($"a", $"b").as("c"),
+      VectorFunctions.l2Sq($"a", $"b").as("l")).head()
+    assert(r.getDouble(0) === 4.0)
+    assert(math.abs(r.getDouble(1) - 0.8) < 1e-9)
+    assert(r.getDouble(2) === 2.0)
+  }
+
+  test("brute-force top-k: k rows per query, self excluded, ranked desc") {
+    val out = Similarity.bruteForceTopK(corpus, queries, k = 3).collect()
+    assert(out.length === 15)
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.map(_.getInt(3)).sorted.toSeq === Seq(1, 2, 3))
+      assert(!rows.exists(_.getLong(1) == qid))
+      val cosines = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(cosines.sliding(2).forall(p => p(0) >= p(1) - 1e-9))
+    }
+  }
+
+  test("IVF ANN achieves >= 40% recall@5 vs brute force on random data") {
+    // random embeddings are ANN's worst case; the assertion pins the
+    // plumbing (probe selection, list pruning), not SOTA recall
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .select("qid", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(corpus, queries, k = 5,
+      nLists = 8, nProbe = 4)
+      .select("qid", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall")
+  }
+
+  test("IVF scans less than brute force (probe pruning works)") {
+    val assigned = Similarity.assignToCentroids(corpus,
+      Similarity.kmeansLiteCentroids(corpus, 8))
+    // every vector lands in exactly one list
+    assert(assigned.count() === corpus.count())
+    assert(assigned.select("cid").distinct().count() <= 8)
+  }
+
+  test("language ID picks the profile language on clear-cut text") {
+    val df = Seq(
+      ("the cat and the dog of the house is in that garden it"),
+      ("le chat et la maison est une grande les jardins de un"),
+      ("der hund und die katze ist ein nicht zu das haus"),
+      ("xyzzy plugh qwerty asdf")).toDF("text")
+    val out = df.select(TextFunctions.langId($"text").as("l"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out === Seq("en", "fr", "de", "und"))
+  }
+
+  test("quality signals and score") {
+    val r = Seq("The quick brown fox jumps over the lazy dog today")
+      .toDF("text")
+      .select(TextFunctions.qualitySignals($"text").as("s"),
+        TextFunctions.qualityScore($"text").as("q")).head()
+    val s = r.getStruct(0)
+    assert(s.getAs[Int]("n_tokens") === 10)
+    assert(s.getAs[Double]("stopword_ratio") === 0.2) // 'the' x2
+    assert(r.getDouble(1) === 1.0)
+    // degenerate doc scores low
+    val bad = Seq("!!! ??? ###").toDF("text")
+      .select(TextFunctions.qualityScore($"text")).head().getDouble(0)
+    assert(bad < 0.5)
+  }
+
+  test("fingerprint is order-sensitive; shingles correct") {
+    val fps = Seq("a b c", "c b a").toDF("text")
+      .select(TextFunctions.fingerprint($"text")).collect().map(_.getLong(0))
+    assert(fps(0) !== fps(1))
+    val sh = Seq("a b c d").toDF("text")
+      .select(TextFunctions.wordShingles($"text", 2).as("s"))
+      .head().getSeq[String](0).toSet
+    assert(sh === Set("a b", "b c", "c d"))
+    val ch = Seq("abcd").toDF("text")
+      .select(TextFunctions.charShingles($"text", 3).as("s"))
+      .head().getSeq[String](0).toSet
+    assert(ch === Set("abc", "bcd"))
+  }
+}

@@ -48,6 +48,10 @@ def main():
         if not os.path.isdir(d):
             continue
         files = glob.glob(os.path.join(d, "*.parquet"))
+        if not files:
+            results[name] = "NO-OUTPUT (query failed in Verify?)"
+            n_fail += 1
+            continue
         got = con.execute(
             f"SELECT * FROM read_parquet({files!r})").fetchdf()
         if name not in oracles:
