@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -321,7 +321,38 @@ object SparkEntry {
     // 8 tables ⇒ P[collide | cos=0.4] ≈ 1-(1-0.16)^8 ≈ 0.75.)
     "q29_embed_neardup" -> ((s, d) =>
       Dedup.embeddingNearDups(Tables.embeddings(s, d), "embedding",
-        "vec_id", threshold = 0.4, bits = 4, tables = 8))
+        "vec_id", threshold = 0.4, bits = 4, tables = 8)),
+
+    // Structured Streaming: tumbling-window counts with watermark,
+    // AvailableNow trigger → equals the batch GROUP BY (oracle-checked).
+    "q30_stream_window" -> ((s, d) => {
+      val out = graft.streaming.EventsStream.runToTable(s,
+        graft.streaming.EventsStream.windowedCounts(
+          graft.streaming.EventsStream.readEvents(s, d)),
+        s"q30_sink_${System.nanoTime()}")
+      out
+    }),
+
+    // Structured Streaming: native session windows (30-min gap) per
+    // user — stateful streaming sessionization, oracle-checked against
+    // the classic lag/cumsum SQL sessionization.
+    "q31_sessionize" -> ((s, d) => {
+      graft.streaming.EventsStream.runToTable(s,
+        graft.streaming.EventsStream.sessionize(
+          graft.streaming.EventsStream.readEvents(s, d)),
+        s"q31_sink_${System.nanoTime()}")
+    }),
+
+    // Multimodal plumbing: synthetic binary media → per-partition batch
+    // feature extraction (stubbed decode) → per-kind aggregate.
+    "q32_multimodal" -> ((s, d) => {
+      import s.implicits._
+      val media = Multimodal.syntheticMedia(s, Tables.documents(s, d))
+      val feats = Multimodal.extractFeatures(media.as[Multimodal.MediaRecord])
+      feats.toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          round(element_at(col("feature"), 1), 4).as("f0"))
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -461,6 +492,27 @@ object SparkEntry {
       """SELECT md5(text) AS content_key, min(doc_id) AS keeper_doc_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q30_stream_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n, sum(value) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q31_sessionize" ->
+      """WITH gaps AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |         >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM gaps)
+        |SELECT user_id,
+        |  CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
+        |  count(*) AS n_events, sum(value) AS sum_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "q27_knn_brute" ->
       """SELECT qid, neighbor_id, round(cosine, 4) AS cosine, rank FROM (
