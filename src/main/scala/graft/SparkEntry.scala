@@ -259,8 +259,7 @@ object SparkEntry {
     // Language ID (stopword-profile heuristic) — distribution by
     // detected language. Heuristic, so rows-only check.
     "q21_lang_id" -> ((s, d) => {
-      Tables.documents(s, d)
-        .select(TextFunctions.langId(col("text")).as("detected_lang"))
+      TextFunctions.langIdByDoc(Tables.documents(s, d), "text", "doc_id")
         .groupBy("detected_lang").agg(count(lit(1)).as("n"))
     }),
 
@@ -281,10 +280,13 @@ object SparkEntry {
       Dedup.simhashNearDups(Tables.documents(s, d), "text", "doc_id",
         maxDistance = 3)),
 
-    // n-gram Jaccard pairs via inverted-index join.
+    // n-gram Jaccard pairs via inverted-index join (exact). Trigrams:
+    // on this tiny-vocabulary corpus bigrams are shared by EVERY doc
+    // pair (the postings join degenerates to N²/2 groups); trigram
+    // postings are selective, which is the realistic shape.
     "q25_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
-        n = 2, minJaccard = 0.6)),
+        n = 3, minJaccard = 0.5)),
 
     // Document fingerprint (rolling hash) + quality score + subword
     // count — deterministic per doc; rows-only (not SQL-expressible).
@@ -321,7 +323,7 @@ object SparkEntry {
     // 8 tables ⇒ P[collide | cos=0.4] ≈ 1-(1-0.16)^8 ≈ 0.75.)
     "q29_embed_neardup" -> ((s, d) =>
       Dedup.embeddingNearDups(Tables.embeddings(s, d), "embedding",
-        "vec_id", threshold = 0.4, bits = 4, tables = 8)),
+        "vec_id", threshold = 0.4, bits = 5, tables = 4)),
 
     // Structured Streaming: tumbling-window counts with watermark,
     // AvailableNow trigger → equals the batch GROUP BY (oracle-checked).

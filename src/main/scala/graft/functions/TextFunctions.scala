@@ -117,4 +117,29 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L),
       (acc, t) => acc * lit(31L) + xxhash64(t))
+
+  /** DataFrame-level language ID: codegen'd explode + one conditional-
+    * sum per language profile + argmax — the bulk form of `langId`
+    * (whose array lambdas run interpreted). Returns (idCol...,
+    * detected_lang).
+    */
+  def langIdByDoc(df: org.apache.spark.sql.DataFrame, textCol: String,
+                  idCol: String, floor: Double = 0.05)
+  : org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(split(lower(col(textCol)), "\\s+")).as("t"))
+      .filter(col("t") =!= "")
+    val profiles = langProfiles.toSeq.sortBy(_._1)
+    val aggs = profiles.map { case (lang, words) =>
+      avg(when(col("t").isin(words.map(lit): _*), 1.0).otherwise(0.0))
+        .as(s"score_$lang")
+    }
+    val scored = toks.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+    val best = greatest(profiles.map { case (lang, _) =>
+      struct(col(s"score_$lang").as("score"), lit(lang).as("lang"))
+    }: _*)
+    scored.select(col(idCol),
+      when(best("score") >= floor, best("lang")).otherwise(lit("und"))
+        .as("detected_lang"))
+  }
 }

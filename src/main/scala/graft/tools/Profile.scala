@@ -1,0 +1,97 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.core.{GraftSession, Tables}
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+/** Ad-hoc stage profiler for the heavy dedup operators (dev tool). */
+object Profile {
+  def t[T](name: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("queries")) { profileQueries(args.tail); return }
+    if (args.headOption.contains("allqueries")) { allQueries(); return }
+    val spark = GraftSession.build("profile")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val docs = Tables.documents(spark, d).cache()
+    println(s"docs: ${docs.count()}")
+
+    // ---- minhash stages
+    val base = docs.select(col("doc_id").as("id"),
+      TextFunctions.wordShingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    t("shingles materialize") { base.write.mode("overwrite").parquet("/tmp/prof_sh") }
+    val baseP = spark.read.parquet("/tmp/prof_sh")
+    val sigs = Dedup.minhashSignatures(baseP, 64)
+    t("minhash sigs") { sigs.write.mode("overwrite").parquet("/tmp/prof_sig") }
+    val sigsP = spark.read.parquet("/tmp/prof_sig")
+    val banded = sigsP.select(col("id"),
+      explode(Dedup.bandHashes(col("sig"), 16, 4)).as("bh"))
+      .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
+    val cands = banded.alias("l").join(banded.alias("r"), Seq("band", "h"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .filter(col("id_a") < col("id_b")).distinct()
+    val nc = t("candidates") { cands.count() }
+    println(s"minhash candidates: $nc")
+    val verified = cands
+      .join(baseP.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(baseP.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+    println("verified: " + t("verify") { verified.count() })
+
+    // ---- ngram jaccard stages
+    val inv = baseP.select(col("id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("g"))
+    val l = inv.select(col("g"), col("id").as("id_a"), col("n_sh").as("n_a"))
+    val r = inv.select(col("g"), col("id").as("id_b"), col("n_sh").as("n_b"))
+    val pairs = l.join(r,
+      l("g") === r("g") && col("id_a") < col("id_b") &&
+        col("n_b") >= lit(0.5) * col("n_a") &&
+        col("n_a") >= lit(0.5) * col("n_b"))
+    println("pair rows: " + t("postings join count") { pairs.count() })
+    val common = pairs.groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("common"),
+        first("n_a").as("n_a"), first("n_b").as("n_b"))
+    println("groups: " + t("groupBy common") { common.count() })
+    spark.stop()
+  }
+
+  /** Run the whole query set twice in one session: pass 1 = cold
+    * (JIT + codegen compile), pass 2 = warm floor.
+    */
+  def allQueries(): Unit = {
+    val spark = GraftSession.build("profile-all")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    (1 to 2).foreach { pass =>
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
+        t(s"p$pass $n") { fn(spark, d).count() }
+      }
+      println(f"[profile] PASS $pass TOTAL ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+    spark.stop()
+  }
+
+  /** Time individual SparkEntry queries repeatedly:
+    * runMain graft.tools.Profile queries q24_simhash_neardup 3
+    */
+  def profileQueries(args: Array[String]): Unit = {
+    val spark = GraftSession.build("profile-q")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val name = args(0)
+    val reps = args.lift(1).map(_.toInt).getOrElse(3)
+    (1 to reps).foreach { i =>
+      t(s"$name run$i") { graft.SparkEntry.queries(name)(spark, d).count() }
+    }
+    spark.stop()
+  }
+}
