@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -354,6 +354,54 @@ object SparkEntry {
       feats.toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"),
           round(element_at(col("feature"), 1), 4).as("f0"))
+    }),
+
+    // Hierarchical aggregate: ROLLUP (subtotals + grand total).
+    "q33_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+    }),
+
+    // Approximate distinct-count (HLL++) per group — approximate, so
+    // rows-only; relative-error bound asserted in OperatorSpec.
+    "q34_approx_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_partkey").as("approx_parts"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // As-of join (backward, inclusive): each purchase event picks up
+    // the most recent error event of the same user at-or-before it.
+    // Union+ordered-window implementation — one linear shuffle, no
+    // per-key join product (operators.AsOfJoin).
+    "q35_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("err_ts"),
+          col("event_id").as("err_event_id"), col("value").as("err_value"))
+      AsOfJoin.backward(purchases, errors, keyCol = "user_id",
+          leftTs = "ts", rightTs = "err_ts",
+          rightCols = Seq("err_event_id", "err_value"),
+          rightOrder = Some("err_event_id"))
+        .select(col("event_id"), col("user_id"),
+          col("err_event_id"), col("err_value"))
+    }),
+
+    // Range (interval) join without an equi-key: signup events matched
+    // to every error event within the following 5 minutes — bucketed
+    // equi-join plan, not a nested-loop cross join (operators.RangeJoin).
+    "q36_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("s_event_id"), col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("e_event_id"), col("ts").as("err_ts"))
+      RangeJoin.timeRange(signups, errors, "ts", "err_ts", 0, 300)
+        .select("s_event_id", "e_event_id")
     })
   )
 
@@ -494,6 +542,27 @@ object SparkEntry {
       """SELECT md5(text) AS content_key, min(doc_id) AS keeper_doc_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q33_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q35_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |     e AS (SELECT event_id AS err_event_id, user_id,
+        |             ts AS err_ts, value AS err_value FROM events
+        |           WHERE event_type = 'error')
+        |SELECT p.event_id, p.user_id, e.err_event_id, e.err_value
+        |FROM p ASOF LEFT JOIN e
+        |  ON p.user_id = e.user_id AND p.ts >= e.err_ts""".stripMargin,
+
+    "q36_range_join" ->
+      """SELECT s.event_id AS s_event_id, e.event_id AS e_event_id
+        |FROM events s JOIN events e
+        |  ON s.event_type = 'signup' AND e.event_type = 'error'
+        | AND e.ts >= s.ts AND e.ts <= s.ts + INTERVAL 5 MINUTE""".stripMargin,
 
     "q30_stream_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

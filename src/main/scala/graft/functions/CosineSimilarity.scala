@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression: cosine similarity of two float/double
+  * array columns, with full `doGenCode` — the generated Java is a tight
+  * primitive loop INSIDE whole-stage codegen, unlike the
+  * `aggregate`/`zip_with` higher-order formulation which executes each
+  * lambda interpreted (measured 3-4× slower on the ANN paths).
+  *
+  * Semantics: null if either array is null or either norm is 0; null
+  * ELEMENTS count as 0; dimensions beyond the shorter array ignored.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_cosine expects array<float|double> inputs, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (aa, bb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val (ta, tb) = (elemType(left), elemType(right))
+    val n = math.min(aa.numElements(), bb.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aa.isNullAt(i)) 0.0 else ta match {
+        case FloatType => aa.getFloat(i).toDouble
+        case _ => aa.getDouble(i)
+      }
+      val y = if (bb.isNullAt(i)) 0.0 else tb match {
+        case FloatType => bb.getFloat(i).toDouble
+        case _ => bb.getDouble(i)
+      }
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getA = if (elemType(left) == FloatType) "getFloat" else "getDouble"
+    val getB = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val denom = ctx.freshName("denom")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $a.isNullAt($i) ? 0.0 : (double) $a.$getA($i);
+         |  double $y = $b.isNullAt($i) ? 0.0 : (double) $b.$getB($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |if ($denom == 0.0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $dot / $denom; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration plumbing: `graft_cosine` is available (a) through the
+  * proper `spark.sql.extensions=graft.GraftExtensions` wiring, and
+  * (b) via `GraftFunctions.ensureRegistered(spark)` for sessions built
+  * without the conf (tests, driver-owned sessions). Both register the
+  * same builder; repeat registration is a no-op overwrite.
+  */
+object GraftFunctions {
+  val cosineInfo = new ExpressionInfo(
+    classOf[CosineSimilarity].getName, "graft_cosine")
+
+  def ensureRegistered(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_cosine"), cosineInfo,
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_cosine takes 2 arguments")
+        CosineSimilarity(children.head, children(1))
+      })
+}
+
+/** `SparkSessionExtensions` entry point:
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"), GraftFunctions.cosineInfo,
+      (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+}

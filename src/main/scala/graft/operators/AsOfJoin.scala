@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for every left row, attach the most recent right row
+  * with the same key and right.ts ≤ left.ts (inclusive, "backward").
+  *
+  * Spark has no built-in as-of join; the naive form (key-equi join +
+  * per-left-row max filter) materializes |left|×|right-per-key| rows.
+  * This implementation uses the UNION + ORDERED-WINDOW pattern instead:
+  * tag both inputs, union them, and run `last(right-payload,
+  * ignoreNulls)` over (key ORDER BY ts, side) — each left row picks up
+  * the latest preceding right payload in ONE shuffle of |L|+|R| rows,
+  * no join product at all. At 100 TB this is the difference between a
+  * linear sort-shuffle and a quadratic per-key blowup; skewed keys
+  * behave like any other wide window (AQE-salting applies).
+  *
+  * Tie semantics: right rows sort BEFORE left rows at an equal
+  * timestamp, so an exactly-simultaneous right row is visible to the
+  * left row (matches DuckDB/pandas ASOF `>=` semantics). Among equal
+  * right timestamps the one with the largest `rightOrder` wins.
+  */
+object AsOfJoin {
+
+  /** @param left       left rows (must contain keyCol + leftTs)
+    * @param right      right rows (must contain keyCol + rightTs)
+    * @param keyCol     equi-key column name present on both sides
+    * @param leftTs     left timestamp column name
+    * @param rightTs    right timestamp column name
+    * @param rightCols  right payload columns to attach (renamed as-is)
+    * @param rightOrder extra right tiebreak column (defaults rightTs)
+    */
+  def backward(left: DataFrame, right: DataFrame, keyCol: String,
+               leftTs: String, rightTs: String,
+               rightCols: Seq[String],
+               rightOrder: Option[String] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(!leftCols.exists(rightCols.contains),
+      "rightCols must not collide with left columns")
+
+    val l = left.select(
+      col(keyCol).as("__key"), col(leftTs).as("__ts"), lit(1).as("__side"),
+      struct(leftCols.map(col): _*).as("__left"),
+      lit(null).cast(payloadType(right, rightCols)).as("__payload"))
+    val tieBreak = rightOrder.getOrElse(rightTs)
+    val r = right.select(
+      col(keyCol).as("__key"), col(rightTs).as("__ts"), lit(0).as("__side"),
+      lit(null).cast(leftStructType(left)).as("__left"),
+      struct(rightCols.map(col): _*).as("__payload"),
+      col(tieBreak).as("__tie"))
+
+    val lFull = l.withColumn("__tie", lit(null).cast(
+      r.schema("__tie").dataType))
+    val unioned = lFull.unionByName(r)
+
+    val w = Window.partitionBy("__key")
+      .orderBy(col("__ts"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unioned
+      .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val leftOut = leftCols.map(c => col(s"__left.$c").as(c))
+    val rightOut = rightCols.map(c => col(s"__asof.$c").as(c))
+    matched.select(leftOut ++ rightOut: _*)
+  }
+
+  private def payloadType(right: DataFrame, cols: Seq[String]) =
+    org.apache.spark.sql.types.StructType(
+      cols.map(c => right.schema(c)))
+
+  private def leftStructType(left: DataFrame) =
+    org.apache.spark.sql.types.StructType(left.schema.fields)
+}

@@ -24,10 +24,11 @@ object Similarity {
     * when ids collide. Deterministic: ties broken by corpus id.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val joined = corpus.select(col("id"), col("v"))
       .join(broadcast(queries.select(col("qid"), col("qv"))))
       .filter(col("id") =!= col("qid"))
-      .withColumn("cosine", cosine(col("v"), col("qv")))
+      .withColumn("cosine", call_function("graft_cosine", col("v"), col("qv")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -94,9 +95,10 @@ object Similarity {
       .filter(col("qrn") <= nProbe)
       .select(col("qid"), col("qv"), col("cid"))
 
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val joined = lists.join(broadcast(probes), Seq("cid"))
       .filter(col("id") =!= col("qid"))
-      .withColumn("cosine", cosine(col("v"), col("qv")))
+      .withColumn("cosine", call_function("graft_cosine", col("v"), col("qv")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

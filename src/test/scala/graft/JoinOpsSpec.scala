@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, RangeJoin}
+import graft.functions.GraftFunctions
+
+class JoinOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+
+  test("as-of backward join picks latest right <= left.ts, inclusive") {
+    val trades = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:05")),
+      (2L, 7L, ts("2024-01-01 10:00:00")), // exactly at quote q2 -> inclusive
+      (3L, 7L, ts("2024-01-01 09:00:00")), // before all quotes -> null
+      (4L, 8L, ts("2024-01-01 10:00:10"))  // other key
+    ).toDF("event_id", "user_id", "ts")
+    val quotes = Seq(
+      (100L, 7L, ts("2024-01-01 09:59:00"), 1.0),
+      (101L, 7L, ts("2024-01-01 10:00:00"), 2.0),
+      (102L, 8L, ts("2024-01-01 10:00:10"), 3.0),
+      (103L, 7L, ts("2024-01-01 11:00:00"), 9.0) // future, never matches
+    ).toDF("err_event_id", "user_id", "err_ts", "err_value")
+
+    val out = AsOfJoin.backward(trades, quotes, "user_id", "ts", "err_ts",
+      Seq("err_event_id", "err_value"), Some("err_event_id"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out(1L) === Some(101L))
+    assert(out(2L) === Some(101L)) // inclusive >=
+    assert(out(3L) === None)
+    assert(out(4L) === Some(102L))
+  }
+
+  test("as-of join plan has no join node (union+window, linear)") {
+    val l = Seq((1L, 1L, ts("2024-01-01 00:00:00"))).toDF("event_id", "user_id", "ts")
+    val r = Seq((2L, 1L, ts("2024-01-01 00:00:00"), 5.0))
+      .toDF("err_event_id", "user_id", "err_ts", "err_value")
+    val plan = AsOfJoin.backward(l, r, "user_id", "ts", "err_ts",
+      Seq("err_event_id", "err_value")).queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), plan)
+    assert(plan.contains("Window"))
+  }
+
+  test("range join matches brute-force filter; no nested-loop join in plan") {
+    val signups = Seq(
+      (1L, ts("2024-01-01 00:00:00")),
+      (2L, ts("2024-01-01 00:07:30"))).toDF("s_event_id", "ts")
+    val errors = Seq(
+      (10L, ts("2024-01-01 00:00:00")),  // in window of 1 (inclusive start)
+      (11L, ts("2024-01-01 00:05:00")),  // exactly at 1's end; before 2's start
+      (12L, ts("2024-01-01 00:12:30")),  // exactly at 2's end
+      (13L, ts("2024-01-01 00:12:31"))   // just outside
+    ).toDF("e_event_id", "err_ts")
+    val out = RangeJoin.timeRange(signups, errors, "ts", "err_ts", 0, 300)
+      .select("s_event_id", "e_event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 10L), (1L, 11L), (2L, 12L)))
+
+    val plan = RangeJoin.timeRange(signups, errors, "ts", "err_ts", 0, 300)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("graft_cosine native expression matches the HOF formulation") {
+    GraftFunctions.ensureRegistered(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairs = emb.select($"vec_id".as("id_a"), $"embedding".as("v_a"))
+      .join(emb.select($"vec_id".as("id_b"), $"embedding".as("v_b")),
+        $"id_a" === $"id_b" - 1)
+    val diff = pairs.select(
+      call_function("graft_cosine", $"v_a", $"v_b").as("native"),
+      graft.functions.VectorFunctions.cosine($"v_a", $"v_b").as("hof"))
+      .withColumn("d", abs($"native" - $"hof"))
+      .agg(max("d")).head().getDouble(0)
+    assert(diff < 1e-12, s"max diff $diff")
+  }
+
+  test("graft_cosine handles nulls and zero vectors") {
+    GraftFunctions.ensureRegistered(spark)
+    val df = Seq(
+      (Some(Array(1.0f, 0.0f)), Some(Array(1.0f, 0.0f))),
+      (Some(Array(0.0f, 0.0f)), Some(Array(1.0f, 0.0f))),
+      (None, Some(Array(1.0f, 0.0f)))).toDF("a", "b")
+    val out = df.select(call_function("graft_cosine", $"a", $"b")).collect()
+    assert(out(0).getDouble(0) === 1.0)
+    assert(out(1).isNullAt(0)) // zero norm
+    assert(out(2).isNullAt(0)) // null input
+  }
+
+  test("approx_count_distinct within 10% of exact") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val r = li.agg(
+      approx_count_distinct("l_partkey").as("a"),
+      countDistinct("l_partkey").as("e")).head()
+    val (a, e) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(a - e) / e < 0.1, s"approx $a exact $e")
+  }
+}
