@@ -17,6 +17,7 @@ object Profile {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("queries")) { profileQueries(args.tail); return }
     if (args.headOption.contains("allqueries")) { allQueries(); return }
+    if (args.headOption.contains("explain")) { explainQueries(args.tail); return }
     val spark = GraftSession.build("profile")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val docs = Tables.documents(spark, d).cache()
@@ -62,6 +63,20 @@ object Profile {
       .agg(count(lit(1)).as("common"),
         first("n_a").as("n_a"), first("n_b").as("n_b"))
     println("groups: " + t("groupBy common") { common.count() })
+    spark.stop()
+  }
+
+  /** Print formatted physical plans for the named queries (or all). */
+  def explainQueries(args: Array[String]): Unit = {
+    val spark = GraftSession.build("profile-explain")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val names = if (args.nonEmpty) args.toSeq
+      else graft.SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { n =>
+      println(s"========== $n ==========")
+      try graft.SparkEntry.queries(n)(spark, d).explain("formatted")
+      catch { case e: Throwable => println(s"explain failed: $e") }
+    }
     spark.stop()
   }
 
