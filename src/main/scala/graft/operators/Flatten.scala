@@ -27,11 +27,20 @@ object Flatten {
   /** rawResponses-shaped input (see Schemas.rawResponses) → un-cleaned
     * weatherHourly rows (casts applied, no dedup/na.drop yet).
     */
-  def flattenResponses(raw: DataFrame, batchId: String): DataFrame = {
+  def flattenResponses(raw: DataFrame, batchId: String): DataFrame =
+    flatten(raw, lit(batchId))
+
+  /** Streaming/multi-batch variant: batch_id travels per input row. */
+  def flattenResponsesKeepBatch(raw: DataFrame): DataFrame =
+    flatten(raw, col("batch_id"))
+
+  private def flatten(raw: DataFrame,
+                      batchIdCol: org.apache.spark.sql.Column): DataFrame = {
     raw
       .filter(col("http_status") === 200 && col("payload").isNotNull)
       .withColumn("p", from_json(col("payload"), Schemas.payload))
       .select(
+        batchIdCol.as("__batch_id"),
         col("city"), col("latitude"), col("longitude"), col("ingested_at"),
         explode(arrays_zip(
           col("p.hourly.time").as("time"),
@@ -40,7 +49,7 @@ object Flatten {
           col("p.hourly.precipitation").as("precipitation"),
           col("p.hourly.wind_speed_10m").as("wind_speed_10m"))).as("h"))
       .select(
-        lit(batchId).as("batch_id"),
+        col("__batch_id").as("batch_id"),
         col("city"),
         col("latitude").cast("double").as("latitude"),
         col("longitude").cast("double").as("longitude"),

@@ -63,11 +63,15 @@ object PipelineRunner {
       throw StageFailure("quality", new RuntimeException(
         s"Quality checks failed: $report"))
 
-    // load: keyed upsert into the warehouse table (S8)
+    // load: keyed upsert into the warehouse table (S8), partitioned by
+    // day — the merge then joins/rewrites only partitions the batch
+    // touches (partition pruning at 100 TB; SURVEY §7.4-7)
     withRetries("load") {
       MergeWriter.merge(spark, ctx.warehousePath,
-        staged.withColumn("loaded_at", current_timestamp()),
-        keys = Seq("city", "ts_utc"))
+        staged.withColumn("loaded_at", current_timestamp())
+          .withColumn("dt", to_date(col("ts_utc"))),
+        keys = Seq("city", "ts_utc"),
+        partitionColumns = Seq("dt"))
     }
 
     // models + schema tests (dbt run / dbt test)
