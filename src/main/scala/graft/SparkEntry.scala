@@ -402,6 +402,37 @@ object SparkEntry {
         .select(col("event_id").as("e_event_id"), col("ts").as("err_ts"))
       RangeJoin.timeRange(signups, errors, "ts", "err_ts", 0, 300)
         .select("s_event_id", "e_event_id")
+    }),
+
+    // Dedup clustering: MinHash near-dup pairs → connected components →
+    // per-cluster size + canonical (min-id) representative.
+    "q37_dedup_components" -> ((s, d) => {
+      val pairs = Dedup.minhashNearDups(Tables.documents(s, d), "text",
+        "doc_id", shingleSize = 3, numHashes = 64, bands = 16,
+        threshold = 0.5)
+      graft.operators.Components.connectedComponents(pairs)
+        .groupBy("component")
+        .agg(count(lit(1)).as("cluster_size"), min("id").as("canonical_doc"))
+    }),
+
+    // Skew-safe two-phase salted aggregate — must equal the plain
+    // GROUP BY (oracle), while spreading any hot key over 16 reducers.
+    "q38_salted_agg" -> ((s, d) => {
+      graft.operators.Skew.saltedSumCount(
+        Tables.events(s, d), Seq("event_type"), "value", salts = 16)
+        .select(col("event_type"), round(col("sum_value"), 4).as("sum_value"),
+          col("cnt"))
+    }),
+
+    // Exact percentiles per group (Spark `percentile` ≡ DuckDB
+    // quantile_cont linear interpolation).
+    "q39_percentile" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"))
     })
   )
 
@@ -542,6 +573,18 @@ object SparkEntry {
       """SELECT md5(text) AS content_key, min(doc_id) AS keeper_doc_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q38_salted_agg" ->
+      """SELECT event_type, round(sum(value), 4) AS sum_value,
+        |  count(*) AS cnt
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q39_percentile" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.95), 4) AS p95,
+        |  round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q33_rollup" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,

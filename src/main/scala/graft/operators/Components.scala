@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a near-duplicate pair graph — the step
+  * that turns pairwise similarity output (Dedup.*NearDups) into
+  * dedup GROUPS: every doc in a component is a near-dup (possibly
+  * transitively) of the others, and the min-id member is the canonical
+  * representative to keep.
+  *
+  * Algorithm: iterative min-label propagation (each node repeatedly
+  * adopts the smallest label among itself and its neighbors) with a
+  * driver-side convergence check. Each iteration is one join + one
+  * aggregate — the alternating large-star/small-star optimization
+  * halves iterations on long chains but the per-round plan shape is
+  * identical; chain diameters in near-dup graphs are tiny (dup
+  * clusters are cliques or near-cliques), so rounds ≈ 2-3 in practice.
+  * All state lives in DataFrames; nothing is collected to the driver
+  * except the per-round change count.
+  */
+object Components {
+
+  /** @param pairs (id_a, id_b) undirected edges
+    * @return (id, component) — component = min id reachable
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .cache()
+    // localCheckpoint each round: iterative self-joins otherwise grow
+    // the logical plan exponentially (every round embeds the previous
+    // round's plan) — lineage truncation is mandatory for any
+    // fixpoint-loop DataFrame algorithm
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // each node adopts min(own component, neighbors' components)
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("component").as("nbr_component"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"),
+            coalesce(col("nbr_component"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      val changes = updated.alias("u")
+        .join(labels.alias("l"), Seq("id"))
+        .filter(col("u.component") =!= col("l.component"))
+        .count()
+      labels = updated
+      converged = changes == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Deduplicate a corpus given near-dup pairs: keep the min-id doc of
+    * every component plus all unpaired docs.
+    */
+  def dedupCorpus(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val losers = comps.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+}
