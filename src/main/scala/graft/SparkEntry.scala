@@ -433,6 +433,19 @@ object SparkEntry {
           round(expr("percentile(value, 0.5)"), 4).as("p50"),
           round(expr("percentile(value, 0.95)"), 4).as("p95"),
           round(expr("percentile(value, 0.99)"), 4).as("p99"))
+    }),
+
+    // Stream-stream interval join with bounded state (watermarks both
+    // sides); AvailableNow ⇒ equals the batch interval join (oracle).
+    "q40_stream_join" -> ((s, d) => {
+      val ev1 = graft.streaming.EventsStream.readEvents(s, d)
+      val ev2 = graft.streaming.EventsStream.readEvents(s, d)
+      val joined = graft.streaming.EventsStream.purchaseErrorJoin(
+        ev1.filter(col("event_type") === "purchase"),
+        ev2.filter(col("event_type") === "error"))
+      graft.streaming.EventsStream.runToTable(s, joined,
+        s"q40_sink_${System.nanoTime()}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
     })
   )
 
@@ -585,6 +598,14 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.95), 4) AS p95,
         |  round(quantile_cont(value, 0.99), 4) AS p99
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q40_stream_join" ->
+      """SELECT p.event_id AS p_event_id, p.user_id,
+        |  e.event_id AS e_event_id
+        |FROM events p JOIN events e
+        |  ON p.event_type = 'purchase' AND e.event_type = 'error'
+        | AND p.user_id = e.user_id
+        | AND e.ts >= p.ts - INTERVAL 30 MINUTE AND e.ts <= p.ts""".stripMargin,
 
     "q33_rollup" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,

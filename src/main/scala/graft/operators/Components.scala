@@ -59,6 +59,7 @@ object Components {
       converged = changes == 0
       iter += 1
     }
+    edges.unpersist()
     labels
   }
 

@@ -84,6 +84,28 @@ object EventsStream {
     spark.table(name)
   }
 
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's error events from the preceding 30 minutes. Both sides are
+    * watermarked so the join state is bounded — the right side can be
+    * evicted once it falls behind left-watermark − 30 min; unbounded
+    * state is the classic stream-join failure mode at scale.
+    */
+  def purchaseErrorJoin(purchases: DataFrame, errors: DataFrame): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("p_event_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val e = errors
+      .select(col("event_id").as("e_event_id"),
+        col("user_id").as("e_user_id"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    p.join(e,
+      col("user_id") === col("e_user_id") &&
+        col("e_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("e_ts") <= col("p_ts"))
+      .select(col("p_event_id"), col("user_id"), col("e_event_id"))
+  }
+
   // -------------------------------------------------------------------
   // Custom state: flatMapGroupsWithState — the escape hatch for
   // semantics session_window can't express. Example operator: per-user
