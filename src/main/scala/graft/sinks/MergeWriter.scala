@@ -1,6 +1,6 @@
 package graft.sinks
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.lit
 
@@ -10,16 +10,17 @@ import org.apache.spark.sql.functions.lit
   * for an immutable columnar store.
   *
   * Emulation: `existing LEFT ANTI updates ON keys` ∪ `updates`, written
-  * to a temp directory then atomically swapped into place — the
-  * temp-write avoids the read-own-input overwrite hazard (SURVEY §7.4
-  * risk 1). Re-running the same batch is idempotent: every key collides
-  * and is replaced by the identical row.
+  * to a temp directory then swapped into place — the temp-write avoids
+  * the read-own-input overwrite hazard (SURVEY §7.4 risk 1). Re-running
+  * the same batch is idempotent: every key collides and is replaced by
+  * the identical row.
   *
-  * Scale: the anti-join shuffles both sides on the key columns once; at
-  * 100 TB the target table should be partitioned (e.g. by date bucket)
-  * so only affected partitions join+rewrite. `partitionColumns` enables
-  * that: with it, only partitions present in `updates` are rewritten
-  * (the merge join reads just those partitions via partition pruning).
+  * Partitioned mode is the 100 TB path: with `partitionColumns`, ONLY
+  * partitions present in `updates` are read, merged, and swapped — the
+  * anti-join scans just those partitions (partition pruning) and the
+  * swap replaces just those partition DIRECTORIES; untouched partitions
+  * are never read or rewritten. An unpartitioned merge rewrites the
+  * whole table and is only appropriate for small/metadata tables.
   */
 object MergeWriter {
 
@@ -29,8 +30,10 @@ object MergeWriter {
             keys: Seq[String],
             partitionColumns: Seq[String] = Nil): Unit = {
     val target = Paths.get(targetPath)
-    val exists = Files.exists(target) &&
-      Files.list(target).findFirst.isPresent
+    val exists = Files.exists(target) && {
+      val s = Files.list(target)
+      try s.findFirst.isPresent finally s.close()
+    }
 
     if (!exists) {
       val w = updates.write.mode(SaveMode.Overwrite)
@@ -40,40 +43,66 @@ object MergeWriter {
     }
 
     val existing0 = spark.read.parquet(targetPath)
-    // Partition pruning: the anti-join only reads partitions the
-    // updates touch; untouched partitions pass through scan→write with
-    // no join at all (their filter prunes at the parquet source).
-    val touchedPred =
-      if (partitionColumns.isEmpty) None
-      else {
-        val preds = updates.select(partitionColumns.map(updates(_)): _*)
-          .distinct().collect()
-          .map(r => partitionColumns.zipWithIndex
-            .map { case (c, i) => existing0(c) === r.get(i) }
-            .reduce(_ && _))
-        Some(if (preds.isEmpty) lit(false) else preds.reduce(_ || _))
-      }
-    val existing = touchedPred.fold(existing0)(existing0.filter)
-    val untouched = touchedPred.map(p => existing0.filter(!p))
-
-    val kept = existing.join(updates, keys, "left_anti")
-    val merged = kept.unionByName(updates.select(existing0.columns.map(updates(_)): _*))
-
     val tmpPath = targetPath + ".__merge_tmp"
-    val outDf = untouched.map(merged.unionByName(_)).getOrElse(merged)
-    val w = outDf.write.mode(SaveMode.Overwrite)
-    (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*) else w)
-      .parquet(tmpPath)
 
-    // atomic-ish swap: old dir out of the way, tmp in, old removed
-    val oldPath = Paths.get(targetPath + ".__merge_old")
-    deleteRecursively(oldPath)
-    Files.move(target, oldPath, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(tmpPath), target, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(oldPath)
+    if (partitionColumns.isEmpty) {
+      val kept = existing0.join(updates, keys, "left_anti")
+      val merged = kept.unionByName(
+        updates.select(existing0.columns.map(updates(_)): _*))
+      merged.write.mode(SaveMode.Overwrite).parquet(tmpPath)
+      // swap the whole table dir
+      val oldPath = Paths.get(targetPath + ".__merge_old")
+      deleteRecursively(oldPath)
+      Files.move(target, oldPath, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(Paths.get(tmpPath), target, StandardCopyOption.ATOMIC_MOVE)
+      deleteRecursively(oldPath)
+    } else {
+      // prune: the anti-join reads only partitions the updates touch
+      val touched = updates.select(partitionColumns.map(updates(_)): _*)
+        .distinct().collect()
+      if (touched.isEmpty) return
+      val touchedPred = touched
+        .map(r => partitionColumns.zipWithIndex
+          .map { case (c, i) => existing0(c) <=> lit(r.get(i)) }
+          .reduce(_ && _))
+        .reduce(_ || _)
+      val kept = existing0.filter(touchedPred).join(updates, keys, "left_anti")
+      val merged = kept.unionByName(
+        updates.select(existing0.columns.map(updates(_)): _*))
+      merged.write.mode(SaveMode.Overwrite)
+        .partitionBy(partitionColumns: _*).parquet(tmpPath)
+
+      // swap ONLY the written partition directories into the target;
+      // untouched partition dirs are never rewritten
+      partitionDirs(Paths.get(tmpPath), partitionColumns.size).foreach { rel =>
+        val dst = target.resolve(rel)
+        deleteRecursively(dst)
+        Files.createDirectories(dst.getParent)
+        Files.move(Paths.get(tmpPath).resolve(rel), dst,
+          StandardCopyOption.ATOMIC_MOVE)
+      }
+      deleteRecursively(Paths.get(tmpPath))
+    }
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
+  /** Relative `col=value[/col=value...]` partition paths under base. */
+  private def partitionDirs(base: Path, depth: Int): Seq[Path] = {
+    def walk(dir: Path, level: Int): Seq[Path] =
+      if (level == 0) Seq(dir)
+      else {
+        val s = Files.list(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.toSeq
+            .filter(p => Files.isDirectory(p) &&
+              p.getFileName.toString.contains("="))
+            .flatMap(walk(_, level - 1))
+        } finally s.close()
+      }
+    walk(base, depth).map(base.relativize)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.delete(f))

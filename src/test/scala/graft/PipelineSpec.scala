@@ -32,12 +32,20 @@ class MergeWriterSpec extends SparkSpec {
     val dir = tmpDir("mergep") + "/t"
     val v1 = Seq(("a", 1, "p1"), ("b", 2, "p2")).toDF("k", "v", "pt")
     MergeWriter.merge(spark, dir, v1, Seq("k"), Seq("pt"))
-    val v2 = Seq(("b", 20, "p2")).toDF("k", "v", "pt")
+    def filesIn(part: String) =
+      new java.io.File(s"$dir/pt=$part").listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val p1Before = filesIn("p1")
+
+    val v2 = Seq(("b", 20, "p2"), ("c", 3, "p3")).toDF("k", "v", "pt")
     MergeWriter.merge(spark, dir, v2, Seq("k"), Seq("pt"))
     val out = spark.read.parquet(dir)
-    assert(out.count() === 2)
+    assert(out.count() === 3)
     assert(out.filter($"k" === "b").head.getAs[Int]("v") === 20)
     assert(out.filter($"k" === "a").head.getAs[Int]("v") === 1)
+    assert(out.filter($"k" === "c").head.getAs[Int]("v") === 3) // new partition
+    // untouched partition p1 was not rewritten: same physical files
+    assert(filesIn("p1") === p1Before)
   }
 }
 
