@@ -33,11 +33,16 @@ object Tables {
     * query (events are seconds apart; `event_id` is the tiebreaker).
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    // NB: session-sticky conf — later reads of OTHER nanos-timestamp
+    // parquet in this session also get raw longs. All engine inputs go
+    // through Tables.*, so the blast radius is this loader.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integer `div`, not `/`: float division at epoch-nanos magnitude
+    // (~1.7e18, double ulp = 256 ns) rounds before the cast and can be
+    // 1 µs off the true floor(ns/1000)
     load(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000L)
-          .cast(org.apache.spark.sql.types.LongType)))
+        org.apache.spark.sql.functions.expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -102,13 +102,17 @@ object GraftFunctions {
   val cosineInfo = new ExpressionInfo(
     classOf[CosineSimilarity].getName, "graft_cosine")
 
+  /** Single shared builder — both registration paths must behave
+    * identically (incl. the arity error).
+    */
+  val cosineBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2, "graft_cosine takes 2 arguments")
+    CosineSimilarity(children.head, children(1))
+  }
+
   def ensureRegistered(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_cosine"), cosineInfo,
-      (children: Seq[Expression]) => {
-        require(children.length == 2, "graft_cosine takes 2 arguments")
-        CosineSimilarity(children.head, children(1))
-      })
+      FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder)
 }
 
 /** `SparkSessionExtensions` entry point:
@@ -118,5 +122,5 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"), GraftFunctions.cosineInfo,
-      (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+      GraftFunctions.cosineBuilder))
 }

@@ -24,7 +24,7 @@ object Components {
   /** @param pairs (id_a, id_b) undirected edges
     * @return (id, component) — component = min id reachable
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
@@ -60,6 +60,12 @@ object Components {
       iter += 1
     }
     edges.unpersist()
+    // wrong-but-silent labels are worse than failing: label propagation
+    // advances one hop per round, so hitting maxIter means some
+    // component with diameter > maxIter is still split
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter iterations " +
+        "(component diameter exceeds maxIter); raise maxIter")
     labels
   }
 

@@ -62,11 +62,15 @@ object Dedup {
     val w = Window.partitionBy("id").orderBy("p")
     val gram = concat_ws(" ",
       col("t") +: (1 until n).map(k => lead(col("t"), k).over(w)): _*)
+    // rn, not p, for the start-position filter: posexplode positions
+    // have gaps where empty tokens (leading/double whitespace) were
+    // filtered out; row_number over the same window is gap-free
     val withGram = toks
       .withColumn("n_tok", count(lit(1)).over(Window.partitionBy("id")))
+      .withColumn("rn", row_number().over(w))
       .withColumn("g", gram)
-      .filter(col("p") <= col("n_tok") - n ||
-        (col("n_tok") < n && col("p") === 0))
+      .filter(col("rn") <= col("n_tok") - n + 1 ||
+        (col("n_tok") < n && col("rn") === 1))
       .select("id", "g").distinct()
     withGram.withColumn("n_sh",
       count(lit(1)).over(Window.partitionBy("id")))
@@ -98,6 +102,8 @@ object Dedup {
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       shingleSize: Int = 3, numHashes: Int = 64,
                       bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
     val rowsPerBand = numHashes / bands
     val grams = shingleRows(df, textCol, idCol, shingleSize)
     val sigs = minhashSignatures(grams, numHashes)

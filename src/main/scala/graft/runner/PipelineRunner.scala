@@ -27,14 +27,21 @@ object PipelineRunner {
   final case class StageFailure(stage: String, cause: Throwable)
     extends RuntimeException(s"stage $stage failed", cause)
 
-  /** C3: retry wrapper (reference: 2 retries per task). */
+  /** C3: retry wrapper (reference: 2 retries per task). Only NonFatal
+    * failures retry (an OOM/interrupt must propagate, not re-execute on
+    * a possibly-corrupted JVM), and each retried attempt is logged so
+    * the first failure's diagnostics aren't silently discarded.
+    */
   def withRetries[T](stage: String, retries: Int = 2)(body: => T): T = {
     var attempt = 0
     while (true) {
       try return body
       catch {
-        case e: Throwable if attempt < retries => attempt += 1
-        case e: Throwable => throw StageFailure(stage, e)
+        case scala.util.control.NonFatal(e) if attempt < retries =>
+          attempt += 1
+          System.err.println(
+            s"[pipeline] stage $stage attempt $attempt failed, retrying: $e")
+        case scala.util.control.NonFatal(e) => throw StageFailure(stage, e)
       }
     }
     throw new IllegalStateException("unreachable")

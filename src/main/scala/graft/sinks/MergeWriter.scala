@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions.lit
   * swap replaces just those partition DIRECTORIES; untouched partitions
   * are never read or rewritten. An unpartitioned merge rewrites the
   * whole table and is only appropriate for small/metadata tables.
+  *
+  * CONTRACT (partitioned mode): every partition column must be a
+  * function of the merge keys (e.g. dt = to_date(ts_utc) with ts_utc a
+  * key). Otherwise an update row whose key exists under a DIFFERENT
+  * partition value leaves the old copy in the untouched partition —
+  * the same constraint partitioned MERGE targets carry in
+  * Delta/Iceberg when only touched partitions are rewritten.
   */
 object MergeWriter {
 

@@ -24,18 +24,27 @@ object EventsStream {
   /** Streaming events source from the sf dir (schema pinned; the file
     * source needs an explicit schema).
     */
+  // one staged symlink dir per sfDir (repeat calls reuse it — no
+  // temp-dir leak across Bench/Verify/Profile loops)
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The file-stream source needs a DIRECTORY; the testdata table is a
     // single file. Stage a symlink dir (no data copy).
-    val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
-    val dir = java.nio.file.Files.createTempDirectory("events_stream")
-    java.nio.file.Files.createSymbolicLink(
-      dir.resolve("events.parquet"), src)
+    val dir = stagedDirs.computeIfAbsent(sfDir, { _ =>
+      val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+      val d = java.nio.file.Files.createTempDirectory("events_stream")
+      java.nio.file.Files.createSymbolicLink(d.resolve("events.parquet"), src)
+      d.toString
+    })
     spark.readStream
       .schema(eventsRawSchema)
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      .parquet(dir)
+      // integer `div`: see Tables.events — float division rounds at
+      // epoch-nanos magnitude
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Tumbling-window counts per event_type with a 1-hour watermark —

@@ -24,9 +24,7 @@ object Profile {
     println(s"docs: ${docs.count()}")
 
     // ---- minhash stages
-    val base = docs.select(col("doc_id").as("id"),
-      TextFunctions.wordShingles(col("text"), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val base = Dedup.shingleRows(docs, "text", "doc_id", 3)
     t("shingles materialize") { base.write.mode("overwrite").parquet("/tmp/prof_sh") }
     val baseP = spark.read.parquet("/tmp/prof_sh")
     val sigs = Dedup.minhashSignatures(baseP, 64)
@@ -40,28 +38,12 @@ object Profile {
       .filter(col("id_a") < col("id_b")).distinct()
     val nc = t("candidates") { cands.count() }
     println(s"minhash candidates: $nc")
-    val verified = cands
-      .join(baseP.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(baseP.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .filter(col("jaccard") >= 0.5)
-    println("verified: " + t("verify") { verified.count() })
-
-    // ---- ngram jaccard stages
-    val inv = baseP.select(col("id"), size(col("sh")).as("n_sh"),
-      explode(col("sh")).as("g"))
-    val l = inv.select(col("g"), col("id").as("id_a"), col("n_sh").as("n_a"))
-    val r = inv.select(col("g"), col("id").as("id_b"), col("n_sh").as("n_b"))
-    val pairs = l.join(r,
-      l("g") === r("g") && col("id_a") < col("id_b") &&
-        col("n_b") >= lit(0.5) * col("n_a") &&
-        col("n_a") >= lit(0.5) * col("n_b"))
+    // ---- ngram jaccard stages (postings self-join + common counts)
+    val pairs = baseP.alias("l").join(baseP.alias("r"),
+      col("l.g") === col("r.g") && col("l.id") < col("r.id"))
     println("pair rows: " + t("postings join count") { pairs.count() })
-    val common = pairs.groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("common"),
-        first("n_a").as("n_a"), first("n_b").as("n_b"))
+    val common = pairs.groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
     println("groups: " + t("groupBy common") { common.count() })
     spark.stop()
   }

@@ -16,6 +16,19 @@ class DedupSpec extends SparkSpec {
     (6L, "an unrelated short sentence")
   ).toDF("doc_id", "text")
 
+  test("shingleRows handles leading/irregular whitespace (gap positions)") {
+    val docs = Seq(
+      (1L, "  a b c  d"),   // leading + double spaces
+      (2L, " hi"),          // short doc, leading space
+      (3L, "a b c d")).toDF("doc_id", "text")
+    val rows = graft.operators.Dedup.shingleRows(docs, "text", "doc_id", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(rows(1L) === Set("a b", "b c", "c d")) // no dropped shingles
+    assert(rows(2L) === Set("hi"))                // whole-doc shingle kept
+    assert(rows(1L) === rows(3L))                 // whitespace-insensitive
+  }
+
   test("exact dedup keeps smallest id per identical text") {
     val out = Dedup.exact(corpus, "text", "doc_id")
     assert(out.count() === 5)
