@@ -18,7 +18,8 @@ object Bench {
     // reflect engine throughput, not JVM startup.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
-      Seq("q1_agg", "q23_minhash_neardup", "q28_knn_ivf", "q7_window_topk")
+      Seq("q1_agg", "q23_minhash_neardup", "q28_knn_ivf", "q7_window_topk",
+          "q30_stream_window", "q40_stream_join")
         .foreach { q =>
           try SparkEntry.queries(q)(spark, warmDir).count()
           catch { case _: Throwable => () }

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+import graft.functions.TextFunctions
+
+/** User-facing facade — the "switch to this library" surface. A user
+  * of the reference pipeline maps their workflow 1:1:
+  *
+  *   - raw JSON payload responses → `flattenWeather` (transform stage)
+  *   - quality gate → `qualityCheck` (fail-fast report)
+  *   - `ON CONFLICT DO UPDATE` load → `upsert`
+  *   - dbt star models + tests → `models.StarModels`
+  *   - the whole daily DAG → `runner.PipelineRunner.run`
+  *   - incremental successor → `streaming.IncrementalStaging.runOnce`
+  *
+  * plus the training-data operators (dedup / similarity / text /
+  * multimodal) this engine adds.
+  */
+object Graft {
+
+  def session(appName: String = "graft"): SparkSession =
+    core.GraftSession.build(appName)
+
+  // ------------- reference-parity pipeline stages -------------
+  def flattenWeather(raw: DataFrame, batchId: String): DataFrame =
+    Cleaning.clean(Flatten.flattenResponses(raw, batchId))
+
+  def qualityCheck(staged: DataFrame, batchId: String): Quality.QualityReport =
+    Quality.checkWeather(staged, batchId)
+
+  def upsert(spark: SparkSession, targetPath: String, updates: DataFrame,
+             keys: Seq[String], partitionColumns: Seq[String] = Nil): Unit =
+    sinks.MergeWriter.merge(spark, targetPath, updates, keys, partitionColumns)
+
+  // ------------- dedup family -------------
+  def dedupExact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    Dedup.exact(df, textCol, idCol)
+
+  /** Near-dup pairs → connected components → corpus minus non-canonical
+    * members: the end-to-end fuzzy-dedup most pipelines want.
+    */
+  def dedupFuzzy(df: DataFrame, textCol: String, idCol: String,
+                 threshold: Double = 0.7): DataFrame = {
+    val pairs = Dedup.minhashNearDups(df, textCol, idCol,
+      threshold = threshold)
+    Components.dedupCorpus(df, idCol, pairs)
+  }
+
+  def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                   threshold: Double = 0.7): DataFrame =
+    Dedup.minhashNearDups(df, textCol, idCol, threshold = threshold)
+
+  // ------------- similarity search -------------
+  def knnExact(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    Similarity.bruteForceTopK(corpus, queries, k)
+
+  def knnApprox(corpus: DataFrame, queries: DataFrame, k: Int,
+                nLists: Int = 16, nProbe: Int = 4): DataFrame =
+    Similarity.ivfTopK(corpus, queries, k, nLists, nProbe)
+
+  // ------------- text analysis -------------
+  def withTextQuality(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("quality_score",
+        TextFunctions.qualityScore(org.apache.spark.sql.functions.col(textCol)))
+      .withColumn("quality_signals",
+        TextFunctions.qualitySignals(org.apache.spark.sql.functions.col(textCol)))
+
+  def withLanguage(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.join(TextFunctions.langIdByDoc(df, textCol, idCol), idCol)
+
+  // ------------- temporal joins -------------
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               leftTs: String, rightTs: String,
+               rightCols: Seq[String]): DataFrame =
+    AsOfJoin.backward(left, right, keyCol, leftTs, rightTs, rightCols)
+
+  def intervalJoin(left: DataFrame, right: DataFrame, leftTs: String,
+                   rightTs: String, loSec: Long, hiSec: Long): DataFrame =
+    RangeJoin.timeRange(left, right, leftTs, rightTs, loSec, hiSec)
+}

@@ -83,13 +83,22 @@ object EventsStream {
     */
   def runToTable(spark: SparkSession, df: DataFrame, name: String,
                  mode: OutputMode = OutputMode.Complete()): DataFrame = {
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // Stateful streaming cost scales with shuffle partitions (one
+    // state store instance per partition per stateful operator); pin a
+    // partition count sized to the data, not the core count — on a
+    // real cluster this is a deliberate sizing decision (state store
+    // count is fixed at first checkpoint).
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 
