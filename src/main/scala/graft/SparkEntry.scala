@@ -435,6 +435,26 @@ object SparkEntry {
           round(expr("percentile(value, 0.99)"), 4).as("p99"))
     }),
 
+    // CUBE: all grouping-set combinations.
+    "q41_cube" -> ((s, d) => {
+      Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+    }),
+
+    // Analytic windows: running sum + lag per customer over order time
+    // (deterministic tie-break by o_orderkey).
+    "q42_running_window" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        round(sum("o_totalprice").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running_total"),
+        lag("o_totalprice", 1).over(w).as("prev_price"))
+    }),
+
     // Stream-stream interval join with bounded state (watermarks both
     // sides); AvailableNow ⇒ equals the batch interval join (oracle).
     "q40_stream_join" -> ((s, d) => {
@@ -598,6 +618,20 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.95), 4) AS p95,
         |  round(quantile_cont(value, 0.99), 4) AS p99
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q41_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q42_running_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+        |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS prev_price
+        |FROM orders""".stripMargin,
 
     "q40_stream_join" ->
       """SELECT p.event_id AS p_event_id, p.user_id,
