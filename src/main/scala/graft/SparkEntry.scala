@@ -435,6 +435,31 @@ object SparkEntry {
           round(expr("percentile(value, 0.99)"), 4).as("p99"))
     }),
 
+    // Corpus vocabulary: global token frequencies (the "build vocab"
+    // step of a tokenizer pipeline) — top terms by document frequency.
+    "q43_vocab" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token")
+        .agg(count(lit(1)).as("tf"),
+          countDistinct("doc_id").as("df"))
+        .orderBy(col("tf").desc, col("token"))
+        .limit(50)
+    }),
+
+    // Deterministic uniform per-group sampling: k docs per source by
+    // md5-of-id order (a reproducible "random" sample — the standard
+    // trick when re-runs must pick the same rows).
+    "q44_sample_per_group" -> ((s, d) => {
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("source", "doc_id", "rk")
+    }),
+
     // CUBE: all grouping-set combinations.
     "q41_cube" -> ((s, d) => {
       Tables.orders(s, d)
@@ -618,6 +643,20 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.95), 4) AS p95,
         |  round(quantile_cont(value, 0.99), 4) AS p99
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q43_vocab" ->
+      """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |      FROM documents) t
+        |WHERE token <> ''
+        |GROUP BY token ORDER BY tf DESC, token LIMIT 50""".stripMargin,
+
+    "q44_sample_per_group" ->
+      """SELECT source, doc_id, rk FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents) t WHERE rk <= 3""".stripMargin,
 
     "q41_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,

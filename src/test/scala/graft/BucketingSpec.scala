@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sinks.BucketedTables
+
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed-by-key join plans with NO shuffle exchange") {
+    val d = "/root/testdata/sf0.001"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    BucketedTables.writeBucketed(
+      spark.read.parquet(s"$d/orders.parquet")
+        .withColumnRenamed("o_orderkey", "okey"),
+      "b_orders", "okey", buckets = 4, sortCol = Some("okey"))
+    BucketedTables.writeBucketed(
+      spark.read.parquet(s"$d/lineitem.parquet")
+        .withColumnRenamed("l_orderkey", "okey"),
+      "b_lineitem", "okey", buckets = 4, sortCol = Some("okey"))
+
+    val joined = BucketedTables.bucketedJoin(spark, "b_orders", "b_lineitem", "okey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+
+    // correctness: same as the plain (shuffling) join
+    val plain = spark.read.parquet(s"$d/orders.parquet")
+      .join(spark.read.parquet(s"$d/lineitem.parquet"),
+        col("o_orderkey") === col("l_orderkey"))
+    assert(joined.count() === plain.count())
+  }
+}
