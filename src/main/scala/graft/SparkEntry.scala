@@ -460,6 +460,16 @@ object SparkEntry {
         .select("source", "doc_id", "rk")
     }),
 
+    // KMV bottom-k sketch (custom typed Aggregator): distinct estimate
+    // per group. Deterministic but not SQL-expressible — rows-only;
+    // error bound asserted in KmvSpec.
+    "q45_kmv_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(graft.functions.KmvSketch
+          .distinctEstimate(col("l_partkey"), 256).as("kmv_parts"))
+    }),
+
     // CUBE: all grouping-set combinations.
     "q41_cube" -> ((s, d) => {
       Tables.orders(s, d)

@@ -9,6 +9,17 @@ class BucketingSpec extends SparkSpec {
     val d = "/root/testdata/sf0.001"
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // the in-memory catalog forgets tables between JVMs but their
+    // warehouse directories persist — remove them or CTAS refuses
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      val p = java.nio.file.Paths.get(wh, t)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+    }
     BucketedTables.writeBucketed(
       spark.read.parquet(s"$d/orders.parquet")
         .withColumnRenamed("o_orderkey", "okey"),
