@@ -460,6 +460,19 @@ object SparkEntry {
         .select("source", "doc_id", "rk")
     }),
 
+    // Set operations: INTERSECT / EXCEPT (distinct semantics).
+    "q46_set_ops" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val building = cust.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_nationkey"))
+      val machinery = cust.filter(col("c_mktsegment") === "MACHINERY")
+        .select(col("c_nationkey"))
+      building.intersect(machinery)
+        .withColumn("op", lit("both"))
+        .unionByName(building.except(machinery)
+          .withColumn("op", lit("building_only")))
+    }),
+
     // KMV bottom-k sketch (custom typed Aggregator): distinct estimate
     // per group. Deterministic but not SQL-expressible — rows-only;
     // error bound asserted in KmvSpec.
@@ -653,6 +666,13 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.95), 4) AS p95,
         |  round(quantile_cont(value, 0.99), 4) AS p99
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q46_set_ops" ->
+      """WITH b AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |     m AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+        |SELECT c_nationkey, 'both' AS op FROM (SELECT * FROM b INTERSECT SELECT * FROM m)
+        |UNION ALL
+        |SELECT c_nationkey, 'building_only' AS op FROM (SELECT * FROM b EXCEPT SELECT * FROM m)""".stripMargin,
 
     "q43_vocab" ->
       """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
