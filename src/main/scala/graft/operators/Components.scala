@@ -38,6 +38,11 @@ object Components {
       .withColumn("component", col("id"))
       .localCheckpoint(true)
 
+    // convergence check: labels are non-increasing (least of own and
+    // neighbors' min), so Σcomponent strictly decreases iff ANY label
+    // changed — one cheap aggregate per round instead of a
+    // labels⋈updated join
+    var prevSum = labels.agg(sum("component")).head().getLong(0)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -51,12 +56,10 @@ object Components {
           least(col("component"),
             coalesce(col("nbr_component"), col("component"))).as("component"))
         .localCheckpoint(true)
-      val changes = updated.alias("u")
-        .join(labels.alias("l"), Seq("id"))
-        .filter(col("u.component") =!= col("l.component"))
-        .count()
+      val newSum = updated.agg(sum("component")).head().getLong(0)
       labels = updated
-      converged = changes == 0
+      converged = newSum == prevSum
+      prevSum = newSum
       iter += 1
     }
     edges.unpersist()
