@@ -66,8 +66,15 @@ object Graft {
       .withColumn("quality_signals",
         TextFunctions.qualitySignals(org.apache.spark.sql.functions.col(textCol)))
 
+  /** Left join: docs with no tokens (empty/whitespace text) are kept
+    * and tagged 'und', not silently dropped.
+    */
   def withLanguage(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.join(TextFunctions.langIdByDoc(df, textCol, idCol), idCol)
+    df.join(TextFunctions.langIdByDoc(df, textCol, idCol), Seq(idCol), "left")
+      .withColumn("detected_lang",
+        org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.col("detected_lang"),
+          org.apache.spark.sql.functions.lit("und")))
 
   // ------------- temporal joins -------------
   def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,

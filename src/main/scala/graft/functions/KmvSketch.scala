@@ -30,20 +30,25 @@ object KmvSketch {
   /** Unsigned-order key for a signed Long hash. */
   @inline private def uord(h: Long): Long = h ^ Long.MinValue
 
-  class KmvAggregator(k: Int) extends Aggregator[Long, Buf, Long] {
+  class KmvAggregator(k: Int) extends Aggregator[java.lang.Long, Buf, Long] {
     require(k >= 2, "k must be >= 2")
 
     override def zero: Buf = Buf(Vector.empty)
 
-    override def reduce(b: Buf, h: Long): Buf =
-      if (b.values.contains(h)) b
-      else if (b.values.length < k) Buf(b.values :+ h)
-      else {
+    override def reduce(b: Buf, boxed: java.lang.Long): Buf = {
+      if (boxed == null) return b // null input ≡ countDistinct: skipped
+      val h = boxed.longValue()
+      // hot path first: a saturated sketch rejects hashes above its
+      // k-th minimum in O(1)-ish (single maxBy) without the O(k)
+      // contains scan — after saturation almost every row exits here
+      if (b.values.length >= k) {
         val worst = b.values.maxBy(uord)
-        if (uord(h) < uord(worst))
-          Buf(b.values.filterNot(_ == worst) :+ h)
-        else b
-      }
+        if (uord(h) >= uord(worst)) b
+        else if (b.values.contains(h)) b
+        else Buf(b.values.filterNot(_ == worst) :+ h)
+      } else if (b.values.contains(h)) b
+      else Buf(b.values :+ h)
+    }
 
     override def merge(a: Buf, b: Buf): Buf =
       Buf((a.values ++ b.values).distinct.sortBy(uord).take(k))
@@ -64,7 +69,12 @@ object KmvSketch {
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
-  /** Column form: `KmvSketch.distinctEstimate(col("x"), 256)`. */
+  /** Column form: `KmvSketch.distinctEstimate(col("x"), 256)`.
+    * NULLs are excluded (countDistinct semantics): xxhash64(null)
+    * would hash to the seed constant, so the null is made explicit
+    * BEFORE hashing and skipped in reduce.
+    */
   def distinctEstimate(c: Column, k: Int = 256): Column =
-    udaf(new KmvAggregator(k)).apply(xxhash64(c))
+    udaf(new KmvAggregator(k), Encoders.LONG)
+      .apply(org.apache.spark.sql.functions.when(c.isNotNull, xxhash64(c)))
 }

@@ -38,15 +38,14 @@ object Components {
       .withColumn("component", col("id"))
       .localCheckpoint(true)
 
-    // convergence check: labels are non-increasing (least of own and
-    // neighbors' min), so Σcomponent strictly decreases iff ANY label
-    // changed — one cheap aggregate per round instead of a
-    // labels⋈updated join
-    var prevSum = labels.agg(sum("component")).head().getLong(0)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // each node adopts min(own component, neighbors' components)
+      // each node adopts min(own component, neighbors' components);
+      // the per-row changed flag is computed IN the same projection so
+      // convergence is one coalesced count — no labels⋈updated join,
+      // no overflow-prone Σlabel arithmetic, and it works for any
+      // orderable id type (string/UUID ids included) and empty input
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
@@ -54,12 +53,14 @@ object Components {
       val updated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"),
-            coalesce(col("nbr_component"), col("component"))).as("component"))
+            coalesce(col("nbr_component"), col("component"))).as("component"),
+          (coalesce(col("nbr_component"), col("component")) < col("component"))
+            .cast("long").as("__changed"))
         .localCheckpoint(true)
-      val newSum = updated.agg(sum("component")).head().getLong(0)
-      labels = updated
-      converged = newSum == prevSum
-      prevSum = newSum
+      val changes = updated
+        .agg(coalesce(sum("__changed"), lit(0L))).head().getLong(0)
+      labels = updated.drop("__changed")
+      converged = changes == 0L
       iter += 1
     }
     edges.unpersist()

@@ -88,6 +88,9 @@ object EventsStream {
     // partition count sized to the data, not the core count — on a
     // real cluster this is a deliberate sizing decision (state store
     // count is fixed at first checkpoint).
+    // NB: set/restore of the session conf assumes no CONCURRENT query
+    // submissions on this session (Verify/Bench/tests are sequential);
+    // a multi-tenant caller should pass a dedicated session.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {

@@ -29,14 +29,25 @@ class BucketingSpec extends SparkSpec {
         .withColumnRenamed("l_orderkey", "okey"),
       "b_lineitem", "okey", buckets = 4, sortCol = Some("okey"))
 
-    val joined = BucketedTables.bucketedJoin(spark, "b_orders", "b_lineitem", "okey")
-    val plan = joined.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    // disable auto-broadcast: at this tiny SF both sides fit under the
+    // broadcast threshold and a BroadcastHashJoin plan trivially has
+    // no hash Exchange — the assertion must exercise the SortMergeJoin
+    // path bucketing exists for
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = BucketedTables.bucketedJoin(spark, "b_orders", "b_lineitem", "okey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
 
-    // correctness: same as the plain (shuffling) join
-    val plain = spark.read.parquet(s"$d/orders.parquet")
-      .join(spark.read.parquet(s"$d/lineitem.parquet"),
-        col("o_orderkey") === col("l_orderkey"))
-    assert(joined.count() === plain.count())
+      // unbucketed control: the same join DOES shuffle
+      val plain = spark.read.parquet(s"$d/orders.parquet")
+        .join(spark.read.parquet(s"$d/lineitem.parquet"),
+          col("o_orderkey") === col("l_orderkey"))
+      assert(plain.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"))
+      assert(joined.count() === plain.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
   }
 }

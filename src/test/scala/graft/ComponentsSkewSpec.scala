@@ -6,6 +6,20 @@ import graft.operators.{Components, Skew}
 class ComponentsSkewSpec extends SparkSpec {
   import spark.implicits._
 
+  test("connected components: empty pairs and string ids work") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Components.connectedComponents(empty).count() === 0)
+    // corpus unchanged when there are no near-dups (the common case)
+    val docs = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
+    assert(Components.dedupCorpus(docs, "doc_id", empty).count() === 2)
+
+    val strPairs = Seq(("uuid-b", "uuid-a"), ("uuid-b", "uuid-c"))
+      .toDF("id_a", "id_b")
+    val comps = Components.connectedComponents(strPairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comps.values.toSet === Set("uuid-a"))
+  }
+
   test("connected components: chain and clique collapse, singleton kept apart") {
     // chain 1-2-3, pair 10-11, isolated 20 not in pairs at all
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
