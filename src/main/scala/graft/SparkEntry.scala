@@ -460,6 +460,15 @@ object SparkEntry {
         .select("source", "doc_id", "rk")
     }),
 
+    // TF-IDF: top-3 most characteristic terms per document (two
+    // hash-aggregates over the exploded token table; no vocab
+    // broadcast). ln() arithmetic → rows-only; exactness asserted in
+    // SimilarityTextSpec against a hand-computed fixture.
+    "q47_tfidf" -> ((s, d) => {
+      TextFunctions.tfidfTopTerms(Tables.documents(s, d), "text",
+        "doc_id", topK = 3)
+    }),
+
     // Set operations: INTERSECT / EXCEPT (distinct semantics).
     "q46_set_ops" -> ((s, d) => {
       val cust = Tables.customer(s, d)

@@ -118,6 +118,33 @@ object TextFunctions {
     aggregate(tokens(text), lit(0L),
       (acc, t) => acc * lit(31L) + xxhash64(t))
 
+  /** TF-IDF top terms per document: tf(t,d) · ln(N/df(t)), computed
+    * with two hash-aggregates over the exploded token table (no
+    * per-doc vocabulary map materialized). Returns
+    * (idCol, token, tf, df, tfidf, rank) with rank ≤ topK, ties broken
+    * by token for determinism.
+    */
+  def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, textCol: String,
+                    idCol: String, topK: Int = 5)
+  : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+      explode(split(lower(col(textCol)), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks.groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = df.select(col(idCol)).distinct().count()
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("tfidf").desc, col("token"))
+    tf.join(dfreq, "token")
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col(idCol), col("token"), col("tf"), col("df"),
+        col("tfidf"), col("rank"))
+  }
+
   /** DataFrame-level language ID: codegen'd explode + one conditional-
     * sum per language profile + argmax — the bulk form of `langId`
     * (whose array lambdas run interpreted). Returns (idCol...,

@@ -47,6 +47,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("struct<o_custkey:bigint>"), p)
   }
 
+  test("join strategy hints are honored (shuffle_hash vs merge)") {
+    val o = spark.read.parquet(s"$d/orders.parquet")
+    val c = spark.read.parquet(s"$d/customer.parquet")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val sh = o.join(c.hint("shuffle_hash"),
+        o("o_custkey") === c("c_custkey"))
+      assert(sh.queryExecution.executedPlan.toString
+        .contains("ShuffledHashJoin"))
+      val sm = o.join(c.hint("merge"), o("o_custkey") === c("c_custkey"))
+      assert(sm.queryExecution.executedPlan.toString
+        .contains("SortMergeJoin"))
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("star models materialize as catalog views and answer SQL (S11)") {
+    val staged = graft.operators.Cleaning.clean(
+      graft.operators.Flatten.flattenResponses(
+        Fixtures.standardBatch(spark), "b1"))
+    graft.models.StarModels.dimLocation(staged)
+      .createOrReplaceTempView("v_dim_location")
+    graft.models.StarModels.factWeatherHourly(staged)
+      .createOrReplaceTempView("v_fact")
+    val out = spark.sql(
+      """SELECT city, avg(temperature_c) AS avg_t
+        |FROM v_fact JOIN v_dim_location USING (location_id)
+        |GROUP BY city""".stripMargin)
+    assert(out.count() === 3)
+  }
+
   test("q15: deterministic dedup is one shuffle + one window sort") {
     val p = plan("q15_dedup_first")
     assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p)

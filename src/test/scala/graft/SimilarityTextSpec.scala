@@ -84,6 +84,22 @@ class SimilarityTextSpec extends SparkSpec {
     assert(bad < 0.5)
   }
 
+  test("tfidf: rare term outranks common term; values exact") {
+    val docs = Seq(
+      (1L, "spark spark shuffle"),
+      (2L, "spark join"),
+      (3L, "spark window")).toDF("doc_id", "text")
+    val out = graft.functions.TextFunctions
+      .tfidfTopTerms(docs, "text", "doc_id", topK = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(5),
+        r.getDouble(4))).toSeq
+    // doc 1: 'shuffle' df=1 → tfidf ln(3); 'spark' df=3 → tf·ln(1)=0
+    val d1 = out.filter(_._1 == 1L).sortBy(_._3)
+    assert(d1.head._2 === "shuffle")
+    assert(math.abs(d1.head._4 - math.log(3.0)) < 1e-6)
+    assert(d1(1)._2 === "spark" && d1(1)._4 === 0.0)
+  }
+
   test("fingerprint is order-sensitive; shingles correct") {
     val fps = Seq("a b c", "c b a").toDF("text")
       .select(TextFunctions.fingerprint($"text")).collect().map(_.getLong(0))
