@@ -460,6 +460,51 @@ object SparkEntry {
         .select("source", "doc_id", "rk")
     }),
 
+    // SQL front end: outer join + aggregate via spark.sql text (the
+    // engine's SQL surface, not just the DataFrame API).
+    "q48_outer_join" -> ((s, d) => {
+      Tables.nation(s, d).createOrReplaceTempView("v_nation")
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      s.sql(
+        """SELECT n.n_name, count(c.c_custkey) AS n_cust,
+          |  round(coalesce(sum(c.c_acctbal), 0), 2) AS total_bal
+          |FROM v_nation n LEFT OUTER JOIN v_customer c
+          |  ON c.c_nationkey = n.n_nationkey
+          |GROUP BY n.n_name""".stripMargin)
+    }),
+
+    // Pivot: event-type columns per user (explicit value list keeps
+    // the schema static — required for both determinism and sane plans
+    // at scale; dynamic pivot needs a pre-pass distinct).
+    "q49_pivot" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(round(sum("value"), 4))
+    }),
+
+    // Scalar string functions incl. regexp.
+    "q50_string_funcs" -> ((s, d) => {
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        regexp_extract(col("p_type"), "^([A-Z]+)", 1).as("type_first"),
+        length(col("p_name")).as("name_len"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"))
+    }),
+
+    // Correlated scalar subquery (Catalyst decorrelates it into a
+    // join): customers above their nation's average balance.
+    "q51_correlated_subquery" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("v_customer2")
+      s.sql(
+        """SELECT c_custkey, round(c_acctbal, 2) AS acctbal, c_nationkey
+          |FROM v_customer2 c
+          |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM v_customer2 c2
+          |                   WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin)
+    }),
+
     // TF-IDF: top-3 most characteristic terms per document (two
     // hash-aggregates over the exploded token table; no vocab
     // broadcast). ln() arithmetic → rows-only; exactness asserted in
@@ -675,6 +720,36 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.95), 4) AS p95,
         |  round(quantile_cont(value, 0.99), 4) AS p99
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q48_outer_join" ->
+      """SELECT n.n_name, count(c.c_custkey) AS n_cust,
+        |  round(coalesce(sum(c.c_acctbal), 0), 2) AS total_bal
+        |FROM nation n LEFT OUTER JOIN customer c
+        |  ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name""".stripMargin,
+
+    "q49_pivot" ->
+      """SELECT user_id,
+        |  round(sum(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
+        |  round(sum(CASE WHEN event_type = 'view' THEN value END), 4) AS view,
+        |  round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
+        |  round(sum(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
+        |  round(sum(CASE WHEN event_type = 'error' THEN value END), 4) AS error
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q50_string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u,
+        |  substr(p_name, 1, 8) AS name_prefix,
+        |  regexp_extract(p_type, '^([A-Z]+)', 1) AS type_first,
+        |  CAST(length(p_name) AS INT) AS name_len,
+        |  p_brand || '/' || p_type AS brand_type
+        |FROM part""".stripMargin,
+
+    "q51_correlated_subquery" ->
+      """SELECT c_custkey, round(c_acctbal, 2) AS acctbal, c_nationkey
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin,
 
     "q46_set_ops" ->
       """WITH b AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),
