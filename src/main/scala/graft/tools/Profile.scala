@@ -18,6 +18,7 @@ object Profile {
     if (args.headOption.contains("queries")) { profileQueries(args.tail); return }
     if (args.headOption.contains("allqueries")) { allQueries(); return }
     if (args.headOption.contains("explain")) { explainQueries(args.tail); return }
+    if (args.headOption.contains("stress")) { stressDedup(); return }
     val spark = GraftSession.build("profile")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val docs = Tables.documents(spark, d).cache()
@@ -45,6 +46,38 @@ object Profile {
     val common = pairs.groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .agg(count(lit(1)).as("common"))
     println("groups: " + t("groupBy common") { common.count() })
+    spark.stop()
+  }
+
+  /** Dedup-at-scale stress: replicate the sf0.1 corpus 20× (each
+    * replica a near-dup: one extra word) → 100k docs, ~1M true
+    * near-dup pairs — validates the LSH candidate path + components
+    * fixpoint well beyond the bench SF.
+    */
+  def stressDedup(): Unit = {
+    val spark = GraftSession.build("profile-stress")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val base = Tables.documents(spark, d).select("doc_id", "text")
+    val n = base.count()
+    val big = (0 until 20).map { r =>
+      base.select((col("doc_id") + lit(r) * n * 10).as("doc_id"),
+        concat(col("text"), lit(s" replica$r")).as("text"))
+    }.reduce(_ unionByName _)
+    big.write.mode("overwrite").parquet("/tmp/stress_docs")
+    val docs = spark.read.parquet("/tmp/stress_docs")
+    println(s"stress corpus: ${docs.count()} docs")
+
+    val pairs = t("minhash 100k docs") {
+      val p = Dedup.minhashNearDups(docs, "text", "doc_id",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        .localCheckpoint(true)
+      println(s"pairs: ${p.count()}")
+      p
+    }
+    t("components 100k docs") {
+      val c = graft.operators.Components.connectedComponents(pairs)
+      println(s"clusters: ${c.select("component").distinct().count()}")
+    }
     spark.stop()
   }
 
