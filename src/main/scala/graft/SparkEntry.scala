@@ -460,6 +460,27 @@ object SparkEntry {
         .select("source", "doc_id", "rk")
     }),
 
+    // JSON → typed MAP column → generator explode → aggregate per key.
+    "q52_json_map" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(explode(from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>")))
+          .as(Seq("k", "v")))
+        .groupBy("k")
+        .agg(sum("v").as("sum_v"), count(lit(1)).as("n"))
+    }),
+
+    // Date arithmetic: add/diff/quarter/last_day.
+    "q53_date_arith" -> ((s, d) => {
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        date_add(to_date(col("o_orderdate")), 30).as("due_date"),
+        datediff(lit("2000-01-01").cast("date"), to_date(col("o_orderdate")))
+          .as("days_to_2000"),
+        quarter(col("o_orderdate")).as("qtr"),
+        last_day(to_date(col("o_orderdate"))).as("month_end"))
+    }),
+
     // SQL front end: outer join + aggregate via spark.sql text (the
     // engine's SQL surface, not just the DataFrame API).
     "q48_outer_join" -> ((s, d) => {
@@ -720,6 +741,21 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.95), 4) AS p95,
         |  round(quantile_cont(value, 0.99), 4) AS p99
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q52_json_map" ->
+      """SELECT k, sum(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS sum_v,
+        |  count(*) AS n
+        |FROM (SELECT props, unnest(json_keys(props)) AS k FROM events) t
+        |GROUP BY k""".stripMargin,
+
+    "q53_date_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT)
+        |    AS days_to_2000,
+        |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end
+        |FROM orders""".stripMargin,
 
     "q48_outer_join" ->
       """SELECT n.n_name, count(c.c_custkey) AS n_cust,

@@ -40,21 +40,27 @@ object Similarity {
     * smallest xxhash64(id) (a reproducible pseudo-random sample), then
     * one Lloyd assignment/mean step to tighten them.
     */
-  def kmeansLiteCentroids(corpus: DataFrame, c: Int): DataFrame = {
+  def kmeansLiteCentroids(corpus: DataFrame, c: Int,
+                          iters: Int = 1): DataFrame = {
     val seeds = corpus.select(col("id"), col("v"))
       .withColumn("hk", xxhash64(col("id")))
       .orderBy("hk").limit(c)
       .select(monotonically_increasing_id().as("cid"), col("v").as("cv"))
-    // one refinement: assign every vector to nearest seed, then mean
-    // per dimension via narrow (cid, p) aggregate — dimension-agnostic
-    // (no per-dim column fan-out, no extra job to discover the dim)
-    val assigned = assignToCentroids(corpus, seeds)
-    assigned.select(col("cid"), posexplode(col("v")).as(Seq("p", "x")))
-      .groupBy("cid", "p")
-      .agg(avg(col("x").cast("double")).as("m"))
-      .groupBy("cid")
-      .agg(transform(array_sort(collect_list(struct(col("p"), col("m")))),
-        s => s.getField("m")).as("cv"))
+    // Lloyd refinement: assign every vector to its nearest centroid,
+    // then mean per dimension via narrow (cid, p) aggregate —
+    // dimension-agnostic (no per-dim column fan-out, no extra job to
+    // discover the dim). localCheckpoint truncates the per-iteration
+    // lineage (fixpoint-loop rule).
+    (1 to iters).foldLeft(seeds) { (centroids, _) =>
+      assignToCentroids(corpus, centroids)
+        .select(col("cid"), posexplode(col("v")).as(Seq("p", "x")))
+        .groupBy("cid", "p")
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("p"), col("m")))),
+          s => s.getField("m")).as("cv"))
+        .localCheckpoint(true)
+    }
   }
 
   /** Assign each corpus vector to its nearest centroid. Distances are
@@ -84,8 +90,9 @@ object Similarity {
     * bruteForceTopK. Recall < 1 by design; measured in SimilaritySpec.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nLists: Int = 16, nProbe: Int = 4): DataFrame = {
-    val centroids = kmeansLiteCentroids(corpus, nLists).cache()
+              nLists: Int = 16, nProbe: Int = 4,
+              kmeansIters: Int = 1): DataFrame = {
+    val centroids = kmeansLiteCentroids(corpus, nLists, kmeansIters).cache()
     val lists = assignToCentroids(corpus, centroids)
 
     val wq = Window.partitionBy("qid").orderBy(col("qd2"), col("cid"))
