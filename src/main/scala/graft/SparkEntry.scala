@@ -460,6 +460,35 @@ object SparkEntry {
         .select("source", "doc_id", "rk")
     }),
 
+    // Histogram binning: fixed-width value buckets per event type.
+    "q54_histogram" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("bin", floor(col("value") / 50).cast("int"))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // Statistical aggregates: sample stddev/variance + Pearson corr.
+    "q55_stats" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
+        .groupBy("event_type")
+        .agg(
+          round(stddev(col("value")), 4).as("sd_value"),
+          round(variance(col("value")), 4).as("var_value"),
+          round(corr(col("value"), col("k")), 4).as("corr_vk"))
+    }),
+
+    // Per-dimension z-score standardization of embeddings; returns
+    // summary stats so the result is compact and deterministic.
+    "q56_standardize" -> ((s, d) => {
+      val std = graft.functions.VectorFunctions.standardize(
+        Tables.embeddings(s, d), "embedding", "vec_id")
+      std.select(col("vec_id"),
+        round(expr("aggregate(embedding, 0D, (a, x) -> a + x*x)"), 4)
+          .as("z_norm_sq"))
+    }),
+
     // JSON → typed MAP column → generator explode → aggregate per key.
     "q52_json_map" -> ((s, d) => {
       Tables.events(s, d)
@@ -740,6 +769,19 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.5), 4) AS p50,
         |  round(quantile_cont(value, 0.95), 4) AS p95,
         |  round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q54_histogram" ->
+      """SELECT event_type, CAST(floor(value / 50) AS INT) AS bin,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type, bin""".stripMargin,
+
+    "q55_stats" ->
+      """SELECT event_type,
+        |  round(stddev_samp(value), 4) AS sd_value,
+        |  round(var_samp(value), 4) AS var_value,
+        |  round(corr(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4)
+        |    AS corr_vk
         |FROM events GROUP BY event_type""".stripMargin,
 
     "q52_json_map" ->

@@ -27,6 +27,27 @@ object VectorFunctions {
       val d = x.cast("double") - y.cast("double"); d * d
     }), lit(0.0), (acc, v) => acc + v)
 
+  /** Per-dimension z-score standardization of an embedding column:
+    * two codegen'd passes (stats, apply) over the posexploded table —
+    * the standard ML-prep normalization, dimension-agnostic, no
+    * driver-side vectors. Returns (idCol, <vecCol> standardized).
+    * Zero-variance dimensions pass through as 0.
+    */
+  def standardize(df: org.apache.spark.sql.DataFrame, vecCol: String,
+                  idCol: String): org.apache.spark.sql.DataFrame = {
+    val pos = df.select(col(idCol),
+      posexplode(col(vecCol)).as(Seq("p", "x")))
+      .select(col(idCol), col("p"), col("x").cast("double").as("x"))
+    val stats = pos.groupBy("p")
+      .agg(avg("x").as("mu"), stddev_pop(col("x")).as("sigma"))
+    pos.join(broadcast(stats), "p")
+      .withColumn("z", when(col("sigma") > 0,
+        (col("x") - col("mu")) / col("sigma")).otherwise(0.0))
+      .groupBy(idCol)
+      .agg(transform(array_sort(collect_list(struct(col("p"), col("z")))),
+        s => s.getField("z")).as(vecCol))
+  }
+
   /** Random-hyperplane LSH signature: `bits` sign bits, each from a
     * deterministic pseudo-random hyperplane derived from (seed, bit,
     * dimension) via a hash — no stored projection matrix, so the same

@@ -67,6 +67,43 @@ object AsOfJoin {
     matched.select(leftOut ++ rightOut: _*)
   }
 
+  /** Forward as-of: the EARLIEST right row with right.ts ≥ left.ts
+    * (same key). Same union+window plan run in reverse time order.
+    */
+  def forward(left: DataFrame, right: DataFrame, keyCol: String,
+              leftTs: String, rightTs: String,
+              rightCols: Seq[String],
+              rightOrder: Option[String] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(!leftCols.exists(rightCols.contains),
+      "rightCols must not collide with left columns")
+    val tieBreak = rightOrder.getOrElse(rightTs)
+    val l = left.select(
+      col(keyCol).as("__key"), col(leftTs).as("__ts"), lit(1).as("__side"),
+      struct(leftCols.map(col): _*).as("__left"),
+      lit(null).cast(payloadType(right, rightCols)).as("__payload"))
+    val r = right.select(
+      col(keyCol).as("__key"), col(rightTs).as("__ts"), lit(0).as("__side"),
+      lit(null).cast(leftStructType(left)).as("__left"),
+      struct(rightCols.map(col): _*).as("__payload"),
+      col(tieBreak).as("__tie"))
+    val lFull = l.withColumn("__tie",
+      lit(null).cast(r.schema("__tie").dataType))
+    val unioned = lFull.unionByName(r)
+
+    // descending time: the "last preceding" row in this order is the
+    // earliest following row in real time; right still wins ties
+    val w = Window.partitionBy("__key")
+      .orderBy(col("__ts").desc, col("__side"), col("__tie").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unioned
+      .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val leftOut = leftCols.map(c => col(s"__left.$c").as(c))
+    val rightOut = rightCols.map(c => col(s"__asof.$c").as(c))
+    matched.select(leftOut ++ rightOut: _*)
+  }
+
   private def payloadType(right: DataFrame, cols: Seq[String]) =
     org.apache.spark.sql.types.StructType(
       cols.map(c => right.schema(c)))

@@ -33,6 +33,41 @@ class JoinOpsSpec extends SparkSpec {
     assert(out(4L) === Some(102L))
   }
 
+  test("forward as-of picks earliest right >= left.ts, inclusive") {
+    val trades = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:05")),
+      (2L, 7L, ts("2024-01-01 10:00:00")), // exactly at quote 101
+      (3L, 7L, ts("2024-01-01 12:00:00"))  // after all quotes -> null
+    ).toDF("event_id", "user_id", "ts")
+    val quotes = Seq(
+      (100L, 7L, ts("2024-01-01 09:59:00"), 1.0),
+      (101L, 7L, ts("2024-01-01 10:00:00"), 2.0),
+      (103L, 7L, ts("2024-01-01 11:00:00"), 9.0)
+    ).toDF("err_event_id", "user_id", "err_ts", "err_value")
+    val out = AsOfJoin.forward(trades, quotes, "user_id", "ts", "err_ts",
+      Seq("err_event_id", "err_value"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out(1L) === Some(103L)) // next after 10:00:05
+    assert(out(2L) === Some(101L)) // inclusive
+    assert(out(3L) === None)
+  }
+
+  test("standardize: per-dimension zero mean / unit variance") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 10.0f)),
+      (2L, Array(2.0f, 20.0f)),
+      (3L, Array(3.0f, 30.0f))).toDF("vec_id", "embedding")
+    val std = graft.functions.VectorFunctions
+      .standardize(vecs, "embedding", "vec_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // dim means 2/20, stddev_pop sqrt(2/3)*1 and *10 -> z = ±1.2247, 0
+    val e = math.sqrt(1.5)
+    assert(math.abs(std(1L)(0) + e) < 1e-6)
+    assert(math.abs(std(2L)(0)) < 1e-6)
+    assert(math.abs(std(3L)(1) - e) < 1e-6)
+  }
+
   test("as-of join plan has no join node (union+window, linear)") {
     val l = Seq((1L, 1L, ts("2024-01-01 00:00:00"))).toDF("event_id", "user_id", "ts")
     val r = Seq((2L, 1L, ts("2024-01-01 00:00:00"), 5.0))
