@@ -607,6 +607,17 @@ object SparkEntry {
         lag("o_totalprice", 1).over(w).as("prev_price"))
     }),
 
+    // Stateful streaming dedup (watermark-bounded state): emitted key
+    // set equals batch DISTINCT (oracle).
+    "q57_stream_dedup" -> ((s, d) => {
+      graft.streaming.EventsStream.runToTable(s,
+        graft.streaming.EventsStream.streamDedupKeys(
+          graft.streaming.EventsStream.readEvents(s, d),
+          Seq("user_id", "event_type")),
+        s"q57_sink_${System.nanoTime()}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    }),
+
     // Stream-stream interval join with bounded state (watermarks both
     // sides); AvailableNow ⇒ equals the batch interval join (oracle).
     "q40_stream_join" -> ((s, d) => {
@@ -863,6 +874,9 @@ object SparkEntry {
         |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
         |    ORDER BY o_orderdate, o_orderkey) AS prev_price
         |FROM orders""".stripMargin,
+
+    "q57_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
 
     "q40_stream_join" ->
       """SELECT p.event_id AS p_event_id, p.user_id,

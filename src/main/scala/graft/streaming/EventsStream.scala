@@ -105,6 +105,20 @@ object EventsStream {
     spark.table(name)
   }
 
+  /** Stateful streaming deduplication: first arrival per key wins,
+    * state bounded by the watermark (late duplicates beyond it may
+    * reappear — the documented streaming-dedup contract). The
+    * streaming analog of the reference's keyed upsert (SURVEY §2.7:
+    * re-ingest + keyed overwrite). Emits the KEYS (deterministic);
+    * which physical row survives first-arrival is not.
+    */
+  def streamDedupKeys(events: DataFrame, keys: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .select((keys.map(col) :+ col("ts")): _*)
+      .dropDuplicatesWithinWatermark(keys)
+      .select(keys.map(col): _*)
+
   /** Stream-stream interval join: each purchase joined to the same
     * user's error events from the preceding 30 minutes. Both sides are
     * watermarked so the join state is bounded — the right side can be
