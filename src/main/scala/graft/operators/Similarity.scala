@@ -49,17 +49,18 @@ object Similarity {
     // Lloyd refinement: assign every vector to its nearest centroid,
     // then mean per dimension via narrow (cid, p) aggregate —
     // dimension-agnostic (no per-dim column fan-out, no extra job to
-    // discover the dim). localCheckpoint truncates the per-iteration
-    // lineage (fixpoint-loop rule).
-    (1 to iters).foldLeft(seeds) { (centroids, _) =>
-      assignToCentroids(corpus, centroids)
+    // discover the dim). Lineage is truncated BETWEEN iterations only
+    // (fixpoint-loop rule); the final result stays lazy so a single
+    // refinement adds no eager job.
+    (1 to iters).foldLeft(seeds) { (centroids, it) =>
+      val refined = assignToCentroids(corpus, centroids)
         .select(col("cid"), posexplode(col("v")).as(Seq("p", "x")))
         .groupBy("cid", "p")
         .agg(avg(col("x").cast("double")).as("m"))
         .groupBy("cid")
         .agg(transform(array_sort(collect_list(struct(col("p"), col("m")))),
           s => s.getField("m")).as("cv"))
-        .localCheckpoint(true)
+      if (it < iters) refined.localCheckpoint(true) else refined
     }
   }
 
