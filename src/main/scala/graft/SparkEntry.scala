@@ -490,13 +490,18 @@ object SparkEntry {
     }),
 
     // JSON → typed MAP column → generator explode → aggregate per key.
+    // Parse as map<string,string> then cast per value: a direct
+    // map<string,bigint> parse nulls the WHOLE map on one bad value
+    // (all-or-nothing), whereas per-key casting degrades per entry —
+    // matching the oracle's per-key extraction.
     "q52_json_map" -> ((s, d) => {
       Tables.events(s, d)
         .select(explode(from_json(col("props"),
-          org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>")))
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")))
           .as(Seq("k", "v")))
         .groupBy("k")
-        .agg(sum("v").as("sum_v"), count(lit(1)).as("n"))
+        .agg(sum(col("v").cast("bigint")).as("sum_v"),
+          count(lit(1)).as("n"))
     }),
 
     // Date arithmetic: add/diff/quarter/last_day.

@@ -133,12 +133,15 @@ object TextFunctions {
       .filter(col("token") =!= "")
     val tf = toks.groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val n = df.select(col(idCol)).distinct().count()
+    // N stays a lazy 1-row broadcast, not an eager count() at
+    // plan-construction time (no extra scan job just to build the plan)
+    val n = df.agg(countDistinct(col(idCol)).cast("double").as("__n"))
     val w = Window.partitionBy(idCol)
       .orderBy(col("tfidf").desc, col("token"))
     tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
       .withColumn("tfidf",
-        round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+        round(col("tf") * log(col("__n") / col("df")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col(idCol), col("token"), col("tf"), col("df"),

@@ -40,8 +40,11 @@ object VectorFunctions {
       .select(col(idCol), col("p"), col("x").cast("double").as("x"))
     val stats = pos.groupBy("p")
       .agg(avg("x").as("mu"), stddev_pop(col("x")).as("sigma"))
+    // z is ALWAYS non-null (null elements → 0 = the mean): a null z
+    // would vanish from collect_list and silently shift later
+    // dimensions into earlier slots
     pos.join(broadcast(stats), "p")
-      .withColumn("z", when(col("sigma") > 0,
+      .withColumn("z", when(col("sigma") > 0 && col("x").isNotNull,
         (col("x") - col("mu")) / col("sigma")).otherwise(0.0))
       .groupBy(idCol)
       .agg(transform(array_sort(collect_list(struct(col("p"), col("z")))),

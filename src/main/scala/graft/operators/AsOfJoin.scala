@@ -35,45 +35,29 @@ object AsOfJoin {
   def backward(left: DataFrame, right: DataFrame, keyCol: String,
                leftTs: String, rightTs: String,
                rightCols: Seq[String],
-               rightOrder: Option[String] = None): DataFrame = {
-    val leftCols = left.columns.toSeq
-    require(!leftCols.exists(rightCols.contains),
-      "rightCols must not collide with left columns")
+               rightOrder: Option[String] = None): DataFrame =
+    asOf(left, right, keyCol, leftTs, rightTs, rightCols, rightOrder,
+      ascending = true)
 
-    val l = left.select(
-      col(keyCol).as("__key"), col(leftTs).as("__ts"), lit(1).as("__side"),
-      struct(leftCols.map(col): _*).as("__left"),
-      lit(null).cast(payloadType(right, rightCols)).as("__payload"))
-    val tieBreak = rightOrder.getOrElse(rightTs)
-    val r = right.select(
-      col(keyCol).as("__key"), col(rightTs).as("__ts"), lit(0).as("__side"),
-      lit(null).cast(leftStructType(left)).as("__left"),
-      struct(rightCols.map(col): _*).as("__payload"),
-      col(tieBreak).as("__tie"))
-
-    val lFull = l.withColumn("__tie", lit(null).cast(
-      r.schema("__tie").dataType))
-    val unioned = lFull.unionByName(r)
-
-    val w = Window.partitionBy("__key")
-      .orderBy(col("__ts"), col("__side"), col("__tie"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = unioned
-      .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-
-    val leftOut = leftCols.map(c => col(s"__left.$c").as(c))
-    val rightOut = rightCols.map(c => col(s"__asof.$c").as(c))
-    matched.select(leftOut ++ rightOut: _*)
-  }
-
-  /** Forward as-of: the EARLIEST right row with right.ts ≥ left.ts
+  /** Forward as-of: the EARLIEST right row with right.ts >= left.ts
     * (same key). Same union+window plan run in reverse time order.
     */
   def forward(left: DataFrame, right: DataFrame, keyCol: String,
               leftTs: String, rightTs: String,
               rightCols: Seq[String],
-              rightOrder: Option[String] = None): DataFrame = {
+              rightOrder: Option[String] = None): DataFrame =
+    asOf(left, right, keyCol, leftTs, rightTs, rightCols, rightOrder,
+      ascending = false)
+
+  /** Shared implementation; ascending = backward (latest preceding
+    * right row), descending = forward (earliest following). NULL left
+    * timestamps sort before every right row in BOTH directions, so
+    * they match nothing instead of grabbing an arbitrary extreme row.
+    */
+  private def asOf(left: DataFrame, right: DataFrame, keyCol: String,
+                   leftTs: String, rightTs: String,
+                   rightCols: Seq[String], rightOrder: Option[String],
+                   ascending: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     require(!leftCols.exists(rightCols.contains),
       "rightCols must not collide with left columns")
@@ -82,7 +66,10 @@ object AsOfJoin {
       col(keyCol).as("__key"), col(leftTs).as("__ts"), lit(1).as("__side"),
       struct(leftCols.map(col): _*).as("__left"),
       lit(null).cast(payloadType(right, rightCols)).as("__payload"))
-    val r = right.select(
+    // null-ts right rows can never be "as of" anything — and with
+    // nulls-first ordering they would otherwise become visible to
+    // every left row
+    val r = right.filter(col(rightTs).isNotNull).select(
       col(keyCol).as("__key"), col(rightTs).as("__ts"), lit(0).as("__side"),
       lit(null).cast(leftStructType(left)).as("__left"),
       struct(rightCols.map(col): _*).as("__payload"),
@@ -91,10 +78,12 @@ object AsOfJoin {
       lit(null).cast(r.schema("__tie").dataType))
     val unioned = lFull.unionByName(r)
 
-    // descending time: the "last preceding" row in this order is the
-    // earliest following row in real time; right still wins ties
-    val w = Window.partitionBy("__key")
-      .orderBy(col("__ts").desc, col("__side"), col("__tie").desc)
+    val order =
+      if (ascending)
+        Seq(col("__ts").asc_nulls_first, col("__side"), col("__tie"))
+      else
+        Seq(col("__ts").desc_nulls_first, col("__side"), col("__tie").desc)
+    val w = Window.partitionBy("__key").orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned
       .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))

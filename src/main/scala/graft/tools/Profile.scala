@@ -58,9 +58,10 @@ object Profile {
     val spark = GraftSession.build("profile-stress")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val base = Tables.documents(spark, d).select("doc_id", "text")
-    val n = base.count()
+    // collision-proof replica offset: (max id + 1), not row count
+    val n = base.agg(max("doc_id")).head().getLong(0) + 1
     val big = (0 until 20).map { r =>
-      base.select((col("doc_id") + lit(r) * n * 10).as("doc_id"),
+      base.select((col("doc_id") + lit(r) * n).as("doc_id"),
         concat(col("text"), lit(s" replica$r")).as("text"))
     }.reduce(_ unionByName _)
     big.write.mode("overwrite").parquet("/tmp/stress_docs")

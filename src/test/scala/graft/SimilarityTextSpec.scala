@@ -50,6 +50,14 @@ class SimilarityTextSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall $recall")
   }
 
+  test("IVF with multi-iteration kmeans still returns k ranked rows per query") {
+    val out = Similarity.ivfTopK(corpus, queries, k = 3,
+      nLists = 8, nProbe = 3, kmeansIters = 2).collect()
+    assert(out.length === 15)
+    assert(out.groupBy(_.getLong(0)).values
+      .forall(_.map(_.getInt(3)).sorted.toSeq == Seq(1, 2, 3)))
+  }
+
   test("IVF scans less than brute force (probe pruning works)") {
     val assigned = Similarity.assignToCentroids(corpus,
       Similarity.kmeansLiteCentroids(corpus, 8))
