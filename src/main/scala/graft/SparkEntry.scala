@@ -698,7 +698,8 @@ object SparkEntry {
 
     "q10_json_extract" ->
       """SELECT event_type,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS sum_k,
         |  count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
 
@@ -717,11 +718,11 @@ object SparkEntry {
 
     "q13_quality_agg" ->
       """SELECT count(*) AS total_rows,
-        |  sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_qty,
-        |  sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_shipdate,
-        |  sum(CASE WHEN l_quantity < 0 OR l_quantity > 100 THEN 1 ELSE 0 END) AS range_qty,
-        |  sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS range_discount,
-        |  sum(CASE WHEN l_tax < 0 OR l_tax > 1 THEN 1 ELSE 0 END) AS range_tax
+        |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_qty,
+        |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_shipdate,
+        |  CAST(sum(CASE WHEN l_quantity < 0 OR l_quantity > 100 THEN 1 ELSE 0 END) AS BIGINT) AS range_qty,
+        |  CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS range_discount,
+        |  CAST(sum(CASE WHEN l_tax < 0 OR l_tax > 1 THEN 1 ELSE 0 END) AS BIGINT) AS range_tax
         |FROM lineitem""".stripMargin,
 
     "q14_dup_detect" ->
@@ -801,7 +802,8 @@ object SparkEntry {
         |FROM events GROUP BY event_type""".stripMargin,
 
     "q52_json_map" ->
-      """SELECT k, sum(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS sum_v,
+      """SELECT k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS BIGINT) AS sum_v,
         |  count(*) AS n
         |FROM (SELECT props, unnest(json_keys(props)) AS k FROM events) t
         |GROUP BY k""".stripMargin,
