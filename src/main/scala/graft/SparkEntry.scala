@@ -612,6 +612,21 @@ object SparkEntry {
         lag("o_totalprice", 1).over(w).as("prev_price"))
     }),
 
+    // Stream-static enrichment join: the streaming fact joined to a
+    // batch dimension (re-read per micro-batch, broadcast by Catalyst)
+    // — the standard streaming dim-enrichment pattern; equals the
+    // batch join under AvailableNow (oracle).
+    "q58_stream_static_join" -> ((s, d) => {
+      val ev = graft.streaming.EventsStream.readEvents(s, d)
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val joined = ev.join(broadcast(dim), ev("user_id") === dim("c_custkey"))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      graft.streaming.EventsStream.runToTable(s, joined,
+        s"q58_sink_${System.nanoTime()}")
+    }),
+
     // Stateful streaming dedup (watermark-bounded state): emitted key
     // set equals batch DISTINCT (oracle).
     "q57_stream_dedup" -> ((s, d) => {
@@ -884,6 +899,12 @@ object SparkEntry {
 
     "q57_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    "q58_stream_static_join" ->
+      """SELECT c.c_mktsegment, e.event_type, count(*) AS n,
+        |  round(sum(e.value), 4) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c.c_mktsegment, e.event_type""".stripMargin,
 
     "q40_stream_join" ->
       """SELECT p.event_id AS p_event_id, p.user_id,
