@@ -112,6 +112,16 @@ class JoinOpsSpec extends SparkSpec {
     assert(diff < 1e-12, s"max diff $diff")
   }
 
+  test("GraftExtensions injects graft_cosine via SparkSessionExtensions") {
+    val ext = new graft.functions.GraftExtensions
+    val se = new org.apache.spark.sql.SparkSessionExtensions
+    ext(se) // must register without throwing; builder arity-checked
+    val err = intercept[IllegalArgumentException] {
+      graft.functions.GraftFunctions.cosineBuilder(Seq.empty)
+    }
+    assert(err.getMessage.contains("2 arguments"))
+  }
+
   test("graft_cosine handles nulls and zero vectors") {
     GraftFunctions.ensureRegistered(spark)
     val df = Seq(
