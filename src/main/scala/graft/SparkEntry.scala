@@ -391,6 +391,22 @@ object SparkEntry {
           col("err_event_id"), col("err_value"))
     }),
 
+    // Forward as-of: each purchase picks up the EARLIEST error of the
+    // same user at-or-after it (same union+window plan, reversed).
+    "q59_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("nxt_ts"),
+          col("event_id").as("nxt_event_id"))
+      AsOfJoin.forward(purchases, errors, keyCol = "user_id",
+          leftTs = "ts", rightTs = "nxt_ts",
+          rightCols = Seq("nxt_event_id"),
+          rightOrder = Some("nxt_event_id"))
+        .select(col("event_id"), col("user_id"), col("nxt_event_id"))
+    }),
+
     // Range (interval) join without an equi-key: signup events matched
     // to every error event within the following 5 minutes — bucketed
     // equi-join plan, not a nested-loop cross join (operators.RangeJoin).
@@ -928,6 +944,17 @@ object SparkEntry {
         |SELECT p.event_id, p.user_id, e.err_event_id, e.err_value
         |FROM p ASOF LEFT JOIN e
         |  ON p.user_id = e.user_id AND p.ts >= e.err_ts""".stripMargin,
+
+    "q59_asof_forward" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |     e AS (SELECT event_id AS nxt_event_id, user_id,
+        |             ts AS nxt_ts FROM events WHERE event_type = 'error')
+        |SELECT p.event_id, p.user_id,
+        |  (SELECT e.nxt_event_id FROM e
+        |   WHERE e.user_id = p.user_id AND e.nxt_ts >= p.ts
+        |   ORDER BY e.nxt_ts, e.nxt_event_id LIMIT 1) AS nxt_event_id
+        |FROM p""".stripMargin,
 
     "q36_range_join" ->
       """SELECT s.event_id AS s_event_id, e.event_id AS e_event_id
