@@ -992,6 +992,172 @@ object SparkEntry {
         |               c.vec_id) AS rank
         |  FROM embeddings c, embeddings q
         |  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id) t
-        |WHERE rank <= 5""".stripMargin
+        |WHERE rank <= 5""".stripMargin,
+
+    // Language-ID heuristic replayed exactly: per-doc stopword-profile
+    // scores, argmax with the same (score, lang) struct tie-break as
+    // Spark's greatest(), floor 0.05 → 'und'.
+    "q21_lang_id" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    t -> t <> '')) AS t
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |    avg(CASE WHEN t IN ('der','die','das','und','ist','ein','nicht','zu') THEN 1.0 ELSE 0.0 END) AS s_de,
+        |    avg(CASE WHEN t IN ('the','and','of','to','is','in','that','it') THEN 1.0 ELSE 0.0 END) AS s_en,
+        |    avg(CASE WHEN t IN ('el','la','los','y','de','un','una','es') THEN 1.0 ELSE 0.0 END) AS s_es,
+        |    avg(CASE WHEN t IN ('le','la','les','et','de','un','une','est') THEN 1.0 ELSE 0.0 END) AS s_fr,
+        |    avg(CASE WHEN t IN ('il','la','di','e','un','una','che','per') THEN 1.0 ELSE 0.0 END) AS s_it
+        |  FROM toks GROUP BY doc_id),
+        |best AS (
+        |  SELECT doc_id, list_max([
+        |    {'score': s_de, 'lang': 'de'}, {'score': s_en, 'lang': 'en'},
+        |    {'score': s_es, 'lang': 'es'}, {'score': s_fr, 'lang': 'fr'},
+        |    {'score': s_it, 'lang': 'it'}]) AS b
+        |  FROM sc)
+        |SELECT CASE WHEN struct_extract(b, 'score') >= 0.05
+        |         THEN struct_extract(b, 'lang') ELSE 'und' END AS detected_lang,
+        |  count(*) AS n
+        |FROM best GROUP BY 1""".stripMargin,
+
+    // Exact word-trigram Jaccard over all pairs ≥ 0.5 — the ground
+    // truth the MinHash+LSH pipeline must reproduce. LSH recall on this
+    // corpus is total (verified), so a hash mismatch here means either
+    // broken verification OR a recall regression from parameter changes.
+    "q23_minhash_neardup" -> ngramJaccardOracle,
+
+    // SimHash near-dups: md5-nibble bit hashes recomputed in SQL, then
+    // brute-force Hamming over all pairs. The pigeonhole chunk-join is
+    // EXACT for d ≤ 3, so the engine's output must equal brute force.
+    "q24_simhash_neardup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    t -> t <> '')) AS t
+        |  FROM documents),
+        |h AS (SELECT doc_id, md5(t) AS m FROM toks),
+        |bs AS (SELECT unnest(generate_series(0, 63)) AS b),
+        |sgn AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN ((strpos('0123456789abcdef', substr(m, CAST(b // 4 + 1 AS INT), 1)) - 1)
+        |                   >> CAST(b % 4 AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h CROSS JOIN bs GROUP BY doc_id, b),
+        |bit AS (SELECT doc_id, b, (s >= 0) AS bt FROM sgn)
+        |SELECT a.doc_id AS id_a, r.doc_id AS id_b,
+        |  CAST(sum(CASE WHEN a.bt <> r.bt THEN 1 ELSE 0 END) AS INT) AS hamming
+        |FROM bit a JOIN bit r ON a.b = r.b AND a.doc_id < r.doc_id
+        |GROUP BY 1, 2
+        |HAVING sum(CASE WHEN a.bt <> r.bt THEN 1 ELSE 0 END) <= 3""".stripMargin,
+
+    // Same ground truth as q23: the inverted-index join computes the
+    // exact all-pairs trigram Jaccard directly.
+    "q25_ngram_jaccard" -> ngramJaccardOracle,
+
+    // Rolling-hash fingerprint + quality score + subword count,
+    // recomputed step-for-step: md5-nibble 48-bit token hashes folded
+    // mod 2^55 (overflow-free in engines with checked arithmetic).
+    "q26_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(ts,
+        |    tok -> list_reduce(list_prepend(0::BIGINT,
+        |        list_transform(generate_series(1, 12),
+        |          j -> (strpos('0123456789abcdef', substr(md5(tok), CAST(j AS INT), 1)) - 1)::BIGINT)),
+        |      (a, v) -> a * 16 + v))),
+        |    (a, h) -> (a * 31 + h) % 36028797018963968) AS fingerprint,
+        |  round(
+        |    (CASE WHEN len(ts) < 5 THEN 0.2 WHEN len(ts) > 10000 THEN 0.5 ELSE 1.0 END) *
+        |    (CASE WHEN len(list_filter(ts, x -> x IN ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE
+        |            / greatest(len(ts)::DOUBLE, 1.0) > 0.6 THEN 0.5 ELSE 1.0 END) *
+        |    (CASE WHEN length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g'))::DOUBLE
+        |            / greatest(length(text)::DOUBLE, 1.0) > 0.3 THEN 0.3 ELSE 1.0 END) *
+        |    (CASE WHEN length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+        |            / greatest(length(text)::DOUBLE, 1.0) > 0.3 THEN 0.5 ELSE 1.0 END), 4) AS quality_score,
+        |  CAST(coalesce(list_sum(list_transform(ts, x -> CAST(ceil(length(x) / 4.0) AS INT))), 0) AS INT) AS n_subwords
+        |FROM t""".stripMargin,
+
+    // Connected components over the exact trigram-Jaccard pair graph
+    // (≡ the engine's MinHash pair graph — total recall on this corpus)
+    // via transitive closure, then per-cluster size + min-id canonical.
+    "q37_dedup_components" ->
+      (ngramJaccardPairsCte +
+        """,
+          |ed AS (SELECT id_a AS s, id_b AS d FROM jpairs
+          |       UNION SELECT id_b, id_a FROM jpairs),
+          |reach AS (
+          |  SELECT s AS id, s AS comp FROM ed
+          |  UNION
+          |  SELECT ed.d, reach.comp FROM reach JOIN ed ON ed.s = reach.id),
+          |lab AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+          |SELECT component, count(*) AS cluster_size, min(id) AS canonical_doc
+          |FROM lab GROUP BY component""".stripMargin),
+
+    // TF-IDF replay: two GROUP BYs + ln, rank by (rounded tfidf desc,
+    // token) exactly as the engine's window.
+    "q47_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+        |       WHERE token <> '' GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS nn FROM documents),
+        |scored AS (
+        |  SELECT doc_id, token, tf, df, round(tf * ln(nn / df), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY tfidf DESC, token) AS INT) AS "rank" FROM scored)
+        |SELECT doc_id, token, tf, df, tfidf, "rank" FROM r WHERE "rank" <= 3""".stripMargin,
+
+    // Per-dimension z-score standardization (population stddev,
+    // zero-variance dims → 0), then squared L2 norm per vector.
+    "q56_standardize" ->
+      """WITH v AS (
+        |  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+        |    unnest(generate_series(0, len(embedding) - 1)) AS p
+        |  FROM embeddings),
+        |st AS (SELECT p, avg(x) AS mu, stddev_pop(x) AS sigma FROM v GROUP BY p),
+        |z AS (SELECT vec_id,
+        |  CASE WHEN sigma > 0 AND x IS NOT NULL THEN (x - mu) / sigma ELSE 0.0 END AS z
+        |  FROM v JOIN st USING (p))
+        |SELECT vec_id, round(sum(z * z), 4) AS z_norm_sq FROM z GROUP BY vec_id""".stripMargin
   )
+
+  /** Shared CTE prefix: exact distinct word-trigram sets per doc
+    * (mirroring Dedup.shingleRows n=3: lowercased \s+ tokens, short
+    * docs collapse to one whole-doc shingle, zero-token docs drop) and
+    * the all-pairs Jaccard-≥0.5 pair list `jpairs`. WITH RECURSIVE so
+    * q37 can append a transitive-closure CTE.
+    */
+  private val ngramJaccardPairsCte: String =
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |    t -> t <> '') AS ts
+      |  FROM documents),
+      |g0 AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+      |         ELSE list_transform(generate_series(1, len(ts) - 2),
+      |              i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END)) AS g
+      |  FROM tok WHERE len(ts) > 0),
+      |g AS (SELECT doc_id, g, count(*) OVER (PARTITION BY doc_id) AS n_sh FROM g0),
+      |jp0 AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common,
+      |    any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+      |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jpairs AS (
+      |  SELECT id_a, id_b,
+      |    common::DOUBLE / (n_a + n_b - common)::DOUBLE AS jaccard
+      |  FROM jp0
+      |  WHERE common::DOUBLE / (n_a + n_b - common)::DOUBLE >= 0.5)""".stripMargin
+
+  /** Exact all-pairs trigram-Jaccard oracle shared by q23 and q25. */
+  private val ngramJaccardOracle: String =
+    ngramJaccardPairsCte +
+      """
+        |SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM jpairs""".stripMargin
 }

@@ -110,13 +110,31 @@ object TextFunctions {
     when(best("score") >= floor, best("lang")).otherwise(lit("und"))
   }
 
-  /** Document fingerprint: 64-bit polynomial rolling hash over token
-    * hashes (order-sensitive — two docs with the same tokens in
-    * different order fingerprint differently, unlike a set hash).
+  /** Per-token 48-bit hash: the first 12 hex digits of md5, as a long.
+    * md5 is the one digest every engine renders identically, so
+    * downstream fingerprints stay verifiable against external oracles
+    * (xxhash64 exists only inside Spark).
+    */
+  def tokenHash48(t: Column): Column =
+    conv(substring(md5(t), 1, 12), 16, 10).cast("long")
+
+  /** Fingerprint modulus: 2^55. Keeps `acc*31 + hash48 < 2^63` at every
+    * fold step, so the arithmetic is overflow-free — engines that CHECK
+    * overflow (rather than wrap like the JVM) compute the identical
+    * value.
+    */
+  val FingerprintMod: Long = 1L << 55
+
+  /** Document fingerprint: polynomial rolling hash over token hashes
+    * (order-sensitive — two docs with the same tokens in a different
+    * order fingerprint differently, unlike a set hash). Folded mod 2^55
+    * with a 48-bit md5-derived token hash: every step stays within a
+    * signed 64-bit range, making the value reproducible in any engine
+    * with exact integer semantics.
     */
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L),
-      (acc, t) => acc * lit(31L) + xxhash64(t))
+      (acc, t) => (acc * lit(31L) + tokenHash48(t)) % lit(FingerprintMod))
 
   /** TF-IDF top terms per document: tf(t,d) · ln(N/df(t)), computed
     * with two hash-aggregates over the exploded token table (no

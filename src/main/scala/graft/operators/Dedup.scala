@@ -142,6 +142,18 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Bit `b` (0..63) of a token's 128-bit md5, read nibble-wise from
+    * the hex rendering: hex digit b/4, bit b%4 within it. md5-derived
+    * bits (rather than xxhash64) keep the whole SimHash pipeline
+    * reproducible in any engine that renders md5 — external oracles
+    * can recompute the exact fingerprints.
+    */
+  private def md5Bit(m: Column, b: Column): Column =
+    call_function("shiftright",
+      conv(m.substr((b / lit(4)).cast("int") + lit(1), lit(1)), 16, 10)
+        .cast("int"),
+      b % lit(4)).bitwiseAND(1)
+
   /** 64-bit SimHash per doc: explode tokens × 64 bit positions, two
     * narrow hash-aggregates (sign-sum per (id,bit), then bit-OR per
     * id). A 64-column-wide aggregate was measured ~1.5s warm but ~10s
@@ -153,13 +165,12 @@ object Dedup {
     val toks = df.select(col(idCol).as("id"),
       explode(split(lower(col(textCol)), "\\s+")).as("t"))
       .filter(col("t") =!= "")
-      .select(col("id"), xxhash64(col("t")).as("h"))
+      .select(col("id"), md5(col("t")).as("m"))
     val bitSums = toks
-      .select(col("id"), col("h"),
+      .select(col("id"), col("m"),
         explode(sequence(lit(0), lit(63))).as("b"))
       .groupBy("id", "b")
-      .agg(sum(when(call_function("shiftright", col("h"), col("b"))
-        .bitwiseAND(1) === 1, 1).otherwise(-1)).as("s"))
+      .agg(sum(when(md5Bit(col("m"), col("b")) === 1, 1).otherwise(-1)).as("s"))
     bitSums.groupBy("id")
       .agg(sum(when(col("s") >= 0,
         call_function("shiftleft", lit(1L), col("b"))).otherwise(0L)).as("sh"))
@@ -172,8 +183,7 @@ object Dedup {
     val bitSums = transform(sequence(lit(0), lit(63)),
       b => aggregate(tokens, lit(0),
         (acc, t) => acc +
-          when(call_function("shiftright", xxhash64(t), b.cast("int"))
-            .bitwiseAND(1) === 1, 1).otherwise(-1)))
+          when(md5Bit(md5(t), b.cast("int")) === 1, 1).otherwise(-1)))
     aggregate(
       zip_with(bitSums, sequence(lit(0), lit(63)),
         (s, b) => when(s >= 0,
