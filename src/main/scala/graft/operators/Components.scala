@@ -32,11 +32,13 @@ object Components {
     // localCheckpoint each round: iterative self-joins otherwise grow
     // the logical plan exponentially (every round embeds the previous
     // round's plan) — lineage truncation is mandatory for any
-    // fixpoint-loop DataFrame algorithm
+    // fixpoint-loop DataFrame algorithm. The INITIAL labels need no
+    // checkpoint (their lineage is one projection over the cached
+    // edges); the first round's checkpoint truncates it anyway, and
+    // skipping it saves one materialization job per call.
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("component", col("id"))
-      .localCheckpoint(true)
 
     var iter = 0
     var converged = false

@@ -142,17 +142,25 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** Bit `b` (0..63) of a token's 128-bit md5, read nibble-wise from
-    * the hex rendering: hex digit b/4, bit b%4 within it. md5-derived
-    * bits (rather than xxhash64) keep the whole SimHash pipeline
-    * reproducible in any engine that renders md5 — external oracles
-    * can recompute the exact fingerprints.
+  /** First 64 bits of a token's md5 as ONE long (two 32-bit `conv`
+    * halves; the high half's shifted multiply intentionally wraps —
+    * two's-complement wraparound reproduces the exact 64-bit pattern).
+    * md5-derived bits (rather than xxhash64) keep the whole SimHash
+    * pipeline reproducible in any engine that renders md5 — external
+    * oracles recompute the same bits nibble-wise from the hex string.
+    * Bit b here lands in hex digit 16-b/4; the oracle reads digit
+    * b/4+1 — a fixed bit PERMUTATION, which Hamming distances are
+    * invariant to, so the two layouts interoperate.
+    *
+    * Parsing the hex ONCE per token and extracting bits with integer
+    * shifts is the hot-path shape: per-(token,bit) substr/conv string
+    * work after the ×64 explode measured 3× slower end-to-end.
     */
-  private def md5Bit(m: Column, b: Column): Column =
-    call_function("shiftright",
-      conv(m.substr((b / lit(4)).cast("int") + lit(1), lit(1)), 16, 10)
-        .cast("int"),
-      b % lit(4)).bitwiseAND(1)
+  private def md5Long(t: Column): Column = {
+    val m = md5(t)
+    conv(substring(m, 1, 8), 16, 10).cast("long") * lit(4294967296L) +
+      conv(substring(m, 9, 8), 16, 10).cast("long")
+  }
 
   /** 64-bit SimHash per doc: explode tokens × 64 bit positions, two
     * narrow hash-aggregates (sign-sum per (id,bit), then bit-OR per
@@ -165,12 +173,13 @@ object Dedup {
     val toks = df.select(col(idCol).as("id"),
       explode(split(lower(col(textCol)), "\\s+")).as("t"))
       .filter(col("t") =!= "")
-      .select(col("id"), md5(col("t")).as("m"))
+      .select(col("id"), md5Long(col("t")).as("h"))
     val bitSums = toks
-      .select(col("id"), col("m"),
+      .select(col("id"), col("h"),
         explode(sequence(lit(0), lit(63))).as("b"))
       .groupBy("id", "b")
-      .agg(sum(when(md5Bit(col("m"), col("b")) === 1, 1).otherwise(-1)).as("s"))
+      .agg(sum(when(call_function("shiftright", col("h"), col("b"))
+        .bitwiseAND(1) === 1, 1).otherwise(-1)).as("s"))
     bitSums.groupBy("id")
       .agg(sum(when(col("s") >= 0,
         call_function("shiftleft", lit(1L), col("b"))).otherwise(0L)).as("sh"))
@@ -183,7 +192,8 @@ object Dedup {
     val bitSums = transform(sequence(lit(0), lit(63)),
       b => aggregate(tokens, lit(0),
         (acc, t) => acc +
-          when(md5Bit(md5(t), b.cast("int")) === 1, 1).otherwise(-1)))
+          when(call_function("shiftright", md5Long(t), b.cast("int"))
+            .bitwiseAND(1) === 1, 1).otherwise(-1)))
     aggregate(
       zip_with(bitSums, sequence(lit(0), lit(63)),
         (s, b) => when(s >= 0,
@@ -275,6 +285,21 @@ object Dedup {
       .select(col("id"), col("tb.t").as("t"), col("tb.b").as("b"))
   }
 
+  /** Candidate pairs from hyperplane-LSH bucket collisions — ids only,
+    * deduplicated across tables. Exposed separately so tests can budget
+    * the candidate-set size against the true-pair count (candidate
+    * volume, not verification arithmetic, is what blows up when LSH
+    * parameters drift recall-biased).
+    */
+  def hyperplaneCandidatePairs(base: DataFrame, bits: Int,
+                               tables: Int): DataFrame = {
+    val bucketed = hyperplaneBuckets(base, bits, tables)
+    bucketed.alias("l").join(bucketed.alias("r"), Seq("t", "b"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold; candidates from
     * hyperplane-LSH buckets, exact cosine verification (ids-only
     * candidate shuffle; vectors re-joined for the cosine).
@@ -283,11 +308,7 @@ object Dedup {
                         threshold: Double = 0.95, bits: Int = 8,
                         tables: Int = 4): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val bucketed = hyperplaneBuckets(base, bits, tables)
-    val candidates = bucketed.alias("l").join(bucketed.alias("r"), Seq("t", "b"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .distinct()
+    val candidates = hyperplaneCandidatePairs(base, bits, tables)
 
     // exact cosine verification, codegen-style: per-dimension join on
     // the candidate pairs + hash-aggregate dot product (the array-HOF

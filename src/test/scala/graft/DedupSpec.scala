@@ -93,4 +93,40 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((1L, 2L)))
   }
+
+  test("hyperplane LSH at production params: high recall on planted " +
+    "correlations, candidate volume within budget") {
+    // deterministic planted-correlation corpus: 300 random unit-ish
+    // vectors + 20 strongly-correlated near-dup partners (cos ≥ ~0.95)
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat)
+    val base = (0L until 300L).map(i => (i, vec()))
+    val planted = (0 until 20).map { k =>
+      val (srcId, v) = base(k * 7)
+      val noisy = v.map(x => x + (rnd.nextDouble() * 0.06 - 0.03).toFloat)
+      (1000L + k, noisy, srcId)
+    }
+    val vecs = (base ++ planted.map(p => (p._1, p._2))).toDF("vec_id", "embedding")
+
+    val prodBits = 7
+    val prodTables = 4
+    val found = Dedup.embeddingNearDups(vecs, "embedding", "vec_id",
+      threshold = 0.9, bits = prodBits, tables = prodTables)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plantedPairs = planted.map(p => (p._3, p._1)).toSet
+    val recall = plantedPairs.count(found.contains).toDouble / plantedPairs.size
+    assert(recall >= 0.8,
+      s"recall $recall below 0.8 — LSH params drifted precision-biased")
+
+    // candidate budget: the cost driver at scale is candidate volume;
+    // recall-biased params (too few bits) explode it quadratically.
+    // On a corpus with ~20 true pairs the candidate set must stay a
+    // small multiple of N, not approach N²/2 (~51k here).
+    val nVecs = 320L
+    val candidates = Dedup.hyperplaneCandidatePairs(
+      vecs.select($"vec_id".as("id"), $"embedding".as("v")),
+      prodBits, prodTables).count()
+    assert(candidates <= 20L * nVecs,
+      s"candidate set $candidates exceeds budget ${20L * nVecs}")
+  }
 }
