@@ -34,9 +34,14 @@ object Quality {
       status: String, // PASS | FAIL
       totalRows: Long,
       duplicateRows: Long,
-      nullViolations: Map[String, Long],
-      rangeViolations: Map[String, Long]) {
+      nullCounts: Map[String, Long],   // ALL checked columns, zeros kept
+      rangeCounts: Map[String, Long]) { // ALL rules, zeros kept
     def passed: Boolean = status == "PASS"
+    /** Columns actually in violation (the reference's log view,
+      * checks.py:152-155; the PERSISTED row keeps the full counts).
+      */
+    def nullViolations: Map[String, Long] = nullCounts.filter(_._2 > 0)
+    def rangeViolations: Map[String, Long] = rangeCounts.filter(_._2 > 0)
   }
 
   /** Run all checks. `requiredColumns` missing → IllegalArgumentException
@@ -59,10 +64,9 @@ object Quality {
     val row: Row = df.agg(aggs.head, aggs.tail: _*).head()
     val totalRows = row.getAs[Long]("total_rows")
     val nulls = requiredColumns
-      .map(c => c -> row.getAs[Long](s"null__$c")).filter(_._2 > 0).toMap
+      .map(c => c -> row.getAs[Long](s"null__$c")).toMap
     val ranges = rangeRules
-      .map(r => r.column -> row.getAs[Long](s"range__${r.column}"))
-      .filter(_._2 > 0).toMap
+      .map(r => r.column -> row.getAs[Long](s"range__${r.column}")).toMap
 
     // duplicate EXCESS rows: sum(cnt - 1) over groups with cnt > 1
     // (quality/checks.py:93-98)
@@ -75,15 +79,15 @@ object Quality {
         .head().getLong(0)
 
     val failed = totalRows == 0 || dupRows > 0 ||
-      nulls.nonEmpty || ranges.nonEmpty
+      nulls.exists(_._2 > 0) || ranges.exists(_._2 > 0)
     QualityReport(
       checkRunId = java.util.UUID.randomUUID().toString,
       batchId = batchId,
       status = if (failed) "FAIL" else "PASS",
       totalRows = totalRows,
       duplicateRows = dupRows,
-      nullViolations = nulls,
-      rangeViolations = ranges)
+      nullCounts = nulls,
+      rangeCounts = ranges)
   }
 
   /** Weather-pipeline gate with the reference's exact rules. */

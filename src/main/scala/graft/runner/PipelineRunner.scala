@@ -17,7 +17,8 @@ import graft.models.StarModels
   */
 object PipelineRunner {
 
-  final case class RunContext(batchId: String, workDir: String) {
+  final case class RunContext(batchId: String, workDir: String,
+                              retryDelayMs: Long = DefaultRetryDelayMs) {
     def rawPath: String = s"$workDir/raw_responses"
     def stagingParquet: String = s"$workDir/weather_hourly_$batchId"
     def warehousePath: String = s"$workDir/staging_weather_hourly"
@@ -27,12 +28,24 @@ object PipelineRunner {
   final case class StageFailure(stage: String, cause: Throwable)
     extends RuntimeException(s"stage $stage failed", cause)
 
-  /** C3: retry wrapper (reference: 2 retries per task). Only NonFatal
-    * failures retry (an OOM/interrupt must propagate, not re-execute on
-    * a possibly-corrupted JVM), and each retried attempt is logged so
-    * the first failure's diagnostics aren't silently discarded.
+  /** Fixed delay between retry attempts, mirroring the reference DAG's
+    * `retry_delay=timedelta(minutes=2)` (etl_pipeline_dag.py:18-20).
+    * Tests override via the `sleeper` parameter; production default is
+    * the reference's 2 minutes.
     */
-  def withRetries[T](stage: String, retries: Int = 2)(body: => T): T = {
+  val DefaultRetryDelayMs: Long = 2 * 60 * 1000L
+
+  /** C3: retry wrapper (reference: 2 retries per task, 2-minute delay).
+    * Only NonFatal failures retry (an OOM/interrupt must propagate, not
+    * re-execute on a possibly-corrupted JVM), each retried attempt is
+    * logged so the first failure's diagnostics aren't silently
+    * discarded, and a fixed delay separates attempts — immediate
+    * re-execution just re-hits whatever transient infrastructure
+    * failure caused the first attempt to die.
+    */
+  def withRetries[T](stage: String, retries: Int = 2,
+                     retryDelayMs: Long = DefaultRetryDelayMs,
+                     sleeper: Long => Unit = Thread.sleep)(body: => T): T = {
     var attempt = 0
     while (true) {
       try return body
@@ -40,7 +53,9 @@ object PipelineRunner {
         case scala.util.control.NonFatal(e) if attempt < retries =>
           attempt += 1
           System.err.println(
-            s"[pipeline] stage $stage attempt $attempt failed, retrying: $e")
+            s"[pipeline] stage $stage attempt $attempt failed, " +
+              s"retrying in ${retryDelayMs}ms: $e")
+          if (retryDelayMs > 0) sleeper(retryDelayMs)
         case scala.util.control.NonFatal(e) => throw StageFailure(stage, e)
       }
     }
@@ -53,7 +68,7 @@ object PipelineRunner {
     */
   def run(spark: SparkSession, ctx: RunContext): Quality.QualityReport = {
     // transform: flatten + clean → staging parquet (S6)
-    val staged = withRetries("transform") {
+    val staged = withRetries("transform", retryDelayMs = ctx.retryDelayMs) {
       val raw = spark.read.schema(Schemas.rawResponses).parquet(ctx.rawPath)
         .filter(col("batch_id") === ctx.batchId)
       val cleaned = Cleaning.clean(Flatten.flattenResponses(raw, ctx.batchId))
@@ -62,7 +77,7 @@ object PipelineRunner {
     }
 
     // quality gate (C4): FAIL persists the report, then aborts
-    val report = withRetries("quality") {
+    val report = withRetries("quality", retryDelayMs = ctx.retryDelayMs) {
       Quality.checkWeather(staged, ctx.batchId)
     }
     persistReport(spark, ctx, report)
@@ -73,7 +88,7 @@ object PipelineRunner {
     // load: keyed upsert into the warehouse table (S8), partitioned by
     // day — the merge then joins/rewrites only partitions the batch
     // touches (partition pruning at 100 TB; SURVEY §7.4-7)
-    withRetries("load") {
+    withRetries("load", retryDelayMs = ctx.retryDelayMs) {
       MergeWriter.merge(spark, ctx.warehousePath,
         staged.withColumn("loaded_at", current_timestamp())
           .withColumn("dt", to_date(col("ts_utc"))),
@@ -82,7 +97,7 @@ object PipelineRunner {
     }
 
     // models + schema tests (dbt run / dbt test)
-    withRetries("models") {
+    withRetries("models", retryDelayMs = ctx.retryDelayMs) {
       val warehouse = spark.read.parquet(ctx.warehousePath)
       val dimLoc = StarModels.dimLocation(warehouse)
       val dimDt = StarModels.dimDate(warehouse)
@@ -96,14 +111,32 @@ object PipelineRunner {
     report
   }
 
-  /** S9: append the quality report to the report table. */
+  /** Deterministic (key-sorted) JSON rendering for the report's JSONB-
+    * equivalent columns.
+    */
+  private def toJson(m: Map[String, Long]): String =
+    m.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k": $v""" }
+      .mkString("{", ", ", "}")
+
+  /** S9: append the quality report to the report table with full field
+    * parity to `staging.quality_check_results`
+    * (/root/reference/sql/staging_schema.sql:24-35): parquet_path, the
+    * UNFILTERED per-column counts as JSON, and the free-form `details`
+    * JSON (checks.py:117-121 persists all counts, zeros included — the
+    * filtered view is only for logging).
+    */
   private def persistReport(spark: SparkSession, ctx: RunContext,
                             r: Quality.QualityReport): Unit = {
     import spark.implicits._
-    Seq((r.checkRunId, r.batchId, r.status, r.totalRows, r.duplicateRows,
-        r.nullViolations, r.rangeViolations))
-      .toDF("check_run_id", "batch_id", "status", "total_rows",
-        "duplicate_rows", "null_violations", "range_violations")
+    val details =
+      s"""{"null_counts": ${toJson(r.nullCounts)}, """ +
+        s""""duplicate_rows": ${r.duplicateRows}, """ +
+        s""""range_violations": ${toJson(r.rangeCounts)}}"""
+    Seq((r.checkRunId, r.batchId, ctx.stagingParquet, r.status, r.totalRows,
+        r.duplicateRows, toJson(r.nullCounts), toJson(r.rangeCounts), details))
+      .toDF("check_run_id", "batch_id", "parquet_path", "status", "total_rows",
+        "duplicate_rows", "null_violations", "range_violations", "details")
       .withColumn("checked_at", current_timestamp())
       .write.mode(SaveMode.Append).parquet(ctx.reportPath)
   }

@@ -2,7 +2,7 @@ package graft.sinks
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit}
 
 /** S8 — the keyed upsert sink: the reference's
   * `INSERT ... ON CONFLICT (city, ts_utc) DO UPDATE`
@@ -31,11 +31,35 @@ import org.apache.spark.sql.functions.lit
   */
 object MergeWriter {
 
+  /** Schema-drift policy for `merge`, mirroring the reference's dbt
+    * incremental contract (`/root/reference/dbt/dbt_project.yml:15`
+    * `on_schema_change: sync_all_columns`).
+    */
+  sealed trait SchemaMode
+  object SchemaMode {
+    /** Any column-set difference between updates and target fails
+      * loudly. The default: silent column dropping is how upstream
+      * schema drift turns into quiet data loss.
+      */
+    case object Strict extends SchemaMode
+
+    /** Columns new in the updates are ADDED to the target (existing
+      * rows read back as null); columns the updates lack are null-
+      * filled in the update rows. Nothing is silently dropped.
+      * Partitioned-mode caveat: only touched partitions are rewritten
+      * with the widened schema — readers of a partially-evolved table
+      * must read with `mergeSchema=true` (as with any parquet table
+      * evolved in place).
+      */
+    case object SyncAllColumns extends SchemaMode
+  }
+
   def merge(spark: SparkSession,
             targetPath: String,
             updates: DataFrame,
             keys: Seq[String],
-            partitionColumns: Seq[String] = Nil): Unit = {
+            partitionColumns: Seq[String] = Nil,
+            schemaMode: SchemaMode = SchemaMode.Strict): Unit = {
     val target = Paths.get(targetPath)
     val exists = Files.exists(target) && {
       val s = Files.list(target)
@@ -49,13 +73,17 @@ object MergeWriter {
       return
     }
 
-    val existing0 = spark.read.parquet(targetPath)
+    // mergeSchema: a previously-evolved partitioned table may hold a
+    // mix of file schemas; the union below must see every column
+    val existing0 = spark.read.option("mergeSchema", "true").parquet(targetPath)
+    val (existingAligned, updatesAligned) =
+      alignSchemas(existing0, updates, keys, schemaMode)
     val tmpPath = targetPath + ".__merge_tmp"
 
     if (partitionColumns.isEmpty) {
-      val kept = existing0.join(updates, keys, "left_anti")
-      val merged = kept.unionByName(
-        updates.select(existing0.columns.map(updates(_)): _*))
+      val kept = existingAligned.join(updates.select(
+        keys.map(updates(_)): _*), keys, "left_anti")
+      val merged = kept.unionByName(updatesAligned)
       merged.write.mode(SaveMode.Overwrite).parquet(tmpPath)
       // swap the whole table dir
       val oldPath = Paths.get(targetPath + ".__merge_old")
@@ -70,12 +98,12 @@ object MergeWriter {
       if (touched.isEmpty) return
       val touchedPred = touched
         .map(r => partitionColumns.zipWithIndex
-          .map { case (c, i) => existing0(c) <=> lit(r.get(i)) }
+          .map { case (c, i) => col(c) <=> lit(r.get(i)) }
           .reduce(_ && _))
         .reduce(_ || _)
-      val kept = existing0.filter(touchedPred).join(updates, keys, "left_anti")
-      val merged = kept.unionByName(
-        updates.select(existing0.columns.map(updates(_)): _*))
+      val kept = existingAligned.filter(touchedPred)
+        .join(updates.select(keys.map(updates(_)): _*), keys, "left_anti")
+      val merged = kept.unionByName(updatesAligned)
       merged.write.mode(SaveMode.Overwrite)
         .partitionBy(partitionColumns: _*).parquet(tmpPath)
 
@@ -89,6 +117,45 @@ object MergeWriter {
           StandardCopyOption.ATOMIC_MOVE)
       }
       deleteRecursively(Paths.get(tmpPath))
+    }
+  }
+
+  /** Reconcile target and update schemas per `schemaMode`. Returns
+    * (existing, updates) projected to the SAME column list in the same
+    * order, ready for `unionByName`. Merge keys must always be present
+    * in the updates — a null-filled key would merge nonsense.
+    */
+  private def alignSchemas(existing: DataFrame, updates: DataFrame,
+                           keys: Seq[String], mode: SchemaMode)
+  : (DataFrame, DataFrame) = {
+    val eCols = existing.columns.toSeq
+    val uSet = updates.columns.toSet
+    val eSet = eCols.toSet
+    val missingKeys = keys.filterNot(uSet)
+    require(missingKeys.isEmpty,
+      s"updates lack merge key column(s): ${missingKeys.mkString(", ")}")
+    if (uSet == eSet)
+      (existing, updates.select(eCols.map(updates(_)): _*))
+    else mode match {
+      case SchemaMode.Strict =>
+        throw new IllegalArgumentException(
+          "update schema differs from target " +
+            s"(extra: ${(uSet -- eSet).toSeq.sorted.mkString(", ")}; " +
+            s"missing: ${(eSet -- uSet).toSeq.sorted.mkString(", ")}); " +
+            "pass SchemaMode.SyncAllColumns to evolve the target instead " +
+            "of failing")
+      case SchemaMode.SyncAllColumns =>
+        val newCols = updates.columns.toSeq.filterNot(eSet)
+        val uTypes = updates.schema.map(f => f.name -> f.dataType).toMap
+        val eTypes = existing.schema.map(f => f.name -> f.dataType).toMap
+        val outCols = eCols ++ newCols
+        val ex = existing.select(
+          eCols.map(existing(_)) ++
+            newCols.map(c => lit(null).cast(uTypes(c)).as(c)): _*)
+        val up = updates.select(outCols.map(c =>
+          if (uSet(c)) updates(c)
+          else lit(null).cast(eTypes(c)).as(c)): _*)
+        (ex, up)
     }
   }
 

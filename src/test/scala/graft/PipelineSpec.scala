@@ -47,6 +47,49 @@ class MergeWriterSpec extends SparkSpec {
     // untouched partition p1 was not rewritten: same physical files
     assert(filesIn("p1") === p1Before)
   }
+
+  test("schema drift fails loudly in Strict mode (no silent column drop)") {
+    val dir = tmpDir("mergestrict") + "/t"
+    MergeWriter.merge(spark, dir,
+      Seq(("a", 1)).toDF("k", "v"), Seq("k"))
+    val drifted = Seq(("a", 2, "extra")).toDF("k", "v", "note")
+    val err = intercept[IllegalArgumentException] {
+      MergeWriter.merge(spark, dir, drifted, Seq("k"))
+    }
+    assert(err.getMessage.contains("note"))
+    // target untouched by the failed merge
+    assert(spark.read.parquet(dir).columns.toSeq === Seq("k", "v"))
+    assert(spark.read.parquet(dir).head.getInt(1) === 1)
+  }
+
+  test("SyncAllColumns evolves the target: new columns added " +
+    "null-backfilled, removed columns null-filled; idempotent re-run") {
+    val dir = tmpDir("mergeevolve") + "/t"
+    MergeWriter.merge(spark, dir,
+      Seq(("a", 1, "keepme"), ("b", 2, "old")).toDF("k", "v", "legacy"),
+      Seq("k"))
+
+    // updates ADD `note`, DROP `legacy`
+    val evolved = Seq(("b", 20, "fresh"), ("c", 3, "new")).toDF("k", "v", "note")
+    MergeWriter.merge(spark, dir, evolved, Seq("k"),
+      schemaMode = MergeWriter.SchemaMode.SyncAllColumns)
+
+    val out = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(out.columns.sorted.toSeq === Seq("k", "legacy", "note", "v"))
+    val byK = out.collect().map(r => r.getAs[String]("k") -> r).toMap
+    assert(byK.keySet === Set("a", "b", "c"))
+    assert(byK("a").getAs[String]("legacy") === "keepme") // untouched row keeps old col
+    assert(byK("a").getAs[String]("note") === null)       // new col backfilled null
+    assert(byK("b").getAs[Int]("v") === 20)               // updated
+    assert(byK("b").getAs[String]("legacy") === null)     // dropped col null-filled
+    assert(byK("b").getAs[String]("note") === "fresh")
+    assert(byK("c").getAs[String]("note") === "new")
+
+    // idempotent re-run with the evolved schema
+    MergeWriter.merge(spark, dir, evolved, Seq("k"),
+      schemaMode = MergeWriter.SchemaMode.SyncAllColumns)
+    assert(spark.read.option("mergeSchema", "true").parquet(dir).count() === 3)
+  }
 }
 
 class StarModelsSpec extends SparkSpec {
@@ -101,6 +144,53 @@ class PipelineSpec extends SparkSpec {
     PipelineRunner.run(spark, ctx)
     assert(spark.read.parquet(ctx.warehousePath).count() === 9)
     assert(spark.read.parquet(ctx.reportPath).count() === 2)
+  }
+
+  test("quality report persists parquet_path, JSON counts, and details " +
+    "(staging_schema.sql field parity)") {
+    val work = tmpDir("pipereport")
+    val ctx = RunContext("b1", work)
+    standardBatch(spark).write.mode(SaveMode.Overwrite).parquet(ctx.rawPath)
+    PipelineRunner.run(spark, ctx)
+
+    val rep = spark.read.parquet(ctx.reportPath).head()
+    assert(rep.schema.fieldNames.toSet === Set("check_run_id", "batch_id",
+      "parquet_path", "status", "total_rows", "duplicate_rows",
+      "null_violations", "range_violations", "details", "checked_at"))
+    assert(rep.getAs[String]("parquet_path") === ctx.stagingParquet)
+    // full counts persisted, zeros included (checks.py:117-121)
+    val nulls = rep.getAs[String]("null_violations")
+    assert(nulls.contains("\"temperature_c\": 0"))
+    val details = rep.getAs[String]("details")
+    assert(details.contains("\"null_counts\""))
+    assert(details.contains("\"duplicate_rows\": 0"))
+    assert(details.contains("\"range_violations\""))
+  }
+
+  test("withRetries sleeps the configured delay between attempts " +
+    "(reference retry_delay parity)") {
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var calls = 0
+    val out = PipelineRunner.withRetries("flaky", retries = 2,
+      retryDelayMs = 123L, sleeper = sleeps.append(_)) {
+      calls += 1
+      if (calls < 3) sys.error(s"transient $calls")
+      "ok"
+    }
+    assert(out === "ok")
+    assert(calls === 3)
+    assert(sleeps.toSeq === Seq(123L, 123L))
+
+    // exhausted retries surface as StageFailure, with the delay having
+    // been applied between every attempt pair
+    sleeps.clear()
+    intercept[PipelineRunner.StageFailure] {
+      PipelineRunner.withRetries("dead", retries = 2,
+        retryDelayMs = 77L, sleeper = sleeps.append(_)) {
+        sys.error("always")
+      }
+    }
+    assert(sleeps.toSeq === Seq(77L, 77L))
   }
 
   test("quality FAIL aborts before load (C4 fail-fast)") {
