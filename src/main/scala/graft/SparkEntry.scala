@@ -361,6 +361,34 @@ object SparkEntry {
           round(element_at(col("feature"), 1), 4).as("f0"))
     }),
 
+    // Bucketed co-located join: lineitem ⋈ orders both bucketed on the
+    // order key, so the join runs with NO Exchange on either side (the
+    // one shuffle left is the small post-join re-aggregation) — the
+    // repeated-join pattern that bucketing exists for. The bucketed
+    // staging tables are written once per (session, sf) and reused;
+    // at 100 TB that one-time write amortizes over every downstream
+    // run joining on the same key. Plan asserted in PlanSpec.
+    "q60_bucketed_join" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val lt = s"bkt_lineitem$tag"
+      val ot = s"bkt_orders$tag"
+      graft.sinks.BucketedTables.ensureBucketed(s, lt, "l_orderkey", 8,
+        sortCol = Some("l_orderkey")) {
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+      }
+      graft.sinks.BucketedTables.ensureBucketed(s, ot, "o_orderkey", 8,
+        sortCol = Some("o_orderkey")) {
+        Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+      }
+      s.table(lt).join(s.table(ot),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // Hierarchical aggregate: ROLLUP (subtotals + grand total).
     "q33_rollup" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -939,6 +967,13 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q60_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "q35_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events

@@ -28,6 +28,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("struct<o_custkey:bigint,o_totalprice:double>"), p)
   }
 
+  test("q60: bucketed join runs with no Exchange below the join " +
+    "(the only shuffle is the post-join re-aggregation)") {
+    // disable broadcast: at toy SF the dimension side fits a broadcast,
+    // which is also shuffle-free but wouldn't demonstrate the bucketed
+    // co-location that matters when BOTH sides are large
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q60_bucketed_join")(spark, d)
+      val p = df.queryExecution.executedPlan.toString
+      val joinIdx = p.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, p)
+      // in the tree printout everything below the join node is the
+      // join's subtree; the post-join re-agg Exchange prints above it
+      val below = p.substring(joinIdx)
+      assert(!below.contains("Exchange hashpartitioning"),
+        s"bucketed join should read pre-shuffled buckets:\n$p")
+      assert(below.split("\n").count(_.contains("Bucketed: true")) === 2, p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q8: bounded top-k plans as TakeOrderedAndProject, not global sort") {
     val p = plan("q8_sort_limit")
     assert(p.contains("TakeOrderedAndProject"), p)
