@@ -354,11 +354,15 @@ object SparkEntry {
     // feature extraction (stubbed decode) → per-kind aggregate.
     "q32_multimodal" -> ((s, d) => {
       import s.implicits._
-      val media = Multimodal.syntheticMedia(s, Tables.documents(s, d))
+      val media = Multimodal.withParsedMetadata(
+        Multimodal.syntheticMedia(s, Tables.documents(s, d)))
       val feats = Multimodal.extractFeatures(media.as[Multimodal.MediaRecord])
       feats.toDF()
+        .join(media.select("media_id", "width", "height", "sample_rate",
+          "duration_ms"), "media_id")
         .select(col("media_id"), col("kind"), col("n_bytes"),
-          round(element_at(col("feature"), 1), 4).as("f0"))
+          round(element_at(col("feature"), 1), 4).as("f0"),
+          col("width"), col("height"), col("sample_rate"), col("duration_ms"))
     }),
 
     // Bucketed co-located join: lineitem ⋈ orders both bucketed on the

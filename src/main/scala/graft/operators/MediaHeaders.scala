@@ -1,0 +1,143 @@
+package graft.operators
+
+/** Pure-JVM container-header parsing for multimodal columns: PNG
+  * dimensions from the IHDR chunk and WAV sample-rate/duration from
+  * the RIFF fmt/data chunks. No codecs involved — these are byte-level
+  * header reads, so width/height/sample_rate come from the ACTUAL
+  * payload bytes even in this codec-less container; only the sample
+  * decode (pixels/PCM → features) remains stubbed
+  * (Multimodal.decodeStub).
+  *
+  * All readers are defensive: any malformed/truncated header yields
+  * None, never an exception — at 100 TB a corrupt blob must degrade to
+  * a null-metadata row, not kill the stage.
+  */
+object MediaHeaders {
+
+  final case class PngInfo(width: Int, height: Int)
+  final case class WavInfo(channels: Int, sampleRate: Int,
+                           bitsPerSample: Int, durationMs: Long)
+
+  private val PngSignature: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def u8(b: Byte): Int = b & 0xff
+
+  /** Big-endian uint32 at offset (PNG chunk fields). */
+  private def be32(b: Array[Byte], off: Int): Long =
+    (u8(b(off)).toLong << 24) | (u8(b(off + 1)) << 16) |
+      (u8(b(off + 2)) << 8) | u8(b(off + 3))
+
+  /** Little-endian uint32 / uint16 at offset (RIFF chunk fields). */
+  private def le32(b: Array[Byte], off: Int): Long =
+    (u8(b(off + 3)).toLong << 24) | (u8(b(off + 2)) << 16) |
+      (u8(b(off + 1)) << 8) | u8(b(off))
+  private def le16(b: Array[Byte], off: Int): Int =
+    (u8(b(off + 1)) << 8) | u8(b(off))
+
+  private def ascii(b: Array[Byte], off: Int, len: Int): String =
+    new String(b, off, len, "US-ASCII")
+
+  /** PNG: 8-byte signature, then the IHDR chunk (always first):
+    * length(4 BE) + "IHDR" + width(4 BE) + height(4 BE) + ...
+    */
+  def parsePng(bytes: Array[Byte]): Option[PngInfo] =
+    if (bytes == null || bytes.length < 24) None
+    else if (!bytes.take(8).sameElements(PngSignature)) None
+    else if (ascii(bytes, 12, 4) != "IHDR") None
+    else {
+      val w = be32(bytes, 16)
+      val h = be32(bytes, 20)
+      if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) None
+      else Some(PngInfo(w.toInt, h.toInt))
+    }
+
+  /** WAV: "RIFF" + size + "WAVE", then a chunk walk for "fmt " (format
+    * fields) and "data" (payload size → duration via byte rate).
+    */
+  def parseWav(bytes: Array[Byte]): Option[WavInfo] = {
+    if (bytes == null || bytes.length < 44) return None
+    if (ascii(bytes, 0, 4) != "RIFF" || ascii(bytes, 8, 4) != "WAVE") return None
+    var off = 12
+    var walkable = true
+    var fmt: Option[(Int, Int, Int, Long)] = None // channels, rate, bits, byteRate
+    var dataSize: Option[Long] = None
+    while (walkable && off + 8 <= bytes.length &&
+      (fmt.isEmpty || dataSize.isEmpty)) {
+      val id = ascii(bytes, off, 4)
+      val size = le32(bytes, off + 4)
+      if (id == "fmt " && off + 24 <= bytes.length) {
+        val channels = le16(bytes, off + 10)
+        val rate = le32(bytes, off + 12)
+        val byteRate = le32(bytes, off + 16)
+        val bits = le16(bytes, off + 22)
+        if (channels > 0 && rate > 0 && rate <= Int.MaxValue)
+          fmt = Some((channels, rate.toInt, bits, byteRate))
+      } else if (id == "data") {
+        dataSize = Some(size)
+      }
+      // chunks are word-aligned: odd sizes carry a pad byte; a declared
+      // size past the buffer (or overflowing) ends the walk — whatever
+      // was parsed so far stands
+      val step = 8L + size + (size & 1L)
+      if (step <= 0 || off + step > bytes.length) walkable = false
+      else off += step.toInt
+    }
+    (fmt, dataSize) match {
+      case (Some((ch, rate, bits, byteRate)), Some(ds)) =>
+        val br = if (byteRate > 0) byteRate
+          else rate.toLong * ch * math.max(bits / 8, 1)
+        Some(WavInfo(ch, rate, bits,
+          if (br > 0) ds * 1000L / br else 0L))
+      case _ => fmtOnly(fmt)
+    }
+  }
+
+  private def fmtOnly(fmt: Option[(Int, Int, Int, Long)]): Option[WavInfo] =
+    fmt.map { case (ch, rate, bits, _) => WavInfo(ch, rate, bits, 0L) }
+
+  // ------------------------------------------------------------------
+  // Fixture builders — REAL header bytes for tests and the synthetic
+  // media table (the payload after the header is arbitrary noise; the
+  // header fields are what the parsers read).
+  // ------------------------------------------------------------------
+
+  /** Minimal valid-header PNG: signature + IHDR + `payloadLen` noise
+    * bytes standing in for the compressed image data.
+    */
+  def pngBytes(width: Int, height: Int, payloadLen: Int = 32,
+               noiseSeed: Long = 42L): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(8 + 25 + payloadLen)
+    buf.put(PngSignature)
+    buf.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    buf.putInt(width).putInt(height)
+    buf.put(8.toByte).put(6.toByte) // bit depth, color type RGBA
+    buf.put(0.toByte).put(0.toByte).put(0.toByte) // compress/filter/interlace
+    buf.putInt(0) // crc (unchecked by the parser, as by most readers)
+    var h = noiseSeed
+    (0 until payloadLen).foreach { _ =>
+      h = h * 6364136223846793005L + 1442695040888963407L
+      buf.put((h >>> 56).toByte)
+    }
+    buf.array()
+  }
+
+  /** Minimal valid WAV: RIFF/WAVE + fmt (PCM) + data chunk of
+    * `nSamples` zero samples.
+    */
+  def wavBytes(sampleRate: Int, nSamples: Int, channels: Int = 1,
+               bitsPerSample: Int = 16): Array[Byte] = {
+    val blockAlign = channels * bitsPerSample / 8
+    val dataSize = nSamples * blockAlign
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1.toShort).putShort(channels.toShort)
+    buf.putInt(sampleRate).putInt(sampleRate * blockAlign)
+    buf.putShort(blockAlign.toShort).putShort(bitsPerSample.toShort)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    buf.array()
+  }
+}

@@ -83,21 +83,57 @@ object Multimodal {
         sequence(lit(0L), col("duration_ms") - 1, lit(everyMs)))
         .otherwise(array()))
 
-  /** Deterministic synthetic media table (documents' bytes reused as
-    * fake payloads) — the test/bench input in this codec-less env.
+  /** Parse REAL container headers (MediaHeaders: PNG IHDR, WAV
+    * RIFF/fmt/data) into the metadata columns; parsed values override
+    * declared ones, declared values survive where the payload isn't a
+    * recognized container (e.g. video — no pure-JVM mp4 walker here).
+    *
+    * Scalar UDFs, deliberately: byte-level header reads aren't
+    * expressible in Catalyst builtins, the cost is O(header bytes) per
+    * row (not payload-sized), and the binary column still never rides
+    * a shuffle.
     */
-  def syntheticMedia(spark: SparkSession, documents: DataFrame): DataFrame =
+  def withParsedMetadata(df: DataFrame): DataFrame = {
+    val png = udf((b: Array[Byte]) =>
+      MediaHeaders.parsePng(b).map(p => (p.width, p.height)))
+    val wav = udf((b: Array[Byte]) =>
+      MediaHeaders.parseWav(b).map(w =>
+        (w.channels, w.sampleRate, w.bitsPerSample, w.durationMs)))
+    df.withColumn("__png", png(col("bytes")))
+      .withColumn("__wav", wav(col("bytes")))
+      .withColumn("width", coalesce(col("__png._1"), col("width")))
+      .withColumn("height", coalesce(col("__png._2"), col("height")))
+      .withColumn("sample_rate", coalesce(col("__wav._2"), col("sample_rate")))
+      .withColumn("duration_ms", coalesce(col("__wav._4"), col("duration_ms")))
+      .drop("__png", "__wav")
+  }
+
+  /** Deterministic synthetic media table with REAL container bytes:
+    * image rows are valid-header PNGs, audio rows valid PCM WAVs (so
+    * header parsing reads actual payloads); video rows stay opaque
+    * noise with declared metadata. All metadata columns for image and
+    * audio are left NULL here — `withParsedMetadata` must fill them
+    * from the bytes.
+    */
+  def syntheticMedia(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val gen = udf((id: Long, kind: String, nChars: Int) => kind match {
+      case "image" => MediaHeaders.pngBytes(
+        nChars % 1000 + 100, nChars % 800 + 50, nChars % 256 + 16, id)
+      case "audio" => MediaHeaders.wavBytes(16000, nChars * 16)
+      case _ => s"video-payload-$id-$nChars".getBytes("UTF-8")
+    })
     documents.select(
-      col("doc_id").as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-      col("text").cast("binary").as("bytes"),
-      when(col("doc_id") % 3 === 0, (col("n_chars") % 1000 + 100).cast("int"))
-        .otherwise(lit(null).cast("int")).as("width"),
-      when(col("doc_id") % 3 === 0, (col("n_chars") % 800 + 50).cast("int"))
-        .otherwise(lit(null).cast("int")).as("height"),
-      when(col("doc_id") % 3 === 1, lit(16000)).otherwise(lit(null).cast("int"))
-        .as("sample_rate"),
-      when(col("doc_id") % 3 =!= 0, (col("n_chars") * 10).cast("long"))
-        .otherwise(lit(null).cast("long")).as("duration_ms"))
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        col("n_chars").cast("int").as("n_chars"))
+      .select(
+        col("media_id"), col("kind"),
+        gen(col("media_id"), col("kind"), col("n_chars")).as("bytes"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("int").as("sample_rate"),
+        when(col("kind") === "video", (col("n_chars") * 10).cast("long"))
+          .otherwise(lit(null).cast("long")).as("duration_ms"))
+  }
 }

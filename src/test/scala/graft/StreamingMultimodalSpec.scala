@@ -63,7 +63,8 @@ class MultimodalSpec extends SparkSpec {
 
   private lazy val docs = spark.read
     .parquet("/root/testdata/sf0.001/documents.parquet")
-  private lazy val media = Multimodal.syntheticMedia(spark, docs)
+  private lazy val media = Multimodal.withParsedMetadata(
+    Multimodal.syntheticMedia(spark, docs))
 
   test("schema round-trip and feature extraction batch shape") {
     assert(media.schema.fieldNames.toSeq ===
@@ -77,6 +78,51 @@ class MultimodalSpec extends SparkSpec {
       media.as[Multimodal.MediaRecord]).collect()
     assert(feats.sortBy(_.media_id).zip(again.sortBy(_.media_id))
       .forall { case (a, b) => a.feature.sameElements(b.feature) })
+  }
+
+  test("PNG/WAV headers: hand-built fixtures parse to exact fields; " +
+    "corrupt bytes degrade to None") {
+    import graft.operators.MediaHeaders
+    val png = MediaHeaders.pngBytes(width = 640, height = 480)
+    assert(MediaHeaders.parsePng(png) ===
+      Some(MediaHeaders.PngInfo(640, 480)))
+
+    // 2 s of 16 kHz mono 16-bit PCM = 32000 samples
+    val wav = MediaHeaders.wavBytes(sampleRate = 16000, nSamples = 32000)
+    assert(MediaHeaders.parseWav(wav) ===
+      Some(MediaHeaders.WavInfo(1, 16000, 16, 2000L)))
+    // stereo 8 kHz: duration respects block align
+    val stereo = MediaHeaders.wavBytes(8000, 4000, channels = 2)
+    assert(MediaHeaders.parseWav(stereo) ===
+      Some(MediaHeaders.WavInfo(2, 8000, 16, 500L)))
+
+    // corruption paths: wrong magic, truncation, cross-parsing
+    assert(MediaHeaders.parsePng("not a png at all".getBytes) === None)
+    assert(MediaHeaders.parsePng(png.take(10)) === None)
+    assert(MediaHeaders.parseWav(png) === None)
+    assert(MediaHeaders.parsePng(wav) === None)
+    assert(MediaHeaders.parseWav(wav.take(20)) === None)
+    assert(MediaHeaders.parsePng(null) === None)
+  }
+
+  test("withParsedMetadata fills image/audio metadata from ACTUAL bytes") {
+    val rows = media.collect()
+    rows.filter(_.getAs[String]("kind") == "image").foreach { r =>
+      val w = r.getAs[Int]("width"); val h = r.getAs[Int]("height")
+      assert(w >= 100 && w < 1100, s"parsed width $w")
+      assert(h >= 50 && h < 850, s"parsed height $h")
+      assert(r.isNullAt(r.fieldIndex("sample_rate")))
+    }
+    rows.filter(_.getAs[String]("kind") == "audio").foreach { r =>
+      assert(r.getAs[Int]("sample_rate") === 16000)
+      assert(r.getAs[Long]("duration_ms") > 0)
+      assert(r.isNullAt(r.fieldIndex("width")))
+    }
+    // video payloads aren't a parseable container: declared values stand
+    rows.filter(_.getAs[String]("kind") == "video").foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("width")))
+      assert(r.getAs[Long]("duration_ms") > 0) // declared, preserved
+    }
   }
 
   test("resize plan preserves aspect ratio within the box") {
