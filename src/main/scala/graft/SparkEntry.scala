@@ -393,6 +393,30 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
     }),
 
+    // Count-Min heavy hitters: one fixed-size sketch aggregate over the
+    // token stream (a TypedImperativeAggregate — buffer ships once per
+    // partition, never per key), then a broadcast probe of the distinct
+    // candidates against it. At width 1024 over this corpus's small
+    // vocabulary the one-sided CM error is zero, so the result equals
+    // exact counts — the oracle pins both the sketch arithmetic and
+    // that tightness; the bounded-error property under adversarial
+    // widths is spec-asserted (CountMinSpec).
+    "q61_heavy_hitters" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val toks = Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+      val sk = toks.agg(call_function("graft_count_min",
+        xxhash64(col("token")), lit(4), lit(1024)).as("sk"))
+      toks.distinct()
+        .crossJoin(broadcast(sk))
+        .select(col("token"),
+          call_function("graft_cm_estimate", col("sk"),
+            xxhash64(col("token")), lit(4), lit(1024)).as("est"))
+        .orderBy(col("est").desc, col("token"))
+        .limit(20)
+    }),
+
     // Hierarchical aggregate: ROLLUP (subtotals + grand total).
     "q33_rollup" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -971,6 +995,13 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q61_heavy_hitters" ->
+      """SELECT token, count(*) AS est
+        |FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+        |      FROM documents) t
+        |WHERE token <> ''
+        |GROUP BY token ORDER BY est DESC, token LIMIT 20""".stripMargin,
 
     "q60_bucketed_join" ->
       """SELECT o_orderpriority,

@@ -99,6 +99,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * same builder; repeat registration is a no-op overwrite.
   */
 object GraftFunctions {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+
   val cosineInfo = new ExpressionInfo(
     classOf[CosineSimilarity].getName, "graft_cosine")
 
@@ -110,9 +112,43 @@ object GraftFunctions {
     CosineSimilarity(children.head, children(1))
   }
 
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val countMinInfo = new ExpressionInfo(
+    classOf[CountMinAgg].getName, "graft_count_min")
+  val countMinBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 3,
+      "graft_count_min takes (hash, depth, width)")
+    CountMinAgg(children.head,
+      litInt(children(1), "depth"), litInt(children(2), "width"))
+      .toAggregateExpression()
+  }
+
+  val cmEstimateInfo = new ExpressionInfo(
+    classOf[CmEstimate].getName, "graft_cm_estimate")
+  val cmEstimateBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 4,
+      "graft_cm_estimate takes (sketch, hash, depth, width)")
+    CmEstimate(children.head, children(1),
+      litInt(children(2), "depth"), litInt(children(3), "width"))
+  }
+
+  private val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(("graft_cosine", cosineInfo, cosineBuilder),
+      ("graft_count_min", countMinInfo, countMinBuilder),
+      ("graft_cm_estimate", cmEstimateInfo, cmEstimateBuilder))
+
   def ensureRegistered(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder)
+    all.foreach { case (name, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), info, builder)
+    }
+
+  private[functions] def injections = all
 }
 
 /** `SparkSessionExtensions` entry point:
@@ -120,7 +156,7 @@ object GraftFunctions {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction((
-      FunctionIdentifier("graft_cosine"), GraftFunctions.cosineInfo,
-      GraftFunctions.cosineBuilder))
+    GraftFunctions.injections.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
 }
