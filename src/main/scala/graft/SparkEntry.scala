@@ -393,6 +393,28 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
     }),
 
+    // Custom streaming state (flatMapGroupsWithState): per-user running
+    // mean with anomaly emission (value > 5× the mean of all PRIOR
+    // events). With AvailableNow over a single source file the whole
+    // input is one micro-batch processed in (ts, event_id) order, so
+    // the stateful fold equals the batch window formulation the oracle
+    // replays. Output exposes the exact columns (ids, value, prior
+    // count) — the mean itself is not bit-portable across engines
+    // (summation order + decimal-boundary rounding).
+    "q62_stream_anomaly" -> ((s, d) => {
+      import s.implicits._
+      val ev = graft.streaming.EventsStream.readEvents(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[graft.streaming.EventsStream.EventRow]
+      val anomalies = graft.streaming.EventsStream.detectAnomalies(ev, k = 5.0)
+      graft.streaming.EventsStream.runToTable(s, anomalies.toDF(),
+        s"q62_sink_${System.nanoTime()}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("n_prior"))
+    }),
+
     // Count-Min heavy hitters: one fixed-size sketch aggregate over the
     // token stream (a TypedImperativeAggregate — buffer ships once per
     // partition, never per key), then a broadcast probe of the distinct
@@ -995,6 +1017,17 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q62_stream_anomaly" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER w - 1 AS n_prev,
+        |    avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_mean
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id, value, n_prev AS n_prior
+        |FROM ordered WHERE n_prev >= 3 AND value > 5 * prev_mean""".stripMargin,
 
     "q61_heavy_hitters" ->
       """SELECT token, count(*) AS est

@@ -150,10 +150,19 @@ object EventsStream {
 
   final case class EventRow(event_id: Long, ts: java.sql.Timestamp,
                             user_id: Long, event_type: String, value: Double)
-  final case class UserStats(n: Long, mean: Double)
+  final case class UserStats(n: Long, sum: Double)
   final case class Anomaly(user_id: Long, event_id: Long, value: Double,
-                           running_mean: Double)
+                           running_mean: Double, n_prior: Long)
 
+  /** Per-user running-mean anomaly detector. State is (n, Σ) rather
+    * than a Welford mean: the mean is then the plain sum-then-divide a
+    * batch window formulation computes. NOTE for external comparison:
+    * the anomaly SET is replayable in SQL, but the mean itself is not
+    * bit-portable (segment-tree vs sequential summation, and 2-decimal
+    * inputs put many means exactly on decimal rounding boundaries) —
+    * q62 therefore exposes the exact integer `n_prior` and leaves
+    * `running_mean` as a diagnostic column.
+    */
   def detectAnomalies(events: Dataset[EventRow], k: Double = 5.0)
                      (implicit enc1: org.apache.spark.sql.Encoder[Anomaly])
   : Dataset[Anomaly] = {
@@ -166,9 +175,9 @@ object EventsStream {
           val out = scala.collection.mutable.ArrayBuffer[Anomaly]()
           // order within the batch for deterministic running stats
           rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            if (st.n >= 3 && e.value > k * st.mean)
-              out += Anomaly(uid, e.event_id, e.value, st.mean)
-            st = UserStats(st.n + 1, st.mean + (e.value - st.mean) / (st.n + 1))
+            if (st.n >= 3 && e.value > k * (st.sum / st.n))
+              out += Anomaly(uid, e.event_id, e.value, st.sum / st.n, st.n)
+            st = UserStats(st.n + 1, st.sum + e.value)
           }
           state.update(st)
           out.iterator

@@ -146,6 +146,32 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(ctx.reportPath).count() === 2)
   }
 
+  test("staging materializes as a VIEW (zero-copy over the warehouse), " +
+    "marts as TABLES (dbt materialization parity)") {
+    val work = tmpDir("pipemat")
+    val ctx = RunContext("b1", work)
+    standardBatch(spark).write.mode(SaveMode.Overwrite).parquet(ctx.rawPath)
+    PipelineRunner.run(spark, ctx)
+
+    // staging: a catalog view, not a physical copy
+    assert(spark.catalog.tableExists("stg_weather_hourly"))
+    assert(spark.table("stg_weather_hourly").count() === 9)
+    assert(!new java.io.File(s"$work/stg_weather_hourly").exists())
+    // marts: physical parquet tables
+    assert(new java.io.File(s"$work/fact_weather_hourly").isDirectory)
+    assert(new java.io.File(s"$work/dim_location").isDirectory)
+
+    // zero-copy: after an external warehouse write, re-issuing the
+    // view DDL (what a dbt view "run" is — no data movement) surfaces
+    // the new rows; no mart rebuild, no staging rewrite
+    val extra = spark.table("stg_weather_hourly").limit(1)
+      .withColumn("city", lit("Xtown"))
+    extra.write.partitionBy("dt").mode(SaveMode.Append)
+      .parquet(ctx.warehousePath)
+    assert(PipelineRunner.refreshStagingView(spark, ctx).count() === 10)
+    assert(!new java.io.File(s"$work/stg_weather_hourly").exists())
+  }
+
   test("quality report persists parquet_path, JSON counts, and details " +
     "(staging_schema.sql field parity)") {
     val work = tmpDir("pipereport")
