@@ -393,6 +393,24 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
     }),
 
+    // Bloom-pruned join: the selective small side (≈10% of orders)
+    // builds a distributed CM/Bloom sketch; lineitem is membership-
+    // filtered BEFORE the join's shuffle (no false negatives — CM
+    // error is one-sided — so the result equals the plain join, which
+    // is exactly what the oracle checks).
+    "q63_bloom_join" -> ((s, d) => {
+      val small = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 250000)
+      graft.operators.BloomJoin.prunedJoin(
+          Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice"),
+          small.select("o_orderkey", "o_orderstatus"),
+          "l_orderkey", "o_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum("l_extendedprice"), 2).as("revenue"))
+    }),
+
     // Custom streaming state (flatMapGroupsWithState): per-user running
     // mean with anomaly emission (value > 5× the mean of all PRIOR
     // events). With AvailableNow over a single source file the whole
@@ -1017,6 +1035,13 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q63_bloom_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000
+        |GROUP BY o_orderstatus""".stripMargin,
 
     "q62_stream_anomaly" ->
       """WITH ordered AS (

@@ -84,6 +84,35 @@ class CountMinSpec extends SparkSpec {
       spark.conf.set("spark.sql.codegen.fallback", _))
   }
 
+  test("bloom-pruned join: result identical to the plain join, big " +
+    "side genuinely pruned, no false negatives") {
+    val lineitem = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_extendedprice")
+    val small = spark.read
+      .parquet("/root/testdata/sf0.001/orders.parquet")
+      .filter($"o_totalprice" > 250000)
+      .select("o_orderkey", "o_orderstatus")
+
+    val plain = lineitem.join(small, $"l_orderkey" === $"o_orderkey")
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pruned = graft.operators.BloomJoin.prunedJoin(
+        lineitem, small, "l_orderkey", "o_orderkey")
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pruned === plain)
+
+    // the membership filter must actually drop rows (selective small
+    // side) while keeping every true match
+    val surviving = graft.operators.BloomJoin.pruneByMembership(
+      lineitem, "l_orderkey", small, "o_orderkey").count()
+    val trueMatches = lineitem
+      .join(small, $"l_orderkey" === $"o_orderkey", "left_semi").count()
+    assert(surviving < lineitem.count(), "filter pruned nothing")
+    assert(surviving >= trueMatches, "false negative: true match dropped")
+  }
+
   test("null inputs are skipped (countDistinct-style semantics)") {
     val df = Seq(Some("a"), None, Some("a"), Some("b")).toDF("x")
     val sk = df.agg(call_function("graft_count_min",
