@@ -393,6 +393,30 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
     }),
 
+    // Sequence packing: concatenate-then-chunk docs into 2048-token
+    // bins per source shard (deterministic id order) — the pretraining
+    // context-window packing op as pure window arithmetic.
+    "q64_sequence_pack" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("n_tok"))
+      graft.operators.SequencePack.pack(docs, "source", "doc_id",
+          "n_tok", budget = 2048)
+        .select(col("source"), col("doc_id"), col("n_tok"),
+          col("bin"), col("bin_offset"))
+    }),
+
+    // End-to-end corpus dedup: MinHash pair graph → connected
+    // components → keep the min-id member of every cluster plus all
+    // unpaired docs (the actual "write the deduplicated corpus" step).
+    "q65_dedup_corpus" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      graft.operators.Components.dedupCorpus(docs, "doc_id", pairs)
+        .select(col("doc_id"), col("source"))
+    }),
+
     // Bloom-pruned join: the selective small side (≈10% of orders)
     // builds a distributed CM/Bloom sketch; lineitem is membership-
     // filtered BEFORE the join's shuffle (no false negatives — CM
@@ -1035,6 +1059,36 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q64_sequence_pack" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t <> '')) AS INT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS cum_excl
+        |  FROM d)
+        |SELECT source, doc_id, n_tok,
+        |  cum_excl // 2048 AS bin, cum_excl % 2048 AS bin_offset
+        |FROM c""".stripMargin,
+
+    // Corpus keep-list: transitive closure over the exact pair graph,
+    // then everything except non-canonical cluster members.
+    "q65_dedup_corpus" ->
+      (ngramJaccardPairsCte +
+        """,
+          |ed AS (SELECT id_a AS s, id_b AS d FROM jpairs
+          |       UNION SELECT id_b, id_a FROM jpairs),
+          |reach AS (
+          |  SELECT s AS id, s AS comp FROM ed
+          |  UNION
+          |  SELECT ed.d, reach.comp FROM reach JOIN ed ON ed.s = reach.id),
+          |lab AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+          |SELECT doc_id, source FROM documents
+          |WHERE doc_id NOT IN (SELECT id FROM lab WHERE id <> component)""".stripMargin),
 
     "q63_bloom_join" ->
       """SELECT o_orderstatus, count(*) AS n_items,

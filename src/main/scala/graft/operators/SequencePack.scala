@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training-data preparation: documents are
+  * concatenated in a deterministic order and chunked into fixed
+  * token-budget bins (context windows). Each doc gets the bin index
+  * where it STARTS and its token offset within that bin — the
+  * concatenate-then-chunk scheme standard in pretraining pipelines
+  * (docs may straddle bin boundaries; the consumer slices).
+  *
+  * Scale design: packing is PER SHARD (`shardCol`) — a window
+  * partitioned by shard and ordered by id is one shuffle with
+  * parallelism = #shards. A single global packing order would be a
+  * one-partition window (scale killer); per-shard packing is also what
+  * real pipelines do, since shards are the unit of training-file
+  * output. Pure integer window arithmetic — fully oracle-able.
+  */
+object SequencePack {
+
+  /** @param df        corpus
+    * @param shardCol  packing shard (e.g. source); parallelism unit
+    * @param idCol     deterministic order within the shard
+    * @param nTokCol   per-doc token count column
+    * @param budget    tokens per bin (context length)
+    * @return df + (cum_excl, bin, bin_offset): doc starts in `bin` at
+    *         `bin_offset`; cum_excl is the exclusive running total.
+    */
+  def pack(df: DataFrame, shardCol: String, idCol: String,
+           nTokCol: String, budget: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(shardCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_excl",
+        sum(col(nTokCol)).over(w) - col(nTokCol))
+      .withColumn("bin", (col("cum_excl") / budget).cast("bigint"))
+      .withColumn("bin_offset", col("cum_excl") % budget)
+  }
+}

@@ -108,6 +108,23 @@ class SimilarityTextSpec extends SparkSpec {
     assert(d1(1)._2 === "spark" && d1(1)._4 === 0.0)
   }
 
+  test("sequence packing: contiguous fill per shard, straddle allowed, " +
+    "shards independent") {
+    val docs = Seq(
+      ("A", 1L, 1000), ("A", 2L, 1500), ("A", 3L, 100),
+      ("B", 10L, 2048), ("B", 11L, 1)
+    ).toDF("source", "doc_id", "n_tok")
+    val out = graft.operators.SequencePack
+      .pack(docs, "source", "doc_id", "n_tok", budget = 2048)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getAs[Long]("bin"), r.getAs[Long]("bin_offset"))).toMap
+    assert(out(("A", 1L)) === (0L, 0L))
+    assert(out(("A", 2L)) === (0L, 1000L)) // starts in bin 0, straddles into 1
+    assert(out(("A", 3L)) === (1L, 452L))  // 2500 % 2048
+    assert(out(("B", 10L)) === (0L, 0L))   // shard B packs independently
+    assert(out(("B", 11L)) === (1L, 0L))   // exactly-full bin rolls over
+  }
+
   test("fingerprint is order-sensitive; shingles correct") {
     val fps = Seq("a b c", "c b a").toDF("text")
       .select(TextFunctions.fingerprint($"text")).collect().map(_.getLong(0))
