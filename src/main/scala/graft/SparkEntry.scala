@@ -393,6 +393,30 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
     }),
 
+    // Incremental staging: readStream over the raw layer + foreachBatch
+    // keyed merge — two AvailableNow passes where the second sees ONLY
+    // the newly-landed files (file-source checkpoint) yet the upsert
+    // converges to the same warehouse state a full rebuild would give.
+    // Side-effecting streaming pipeline → rows-only check.
+    "q66_incremental_staging" -> ((s, d) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("q66_inc").toString
+      val rawDir = s"$work/raw"
+      val wh = s"$work/warehouse"
+      val ckpt = s"$work/ckpt"
+      // first landing: 2 cities
+      WeatherDemo.syntheticRaw(s, cities = 2, hours = 12)
+        .write.mode("append").parquet(rawDir)
+      graft.streaming.IncrementalStaging.runOnce(s, rawDir, wh, ckpt)
+      // second landing: 4 cities (2 overlap → upserted, 2 new)
+      WeatherDemo.syntheticRaw(s, cities = 4, hours = 12)
+        .write.mode("append").parquet(rawDir)
+      graft.streaming.IncrementalStaging.runOnce(s, rawDir, wh, ckpt)
+      s.read.parquet(wh).groupBy("city")
+        .agg(count(lit(1)).as("n_rows"),
+          round(avg("temperature_c"), 4).as("avg_temp"))
+    }),
+
     // Sequence packing: concatenate-then-chunk docs into 2048-token
     // bins per source shard (deterministic id order) — the pretraining
     // context-window packing op as pure window arithmetic.

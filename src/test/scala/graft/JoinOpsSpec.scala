@@ -120,6 +120,21 @@ class JoinOpsSpec extends SparkSpec {
       graft.functions.GraftFunctions.cosineBuilder(Seq.empty)
     }
     assert(err.getMessage.contains("2 arguments"))
+    // the full function family rides the same injection path
+    intercept[IllegalArgumentException] {
+      graft.functions.GraftFunctions.countMinBuilder(Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.GraftFunctions.cmEstimateBuilder(Seq.empty)
+    }
+    // depth/width must be literals (plan-time parameters, not columns)
+    intercept[IllegalArgumentException] {
+      graft.functions.GraftFunctions.countMinBuilder(Seq(
+        org.apache.spark.sql.catalyst.expressions.Literal(1L),
+        org.apache.spark.sql.catalyst.expressions.AttributeReference(
+          "d", org.apache.spark.sql.types.IntegerType)(),
+        org.apache.spark.sql.catalyst.expressions.Literal(8)))
+    }
   }
 
   test("graft_cosine handles nulls and zero vectors") {
