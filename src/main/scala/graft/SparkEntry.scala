@@ -441,6 +441,29 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    // Sliding-window chunk plan (RAG prep): 64-token chunks, 16-token
+    // overlap — generator arithmetic, no shuffle.
+    "q67_chunk_plan" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n_tok"))
+      graft.operators.SequencePack
+        .slidingChunks(docs, "doc_id", "n_tok", chunkSize = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_idx"), col("tok_start"),
+          col("tok_len"))
+    }),
+
+    // Deterministic weighted sampling without replacement (A-ES keys
+    // from md5-derived uniforms): top-3 docs per source weighted by
+    // length — the reproducible quality-weighted corpus-selection op.
+    "q68_weighted_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          col("n_chars").cast("double").as("w"))
+      graft.operators.WeightedSample
+        .topKPerGroup(docs, "source", "doc_id", "w", k = 3)
+        .select(col("source"), col("doc_id"), col("sample_rank"))
+    }),
+
     // Bloom-pruned join: the selective small side (≈10% of orders)
     // builds a distributed CM/Bloom sketch; lineitem is membership-
     // filtered BEFORE the join's shuffle (no false negatives — CM
@@ -1083,6 +1106,40 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q67_chunk_plan" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t <> '')) AS INT) AS n_tok
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(s // 48 AS INT) AS chunk_idx,
+        |  CAST(s AS INT) AS tok_start,
+        |  CAST(least(64, n_tok - s) AS INT) AS tok_len
+        |FROM d, unnest(generate_series(0, greatest(n_tok - 16 - 1, 0), 48)) AS t(s)
+        |WHERE n_tok > 0""".stripMargin,
+
+    "q68_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, n_chars::DOUBLE AS w,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(generate_series(1, 12),
+        |        j -> (strpos('0123456789abcdef',
+        |          substr(md5('epoch0|' || CAST(doc_id AS VARCHAR)),
+        |            CAST(j AS INT), 1)) - 1)::BIGINT)),
+        |      (a, v) -> a * 16 + v) AS h
+        |  FROM documents),
+        |k AS (
+        |  SELECT source, doc_id,
+        |    -ln((h + 1.0) / 281474976710656.0) / w AS key
+        |  FROM d WHERE w > 0),
+        |r AS (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY key, doc_id) AS INT) AS sample_rank
+        |  FROM k)
+        |SELECT source, doc_id, sample_rank FROM r WHERE sample_rank <= 3""".stripMargin,
 
     "q64_sequence_pack" ->
       """WITH d AS (

@@ -38,4 +38,25 @@ object SequencePack {
       .withColumn("bin", (col("cum_excl") / budget).cast("bigint"))
       .withColumn("bin_offset", col("cum_excl") % budget)
   }
+
+  /** Sliding-window chunk plan (retrieval/RAG prep): split each doc
+    * into chunks of `chunkSize` tokens overlapping by `overlap`, as
+    * pure generator arithmetic — one row per (doc, chunk) with the
+    * token start/length to slice. The last chunk may be shorter; every
+    * token is covered; docs shorter than one chunk yield exactly one.
+    * Narrow codegen explode, no shuffle at all (embarrassingly
+    * parallel over docs).
+    */
+  def slidingChunks(df: DataFrame, idCol: String, nTokCol: String,
+                    chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got $overlap/$chunkSize")
+    val step = chunkSize - overlap
+    df.filter(col(nTokCol) > 0)
+      .withColumn("tok_start", explode(sequence(lit(0),
+        greatest(col(nTokCol) - overlap - 1, lit(0)), lit(step))))
+      .withColumn("chunk_idx", (col("tok_start") / step).cast("int"))
+      .withColumn("tok_len",
+        least(lit(chunkSize), col(nTokCol) - col("tok_start")))
+  }
 }

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic weighted sampling without replacement (per group):
+  * the A-ES / Efraimidis–Spirakis scheme — each row draws a uniform
+  * u ∈ (0,1) and the k rows with smallest key = −ln(u)/w win, which is
+  * exactly weighted sampling without replacement. The "random" u is a
+  * 48-bit md5-derived hash of (salt, id), so
+  *
+  *  - re-runs pick the SAME rows (reproducible corpus builds — the
+  *    property q44 gives uniform sampling, extended to weights);
+  *  - the whole thing is two codegen expressions + one per-group
+  *    top-k window: a single shuffle on the group key, no RNG state;
+  *  - changing `salt` re-draws the sample (epochs).
+  *
+  * Typical use: quality-weighted training-corpus selection (weight =
+  * quality score × length).
+  */
+object WeightedSample {
+
+  /** The A-ES sort key. Exposed for oracles/tests: engines that render
+    * md5 identically compute the identical key.
+    */
+  def aesKey(id: org.apache.spark.sql.Column,
+             weight: org.apache.spark.sql.Column,
+             salt: String): org.apache.spark.sql.Column = {
+    // u in (0,1]: (h+1) / 2^48 over the first 12 md5 hex digits
+    val h = conv(substring(md5(concat_ws("|", lit(salt),
+      id.cast("string"))), 1, 12), 16, 10).cast("double")
+    val u = (h + 1.0) / 281474976710656.0
+    -log(u) / weight
+  }
+
+  /** Keep the `k` weighted-sample winners per group. Rows with
+    * non-positive weight are EXCLUDED (a zero-weight row must never be
+    * sampled, even when the group has fewer than k positive rows).
+    */
+  def topKPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                   weightCol: String, k: Int,
+                   salt: String = "epoch0"): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(
+      aesKey(col(idCol), col(weightCol), salt).asc, col(idCol).asc)
+    df.filter(col(weightCol) > 0)
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+}

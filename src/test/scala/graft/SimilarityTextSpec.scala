@@ -125,6 +125,55 @@ class SimilarityTextSpec extends SparkSpec {
     assert(out(("B", 11L)) === (1L, 0L))   // exactly-full bin rolls over
   }
 
+  test("sliding chunks: full coverage with overlap, short docs one " +
+    "chunk, empty docs none") {
+    val docs = Seq((1L, 10), (2L, 6), (3L, 8), (4L, 9), (5L, 0))
+      .toDF("doc_id", "n_tok")
+    val out = graft.operators.SequencePack
+      .slidingChunks(docs, "doc_id", "n_tok", chunkSize = 8, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("chunk_idx"),
+        r.getAs[Int]("tok_start"), r.getAs[Int]("tok_len")))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4)).toSet).toMap
+    assert(out(1L) === Set((0, 0, 8), (1, 6, 4))) // straddle: [0,8) [6,10)
+    assert(out(2L) === Set((0, 0, 6)))            // shorter than a chunk
+    assert(out(3L) === Set((0, 0, 8)))            // exactly one chunk
+    assert(out(4L) === Set((0, 0, 8), (1, 6, 3))) // one extra token
+    assert(!out.contains(5L))                     // empty doc dropped
+    // every token covered: union of [start, start+len) = [0, n_tok)
+    out.foreach { case (id, chunks) =>
+      val covered = chunks.flatMap(c => c._2 until (c._2 + c._3))
+      val n = Map(1L -> 10, 2L -> 6, 3L -> 8, 4L -> 9)(id)
+      assert(covered === (0 until n).toSet, s"doc $id coverage")
+    }
+  }
+
+  test("weighted sampling: deterministic, k per group, zero-weight " +
+    "excluded, heavy weights dominate") {
+    import graft.operators.WeightedSample
+    val docs = ((1L to 200L).map(i => ("g1", i, 1.0)) :+ (("g1", 999L, 5000.0)))
+      .toDF("grp", "id", "w")
+    val pick = WeightedSample.topKPerGroup(docs, "grp", "id", "w", k = 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(pick.size === 3)
+    // weight 5000 vs 200 unit weights: P(miss top-3) is ~(tiny); the
+    // fixed salt makes this a deterministic regression check
+    assert(pick.contains(999L), s"heavy row not sampled: $pick")
+    // re-run identical; different salt redraws
+    val again = WeightedSample.topKPerGroup(docs, "grp", "id", "w", k = 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again === pick)
+    val other = WeightedSample.topKPerGroup(docs, "grp", "id", "w", k = 3,
+      salt = "epoch1").select("id").collect().map(_.getLong(0)).toSet
+    assert(other !== pick) // 1-in-C(200,2)-ish to collide; salt works
+
+    // zero/negative weights never emitted, even with k > positive rows
+    val zw = Seq(("g", 1L, 2.0), ("g", 2L, 0.0), ("g", 3L, -1.0))
+      .toDF("grp", "id", "w")
+    val zPick = WeightedSample.topKPerGroup(zw, "grp", "id", "w", k = 2)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(zPick === Seq(1L))
+  }
+
   test("fingerprint is order-sensitive; shingles correct") {
     val fps = Seq("a b c", "c b a").toDF("text")
       .select(TextFunctions.fingerprint($"text")).collect().map(_.getLong(0))
