@@ -441,6 +441,16 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    // BPE vocabulary learning: the most frequent adjacent symbol pair,
+    // merged iteratively over the word-frequency table (corpus-sized
+    // work is ONE hash-aggregate; rounds run on the word-type table).
+    // Iterative argmax is not SQL-replayable → rows-only; the merge
+    // sequence is deterministic and pinned by a hand-computed spec.
+    "q69_bpe_vocab" -> ((s, d) => {
+      graft.operators.BpeVocab.learnMerges(
+        Tables.documents(s, d), "text", numMerges = 8)
+    }),
+
     // Sliding-window chunk plan (RAG prep): 64-token chunks, 16-token
     // overlap — generator arithmetic, no shuffle.
     "q67_chunk_plan" -> ((s, d) => {

@@ -174,6 +174,41 @@ class SimilarityTextSpec extends SparkSpec {
     assert(zPick === Seq(1L))
   }
 
+  test("BPE merge learning matches the hand-computed classic example; " +
+    "greedy application handles runs") {
+    import graft.operators.BpeVocab
+    // low×3, lower×1, lowest×1 — the Sennrich walkthrough
+    val docs = Seq("low low lower", "low lowest").toDF("text")
+    val merges = BpeVocab.learnMerges(docs, "text", numMerges = 4)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("pair_count")))
+    // r1: (l,o)=5 ties (o,w)=5 → lexicographic; r2: (lo,w)=5;
+    // r3: (low,e)=2; r4: (lowe,r)=1 ties (lowe,s),(s,t) → lexicographic
+    assert(merges.toSeq === Seq(
+      (1, "l", "o", 5L), (2, "lo", "w", 5L),
+      (3, "low", "e", 2L), (4, "lowe", "r", 1L)))
+
+    val toks = BpeVocab.applyMerges(
+        Seq("lowest", "low", "slow").toDF("w"), "w",
+        merges.map(m => (m._2, m._3)).toSeq)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(toks("lowest") === Seq("lowe", "s", "t"))
+    assert(toks("low") === Seq("low"))
+    assert(toks("slow") === Seq("s", "low")) // merges apply inside words
+
+    // greedy run handling: merge (a,a) over "aaaa" → [aa, aa], and
+    // "aaa" → [aa, a] (left-to-right, non-overlapping)
+    val runs = BpeVocab.applyMerges(
+        Seq("aaaa", "aaa").toDF("w"), "w", Seq(("a", "a")))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(runs("aaaa") === Seq("aa", "aa"))
+    assert(runs("aaa") === Seq("aa", "a"))
+
+    // exhaustion: more merges requested than pairs exist → stops early
+    val tiny = BpeVocab.learnMerges(Seq("ab ab").toDF("text"), "text", 10)
+    assert(tiny.count() === 1) // only (a,b) exists
+  }
+
   test("fingerprint is order-sensitive; shingles correct") {
     val fps = Seq("a b c", "c b a").toDF("text")
       .select(TextFunctions.fingerprint($"text")).collect().map(_.getLong(0))
