@@ -441,6 +441,13 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    // Data profiling: per-column nulls/distincts/min/max in ONE fused
+    // aggregate pass + stack unpivot (1 scan regardless of columns).
+    "q70_profile" -> ((s, d) => {
+      graft.operators.Profiling.profile(Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_returnflag", "l_quantity", "l_shipdate"))
+    }),
+
     // BPE vocabulary learning: the most frequent adjacent symbol pair,
     // merged iteratively over the word-frequency table (corpus-sized
     // work is ONE hash-aggregate; rounds run on the word-type table).
@@ -1116,6 +1123,16 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q70_profile" ->
+      Seq("l_orderkey", "l_returnflag", "l_quantity", "l_shipdate").map { c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_s,
+           |  CAST(max($c) AS VARCHAR) AS max_s
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n"),
 
     "q67_chunk_plan" ->
       """WITH d AS (

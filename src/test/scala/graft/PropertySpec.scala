@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Prop.forAll
+import org.scalacheck.{Gen, Test => SCTest}
+
+/** Property tests for the packing/sampling/header operators: invariants
+  * that must hold for ARBITRARY inputs, not just the enumerated
+  * fixtures. Spark jobs per property are tiny (local fixture frames),
+  * so generation counts stay small but adversarial (zeros, exact
+  * multiples, single elements).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sequence packing (property): offsets within budget, bins " +
+    "monotone, exclusive cumsum consistent") {
+    val gen = for {
+      n <- Gen.choose(1, 12)
+      toks <- Gen.listOfN(n, Gen.choose(0, 5000))
+      budget <- Gen.oneOf(64, 1000, 2048)
+    } yield (toks, budget)
+    val prop = forAll(gen) { case (toks, budget) =>
+      val df = toks.zipWithIndex
+        .map { case (t, i) => ("s", i.toLong, t) }
+        .toDF("source", "doc_id", "n_tok")
+      val out = graft.operators.SequencePack
+        .pack(df, "source", "doc_id", "n_tok", budget)
+        .orderBy("doc_id")
+        .select("n_tok", "cum_excl", "bin", "bin_offset")
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val cums = out.scanLeft(0L)(_ + _._1).init
+      out.zip(cums).forall { case ((_, cumExcl, bin, off), expectCum) =>
+        cumExcl == expectCum && off >= 0 && off < budget &&
+          bin == cumExcl / budget
+      } && out.map(_._3).sliding(2).forall {
+        case Array(a, b) => a <= b
+        case _ => true
+      }
+    }
+    val res = SCTest.check(prop)(_.withMinSuccessfulTests(12))
+    assert(res.passed, res.status.toString)
+  }
+
+  test("sliding chunks (property): exact token coverage, chunk sizes " +
+    "bounded, overlap honored") {
+    val gen = for {
+      nTok <- Gen.choose(0, 300)
+      chunk <- Gen.choose(2, 64)
+      overlap <- Gen.choose(0, chunk - 1)
+    } yield (nTok, chunk, overlap)
+    val prop = forAll(gen) { case (nTok, chunk, overlap) =>
+      val out = graft.operators.SequencePack
+        .slidingChunks(Seq((1L, nTok)).toDF("doc_id", "n_tok"),
+          "doc_id", "n_tok", chunk, overlap)
+        .select("tok_start", "tok_len").collect()
+        .map(r => (r.getInt(0), r.getInt(1)))
+      if (nTok == 0) out.isEmpty
+      else {
+        val covered = out.flatMap(c => c._1 until (c._1 + c._2)).toSet
+        covered == (0 until nTok).toSet &&
+          out.forall(c => c._2 >= 1 && c._2 <= chunk) &&
+          out.sortBy(_._1).sliding(2).forall {
+            case Array(a, b) => b._1 == a._1 + (chunk - overlap)
+            case _ => true
+          }
+      }
+    }
+    val res = SCTest.check(prop)(_.withMinSuccessfulTests(15))
+    assert(res.passed, res.status.toString)
+  }
+
+  test("weighted sampling (property): emits min(k, positive rows) per " +
+    "group, never a non-positive weight, ranks contiguous") {
+    val gen = for {
+      n <- Gen.choose(1, 15)
+      weights <- Gen.listOfN(n, Gen.oneOf(0.0, 0.5, 1.0, 10.0, -2.0))
+      k <- Gen.choose(1, 6)
+    } yield (weights, k)
+    val prop = forAll(gen) { case (weights, k) =>
+      val df = weights.zipWithIndex
+        .map { case (w, i) => ("g", i.toLong, w) }.toDF("grp", "id", "w")
+      val out = graft.operators.WeightedSample
+        .topKPerGroup(df, "grp", "id", "w", k)
+        .select("id", "w", "sample_rank").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+      val positives = weights.count(_ > 0)
+      out.length == math.min(k, positives) &&
+        out.forall(_._2 > 0) &&
+        out.map(_._3).sorted.toSeq == (1 to out.length)
+    }
+    val res = SCTest.check(prop)(_.withMinSuccessfulTests(12))
+    assert(res.passed, res.status.toString)
+  }
+
+  test("media headers (property): generated PNG/WAV fixtures always " +
+    "round-trip their header fields") {
+    import graft.operators.MediaHeaders
+    val gen = for {
+      w <- Gen.choose(1, 10000)
+      h <- Gen.choose(1, 10000)
+      rate <- Gen.oneOf(8000, 16000, 22050, 44100)
+      samples <- Gen.choose(0, 100000)
+      channels <- Gen.choose(1, 2)
+    } yield (w, h, rate, samples, channels)
+    val prop = forAll(gen) { case (w, h, rate, samples, channels) =>
+      val png = MediaHeaders.parsePng(MediaHeaders.pngBytes(w, h))
+      val wav = MediaHeaders.parseWav(
+        MediaHeaders.wavBytes(rate, samples, channels))
+      png.contains(MediaHeaders.PngInfo(w, h)) &&
+        wav.exists(i => i.sampleRate == rate && i.channels == channels &&
+          i.durationMs == samples.toLong * 1000 / rate)
+    }
+    val res = SCTest.check(prop)(_.withMinSuccessfulTests(30))
+    assert(res.passed, res.status.toString)
+  }
+}
