@@ -49,6 +49,25 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q67: chunk planning runs with ZERO exchanges (embarrassingly " +
+    "parallel generator)") {
+    val p = plan("q67_chunk_plan")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Generate"), p)
+  }
+
+  test("q64: per-shard packing is exactly one shuffle (the shard window)") {
+    val p = plan("q64_sequence_pack")
+    assert("Exchange".r.findAllIn(p).length === 1, p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q70: profiling scans the table ONCE for all columns") {
+    val p = plan("q70_profile")
+    assert("Scan parquet".r.findAllIn(p).length === 1, p)
+    assert(p.contains("Expand"), p) // fused multi-count-distinct
+  }
+
   test("q8: bounded top-k plans as TakeOrderedAndProject, not global sort") {
     val p = plan("q8_sort_limit")
     assert(p.contains("TakeOrderedAndProject"), p)
