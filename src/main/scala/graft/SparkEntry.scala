@@ -441,6 +441,16 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    // Z-order clustering keys: Morton interleave of (user_id, value
+    // bucket) — the multi-column file-pruning layout key, as one
+    // codegen arithmetic expression (ZOrder.clusterBy applies it to
+    // a range-partitioned sorted write).
+    "q71_zorder_key" -> ((s, d) => {
+      Tables.events(s, d).select(col("event_id"),
+        graft.operators.ZOrder.interleave(
+          col("user_id"), floor(col("value") / 10), bits = 16).as("zkey"))
+    }),
+
     // Data profiling: per-column nulls/distincts/min/max in ONE fused
     // aggregate pass + stack unpivot (1 scan regardless of columns).
     "q70_profile" -> ((s, d) => {
@@ -1123,6 +1133,14 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q71_zorder_key" ->
+      """SELECT event_id,
+        |  CAST(list_sum(list_transform(generate_series(0, 15),
+        |    b -> ((((user_id & 65535) >> b) & 1) << (2*b))
+        |       + ((((CAST(floor(value / 10) AS BIGINT) & 65535) >> b) & 1) << (2*b+1))))
+        |    AS BIGINT) AS zkey
+        |FROM events""".stripMargin,
 
     "q70_profile" ->
       Seq("l_orderkey", "l_returnflag", "l_quantity", "l_shipdate").map { c =>

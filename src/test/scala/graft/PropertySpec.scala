@@ -94,6 +94,38 @@ class PropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("z-order key: hand-computed interleave; clusterBy sorts by the " +
+    "key within partitions and preserves rows") {
+    import graft.operators.ZOrder
+    // x=3 (011), y=5 (101): bits land at 1+2+4+32 = 39
+    val key = Seq((3L, 5L)).toDF("x", "y")
+      .select(ZOrder.interleave($"x", $"y").as("z")).head().getLong(0)
+    assert(key === 39L)
+
+    val df = (1L to 100L).map(i => (i, (i * 37) % 100, (i * 53) % 100))
+      .toDF("id", "x", "y")
+    val clustered = ZOrder.clusterBy(df, $"x", $"y", partitions = 4)
+    assert(clustered.count() === 100)
+    // each output partition is sorted by the (recomputed) z key
+    import org.apache.spark.sql.Row
+    val perPart = clustered
+      .withColumn("z", ZOrder.interleave($"x", $"y"))
+      .withColumn("pid", spark_partition_id())
+      .collect().groupBy(_.getAs[Int]("pid"))
+    perPart.values.foreach { rows =>
+      val zs = rows.map(_.getAs[Long]("z")).toSeq
+      assert(zs === zs.sorted, "partition not z-sorted")
+    }
+    // range partitioning: partitions cover disjoint, ordered z ranges
+    val ranges = perPart.toSeq.sortBy(_._1)
+      .map(p => (p._2.map(_.getAs[Long]("z")).min,
+        p._2.map(_.getAs[Long]("z")).max))
+    ranges.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 <= b._1, s"overlapping ranges $a $b")
+      case _ =>
+    }
+  }
+
   test("media headers (property): generated PNG/WAV fixtures always " +
     "round-trip their header fields") {
     import graft.operators.MediaHeaders
