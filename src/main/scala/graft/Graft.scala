@@ -85,4 +85,43 @@ object Graft {
   def intervalJoin(left: DataFrame, right: DataFrame, leftTs: String,
                    rightTs: String, loSec: Long, hiSec: Long): DataFrame =
     RangeJoin.timeRange(left, right, leftTs, rightTs, loSec, hiSec)
+
+  // ------------- training-corpus construction -------------
+  /** Reproducible weighted corpus selection (same salt ⇒ same rows). */
+  def sampleWeighted(df: DataFrame, groupCol: String, idCol: String,
+                     weightCol: String, k: Int,
+                     salt: String = "epoch0"): DataFrame =
+    WeightedSample.topKPerGroup(df, groupCol, idCol, weightCol, k, salt)
+
+  /** Context-window packing plan (concatenate-then-chunk, per shard). */
+  def packSequences(df: DataFrame, shardCol: String, idCol: String,
+                    nTokCol: String, budget: Int): DataFrame =
+    SequencePack.pack(df, shardCol, idCol, nTokCol, budget)
+
+  /** Overlapping retrieval-chunk plan. */
+  def chunkDocs(df: DataFrame, idCol: String, nTokCol: String,
+                chunkSize: Int, overlap: Int): DataFrame =
+    SequencePack.slidingChunks(df, idCol, nTokCol, chunkSize, overlap)
+
+  /** Learn a BPE merge list from the corpus. */
+  def learnBpe(docs: DataFrame, textCol: String, numMerges: Int): DataFrame =
+    BpeVocab.learnMerges(docs, textCol, numMerges)
+
+  // ------------- layout & scan efficiency -------------
+  /** One-pass column profile (nulls / distincts / min / max). */
+  def profile(df: DataFrame, columns: Seq[String]): DataFrame =
+    Profiling.profile(df, columns)
+
+  /** Membership-pruned join: cut the big side's shuffle to keys that
+    * can match the (selective) small side. Result ≡ the plain join.
+    */
+  def joinPruned(big: DataFrame, small: DataFrame,
+                 bigKey: String, smallKey: String): DataFrame =
+    BloomJoin.prunedJoin(big, small, bigKey, smallKey)
+
+  /** Z-order layout rewrite for two-column min/max pruning. */
+  def zorderCluster(df: DataFrame, x: org.apache.spark.sql.Column,
+                    y: org.apache.spark.sql.Column,
+                    partitions: Int): DataFrame =
+    ZOrder.clusterBy(df, x, y, partitions)
 }
