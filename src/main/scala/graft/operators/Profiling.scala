@@ -8,11 +8,21 @@ import org.apache.spark.sql.functions._
   * type) — the "describe the table before you trust it" step of any
   * ingestion pipeline.
   *
-  * Scale design: ONE aggregate job regardless of column count — all
-  * per-column aggregates fuse into a single pass with map-side
-  * partials (multiple exact count-distincts plan as one Expand +
-  * aggregate). The wide 1-row result is then unpivoted driver-free
-  * with `stack`. At 100 TB this is 1 scan, not 4·columns scans.
+  * Scale design: TWO aggregate passes regardless of column count, each
+  * shaped for its aggregates' physical operator:
+  *
+  *  - null counts + exact distincts fuse into one Expand +
+  *    HASH-aggregate (values become grouping keys; counters are longs
+  *    — fully hash- and map-side-combinable);
+  *  - min/max run in a separate NO-GROUPING aggregate: string and
+  *    timestamp min/max buffers are not hash-aggregatable, and putting
+  *    them inside the Expand pass demotes the WHOLE plan to
+  *    SortAggregate with two sorts over the expanded rows (measured
+  *    ~2× slower end-to-end); with no grouping keys the sort-based
+  *    operator degenerates to a straight fold — scan cost only.
+  *
+  * The two 1-row results cross-join trivially and unpivot driver-free
+  * with `stack`. At 100 TB: 2 scans, not 4·columns scans.
   */
 object Profiling {
 
@@ -21,14 +31,17 @@ object Profiling {
     */
   def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
     require(columns.nonEmpty, "profile needs at least one column")
-    val aggs = columns.flatMap { c =>
+    val countingAggs = columns.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null__$c"),
-        count_distinct(col(c)).as(s"dist__$c"),
-        min(col(c)).cast("string").as(s"min__$c"),
-        max(col(c)).cast("string").as(s"max__$c"))
+        count_distinct(col(c)).as(s"dist__$c"))
     } :+ count(lit(1)).as("n_rows")
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rangeAggs = columns.flatMap { c =>
+      Seq(min(col(c)).cast("string").as(s"min__$c"),
+        max(col(c)).cast("string").as(s"max__$c"))
+    }
+    val wide = df.agg(countingAggs.head, countingAggs.tail: _*)
+      .crossJoin(df.agg(rangeAggs.head, rangeAggs.tail: _*))
 
     val stackArgs = columns.map { c =>
       s"'$c', `null__$c`, `dist__$c`, `min__$c`, `max__$c`"

@@ -62,10 +62,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
-  test("q70: profiling scans the table ONCE for all columns") {
+  test("q70: profiling is two fixed passes (hash-agg counts, fold " +
+    "min/max) regardless of column count") {
     val p = plan("q70_profile")
-    assert("Scan parquet".r.findAllIn(p).length === 1, p)
+    assert("Scan parquet".r.findAllIn(p).length === 2, p)
     assert(p.contains("Expand"), p) // fused multi-count-distinct
+    // the expanded counting pass must stay HASH-aggregated: min/max
+    // string buffers in the same pass would demote it to SortAggregate
+    assert(p.contains("HashAggregate"), p)
   }
 
   test("q8: bounded top-k plans as TakeOrderedAndProject, not global sort") {
