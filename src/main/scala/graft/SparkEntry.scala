@@ -443,6 +443,32 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    // Benchmark decontamination: flag corpus docs sharing any word
+    // 4-gram with a held-out "benchmark" set (here: docs 0-4) — the
+    // training-data hygiene step that keeps eval sets out of the
+    // corpus. Pure shingle equi-join on ids+grams. (Real deployments
+    // use 8-13-gram windows; this corpus's tiny vocabulary needs 4 to
+    // have collisions at all.)
+    "q72_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = Dedup.shingleRows(
+        docs.filter(col("doc_id") < 5), "text", "doc_id", n = 4)
+        .select(col("id").as("bench_id"), col("g"))
+      val corpus = Dedup.shingleRows(
+        docs.filter(col("doc_id") >= 5), "text", "doc_id", n = 4)
+        .select(col("id").as("doc_id"), col("g"))
+      corpus.join(bench, "g")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("g")).as("n_shared_grams"),
+          min("bench_id").as("first_bench_hit"))
+    }),
+
+    // Intra-doc repetition (duplicate-trigram fraction) — the
+    // boilerplate/spam quality rule.
+    "q73_repetition" -> ((s, d) =>
+      graft.functions.TextFunctions.repetitionScore(
+        Tables.documents(s, d), "text", "doc_id", n = 3)),
+
     // Z-order clustering keys: Morton interleave of (user_id, value
     // bucket) — the multi-column file-pruning layout key, as one
     // codegen arithmetic expression (ZOrder.clusterBy applies it to
@@ -1135,6 +1161,40 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q72_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |    t -> t <> '') AS ts
+        |  FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(ts) < 4 THEN [array_to_string(ts, ' ')]
+        |         ELSE list_transform(generate_series(1, len(ts) - 3),
+        |              i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+        |                   ts[i+3]) END)) AS g
+        |  FROM tok WHERE len(ts) > 0)
+        |SELECT c.doc_id AS doc_id, count(DISTINCT c.g) AS n_shared_grams,
+        |  min(b.doc_id) AS first_bench_hit
+        |FROM g0 c JOIN g0 b ON c.g = b.g AND b.doc_id < 5 AND c.doc_id >= 5
+        |GROUP BY c.doc_id""".stripMargin,
+
+    "q73_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |    t -> t <> '') AS ts
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |         ELSE list_transform(generate_series(1, len(ts) - 2),
+        |              i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END) AS g
+        |  FROM tok WHERE len(ts) > 0)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  count(DISTINCT g) AS n_distinct_grams,
+        |  round(1.0 - count(DISTINCT g)::DOUBLE / count(*)::DOUBLE, 4)
+        |    AS repetition
+        |FROM g GROUP BY doc_id""".stripMargin,
 
     "q71_zorder_key" ->
       """SELECT event_id,

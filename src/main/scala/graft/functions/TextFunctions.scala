@@ -166,6 +166,39 @@ object TextFunctions {
         col("tfidf"), col("rank"))
   }
 
+  /** Intra-document repetition score (the Gopher/RefinedWeb-style
+    * quality rule "too many repeated n-grams ⇒ boilerplate/spam"):
+    * 1 − distinct/total word n-grams per doc. Totals need the
+    * NON-distinct gram stream, so this is its own explode + one
+    * count/count-distinct aggregate (codegen, map-side combinable);
+    * docs shorter than n tokens score 0 (their single whole-doc gram
+    * cannot repeat). Returns (idCol, n_grams, n_distinct_grams,
+    * repetition).
+    */
+  def repetitionScore(df: org.apache.spark.sql.DataFrame, textCol: String,
+                      idCol: String, n: Int = 3)
+  : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+      posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("p", "t")))
+      .filter(col("t") =!= "")
+    val w = Window.partitionBy(idCol).orderBy("p")
+    val gram = concat_ws(" ",
+      col("t") +: (1 until n).map(k => lead(col("t"), k).over(w)): _*)
+    toks
+      .withColumn("n_tok", count(lit(1)).over(Window.partitionBy(idCol)))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("g", gram)
+      .filter(col("rn") <= col("n_tok") - n + 1 ||
+        (col("n_tok") < n && col("rn") === 1))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("g")).as("n_distinct_grams"))
+      .withColumn("repetition",
+        round(lit(1.0) - col("n_distinct_grams").cast("double") /
+          col("n_grams").cast("double"), 4))
+  }
+
   /** DataFrame-level language ID: codegen'd explode + one conditional-
     * sum per language profile + argmax — the bulk form of `langId`
     * (whose array lambdas run interpreted). Returns (idCol...,

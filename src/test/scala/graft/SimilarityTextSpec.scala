@@ -174,6 +174,41 @@ class SimilarityTextSpec extends SparkSpec {
     assert(zPick === Seq(1L))
   }
 
+  test("repetition score: fully repeated doc near 1, unique doc 0, " +
+    "short docs 0") {
+    val docs = Seq(
+      (1L, "a b c a b c a b c a b c"), // trigrams: 10 total, 3 distinct
+      (2L, "one two three four five six"),
+      (3L, "hi there")).toDF("doc_id", "text")
+    val out = TextFunctions.repetitionScore(docs, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_distinct_grams"),
+          r.getAs[Double]("repetition"))).toMap
+    assert(out(1L) === ((10L, 3L, 0.7)))
+    assert(out(2L) === ((4L, 4L, 0.0)))
+    assert(out(3L) === ((1L, 1L, 0.0))) // whole-doc gram can't repeat
+  }
+
+  test("decontamination: corpus docs sharing a benchmark n-gram are " +
+    "flagged, clean docs are not") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"), // benchmark
+      (10L, "totally unrelated content about query engines"),
+      (11L, "he said the quick brown fox appeared at dawn"), // contains 4-gram
+      (12L, "quick brown dog fox")).toDF("doc_id", "text")
+    val bench = graft.operators.Dedup.shingleRows(
+      docs.filter($"doc_id" < 5), "text", "doc_id", n = 4)
+      .select($"id".as("bench_id"), $"g")
+    val corpus = graft.operators.Dedup.shingleRows(
+      docs.filter($"doc_id" >= 5), "text", "doc_id", n = 4)
+      .select($"id".as("doc_id"), $"g")
+    val flagged = corpus.join(bench, "g")
+      .groupBy("doc_id")
+      .agg(countDistinct($"g").as("n_shared_grams"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged === Map(11L -> 1L)) // "the quick brown fox"
+  }
+
   test("BPE merge learning matches the hand-computed classic example; " +
     "greedy application handles runs") {
     import graft.operators.BpeVocab
