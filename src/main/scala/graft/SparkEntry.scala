@@ -443,6 +443,17 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    // Deterministic hash-based train/val/test split: docs keep their
+    // split as the corpus grows (unlike positional slicing); salt
+    // re-deals. Output both the per-doc assignment sample and the
+    // split-size distribution per source.
+    "q74_split_assign" -> ((s, d) => {
+      graft.operators.WeightedSample
+        .splitAssign(Tables.documents(s, d), "doc_id")
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
+    }),
+
     // Benchmark decontamination: flag corpus docs sharing any word
     // 4-gram with a held-out "benchmark" set (here: docs 0-4) — the
     // training-data hygiene step that keeps eval sets out of the
@@ -1161,6 +1172,23 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q74_split_assign" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(generate_series(1, 12),
+        |        j -> (strpos('0123456789abcdef',
+        |          substr(md5('epoch0|' || CAST(doc_id AS VARCHAR)),
+        |            CAST(j AS INT), 1)) - 1)::BIGINT)),
+        |      (a, v) -> a * 16 + v) % 100 AS bucket
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN bucket < 90 THEN 'train'
+        |       WHEN bucket < 95 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n_docs, min(doc_id) AS min_doc
+        |FROM d GROUP BY 1, 2""".stripMargin,
 
     "q72_decontaminate" ->
       """WITH tok AS (

@@ -34,6 +34,26 @@ object WeightedSample {
     -log(u) / weight
   }
 
+  /** Deterministic train/val/test split assignment: hash the id into
+    * 100 buckets (same md5-derived uniform as the sampler — salt
+    * changes re-deal the split) and carve [0,train), [train,
+    * train+val), rest. Hash-based splits survive corpus growth: a doc
+    * keeps its split when new data lands, unlike row-number slicing.
+    */
+  def splitAssign(df: DataFrame, idCol: String,
+                  trainPct: Int = 90, valPct: Int = 5,
+                  salt: String = "epoch0"): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"bad split $trainPct/$valPct")
+    val h = conv(substring(md5(concat_ws("|", lit(salt),
+      col(idCol).cast("string"))), 1, 12), 16, 10).cast("bigint")
+    val bucket = h % 100
+    df.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
   /** Keep the `k` weighted-sample winners per group. Rows with
     * non-positive weight are EXCLUDED (a zero-weight row must never be
     * sampled, even when the group has fewer than k positive rows).

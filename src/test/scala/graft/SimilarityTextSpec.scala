@@ -174,6 +174,27 @@ class SimilarityTextSpec extends SparkSpec {
     assert(zPick === Seq(1L))
   }
 
+  test("split assignment: stable under corpus growth, proportions " +
+    "sane, salt re-deals") {
+    import graft.operators.WeightedSample
+    val small = (1L to 500L).toDF("doc_id")
+    val grown = (1L to 1000L).toDF("doc_id")
+    def assign(df: org.apache.spark.sql.DataFrame, salt: String = "epoch0") =
+      WeightedSample.splitAssign(df, "doc_id", salt = salt)
+        .collect().map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    val a = assign(small)
+    val b = assign(grown)
+    // every original doc keeps its split when the corpus doubles
+    assert(a.forall { case (id, s) => b(id) == s })
+    // rough proportions (binomial bounds, deterministic given the hash)
+    val counts = b.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 850 && counts("train") < 950, counts.toString)
+    assert(counts("val") + counts("test") == 1000 - counts("train"))
+    // salt re-deals at least some docs
+    val redealt = assign(small, salt = "epoch1")
+    assert(a.exists { case (id, s) => redealt(id) != s })
+  }
+
   test("repetition score: fully repeated doc near 1, unique doc 0, " +
     "short docs 0") {
     val docs = Seq(
