@@ -443,6 +443,13 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    // Corpus-trained bigram-LM perplexity (CCNet-style quality filter,
+    // no external model): Laplace-smoothed bigram probabilities from
+    // two count aggregates, folded per doc.
+    "q75_perplexity" -> ((s, d) =>
+      graft.functions.TextFunctions.bigramPerplexity(
+        Tables.documents(s, d), "text", "doc_id")),
+
     // Deterministic hash-based train/val/test split: docs keep their
     // split as the corpus grows (unlike positional slicing); salt
     // re-deals. Output both the per-doc assignment sample and the
@@ -1172,6 +1179,28 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q75_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |    t -> t <> '') AS ts
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(ts) AS t,
+        |    unnest(generate_series(1, len(ts))) AS p
+        |  FROM tok WHERE len(ts) > 0),
+        |bigr AS (
+        |  SELECT doc_id, w1, w2 FROM (
+        |    SELECT doc_id, t AS w1,
+        |      lead(t) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+        |    FROM toks) x WHERE w2 IS NOT NULL),
+        |uni AS (SELECT t AS w1, count(*) AS c1 FROM toks GROUP BY 1),
+        |bi AS (SELECT w1, w2, count(*) AS c2 FROM bigr GROUP BY 1, 2),
+        |v AS (SELECT count(*)::DOUBLE AS vv FROM uni)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(exp(-sum(ln((c2 + 1.0) / (c1 + vv))) / count(*)), 4) AS ppl
+        |FROM bigr JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+        |GROUP BY doc_id""".stripMargin,
 
     "q74_split_assign" ->
       """WITH d AS (

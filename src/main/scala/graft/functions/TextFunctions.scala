@@ -199,6 +199,45 @@ object TextFunctions {
           col("n_grams").cast("double"), 4))
   }
 
+  /** Corpus-trained bigram-LM perplexity per document — the CCNet-
+    * style "how surprising is this text under a language model"
+    * quality signal, with the LM trained ON the corpus itself (no
+    * model file): Laplace-smoothed P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V).
+    *
+    * Scale shape: two hash-aggregates build the unigram and bigram
+    * count tables (vocabulary-sized), the corpus bigram stream joins
+    * against them (broadcast when small, shuffle when not — Spark
+    * picks), and one aggregate folds per-doc log-probabilities.
+    * Docs with < 2 tokens have no bigrams and drop out. Returns
+    * (idCol, n_bigrams, ppl) with ppl = exp(−Σ ln P / n) rounded.
+    */
+  def bigramPerplexity(df: org.apache.spark.sql.DataFrame, textCol: String,
+                       idCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+      posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("p", "t")))
+      .filter(col("t") =!= "")
+    val w = Window.partitionBy(idCol).orderBy("p")
+    val bigrams = toks
+      .withColumn("w2", lead(col("t"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col(idCol), col("t").as("w1"), col("w2"))
+    val uni = toks.groupBy(col("t").as("w1"))
+      .agg(count(lit(1)).as("c1"))
+    val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    // V as a lazy 1-row broadcast (same pattern as TF-IDF's N)
+    val v = uni.agg(count(lit(1)).cast("double").as("__v"))
+    bigrams
+      .join(bi, Seq("w1", "w2"))
+      .join(uni, "w1")
+      .crossJoin(broadcast(v))
+      .withColumn("logp",
+        log((col("c2") + 1.0) / (col("c1") + col("__v"))))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(exp(-sum(col("logp")) / count(lit(1))), 4).as("ppl"))
+  }
+
   /** DataFrame-level language ID: codegen'd explode + one conditional-
     * sum per language profile + argmax — the bulk form of `langId`
     * (whose array lambdas run interpreted). Returns (idCol...,

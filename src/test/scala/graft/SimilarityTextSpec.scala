@@ -195,6 +195,20 @@ class SimilarityTextSpec extends SparkSpec {
     assert(a.exists { case (id, s) => redealt(id) != s })
   }
 
+  test("bigram perplexity: hand-computed Laplace-smoothed values; " +
+    "short docs drop out") {
+    val docs = Seq((1L, "a b a b"), (2L, "x y"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextFunctions.bigramPerplexity(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("ppl"))).toMap
+    // V=5 (a,b,x,y,solo); P(b|a)=(2+1)/(2+5)=3/7, P(a|b)=(1+1)/(2+5)=2/7,
+    // P(y|x)=(1+1)/(1+5)=1/3. doc1: (18/343)^(-1/3) ≈ 2.6710; doc2: 3.0
+    assert(out(1L) === ((3L, 2.671)))
+    assert(out(2L) === ((1L, 3.0)))
+    assert(!out.contains(3L)) // no bigrams
+  }
+
   test("repetition score: fully repeated doc near 1, unique doc 0, " +
     "short docs 0") {
     val docs = Seq(
