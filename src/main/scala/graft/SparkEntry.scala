@@ -443,6 +443,13 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    // int8 embedding quantization: per-dimension affine codes + the
+    // reconstruction-error report a pipeline gates on before swapping
+    // float vectors for int8 (4x vector-store compression).
+    "q76_quantize_int8" -> ((s, d) =>
+      graft.functions.VectorFunctions.quantizeInt8Error(
+        Tables.embeddings(s, d), "embedding", "vec_id")),
+
     // Corpus-trained bigram-LM perplexity (CCNet-style quality filter,
     // no external model): Laplace-smoothed bigram probabilities from
     // two count aggregates, folded per doc.
@@ -1179,6 +1186,24 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q76_quantize_int8" ->
+      """WITH v AS (
+        |  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+        |    unnest(generate_series(0, len(embedding) - 1)) AS p
+        |  FROM embeddings),
+        |st AS (
+        |  SELECT p, min(x) AS lo, max(x) AS hi,
+        |    (max(x) - min(x)) / 255.0 AS scale
+        |  FROM v GROUP BY p),
+        |e AS (
+        |  SELECT vec_id,
+        |    abs(x - (lo + (CASE WHEN scale > 0
+        |      THEN round((x - lo) / scale) ELSE 0.0 END) * scale)) AS err
+        |  FROM v JOIN st USING (p))
+        |SELECT vec_id, round(max(err), 6) AS max_abs_err,
+        |  round(avg(err * err), 6) AS mse
+        |FROM e GROUP BY vec_id""".stripMargin,
 
     "q75_perplexity" ->
       """WITH tok AS (

@@ -51,6 +51,35 @@ object VectorFunctions {
         s => s.getField("z")).as(vecCol))
   }
 
+  /** Per-dimension affine int8 quantization of an embedding column —
+    * the 4× storage/bandwidth compression step for large vector
+    * stores: q = round((x − min_d)/scale_d) ∈ [0,255] with
+    * scale_d = (max_d − min_d)/255 from a corpus stats pass.
+    * Zero-variance dimensions quantize to 0 and reconstruct exactly.
+    *
+    * Returns per-row reconstruction diagnostics
+    * (idCol, max_abs_err, mse) — the numbers a pipeline gates on
+    * before swapping float vectors for int8. Two codegen passes
+    * (stats, apply), no driver-side state; the quantized array itself
+    * is `transform`-derivable from the same join when materializing.
+    */
+  def quantizeInt8Error(df: org.apache.spark.sql.DataFrame, vecCol: String,
+                        idCol: String): org.apache.spark.sql.DataFrame = {
+    val pos = df.select(col(idCol),
+      posexplode(col(vecCol)).as(Seq("p", "x")))
+      .select(col(idCol), col("p"), col("x").cast("double").as("x"))
+    val stats = pos.groupBy("p")
+      .agg(min("x").as("lo"), max("x").as("hi"))
+      .withColumn("scale", (col("hi") - col("lo")) / 255.0)
+    pos.join(broadcast(stats), "p")
+      .withColumn("q", when(col("scale") > 0,
+        round((col("x") - col("lo")) / col("scale"))).otherwise(0.0))
+      .withColumn("err", abs(col("x") - (col("lo") + col("q") * col("scale"))))
+      .groupBy(idCol)
+      .agg(round(max("err"), 6).as("max_abs_err"),
+        round(avg(col("err") * col("err")), 6).as("mse"))
+  }
+
   /** Random-hyperplane LSH signature: `bits` sign bits, each from a
     * deterministic pseudo-random hyperplane derived from (seed, bit,
     * dimension) via a hash — no stored projection matrix, so the same

@@ -126,6 +126,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization (property): reconstruction error bounded by " +
+    "half a quantization step; constant dimensions exact") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 50L).map(i => (i,
+      Array(rnd.nextFloat() * 100 - 50, rnd.nextFloat(), 7.5f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.functions.VectorFunctions
+      .quantizeInt8Error(vecs, "embedding", "vec_id")
+      .collect().map(r => (r.getAs[Double]("max_abs_err"),
+        r.getAs[Double]("mse")))
+    // per-dim bound: err <= scale/2 = (hi-lo)/510; dim0 spans <=100,
+    // dim1 <=1, the constant dim contributes 0
+    val bound = 100.0 / 510 + 1e-6
+    out.foreach { case (maxErr, mse) =>
+      assert(maxErr >= 0 && maxErr <= bound, s"err $maxErr > $bound")
+      assert(mse <= bound * bound)
+    }
+    // all-constant input reconstructs exactly
+    val const = Seq((1L, Array(3.0f, 3.0f)), (2L, Array(3.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    graft.functions.VectorFunctions
+      .quantizeInt8Error(const, "embedding", "vec_id")
+      .collect().foreach { r =>
+        assert(r.getAs[Double]("max_abs_err") === 0.0)
+        assert(r.getAs[Double]("mse") === 0.0)
+      }
+  }
+
   test("media headers (property): generated PNG/WAV fixtures always " +
     "round-trip their header fields") {
     import graft.operators.MediaHeaders
