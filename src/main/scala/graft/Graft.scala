@@ -107,6 +107,25 @@ object Graft {
   def learnBpe(docs: DataFrame, textCol: String, numMerges: Int): DataFrame =
     BpeVocab.learnMerges(docs, textCol, numMerges)
 
+  /** Duplicate-n-gram (boilerplate) score per doc. */
+  def repetitionScore(df: DataFrame, textCol: String, idCol: String,
+                      n: Int = 3): DataFrame =
+    TextFunctions.repetitionScore(df, textCol, idCol, n)
+
+  /** Corpus-trained bigram-LM perplexity per doc. */
+  def perplexity(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    TextFunctions.bigramPerplexity(df, textCol, idCol)
+
+  /** Stable hash-based train/val/test assignment. */
+  def splitCorpus(df: DataFrame, idCol: String, trainPct: Int = 90,
+                  valPct: Int = 5, salt: String = "epoch0"): DataFrame =
+    WeightedSample.splitAssign(df, idCol, trainPct, valPct, salt)
+
+  /** int8 quantization reconstruction-error report. */
+  def quantizationError(df: DataFrame, vecCol: String,
+                        idCol: String): DataFrame =
+    graft.functions.VectorFunctions.quantizeInt8Error(df, vecCol, idCol)
+
   // ------------- layout & scan efficiency -------------
   /** One-pass column profile (nulls / distincts / min / max). */
   def profile(df: DataFrame, columns: Seq[String]): DataFrame =
