@@ -192,24 +192,31 @@ object Dedup {
       conv(substring(m, 9, 8), 16, 10).cast("long")
   }
 
-  /** 64-bit SimHash per doc: explode tokens × 64 bit positions, two
-    * narrow hash-aggregates (sign-sum per (id,bit), then bit-OR per
-    * id). A 64-column-wide aggregate was measured ~1.5s warm but ~10s
-    * cold — whole-stage codegen emits a huge generated class the JIT
-    * must compile; the narrow form trades 64× row inflation (fully
+  /** 64-bit SimHash per doc: the sign-sum per (doc, bit) is
+    * Σ count(doc, token)·±1, so occurrences are FIRST collapsed to
+    * (doc, distinct-token, count) — one cheap map-side-combinable
+    * aggregate — and only the collapsed rows ride the ×64 bit explode.
+    * On Zipfian text (doc-distinct tokens ≪ occurrences) this shrinks
+    * the dominant exploded stream several-fold; the token hash is also
+    * computed once per doc-distinct token instead of per occurrence.
+    * Two narrow hash-aggregates follow (sign-sum per (id,bit), then
+    * bit-OR per id): a 64-column-wide aggregate was measured ~1.5s warm
+    * but ~10s cold — whole-stage codegen emits a huge generated class
+    * the JIT must compile; the narrow form trades row inflation (fully
     * map-side-combined) for constant-size codegen. Returns (id, sh).
     */
   def simhashes(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
+    val occ = df.select(col(idCol).as("id"),
       explode(split(lower(col(textCol)), "\\s+")).as("t"))
       .filter(col("t") =!= "")
-      .select(col("id"), md5Long(col("t")).as("h"))
-    val bitSums = toks
-      .select(col("id"), col("h"),
+      .groupBy("id", "t").agg(count(lit(1)).as("cnt"))
+      .select(col("id"), col("cnt"), md5Long(col("t")).as("h"))
+    val bitSums = occ
+      .select(col("id"), col("cnt"), col("h"),
         explode(sequence(lit(0), lit(63))).as("b"))
       .groupBy("id", "b")
       .agg(sum(when(call_function("shiftright", col("h"), col("b"))
-        .bitwiseAND(1) === 1, 1).otherwise(-1)).as("s"))
+        .bitwiseAND(1) === 1, col("cnt")).otherwise(-col("cnt"))).as("s"))
     bitSums.groupBy("id")
       .agg(sum(when(col("s") >= 0,
         call_function("shiftleft", lit(1L), col("b"))).otherwise(0L)).as("sh"))
