@@ -21,7 +21,7 @@ object Bench {
       Seq("q1_agg", "q23_minhash_neardup", "q28_knn_ivf", "q7_window_topk",
           "q30_stream_window", "q40_stream_join", "q37_dedup_components",
           "q25_ngram_jaccard", "q29_embed_neardup", "q31_sessionize",
-          "q69_bpe_vocab", "q70_profile")
+          "q69_bpe_vocab", "q70_profile", "q77_corpus_pipeline")
         .foreach { q =>
           try SparkEntry.queries(q)(spark, warmDir).count()
           catch { case _: Throwable => () }

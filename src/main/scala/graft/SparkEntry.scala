@@ -443,6 +443,51 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    // CAPSTONE: the full training-corpus construction pipeline in one
+    // dataflow — quality gates (score + repetition) → near-dup removal
+    // (shared pair graph → components) → benchmark decontamination →
+    // stable split assignment → context-window packing. Every stage is
+    // individually hash-verified (q26/q73/q65/q72/q74/q64); this query
+    // verifies their COMPOSITION end-to-end against one SQL replay.
+    "q77_corpus_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val rep = graft.functions.TextFunctions
+        .repetitionScore(docs, "text", "doc_id")
+        .select(col("doc_id"), col("repetition"))
+      val qual = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("qs"))
+      val corpus = docs.filter(col("doc_id") >= 5)
+        .join(rep, "doc_id").join(qual, "doc_id")
+        .filter(col("qs") >= 0.5 && col("repetition") <= 0.5)
+
+      val pairs = Dedup.minhashNearDupsCached(docs, d, "text", "doc_id",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      val losers = graft.operators.Components.connectedComponents(pairs)
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"))
+      val deduped = corpus.join(losers, Seq("doc_id"), "left_anti")
+
+      val bench4 = Dedup.shingleRows(
+        docs.filter(col("doc_id") < 5), "text", "doc_id", n = 4)
+        .select(col("g"))
+      val corpus4 = Dedup.shingleRows(
+        docs.filter(col("doc_id") >= 5), "text", "doc_id", n = 4)
+        .select(col("id").as("doc_id"), col("g"))
+      val contaminated = corpus4.join(bench4, "g")
+        .select("doc_id").distinct()
+      val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+
+      val train = graft.operators.WeightedSample
+        .splitAssign(clean, "doc_id")
+        .filter(col("split") === "train")
+        .select(col("source"), col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("n_tok"))
+      graft.operators.SequencePack
+        .pack(train, "source", "doc_id", "n_tok", budget = 2048)
+        .select(col("source"), col("doc_id"), col("n_tok"),
+          col("bin"), col("bin_offset"))
+    }),
+
     // int8 embedding quantization: per-dimension affine codes + the
     // reconstruction-error report a pipeline gates on before swapping
     // float vectors for int8 (4x vector-store compression).
@@ -1186,6 +1231,76 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    // Capstone replay: the same stage chain as the engine, each stage
+    // the already-verified per-query SQL.
+    "q77_corpus_pipeline" ->
+      (ngramJaccardPairsCte +
+        """,
+          |ed AS (SELECT id_a AS s, id_b AS d FROM jpairs
+          |       UNION SELECT id_b, id_a FROM jpairs),
+          |reach AS (
+          |  SELECT s AS id, s AS comp FROM ed
+          |  UNION
+          |  SELECT ed.d, reach.comp FROM reach JOIN ed ON ed.s = reach.id),
+          |lab AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+          |losers AS (SELECT id FROM lab WHERE id <> component),
+          |g3 AS (
+          |  SELECT doc_id, unnest(
+          |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+          |         ELSE list_transform(generate_series(1, len(ts) - 2),
+          |              i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END) AS g
+          |  FROM tok WHERE len(ts) > 0),
+          |rep AS (
+          |  SELECT doc_id,
+          |    round(1.0 - count(DISTINCT g)::DOUBLE / count(*)::DOUBLE, 4)
+          |      AS repetition
+          |  FROM g3 GROUP BY doc_id),
+          |qual AS (
+          |  SELECT d.doc_id,
+          |    (CASE WHEN len(t.ts) < 5 THEN 0.2 WHEN len(t.ts) > 10000 THEN 0.5 ELSE 1.0 END) *
+          |    (CASE WHEN len(list_filter(t.ts, x -> x IN ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE
+          |            / greatest(len(t.ts)::DOUBLE, 1.0) > 0.6 THEN 0.5 ELSE 1.0 END) *
+          |    (CASE WHEN length(regexp_replace(d.text, '[\p{L}\p{N}\s]', '', 'g'))::DOUBLE
+          |            / greatest(length(d.text)::DOUBLE, 1.0) > 0.3 THEN 0.3 ELSE 1.0 END) *
+          |    (CASE WHEN length(regexp_replace(d.text, '[^0-9]', '', 'g'))::DOUBLE
+          |            / greatest(length(d.text)::DOUBLE, 1.0) > 0.3 THEN 0.5 ELSE 1.0 END) AS qs
+          |  FROM documents d JOIN tok t ON t.doc_id = d.doc_id),
+          |g4 AS (
+          |  SELECT doc_id, unnest(list_distinct(
+          |    CASE WHEN len(ts) < 4 THEN [array_to_string(ts, ' ')]
+          |         ELSE list_transform(generate_series(1, len(ts) - 3),
+          |              i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+          |                   ts[i+3]) END)) AS g
+          |  FROM tok WHERE len(ts) > 0),
+          |contaminated AS (
+          |  SELECT DISTINCT c.doc_id
+          |  FROM g4 c JOIN g4 b ON c.g = b.g AND b.doc_id < 5 AND c.doc_id >= 5),
+          |clean AS (
+          |  SELECT d.source, d.doc_id, len(t.ts)::INT AS n_tok
+          |  FROM documents d
+          |  JOIN tok t ON t.doc_id = d.doc_id
+          |  JOIN rep r ON r.doc_id = d.doc_id
+          |  JOIN qual q ON q.doc_id = d.doc_id
+          |  WHERE d.doc_id >= 5 AND q.qs >= 0.5 AND r.repetition <= 0.5
+          |    AND d.doc_id NOT IN (SELECT id FROM losers)
+          |    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+          |train AS (
+          |  SELECT source, doc_id, n_tok FROM clean
+          |  WHERE (list_reduce(list_prepend(0::BIGINT,
+          |      list_transform(generate_series(1, 12),
+          |        j -> (strpos('0123456789abcdef',
+          |          substr(md5('epoch0|' || CAST(doc_id AS VARCHAR)),
+          |            CAST(j AS INT), 1)) - 1)::BIGINT)),
+          |      (a, v) -> a * 16 + v) % 100) < 90),
+          |packed AS (
+          |  SELECT source, doc_id, n_tok,
+          |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+          |      ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS cum_excl
+          |  FROM train)
+          |SELECT source, doc_id, n_tok,
+          |  cum_excl // 2048 AS bin, cum_excl % 2048 AS bin_offset
+          |FROM packed""".stripMargin),
 
     "q76_quantize_int8" ->
       """WITH v AS (
