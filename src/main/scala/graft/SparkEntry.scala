@@ -439,7 +439,8 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.minhashNearDupsCached(docs, d, "text", "doc_id",
         shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
-      graft.operators.Components.dedupCorpus(docs, "doc_id", pairs)
+      graft.operators.Components.dedupCorpus(docs, "doc_id", pairs,
+          cacheKey = Some(s"minhash05|$d"))
         .select(col("doc_id"), col("source"))
     }),
 
@@ -462,7 +463,8 @@ object SparkEntry {
 
       val pairs = Dedup.minhashNearDupsCached(docs, d, "text", "doc_id",
         shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
-      val losers = graft.operators.Components.connectedComponents(pairs)
+      val losers = graft.operators.Components
+        .connectedComponentsCached(pairs, s"minhash05|$d")
         .filter(col("id") =!= col("component"))
         .select(col("id").as("doc_id"))
       val deduped = corpus.join(losers, Seq("doc_id"), "left_anti")
@@ -723,7 +725,8 @@ object SparkEntry {
       val pairs = Dedup.minhashNearDupsCached(Tables.documents(s, d), d,
         "text", "doc_id", shingleSize = 3, numHashes = 64, bands = 16,
         threshold = 0.5)
-      graft.operators.Components.connectedComponents(pairs)
+      graft.operators.Components
+        .connectedComponentsCached(pairs, s"minhash05|$d")
         .groupBy("component")
         .agg(count(lit(1)).as("cluster_size"), min("id").as("canonical_doc"))
     }),

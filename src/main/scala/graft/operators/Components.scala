@@ -75,11 +75,32 @@ object Components {
     labels
   }
 
-  /** Deduplicate a corpus given near-dup pairs: keep the min-id doc of
-    * every component plus all unpaired docs.
+  /** Session-scoped memo of computed label tables, mirroring
+    * `Dedup.pairGraphMemo`: the queries that consume the same pair
+    * graph (cluster report, corpus rewrite, end-to-end pipeline) run
+    * the fixpoint ONCE per session. Deterministic input ⇒ identical
+    * labels, so reuse cannot change answers.
     */
-  def dedupCorpus(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val comps = connectedComponents(pairs)
+  private val labelMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), DataFrame]()
+
+  /** `connectedComponents` with session-lifetime reuse keyed by the
+    * caller-supplied pair-graph identity (e.g. sfDir + parameters).
+    */
+  def connectedComponentsCached(pairs: DataFrame,
+                                inputKey: String): DataFrame =
+    labelMemo.computeIfAbsent((pairs.sparkSession, inputKey),
+      _ => connectedComponents(pairs).localCheckpoint(true))
+
+  /** Deduplicate a corpus given near-dup pairs: keep the min-id doc of
+    * every component plus all unpaired docs. `cacheKey` opts into the
+    * session label memo (pass the pair graph's identity).
+    */
+  def dedupCorpus(df: DataFrame, idCol: String, pairs: DataFrame,
+                  cacheKey: Option[String] = None): DataFrame = {
+    val comps = cacheKey.fold(connectedComponents(pairs))(
+      connectedComponentsCached(pairs, _))
     val losers = comps.filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
