@@ -15,11 +15,11 @@ import graft.functions.TextFunctions
   *  - SimHash: 64-bit sign-aggregated fingerprint; near-dups = small
   *    Hamming distance, found by exact-match on chunks (pigeonhole:
   *    d ≤ k ⟹ some ⌈64/(k+1)⌉-bit chunk matches exactly).
-  *  - n-gram Jaccard: exact all-pairs similarity with PREFIX FILTERING
-  *    (AllPairs/PPJoin family): only each doc's rarest
-  *    (1-t)·|d|+1 grams are indexed, which provably preserves every
-  *    pair with Jaccard ≥ t while shrinking the inverted-index join by
-  *    orders of magnitude on skewed vocabularies.
+  *  - n-gram Jaccard: exact all-pairs similarity via inverted-index
+  *    join with AllPairs-style LENGTH filtering inside the join
+  *    condition (PPJoin prefix filtering was measured and LOST on this
+  *    uniform synthetic vocabulary — see ngramJaccardPairs; it remains
+  *    the standard scale-out for Zipfian corpora).
   *  - embedding cosine: near-dup pairs above a cosine threshold via
   *    random-hyperplane LSH bucketing.
   *
