@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * The key is pure column arithmetic (42 shift/mask terms folded into
   * one codegen expression — no UDF), so it can sit in a `sortWithin
   * Partitions`/`repartitionByRange` write pipeline at any scale.
-  * Inputs are clamped to `bits` (21 by default ⇒ the interleaved key
-  * fits a positive long); map continuous values onto the grid first
-  * (e.g. `ntile`, epoch-minutes, bucketed price).
+  * Inputs are MASKED to `bits` (21 by default ⇒ the interleaved key
+  * fits a positive long) — out-of-range values wrap rather than
+  * saturate, so map continuous values onto the grid first (e.g.
+  * `ntile`, epoch-minutes, bucketed price).
   */
 object ZOrder {
 
