@@ -48,6 +48,30 @@ class MergeWriterSpec extends SparkSpec {
     assert(filesIn("p1") === p1Before)
   }
 
+  test("partitioned merge + SyncAllColumns: only touched partitions " +
+    "rewritten with the widened schema; mergeSchema read unions both") {
+    val dir = tmpDir("mergepevolve") + "/t"
+    val v1 = Seq(("a", 1, "p1"), ("b", 2, "p2")).toDF("k", "v", "pt")
+    MergeWriter.merge(spark, dir, v1, Seq("k"), Seq("pt"))
+    def filesIn(part: String) =
+      new java.io.File(s"$dir/pt=$part").listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val p1Before = filesIn("p1")
+
+    // updates touch p2 only, ADD `note`
+    val evolved = Seq(("b", 20, "p2", "fresh")).toDF("k", "v", "pt", "note")
+    MergeWriter.merge(spark, dir, evolved, Seq("k"), Seq("pt"),
+      schemaMode = MergeWriter.SchemaMode.SyncAllColumns)
+
+    assert(filesIn("p1") === p1Before) // untouched partition not rewritten
+    val out = spark.read.option("mergeSchema", "true").parquet(dir)
+    val byK = out.collect().map(r => r.getAs[String]("k") -> r).toMap
+    assert(byK("b").getAs[Int]("v") === 20)
+    assert(byK("b").getAs[String]("note") === "fresh")
+    assert(byK("a").getAs[Int]("v") === 1)
+    assert(byK("a").getAs[String]("note") === null) // old-schema partition
+  }
+
   test("schema drift fails loudly in Strict mode (no silent column drop)") {
     val dir = tmpDir("mergestrict") + "/t"
     MergeWriter.merge(spark, dir,
