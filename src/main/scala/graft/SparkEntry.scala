@@ -444,6 +444,18 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    // Corpus mixing: per-source keep-rates (the composition knob —
+    // e.g. downsample web-ish sources, keep curated ones whole),
+    // deterministic per doc, no shuffle.
+    "q78_corpus_mix" -> ((s, d) => {
+      graft.operators.WeightedSample.mixSources(
+          Tables.documents(s, d), "doc_id", "source",
+          rates = Map("src0" -> 0.25, "src1" -> 0.5, "src2" -> 0.0),
+          defaultRate = 0.75)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), min("doc_id").as("min_doc"))
+    }),
+
     // CAPSTONE: the full training-corpus construction pipeline in one
     // dataflow — quality gates (score + repetition) → near-dup removal
     // (shared pair graph → components) → benchmark decontamination →
@@ -1234,6 +1246,21 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q78_corpus_mix" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(generate_series(1, 12),
+        |        j -> (strpos('0123456789abcdef',
+        |          substr(md5('epoch0|' || CAST(doc_id AS VARCHAR)),
+        |            CAST(j AS INT), 1)) - 1)::BIGINT)),
+        |      (a, v) -> a * 16 + v)::DOUBLE / 281474976710656.0 AS u,
+        |    CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.5
+        |                WHEN 'src2' THEN 0.0 ELSE 0.75 END AS rate
+        |  FROM documents)
+        |SELECT source, count(*) AS n_kept, min(doc_id) AS min_doc
+        |FROM d WHERE u < rate GROUP BY source""".stripMargin,
 
     // Capstone replay: the same stage chain as the engine, each stage
     // the already-verified per-query SQL.

@@ -54,6 +54,27 @@ object WeightedSample {
         .otherwise("test"))
   }
 
+  /** Corpus mixing: downsample each source to a target keep-rate —
+    * the composition knob corpus builders turn (e.g. 30% web, 100%
+    * reference text). Per-row decision = the same md5-derived uniform
+    * as the sampler compared against the source's rate, so the mix is
+    * reproducible, per-doc stable as the corpus grows, embarrassingly
+    * parallel (no shuffle), and re-dealable by salt.
+    */
+  def mixSources(df: DataFrame, idCol: String, sourceCol: String,
+                 rates: Map[String, Double], defaultRate: Double = 1.0,
+                 salt: String = "epoch0"): DataFrame = {
+    require((rates.values.toSeq :+ defaultRate).forall(r => r >= 0 && r <= 1),
+      "keep-rates must be in [0,1]")
+    val h = conv(substring(md5(concat_ws("|", lit(salt),
+      col(idCol).cast("string"))), 1, 12), 16, 10).cast("double")
+    val u = h / 281474976710656.0
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(col(sourceCol) === s, r).otherwise(acc)
+    }
+    df.filter(u < rate)
+  }
+
   /** Keep the `k` weighted-sample winners per group. Rows with
     * non-positive weight are EXCLUDED (a zero-weight row must never be
     * sampled, even when the group has fewer than k positive rows).

@@ -195,6 +195,27 @@ class SimilarityTextSpec extends SparkSpec {
     assert(a.exists { case (id, s) => redealt(id) != s })
   }
 
+  test("corpus mixing: zero-rate source vanishes, full-rate survives " +
+    "whole, proportions track rates, per-doc stable") {
+    import graft.operators.WeightedSample
+    val docs = (0L until 900L).map(i =>
+      (i, if (i < 300) "web" else if (i < 600) "curated" else "other"))
+      .toDF("doc_id", "source")
+    val mixed = WeightedSample.mixSources(docs, "doc_id", "source",
+      rates = Map("web" -> 0.3, "curated" -> 1.0, "other" -> 0.0))
+    val counts = mixed.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("curated") === 300L)
+    assert(!counts.contains("other"))
+    assert(counts("web") > 50 && counts("web") < 130, counts.toString)
+    // per-doc stability: kept set is a subset relation under rate increase
+    val wider = WeightedSample.mixSources(docs, "doc_id", "source",
+      rates = Map("web" -> 0.6, "curated" -> 1.0, "other" -> 0.0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val narrow = mixed.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(narrow.subsetOf(wider), "raising a rate must only ADD docs")
+  }
+
   test("bigram perplexity: hand-computed Laplace-smoothed values; " +
     "short docs drop out") {
     val docs = Seq((1L, "a b a b"), (2L, "x y"), (3L, "solo"))
