@@ -116,6 +116,12 @@ object Graft {
   def perplexity(df: DataFrame, textCol: String, idCol: String): DataFrame =
     TextFunctions.bigramPerplexity(df, textCol, idCol)
 
+  /** Per-source corpus mixing (composition ratios). */
+  def mixSources(df: DataFrame, idCol: String, sourceCol: String,
+                 rates: Map[String, Double],
+                 defaultRate: Double = 1.0): DataFrame =
+    WeightedSample.mixSources(df, idCol, sourceCol, rates, defaultRate)
+
   /** Stable hash-based train/val/test assignment. */
   def splitCorpus(df: DataFrame, idCol: String, trainPct: Int = 90,
                   valPct: Int = 5, salt: String = "epoch0"): DataFrame =
