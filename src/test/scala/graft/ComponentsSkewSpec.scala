@@ -6,6 +6,24 @@ import graft.operators.{Components, Skew}
 class ComponentsSkewSpec extends SparkSpec {
   import spark.implicits._
 
+  test("cached components equal the uncached fixpoint; key isolation") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val plain = Components.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cached = Components.connectedComponentsCached(pairs, "spec-key-a")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cached === plain)
+    // repeated call with the same key returns the memoized result
+    val again = Components.connectedComponentsCached(pairs, "spec-key-a")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === plain)
+    // a DIFFERENT key computes from its own input, not the memo
+    val other = Seq((10L, 11L)).toDF("id_a", "id_b")
+    val otherLabels = Components.connectedComponentsCached(other, "spec-key-b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(otherLabels === Set((10L, 10L), (11L, 10L)))
+  }
+
   test("connected components: empty pairs and string ids work") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Components.connectedComponents(empty).count() === 0)

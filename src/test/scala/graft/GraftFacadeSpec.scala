@@ -28,6 +28,26 @@ class GraftFacadeSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 9)
   }
 
+  test("corpus-construction wrappers: mix, split, profile wired") {
+    val docs = (1L to 100L).map(i =>
+      (i, if (i % 2 == 0) "web" else "curated", s"doc number $i text"))
+      .toDF("doc_id", "source", "text")
+    val mixed = Graft.mixSources(docs, "doc_id", "source",
+      rates = Map("web" -> 0.0))
+    assert(mixed.filter($"source" === "web").count() === 0)
+    assert(mixed.filter($"source" === "curated").count() === 50)
+
+    val split = Graft.splitCorpus(docs, "doc_id")
+    assert(split.select("split").distinct().count() >= 2)
+    assert(split.count() === 100)
+
+    val prof = Graft.profile(docs, Seq("doc_id", "source"))
+      .collect().map(r => r.getAs[String]("column") ->
+        r.getAs[Long]("n_distinct")).toMap
+    assert(prof("doc_id") === 100L)
+    assert(prof("source") === 2L)
+  }
+
   test("withLanguage/withTextQuality attach columns") {
     val docs = Seq((1L, "the cat and the dog of the house is in that garden"))
       .toDF("doc_id", "text")
