@@ -42,6 +42,18 @@ object CountMin {
     h ^= h >>> 33
     (((h % width) + width) % width).toInt
   }
+
+  /** Guard shared by interpreted and generated probe code: a sketch
+    * built with different (depth, width) literals than the probe's
+    * would otherwise be read out of bounds (UnsafeArrayData.getLong
+    * does NOT bounds-check) and return silent garbage.
+    */
+  def checkShape(numElements: Int, depth: Int, width: Int): Unit =
+    if (numElements != depth * width)
+      throw new IllegalArgumentException(
+        s"graft_cm_estimate: sketch has $numElements counters but the " +
+          s"probe expects depth*width = ${depth * width} ($depth x $width) " +
+          "- build and probe must use identical (depth, width)")
 }
 
 case class CountMinAgg(child: Expression, depth: Int, width: Int,
@@ -131,6 +143,7 @@ case class CmEstimate(left: Expression, right: Expression,
     if (sk == null || h == null) null
     else {
       val arr = sk.asInstanceOf[ArrayData]
+      CountMin.checkShape(arr.numElements(), depth, width)
       val hash = h.asInstanceOf[Long]
       var min = Long.MaxValue
       var d = 0
@@ -158,6 +171,7 @@ case class CmEstimate(left: Expression, right: Expression,
             |boolean ${ev.isNull} = ${leftGen.isNull} || ${rightGen.isNull};
             |long ${ev.value} = 0L;
             |if (!${ev.isNull}) {
+            |  $cm.checkShape(${leftGen.value}.numElements(), $depth, $width);
             |  long $min = Long.MAX_VALUE;
             |  for (int $d = 0; $d < $depth; $d++) {
             |    long $c = ${leftGen.value}.getLong(

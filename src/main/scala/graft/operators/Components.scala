@@ -81,17 +81,18 @@ object Components {
     * the fixpoint ONCE per session. Deterministic input ⇒ identical
     * labels, so reuse cannot change answers.
     */
-  private val labelMemo =
-    new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.SparkSession, String), DataFrame]()
+  private val labelMemo = new graft.core.SessionMemo
 
   /** `connectedComponents` with session-lifetime reuse keyed by the
-    * caller-supplied pair-graph identity (e.g. sfDir + parameters).
+    * caller-supplied pair-graph identity (e.g. sfDir + parameters);
+    * entries evict on session end and `inputKey` must identify the
+    * pair graph's CONTENT (the [[graft.core.SessionMemo]] contract).
     */
   def connectedComponentsCached(pairs: DataFrame,
                                 inputKey: String): DataFrame =
-    labelMemo.computeIfAbsent((pairs.sparkSession, inputKey),
-      _ => connectedComponents(pairs).localCheckpoint(true))
+    labelMemo.getOrElseUpdate(pairs.sparkSession, inputKey) {
+      connectedComponents(pairs)
+    }
 
   /** Deduplicate a corpus given near-dup pairs: keep the min-id doc of
     * every component plus all unpaired docs. `cacheKey` opts into the

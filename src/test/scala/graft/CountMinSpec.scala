@@ -113,6 +113,20 @@ class CountMinSpec extends SparkSpec {
     assert(surviving >= trueMatches, "false negative: true match dropped")
   }
 
+  test("probe with mismatched (depth, width) fails loudly, not with " +
+    "silent garbage") {
+    val sk = sketch(toks, "token", 4, 64)
+    val bad = toks.limit(5).distinct()
+      .crossJoin(broadcast(sk))
+      .select(call_function("graft_cm_estimate",
+        $"sk", xxhash64($"token"), lit(4), lit(128)).as("est"))
+    val e = intercept[Exception] { bad.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("depth*width")),
+      s"expected a shape-mismatch error, got: ${msgs(e).mkString(" | ")}")
+  }
+
   test("null inputs are skipped (countDistinct-style semantics)") {
     val df = Seq(Some("a"), None, Some("a"), Some("b")).toDF("x")
     val sk = df.agg(call_function("graft_count_min",
