@@ -591,6 +591,19 @@ object SparkEntry {
           col("tok_len"))
     }),
 
+    // Materialized RAG chunks: the q67 plan plus the actual overlapping
+    // chunk TEXT (token-array slice joined by single spaces) — what a
+    // retrieval-corpus build ships to its embedder. Still zero-shuffle.
+    "q79_chunk_text" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      graft.operators.SequencePack
+        .slidingChunkText(docs, "doc_id", "toks",
+          chunkSize = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_text"),
+          col("tok_len"))
+    }),
+
     // Deterministic weighted sampling without replacement (A-ES keys
     // from md5-derived uniforms): top-3 docs per source weighted by
     // length — the reproducible quality-weighted corpus-selection op.
@@ -1452,6 +1465,23 @@ object SparkEntry {
         |  CAST(s AS INT) AS tok_start,
         |  CAST(least(64, n_tok - s) AS INT) AS tok_len
         |FROM d, unnest(generate_series(0, greatest(n_tok - 16 - 1, 0), 48)) AS t(s)
+        |WHERE n_tok > 0""".stripMargin,
+
+    // list_slice bounds are 1-based INCLUSIVE: tokens [s+1, s+len].
+    "q79_chunk_text" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t <> '') AS toks
+        |  FROM documents),
+        |d2 AS (SELECT doc_id, toks, CAST(len(toks) AS INT) AS n_tok FROM d)
+        |SELECT doc_id,
+        |  CAST(s // 48 AS INT) AS chunk_idx,
+        |  array_to_string(
+        |    list_slice(toks, s + 1, s + least(64, n_tok - s)), ' ')
+        |    AS chunk_text,
+        |  CAST(least(64, n_tok - s) AS INT) AS tok_len
+        |FROM d2, unnest(generate_series(0, greatest(n_tok - 16 - 1, 0), 48)) AS t(s)
         |WHERE n_tok > 0""".stripMargin,
 
     "q68_weighted_sample" ->

@@ -59,4 +59,28 @@ object SequencePack {
       .withColumn("tok_len",
         least(lit(chunkSize), col(nTokCol) - col("tok_start")))
   }
+
+  /** Materialized chunk TEXT on top of the chunk plan — the step a RAG
+    * corpus build actually ships: each (doc, chunk) row carries the
+    * overlapping token-slice substring, rebuilt as the tokens joined by
+    * a single space (the canonical whitespace-normalized form retrieval
+    * indexes want; byte-exact raw substrings would need char offsets,
+    * which whitespace tokenization deliberately discards).
+    *
+    * `toksCol` is the already-tokenized array column (e.g.
+    * `TextFunctions.tokens`); slicing the array is pure codegen row
+    * arithmetic — still zero-shuffle, embarrassingly parallel over
+    * docs. Multi-byte text is safe: slicing happens on token ARRAY
+    * indices, never on byte offsets.
+    */
+  def slidingChunkText(df: DataFrame, idCol: String, toksCol: String,
+                       chunkSize: Int, overlap: Int): DataFrame = {
+    val planned = slidingChunks(
+      df.withColumn("n_tok", size(col(toksCol))),
+      idCol, "n_tok", chunkSize, overlap)
+    // slice() is 1-based; tok_start is 0-based
+    planned.withColumn("chunk_text",
+      array_join(slice(col(toksCol), col("tok_start") + 1, col("tok_len")),
+        " "))
+  }
 }

@@ -147,6 +147,28 @@ class SimilarityTextSpec extends SparkSpec {
     }
   }
 
+  test("chunk text materialization: overlap repeats tokens, boundary " +
+    "chunks shorten, multi-byte tokens slice on token indices") {
+    // chunkSize 4, overlap 1 → step 3: doc 1 (6 toks) = [0,4) + [3,6)
+    val docs = Seq(
+      (1L, "Aé Bß Cœ Dñ Eü Fø"),      // multi-byte letters in every token
+      (2L, "one two"),                  // shorter than one chunk
+      (3L, "a b c d")                   // exactly one chunk
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+    val rows = graft.operators.SequencePack
+      .slidingChunkText(docs, "doc_id", "toks", chunkSize = 4, overlap = 1)
+      .select("doc_id", "chunk_idx", "chunk_text", "tok_len")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getInt(3))).toSet
+    assert(rows === Set(
+      (1L, 0, "aé bß cœ dñ", 4),
+      (1L, 1, "dñ eü fø", 3),          // overlap token "dñ" repeats
+      (2L, 0, "one two", 2),
+      (3L, 0, "a b c d", 4)))
+  }
+
   test("weighted sampling: deterministic, k per group, zero-weight " +
     "excluded, heavy weights dominate") {
     import graft.operators.WeightedSample
