@@ -639,9 +639,9 @@ object SparkEntry {
     // events). With AvailableNow over a single source file the whole
     // input is one micro-batch processed in (ts, event_id) order, so
     // the stateful fold equals the batch window formulation the oracle
-    // replays. Output exposes the exact columns (ids, value, prior
-    // count) — the mean itself is not bit-portable across engines
-    // (summation order + decimal-boundary rounding).
+    // replays. The predicate runs on integer cents
+    // (value_cents·n > 5·sum_cents), so the anomaly SET is exactly
+    // portable — no summation-order or rounding-boundary sensitivity.
     "q62_stream_anomaly" -> ((s, d) => {
       import s.implicits._
       val ev = graft.streaming.EventsStream.readEvents(s, d)
@@ -1542,16 +1542,24 @@ object SparkEntry {
         |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000
         |GROUP BY o_orderstatus""".stripMargin,
 
+    // Integer-cents replay of the stateful fold: the anomaly test runs
+    // on exact integer products (value_cents·n > 5·sum_cents), so the
+    // SET is bit-identical to the engine's regardless of summation
+    // order. floor(x*100 + 0.5) = the JVM's math.round half-up rule.
     "q62_stream_anomaly" ->
       """WITH ordered AS (
         |  SELECT user_id, event_id, value,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
         |    row_number() OVER w - 1 AS n_prev,
-        |    avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_mean
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_sum_cents
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT user_id, event_id, value, n_prev AS n_prior
-        |FROM ordered WHERE n_prev >= 3 AND value > 5 * prev_mean""".stripMargin,
+        |FROM ordered
+        |WHERE n_prev >= 3 AND vc * n_prev > 5 * prev_sum_cents""".stripMargin,
 
     "q61_heavy_hitters" ->
       """SELECT token, count(*) AS est

@@ -150,18 +150,20 @@ object EventsStream {
 
   final case class EventRow(event_id: Long, ts: java.sql.Timestamp,
                             user_id: Long, event_type: String, value: Double)
-  final case class UserStats(n: Long, sum: Double)
+  final case class UserStats(n: Long, sumCents: Long)
   final case class Anomaly(user_id: Long, event_id: Long, value: Double,
                            running_mean: Double, n_prior: Long)
 
-  /** Per-user running-mean anomaly detector. State is (n, Σ) rather
-    * than a Welford mean: the mean is then the plain sum-then-divide a
-    * batch window formulation computes. NOTE for external comparison:
-    * the anomaly SET is replayable in SQL, but the mean itself is not
-    * bit-portable (segment-tree vs sequential summation, and 2-decimal
-    * inputs put many means exactly on decimal rounding boundaries) —
-    * q62 therefore exposes the exact integer `n_prior` and leaves
-    * `running_mean` as a diagnostic column.
+  /** Per-user running-mean anomaly detector. The anomaly predicate is
+    * EXACTLY portable across engines: values are 2-decimal, so state
+    * keeps an integer cents sum and the test `value > k·mean` is
+    * evaluated as `value_cents · n > k · sum_cents` — pure integer
+    * products (k rational), no floating summation order or decimal-
+    * boundary rounding in the decision. An external replay (q62's
+    * DuckDB oracle) computes the identical set with a windowed integer
+    * sum. `running_mean` (= sum_cents/100/n) stays a diagnostic column.
+    * Cents via floor(x·100 + 0.5), the same half-up rule as
+    * `math.round`, spelled identically in the oracle SQL.
     */
   def detectAnomalies(events: Dataset[EventRow], k: Double = 5.0)
                      (implicit enc1: org.apache.spark.sql.Encoder[Anomaly])
@@ -171,13 +173,15 @@ object EventsStream {
       .flatMapGroupsWithState[UserStats, Anomaly](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (uid, rows, state: GroupState[UserStats]) =>
-          var st = state.getOption.getOrElse(UserStats(0L, 0.0))
+          var st = state.getOption.getOrElse(UserStats(0L, 0L))
           val out = scala.collection.mutable.ArrayBuffer[Anomaly]()
           // order within the batch for deterministic running stats
           rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            if (st.n >= 3 && e.value > k * (st.sum / st.n))
-              out += Anomaly(uid, e.event_id, e.value, st.sum / st.n, st.n)
-            st = UserStats(st.n + 1, st.sum + e.value)
+            val vc = math.round(e.value * 100) // floor(x*100 + 0.5)
+            if (st.n >= 3 && vc * st.n > k * st.sumCents)
+              out += Anomaly(uid, e.event_id, e.value,
+                st.sumCents / 100.0 / st.n, st.n)
+            st = UserStats(st.n + 1, st.sumCents + vc)
           }
           state.update(st)
           out.iterator
