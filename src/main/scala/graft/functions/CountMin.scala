@@ -43,17 +43,31 @@ object CountMin {
     (((h % width) + width) % width).toInt
   }
 
+  /** Leading elements of the emitted sketch array: `[depth, width]`.
+    * The header makes the sketch self-describing so a probe with ANY
+    * mismatched dimension — including same-product shapes like (8,32)
+    * vs (4,64), which a length check alone cannot distinguish — fails
+    * loudly instead of reading silently-garbage bucket positions.
+    */
+  val HeaderLen = 2
+
   /** Guard shared by interpreted and generated probe code: a sketch
     * built with different (depth, width) literals than the probe's
     * would otherwise be read out of bounds (UnsafeArrayData.getLong
-    * does NOT bounds-check) and return silent garbage.
+    * does NOT bounds-check) or with wrong bucket math, returning
+    * silent garbage. Validates BOTH header dimensions and the length.
     */
-  def checkShape(numElements: Int, depth: Int, width: Int): Unit =
-    if (numElements != depth * width)
+  def checkShape(arr: ArrayData, depth: Int, width: Int): Unit = {
+    val n = arr.numElements()
+    if (n < HeaderLen || arr.getLong(0) != depth || arr.getLong(1) != width ||
+        n != HeaderLen + depth * width)
       throw new IllegalArgumentException(
-        s"graft_cm_estimate: sketch has $numElements counters but the " +
-          s"probe expects depth*width = ${depth * width} ($depth x $width) " +
+        s"graft_cm_estimate: sketch header says depth x width = " +
+          (if (n >= HeaderLen) s"${arr.getLong(0)} x ${arr.getLong(1)}"
+           else s"<missing: $n elements>") +
+          s" but the probe expects depth*width = $depth x $width " +
           "- build and probe must use identical (depth, width)")
+  }
 }
 
 case class CountMinAgg(child: Expression, depth: Int, width: Int,
@@ -86,7 +100,14 @@ case class CountMinAgg(child: Expression, depth: Int, width: Int,
     a
   }
 
-  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+  // Emit with a [depth, width] self-describing header (internal
+  // update/merge buffers stay header-free).
+  override def eval(buf: Array[Long]): Any = {
+    val out = new Array[Long](CountMin.HeaderLen + buf.length)
+    out(0) = depth.toLong; out(1) = width.toLong
+    System.arraycopy(buf, 0, out, CountMin.HeaderLen, buf.length)
+    new GenericArrayData(out)
+  }
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
@@ -143,12 +164,13 @@ case class CmEstimate(left: Expression, right: Expression,
     if (sk == null || h == null) null
     else {
       val arr = sk.asInstanceOf[ArrayData]
-      CountMin.checkShape(arr.numElements(), depth, width)
+      CountMin.checkShape(arr, depth, width)
       val hash = h.asInstanceOf[Long]
       var min = Long.MaxValue
       var d = 0
       while (d < depth) {
-        val c = arr.getLong(d * width + CountMin.bucket(hash, d, width))
+        val c = arr.getLong(
+          CountMin.HeaderLen + d * width + CountMin.bucket(hash, d, width))
         if (c < min) min = c
         d += 1
       }
@@ -171,10 +193,10 @@ case class CmEstimate(left: Expression, right: Expression,
             |boolean ${ev.isNull} = ${leftGen.isNull} || ${rightGen.isNull};
             |long ${ev.value} = 0L;
             |if (!${ev.isNull}) {
-            |  $cm.checkShape(${leftGen.value}.numElements(), $depth, $width);
+            |  $cm.checkShape(${leftGen.value}, $depth, $width);
             |  long $min = Long.MAX_VALUE;
             |  for (int $d = 0; $d < $depth; $d++) {
-            |    long $c = ${leftGen.value}.getLong(
+            |    long $c = ${leftGen.value}.getLong($cm.HeaderLen() +
             |      $d * $width + $cm.bucket(${rightGen.value}, $d, $width));
             |    if ($c < $min) $min = $c;
             |  }

@@ -162,12 +162,20 @@ object EventsStream {
     * boundary rounding in the decision. An external replay (q62's
     * DuckDB oracle) computes the identical set with a windowed integer
     * sum. `running_mean` (= sum_cents/100/n) stays a diagnostic column.
-    * Cents via floor(x·100 + 0.5), the same half-up rule as
-    * `math.round`, spelled identically in the oracle SQL.
+    * Cents via `floor(x·100 + 0.5)` spelled literally (NOT
+    * `math.round`, which since JDK-8010430 differs from floor(x+0.5)
+    * at half-up boundary doubles) so the Scala and oracle-SQL
+    * expressions are the same operation. Exact portability requires an
+    * integer-valued `k` (enforced) so the threshold product stays in
+    * Long arithmetic end to end.
     */
   def detectAnomalies(events: Dataset[EventRow], k: Double = 5.0)
                      (implicit enc1: org.apache.spark.sql.Encoder[Anomaly])
   : Dataset[Anomaly] = {
+    require(k == k.toLong && k > 0,
+      s"k=$k: the anomaly threshold must be a positive integer for the " +
+        "decision to be pure Long arithmetic (oracle-portable)")
+    val kL = k.toLong
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[UserStats, Anomaly](
@@ -177,8 +185,8 @@ object EventsStream {
           val out = scala.collection.mutable.ArrayBuffer[Anomaly]()
           // order within the batch for deterministic running stats
           rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            val vc = math.round(e.value * 100) // floor(x*100 + 0.5)
-            if (st.n >= 3 && vc * st.n > k * st.sumCents)
+            val vc = math.floor(e.value * 100 + 0.5).toLong
+            if (st.n >= 3 && vc * st.n > kL * st.sumCents)
               out += Anomaly(uid, e.event_id, e.value,
                 st.sumCents / 100.0 / st.n, st.n)
             st = UserStats(st.n + 1, st.sumCents + vc)

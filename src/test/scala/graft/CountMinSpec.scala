@@ -49,10 +49,13 @@ class CountMinSpec extends SparkSpec {
     val b = sketch(toks.repartition(7), "token", 4, 64)
       .head().getSeq[Long](0)
     assert(a === b)
+    // self-describing [depth, width] header leads the emitted array
+    assert(a.take(2) === Seq(4L, 64L))
     // total mass per row = N (every increment lands once per row)
     val n = toks.count()
+    val h = graft.functions.CountMin.HeaderLen
     (0 until 4).foreach { d =>
-      assert(a.slice(d * 64, (d + 1) * 64).sum === n)
+      assert(a.slice(h + d * 64, h + (d + 1) * 64).sum === n)
     }
   }
 
@@ -125,6 +128,20 @@ class CountMinSpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("depth*width")),
       s"expected a shape-mismatch error, got: ${msgs(e).mkString(" | ")}")
+  }
+
+  test("probe with same-product mismatched shape (8x32 vs 4x64) also " +
+    "fails loudly — the header catches what a length check cannot") {
+    val sk = sketch(toks, "token", 8, 32)
+    val bad = toks.limit(5).distinct()
+      .crossJoin(broadcast(sk))
+      .select(call_function("graft_cm_estimate",
+        $"sk", xxhash64($"token"), lit(4), lit(64)).as("est"))
+    val e = intercept[Exception] { bad.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("8 x 32") && m.contains("4 x 64")),
+      s"expected a header-mismatch error, got: ${msgs(e).mkString(" | ")}")
   }
 
   test("null inputs are skipped (countDistinct-style semantics)") {
