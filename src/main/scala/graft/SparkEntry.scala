@@ -933,6 +933,27 @@ object SparkEntry {
           .distinctEstimate(col("l_partkey"), 256).as("kmv_parts"))
     }),
 
+    // t-digest quantile sketch (TypedImperativeAggregate): grouped
+    // approximate percentiles from a bounded mergeable buffer —
+    // the scale path for q39's exact percentile (which sorts every
+    // group). Approximate → rows-only; the ≤1% rank-error bound vs
+    // q39's exact ground truth and partitioning-invariance of the
+    // bound are asserted in TDigestSpec.
+    "q80_tdigest_quantile" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(call_function("graft_tdigest",
+          col("value"), lit(100)).as("td"))
+        .select(col("event_type"),
+          round(call_function("graft_td_quantile", col("td"), lit(0.5)), 4)
+            .as("p50"),
+          round(call_function("graft_td_quantile", col("td"), lit(0.95)), 4)
+            .as("p95"),
+          round(call_function("graft_td_quantile", col("td"), lit(0.99)), 4)
+            .as("p99"))
+    }),
+
     // CUBE: all grouping-set combinations.
     "q41_cube" -> ((s, d) => {
       Tables.orders(s, d)

@@ -137,10 +137,29 @@ object GraftFunctions {
       litInt(children(2), "depth"), litInt(children(3), "width"))
   }
 
+  val tdigestInfo = new ExpressionInfo(
+    classOf[TDigestAgg].getName, "graft_tdigest")
+  val tdigestBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2,
+      "graft_tdigest takes (value, compression)")
+    TDigestAgg(children.head, litInt(children(1), "compression"))
+      .toAggregateExpression()
+  }
+
+  val tdQuantileInfo = new ExpressionInfo(
+    classOf[TdQuantile].getName, "graft_td_quantile")
+  val tdQuantileBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2,
+      "graft_td_quantile takes (digest, q)")
+    TdQuantile(children.head, children(1))
+  }
+
   private val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(("graft_cosine", cosineInfo, cosineBuilder),
       ("graft_count_min", countMinInfo, countMinBuilder),
-      ("graft_cm_estimate", cmEstimateInfo, cmEstimateBuilder))
+      ("graft_cm_estimate", cmEstimateInfo, cmEstimateBuilder),
+      ("graft_tdigest", tdigestInfo, tdigestBuilder),
+      ("graft_td_quantile", tdQuantileInfo, tdQuantileBuilder))
 
   def ensureRegistered(spark: SparkSession): Unit =
     all.foreach { case (name, info, builder) =>

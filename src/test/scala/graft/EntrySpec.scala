@@ -26,7 +26,8 @@ class EntrySpec extends SparkSpec {
       "q34_approx_distinct",    // HLL estimate
       "q45_kmv_distinct",       // KMV estimate
       "q66_incremental_staging", // side-effecting streaming pipeline
-      "q69_bpe_vocab"           // iterative argmax, not SQL-replayable
+      "q69_bpe_vocab",          // iterative argmax, not SQL-replayable
+      "q80_tdigest_quantile"    // t-digest estimate (bound in TDigestSpec)
     ), s"unexpected rows-only set: $rowsOnly")
   }
 }
