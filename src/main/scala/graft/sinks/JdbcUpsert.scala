@@ -1,0 +1,224 @@
+package graft.sinks
+
+import java.sql.{Connection, DriverManager, PreparedStatement, Types}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** S8 (relational form) — the keyed JDBC upsert sink: the reference's
+  * actual load target is Postgres
+  * `INSERT ... ON CONFLICT (city, ts_utc) DO UPDATE SET col = EXCLUDED.col`
+  * executed via `execute_values(..., page_size=1000)`
+  * (/root/reference/transformation/clean_data.py:222-243). MergeWriter
+  * emulates those semantics on parquet; this sink speaks them to a real
+  * database.
+  *
+  * Execution model: `df.foreachPartition` — one connection per
+  * partition, statements accumulated with `addBatch` and flushed every
+  * `batchSize` rows (page-size parity with the reference), one commit
+  * per partition. At cluster scale the connection count equals the
+  * partition count, so callers bound it with
+  * `df.coalesce(maxConnections)` — the sink deliberately does NOT
+  * repartition for you, because the caller knows whether the upstream
+  * plan is worth preserving. A failed task rolls back its partition's
+  * transaction and Spark's retry re-runs it; the upsert is idempotent,
+  * so retries are safe (same guarantee the reference relies on when
+  * Airflow re-runs the load task).
+  *
+  * Dialects:
+  *  - [[JdbcUpsert.Postgres]] emits the reference's single-statement
+  *    `ON CONFLICT` form (native atomic upsert).
+  *  - [[JdbcUpsert.UpdateThenInsert]] is the ANSI fallback for engines
+  *    without it (Derby, older MySQL/Oracle): per batch, execute the
+  *    UPDATEs, then INSERT exactly the rows whose update count was 0 —
+  *    two round-trips per batch inside the same transaction. The spec
+  *    drives it against embedded Derby (the JVM-local database shipped
+  *    with Spark), proving idempotent re-run + update-on-conflict
+  *    without a network dependency.
+  */
+object JdbcUpsert {
+
+  sealed trait Dialect extends Serializable
+  /** Native `INSERT ... ON CONFLICT (keys) DO UPDATE SET ...`. */
+  case object Postgres extends Dialect
+  /** Portable two-phase upsert: batched UPDATE, then INSERT the
+    * update-count-0 rows. Needs no vendor syntax.
+    */
+  case object UpdateThenInsert extends Dialect
+
+  /** The exact statement text per dialect — exposed (not just
+    * embedded in the runner) so the Postgres form can be asserted
+    * against the reference's SQL shape without a live server.
+    */
+  def upsertSql(table: String, cols: Seq[String], keys: Seq[String]): String = {
+    val nonKeys = cols.filterNot(keys.contains)
+    s"INSERT INTO $table (${cols.mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")}) " +
+      s"ON CONFLICT (${keys.mkString(", ")}) DO UPDATE SET " +
+      nonKeys.map(c => s"$c = EXCLUDED.$c").mkString(", ")
+  }
+
+  def updateSql(table: String, cols: Seq[String], keys: Seq[String]): String = {
+    val nonKeys = cols.filterNot(keys.contains)
+    s"UPDATE $table SET ${nonKeys.map(c => s"$c = ?").mkString(", ")} " +
+      s"WHERE ${keys.map(k => s"$k = ?").mkString(" AND ")}"
+  }
+
+  def insertSql(table: String, cols: Seq[String]): String =
+    s"INSERT INTO $table (${cols.mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+
+  /** Upsert `df` into `table` keyed on `keys`.
+    *
+    * @param batchSize rows per `executeBatch` flush (reference
+    *                  page-size parity: 1000)
+    */
+  def upsert(df: DataFrame, url: String, table: String, keys: Seq[String],
+             dialect: Dialect = Postgres, batchSize: Int = 1000,
+             properties: Map[String, String] = Map.empty): Unit = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    val schema = df.schema
+    val cols = schema.fieldNames.toSeq
+    val missing = keys.filterNot(cols.contains)
+    require(missing.isEmpty, s"key column(s) not in DataFrame: $missing")
+    require(cols.size > keys.size,
+      "upsert needs at least one non-key column to update")
+    val sqlUpsert = upsertSql(table, cols, keys)
+    val sqlUpdate = updateSql(table, cols, keys)
+    val sqlInsert = insertSql(table, cols)
+    val bs = batchSize
+    val d = dialect
+    val props = properties
+
+    df.foreachPartition { rows: Iterator[Row] =>
+      if (rows.nonEmpty) {
+        val conn = connect(url, props)
+        try {
+          conn.setAutoCommit(false)
+          d match {
+            case Postgres =>
+              runSingleStatement(conn, sqlUpsert, rows, schema, bs)
+            case UpdateThenInsert =>
+              runUpdateThenInsert(conn, sqlUpdate, sqlInsert, rows,
+                schema, keys, bs)
+          }
+          conn.commit()
+        } catch {
+          case t: Throwable =>
+            try conn.rollback() catch { case _: Throwable => () }
+            throw t
+        } finally conn.close()
+      }
+    }
+  }
+
+  private def connect(url: String, props: Map[String, String]): Connection = {
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    DriverManager.getConnection(url, p)
+  }
+
+  private def runSingleStatement(conn: Connection, sql: String,
+                                 rows: Iterator[Row], schema: StructType,
+                                 batchSize: Int): Unit = {
+    val st = conn.prepareStatement(sql)
+    try {
+      var pending = 0
+      rows.foreach { row =>
+        setAll(st, row, schema, schema.fieldNames.toSeq, offset = 0)
+        st.addBatch()
+        pending += 1
+        if (pending >= batchSize) { st.executeBatch(); pending = 0 }
+      }
+      if (pending > 0) st.executeBatch()
+    } finally st.close()
+  }
+
+  /** Batched UPDATE; rows reporting update-count 0 are batch-INSERTed.
+    * Both phases run inside the caller's transaction, so a re-run of
+    * the partition after a mid-batch failure sees none of its effects.
+    */
+  private def runUpdateThenInsert(conn: Connection, sqlUpdate: String,
+                                  sqlInsert: String, rows: Iterator[Row],
+                                  schema: StructType, keys: Seq[String],
+                                  batchSize: Int): Unit = {
+    val cols = schema.fieldNames.toSeq
+    val nonKeys = cols.filterNot(keys.contains)
+    val upd = conn.prepareStatement(sqlUpdate)
+    val ins = conn.prepareStatement(sqlInsert)
+    try {
+      val buffer = new scala.collection.mutable.ArrayBuffer[Row](batchSize)
+      def flush(): Unit = if (buffer.nonEmpty) {
+        buffer.foreach { row =>
+          // UPDATE params: non-keys first (SET ...), then keys (WHERE)
+          setAll(upd, row, schema, nonKeys, offset = 0)
+          setAll(upd, row, schema, keys, offset = nonKeys.size)
+          upd.addBatch()
+        }
+        val counts = upd.executeBatch()
+        var inserts = 0
+        counts.zipWithIndex.foreach { case (n, i) =>
+          if (n == 0) {
+            setAll(ins, buffer(i), schema, cols, offset = 0)
+            ins.addBatch()
+            inserts += 1
+          }
+        }
+        if (inserts > 0) ins.executeBatch()
+        buffer.clear()
+      }
+      rows.foreach { row =>
+        buffer += row
+        if (buffer.size >= batchSize) flush()
+      }
+      flush()
+    } finally { upd.close(); ins.close() }
+  }
+
+  /** Bind `fields` of `row` to consecutive params starting at
+    * `offset + 1` (JDBC params are 1-based).
+    */
+  private def setAll(st: PreparedStatement, row: Row, schema: StructType,
+                     fields: Seq[String], offset: Int): Unit =
+    fields.zipWithIndex.foreach { case (f, i) =>
+      setParam(st, offset + i + 1, row.get(row.fieldIndex(f)),
+        schema(f).dataType)
+    }
+
+  private def setParam(st: PreparedStatement, pos: Int, v: Any,
+                       dt: DataType): Unit =
+    if (v == null) st.setNull(pos, sqlType(dt))
+    else dt match {
+      case StringType => st.setString(pos, v.asInstanceOf[String])
+      case LongType => st.setLong(pos, v.asInstanceOf[Long])
+      case IntegerType => st.setInt(pos, v.asInstanceOf[Int])
+      case ShortType => st.setShort(pos, v.asInstanceOf[Short])
+      case ByteType => st.setByte(pos, v.asInstanceOf[Byte])
+      case DoubleType => st.setDouble(pos, v.asInstanceOf[Double])
+      case FloatType => st.setFloat(pos, v.asInstanceOf[Float])
+      case BooleanType => st.setBoolean(pos, v.asInstanceOf[Boolean])
+      case TimestampType =>
+        st.setTimestamp(pos, v.asInstanceOf[java.sql.Timestamp])
+      case DateType => st.setDate(pos, v.asInstanceOf[java.sql.Date])
+      case _: DecimalType =>
+        st.setBigDecimal(pos, v.asInstanceOf[java.math.BigDecimal])
+      case BinaryType => st.setBytes(pos, v.asInstanceOf[Array[Byte]])
+      case other => throw new IllegalArgumentException(
+        s"JdbcUpsert: unsupported column type ${other.simpleString}")
+    }
+
+  private def sqlType(dt: DataType): Int = dt match {
+    case StringType => Types.VARCHAR
+    case LongType => Types.BIGINT
+    case IntegerType => Types.INTEGER
+    case ShortType => Types.SMALLINT
+    case ByteType => Types.TINYINT
+    case DoubleType => Types.DOUBLE
+    case FloatType => Types.FLOAT
+    case BooleanType => Types.BOOLEAN
+    case TimestampType => Types.TIMESTAMP
+    case DateType => Types.DATE
+    case _: DecimalType => Types.DECIMAL
+    case BinaryType => Types.BINARY
+    case _ => Types.OTHER
+  }
+}

@@ -28,6 +28,18 @@ import org.apache.spark.sql.functions.{col, lit}
   * partition value leaves the old copy in the untouched partition —
   * the same constraint partitioned MERGE targets carry in
   * Delta/Iceberg when only touched partitions are rewritten.
+  *
+  * CONCURRENCY: the swap is NOT atomic for concurrent readers. The
+  * unpartitioned path does two ATOMIC_MOVEs (target→old, tmp→target),
+  * so a reader listing the table in the sub-second window between them
+  * sees no directory; the partitioned path swaps one partition dir at
+  * a time, so a concurrent full-table read can observe partition A
+  * post-merge and partition B pre-merge. Single-writer /
+  * retry-on-missing readers (the batch-pipeline pattern this sink
+  * serves) are unaffected; a transactional table format
+  * (Delta/Iceberg) is the upgrade path when concurrent readers need
+  * snapshot isolation. For a relational target, [[JdbcUpsert]] gives
+  * per-transaction atomicity instead.
   */
 object MergeWriter {
 
