@@ -15,6 +15,7 @@ package graft.operators
 object MediaHeaders {
 
   final case class PngInfo(width: Int, height: Int)
+  final case class JpegInfo(width: Int, height: Int, progressive: Boolean)
   final case class WavInfo(channels: Int, sampleRate: Int,
                            bitsPerSample: Int, durationMs: Long)
 
@@ -51,6 +52,46 @@ object MediaHeaders {
       if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) None
       else Some(PngInfo(w.toInt, h.toInt))
     }
+
+  /** JPEG: marker walk from SOI (FFD8) to the first frame header.
+    * Dimensions live in the SOF segment: baseline SOF0, progressive
+    * SOF2, and the other SOFn variants (everything in C0–CF except the
+    * non-frame C4/C8/CC) carry `len(2 BE) precision(1) height(2 BE)
+    * width(2 BE)`. Real corpora are mostly JPEG, so this walk — not
+    * the PNG path — is the one that matters at scale; like the others
+    * it reads O(header) bytes and never decodes entropy-coded data.
+    */
+  def parseJpeg(bytes: Array[Byte]): Option[JpegInfo] = {
+    if (bytes == null || bytes.length < 4) return None
+    if (u8(bytes(0)) != 0xff || u8(bytes(1)) != 0xd8) return None // SOI
+    var off = 2
+    while (off + 3 < bytes.length) {
+      if (u8(bytes(off)) != 0xff) return None // desynced marker stream
+      var m = off + 1
+      while (m < bytes.length && u8(bytes(m)) == 0xff) m += 1 // fill bytes
+      if (m >= bytes.length) return None
+      val marker = u8(bytes(m))
+      if (marker == 0xd9 || marker == 0xda) return None // EOI/SOS: no SOF seen
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+        off = m + 1 // standalone markers carry no length
+      } else {
+        if (m + 2 >= bytes.length) return None
+        val len = (u8(bytes(m + 1)) << 8) | u8(bytes(m + 2))
+        if (len < 2) return None
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          if (m + 7 >= bytes.length) return None
+          val h = (u8(bytes(m + 4)) << 8) | u8(bytes(m + 5))
+          val w = (u8(bytes(m + 6)) << 8) | u8(bytes(m + 7))
+          return if (w <= 0 || h <= 0) None
+          else Some(JpegInfo(w, h, progressive = marker == 0xc2))
+        }
+        off = m + 1 + len
+      }
+    }
+    None
+  }
 
   /** WAV: "RIFF" + size + "WAVE", then a chunk walk for "fmt " (format
     * fields) and "data" (payload size → duration via byte rate).
@@ -123,10 +164,12 @@ object MediaHeaders {
   }
 
   /** Minimal valid WAV: RIFF/WAVE + fmt (PCM) + data chunk of
-    * `nSamples` zero samples.
+    * `nSamples` samples — zeros by default, or deterministic LCG noise
+    * when `noiseSeed != 0` (so PCM-decode tests read real non-trivial
+    * amplitudes).
     */
   def wavBytes(sampleRate: Int, nSamples: Int, channels: Int = 1,
-               bitsPerSample: Int = 16): Array[Byte] = {
+               bitsPerSample: Int = 16, noiseSeed: Long = 0L): Array[Byte] = {
     val blockAlign = channels * bitsPerSample / 8
     val dataSize = nSamples * blockAlign
     val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
@@ -138,6 +181,54 @@ object MediaHeaders {
     buf.putInt(sampleRate).putInt(sampleRate * blockAlign)
     buf.putShort(blockAlign.toShort).putShort(bitsPerSample.toShort)
     buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    if (noiseSeed != 0L && bitsPerSample == 16) {
+      var h = noiseSeed
+      (0 until nSamples * channels).foreach { _ =>
+        h = h * 6364136223846793005L + 1442695040888963407L
+        buf.putShort((h >>> 48).toShort)
+      }
+    }
     buf.array()
+  }
+
+  /** REAL encoded image via the JVM's own codec (`javax.imageio` —
+    * present in every JRE, no new dependency): a deterministic
+    * per-pixel pattern seeded by `seed`, written as `"png"` or
+    * `"jpg"`. These are full decodable images, not just valid headers.
+    */
+  def imageBytes(width: Int, height: Int, format: String,
+                 seed: Long = 42L): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var h = seed
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        h = h * 6364136223846793005L + 1442695040888963407L
+        img.setRGB(x, y, ((h >>> 40) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, out)
+    out.toByteArray
+  }
+
+  /** Solid-color image — decode tests can assert exact channel means. */
+  def solidImageBytes(width: Int, height: Int, rgb: Int,
+                      format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, out)
+    out.toByteArray
   }
 }

@@ -7,12 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed batch-wise per partition.
   *
-  * The Spark-side contract is real and tested — schema, partitioning,
-  * batch shape, feature output — while the actual media decode is a
-  * STUB (this container has no image/audio codecs): `decodeStub`
-  * produces a deterministic fake feature vector from the bytes. A real
-  * deployment swaps `decodeStub` for a JNI/codec call with the SAME
-  * signature; nothing else changes.
+  * Decode is REAL where the JVM has a codec: images (PNG/JPEG/GIF/BMP)
+  * go through `javax.imageio` to actual pixels, audio through a
+  * direct 16-bit PCM WAV read — both ship with every JRE, zero new
+  * dependencies. `decodeStub` remains only as (a) the path for kinds
+  * with no JVM codec (video — no mp4 demuxer in the JRE) and (b) the
+  * corruption fallback, so a rotten payload degrades to a
+  * deterministic fake vector instead of killing the stage. A real
+  * deployment swaps the per-kind decoders for JNI/model calls with the
+  * SAME signature; nothing else changes.
   *
   * Scale design: `mapPartitions` amortizes per-batch decoder init (the
   * expensive part with real codecs — model load, GPU context) across
@@ -38,10 +41,11 @@ object Multimodal {
   final case class MediaFeatures(media_id: Long, kind: String,
                                  feature: Array[Float], n_bytes: Int)
 
-  /** STUB decoder ??? → in production this is the codec/model call.
-    * Deterministic fake: 8 floats derived from a rolling hash of the
-    * payload — stable across executors/retries, so downstream tests
-    * and dedup logic behave exactly as with a real embedding.
+  /** STUB decoder ??? → the fallback for kinds with no JVM codec
+    * (video) and for corrupt payloads. Deterministic fake: 8 floats
+    * derived from a rolling hash of the payload — stable across
+    * executors/retries, so downstream tests and dedup logic behave
+    * exactly as with a real embedding.
     */
   def decodeStub(bytes: Array[Byte], dim: Int = 8): Array[Float] = {
     var h = 1125899906842597L
@@ -55,13 +59,123 @@ object Multimodal {
     out.map(v => v / math.max(1, bytes.length / dim))
   }
 
+  // ImageIO's default scratch-file cache would put a disk write in
+  // every executor decode call; decode in memory instead.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** REAL image decode via `javax.imageio` (PNG/JPEG/GIF/BMP — the
+    * codecs every JRE ships). Features = pixel statistics:
+    * `[w, h, meanR, meanG, meanB, meanLuma, stdLuma, aspect]`.
+    * None on any unreadable/corrupt payload.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[Array[Float]] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        var sr = 0.0; var sg = 0.0; var sb = 0.0
+        var sl = 0.0; var sl2 = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff
+            val b = p & 0xff
+            val luma = 0.299 * r + 0.587 * g + 0.114 * b
+            sr += r; sg += g; sb += b; sl += luma; sl2 += luma * luma
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toDouble * h
+        val meanL = sl / n
+        Some(Array(w.toFloat, h.toFloat, (sr / n).toFloat, (sg / n).toFloat,
+          (sb / n).toFloat, meanL.toFloat,
+          math.sqrt(math.max(0.0, sl2 / n - meanL * meanL)).toFloat,
+          (w.toDouble / h).toFloat))
+      }
+    } catch { case _: Exception => None }
+
+  /** REAL audio decode: 16-bit PCM WAV samples read directly (the fmt
+    * chunk is already parsed by MediaHeaders; PCM is bytes). Features =
+    * `[channels, sampleRate, nFrames, meanAmp, rms, maxAbs, zcr,
+    * durationSec]` with amplitudes normalized to [-1, 1]. None for
+    * non-PCM/non-16-bit or corrupt payloads.
+    */
+  def decodeWavPcm(bytes: Array[Byte]): Option[Array[Float]] =
+    MediaHeaders.parseWav(bytes).flatMap { info =>
+      if (info.bitsPerSample != 16 || info.channels <= 0) None
+      else findWavData(bytes).map { case (off, len) =>
+        val nSamples = len / 2
+        var sum = 0.0; var sum2 = 0.0; var maxAbs = 0.0
+        var zc = 0; var prevSign = 0
+        var i = 0
+        while (i < nSamples) {
+          val lo = bytes(off + 2 * i) & 0xff
+          val hi = bytes(off + 2 * i + 1).toInt
+          val s = ((hi << 8) | lo) / 32768.0
+          sum += s; sum2 += s * s
+          val a = math.abs(s); if (a > maxAbs) maxAbs = a
+          val sign = java.lang.Double.compare(s, 0.0)
+          if (sign != 0) {
+            if (prevSign != 0 && sign != prevSign) zc += 1
+            prevSign = sign
+          }
+          i += 1
+        }
+        val n = math.max(1, nSamples).toDouble
+        val frames = nSamples / info.channels
+        Array(info.channels.toFloat, info.sampleRate.toFloat,
+          frames.toFloat, (sum / n).toFloat,
+          math.sqrt(sum2 / n).toFloat, maxAbs.toFloat,
+          (zc / n).toFloat,
+          (frames.toDouble / info.sampleRate).toFloat)
+      }
+    }
+
+  /** Locate the PCM payload: (offset, usable length) of the "data"
+    * chunk, clamped to the buffer.
+    */
+  private def findWavData(bytes: Array[Byte]): Option[(Int, Int)] = {
+    def le32(off: Int): Long =
+      ((bytes(off + 3) & 0xffL) << 24) | ((bytes(off + 2) & 0xffL) << 16) |
+        ((bytes(off + 1) & 0xffL) << 8) | (bytes(off) & 0xffL)
+    if (bytes.length < 44) return None
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val id = new String(bytes, off, 4, "US-ASCII")
+      val size = le32(off + 4)
+      if (id == "data") {
+        val avail = math.min(size, (bytes.length - off - 8).toLong).toInt
+        return if (avail >= 2) Some((off + 8, avail)) else None
+      }
+      val step = 8L + size + (size & 1L)
+      if (step <= 0 || off + step > bytes.length) return None
+      off += step.toInt
+    }
+    None
+  }
+
+  /** Per-kind dispatch: real codec where the JVM has one, stub
+    * fallback elsewhere — ONE signature for every kind, so swapping in
+    * a JNI/model decoder is a local change.
+    */
+  def decode(kind: String, bytes: Array[Byte]): Array[Float] = kind match {
+    case "image" => decodeImage(bytes).getOrElse(decodeStub(bytes))
+    case "audio" => decodeWavPcm(bytes).getOrElse(decodeStub(bytes))
+    case _ => decodeStub(bytes) // no JVM video demuxer: documented stub
+  }
+
   /** Batch feature extraction: one decoder "session" per partition. */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // real impl: init decoder/model ONCE here, reuse across the batch
       it.map(m => MediaFeatures(m.media_id, m.kind,
-        decodeStub(m.bytes), m.bytes.length))
+        decode(m.kind, m.bytes), m.bytes.length))
     }
   }
 
@@ -83,10 +197,11 @@ object Multimodal {
         sequence(lit(0L), col("duration_ms") - 1, lit(everyMs)))
         .otherwise(array()))
 
-  /** Parse REAL container headers (MediaHeaders: PNG IHDR, WAV
-    * RIFF/fmt/data) into the metadata columns; parsed values override
-    * declared ones, declared values survive where the payload isn't a
-    * recognized container (e.g. video — no pure-JVM mp4 walker here).
+  /** Parse REAL container headers (MediaHeaders: PNG IHDR, JPEG SOF,
+    * WAV RIFF/fmt/data) into the metadata columns; parsed values
+    * override declared ones, declared values survive where the payload
+    * isn't a recognized container (e.g. video — no pure-JVM mp4 walker
+    * here).
     *
     * Scalar UDFs, deliberately: byte-level header reads aren't
     * expressible in Catalyst builtins, the cost is O(header bytes) per
@@ -94,32 +209,38 @@ object Multimodal {
     * a shuffle.
     */
   def withParsedMetadata(df: DataFrame): DataFrame = {
-    val png = udf((b: Array[Byte]) =>
-      MediaHeaders.parsePng(b).map(p => (p.width, p.height)))
+    val img = udf((b: Array[Byte]) =>
+      MediaHeaders.parsePng(b).map(p => (p.width, p.height))
+        .orElse(MediaHeaders.parseJpeg(b).map(j => (j.width, j.height))))
     val wav = udf((b: Array[Byte]) =>
       MediaHeaders.parseWav(b).map(w =>
         (w.channels, w.sampleRate, w.bitsPerSample, w.durationMs)))
-    df.withColumn("__png", png(col("bytes")))
+    df.withColumn("__img", img(col("bytes")))
       .withColumn("__wav", wav(col("bytes")))
-      .withColumn("width", coalesce(col("__png._1"), col("width")))
-      .withColumn("height", coalesce(col("__png._2"), col("height")))
+      .withColumn("width", coalesce(col("__img._1"), col("width")))
+      .withColumn("height", coalesce(col("__img._2"), col("height")))
       .withColumn("sample_rate", coalesce(col("__wav._2"), col("sample_rate")))
       .withColumn("duration_ms", coalesce(col("__wav._4"), col("duration_ms")))
-      .drop("__png", "__wav")
+      .drop("__img", "__wav")
   }
 
-  /** Deterministic synthetic media table with REAL container bytes:
-    * image rows are valid-header PNGs, audio rows valid PCM WAVs (so
-    * header parsing reads actual payloads); video rows stay opaque
-    * noise with declared metadata. All metadata columns for image and
+  /** Deterministic synthetic media table with REAL media bytes: image
+    * rows are fully-decodable encoded images — PNG and JPEG
+    * alternating, via the JVM's own codec — audio rows valid 16-bit
+    * PCM WAVs with non-trivial samples; video rows stay opaque noise
+    * with declared metadata (no JVM video codec). Images are kept
+    * small (≤ 64×40) so generating N rows costs milliseconds, not a
+    * re-encode of a photo corpus. All metadata columns for image and
     * audio are left NULL here — `withParsedMetadata` must fill them
     * from the bytes.
     */
   def syntheticMedia(spark: SparkSession, documents: DataFrame): DataFrame = {
     val gen = udf((id: Long, kind: String, nChars: Int) => kind match {
-      case "image" => MediaHeaders.pngBytes(
-        nChars % 1000 + 100, nChars % 800 + 50, nChars % 256 + 16, id)
-      case "audio" => MediaHeaders.wavBytes(16000, nChars * 16)
+      case "image" => MediaHeaders.imageBytes(
+        nChars % 56 + 8, nChars % 32 + 8,
+        if (id % 2 == 0) "png" else "jpg", id)
+      case "audio" => MediaHeaders.wavBytes(16000, nChars * 16,
+        noiseSeed = id + 1)
       case _ => s"video-payload-$id-$nChars".getBytes("UTF-8")
     })
     documents.select(

@@ -107,12 +107,15 @@ class MultimodalSpec extends SparkSpec {
 
   test("withParsedMetadata fills image/audio metadata from ACTUAL bytes") {
     val rows = media.collect()
+    // images alternate PNG (IHDR path) and JPEG (SOF path); both parse
     rows.filter(_.getAs[String]("kind") == "image").foreach { r =>
       val w = r.getAs[Int]("width"); val h = r.getAs[Int]("height")
-      assert(w >= 100 && w < 1100, s"parsed width $w")
-      assert(h >= 50 && h < 850, s"parsed height $h")
+      assert(w >= 8 && w < 64, s"parsed width $w")
+      assert(h >= 8 && h < 40, s"parsed height $h")
       assert(r.isNullAt(r.fieldIndex("sample_rate")))
     }
+    assert(rows.count(r => r.getAs[String]("kind") == "image" &&
+      r.getAs[Long]("media_id") % 2 == 1) > 0, "no JPEG rows in fixture")
     rows.filter(_.getAs[String]("kind") == "audio").foreach { r =>
       assert(r.getAs[Int]("sample_rate") === 16000)
       assert(r.getAs[Long]("duration_ms") > 0)
@@ -127,14 +130,89 @@ class MultimodalSpec extends SparkSpec {
 
   test("resize plan preserves aspect ratio within the box") {
     val planned = Multimodal.planResize(
-      media.filter($"kind" === "image"), maxSide = 256)
+      media.filter($"kind" === "image"), maxSide = 16)
       .select("width", "height", "target_width", "target_height").collect()
+    assert(planned.exists(r => r.getInt(0) > 16 || r.getInt(1) > 16),
+      "no image exceeds the box — scaling branch untested")
     planned.foreach { r =>
       val (w, h, tw, th) = (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
-      assert(tw <= 256 + 1 && th <= 256 + 1)
-      if (w > 256 || h > 256)
-        assert(math.abs(tw.toDouble / th - w.toDouble / h) < 0.1)
+      assert(tw <= 16 + 1 && th <= 16 + 1)
+      // both sides scaled by the SAME factor (ceil'd): that IS aspect
+      // preservation under integer quantization
+      val scale = math.min(1.0, math.min(16.0 / w, 16.0 / h))
+      assert(tw === math.ceil(w * scale).toInt, s"${w}x$h -> ${tw}x$th")
+      assert(th === math.ceil(h * scale).toInt, s"${w}x$h -> ${tw}x$th")
     }
+  }
+
+  test("JPEG SOF parsing: real codec output, hand-built progressive " +
+    "SOF2, and corruption paths") {
+    import graft.operators.MediaHeaders
+    val jpg = MediaHeaders.imageBytes(37, 21, "jpg", seed = 7)
+    assert(MediaHeaders.parseJpeg(jpg) ===
+      Some(MediaHeaders.JpegInfo(37, 21, progressive = false)))
+    // hand-built minimal progressive frame header (SOF2)
+    val sof2 = Array(0xff, 0xd8, 0xff, 0xc2, 0x00, 0x0b, 0x08,
+      0x01, 0x00, 0x02, 0x80, 0x01, 0x11, 0x00, 0x00)
+      .map(_.toByte)
+    assert(MediaHeaders.parseJpeg(sof2) ===
+      Some(MediaHeaders.JpegInfo(640, 256, progressive = true)))
+    // corruption: wrong magic, truncation before SOF, PNG bytes, null
+    assert(MediaHeaders.parseJpeg("nope".getBytes) === None)
+    assert(MediaHeaders.parseJpeg(jpg.take(6)) === None)
+    assert(MediaHeaders.parseJpeg(MediaHeaders.pngBytes(10, 10)) === None)
+    assert(MediaHeaders.parseJpeg(null) === None)
+    // a marker stream that hits SOS without any SOF yields None
+    val noSof = Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x02).map(_.toByte)
+    assert(MediaHeaders.parseJpeg(noSof) === None)
+  }
+
+  test("real image decode: exact channel means on a solid PNG, close " +
+    "means on a solid JPEG, corrupt payload falls back to the stub") {
+    import graft.operators.MediaHeaders
+    // solid orange 24x10 PNG: lossless -> exact stats
+    val png = MediaHeaders.solidImageBytes(24, 10, 0xcc6633, "png")
+    val f = Multimodal.decodeImage(png).get
+    assert(f(0) === 24f && f(1) === 10f)
+    assert(f(2) === 0xcc.toFloat && f(3) === 0x66.toFloat &&
+      f(4) === 0x33.toFloat, s"pixel means off: ${f.toSeq}")
+    assert(f(6) < 1e-3, "solid image must have ~zero luma stddev")
+    // JPEG is lossy: means within a few units
+    val jpg = MediaHeaders.solidImageBytes(24, 10, 0xcc6633, "jpg")
+    val fj = Multimodal.decodeImage(jpg).get
+    assert(math.abs(fj(2) - 0xcc) < 6 && math.abs(fj(3) - 0x66) < 6 &&
+      math.abs(fj(4) - 0x33) < 6, s"jpeg means off: ${fj.toSeq}")
+    // corrupt: a valid-header PNG whose payload is noise decodes to
+    // None and the dispatch falls back to the deterministic stub
+    val corrupt = MediaHeaders.pngBytes(640, 480)
+    assert(Multimodal.decodeImage(corrupt) === None)
+    assert(Multimodal.decode("image", corrupt)
+      .sameElements(Multimodal.decodeStub(corrupt)))
+  }
+
+  test("real PCM decode: constant and alternating samples give exact " +
+    "rms/zero-crossing stats") {
+    import graft.operators.MediaHeaders
+    // hand-build 4 samples at amplitude +8192 (=0.25 normalized)
+    val base = MediaHeaders.wavBytes(8000, 4)
+    val bb = java.nio.ByteBuffer.wrap(base)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(8192, -8192, 8192, -8192).zipWithIndex.foreach { case (s, i) =>
+      bb.putShort(44 + 2 * i, s.toShort)
+    }
+    val f = Multimodal.decodeWavPcm(base).get
+    assert(f(0) === 1f && f(1) === 8000f && f(2) === 4f)
+    assert(math.abs(f(4) - 0.25f) < 1e-4, s"rms ${f(4)}")
+    assert(math.abs(f(5) - 0.25f) < 1e-4, s"maxAbs ${f(5)}")
+    assert(math.abs(f(6) - 0.75f) < 1e-4, s"zcr ${f(6)} (3 crossings / 4)")
+    // dispatch integrates: audio kind with noisy fixture decodes real
+    val noisy = MediaHeaders.wavBytes(16000, 64, noiseSeed = 5)
+    val fn = Multimodal.decode("audio", noisy)
+    assert(fn(1) === 16000f && fn(2) === 64f && fn(4) > 0f)
+    // truncated payload: parseWav fails -> stub fallback
+    val cut = noisy.take(30)
+    assert(Multimodal.decode("audio", cut)
+      .sameElements(Multimodal.decodeStub(cut)))
   }
 
   test("frame-sample plan: every 1000ms across the duration") {
