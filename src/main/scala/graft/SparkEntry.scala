@@ -290,6 +290,18 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
         n = 3, minJaccard = 0.5)),
 
+    // Same exact semantics via PPJoin prefix filtering (the Zipfian-
+    // corpus scale path): same ground truth as q25 — identical answers
+    // from a different candidate-generation strategy IS the test. At
+    // t=0.8 the prefix is ~20% of each doc, so candidate volume stays
+    // near the true-pair count even on this uniform-vocab fixture
+    // (t=0.5 prefixes are half the doc and degenerate to 310k
+    // candidates here — measured; that regime belongs to the plain
+    // join, which ngramJaccardAuto picks for it).
+    "q81_ngram_prefix" -> ((s, d) =>
+      Dedup.ngramJaccardPairsPrefix(Tables.documents(s, d), "text", "doc_id",
+        n = 3, minJaccard = 0.8)),
+
     // Document fingerprint (rolling hash) + quality score + subword
     // count — deterministic per doc; rows-only (not SQL-expressible).
     "q26_fingerprint" -> ((s, d) => {
@@ -1717,6 +1729,10 @@ object SparkEntry {
     // Same ground truth as q23: the inverted-index join computes the
     // exact all-pairs trigram Jaccard directly.
     "q25_ngram_jaccard" -> ngramJaccardOracle,
+
+    // Prefix-filtered variant computes the IDENTICAL exact math at
+    // t=0.8 — one ground-truth formula, two physical strategies.
+    "q81_ngram_prefix" -> ngramJaccardOracle.replace(">= 0.5", ">= 0.8"),
 
     // Rolling-hash fingerprint + quality score + subword count,
     // recomputed step-for-step: md5-nibble 48-bit token hashes folded

