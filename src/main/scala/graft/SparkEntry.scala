@@ -331,6 +331,19 @@ object SparkEntry {
       Similarity.ivfTopK(corpus, queries, k = 5, nLists = 16, nProbe = 4)
     }),
 
+    // IVF-SQ8 with exact re-rank: candidates scored on 1-byte
+    // quantized residuals, shortlist re-ranked with float cosine —
+    // approximate, rows-only; recall + reconstruction-error bounds in
+    // SimilarityTextSpec.
+    "q82_knn_ivfpq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.ivfPqTopK(corpus, queries, k = 5, nLists = 16, nProbe = 4,
+        rerank = 32)
+    }),
+
     // Embedding-cosine near-dup pairs via hyperplane-LSH buckets.
     // (This corpus is near-random — max pairwise cosine ≈ 0.48 — so the
     // "near-dup" threshold is 0.4 with wide-recall LSH: 4 bits/table,

@@ -10,12 +10,16 @@ import graft.functions.VectorFunctions._
   *  - Brute force: broadcast the (small) query set against the corpus,
   *    exact cosine, per-query top-k window. The corpus side never
   *    shuffles before the ranking — at 100 TB this is one scan.
-  *  - IVF: coarse-quantize the corpus to the nearest of C centroids
-  *    (one pass), then probe only the nProbe nearest centroids per
-  *    query — the scan shrinks by ~nProbe/C. Centroids here come from
-  *    deterministic sampling + one Lloyd refinement step (KMeansLite) —
-  *    at real scale you'd iterate, but the partition/probe plumbing is
-  *    identical.
+  *  - IVF: coarse-quantize the corpus to the nearest of C centroids,
+  *    then probe only the nProbe nearest centroids per query — the
+  *    scan shrinks by ~nProbe/C. Centroids come from deterministic
+  *    sampling + Lloyd refinement (default 3 iterations — measured
+  *    recall@5 0.76 → 0.84 vs 1 iteration, SimilarityTextSpec).
+  *  - IVF-SQ8 (`ivfPqTopK`): the composed scale path — residuals
+  *    vs the assigned centroid are stored as 1-byte codes (4×
+  *    bandwidth/storage reduction), candidates are scored on the
+  *    QUANTIZED reconstruction, and only a small shortlist is
+  *    re-ranked with exact float cosine.
   */
 object Similarity {
 
@@ -92,7 +96,7 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nLists: Int = 16, nProbe: Int = 4,
-              kmeansIters: Int = 1): DataFrame = {
+              kmeansIters: Int = 3): DataFrame = {
     val centroids = kmeansLiteCentroids(corpus, nLists, kmeansIters).cache()
     val lists = assignToCentroids(corpus, centroids)
 
@@ -109,6 +113,106 @@ object Similarity {
       .withColumn("cosine", call_function("graft_cosine", col("v"), col("qv")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
     joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id").as("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
+  /** Quantized-residual corpus codes: each vector's residual against
+    * its assigned IVF centroid, affine-int8 per dimension (global
+    * per-dim lo/scale from a corpus stats pass), packed as
+    * `array<tinyint>` — a REAL 1-byte-per-dimension representation
+    * (4× smaller than float32 on disk and over the wire), not floats
+    * pretending. Returns (codes (id, cid, codes), centroids,
+    * stats (p, lo, scale)).
+    */
+  def ivfSq8Index(corpus: DataFrame, nLists: Int, kmeansIters: Int = 3)
+  : (DataFrame, DataFrame, DataFrame) = {
+    val centroids = kmeansLiteCentroids(corpus, nLists, kmeansIters)
+      .localCheckpoint(true)
+    val cpos = centroids.select(col("cid"),
+      posexplode(col("cv")).as(Seq("p", "cx")))
+    val rpos = assignToCentroids(corpus, centroids)
+      .select(col("id"), col("cid"), posexplode(col("v")).as(Seq("p", "x")))
+      .join(broadcast(cpos), Seq("cid", "p"))
+      .withColumn("r", col("x").cast("double") - col("cx").cast("double"))
+    val stats = rpos.groupBy("p")
+      .agg(min("r").as("lo"), max("r").as("hi"))
+      .withColumn("scale", (col("hi") - col("lo")) / 255.0)
+      .select("p", "lo", "scale")
+      .localCheckpoint(true)
+    val codes = rpos.join(broadcast(stats), "p")
+      .withColumn("q", when(col("scale") > 0,
+        round((col("r") - col("lo")) / col("scale"))).otherwise(0.0))
+      .withColumn("code", (col("q") - 128).cast("byte"))
+      .groupBy("id", "cid")
+      .agg(transform(array_sort(collect_list(struct(col("p"), col("code")))),
+        s => s.getField("code")).as("codes"))
+    (codes, centroids, stats)
+  }
+
+  /** IVF-SQ8 ANN with exact re-rank: probe `nProbe` lists, score every
+    * candidate on its RECONSTRUCTED residual (lo + (code+128)·scale —
+    * pure column arithmetic over the 1-byte codes, fully codegen'd),
+    * keep the `rerank` best per query by approximate distance, then
+    * re-rank just those with exact float cosine. Same output shape as
+    * [[bruteForceTopK]].
+    *
+    * Scale shape: the big probe-join scans only the 1-byte codes of
+    * the probed lists (~nProbe/nLists of the corpus at 1/4 the bytes);
+    * exact float vectors are touched for `rerank` ids per query — the
+    * standard IVF-PQ/ADC search structure (Jégou, Douze & Schmid,
+    * "Product quantization for nearest neighbor search", PAMI 2011),
+    * with a scalar-quantizer codebook instead of per-subspace PQ
+    * codebooks.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nLists: Int = 16, nProbe: Int = 4, rerank: Int = 32,
+                kmeansIters: Int = 3): DataFrame = {
+    val (codes, centroids, stats) = ivfSq8Index(corpus, nLists, kmeansIters)
+    val cpos = centroids.select(col("cid"),
+      posexplode(col("cv")).as(Seq("p", "cx")))
+
+    val wq = Window.partitionBy("qid").orderBy(col("qd2"), col("cid"))
+    val probes = queries.join(broadcast(centroids))
+      .withColumn("qd2", l2Sq(col("qv"), col("cv")))
+      .withColumn("qrn", row_number().over(wq))
+      .filter(col("qrn") <= nProbe)
+      .select(col("qid"), col("qv"), col("cid"))
+
+    // per-(query, probed list, dimension) residual + dequant params:
+    // tiny (nq·nProbe·dim) — broadcast against the code scan
+    val qres = probes
+      .select(col("qid"), col("cid"), posexplode(col("qv")).as(Seq("p", "qx")))
+      .join(broadcast(cpos), Seq("cid", "p"))
+      .join(broadcast(stats), "p")
+      .select(col("qid"), col("cid"), col("p"),
+        (col("qx").cast("double") - col("cx").cast("double")).as("qr"),
+        col("lo"), col("scale"))
+
+    val approx = codes
+      .join(broadcast(probes.select("qid", "cid")), Seq("cid"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("cid"), col("id"),
+        posexplode(col("codes")).as(Seq("p", "code")))
+      .join(broadcast(qres), Seq("qid", "cid", "p"))
+      .groupBy("qid", "id")
+      .agg(sum(pow(col("qr") -
+        (col("lo") + (col("code").cast("double") + 128.0) * col("scale")), 2))
+        .as("ad2"))
+    val ws = Window.partitionBy("qid").orderBy(col("ad2"), col("id"))
+    val shortlist = approx.withColumn("srn", row_number().over(ws))
+      .filter(col("srn") <= rerank)
+      .select("qid", "id")
+
+    // exact re-rank: float vectors touched ONLY for the shortlist
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val exact = shortlist
+      .join(corpus.select(col("id"), col("v")), Seq("id"))
+      .join(broadcast(queries.select(col("qid"), col("qv"))), Seq("qid"))
+      .withColumn("cosine", call_function("graft_cosine", col("v"), col("qv")))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
+    exact.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("id").as("neighbor_id"),
         round(col("cosine"), 4).as("cosine"), col("rank"))

@@ -27,7 +27,8 @@ class EntrySpec extends SparkSpec {
       "q45_kmv_distinct",       // KMV estimate
       "q66_incremental_staging", // side-effecting streaming pipeline
       "q69_bpe_vocab",          // iterative argmax, not SQL-replayable
-      "q80_tdigest_quantile"    // t-digest estimate (bound in TDigestSpec)
+      "q80_tdigest_quantile",   // t-digest estimate (bound in TDigestSpec)
+      "q82_knn_ivfpq"           // approximate (SQ8 shortlist recall < 1)
     ), s"unexpected rows-only set: $rowsOnly")
   }
 }

@@ -58,6 +58,83 @@ class SimilarityTextSpec extends SparkSpec {
       .forall(_.map(_.getInt(3)).sorted.toSeq == Seq(1, 2, 3)))
   }
 
+  test("Lloyd refinement: 3 iterations do not degrade recall vs 1 " +
+    "(the measured reason kmeansIters defaults to 3)") {
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .select("qid", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(iters: Int): Double = {
+      val got = Similarity.ivfTopK(corpus, queries, k = 5,
+        nLists = 8, nProbe = 4, kmeansIters = iters)
+        .select("qid", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val r1 = recallAt(1); val r3 = recallAt(3)
+    info(s"recall@5: 1 iter = $r1, 3 iters = $r3")
+    assert(r3 >= r1 - 0.08, s"refinement degraded recall: $r1 -> $r3")
+    assert(r3 >= 0.4, s"recall $r3")
+  }
+
+  test("SQ8 codes are genuine 1-byte arrays and reconstruct within " +
+    "half a quantization step per dimension") {
+    val (codes, centroids, stats) = Similarity.ivfSq8Index(corpus, nLists = 8)
+    val codesField = codes.schema("codes").dataType
+    assert(codesField ===
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = true),
+      s"codes column is $codesField, not array<tinyint>")
+    val dim = corpus.select(size($"v")).head().getInt(0)
+    assert(codes.select(size($"codes")).collect().forall(_.getInt(0) == dim))
+
+    // reconstruction: |residual - dequant(code)| <= scale/2 (+eps)
+    val cpos = centroids.select($"cid", posexplode($"cv").as(Seq("p", "cx")))
+    val err = corpus.join(codes, "id")
+      .select($"id", $"cid", posexplode(arrays_zip($"v", $"codes"))
+        .as(Seq("p", "z")))
+      .join(broadcast(cpos), Seq("cid", "p"))
+      .join(broadcast(stats), Seq("p"))
+      .select(
+        (abs($"z.v".cast("double") - $"cx" -
+          ($"lo" + ($"z.codes".cast("double") + 128.0) * $"scale")) -
+          $"scale" / 2).as("excess"))
+      .agg(max($"excess")).head().getDouble(0)
+    assert(err < 1e-6, s"reconstruction off by more than scale/2: $err")
+  }
+
+  test("IVF-SQ8 + exact re-rank: k ranked rows per query, EXACT " +
+    "cosines for returned ids, recall not below plain IVF by more " +
+    "than the quantization shortlist can explain") {
+    val out = Similarity.ivfPqTopK(corpus, queries, k = 5,
+      nLists = 8, nProbe = 4, rerank = 16).collect()
+    assert(out.length === 25)
+    assert(out.groupBy(_.getLong(0)).values
+      .forall(_.map(_.getInt(3)).sorted.toSeq == Seq(1, 2, 3, 4, 5)))
+    // re-rank is exact: every returned cosine equals the brute-force
+    // cosine for that (qid, neighbor) pair
+    val nCorpus = corpus.count().toInt
+    val brute = Similarity.bruteForceTopK(corpus, queries, k = nCorpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    out.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(brute.contains(key) && brute(key) === r.getDouble(2),
+        s"re-ranked cosine for $key is not the exact value")
+    }
+    // recall comparable to plain IVF at the same probes
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .select("qid", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq8 = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(corpus, queries, k = 5,
+      nLists = 8, nProbe = 4)
+      .select("qid", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rSq8 = exact.intersect(sq8).size.toDouble / exact.size
+    val rIvf = exact.intersect(ivf).size.toDouble / exact.size
+    info(s"recall@5: ivf = $rIvf, ivf-sq8 = $rSq8")
+    assert(rSq8 >= rIvf - 0.2, s"quantized path lost recall: $rIvf -> $rSq8")
+  }
+
   test("IVF scans less than brute force (probe pruning works)") {
     val assigned = Similarity.assignToCentroids(corpus,
       Similarity.kmeansLiteCentroids(corpus, 8))
