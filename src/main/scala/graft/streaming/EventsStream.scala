@@ -92,7 +92,7 @@ object EventsStream {
     // submissions on this session (Verify/Bench/tests are sequential);
     // a multi-tenant caller should pass a dedicated session.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try {
       val q = df.writeStream
         .format("memory")

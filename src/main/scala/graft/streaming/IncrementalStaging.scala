@@ -31,19 +31,26 @@ object IncrementalStaging {
       .schema(Schemas.rawResponses)
       .parquet(rawDir)
 
-    val q = raw.writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // batch_id travels per-row (a micro-batch may span raw batches)
-        val flat = Flatten.flattenResponsesKeepBatch(batch)
-        val cleaned = Cleaning.clean(flat)
-        if (!cleaned.isEmpty) {
-          MergeWriter.merge(batch.sparkSession, warehousePath,
-            cleaned, keys = Seq("city", "ts_utc"))
+    // staging batches are metadata-scale (one raw file per trigger):
+    // size the per-batch shuffles to the data, not the core count —
+    // same deliberate sizing note as EventsStream.runToTable
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      val q = raw.writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // batch_id travels per-row (a micro-batch may span raw batches)
+          val flat = Flatten.flattenResponsesKeepBatch(batch)
+          val cleaned = Cleaning.clean(flat)
+          if (!cleaned.isEmpty) {
+            MergeWriter.merge(batch.sparkSession, warehousePath,
+              cleaned, keys = Seq("city", "ts_utc"))
+          }
         }
-      }
-      .start()
-    q.awaitTermination()
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 }
