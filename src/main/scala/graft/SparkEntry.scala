@@ -328,7 +328,8 @@ object SparkEntry {
       val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
       val queries = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      Similarity.ivfTopK(corpus, queries, k = 5, nLists = 16, nProbe = 4)
+      Similarity.ivfTopKCached(corpus, inputKey = d, queries, k = 5,
+        nLists = 16, nProbe = 4)
     }),
 
     // IVF-SQ8 with exact re-rank: candidates scored on 1-byte
@@ -340,8 +341,8 @@ object SparkEntry {
       val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
       val queries = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      Similarity.ivfPqTopK(corpus, queries, k = 5, nLists = 16, nProbe = 4,
-        rerank = 32)
+      Similarity.ivfPqTopKCached(corpus, inputKey = d, queries, k = 5,
+        nLists = 16, nProbe = 4, rerank = 32)
     }),
 
     // Embedding-cosine near-dup pairs via hyperplane-LSH buckets.

@@ -154,12 +154,21 @@ object GraftFunctions {
     TdQuantile(children.head, children(1))
   }
 
+  val sq8Info = new ExpressionInfo(
+    classOf[Sq8Distance].getName, "graft_sq8_d2")
+  val sq8Builder: Seq[Expression] => Expression = { children =>
+    require(children.length == 3,
+      "graft_sq8_d2 takes (a, scale, codes)")
+    Sq8Distance(children.head, children(1), children(2))
+  }
+
   private val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(("graft_cosine", cosineInfo, cosineBuilder),
       ("graft_count_min", countMinInfo, countMinBuilder),
       ("graft_cm_estimate", cmEstimateInfo, cmEstimateBuilder),
       ("graft_tdigest", tdigestInfo, tdigestBuilder),
-      ("graft_td_quantile", tdQuantileInfo, tdQuantileBuilder))
+      ("graft_td_quantile", tdQuantileInfo, tdQuantileBuilder),
+      ("graft_sq8_d2", sq8Info, sq8Builder))
 
   def ensureRegistered(spark: SparkSession): Unit =
     all.foreach { case (name, info, builder) =>

@@ -23,6 +23,19 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Session-scoped memo of the IVF index parts (centroids, ids-only
+    * assignments, SQ8 stats, SQ8 codes) keyed by input identity +
+    * build parameters — an ANN index is built ONCE and queried many
+    * times, and the cached forms below make repeated searches in one
+    * session pay the build exactly once (the real-world index shape).
+    * Everything memoized is either tiny (centroids, stats) or the
+    * compact index itself (ids-only assignments; 1-byte codes — 4×
+    * smaller than the float corpus); the float vectors are never
+    * duplicated into the memo. See [[graft.core.SessionMemo]] for the
+    * key-identifies-content contract.
+    */
+  private val indexMemo = new graft.core.SessionMemo
+
   /** Exact top-k cosine neighbors for each query vector.
     * `queries`: (qid, qv); `corpus`: (id, v). Self-matches excluded
     * when ids collide. Deterministic: ties broken by corpus id.
@@ -68,14 +81,15 @@ object Similarity {
     }
   }
 
-  /** Assign each corpus vector to its nearest centroid. Distances are
-    * computed codegen-style — posexplode both sides, join on the
-    * dimension index, hash-aggregate Σ(x-c)² per (id, cid) — because
-    * array-lambda l2Sq runs interpreted (outside codegen) and measured
-    * ~3-4× slower on the corpus×centroids product. argmin via
-    * min(struct(d2, cid)), map-side combinable.
+  /** Nearest-centroid id per corpus vector — (id, cid) ONLY, so the
+    * result is memoizable without duplicating the float vectors.
+    * Distances are computed codegen-style — posexplode both sides,
+    * join on the dimension index, hash-aggregate Σ(x-c)² per
+    * (id, cid) — because array-lambda l2Sq runs interpreted (outside
+    * codegen) and measured ~3-4× slower on the corpus×centroids
+    * product. argmin via min(struct(d2, cid)), map-side combinable.
     */
-  def assignToCentroids(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+  def assignmentsOf(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val vpos = corpus.select(col("id"),
       posexplode(col("v")).as(Seq("p", "x")))
     val cpos = centroids.select(col("cid"),
@@ -84,10 +98,32 @@ object Similarity {
       .groupBy("id", "cid")
       .agg(sum(pow(col("x").cast("double") - col("cx").cast("double"), 2))
         .as("d2"))
-    val best = d2.groupBy("id")
+    d2.groupBy("id")
       .agg(min(struct(col("d2"), col("cid"))).as("m"))
       .select(col("id"), col("m.cid").as("cid"))
-    corpus.select(col("id"), col("v")).join(best, "id")
+  }
+
+  /** Assign each corpus vector to its nearest centroid: (id, v, cid). */
+  def assignToCentroids(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus.select(col("id"), col("v"))
+      .join(assignmentsOf(corpus, centroids), "id")
+
+  /** [[kmeansLiteCentroids]] memoized per (session, input, params). */
+  def kmeansLiteCentroidsCached(corpus: DataFrame, inputKey: String,
+                                c: Int, iters: Int = 1): DataFrame =
+    indexMemo.getOrElseUpdate(corpus.sparkSession,
+      s"ivf-centroids|$inputKey|$c|$iters") {
+      kmeansLiteCentroids(corpus, c, iters)
+    }
+
+  /** Memoized ids-only IVF assignment for the cached search paths. */
+  private def assignmentsCached(corpus: DataFrame, inputKey: String,
+                                nLists: Int, iters: Int): DataFrame = {
+    val centroids = kmeansLiteCentroidsCached(corpus, inputKey, nLists, iters)
+    indexMemo.getOrElseUpdate(corpus.sparkSession,
+      s"ivf-assign|$inputKey|$nLists|$iters") {
+      assignmentsOf(corpus, centroids)
+    }
   }
 
   /** IVF ANN: probe the `nProbe` centroids nearest to each query and
@@ -98,8 +134,26 @@ object Similarity {
               nLists: Int = 16, nProbe: Int = 4,
               kmeansIters: Int = 3): DataFrame = {
     val centroids = kmeansLiteCentroids(corpus, nLists, kmeansIters).cache()
-    val lists = assignToCentroids(corpus, centroids)
+    ivfSearch(corpus, assignToCentroids(corpus, centroids), centroids,
+      queries, k, nProbe)
+  }
 
+  /** [[ivfTopK]] with the index (centroids + assignments) memoized per
+    * (session, input, params) — repeated searches pay the build once.
+    */
+  def ivfTopKCached(corpus: DataFrame, inputKey: String, queries: DataFrame,
+                    k: Int, nLists: Int = 16, nProbe: Int = 4,
+                    kmeansIters: Int = 3): DataFrame = {
+    val centroids = kmeansLiteCentroidsCached(corpus, inputKey, nLists,
+      kmeansIters)
+    val lists = corpus.select(col("id"), col("v"))
+      .join(assignmentsCached(corpus, inputKey, nLists, kmeansIters), "id")
+    ivfSearch(corpus, lists, centroids, queries, k, nProbe)
+  }
+
+  private def ivfSearch(corpus: DataFrame, lists: DataFrame,
+                        centroids: DataFrame, queries: DataFrame,
+                        k: Int, nProbe: Int): DataFrame = {
     val wq = Window.partitionBy("qid").orderBy(col("qd2"), col("cid"))
     val probes = queries.join(broadcast(centroids))
       .withColumn("qd2", l2Sq(col("qv"), col("cv")))
@@ -130,26 +184,59 @@ object Similarity {
   : (DataFrame, DataFrame, DataFrame) = {
     val centroids = kmeansLiteCentroids(corpus, nLists, kmeansIters)
       .localCheckpoint(true)
+    val assign = assignmentsOf(corpus, centroids)
+    val stats = sq8Stats(corpus, assign, centroids).localCheckpoint(true)
+    (sq8Codes(corpus, assign, centroids, stats), centroids, stats)
+  }
+
+  /** [[ivfSq8Index]] with every part memoized per (session, input,
+    * params): centroids and stats are tiny, assignments are ids-only,
+    * and the codes table IS the compact index (1 byte/dimension).
+    */
+  def ivfSq8IndexCached(corpus: DataFrame, inputKey: String, nLists: Int,
+                        kmeansIters: Int = 3)
+  : (DataFrame, DataFrame, DataFrame) = {
+    val centroids = kmeansLiteCentroidsCached(corpus, inputKey, nLists,
+      kmeansIters)
+    val assign = assignmentsCached(corpus, inputKey, nLists, kmeansIters)
+    val stats = indexMemo.getOrElseUpdate(corpus.sparkSession,
+      s"sq8-stats|$inputKey|$nLists|$kmeansIters") {
+      sq8Stats(corpus, assign, centroids)
+    }
+    val codes = indexMemo.getOrElseUpdate(corpus.sparkSession,
+      s"sq8-codes|$inputKey|$nLists|$kmeansIters") {
+      sq8Codes(corpus, assign, centroids, stats)
+    }
+    (codes, centroids, stats)
+  }
+
+  /** Per-(id, cid, dimension) residual vs the assigned centroid. */
+  private def rposOf(corpus: DataFrame, assign: DataFrame,
+                     centroids: DataFrame): DataFrame = {
     val cpos = centroids.select(col("cid"),
       posexplode(col("cv")).as(Seq("p", "cx")))
-    val rpos = assignToCentroids(corpus, centroids)
+    corpus.select(col("id"), col("v")).join(assign, "id")
       .select(col("id"), col("cid"), posexplode(col("v")).as(Seq("p", "x")))
       .join(broadcast(cpos), Seq("cid", "p"))
       .withColumn("r", col("x").cast("double") - col("cx").cast("double"))
-    val stats = rpos.groupBy("p")
+  }
+
+  private def sq8Stats(corpus: DataFrame, assign: DataFrame,
+                       centroids: DataFrame): DataFrame =
+    rposOf(corpus, assign, centroids).groupBy("p")
       .agg(min("r").as("lo"), max("r").as("hi"))
       .withColumn("scale", (col("hi") - col("lo")) / 255.0)
       .select("p", "lo", "scale")
-      .localCheckpoint(true)
-    val codes = rpos.join(broadcast(stats), "p")
+
+  private def sq8Codes(corpus: DataFrame, assign: DataFrame,
+                       centroids: DataFrame, stats: DataFrame): DataFrame =
+    rposOf(corpus, assign, centroids).join(broadcast(stats), "p")
       .withColumn("q", when(col("scale") > 0,
         round((col("r") - col("lo")) / col("scale"))).otherwise(0.0))
       .withColumn("code", (col("q") - 128).cast("byte"))
       .groupBy("id", "cid")
       .agg(transform(array_sort(collect_list(struct(col("p"), col("code")))),
         s => s.getField("code")).as("codes"))
-    (codes, centroids, stats)
-  }
 
   /** IVF-SQ8 ANN with exact re-rank: probe `nProbe` lists, score every
     * candidate on its RECONSTRUCTED residual (lo + (code+128)·scale —
@@ -168,8 +255,24 @@ object Similarity {
     */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 nLists: Int = 16, nProbe: Int = 4, rerank: Int = 32,
-                kmeansIters: Int = 3): DataFrame = {
-    val (codes, centroids, stats) = ivfSq8Index(corpus, nLists, kmeansIters)
+                kmeansIters: Int = 3): DataFrame =
+    ivfPqSearch(corpus, queries, ivfSq8Index(corpus, nLists, kmeansIters),
+      k, nProbe, rerank)
+
+  /** [[ivfPqTopK]] over the memoized index ([[ivfSq8IndexCached]]). */
+  def ivfPqTopKCached(corpus: DataFrame, inputKey: String,
+                      queries: DataFrame, k: Int,
+                      nLists: Int = 16, nProbe: Int = 4, rerank: Int = 32,
+                      kmeansIters: Int = 3): DataFrame =
+    ivfPqSearch(corpus, queries,
+      ivfSq8IndexCached(corpus, inputKey, nLists, kmeansIters),
+      k, nProbe, rerank)
+
+  private def ivfPqSearch(corpus: DataFrame, queries: DataFrame,
+                          index: (DataFrame, DataFrame, DataFrame), k: Int,
+                          nProbe: Int, rerank: Int): DataFrame = {
+    val (codes, centroids, stats) = index
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val cpos = centroids.select(col("cid"),
       posexplode(col("cv")).as(Seq("p", "cx")))
 
@@ -180,26 +283,30 @@ object Similarity {
       .filter(col("qrn") <= nProbe)
       .select(col("qid"), col("qv"), col("cid"))
 
-    // per-(query, probed list, dimension) residual + dequant params:
-    // tiny (nq·nProbe·dim) — broadcast against the code scan
-    val qres = probes
+    // Fold the dequantization affine into the TINY query side: per
+    // (query, probed list) an array a with a_p = qr_p − lo_p −
+    // 128·scale_p, so the per-candidate score is
+    // Σ(a_p − code_p·scale_p)² — one codegen loop per candidate row
+    // (graft_sq8_d2), no per-dimension explode/join/aggregate on the
+    // corpus-sized side. nq·nProbe rows, broadcast.
+    val qarr = probes
       .select(col("qid"), col("cid"), posexplode(col("qv")).as(Seq("p", "qx")))
       .join(broadcast(cpos), Seq("cid", "p"))
       .join(broadcast(stats), "p")
-      .select(col("qid"), col("cid"), col("p"),
-        (col("qx").cast("double") - col("cx").cast("double")).as("qr"),
-        col("lo"), col("scale"))
+      .withColumn("a", col("qx").cast("double") - col("cx").cast("double") -
+        col("lo") - lit(128.0) * col("scale"))
+      .groupBy("qid", "cid")
+      .agg(
+        transform(array_sort(collect_list(struct(col("p"), col("a")))),
+          s => s.getField("a")).as("a"),
+        transform(array_sort(collect_list(struct(col("p"), col("scale")))),
+          s => s.getField("scale")).as("sc"))
 
     val approx = codes
-      .join(broadcast(probes.select("qid", "cid")), Seq("cid"))
+      .join(broadcast(qarr), Seq("cid"))
       .filter(col("id") =!= col("qid"))
-      .select(col("qid"), col("cid"), col("id"),
-        posexplode(col("codes")).as(Seq("p", "code")))
-      .join(broadcast(qres), Seq("qid", "cid", "p"))
-      .groupBy("qid", "id")
-      .agg(sum(pow(col("qr") -
-        (col("lo") + (col("code").cast("double") + 128.0) * col("scale")), 2))
-        .as("ad2"))
+      .withColumn("ad2",
+        call_function("graft_sq8_d2", col("a"), col("sc"), col("codes")))
     val ws = Window.partitionBy("qid").orderBy(col("ad2"), col("id"))
     val shortlist = approx.withColumn("srn", row_number().over(ws))
       .filter(col("srn") <= rerank)

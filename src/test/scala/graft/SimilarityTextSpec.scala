@@ -135,6 +135,55 @@ class SimilarityTextSpec extends SparkSpec {
     assert(rSq8 >= rIvf - 0.2, s"quantized path lost recall: $rIvf -> $rSq8")
   }
 
+  test("graft_sq8_d2 native expression matches the explicit " +
+    "per-dimension sum, under codegen with fallback disabled") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // NB Array[Byte] would encode as BINARY; Seq[Byte] gives the
+    // array<tinyint> shape the codes column actually has
+    val df = Seq(
+      (Seq(0.5, -1.25, 3.0), Seq(0.1, 0.2, 0.0),
+        Seq(10.toByte, (-3).toByte, 127.toByte)),
+      (Seq(1.0, 0.0, -2.0), Seq(0.05, 0.0, 0.3),
+        Seq(0.toByte, 5.toByte, (-128).toByte)))
+      .toDF("a", "sc", "codes")
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val out = df.select(
+        call_function("graft_sq8_d2", $"a", $"sc", $"codes").as("native"),
+        aggregate(zip_with(zip_with($"a", $"sc", (x, s) => struct(
+            x.as("x"), s.as("s"))), $"codes",
+            (as, c) => pow(as.getField("x") -
+              c.cast("double") * as.getField("s"), 2)),
+          lit(0.0), (acc, v) => acc + v).as("hof")).collect()
+      out.foreach(r =>
+        assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12,
+          s"native ${r.getDouble(0)} != hof ${r.getDouble(1)}"))
+    } finally prev.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
+      spark.conf.set("spark.sql.codegen.fallback", _))
+  }
+
+  test("cached IVF / IVF-SQ8 searches equal the uncached forms and " +
+    "reuse the session memo") {
+    val key = "spec-embeddings-sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val ivfC = rows(Similarity.ivfTopKCached(corpus, key, queries, k = 5,
+      nLists = 8, nProbe = 4))
+    val ivfU = rows(Similarity.ivfTopK(corpus, queries, k = 5,
+      nLists = 8, nProbe = 4))
+    assert(ivfC === ivfU)
+    val pqC = rows(Similarity.ivfPqTopKCached(corpus, key, queries, k = 5,
+      nLists = 8, nProbe = 4, rerank = 16))
+    val pqU = rows(Similarity.ivfPqTopK(corpus, queries, k = 5,
+      nLists = 8, nProbe = 4, rerank = 16))
+    assert(pqC === pqU)
+    // second cached call is served from the memo: same result again
+    assert(rows(Similarity.ivfPqTopKCached(corpus, key, queries, k = 5,
+      nLists = 8, nProbe = 4, rerank = 16)) === pqU)
+  }
+
   test("IVF scans less than brute force (probe pruning works)") {
     val assigned = Similarity.assignToCentroids(corpus,
       Similarity.kmeansLiteCentroids(corpus, 8))
