@@ -630,6 +630,28 @@ object SparkEntry {
           col("tok_len"))
     }),
 
+    // C4/RefinedWeb-style LINE-level dedup: docs re-segmented into
+    // 8-token lines (the synthetic corpus is single-line; the
+    // segmentation is a per-doc local transform), lines occurring in
+    // >1 distinct document dropped corpus-wide as boilerplate, docs
+    // reassembled in original line order.
+    "q83_line_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("text_nl", array_join(
+          transform(
+            sequence(lit(0),
+              floor((size(col("toks")) - lit(1)) / lit(8)).cast("int")),
+            i => array_join(
+              slice(col("toks"), i * lit(8) + lit(1), lit(8)), " ")),
+          "\n"))
+      graft.operators.LineDedup
+        .dedupLines(docs.select(col("doc_id"), col("text_nl")),
+          "doc_id", "text_nl", delim = "\n", maxDocs = 1)
+        .select(col("id").as("doc_id"), col("clean_text"),
+          col("n_lines"), col("n_dropped"))
+    }),
+
     // Deterministic weighted sampling without replacement (A-ES keys
     // from md5-derived uniforms): top-3 docs per source weighted by
     // length — the reproducible quality-weighted corpus-selection op.
@@ -1530,6 +1552,31 @@ object SparkEntry {
         |  CAST(least(64, n_tok - s) AS INT) AS tok_len
         |FROM d2, unnest(generate_series(0, greatest(n_tok - 16 - 1, 0), 48)) AS t(s)
         |WHERE n_tok > 0""".stripMargin,
+
+    "q83_line_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |seg AS (
+        |  SELECT doc_id, i AS ln,
+        |    array_to_string(
+        |      list_slice(toks, i * 8 + 1, i * 8 + 8), ' ') AS line
+        |  FROM t, unnest(generate_series(0,
+        |    CAST((len(toks) - 1) // 8 AS BIGINT))) AS g(i)),
+        |boiler AS (
+        |  SELECT line FROM seg GROUP BY line
+        |  HAVING count(DISTINCT doc_id) > 1),
+        |kept AS (
+        |  SELECT s.doc_id, s.ln, s.line FROM seg s
+        |  LEFT JOIN boiler b ON s.line = b.line WHERE b.line IS NULL),
+        |tot AS (SELECT doc_id, count(*) AS n_lines FROM seg GROUP BY doc_id),
+        |reb AS (
+        |  SELECT doc_id,
+        |    string_agg(line, chr(10) ORDER BY ln) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+        |  t.n_lines, t.n_lines - coalesce(r.n_kept, 0) AS n_dropped
+        |FROM tot t LEFT JOIN reb r USING (doc_id)""".stripMargin,
 
     "q68_weighted_sample" ->
       """WITH d AS (

@@ -155,4 +155,43 @@ class DedupSpec extends SparkSpec {
     assert(candidates <= 20L * nVecs,
       s"candidate set $candidates exceeds budget ${20L * nVecs}")
   }
+
+  test("line dedup: cross-doc boilerplate dropped everywhere, unique " +
+    "and blank lines kept in order, within-doc repeats survive, " +
+    "fully-boilerplate doc yields empty text") {
+    val docs = Seq(
+      (1L, "COOKIE BANNER\nalpha beta\n\ngamma delta\nCOOKIE BANNER"),
+      (2L, "COOKIE BANNER\nepsilon zeta"),
+      (3L, "COOKIE BANNER"),
+      (4L, "eta theta\neta theta\niota"), // within-doc repeat only
+      (5L, "lone doc with one line")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.LineDedup
+      .dedupLines(docs, "doc_id", "text", maxDocs = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+
+    // doc 1: banner (2 occurrences) dropped, blank line kept verbatim
+    assert(out(1L) === (("alpha beta\n\ngamma delta", 5L, 2L)))
+    assert(out(2L) === (("epsilon zeta", 2L, 1L)))
+    // all lines boilerplate -> empty text, every input doc present
+    assert(out(3L) === (("", 1L, 1L)))
+    // within-doc repetition is 1 distinct doc -> kept both times
+    assert(out(4L) === (("eta theta\neta theta\niota", 3L, 0L)))
+    assert(out(5L) === (("lone doc with one line", 1L, 0L)))
+  }
+
+  test("line dedup: maxDocs threshold and minLineLen eligibility") {
+    val docs = Seq(
+      (1L, "shared pair\nx"), (2L, "shared pair\ny"),
+      (3L, "x"), (4L, "x")   // 'x' is below minLineLen 2 -> ineligible
+    ).toDF("doc_id", "text")
+    val out = graft.operators.LineDedup
+      .dedupLines(docs, "doc_id", "text", maxDocs = 2, minLineLen = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 'shared pair' occurs in 2 docs = maxDocs -> kept
+    assert(out(1L) === "shared pair\nx")
+    // 'x' occurs in 3 docs but is ineligible (too short) -> kept
+    assert(out(3L) === "x" && out(4L) === "x")
+  }
 }
