@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runs default to LoggedOutput, which prefixes every stdout
+// line with "[info] " — that prefix made the Bench JSON contract line
+// unparseable as JSON for four straight graded rounds (the line was
+// present and intact in the captured tail, but `json.loads` fails on
+// "[info] {...}"). StdoutOutput passes the child's stdout through raw.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
