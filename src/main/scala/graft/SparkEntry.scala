@@ -696,7 +696,7 @@ object SparkEntry {
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
         .as[graft.streaming.EventsStream.EventRow]
-      val anomalies = graft.streaming.EventsStream.detectAnomalies(ev, k = 5.0)
+      val anomalies = graft.streaming.EventsStream.detectAnomalies(ev, k = 5L)
       graft.streaming.EventsStream.runToTable(s, anomalies.toDF(),
         s"q62_sink_${System.nanoTime()}",
         org.apache.spark.sql.streaming.OutputMode.Append())

@@ -267,8 +267,17 @@ case class TdQuantile(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(DoubleType, _), DoubleType) =>
+      case (ArrayType(DoubleType, false), DoubleType) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(DoubleType, true), DoubleType) =>
+        // checkDigest reads header/centroid slots with getDouble, which
+        // on a null-bearing UnsafeArrayData returns garbage instead of
+        // the intended loud shape error — refuse the type up front.
+        // TDigestAgg itself emits containsNull = false, so only a
+        // hand-built array can hit this.
+        TypeCheckResult.TypeCheckFailure(
+          "graft_td_quantile digest array must not allow null elements " +
+            "(graft_tdigest emits array<double> with containsNull=false)")
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"graft_td_quantile expects (array<double> digest, double q), " +
           s"got ${l.simpleString}, ${r.simpleString}")

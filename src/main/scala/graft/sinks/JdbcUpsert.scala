@@ -136,6 +136,26 @@ object JdbcUpsert {
   /** Batched UPDATE; rows reporting update-count 0 are batch-INSERTed.
     * Both phases run inside the caller's transaction, so a re-run of
     * the partition after a mid-batch failure sees none of its effects.
+    *
+    * Two portability hazards of the two-phase form are handled here
+    * rather than documented away:
+    *
+    *  - Duplicate keys inside one flush: the single-statement
+    *    `ON CONFLICT` dialect executes a batch sequentially, so the
+    *    table converges on the batch's LAST row per key. Two-phase
+    *    would instead miss both UPDATEs and INSERT both rows — a
+    *    primary-key violation that aborts the partition. Each flush
+    *    therefore dedupes to the last occurrence per key first
+    *    (last-write-wins, matching the Postgres dialect's outcome).
+    *  - Drivers that don't report per-row update counts: the dialects
+    *    this fallback exists for (older MySQL, Oracle) commonly return
+    *    `Statement.SUCCESS_NO_INFO` (-2) from `executeBatch`, which
+    *    would make the `count == 0` test never fire and silently drop
+    *    every row that needed an INSERT. Any row whose batched count
+    *    is not a real non-negative number is re-run as an individual
+    *    `executeUpdate` (real count, same transaction) and inserted if
+    *    that reports 0. Only drivers with real counts (Derby, the spec
+    *    target) stay on the fast all-batched path.
     */
   private def runUpdateThenInsert(conn: Connection, sqlUpdate: String,
                                   sqlInsert: String, rows: Iterator[Row],
@@ -147,18 +167,34 @@ object JdbcUpsert {
     val ins = conn.prepareStatement(sqlInsert)
     try {
       val buffer = new scala.collection.mutable.ArrayBuffer[Row](batchSize)
+      def bindUpdate(row: Row): Unit = {
+        // UPDATE params: non-keys first (SET ...), then keys (WHERE)
+        setAll(upd, row, schema, nonKeys, offset = 0)
+        setAll(upd, row, schema, keys, offset = nonKeys.size)
+      }
       def flush(): Unit = if (buffer.nonEmpty) {
+        val byKey =
+          new scala.collection.mutable.LinkedHashMap[Seq[Any], Row]
         buffer.foreach { row =>
-          // UPDATE params: non-keys first (SET ...), then keys (WHERE)
-          setAll(upd, row, schema, nonKeys, offset = 0)
-          setAll(upd, row, schema, keys, offset = nonKeys.size)
-          upd.addBatch()
+          byKey.put(keys.map(k => row.get(row.fieldIndex(k))), row)
         }
+        val batch = byKey.values.toIndexedSeq
+        batch.foreach { row => bindUpdate(row); upd.addBatch() }
         val counts = upd.executeBatch()
         var inserts = 0
         counts.zipWithIndex.foreach { case (n, i) =>
-          if (n == 0) {
-            setAll(ins, buffer(i), schema, cols, offset = 0)
+          val updated =
+            if (n >= 0) n
+            else {
+              // SUCCESS_NO_INFO / EXECUTE_FAILED: no trustworthy count
+              // from the batch — re-run this row alone for a real one
+              // (an actual failure resurfaces as the statement's own
+              // exception and rolls back the partition).
+              bindUpdate(batch(i))
+              upd.executeUpdate()
+            }
+          if (updated == 0) {
+            setAll(ins, batch(i), schema, cols, offset = 0)
             ins.addBatch()
             inserts += 1
           }

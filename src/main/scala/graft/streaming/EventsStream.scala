@@ -172,16 +172,15 @@ object EventsStream {
     * `math.round`, which since JDK-8010430 differs from floor(x+0.5)
     * at half-up boundary doubles) so the Scala and oracle-SQL
     * expressions are the same operation. Exact portability requires an
-    * integer-valued `k` (enforced) so the threshold product stays in
-    * Long arithmetic end to end.
+    * integer-valued `k`, so the parameter type is `Long` — the
+    * integer-only contract is enforced by the compiler rather than a
+    * runtime require (a fractional threshold simply doesn't typecheck).
     */
-  def detectAnomalies(events: Dataset[EventRow], k: Double = 5.0)
+  def detectAnomalies(events: Dataset[EventRow], k: Long = 5L)
                      (implicit enc1: org.apache.spark.sql.Encoder[Anomaly])
   : Dataset[Anomaly] = {
-    require(k == k.toLong && k > 0,
-      s"k=$k: the anomaly threshold must be a positive integer for the " +
-        "decision to be pure Long arithmetic (oracle-portable)")
-    val kL = k.toLong
+    require(k > 0, s"k=$k: the anomaly threshold must be positive")
+    val kL = k
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[UserStats, Anomaly](

@@ -133,6 +133,115 @@ class JdbcUpsertSpec extends SparkSpec {
         "temperature_c = EXCLUDED.temperature_c")
   }
 
+  test("duplicate keys inside one flush batch converge to the LAST " +
+    "occurrence (ON CONFLICT sequential-batch parity)") {
+    freshTable("w6")
+    // seed one key so the duplicate pair exercises the UPDATE side too
+    JdbcUpsert.upsert(df(Seq(("paris", "2024-01-01 00:00:00", Some(1.0), "b0"))),
+      url, "w6", keys, dialect = JdbcUpsert.UpdateThenInsert)
+    val batch = df(Seq(
+      ("paris", "2024-01-01 00:00:00", Some(2.0), "b1"),
+      ("paris", "2024-01-01 00:00:00", Some(3.0), "b1"), // same existing key twice
+      ("osaka", "2024-01-01 00:00:00", Some(4.0), "b1"),
+      ("osaka", "2024-01-01 00:00:00", Some(5.0), "b1"))) // same NEW key twice:
+    // un-deduped, both UPDATEs report 0 and both rows get INSERTed —
+    // a primary-key violation that aborts the whole partition
+    JdbcUpsert.upsert(batch.coalesce(1), url, "w6", keys,
+      dialect = JdbcUpsert.UpdateThenInsert, batchSize = 10)
+    val got = readAll("w6")
+    assert(got.size == 2, s"expected 2 rows, got $got")
+    assert(got(("paris", "2024-01-01 00:00:00")) === (Some(3.0), "b1"))
+    assert(got(("osaka", "2024-01-01 00:00:00")) === (Some(5.0), "b1"))
+  }
+
+  // --- SUCCESS_NO_INFO fallback -------------------------------------
+  // The dialects UpdateThenInsert exists for (older MySQL, Oracle)
+  // commonly return Statement.SUCCESS_NO_INFO (-2) from executeBatch
+  // instead of real per-row counts. Derby reports real counts, so the
+  // -2 path is driven through a delegating JDBC driver that forwards
+  // everything to Derby but rewrites every batch count to -2.
+  private val noInfoPrefix = "jdbc:graftnoinfo:"
+
+  private def wrapStatement(real: java.sql.PreparedStatement): java.sql.PreparedStatement =
+    java.lang.reflect.Proxy.newProxyInstance(
+      getClass.getClassLoader, Array(classOf[java.sql.PreparedStatement]),
+      (_, m, args) => {
+        val a = if (args == null) Array.empty[AnyRef] else args
+        if (m.getName == "executeBatch") {
+          val counts = real.executeBatch()
+          Array.fill(counts.length)(java.sql.Statement.SUCCESS_NO_INFO)
+        } else m.invoke(real, a: _*)
+      }).asInstanceOf[java.sql.PreparedStatement]
+
+  private object NoInfoDriver extends java.sql.Driver {
+    override def acceptsURL(u: String): Boolean = u.startsWith(noInfoPrefix)
+    override def connect(u: String, p: java.util.Properties): java.sql.Connection =
+      if (!acceptsURL(u)) null
+      else {
+        val real = DriverManager.getConnection(
+          "jdbc:derby:" + u.stripPrefix(noInfoPrefix), p)
+        java.lang.reflect.Proxy.newProxyInstance(
+          getClass.getClassLoader, Array(classOf[java.sql.Connection]),
+          (_, m, args) => {
+            val a = if (args == null) Array.empty[AnyRef] else args
+            val r = m.invoke(real, a: _*)
+            if (m.getName == "prepareStatement")
+              wrapStatement(r.asInstanceOf[java.sql.PreparedStatement])
+            else r
+          }).asInstanceOf[java.sql.Connection]
+      }
+    override def getMajorVersion: Int = 1
+    override def getMinorVersion: Int = 0
+    override def getPropertyInfo(u: String, p: java.util.Properties) =
+      Array.empty[java.sql.DriverPropertyInfo]
+    override def jdbcCompliant(): Boolean = false
+    override def getParentLogger: java.util.logging.Logger =
+      throw new java.sql.SQLFeatureNotSupportedException()
+  }
+
+  test("a driver reporting SUCCESS_NO_INFO batch counts still gets " +
+    "rows inserted (per-row fallback, no silent drops)") {
+    DriverManager.registerDriver(NoInfoDriver)
+    val derbyUrl = "jdbc:derby:memory:graftnoinfo;create=true"
+    withConn { _ => () } // ensure the default db exists (shared helpers)
+    val c = DriverManager.getConnection(derbyUrl)
+    try {
+      val st = c.createStatement()
+      try st.execute("DROP TABLE w7") catch { case _: Throwable => () }
+      st.execute(
+        """CREATE TABLE w7 (
+          |  city VARCHAR(64) NOT NULL,
+          |  ts_utc TIMESTAMP NOT NULL,
+          |  temperature_c DOUBLE,
+          |  batch_id VARCHAR(64),
+          |  PRIMARY KEY (city, ts_utc))""".stripMargin)
+      st.close()
+    } finally c.close()
+    // seed via plain Derby so the no-info run has one conflict row
+    JdbcUpsert.upsert(df(Seq(("paris", "2024-01-01 00:00:00", Some(1.0), "b0"))),
+      derbyUrl, "w7", keys, dialect = JdbcUpsert.UpdateThenInsert)
+    // upsert through the count-hiding driver: paris = update,
+    // tokyo = insert (silently dropped before the fallback existed)
+    JdbcUpsert.upsert(df(Seq(
+      ("paris", "2024-01-01 00:00:00", Some(2.0), "b1"),
+      ("tokyo", "2024-01-01 00:00:00", Some(9.0), "b1"))).coalesce(1),
+      noInfoPrefix + "memory:graftnoinfo", "w7", keys,
+      dialect = JdbcUpsert.UpdateThenInsert)
+    val got = {
+      val c2 = DriverManager.getConnection(derbyUrl)
+      try {
+        val rs = c2.createStatement().executeQuery(
+          "SELECT city, temperature_c, batch_id FROM w7")
+        val out = scala.collection.mutable.Map[String, (Double, String)]()
+        while (rs.next()) out(rs.getString(1)) = (rs.getDouble(2), rs.getString(3))
+        out.toMap
+      } finally c2.close()
+    }
+    assert(got.size == 2, s"row needing INSERT was dropped: $got")
+    assert(got("paris") === ((2.0, "b1")), "conflict row not updated")
+    assert(got("tokyo") === ((9.0, "b1")), "new row not inserted")
+  }
+
   test("key column missing from the DataFrame fails loudly") {
     val e = intercept[IllegalArgumentException] {
       JdbcUpsert.upsert(Seq(("a", 1.0)).toDF("city", "t"), url, "w1",

@@ -50,7 +50,7 @@ class StreamingSpec extends SparkSpec {
     val src = spark.readStream.schema(rows.toDS().schema).parquet(dir)
       .as[EventsStream.EventRow]
     val alerts = EventsStream.runToTable(spark,
-      EventsStream.detectAnomalies(src, k = 5.0).toDF(), "t_anom",
+      EventsStream.detectAnomalies(src, k = 5L).toDF(), "t_anom",
       org.apache.spark.sql.streaming.OutputMode.Append()).collect()
     assert(alerts.length === 1)
     assert(alerts.head.getAs[Long]("event_id") === 7L)

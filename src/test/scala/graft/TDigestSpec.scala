@@ -123,6 +123,23 @@ class TDigestSpec extends SparkSpec {
       s"expected a digest-validation error, got: ${msgs(e).mkString(" | ")}")
   }
 
+  test("null-bearing digest arrays are rejected at analysis time, " +
+    "not read as garbage doubles") {
+    // array(double, containsNull=true): getDouble over null slots would
+    // read uninitialized UnsafeArrayData instead of erroring — the type
+    // check must refuse it up front (graft_tdigest emits containsNull=false)
+    val e = intercept[Exception] {
+      // analysis is eager: the type check fires at select(), not collect()
+      Seq(Seq(Some(1.0), None, Some(3.0))).toDF("arr")
+        .select(call_function("graft_td_quantile", $"arr", lit(0.5)))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("must not allow null elements")),
+      s"expected a containsNull rejection, got: ${msgs(e).mkString(" | ")}")
+  }
+
   test("q80 entry (the driver-facing query) keeps the rank-error " +
     "bound vs q39's exact ground truth at sf0.01") {
     val d = "/root/testdata/sf0.01"
