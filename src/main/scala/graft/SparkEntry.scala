@@ -652,6 +652,88 @@ object SparkEntry {
           col("n_lines"), col("n_dropped"))
     }),
 
+    // ---- Error-bound gates for the approximate family (ErrorBounds):
+    // each recomputes exact ground truth in-engine and emits
+    // oracle-reproducible exact columns + within-bound booleans, so
+    // the driver's hash compare grades the documented error bounds
+    // every round instead of trusting spec-only assertions.
+
+    // t-digest rank error ≤ 2% per group at compression 100 (the
+    // sketch's own guarantee is ~1%; the slack absorbs CDF steps from
+    // duplicate 2-decimal values).
+    "q84_tdigest_bound" -> ((s, d) =>
+      graft.operators.ErrorBounds.tdigestRankBound(
+        Tables.events(s, d).select(col("event_type"), col("value")),
+        "event_type", "value", qs = Seq(0.5, 0.95))),
+
+    // HLL++ (rsd 2%) within 5% of the exact per-group distinct count.
+    "q85_hll_bound" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx") - col("exact_parts")) <=
+            col("exact_parts") * 0.05).as("hll_ok"))),
+
+    // KMV bottom-256 within 3/sqrt(k) ≈ 20% of exact (σ ≈ 6.25%; a
+    // single hash draw is shared by every group over the same key set,
+    // so the 2σ bound is one coin-flip from flaking — 3σ is the gate).
+    "q86_kmv_bound" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          graft.functions.KmvSketch
+            .distinctEstimate(col("l_partkey"), 256).as("kmv"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("kmv") - col("exact_parts")) <=
+            col("exact_parts") * 0.2).as("kmv_ok"))),
+
+    // IVF ANN gate: pruned probes (4/16) clear an average-recall floor
+    // on this near-random corpus (pairwise cosines ≈ 0.3, so pruning
+    // is genuinely lossy — measured 0.575 at sf0.01), AND the full
+    // probe budget reproduces brute force exactly (same scorer + id
+    // tie-break; divergence = routing bug, not float noise).
+    "q87_ivf_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.operators.ErrorBounds.annRecallGate(
+        Similarity.ivfTopKCached(corpus, inputKey = d, queries, k = 5,
+          nLists = 16, nProbe = 4),
+        Similarity.ivfTopKCached(corpus, inputKey = d, queries, k = 5,
+          nLists = 16, nProbe = 16),
+        Similarity.bruteForceTopK(corpus, queries, k = 5),
+        k = 5, minAvgRecall = 0.4)
+    }),
+
+    // IVF-SQ8 gate: same floor at the production operating point, and
+    // with every budget opened (all lists probed, re-rank covering the
+    // whole corpus) the quantized index must converge to brute force —
+    // the exact re-rank erases SQ8 quantization error by construction.
+    "q88_ivfpq_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.operators.ErrorBounds.annRecallGate(
+        Similarity.ivfPqTopKCached(corpus, inputKey = d, queries, k = 5,
+          nLists = 16, nProbe = 4, rerank = 32),
+        Similarity.ivfPqTopKCached(corpus, inputKey = d, queries, k = 5,
+          nLists = 16, nProbe = 16, rerank = 1 << 24),
+        Similarity.bruteForceTopK(corpus, queries, k = 5),
+        k = 5, minAvgRecall = 0.4)
+    }),
+
+    // Hyperplane-LSH near-dup recall vs the exact all-pairs cosine set
+    // (wide-recall config: 4 bits × 8 tables). The exact pair count is
+    // itself cross-checked against DuckDB's list_cosine_similarity.
+    "q89_lshcos_recall" -> ((s, d) =>
+      graft.operators.ErrorBounds.lshCosineRecall(
+        Tables.embeddings(s, d), "embedding", "vec_id",
+        threshold = 0.4, bits = 4, tables = 8, minRecall = 0.5)),
+
     // Deterministic weighted sampling without replacement (A-ES keys
     // from md5-derived uniforms): top-3 docs per source weighted by
     // length — the reproducible quality-weighted corpus-selection op.
@@ -1577,6 +1659,42 @@ object SparkEntry {
         |SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
         |  t.n_lines, t.n_lines - coalesce(r.n_kept, 0) AS n_dropped
         |FROM tot t LEFT JOIN reb r USING (doc_id)""".stripMargin,
+
+    // Error-bound gates: the oracle recomputes every exact column
+    // (counts, distinct counts, the all-pairs cosine set) and pins the
+    // within-bound booleans to TRUE — a Spark-side bound violation or
+    // exact-side divergence both hash-mismatch.
+    "q84_tdigest_bound" ->
+      """SELECT event_type, count(*) AS n_rows,
+        |  TRUE AS p50_rank_ok, TRUE AS p95_rank_ok
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q85_hll_bound" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS hll_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q86_kmv_bound" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS kmv_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q87_ivf_recall" ->
+      """SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS recall_ok,
+        |  TRUE AS full_budget_exact
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+
+    "q88_ivfpq_recall" ->
+      """SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS recall_ok,
+        |  TRUE AS full_budget_exact
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+
+    "q89_lshcos_recall" ->
+      """SELECT count(*) AS n_exact_pairs, TRUE AS recall_ok
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND round(list_cosine_similarity(a.embedding, b.embedding), 4)
+        |        >= 0.4""".stripMargin,
 
     "q68_weighted_sample" ->
       """WITH d AS (
