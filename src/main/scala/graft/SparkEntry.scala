@@ -734,6 +734,75 @@ object SparkEntry {
         Tables.embeddings(s, d), "embedding", "vec_id",
         threshold = 0.4, bits = 4, tables = 8, minRecall = 0.5)),
 
+    // PII scrub: emails/phones/IPv4 redacted in one codegen pass with
+    // per-doc counts (curation policy: redact a little, drop a lot).
+    // The synthetic corpus carries no PII, so the query wires in
+    // deterministic id-derived PII first — the operator under test is
+    // the detect+count+redact pass, replayed verbatim by the oracle.
+    "q90_pii_redact" -> ((s, d) => {
+      val wired = Tables.documents(s, d).select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0, concat(lit(" contact u"),
+          col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" call 555-867-5309"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, concat(lit(" from 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".7")))
+          .otherwise(lit(""))).as("text"))
+      graft.functions.Redaction.scrub(wired, "text")
+        .select(col("doc_id"), col("n_emails").cast("long").as("n_emails"),
+          col("n_phones").cast("long").as("n_phones"),
+          col("n_ips").cast("long").as("n_ips"), col("redacted"))
+    }),
+
+    // URL canonicalization + per-domain stats: id-derived URL variants
+    // (scheme/case/www/port/trailing-slash/query/fragment noise)
+    // collapse to one canonical page key; paths are id%100 so the
+    // URL-dedup distinct count actually dedups.
+    "q91_url_domains" -> ((s, d) => {
+      val u = graft.functions.UrlFunctions
+      val urls = Tables.documents(s, d).select(concat(
+        when(col("doc_id") % 2 === 0, lit("https://WWW."))
+          .otherwise(lit("http://")),
+        col("source"),
+        when(col("doc_id") % 2 === 0, lit(".Com")).otherwise(lit(".org")),
+        when(col("doc_id") % 11 === 0, lit(":8080")).otherwise(lit("")),
+        lit("/docs/"), (col("doc_id") % 100).cast("string"),
+        when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=feed&ref="), col("lang"), lit("#top")).as("url"))
+      urls.select(u.normalizeUrl(col("url")).as("norm_url"),
+          u.registeredDomain(col("url")).as("domain"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("norm_url")).as("n_unique_pages"))
+    }),
+
+    // Stream–stream LEFT OUTER interval join. Outer rows are
+    // watermark-finalized, so both engines restrict to the finalized
+    // region (p_ts ≤ max event time − watermark − interval − margin);
+    // inside it the streaming result equals the batch left join.
+    "q92_stream_outer_join" -> ((s, d) => {
+      val es = graft.streaming.EventsStream
+      val joined = es.purchaseErrorLeftJoin(
+        es.readEvents(s, d).filter(col("event_type") === "purchase"),
+        es.readEvents(s, d).filter(col("event_type") === "error"))
+      val res = es.runToTable(s, joined,
+        s"q92_sink_${System.nanoTime()}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      val mx = Tables.events(s, d).agg(max(col("ts")).as("mx"))
+      res.join(broadcast(mx))
+        .filter(col("p_ts") <= col("mx") - expr("INTERVAL 2 HOURS"))
+        .select(col("p_event_id"), col("user_id"), col("e_event_id"))
+    }),
+
+    // Per-source percentile-band trim: drop the shortest and longest
+    // 5% of documents per source (tail trimming before training).
+    "q93_quantile_band" -> ((s, d) =>
+      graft.operators.Quality.quantileBand(
+        Tables.documents(s, d).select("source", "doc_id", "n_chars"),
+        "source", "n_chars", "doc_id", lo = 0.05, hi = 0.95)),
+
     // Deterministic weighted sampling without replacement (A-ES keys
     // from md5-derived uniforms): top-3 docs per source weighted by
     // length — the reproducible quality-weighted corpus-selection op.
@@ -1695,6 +1764,73 @@ object SparkEntry {
         |WHERE a.vec_id < b.vec_id
         |  AND round(list_cosine_similarity(a.embedding, b.embedding), 4)
         |        >= 0.4""".stripMargin,
+
+    "q90_pii_redact" ->
+      """WITH w AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' contact u' ||
+        |      CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' ||
+        |      CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(t,
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phones,
+        |  len(regexp_extract_all(t,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+        |    AS redacted
+        |FROM w""".stripMargin,
+
+    "q91_url_domains" ->
+      """WITH u AS (
+        |  SELECT CASE WHEN doc_id % 2 = 0 THEN 'https://WWW.'
+        |           ELSE 'http://' END ||
+        |    source ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '.Com' ELSE '.org' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END ||
+        |    '/docs/' || CAST(doc_id % 100 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+        |    '?utm_source=feed&ref=' || lang || '#top' AS url
+        |  FROM documents),
+        |n AS (
+        |  SELECT
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(url,
+        |        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+        |      ':\d+$', ''), '^www\.', '') AS host,
+        |    regexp_replace(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+        |      '/+$', '') AS path
+        |  FROM u)
+        |SELECT regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+        |  count(*) AS n_urls,
+        |  count(DISTINCT host || path) AS n_unique_pages
+        |FROM n GROUP BY 1""".stripMargin,
+
+    "q92_stream_outer_join" ->
+      """SELECT p.event_id AS p_event_id, p.user_id,
+        |  e.event_id AS e_event_id
+        |FROM events p LEFT JOIN events e
+        |  ON e.event_type = 'error' AND p.user_id = e.user_id
+        | AND e.ts >= p.ts - INTERVAL 30 MINUTE AND e.ts <= p.ts
+        |WHERE p.event_type = 'purchase'
+        |  AND p.ts <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR""".stripMargin,
+
+    "q93_quantile_band" ->
+      """SELECT source, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    percent_rank() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS pr
+        |  FROM documents) t
+        |WHERE pr >= 0.05 AND pr <= 0.95""".stripMargin,
 
     "q68_weighted_sample" ->
       """WITH d AS (

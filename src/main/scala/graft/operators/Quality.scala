@@ -94,4 +94,23 @@ object Quality {
   def checkWeather(df: DataFrame, batchId: String): QualityReport =
     check(df, batchId, graft.core.Schemas.weatherHourlyColumns,
       Seq("city", "ts_utc"), weatherRangeRules)
+
+  /** Per-group percentile-band filter — the curation policy "trim the
+    * tails": keep rows whose `valueCol` sits between ranks `lo` and
+    * `hi` (inclusive) of their group's empirical distribution, e.g.
+    * drop the shortest and longest 5% of documents per source before
+    * training. One windowed pass per group partition — no global sort,
+    * no per-group collect; `percent_rank` is (rank-1)/(n-1), pure
+    * integer-derived division, so the band predicate is exactly
+    * reproducible cross-engine. `tieCol` makes ranks deterministic
+    * under duplicate values.
+    */
+  def quantileBand(df: DataFrame, groupCol: String, valueCol: String,
+                   tieCol: String, lo: Double, hi: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col(valueCol), col(tieCol))
+    df.withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") >= lo && col("pr") <= hi)
+      .drop("pr")
+  }
 }

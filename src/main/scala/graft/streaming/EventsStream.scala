@@ -147,6 +147,38 @@ object EventsStream {
       .select(col("p_event_id"), col("user_id"), col("e_event_id"))
   }
 
+  /** Stream–stream LEFT OUTER interval join: every purchase appears,
+    * null-padded if no error preceded it within 30 minutes. The outer
+    * semantics are watermark-driven — an unmatched purchase can only be
+    * emitted once the error-side watermark has passed its match window
+    * (before that, a matching error might still arrive), so null rows
+    * trail matched rows by the watermark delay, and purchases inside
+    * the final un-finalized horizon of a bounded run may never emit
+    * their null row at all. Callers comparing against a batch left
+    * join must restrict both sides to the finalized region
+    * (`p_ts ≤ max event time − watermark − interval`); q92 does
+    * exactly that. State is bounded on both sides by the same
+    * watermark + interval arithmetic as the inner form.
+    */
+  def purchaseErrorLeftJoin(purchases: DataFrame,
+                            errors: DataFrame): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("p_event_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val e = errors
+      .select(col("event_id").as("e_event_id"),
+        col("user_id").as("e_user_id"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    p.join(e,
+      col("user_id") === col("e_user_id") &&
+        col("e_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("e_ts") <= col("p_ts"),
+      "leftOuter")
+      .select(col("p_event_id"), col("user_id"), col("p_ts"),
+        col("e_event_id"))
+  }
+
   // -------------------------------------------------------------------
   // Custom state: flatMapGroupsWithState — the escape hatch for
   // semantics session_window can't express. Example operator: per-user

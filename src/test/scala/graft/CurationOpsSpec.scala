@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Redaction, UrlFunctions}
+import graft.operators.Quality
+import graft.streaming.EventsStream
+
+/** The round-5 curation operators: PII scrub, URL canonicalization,
+  * percentile-band trim, and the stream–stream left-outer interval
+  * join. The driver oracles (q90–q93) replay each on the real tables;
+  * this spec pins the semantics on hand-built edge cases the synthetic
+  * corpus can't produce.
+  */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redaction: counts and replacements for mixed PII, " +
+    "negatives untouched") {
+    val text = "mail a.b-c_1%x@sub.example.co or x@y.io, " +
+      "call 555-867-5309 / 555.123.4567, host 10.0.255.7; " +
+      "not-pii: 12-34, ver 1.2, a@b (no tld)"
+    val r = Redaction.scrub(Seq(text).toDF("text"), "text").collect().head
+    assert(r.getAs[Int]("n_emails") === 2)
+    assert(r.getAs[Int]("n_phones") === 2)
+    assert(r.getAs[Int]("n_ips") === 1)
+    val red = r.getAs[String]("redacted")
+    assert(red === "mail <EMAIL> or <EMAIL>, call <PHONE> / <PHONE>, " +
+      "host <IP>; not-pii: 12-34, ver 1.2, a@b (no tld)")
+  }
+
+  test("url canonicalization: scheme/case/www/port/query/fragment/" +
+    "trailing-slash noise collapses; registered domain extracted") {
+    val rows = Seq(
+      "https://WWW.Sub.Example.COM:8080/a/b/?q=1&r=2#frag",
+      "http://sub.example.com/a/b",
+      "https://example.org",
+      "http://example.org/?only=query").toDF("url")
+      .select(UrlFunctions.normalizeUrl(col("url")).as("norm"),
+        UrlFunctions.registeredDomain(col("url")).as("domain"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows(0) === (("sub.example.com/a/b", "example.com")))
+    assert(rows(1) === (("sub.example.com/a/b", "example.com")),
+      "the two spellings of the same page must canonicalize equal")
+    assert(rows(2) === (("example.org", "example.org")))
+    assert(rows(3) === (("example.org", "example.org")))
+  }
+
+  test("quantileBand keeps exactly the inner rank band per group") {
+    val df = (1 to 100).map(i => ("g", i.toLong, i)).toDF("src", "id", "v")
+    val kept = Quality.quantileBand(df, "src", "v", "id", 0.05, 0.95)
+      .select("v").as[Int].collect().sorted
+    // percent_rank = (rank-1)/99: >= 0.05 ⇒ rank ≥ 5.95 ⇒ 6;
+    // <= 0.95 ⇒ rank ≤ 95.05 ⇒ 95
+    assert(kept.head === 6 && kept.last === 95 && kept.length === 90)
+  }
+
+  test("stream-stream left outer join emits null-padded unmatched " +
+    "purchases once the watermark finalizes them") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val dir = tmpDir("louter")
+    Seq(
+      // user 1: error 10 min before purchase -> matched
+      (1L, ts("2024-01-01 00:00:00"), 1L, "error", 0.0, "{}"),
+      (2L, ts("2024-01-01 00:10:00"), 1L, "purchase", 5.0, "{}"),
+      // user 2: error 2h before purchase -> outside interval, null row
+      (3L, ts("2024-01-01 00:00:00"), 2L, "error", 0.0, "{}"),
+      (4L, ts("2024-01-01 02:00:00"), 2L, "purchase", 5.0, "{}"),
+      // far-future sentinels ON THE JOINED STREAMS: the watermark is
+      // computed downstream of the event_type filters, so a filtered-
+      // out row can't advance it. The error sentinel pushes the
+      // error-side watermark past purchase 4, finalizing its null row;
+      // the purchase sentinel itself stays inside the unfinalized
+      // horizon and must NOT appear in the output.
+      (8L, ts("2024-01-02 00:00:00"), 8L, "error", 0.0, "{}"),
+      (9L, ts("2024-01-02 00:00:00"), 9L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir)
+    def src = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    val out = EventsStream.runToTable(spark,
+      EventsStream.purchaseErrorLeftJoin(
+        src.filter(col("event_type") === "purchase"),
+        src.filter(col("event_type") === "error")),
+      "t_louter",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect().map(r => (r.getAs[Long]("p_event_id"),
+        Option(r.getAs[java.lang.Long]("e_event_id")).map(_.toLong)))
+      .sortBy(_._1)
+    assert(out.toSeq === Seq((2L, Some(1L)), (4L, None)),
+      s"expected one matched and one null-padded row, got ${out.toSeq}")
+  }
+}
