@@ -729,9 +729,14 @@ object SparkEntry {
     // Hyperplane-LSH near-dup recall vs the exact all-pairs cosine set
     // (wide-recall config: 4 bits × 8 tables). The exact pair count is
     // itself cross-checked against DuckDB's list_cosine_similarity.
+    // The validation set is capped at 1000 vectors: the exact side is
+    // O(n²) with two 64-float payloads per pair — the whole point of
+    // the bound gate is to pay quadratic cost only on a bounded sample
+    // and trust the approximate operator beyond it.
     "q89_lshcos_recall" -> ((s, d) =>
       graft.operators.ErrorBounds.lshCosineRecall(
-        Tables.embeddings(s, d), "embedding", "vec_id",
+        Tables.embeddings(s, d).filter(col("vec_id") < 1000),
+        "embedding", "vec_id",
         threshold = 0.4, bits = 4, tables = 8, minRecall = 0.5)),
 
     // PII scrub: emails/phones/IPv4 redacted in one codegen pass with
@@ -1762,6 +1767,7 @@ object SparkEntry {
       """SELECT count(*) AS n_exact_pairs, TRUE AS recall_ok
         |FROM embeddings a, embeddings b
         |WHERE a.vec_id < b.vec_id
+        |  AND a.vec_id < 1000 AND b.vec_id < 1000
         |  AND round(list_cosine_similarity(a.embedding, b.embedding), 4)
         |        >= 0.4""".stripMargin,
 

@@ -100,14 +100,31 @@ object ErrorBounds {
                       minRecall: Double): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val exact = base.select(col("id").as("id_a"), col("v").as("va"))
-      .crossJoin(base.select(col("id").as("id_b"), col("v").as("vb")))
+    // All-pairs done the ids-first way: cross the (8-byte) ids alone,
+    // then hash-join each side's vector back and score in a Project.
+    // Crossing the vectors directly puts graft_cosine inside the
+    // nested-loop join CONDITION, which evaluates outside whole-stage
+    // codegen — measured 12 s vs ~2 s for this shape at 2k vectors.
+    val ids = base.select(col("id"))
+    val pairs = ids.select(col("id").as("id_a"))
+      .crossJoin(ids.select(col("id").as("id_b")))
       .filter(col("id_a") < col("id_b"))
-      .filter(round(call_function("graft_cosine", col("va"), col("vb")), 4)
-        >= threshold)
+    // Materialize both pair sets once (each is tiny — true near-dup
+    // pairs): the exact side otherwise re-runs its 4M-pair scoring for
+    // the count AND the hits join, and the LSH side re-runs banding.
+    val exact = pairs
+      .join(broadcast(base.select(col("id").as("id_a"), col("v").as("va"))),
+        "id_a")
+      .join(broadcast(base.select(col("id").as("id_b"), col("v").as("vb"))),
+        "id_b")
+      .withColumn("cosine",
+        round(call_function("graft_cosine", col("va"), col("vb")), 4))
+      .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
     val approx = Dedup.embeddingNearDups(df, vecCol, idCol, threshold,
       bits, tables).select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
     val found = exact.join(approx, Seq("id_a", "id_b"))
     exact.agg(count(lit(1)).as("n_exact_pairs"))
       .crossJoin(found.agg(count(lit(1)).as("n_found")))
