@@ -808,6 +808,25 @@ object SparkEntry {
         Tables.documents(s, d).select("source", "doc_id", "n_chars"),
         "source", "n_chars", "doc_id", lo = 0.05, hi = 0.95)),
 
+    // SCD2 versioned history from the event change log: each user's
+    // event_type state becomes (valid_from, valid_to, is_current)
+    // intervals with consecutive duplicates suppressed — the
+    // point-in-time dimension the reference's latest-wins metadata
+    // table can't answer.
+    "q94_scd2_history" -> ((s, d) =>
+      graft.operators.Scd2.fromChangeLog(
+        Tables.events(s, d).select("user_id", "ts", "event_id",
+          "event_type"),
+        keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+        stateCol = "event_type")),
+
+    // Exact substring-span dedup: 8-token spans, a span is duplicated
+    // if its text already occurs in a lower-id document; per-doc
+    // boilerplate fraction.
+    "q95_span_dedup" -> ((s, d) =>
+      graft.operators.SpanDedup.dupSpanStats(
+        Tables.documents(s, d), "doc_id", "text", spanTokens = 8)),
+
     // Deterministic weighted sampling without replacement (A-ES keys
     // from md5-derived uniforms): top-3 docs per source weighted by
     // length — the reproducible quality-weighted corpus-selection op.
@@ -1837,6 +1856,38 @@ object SparkEntry {
         |      ORDER BY n_chars, doc_id) AS pr
         |  FROM documents) t
         |WHERE pr >= 0.05 AND pr <= 0.95""".stripMargin,
+
+    "q94_scd2_history" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, event_type, ts AS valid_from, event_id
+        |  FROM o WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id
+        |    ORDER BY valid_from, event_id) AS valid_to,
+        |  lead(valid_from) OVER (PARTITION BY user_id
+        |    ORDER BY valid_from, event_id) IS NULL AS is_current
+        |FROM c""".stripMargin,
+
+    "q95_span_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, md5(array_to_string(
+        |    list_slice(toks, i * 8 + 1, i * 8 + 8), ' ')) AS h
+        |  FROM t, unnest(generate_series(0,
+        |    CAST((len(toks) - 1) // 8 AS BIGINT))) AS g(i)),
+        |f AS (SELECT h, min(doc_id) AS first_id FROM s GROUP BY h)
+        |SELECT s.doc_id, count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN f.first_id < s.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dup_spans,
+        |  round(CAST(sum(CASE WHEN f.first_id < s.doc_id THEN 1 ELSE 0
+        |    END) AS DOUBLE) / count(*), 4) AS dup_frac
+        |FROM s JOIN f USING (h) GROUP BY s.doc_id""".stripMargin,
 
     "q68_weighted_sample" ->
       """WITH d AS (

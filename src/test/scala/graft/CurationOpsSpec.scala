@@ -54,6 +54,46 @@ class CurationOpsSpec extends SparkSpec {
     assert(kept.head === 6 && kept.last === 95 && kept.length === 90)
   }
 
+  test("scd2: change log becomes closed intervals, consecutive " +
+    "duplicates suppressed, open tail is current") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val log = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "bronze"),
+      (1L, ts("2024-01-02 00:00:00"), 2L, "bronze"), // re-asserted, no row
+      (1L, ts("2024-01-03 00:00:00"), 3L, "silver"),
+      (1L, ts("2024-01-04 00:00:00"), 4L, "gold"),
+      (2L, ts("2024-01-01 00:00:00"), 5L, "gold"))
+      .toDF("user_id", "ts", "event_id", "tier")
+    val hist = graft.operators.Scd2.fromChangeLog(log,
+      "user_id", "ts", "event_id", "tier")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[String]("tier"),
+        Option(r.getAs[java.sql.Timestamp]("valid_to")).map(_.toString),
+        r.getAs[Boolean]("is_current")))
+      .sortBy(t => (t._1, t._3.getOrElse("9999")))
+    assert(hist.length === 4, s"expected 4 intervals, got ${hist.toSeq}")
+    assert(hist(0) === ((1L, "bronze", Some("2024-01-03 00:00:00.0"), false)))
+    assert(hist(1) === ((1L, "silver", Some("2024-01-04 00:00:00.0"), false)))
+    assert(hist(2) === ((1L, "gold", None, true)))
+    assert(hist(3) === ((2L, "gold", None, true)))
+  }
+
+  test("span dedup: copied spans attribute to the earliest doc, " +
+    "originals stay clean") {
+    val a = (1 to 16).map(i => s"w$i").mkString(" ") // 2 spans of 8
+    val b = (1 to 8).map(i => s"w$i").mkString(" ") +
+      " x1 x2 x3 x4 x5 x6 x7 x8" // first span copied from doc 0
+    val c = "y1 y2 y3" // single short span, unique
+    val df = Seq((0L, a), (1L, b), (2L, c)).toDF("doc_id", "text")
+    val got = graft.operators.SpanDedup
+      .dupSpanStats(df, "doc_id", "text", spanTokens = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans"),
+          r.getAs[Double]("dup_frac")))).toMap
+    assert(got(0L) === ((2L, 0L, 0.0)), "the original was blamed")
+    assert(got(1L) === ((2L, 1L, 0.5)))
+    assert(got(2L) === ((1L, 0L, 0.0)))
+  }
+
   test("stream-stream left outer join emits null-padded unmatched " +
     "purchases once the watermark finalizes them") {
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
