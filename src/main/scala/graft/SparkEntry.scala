@@ -827,6 +827,27 @@ object SparkEntry {
       graft.operators.SpanDedup.dupSpanStats(
         Tables.documents(s, d), "doc_id", "text", spanTokens = 8)),
 
+    // Train/test leak gate: near-dup pairs (the memoized MinHash pair
+    // graph, oracle-exact on this corpus) whose endpoints landed in
+    // DIFFERENT splits — the eval-contamination report every training
+    // pipeline should fail on. Pure composition of two independently
+    // verified operators; ids-only joins against the split table.
+    "q96_split_leak" -> ((s, d) => {
+      val pairs = Dedup.minhashNearDupsCached(Tables.documents(s, d), d,
+        "text", "doc_id", shingleSize = 3, numHashes = 64, bands = 16,
+        threshold = 0.5).select(col("id_a"), col("id_b"))
+      val splits = graft.operators.WeightedSample
+        .splitAssign(Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), col("split"))
+      pairs
+        .join(splits.select(col("doc_id").as("id_a"),
+          col("split").as("split_a")), "id_a")
+        .join(splits.select(col("doc_id").as("id_b"),
+          col("split").as("split_b")), "id_b")
+        .filter(col("split_a") =!= col("split_b"))
+        .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"))
+    }),
+
     // Deterministic weighted sampling without replacement (A-ES keys
     // from md5-derived uniforms): top-3 docs per source weighted by
     // length — the reproducible quality-weighted corpus-selection op.
@@ -1889,6 +1910,8 @@ object SparkEntry {
         |    END) AS DOUBLE) / count(*), 4) AS dup_frac
         |FROM s JOIN f USING (h) GROUP BY s.doc_id""".stripMargin,
 
+    "q96_split_leak" -> splitLeakOracle,
+
     "q68_weighted_sample" ->
       """WITH d AS (
         |  SELECT source, doc_id, n_chars::DOUBLE AS w,
@@ -2213,4 +2236,29 @@ object SparkEntry {
     ngramJaccardPairsCte +
       """
         |SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM jpairs""".stripMargin
+
+  /** q96: the exact pair set crossed with q74's split arithmetic. */
+  private val splitLeakOracle: String =
+    ngramJaccardPairsCte +
+      """,
+        |sp0 AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(generate_series(1, 12),
+        |        j -> (strpos('0123456789abcdef',
+        |          substr(md5('epoch0|' || CAST(doc_id AS VARCHAR)),
+        |            CAST(j AS INT), 1)) - 1)::BIGINT)),
+        |      (a, v) -> a * 16 + v) % 100 AS bucket
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN bucket < 90 THEN 'train'
+        |         WHEN bucket < 95 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM sp0)
+        |SELECT j.id_a, j.id_b, sa.split AS split_a, sb.split AS split_b
+        |FROM jpairs j
+        |JOIN sp sa ON j.id_a = sa.doc_id
+        |JOIN sp sb ON j.id_b = sb.doc_id
+        |WHERE sa.split <> sb.split""".stripMargin
 }
