@@ -848,6 +848,21 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"))
     }),
 
+    // Incremental near-dup maintenance: docs with doc_id % 10 == 0
+    // arrive as the new batch; the rest are the already-indexed corpus.
+    // The batch's band hashes probe the corpus's persisted band index,
+    // so per-ingest work scales with the batch — never corpus². Cross-
+    // set pairs, exact-Jaccard verified; same signature params as q23,
+    // so the exact cross-set trigram-Jaccard SQL is the ground truth.
+    "q97_incremental_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalNearDups(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "text", "doc_id", shingleSize = 3, numHashes = 64, bands = 16,
+        threshold = 0.5)
+    }),
+
     // Deterministic weighted sampling without replacement (A-ES keys
     // from md5-derived uniforms): top-3 docs per source weighted by
     // length — the reproducible quality-weighted corpus-selection op.
@@ -1911,6 +1926,33 @@ object SparkEntry {
         |FROM s JOIN f USING (h) GROUP BY s.doc_id""".stripMargin,
 
     "q96_split_leak" -> splitLeakOracle,
+
+    // Exact cross-set trigram Jaccard: every (corpus, batch) doc pair
+    // with J ≥ 0.5 — the ground truth the incremental LSH probe must
+    // reproduce (same signature params as q23, whose LSH recall on
+    // this corpus is total).
+    "q97_incremental_neardup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |    t -> t <> '') AS ts
+        |  FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |         ELSE list_transform(generate_series(1, len(ts) - 2),
+        |              i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END)) AS g
+        |  FROM tok WHERE len(ts) > 0),
+        |g AS (SELECT doc_id, g, count(*) OVER (PARTITION BY doc_id) AS n_sh FROM g0)
+        |SELECT a.doc_id AS corpus_id, b.doc_id AS batch_id,
+        |  round(count(*)::DOUBLE /
+        |    (any_value(a.n_sh) + any_value(b.n_sh) - count(*))::DOUBLE, 4)
+        |    AS jaccard
+        |FROM g a JOIN g b ON a.g = b.g
+        |  AND (a.doc_id % 10) <> 0 AND (b.doc_id % 10) = 0
+        |GROUP BY 1, 2
+        |HAVING count(*)::DOUBLE /
+        |  (any_value(a.n_sh) + any_value(b.n_sh) - count(*))::DOUBLE
+        |  >= 0.5""".stripMargin,
 
     "q68_weighted_sample" ->
       """WITH d AS (

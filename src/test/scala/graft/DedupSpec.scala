@@ -53,6 +53,24 @@ class DedupSpec extends SparkSpec {
     assert(exact.getAs[Double]("jaccard") === 1.0)
   }
 
+  test("incremental near-dups equal the full pair set restricted to cross-set") {
+    val batch = corpus.filter($"doc_id" % 2 === 0) // 2, 4, 6
+    val indexed = corpus.filter($"doc_id" % 2 =!= 0) // 1, 3, 5
+    val inc = Dedup.incrementalNearDups(indexed, batch, "text", "doc_id",
+      shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // ground truth: the full pair graph, restricted to one-side-each,
+    // reoriented so the corpus (odd) id leads
+    val full = Dedup.minhashNearDups(corpus, "text", "doc_id",
+      shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => (p._1 % 2 == 0) != (p._2 % 2 == 0))
+      .map(p => if (p._1 % 2 != 0) p else (p._2, p._1, p._3)).toSet
+    assert(inc === full)
+    assert(inc.nonEmpty) // the planted (1, 2) and (1, 4) pairs cross the split
+    assert(inc.forall { case (c, b, _) => c % 2 != 0 && b % 2 == 0 })
+  }
+
   test("simhash: identical docs hamming 0; near-dups small distance; pairs found") {
     val sh = corpus.select($"doc_id",
       Dedup.simhash(TextFunctions.tokens($"text")).as("sh")).collect()
