@@ -863,6 +863,15 @@ object SparkEntry {
         threshold = 0.5)
     }),
 
+    // Single-pass observability: the corpus length gate runs ONCE and
+    // its quality report (counts / char totals / extremes / null-lang
+    // / short-doc counts) is accumulated by Dataset.observe during
+    // that same pass — no second scan. Exact integer aggregates only,
+    // so the report is oracle-replayable.
+    "q98_observe_metrics" -> ((s, d) =>
+      graft.operators.Observability.gateWithMetrics(
+        Tables.documents(s, d), minChars = 50L)),
+
     // Deterministic weighted sampling without replacement (A-ES keys
     // from md5-derived uniforms): top-3 docs per source weighted by
     // length — the reproducible quality-weighted corpus-selection op.
@@ -1953,6 +1962,20 @@ object SparkEntry {
         |HAVING count(*)::DOUBLE /
         |  (any_value(a.n_sh) + any_value(b.n_sh) - count(*))::DOUBLE
         |  >= 0.5""".stripMargin,
+
+    // The observe() report replayed as plain aggregates — equality
+    // proves the in-flight metrics match a dedicated scan.
+    "q98_observe_metrics" ->
+      """SELECT count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  CAST(count(CASE WHEN lang IS NULL THEN 1 END) AS BIGINT)
+        |    AS null_lang,
+        |  CAST(count(CASE WHEN n_chars < 50 THEN 1 END) AS BIGINT)
+        |    AS n_short,
+        |  CAST(count(CASE WHEN n_chars >= 50 THEN 1 END) AS BIGINT)
+        |    AS n_kept
+        |FROM documents""".stripMargin,
 
     "q68_weighted_sample" ->
       """WITH d AS (
