@@ -872,6 +872,27 @@ object SparkEntry {
       graft.operators.Observability.gateWithMetrics(
         Tables.documents(s, d), minChars = 50L)),
 
+    // Unicode canonicalization (native codegen expressions): web text
+    // mixes precomposed (é) and decomposed (e + U+0301) encodings of
+    // the same visible text, which breaks exact dedup and shingling.
+    // A deterministic mixed-encoding suffix is appended to every doc
+    // so the corpus actually exercises composition, accent folding,
+    // and the ß/ligature invariants; DuckDB's utf8proc-backed
+    // nfc_normalize/strip_accents replay the same semantics.
+    "q99_normalize_text" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit(" cafe\u0301 \u00e9x a\u030a \u00df")).as("raw"))
+        .selectExpr("doc_id",
+          "length(raw) AS n_raw",
+          "length(graft_nfc(raw)) AS n_nfc",
+          "length(graft_strip_accents(raw)) AS n_strip",
+          "right(graft_nfc(raw), 12) AS tail_nfc",
+          "right(graft_strip_accents(raw), 12) AS tail_strip")
+    }),
+
     // Deterministic weighted sampling without replacement (A-ES keys
     // from md5-derived uniforms): top-3 docs per source weighted by
     // length — the reproducible quality-weighted corpus-selection op.
@@ -1976,6 +1997,23 @@ object SparkEntry {
         |  CAST(count(CASE WHEN n_chars >= 50 THEN 1 END) AS BIGINT)
         |    AS n_kept
         |FROM documents""".stripMargin,
+
+    // Same mixed-encoding suffix built with chr() (decomposed marks
+    // U+0301/U+030A, precomposed é, ß), normalized by DuckDB's
+    // utf8proc implementations.
+    "q99_normalize_text" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    text || ' cafe' || chr(769) || ' ' || chr(233) || 'x a' ||
+        |      chr(778) || ' ' || chr(223) AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  length(raw) AS n_raw,
+        |  length(nfc_normalize(raw)) AS n_nfc,
+        |  length(strip_accents(raw)) AS n_strip,
+        |  right(nfc_normalize(raw), 12) AS tail_nfc,
+        |  right(strip_accents(raw), 12) AS tail_strip
+        |FROM r""".stripMargin,
 
     "q68_weighted_sample" ->
       """WITH d AS (

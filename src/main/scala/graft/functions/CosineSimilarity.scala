@@ -162,8 +162,24 @@ object GraftFunctions {
     Sq8Distance(children.head, children(1), children(2))
   }
 
+  val nfcInfo = new ExpressionInfo(
+    classOf[NfcNormalize].getName, "graft_nfc")
+  val nfcBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 1, "graft_nfc takes 1 argument")
+    NfcNormalize(children.head)
+  }
+
+  val stripAccentsInfo = new ExpressionInfo(
+    classOf[StripAccents].getName, "graft_strip_accents")
+  val stripAccentsBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 1, "graft_strip_accents takes 1 argument")
+    StripAccents(children.head)
+  }
+
   private val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(("graft_cosine", cosineInfo, cosineBuilder),
+      ("graft_nfc", nfcInfo, nfcBuilder),
+      ("graft_strip_accents", stripAccentsInfo, stripAccentsBuilder),
       ("graft_count_min", countMinInfo, countMinBuilder),
       ("graft_cm_estimate", cmEstimateInfo, cmEstimateBuilder),
       ("graft_tdigest", tdigestInfo, tdigestBuilder),
