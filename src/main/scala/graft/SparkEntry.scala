@@ -893,6 +893,35 @@ object SparkEntry {
           "right(graft_strip_accents(raw), 12) AS tail_strip")
     }),
 
+    // Corpus boilerplate detection: trigrams shared by ≥ 5 documents
+    // (headers/footers/banners) and each doc's boilerplate fraction.
+    // Two hash-agg shuffles keyed by gram and doc — no gram-dictionary
+    // broadcast, which wouldn't fit an executor at corpus scale.
+    "q100_boilerplate" -> ((s, d) =>
+      graft.operators.Boilerplate.stats(Tables.documents(s, d),
+        "text", "doc_id", n = 3, minDocs = 5)),
+
+    // CDC apply-changes: an I/U/D feed (derived deterministically from
+    // the event log) collapsed to the current snapshot with ONE
+    // max(struct) hash-aggregate — map-side partial reduction keeps
+    // the shuffle at |keys| rows, vs |feed| rows for the row_number
+    // window the oracle replays.
+    "q101_cdc_snapshot" -> ((s, d) => {
+      val feed = Tables.events(s, d).select(
+        col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type").isin("view", "signup"), "I")
+          .when(col("event_type") === "error", "D")
+          .otherwise("U").as("op"),
+        col("event_type"), col("value"))
+      graft.operators.ChangeFeed.snapshot(feed, "user_id", "ts",
+          "event_id", "op", Seq("event_type", "value"))
+        .select(col("user_id"),
+          unix_timestamp(col("ts")).as("last_epoch"),
+          col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"),
+          col("value").as("last_value"))
+    }),
+
     // Deterministic weighted sampling without replacement (A-ES keys
     // from md5-derived uniforms): top-3 docs per source weighted by
     // length — the reproducible quality-weighted corpus-selection op.
@@ -2014,6 +2043,45 @@ object SparkEntry {
         |  right(nfc_normalize(raw), 12) AS tail_nfc,
         |  right(strip_accents(raw), 12) AS tail_strip
         |FROM r""".stripMargin,
+
+    // Gram document-frequency + per-doc rollup replayed; boiler_frac
+    // is the exact IEEE quotient in both engines (no rounding).
+    "q100_boilerplate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |    t -> t <> '') AS ts
+        |  FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |         ELSE list_transform(generate_series(1, len(ts) - 2),
+        |              i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END)) AS g
+        |  FROM tok WHERE len(ts) > 0),
+        |g AS (SELECT doc_id, g, count(*) OVER (PARTITION BY doc_id) AS n_sh FROM g0),
+        |dfreq AS (SELECT g, count(*) AS df FROM g0 GROUP BY g)
+        |SELECT g.doc_id, any_value(g.n_sh) AS n_grams,
+        |  CAST(sum(CASE WHEN d.df >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_boiler,
+        |  sum(CASE WHEN d.df >= 5 THEN 1 ELSE 0 END)::DOUBLE /
+        |    any_value(g.n_sh)::DOUBLE AS boiler_frac
+        |FROM g JOIN dfreq d USING (g)
+        |GROUP BY g.doc_id""".stripMargin,
+
+    // Last-write-wins per key via the window formulation; final
+    // deletes drop the key from the snapshot.
+    "q101_cdc_snapshot" ->
+      """WITH f AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type IN ('view','signup') THEN 'I'
+        |         WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS last_epoch,
+        |  event_id AS last_event_id, event_type AS last_type,
+        |  value AS last_value
+        |FROM f WHERE rn = 1 AND op <> 'D'""".stripMargin,
 
     "q68_weighted_sample" ->
       """WITH d AS (

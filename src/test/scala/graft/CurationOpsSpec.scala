@@ -129,4 +129,51 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.toSeq === Seq((2L, Some(1L)), (4L, None)),
       s"expected one matched and one null-padded row, got ${out.toSeq}")
   }
+
+  test("boilerplate stats: cross-doc phrases counted, unique text not; " +
+    "fraction is exact") {
+    val boiler = "subscribe to our newsletter today"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $boiler"),
+      (2L, s"epsilon zeta eta theta $boiler"),
+      (3L, s"iota kappa lambda mu $boiler"),
+      (4L, "nu xi omicron pi rho sigma tau")).toDF("doc_id", "text")
+    val out = graft.operators.Boilerplate
+      .stats(docs, "text", "doc_id", n = 3, minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // each of docs 1-3: 9 tokens → 7 trigrams; the 3 trigrams fully
+    // inside the 5-token boiler phrase occur in all 3 docs
+    assert(out(1L) === ((7L, 3L, 3.0 / 7.0)))
+    assert(out(2L) === ((7L, 3L, 3.0 / 7.0)))
+    assert(out(3L) === ((7L, 3L, 3.0 / 7.0)))
+    assert(out(4L) === ((5L, 0L, 0.0)))
+  }
+
+  test("cdc snapshot: last write wins per key, final delete removes " +
+    "the key, ties broken by tie column") {
+    val feed = Seq(
+      // k1: I then two updates — last (t3) wins
+      (1L, 1L, 10L, "I", 1.0),
+      (1L, 2L, 11L, "U", 2.0),
+      (1L, 3L, 12L, "U", 3.0),
+      // k2: inserted then deleted — gone
+      (2L, 1L, 20L, "I", 9.0),
+      (2L, 2L, 21L, "D", 0.0),
+      // k3: delete then REinserted — survives with the later insert
+      (3L, 1L, 30L, "D", 0.0),
+      (3L, 2L, 31L, "I", 7.0),
+      // k4: same seq, tie column decides (higher tie wins)
+      (4L, 5L, 40L, "U", 1.5),
+      (4L, 5L, 41L, "U", 2.5)
+    ).toDF("k", "seq", "tie", "op", "v")
+    val snap = graft.operators.ChangeFeed
+      .snapshot(feed, "k", "seq", "tie", "op", Seq("v"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(snap.keySet === Set(1L, 3L, 4L))
+    assert(snap(1L) === ((3L, 12L, 3.0)))
+    assert(snap(3L) === ((2L, 31L, 7.0)))
+    assert(snap(4L) === ((5L, 41L, 2.5)))
+  }
 }
