@@ -922,6 +922,19 @@ object SparkEntry {
           col("value").as("last_value"))
     }),
 
+    // Quality-canonical dedup: each near-dup cluster keeps its
+    // LONGEST member (ties → min id) instead of the min-id one —
+    // the curation policy that preserves the fullest variant. Shares
+    // the session pair graph + component labels with q37/q65/q96.
+    "q102_canonical_keep" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDupsCached(docs, d, "text", "doc_id",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      graft.operators.Components.canonicalByScore(docs, "doc_id",
+          "n_chars", pairs, cacheKey = Some(s"minhash05|$d"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     // Deterministic weighted sampling without replacement (A-ES keys
     // from md5-derived uniforms): top-3 docs per source weighted by
     // length — the reproducible quality-weighted corpus-selection op.
@@ -2133,6 +2146,30 @@ object SparkEntry {
           |lab AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
           |SELECT doc_id, source FROM documents
           |WHERE doc_id NOT IN (SELECT id FROM lab WHERE id <> component)""".stripMargin),
+
+    // Same component labeling as q65, but the survivor is
+    // argmax(n_chars) (tie → min id) per component.
+    "q102_canonical_keep" ->
+      (ngramJaccardPairsCte +
+        """,
+          |ed AS (SELECT id_a AS s, id_b AS d FROM jpairs
+          |       UNION SELECT id_b, id_a FROM jpairs),
+          |reach AS (
+          |  SELECT s AS id, s AS comp FROM ed
+          |  UNION
+          |  SELECT ed.d, reach.comp FROM reach JOIN ed ON ed.s = reach.id),
+          |lab AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+          |win AS (
+          |  SELECT component, id AS win_id FROM (
+          |    SELECT lab.component, lab.id,
+          |      row_number() OVER (PARTITION BY lab.component
+          |        ORDER BY d.n_chars DESC, lab.id ASC) AS rn
+          |    FROM lab JOIN documents d ON d.doc_id = lab.id) t
+          |  WHERE rn = 1)
+          |SELECT doc_id, source, n_chars FROM documents
+          |WHERE doc_id NOT IN (
+          |  SELECT lab.id FROM lab JOIN win USING (component)
+          |  WHERE lab.id <> win.win_id)""".stripMargin),
 
     "q63_bloom_join" ->
       """SELECT o_orderstatus, count(*) AS n_items,

@@ -106,4 +106,32 @@ object Components {
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Deduplicate keeping the BEST doc of every near-dup cluster by a
+    * caller-chosen quality score (ties → smallest id), not the
+    * smallest-id doc: min-id keeps an arbitrary cluster member, while
+    * a curation pipeline wants the longest / highest-quality variant
+    * to survive. Unpaired docs always survive.
+    *
+    * Everything after component labeling is ids+score only: one hash
+    * aggregate (`max(struct(score, -id))`) picks each cluster's
+    * winner, and the corpus is anti-joined against the loser id list
+    * — doc payloads never enter a shuffle, and the component table is
+    * pair-graph-sized (tiny next to the corpus).
+    */
+  def canonicalByScore(df: DataFrame, idCol: String, scoreCol: String,
+                       pairs: DataFrame,
+                       cacheKey: Option[String] = None): DataFrame = {
+    val comps = cacheKey.fold(connectedComponents(pairs))(
+      connectedComponentsCached(pairs, _))
+    val scored = comps.join(
+      df.select(col(idCol).as("id"), col(scoreCol).as("score")), "id")
+    val winners = scored.groupBy("component")
+      .agg(max(struct(col("score"), (-col("id")).as("neg_id"))).as("w"))
+      .select(col("component"), (-col("w.neg_id")).as("win_id"))
+    val losers = comps.join(winners, "component")
+      .filter(col("id") =!= col("win_id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -63,6 +63,20 @@ class ComponentsSkewSpec extends SparkSpec {
     assert(kept === Set(1L, 10L, 20L))
   }
 
+  test("canonicalByScore keeps the best-scoring cluster member, " +
+    "ties break to min id, unpaired docs survive") {
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "a'", 30L), (3L, "a''", 30L), // cluster A
+      (10L, "b", 5L), (11L, "b'", 4L),                   // cluster B
+      (20L, "c", 1L)                                     // unpaired
+    ).toDF("doc_id", "text", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = Components.canonicalByScore(docs, "doc_id", "score", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // cluster A: 2 and 3 tie at 30 → 2 wins; cluster B: 10 wins on score
+    assert(kept === Set(2L, 10L, 20L))
+  }
+
   test("salted aggregate equals plain groupBy on skewed data") {
     // 90% of rows share one key — the salted plan spreads it
     val df = (1 to 10000).map(i =>
