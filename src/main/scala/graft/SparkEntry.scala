@@ -935,6 +935,20 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"))
     }),
 
+    // Temperature rebalancing (q ∝ p^α, α = 0.5): sources are bucketed
+    // into deliberately skewed groups (12/6/2 sources → 60/30/10 % of
+    // docs) and downsampled toward the flattened distribution; the
+    // rarest group keeps rate 1. One tiny count agg + broadcast rate
+    // join — doc rows never shuffle.
+    "q103_temperature_mix" -> ((s, d) => {
+      val idx = expr("CAST(substr(source, 4, 8) AS INT)")
+      val docs = Tables.documents(s, d).withColumn("src_group",
+        when(idx < 12, "head").when(idx < 18, "mid").otherwise("tail"))
+      graft.operators.WeightedSample
+        .temperatureMix(docs, "doc_id", "src_group", alpha = 0.5)
+        .select(col("doc_id"), col("src_group"))
+    }),
+
     // Deterministic weighted sampling without replacement (A-ES keys
     // from md5-derived uniforms): top-3 docs per source weighted by
     // length — the reproducible quality-weighted corpus-selection op.
@@ -1626,6 +1640,28 @@ object SparkEntry {
         |  FROM documents)
         |SELECT source, count(*) AS n_kept, min(doc_id) AS min_doc
         |FROM d WHERE u < rate GROUP BY source""".stripMargin,
+
+    // Rate construction replayed arithmetically on the same md5
+    // uniforms; doc-level keep decisions hash-compared.
+    "q103_temperature_mix" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN CAST(substr(source, 4, 8) AS INT) < 12 THEN 'head'
+        |         WHEN CAST(substr(source, 4, 8) AS INT) < 18 THEN 'mid'
+        |         ELSE 'tail' END AS src_group,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(generate_series(1, 12),
+        |        j -> (strpos('0123456789abcdef',
+        |          substr(md5('epoch0|' || CAST(doc_id AS VARCHAR)),
+        |            CAST(j AS INT), 1)) - 1)::BIGINT)),
+        |      (a, v) -> a * 16 + v)::DOUBLE / 281474976710656.0 AS u
+        |  FROM documents),
+        |c AS (SELECT src_group, count(*)::DOUBLE AS n_g FROM s GROUP BY src_group),
+        |t AS (SELECT sum(n_g) AS nt FROM c),
+        |r0 AS (SELECT src_group, pow(n_g / t.nt, -0.5) AS rr FROM c, t),
+        |r AS (SELECT src_group, rr / (SELECT max(rr) FROM r0) AS rate FROM r0)
+        |SELECT s.doc_id, s.src_group
+        |FROM s JOIN r USING (src_group) WHERE s.u < r.rate""".stripMargin,
 
     // Capstone replay: the same stage chain as the engine, each stage
     // the already-verified per-query SQL.

@@ -75,6 +75,37 @@ object WeightedSample {
     df.filter(u < rate)
   }
 
+  /** Temperature-based corpus rebalancing (the multilingual-LM
+    * sampling scheme): the target distribution q_g ∝ p_g^alpha
+    * flattens group skew as alpha → 0 (alpha = 1 keeps the corpus
+    * as-is). Realized as per-group KEEP RATES over the same per-doc
+    * md5 uniform as [[mixSources]]: r_g ∝ p_g^(alpha−1), normalized so
+    * the rarest group keeps rate 1 — downsampling only, never
+    * replication, so expected kept counts follow q_g exactly.
+    *
+    * Corpus-sized work is ONE count aggregate; the |groups|-row rate
+    * table broadcast-joins back onto the docs and the keep decision is
+    * a codegen filter — document rows never shuffle. Monotone in
+    * alpha: raising alpha only ADDS docs (same uniforms, higher
+    * rates), so corpus recomposition between epochs is incremental.
+    */
+  def temperatureMix(df: DataFrame, idCol: String, groupCol: String,
+                     alpha: Double, salt: String = "epoch0"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha=$alpha must be in (0, 1]")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n_g"))
+    val total = counts.agg(sum("__n_g").cast("double").as("__nt"))
+    val rr = counts.crossJoin(broadcast(total))
+      .withColumn("__rr",
+        pow(col("__n_g").cast("double") / col("__nt"), alpha - 1.0))
+    val rates = rr.crossJoin(broadcast(rr.agg(max("__rr").as("__mr"))))
+      .select(col(groupCol), (col("__rr") / col("__mr")).as("__rate"))
+    val h = conv(substring(md5(concat_ws("|", lit(salt),
+      col(idCol).cast("string"))), 1, 12), 16, 10).cast("double")
+    df.join(broadcast(rates), groupCol)
+      .filter(h / 281474976710656.0 < col("__rate"))
+      .drop("__rate")
+  }
+
   /** Keep the `k` weighted-sample winners per group. Rows with
     * non-positive weight are EXCLUDED (a zero-weight row must never be
     * sampled, even when the group has fewer than k positive rows).

@@ -364,6 +364,31 @@ class SimilarityTextSpec extends SparkSpec {
     assert(narrow.subsetOf(wider), "raising a rate must only ADD docs")
   }
 
+  test("temperature mix: rarest group survives whole, proportions " +
+    "flatten toward p^alpha, alpha=1 is identity, monotone in alpha") {
+    import graft.operators.WeightedSample
+    // 80/15/5 % skew
+    val docs = (0L until 1000L).map(i =>
+      (i, if (i < 800) "big" else if (i < 950) "mid" else "rare"))
+      .toDF("doc_id", "grp")
+    val mixed = WeightedSample.temperatureMix(docs, "doc_id", "grp", 0.5)
+    val counts = mixed.groupBy("grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("rare") === 50L) // rate 1 exactly
+    // expected kept: n_g * (p_g/p_rare)^(alpha-1) = 800*(1/4)=200,
+    // 150*sqrt(.05/.15)*... → mid: 150*(3)^-0.5 ≈ 86.6
+    assert(counts("big") > 160 && counts("big") < 240, counts.toString)
+    assert(counts("mid") > 65 && counts("mid") < 110, counts.toString)
+    // alpha = 1: keep everything
+    assert(WeightedSample.temperatureMix(docs, "doc_id", "grp", 1.0)
+      .count() === 1000L)
+    // monotone: alpha 0.5 keeps a subset of alpha 0.8
+    val k05 = mixed.select("doc_id").collect().map(_.getLong(0)).toSet
+    val k08 = WeightedSample.temperatureMix(docs, "doc_id", "grp", 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(k05.subsetOf(k08), "raising alpha must only ADD docs")
+  }
+
   test("bigram perplexity: hand-computed Laplace-smoothed values; " +
     "short docs drop out") {
     val docs = Seq((1L, "a b a b"), (2L, "x y"), (3L, "solo"))
