@@ -949,6 +949,14 @@ object SparkEntry {
         .select(col("doc_id"), col("src_group"))
     }),
 
+    // Output-file compaction plan (the small-files problem): per-key
+    // byte estimates → ceil(bytes/target) files per key + stable
+    // global file offsets. The enforcing writer (identity-partitioned
+    // placement) is exercised by CompactionSpec.
+    "q104_compaction_plan" -> ((s, d) =>
+      graft.operators.Compaction.plan(Tables.documents(s, d),
+        "source", "text", targetFileBytes = 4096L)),
+
     // Deterministic weighted sampling without replacement (A-ES keys
     // from md5-derived uniforms): top-3 docs per source weighted by
     // length — the reproducible quality-weighted corpus-selection op.
@@ -1640,6 +1648,23 @@ object SparkEntry {
         |  FROM documents)
         |SELECT source, count(*) AS n_kept, min(doc_id) AS min_doc
         |FROM d WHERE u < rate GROUP BY source""".stripMargin,
+
+    // Byte estimate, file counts, and cumulative offsets replayed
+    // (DuckDB strlen = UTF-8 bytes = Spark octet_length).
+    "q104_compaction_plan" ->
+      """WITH p AS (
+        |  SELECT source, count(*) AS n_rows,
+        |    CAST(sum(strlen(text) + 16) AS BIGINT) AS est_bytes
+        |  FROM documents GROUP BY source),
+        |f AS (
+        |  SELECT source, n_rows, est_bytes,
+        |    CAST(greatest(1, ceil(est_bytes::DOUBLE / 4096.0)) AS BIGINT)
+        |      AS n_files
+        |  FROM p)
+        |SELECT source, n_rows, est_bytes, n_files,
+        |  CAST(sum(n_files) OVER (ORDER BY source
+        |    ROWS UNBOUNDED PRECEDING) - n_files AS BIGINT) AS file_offset
+        |FROM f""".stripMargin,
 
     // Rate construction replayed arithmetically on the same md5
     // uniforms; doc-level keep decisions hash-compared.
