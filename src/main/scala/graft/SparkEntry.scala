@@ -957,6 +957,65 @@ object SparkEntry {
       graft.operators.Compaction.plan(Tables.documents(s, d),
         "source", "text", targetFileBytes = 4096L)),
 
+    // Funnel attribution: each purchase attributes to the user's most
+    // recent click within 72 h. Composition of the linear as-of join
+    // (union + ordered window — no join product) with a tolerance
+    // post-filter, which is EXACT: only the latest preceding click
+    // can qualify, so nulling stale matches equals a windowed search.
+    "q105_funnel_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_event_id"))
+      val within = col("click_ts") >=
+        col("ts") - expr("INTERVAL 72 HOURS")
+      AsOfJoin.backward(purchases, clicks, keyCol = "user_id",
+          leftTs = "ts", rightTs = "click_ts",
+          rightCols = Seq("click_event_id", "click_ts"),
+          rightOrder = Some("click_event_id"))
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("purchase_epoch"),
+          when(within, col("click_event_id")).as("click_id"),
+          when(within, unix_timestamp(col("ts")) -
+            unix_timestamp(col("click_ts"))).as("latency_s"))
+    }),
+
+    // Time-RANGE rolling window: per-user 7-day trailing count and
+    // integer-cents sum at every event. RANGE frames over epoch
+    // seconds — one shuffle per user key; cents (not doubles) because
+    // running vs segment-tree float summation is not bit-portable.
+    "q106_rolling_7d" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(col("epoch"))
+        .rangeBetween(-7L * 86400L, 0L)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("epoch"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .select(col("event_id"), col("user_id"), col("epoch"),
+          count(lit(1)).over(w).as("n_7d"),
+          sum(col("cents")).over(w).as("cents_7d"))
+    }),
+
+    // GROUPING SETS with grouping indicators (finer than q33 rollup /
+    // q41 cube): status-only, priority-only, and grand-total rollups
+    // in one pass over orders (Expand + single hash aggregate).
+    "q107_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+          CAST(grouping(o_orderstatus) AS INT) AS g_status,
+          CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+          count(*) AS n_orders,
+          round(sum(o_totalprice), 2) AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      """)
+    }),
+
     // Deterministic weighted sampling without replacement (A-ES keys
     // from md5-derived uniforms): top-3 docs per source weighted by
     // length — the reproducible quality-weighted corpus-selection op.
@@ -1648,6 +1707,54 @@ object SparkEntry {
         |  FROM documents)
         |SELECT source, count(*) AS n_kept, min(doc_id) AS min_doc
         |FROM d WHERE u < rate GROUP BY source""".stripMargin,
+
+    // Latest-preceding-click search replayed as a left join + window
+    // argmax; 72 h tolerance as a CASE on the winning row.
+    "q105_funnel_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS cid, user_id, ts AS cts FROM events
+        |  WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT p.event_id, p.user_id, p.ts, c.cid, c.cts,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY c.cts DESC, c.cid DESC) AS rn
+        |  FROM p LEFT JOIN c
+        |    ON c.user_id = p.user_id AND c.cts <= p.ts)
+        |SELECT event_id, user_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS purchase_epoch,
+        |  CASE WHEN cts >= ts - INTERVAL 72 HOUR THEN cid END AS click_id,
+        |  CASE WHEN cts >= ts - INTERVAL 72 HOUR THEN
+        |    CAST(floor(epoch(ts)) - floor(epoch(cts)) AS BIGINT)
+        |  END AS latency_s
+        |FROM m WHERE rn = 1""".stripMargin,
+
+    // RANGE frame replayed over epoch seconds; integer cents keep the
+    // rolling sum engine-exact.
+    "q106_rolling_7d" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT event_id, user_id, epoch,
+        |  count(*) OVER w AS n_7d,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS cents_7d
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch
+        |  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q107_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
+        .stripMargin,
 
     // Byte estimate, file counts, and cumulative offsets replayed
     // (DuckDB strlen = UTF-8 bytes = Spark octet_length).
