@@ -606,6 +606,30 @@ object SparkEntry {
         Tables.documents(s, d), "text", numMerges = 8)
     }),
 
+    // Tokenizer train→apply: merges learned from the corpus (q69's
+    // bounded iterative loop) are bound into the native
+    // graft_bpe_encode expression (reference min-rank-loop semantics,
+    // merge table on the codegen reference array) and the corpus is
+    // encoded in one codegen pass. Iterative per-word loop → rows-only
+    // (BpeEncodeSpec pins semantics incl. the case where the rank-
+    // order sweep diverges).
+    "q108_bpe_encode" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val merges = graft.operators.BpeVocab
+        .learnMerges(Tables.documents(s, d), "text", numMerges = 8)
+        .collect()
+        .map(r => s"${r.getAs[String]("left")} ${r.getAs[String]("right")}")
+      val arrSql = merges
+        .map(m => "'" + m.replace("'", "''") + "'")
+        .mkString("array(", ",", ")")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr(s"graft_bpe_encode(text, $arrSql)").as("subwords"))
+        .select(col("doc_id"),
+          size(col("subwords")).as("n_subwords"),
+          concat_ws("|", slice(col("subwords"), 1, 12)).as("head_subwords"))
+    }),
+
     // Sliding-window chunk plan (RAG prep): 64-token chunks, 16-token
     // overlap — generator arithmetic, no shuffle.
     "q67_chunk_plan" -> ((s, d) => {

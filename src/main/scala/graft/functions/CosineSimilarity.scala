@@ -176,10 +176,34 @@ object GraftFunctions {
     StripAccents(children.head)
   }
 
+  val bpeEncodeInfo = new ExpressionInfo(
+    classOf[BpeEncodeExpr].getName, "graft_bpe_encode")
+  val bpeEncodeBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2,
+      "graft_bpe_encode takes (text, merges array of 'left right')")
+    val merges = children(1) match {
+      case e if e.foldable && e.dataType.isInstanceOf[ArrayType] =>
+        val arr = e.eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        (0 until arr.numElements()).map { i =>
+          val s = arr.getUTF8String(i).toString
+          val sp = s.indexOf(' ')
+          require(sp > 0 && sp < s.length - 1,
+            s"merge '$s' must be 'left right'")
+          (s.substring(0, sp), s.substring(sp + 1))
+        }
+      case _ => throw new IllegalArgumentException(
+        "graft_bpe_encode merges must be a literal array — the merge " +
+          "list is the model, not per-row data")
+    }
+    BpeEncodeExpr(children.head, merges)
+  }
+
   private val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(("graft_cosine", cosineInfo, cosineBuilder),
       ("graft_nfc", nfcInfo, nfcBuilder),
       ("graft_strip_accents", stripAccentsInfo, stripAccentsBuilder),
+      ("graft_bpe_encode", bpeEncodeInfo, bpeEncodeBuilder),
       ("graft_count_min", countMinInfo, countMinBuilder),
       ("graft_cm_estimate", cmEstimateInfo, cmEstimateBuilder),
       ("graft_tdigest", tdigestInfo, tdigestBuilder),

@@ -28,7 +28,9 @@ class EntrySpec extends SparkSpec {
       "q66_incremental_staging", // side-effecting streaming pipeline
       "q69_bpe_vocab",          // iterative argmax, not SQL-replayable
       "q80_tdigest_quantile",   // t-digest estimate (bound in TDigestSpec)
-      "q82_knn_ivfpq"           // approximate (SQ8 shortlist recall < 1)
+      "q82_knn_ivfpq",          // approximate (SQ8 shortlist recall < 1)
+      "q108_bpe_encode"         // iterative min-rank merge loop, not
+                                // SQL-replayable (BpeEncodeSpec)
     ), s"unexpected rows-only set: $rowsOnly")
   }
 }
