@@ -20,6 +20,7 @@ object Profile {
     if (args.headOption.contains("explain")) { explainQueries(args.tail); return }
     if (args.headOption.contains("stress")) { stressDedup(); return }
     if (args.headOption.contains("stress-zipf")) { stressZipf(); return }
+    if (args.headOption.contains("stress-incr")) { stressIncremental(); return }
     val spark = GraftSession.build("profile")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val docs = Tables.documents(spark, d).cache()
@@ -79,6 +80,41 @@ object Profile {
     t("components 100k docs") {
       val c = graft.operators.Components.connectedComponents(pairs)
       println(s"clusters: ${c.select("component").distinct().count()}")
+    }
+    spark.stop()
+  }
+
+  /** Incremental-maintenance stress: 100k-doc indexed corpus (the
+    * stressDedup replica fixture), 5k-doc arriving batch (one more
+    * replica). Measures probing the corpus band index with just the
+    * batch vs re-running all-pairs dedup over corpus+batch — the
+    * claim at stake is that per-ingest cost scales with the batch.
+    */
+  def stressIncremental(): Unit = {
+    val spark = GraftSession.build("profile-incr")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val base = Tables.documents(spark, d).select("doc_id", "text")
+    val n = base.agg(max("doc_id")).head().getLong(0) + 1
+    val corpus = (0 until 20).map { r =>
+      base.select((col("doc_id") + lit(r) * n).as("doc_id"),
+        concat(col("text"), lit(s" replica$r")).as("text"))
+    }.reduce(_ unionByName _)
+    corpus.write.mode("overwrite").parquet("/tmp/incr_corpus")
+    val batch = base.select((col("doc_id") + lit(20) * n).as("doc_id"),
+      concat(col("text"), lit(" replica20")).as("text"))
+    batch.write.mode("overwrite").parquet("/tmp/incr_batch")
+    val c = spark.read.parquet("/tmp/incr_corpus")
+    val b = spark.read.parquet("/tmp/incr_batch")
+    println(s"corpus=${c.count()} batch=${b.count()}")
+    t("incremental probe (batch vs index)") {
+      println("cross pairs: " + Dedup.incrementalNearDups(c, b,
+        "text", "doc_id", shingleSize = 3, numHashes = 64, bands = 16,
+        threshold = 0.5).count())
+    }
+    t("full re-dedup (corpus+batch)") {
+      println("all pairs: " + Dedup.minhashNearDups(c.unionByName(b),
+        "text", "doc_id", shingleSize = 3, numHashes = 64, bands = 16,
+        threshold = 0.5).count())
     }
     spark.stop()
   }
