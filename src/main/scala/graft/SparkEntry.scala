@@ -630,6 +630,84 @@ object SparkEntry {
           concat_ws("|", slice(col("subwords"), 1, 12)).as("head_subwords"))
     }),
 
+    // Web-crawl front door: HTML → text extraction as a fixed chain of
+    // codegen regexp/replace steps (script/style/comment blocks, tags,
+    // entities, whitespace). The corpus has no markup column, so the
+    // query derives deterministic HTML from `documents` and proves
+    // extraction inverts it — the oracle builds the SAME html with the
+    // SAME concat and runs the SAME regex chain (Java-regex ∩ RE2
+    // dialect). Map-only: no shuffle, stays in whole-stage codegen.
+    "q109_html_extract" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val html = graft.operators.Html.wrapAsHtml(
+        col("text"), col("source"), col("doc_id"))
+      docs.select(col("doc_id"), html.as("html"))
+        .select(col("doc_id"),
+          length(col("html")).as("n_chars_html"),
+          graft.operators.Html.extractText(col("html")).as("clean_text"))
+        .withColumn("n_chars_clean", length(col("clean_text")))
+    }),
+
+    // Bounded top-k per group via the graft_topk
+    // TypedImperativeAggregate: O(k) state per group with map-side
+    // combine (≤ k pairs per group cross the shuffle) — the scale
+    // replacement for the window row_number() idiom, which SORTS every
+    // row of every group before discarding all but k. Total order
+    // (score DESC, id ASC) makes the result partitioning-invariant.
+    "q110_topk_group" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("event_type")
+        .agg(call_function("graft_topk",
+          col("cents"), col("event_id"), lit(3)).as("tk"))
+        .select(col("event_type"), posexplode(col("tk")).as(Seq("i", "e")))
+        .select(col("event_type"), (col("i") + 1).cast("int").as("rank"),
+          col("e.id").as("event_id"), col("e.score").as("value_cents"))
+    }),
+
+    // Distinct-count ALGEBRA over KMV sketches (Beyer et al. 2007):
+    // part-key sets of returned vs non-returned lineitems, union /
+    // intersection / Jaccard estimated from two mergeable bottom-k
+    // sketches built in the SAME single aggregate pass that computes
+    // the exact ground truth. Exact columns + within-bound booleans
+    // are the oracle-checked output (ErrorBounds pattern): at 100 TB
+    // only the sketches are computed (k longs per set, one pass); the
+    // exact side here grades them every round. Bound: KMV rse ≈
+    // 1/√k ≈ 3.1% at k=1024 → 3σ ≈ 10% on union; intersection
+    // inherits union error over ρ, graded at 15% with an absolute
+    // floor for small overlaps.
+    "q111_kmv_setops" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val k = 1024
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_returnflag").isin("R", "N"))
+        .select(col("l_returnflag").as("fl"), col("l_partkey"))
+      li.agg(
+          graft.functions.KmvSketch.sketchArray(
+            when(col("fl") === "R", col("l_partkey")), k).as("ska"),
+          graft.functions.KmvSketch.sketchArray(
+            when(col("fl") === "N", col("l_partkey")), k).as("skb"),
+          countDistinct(when(col("fl") === "R", col("l_partkey")))
+            .as("exact_a"),
+          countDistinct(when(col("fl") === "N", col("l_partkey")))
+            .as("exact_b"),
+          countDistinct(col("l_partkey")).as("exact_union"))
+        .select(col("exact_a"), col("exact_b"), col("exact_union"),
+          (col("exact_a") + col("exact_b") - col("exact_union"))
+            .as("exact_intersect"),
+          call_function("graft_kmv_setops",
+            col("ska"), col("skb"), lit(k)).as("e"))
+        .select(col("exact_a"), col("exact_b"), col("exact_union"),
+          col("exact_intersect"),
+          (abs(col("e.est_union") - col("exact_union")) <=
+            lit(0.10) * col("exact_union")).as("union_within_bound"),
+          (abs(col("e.est_intersect") - col("exact_intersect")) <=
+            lit(0.15) * col("exact_intersect") + lit(32))
+            .as("intersect_within_bound"))
+    }),
+
     // Sliding-window chunk plan (RAG prep): 64-token chunks, 16-token
     // overlap — generator arithmetic, no shuffle.
     "q67_chunk_plan" -> ((s, d) => {
@@ -1779,6 +1857,72 @@ object SparkEntry {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
         .stripMargin,
+
+    // Same deterministic HTML built with the same concat, then the
+    // IDENTICAL extraction chain (patterns in the Java-regex ∩ RE2
+    // dialect; DuckDB needs the explicit 'g' flag where Spark
+    // replaces all matches by default; entity decode order matches,
+    // &amp; last).
+    "q109_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>' || source ||
+        |    '</title><style type="text/css">p { margin: 0; }</style>' ||
+        |    '</head><body><h1 class="t">' || source ||
+        |    '</h1><!-- doc ' || CAST(doc_id AS VARCHAR) ||
+        |    ' --><p>' || replace(text, ' and ', ' &amp; ') ||
+        |    '</p><script>if (1 < 2) { x = "a&b"; }</script></body></html>'
+        |      AS html
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, length(html) AS n_chars_html,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(html,
+        |                '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |            '(?s)<!--.*?-->', ' ', 'g'),
+        |          '(?s)<[^>]*>', ' ', 'g'),
+        |        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |        '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS clean_text
+        |  FROM h)
+        |SELECT doc_id, n_chars_html, clean_text,
+        |  length(clean_text) AS n_chars_clean
+        |FROM x""".stripMargin,
+
+    // The window idiom the aggregate replaces IS the oracle: exact
+    // integer scores, ties cut by event_id.
+    "q110_topk_group" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS value_cents,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(round(value * 100) AS BIGINT) DESC, event_id)
+        |      AS rank
+        |  FROM events)
+        |SELECT event_type, CAST(rank AS INT) AS rank, event_id,
+        |  value_cents
+        |FROM r WHERE rank <= 3""".stripMargin,
+
+    // Exact set algebra replayed; the sketch-estimate bound booleans
+    // are pinned TRUE — a Spark-side bound violation hash-mismatches.
+    "q111_kmv_setops" ->
+      """WITH a AS (SELECT DISTINCT l_partkey FROM lineitem
+        |           WHERE l_returnflag = 'R'),
+        |b AS (SELECT DISTINCT l_partkey FROM lineitem
+        |      WHERE l_returnflag = 'N'),
+        |u AS (SELECT l_partkey FROM a UNION SELECT l_partkey FROM b),
+        |i AS (SELECT l_partkey FROM a INTERSECT SELECT l_partkey FROM b)
+        |SELECT (SELECT count(*) FROM a) AS exact_a,
+        |  (SELECT count(*) FROM b) AS exact_b,
+        |  (SELECT count(*) FROM u) AS exact_union,
+        |  (SELECT count(*) FROM i) AS exact_intersect,
+        |  TRUE AS union_within_bound,
+        |  TRUE AS intersect_within_bound""".stripMargin,
 
     // Byte estimate, file counts, and cumulative offsets replayed
     // (DuckDB strlen = UTF-8 bytes = Spark octet_length).

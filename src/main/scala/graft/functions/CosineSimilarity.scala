@@ -154,6 +154,23 @@ object GraftFunctions {
     TdQuantile(children.head, children(1))
   }
 
+  val topKInfo = new ExpressionInfo(
+    classOf[TopKAgg].getName, "graft_topk")
+  val topKBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 3,
+      "graft_topk takes (score, id, k)")
+    TopKAgg(children.head, children(1), litInt(children(2), "k"))
+      .toAggregateExpression()
+  }
+
+  val kmvSetOpsInfo = new ExpressionInfo(
+    classOf[KmvSetOps].getName, "graft_kmv_setops")
+  val kmvSetOpsBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 3,
+      "graft_kmv_setops takes (sketch_a, sketch_b, k)")
+    KmvSetOps(children.head, children(1), litInt(children(2), "k"))
+  }
+
   val sq8Info = new ExpressionInfo(
     classOf[Sq8Distance].getName, "graft_sq8_d2")
   val sq8Builder: Seq[Expression] => Expression = { children =>
@@ -208,6 +225,8 @@ object GraftFunctions {
       ("graft_cm_estimate", cmEstimateInfo, cmEstimateBuilder),
       ("graft_tdigest", tdigestInfo, tdigestBuilder),
       ("graft_td_quantile", tdQuantileInfo, tdQuantileBuilder),
+      ("graft_topk", topKInfo, topKBuilder),
+      ("graft_kmv_setops", kmvSetOpsInfo, kmvSetOpsBuilder),
       ("graft_sq8_d2", sq8Info, sq8Builder))
 
   def ensureRegistered(spark: SparkSession): Unit =
