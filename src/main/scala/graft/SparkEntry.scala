@@ -708,6 +708,43 @@ object SparkEntry {
             .as("intersect_within_bound"))
     }),
 
+    // Asymmetric near-SUPERSET dedup: trigram containment
+    // common/min(|a|,|b|) ≥ 0.8 over the same inverted-index +
+    // arithmetic-verify machinery as q25 — catches whole-quote
+    // duplication that Jaccard scores near zero. Exact, so the oracle
+    // replays the full formula.
+    "q112_containment" -> ((s, d) =>
+      Dedup.ngramContainmentPairs(Tables.documents(s, d), "text",
+        "doc_id", n = 3, minContainment = 0.8)),
+
+    // Collocation mining by PMI over the bigram contingency table:
+    // one token-stream aggregate, marginals as window sums over the
+    // pair-vocab table, 1-row broadcast total, bounded top-k. The
+    // score is ln of an exact integer rational → replayed verbatim.
+    "q113_collocations" -> ((s, d) =>
+      graft.operators.Collocations.pmiBigrams(
+        Tables.documents(s, d), "text", "doc_id",
+        minCount = 5L, topK = 20)),
+
+    // Nearest join (either direction, ±30 min, distance tie →
+    // backward): each purchase picks the closest error event for the
+    // same user — two linear union+window passes, no join product
+    // (pandas merge_asof direction='nearest' semantics).
+    "q114_nearest_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.AsOfJoin.nearest(
+          purchases, errors.withColumnRenamed("event_id", "err_id"),
+          "user_id", "ts", "ts", "err_id", toleranceSec = 1800L)
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("long").as("epoch"),
+          col("nearest_id").as("err_event_id"),
+          col("dist_sec"), col("direction"))
+    }),
+
     // Sliding-window chunk plan (RAG prep): 64-token chunks, 16-token
     // overlap — generator arithmetic, no shuffle.
     "q67_chunk_plan" -> ((s, d) => {
@@ -1923,6 +1960,87 @@ object SparkEntry {
         |  (SELECT count(*) FROM i) AS exact_intersect,
         |  TRUE AS union_within_bound,
         |  TRUE AS intersect_within_bound""".stripMargin,
+
+    // Containment from the same exact trigram machinery as q25's
+    // ground truth (jpairs CTE unused; jp0 carries the raw counts).
+    "q112_containment" ->
+      (ngramJaccardPairsCte +
+        """
+          |SELECT id_a, id_b,
+          |  round(common::DOUBLE / least(n_a, n_b)::DOUBLE, 4)
+          |    AS containment
+          |FROM jp0
+          |WHERE common::DOUBLE / least(n_a, n_b)::DOUBLE >= 0.8"""
+          .stripMargin),
+
+    // PMI replayed from the identical contingency table: integer
+    // counts, one double division, one ln.
+    "q113_collocations" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |    '\s+'), t -> t <> '') AS ts
+        |  FROM documents),
+        |bg0 AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(ts) - 1),
+        |    i -> ts[i] || ' ' || ts[i+1])) AS b
+        |  FROM tok),
+        |bg AS (
+        |  SELECT string_split(b, ' ')[1] AS w1,
+        |    string_split(b, ' ')[2] AS w2, count(*) AS c_xy
+        |  FROM bg0 GROUP BY 1, 2),
+        |m AS (
+        |  SELECT w1, w2, c_xy,
+        |    sum(c_xy) OVER (PARTITION BY w1) AS c_x,
+        |    sum(c_xy) OVER (PARTITION BY w2) AS c_y,
+        |    sum(c_xy) OVER () AS nb
+        |  FROM bg)
+        |SELECT w1, w2, c_xy,
+        |  round(ln((c_xy * nb)::DOUBLE / (c_x * c_y)::DOUBLE), 4) AS pmi
+        |FROM m WHERE c_xy >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    // Nearest-join replay: per purchase, best backward (latest ≤,
+    // equal-ts tie → max err id) and best forward (earliest ≥, tie →
+    // min err id) candidates, tolerance-filtered, distance tie →
+    // backward. Distances in floored epoch seconds, both engines.
+    "q114_nearest_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |e AS (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'error'),
+        |b0 AS (
+        |  SELECT p.event_id, e.event_id AS m_id,
+        |    CAST(floor(epoch(p.ts)) - floor(epoch(e.ts)) AS BIGINT)
+        |      AS dist,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        |  FROM p JOIN e ON p.user_id = e.user_id AND e.ts <= p.ts),
+        |b AS (SELECT event_id, m_id, dist FROM b0
+        |      WHERE rn = 1 AND dist <= 1800),
+        |f0 AS (
+        |  SELECT p.event_id, e.event_id AS m_id,
+        |    CAST(floor(epoch(e.ts)) - floor(epoch(p.ts)) AS BIGINT)
+        |      AS dist,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY e.ts ASC, e.event_id ASC) AS rn
+        |  FROM p JOIN e ON p.user_id = e.user_id AND e.ts >= p.ts),
+        |f AS (SELECT event_id, m_id, dist FROM f0
+        |      WHERE rn = 1 AND dist <= 1800)
+        |SELECT p.event_id, p.user_id,
+        |  CAST(floor(epoch(p.ts)) AS BIGINT) AS epoch,
+        |  CASE WHEN b.m_id IS NOT NULL
+        |         AND (f.m_id IS NULL OR b.dist <= f.dist)
+        |       THEN b.m_id ELSE f.m_id END AS err_event_id,
+        |  CASE WHEN b.m_id IS NOT NULL
+        |         AND (f.m_id IS NULL OR b.dist <= f.dist)
+        |       THEN b.dist ELSE f.dist END AS dist_sec,
+        |  CASE WHEN b.m_id IS NOT NULL
+        |         AND (f.m_id IS NULL OR b.dist <= f.dist)
+        |       THEN 'b' WHEN f.m_id IS NOT NULL THEN 'f' END AS direction
+        |FROM p
+        |LEFT JOIN b ON b.event_id = p.event_id
+        |LEFT JOIN f ON f.event_id = p.event_id""".stripMargin,
 
     // Byte estimate, file counts, and cumulative offsets replayed
     // (DuckDB strlen = UTF-8 bytes = Spark octet_length).

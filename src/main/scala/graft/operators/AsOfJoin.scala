@@ -49,6 +49,52 @@ object AsOfJoin {
     asOf(left, right, keyCol, leftTs, rightTs, rightCols, rightOrder,
       ascending = false)
 
+  /** Nearest join: for every left row, the right row (same key)
+    * closest IN EITHER DIRECTION within `toleranceSec`, composed from
+    * one backward and one forward pass — still two linear
+    * union+window shuffles, never a join product (pandas
+    * `merge_asof(direction='nearest')` semantics).
+    *
+    * Distance is measured in floored epoch seconds (the same
+    * definition the external replay uses); an exact distance tie
+    * prefers the BACKWARD (earlier) match. Tie among equal right
+    * timestamps: backward keeps the largest `rightOrder`, forward the
+    * smallest — inherited from the two directional passes and pinned
+    * by q114's oracle.
+    *
+    * @param rightIdCol right row-identity column attached to the
+    *                   output (also the equal-timestamp tiebreaker)
+    */
+  def nearest(left: DataFrame, right: DataFrame, keyCol: String,
+              leftTs: String, rightTs: String, rightIdCol: String,
+              toleranceSec: Long): DataFrame = {
+    val r = right.select(col(keyCol),
+      col(rightTs).as("__r_ts"), col(rightIdCol).as("__r_id"))
+    val bwd = backward(left, r, keyCol, leftTs, "__r_ts",
+      Seq("__r_ts", "__r_id"), rightOrder = Some("__r_id"))
+      .withColumnRenamed("__r_ts", "__b_ts")
+      .withColumnRenamed("__r_id", "__b_id")
+    val both = forward(bwd, r, keyCol, leftTs, "__r_ts",
+      Seq("__r_ts", "__r_id"), rightOrder = Some("__r_id"))
+      .withColumnRenamed("__r_ts", "__f_ts")
+      .withColumnRenamed("__r_id", "__f_id")
+
+    val lEp = col(leftTs).cast("long")
+    val bDist = lEp - col("__b_ts").cast("long")
+    val fDist = col("__f_ts").cast("long") - lEp
+    val bOk = col("__b_id").isNotNull && bDist <= toleranceSec
+    val fOk = col("__f_id").isNotNull && fDist <= toleranceSec
+    val useB = bOk && (!fOk || bDist <= fDist)
+    both
+      .withColumn("nearest_id",
+        when(useB, col("__b_id")).when(fOk, col("__f_id")))
+      .withColumn("dist_sec",
+        when(useB, bDist).when(fOk, fDist))
+      .withColumn("direction",
+        when(useB, lit("b")).when(fOk, lit("f")))
+      .drop("__b_ts", "__b_id", "__f_ts", "__f_id")
+  }
+
   /** Shared implementation; ascending = backward (latest preceding
     * right row), descending = forward (earliest following). NULL left
     * timestamps sort before every right row in BOTH directions, so

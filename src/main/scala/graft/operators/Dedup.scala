@@ -350,6 +350,39 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Exact all-pairs n-gram CONTAINMENT: C(a,b) = common/min(|a|,|b|)
+    * ≥ t — the asymmetric companion to [[ngramJaccardPairs]]. Jaccard
+    * misses near-SUPERSET duplicates (a doc quoted whole inside a much
+    * larger one has J ≈ |small|/|big| → 0 but C ≈ 1); containment is
+    * the standard detector for quote/subset duplication (Broder's
+    * "containment" from the original resemblance paper, SEQUENCES
+    * 1997).
+    *
+    * Same inverted-index candidate join and arithmetic verification as
+    * the Jaccard form, but NO symmetric length filter is admissible —
+    * a tiny doc inside a huge one is exactly the hit we want, so
+    * candidates are every gram-sharing pair (Σdf² over grams). On a
+    * Zipfian corpus the PPJoin-style bound still applies one-sided
+    * (only the SMALLER side's (1−t)-prefix needs to enter the index);
+    * kept plain here for the uniform fixture, same trade as
+    * [[ngramJaccardAuto]] documents.
+    */
+  def ngramContainmentPairs(df: DataFrame, textCol: String, idCol: String,
+                            n: Int = 3, minContainment: Double = 0.8)
+  : DataFrame = {
+    val inv = shingleRows(df, textCol, idCol, n)
+    inv.alias("l").join(inv.alias("r"),
+        col("l.g") === col("r.g") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .agg(count(lit(1)).as("common"),
+        first(col("l.n_sh")).as("n_a"), first(col("r.n_sh")).as("n_b"))
+      .withColumn("containment", col("common").cast("double") /
+        least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 4).as("containment"))
+  }
+
   /** PPJoin-style prefix-filtered exact n-gram Jaccard (Xiao, Wang,
     * Lin & Yu, "Efficient Similarity Joins for Near Duplicate
     * Detection", WWW 2008): identical RESULTS to
