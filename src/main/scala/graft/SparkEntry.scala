@@ -745,6 +745,102 @@ object SparkEntry {
           col("dist_sec"), col("direction"))
     }),
 
+    // Lexical-diversity quality signals: type-token ratio, hapax
+    // fraction, top-token concentration — all from TWO hash
+    // aggregates over the token stream (per-(doc,term) then per-doc),
+    // exact integers + single divisions, no window.
+    "q115_lexical_diversity" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "\\s+")).as("t"))
+        .filter(col("t") =!= "")
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      tf.groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+          max("c").as("max_c"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          col("n_hapax"),
+          round(col("n_types").cast("double") /
+            col("n_tokens").cast("double"), 4).as("ttr"),
+          round(col("max_c").cast("double") /
+            col("n_tokens").cast("double"), 4).as("top_frac"))
+    }),
+
+    // Zone-map file skipping over a Z-ORDERED layout: rows assigned to
+    // 16 equal "files" by z-key range (ntile simulates the range-
+    // partitioned writer), per-file min/max zone maps on both
+    // z-dimensions, and the planner's range-overlap prune decision for
+    // a 2-D predicate. The z-ordered layout makes BOTH dimensions'
+    // zone maps tight, so most files are skippable — the claim q71's
+    // clustering exists to earn, here graded file-by-file by the
+    // oracle (ZoneMapsSpec contrasts the random layout, which prunes
+    // nothing).
+    "q116_zonemap_prune" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"),
+        col("user_id"), floor(col("value") / 10).as("vbin"),
+        graft.operators.ZOrder.interleave(
+          col("user_id"), floor(col("value") / 10), bits = 16).as("zkey"))
+      graft.operators.ZoneMaps.statsAndPrune(ev,
+        layout = Seq(col("zkey"), col("event_id")), files = 16,
+        ranges = Seq(("user_id", 1L, 5L), ("vbin", 2L, 5L)))
+    }),
+
+    // Equi-depth band histogram at scale: band BOUNDARIES from one
+    // exact `percentile` aggregate (a single pass — never the global
+    // sort ntile needs), broadcast back as one row, rows banded by
+    // comparison, then a 4-group count/min/max aggregate.
+    "q117_band_histogram" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(round(col("l_extendedprice") * 100).cast("long")
+          .as("cents"))
+      // boundaries rounded to a 1e-6 grid before banding: the linear
+      // interpolation is the same formula in both engines but not
+      // bit-pinned, and an unrounded boundary lying within an ulp of
+      // an integer would band that exact cents value differently
+      val b = li.agg(
+        round(expr("percentile(cents, 0.25)"), 6).as("b1"),
+        round(expr("percentile(cents, 0.5)"), 6).as("b2"),
+        round(expr("percentile(cents, 0.75)"), 6).as("b3"))
+      li.crossJoin(broadcast(b))
+        .withColumn("band",
+          when(col("cents") <= col("b1"), 0)
+            .when(col("cents") <= col("b2"), 1)
+            .when(col("cents") <= col("b3"), 2)
+            .otherwise(3))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"), min("cents").as("min_cents"),
+          max("cents").as("max_cents"))
+    }),
+
+    // Matryoshka-truncation quality gate: top-10 cosine neighbors from
+    // the FULL 64-dim embedding vs the first-16-dim truncation (the
+    // MRL serving trick: cheap prefix search, full-dim re-rank), per-
+    // query recall@10. Exact arithmetic on both sides → oracle-graded;
+    // the truncated pass reads 4× less vector data per candidate.
+    "q118_matryoshka_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val full = Similarity.bruteForceTopK(
+        emb.select(col("vec_id").as("id"), col("embedding").as("v")),
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        k = 10)
+      val trunc = Similarity.bruteForceTopK(
+        emb.select(col("vec_id").as("id"),
+          slice(col("embedding"), 1, 16).as("v")),
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"),
+            slice(col("embedding"), 1, 16).as("qv")),
+        k = 10)
+      full.select(col("qid"), col("neighbor_id"))
+        .join(trunc.select(col("qid"), col("neighbor_id"),
+          lit(1L).as("hit")), Seq("qid", "neighbor_id"), "left")
+        .groupBy("qid")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_common"))
+        .withColumn("recall", round(col("n_common") / lit(10.0), 4))
+    }),
+
     // Sliding-window chunk plan (RAG prep): 64-token chunks, 16-token
     // overlap — generator arithmetic, no shuffle.
     "q67_chunk_plan" -> ((s, d) => {
@@ -2041,6 +2137,94 @@ object SparkEntry {
         |FROM p
         |LEFT JOIN b ON b.event_id = p.event_id
         |LEFT JOIN f ON f.event_id = p.event_id""".stripMargin,
+
+    // Two-level aggregate replay; exact integers, single divisions.
+    "q115_lexical_diversity" ->
+      """WITH tf AS (
+        |  SELECT doc_id, t, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      string_split_regex(lower(text), '\s+'), t -> t <> '')) AS t
+        |    FROM documents)
+        |  GROUP BY doc_id, t)
+        |SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_types,
+        |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax,
+        |  round(count(*)::DOUBLE / sum(c)::DOUBLE, 4) AS ttr,
+        |  round(max(c)::DOUBLE / sum(c)::DOUBLE, 4) AS top_frac
+        |FROM tf GROUP BY doc_id""".stripMargin,
+
+    // Zone-map decision table replayed: same Morton key as q71, same
+    // ntile file assignment, same range-overlap rule.
+    "q116_zonemap_prune" ->
+      """WITH z AS (
+        |  SELECT event_id, user_id,
+        |    CAST(floor(value / 10) AS BIGINT) AS vbin,
+        |    CAST(list_sum(list_transform(generate_series(0, 15),
+        |      b -> ((((user_id & 65535) >> b) & 1) << (2*b))
+        |         + ((((CAST(floor(value / 10) AS BIGINT) & 65535) >> b)
+        |             & 1) << (2*b+1)))) AS BIGINT) AS zkey
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CAST(ntile(16) OVER (ORDER BY zkey, event_id)
+        |    AS INT) AS file_id
+        |  FROM z),
+        |zm AS (
+        |  SELECT file_id, count(*) AS n_rows,
+        |    min(user_id) AS min_user_id, max(user_id) AS max_user_id,
+        |    min(vbin) AS min_vbin, max(vbin) AS max_vbin
+        |  FROM f GROUP BY file_id)
+        |SELECT file_id, n_rows, min_user_id, max_user_id,
+        |  min_vbin, max_vbin,
+        |  (max_user_id >= 1 AND min_user_id <= 5
+        |    AND max_vbin >= 2 AND min_vbin <= 5) AS would_scan
+        |FROM zm""".stripMargin,
+
+    // quantile_cont = Spark's exact percentile (same interpolation);
+    // boundaries rounded to the same 1e-6 grid before banding.
+    "q117_band_histogram" ->
+      """WITH c AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT round(quantile_cont(cents, 0.25), 6) AS b1,
+        |    round(quantile_cont(cents, 0.5), 6) AS b2,
+        |    round(quantile_cont(cents, 0.75), 6) AS b3
+        |  FROM c)
+        |SELECT CASE WHEN cents <= b1 THEN 0 WHEN cents <= b2 THEN 1
+        |  WHEN cents <= b3 THEN 2 ELSE 3 END AS band,
+        |  count(*) AS n, min(cents) AS min_cents, max(cents) AS max_cents
+        |FROM c, b GROUP BY 1""".stripMargin,
+
+    // Both top-10 sets recomputed with list_cosine_similarity (full
+    // vectors and the 16-dim prefix), recall from the id-set overlap.
+    "q118_matryoshka_recall" ->
+      """WITH fullk AS (
+        |  SELECT qid, neighbor_id FROM (
+        |    SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(c.embedding, q.embedding)
+        |          DESC, c.vec_id) AS rank
+        |    FROM embeddings c, embeddings q
+        |    WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id) t
+        |  WHERE rank <= 10),
+        |trunck AS (
+        |  SELECT qid, neighbor_id FROM (
+        |    SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(
+        |            list_slice(c.embedding, 1, 16),
+        |            list_slice(q.embedding, 1, 16)) DESC, c.vec_id)
+        |        AS rank
+        |    FROM embeddings c, embeddings q
+        |    WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id) t
+        |  WHERE rank <= 10)
+        |SELECT f.qid,
+        |  sum(CASE WHEN t.neighbor_id IS NULL THEN 0 ELSE 1 END)
+        |    AS n_common,
+        |  round(sum(CASE WHEN t.neighbor_id IS NULL THEN 0 ELSE 1 END)
+        |    / 10.0, 4) AS recall
+        |FROM fullk f LEFT JOIN trunck t
+        |  ON t.qid = f.qid AND t.neighbor_id = f.neighbor_id
+        |GROUP BY f.qid""".stripMargin,
 
     // Byte estimate, file counts, and cumulative offsets replayed
     // (DuckDB strlen = UTF-8 bytes = Spark octet_length).
