@@ -841,6 +841,110 @@ object SparkEntry {
         .withColumn("recall", round(col("n_common") / lit(10.0), 4))
     }),
 
+    // Streaming percentile monitoring: hourly p95 via the t-digest
+    // aggregate accumulating IN THE STREAMING STATE STORE (O(δ) per
+    // window, vs every raw value for an exact percentile), then the
+    // batch rank-error gate replayed over the same data — exact
+    // window counts + a pinned-TRUE rank bound are the graded output.
+    "q119_stream_quantile" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val streamed = graft.streaming.EventsStream.runToTable(s,
+        graft.streaming.EventsStream.windowedDigestQuantile(
+          graft.streaming.EventsStream.readEvents(s, d), q = 0.95),
+        s"q119_sink_${System.nanoTime()}")
+      val ev = Tables.events(s, d)
+        .withColumn("w", window(col("ts"), "1 day"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("value"))
+      // rank tolerance adapts to the group: one empirical-CDF step is
+      // 1/n, and the digest is singleton-exact below the compression,
+      // so 0.02 + 1/n always brackets the estimate's rank
+      ev.join(broadcast(streamed), Seq("window_start", "event_type"))
+        .groupBy("window_start", "event_type")
+        .agg(first(col("n")).as("n"),
+          avg((col("value") <= col("p_est")).cast("int")).as("le"),
+          avg((col("value") < col("p_est")).cast("int")).as("lt"))
+        .withColumn("tol", lit(0.02) + lit(1.0) / col("n"))
+        .select(unix_timestamp(col("window_start")).as("window_epoch"),
+          col("event_type"), col("n"),
+          (col("le") >= lit(0.95) - col("tol") &&
+            col("lt") <= lit(0.95) + col("tol")).as("p95_rank_ok"))
+    }),
+
+    // Link-graph authority scoring: 3 PageRank rounds over the
+    // supplier co-fulfillment graph in EXACT integer arithmetic
+    // (scaled ranks, floor divisions) — bit-identical under any
+    // partitioning AND in the oracle's unrolled-SQL replay. Top 25 by
+    // (rank, id): bounded sort.
+    "q120_pagerank" -> ((s, d) => {
+      val (nodes, edges) = graft.operators.PageRank
+        .supplierCoFulfillment(Tables.lineitem(s, d))
+      graft.operators.PageRank.run(nodes, edges, iters = 3)
+        .orderBy(col("pr").desc, col("id"))
+        .limit(25)
+        .select(col("id").as("supplier_id"), col("pr"))
+    }),
+
+    // Robust outlier gate (median absolute deviation): per event type,
+    // med and MAD from exact percentile aggregates (no global sort),
+    // outliers = |v − med| > 3·MAD. Boundaries on the 1e-6 grid (same
+    // reasoning as q117); counts exact.
+    "q121_mad_outliers" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val med = ev.groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+      val mad = ev.join(broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(first(col("med")).as("med"),
+          round(expr("percentile(round(abs(value - med), 6), 0.5)"), 6)
+            .as("mad"))
+      ev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum((round(abs(col("value") - col("med")), 6) >
+            lit(3.0) * col("mad")).cast("long")).as("n_outliers"),
+          first(col("med")).as("med"), first(col("mad")).as("mad"))
+    }),
+
+    // Population-stability-index drift gate between the first and
+    // second half of the event stream (by time): reference-decile
+    // bins from exact percentiles, PSI = Σ (p−q)·ln(p/q) over exact
+    // bin counts with ε-smoothing — the standard "did the
+    // distribution move" monitor for a continuously-ingested corpus.
+    "q122_psi_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"),
+        col("ts").cast("long").as("ep"))
+      val mid = ev.agg(
+        round(expr("percentile(ep, 0.5)"), 6).as("mid"))
+      val tagged = ev.crossJoin(broadcast(mid))
+        .withColumn("half",
+          when(col("ep").cast("double") <= col("mid"), "ref")
+            .otherwise("cur"))
+      val bounds = tagged.filter(col("half") === "ref")
+        .groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.25)"), 6).as("c1"),
+          round(expr("percentile(value, 0.5)"), 6).as("c2"),
+          round(expr("percentile(value, 0.75)"), 6).as("c3"))
+      val binned = tagged.join(broadcast(bounds), "event_type")
+        .withColumn("bin",
+          when(col("value") <= col("c1"), 0)
+            .when(col("value") <= col("c2"), 1)
+            .when(col("value") <= col("c3"), 2).otherwise(3))
+        .groupBy("event_type", "bin")
+        .agg(sum(when(col("half") === "ref", 1L).otherwise(0L)).as("nr"),
+          sum(when(col("half") === "cur", 1L).otherwise(0L)).as("nc"))
+      val totals = binned.groupBy("event_type")
+        .agg(sum("nr").as("tr"), sum("nc").as("tc"))
+      binned.join(totals, "event_type")
+        .withColumn("term",
+          ((col("nr") / col("tr")) - (col("nc") / col("tc"))) *
+            log(((col("nr") / col("tr")) + lit(1e-6)) /
+              ((col("nc") / col("tc")) + lit(1e-6))))
+        .groupBy("event_type")
+        .agg(round(sum(col("term")), 4).as("psi"),
+          sum("nr").as("n_ref"), sum("nc").as("n_cur"))
+    }),
+
     // Sliding-window chunk plan (RAG prep): 64-token chunks, 16-token
     // overlap — generator arithmetic, no shuffle.
     "q67_chunk_plan" -> ((s, d) => {
@@ -2225,6 +2329,111 @@ object SparkEntry {
         |FROM fullk f LEFT JOIN trunck t
         |  ON t.qid = f.qid AND t.neighbor_id = f.neighbor_id
         |GROUP BY f.qid""".stripMargin,
+
+    // Exact daily window counts; the stream-side digest's rank bound
+    // is pinned TRUE (a violation hash-mismatches).
+    "q119_stream_quantile" ->
+      """SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT)
+        |    AS window_epoch,
+        |  event_type, count(*) AS n, TRUE AS p95_rank_ok
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // Three integer-arithmetic PageRank rounds unrolled: same scaled
+    // ranks, same floor divisions, bit-identical.
+    "q120_pagerank" ->
+      """WITH os AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.s AS src, b.s AS dst
+        |  FROM os a JOIN os b ON a.o = b.o AND a.s <> b.s),
+        |nodes AS (SELECT DISTINCT s AS id FROM os),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |p0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+        |c1 AS (
+        |  SELECT e.dst AS id, sum(p.pr // d.deg) AS s
+        |  FROM e JOIN p0 p ON p.id = e.src JOIN deg d ON d.src = e.src
+        |  GROUP BY e.dst),
+        |p1 AS (
+        |  SELECT n.id,
+        |    CAST(150000 + (850 * coalesce(c1.s, 0)) // 1000 AS BIGINT)
+        |      AS pr
+        |  FROM nodes n LEFT JOIN c1 ON c1.id = n.id),
+        |c2 AS (
+        |  SELECT e.dst AS id, sum(p.pr // d.deg) AS s
+        |  FROM e JOIN p1 p ON p.id = e.src JOIN deg d ON d.src = e.src
+        |  GROUP BY e.dst),
+        |p2 AS (
+        |  SELECT n.id,
+        |    CAST(150000 + (850 * coalesce(c2.s, 0)) // 1000 AS BIGINT)
+        |      AS pr
+        |  FROM nodes n LEFT JOIN c2 ON c2.id = n.id),
+        |c3 AS (
+        |  SELECT e.dst AS id, sum(p.pr // d.deg) AS s
+        |  FROM e JOIN p2 p ON p.id = e.src JOIN deg d ON d.src = e.src
+        |  GROUP BY e.dst),
+        |p3 AS (
+        |  SELECT n.id,
+        |    CAST(150000 + (850 * coalesce(c3.s, 0)) // 1000 AS BIGINT)
+        |      AS pr
+        |  FROM nodes n LEFT JOIN c3 ON c3.id = n.id)
+        |SELECT id AS supplier_id, pr FROM p3
+        |ORDER BY pr DESC, id LIMIT 25""".stripMargin,
+
+    // Median/MAD replay on the same 1e-6 boundary grid.
+    "q121_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+        |  FROM events GROUP BY event_type),
+        |mad AS (
+        |  SELECT e.event_type, any_value(m.med) AS med,
+        |    round(quantile_cont(round(abs(e.value - m.med), 6), 0.5), 6)
+        |      AS mad
+        |  FROM events e JOIN med m ON m.event_type = e.event_type
+        |  GROUP BY e.event_type)
+        |SELECT e.event_type, count(*) AS n,
+        |  sum(CASE WHEN round(abs(e.value - x.med), 6) > 3.0 * x.mad
+        |      THEN 1 ELSE 0 END) AS n_outliers,
+        |  any_value(x.med) AS med, any_value(x.mad) AS mad
+        |FROM events e JOIN mad x ON x.event_type = e.event_type
+        |GROUP BY e.event_type""".stripMargin,
+
+    // PSI replay: same halves, same reference-quartile bins, same
+    // ε-smoothed log terms over exact counts.
+    "q122_psi_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ep
+        |  FROM events),
+        |mid AS (SELECT round(quantile_cont(ep, 0.5), 6) AS mid FROM ev),
+        |tagged AS (
+        |  SELECT event_type, value,
+        |    CASE WHEN ep::DOUBLE <= mid THEN 'ref' ELSE 'cur' END AS half
+        |  FROM ev, mid),
+        |bounds AS (
+        |  SELECT event_type,
+        |    round(quantile_cont(value, 0.25), 6) AS c1,
+        |    round(quantile_cont(value, 0.5), 6) AS c2,
+        |    round(quantile_cont(value, 0.75), 6) AS c3
+        |  FROM tagged WHERE half = 'ref' GROUP BY event_type),
+        |binned AS (
+        |  SELECT t.event_type,
+        |    CASE WHEN t.value <= b.c1 THEN 0 WHEN t.value <= b.c2 THEN 1
+        |         WHEN t.value <= b.c3 THEN 2 ELSE 3 END AS bin,
+        |    sum(CASE WHEN t.half = 'ref' THEN 1 ELSE 0 END) AS nr,
+        |    sum(CASE WHEN t.half = 'cur' THEN 1 ELSE 0 END) AS nc
+        |  FROM tagged t JOIN bounds b ON b.event_type = t.event_type
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, sum(nr) AS tr, sum(nc) AS tc
+        |  FROM binned GROUP BY event_type)
+        |SELECT b.event_type,
+        |  round(sum(((b.nr::DOUBLE / t.tr::DOUBLE) -
+        |             (b.nc::DOUBLE / t.tc::DOUBLE)) *
+        |    ln(((b.nr::DOUBLE / t.tr::DOUBLE) + 1e-6) /
+        |       ((b.nc::DOUBLE / t.tc::DOUBLE) + 1e-6))), 4) AS psi,
+        |  sum(b.nr) AS n_ref, sum(b.nc) AS n_cur
+        |FROM binned b JOIN tot t ON t.event_type = b.event_type
+        |GROUP BY b.event_type""".stripMargin,
 
     // Byte estimate, file counts, and cumulative offsets replayed
     // (DuckDB strlen = UTF-8 bytes = Spark octet_length).

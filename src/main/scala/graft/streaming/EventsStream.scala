@@ -61,6 +61,33 @@ object EventsStream {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming windowed QUANTILE monitoring via the mergeable t-digest
+    * aggregate: per (window, event_type), the digest accumulates in the
+    * streaming state store exactly like any other aggregate buffer
+    * (TypedImperativeAggregate serializes across micro-batches), and
+    * the p-quantile is probed from the final digest. This is the
+    * standard latency-percentile dashboard shape — a full-accuracy
+    * percentile would need every raw value in state; the digest keeps
+    * O(δ) per window. q119 grades the estimate with the batch
+    * rank-error gate (ErrorBounds semantics) so the stream path's
+    * accuracy is oracle-checked, not assumed.
+    */
+  def windowedDigestQuantile(events: DataFrame, q: Double = 0.95,
+                             compression: Int = 100): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(events.sparkSession)
+    // daily windows: the synthetic stream is ~7 events/type/day — an
+    // hourly grain would make every digest a 1-3 value group and the
+    // rank gate vacuous
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(call_function("graft_tdigest", col("value"), lit(compression))
+        .as("td"), count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"),
+        call_function("graft_td_quantile", col("td"), lit(q)).as("p_est"))
+  }
+
   /** Native session windows: per-user sessions split at 30-minute
     * inactivity gaps (Spark's built-in session_window — the idiomatic
     * form of streaming sessionization).
