@@ -945,6 +945,56 @@ object SparkEntry {
           sum("nr").as("n_ref"), sum("nc").as("n_cur"))
     }),
 
+    // Okapi BM25 retrieval scoring: top-10 docs for a 3-term query.
+    // Doc lengths computed narrow (no token shuffle), query-filtered
+    // tf aggregate, broadcast df/corpus stats, bounded top-k.
+    "q123_bm25" -> ((s, d) => {
+      graft.operators.Retrieval.bm25(Tables.documents(s, d),
+        "text", "doc_id", Seq("join", "vector", "stream"))
+        .select(col("doc_id"), col("bm25"),
+          col("n_terms_hit").cast("long").as("n_terms_hit"))
+    }),
+
+    // DSIR importance scores (target = source 'src0' docs): rank raw
+    // docs by unigram log-likelihood ratio target-vs-raw — the data
+    // selection score importance resampling keeps. Two broadcast LMs
+    // + one per-doc tf aggregate.
+    "q124_dsir_score" -> ((s, d) => {
+      graft.operators.Retrieval.dsirScores(Tables.documents(s, d),
+        "text", "doc_id", col("source") === "src0")
+        .select(col("doc_id"), col("dsir_score"),
+          col("n_tokens").cast("long").as("n_tokens"))
+    }),
+
+    // Blocked fuzzy self-join (entity resolution): part names matched
+    // within last-token blocks at levenshtein ≤ 2, verified on the
+    // DISTINCT-name table and expanded to row-pair multiplicities
+    // arithmetically — never an O(n²) row join.
+    "q125_fuzzy_match" -> ((s, d) => {
+      graft.operators.FuzzyJoin.nameMatches(Tables.part(s, d), "p_name",
+          element_at(split(col("p_name"), " "), -1), maxDist = 2)
+        .select(col("name_a"), col("name_b"),
+          col("dist").cast("long").as("dist"), col("n_pairs"))
+        .orderBy(col("n_pairs").desc, col("name_a"), col("name_b"))
+    }),
+
+    // Compression-ratio quality signal (graft_deflate_ratio, native
+    // codegen expression): per-source deflate-ratio profile + count of
+    // suspicious low-ratio (highly repetitive) docs. No SQL oracle
+    // (zlib isn't in DuckDB) — determinism and the
+    // repetitive-vs-diverse ordering are pinned in CompressRatioSpec.
+    "q126_compress_ratio" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      Tables.documents(s, d)
+        .withColumn("ratio", call_function("graft_deflate_ratio", col("text")))
+        .groupBy("source")
+        .agg(round(avg("ratio"), 4).as("avg_ratio"),
+          round(min("ratio"), 4).as("min_ratio"),
+          round(max("ratio"), 4).as("max_ratio"),
+          sum((col("ratio") < 0.3).cast("long")).as("n_repetitive"))
+        .orderBy("source")
+    }),
+
     // Sliding-window chunk plan (RAG prep): 64-token chunks, 16-token
     // overlap — generator arithmetic, no shuffle.
     "q67_chunk_plan" -> ((s, d) => {
@@ -2434,6 +2484,75 @@ object SparkEntry {
         |  sum(b.nr) AS n_ref, sum(b.nc) AS n_cur
         |FROM binned b JOIN tot t ON t.event_type = b.event_type
         |GROUP BY b.event_type""".stripMargin,
+
+    "q123_bm25" ->
+      """WITH dl AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t <> ''))::DOUBLE AS dl
+        |  FROM documents),
+        |stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |        t -> t <> '')) AS token
+        |    FROM documents) t
+        |  WHERE token IN ('join', 'vector', 'stream')
+        |  GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT doc_id,
+        |  round(sum(ln((s.n - df + 0.5) / (df + 0.5) + 1.0) *
+        |    (tf * (1.2 + 1)) /
+        |    (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / s.avgdl))), 4) AS bm25,
+        |  count(*)::BIGINT AS n_terms_hit
+        |FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id)
+        |CROSS JOIN stats s
+        |GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q124_dsir_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source = 'src0' AS is_tgt,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t <> '')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |raw_lm AS (SELECT token, count(*) AS c_raw FROM toks GROUP BY 1),
+        |tgt_lm AS (SELECT token, count(*) AS c_tgt FROM toks
+        |           WHERE is_tgt GROUP BY 1),
+        |tot AS (SELECT sum(c_raw)::DOUBLE AS t_raw,
+        |               count(*)::DOUBLE AS v FROM raw_lm),
+        |tt AS (SELECT sum(c_tgt)::DOUBLE AS t_tgt FROM tgt_lm)
+        |SELECT tf.doc_id,
+        |  round(sum(tf.tf *
+        |    (ln((coalesce(g.c_tgt, 0) + 1.0) / (tt.t_tgt + tot.v)) -
+        |     ln((r.c_raw + 1.0) / (tot.t_raw + tot.v)))), 4) AS dsir_score,
+        |  sum(tf.tf)::BIGINT AS n_tokens
+        |FROM tf JOIN raw_lm r USING (token)
+        |LEFT JOIN tgt_lm g USING (token)
+        |CROSS JOIN tot CROSS JOIN tt
+        |GROUP BY tf.doc_id
+        |ORDER BY dsir_score DESC, tf.doc_id LIMIT 20""".stripMargin,
+
+    "q125_fuzzy_match" ->
+      """WITH vals AS (
+        |  SELECT p_name AS name, count(*) AS c,
+        |    string_split(p_name, ' ')[-1] AS blk
+        |  FROM part GROUP BY 1),
+        |m AS (
+        |  SELECT a.name AS name_a, b.name AS name_b,
+        |    levenshtein(a.name, b.name) AS d, a.c AS c_a, b.c AS c_b
+        |  FROM vals a JOIN vals b ON a.blk = b.blk AND a.name <= b.name
+        |    AND abs(length(a.name) - length(b.name)) <= 2
+        |    AND levenshtein(a.name, b.name) <= 2)
+        |SELECT name_a, name_b, d::BIGINT AS dist,
+        |  (CASE WHEN name_a = name_b THEN (c_a * (c_a - 1)) // 2
+        |        ELSE c_a * c_b END)::BIGINT AS n_pairs
+        |FROM m
+        |WHERE (CASE WHEN name_a = name_b THEN (c_a * (c_a - 1)) // 2
+        |       ELSE c_a * c_b END) > 0
+        |ORDER BY n_pairs DESC, name_a, name_b""".stripMargin,
 
     // Byte estimate, file counts, and cumulative offsets replayed
     // (DuckDB strlen = UTF-8 bytes = Spark octet_length).

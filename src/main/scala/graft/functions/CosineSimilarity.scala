@@ -179,6 +179,13 @@ object GraftFunctions {
     Sq8Distance(children.head, children(1), children(2))
   }
 
+  val deflateRatioInfo = new ExpressionInfo(
+    classOf[DeflateRatio].getName, "graft_deflate_ratio")
+  val deflateRatioBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 1, "graft_deflate_ratio takes 1 argument")
+    DeflateRatio(children.head)
+  }
+
   val nfcInfo = new ExpressionInfo(
     classOf[NfcNormalize].getName, "graft_nfc")
   val nfcBuilder: Seq[Expression] => Expression = { children =>
@@ -218,6 +225,7 @@ object GraftFunctions {
 
   private val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(("graft_cosine", cosineInfo, cosineBuilder),
+      ("graft_deflate_ratio", deflateRatioInfo, deflateRatioBuilder),
       ("graft_nfc", nfcInfo, nfcBuilder),
       ("graft_strip_accents", stripAccentsInfo, stripAccentsBuilder),
       ("graft_bpe_encode", bpeEncodeInfo, bpeEncodeBuilder),

@@ -29,8 +29,10 @@ class EntrySpec extends SparkSpec {
       "q69_bpe_vocab",          // iterative argmax, not SQL-replayable
       "q80_tdigest_quantile",   // t-digest estimate (bound in TDigestSpec)
       "q82_knn_ivfpq",          // approximate (SQ8 shortlist recall < 1)
-      "q108_bpe_encode"         // iterative min-rank merge loop, not
+      "q108_bpe_encode",        // iterative min-rank merge loop, not
                                 // SQL-replayable (BpeEncodeSpec)
+      "q126_compress_ratio"     // deflate ratio — no zlib in DuckDB
+                                // (determinism in CompressRatioSpec)
     ), s"unexpected rows-only set: $rowsOnly")
   }
 }
