@@ -995,6 +995,77 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // Inverted-index build: one (token, doc_id) shuffle into a hash
+    // aggregate; postings sorted + comma-joined for engine-portable
+    // replay. Sharded-postings layout is the documented Zipf-head
+    // upgrade (InvertedIndex scaladoc).
+    "q127_inverted_index" -> ((s, d) => {
+      graft.operators.InvertedIndex
+        .build(Tables.documents(s, d), "text", "doc_id")
+        .select(col("token"), col("df"), col("tf_total"), col("postings"))
+    }),
+
+    // Dense global ordinals WITHOUT a one-task global sort:
+    // range-repartition + within-partition sort + broadcast partition
+    // offsets (the scalable zipWithIndex). Oracle is the naive
+    // row_number() the operator refuses to run as one task.
+    "q128_global_ordinals" -> ((s, d) => {
+      graft.operators.Ordinals
+        .globalOrdinals(Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), col("ordinal"))
+    }),
+
+    // Triangle counting on the support-≥5 supplier co-fulfillment
+    // graph: low→high edge orientation, wedge join + closing
+    // equi-join — each triangle found once.
+    "q129_triangles" -> ((s, d) => {
+      val edges = graft.operators.Triangles.coOccurrenceEdges(
+        Tables.lineitem(s, d), "l_orderkey", "l_suppkey", minSupport = 5)
+      graft.operators.Triangles.triangleCounts(edges, topK = 20)
+    }),
+
+    // Pareto frontier (skyline) on (doc length, lexical diversity):
+    // corpus-sized work is one hash aggregate; the frontier itself is
+    // window arithmetic over the distinct-x table.
+    "q130_pareto_frontier" -> ((s, d) => {
+      val t = graft.functions.TextFunctions.tokens(col("text"))
+      val m = Tables.documents(s, d).select(col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("n_tok"),
+          round(size(array_distinct(t)).cast("double") /
+            graft.functions.TextFunctions.tokenCount(col("text")), 6)
+            .as("div_ratio"))
+        .filter(col("n_tok") > 0)
+      graft.operators.Pareto.frontier(m, "n_tok", "div_ratio")
+        .select(col("doc_id"), col("n_tok"), col("div_ratio"))
+    }),
+
+    // SemDeDup: cluster embeddings (3 Lloyd iters), pairwise cosine
+    // ONLY within clusters, connected-components collapse, keep min
+    // id. Iterative k-means → rows-only; planted-duplicate recall and
+    // the keep-min-id invariant pinned in GraphSelectionSpec.
+    "q131_semantic_dedup" -> ((s, d) => {
+      val corpus = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding").as("v"))
+      graft.operators.Similarity
+        .semanticDedup(corpus, nClusters = 16, threshold = 0.98)
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
+          countDistinct(col("cid")).as("n_clusters_used"))
+    }),
+
+    // Hard-negative mining: per query, top-5 most-similar
+    // DIFFERENT-label vectors (broadcast queries, one corpus scan,
+    // codegen cosine) — the contrastive-training pair generator.
+    "q132_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.select(col("vec_id").as("id"),
+        col("embedding").as("v"), col("label"))
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("label").as("qlabel"))
+      graft.operators.Similarity.hardNegatives(corpus, queries, k = 5)
+    }),
+
     // Sliding-window chunk plan (RAG prep): 64-token chunks, 16-token
     // overlap — generator arithmetic, no shuffle.
     "q67_chunk_plan" -> ((s, d) => {
@@ -2553,6 +2624,74 @@ object SparkEntry {
         |WHERE (CASE WHEN name_a = name_b THEN (c_a * (c_a - 1)) // 2
         |       ELSE c_a * c_b END) > 0
         |ORDER BY n_pairs DESC, name_a, name_b""".stripMargin,
+
+    "q127_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t <> '')) AS token
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT token, count(DISTINCT doc_id)::BIGINT AS df,
+        |    count(*)::BIGINT AS tf_total
+        |  FROM toks GROUP BY 1),
+        |dt AS (SELECT DISTINCT token, doc_id FROM toks),
+        |post AS (
+        |  SELECT token,
+        |    string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+        |  FROM dt GROUP BY 1)
+        |SELECT token, df, tf_total, postings
+        |FROM cnt JOIN post USING (token)""".stripMargin,
+
+    "q128_global_ordinals" ->
+      """SELECT doc_id,
+        |  (row_number() OVER (ORDER BY doc_id) - 1)::BIGINT AS ordinal
+        |FROM documents""".stripMargin,
+
+    "q129_triangles" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS m
+        |            FROM lineitem),
+        |e AS (
+        |  SELECT a.m AS src, b.m AS dst
+        |  FROM os a JOIN os b ON a.o = b.o AND a.m < b.m
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |tri AS (
+        |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |  FROM e e1 JOIN e e2 ON e1.dst = e2.src
+        |  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+        |n AS (SELECT a AS node FROM tri UNION ALL
+        |      SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        |SELECT node, count(*)::BIGINT AS n_triangles
+        |FROM n GROUP BY 1
+        |ORDER BY n_triangles DESC, node LIMIT 20""".stripMargin,
+
+    "q130_pareto_frontier" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t <> ''))::INT AS n_tok,
+        |    round(len(list_distinct(list_filter(
+        |        string_split_regex(lower(text), '\s+'),
+        |        t -> t <> '')))::DOUBLE /
+        |      len(list_filter(string_split_regex(lower(text), '\s+'),
+        |        t -> t <> '')), 6) AS div_ratio
+        |  FROM documents)
+        |SELECT doc_id, n_tok, div_ratio FROM m t
+        |WHERE n_tok > 0 AND NOT EXISTS (
+        |  SELECT 1 FROM m o
+        |  WHERE o.n_tok >= t.n_tok AND o.div_ratio >= t.div_ratio
+        |    AND (o.n_tok > t.n_tok OR o.div_ratio > t.div_ratio))""".stripMargin,
+
+    "q132_hard_negatives" ->
+      """SELECT qid, neighbor_id, round(cosine, 4) AS cosine, rank FROM (
+        |  SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(c.embedding, q.embedding) AS cosine,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+        |               c.vec_id) AS rank
+        |  FROM embeddings c, embeddings q
+        |  WHERE q.vec_id < 8 AND c.label <> q.label) t
+        |WHERE rank <= 5""".stripMargin,
 
     // Byte estimate, file counts, and cumulative offsets replayed
     // (DuckDB strlen = UTF-8 bytes = Spark octet_length).

@@ -324,4 +324,72 @@ object Similarity {
       .select(col("qid"), col("id").as("neighbor_id"),
         round(col("cosine"), 4).as("cosine"), col("rank"))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster embeddings, compare pairs ONLY within a
+    * cluster, drop all but the smallest id of each cosine-≥-threshold
+    * group.
+    *
+    * Clustering is what makes this survive 100 TB: the pairwise stage
+    * is quadratic only in the cluster size (n²/c per cluster vs n²
+    * corpus-wide), and duplicate groups come from the checkpointed
+    * [[Components.connectedComponents]] fixpoint, so chained dups
+    * (a≈b≈c with cos(a,c) < τ) still collapse to one survivor.
+    * Near-dups split across cluster boundaries are the documented
+    * recall loss (SemDeDup accepts it; multi-probe assignment is the
+    * upgrade).
+    *
+    * @param corpus (id, v)
+    * @return (id, cid, keep) — every input vector, its cluster, and
+    *         whether semantic dedup keeps it
+    */
+  def semanticDedup(corpus: DataFrame, nClusters: Int, threshold: Double,
+                    kmeansIters: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val centroids = kmeansLiteCentroids(corpus, nClusters, kmeansIters)
+    val assigned = assignToCentroids(corpus, centroids)
+    val a = assigned.select(col("cid"), col("id").as("id_a"),
+      col("v").as("va"))
+    val b = assigned.select(col("cid"), col("id").as("id_b"),
+      col("v").as("vb"))
+    val pairs = a.join(b, "cid")
+      .filter(col("id_a") < col("id_b"))
+      .filter(call_function("graft_cosine", col("va"), col("vb"))
+        >= threshold)
+      .select("id_a", "id_b")
+    val comp = Components.connectedComponents(pairs)
+    val dropped = comp.filter(col("id") =!= col("component"))
+      .select(col("id"), lit(true).as("__dup"))
+    assigned.select(col("id"), col("cid"))
+      .join(dropped, Seq("id"), "left")
+      .select(col("id"), col("cid"),
+        coalesce(!col("__dup"), lit(true)).as("keep"))
+  }
+
+  /** Hard-negative mining for contrastive training: per query, the
+    * top-k most-similar corpus vectors with a DIFFERENT label (the
+    * near-misses that make the best negatives). Same plan as
+    * [[bruteForceTopK]] — broadcast queries, one corpus scan, codegen
+    * cosine, per-query top-k — plus the label-disagreement filter
+    * evaluated before the cosine.
+    *
+    * @param corpus  (id, v, label)
+    * @param queries (qid, qv, qlabel)
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+                    k: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val joined = corpus.select(col("id"), col("v"), col("label"))
+      .join(broadcast(queries.select(col("qid"), col("qv"),
+        col("qlabel"))))
+      .filter(col("label") =!= col("qlabel"))
+      .withColumn("cosine",
+        call_function("graft_cosine", col("v"), col("qv")))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id").as("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
 }

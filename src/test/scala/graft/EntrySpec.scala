@@ -31,8 +31,10 @@ class EntrySpec extends SparkSpec {
       "q82_knn_ivfpq",          // approximate (SQ8 shortlist recall < 1)
       "q108_bpe_encode",        // iterative min-rank merge loop, not
                                 // SQL-replayable (BpeEncodeSpec)
-      "q126_compress_ratio"     // deflate ratio — no zlib in DuckDB
-                                // (determinism in CompressRatioSpec)
+      "q126_compress_ratio",    // deflate ratio — no zlib in DuckDB
+                                // (determinism in RetrievalFuzzySpec)
+      "q131_semantic_dedup"     // iterative k-means clustering — not
+                                // SQL-replayable (GraphSelectionSpec)
     ), s"unexpected rows-only set: $rowsOnly")
   }
 }
