@@ -1066,6 +1066,160 @@ object SparkEntry {
       graft.operators.Similarity.hardNegatives(corpus, queries, k = 5)
     }),
 
+    // Johnson–Lindenstrauss random projection 64→16 dims with a
+    // content-addressed Rademacher sign matrix (parity of
+    // md5("rp_j_i")) and micro-unit integer sums — map-only, zero
+    // shuffle, exact in any engine. The cheap-ANN / vector-sketch
+    // compression primitive; distortion pinned by spec.
+    "q133_random_projection" -> ((s, d) =>
+      graft.operators.Projection.randomProject(
+        Tables.embeddings(s, d), "embedding", "vec_id")),
+
+    // First-order Markov transition model over each user's event
+    // stream: next event via lead() on the (ts, event_id) total order
+    // (one shuffle keyed by user), then an exact transition-count
+    // aggregate; P(to|from) from one window sum over the 16-row
+    // transition table — the session-behavior model behind
+    // next-action prediction and funnel-anomaly monitors.
+    "q134_markov_transitions" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val tr = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("from_type"))
+        .withColumn("to_type", lead("from_type", 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      val wt = Window.partitionBy("from_type")
+      tr.withColumn("p",
+          round(col("n").cast("double") /
+            sum("n").over(wt).cast("double"), 6))
+        .select("from_type", "to_type", "n", "p")
+    }),
+
+    // Corrupt-record quarantine ingest: JSON payloads derived from
+    // orders (rows with o_orderkey % 37 = 0 truncated mid-string —
+    // unterminated, invalid in every parser), parsed PERMISSIVE with
+    // the corrupt-record channel. Validity comes from that channel,
+    // NOT field null-ness: the PERMISSIVE parser may salvage partial
+    // prefix fields from a truncated row, and a valid row may omit a
+    // nullable field — both would mis-classify on null-ness.
+    // Aggregates gate on is_valid; the oracle replays with
+    // json_valid. Map-only parse + one tiny aggregate.
+    "q135_json_quarantine" -> ((s, d) => {
+      val js = Tables.orders(s, d).select(
+        concat(lit("{\"k\":"), col("o_orderkey"),
+          lit(",\"p\":"), round(col("o_totalprice"), 0).cast("long"),
+          lit(",\"s\":\""), col("o_orderstatus"), lit("\"}")).as("raw"),
+        col("o_orderkey"))
+        .withColumn("payload",
+          when(col("o_orderkey") % 37 === 0,
+            expr("substring(raw, 1, length(raw) - 3)"))
+            .otherwise(col("raw")))
+      val parsed = graft.sources.FileSources.parseJsonColumn(
+        js, "payload", org.apache.spark.sql.types.StructType.fromDDL(
+          "k BIGINT, p BIGINT, s STRING"))
+      parsed
+        .withColumn("status",
+          when(col("is_valid"), "ok").otherwise("quarantined"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("is_valid"), col("parsed.p"))).as("sum_p"),
+          countDistinct(when(col("is_valid"), col("parsed.s")))
+            .as("n_statuses"))
+    }),
+
+    // Grouped OLS revenue trend (drift monitoring): slope of daily
+    // order value per status from ONE sufficient-statistics
+    // aggregate — exact long sums, fixed IEEE-double closed form.
+    "q136_group_trend" -> ((s, d) =>
+      graft.operators.TrendFit.olsFit(
+        Tables.orders(s, d), Seq("o_orderstatus"),
+        datediff(col("o_orderdate"), to_date(lit("1995-01-01"))),
+        round(col("o_totalprice"), 0))),
+
+    // Time-series regularization: per-user daily resample onto the
+    // corpus-wide calendar with last-observation-carried-forward.
+    // The calendar and user list are tiny derived tables (bounded by
+    // days × users, not events); the LOCF fill is one running-window
+    // pass per user — the gap-filling step before any
+    // constant-cadence model sees irregular event data.
+    "q137_gap_fill" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .filter(col("user_id") < 10)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val cal = daily.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val grid = daily.select("user_id").distinct().crossJoin(cal)
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("filled_cents",
+          last("cents", ignoreNulls = true).over(w))
+        .withColumn("is_gap", col("cents").isNull)
+        .select("user_id", "day", "cents", "filled_cents", "is_gap")
+    }),
+
+    // Manually salted skew join: lineitem (big, salted on a
+    // deterministic row expression) against supplier replicated 8×
+    // by one generator. The join result is salt-INVARIANT — the
+    // oracle is the plain equi-join — while the hot supplier's rows
+    // spread over 8 reducers instead of one.
+    "q138_salted_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_suppkey"),
+        col("l_orderkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      graft.operators.Skew.saltedJoin(li, sup, Seq("l_suppkey"),
+          saltExpr = pmod(col("l_orderkey"), lit(8)), salts = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+    }),
+
+    // Character-entropy quality signal: Shannon entropy (bits) of the
+    // [a-z ] character distribution per document — near-zero for
+    // degenerate/repetitive text, ~4.1 for natural English; the
+    // character-level complement to word-level repetition (q73) and
+    // deflate ratio (q126). Two hash aggregates over the char stream.
+    "q139_char_entropy" -> ((s, d) => {
+      val cc = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "")).as("ch"))
+        .filter(col("ch").rlike("^[a-z ]$"))
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      val n = cc.groupBy("doc_id").agg(sum("c").as("n"))
+      cc.join(n, "doc_id")
+        .withColumn("pterm",
+          (col("c").cast("double") / col("n").cast("double")) *
+            log2(col("c").cast("double") / col("n").cast("double")))
+        .groupBy("doc_id")
+        .agg(max("n").as("n_chars"),
+          round(-sum("pterm"), 4).as("entropy_bits"))
+    }),
+
+    // Batch-over-batch structural drift: the event stream split at
+    // the median event id, each half profiled (nulls / distincts /
+    // min / max per column) and compared — cardinality ratio,
+    // null-rate delta, range change. The structural complement to
+    // q122's distributional PSI.
+    "q140_drift_report" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val med = ev.agg(round(expr("percentile(event_id, 0.5)"), 6)
+        .as("mid"))
+      val e = ev.crossJoin(broadcast(med))
+        .select(col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"),
+          when(col("event_id") <= col("mid"), "a").otherwise("b")
+            .as("half"))
+      graft.operators.Profiling.driftReport(
+        e.filter(col("half") === "a").drop("half"),
+        e.filter(col("half") === "b").drop("half"),
+        Seq("user_id", "event_type", "cents"))
+    }),
+
     // Sliding-window chunk plan (RAG prep): 64-token chunks, 16-token
     // overlap — generator arithmetic, no shuffle.
     "q67_chunk_plan" -> ((s, d) => {
@@ -1244,9 +1398,14 @@ object SparkEntry {
     }),
 
     // Stream–stream LEFT OUTER interval join. Outer rows are
-    // watermark-finalized, so both engines restrict to the finalized
-    // region (p_ts ≤ max event time − watermark − interval − margin);
-    // inside it the streaming result equals the batch left join.
+    // watermark-finalized, and the query-level watermark is the MIN
+    // over BOTH watermarked inputs (multipleWatermarkPolicy=min, the
+    // default) — so the finalized region is bounded by the EARLIER of
+    // the two sides' max event times, not the global max (at sparse
+    // SFs the last error can trail the last purchase by hours):
+    // p_ts ≤ least(max purchase ts, max error ts) − watermark −
+    // interval − margin. Inside it the streaming result equals the
+    // batch left join, and both engines apply the same cutoff.
     "q92_stream_outer_join" -> ((s, d) => {
       val es = graft.streaming.EventsStream
       val joined = es.purchaseErrorLeftJoin(
@@ -1255,9 +1414,13 @@ object SparkEntry {
       val res = es.runToTable(s, joined,
         s"q92_sink_${System.nanoTime()}",
         org.apache.spark.sql.streaming.OutputMode.Append())
-      val mx = Tables.events(s, d).agg(max(col("ts")).as("mx"))
+      val mx = Tables.events(s, d)
+        .agg(max(when(col("event_type") === "purchase", col("ts")))
+            .as("mxp"),
+          max(when(col("event_type") === "error", col("ts"))).as("mxe"))
       res.join(broadcast(mx))
-        .filter(col("p_ts") <= col("mx") - expr("INTERVAL 2 HOURS"))
+        .filter(col("p_ts") <=
+          least(col("mxp"), col("mxe")) - expr("INTERVAL 2 HOURS"))
         .select(col("p_event_id"), col("user_id"), col("e_event_id"))
     }),
 
@@ -2693,6 +2856,193 @@ object SparkEntry {
         |  WHERE q.vec_id < 8 AND c.label <> q.label) t
         |WHERE rank <= 5""".stripMargin,
 
+    // Identical content-addressed sign matrix (md5 nibble parity) and
+    // identical micro-unit integer sums — bit-exact replay.
+    "q133_random_projection" ->
+      """SELECT e.vec_id, d.dim,
+        |  CAST(list_sum(list_transform(generate_series(1, 64), i ->
+        |    (CASE WHEN substr(md5('rp_' || d.dim || '_' || (i - 1)), 1, 1)
+        |       IN ('1','3','5','7','9','b','d','f') THEN -1 ELSE 1 END)
+        |    * CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000000)
+        |        AS BIGINT))) AS BIGINT) AS proj_micro
+        |FROM embeddings e,
+        |  (SELECT unnest(generate_series(0, 15)) AS dim) d""".stripMargin,
+
+    // lead() over the same (ts, event_id) total order; probability =
+    // one double division of exact counts.
+    "q134_markov_transitions" ->
+      """WITH tr AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, count(*) AS n FROM tr
+        |  WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, n,
+        |  round(n::DOUBLE / (sum(n) OVER (PARTITION BY from_type))::DOUBLE,
+        |    6) AS p
+        |FROM c""".stripMargin,
+
+    // Same derived payloads, same truncation rule; validity via
+    // json_valid ≡ Spark's corrupt-record channel (an unterminated
+    // string is invalid in every parser).
+    "q135_json_quarantine" ->
+      """WITH js AS (
+        |  SELECT o_orderkey,
+        |    '{"k":' || o_orderkey || ',"p":' ||
+        |      CAST(round(o_totalprice, 0) AS BIGINT) ||
+        |      ',"s":"' || o_orderstatus || '"}' AS raw
+        |  FROM orders),
+        |p AS (
+        |  SELECT CASE WHEN o_orderkey % 37 = 0
+        |      THEN substr(raw, 1, length(raw) - 3) ELSE raw END AS payload
+        |  FROM js),
+        |v AS (
+        |  SELECT payload, json_valid(payload) AS is_valid FROM p)
+        |SELECT CASE WHEN is_valid THEN 'ok' ELSE 'quarantined' END
+        |    AS status,
+        |  count(*) AS n,
+        |  sum(CASE WHEN is_valid
+        |    THEN CAST(json_extract_string(payload, '$.p') AS BIGINT)
+        |    END) AS sum_p,
+        |  count(DISTINCT CASE WHEN is_valid
+        |    THEN json_extract_string(payload, '$.s') END) AS n_statuses
+        |FROM v GROUP BY 1""".stripMargin,
+
+    // Exact long sufficient statistics, then the identical
+    // IEEE-double closed-form tree.
+    "q136_group_trend" ->
+      """WITH s AS (
+        |  SELECT o_orderstatus, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM (
+        |    SELECT o_orderstatus,
+        |      datediff('day', DATE '1995-01-01',
+        |        CAST(o_orderdate AS DATE)) AS x,
+        |      CAST(round(o_totalprice, 0) AS BIGINT) AS y
+        |    FROM orders)
+        |  GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, n,
+        |  CASE WHEN n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE <> 0
+        |    THEN (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |       / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |    END AS slope,
+        |  CASE WHEN n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE <> 0
+        |    THEN (sy::DOUBLE -
+        |      ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |       / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
+        |      * sx::DOUBLE) / n::DOUBLE
+        |    END AS intercept,
+        |  CASE WHEN n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE <> 0
+        |    AND n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE <> 0
+        |    THEN ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |      * (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE))
+        |      / ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |       * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+        |    END AS r2
+        |FROM s""".stripMargin,
+
+    // Same daily aggregate, same corpus-wide calendar, same
+    // IGNORE NULLS running fill.
+    "q137_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events WHERE user_id < 10 GROUP BY 1, 2),
+        |cal AS (
+        |  SELECT CAST(unnest(generate_series(
+        |    CAST((SELECT min(day) FROM daily) AS TIMESTAMP),
+        |    CAST((SELECT max(day) FROM daily) AS TIMESTAMP),
+        |    INTERVAL 1 DAY)) AS DATE) AS day),
+        |grid AS (
+        |  SELECT u.user_id, c.day
+        |  FROM (SELECT DISTINCT user_id FROM daily) u, cal c)
+        |SELECT g.user_id, g.day, d.cents,
+        |  last_value(d.cents IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS UNBOUNDED PRECEDING) AS filled_cents,
+        |  d.cents IS NULL AS is_gap
+        |FROM grid g
+        |LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day""".stripMargin,
+
+    // The salted join's contract: ≡ the plain equi-join.
+    "q138_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |GROUP BY s_nationkey""".stripMargin,
+
+    // Identical char filter, identical p·log2(p) terms.
+    "q139_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, t AS ch FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(lower(text), '')) AS t
+        |    FROM documents)
+        |  WHERE regexp_matches(t, '^[a-z ]$')),
+        |cc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+        |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
+        |      FROM cc GROUP BY 1)
+        |SELECT cc.doc_id, max(n.n) AS n_chars,
+        |  round(-sum((cc.c::DOUBLE / n.n::DOUBLE)
+        |    * log2(cc.c::DOUBLE / n.n::DOUBLE)), 4) AS entropy_bits
+        |FROM cc JOIN n ON n.doc_id = cc.doc_id
+        |GROUP BY cc.doc_id""".stripMargin,
+
+    // Both halves profiled with the same stats, same comparison tree.
+    "q140_drift_report" ->
+      """WITH m AS (
+        |  SELECT round(quantile_cont(event_id, 0.5), 6) AS mid
+        |  FROM events),
+        |e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CASE WHEN event_id <= (SELECT mid FROM m) THEN 'a'
+        |      ELSE 'b' END AS half
+        |  FROM events),
+        |p AS (
+        |  SELECT half, 'user_id' AS col_name, count(*) AS n_rows,
+        |    sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+        |    count(DISTINCT user_id) AS n_distinct,
+        |    CAST(min(user_id) AS VARCHAR) AS min_s,
+        |    CAST(max(user_id) AS VARCHAR) AS max_s
+        |  FROM e GROUP BY half
+        |  UNION ALL
+        |  SELECT half, 'event_type', count(*),
+        |    sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+        |    count(DISTINCT event_type),
+        |    CAST(min(event_type) AS VARCHAR),
+        |    CAST(max(event_type) AS VARCHAR)
+        |  FROM e GROUP BY half
+        |  UNION ALL
+        |  SELECT half, 'cents', count(*),
+        |    sum(CASE WHEN cents IS NULL THEN 1 ELSE 0 END),
+        |    count(DISTINCT cents),
+        |    CAST(min(cents) AS VARCHAR), CAST(max(cents) AS VARCHAR)
+        |  FROM e GROUP BY half)
+        |SELECT a.col_name, a.n_rows AS n_rows_a, a.n_null AS n_null_a,
+        |  a.n_distinct AS n_distinct_a, a.min_s AS min_a,
+        |  a.max_s AS max_a, b.n_rows AS n_rows_b, b.n_null AS n_null_b,
+        |  b.n_distinct AS n_distinct_b, b.min_s AS min_b,
+        |  b.max_s AS max_b,
+        |  round(b.n_distinct::DOUBLE / a.n_distinct::DOUBLE, 4)
+        |    AS card_ratio,
+        |  (round(b.n_distinct::DOUBLE / a.n_distinct::DOUBLE, 4) < 0.5
+        |   OR round(b.n_distinct::DOUBLE / a.n_distinct::DOUBLE, 4)
+        |      > 2.0) AS card_drift,
+        |  round(b.n_null::DOUBLE / b.n_rows::DOUBLE
+        |    - a.n_null::DOUBLE / a.n_rows::DOUBLE, 6) AS null_delta,
+        |  (abs(round(b.n_null::DOUBLE / b.n_rows::DOUBLE
+        |    - a.n_null::DOUBLE / a.n_rows::DOUBLE, 6)) > 0.05)
+        |    AS null_drift,
+        |  (a.min_s <> b.min_s OR a.max_s <> b.max_s) AS range_changed
+        |FROM p a JOIN p b ON a.col_name = b.col_name
+        |WHERE a.half = 'a' AND b.half = 'b'""".stripMargin,
+
     // Byte estimate, file counts, and cumulative offsets replayed
     // (DuckDB strlen = UTF-8 bytes = Spark octet_length).
     "q104_compaction_plan" ->
@@ -3060,7 +3410,10 @@ object SparkEntry {
         |  ON e.event_type = 'error' AND p.user_id = e.user_id
         | AND e.ts >= p.ts - INTERVAL 30 MINUTE AND e.ts <= p.ts
         |WHERE p.event_type = 'purchase'
-        |  AND p.ts <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR""".stripMargin,
+        |  AND p.ts <= least(
+        |    (SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+        |    (SELECT max(ts) FROM events WHERE event_type = 'error'))
+        |    - INTERVAL 2 HOUR""".stripMargin,
 
     "q93_quantile_band" ->
       """SELECT source, doc_id, n_chars FROM (

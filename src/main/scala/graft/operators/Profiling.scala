@@ -52,4 +52,38 @@ object Profiling {
       .select(col("column"), col("n_rows"), col("n_null"),
         col("n_distinct"), col("min_s"), col("max_s"))
   }
+
+  /** Batch-over-batch drift report: profile two batches and compare
+    * per column — cardinality ratio, null-rate delta, range change —
+    * the structural complement to the distributional PSI gate (q122):
+    * PSI sees a shifted value distribution; this sees a column gone
+    * all-null, an ID space that doubled, a new enum value widening
+    * the range. Cost: the two profiles (2 scans per batch, any number
+    * of columns); the comparison joins |columns| rows.
+    *
+    * Output key is `col_name` (not "column" — reserved in ANSI
+    * engines, and the oracle must name it unquoted).
+    */
+  def driftReport(batchA: DataFrame, batchB: DataFrame,
+                  columns: Seq[String]): DataFrame = {
+    def side(df: DataFrame, s: String): DataFrame =
+      profile(df, columns).select(col("column").as("col_name"),
+        col("n_rows").as(s"n_rows_$s"), col("n_null").as(s"n_null_$s"),
+        col("n_distinct").as(s"n_distinct_$s"),
+        col("min_s").as(s"min_$s"), col("max_s").as(s"max_$s"))
+    side(batchA, "a").join(side(batchB, "b"), "col_name")
+      .withColumn("card_ratio",
+        round(col("n_distinct_b").cast("double") /
+          col("n_distinct_a").cast("double"), 4))
+      .withColumn("card_drift",
+        col("card_ratio") < 0.5 || col("card_ratio") > 2.0)
+      .withColumn("null_delta",
+        round(col("n_null_b").cast("double") /
+            col("n_rows_b").cast("double")
+          - col("n_null_a").cast("double") /
+            col("n_rows_a").cast("double"), 6))
+      .withColumn("null_drift", abs(col("null_delta")) > 0.05)
+      .withColumn("range_changed",
+        col("min_a") =!= col("min_b") || col("max_a") =!= col("max_b"))
+  }
 }

@@ -30,4 +30,32 @@ object Skew {
     partial.groupBy(keys.map(col): _*)
       .agg(sum("__psum").as(s"sum_$valueCol"), sum("__pcnt").as("cnt"))
   }
+
+  /** Salted equi-join for a skewed BIG side against a replicable
+    * small side — the manual form of AQE's skew-join split, usable
+    * when the skew is known ahead of time (a hot user, a head token)
+    * or when AQE's per-partition thresholds don't trigger (many
+    * medium-hot keys in one partition).
+    *
+    * The big side is salted with `saltExpr` (any deterministic or
+    * random int expression — the RESULT is salt-invariant, only the
+    * reducer spread depends on it); the small side is replicated
+    * `salts`× via one generator (no driver loop), so every
+    * (key, salt) bucket finds its small-side partner and each
+    * matching row pair joins EXACTLY once. Join output ≡ the plain
+    * equi-join, row for row — which is what q138's oracle checks.
+    *
+    * Cost model: small side ships salts× its size through the
+    * shuffle — that is the price of spreading one hot key over
+    * `salts` reducers. Keep `salts` ≈ the per-reducer skew factor,
+    * not higher.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 saltExpr: Column, salts: Int = 8): DataFrame = {
+    val bigS = big.withColumn("__salt",
+      pmod(saltExpr.cast("int"), lit(salts)))
+    val smallS = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    bigS.join(smallS, keys :+ "__salt").drop("__salt")
+  }
 }

@@ -51,4 +51,26 @@ object FileSources {
     (cached.filter(col(CorruptCol).isNull).drop(CorruptCol),
       cached.filter(col(CorruptCol).isNotNull))
   }
+
+  /** Column-level variant of the same contract for JSON that is
+    * already IN a column (message queues, raw-layer payload columns):
+    * adds `parsed` (struct) and `is_valid`.
+    *
+    * Validity is judged by the corrupt-record channel, NOT by
+    * null-ness of parsed fields: Spark's PERMISSIVE parser MAY keep
+    * partial results for a record truncated mid-value (the salvaged
+    * prefix fields would then mis-classify it as valid), and a valid
+    * record may legitimately omit a nullable field. `is_valid` is
+    * false for exactly the rows the parser flagged — consumers must
+    * gate field access on `is_valid`, never on field null-ness.
+    */
+  def parseJsonColumn(df: DataFrame, jsonCol: String,
+                      schema: StructType): DataFrame = {
+    val full = withCorrupt(schema)
+    df.withColumn("parsed",
+        org.apache.spark.sql.functions.from_json(col(jsonCol), full,
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> CorruptCol)))
+      .withColumn("is_valid", col(s"parsed.$CorruptCol").isNull)
+  }
 }

@@ -181,11 +181,16 @@ object EventsStream {
     * (before that, a matching error might still arrive), so null rows
     * trail matched rows by the watermark delay, and purchases inside
     * the final un-finalized horizon of a bounded run may never emit
-    * their null row at all. Callers comparing against a batch left
-    * join must restrict both sides to the finalized region
-    * (`p_ts ≤ max event time − watermark − interval`); q92 does
-    * exactly that. State is bounded on both sides by the same
-    * watermark + interval arithmetic as the inner form.
+    * their null row at all. The query-level watermark is the MIN over
+    * both watermarked inputs (multipleWatermarkPolicy=min default), so
+    * the finalized horizon is set by the EARLIER of the two sides' max
+    * event times — a sparse right stream holds back finalization of
+    * the whole join. Callers comparing against a batch left join must
+    * restrict both sides to the finalized region
+    * (`p_ts ≤ least(max left ts, max right ts) − watermark −
+    * interval`); q92 does exactly that. State is bounded on both
+    * sides by the same watermark + interval arithmetic as the inner
+    * form.
     */
   def purchaseErrorLeftJoin(purchases: DataFrame,
                             errors: DataFrame): DataFrame = {
