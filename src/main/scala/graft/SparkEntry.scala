@@ -1200,6 +1200,114 @@ object SparkEntry {
           round(-sum("pterm"), 4).as("entropy_bits"))
     }),
 
+    // Per-domain quota cap (CommonCrawl-style "≤ k pages per domain"):
+    // deterministic md5 priority (stable across corpus growth, salt
+    // re-deals) + the graft_topk aggregate — O(k) state per domain
+    // with map-side combine, never a full per-domain sort. The window
+    // row_number form this replaces is the oracle.
+    "q141_domain_quota" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val prio = conv(substring(md5(concat_ws("|", lit("quota0"),
+        col("doc_id").cast("string"))), 1, 12), 16, 10).cast("bigint")
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), prio.as("prio"))
+        .groupBy("source")
+        .agg(call_function("graft_topk",
+          col("prio"), col("doc_id"), lit(20)).as("kept"))
+        .select(col("source"), posexplode(col("kept")).as(Seq("i", "e")))
+        .select(col("source"), (col("i") + 1).cast("long").as("rank"),
+          col("e.id").as("doc_id"), col("e.score").as("prio"))
+    }),
+
+    // Span-corruption masking plan (T5/UL2 denoising prep): per doc,
+    // ~15% of tokens in spans of length 2-4, span starts/lengths from
+    // the shared md5-uniform machinery — reproducible, map-only (one
+    // generator, zero shuffle). Spans may overlap (the plan-level
+    // approximation; an exact non-overlapping draw needs a per-doc
+    // permutation — O(n_tok) state — for a gain no training run
+    // notices). The whole plan is integer arithmetic → oracle-exact.
+    "q142_mask_plan" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("n_tok"))
+        .filter(col("n_tok") >= 8)
+      val spans = docs
+        .withColumn("n_spans", greatest(lit(1L),
+          floor(col("n_tok").cast("double") * 0.15 / 3.0).cast("long")))
+        .select(col("doc_id"), col("n_tok"),
+          explode(sequence(lit(0L), col("n_spans") - 1)).as("span_idx"))
+        .withColumn("h", conv(substring(md5(concat_ws("|", lit("mask0"),
+          col("doc_id").cast("string"), col("span_idx").cast("string"))),
+          1, 12), 16, 10).cast("bigint"))
+      spans
+        .withColumn("len", lit(2L) + col("h") % 3)
+        .withColumn("start",
+          expr("(h div 9) % (n_tok - len + 1)"))
+        .select("doc_id", "span_idx", "start", "len")
+    }),
+
+    // Online Poisson bootstrap (8 replicates, one pass): each row's
+    // per-replicate weight w ~ Poisson(1) comes from an inverse-CDF
+    // ladder over the shared 48-bit md5 uniform, compared in INTEGER
+    // space (thresholds = floor(CDF·2^48), so no float compare can
+    // disagree across engines). Replicate means of lineitem revenue →
+    // the bootstrap SE of the mean without resampling passes: at
+    // 100 TB this is ONE scan feeding 8 weighted partial aggregates
+    // (the generator multiplies rows 8×, all map-side-combined).
+    "q143_bootstrap" -> ((s, d) => {
+      val rows = Tables.lineitem(s, d)
+        .select(round(col("l_extendedprice") * 100).cast("long")
+          .as("cents"), col("l_orderkey"), col("l_linenumber"))
+        .withColumn("b", explode(sequence(lit(0L), lit(7L))))
+      val h = conv(substring(md5(concat_ws("|", lit("boot0"),
+        col("b").cast("string"), col("l_orderkey").cast("string"),
+        col("l_linenumber").cast("string"))), 1, 12), 16, 10)
+        .cast("bigint")
+      rows.withColumn("w",
+          when(h < 103548857136060L, 0L)
+            .when(h < 207097714272121L, 1L)
+            .when(h < 258872142840152L, 2L)
+            .when(h < 276130285696162L, 3L)
+            .when(h < 280444821410164L, 4L).otherwise(5L))
+        .groupBy("b")
+        .agg(sum("w").as("n_eff"),
+          sum(col("w") * col("cents")).as("sum_cents"))
+        .withColumn("mean_cents",
+          round(col("sum_cents").cast("double") /
+            col("n_eff").cast("double"), 4))
+    }),
+
+    // Two-sample Kolmogorov–Smirnov drift test (click vs view value
+    // distributions): exact counts per distinct value, ONE ordered
+    // window over the value-DOMAIN-sized table (never the event
+    // table), D = max |F₁−F₂|, α=0.05 decision via the asymptotic
+    // critical value — the nonparametric complement to q122's binned
+    // PSI (KS needs no bin choice).
+    "q144_ks_test" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .select(round(col("value") * 100).cast("long").as("cents"),
+          (col("event_type") === "click").cast("long").as("is1"))
+      val g = ev.groupBy("cents").agg(sum("is1").as("c1"),
+        (count(lit(1)) - sum("is1")).as("c2"))
+      val tot = g.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+      val w = Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("cum1", sum("c1").over(w))
+        .withColumn("cum2", sum("c2").over(w))
+        .crossJoin(broadcast(tot))
+        .withColumn("diff",
+          abs(col("cum1").cast("double") / col("n1").cast("double")
+            - col("cum2").cast("double") / col("n2").cast("double")))
+        .groupBy("n1", "n2")
+        .agg(round(max("diff"), 6).as("ks_d"))
+        .withColumn("reject_05",
+          col("ks_d") > lit(1.358) *
+            sqrt((col("n1") + col("n2")).cast("double") /
+              (col("n1") * col("n2")).cast("double")))
+    }),
+
     // Batch-over-batch structural drift: the event stream split at
     // the median event id, each half profiled (nulls / distincts /
     // min / max per column) and compared — cardinality ratio,
@@ -3042,6 +3150,110 @@ object SparkEntry {
         |  (a.min_s <> b.min_s OR a.max_s <> b.max_s) AS range_changed
         |FROM p a JOIN p b ON a.col_name = b.col_name
         |WHERE a.half = 'a' AND b.half = 'b'""".stripMargin,
+
+    // The window row_number idiom the O(k)-state aggregate replaces;
+    // identical 48-bit md5 priority.
+    "q141_domain_quota" ->
+      """WITH s AS (
+        |  SELECT source, doc_id,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(generate_series(1, 12),
+        |        j -> (strpos('0123456789abcdef',
+        |          substr(md5('quota0|' || CAST(doc_id AS VARCHAR)),
+        |            CAST(j AS INT), 1)) - 1)::BIGINT)),
+        |      (a, v) -> a * 16 + v) AS prio
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, prio, row_number() OVER (
+        |    PARTITION BY source ORDER BY prio DESC, doc_id) AS rank
+        |  FROM s)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, prio
+        |FROM r WHERE rank <= 20""".stripMargin,
+
+    // Same token count, same span count, same 48-bit hash, same
+    // integer div/mod arithmetic.
+    "q142_mask_plan" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, n_tok, span_idx,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(generate_series(1, 12),
+        |        j -> (strpos('0123456789abcdef',
+        |          substr(md5('mask0|' || CAST(doc_id AS VARCHAR) || '|'
+        |            || CAST(span_idx AS VARCHAR)), CAST(j AS INT), 1))
+        |          - 1)::BIGINT)),
+        |      (a, v) -> a * 16 + v) AS h
+        |  FROM d, unnest(generate_series(0,
+        |    greatest(1, CAST(floor(n_tok::DOUBLE * 0.15 / 3.0)
+        |      AS BIGINT)) - 1)) AS t(span_idx)
+        |  WHERE n_tok >= 8)
+        |SELECT doc_id, span_idx, ((h // 9) % (n_tok - (2 + h % 3) + 1))
+        |    AS start,
+        |  (2 + h % 3) AS len
+        |FROM sp""".stripMargin,
+
+    // Identical integer thresholds (floor(CDF·2^48)) on the identical
+    // 48-bit hash; one weighted aggregate per replicate.
+    "q143_bootstrap" ->
+      """WITH r AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    l_orderkey, l_linenumber, b
+        |  FROM lineitem, unnest(generate_series(0, 7)) AS t(b)),
+        |hw AS (
+        |  SELECT cents, b,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(generate_series(1, 12),
+        |        j -> (strpos('0123456789abcdef',
+        |          substr(md5('boot0|' || CAST(b AS VARCHAR) || '|'
+        |            || CAST(l_orderkey AS VARCHAR) || '|'
+        |            || CAST(l_linenumber AS VARCHAR)),
+        |            CAST(j AS INT), 1)) - 1)::BIGINT)),
+        |      (a, v) -> a * 16 + v) AS h
+        |  FROM r),
+        |ww AS (
+        |  SELECT cents, b,
+        |    CASE WHEN h < 103548857136060 THEN 0
+        |         WHEN h < 207097714272121 THEN 1
+        |         WHEN h < 258872142840152 THEN 2
+        |         WHEN h < 276130285696162 THEN 3
+        |         WHEN h < 280444821410164 THEN 4 ELSE 5 END AS w
+        |  FROM hw)
+        |SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+        |  CAST(sum(w * cents) AS BIGINT) AS sum_cents,
+        |  round(sum(w * cents)::DOUBLE / sum(w)::DOUBLE, 4)
+        |    AS mean_cents
+        |FROM ww GROUP BY b""".stripMargin,
+
+    // Same per-value counts, same running CDFs, same critical value.
+    "q144_ks_test" ->
+      """WITH e AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |g AS (
+        |  SELECT cents, CAST(sum(is1) AS BIGINT) AS c1,
+        |    CAST(count(*) - sum(is1) AS BIGINT) AS c2
+        |  FROM e GROUP BY cents),
+        |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |  CAST(sum(c2) AS BIGINT) AS n2 FROM g),
+        |c AS (
+        |  SELECT sum(c1) OVER (ORDER BY cents
+        |      ROWS UNBOUNDED PRECEDING) AS cum1,
+        |    sum(c2) OVER (ORDER BY cents
+        |      ROWS UNBOUNDED PRECEDING) AS cum2
+        |  FROM g)
+        |SELECT t.n1, t.n2,
+        |  round(max(abs(cum1::DOUBLE / t.n1::DOUBLE
+        |    - cum2::DOUBLE / t.n2::DOUBLE)), 6) AS ks_d,
+        |  round(max(abs(cum1::DOUBLE / t.n1::DOUBLE
+        |    - cum2::DOUBLE / t.n2::DOUBLE)), 6)
+        |    > 1.358 * sqrt((t.n1 + t.n2)::DOUBLE
+        |      / (t.n1 * t.n2)::DOUBLE) AS reject_05
+        |FROM c, t GROUP BY t.n1, t.n2""".stripMargin,
 
     // Byte estimate, file counts, and cumulative offsets replayed
     // (DuckDB strlen = UTF-8 bytes = Spark octet_length).
