@@ -1291,12 +1291,17 @@ object SparkEntry {
           (col("event_type") === "click").cast("long").as("is1"))
       val g = ev.groupBy("cents").agg(sum("is1").as("c1"),
         (count(lit(1)) - sum("is1")).as("c2"))
-      val tot = g.agg(sum("c1").as("n1"), sum("c2").as("n2"))
       val w = Window.orderBy("cents")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // grand totals as a second frame over the SAME domain-sized
+      // window input — one scan of events, not two (a separate
+      // totals aggregate would recompute the whole subtree)
+      val wAll = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       g.withColumn("cum1", sum("c1").over(w))
         .withColumn("cum2", sum("c2").over(w))
-        .crossJoin(broadcast(tot))
+        .withColumn("n1", sum("c1").over(wAll))
+        .withColumn("n2", sum("c2").over(wAll))
         .withColumn("diff",
           abs(col("cum1").cast("double") / col("n1").cast("double")
             - col("cum2").cast("double") / col("n2").cast("double")))
