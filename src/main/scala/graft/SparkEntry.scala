@@ -1584,6 +1584,27 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"))
     }),
 
+    // Cross-source contamination matrix: near-dup pairs (memoized
+    // exact-on-this-corpus pair graph) bucketed by unordered source
+    // pair — "how much of src_a is duplicated into src_b" drives
+    // which source to drop/downweight. Ids-only joins; the matrix is
+    // |sources|² at most.
+    "q145_contamination_matrix" -> ((s, d) => {
+      val pairs = Dedup.minhashNearDupsCached(Tables.documents(s, d), d,
+        "text", "doc_id", shingleSize = 3, numHashes = 64, bands = 16,
+        threshold = 0.5).select(col("id_a"), col("id_b"))
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("id_a"),
+          col("source").as("sa")), "id_a")
+        .join(src.select(col("doc_id").as("id_b"),
+          col("source").as("sb")), "id_b")
+        .select(least(col("sa"), col("sb")).as("source_lo"),
+          greatest(col("sa"), col("sb")).as("source_hi"))
+        .groupBy("source_lo", "source_hi")
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // Incremental near-dup maintenance: docs with doc_id % 10 == 0
     // arrive as the new batch; the rest are the already-indexed corpus.
     // The batch's band hashes probe the corpus's persisted band index,
@@ -3673,6 +3694,7 @@ object SparkEntry {
         |FROM s JOIN f USING (h) GROUP BY s.doc_id""".stripMargin,
 
     "q96_split_leak" -> splitLeakOracle,
+    "q145_contamination_matrix" -> contaminationMatrixOracle,
 
     // Exact cross-set trigram Jaccard: every (corpus, batch) doc pair
     // with J ≥ 0.5 — the ground truth the incremental LSH probe must
@@ -4119,6 +4141,18 @@ object SparkEntry {
     ngramJaccardPairsCte +
       """
         |SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM jpairs""".stripMargin
+
+  /** q145: the exact pair set bucketed by unordered source pair. */
+  private val contaminationMatrixOracle: String =
+    ngramJaccardPairsCte +
+      """
+        |SELECT least(da.source, db.source) AS source_lo,
+        |  greatest(da.source, db.source) AS source_hi,
+        |  count(*) AS n_pairs
+        |FROM jpairs j
+        |JOIN documents da ON j.id_a = da.doc_id
+        |JOIN documents db ON j.id_b = db.doc_id
+        |GROUP BY 1, 2""".stripMargin
 
   /** q96: the exact pair set crossed with q74's split arithmetic. */
   private val splitLeakOracle: String =
