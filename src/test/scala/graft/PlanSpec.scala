@@ -128,4 +128,30 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p)
     assert(p.contains("Window") || p.contains("WindowGroupLimit"), p)
   }
+
+  test("q133: random projection is map-only (no Exchange, no Window)") {
+    val p = plan("q133_random_projection")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("Generate"), p)
+  }
+
+  test("q141: domain quota is a partial+final topk aggregate, no per-" +
+    "group sort") {
+    val p = plan("q141_domain_quota")
+    assert(p.contains("partial_graft_topk"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.toLowerCase.contains("sort "), p)
+  }
+
+  test("q143: bootstrap is one scan with map-side-combined weighted sums") {
+    val p = plan("q143_bootstrap")
+    assert("Scan parquet".r.findAllIn(p).length === 1, p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q144: KS totals ride the window input — one events scan") {
+    val p = plan("q144_ks_test")
+    assert("Scan parquet".r.findAllIn(p).length === 1, p)
+  }
 }
