@@ -1605,6 +1605,64 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"))
     }),
 
+    // Join-size estimation from Count-Min sketches BEFORE running the
+    // join (AMS/CM inner product: |A⋈B| on a key = Σ_k cA(k)·cB(k),
+    // estimated by min_d Σ_w cmA[d][w]·cmB[d][w]) — the "plan the
+    // shuffle before paying for it" primitive. Each side is sketched
+    // in one pass (fixed d×w buffer, mergeable); the estimate is a
+    // 1-row HOF fold over two broadcast buffers. Exact count + pinned
+    // bound booleans are the graded output (ErrorBounds pattern —
+    // est ≥ exact always; est ≤ exact + (e/w)·N₁·N₂ w.p. 1−e^−d).
+    "q146_join_size_estimate" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val lk = Tables.lineitem(s, d).select(col("l_partkey").as("k"))
+      val pk = Tables.part(s, d).filter(col("p_size") > 40)
+        .select(col("p_partkey").as("k"))
+      val skA = lk.agg(call_function("graft_count_min",
+        xxhash64(col("k")), lit(4), lit(1024)).as("a"))
+      val skB = pk.agg(call_function("graft_count_min",
+        xxhash64(col("k")), lit(4), lit(1024)).as("b"))
+      val exact = lk.join(pk, "k").agg(count(lit(1)).as("exact_pairs"))
+      val ns = lk.agg(count(lit(1)).as("n1"))
+        .crossJoin(pk.agg(count(lit(1)).as("n2")))
+      exact.crossJoin(broadcast(skA)).crossJoin(broadcast(skB))
+        .crossJoin(broadcast(ns))
+        .withColumn("est", expr(
+          """array_min(transform(sequence(0, 3), d ->
+            |  aggregate(sequence(0, 1023), CAST(0 AS BIGINT),
+            |    (acc, w) -> acc + element_at(a, d*1024 + w + 1)
+            |      * element_at(b, d*1024 + w + 1))))""".stripMargin))
+        .select(col("exact_pairs"),
+          (col("est") >= col("exact_pairs")).as("est_ge_exact"),
+          (col("est") <= col("exact_pairs") +
+            ceil(lit(2.718281828459045 / 1024.0) *
+              col("n1") * col("n2")).cast("long")).as("est_within_bound"))
+    }),
+
+    // Link-graph extraction from markup (the web-crawl step between
+    // q109's text extraction and q120's PageRank): hrefs pulled with
+    // one codegen regexp_extract_all, exploded to an edge list, in-
+    // degrees aggregated, bounded top-20. Map-only until the single
+    // degree aggregate.
+    "q147_link_graph" -> ((s, d) => {
+      val html = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("<p>see <a href=\"/docs/"),
+          (col("doc_id") * 7 % 500).cast("string"),
+          lit("\">x</a> and <a href=\"/docs/"),
+          (col("doc_id") * 13 % 500).cast("string"),
+          lit("\">y</a></p>")).as("html"))
+      html
+        .select(col("doc_id").as("src"),
+          explode(expr(
+            "regexp_extract_all(html, 'href=\"/docs/(\\\\d+)\"', 1)"))
+            .as("dst_s"))
+        .select(col("src"), col("dst_s").cast("long").as("dst"))
+        .groupBy("dst").agg(count(lit(1)).as("in_degree"),
+          countDistinct(col("src")).as("n_sources"))
+        .orderBy(col("in_degree").desc, col("dst"))
+        .limit(20)
+    }),
+
     // Incremental near-dup maintenance: docs with doc_id % 10 == 0
     // arrive as the new batch; the rest are the already-indexed corpus.
     // The batch's band hashes probe the corpus's persisted band index,
@@ -3695,6 +3753,32 @@ object SparkEntry {
 
     "q96_split_leak" -> splitLeakOracle,
     "q145_contamination_matrix" -> contaminationMatrixOracle,
+
+    // Exact join size replayed; the sketch bound booleans are pinned
+    // TRUE (a Spark-side violation hash-mismatches).
+    "q146_join_size_estimate" ->
+      """SELECT (SELECT count(*) FROM lineitem l
+        |  JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE p.p_size > 40) AS exact_pairs,
+        |  TRUE AS est_ge_exact, TRUE AS est_within_bound""".stripMargin,
+
+    // Same derived markup, same href pattern, same degree aggregate.
+    "q147_link_graph" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<p>see <a href="/docs/' || CAST(doc_id * 7 % 500 AS VARCHAR)
+        |    || '">x</a> and <a href="/docs/'
+        |    || CAST(doc_id * 13 % 500 AS VARCHAR)
+        |    || '">y</a></p>' AS html
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id AS src, CAST(d AS BIGINT) AS dst
+        |  FROM h, unnest(regexp_extract_all(html,
+        |    'href="/docs/(\d+)"', 1)) AS t(d))
+        |SELECT dst, count(*) AS in_degree,
+        |  count(DISTINCT src) AS n_sources
+        |FROM e GROUP BY dst
+        |ORDER BY in_degree DESC, dst LIMIT 20""".stripMargin,
 
     // Exact cross-set trigram Jaccard: every (corpus, batch) doc pair
     // with J ≥ 0.5 — the ground truth the incremental LSH probe must

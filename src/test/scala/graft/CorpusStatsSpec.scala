@@ -69,6 +69,55 @@ class CorpusStatsSpec extends SparkSpec {
     got.unpersist()
   }
 
+  test("cm inner product: exact join size at ample width, over-estimate " +
+    "under forced collisions — never an under-estimate") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    def est(aKeys: Seq[Long], bKeys: Seq[Long], w: Int): (Long, Long) = {
+      val a = aKeys.toDF("k").agg(
+        call_function("graft_count_min", xxhash64(col("k")), lit(4),
+          lit(w)).as("a"))
+      val b = bKeys.toDF("k").agg(
+        call_function("graft_count_min", xxhash64(col("k")), lit(4),
+          lit(w)).as("b"))
+      val e = a.crossJoin(b).withColumn("est", expr(
+        s"""array_min(transform(sequence(0, 3), d ->
+           |  aggregate(sequence(0, ${w - 1}), CAST(0 AS BIGINT),
+           |    (acc, x) -> acc + element_at(a, d*$w + x + 1)
+           |      * element_at(b, d*$w + x + 1))))""".stripMargin))
+        .head().getAs[Long]("est")
+      val exact = aKeys.toDF("k").join(bKeys.toDF("k"), "k").count()
+      (exact, e)
+    }
+    // key 1: 2×1, key 2: 1×2 → 4 join rows; width 1024 = no collisions
+    val (ex1, e1) = est(Seq(1L, 1L, 2L), Seq(1L, 2L, 2L), 1024)
+    assert(ex1 === 4L && e1 === 4L)
+    // adversarial width 2 forces collisions: the estimate stays
+    // one-sided (≥ exact = 0) and bounded by n1·n2
+    val (ex2, e2) = est(Seq(1L, 2L, 3L), Seq(4L, 5L), 2)
+    assert(ex2 === 0L && e2 >= 0L && e2 <= 6L,
+      s"collisions inflate within [exact, n1·n2]: $e2")
+  }
+
+  test("link extraction: only well-formed hrefs become edges") {
+    import spark.implicits._
+    val html = Seq(
+      (1L, """<a href="/docs/7">x</a> <a href="/docs/9">y</a>"""),
+      (2L, """<a href="/docs/abc">bad</a> href="/docs/11" no-tag ok"""),
+      (3L, """no links here""")
+    ).toDF("doc_id", "html")
+    val edges = html
+      .select(col("doc_id").as("src"),
+        explode(expr(
+          "regexp_extract_all(html, 'href=\"/docs/(\\\\d+)\"', 1)"))
+          .as("dst_s"))
+      .select(col("src"), col("dst_s").cast("long").as("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 2's bare href=… (no <a> needed — the pattern is attribute-
+    // level) still extracts 11; the non-numeric path does not
+    assert(edges === Set((1L, 7L), (1L, 9L), (2L, 11L)))
+  }
+
   test("ks statistic: identical samples D=0, disjoint samples D=1") {
     import spark.implicits._
     def ks(df: org.apache.spark.sql.DataFrame): (Double, Boolean) = {
