@@ -798,11 +798,16 @@ object SparkEntry {
       // boundaries rounded to a 1e-6 grid before banding: the linear
       // interpolation is the same formula in both engines but not
       // bit-pinned, and an unrounded boundary lying within an ulp of
-      // an integer would band that exact cents value differently
-      val b = li.agg(
-        round(expr("percentile(cents, 0.25)"), 6).as("b1"),
-        round(expr("percentile(cents, 0.5)"), 6).as("b2"),
-        round(expr("percentile(cents, 0.75)"), 6).as("b3"))
+      // an integer would band that exact cents value differently.
+      // ONE percentile(array(...)) call, not three: each exact
+      // percentile buffers every value per group, so three separate
+      // aggs triple the dominant cost (measured 4.2 s → 1.6 s at
+      // sf0.1)
+      val b = li.agg(expr("percentile(cents, array(0.25, 0.5, 0.75))")
+          .as("bs"))
+        .select(round(element_at(col("bs"), 1), 6).as("b1"),
+          round(element_at(col("bs"), 2), 6).as("b2"),
+          round(element_at(col("bs"), 3), 6).as("b3"))
       li.crossJoin(broadcast(b))
         .withColumn("band",
           when(col("cents") <= col("b1"), 0)

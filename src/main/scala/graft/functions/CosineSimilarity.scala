@@ -223,8 +223,18 @@ object GraftFunctions {
     BpeEncodeExpr(children.head, merges)
   }
 
+  val randomProjectInfo = new ExpressionInfo(
+    classOf[RandomProjectExpr].getName, "graft_random_project")
+  val randomProjectBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 3,
+      "graft_random_project takes (embedding, inDims, outDims)")
+    RandomProjectExpr(children.head,
+      litInt(children(1), "inDims"), litInt(children(2), "outDims"))
+  }
+
   private val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(("graft_cosine", cosineInfo, cosineBuilder),
+      ("graft_random_project", randomProjectInfo, randomProjectBuilder),
       ("graft_deflate_ratio", deflateRatioInfo, deflateRatioBuilder),
       ("graft_nfc", nfcInfo, nfcBuilder),
       ("graft_strip_accents", stripAccentsInfo, stripAccentsBuilder),

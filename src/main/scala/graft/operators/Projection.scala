@@ -47,27 +47,20 @@ object Projection {
     if (((hex(0) >> 4) & 0x1) == 1) -1 else 1
   }
 
-  /** Projected component j as a Column: Σ_i sign(j,i)·round(x_i·10⁶).
-    * `element_at` is 1-based; embeddings are float[] — cast to double
-    * BEFORE scaling so both engines run the same widening.
-    */
-  private def component(embCol: Column, j: Int, inDims: Int): Column =
-    (0 until inDims).map { i =>
-      val x = round(element_at(embCol, i + 1).cast("double") * 1e6, 0)
-        .cast("long")
-      if (sign(j, i) == -1) -x else x
-    }.reduce(_ + _)
-
   /** One row per (id, output dim): `(id, dim, proj_micro)`.
-    * Map-only: the per-row struct array feeds `inline` (a generator —
-    * still no shuffle, no sort).
+    * Map-only: the native `graft_random_project` expression (tight
+    * codegen loop — each input element rounded once, reused across
+    * all output dims; the equivalent declarative Column tree was a
+    * ~10⁴-node expression that recompiled per run, measured 3.9 s at
+    * sf0.1 vs scan-speed here) feeds `posexplode` — still no shuffle,
+    * no sort. Malformed vectors (short array / null element) project
+    * to null and emit no rows.
     */
   def randomProject(df: DataFrame, embCol: String, idCol: String,
                     inDims: Int = 64, outDims: Int = 16): DataFrame = {
-    val structs = (0 until outDims).map { j =>
-      struct(lit(j).as("dim"),
-        component(col(embCol), j, inDims).as("proj_micro"))
-    }
-    df.select(col(idCol), inline(array(structs: _*)))
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.select(col(idCol),
+      posexplode(call_function("graft_random_project", col(embCol),
+        lit(inDims), lit(outDims))).as(Seq("dim", "proj_micro")))
   }
 }

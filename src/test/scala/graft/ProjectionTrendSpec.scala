@@ -55,6 +55,29 @@ class ProjectionTrendSpec extends SparkSpec {
     assert(proj.except(again).count() === 0 && again.except(proj).count() === 0)
   }
 
+  test("projection: codegen ≡ interpreted eval; malformed vectors drop") {
+    import spark.implicits._
+    def run(): Array[org.apache.spark.sql.Row] = {
+      val df = Seq(
+        (1L, Array.tabulate(64)(i => (i * 0.01f) - 0.3f)),
+        (2L, Array.fill(10)(1.0f)),            // short → no rows
+        (3L, null.asInstanceOf[Array[Float]])  // null → no rows
+      ).toDF("id", "v")
+      Projection.randomProject(df, "v", "id").orderBy("id", "dim").collect()
+    }
+    val on = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val off = try run() finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    assert(on.toSeq === off.toSeq)
+    assert(on.map(_.getLong(0)).distinct.toSeq === Seq(1L),
+      "short/null vectors emit no rows")
+    assert(on.length === 16)
+  }
+
   test("markov: hand-computed transitions and probabilities") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
