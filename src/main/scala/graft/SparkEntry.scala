@@ -1668,6 +1668,45 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Per-user time-ordered sequence export (behavioral-LM training
+    // prep: each user's event history as one ordered token string).
+    // Deterministic inside ONE aggregate: collect_list of
+    // (ts, event_id, type) structs, array_sort on the struct's total
+    // order, then join — no window, one user-keyed shuffle, per-group
+    // state bounded by that user's history. The streaming-scale
+    // variant is repartition + sortWithinPartitions straight to the
+    // writer; this form keeps the sequence addressable as a column.
+    "q148_sequence_export" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("user_id") < 50)
+      ev.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type")), ">").as("seq"))
+    }),
+
+    // Per-dimension embedding distribution diagnostics (calibration /
+    // dead-dimension detection before quantization or truncation):
+    // posexplode to (dim, value), micro-unit exact sums for the mean,
+    // ONE percentile(array(...)) per dimension for quartiles. One
+    // shuffle keyed by dim; output is |dims| rows.
+    "q149_embedding_dim_stats" -> ((s, d) => {
+      val dims = Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("dim"),
+          round(col("x").cast("double") * 1e6).cast("long").as("xm"))
+      dims.groupBy("dim")
+        .agg(count(lit(1)).as("n"), sum("xm").as("sum_micro"),
+          expr("percentile(xm, array(0.25, 0.5, 0.75))").as("qs"))
+        .select(col("dim"), col("n"),
+          round(col("sum_micro").cast("double") / col("n").cast("double"),
+            4).as("mean_micro"),
+          round(element_at(col("qs"), 1), 6).as("q1"),
+          round(element_at(col("qs"), 2), 6).as("q2"),
+          round(element_at(col("qs"), 3), 6).as("q3"))
+    }),
+
     // Incremental near-dup maintenance: docs with doc_id % 10 == 0
     // arrive as the new batch; the rest are the already-indexed corpus.
     // The batch's band hashes probe the corpus's persisted band index,
@@ -3766,6 +3805,29 @@ object SparkEntry {
         |  JOIN part p ON p.p_partkey = l.l_partkey
         |  WHERE p.p_size > 40) AS exact_pairs,
         |  TRUE AS est_ge_exact, TRUE AS est_within_bound""".stripMargin,
+
+    // string_agg with an explicit ORDER BY replays the struct-sorted
+    // concatenation (both orders are the same (ts, event_id) total
+    // order).
+    "q148_sequence_export" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
+        |FROM events WHERE user_id < 50
+        |GROUP BY user_id""".stripMargin,
+
+    // Same micro-unit ints; quantile_cont ≡ Spark percentile.
+    "q149_embedding_dim_stats" ->
+      """WITH d AS (
+        |  SELECT CAST(i - 1 AS INT) AS dim,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+        |      AS BIGINT) AS xm
+        |  FROM embeddings, unnest(generate_series(1, 64)) AS t(i))
+        |SELECT dim, count(*) AS n,
+        |  round(sum(xm)::DOUBLE / count(*)::DOUBLE, 4) AS mean_micro,
+        |  round(quantile_cont(xm, 0.25), 6) AS q1,
+        |  round(quantile_cont(xm, 0.5), 6) AS q2,
+        |  round(quantile_cont(xm, 0.75), 6) AS q3
+        |FROM d GROUP BY dim""".stripMargin,
 
     // Same derived markup, same href pattern, same degree aggregate.
     "q147_link_graph" ->

@@ -118,6 +118,41 @@ class CorpusStatsSpec extends SparkSpec {
     assert(edges === Set((1L, 7L), (1L, 9L), (2L, 11L)))
   }
 
+  test("sequence export: struct sort gives the (ts, event_id) order") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(m: Int) = new java.sql.Timestamp(t0.getTime + m * 1000L)
+    // same-ts tie broken by event_id
+    val ev = Seq((1L, t(2), 30L, "C"), (1L, t(0), 10L, "A"),
+      (1L, t(0), 11L, "B"), (2L, t(1), 20L, "Z"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = ev.groupBy("user_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))),
+        x => x.getField("event_type")), ">").as("seq"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "A>B>C")
+    assert(got(2L) === "Z")
+  }
+
+  test("embedding dim stats: hand-computed quartiles on a fixed dim") {
+    import spark.implicits._
+    // one dimension with values 1..5 (micro units 1e6..5e6)
+    val df = (1 to 5).map(v => Tuple1(Array(v.toFloat))).toDF("embedding")
+    val got = df.select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"),
+        round(col("x").cast("double") * 1e6).cast("long").as("xm"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("xm").as("s"),
+        expr("percentile(xm, array(0.25, 0.5, 0.75))").as("qs"))
+      .head()
+    assert(got.getAs[Long]("n") === 5L)
+    assert(got.getAs[Long]("s") === 15000000L)
+    val qs = got.getSeq[Double](got.fieldIndex("qs"))
+    assert(qs === Seq(2000000.0, 3000000.0, 4000000.0))
+  }
+
   test("ks statistic: identical samples D=0, disjoint samples D=1") {
     import spark.implicits._
     def ks(df: org.apache.spark.sql.DataFrame): (Double, Boolean) = {
