@@ -21,6 +21,7 @@ object Profile {
     if (args.headOption.contains("stress")) { stressDedup(); return }
     if (args.headOption.contains("stress-zipf")) { stressZipf(); return }
     if (args.headOption.contains("stress-incr")) { stressIncremental(); return }
+    if (args.headOption.contains("stress-vec")) { stressVectors(); return }
     val spark = GraftSession.build("profile")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val docs = Tables.documents(spark, d).cache()
@@ -80,6 +81,46 @@ object Profile {
     t("components 100k docs") {
       val c = graft.operators.Components.connectedComponents(pairs)
       println(s"clusters: ${c.select("component").distinct().count()}")
+    }
+    spark.stop()
+  }
+
+  /** Vector-path stress: 1M synthetic 64-d vectors (2000× the bench
+    * embeddings table) built distributedly from spark.range — times
+    * (a) the native random-projection expression over the full set
+    * (map-only: should run at generate speed), (b) hyperplane-LSH
+    * candidate generation, (c) brute-force top-5 against 8 broadcast
+    * queries (8M codegen cosines). Validates that the vector
+    * operators' costs are the linear scans they claim to be.
+    */
+  def stressVectors(): Unit = {
+    val spark = GraftSession.build("profile-vec")
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val n = 1000000L
+    // deterministic pseudo-vectors: v[i] = sin(id·64 + i)·0.1 — cheap,
+    // full-rank-ish, no data source needed
+    val vecs = spark.range(n).select(col("id"),
+      expr("transform(sequence(0, 63), " +
+        "i -> cast(sin(cast(id * 64 + i as double)) * 0.1 as float))")
+        .as("v"))
+    vecs.write.mode("overwrite").parquet("/tmp/stress_vecs")
+    val vp = spark.read.parquet("/tmp/stress_vecs")
+    println(s"stress vectors: ${vp.count()}")
+    t("random projection 1M x 64->16") {
+      println("proj rows: " + graft.operators.Projection
+        .randomProject(vp, "v", "id").count())
+    }
+    t("hyperplane LSH buckets 1M") {
+      println("buckets: " + graft.operators.Dedup
+        .hyperplaneBuckets(vp.select(col("id"), col("v")),
+          bits = 7, tables = 4)
+        .groupBy("t", "b").count().count())
+    }
+    t("brute-force top-5, 8 queries x 1M corpus") {
+      val qs = vp.filter(col("id") < 8)
+        .select(col("id").as("qid"), col("v").as("qv"))
+      println("result rows: " + graft.operators.Similarity
+        .bruteForceTopK(vp.select(col("id"), col("v")), qs, k = 5).count())
     }
     spark.stop()
   }
