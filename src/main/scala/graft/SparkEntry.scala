@@ -1707,6 +1707,29 @@ object SparkEntry {
           round(element_at(col("qs"), 3), 6).as("q3"))
     }),
 
+    // Join-key skew diagnosis (the report that tells you whether
+    // q138's salting or AQE's skew split is even needed): per-key row
+    // counts → one tiny second aggregate for max/avg/total, skew
+    // factor = max/avg, recommended salt count = ceil(skew) capped at
+    // 64. Exact integers + fixed double tree; two hash aggregates,
+    // the second over |keys| rows.
+    "q150_skew_report" -> ((s, d) => {
+      val perKey = Tables.lineitem(s, d)
+        .groupBy("l_suppkey").agg(count(lit(1)).as("n"))
+      perKey.agg(count(lit(1)).as("n_keys"), sum("n").as("n_rows"),
+          max("n").as("max_n"))
+        .withColumn("avg_n",
+          round(col("n_rows").cast("double") /
+            col("n_keys").cast("double"), 4))
+        .withColumn("skew_factor",
+          round(col("max_n").cast("double") * col("n_keys").cast("double")
+            / col("n_rows").cast("double"), 4))
+        .withColumn("recommended_salts",
+          least(lit(64L),
+            ceil(col("max_n").cast("double") * col("n_keys").cast("double")
+              / col("n_rows").cast("double")).cast("long")))
+    }),
+
     // Incremental near-dup maintenance: docs with doc_id % 10 == 0
     // arrive as the new batch; the rest are the already-indexed corpus.
     // The batch's band hashes probe the corpus's persisted band index,
@@ -3828,6 +3851,23 @@ object SparkEntry {
         |  round(quantile_cont(xm, 0.5), 6) AS q2,
         |  round(quantile_cont(xm, 0.75), 6) AS q3
         |FROM d GROUP BY dim""".stripMargin,
+
+    // Same two aggregates, same fixed double tree.
+    "q150_skew_report" ->
+      """WITH k AS (
+        |  SELECT l_suppkey, count(*) AS n FROM lineitem
+        |  GROUP BY l_suppkey),
+        |s AS (
+        |  SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+        |    CAST(max(n) AS BIGINT) AS max_n
+        |  FROM k)
+        |SELECT n_keys, n_rows, max_n,
+        |  round(n_rows::DOUBLE / n_keys::DOUBLE, 4) AS avg_n,
+        |  round(max_n::DOUBLE * n_keys::DOUBLE / n_rows::DOUBLE, 4)
+        |    AS skew_factor,
+        |  least(64, CAST(ceil(max_n::DOUBLE * n_keys::DOUBLE
+        |    / n_rows::DOUBLE) AS BIGINT)) AS recommended_salts
+        |FROM s""".stripMargin,
 
     // Same derived markup, same href pattern, same degree aggregate.
     "q147_link_graph" ->
