@@ -1730,6 +1730,53 @@ object SparkEntry {
               / col("n_rows").cast("double")).cast("long")))
     }),
 
+    // Event-time disorder profile (how late does data actually
+    // arrive?): disorder of an event = running max of event times
+    // that arrived BEFORE it (per user) − its own time. The histogram
+    // of disorder depths is exactly the evidence that sizes
+    // `withWatermark` delays — a 1h watermark drops the rows whose
+    // disorder exceeds 1h. The synthetic events table is generated in
+    // time order, so a deterministic transport delay is simulated:
+    // every 7th event arrives 15 sequence slots late (arrival_seq =
+    // event_id + (event_id % 7 = 0 ? 15 : 0)) — the md5-free analogue
+    // of network reordering, replayed verbatim by the oracle. Per-user
+    // windows (shuffle by user, never a global sort); disorder
+    // bucketed to whole minutes.
+    "q151_disorder_profile" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy("arrival_seq", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1L)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("es"))
+        .withColumn("arrival_seq", col("event_id") +
+          when(col("event_id") % 7 === 0, 15L).otherwise(0L))
+        .withColumn("run_max", max("es").over(w))
+        .filter(col("run_max").isNotNull)
+        .withColumn("disorder_min",
+          greatest(lit(0L), floor((col("run_max") - col("es")) / 60)
+            .cast("long")))
+        .groupBy("disorder_min").agg(count(lit(1)).as("n_events"))
+    }),
+
+    // Retention cohorts: users grouped by first-seen day, activity
+    // counted per whole-day offset from that cohort day — the
+    // engagement matrix behind "does the corpus/user base decay".
+    // Two hash aggregates + one broadcastable first-seen join; exact
+    // integer day arithmetic.
+    "q152_retention_cohorts" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val firstSeen = ev.groupBy("user_id").agg(min("day").as("cohort"))
+      ev.join(broadcast(firstSeen), "user_id")
+        .select(col("cohort"), col("user_id"),
+          datediff(col("day"), col("cohort")).as("day_offset"))
+        .groupBy("cohort", "day_offset")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+    }),
+
     // Incremental near-dup maintenance: docs with doc_id % 10 == 0
     // arrive as the new batch; the rest are the already-indexed corpus.
     // The batch's band hashes probe the corpus's persisted band index,
@@ -3851,6 +3898,39 @@ object SparkEntry {
         |  round(quantile_cont(xm, 0.5), 6) AS q2,
         |  round(quantile_cont(xm, 0.75), 6) AS q3
         |FROM d GROUP BY dim""".stripMargin,
+
+    // Same simulated transport delay, same per-user running max over
+    // the same arrival order.
+    "q151_disorder_profile" ->
+      """WITH a AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS es,
+        |    event_id + CASE WHEN event_id % 7 = 0 THEN 15 ELSE 0 END
+        |      AS arrival_seq
+        |  FROM events),
+        |e AS (
+        |  SELECT user_id, es,
+        |    max(es) OVER (
+        |      PARTITION BY user_id ORDER BY arrival_seq, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS run_max
+        |  FROM a)
+        |SELECT greatest(0, CAST(floor((run_max - es) / 60.0) AS BIGINT))
+        |    AS disorder_min,
+        |  count(*) AS n_events
+        |FROM e WHERE run_max IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
+    // Same cohort day, same integer day offsets.
+    "q152_retention_cohorts" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY 1)
+        |SELECT f.cohort, datediff('day', f.cohort, e.day) AS day_offset,
+        |  count(DISTINCT e.user_id) AS n_users,
+        |  count(*) AS n_events
+        |FROM e JOIN f ON f.user_id = e.user_id
+        |GROUP BY 1, 2""".stripMargin,
 
     // Same two aggregates, same fixed double tree.
     "q150_skew_report" ->
