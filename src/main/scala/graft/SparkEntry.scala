@@ -1777,6 +1777,63 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
     }),
 
+    // Kneser–Ney smoothed bigram LM (the standard n-gram smoothing —
+    // Laplace's upgrade, q75): P(w2|w1) = max(c−D,0)/c(w1·) +
+    // D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··), D = 0.75. EVERYTHING
+    // derives from the bigram-TYPE table: marginals and continuation
+    // counts are window sums over |pair vocab| rows, the type total
+    // is a 1-row broadcast — one corpus-sized aggregate, no second
+    // scan. Exact integers into a fixed double tree → replayable.
+    "q153_kneser_ney" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        posexplode(split(lower(col("text")), "\\s+")).as(Seq("p", "t")))
+        .filter(col("t") =!= "")
+      val wd = Window.partitionBy("doc_id").orderBy("p")
+      val bi = toks.withColumn("w2", lead("t", 1).over(wd))
+        .filter(col("w2").isNotNull)
+        .groupBy(col("t").as("w1"), col("w2"))
+        .agg(count(lit(1)).as("c"))
+      val w1w = Window.partitionBy("w1")
+      val w2w = Window.partitionBy("w2")
+      val tot = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      bi.withColumn("c_w1", sum("c").over(w1w))
+        .withColumn("n1p_w1", count(lit(1)).over(w1w))
+        .withColumn("n1p_w2", count(lit(1)).over(w2w))
+        .withColumn("types", count(lit(1)).over(tot))
+        .withColumn("p_kn", round(
+          greatest(col("c").cast("double") - 0.75, lit(0.0)) /
+            col("c_w1").cast("double") +
+            lit(0.75) * col("n1p_w1").cast("double") /
+              col("c_w1").cast("double") *
+              (col("n1p_w2").cast("double") / col("types").cast("double")),
+          6))
+        .orderBy(col("c").desc, col("w1"), col("w2"))
+        .limit(20)
+        .select("w1", "w2", "c", "p_kn")
+    }),
+
+    // Shard manifests with order-independent content checksums (the
+    // integrity artifact a distributed corpus writer publishes):
+    // per (split, shard), doc count, char total, and bit_xor of each
+    // doc's 48-bit content hash — XOR is associative/commutative/
+    // overflow-free, so the checksum is partitioning-independent at
+    // any corpus size (a modular SUM would overflow or need mod at
+    // every combine). One hash aggregate.
+    "q154_shard_manifest" -> ((s, d) => {
+      val docs = graft.operators.WeightedSample.splitAssign(
+        Tables.documents(s, d), "doc_id")
+      val h48 = conv(substring(md5(concat_ws("|", lit("content0"),
+        col("text"))), 1, 12), 16, 10).cast("bigint")
+      docs.withColumn("shard", col("doc_id") % 8)
+        .withColumn("h", h48)
+        .groupBy("split", "shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          expr("bit_xor(h)").as("content_checksum"))
+    }),
+
     // Incremental near-dup maintenance: docs with doc_id % 10 == 0
     // arrive as the new batch; the rest are the already-indexed corpus.
     // The batch's band hashes probe the corpus's persisted band index,
@@ -3898,6 +3955,65 @@ object SparkEntry {
         |  round(quantile_cont(xm, 0.5), 6) AS q2,
         |  round(quantile_cont(xm, 0.75), 6) AS q3
         |FROM d GROUP BY dim""".stripMargin,
+
+    // Identical bigram-type table, marginals, continuation counts and
+    // the fixed D=0.75 double tree.
+    "q153_kneser_ney" ->
+      """WITH toks AS (
+        |  SELECT doc_id, p, t FROM (
+        |    SELECT doc_id, unnest(ts) AS t,
+        |      generate_subscripts(ts, 1) AS p
+        |    FROM (SELECT doc_id, list_filter(
+        |      string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+        |      FROM documents))),
+        |bi AS (
+        |  SELECT w1, w2, count(*) AS c FROM (
+        |    SELECT t AS w1, lead(t) OVER (
+        |      PARTITION BY doc_id ORDER BY p) AS w2
+        |    FROM toks)
+        |  WHERE w2 IS NOT NULL GROUP BY w1, w2),
+        |m AS (
+        |  SELECT w1, w2, c,
+        |    sum(c) OVER (PARTITION BY w1) AS c_w1,
+        |    count(*) OVER (PARTITION BY w1) AS n1p_w1,
+        |    count(*) OVER (PARTITION BY w2) AS n1p_w2,
+        |    count(*) OVER () AS types
+        |  FROM bi)
+        |SELECT w1, w2, c,
+        |  round(greatest(c::DOUBLE - 0.75, 0.0) / c_w1::DOUBLE
+        |    + 0.75 * n1p_w1::DOUBLE / c_w1::DOUBLE
+        |      * (n1p_w2::DOUBLE / types::DOUBLE), 6) AS p_kn
+        |FROM m
+        |ORDER BY c DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    // Same split/shard assignment, same 48-bit content hashes, same
+    // XOR fold (order-independent in both engines).
+    "q154_shard_manifest" ->
+      """WITH s0 AS (
+        |  SELECT doc_id, n_chars, text,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(generate_series(1, 12),
+        |        j -> (strpos('0123456789abcdef',
+        |          substr(md5('epoch0|' || CAST(doc_id AS VARCHAR)),
+        |            CAST(j AS INT), 1)) - 1)::BIGINT)),
+        |      (a, v) -> a * 16 + v) % 100 AS bucket
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, n_chars, text,
+        |    CASE WHEN bucket < 90 THEN 'train'
+        |         WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+        |    doc_id % 8 AS shard,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(generate_series(1, 12),
+        |        j -> (strpos('0123456789abcdef',
+        |          substr(md5('content0|' || text), CAST(j AS INT), 1))
+        |          - 1)::BIGINT)),
+        |      (a, v) -> a * 16 + v) AS h
+        |  FROM s0)
+        |SELECT split, shard, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  bit_xor(h) AS content_checksum
+        |FROM sp GROUP BY split, shard""".stripMargin,
 
     // Same simulated transport delay, same per-user running max over
     // the same arrival order.
