@@ -1834,6 +1834,21 @@ object SparkEntry {
           expr("bit_xor(h)").as("content_checksum"))
     }),
 
+    // Perceptual image near-dup (dHash + Hamming ≤ 3 pigeonhole join
+    // — the image-side sibling of q24's text SimHash, same 64-bit
+    // chunk machinery): corpus = the synthetic media images plus a
+    // planted duplicate of every 5th image (re-encoded from the same
+    // generator → identical pixels, Hamming 0). No SQL oracle (binary
+    // decode); the pair set and Hamming bound are pinned by spec.
+    "q155_image_neardup" -> ((s, d) => {
+      val media = Multimodal.syntheticMedia(s, Tables.documents(s, d))
+        .filter(col("kind") === "image")
+      val dups = media.filter(col("media_id") % 5 === 0)
+        .withColumn("media_id", col("media_id") + 100000L)
+      Multimodal.imageNearDups(media.unionByName(dups), maxHamming = 3)
+        .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // Incremental near-dup maintenance: docs with doc_id % 10 == 0
     // arrive as the new batch; the rest are the already-indexed corpus.
     // The batch's band hashes probe the corpus's persisted band index,

@@ -169,6 +169,90 @@ object Multimodal {
     case _ => decodeStub(bytes) // no JVM video demuxer: documented stub
   }
 
+  /** Perceptual difference-hash (dHash) of a decoded image: the luma
+    * plane is block-averaged onto a 9×8 grid and bit (r,c) of the
+    * 64-bit hash is set iff grid(r)(c) < grid(r)(c+1). Small pixel
+    * edits move block averages barely, so near-identical images land
+    * within a few bits of Hamming distance — the standard perceptual
+    * near-dup key (the image-side sibling of the text SimHash, and it
+    * rides the SAME 64-bit pigeonhole machinery at scale).
+    * None for unreadable payloads.
+    */
+  def dHash(bytes: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val grid = Array.ofDim[Double](8, 9)
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 9) {
+            val y0 = r * h / 8; val y1 = math.max(y0 + 1, (r + 1) * h / 8)
+            val x0 = c * w / 9; val x1 = math.max(x0 + 1, (c + 1) * w / 9)
+            var s = 0.0; var n = 0
+            var y = y0
+            while (y < y1 && y < h) {
+              var x = x0
+              while (x < x1 && x < w) {
+                val p = img.getRGB(x, y)
+                s += 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+                  0.114 * (p & 0xff)
+                n += 1; x += 1
+              }
+              y += 1
+            }
+            grid(r)(c) = if (n == 0) 0.0 else s / n
+            c += 1
+          }
+          r += 1
+        }
+        var bits = 0L
+        var k = 0
+        while (k < 64) {
+          val rr = k / 8; val cc = k % 8
+          if (grid(rr)(cc) < grid(rr)(cc + 1)) bits |= (1L << k)
+          k += 1
+        }
+        Some(bits)
+      }
+    } catch { case _: Exception => None }
+
+  /** Perceptual image near-dup pairs at Hamming ≤ maxHamming over the
+    * dHash: pigeonhole chunk join (d+1 chunks of 64/(d+1) bits — two
+    * hashes within distance d MUST agree on ≥1 whole chunk), ids-only
+    * candidates, exact `bit_count(xor)` verify. Identical plan shape
+    * to the text SimHash path — never all-pairs.
+    */
+  def imageNearDups(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"maxHamming $maxHamming: pigeonhole chunks must be ≥ 8 bits")
+    val hashUdf = udf((b: Array[Byte]) => dHash(b))
+    val hashed = media.filter(col("kind") === "image")
+      .select(col("media_id").as("id"), hashUdf(col("bytes")).as("h"))
+      .filter(col("h").isNotNull)
+    val chunks = maxHamming + 1
+    val width = 64 / chunks
+    val mask = (1L << width) - 1
+    val chunked = hashed.select(col("id"), col("h"),
+      explode(array((0 until chunks).map(c => struct(lit(c).as("c"),
+        (shiftrightunsigned(col("h"), c * width) bitwiseAND lit(mask))
+          .as("v"))): _*)).as("ck"))
+      .select(col("id"), col("h"), col("ck.c").as("c"), col("ck.v").as("v"))
+    chunked.alias("a").join(chunked.alias("b"),
+        col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.h").as("h_a"), col("b.h").as("h_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Batch feature extraction: one decoder "session" per partition. */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._

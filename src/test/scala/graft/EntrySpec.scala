@@ -33,8 +33,10 @@ class EntrySpec extends SparkSpec {
                                 // SQL-replayable (BpeEncodeSpec)
       "q126_compress_ratio",    // deflate ratio — no zlib in DuckDB
                                 // (determinism in RetrievalFuzzySpec)
-      "q131_semantic_dedup"     // iterative k-means clustering — not
+      "q131_semantic_dedup",    // iterative k-means clustering — not
                                 // SQL-replayable (GraphSelectionSpec)
+      "q155_image_neardup"      // binary image decode (dHash) — no SQL
+                                // oracle (StreamingMultimodalSpec)
     ), s"unexpected rows-only set: $rowsOnly")
   }
 }

@@ -223,4 +223,53 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getInt(1) === ((r.getLong(0) - 1) / 1000 + 1).toInt)
     }
   }
+
+  test("dHash: identical images distance 0, one-pixel edit stays near, " +
+    "different images stay far") {
+    def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def gradient(seed: Int, flipX: Int = -1): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(64, 48,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 64) {
+        val v = (x * 3 + y * 2 + seed * 37) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      if (flipX >= 0) img.setRGB(flipX, 10, 0xffffff)
+      img
+    }
+    val a = Multimodal.dHash(png(gradient(1))).get
+    val aCopy = Multimodal.dHash(png(gradient(1))).get
+    val aEdit = Multimodal.dHash(png(gradient(1, flipX = 5))).get
+    val other = Multimodal.dHash(png(gradient(9))).get
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(a, aCopy) === 0)
+    assert(ham(a, aEdit) <= 6, s"one-pixel edit moved ${ham(a, aEdit)} bits")
+    assert(Multimodal.dHash("not an image".getBytes) === None)
+  }
+
+  test("imageNearDups: planted identical pairs found at Hamming 0, " +
+    "unrelated images not paired") {
+    val imgs = media.filter($"kind" === "image")
+    val dups = imgs.filter($"media_id" % 5 === 0)
+      .withColumn("media_id", $"media_id" + 100000L)
+    val planted = imgs.filter($"media_id" % 5 === 0)
+      .select($"media_id").collect().map(_.getLong(0)).toSet
+    val pairs = Multimodal.imageNearDups(imgs.unionByName(dups),
+      maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // every planted duplicate is found, at distance 0
+    val found = pairs.collect {
+      case (a, b, h) if b == a + 100000L => (a, h)
+    }.toMap
+    assert(planted.forall(id => found.get(id).contains(0)),
+      s"missing planted pairs: ${planted -- found.keySet}")
+    // no cross-image pair: the generator varies dims/content per id
+    pairs.foreach { case (a, b, _) =>
+      assert(b == a + 100000L, s"unexpected pair ($a,$b)")
+    }
+  }
 }
