@@ -1849,6 +1849,86 @@ object SparkEntry {
         .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
     }),
 
+    // Corpus snapshot diff (the Delta/Iceberg time-travel diff,
+    // engine-level): previous snapshot simulated deterministically
+    // (every 13th doc absent from prev → "added"; every 7th doc's
+    // text edited → "changed"; every 17th doc absent from cur →
+    // "removed"), rows matched by id with 48-bit content hashes
+    // compared. One full-outer equi-join on ids, hashes computed in
+    // the scan projection; at 100 TB this never moves text across
+    // the wire (ids + 8-byte hashes only).
+    "q156_snapshot_diff" -> ((s, d) => {
+      def h48(c: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat_ws("|",
+          lit("content0"), c)), 1, 12), 16, 10).cast("bigint")
+      val cur = Tables.documents(s, d)
+        .filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"), h48(col("text")).as("h_cur"),
+          col("n_chars").as("chars_cur"))
+      val prev = Tables.documents(s, d)
+        .filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          h48(when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" edited"))).otherwise(col("text")))
+            .as("h_prev"),
+          (col("n_chars") + when(col("doc_id") % 7 === 0, 7L)
+            .otherwise(0L)).as("chars_prev"))
+      cur.join(prev, Seq("doc_id"), "full_outer")
+        .withColumn("change_type",
+          when(col("h_prev").isNull, "added")
+            .when(col("h_cur").isNull, "removed")
+            .when(col("h_cur") === col("h_prev"), "unchanged")
+            .otherwise("changed"))
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("chars_cur"), lit(0L)) -
+            coalesce(col("chars_prev"), lit(0L))).as("char_delta"))
+    }),
+
+    // CUPED variance-reduced experiment readout (Deng et al. 2013 —
+    // the standard A/B analysis adjustment): pre-period covariate x =
+    // a user's pre-cutoff event value sum, outcome y = post-cutoff
+    // sum, arm = user hash parity. θ = cov(x,y)/var(x) from ONE
+    // sufficient-stats aggregate over users (exact integer cents into
+    // a fixed double tree), adjusted outcome ȳ_adj per arm =
+    // ȳ − θ·(x̄_arm − x̄_all). Two tiny aggregates over |users| rows
+    // after one events scan.
+    "q157_cuped" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val med = ev.agg(round(expr("percentile(unix_timestamp(ts), 0.5)"),
+        6).as("mid"))
+      val users = ev.crossJoin(broadcast(med))
+        .withColumn("pre",
+          (unix_timestamp(col("ts")) <= col("mid")).cast("long"))
+        .groupBy("user_id")
+        .agg(sum(col("cents") * col("pre")).as("x"),
+          sum(col("cents") * (lit(1L) - col("pre"))).as("y"))
+        .withColumn("arm",
+          when(pmod(conv(substring(md5(concat_ws("|", lit("arm0"),
+            col("user_id").cast("string"))), 1, 12), 16, 10)
+            .cast("bigint"), lit(2)) === 0, "control")
+            .otherwise("treatment"))
+      val stats = users.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      users.crossJoin(broadcast(stats))
+        .groupBy("arm")
+        .agg(count(lit(1)).as("n_users"),
+          round(sum("y").cast("double") / count(lit(1)).cast("double"),
+            4).as("y_mean"),
+          round(
+            sum("y").cast("double") / count(lit(1)).cast("double") -
+              ((max("n").cast("double") * max("sxy").cast("double")
+                - max("sx").cast("double") * max("sy").cast("double")) /
+                (max("n").cast("double") * max("sxx").cast("double")
+                  - max("sx").cast("double") * max("sx").cast("double"))) *
+                (sum("x").cast("double") / count(lit(1)).cast("double")
+                  - max("sx").cast("double") / max("n").cast("double")),
+            4).as("y_adj"))
+    }),
+
     // Incremental near-dup maintenance: docs with doc_id % 10 == 0
     // arrive as the new batch; the rest are the already-indexed corpus.
     // The batch's band hashes probe the corpus's persisted band index,
@@ -3970,6 +4050,80 @@ object SparkEntry {
         |  round(quantile_cont(xm, 0.5), 6) AS q2,
         |  round(quantile_cont(xm, 0.75), 6) AS q3
         |FROM d GROUP BY dim""".stripMargin,
+
+    // Same simulated previous snapshot, same 48-bit content hashes.
+    "q156_snapshot_diff" ->
+      """WITH cur AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(generate_series(1, 12),
+        |        j -> (strpos('0123456789abcdef',
+        |          substr(md5('content0|' || text), CAST(j AS INT), 1))
+        |          - 1)::BIGINT)),
+        |      (a, v) -> a * 16 + v) AS h_cur,
+        |    n_chars AS chars_cur
+        |  FROM documents WHERE doc_id % 17 <> 0),
+        |prev AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(generate_series(1, 12),
+        |        j -> (strpos('0123456789abcdef',
+        |          substr(md5('content0|' ||
+        |            CASE WHEN doc_id % 7 = 0 THEN text || ' edited'
+        |              ELSE text END), CAST(j AS INT), 1))
+        |          - 1)::BIGINT)),
+        |      (a, v) -> a * 16 + v) AS h_prev,
+        |    n_chars + CASE WHEN doc_id % 7 = 0 THEN 7 ELSE 0 END
+        |      AS chars_prev
+        |  FROM documents WHERE doc_id % 13 <> 0)
+        |SELECT CASE WHEN h_prev IS NULL THEN 'added'
+        |    WHEN h_cur IS NULL THEN 'removed'
+        |    WHEN h_cur = h_prev THEN 'unchanged'
+        |    ELSE 'changed' END AS change_type,
+        |  count(*) AS n_docs,
+        |  CAST(sum(coalesce(chars_cur, 0) - coalesce(chars_prev, 0))
+        |    AS BIGINT) AS char_delta
+        |FROM cur FULL OUTER JOIN prev USING (doc_id)
+        |GROUP BY 1""".stripMargin,
+
+    // Same pre/post split, same md5 arm assignment, same θ tree.
+    "q157_cuped" ->
+      """WITH m AS (
+        |  SELECT round(quantile_cont(floor(epoch(ts)), 0.5), 6) AS mid
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN floor(epoch(ts)) <= (SELECT mid FROM m)
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN floor(epoch(ts)) <= (SELECT mid FROM m)
+        |      THEN 0 ELSE CAST(round(value * 100) AS BIGINT) END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT *, CASE WHEN list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(generate_series(1, 12),
+        |        j -> (strpos('0123456789abcdef',
+        |          substr(md5('arm0|' || CAST(user_id AS VARCHAR)),
+        |            CAST(j AS INT), 1)) - 1)::BIGINT)),
+        |      (a, v) -> a * 16 + v) % 2 = 0
+        |    THEN 'control' ELSE 'treatment' END AS arm
+        |  FROM u),
+        |s AS (
+        |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM a)
+        |SELECT arm, count(*) AS n_users,
+        |  round(sum(y)::DOUBLE / count(*)::DOUBLE, 4) AS y_mean,
+        |  round(sum(y)::DOUBLE / count(*)::DOUBLE
+        |    - ((s.n::DOUBLE * s.sxy::DOUBLE - s.sx::DOUBLE * s.sy::DOUBLE)
+        |       / (s.n::DOUBLE * s.sxx::DOUBLE - s.sx::DOUBLE * s.sx::DOUBLE))
+        |      * (sum(x)::DOUBLE / count(*)::DOUBLE
+        |         - s.sx::DOUBLE / s.n::DOUBLE), 4) AS y_adj
+        |FROM a, s
+        |GROUP BY arm, s.n, s.sx, s.sy, s.sxy, s.sxx""".stripMargin,
 
     // Identical bigram-type table, marginals, continuation counts and
     // the fixed D=0.75 double tree.
