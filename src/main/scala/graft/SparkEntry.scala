@@ -1929,6 +1929,93 @@ object SparkEntry {
             4).as("y_adj"))
     }),
 
+    // Neyman-optimal stratified sample allocation: per-stratum
+    // n_h ∝ N_h·σ_h (the allocation that minimizes estimator variance
+    // for a fixed total budget). σ from exact integer sufficient
+    // stats (n, Σ, Σ²) — ONE aggregate pass; the allocation table is
+    // |strata| rows of pure arithmetic. The actual draw then rides
+    // the existing md5-rank machinery (q44/q68).
+    "q158_neyman_allocation" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val st = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("stratum"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .groupBy("stratum")
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("s1"),
+          sum(col("cents") * col("cents")).as("s2"))
+        .withColumn("sd", sqrt(greatest(lit(0.0),
+          col("s2").cast("double") / col("n_rows").cast("double") -
+            (col("s1").cast("double") / col("n_rows").cast("double")) *
+              (col("s1").cast("double") / col("n_rows").cast("double")))))
+        .withColumn("weight", col("n_rows").cast("double") * col("sd"))
+      val tot = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      st.withColumn("alloc_1000",
+          ceil(lit(1000.0) * col("weight") / sum("weight").over(tot))
+            .cast("long"))
+        .select(col("stratum"), col("n_rows"), round(col("sd"), 4).as("sd"),
+          col("alloc_1000"))
+    }),
+
+    // Score-calibration curve (reliability diagram): the lang-id
+    // confidence score binned into deciles by EXACT percentile
+    // boundaries, per-bin mean score vs empirical outcome rate ("is
+    // the 0.9-confidence bucket right 90% of the time?") — the
+    // standard probability-calibration diagnostic. Outcome here =
+    // agreement with the length-based quality gate, making the curve
+    // fully deterministic. One corpus aggregate + domain-sized
+    // banding.
+    "q159_calibration_curve" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        (graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("double") /
+          greatest(col("n_chars").cast("double"), lit(1.0))).as("score"),
+        (col("n_chars") >= 100).cast("long").as("outcome"))
+        .withColumn("score", round(col("score") * 1e6).cast("long"))
+      val b = docs.agg(expr(
+        "percentile(score, array(0.2, 0.4, 0.6, 0.8))").as("bs"))
+        .select(round(element_at(col("bs"), 1), 6).as("b1"),
+          round(element_at(col("bs"), 2), 6).as("b2"),
+          round(element_at(col("bs"), 3), 6).as("b3"),
+          round(element_at(col("bs"), 4), 6).as("b4"))
+      docs.crossJoin(broadcast(b))
+        .withColumn("bin",
+          when(col("score") <= col("b1"), 0)
+            .when(col("score") <= col("b2"), 1)
+            .when(col("score") <= col("b3"), 2)
+            .when(col("score") <= col("b4"), 3).otherwise(4))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("score").cast("double")), 4).as("mean_score"),
+          round(avg(col("outcome").cast("double")), 4).as("outcome_rate"))
+    }),
+
+    // Benford first-digit audit (fabricated/synthetic-number
+    // detection in ingested data): observed first-digit counts of
+    // order totals vs the Benford expectation log10(1+1/d), χ² over
+    // exact counts — flag = χ² above the α=0.05 critical value for
+    // 8 df. One aggregate over the digit domain.
+    "q160_benford" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val digits = Tables.orders(s, d)
+        .select(substring(round(col("o_totalprice"), 0).cast("long")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+        .filter(col("digit") >= 1)
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val tot = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      digits.withColumn("total", sum("n").over(tot))
+        .withColumn("expected",
+          log(10.0, lit(1.0) + lit(1.0) / col("digit")) * col("total"))
+        .withColumn("chi2_term",
+          (col("n").cast("double") - col("expected")) *
+            (col("n").cast("double") - col("expected")) / col("expected"))
+        .groupBy()
+        .agg(max("total").as("n_values"),
+          round(sum("chi2_term"), 4).as("chi2"),
+          (sum("chi2_term") > 15.507).as("deviates_05"))
+    }),
+
     // Incremental near-dup maintenance: docs with doc_id % 10 == 0
     // arrive as the new batch; the rest are the already-indexed corpus.
     // The batch's band hashes probe the corpus's persisted band index,
@@ -4050,6 +4137,72 @@ object SparkEntry {
         |  round(quantile_cont(xm, 0.5), 6) AS q2,
         |  round(quantile_cont(xm, 0.75), 6) AS q3
         |FROM d GROUP BY dim""".stripMargin,
+
+    // Same sufficient stats, same σ and allocation arithmetic.
+    "q158_neyman_allocation" ->
+      """WITH st AS (
+        |  SELECT l_returnflag AS stratum, count(*) AS n_rows,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS s1,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS s2
+        |  FROM lineitem GROUP BY 1),
+        |w AS (
+        |  SELECT stratum, n_rows,
+        |    sqrt(greatest(0.0, s2::DOUBLE / n_rows::DOUBLE
+        |      - (s1::DOUBLE / n_rows::DOUBLE)
+        |        * (s1::DOUBLE / n_rows::DOUBLE))) AS sd
+        |  FROM st)
+        |SELECT stratum, n_rows, round(sd, 4) AS sd,
+        |  CAST(ceil(1000.0 * (n_rows::DOUBLE * sd)
+        |    / sum(n_rows::DOUBLE * sd) OVER ()) AS BIGINT) AS alloc_1000
+        |FROM w""".stripMargin,
+
+    // Same integer score, same exact quintile boundaries, same bins.
+    "q159_calibration_curve" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(round((CAST(len(list_filter(string_split_regex(
+        |        lower(text), '\s+'), t -> t <> '')) AS DOUBLE)
+        |      / greatest(n_chars::DOUBLE, 1.0)) * 1000000)
+        |      AS BIGINT) AS score,
+        |    CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END AS outcome
+        |  FROM documents),
+        |b AS (
+        |  SELECT round(quantile_cont(score, 0.2), 6) AS b1,
+        |    round(quantile_cont(score, 0.4), 6) AS b2,
+        |    round(quantile_cont(score, 0.6), 6) AS b3,
+        |    round(quantile_cont(score, 0.8), 6) AS b4
+        |  FROM s)
+        |SELECT CASE WHEN score <= b1 THEN 0 WHEN score <= b2 THEN 1
+        |    WHEN score <= b3 THEN 2 WHEN score <= b4 THEN 3
+        |    ELSE 4 END AS bin,
+        |  count(*) AS n,
+        |  round(avg(score::DOUBLE), 4) AS mean_score,
+        |  round(avg(outcome::DOUBLE), 4) AS outcome_rate
+        |FROM s, b GROUP BY 1""".stripMargin,
+
+    // Same digit extraction, same Benford expectation and χ² tree.
+    "q160_benford" ->
+      """WITH dg AS (
+        |  SELECT CAST(substr(CAST(CAST(round(o_totalprice, 0)
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+        |    count(*) AS n
+        |  FROM orders
+        |  WHERE CAST(substr(CAST(CAST(round(o_totalprice, 0)
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS INT) >= 1
+        |  GROUP BY 1),
+        |e AS (
+        |  SELECT digit, n, sum(n) OVER () AS total,
+        |    log10(1.0 + 1.0 / digit) * (sum(n) OVER ()) AS expected
+        |  FROM dg)
+        |SELECT CAST(max(total) AS BIGINT) AS n_values,
+        |  round(sum((n::DOUBLE - expected) * (n::DOUBLE - expected)
+        |    / expected), 4) AS chi2,
+        |  sum((n::DOUBLE - expected) * (n::DOUBLE - expected)
+        |    / expected) > 15.507 AS deviates_05
+        |FROM e""".stripMargin,
 
     // Same simulated previous snapshot, same 48-bit content hashes.
     "q156_snapshot_diff" ->
