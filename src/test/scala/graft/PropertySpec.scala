@@ -175,4 +175,45 @@ class PropertySpec extends SparkSpec {
     val res = SCTest.check(prop)(_.withMinSuccessfulTests(30))
     assert(res.passed, res.status.toString)
   }
+
+  test("ols fit (property): recovers arbitrary integer lines exactly") {
+    val gen = for {
+      slope <- Gen.choose(-50L, 50L)
+      icept <- Gen.choose(-1000L, 1000L)
+      n <- Gen.choose(2, 10)
+      xs <- Gen.listOfN(n, Gen.choose(-500L, 500L))
+    } yield (slope, icept, xs.distinct)
+    val prop = forAll(gen) { case (m, b, xs) =>
+      xs.size < 2 || {
+        val pts = xs.map(x => ("g", x, m * x + b)).toDF("g", "x", "y")
+        val r = graft.operators.TrendFit
+          .olsFit(pts, Seq("g"), col("x"), col("y")).head()
+        // exact integer points on a line: closed form is exact in
+        // double arithmetic for these magnitudes (products < 2^53)
+        r.getAs[Double]("slope") == m.toDouble &&
+          r.getAs[Double]("intercept") == b.toDouble
+      }
+    }
+    val res = SCTest.check(prop)(_.withMinSuccessfulTests(20))
+    assert(res.passed, res.status.toString)
+  }
+
+  test("random projection (property): expression matches the driver-" +
+    "side sign matrix on arbitrary vectors") {
+    val gen = Gen.listOfN(64, Gen.choose(-1000, 1000).map(_ / 1000.0f))
+    val prop = forAll(gen) { vec =>
+      val df = Seq((1L, vec.toArray)).toDF("id", "v")
+      val got = graft.operators.Projection.randomProject(df, "v", "id")
+        .orderBy("dim").collect()
+        .map(r => r.getAs[Long]("proj_micro"))
+      val xs = vec.map(x => graft.functions.RandomProjectExpr
+        .roundMicro(x.toDouble))
+      val want = (0 until 16).map(j =>
+        (0 until 64).map(i =>
+          graft.operators.Projection.sign(j, i) * xs(i)).sum)
+      got.toSeq == want
+    }
+    val res = SCTest.check(prop)(_.withMinSuccessfulTests(10))
+    assert(res.passed, res.status.toString)
+  }
 }
