@@ -2016,6 +2016,71 @@ object SparkEntry {
           (sum("chi2_term") > 15.507).as("deviates_05"))
     }),
 
+    // Strict-order funnel (view → click → purchase, each step AFTER
+    // the previous): per user, earliest view, then earliest click
+    // after it, then earliest purchase after that — three cascaded
+    // min-aggregates with a broadcastable user-step table between
+    // stages (never a self-join product). q105's as-of attribution is
+    // the last-touch complement; this is the full ordered-journey
+    // count.
+    "q161_funnel_steps" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        col("event_type"), unix_timestamp(col("ts")).as("es"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("es").as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("es") > col("t_view"))
+        .groupBy("user_id").agg(min("es").as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("es") > col("t_click"))
+        .groupBy("user_id").agg(min("es").as("t_purchase"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .agg(count(lit(1)).as("n_view"),
+          sum(col("t_click").isNotNull.cast("long")).as("n_view_click"),
+          sum(col("t_purchase").isNotNull.cast("long"))
+            .as("n_full_funnel"))
+    }),
+
+    // Skip-gram co-occurrence pairs (word2vec/GloVe prep, the
+    // window-k generalization of q113's adjacent-bigram PMI): pairs
+    // at distance 1..3 via THREE lead() columns over the token
+    // stream — no position self-join, no join product; one window
+    // pass + one count aggregate, bounded top-k output.
+    "q162_skipgram_pairs" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        posexplode(split(lower(col("text")), "\\s+")).as(Seq("p", "t")))
+        .filter(col("t") =!= "")
+      val w = Window.partitionBy("doc_id").orderBy("p")
+      val paired = toks
+        .withColumn("t1", lead("t", 1).over(w))
+        .withColumn("t2", lead("t", 2).over(w))
+        .withColumn("t3", lead("t", 3).over(w))
+        .select(col("t").as("w1"), explode(array(
+          col("t1"), col("t2"), col("t3"))).as("w2"))
+        .filter(col("w2").isNotNull)
+      paired.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w1"), col("w2"))
+        .limit(30)
+    }),
+
+    // Entity resolution end-to-end: blocked fuzzy pairs (q125) fed
+    // into connected components (q37 machinery) → canonical entity
+    // clusters over part names — the transitive-closure step that
+    // turns pairwise matches into entities. Cluster id = min member
+    // id; output = multi-member clusters with sizes.
+    "q163_entity_clusters" -> ((s, d) => {
+      val pairs = graft.operators.FuzzyJoin.fuzzyPairs(
+        Tables.part(s, d), "p_partkey", "p_name",
+        blockKey = element_at(split(col("p_name"), " "), -1),
+        maxDist = 2)
+        .select(col("id_a"), col("id_b"))
+      graft.operators.Components.connectedComponents(pairs)
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"))
+        .filter(col("n_members") >= 2)
+    }),
+
     // Incremental near-dup maintenance: docs with doc_id % 10 == 0
     // arrive as the new batch; the rest are the already-indexed corpus.
     // The batch's band hashes probe the corpus's persisted band index,
@@ -4137,6 +4202,78 @@ object SparkEntry {
         |  round(quantile_cont(xm, 0.5), 6) AS q2,
         |  round(quantile_cont(xm, 0.75), 6) AS q3
         |FROM d GROUP BY dim""".stripMargin,
+
+    // Same cascaded earliest-step-after-previous chain.
+    "q161_funnel_steps" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS es
+        |  FROM events),
+        |v AS (SELECT user_id, min(es) AS t_view FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(es) AS t_click
+        |      FROM e JOIN v ON v.user_id = e.user_id
+        |      WHERE event_type = 'click' AND es > t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, min(es) AS t_purchase
+        |      FROM e JOIN c ON c.user_id = e.user_id
+        |      WHERE event_type = 'purchase' AND es > t_click GROUP BY 1)
+        |SELECT count(*) AS n_view,
+        |  CAST(sum(CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_view_click,
+        |  CAST(sum(CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_full_funnel
+        |FROM v LEFT JOIN c ON c.user_id = v.user_id
+        |LEFT JOIN p ON p.user_id = v.user_id""".stripMargin,
+
+    // Three leads replayed; same bounded top-30.
+    "q162_skipgram_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, p, t FROM (
+        |    SELECT doc_id, unnest(ts) AS t,
+        |      generate_subscripts(ts, 1) AS p
+        |    FROM (SELECT doc_id, list_filter(
+        |      string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+        |      FROM documents))),
+        |l AS (
+        |  SELECT t AS w1,
+        |    lead(t, 1) OVER (PARTITION BY doc_id ORDER BY p) AS t1,
+        |    lead(t, 2) OVER (PARTITION BY doc_id ORDER BY p) AS t2,
+        |    lead(t, 3) OVER (PARTITION BY doc_id ORDER BY p) AS t3
+        |  FROM toks),
+        |pr AS (
+        |  SELECT w1, w2 FROM (
+        |    SELECT w1, unnest([t1, t2, t3]) AS w2 FROM l)
+        |  WHERE w2 IS NOT NULL)
+        |SELECT w1, w2, count(*) AS n FROM pr GROUP BY w1, w2
+        |ORDER BY n DESC, w1, w2 LIMIT 30""".stripMargin,
+
+    // Fuzzy pairs (same blocking + levenshtein) expanded to ids, then
+    // the recursive-CTE transitive closure, min-id labels, size ≥ 2.
+    "q163_entity_clusters" ->
+      """WITH RECURSIVE vals AS (
+        |  SELECT p_name AS name,
+        |    string_split(p_name, ' ')[-1] AS blk
+        |  FROM part GROUP BY 1),
+        |m AS (
+        |  SELECT a.name AS name_a, b.name AS name_b
+        |  FROM vals a JOIN vals b ON a.blk = b.blk AND a.name <= b.name
+        |    AND abs(length(a.name) - length(b.name)) <= 2
+        |    AND levenshtein(a.name, b.name) <= 2),
+        |pairs AS (
+        |  SELECT pa.p_partkey AS id_a, pb.p_partkey AS id_b
+        |  FROM m
+        |  JOIN part pa ON pa.p_name = m.name_a
+        |  JOIN part pb ON pb.p_name = m.name_b
+        |  WHERE pa.p_partkey < pb.p_partkey),
+        |ed AS (SELECT id_a AS s, id_b AS d FROM pairs
+        |       UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT s AS id, s AS comp FROM ed
+        |  UNION
+        |  SELECT ed.d, reach.comp FROM reach JOIN ed ON ed.s = reach.id),
+        |lab AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+        |SELECT component, count(*) AS n_members
+        |FROM lab GROUP BY component HAVING count(*) >= 2""".stripMargin,
 
     // Same sufficient stats, same σ and allocation arithmetic.
     "q158_neyman_allocation" ->
