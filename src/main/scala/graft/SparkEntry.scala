@@ -2081,6 +2081,80 @@ object SparkEntry {
         .filter(col("n_members") >= 2)
     }),
 
+    // Trending terms (heavy-hitter change detection): token counts in
+    // the first vs second half of the corpus (by doc id), full-outer
+    // joined with ε-smoothed log-ratio lift — the "what changed in
+    // this ingest" monitor. Two map-side-combined aggregates over one
+    // token stream + a vocab-sized join; bounded top-20 by |lift|.
+    "q164_trending_terms" -> ((s, d) => {
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("t"))
+        .filter(col("t") =!= "")
+        .withColumn("half",
+          when(col("doc_id") % 2 === 0, "a").otherwise("b"))
+      val counts = toks.groupBy("t", "half").agg(count(lit(1)).as("n"))
+      val a = counts.filter(col("half") === "a")
+        .select(col("t"), col("n").as("n_a"))
+      val b = counts.filter(col("half") === "b")
+        .select(col("t"), col("n").as("n_b"))
+      a.join(b, Seq("t"), "full_outer")
+        .select(col("t"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+          coalesce(col("n_b"), lit(0L)).as("n_b"))
+        .withColumn("lift", round(
+          log((col("n_b").cast("double") + 1.0) /
+            (col("n_a").cast("double") + 1.0)), 6))
+        .orderBy(abs(col("lift")).desc, col("t"))
+        .limit(20)
+    }),
+
+    // Source vocabulary overlap matrix: exact distinct-token Jaccard
+    // between every source pair — "are these two crawls the same
+    // register of text". The corpus-sized work is ONE (source, token)
+    // distinct aggregate; the pair matrix is a |sources|²-bounded
+    // self-join on tokens with arithmetic Jaccard (the exact sibling
+    // of q111's KMV estimate, gradeable at this SF).
+    "q165_vocab_overlap" -> ((s, d) => {
+      val st = Tables.documents(s, d).select(col("source"),
+        explode(split(lower(col("text")), "\\s+")).as("t"))
+        .filter(col("t") =!= "").distinct()
+      val sizes = st.groupBy("source").agg(count(lit(1)).as("nv"))
+      st.alias("a").join(st.alias("b"),
+          col("a.t") === col("b.t") &&
+            col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"),
+          col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(sizes.select(col("source").as("src_a"),
+          col("nv").as("nv_a")), "src_a")
+        .join(sizes.select(col("source").as("src_b"),
+          col("nv").as("nv_b")), "src_b")
+        .withColumn("jaccard", round(
+          col("n_common").cast("double") /
+            (col("nv_a") + col("nv_b") - col("n_common")).cast("double"),
+          6))
+        .select("src_a", "src_b", "n_common", "jaccard")
+    }),
+
+    // Quality-gate attribution ("which filter does the work"): every
+    // doc evaluated against four independent gates, counted per
+    // gate-combination bitmask — the set-cover report that says which
+    // gates are redundant and which uniquely remove data. ONE pass,
+    // one 16-group aggregate.
+    "q166_gate_attribution" -> ((s, d) => {
+      val sig = Tables.documents(s, d).select(
+        (col("n_chars") < 100).cast("int").as("g_short"),
+        (graft.functions.TextFunctions.tokenCount(col("text")) < 20)
+          .cast("int").as("g_few_tokens"),
+        (col("lang") =!= "en").cast("int").as("g_nonenglish"),
+        (col("doc_id") % 13 === 0).cast("int").as("g_sampled_out"))
+      sig.groupBy("g_short", "g_few_tokens", "g_nonenglish",
+          "g_sampled_out")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("n_gates_failed",
+          col("g_short") + col("g_few_tokens") + col("g_nonenglish") +
+            col("g_sampled_out"))
+    }),
+
     // Incremental near-dup maintenance: docs with doc_id % 10 == 0
     // arrive as the new batch; the rest are the already-indexed corpus.
     // The batch's band hashes probe the corpus's persisted band index,
@@ -4202,6 +4276,65 @@ object SparkEntry {
         |  round(quantile_cont(xm, 0.5), 6) AS q2,
         |  round(quantile_cont(xm, 0.75), 6) AS q3
         |FROM d GROUP BY dim""".stripMargin,
+
+    // Same halves, same smoothing, same natural log.
+    "q164_trending_terms" ->
+      """WITH toks AS (
+        |  SELECT CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS half,
+        |    t
+        |  FROM (SELECT doc_id, unnest(list_filter(string_split_regex(
+        |    lower(text), '\s+'), x -> x <> '')) AS t FROM documents)),
+        |c AS (SELECT t, half, count(*) AS n FROM toks GROUP BY 1, 2),
+        |j AS (
+        |  SELECT coalesce(a.t, b.t) AS t,
+        |    coalesce(a.n, 0) AS n_a, coalesce(b.n, 0) AS n_b
+        |  FROM (SELECT t, n FROM c WHERE half = 'a') a
+        |  FULL OUTER JOIN (SELECT t, n FROM c WHERE half = 'b') b
+        |    ON a.t = b.t)
+        |SELECT t, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  round(ln((n_b::DOUBLE + 1.0) / (n_a::DOUBLE + 1.0)), 6) AS lift
+        |FROM j
+        |ORDER BY abs(round(ln((n_b::DOUBLE + 1.0) / (n_a::DOUBLE + 1.0)),
+        |  6)) DESC, t
+        |LIMIT 20""".stripMargin,
+
+    // Same distinct (source, token) table, same arithmetic Jaccard.
+    "q165_vocab_overlap" ->
+      """WITH st AS (
+        |  SELECT DISTINCT source, t
+        |  FROM (SELECT source, unnest(list_filter(string_split_regex(
+        |    lower(text), '\s+'), x -> x <> '')) AS t FROM documents)),
+        |sz AS (SELECT source, count(*) AS nv FROM st GROUP BY 1),
+        |pr AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    count(*) AS n_common
+        |  FROM st a JOIN st b ON a.t = b.t AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT pr.src_a, pr.src_b, pr.n_common,
+        |  round(pr.n_common::DOUBLE
+        |    / (za.nv + zb.nv - pr.n_common)::DOUBLE, 6) AS jaccard
+        |FROM pr
+        |JOIN sz za ON za.source = pr.src_a
+        |JOIN sz zb ON zb.source = pr.src_b""".stripMargin,
+
+    // Same four gates, same bitmask groups.
+    "q166_gate_attribution" ->
+      """SELECT
+        |  CASE WHEN n_chars < 100 THEN 1 ELSE 0 END AS g_short,
+        |  CASE WHEN len(list_filter(string_split_regex(lower(text),
+        |    '\s+'), x -> x <> '')) < 20 THEN 1 ELSE 0 END
+        |    AS g_few_tokens,
+        |  CASE WHEN lang <> 'en' THEN 1 ELSE 0 END AS g_nonenglish,
+        |  CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END AS g_sampled_out,
+        |  count(*) AS n_docs,
+        |  (CASE WHEN n_chars < 100 THEN 1 ELSE 0 END
+        |   + CASE WHEN len(list_filter(string_split_regex(lower(text),
+        |       '\s+'), x -> x <> '')) < 20 THEN 1 ELSE 0 END
+        |   + CASE WHEN lang <> 'en' THEN 1 ELSE 0 END
+        |   + CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END)
+        |    AS n_gates_failed
+        |FROM documents
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
 
     // Same cascaded earliest-step-after-previous chain.
     "q161_funnel_steps" ->
