@@ -2155,6 +2155,73 @@ object SparkEntry {
             col("g_sampled_out"))
     }),
 
+    // Language confusion matrix (label-quality audit): the declared
+    // `lang` column vs the n-gram detector's prediction, exact counts
+    // per (actual, predicted) cell + per-cell agreement flag — the ML
+    // eval primitive that says WHERE the labeler and detector
+    // disagree, not just how often (q21 reports the marginal).
+    "q167_lang_confusion" -> ((s, d) => {
+      val pred = TextFunctions.langIdByDoc(
+        Tables.documents(s, d), "text", "doc_id")
+        .select(col("doc_id"), col("detected_lang"))
+      Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .join(pred, "doc_id")
+        .groupBy(col("lang").as("actual"), col("detected_lang")
+          .as("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("agree", col("actual") === col("predicted"))
+    }),
+
+    // Run-length-encoding effectiveness estimate (storage planning —
+    // the companion to q71/q116's layout work): for a z-ordered
+    // layout, each column's RLE run count = 1 + Σ(value ≠ previous)
+    // in layout order, per simulated file. Tight layouts → few runs →
+    // RLE wins; the report quantifies it per column before any
+    // rewrite. One window pass in layout order.
+    "q168_rle_estimate" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).select(col("event_id"),
+        col("user_id"), floor(col("value") / 10).cast("long").as("vbin"),
+        graft.operators.ZOrder.interleave(
+          col("user_id"), floor(col("value") / 10), bits = 16).as("zkey"))
+      val w = Window.orderBy("zkey", "event_id")
+      val marked = ev
+        .withColumn("file_id", ntile(16).over(w))
+        .withColumn("chg_user",
+          (col("user_id") =!=
+            lag("user_id", 1).over(Window.partitionBy("file_id")
+              .orderBy("zkey", "event_id"))).cast("long"))
+        .withColumn("chg_vbin",
+          (col("vbin") =!=
+            lag("vbin", 1).over(Window.partitionBy("file_id")
+              .orderBy("zkey", "event_id"))).cast("long"))
+      marked.groupBy("file_id")
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(coalesce(col("chg_user"), lit(0L))) + 1).as("runs_user"),
+          (sum(coalesce(col("chg_vbin"), lit(0L))) + 1).as("runs_vbin"))
+    }),
+
+    // Packing-efficiency audit: q64's greedy next-fit bins vs the
+    // ceil(Σtok/budget) lower bound per shard, plus wasted-slot
+    // fraction — the report that justifies (or indicts) the packer.
+    // Pure composition over the verified q64 plan output.
+    "q169_packing_efficiency" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .as("n_tok"))
+      graft.operators.SequencePack
+        .pack(docs, "source", "doc_id", "n_tok", budget = 2048)
+        .groupBy("source")
+        .agg(sum("n_tok").as("total_tok"),
+          (max("bin") + 1).as("bins_used"))
+        .withColumn("bins_lower_bound",
+          ceil(col("total_tok").cast("double") / 2048.0).cast("long"))
+        .withColumn("waste_frac", round(
+          (col("bins_used") * 2048 - col("total_tok")).cast("double") /
+            (col("bins_used") * 2048).cast("double"), 6))
+    }),
+
     // Incremental near-dup maintenance: docs with doc_id % 10 == 0
     // arrive as the new batch; the rest are the already-indexed corpus.
     // The batch's band hashes probe the corpus's persisted band index,
@@ -4276,6 +4343,87 @@ object SparkEntry {
         |  round(quantile_cont(xm, 0.5), 6) AS q2,
         |  round(quantile_cont(xm, 0.75), 6) AS q3
         |FROM d GROUP BY dim""".stripMargin,
+
+    // q21's detector CTE joined back to the declared label.
+    "q167_lang_confusion" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    t -> t <> '')) AS t
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |    avg(CASE WHEN t IN ('der','die','das','und','ist','ein','nicht','zu') THEN 1.0 ELSE 0.0 END) AS s_de,
+        |    avg(CASE WHEN t IN ('the','and','of','to','is','in','that','it') THEN 1.0 ELSE 0.0 END) AS s_en,
+        |    avg(CASE WHEN t IN ('el','la','los','y','de','un','una','es') THEN 1.0 ELSE 0.0 END) AS s_es,
+        |    avg(CASE WHEN t IN ('le','la','les','et','de','un','une','est') THEN 1.0 ELSE 0.0 END) AS s_fr,
+        |    avg(CASE WHEN t IN ('il','la','di','e','un','una','che','per') THEN 1.0 ELSE 0.0 END) AS s_it
+        |  FROM toks GROUP BY doc_id),
+        |best AS (
+        |  SELECT doc_id, list_max([
+        |    {'score': s_de, 'lang': 'de'}, {'score': s_en, 'lang': 'en'},
+        |    {'score': s_es, 'lang': 'es'}, {'score': s_fr, 'lang': 'fr'},
+        |    {'score': s_it, 'lang': 'it'}]) AS b
+        |  FROM sc),
+        |pred AS (
+        |  SELECT doc_id,
+        |    CASE WHEN struct_extract(b, 'score') >= 0.05
+        |      THEN struct_extract(b, 'lang') ELSE 'und' END AS predicted
+        |  FROM best)
+        |SELECT d.lang AS actual, p.predicted, count(*) AS n,
+        |  (d.lang = p.predicted) AS agree
+        |FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Same Morton key, same ntile files, same lag-based run counts.
+    "q168_rle_estimate" ->
+      """WITH z AS (
+        |  SELECT event_id, user_id,
+        |    CAST(floor(value / 10) AS BIGINT) AS vbin,
+        |    CAST(list_sum(list_transform(generate_series(0, 15),
+        |      b -> ((((user_id & 65535) >> b) & 1) << (2*b))
+        |         + ((((CAST(floor(value / 10) AS BIGINT) & 65535) >> b)
+        |             & 1) << (2*b+1)))) AS BIGINT) AS zkey
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CAST(ntile(16) OVER (ORDER BY zkey, event_id)
+        |    AS INT) AS file_id
+        |  FROM z),
+        |m AS (
+        |  SELECT file_id,
+        |    CASE WHEN user_id <> lag(user_id) OVER (
+        |      PARTITION BY file_id ORDER BY zkey, event_id)
+        |      THEN 1 ELSE 0 END AS chg_user,
+        |    CASE WHEN vbin <> lag(vbin) OVER (
+        |      PARTITION BY file_id ORDER BY zkey, event_id)
+        |      THEN 1 ELSE 0 END AS chg_vbin
+        |  FROM f)
+        |SELECT file_id, count(*) AS n_rows,
+        |  CAST(sum(chg_user) + 1 AS BIGINT) AS runs_user,
+        |  CAST(sum(chg_vbin) + 1 AS BIGINT) AS runs_vbin
+        |FROM m GROUP BY file_id""".stripMargin,
+
+    // q64's packing arithmetic aggregated per shard.
+    "q169_packing_efficiency" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t <> '')) AS INT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS cum_excl
+        |  FROM d),
+        |g AS (
+        |  SELECT source, CAST(sum(n_tok) AS BIGINT) AS total_tok,
+        |    CAST(max(cum_excl // 2048) + 1 AS BIGINT) AS bins_used
+        |  FROM c GROUP BY source)
+        |SELECT source, total_tok, bins_used,
+        |  CAST(ceil(total_tok::DOUBLE / 2048.0) AS BIGINT)
+        |    AS bins_lower_bound,
+        |  round((bins_used * 2048 - total_tok)::DOUBLE
+        |    / (bins_used * 2048)::DOUBLE, 6) AS waste_frac
+        |FROM g""".stripMargin,
 
     // Same halves, same smoothing, same natural log.
     "q164_trending_terms" ->
