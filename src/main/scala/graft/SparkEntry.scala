@@ -2222,6 +2222,75 @@ object SparkEntry {
             (col("bins_used") * 2048).cast("double"), 6))
     }),
 
+    // Mutual information between two categorical columns (feature-
+    // dependency audit — "does event type actually depend on the user
+    // cohort, or can the pipeline treat them independently"): joint
+    // counts from ONE aggregate over the |domain A|×|domain B| cells,
+    // marginals as window sums over that tiny table, MI = Σ p·ln(
+    // p·N / (ra·cb)) over exact integers. Same scale shape as q113's
+    // PMI (which is the per-cell score; this is the summary).
+    "q170_mutual_information" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = Tables.events(s, d)
+        .select(col("event_type"), (col("user_id") % 10).as("cohort"))
+        .groupBy("event_type", "cohort").agg(count(lit(1)).as("n"))
+      val wa = Window.partitionBy("event_type")
+      val wb = Window.partitionBy("cohort")
+      val tot = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      cells
+        .withColumn("ra", sum("n").over(wa))
+        .withColumn("cb", sum("n").over(wb))
+        .withColumn("nn", sum("n").over(tot))
+        .withColumn("term",
+          (col("n").cast("double") / col("nn").cast("double")) *
+            log((col("n").cast("double") * col("nn").cast("double")) /
+              (col("ra").cast("double") * col("cb").cast("double"))))
+        .groupBy()
+        .agg(max("nn").as("n_events"),
+          count(lit(1)).as("n_cells"),
+          round(sum("term"), 6).as("mi_nats"))
+    }),
+
+    // Lag-1 autocorrelation of the daily revenue series (seasonality
+    // / trend-persistence check): daily integer-cent totals, series
+    // self-joined at lag 1 day (equi-join on the date, no window over
+    // events), Pearson r from exact sufficient stats in a fixed
+    // double tree. The |days|-sized series is the only shuffled data.
+    "q171_autocorrelation" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val lagged = daily.select(date_add(col("day"), 1).as("day"),
+        col("cents").as("prev_cents"))
+      val pairs = daily.join(lagged, "day")
+      val st = pairs.agg(count(lit(1)).as("n"),
+        sum("cents").as("sy"), sum("prev_cents").as("sx"),
+        sum(col("cents") * col("prev_cents")).as("sxy"),
+        sum(col("cents") * col("cents")).as("syy"),
+        sum(col("prev_cents") * col("prev_cents")).as("sxx"))
+      def dd(c: String) = col(c).cast("double")
+      st.select(col("n"),
+        round((dd("n") * dd("sxy") - dd("sx") * dd("sy")) /
+          (sqrt(dd("n") * dd("sxx") - dd("sx") * dd("sx")) *
+            sqrt(dd("n") * dd("syy") - dd("sy") * dd("sy"))), 6)
+          .as("lag1_r"))
+    }),
+
+    // Duplicate-cluster size distribution ("how big are dup
+    // families"): counts-of-counts over the verified q37 component
+    // labels — a 1-cluster-of-400 corpus and a 200-pairs corpus dedup
+    // very differently; this histogram is the shape diagnostic.
+    "q172_cluster_sizes" -> ((s, d) => {
+      val labels = graft.operators.Components.connectedComponentsCached(
+        Dedup.minhashNearDupsCached(Tables.documents(s, d), d,
+          "text", "doc_id", shingleSize = 3, numHashes = 64, bands = 16,
+          threshold = 0.5).select(col("id_a"), col("id_b")),
+        inputKey = s"minhash05|$d")
+      labels.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    }),
+
     // Incremental near-dup maintenance: docs with doc_id % 10 == 0
     // arrive as the new batch; the rest are the already-indexed corpus.
     // The batch's band hashes probe the corpus's persisted band index,
@@ -4344,6 +4413,48 @@ object SparkEntry {
         |  round(quantile_cont(xm, 0.75), 6) AS q3
         |FROM d GROUP BY dim""".stripMargin,
 
+    // Same joint/marginal tables, same p·ln term.
+    "q170_mutual_information" ->
+      """WITH cells AS (
+        |  SELECT event_type, user_id % 10 AS cohort, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT n,
+        |    sum(n) OVER (PARTITION BY event_type) AS ra,
+        |    sum(n) OVER (PARTITION BY cohort) AS cb,
+        |    sum(n) OVER () AS nn
+        |  FROM cells)
+        |SELECT CAST(max(nn) AS BIGINT) AS n_events,
+        |  count(*) AS n_cells,
+        |  round(sum((n::DOUBLE / nn::DOUBLE)
+        |    * ln((n::DOUBLE * nn::DOUBLE)
+        |        / (ra::DOUBLE * cb::DOUBLE))), 6) AS mi_nats
+        |FROM m""".stripMargin,
+
+    // Same daily series, lag join, and Pearson tree.
+    "q171_autocorrelation" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT d1.cents, d0.cents AS prev_cents
+        |  FROM daily d1 JOIN daily d0 ON d1.day = d0.day + 1),
+        |s AS (
+        |  SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS sy,
+        |    CAST(sum(prev_cents) AS BIGINT) AS sx,
+        |    CAST(sum(cents * prev_cents) AS BIGINT) AS sxy,
+        |    CAST(sum(cents * cents) AS BIGINT) AS syy,
+        |    CAST(sum(prev_cents * prev_cents) AS BIGINT) AS sxx
+        |  FROM p)
+        |SELECT n,
+        |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |    / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |     * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+        |    6) AS lag1_r
+        |FROM s""".stripMargin,
+
     // q21's detector CTE joined back to the declared label.
     "q167_lang_confusion" ->
       """WITH toks AS (
@@ -5190,6 +5301,22 @@ object SparkEntry {
     // Connected components over the exact trigram-Jaccard pair graph
     // (≡ the engine's MinHash pair graph — total recall on this corpus)
     // via transitive closure, then per-cluster size + min-id canonical.
+    // Sizes-of-components histogram over the same recursive closure.
+    "q172_cluster_sizes" ->
+      (ngramJaccardPairsCte +
+        """,
+          |ed AS (SELECT id_a AS s, id_b AS d FROM jpairs
+          |       UNION SELECT id_b, id_a FROM jpairs),
+          |reach AS (
+          |  SELECT s AS id, s AS comp FROM ed
+          |  UNION
+          |  SELECT ed.d, reach.comp FROM reach JOIN ed ON ed.s = reach.id),
+          |lab AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+          |cz AS (SELECT component, count(*) AS cluster_size
+          |       FROM lab GROUP BY component)
+          |SELECT cluster_size, count(*) AS n_clusters
+          |FROM cz GROUP BY cluster_size""".stripMargin),
+
     "q37_dedup_components" ->
       (ngramJaccardPairsCte +
         """,
