@@ -2291,6 +2291,59 @@ object SparkEntry {
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
     }),
 
+    // word2vec negative-sampling table: sampling weight ∝ count^0.75
+    // (Mikolov et al. 2013's smoothing — rare words get relatively
+    // more probability mass), normalized + cumulative CDF over the
+    // count-DESC vocab order — exactly the table an alias/binary-
+    // search sampler consumes. One token aggregate + one window over
+    // the vocab-sized table; bounded top-30 output.
+    "q173_negative_sampling" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val vocab = Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), "\\s+")).as("t"))
+        .filter(col("t") =!= "")
+        .groupBy("t").agg(count(lit(1)).as("n"))
+        .withColumn("w", pow(col("n").cast("double"), 0.75))
+      val tot = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val ord = Window.orderBy(col("n").desc, col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      vocab
+        .withColumn("p", round(col("w") / sum("w").over(tot), 6))
+        .withColumn("cdf", round(sum("w").over(ord) / sum("w").over(tot),
+          6))
+        .orderBy(col("n").desc, col("t"))
+        .limit(30)
+        .select("t", "n", "p", "cdf")
+    }),
+
+    // Per-source coverage curve ("what fraction of documents carries
+    // half the characters"): docs ranked by size DESC within source,
+    // cumulative char fraction, the minimal doc counts reaching 50%
+    // and 90% coverage — the concentration diagnostic that decides
+    // whether trimming small docs loses anything. Windows per source
+    // (never a corpus-global sort), |sources| output rows.
+    "q174_coverage_curve" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ord = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy("source")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val ranked = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("rank", count(lit(1)).over(
+          Window.partitionBy("source")
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+        .withColumn("cumfrac",
+          sum("n_chars").over(ord).cast("double") /
+            sum("n_chars").over(tot).cast("double"))
+      ranked.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          min(when(col("cumfrac") >= 0.5, col("rank"))).as("docs_to_50"),
+          min(when(col("cumfrac") >= 0.9, col("rank"))).as("docs_to_90"))
+    }),
+
     // Incremental near-dup maintenance: docs with doc_id % 10 == 0
     // arrive as the new batch; the rest are the already-indexed corpus.
     // The batch's band hashes probe the corpus's persisted band index,
@@ -4412,6 +4465,38 @@ object SparkEntry {
         |  round(quantile_cont(xm, 0.5), 6) AS q2,
         |  round(quantile_cont(xm, 0.75), 6) AS q3
         |FROM d GROUP BY dim""".stripMargin,
+
+    // Same ^0.75 weights, same count-DESC CDF order.
+    "q173_negative_sampling" ->
+      """WITH v AS (
+        |  SELECT t, count(*) AS n,
+        |    pow(count(*)::DOUBLE, 0.75) AS w
+        |  FROM (SELECT unnest(list_filter(string_split_regex(
+        |    lower(text), '\s+'), x -> x <> '')) AS t FROM documents)
+        |  GROUP BY t)
+        |SELECT t, n, round(w / sum(w) OVER (), 6) AS p,
+        |  round(sum(w) OVER (ORDER BY n DESC, t
+        |      ROWS UNBOUNDED PRECEDING) / sum(w) OVER (), 6) AS cdf
+        |FROM v ORDER BY n DESC, t LIMIT 30""".stripMargin,
+
+    // Same size-DESC ranks and cumulative char fractions.
+    "q174_coverage_curve" ->
+      """WITH r AS (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rank,
+        |    sum(n_chars) OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING)::DOUBLE
+        |      / (sum(n_chars) OVER (PARTITION BY source))::DOUBLE
+        |      AS cumfrac
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(min(CASE WHEN cumfrac >= 0.5 THEN rank END) AS BIGINT)
+        |    AS docs_to_50,
+        |  CAST(min(CASE WHEN cumfrac >= 0.9 THEN rank END) AS BIGINT)
+        |    AS docs_to_90
+        |FROM r GROUP BY source""".stripMargin,
 
     // Same joint/marginal tables, same p·ln term.
     "q170_mutual_information" ->
