@@ -2344,6 +2344,74 @@ object SparkEntry {
           min(when(col("cumfrac") >= 0.9, col("rank"))).as("docs_to_90"))
     }),
 
+    // Template-prefix families (form-letter / scaffold detection —
+    // the PREFIX-anchored complement of q100's anywhere-in-doc
+    // boilerplate): docs sharing their first 8 tokens verbatim are a
+    // template family; families of ≥ 3 with member counts and char
+    // mass. Keyed by md5 of the prefix (32-char key, never the text),
+    // one hash aggregate.
+    "q175_template_prefixes" -> ((s, d) => {
+      val pref = Tables.documents(s, d).select(col("doc_id"),
+        col("n_chars"),
+        md5(array_join(slice(graft.functions.TextFunctions
+          .tokens(col("text")), 1, 8), " ")).as("prefix_key"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .as("n_tok"))
+        .filter(col("n_tok") >= 8)
+      pref.groupBy("prefix_key")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          min("doc_id").as("exemplar_doc"))
+        .filter(col("n_docs") >= 3)
+    }),
+
+    // Inter-arrival-time profile per event type (traffic modeling /
+    // rate limiting): per-type mean gap from exact integer sums over
+    // the per-user lag window (Poisson-process MLE rate = 1/mean),
+    // plus the max gap. One user-keyed window + one aggregate.
+    "q176_interarrival" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("es", "event_id")
+      val gaps = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_timestamp(col("ts")).as("es"))
+        .withColumn("gap", col("es") - lag("es", 1).over(w))
+        .filter(col("gap").isNotNull)
+      gaps.groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"), sum("gap").as("sum_gap_s"),
+          max("gap").as("max_gap_s"))
+        .withColumn("mean_gap_s", round(
+          col("sum_gap_s").cast("double") / col("n_gaps").cast("double"),
+          4))
+        .withColumn("rate_per_hour", round(
+          lit(3600.0) * col("n_gaps").cast("double") /
+            col("sum_gap_s").cast("double"), 4))
+    }),
+
+    // Churn-label builder (supervised-learning prep): per (user,
+    // week) activity row + the LABEL = "was the user active the
+    // following week" via one lead() over the user's week series —
+    // the standard leakage-safe target construction (label strictly
+    // from the future, features strictly from the present).
+    "q177_churn_labels" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val weeks = Tables.events(s, d)
+        .select(col("user_id"),
+          floor(datediff(to_date(col("ts")), to_date(lit("2024-01-01")))
+            / 7).cast("long").as("week"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("user_id", "week")
+        .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+      val w = Window.partitionBy("user_id").orderBy("week")
+      weeks
+        .withColumn("next_week", lead("week", 1).over(w))
+        .withColumn("active_next_week",
+          col("next_week").isNotNull &&
+            col("next_week") === col("week") + 1)
+        .select("user_id", "week", "n_events", "sum_cents",
+          "active_next_week")
+    }),
+
     // Incremental near-dup maintenance: docs with doc_id % 10 == 0
     // arrive as the new batch; the rest are the already-indexed corpus.
     // The batch's band hashes probe the corpus's persisted band index,
@@ -4465,6 +4533,54 @@ object SparkEntry {
         |  round(quantile_cont(xm, 0.5), 6) AS q2,
         |  round(quantile_cont(xm, 0.75), 6) AS q3
         |FROM d GROUP BY dim""".stripMargin,
+
+    // Same 8-token prefix key (md5 of the space-joined slice).
+    "q175_template_prefixes" ->
+      """WITH p AS (
+        |  SELECT doc_id, n_chars,
+        |    md5(array_to_string(ts[1:8], ' ')) AS prefix_key,
+        |    len(ts) AS n_tok
+        |  FROM (SELECT doc_id, n_chars, list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+        |    FROM documents)
+        |  WHERE len(ts) >= 8)
+        |SELECT prefix_key, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS exemplar_doc
+        |FROM p GROUP BY prefix_key
+        |HAVING count(*) >= 3""".stripMargin,
+
+    // Same per-(user,type) lag gaps, same exact sums.
+    "q176_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    es - lag(es) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY es, event_id) AS gap
+        |  FROM (SELECT user_id, event_type, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events))
+        |SELECT event_type, count(*) AS n_gaps,
+        |  CAST(sum(gap) AS BIGINT) AS sum_gap_s,
+        |  CAST(max(gap) AS BIGINT) AS max_gap_s,
+        |  round(sum(gap)::DOUBLE / count(*)::DOUBLE, 4) AS mean_gap_s,
+        |  round(3600.0 * count(*)::DOUBLE / sum(gap)::DOUBLE, 4)
+        |    AS rate_per_hour
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY event_type""".stripMargin,
+
+    // Same week arithmetic, same lead-based label.
+    "q177_churn_labels" ->
+      """WITH w AS (
+        |  SELECT user_id,
+        |    CAST(floor(datediff('day', DATE '2024-01-01',
+        |      CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week,
+        |    count(*) AS n_events,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS sum_cents
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, week, n_events, sum_cents,
+        |  coalesce(lead(week) OVER (PARTITION BY user_id
+        |    ORDER BY week) = week + 1, FALSE) AS active_next_week
+        |FROM w""".stripMargin,
 
     // Same ^0.75 weights, same count-DESC CDF order.
     "q173_negative_sampling" ->
