@@ -2412,6 +2412,57 @@ object SparkEntry {
           "active_next_week")
     }),
 
+    // k-anonymity audit (privacy engineering, the release-gate
+    // companion to q90's PII scrub): quasi-identifier combination
+    // (cohort, event type, day) group sizes; combinations seen by
+    // fewer than k=5 users are re-identification risks. ONE aggregate
+    // over the quasi-identifier domain + a summary row per risk tier.
+    "q178_k_anonymity" -> ((s, d) => {
+      val combos = Tables.events(s, d)
+        .select((col("user_id") % 10).as("cohort"), col("event_type"),
+          to_date(col("ts")).as("day"), col("user_id"))
+        .groupBy("cohort", "event_type", "day")
+        .agg(countDistinct(col("user_id")).as("k"))
+      combos
+        .withColumn("tier",
+          when(col("k") === 1, "unique")
+            .when(col("k") < 5, "small_k").otherwise("anonymous"))
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n_combos"), min("k").as("min_k"),
+          max("k").as("max_k"))
+    }),
+
+    // Dedup-aware effective token count (the scaling-law "how much
+    // UNIQUE data is this corpus really" metric): each doc's tokens
+    // weighted by 1/cluster_size over the memoized near-dup clusters
+    // — a family of 5 near-identical docs contributes one doc's worth.
+    // Integer-exact: Σ floor(1e6·tokens/size) micro-tokens.
+    "q179_effective_tokens" -> ((s, d) => {
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("n_tok"))
+      val labels = graft.operators.Components.connectedComponentsCached(
+        Dedup.minhashNearDupsCached(Tables.documents(s, d), d,
+          "text", "doc_id", shingleSize = 3, numHashes = 64, bands = 16,
+          threshold = 0.5).select(col("id_a"), col("id_b")),
+        inputKey = s"minhash05|$d")
+      val sizes = labels.groupBy("component")
+        .agg(count(lit(1)).as("csize"))
+      val weighted = toks
+        .join(labels.select(col("id").as("doc_id"), col("component")),
+          Seq("doc_id"), "left")
+        .join(sizes, Seq("component"), "left")
+        .withColumn("csize", coalesce(col("csize"), lit(1L)))
+        // integer `div`, not `/`: double division rounds to nearest
+        // before floor and can disagree with the oracle's `//` by 1
+        .withColumn("eff_micro", expr("(1000000 * n_tok) div csize"))
+      weighted.agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("raw_tokens"),
+        sum("eff_micro").as("effective_micro_tokens"),
+        round(sum("eff_micro").cast("double") /
+          (sum("n_tok").cast("double") * 1e6), 6).as("effective_frac"))
+    }),
+
     // Incremental near-dup maintenance: docs with doc_id % 10 == 0
     // arrive as the new batch; the rest are the already-indexed corpus.
     // The batch's band hashes probe the corpus's persisted band index,
@@ -4533,6 +4584,51 @@ object SparkEntry {
         |  round(quantile_cont(xm, 0.5), 6) AS q2,
         |  round(quantile_cont(xm, 0.75), 6) AS q3
         |FROM d GROUP BY dim""".stripMargin,
+
+    // Same quasi-identifier combos and risk tiers.
+    "q178_k_anonymity" ->
+      """WITH c AS (
+        |  SELECT user_id % 10 AS cohort, event_type,
+        |    CAST(ts AS DATE) AS day,
+        |    count(DISTINCT user_id) AS k
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT CASE WHEN k = 1 THEN 'unique'
+        |    WHEN k < 5 THEN 'small_k' ELSE 'anonymous' END AS tier,
+        |  count(*) AS n_combos,
+        |  CAST(min(k) AS BIGINT) AS min_k,
+        |  CAST(max(k) AS BIGINT) AS max_k
+        |FROM c GROUP BY 1""".stripMargin,
+
+    // Cluster sizes from the recursive closure; same floor-micro
+    // weighting.
+    "q179_effective_tokens" ->
+      (ngramJaccardPairsCte +
+        """,
+          |ed AS (SELECT id_a AS s, id_b AS d FROM jpairs
+          |       UNION SELECT id_b, id_a FROM jpairs),
+          |reach AS (
+          |  SELECT s AS id, s AS comp FROM ed
+          |  UNION
+          |  SELECT ed.d, reach.comp FROM reach JOIN ed ON ed.s = reach.id),
+          |lab AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+          |cz AS (SELECT component, count(*) AS csize FROM lab GROUP BY 1),
+          |tk AS (
+          |  SELECT doc_id, CAST(len(list_filter(string_split_regex(
+          |    lower(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tok
+          |  FROM documents),
+          |wt AS (
+          |  SELECT tk.doc_id, tk.n_tok,
+          |    coalesce(cz.csize, 1) AS csize
+          |  FROM tk
+          |  LEFT JOIN lab ON lab.id = tk.doc_id
+          |  LEFT JOIN cz ON cz.component = lab.component)
+          |SELECT count(*) AS n_docs,
+          |  CAST(sum(n_tok) AS BIGINT) AS raw_tokens,
+          |  CAST(sum((1000000 * n_tok) // csize) AS BIGINT)
+          |    AS effective_micro_tokens,
+          |  round(sum((1000000 * n_tok) // csize)::DOUBLE
+          |    / (sum(n_tok)::DOUBLE * 1000000.0), 6) AS effective_frac
+          |FROM wt""".stripMargin),
 
     // Same 8-token prefix key (md5 of the space-joined slice).
     "q175_template_prefixes" ->
