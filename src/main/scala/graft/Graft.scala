@@ -149,4 +149,34 @@ object Graft {
                     y: org.apache.spark.sql.Column,
                     partitions: Int): DataFrame =
     ZOrder.clusterBy(df, x, y, partitions)
+
+  /** JL random projection to `outDims` micro-unit components —
+    * map-only, exact, content-addressed signs (native codegen expr).
+    */
+  def randomProject(df: DataFrame, embCol: String, idCol: String,
+                    inDims: Int = 64, outDims: Int = 16): DataFrame =
+    operators.Projection.randomProject(df, embCol, idCol, inDims, outDims)
+
+  /** Batch-over-batch structural drift report (cardinality / null /
+    * range per column).
+    */
+  def driftReport(batchA: DataFrame, batchB: DataFrame,
+                  columns: Seq[String]): DataFrame =
+    operators.Profiling.driftReport(batchA, batchB, columns)
+
+  /** Grouped OLS trend from one sufficient-stats aggregate. */
+  def trendFit(df: DataFrame, groupCols: Seq[String],
+               x: org.apache.spark.sql.Column,
+               y: org.apache.spark.sql.Column): DataFrame =
+    operators.TrendFit.olsFit(df, groupCols, x, y)
+
+  /** Perceptual image near-dup pairs (dHash + pigeonhole Hamming). */
+  def imageNearDups(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    operators.Multimodal.imageNearDups(media, maxHamming)
+
+  /** Manually salted equi-join for known-skew keys; ≡ the plain join. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 saltExpr: org.apache.spark.sql.Column,
+                 salts: Int = 8): DataFrame =
+    operators.Skew.saltedJoin(big, small, keys, saltExpr, salts)
 }

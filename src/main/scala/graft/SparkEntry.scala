@@ -2463,6 +2463,29 @@ object SparkEntry {
           (sum("n_tok").cast("double") * 1e6), 6).as("effective_frac"))
     }),
 
+    // Image-corpus dedup end-to-end (the multimodal capstone, the
+    // image sibling of q65's text pipeline): dHash pairs (q155) →
+    // connected components → keep min-id per perceptual cluster +
+    // all unpaired images. Output: corpus summary with kept/dropped
+    // counts. Rows-only (binary decode); the keep-set invariants are
+    // the q155/q37 specs composed.
+    "q180_image_dedup_corpus" -> ((s, d) => {
+      val media = Multimodal.syntheticMedia(s, Tables.documents(s, d))
+        .filter(col("kind") === "image")
+      val dups = media.filter(col("media_id") % 5 === 0)
+        .withColumn("media_id", col("media_id") + 100000L)
+      val corpus = media.unionByName(dups)
+      val pairs = Multimodal.imageNearDups(corpus, maxHamming = 3)
+        .select(col("id_a"), col("id_b"))
+      val losers = graft.operators.Components.connectedComponents(pairs)
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("media_id"))
+      val kept = corpus.join(losers, Seq("media_id"), "left_anti")
+      kept.agg(count(lit(1)).as("n_kept"))
+        .crossJoin(corpus.agg(count(lit(1)).as("n_total")))
+        .withColumn("n_dropped", col("n_total") - col("n_kept"))
+    }),
+
     // Incremental near-dup maintenance: docs with doc_id % 10 == 0
     // arrive as the new batch; the rest are the already-indexed corpus.
     // The batch's band hashes probe the corpus's persisted band index,

@@ -35,8 +35,10 @@ class EntrySpec extends SparkSpec {
                                 // (determinism in RetrievalFuzzySpec)
       "q131_semantic_dedup",    // iterative k-means clustering — not
                                 // SQL-replayable (GraphSelectionSpec)
-      "q155_image_neardup"      // binary image decode (dHash) — no SQL
-                                // oracle (StreamingMultimodalSpec)
+      "q155_image_neardup",     // binary image decode (dHash) — no SQL
+                                // oracle (MultimodalSpec)
+      "q180_image_dedup_corpus" // q155 ∘ components composition — same
+                                // binary-decode limitation
     ), s"unexpected rows-only set: $rowsOnly")
   }
 }
