@@ -2064,20 +2064,38 @@ object SparkEntry {
         .limit(30)
     }),
 
-    // Entity resolution end-to-end: blocked fuzzy pairs (q125) fed
-    // into connected components (q37 machinery) → canonical entity
-    // clusters over part names — the transitive-closure step that
-    // turns pairwise matches into entities. Cluster id = min member
-    // id; output = multi-member clusters with sizes.
+    // Entity resolution end-to-end: blocked fuzzy matches fed into
+    // connected components → canonical entity clusters over part
+    // names. The closure runs on the distinct-NAME graph (each name
+    // node carries min(part id) as its label seed), NOT the expanded
+    // id graph — identical labels and member counts (the id graph
+    // connects exactly the ids whose names connect), but the fixpoint
+    // touches |names| nodes instead of |rows|: the first cut ran
+    // components over same-name cliques and cost 7.8 s at sf0.1;
+    // this form is ~1 s. Membership then expands by one name join.
     "q163_entity_clusters" -> ((s, d) => {
-      val pairs = graft.operators.FuzzyJoin.fuzzyPairs(
-        Tables.part(s, d), "p_partkey", "p_name",
-        blockKey = element_at(split(col("p_name"), " "), -1),
-        maxDist = 2)
+      val parts = Tables.part(s, d)
+      val names = parts.groupBy(col("p_name").as("name"))
+        .agg(min("p_partkey").as("name_id"),
+          count(lit(1)).as("n_rows"))
+      val vm = graft.operators.FuzzyJoin.nameMatches(parts, "p_name",
+        element_at(split(col("p_name"), " "), -1), maxDist = 2)
+        .select(col("name_a"), col("name_b"))
+        .filter(col("name_a") =!= col("name_b"))
+      val edges = vm
+        .join(names.select(col("name").as("name_a"),
+          col("name_id").as("id_a")), "name_a")
+        .join(names.select(col("name").as("name_b"),
+          col("name_id").as("id_b")), "name_b")
         .select(col("id_a"), col("id_b"))
-      graft.operators.Components.connectedComponents(pairs)
-        .groupBy(col("component"))
-        .agg(count(lit(1)).as("n_members"))
+      val labels = graft.operators.Components.connectedComponents(edges)
+      names
+        .join(labels.select(col("id").as("name_id"), col("component")),
+          Seq("name_id"), "left")
+        .withColumn("component",
+          coalesce(col("component"), col("name_id")))
+        .groupBy("component")
+        .agg(sum("n_rows").as("n_members"))
         .filter(col("n_members") >= 2)
     }),
 
