@@ -2504,6 +2504,52 @@ object SparkEntry {
         .withColumn("n_dropped", col("n_total") - col("n_kept"))
     }),
 
+    // Watermark-drop audit (the actionable companion to q151's
+    // disorder profile): for candidate watermark delays, how many
+    // events would arrive too late and be dropped — per event type.
+    // Same simulated arrival order as q151; one window pass + one
+    // aggregate over (type × 3 candidate delays via a generator).
+    "q181_watermark_audit" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy("arrival_seq", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1L)
+      val dis = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("es"))
+        .withColumn("arrival_seq", col("event_id") +
+          when(col("event_id") % 7 === 0, 15L).otherwise(0L))
+        .withColumn("late_s",
+          greatest(lit(0L), coalesce(max("es").over(w), col("es"))
+            - col("es")))
+      dis.select(col("event_type"), col("late_s"),
+          explode(array(lit(60L), lit(600L), lit(3600L)))
+            .as("watermark_s"))
+        .groupBy("event_type", "watermark_s")
+        .agg(count(lit(1)).as("n_events"),
+          sum((col("late_s") > col("watermark_s")).cast("long"))
+            .as("n_dropped"))
+    }),
+
+    // Rolling 7-day active users (the sliding-window distinct-count
+    // metric): per (day, user) activity table (one aggregate),
+    // expanded to the 7 window-ends each activity day serves via a
+    // generator (never a range self-join), then one distinct-count
+    // per window end. Work = 7× the |day×user| table — bounded by
+    // the day-domain, not by events.
+    "q182_rolling_wau" -> ((s, d) => {
+      val du = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val bounds = du.agg(min("day").as("d0"), max("day").as("d1"))
+      du.crossJoin(broadcast(bounds))
+        .select(col("user_id"),
+          explode(expr("sequence(day, least(date_add(day, 6), d1))"))
+            .as("window_end"))
+        .filter(col("window_end") >= col("d0"))
+        .groupBy("window_end")
+        .agg(countDistinct(col("user_id")).as("wau"))
+    }),
+
     // Incremental near-dup maintenance: docs with doc_id % 10 == 0
     // arrive as the new batch; the rest are the already-indexed corpus.
     // The batch's band hashes probe the corpus's persisted band index,
@@ -4625,6 +4671,46 @@ object SparkEntry {
         |  round(quantile_cont(xm, 0.5), 6) AS q2,
         |  round(quantile_cont(xm, 0.75), 6) AS q3
         |FROM d GROUP BY dim""".stripMargin,
+
+    // Same simulated arrival, same candidate delays.
+    "q181_watermark_audit" ->
+      """WITH a AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS es,
+        |    event_id + CASE WHEN event_id % 7 = 0 THEN 15 ELSE 0 END
+        |      AS arrival_seq
+        |  FROM events),
+        |l AS (
+        |  SELECT event_type,
+        |    greatest(0, coalesce(max(es) OVER (
+        |      PARTITION BY user_id ORDER BY arrival_seq, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), es)
+        |      - es) AS late_s
+        |  FROM a),
+        |x AS (
+        |  SELECT event_type, late_s, unnest([60, 600, 3600])
+        |    AS watermark_s
+        |  FROM l)
+        |SELECT event_type, CAST(watermark_s AS BIGINT) AS watermark_s,
+        |  count(*) AS n_events,
+        |  CAST(sum(CASE WHEN late_s > watermark_s THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dropped
+        |FROM x GROUP BY 1, 2""".stripMargin,
+
+    // Same day×user expansion and window ends.
+    "q182_rolling_wau" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM du),
+        |x AS (
+        |  SELECT du.user_id,
+        |    CAST(unnest(generate_series(CAST(du.day AS TIMESTAMP),
+        |      CAST(least(du.day + 6, b.d1) AS TIMESTAMP),
+        |      INTERVAL 1 DAY)) AS DATE) AS window_end
+        |  FROM du, b)
+        |SELECT window_end, count(DISTINCT user_id) AS wau
+        |FROM x, b WHERE window_end >= b.d0
+        |GROUP BY window_end""".stripMargin,
 
     // Same quasi-identifier combos and risk tiers.
     "q178_k_anonymity" ->
