@@ -2550,6 +2550,52 @@ object SparkEntry {
         .agg(countDistinct(col("user_id")).as("wau"))
     }),
 
+    // Ingestion-completeness audit (the reference's daily-batch
+    // contract generalized): per order priority, which calendar days
+    // of the active range have NO orders — count + first/last gap.
+    // Calendar = tiny derived table (grid join is |priorities|×|days|,
+    // never order-sized); the present-day set is one aggregate.
+    "q183_completeness_audit" -> ((s, d) => {
+      val days = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("prio"),
+          to_date(col("o_orderdate")).as("day")).distinct()
+      val cal = days.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val grid = days.select("prio").distinct().crossJoin(cal)
+      grid.join(days, Seq("prio", "day"), "left_anti")
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n_missing_days"),
+          min("day").as("first_gap"), max("day").as("last_gap"))
+    }),
+
+    // Reciprocal-rank fusion (Cormack et al. 2009 — the standard
+    // zero-tuning way to combine retrievers): BM25 ranking (q123)
+    // fused with a length-prior ranking, RRF = Σ 1/(60 + rank_i),
+    // top-10. Each ranking is a bounded top-k; the fusion is a
+    // |candidates|-sized join + one more bounded sort.
+    "q184_rank_fusion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val bm = graft.operators.Retrieval.bm25(
+        Tables.documents(s, d), "text", "doc_id",
+        Seq("spark", "query", "data"), k1 = 1.2, b = 0.75, topK = 50)
+        .select(col("doc_id"),
+          row_number().over(Window.orderBy(col("bm25").desc,
+            col("doc_id"))).as("rank_bm"))
+      val lp = Tables.documents(s, d)
+        .select(col("doc_id"),
+          row_number().over(Window.orderBy(col("n_chars").desc,
+            col("doc_id"))).as("rank_len"))
+        .filter(col("rank_len") <= 50)
+      bm.join(lp, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60.0) + col("rank_bm")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("rank_len")), lit(0.0)),
+          6))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+        .select("doc_id", "rank_bm", "rank_len", "rrf")
+    }),
+
     // Incremental near-dup maintenance: docs with doc_id % 10 == 0
     // arrive as the new batch; the rest are the already-indexed corpus.
     // The batch's band hashes probe the corpus's persisted band index,
@@ -4671,6 +4717,73 @@ object SparkEntry {
         |  round(quantile_cont(xm, 0.5), 6) AS q2,
         |  round(quantile_cont(xm, 0.75), 6) AS q3
         |FROM d GROUP BY dim""".stripMargin,
+
+    // Same calendar grid and anti-join.
+    "q183_completeness_audit" ->
+      """WITH days AS (
+        |  SELECT DISTINCT o_orderpriority AS prio,
+        |    CAST(o_orderdate AS DATE) AS day
+        |  FROM orders),
+        |cal AS (
+        |  SELECT CAST(unnest(generate_series(
+        |    CAST((SELECT min(day) FROM days) AS TIMESTAMP),
+        |    CAST((SELECT max(day) FROM days) AS TIMESTAMP),
+        |    INTERVAL 1 DAY)) AS DATE) AS day),
+        |grid AS (
+        |  SELECT p.prio, c.day
+        |  FROM (SELECT DISTINCT prio FROM days) p, cal c)
+        |SELECT g.prio, count(*) AS n_missing_days,
+        |  min(g.day) AS first_gap, max(g.day) AS last_gap
+        |FROM grid g
+        |LEFT JOIN days d ON d.prio = g.prio AND d.day = g.day
+        |WHERE d.prio IS NULL
+        |GROUP BY g.prio""".stripMargin,
+
+    // q123's bm25 at top-50 + the length ranking, fused with the
+    // same 1/(60+rank) arithmetic.
+    "q184_rank_fusion" ->
+      """WITH dl AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t <> ''))::DOUBLE AS dl
+        |  FROM documents),
+        |stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |        t -> t <> '')) AS token
+        |    FROM documents) t
+        |  WHERE token IN ('spark', 'query', 'data')
+        |  GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT doc_id,
+        |    round(sum(ln((s.n - df + 0.5) / (df + 0.5) + 1.0) *
+        |      (tf * (1.2 + 1)) /
+        |      (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / s.avgdl))), 4)
+        |      AS bm25
+        |  FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id)
+        |  CROSS JOIN stats s
+        |  GROUP BY doc_id
+        |  ORDER BY bm25 DESC, doc_id LIMIT 50),
+        |bm AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id)
+        |    AS rank_bm
+        |  FROM sc),
+        |lp AS (
+        |  SELECT doc_id, rank_len FROM (
+        |    SELECT doc_id, row_number() OVER (
+        |      ORDER BY n_chars DESC, doc_id) AS rank_len
+        |    FROM documents) t
+        |  WHERE rank_len <= 50)
+        |SELECT coalesce(bm.doc_id, lp.doc_id) AS doc_id,
+        |  bm.rank_bm, lp.rank_len,
+        |  round(coalesce(1.0 / (60.0 + rank_bm), 0.0)
+        |    + coalesce(1.0 / (60.0 + rank_len), 0.0), 6) AS rrf
+        |FROM bm FULL OUTER JOIN lp ON bm.doc_id = lp.doc_id
+        |ORDER BY rrf DESC, coalesce(bm.doc_id, lp.doc_id)
+        |LIMIT 10""".stripMargin,
 
     // Same simulated arrival, same candidate delays.
     "q181_watermark_audit" ->
