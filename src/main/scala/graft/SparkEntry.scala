@@ -2596,6 +2596,68 @@ object SparkEntry {
         .select("doc_id", "rank_bm", "rank_len", "rrf")
     }),
 
+    // Sessionized conversion rate: 30-minute-gap sessions (the same
+    // lag/cumsum session definition q31's streaming session_window is
+    // graded against), did-the-session-convert flag, conversion rate
+    // by session-length bucket — the funnel summary at session grain.
+    // One user-keyed window + two aggregates.
+    "q185_session_conversion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+      val sess = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("es"))
+        .withColumn("new_sess",
+          (coalesce(col("es") - lag("es", 1).over(w), lit(0L)) >
+            1800L).cast("long"))
+        .withColumn("sess_id", sum("new_sess").over(
+          Window.partitionBy("user_id").orderBy("es", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val perSess = sess.groupBy("user_id", "sess_id")
+        .agg(count(lit(1)).as("n_events"),
+          max((col("event_type") === "purchase").cast("long"))
+            .as("converted"))
+      perSess
+        .withColumn("len_bucket",
+          when(col("n_events") <= 2, "1-2")
+            .when(col("n_events") <= 5, "3-5")
+            .when(col("n_events") <= 10, "6-10").otherwise("11+"))
+        .groupBy("len_bucket")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum("converted").as("n_converted"),
+          round(sum("converted").cast("double") /
+            count(lit(1)).cast("double"), 6).as("conversion_rate"))
+    }),
+
+    // Vocabulary-growth curve (observed Heaps' law — "is new data
+    // still bringing new n-grams"): each BIGRAM's FIRST-APPEARANCE
+    // doc decile from one min-aggregate, then cumulative vocabulary
+    // at each corpus prefix as a running sum over the 10-row decile
+    // table — running DISTINCT without ever running a distinct twice.
+    // (Bigrams, not unigrams: the synthetic unigram vocab saturates
+    // in the first decile; the pair space keeps growing.)
+    "q186_vocab_growth" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val nd = Tables.documents(s, d).agg(max("doc_id").as("mx"))
+      val wd = Window.partitionBy("doc_id").orderBy("p")
+      val first = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), "\\s+")).as(Seq("p", "t")))
+        .filter(col("t") =!= "")
+        .withColumn("t2", lead("t", 1).over(wd))
+        .filter(col("t2").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("t"), col("t2")).as("t"))
+        .groupBy("t").agg(min("doc_id").as("first_doc"))
+      val byDecile = first.crossJoin(broadcast(nd))
+        .withColumn("decile",
+          least(lit(9L), expr("(first_doc * 10) div (mx + 1)")))
+        .groupBy("decile").agg(count(lit(1)).as("new_tokens"))
+      byDecile
+        .withColumn("cum_vocab", sum("new_tokens").over(
+          Window.orderBy("decile")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    }),
+
     // Incremental near-dup maintenance: docs with doc_id % 10 == 0
     // arrive as the new batch; the rest are the already-indexed corpus.
     // The batch's band hashes probe the corpus's persisted band index,
@@ -4717,6 +4779,61 @@ object SparkEntry {
         |  round(quantile_cont(xm, 0.5), 6) AS q2,
         |  round(quantile_cont(xm, 0.75), 6) AS q3
         |FROM d GROUP BY dim""".stripMargin,
+
+    // Same session definition, buckets, and exact rate arithmetic.
+    "q185_session_conversion" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS es
+        |  FROM events),
+        |g AS (
+        |  SELECT *, CASE WHEN coalesce(es - lag(es) OVER (
+        |      PARTITION BY user_id ORDER BY es, event_id), 0) > 1800
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |sid AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY es, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM g),
+        |ps AS (
+        |  SELECT user_id, sess_id, count(*) AS n_events,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM sid GROUP BY 1, 2)
+        |SELECT CASE WHEN n_events <= 2 THEN '1-2'
+        |    WHEN n_events <= 5 THEN '3-5'
+        |    WHEN n_events <= 10 THEN '6-10' ELSE '11+' END AS len_bucket,
+        |  count(*) AS n_sessions,
+        |  CAST(sum(converted) AS BIGINT) AS n_converted,
+        |  round(sum(converted)::DOUBLE / count(*)::DOUBLE, 6)
+        |    AS conversion_rate
+        |FROM ps GROUP BY 1""".stripMargin,
+
+    // Same first-appearance deciles and running sum (bigram space).
+    "q186_vocab_growth" ->
+      """WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+        |toks AS (
+        |  SELECT doc_id, p, t FROM (
+        |    SELECT doc_id, unnest(ts) AS t,
+        |      generate_subscripts(ts, 1) AS p
+        |    FROM (SELECT doc_id, list_filter(
+        |      string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+        |      FROM documents))),
+        |f AS (
+        |  SELECT t, min(doc_id) AS first_doc FROM (
+        |    SELECT doc_id, t || ' ' || lead(t) OVER (
+        |      PARTITION BY doc_id ORDER BY p) AS t
+        |    FROM toks)
+        |  WHERE t IS NOT NULL
+        |  GROUP BY t),
+        |d AS (
+        |  SELECT least(9, (first_doc * 10) // (mx.mx + 1)) AS decile
+        |  FROM f, mx),
+        |c AS (SELECT decile, count(*) AS new_tokens FROM d GROUP BY 1)
+        |SELECT decile, new_tokens,
+        |  CAST(sum(new_tokens) OVER (ORDER BY decile
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+        |FROM c""".stripMargin,
 
     // Same calendar grid and anti-join.
     "q183_completeness_audit" ->
