@@ -5306,11 +5306,14 @@ object SparkEntry {
         |    AND abs(length(a.name) - length(b.name)) <= 2
         |    AND levenshtein(a.name, b.name) <= 2),
         |pairs AS (
+        |  -- symmetric expansion: a directional pa < pb filter on the
+        |  -- lexicographic name binding drops whole cross-name pair
+        |  -- sets when id ranges don't overlap the right way
         |  SELECT pa.p_partkey AS id_a, pb.p_partkey AS id_b
         |  FROM m
         |  JOIN part pa ON pa.p_name = m.name_a
         |  JOIN part pb ON pb.p_name = m.name_b
-        |  WHERE pa.p_partkey < pb.p_partkey),
+        |  WHERE pa.p_partkey <> pb.p_partkey),
         |ed AS (SELECT id_a AS s, id_b AS d FROM pairs
         |       UNION SELECT id_b, id_a FROM pairs),
         |reach AS (

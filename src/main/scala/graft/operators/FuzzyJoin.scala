@@ -71,6 +71,16 @@ object FuzzyJoin {
     * [[nameMatches]] back onto ids — candidate verification stays on
     * the distinct-value table; this join only materializes pairs that
     * already matched.
+    *
+    * The unordered pair is normalized with least/greatest AFTER the
+    * expansion, NOT by filtering `id_a < id_b` on the directional
+    * name binding: `name_a` is the lexicographically smaller NAME,
+    * and when every id bearing it happens to be larger than every id
+    * of `name_b`, a directional id filter would silently drop the
+    * entire cross-name pair set (found the hard way: two entity
+    * clusters that should merge stayed apart at one scale factor).
+    * The same-name case produces each unordered pair in both
+    * orientations, hence the distinct.
     */
   def fuzzyPairs(df: DataFrame, idCol: String, nameCol: String,
                  blockKey: org.apache.spark.sql.Column,
@@ -83,7 +93,9 @@ object FuzzyJoin {
         "name_a")
       .join(ids.select(col(idCol).as("id_b"), col(nameCol).as("name_b")),
         "name_b")
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("dist"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
+      .distinct()
   }
 }
