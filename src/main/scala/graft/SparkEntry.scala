@@ -2658,6 +2658,56 @@ object SparkEntry {
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     }),
 
+    // Gini coefficient of document-length concentration per source
+    // (the single-number form of q174's coverage curve): with sizes
+    // ranked ascending, G = 2·Σ(rank·x)/(n·Σx) − (n+1)/n — exact
+    // integer rank/sums into a fixed double tree; one window per
+    // source.
+    "q187_gini" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ranked = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          col("n_chars").cast("long").as("x"))
+        .withColumn("rank", row_number().over(Window.partitionBy("source")
+          .orderBy(col("x"), col("doc_id"))).cast("long"))
+      ranked.groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum(col("rank") * col("x")).as("srx"))
+        .select(col("source"), col("n"),
+          round(lit(2.0) * col("srx").cast("double") /
+            (col("n").cast("double") * col("sx").cast("double")) -
+            (col("n") + 1).cast("double") / col("n").cast("double"),
+            6).as("gini"))
+    }),
+
+    // Power-law tail index of doc lengths per source (Hill
+    // estimator over the top-k order statistics): α̂ = k / Σ ln(x_i /
+    // x_(k+1)) — heavy tails (small α) mean a few giant docs dominate
+    // and chunking/packing strategy must account for them. Top-k+1
+    // sizes per source ride the graft_topk aggregate (O(k) state);
+    // the estimator is arithmetic over ≤ k+1 rows per source.
+    "q188_tail_index" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val k = 20
+      val top = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          col("n_chars").cast("long").as("x"))
+        .groupBy("source")
+        .agg(call_function("graft_topk", col("x"), col("doc_id"),
+          lit(k + 1)).as("tk"))
+        .select(col("source"), posexplode(col("tk")).as(Seq("i", "e")))
+        .select(col("source"), col("i"), col("e.score").as("x"))
+      val xmin = top.filter(col("i") === k)
+        .select(col("source"), col("x").as("x_ref"))
+      top.filter(col("i") < k)
+        .join(xmin, "source")
+        .groupBy("source")
+        .agg(count(lit(1)).as("k_used"),
+          round(count(lit(1)).cast("double") /
+            sum(log(col("x").cast("double") / col("x_ref").cast("double"))),
+            6).as("hill_alpha"))
+    }),
+
     // Incremental near-dup maintenance: docs with doc_id % 10 == 0
     // arrive as the new batch; the rest are the already-indexed corpus.
     // The batch's band hashes probe the corpus's persisted band index,
@@ -4779,6 +4829,39 @@ object SparkEntry {
         |  round(quantile_cont(xm, 0.5), 6) AS q2,
         |  round(quantile_cont(xm, 0.75), 6) AS q3
         |FROM d GROUP BY dim""".stripMargin,
+
+    // Same ascending ranks and Gini arithmetic.
+    "q187_gini" ->
+      """WITH r AS (
+        |  SELECT source, n_chars AS x,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS rank
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(rank * x) AS BIGINT) AS srx
+        |  FROM r GROUP BY source)
+        |SELECT source, n,
+        |  round(2.0 * srx::DOUBLE / (n::DOUBLE * sx::DOUBLE)
+        |    - (n + 1)::DOUBLE / n::DOUBLE, 6) AS gini
+        |FROM g""".stripMargin,
+
+    // Same top-(k+1) order statistics (score DESC, id ASC — the
+    // graft_topk total order) and Hill arithmetic.
+    "q188_tail_index" ->
+      """WITH r AS (
+        |  SELECT source, n_chars AS x,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) - 1 AS i
+        |  FROM documents),
+        |ref AS (SELECT source, x AS x_ref FROM r WHERE i = 20)
+        |SELECT r.source, count(*) AS k_used,
+        |  round(count(*)::DOUBLE
+        |    / sum(ln(r.x::DOUBLE / ref.x_ref::DOUBLE)), 6) AS hill_alpha
+        |FROM r JOIN ref ON ref.source = r.source
+        |WHERE r.i < 20
+        |GROUP BY r.source""".stripMargin,
 
     // Same session definition, buckets, and exact rate arithmetic.
     "q185_session_conversion" ->
