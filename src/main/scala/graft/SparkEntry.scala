@@ -2708,6 +2708,56 @@ object SparkEntry {
             6).as("hill_alpha"))
     }),
 
+    // Padding-waste planner (batch-inference shape planning): docs
+    // bucketed to the next power-of-two sequence length, per-bucket
+    // counts and the padding fraction a naive pad-to-bucket batcher
+    // wastes — the number that justifies q64's packing. Bucket =
+    // pure integer bit arithmetic; one aggregate.
+    "q189_padding_waste" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("n_tok"))
+        .filter(col("n_tok") >= 1)
+        // next power of two ≥ n_tok as an integer comparison ladder —
+        // NOT 2^ceil(log2(n)): float log2 of an exact power of two
+        // lands an ulp off an integer and ceil misbuckets it, engine-
+        // dependently
+        .withColumn("bucket",
+          when(col("n_tok") <= 16, 16L)
+            .when(col("n_tok") <= 32, 32L)
+            .when(col("n_tok") <= 64, 64L)
+            .when(col("n_tok") <= 128, 128L)
+            .when(col("n_tok") <= 256, 256L)
+            .when(col("n_tok") <= 512, 512L).otherwise(1024L))
+      docs.groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tok"))
+        .withColumn("padded_tok", col("bucket") * col("n_docs"))
+        .withColumn("waste_frac", round(
+          (col("padded_tok") - col("sum_tok")).cast("double") /
+            col("padded_tok").cast("double"), 6))
+    }),
+
+    // Per-source duplicate rate (corpus-health scorecard): share of
+    // each source's docs that sit in ANY near-dup cluster — the
+    // memoized pair-graph labels joined to sources, two tiny
+    // aggregates. The per-source slice of q65's corpus dedup.
+    "q190_dup_rate_by_source" -> ((s, d) => {
+      val labels = graft.operators.Components.connectedComponentsCached(
+        Dedup.minhashNearDupsCached(Tables.documents(s, d), d,
+          "text", "doc_id", shingleSize = 3, numHashes = 64, bands = 16,
+          threshold = 0.5).select(col("id_a"), col("id_b")),
+        inputKey = s"minhash05|$d")
+      Tables.documents(s, d).select(col("source"), col("doc_id"))
+        .join(labels.select(col("id").as("doc_id"),
+          lit(1L).as("in_cluster")), Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("in_cluster"), lit(0L))).as("n_dup_members"))
+        .withColumn("dup_rate", round(
+          col("n_dup_members").cast("double") / col("n_docs").cast("double"),
+          6))
+    }),
+
     // Incremental near-dup maintenance: docs with doc_id % 10 == 0
     // arrive as the new batch; the rest are the already-indexed corpus.
     // The batch's band hashes probe the corpus's persisted band index,
@@ -4829,6 +4879,42 @@ object SparkEntry {
         |  round(quantile_cont(xm, 0.5), 6) AS q2,
         |  round(quantile_cont(xm, 0.75), 6) AS q3
         |FROM d GROUP BY dim""".stripMargin,
+
+    // Same integer bucket ladder and waste arithmetic.
+    "q189_padding_waste" ->
+      """WITH d AS (
+        |  SELECT CAST(len(list_filter(string_split_regex(lower(text),
+        |    '\s+'), t -> t <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |b AS (
+        |  SELECT n_tok,
+        |    CASE WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32
+        |      WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128
+        |      WHEN n_tok <= 256 THEN 256 WHEN n_tok <= 512 THEN 512
+        |      ELSE 1024 END AS bucket
+        |  FROM d WHERE n_tok >= 1)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+        |  CAST(bucket * count(*) AS BIGINT) AS padded_tok,
+        |  round((bucket * count(*) - sum(n_tok))::DOUBLE
+        |    / (bucket * count(*))::DOUBLE, 6) AS waste_frac
+        |FROM b GROUP BY bucket""".stripMargin,
+
+    // Labels from the recursive closure joined to sources.
+    "q190_dup_rate_by_source" ->
+      (ngramJaccardPairsCte +
+        """,
+          |ed AS (SELECT id_a AS s, id_b AS d FROM jpairs
+          |       UNION SELECT id_b, id_a FROM jpairs),
+          |mem AS (SELECT DISTINCT s AS doc_id FROM ed)
+          |SELECT d.source, count(*) AS n_docs,
+          |  CAST(sum(CASE WHEN mem.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_dup_members,
+          |  round(sum(CASE WHEN mem.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+          |    ::DOUBLE / count(*)::DOUBLE, 6) AS dup_rate
+          |FROM documents d
+          |LEFT JOIN mem ON mem.doc_id = d.doc_id
+          |GROUP BY d.source""".stripMargin),
 
     // Same ascending ranks and Gini arithmetic.
     "q187_gini" ->
