@@ -2758,6 +2758,67 @@ object SparkEntry {
           6))
     }),
 
+    // χ² independence test over the same contingency table as q170's
+    // MI (categorical × categorical — the decision MI only hints at):
+    // χ² = Σ (o−e)²/e with e = row·col/N from exact integers, df =
+    // (R−1)(C−1), α=0.05 decision against the df=27 critical value
+    // (4 types × 10 cohorts here; the literal is the fixture's df —
+    // a general gate would look the value up).
+    "q191_chi2_independence" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = Tables.events(s, d)
+        .select(col("event_type"), (col("user_id") % 10).as("cohort"))
+        .groupBy("event_type", "cohort").agg(count(lit(1)).as("n"))
+      val wa = Window.partitionBy("event_type")
+      val wb = Window.partitionBy("cohort")
+      val tot = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      cells
+        .withColumn("ra", sum("n").over(wa))
+        .withColumn("cb", sum("n").over(wb))
+        .withColumn("nn", sum("n").over(tot))
+        .withColumn("e", col("ra").cast("double") * col("cb").cast("double")
+          / col("nn").cast("double"))
+        .withColumn("term",
+          (col("n").cast("double") - col("e")) *
+            (col("n").cast("double") - col("e")) / col("e"))
+        .groupBy()
+        .agg(countDistinct("event_type").as("n_rows_dim"),
+          countDistinct("cohort").as("n_cols_dim"),
+          round(sum("term"), 4).as("chi2"))
+        .withColumn("df",
+          (col("n_rows_dim") - 1) * (col("n_cols_dim") - 1))
+        .withColumn("dependent_05", col("chi2") > lit(40.113))
+    }),
+
+    // Experiment sample-size calculator (the power analysis that
+    // precedes q157's CUPED readout): per-arm n = 2·(z_α/2+z_β)²·σ²/δ²
+    // for 80% power at α=0.05 (z literals 1.959964, 0.841621),
+    // detecting a 1%-of-mean effect — σ², mean from ONE exact
+    // sufficient-stats pass over per-user outcomes.
+    "q192_sample_size" -> ((s, d) => {
+      val users = Tables.events(s, d)
+        .select(col("user_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("user_id").agg(sum("cents").as("y"))
+      val st = users.agg(count(lit(1)).as("n"), sum("y").as("sy"),
+        sum(col("y") * col("y")).as("syy"))
+      def dd(c: String) = col(c).cast("double")
+      st.select(col("n"),
+          (dd("sy") / dd("n")).as("mean_y"),
+          ((dd("syy") - dd("sy") * dd("sy") / dd("n")) /
+            (dd("n") - 1.0)).as("var_y"))
+        .withColumn("delta", col("mean_y") * 0.01)
+        .withColumn("n_per_arm",
+          // (z_α/2 + z_β)² spelled as x*x, not pow(x,2): pow can be
+          // an ulp off x*x and the oracle replays the product form
+          ceil(lit(2.0) *
+            lit((1.959964 + 0.841621) * (1.959964 + 0.841621)) *
+            col("var_y") / (col("delta") * col("delta"))).cast("long"))
+        .select(col("n"), round(col("mean_y"), 4).as("mean_y"),
+          round(col("var_y"), 4).as("var_y"), col("n_per_arm"))
+    }),
+
     // Incremental near-dup maintenance: docs with doc_id % 10 == 0
     // arrive as the new batch; the rest are the already-indexed corpus.
     // The batch's band hashes probe the corpus's persisted band index,
@@ -4879,6 +4940,50 @@ object SparkEntry {
         |  round(quantile_cont(xm, 0.5), 6) AS q2,
         |  round(quantile_cont(xm, 0.75), 6) AS q3
         |FROM d GROUP BY dim""".stripMargin,
+
+    // Same contingency table, expectations, and decision literal.
+    "q191_chi2_independence" ->
+      """WITH cells AS (
+        |  SELECT event_type, user_id % 10 AS cohort, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, cohort, n,
+        |    sum(n) OVER (PARTITION BY event_type) AS ra,
+        |    sum(n) OVER (PARTITION BY cohort) AS cb,
+        |    sum(n) OVER () AS nn
+        |  FROM cells),
+        |t AS (
+        |  SELECT count(DISTINCT event_type) AS n_rows_dim,
+        |    count(DISTINCT cohort) AS n_cols_dim,
+        |    round(sum((n::DOUBLE - ra::DOUBLE * cb::DOUBLE / nn::DOUBLE)
+        |      * (n::DOUBLE - ra::DOUBLE * cb::DOUBLE / nn::DOUBLE)
+        |      / (ra::DOUBLE * cb::DOUBLE / nn::DOUBLE)), 4) AS chi2
+        |  FROM m)
+        |SELECT n_rows_dim, n_cols_dim, chi2,
+        |  CAST((n_rows_dim - 1) * (n_cols_dim - 1) AS BIGINT) AS df,
+        |  chi2 > 40.113 AS dependent_05
+        |FROM t""".stripMargin,
+
+    // Same sufficient stats and power arithmetic (x*x, not pow).
+    "q192_sample_size" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |s AS (
+        |  SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM u)
+        |SELECT n, round(sy::DOUBLE / n::DOUBLE, 4) AS mean_y,
+        |  round((syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE)
+        |    / (n::DOUBLE - 1.0), 4) AS var_y,
+        |  CAST(ceil(2.0 * ((1.959964 + 0.841621) * (1.959964 + 0.841621))
+        |    * ((syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE)
+        |       / (n::DOUBLE - 1.0))
+        |    / ((sy::DOUBLE / n::DOUBLE * 0.01)
+        |       * (sy::DOUBLE / n::DOUBLE * 0.01))) AS BIGINT)
+        |    AS n_per_arm
+        |FROM s""".stripMargin,
 
     // Same integer bucket ladder and waste arithmetic.
     "q189_padding_waste" ->
