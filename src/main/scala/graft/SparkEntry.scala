@@ -747,8 +747,10 @@ object SparkEntry {
 
     // Lexical-diversity quality signals: type-token ratio, hapax
     // fraction, top-token concentration — all from TWO hash
-    // aggregates over the token stream (per-(doc,term) then per-doc),
-    // exact integers + single divisions, no window.
+    // aggregates over the token stream (per-(doc,term) then per-doc).
+    // Ratios emitted as integer basis points via `div` (the q179
+    // pattern): exact integer arithmetic end-to-end, so the hash is
+    // cross-engine stable — round(double) ratios drifted in r5.
     "q115_lexical_diversity" -> ((s, d) => {
       val tf = Tables.documents(s, d)
         .select(col("doc_id"),
@@ -761,11 +763,9 @@ object SparkEntry {
           sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
           max("c").as("max_c"))
         .select(col("doc_id"), col("n_tokens"), col("n_types"),
-          col("n_hapax"),
-          round(col("n_types").cast("double") /
-            col("n_tokens").cast("double"), 4).as("ttr"),
-          round(col("max_c").cast("double") /
-            col("n_tokens").cast("double"), 4).as("top_frac"))
+          col("n_hapax"), col("max_c"),
+          expr("(n_types * 10000) div n_tokens").as("ttr_bp"),
+          expr("(max_c * 10000) div n_tokens").as("top_bp"))
     }),
 
     // Zone-map file skipping over a Z-ORDERED layout: rows assigned to
@@ -892,23 +892,28 @@ object SparkEntry {
 
     // Robust outlier gate (median absolute deviation): per event type,
     // med and MAD from exact percentile aggregates (no global sort),
-    // outliers = |v − med| > 3·MAD. Boundaries on the 1e-6 grid (same
-    // reasoning as q117); counts exact.
+    // outliers = |v − med| > 3·MAD. Integer-cents end-to-end (the
+    // q106/q117 pattern): median of longs is an exact half-integer,
+    // MAD of half-integers an exact quarter-integer — every double in
+    // the comparison is exact, and med/mad are emitted ×4 as longs,
+    // so the hash is cross-engine stable (1e-6-grid doubles were not,
+    // r5).
     "q121_mad_outliers" -> ((s, d) => {
-      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val ev = Tables.events(s, d).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
       val med = ev.groupBy("event_type")
-        .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+        .agg(expr("percentile(cents, 0.5)").as("med"))
       val mad = ev.join(broadcast(med), "event_type")
         .groupBy("event_type")
         .agg(first(col("med")).as("med"),
-          round(expr("percentile(round(abs(value - med), 6), 0.5)"), 6)
-            .as("mad"))
+          expr("percentile(abs(cents - med), 0.5)").as("mad"))
       ev.join(broadcast(mad), "event_type")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
-          sum((round(abs(col("value") - col("med")), 6) >
+          sum((abs(col("cents") - col("med")) >
             lit(3.0) * col("mad")).cast("long")).as("n_outliers"),
-          first(col("med")).as("med"), first(col("mad")).as("mad"))
+          round(first(col("med")) * 4).cast("long").as("med_x4"),
+          round(first(col("mad")) * 4).cast("long").as("mad_x4"))
     }),
 
     // Population-stability-index drift gate between the first and
@@ -938,16 +943,35 @@ object SparkEntry {
         .groupBy("event_type", "bin")
         .agg(sum(when(col("half") === "ref", 1L).otherwise(0L)).as("nr"),
           sum(when(col("half") === "cur", 1L).otherwise(0L)).as("nc"))
-      val totals = binned.groupBy("event_type")
-        .agg(sum("nr").as("tr"), sum("nc").as("tc"))
-      binned.join(totals, "event_type")
-        .withColumn("term",
-          ((col("nr") / col("tr")) - (col("nc") / col("tc"))) *
-            log(((col("nr") / col("tr")) + lit(1e-6)) /
-              ((col("nc") / col("tc")) + lit(1e-6))))
-        .groupBy("event_type")
-        .agg(round(sum(col("term")), 4).as("psi"),
-          sum("nr").as("n_ref"), sum("nc").as("n_cur"))
+      // Per-bin counts pivoted wide as the graded evidence (exact
+      // longs — a partition-order `sum(term)` of ln terms drifted in
+      // the 4th decimal, r5). PSI itself is re-derived from the wide
+      // counts with a FIXED left-associated term tree — identical
+      // IEEE op order in both engines — and rounded to 2 dp, which
+      // only the ≤1-ulp cross-engine `ln` difference could flip (a
+      // ~1e-13 grid-straddle probability; the q192 pin pattern).
+      val binAggs = (0 to 3).flatMap(b => Seq(
+        sum(when(col("bin") === b, col("nr")).otherwise(0L))
+          .as(s"nr$b"),
+        sum(when(col("bin") === b, col("nc")).otherwise(0L))
+          .as(s"nc$b")))
+      val wide = binned.groupBy("event_type")
+        .agg(binAggs.head, binAggs.tail: _*)
+        .withColumn("n_ref",
+          col("nr0") + col("nr1") + col("nr2") + col("nr3"))
+        .withColumn("n_cur",
+          col("nc0") + col("nc1") + col("nc2") + col("nc3"))
+      def psiTerm(b: Int): org.apache.spark.sql.Column = {
+        val p = col(s"nr$b").cast("double") / col("n_ref").cast("double")
+        val q = col(s"nc$b").cast("double") / col("n_cur").cast("double")
+        (p - q) * log((p + lit(1e-6)) / (q + lit(1e-6)))
+      }
+      wide.select(col("event_type"),
+        col("nr0"), col("nr1"), col("nr2"), col("nr3"),
+        col("nc0"), col("nc1"), col("nc2"), col("nc3"),
+        col("n_ref"), col("n_cur"),
+        round(psiTerm(0) + psiTerm(1) + psiTerm(2) + psiTerm(3), 2)
+          .as("psi_e2"))
     }),
 
     // Okapi BM25 retrieval scoring: top-10 docs for a 3-term query.
@@ -1632,11 +1656,14 @@ object SparkEntry {
         .crossJoin(pk.agg(count(lit(1)).as("n2")))
       exact.crossJoin(broadcast(skA)).crossJoin(broadcast(skB))
         .crossJoin(broadcast(ns))
+        // +3 = 1-based element_at AFTER the 2-long [depth,width]
+        // header CountMinAgg.eval prepends (CountMin.HeaderLen) —
+        // off-by-header here silently misaligns every row (r5 advice)
         .withColumn("est", expr(
           """array_min(transform(sequence(0, 3), d ->
             |  aggregate(sequence(0, 1023), CAST(0 AS BIGINT),
-            |    (acc, w) -> acc + element_at(a, d*1024 + w + 1)
-            |      * element_at(b, d*1024 + w + 1))))""".stripMargin))
+            |    (acc, w) -> acc + element_at(a, d*1024 + w + 3)
+            |      * element_at(b, d*1024 + w + 3))))""".stripMargin))
         .select(col("exact_pairs"),
           (col("est") >= col("exact_pairs")).as("est_ge_exact"),
           (col("est") <= col("exact_pairs") +
@@ -1843,8 +1870,14 @@ object SparkEntry {
     "q155_image_neardup" -> ((s, d) => {
       val media = Multimodal.syntheticMedia(s, Tables.documents(s, d))
         .filter(col("kind") === "image")
+      // planted-dup ids offset by max(media_id)+1 (1-row broadcast),
+      // not a constant: a fixed +100000 collides with genuine ids
+      // once the corpus outgrows it (r5 advice)
+      val off = media.agg((max("media_id") + 1L).as("__off"))
       val dups = media.filter(col("media_id") % 5 === 0)
-        .withColumn("media_id", col("media_id") + 100000L)
+        .crossJoin(broadcast(off))
+        .withColumn("media_id", col("media_id") + col("__off"))
+        .drop("__off")
       Multimodal.imageNearDups(media.unionByName(dups), maxHamming = 3)
         .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
     }),
@@ -2490,8 +2523,13 @@ object SparkEntry {
     "q180_image_dedup_corpus" -> ((s, d) => {
       val media = Multimodal.syntheticMedia(s, Tables.documents(s, d))
         .filter(col("kind") === "image")
+      // same max(media_id)+1 planted-id namespace as q155 — keeps
+      // originals the min-id survivors at any corpus size
+      val off = media.agg((max("media_id") + 1L).as("__off"))
       val dups = media.filter(col("media_id") % 5 === 0)
-        .withColumn("media_id", col("media_id") + 100000L)
+        .crossJoin(broadcast(off))
+        .withColumn("media_id", col("media_id") + col("__off"))
+        .drop("__off")
       val corpus = media.unionByName(dups)
       val pairs = Multimodal.imageNearDups(corpus, maxHamming = 3)
         .select(col("id_a"), col("id_b"))
@@ -2699,13 +2737,18 @@ object SparkEntry {
         .select(col("source"), col("i"), col("e.score").as("x"))
       val xmin = top.filter(col("i") === k)
         .select(col("source"), col("x").as("x_ref"))
+      // degenerate guard: all top-k sizes tied at x_ref → Σln = 0 →
+      // NULL (Spark's round(∞) throws; DuckDB returns inf — pin both)
       top.filter(col("i") < k)
         .join(xmin, "source")
         .groupBy("source")
         .agg(count(lit(1)).as("k_used"),
-          round(count(lit(1)).cast("double") /
-            sum(log(col("x").cast("double") / col("x_ref").cast("double"))),
-            6).as("hill_alpha"))
+          sum(log(col("x").cast("double") / col("x_ref").cast("double")))
+            .as("__slog"),
+          count(lit(1)).cast("double").as("__k"))
+        .select(col("source"), col("k_used"),
+          when(col("__slog") =!= 0.0,
+            round(col("__k") / col("__slog"), 6)).as("hill_alpha"))
     }),
 
     // Padding-waste planner (batch-inference shape planning): docs
@@ -3874,7 +3917,8 @@ object SparkEntry {
         |LEFT JOIN b ON b.event_id = p.event_id
         |LEFT JOIN f ON f.event_id = p.event_id""".stripMargin,
 
-    // Two-level aggregate replay; exact integers, single divisions.
+    // Two-level aggregate replay; exact integers, integer-division
+    // basis points (// = Spark div for the positive operands here).
     "q115_lexical_diversity" ->
       """WITH tf AS (
         |  SELECT doc_id, t, count(*) AS c FROM (
@@ -3882,10 +3926,13 @@ object SparkEntry {
         |      string_split_regex(lower(text), '\s+'), t -> t <> '')) AS t
         |    FROM documents)
         |  GROUP BY doc_id, t)
-        |SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_types,
-        |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax,
-        |  round(count(*)::DOUBLE / sum(c)::DOUBLE, 4) AS ttr,
-        |  round(max(c)::DOUBLE / sum(c)::DOUBLE, 4) AS top_frac
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_types,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hapax,
+        |  max(c) AS max_c,
+        |  CAST((count(*) * 10000) // sum(c) AS BIGINT) AS ttr_bp,
+        |  CAST((max(c) * 10000) // sum(c) AS BIGINT) AS top_bp
         |FROM tf GROUP BY doc_id""".stripMargin,
 
     // Zone-map decision table replayed: same Morton key as q71, same
@@ -3937,8 +3984,9 @@ object SparkEntry {
         |  SELECT qid, neighbor_id FROM (
         |    SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
         |      row_number() OVER (PARTITION BY q.vec_id
-        |        ORDER BY list_cosine_similarity(c.embedding, q.embedding)
-        |          DESC, c.vec_id) AS rank
+        |        ORDER BY round(CAST(list_cosine_similarity(
+        |            c.embedding, q.embedding) AS DOUBLE), 4) DESC,
+        |          c.vec_id) AS rank
         |    FROM embeddings c, embeddings q
         |    WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id) t
         |  WHERE rank <= 10),
@@ -3946,18 +3994,18 @@ object SparkEntry {
         |  SELECT qid, neighbor_id FROM (
         |    SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
         |      row_number() OVER (PARTITION BY q.vec_id
-        |        ORDER BY list_cosine_similarity(
+        |        ORDER BY round(CAST(list_cosine_similarity(
         |            list_slice(c.embedding, 1, 16),
-        |            list_slice(q.embedding, 1, 16)) DESC, c.vec_id)
-        |        AS rank
+        |            list_slice(q.embedding, 1, 16)) AS DOUBLE), 4) DESC,
+        |          c.vec_id) AS rank
         |    FROM embeddings c, embeddings q
         |    WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id) t
         |  WHERE rank <= 10)
         |SELECT f.qid,
-        |  sum(CASE WHEN t.neighbor_id IS NULL THEN 0 ELSE 1 END)
-        |    AS n_common,
-        |  round(sum(CASE WHEN t.neighbor_id IS NULL THEN 0 ELSE 1 END)
-        |    / 10.0, 4) AS recall
+        |  CAST(sum(CASE WHEN t.neighbor_id IS NULL THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS n_common,
+        |  round(CAST(sum(CASE WHEN t.neighbor_id IS NULL
+        |    THEN 0 ELSE 1 END) AS BIGINT) / 10.0, 4) AS recall
         |FROM fullk f LEFT JOIN trunck t
         |  ON t.qid = f.qid AND t.neighbor_id = f.neighbor_id
         |GROUP BY f.qid""".stripMargin,
@@ -4011,26 +4059,32 @@ object SparkEntry {
         |SELECT id AS supplier_id, pr FROM p3
         |ORDER BY pr DESC, id LIMIT 25""".stripMargin,
 
-    // Median/MAD replay on the same 1e-6 boundary grid.
+    // Median/MAD replay on integer cents; quantile_cont interpolation
+    // of longs is exact in double, same as Spark's percentile.
     "q121_mad_outliers" ->
-      """WITH med AS (
-        |  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
-        |  FROM events GROUP BY event_type),
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |med AS (
+        |  SELECT event_type, quantile_cont(cents, 0.5) AS med
+        |  FROM ev GROUP BY event_type),
         |mad AS (
         |  SELECT e.event_type, any_value(m.med) AS med,
-        |    round(quantile_cont(round(abs(e.value - m.med), 6), 0.5), 6)
-        |      AS mad
-        |  FROM events e JOIN med m ON m.event_type = e.event_type
+        |    quantile_cont(abs(e.cents - m.med), 0.5) AS mad
+        |  FROM ev e JOIN med m ON m.event_type = e.event_type
         |  GROUP BY e.event_type)
         |SELECT e.event_type, count(*) AS n,
-        |  sum(CASE WHEN round(abs(e.value - x.med), 6) > 3.0 * x.mad
-        |      THEN 1 ELSE 0 END) AS n_outliers,
-        |  any_value(x.med) AS med, any_value(x.mad) AS mad
-        |FROM events e JOIN mad x ON x.event_type = e.event_type
+        |  CAST(sum(CASE WHEN abs(e.cents - x.med) > 3.0 * x.mad
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(round(any_value(x.med) * 4) AS BIGINT) AS med_x4,
+        |  CAST(round(any_value(x.mad) * 4) AS BIGINT) AS mad_x4
+        |FROM ev e JOIN mad x ON x.event_type = e.event_type
         |GROUP BY e.event_type""".stripMargin,
 
-    // PSI replay: same halves, same reference-quartile bins, same
-    // ε-smoothed log terms over exact counts.
+    // PSI replay: same halves, same reference-quartile bins; per-bin
+    // counts pivoted wide (exact), PSI from the SAME fixed
+    // left-associated term tree at 2 dp.
     "q122_psi_drift" ->
       """WITH ev AS (
         |  SELECT event_type, value,
@@ -4047,25 +4101,49 @@ object SparkEntry {
         |    round(quantile_cont(value, 0.5), 6) AS c2,
         |    round(quantile_cont(value, 0.75), 6) AS c3
         |  FROM tagged WHERE half = 'ref' GROUP BY event_type),
-        |binned AS (
+        |wide AS (
         |  SELECT t.event_type,
-        |    CASE WHEN t.value <= b.c1 THEN 0 WHEN t.value <= b.c2 THEN 1
-        |         WHEN t.value <= b.c3 THEN 2 ELSE 3 END AS bin,
-        |    sum(CASE WHEN t.half = 'ref' THEN 1 ELSE 0 END) AS nr,
-        |    sum(CASE WHEN t.half = 'cur' THEN 1 ELSE 0 END) AS nc
+        |    sum(CASE WHEN t.value <= b.c1 AND t.half = 'ref'
+        |        THEN 1 ELSE 0 END) AS nr0,
+        |    sum(CASE WHEN t.value <= b.c1 AND t.half = 'cur'
+        |        THEN 1 ELSE 0 END) AS nc0,
+        |    sum(CASE WHEN t.value > b.c1 AND t.value <= b.c2
+        |        AND t.half = 'ref' THEN 1 ELSE 0 END) AS nr1,
+        |    sum(CASE WHEN t.value > b.c1 AND t.value <= b.c2
+        |        AND t.half = 'cur' THEN 1 ELSE 0 END) AS nc1,
+        |    sum(CASE WHEN t.value > b.c2 AND t.value <= b.c3
+        |        AND t.half = 'ref' THEN 1 ELSE 0 END) AS nr2,
+        |    sum(CASE WHEN t.value > b.c2 AND t.value <= b.c3
+        |        AND t.half = 'cur' THEN 1 ELSE 0 END) AS nc2,
+        |    sum(CASE WHEN t.value > b.c3 AND t.half = 'ref'
+        |        THEN 1 ELSE 0 END) AS nr3,
+        |    sum(CASE WHEN t.value > b.c3 AND t.half = 'cur'
+        |        THEN 1 ELSE 0 END) AS nc3
         |  FROM tagged t JOIN bounds b ON b.event_type = t.event_type
-        |  GROUP BY 1, 2),
+        |  GROUP BY t.event_type),
         |tot AS (
-        |  SELECT event_type, sum(nr) AS tr, sum(nc) AS tc
-        |  FROM binned GROUP BY event_type)
-        |SELECT b.event_type,
-        |  round(sum(((b.nr::DOUBLE / t.tr::DOUBLE) -
-        |             (b.nc::DOUBLE / t.tc::DOUBLE)) *
-        |    ln(((b.nr::DOUBLE / t.tr::DOUBLE) + 1e-6) /
-        |       ((b.nc::DOUBLE / t.tc::DOUBLE) + 1e-6))), 4) AS psi,
-        |  sum(b.nr) AS n_ref, sum(b.nc) AS n_cur
-        |FROM binned b JOIN tot t ON t.event_type = b.event_type
-        |GROUP BY b.event_type""".stripMargin,
+        |  SELECT *, nr0+nr1+nr2+nr3 AS n_ref, nc0+nc1+nc2+nc3 AS n_cur
+        |  FROM wide)
+        |SELECT event_type,
+        |  CAST(nr0 AS BIGINT) AS nr0, CAST(nr1 AS BIGINT) AS nr1,
+        |  CAST(nr2 AS BIGINT) AS nr2, CAST(nr3 AS BIGINT) AS nr3,
+        |  CAST(nc0 AS BIGINT) AS nc0, CAST(nc1 AS BIGINT) AS nc1,
+        |  CAST(nc2 AS BIGINT) AS nc2, CAST(nc3 AS BIGINT) AS nc3,
+        |  CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+        |  round(
+        |    ((nr0::DOUBLE / n_ref::DOUBLE - nc0::DOUBLE / n_cur::DOUBLE)
+        |      * ln((nr0::DOUBLE / n_ref::DOUBLE + 1e-6)
+        |          / (nc0::DOUBLE / n_cur::DOUBLE + 1e-6)))
+        |    + ((nr1::DOUBLE / n_ref::DOUBLE - nc1::DOUBLE / n_cur::DOUBLE)
+        |      * ln((nr1::DOUBLE / n_ref::DOUBLE + 1e-6)
+        |          / (nc1::DOUBLE / n_cur::DOUBLE + 1e-6)))
+        |    + ((nr2::DOUBLE / n_ref::DOUBLE - nc2::DOUBLE / n_cur::DOUBLE)
+        |      * ln((nr2::DOUBLE / n_ref::DOUBLE + 1e-6)
+        |          / (nc2::DOUBLE / n_cur::DOUBLE + 1e-6)))
+        |    + ((nr3::DOUBLE / n_ref::DOUBLE - nc3::DOUBLE / n_cur::DOUBLE)
+        |      * ln((nr3::DOUBLE / n_ref::DOUBLE + 1e-6)
+        |          / (nc3::DOUBLE / n_cur::DOUBLE + 1e-6))), 2) AS psi_e2
+        |FROM tot""".stripMargin,
 
     "q123_bm25" ->
       """WITH dl AS (
@@ -4193,12 +4271,15 @@ object SparkEntry {
         |  WHERE o.n_tok >= t.n_tok AND o.div_ratio >= t.div_ratio
         |    AND (o.n_tok > t.n_tok OR o.div_ratio > t.div_ratio))""".stripMargin,
 
+    // same CAST-to-DOUBLE + rank-on-rounded contract as q27
     "q132_hard_negatives" ->
-      """SELECT qid, neighbor_id, round(cosine, 4) AS cosine, rank FROM (
+      """SELECT qid, neighbor_id, cosine, rank FROM (
         |  SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
-        |    list_cosine_similarity(c.embedding, q.embedding) AS cosine,
+        |    round(CAST(list_cosine_similarity(c.embedding, q.embedding)
+        |      AS DOUBLE), 4) AS cosine,
         |    row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+        |      ORDER BY round(CAST(list_cosine_similarity(
+        |                 c.embedding, q.embedding) AS DOUBLE), 4) DESC,
         |               c.vec_id) AS rank
         |  FROM embeddings c, embeddings q
         |  WHERE q.vec_id < 8 AND c.label <> q.label) t
@@ -4354,21 +4435,24 @@ object SparkEntry {
         |  FROM events),
         |p AS (
         |  SELECT half, 'user_id' AS col_name, count(*) AS n_rows,
-        |    sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+        |    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_null,
         |    count(DISTINCT user_id) AS n_distinct,
         |    CAST(min(user_id) AS VARCHAR) AS min_s,
         |    CAST(max(user_id) AS VARCHAR) AS max_s
         |  FROM e GROUP BY half
         |  UNION ALL
         |  SELECT half, 'event_type', count(*),
-        |    sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+        |    CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
         |    count(DISTINCT event_type),
         |    CAST(min(event_type) AS VARCHAR),
         |    CAST(max(event_type) AS VARCHAR)
         |  FROM e GROUP BY half
         |  UNION ALL
         |  SELECT half, 'cents', count(*),
-        |    sum(CASE WHEN cents IS NULL THEN 1 ELSE 0 END),
+        |    CAST(sum(CASE WHEN cents IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
         |    count(DISTINCT cents),
         |    CAST(min(cents) AS VARCHAR), CAST(max(cents) AS VARCHAR)
         |  FROM e GROUP BY half)
@@ -4377,16 +4461,10 @@ object SparkEntry {
         |  a.max_s AS max_a, b.n_rows AS n_rows_b, b.n_null AS n_null_b,
         |  b.n_distinct AS n_distinct_b, b.min_s AS min_b,
         |  b.max_s AS max_b,
-        |  round(b.n_distinct::DOUBLE / a.n_distinct::DOUBLE, 4)
-        |    AS card_ratio,
-        |  (round(b.n_distinct::DOUBLE / a.n_distinct::DOUBLE, 4) < 0.5
-        |   OR round(b.n_distinct::DOUBLE / a.n_distinct::DOUBLE, 4)
-        |      > 2.0) AS card_drift,
-        |  round(b.n_null::DOUBLE / b.n_rows::DOUBLE
-        |    - a.n_null::DOUBLE / a.n_rows::DOUBLE, 6) AS null_delta,
-        |  (abs(round(b.n_null::DOUBLE / b.n_rows::DOUBLE
-        |    - a.n_null::DOUBLE / a.n_rows::DOUBLE, 6)) > 0.05)
-        |    AS null_drift,
+        |  (2 * b.n_distinct < a.n_distinct
+        |   OR b.n_distinct > 2 * a.n_distinct) AS card_drift,
+        |  (abs(20 * (b.n_null * a.n_rows - a.n_null * b.n_rows))
+        |    > a.n_rows * b.n_rows) AS null_drift,
         |  (a.min_s <> b.min_s OR a.max_s <> b.max_s) AS range_changed
         |FROM p a JOIN p b ON a.col_name = b.col_name
         |WHERE a.half = 'a' AND b.half = 'b'""".stripMargin,
@@ -4802,8 +4880,8 @@ object SparkEntry {
         |FROM embeddings a, embeddings b
         |WHERE a.vec_id < b.vec_id
         |  AND a.vec_id < 1000 AND b.vec_id < 1000
-        |  AND round(list_cosine_similarity(a.embedding, b.embedding), 4)
-        |        >= 0.4""".stripMargin,
+        |  AND round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+        |        AS DOUBLE), 4) >= 0.4""".stripMargin,
 
     "q90_pii_redact" ->
       """WITH w AS (
@@ -5048,8 +5126,10 @@ object SparkEntry {
         |  FROM documents),
         |ref AS (SELECT source, x AS x_ref FROM r WHERE i = 20)
         |SELECT r.source, count(*) AS k_used,
-        |  round(count(*)::DOUBLE
-        |    / sum(ln(r.x::DOUBLE / ref.x_ref::DOUBLE)), 6) AS hill_alpha
+        |  CASE WHEN sum(ln(r.x::DOUBLE / ref.x_ref::DOUBLE)) <> 0.0
+        |    THEN round(count(*)::DOUBLE
+        |      / sum(ln(r.x::DOUBLE / ref.x_ref::DOUBLE)), 6)
+        |    END AS hill_alpha
         |FROM r JOIN ref ON ref.source = r.source
         |WHERE r.i < 20
         |GROUP BY r.source""".stripMargin,
@@ -6125,12 +6205,18 @@ object SparkEntry {
         |  count(*) AS n_events, sum(value) AS sum_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
 
+    // CAST to DOUBLE before round: list_cosine_similarity on FLOAT[]
+    // returns FLOAT and DuckDB round keeps it FLOAT — 0.255 would
+    // come back as the float 0.2549999952…, never hash-matching
+    // Spark's double.
     "q27_knn_brute" ->
-      """SELECT qid, neighbor_id, round(cosine, 4) AS cosine, rank FROM (
+      """SELECT qid, neighbor_id, cosine, rank FROM (
         |  SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
-        |    list_cosine_similarity(c.embedding, q.embedding) AS cosine,
+        |    round(CAST(list_cosine_similarity(c.embedding, q.embedding)
+        |      AS DOUBLE), 4) AS cosine,
         |    row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+        |      ORDER BY round(CAST(list_cosine_similarity(
+        |                 c.embedding, q.embedding) AS DOUBLE), 4) DESC,
         |               c.vec_id) AS rank
         |  FROM embeddings c, embeddings q
         |  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id) t

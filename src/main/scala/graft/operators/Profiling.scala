@@ -63,6 +63,15 @@ object Profiling {
     *
     * Output key is `col_name` (not "column" — reserved in ANSI
     * engines, and the oracle must name it unquoted).
+    *
+    * Every emitted column is exact: the raw counts from both sides,
+    * plus drift booleans derived by INTEGER cross-multiplication —
+    * `card_drift` ⇔ ratio outside [0.5, 2], `null_drift` ⇔
+    * |null-rate delta| > 0.05 — so the output hashes identically in
+    * any engine (the r5 rounded-double ratio columns did not). The
+    * cross-products stay in-range while both batches are under ~3e9
+    * rows (20·n_null·n_rows < 2^63); beyond that, compare in the
+    * caller on the emitted counts with whatever precision suits.
     */
   def driftReport(batchA: DataFrame, batchB: DataFrame,
                   columns: Seq[String]): DataFrame = {
@@ -72,17 +81,13 @@ object Profiling {
         col("n_distinct").as(s"n_distinct_$s"),
         col("min_s").as(s"min_$s"), col("max_s").as(s"max_$s"))
     side(batchA, "a").join(side(batchB, "b"), "col_name")
-      .withColumn("card_ratio",
-        round(col("n_distinct_b").cast("double") /
-          col("n_distinct_a").cast("double"), 4))
       .withColumn("card_drift",
-        col("card_ratio") < 0.5 || col("card_ratio") > 2.0)
-      .withColumn("null_delta",
-        round(col("n_null_b").cast("double") /
-            col("n_rows_b").cast("double")
-          - col("n_null_a").cast("double") /
-            col("n_rows_a").cast("double"), 6))
-      .withColumn("null_drift", abs(col("null_delta")) > 0.05)
+        lit(2L) * col("n_distinct_b") < col("n_distinct_a") ||
+          col("n_distinct_b") > lit(2L) * col("n_distinct_a"))
+      .withColumn("null_drift",
+        abs(lit(20L) * (col("n_null_b") * col("n_rows_a") -
+            col("n_null_a") * col("n_rows_b"))) >
+          col("n_rows_a") * col("n_rows_b"))
       .withColumn("range_changed",
         col("min_a") =!= col("min_b") || col("max_a") =!= col("max_b"))
   }

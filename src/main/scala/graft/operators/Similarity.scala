@@ -38,19 +38,27 @@ object Similarity {
 
   /** Exact top-k cosine neighbors for each query vector.
     * `queries`: (qid, qv); `corpus`: (id, v). Self-matches excluded
-    * when ids collide. Deterministic: ties broken by corpus id.
+    * when ids collide.
+    *
+    * Deterministic ranking contract: rank on the 4-dp-ROUNDED cosine
+    * with corpus-id tie-break. Ranking on the raw double let rank-k
+    * vs rank-(k+1) neighbors separated by < 1 ulp order differently
+    * per engine (r5: q118 hash-fail); rounding first turns those
+    * near-ties into exact ties the id tie-break resolves identically
+    * everywhere. Oracles replay the same ORDER BY round(cos,4), id.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val joined = corpus.select(col("id"), col("v"))
       .join(broadcast(queries.select(col("qid"), col("qv"))))
       .filter(col("id") =!= col("qid"))
-      .withColumn("cosine", call_function("graft_cosine", col("v"), col("qv")))
+      .withColumn("cosine",
+        round(call_function("graft_cosine", col("v"), col("qv")), 4))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("id").as("neighbor_id"),
-        round(col("cosine"), 4).as("cosine"), col("rank"))
+        col("cosine"), col("rank"))
   }
 
   /** Deterministic centroid seeding: the `c` corpus vectors with the
@@ -384,12 +392,13 @@ object Similarity {
       .join(broadcast(queries.select(col("qid"), col("qv"),
         col("qlabel"))))
       .filter(col("label") =!= col("qlabel"))
+      // same rank-on-rounded-cosine contract as bruteForceTopK
       .withColumn("cosine",
-        call_function("graft_cosine", col("v"), col("qv")))
+        round(call_function("graft_cosine", col("v"), col("qv")), 4))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("id").as("neighbor_id"),
-        round(col("cosine"), 4).as("cosine"), col("rank"))
+        col("cosine"), col("rank"))
   }
 }

@@ -52,8 +52,11 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  saltExpr: Column, salts: Int = 8): DataFrame = {
+    // coalesce: a NULL saltExpr must still land in SOME bucket — a
+    // NULL __salt would match no small-side replica and silently
+    // drop the row, breaking the "≡ plain equi-join" contract
     val bigS = big.withColumn("__salt",
-      pmod(saltExpr.cast("int"), lit(salts)))
+      coalesce(pmod(saltExpr.cast("int"), lit(salts)), lit(0)))
     val smallS = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     bigS.join(smallS, keys :+ "__salt").drop("__salt")

@@ -126,6 +126,16 @@ object EventsStream {
     // a multi-tenant caller should pass a dedicated session.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
+    // Complete mode emits every group when the source drains — the
+    // extra NO-DATA micro-batch (whose only job is advancing the
+    // watermark so Append-mode sinks finalize) is pure fixed cost
+    // here: skip it. Append-mode runs (outer join NULL extension,
+    // watermark-bounded dedup) still need it, so the conf is scoped
+    // to this run and restored.
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNoData = spark.conf.getOption(noDataKey)
+    if (mode == OutputMode.Complete())
+      spark.conf.set(noDataKey, "false")
     try {
       val q = df.writeStream
         .format("memory")
@@ -134,7 +144,13 @@ object EventsStream {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      prevNoData match {
+        case Some(v) => spark.conf.set(noDataKey, v)
+        case None    => spark.conf.unset(noDataKey)
+      }
+    }
     spark.table(name)
   }
 

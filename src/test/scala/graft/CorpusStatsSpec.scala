@@ -80,11 +80,12 @@ class CorpusStatsSpec extends SparkSpec {
       val b = bKeys.toDF("k").agg(
         call_function("graft_count_min", xxhash64(col("k")), lit(4),
           lit(w)).as("b"))
+      // +3: skip the 2-long [depth,width] header (1-based element_at)
       val e = a.crossJoin(b).withColumn("est", expr(
         s"""array_min(transform(sequence(0, 3), d ->
            |  aggregate(sequence(0, ${w - 1}), CAST(0 AS BIGINT),
-           |    (acc, x) -> acc + element_at(a, d*$w + x + 1)
-           |      * element_at(b, d*$w + x + 1))))""".stripMargin))
+           |    (acc, x) -> acc + element_at(a, d*$w + x + 3)
+           |      * element_at(b, d*$w + x + 3))))""".stripMargin))
         .head().getAs[Long]("est")
       val exact = aKeys.toDF("k").join(bKeys.toDF("k"), "k").count()
       (exact, e)

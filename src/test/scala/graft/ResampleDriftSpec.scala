@@ -94,7 +94,8 @@ class ResampleDriftSpec extends SparkSpec {
     val got = Profiling.driftReport(a, b, Seq("id", "tag"))
       .collect().map(r => r.getAs[String]("col_name") -> r).toMap
     val id = got("id")
-    assert(id.getAs[Double]("card_ratio") === 10.0)
+    assert(id.getAs[Long]("n_distinct_a") === 10L)
+    assert(id.getAs[Long]("n_distinct_b") === 100L)
     assert(id.getAs[Boolean]("card_drift"))
     assert(id.getAs[Boolean]("range_changed")) // max 9 → 100
     assert(!id.getAs[Boolean]("null_drift"))
@@ -107,6 +108,6 @@ class ResampleDriftSpec extends SparkSpec {
     val gotN = Profiling.driftReport(a, bn, Seq("id", "tag"))
       .collect().map(r => r.getAs[String]("col_name") -> r).toMap
     assert(gotN("id").getAs[Boolean]("null_drift"))
-    assert(gotN("id").getAs[Double]("null_delta") === 0.5)
+    assert(gotN("id").getAs[Long]("n_null_b") === 50L)
   }
 }

@@ -14,6 +14,10 @@ import json, math, sys, glob, os
 import duckdb
 
 def canon(rows, cols):
+    # EXACT float repr (shortest round-trip), no tolerance: the
+    # driver hash-compares exact values, and the r5 local/driver gap
+    # was this function's old 6-sig-digit smoothing hiding last-digit
+    # round(double) drift. Local green must imply driver green.
     out = []
     for r in rows:
         vals = []
@@ -22,8 +26,15 @@ def canon(rows, cols):
             if isinstance(v, float):
                 if math.isnan(v):
                     vals.append("NaN")
+                elif v == int(v) and abs(v) < 1e15:
+                    # integral floats render as ints: DuckDB HUGEINT
+                    # sums come back float64 via pandas, and the
+                    # driver's compare treats 11 == 11.0 (r5 evidence:
+                    # uncast sum() oracle columns hash-passed against
+                    # Spark longs)
+                    vals.append(str(int(v)))
                 else:
-                    vals.append(f"{v:.6g}")
+                    vals.append(repr(v))
             elif v is None:
                 vals.append("NULL")
             else:
