@@ -137,6 +137,78 @@ object MediaHeaders {
   private def fmtOnly(fmt: Option[(Int, Int, Int, Long)]): Option[WavInfo] =
     fmt.map { case (ch, rate, bits, _) => WavInfo(ch, rate, bits, 0L) }
 
+  final case class Mp4Info(brand: String, durationMs: Long,
+                           width: Int, height: Int, nTracks: Int)
+
+  /** MP4/ISO-BMFF: a box walk, no demuxing. Boxes are
+    * `size(4 BE) type(4 ascii) payload`; `size == 1` means a 64-bit
+    * largesize follows (skipped defensively — a header box never needs
+    * it). Reads `ftyp` (major brand), `moov/mvhd` (timescale +
+    * duration → ms) and each `moov/trak/tkhd` (track dims, 16.16
+    * fixed-point; audio tracks carry 0×0, so dims come from the first
+    * track with nonzero width). Like the other parsers this is
+    * O(header) — `mdat` is skipped by size, the sample data is never
+    * touched, and any malformed/truncated structure yields None.
+    *
+    * Reference stores raw media paths/URLs as opaque columns (e.g.
+    * data lake ingest in ingestion/fetch_data.py); the box walk is
+    * the Spark-side metadata step a real video corpus needs before
+    * any GPU decode.
+    */
+  def parseMp4(bytes: Array[Byte]): Option[Mp4Info] = {
+    if (bytes == null || bytes.length < 16) return None
+    if (ascii(bytes, 4, 4) != "ftyp") return None
+    val brand = ascii(bytes, 8, 4)
+    var durationMs = -1L
+    var width = 0; var height = 0; var nTracks = 0
+    // walk children of [from, until); returns false on malformed sizes
+    def walk(from: Int, until: Int, depth: Int): Boolean = {
+      var off = from
+      while (off + 8 <= until) {
+        val size = be32(bytes, off)
+        if (size == 1 || size < 8 || off + size > until) return size == 0
+        val typ = ascii(bytes, off + 4, 4)
+        val p = off + 8 // payload start
+        typ match {
+          case "moov" if depth == 0 =>
+            if (!walk(p, off + size.toInt, 1)) return false
+          case "trak" if depth == 1 =>
+            nTracks += 1
+            if (!walk(p, off + size.toInt, 2)) return false
+          case "mvhd" if depth == 1 && p + 20 <= until =>
+            val v = u8(bytes(p))
+            // v0: ver/flags(4) c(4) m(4) timescale(4) duration(4)
+            // v1: ver/flags(4) c(8) m(8) timescale(4) duration(8)
+            if (v == 0 && p + 20 <= until) {
+              val ts = be32(bytes, p + 12)
+              val dur = be32(bytes, p + 16)
+              if (ts > 0) durationMs = dur * 1000L / ts
+            } else if (v == 1 && p + 32 <= until) {
+              val ts = be32(bytes, p + 20)
+              val dur = (be32(bytes, p + 24) << 32) | be32(bytes, p + 28)
+              if (ts > 0) durationMs = dur * 1000L / ts
+            }
+          case "tkhd" if depth == 2 =>
+            val v = u8(bytes(p))
+            // width/height are 16.16 fixed point at the end of the box:
+            // v0 payload @76/@80, v1 @88/@92
+            val wOff = if (v == 0) p + 76 else p + 88
+            if (wOff + 8 <= until && width == 0) {
+              val w = (be32(bytes, wOff) >> 16).toInt
+              val h = (be32(bytes, wOff + 4) >> 16).toInt
+              if (w > 0 && h > 0) { width = w; height = h }
+            }
+          case _ => () // ftyp/mdat/free/udta/mdia/...: skip by size
+        }
+        off += size.toInt
+      }
+      true
+    }
+    if (!walk(0, bytes.length, 0)) return None
+    if (durationMs < 0) None
+    else Some(Mp4Info(brand, durationMs, width, height, nTracks))
+  }
+
   // ------------------------------------------------------------------
   // Fixture builders — REAL header bytes for tests and the synthetic
   // media table (the payload after the header is arbitrary noise; the
@@ -214,6 +286,59 @@ object MediaHeaders {
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, format, out)
     out.toByteArray
+  }
+
+  /** Minimal valid MP4: `ftyp` + `moov(mvhd + trak(tkhd))` + an
+    * `mdat` of deterministic noise. Real ISO-BMFF structure — every
+    * field the box walk reads is genuine; only the sample data is
+    * noise (a real encoder's output differs only inside mdat and in
+    * the codec boxes the parser never visits).
+    */
+  def mp4Bytes(width: Int, height: Int, durationMs: Long,
+               timescale: Int = 1000, payloadLen: Int = 32,
+               noiseSeed: Long = 42L): Array[Byte] = {
+    val mvhdSize = 8 + 100 // v0 mvhd payload is 100 bytes
+    val tkhdSize = 8 + 84  // v0 tkhd payload is 84 bytes
+    val trakSize = 8 + tkhdSize
+    val moovSize = 8 + mvhdSize + trakSize
+    val mdatSize = 8 + payloadLen
+    val buf = java.nio.ByteBuffer.allocate(16 + moovSize + mdatSize)
+    buf.putInt(16).put("ftyp".getBytes("US-ASCII"))
+    buf.put("isom".getBytes("US-ASCII")).putInt(0x200) // brand, version
+    buf.putInt(moovSize).put("moov".getBytes("US-ASCII"))
+    buf.putInt(mvhdSize).put("mvhd".getBytes("US-ASCII"))
+    buf.putInt(0)                              // version 0 + flags
+    buf.putInt(0).putInt(0)                    // creation, modification
+    buf.putInt(timescale)
+    buf.putInt((durationMs * timescale / 1000L).toInt)
+    buf.putInt(0x00010000).putShort(0x0100.toShort) // rate 1.0, volume 1.0
+    buf.putShort(0.toShort).putInt(0).putInt(0)     // reserved
+    // identity matrix (9 × 4 bytes)
+    buf.putInt(0x00010000).putInt(0).putInt(0)
+    buf.putInt(0).putInt(0x00010000).putInt(0)
+    buf.putInt(0).putInt(0).putInt(0x40000000)
+    (0 until 6).foreach(_ => buf.putInt(0))    // pre_defined
+    buf.putInt(2)                              // next_track_ID
+    buf.putInt(trakSize).put("trak".getBytes("US-ASCII"))
+    buf.putInt(tkhdSize).put("tkhd".getBytes("US-ASCII"))
+    buf.putInt(7)                              // version 0, flags enabled
+    buf.putInt(0).putInt(0)                    // creation, modification
+    buf.putInt(1).putInt(0)                    // track_ID, reserved
+    buf.putInt((durationMs * timescale / 1000L).toInt)
+    buf.putInt(0).putInt(0)                    // reserved[2]
+    buf.putShort(0.toShort).putShort(0.toShort) // layer, alternate_group
+    buf.putShort(0.toShort).putShort(0.toShort) // volume, reserved
+    buf.putInt(0x00010000).putInt(0).putInt(0)  // identity matrix
+    buf.putInt(0).putInt(0x00010000).putInt(0)
+    buf.putInt(0).putInt(0).putInt(0x40000000)
+    buf.putInt(width << 16).putInt(height << 16) // 16.16 fixed point
+    buf.putInt(mdatSize).put("mdat".getBytes("US-ASCII"))
+    var h = noiseSeed
+    (0 until payloadLen).foreach { _ =>
+      h = h * 6364136223846793005L + 1442695040888963407L
+      buf.put((h >>> 56).toByte)
+    }
+    buf.array()
   }
 
   /** Solid-color image — decode tests can assert exact channel means. */

@@ -9,10 +9,11 @@ import org.apache.spark.sql.types._
   *
   * Decode is REAL where the JVM has a codec: images (PNG/JPEG/GIF/BMP)
   * go through `javax.imageio` to actual pixels, audio through a
-  * direct 16-bit PCM WAV read — both ship with every JRE, zero new
-  * dependencies. `decodeStub` remains only as (a) the path for kinds
-  * with no JVM codec (video — no mp4 demuxer in the JRE) and (b) the
-  * corruption fallback, so a rotten payload degrades to a
+  * direct 16-bit PCM WAV read, and video through an MP4 ISO-BMFF box
+  * walk (ftyp/moov/mvhd/tkhd → duration + track dims; no frame
+  * pixels — the JRE has no video codec and frame decode belongs on
+  * GPU workers). All zero new dependencies. `decodeStub` remains only
+  * as the corruption fallback, so a rotten payload degrades to a
   * deterministic fake vector instead of killing the stage. A real
   * deployment swaps the per-kind decoders for JNI/model calls with the
   * SAME signature; nothing else changes.
@@ -159,14 +160,33 @@ object Multimodal {
     None
   }
 
-  /** Per-kind dispatch: real codec where the JVM has one, stub
-    * fallback elsewhere — ONE signature for every kind, so swapping in
-    * a JNI/model decoder is a local change.
+  /** REAL video metadata decode: MP4 box walk (MediaHeaders.parseMp4)
+    * → `[width, height, durationSec, nTracks, aspect, bytesPerSec,
+    * nBytes, 0]`. No frame pixels — the JRE has no video codec, and
+    * at 100 TB frame decode belongs on GPU workers anyway — but every
+    * emitted feature comes from actual container bytes. None for
+    * non-MP4/corrupt payloads (→ stub fallback).
+    */
+  def decodeVideoMeta(bytes: Array[Byte]): Option[Array[Float]] =
+    MediaHeaders.parseMp4(bytes).map { m =>
+      val durS = m.durationMs / 1000.0
+      Array(m.width.toFloat, m.height.toFloat, durS.toFloat,
+        m.nTracks.toFloat,
+        if (m.height > 0) m.width.toFloat / m.height else 0f,
+        if (durS > 0) (bytes.length / durS).toFloat else 0f,
+        bytes.length.toFloat, 0f)
+    }
+
+  /** Per-kind dispatch: real codec where the JVM has one, real
+    * container-metadata walk for video, stub fallback only for
+    * corrupt/unknown payloads — ONE signature for every kind, so
+    * swapping in a JNI/model decoder is a local change.
     */
   def decode(kind: String, bytes: Array[Byte]): Array[Float] = kind match {
     case "image" => decodeImage(bytes).getOrElse(decodeStub(bytes))
     case "audio" => decodeWavPcm(bytes).getOrElse(decodeStub(bytes))
-    case _ => decodeStub(bytes) // no JVM video demuxer: documented stub
+    case "video" => decodeVideoMeta(bytes).getOrElse(decodeStub(bytes))
+    case _ => decodeStub(bytes) // unknown kind: corruption fallback
   }
 
   /** Perceptual difference-hash (dHash) of a decoded image: the luma
@@ -282,10 +302,9 @@ object Multimodal {
         .otherwise(array()))
 
   /** Parse REAL container headers (MediaHeaders: PNG IHDR, JPEG SOF,
-    * WAV RIFF/fmt/data) into the metadata columns; parsed values
-    * override declared ones, declared values survive where the payload
-    * isn't a recognized container (e.g. video — no pure-JVM mp4 walker
-    * here).
+    * WAV RIFF/fmt/data, MP4 ftyp/moov box walk) into the metadata
+    * columns; parsed values override declared ones, declared values
+    * survive where the payload isn't a recognized container.
     *
     * Scalar UDFs, deliberately: byte-level header reads aren't
     * expressible in Catalyst builtins, the cost is O(header bytes) per
@@ -299,13 +318,22 @@ object Multimodal {
     val wav = udf((b: Array[Byte]) =>
       MediaHeaders.parseWav(b).map(w =>
         (w.channels, w.sampleRate, w.bitsPerSample, w.durationMs)))
+    val mp4 = udf((b: Array[Byte]) =>
+      MediaHeaders.parseMp4(b).map(m =>
+        (m.width, m.height, m.durationMs)))
     df.withColumn("__img", img(col("bytes")))
       .withColumn("__wav", wav(col("bytes")))
-      .withColumn("width", coalesce(col("__img._1"), col("width")))
-      .withColumn("height", coalesce(col("__img._2"), col("height")))
+      .withColumn("__mp4", mp4(col("bytes")))
+      .withColumn("width",
+        coalesce(col("__img._1"),
+          when(col("__mp4._1") > 0, col("__mp4._1")), col("width")))
+      .withColumn("height",
+        coalesce(col("__img._2"),
+          when(col("__mp4._2") > 0, col("__mp4._2")), col("height")))
       .withColumn("sample_rate", coalesce(col("__wav._2"), col("sample_rate")))
-      .withColumn("duration_ms", coalesce(col("__wav._4"), col("duration_ms")))
-      .drop("__img", "__wav")
+      .withColumn("duration_ms", coalesce(col("__wav._4"),
+        col("__mp4._3"), col("duration_ms")))
+      .drop("__img", "__wav", "__mp4")
   }
 
   /** Deterministic synthetic media table with REAL media bytes: image
@@ -325,7 +353,10 @@ object Multimodal {
         if (id % 2 == 0) "png" else "jpg", id)
       case "audio" => MediaHeaders.wavBytes(16000, nChars * 16,
         noiseSeed = id + 1)
-      case _ => s"video-payload-$id-$nChars".getBytes("UTF-8")
+      case _ => MediaHeaders.mp4Bytes(
+        width = (nChars % 8 + 1) * 160, height = (nChars % 8 + 1) * 90,
+        durationMs = nChars.toLong * 10, payloadLen = nChars,
+        noiseSeed = id + 1)
     })
     documents.select(
         col("doc_id").as("media_id"),
@@ -338,7 +369,6 @@ object Multimodal {
         lit(null).cast("int").as("width"),
         lit(null).cast("int").as("height"),
         lit(null).cast("int").as("sample_rate"),
-        when(col("kind") === "video", (col("n_chars") * 10).cast("long"))
-          .otherwise(lit(null).cast("long")).as("duration_ms"))
+        lit(null).cast("long").as("duration_ms"))
   }
 }

@@ -121,11 +121,40 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Long]("duration_ms") > 0)
       assert(r.isNullAt(r.fieldIndex("width")))
     }
-    // video payloads aren't a parseable container: declared values stand
+    // video rows are real MP4s: dims + duration come from the box walk
     rows.filter(_.getAs[String]("kind") == "video").foreach { r =>
-      assert(r.isNullAt(r.fieldIndex("width")))
-      assert(r.getAs[Long]("duration_ms") > 0) // declared, preserved
+      val w = r.getAs[Int]("width"); val h = r.getAs[Int]("height")
+      assert(w > 0 && w % 160 == 0, s"mp4 tkhd width $w")
+      assert(h > 0 && h % 90 == 0, s"mp4 tkhd height $h")
+      assert(r.getAs[Long]("duration_ms") > 0) // parsed from mvhd
+      assert(r.isNullAt(r.fieldIndex("sample_rate")))
     }
+  }
+
+  test("MP4 box walk: exact mvhd/tkhd fields, corruption paths, " +
+    "metadata-feature dispatch") {
+    import graft.operators.MediaHeaders
+    val mp4 = MediaHeaders.mp4Bytes(width = 640, height = 360,
+      durationMs = 5000L)
+    assert(MediaHeaders.parseMp4(mp4) ===
+      Some(MediaHeaders.Mp4Info("isom", 5000L, 640, 360, 1)))
+    // v0 duration round-trips through an arbitrary timescale
+    val ts = MediaHeaders.mp4Bytes(320, 240, 1234L, timescale = 90000)
+    assert(MediaHeaders.parseMp4(ts).get.durationMs === 1234L)
+    // real metadata features, no stub: [w, h, durS, nTracks, aspect...]
+    val f = Multimodal.decodeVideoMeta(mp4).get
+    assert(f(0) === 640f && f(1) === 360f && f(2) === 5f &&
+      f(3) === 1f && math.abs(f(4) - 640f / 360f) < 1e-6)
+    assert(Multimodal.decode("video", mp4).sameElements(f))
+    // corruption: wrong magic, truncation, cross-parsing, null
+    assert(MediaHeaders.parseMp4("not an mp4".getBytes) === None)
+    assert(MediaHeaders.parseMp4(mp4.take(30)) === None)
+    assert(MediaHeaders.parseMp4(MediaHeaders.pngBytes(10, 10)) === None)
+    assert(MediaHeaders.parseMp4(null) === None)
+    assert(MediaHeaders.parseWav(mp4) === None)
+    val cut = mp4.take(30)
+    assert(Multimodal.decode("video", cut)
+      .sameElements(Multimodal.decodeStub(cut)))
   }
 
   test("resize plan preserves aspect ratio within the box") {
