@@ -164,6 +164,21 @@ object Graft {
                   columns: Seq[String]): DataFrame =
     operators.Profiling.driftReport(batchA, batchB, columns)
 
+  /** Keyed upsert committed through manifest indirection: concurrent
+    * readers always see a complete snapshot (the parquet-native
+    * alternative to [[upsert]]'s dir swap when readers overlap
+    * writers).
+    */
+  def versionedUpsert(spark: org.apache.spark.sql.SparkSession,
+                      root: String, updates: DataFrame,
+                      keys: Seq[String]): Long =
+    sinks.VersionedTable.upsert(spark, root, updates, keys)
+
+  /** Live snapshot of a manifest-committed table. */
+  def readVersioned(spark: org.apache.spark.sql.SparkSession,
+                    root: String): DataFrame =
+    sinks.VersionedTable.readLive(spark, root)
+
   /** Grouped OLS trend from one sufficient-stats aggregate. */
   def trendFit(df: DataFrame, groupCols: Seq[String],
                x: org.apache.spark.sql.Column,

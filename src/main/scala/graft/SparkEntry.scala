@@ -1490,10 +1490,13 @@ object SparkEntry {
     // the bound gate is to pay quadratic cost only on a bounded sample
     // and trust the approximate operator beyond it.
     "q89_lshcos_recall" -> ((s, d) =>
+      // no corpus cap: the exact side is cluster-bound pruned but
+      // exact (Similarity.exactCosinePairs), so the gate verifies the
+      // whole corpus at every SF
       graft.operators.ErrorBounds.lshCosineRecall(
-        Tables.embeddings(s, d).filter(col("vec_id") < 1000),
-        "embedding", "vec_id",
-        threshold = 0.4, bits = 4, tables = 8, minRecall = 0.5)),
+        Tables.embeddings(s, d), "embedding", "vec_id",
+        threshold = 0.4, bits = 4, tables = 8, minRecall = 0.5,
+        indexKey = Some(d))),
 
     // PII scrub: emails/phones/IPv4 redacted in one codegen pass with
     // per-doc counts (curation policy: redact a little, drop a lot).
@@ -4879,7 +4882,6 @@ object SparkEntry {
       """SELECT count(*) AS n_exact_pairs, TRUE AS recall_ok
         |FROM embeddings a, embeddings b
         |WHERE a.vec_id < b.vec_id
-        |  AND a.vec_id < 1000 AND b.vec_id < 1000
         |  AND round(CAST(list_cosine_similarity(a.embedding, b.embedding)
         |        AS DOUBLE), 4) >= 0.4""".stripMargin,
 

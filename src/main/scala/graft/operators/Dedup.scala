@@ -530,27 +530,23 @@ object Dedup {
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
                         threshold: Double = 0.95, bits: Int = 8,
                         tables: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val candidates = hyperplaneCandidatePairs(base, bits, tables)
 
-    // exact cosine verification, codegen-style: per-dimension join on
-    // the candidate pairs + hash-aggregate dot product (the array-HOF
-    // cosine runs interpreted — measured 3-4× slower on the candidate
-    // set), norms precomputed once per vector
-    val vpos = base.select(col("id"),
-      posexplode(col("v")).as(Seq("p", "x")))
-      .select(col("id"), col("p"), col("x").cast("double").as("x"))
-    val norms = vpos.groupBy("id").agg(sqrt(sum(col("x") * col("x"))).as("nrm"))
-    val dots = candidates
-      .join(vpos.select(col("id").as("id_a"), col("p"), col("x").as("xa")), "id_a")
-      .join(vpos.select(col("id").as("id_b"), col("p"), col("x").as("xb")),
-        Seq("id_b", "p"))
-      .groupBy("id_a", "id_b")
-      .agg(sum(col("xa") * col("xb")).as("dot"))
-    dots
-      .join(norms.select(col("id").as("id_a"), col("nrm").as("n_a")), "id_a")
-      .join(norms.select(col("id").as("id_b"), col("nrm").as("n_b")), "id_b")
-      .withColumn("cosine", col("dot") / (col("n_a") * col("n_b")))
+    // exact cosine verification: candidates stay ids-only through the
+    // banding, then each side's vector hash-joins back and the native
+    // codegen graft_cosine scores in a Project. (The earlier
+    // per-dimension posexplode join paid |candidates|·d joined rows —
+    // 64M at the q89 wide-recall config — and measured ~6× slower
+    // than this shape; the array-HOF cosine runs interpreted and is
+    // not the alternative.) No broadcast hint: the vector side is
+    // corpus-sized, and Spark/AQE picks broadcast exactly when it
+    // fits — the same plan survives a corpus that doesn't.
+    candidates
+      .join(base.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .withColumn("cosine", call_function("graft_cosine", col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }

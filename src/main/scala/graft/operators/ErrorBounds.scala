@@ -88,38 +88,24 @@ object ErrorBounds {
   }
 
   /** Recall of the hyperplane-LSH near-dup pairs against the exact
-    * all-pairs cosine set at `threshold`. The exact side is a
-    * deliberate quadratic crossJoin + codegen cosine — affordable at
-    * verification scale, and reproducible in the oracle (DuckDB
-    * `list_cosine_similarity` agrees with `graft_cosine` to the 4 dp
-    * the threshold compare is rounded to; q27's hash-matched oracle
-    * established that). Output: exact pair count + recall boolean.
+    * all-pairs cosine set at `threshold`. The exact side is
+    * [[Similarity.exactCosinePairs]] — cluster-angular-bound pruned
+    * but EXACT (every surviving candidate scored with the same 4-dp
+    * cosine the oracle replays; DuckDB `list_cosine_similarity` agrees
+    * with `graft_cosine` at that grid, established by q27's
+    * hash-matched oracle) — so the gate verifies the FULL corpus with
+    * no sampling cap. Output: exact pair count + recall boolean.
     */
   def lshCosineRecall(df: DataFrame, vecCol: String, idCol: String,
                       threshold: Double, bits: Int, tables: Int,
-                      minRecall: Double): DataFrame = {
+                      minRecall: Double,
+                      indexKey: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    // All-pairs done the ids-first way: cross the (8-byte) ids alone,
-    // then hash-join each side's vector back and score in a Project.
-    // Crossing the vectors directly puts graft_cosine inside the
-    // nested-loop join CONDITION, which evaluates outside whole-stage
-    // codegen — measured 12 s vs ~2 s for this shape at 2k vectors.
-    val ids = base.select(col("id"))
-    val pairs = ids.select(col("id").as("id_a"))
-      .crossJoin(ids.select(col("id").as("id_b")))
-      .filter(col("id_a") < col("id_b"))
     // Materialize both pair sets once (each is tiny — true near-dup
-    // pairs): the exact side otherwise re-runs its 4M-pair scoring for
-    // the count AND the hits join, and the LSH side re-runs banding.
-    val exact = pairs
-      .join(broadcast(base.select(col("id").as("id_a"), col("v").as("va"))),
-        "id_a")
-      .join(broadcast(base.select(col("id").as("id_b"), col("v").as("vb"))),
-        "id_b")
-      .withColumn("cosine",
-        round(call_function("graft_cosine", col("va"), col("vb")), 4))
-      .filter(col("cosine") >= threshold)
+    // pairs): the exact side otherwise re-runs its scoring for the
+    // count AND the hits join, and the LSH side re-runs banding.
+    val exact = Similarity
+      .exactCosinePairs(df, vecCol, idCol, threshold, inputKey = indexKey)
       .select(col("id_a"), col("id_b"))
       .localCheckpoint(true)
     val approx = Dedup.embeddingNearDups(df, vecCol, idCol, threshold,

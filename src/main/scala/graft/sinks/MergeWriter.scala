@@ -36,9 +36,11 @@ import org.apache.spark.sql.functions.{col, lit}
   * a time, so a concurrent full-table read can observe partition A
   * post-merge and partition B pre-merge. Single-writer /
   * retry-on-missing readers (the batch-pipeline pattern this sink
-  * serves) are unaffected; a transactional table format
-  * (Delta/Iceberg) is the upgrade path when concurrent readers need
-  * snapshot isolation. For a relational target, [[JdbcUpsert]] gives
+  * serves) are unaffected; [[VersionedTable.upsert]] closes the window
+  * with manifest indirection (readers never see a missing dir), and a
+  * transactional table format (Delta/Iceberg) is the upgrade path when
+  * concurrent readers need full snapshot isolation with concurrent
+  * writers. For a relational target, [[JdbcUpsert]] gives
   * per-transaction atomicity instead.
   */
 object MergeWriter {
@@ -137,8 +139,8 @@ object MergeWriter {
     * order, ready for `unionByName`. Merge keys must always be present
     * in the updates — a null-filled key would merge nonsense.
     */
-  private def alignSchemas(existing: DataFrame, updates: DataFrame,
-                           keys: Seq[String], mode: SchemaMode)
+  private[sinks] def alignSchemas(existing: DataFrame, updates: DataFrame,
+                                  keys: Seq[String], mode: SchemaMode)
   : (DataFrame, DataFrame) = {
     val eCols = existing.columns.toSeq
     val uSet = updates.columns.toSet

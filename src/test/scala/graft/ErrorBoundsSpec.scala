@@ -61,4 +61,41 @@ class ErrorBoundsSpec extends SparkSpec {
     assert(r.getAs[Boolean]("recall_ok"),
       "identical vectors missed by LSH — bucketing is broken")
   }
+
+  test("exactCosinePairs: cluster-pruned pair set IDENTICAL to the " +
+    "quadratic definition on the real corpus, at loose and tight " +
+    "thresholds") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def brute(threshold: Double): Set[(Long, Long)] = {
+      val base = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+      val ids = base.select(col("id"))
+      ids.select(col("id").as("id_a"))
+        .crossJoin(ids.select(col("id").as("id_b")))
+        .filter(col("id_a") < col("id_b"))
+        .join(base.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+        .join(base.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+        .withColumn("cosine",
+          round(call_function("graft_cosine", col("va"), col("vb")), 4))
+        .filter(col("cosine") >= threshold)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // 0.4 is the q89 operating point (66 true pairs at sf0.001); 0.3
+    // widens the set so the prune faces a denser frontier. 0.5+ has
+    // zero pairs in this corpus — an empty-set compare proves nothing.
+    Seq(0.3, 0.4).foreach { t =>
+      val pruned = graft.operators.Similarity
+        .exactCosinePairs(emb, "embedding", "vec_id", t)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = brute(t)
+      assert(exact.nonEmpty, s"fixture has no pairs at $t — test is vacuous")
+      assert(pruned === exact,
+        s"threshold $t: pruning changed the exact pair set " +
+          s"(missing ${(exact -- pruned).take(3)}, " +
+          s"extra ${(pruned -- exact).take(3)})")
+    }
+  }
 }

@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.sinks.{MergeWriter, VersionedTable}
+import org.apache.spark.sql.functions._
+
+/** The manifest commit protocol: snapshot reads under concurrent
+  * commits (the property MergeWriter's dir swap cannot give), linear
+  * versioning, retention, and upsert parity with the rename-based
+  * merge.
+  */
+class VersionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("vtable").resolve("t").toString
+
+  test("upsert semantics match MergeWriter: insert, update, idempotent") {
+    val root = tmpRoot()
+    val v1 = VersionedTable.upsert(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"))
+    assert(v1 === 1L)
+    // update key 2, insert key 3
+    VersionedTable.upsert(spark, root,
+      Seq((2L, "B"), (3L, "c")).toDF("id", "v"), Seq("id"))
+    val got = VersionedTable.readLive(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "a", 2L -> "B", 3L -> "c"))
+    // re-running the same batch is a no-op on content
+    VersionedTable.upsert(spark, root,
+      Seq((2L, "B"), (3L, "c")).toDF("id", "v"), Seq("id"))
+    assert(VersionedTable.readLive(spark, root).count() === 3)
+    assert(VersionedTable.readManifest(root).get.version === 3L)
+  }
+
+  test("schema evolution rides the same MergeWriter policy") {
+    val root = tmpRoot()
+    VersionedTable.upsert(spark, root,
+      Seq((1L, "a")).toDF("id", "v"), Seq("id"))
+    intercept[IllegalArgumentException] {
+      VersionedTable.upsert(spark, root,
+        Seq((2L, "b", 9L)).toDF("id", "v", "extra"), Seq("id"))
+    }
+    VersionedTable.upsert(spark, root,
+      Seq((2L, "b", 9L)).toDF("id", "v", "extra"), Seq("id"),
+      MergeWriter.SchemaMode.SyncAllColumns)
+    val live = VersionedTable.readLive(spark, root)
+    assert(live.columns.sorted.toSeq === Seq("extra", "id", "v"))
+    assert(live.filter($"id" === 1L).select("extra").head().isNullAt(0))
+  }
+
+  test("retention keeps exactly live + predecessor versions") {
+    val root = tmpRoot()
+    (1 to 4).foreach(i => VersionedTable.upsert(spark, root,
+      Seq((i.toLong, s"r$i")).toDF("id", "v"), Seq("id")))
+    val dirs = Files.list(Paths.get(root)).toArray.map(_.toString)
+      .filter(_.matches(".*v\\d{8}$")).sorted
+      .map(d => d.substring(d.length - 9)).toSeq
+    assert(dirs === Seq("v00000003", "v00000004"),
+      s"expected live + predecessor kept, got $dirs")
+    assert(VersionedTable.readLive(spark, root).count() === 4)
+  }
+
+  test("failed write commits nothing and leaves the live version intact") {
+    val root = tmpRoot()
+    VersionedTable.upsert(spark, root,
+      Seq((1L, "a")).toDF("id", "v"), Seq("id"))
+    intercept[RuntimeException] {
+      VersionedTable.commit(root) { _ => throw new RuntimeException("boom") }
+    }
+    assert(VersionedTable.readManifest(root).get.version === 1L)
+    assert(VersionedTable.readLive(spark, root).count() === 1)
+    // the half-written v2 dir is gone; next commit reuses version 2
+    assert(!Files.exists(Paths.get(root).resolve("v00000002")))
+    assert(VersionedTable.upsert(spark, root,
+      Seq((2L, "b")).toDF("id", "v"), Seq("id")) === 2L)
+  }
+
+  test("a concurrent reader never sees a missing dir or partial " +
+    "snapshot across repeated commits") {
+    val root = tmpRoot()
+    VersionedTable.upsert(spark, root,
+      Seq((0L, 0L)).toDF("id", "batch"), Seq("id"))
+    // every version has a distinct, internally-consistent shape:
+    // batch b upserts ids [0, b] all tagged batch=b, so a snapshot
+    // read must see max(batch) == count-1 AND a single batch value
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var writing = true
+    val reader = new Thread(() => {
+      while (writing) {
+        try {
+          val rows = VersionedTable.readLive(spark, root)
+            .agg(count(lit(1)), max($"batch"), min($"batch"))
+            .head()
+          val (n, mx, mn) = (rows.getLong(0), rows.getLong(1), rows.getLong(2))
+          if (mx !== mn)
+            failures.add(s"mixed batches in one snapshot: $mn..$mx")
+          if (n !== mx + 1)
+            failures.add(s"partial snapshot: batch $mx with $n rows")
+        } catch { case e: Throwable =>
+          failures.add(s"reader threw: ${e.getMessage}")
+        }
+      }
+    })
+    reader.start()
+    try {
+      // keepVersions = 4: the reader only needs latitude of ONE
+      // commit by protocol; the margin keeps a busy CI box from
+      // turning slow reads into false protocol violations
+      (1 to 12).foreach { b =>
+        VersionedTable.upsert(spark, root,
+          (0L to b.toLong).map(i => (i, b.toLong)).toDF("id", "batch"),
+          Seq("id"), keepVersions = 4)
+      }
+    } finally { writing = false; reader.join(30000) }
+    assert(failures.isEmpty,
+      s"concurrent reader observed: ${failures.toArray.take(3).mkString("; ")}")
+    assert(VersionedTable.readLive(spark, root).count() === 13)
+  }
+}
