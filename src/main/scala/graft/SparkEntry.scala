@@ -3437,9 +3437,12 @@ object SparkEntry {
       val joined = graft.streaming.EventsStream.purchaseErrorJoin(
         ev1.filter(col("event_type") === "purchase"),
         ev2.filter(col("event_type") === "error"))
+      // inner join: every match emits in the data batch; the no-data
+      // batch would only evict state that dies with the query anyway
       graft.streaming.EventsStream.runToTable(s, joined,
         s"q40_sink_${System.nanoTime()}",
-        org.apache.spark.sql.streaming.OutputMode.Append())
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        needsFinalize = Some(false))
     })
   )
 

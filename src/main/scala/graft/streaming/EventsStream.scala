@@ -109,7 +109,8 @@ object EventsStream {
     * exhausted.
     */
   def runToTable(spark: SparkSession, df: DataFrame, name: String,
-                 mode: OutputMode = OutputMode.Complete()): DataFrame = {
+                 mode: OutputMode = OutputMode.Complete(),
+                 needsFinalize: Option[Boolean] = None): DataFrame = {
     // Stateful streaming cost scales with shuffle partitions (one
     // state store instance per partition per stateful operator); pin a
     // partition count sized to the data, not the core count — on a
@@ -129,13 +130,16 @@ object EventsStream {
     // Complete mode emits every group when the source drains — the
     // extra NO-DATA micro-batch (whose only job is advancing the
     // watermark so Append-mode sinks finalize) is pure fixed cost
-    // here: skip it. Append-mode runs (outer join NULL extension,
-    // watermark-bounded dedup) still need it, so the conf is scoped
-    // to this run and restored.
+    // here: skip it. Append-mode runs need it WHEN emission waits on
+    // the watermark (outer-join NULL extension, session timeout,
+    // finalized windows); an Append INNER stream-stream join emits
+    // every match in the data batch itself and may pass
+    // `needsFinalize = Some(false)` to skip the state-eviction-only
+    // batch too. The conf is scoped to this run and restored.
     val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prevNoData = spark.conf.getOption(noDataKey)
-    if (mode == OutputMode.Complete())
-      spark.conf.set(noDataKey, "false")
+    val finalize = needsFinalize.getOrElse(mode != OutputMode.Complete())
+    if (!finalize) spark.conf.set(noDataKey, "false")
     try {
       val q = df.writeStream
         .format("memory")
