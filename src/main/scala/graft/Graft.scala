@@ -179,6 +179,21 @@ object Graft {
                     root: String): DataFrame =
     sinks.VersionedTable.readLive(spark, root)
 
+  /** Partitioned manifest-committed upsert: only touched partitions
+    * rewrite; readers see complete snapshots across the flip.
+    */
+  def versionedUpsertPartitioned(spark: org.apache.spark.sql.SparkSession,
+                                 root: String, updates: DataFrame,
+                                 keys: Seq[String],
+                                 partitionColumns: Seq[String]): Long =
+    sinks.VersionedTable.upsertPartitioned(spark, root, updates, keys,
+      partitionColumns)
+
+  /** Live snapshot of a partitioned manifest-committed table. */
+  def readVersionedPartitioned(spark: org.apache.spark.sql.SparkSession,
+                               root: String): DataFrame =
+    sinks.VersionedTable.readLivePartitioned(spark, root)
+
   /** Grouped OLS trend from one sufficient-stats aggregate. */
   def trendFit(df: DataFrame, groupCols: Seq[String],
                x: org.apache.spark.sql.Column,

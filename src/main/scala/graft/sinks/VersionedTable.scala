@@ -130,6 +130,168 @@ object VersionedTable {
       }
     }
 
+  // ------------------------------------------------------------------
+  // Partitioned mode: the manifest maps each partition (its Spark
+  // `col=value[/...]` relative path) to the version directory holding
+  // its live data. A commit writes ONLY the touched partitions into a
+  // fresh version dir and flips their manifest pointers — untouched
+  // partitions keep pointing at older dirs, giving per-partition
+  // incremental rewrites WITH the atomic-manifest read guarantee:
+  //
+  //   root/_manifest.json  {"version": 9, "partitionColumns": ["dt"],
+  //                         "partitions": {"dt=2024-01-01": "v00000004",
+  //                                        "dt=2024-01-02": "v00000009"}}
+  //   root/v00000004/dt=2024-01-01/...
+  //   root/v00000009/dt=2024-01-02/...
+  //
+  // Same CONTRACT as MergeWriter's partitioned mode: every partition
+  // column must be a function of the merge keys, or a key moving
+  // between partition values leaves its old row behind.
+  // ------------------------------------------------------------------
+
+  final case class PartitionedManifest(version: Long,
+                                       partitionColumns: Seq[String],
+                                       partitions: Map[String, String])
+
+  /** Parse the partitioned manifest (flat JSON, written by us; Spark's
+    * partition-dir escaping keeps keys free of quotes/backslashes).
+    */
+  def readPartitionedManifest(root: String): Option[PartitionedManifest] = {
+    val p = manifestPath(Paths.get(root))
+    if (!Files.exists(p)) None
+    else {
+      val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      val vm = """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
+      val cm = """"partitionColumns"\s*:\s*\[([^\]]*)\]""".r
+        .findFirstMatchIn(s)
+      val pm = """"partitions"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(s)
+      for (v <- vm; c <- cm; pp <- pm) yield {
+        val cols = """"([^"]+)"""".r.findAllMatchIn(c.group(1))
+          .map(_.group(1)).toSeq
+        val parts = """"([^"]+)"\s*:\s*"([^"]+)"""".r
+          .findAllMatchIn(pp.group(1))
+          .map(m => m.group(1) -> m.group(2)).toMap
+        PartitionedManifest(v.group(1).toLong, cols, parts)
+      }
+    }
+  }
+
+  private def writePartitionedManifest(root: Path,
+                                       m: PartitionedManifest): Unit = {
+    val parts = m.partitions.toSeq.sorted
+      .map { case (k, v) => s""""$k": "$v"""" }.mkString(", ")
+    val cols = m.partitionColumns.map(c => s""""$c"""").mkString(", ")
+    val tmp = root.resolve(s"_manifest.json.tmp${m.version}")
+    Files.write(tmp,
+      (s"""{"version": ${m.version}, "partitionColumns": [$cols], """ +
+        s""""partitions": {$parts}}""").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(root), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Live snapshot of a partitioned versioned table: the manifest's
+    * partition→dir map, read per version dir with Spark's own
+    * partition discovery (basePath = the version dir), unioned.
+    * Partition-column filters prune directories as usual.
+    */
+  def readLivePartitioned(spark: SparkSession, root: String): DataFrame = {
+    val m = readPartitionedManifest(root).getOrElse(
+      throw new IllegalStateException(
+        s"no partitioned _manifest.json under $root"))
+    val rootP = Paths.get(root)
+    val byDir = m.partitions.groupBy(_._2).toSeq.sortBy(_._1)
+    byDir.map { case (dir, parts) =>
+      val base = rootP.resolve(dir).toString
+      val leaves = parts.keys.toSeq.sorted.map(k => s"$base/$k")
+      spark.read.option("basePath", base).option("mergeSchema", "true")
+        .parquet(leaves: _*)
+    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
+  /** Keyed upsert into a partitioned versioned table: merge the
+    * touched partitions' live data with the updates, write ONLY those
+    * partitions into a fresh version dir, flip their manifest
+    * pointers atomically. Untouched partitions are never read or
+    * rewritten; concurrent readers see the old manifest (complete old
+    * snapshot) or the new one (complete new snapshot), never a
+    * half-swapped mix — the property MergeWriter's per-dir swap loses.
+    */
+  def upsertPartitioned(spark: SparkSession, root: String,
+                        updates: DataFrame, keys: Seq[String],
+                        partitionColumns: Seq[String],
+                        schemaMode: MergeWriter.SchemaMode =
+                          MergeWriter.SchemaMode.Strict): Long = {
+    require(partitionColumns.nonEmpty,
+      "partitionColumns empty — use upsert() for unpartitioned tables")
+    val rootP = Paths.get(root)
+    Files.createDirectories(rootP)
+    val prev = readPartitionedManifest(root)
+    val next = prev.map(_.version + 1).getOrElse(1L)
+    val dirName = f"v$next%08d"
+    val dir = rootP.resolve(dirName)
+    val merged = prev match {
+      case None => updates
+      case Some(m) =>
+        import org.apache.spark.sql.functions.{col, lit}
+        val touched = updates
+          .select(partitionColumns.map(updates(_)): _*).distinct().collect()
+        if (touched.isEmpty) return m.version
+        val touchedPred = touched
+          .map(r => partitionColumns.zipWithIndex
+            .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+            .reduce(_ && _))
+          .reduce(_ || _)
+        val existing = readLivePartitioned(spark, root).filter(touchedPred)
+        val (existingAligned, updatesAligned) =
+          MergeWriter.alignSchemas(existing, updates, keys, schemaMode)
+        existingAligned.join(
+            updates.select(keys.map(updates(_)): _*), keys, "left_anti")
+          .unionByName(updatesAligned)
+    }
+    try merged.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionColumns: _*).parquet(dir.toString)
+    catch { case e: Throwable => deleteRecursively(dir); throw e }
+    // the partitions actually written are the touched set, keyed by
+    // their Spark-escaped relative paths
+    val written = partitionLeafDirs(dir, partitionColumns.size)
+      .map(_.toString)
+    val newParts = prev.map(_.partitions).getOrElse(Map.empty) ++
+      written.map(_ -> dirName)
+    writePartitionedManifest(rootP,
+      PartitionedManifest(next, partitionColumns, newParts))
+    // retention: keep dirs referenced by the new manifest or the
+    // previous one (readers of the prior snapshot finish their scan)
+    val referenced = newParts.values.toSet ++
+      prev.map(_.partitions.values.toSet).getOrElse(Set.empty)
+    val s = Files.list(rootP)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.toSeq
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.matches("v\\d{8}") &&
+          !referenced(p.getFileName.toString))
+        .foreach(deleteRecursively)
+    } finally s.close()
+    next
+  }
+
+  /** Relative `col=value[/...]` leaf dirs under a version dir. */
+  private def partitionLeafDirs(base: Path, depth: Int): Seq[Path] = {
+    def walk(dir: Path, level: Int): Seq[Path] =
+      if (level == 0) Seq(dir)
+      else {
+        val s = Files.list(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.toSeq
+            .filter(p => Files.isDirectory(p) &&
+              p.getFileName.toString.contains("="))
+            .flatMap(walk(_, level - 1))
+        } finally s.close()
+      }
+    walk(base, depth).map(base.relativize)
+  }
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder())

@@ -81,7 +81,9 @@ class EntrySpec extends SparkSpec {
       "q77_corpus_pipeline", "q89_lshcos_recall", "q95_span_dedup",
       "q123_bm25", "q133_random_projection", "q134_markov_transitions",
       "q140_drift_report", "q25_ngram_jaccard", "q81_ngram_prefix",
-      "q97_incremental_neardup")
+      "q97_incremental_neardup",
+      // strict-verified 2026-08-13 (round 6 additions)
+      "q193_orc_roundtrip")
     val offenders = SparkEntry.oracleSql.collect {
       case (name, sql)
         if sql.toLowerCase.contains("round(") && !pinned(name) => name

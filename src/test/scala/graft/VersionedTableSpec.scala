@@ -76,6 +76,40 @@ class VersionedTableSpec extends SparkSpec {
       Seq((2L, "b")).toDF("id", "v"), Seq("id")) === 2L)
   }
 
+  test("partitioned upsert: only touched partitions rewrite, manifest " +
+    "pointers mix versions, reads reassemble the live snapshot") {
+    val root = tmpRoot()
+    val day1 = Seq((1L, "d1", 10L), (2L, "d1", 20L))
+    val day2 = Seq((3L, "d2", 30L))
+    VersionedTable.upsertPartitioned(spark, root,
+      (day1 ++ day2).toDF("id", "dt", "v"), Seq("id"), Seq("dt"))
+    // second batch touches ONLY d2 (update 3, insert 4)
+    VersionedTable.upsertPartitioned(spark, root,
+      Seq((3L, "d2", 31L), (4L, "d2", 40L)).toDF("id", "dt", "v"),
+      Seq("id"), Seq("dt"))
+    val m = VersionedTable.readPartitionedManifest(root).get
+    assert(m.version === 2L)
+    assert(m.partitions("dt=d1") === "v00000001",
+      "untouched partition must keep its old version dir")
+    assert(m.partitions("dt=d2") === "v00000002")
+    val got = VersionedTable.readLivePartitioned(spark, root)
+      .collect().map(r => (r.getAs[Long]("id"),
+        r.getAs[String]("dt"), r.getAs[Long]("v"))).toSet
+    assert(got === Set((1L, "d1", 10L), (2L, "d1", 20L),
+      (3L, "d2", 31L), (4L, "d2", 40L)))
+    // v1 still holds d1's live data so it must survive pruning; after
+    // a third commit touching d1, v1 is only the PREVIOUS snapshot's
+    // dependency and survives one more round
+    VersionedTable.upsertPartitioned(spark, root,
+      Seq((1L, "d1", 11L)).toDF("id", "dt", "v"), Seq("id"), Seq("dt"))
+    val m3 = VersionedTable.readPartitionedManifest(root).get
+    assert(m3.partitions("dt=d1") === "v00000003")
+    assert(m3.partitions("dt=d2") === "v00000002")
+    val got3 = VersionedTable.readLivePartitioned(spark, root)
+      .filter($"dt" === "d1").select("v").as[Long].collect().toSet
+    assert(got3 === Set(11L, 20L))
+  }
+
   test("a concurrent reader never sees a missing dir or partial " +
     "snapshot across repeated commits") {
     val root = tmpRoot()
