@@ -2950,6 +2950,113 @@ object SparkEntry {
           sum_distinct(col("hmin")).as("fp_checksum"))
     }),
 
+    // KV-cache prefix-sharing planner (batched-inference economics):
+    // at prefix depths 4/8/16 tokens, how many docs share an exact
+    // token prefix and what fraction of total tokens a prefix cache
+    // would serve (every doc after a group's first reuses P cached
+    // tokens). One generator over 3 depths + one hash aggregate per
+    // (depth, prefix); grouping key is the md5 of the prefix, never
+    // the text. Integer arithmetic throughout (basis points via div).
+    "q196_prefix_cache" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')")
+            .as("ts"))
+      val tot = toks.agg(sum(size(col("ts")).cast("long")).as("total_tok"))
+      val pref = toks
+        .select(col("doc_id"), col("ts"),
+          explode(array(lit(4), lit(8), lit(16))).as("p"))
+        .filter(size(col("ts")) >= col("p"))
+        .select(col("p"),
+          md5(concat_ws(" ", expr("slice(ts, 1, p)"))).as("k"))
+      pref.groupBy("p", "k").agg(count(lit(1)).as("n_g"))
+        .groupBy("p")
+        .agg(sum("n_g").as("n_docs_eligible"),
+          count(lit(1)).as("n_prefix_groups"),
+          sum((col("n_g") - 1L) * col("p").cast("long"))
+            .as("cached_tokens"))
+        .crossJoin(broadcast(tot))
+        .withColumn("saved_bp",
+          expr("(cached_tokens * 10000) div total_tok"))
+        .select(col("p").cast("long").as("prefix_len"),
+          col("n_docs_eligible"), col("n_prefix_groups"),
+          col("cached_tokens"), col("total_tok"), col("saved_bp"))
+    }),
+
+    // Near-dup cluster PRECISION audit: for every connected component
+    // of the (memoized) minhash pair graph, the exact trigram Jaccard
+    // of EVERY member pair — including transitive pairs LSH never
+    // scored, which is where cluster quality silently erodes (a→b and
+    // b→c at 0.5 can chain a→c at 0.1). Min and pooled Jaccard in
+    // integer basis points; cluster sizes are small so the
+    // within-cluster pair join is bounded by Σ|cluster|².
+    "q197_cluster_precision" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDupsCached(docs, d, "text", "doc_id",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val labels = graft.operators.Components.connectedComponentsCached(
+        pairs, inputKey = s"minhash05|$d")
+      val ma = labels.select(col("component"), col("id").as("id_a"))
+      val mb = labels.select(col("component"), col("id").as("id_b"))
+      val mp = ma.join(mb, "component").filter(col("id_a") < col("id_b"))
+      val g = Dedup.shingleRows(docs, "text", "doc_id", 3)
+      val sz = g.select(col("id"), col("n_sh")).distinct()
+      val pj = mp
+        .join(g.select(col("id").as("id_a"), col("g")), "id_a")
+        .join(g.select(col("id").as("id_b"), col("g")), Seq("id_b", "g"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+      val full = mp
+        .join(sz.select(col("id").as("id_a"), col("n_sh").as("n_a")),
+          "id_a")
+        .join(sz.select(col("id").as("id_b"), col("n_sh").as("n_b")),
+          "id_b")
+        .join(pj, Seq("id_a", "id_b"), "left")
+        .withColumn("common", coalesce(col("common"), lit(0L)))
+        .withColumn("union_sz", col("n_a") + col("n_b") - col("common"))
+      val mem = labels.groupBy("component").agg(count(lit(1)).as("n_members"))
+      full.groupBy("component")
+        .agg(count(lit(1)).as("n_pairs"),
+          min(expr("(common * 10000) div union_sz")).as("min_j_bp"),
+          sum("common").as("sum_common"), sum("union_sz").as("sum_union"))
+        .join(mem, "component")
+        .select(col("component").as("cluster_id"), col("n_members"),
+          col("n_pairs"), col("min_j_bp"),
+          expr("(sum_common * 10000) div sum_union").as("pooled_j_bp"))
+    }),
+
+    // Dataset card: the one-row corpus summary a release ships with —
+    // doc/token/source counts, length stats, source concentration,
+    // near-dup membership — every figure an exact integer (shares in
+    // basis points via div), composed from memoized stages.
+    "q198_dataset_card" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("n_tok"))
+      val core = toks.agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(when(col("n_tok") < 32, 1L).otherwise(0L)).as("n_short_docs"),
+        min("n_tok").as("min_tok"), max("n_tok").as("max_tok"))
+      val topSrc = toks.groupBy("source").agg(count(lit(1)).as("n"))
+        .agg(max("n").as("max_source_docs"))
+      val dup = graft.operators.Components.connectedComponentsCached(
+        Dedup.minhashNearDupsCached(docs, d, "text", "doc_id",
+          shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+          .select(col("id_a"), col("id_b")),
+        inputKey = s"minhash05|$d")
+        .agg(count(lit(1)).as("n_dup_members"))
+      core.crossJoin(broadcast(topSrc)).crossJoin(broadcast(dup))
+        .select(col("n_docs"), col("n_tokens"), col("n_sources"),
+          expr("n_tokens div n_docs").as("mean_tok"),
+          col("min_tok"), col("max_tok"), col("n_short_docs"),
+          expr("(max_source_docs * 10000) div n_docs")
+            .as("top_source_share_bp"),
+          col("n_dup_members"),
+          expr("(n_dup_members * 10000) div n_docs").as("dup_rate_bp"))
+    }),
+
     // Incremental near-dup maintenance: docs with doc_id % 10 == 0
     // arrive as the new batch; the rest are the already-indexed corpus.
     // The batch's band hashes probe the corpus's persisted band index,
@@ -5221,6 +5328,107 @@ object SparkEntry {
         |  CAST(sum(DISTINCT hmin) AS BIGINT) AS fp_checksum
         |FROM wm WHERE p <= ng - 3
         |GROUP BY doc_id""".stripMargin,
+
+    // Same md5-prefix grouping at each depth, same integer cache
+    // arithmetic.
+    "q196_prefix_cache" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |    '\s+'), t -> t <> '') AS ts
+        |  FROM documents),
+        |tot AS (SELECT CAST(sum(len(ts)) AS BIGINT) AS total_tok
+        |        FROM toks),
+        |pref AS (
+        |  SELECT p, md5(array_to_string(list_slice(ts, 1, p), ' ')) AS k
+        |  FROM toks, unnest([4, 8, 16]) AS u(p)
+        |  WHERE len(ts) >= p),
+        |grp AS (
+        |  SELECT p, k, count(*) AS n_g FROM pref GROUP BY p, k),
+        |agg AS (
+        |  SELECT p, CAST(sum(n_g) AS BIGINT) AS n_docs_eligible,
+        |    count(*) AS n_prefix_groups,
+        |    CAST(sum((n_g - 1) * p) AS BIGINT) AS cached_tokens
+        |  FROM grp GROUP BY p)
+        |SELECT CAST(p AS BIGINT) AS prefix_len, n_docs_eligible,
+        |  n_prefix_groups, cached_tokens, tot.total_tok,
+        |  CAST((cached_tokens * 10000) // tot.total_tok AS BIGINT)
+        |    AS saved_bp
+        |FROM agg, tot""".stripMargin,
+
+    // The same pair graph and closure as q190, then EVERY member pair
+    // exact-Jaccard'd in integer basis points.
+    "q197_cluster_precision" ->
+      (ngramJaccardPairsCte +
+        """,
+          |ed AS (SELECT id_a AS s, id_b AS d FROM jpairs
+          |       UNION SELECT id_b, id_a FROM jpairs),
+          |reach AS (
+          |  SELECT s AS id, s AS comp FROM ed
+          |  UNION
+          |  SELECT ed.d, reach.comp FROM reach JOIN ed ON ed.s = reach.id),
+          |lab AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+          |mem AS (SELECT component, count(*) AS n_members FROM lab
+          |        GROUP BY component),
+          |mp AS (
+          |  SELECT a.component, a.id AS id_a, b.id AS id_b
+          |  FROM lab a JOIN lab b
+          |    ON a.component = b.component AND a.id < b.id),
+          |sz AS (SELECT doc_id, any_value(n_sh) AS n_sh FROM g
+          |       GROUP BY doc_id),
+          |pj AS (
+          |  SELECT mp.id_a, mp.id_b, count(*) AS common
+          |  FROM mp JOIN g ga ON ga.doc_id = mp.id_a
+          |          JOIN g gb ON gb.doc_id = mp.id_b AND gb.g = ga.g
+          |  GROUP BY 1, 2),
+          |f AS (
+          |  SELECT mp.component, mp.id_a, mp.id_b,
+          |    coalesce(pj.common, 0) AS common,
+          |    sa.n_sh + sb.n_sh - coalesce(pj.common, 0) AS union_sz
+          |  FROM mp JOIN sz sa ON sa.doc_id = mp.id_a
+          |          JOIN sz sb ON sb.doc_id = mp.id_b
+          |          LEFT JOIN pj ON pj.id_a = mp.id_a
+          |                      AND pj.id_b = mp.id_b)
+          |SELECT f.component AS cluster_id,
+          |  any_value(mem.n_members) AS n_members, count(*) AS n_pairs,
+          |  CAST(min((common * 10000) // union_sz) AS BIGINT)
+          |    AS min_j_bp,
+          |  CAST((sum(common) * 10000) // sum(union_sz) AS BIGINT)
+          |    AS pooled_j_bp
+          |FROM f JOIN mem ON mem.component = f.component
+          |GROUP BY f.component""".stripMargin),
+
+    // Same counts, same div basis points, same pair-graph membership.
+    "q198_dataset_card" ->
+      (ngramJaccardPairsCte +
+        """,
+          |ed AS (SELECT DISTINCT s FROM (
+          |  SELECT id_a AS s FROM jpairs
+          |  UNION ALL SELECT id_b FROM jpairs) t),
+          |tk AS (
+          |  SELECT doc_id, source,
+          |    CAST(len(list_filter(string_split_regex(lower(text),
+          |      '\s+'), t -> t <> '')) AS BIGINT) AS n_tok
+          |  FROM documents),
+          |core AS (
+          |  SELECT count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT)
+          |      AS n_tokens,
+          |    count(DISTINCT source) AS n_sources,
+          |    CAST(sum(CASE WHEN n_tok < 32 THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS n_short_docs,
+          |    min(n_tok) AS min_tok, max(n_tok) AS max_tok
+          |  FROM tk),
+          |ts AS (SELECT CAST(max(n) AS BIGINT) AS max_source_docs FROM (
+          |  SELECT source, count(*) AS n FROM tk GROUP BY source)),
+          |du AS (SELECT count(*) AS n_dup_members FROM ed)
+          |SELECT n_docs, n_tokens, n_sources,
+          |  CAST(n_tokens // n_docs AS BIGINT) AS mean_tok,
+          |  min_tok, max_tok, n_short_docs,
+          |  CAST((max_source_docs * 10000) // n_docs AS BIGINT)
+          |    AS top_source_share_bp,
+          |  n_dup_members,
+          |  CAST((n_dup_members * 10000) // n_docs AS BIGINT)
+          |    AS dup_rate_bp
+          |FROM core, ts, du""".stripMargin),
 
     // Same integer bucket ladder and waste arithmetic.
     "q189_padding_waste" ->
