@@ -3025,6 +3025,72 @@ object SparkEntry {
           expr("(sum_common * 10000) div sum_union").as("pooled_j_bp"))
     }),
 
+    // Curriculum difficulty buckets: per-doc lexical rarity = mean
+    // inverse document frequency over the doc's DISTINCT tokens, in
+    // integer basis points (Σ (10000·n_docs div df) div n_types) —
+    // rare-vocabulary docs score high. Quartile boundaries from one
+    // exact percentile over the integer scores (the q121 pattern:
+    // interpolation of longs is exact in double), bucket counts +
+    // score ranges. Two hash aggregates over the token stream + a
+    // 1-row broadcast; the curriculum-ordering prep for staged
+    // training.
+    "q199_difficulty_buckets" -> ((s, d) => {
+      val dt = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(expr("array_distinct(filter(split(lower(text), " +
+            "'\\\\s+'), t -> t <> ''))")).as("t"))
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
+      val df = dt.groupBy("t").agg(countDistinct(col("doc_id")).as("dfreq"))
+      val score = dt.join(df, "t").crossJoin(broadcast(nDocs))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_types"),
+          sum(expr("(10000 * nd) div dfreq")).as("sum_idf_bp"))
+        .select(col("doc_id"), col("n_types"),
+          expr("sum_idf_bp div n_types").as("rarity_bp"))
+      val qs = score.agg(
+        expr("percentile(rarity_bp, 0.25)").as("c1"),
+        expr("percentile(rarity_bp, 0.5)").as("c2"),
+        expr("percentile(rarity_bp, 0.75)").as("c3"))
+      score.crossJoin(broadcast(qs))
+        .withColumn("bucket",
+          when(col("rarity_bp") <= col("c1"), 0L)
+            .when(col("rarity_bp") <= col("c2"), 1L)
+            .when(col("rarity_bp") <= col("c3"), 2L).otherwise(3L))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min("rarity_bp").as("min_rarity_bp"),
+          max("rarity_bp").as("max_rarity_bp"))
+    }),
+
+    // Dedup survivor-bias audit: keep-min-id dedup (q65/q102's
+    // policy) silently reshapes the corpus if duplicates concentrate
+    // in a source — per source, how many docs the policy drops and
+    // how the short-doc share moves between dropped and kept. Exact
+    // integer counts over the memoized component labels.
+    "q200_survivor_bias" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val losers = graft.operators.Components.connectedComponentsCached(
+        Dedup.minhashNearDupsCached(docs, d, "text", "doc_id",
+          shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+          .select(col("id_a"), col("id_b")),
+        inputKey = s"minhash05|$d")
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"), lit(1L).as("dropped"))
+      docs.select(col("doc_id"), col("source"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("long").as("n_tok"))
+        .join(losers, Seq("doc_id"), "left")
+        .withColumn("dropped", coalesce(col("dropped"), lit(0L)))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("dropped").as("n_dropped"),
+          sum(when(col("n_tok") < 32, col("dropped")).otherwise(0L))
+            .as("n_short_dropped"),
+          sum(when(col("n_tok") < 32, 1L).otherwise(0L))
+            .as("n_short_total"))
+        .withColumn("dropped_bp", expr("(n_dropped * 10000) div n_docs"))
+    }),
+
     // Dataset card: the one-row corpus summary a release ships with —
     // doc/token/source counts, length stats, source concentration,
     // near-dup membership — every figure an exact integer (shares in
@@ -5396,6 +5462,67 @@ object SparkEntry {
           |    AS pooled_j_bp
           |FROM f JOIN mem ON mem.component = f.component
           |GROUP BY f.component""".stripMargin),
+
+    // Same distinct-token df table, same integer IDF and quartile
+    // banding (quantile_cont of longs ≡ Spark percentile, exact).
+    "q199_difficulty_buckets" ->
+      """WITH dt AS (
+        |  SELECT doc_id, unnest(list_distinct(list_filter(
+        |    string_split_regex(lower(text), '\s+'), t -> t <> ''))) AS t
+        |  FROM documents),
+        |nd AS (SELECT count(*) AS nd FROM documents),
+        |df AS (SELECT t, count(DISTINCT doc_id) AS dfreq FROM dt
+        |       GROUP BY t),
+        |score AS (
+        |  SELECT doc_id, count(*) AS n_types,
+        |    CAST(sum((10000 * nd.nd) // dfreq) AS BIGINT) AS sum_idf_bp
+        |  FROM dt JOIN df USING (t), nd
+        |  GROUP BY doc_id, nd.nd),
+        |s2 AS (
+        |  SELECT doc_id, n_types,
+        |    CAST(sum_idf_bp // n_types AS BIGINT) AS rarity_bp
+        |  FROM score),
+        |qs AS (
+        |  SELECT quantile_cont(rarity_bp, 0.25) AS c1,
+        |    quantile_cont(rarity_bp, 0.5) AS c2,
+        |    quantile_cont(rarity_bp, 0.75) AS c3
+        |  FROM s2)
+        |SELECT CAST(CASE WHEN rarity_bp <= c1 THEN 0
+        |    WHEN rarity_bp <= c2 THEN 1
+        |    WHEN rarity_bp <= c3 THEN 2 ELSE 3 END AS BIGINT) AS bucket,
+        |  count(*) AS n_docs, min(rarity_bp) AS min_rarity_bp,
+        |  max(rarity_bp) AS max_rarity_bp
+        |FROM s2, qs GROUP BY 1""".stripMargin,
+
+    // Same closure, same keep-min-id loser set, same per-source
+    // integer counts.
+    "q200_survivor_bias" ->
+      (ngramJaccardPairsCte +
+        """,
+          |ed AS (SELECT id_a AS s, id_b AS d FROM jpairs
+          |       UNION SELECT id_b, id_a FROM jpairs),
+          |reach AS (
+          |  SELECT s AS id, s AS comp FROM ed
+          |  UNION
+          |  SELECT ed.d, reach.comp FROM reach JOIN ed ON ed.s = reach.id),
+          |lab AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+          |losers AS (SELECT id FROM lab WHERE id <> component),
+          |tk AS (
+          |  SELECT doc_id, source,
+          |    CAST(len(list_filter(string_split_regex(lower(text),
+          |      '\s+'), t -> t <> '')) AS BIGINT) AS n_tok
+          |  FROM documents)
+          |SELECT tk.source, count(*) AS n_docs,
+          |  CAST(sum(CASE WHEN losers.id IS NOT NULL THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_dropped,
+          |  CAST(sum(CASE WHEN tk.n_tok < 32 AND losers.id IS NOT NULL
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_short_dropped,
+          |  CAST(sum(CASE WHEN tk.n_tok < 32 THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_short_total,
+          |  CAST((sum(CASE WHEN losers.id IS NOT NULL THEN 1 ELSE 0 END)
+          |    * 10000) // count(*) AS BIGINT) AS dropped_bp
+          |FROM tk LEFT JOIN losers ON losers.id = tk.doc_id
+          |GROUP BY tk.source""".stripMargin),
 
     // Same counts, same div basis points, same pair-graph membership.
     "q198_dataset_card" ->
