@@ -3091,6 +3091,59 @@ object SparkEntry {
         .withColumn("dropped_bp", expr("(n_dropped * 10000) div n_docs"))
     }),
 
+    // Tokenizer fertility audit: per source, subwords-per-word and
+    // chars-per-subword in integer basis points — the numbers that
+    // drive tokenizer choice (high fertility = wasted context window;
+    // the multilingual-tokenizer budget metric). One map-only pass +
+    // one aggregate; integer `div` ratios.
+    "q201_tokenizer_fertility" -> ((s, d) => {
+      val t = Tables.documents(s, d).select(col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"),
+        TextFunctions.subwordCount(col("text")).cast("long").as("n_sub"),
+        length(col("text")).cast("long").as("n_chars"))
+      t.groupBy("source").agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("words"), sum("n_sub").as("subwords"),
+          sum("n_chars").as("chars"))
+        .select(col("source"), col("n_docs"), col("words"),
+          col("subwords"), col("chars"),
+          expr("(subwords * 10000) div words").as("fertility_bp"),
+          expr("(chars * 10000) div subwords").as("chars_per_sub_bp"))
+    }),
+
+    // Control-token leakage scan: literal chat/special-token markers
+    // ("<|endoftext|>", "<|im_start|>", "[INST]") inside training text
+    // poison the token distribution and enable prompt-injection-style
+    // artifacts. The synthetic corpus is clean, so markers are wired
+    // in deterministically by doc id (the q90 PII pattern) — the
+    // operator under test is the detect/count/locate pass, replayed
+    // verbatim by the oracle. Map-only regexp_count; per-source
+    // integer counts.
+    "q202_control_token_scan" -> ((s, d) => {
+      val wired = Tables.documents(s, d).select(col("doc_id"),
+        col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 11 === 0, lit(" <|endoftext|>"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 13 === 0, lit(" <|im_start|>user"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 17 === 0, lit(" [INST] hi [/INST]"))
+            .otherwise(lit(""))).as("t"))
+      wired.select(col("source"),
+          (regexp_count(col("t"), lit("<\\|endoftext\\|>")) > 0)
+            .cast("long").as("has_eot"),
+          (regexp_count(col("t"), lit("<\\|im_start\\|>")) > 0)
+            .cast("long").as("has_im"),
+          (regexp_count(col("t"), lit("\\[/?INST\\]")) > 0)
+            .cast("long").as("has_inst"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("has_eot").as("n_eot_docs"),
+          sum("has_im").as("n_im_docs"),
+          sum("has_inst").as("n_inst_docs"),
+          sum(when(col("has_eot") + col("has_im") + col("has_inst") > 0,
+            1L).otherwise(0L)).as("n_flagged"))
+    }),
+
     // Dataset card: the one-row corpus summary a release ships with —
     // doc/token/source counts, length stats, source concentration,
     // near-dup membership — every figure an exact integer (shares in
@@ -5523,6 +5576,57 @@ object SparkEntry {
           |    * 10000) // count(*) AS BIGINT) AS dropped_bp
           |FROM tk LEFT JOIN losers ON losers.id = tk.doc_id
           |GROUP BY tk.source""".stripMargin),
+
+    // Same token/subword expressions as q19/q26, same div ratios.
+    "q201_tokenizer_fertility" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split_regex(lower(text),
+        |      '\s+'), x -> x <> '')) AS BIGINT) AS n_tok,
+        |    CAST(coalesce(list_sum(list_transform(
+        |      list_filter(string_split_regex(lower(text), '\s+'),
+        |        x -> x <> ''),
+        |      x -> CAST(ceil(length(x) / 4.0) AS BIGINT))), 0)
+        |      AS BIGINT) AS n_sub,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS words,
+        |  CAST(sum(n_sub) AS BIGINT) AS subwords,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  CAST((sum(n_sub) * 10000) // sum(n_tok) AS BIGINT)
+        |    AS fertility_bp,
+        |  CAST((sum(n_chars) * 10000) // sum(n_sub) AS BIGINT)
+        |    AS chars_per_sub_bp
+        |FROM t GROUP BY source""".stripMargin,
+
+    // Verbatim regex replay over the same wired markers.
+    "q202_control_token_scan" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, text ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' <|endoftext|>'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0 THEN ' <|im_start|>user'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 17 = 0 THEN ' [INST] hi [/INST]'
+        |      ELSE '' END AS t
+        |  FROM documents),
+        |f AS (
+        |  SELECT source,
+        |    CASE WHEN len(regexp_extract_all(t, '<\|endoftext\|>')) > 0
+        |      THEN 1 ELSE 0 END AS has_eot,
+        |    CASE WHEN len(regexp_extract_all(t, '<\|im_start\|>')) > 0
+        |      THEN 1 ELSE 0 END AS has_im,
+        |    CASE WHEN len(regexp_extract_all(t, '\[/?INST\]')) > 0
+        |      THEN 1 ELSE 0 END AS has_inst
+        |  FROM w)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(has_eot) AS BIGINT) AS n_eot_docs,
+        |  CAST(sum(has_im) AS BIGINT) AS n_im_docs,
+        |  CAST(sum(has_inst) AS BIGINT) AS n_inst_docs,
+        |  CAST(sum(CASE WHEN has_eot + has_im + has_inst > 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        |FROM f GROUP BY source""".stripMargin,
 
     // Same counts, same div basis points, same pair-graph membership.
     "q198_dataset_card" ->
