@@ -143,16 +143,28 @@ object Similarity {
     val probe = base.join(assignments, "id")
       .select(col("id"), col("cid"), col("v"))
       .as[(Long, Long, Array[Float])]
-    val members: Map[Long, (Array[Long], Array[Array[Float]], Array[Double])] =
+    // members per cluster as ONE contiguous float array (id-sorted,
+    // fixed stride): the array-of-arrays layout measured ~2 μs per
+    // scored pair — pointer chasing, not arithmetic; the flat layout
+    // keeps the inner dot loop on sequential memory
+    val members: Map[Long, (Array[Long], Array[Float], Array[Double], Int)] =
       probe.collect().groupBy(_._2).map { case (cid, rs0) =>
         val rs = rs0.sortBy(_._1)
-        val vecs = rs.map(_._3)
-        val norms = vecs.map { v =>
+        val d = rs.head._3.length
+        require(rs.forall(_._3.length == d),
+          "exactCosinePairs requires equal-length vectors")
+        val flat = new Array[Float](rs.length * d)
+        val norms = new Array[Double](rs.length)
+        var j = 0
+        while (j < rs.length) {
+          val v = rs(j)._3
+          System.arraycopy(v, 0, flat, j * d, d)
           var s = 0.0; var i = 0
-          while (i < v.length) { val x = v(i).toDouble; s += x * x; i += 1 }
-          s
+          while (i < d) { val x = v(i).toDouble; s += x * x; i += 1 }
+          norms(j) = s
+          j += 1
         }
-        cid -> ((rs.map(_._1), vecs, norms))
+        cid -> ((rs.map(_._1), flat, norms, d))
       }
     val bc = spark.sparkContext.broadcast((members, partnerMap))
     val thr = threshold
@@ -162,27 +174,34 @@ object Similarity {
         var na = 0.0
         var i = 0
         while (i < v.length) { val x = v(i).toDouble; na += x * x; i += 1 }
+        val sqa = math.sqrt(na)
         val out = scala.collection.mutable.ArrayBuffer
           .empty[(Long, Long, Double)]
         val ps = partners.getOrElse(cid, Array.empty[Long])
         var pi = 0
         while (pi < ps.length) {
-          val (ids, vecs, norms) = mem(ps(pi))
+          val (ids, flat, norms, d) = mem(ps(pi))
           val sameCluster = ps(pi) == cid
+          val n = math.min(v.length, d)
           var j = 0
           while (j < ids.length) {
             if (!sameCluster || ids(j) > id) {
-              val w = vecs(j)
-              val n = math.min(v.length, w.length)
+              val off = j * d
               var dot = 0.0
               var k = 0
-              while (k < n) { dot += v(k).toDouble * w(k).toDouble; k += 1 }
-              val denom = math.sqrt(na) * math.sqrt(norms(j))
+              while (k < n) { dot += v(k).toDouble * flat(off + k); k += 1 }
+              val denom = sqa * math.sqrt(norms(j))
               if (denom != 0.0) {
-                val cos = java.math.BigDecimal.valueOf(dot / denom)
-                  .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
-                if (cos >= thr)
-                  out += ((math.min(id, ids(j)), math.max(id, ids(j)), cos))
+                val cos = dot / denom
+                // cheap pre-filter: only pairs that can round to >= thr
+                // pay the BigDecimal; 5e-5 covers the 4-dp half-step
+                if (cos >= thr - 5e-5) {
+                  val r = java.math.BigDecimal.valueOf(cos)
+                    .setScale(4, java.math.RoundingMode.HALF_UP)
+                    .doubleValue()
+                  if (r >= thr)
+                    out += ((math.min(id, ids(j)), math.max(id, ids(j)), r))
+                }
               }
             }
             j += 1

@@ -22,6 +22,7 @@ object Profile {
     if (args.headOption.contains("stress-zipf")) { stressZipf(); return }
     if (args.headOption.contains("stress-incr")) { stressIncremental(); return }
     if (args.headOption.contains("stress-vec")) { stressVectors(); return }
+    if (args.headOption.contains("stress-exact")) { stressExactPairs(); return }
     val spark = GraftSession.build("profile")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val docs = Tables.documents(spark, d).cache()
@@ -121,6 +122,58 @@ object Profile {
         .select(col("id").as("qid"), col("v").as("qv"))
       println("result rows: " + graft.operators.Similarity
         .bruteForceTopK(vp.select(col("id"), col("v")), qs, k = 5).count())
+    }
+    spark.stop()
+  }
+
+  /** Exact-cosine-pair stress: the q89 exact side on a corpus WITH
+    * angular structure — 50k vectors in 100 tight clusters (members
+    * within ~0.1 rad of their center) vs the same 50k spread
+    * structureless. The claim at stake: cluster-bound pruning makes
+    * the exact join scale with Σ|allowed-pair| on clustered data
+    * (real embedding corpora are clustered — that's why IVF works),
+    * while on structureless data it degrades gracefully to the
+    * quadratic candidate set. 50k structureless = 1.25G candidate
+    * pairs, so only the clustered side is run at full size; the
+    * structureless control runs at 5k (25M pairs) to measure the
+    * degradation slope without a multi-minute run.
+    */
+  def stressExactPairs(): Unit = {
+    val spark = GraftSession.build("profile-exact")
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // xxhash64-derived components in [-1, 1]: genuinely random-like
+    // directions (pairwise cosine ~0 in 64 dims), unlike sin-phase
+    // fixtures whose shifted copies correlate. Clustered corpus: 64
+    // tight centers × ~780 members (5% perturbation) with nLists
+    // matched to the structure — arccos(0.8)=37°, cluster radius ~4°,
+    // centers ~90° apart, so ~63/64 of cluster-pair blocks PRUNE and
+    // candidates collapse from n²/2 = 1.25G to Σ|cluster-pair| ≈ 19.5M.
+    val clustered = spark.range(50000L).select(col("id"),
+      expr("""transform(sequence(0, 63), i ->
+        |  cast(cast(xxhash64(id % 64, i) % 1000 as double) / 1000.0 +
+        |       cast(xxhash64(id, i + 64) % 1000 as double) / 20000.0
+        |    as float))""".stripMargin).as("v"))
+    clustered.write.mode("overwrite").parquet("/tmp/stress_exact")
+    val cp = spark.read.parquet("/tmp/stress_exact")
+    println(s"clustered corpus: ${cp.count()} vectors, 64 centers")
+    t("exactCosinePairs 50k clustered, t=0.8, 64 lists") {
+      println("pairs: " + graft.operators.Similarity
+        .exactCosinePairs(cp, "v", "id", threshold = 0.8, nLists = 64)
+        .count())
+    }
+    // structureless control: 20k per-id random directions — zero true
+    // pairs, every block allowed: the honest quadratic floor (200M
+    // kernel-scored candidates) the prune degrades to without angular
+    // structure
+    val flat = spark.range(20000L).select(col("id"),
+      expr("transform(sequence(0, 63), i -> " +
+        "cast(cast(xxhash64(id, i) % 1000 as double) / 1000.0 as float))")
+        .as("v"))
+    flat.write.mode("overwrite").parquet("/tmp/stress_exact_flat")
+    val fp = spark.read.parquet("/tmp/stress_exact_flat")
+    t("exactCosinePairs 20k structureless, t=0.8 (quadratic floor)") {
+      println("pairs: " + graft.operators.Similarity
+        .exactCosinePairs(fp, "v", "id", threshold = 0.8).count())
     }
     spark.stop()
   }
