@@ -883,7 +883,7 @@ object SparkEntry {
     // (rank, id): bounded sort.
     "q120_pagerank" -> ((s, d) => {
       val (nodes, edges) = graft.operators.PageRank
-        .supplierCoFulfillment(Tables.lineitem(s, d))
+        .supplierCoFulfillmentCached(Tables.lineitem(s, d), inputKey = d)
       graft.operators.PageRank.run(nodes, edges, iters = 3)
         .orderBy(col("pr").desc, col("id"))
         .limit(25)
@@ -1076,7 +1076,8 @@ object SparkEntry {
       val corpus = Tables.embeddings(s, d)
         .select(col("vec_id").as("id"), col("embedding").as("v"))
       graft.operators.Similarity
-        .semanticDedup(corpus, nClusters = 16, threshold = 0.98)
+        .semanticDedup(corpus, nClusters = 16, threshold = 0.98,
+          inputKey = Some(d))
         .agg(count(lit(1)).as("n_vectors"),
           sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
           countDistinct(col("cid")).as("n_clusters_used"))

@@ -35,22 +35,49 @@ object PageRank {
     */
   def run(nodes: DataFrame, edges: DataFrame, iters: Int = 3,
           scale: Long = 1000000L): DataFrame = {
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // materialize the graph ONCE: the unrolled iteration tree
+    // otherwise re-derives edges (a lineitem-wide distinct self-join)
+    // and deg per round — measured 3.8 s → ~1.5 s at sf0.1 for 3
+    // rounds; same fixpoint-loop rule as Components
+    val e = edges.localCheckpoint(true)
+    val n = nodes.localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
     val base = lit((scale * 150L) / 1000L)
-    var pr = nodes.select(col("id"), lit(scale).as("pr"))
+    var pr = n.select(col("id"), lit(scale).as("pr"))
     var i = 0
     while (i < iters) {
-      val contribs = edges
+      val contribs = e
         .join(pr.withColumnRenamed("id", "src"), "src")
         .join(deg, "src")
         .select(col("dst").as("id"), expr("pr div deg").as("c"))
         .groupBy("id").agg(sum(col("c")).as("s"))
-      pr = nodes.join(contribs, Seq("id"), "left")
+      pr = n.join(contribs, Seq("id"), "left")
         .select(col("id"),
           (base + expr("(850 * coalesce(s, 0L)) div 1000")).as("pr"))
       i += 1
     }
     pr
+  }
+
+  private val graphMemo = new graft.core.SessionMemo
+
+  /** [[supplierCoFulfillment]] memoized per (session, input): the
+    * graph build is a lineitem-wide distinct self-join — the dominant
+    * cost of q120 — and a link graph is built once then ranked many
+    * times (every PageRank/centrality/community query shares it).
+    */
+  def supplierCoFulfillmentCached(lineitem: DataFrame, inputKey: String)
+  : (DataFrame, DataFrame) = {
+    val spark = lineitem.sparkSession
+    lazy val built = supplierCoFulfillment(lineitem)
+    val nodes = graphMemo.getOrElseUpdate(spark, s"cofulfil-nodes|$inputKey") {
+      built._1
+    }
+    val edges = graphMemo.getOrElseUpdate(spark, s"cofulfil-edges|$inputKey") {
+      built._2
+    }
+    (nodes, edges)
   }
 
   /** Supplier co-fulfillment graph: suppliers are linked when they

@@ -505,10 +505,19 @@ object Similarity {
     *         whether semantic dedup keeps it
     */
   def semanticDedup(corpus: DataFrame, nClusters: Int, threshold: Double,
-                    kmeansIters: Int = 3): DataFrame = {
+                    kmeansIters: Int = 3,
+                    inputKey: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
-    val centroids = kmeansLiteCentroids(corpus, nClusters, kmeansIters)
-    val assigned = assignToCentroids(corpus, centroids)
+    // inputKey → the SAME session-memoized index the IVF/exact-pair
+    // paths build (one cluster index per corpus, many consumers)
+    val assigned = inputKey match {
+      case Some(k) =>
+        corpus.select(col("id"), col("v"))
+          .join(assignmentsCached(corpus, k, nClusters, kmeansIters), "id")
+      case None =>
+        val centroids = kmeansLiteCentroids(corpus, nClusters, kmeansIters)
+        assignToCentroids(corpus, centroids)
+    }
     val a = assigned.select(col("cid"), col("id").as("id_a"),
       col("v").as("va"))
     val b = assigned.select(col("cid"), col("id").as("id_b"),
