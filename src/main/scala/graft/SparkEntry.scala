@@ -3145,6 +3145,26 @@ object SparkEntry {
             1L).otherwise(0L)).as("n_flagged"))
     }),
 
+    // Multimodal metadata inventory — the ORACLE-GRADED face of the
+    // q32 media path: every metadata figure here is parsed from REAL
+    // container bytes (PNG/JPEG headers, WAV fmt/data, MP4 moov), and
+    // the synthetic corpus gives each a closed integer form in
+    // n_chars (image dims = n_chars%56+8 × n_chars%32+8, audio =
+    // 16 kHz with duration_ms ≡ n_chars, video = (n_chars%8+1)·160p
+    // with duration_ms = 10·n_chars) — so DuckDB replays the expected
+    // values from `documents` arithmetic and a hash match proves the
+    // byte-level parsers decode exactly.
+    "q203_media_inventory" -> ((s, d) => {
+      val media = Multimodal.withParsedMetadata(
+        Multimodal.syntheticMedia(s, Tables.documents(s, d)))
+      media.groupBy("kind")
+        .agg(count(lit(1)).as("n"),
+          sum(col("width").cast("long")).as("sum_width"),
+          sum(col("height").cast("long")).as("sum_height"),
+          sum(col("sample_rate").cast("long")).as("sum_sample_rate"),
+          sum(col("duration_ms")).as("sum_duration_ms"))
+    }),
+
     // Dataset card: the one-row corpus summary a release ships with —
     // doc/token/source counts, length stats, source concentration,
     // near-dup membership — every figure an exact integer (shares in
@@ -5628,6 +5648,28 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN has_eot + has_im + has_inst > 0
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
         |FROM f GROUP BY source""".stripMargin,
+
+    // Parsed-metadata expectations replayed in closed form from
+    // documents.n_chars — grades the container parsers byte-for-byte.
+    "q203_media_inventory" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS nc,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |      WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+        |  FROM documents)
+        |SELECT kind, count(*) AS n,
+        |  CAST(sum(CASE kind WHEN 'image' THEN nc % 56 + 8
+        |    WHEN 'video' THEN (nc % 8 + 1) * 160 END) AS BIGINT)
+        |    AS sum_width,
+        |  CAST(sum(CASE kind WHEN 'image' THEN nc % 32 + 8
+        |    WHEN 'video' THEN (nc % 8 + 1) * 90 END) AS BIGINT)
+        |    AS sum_height,
+        |  CAST(sum(CASE kind WHEN 'audio' THEN 16000 END) AS BIGINT)
+        |    AS sum_sample_rate,
+        |  CAST(sum(CASE kind WHEN 'audio' THEN nc
+        |    WHEN 'video' THEN nc * 10 END) AS BIGINT)
+        |    AS sum_duration_ms
+        |FROM m GROUP BY kind""".stripMargin,
 
     // Same counts, same div basis points, same pair-graph membership.
     "q198_dataset_card" ->
