@@ -3165,6 +3165,29 @@ object SparkEntry {
           sum(col("duration_ms")).as("sum_duration_ms"))
     }),
 
+    // STREAMING media-metadata inventory — q203's aggregate as a
+    // Structured Streaming pipeline: the media table staged once as
+    // parquet, read back through a file STREAM, container headers
+    // parsed per micro-batch (the UDF plumbing is identical batch or
+    // stream), Complete-mode per-kind aggregate. Same closed-form
+    // oracle as q203 — streaming and batch must agree exactly, which
+    // is precisely the Kappa-architecture claim worth grading.
+    "q204_stream_media_inventory" -> ((s, d) => {
+      val dir = graft.sinks.FormatStage.ensureParquet(s, s"media|$d") {
+        Multimodal.syntheticMedia(s, Tables.documents(s, d))
+      }
+      val stream = Multimodal.withParsedMetadata(
+        s.readStream.schema(Multimodal.mediaSchema).parquet(dir))
+      graft.streaming.EventsStream.runToTable(s,
+        stream.groupBy("kind")
+          .agg(count(lit(1)).as("n"),
+            sum(col("width").cast("long")).as("sum_width"),
+            sum(col("height").cast("long")).as("sum_height"),
+            sum(col("sample_rate").cast("long")).as("sum_sample_rate"),
+            sum(col("duration_ms")).as("sum_duration_ms")),
+        s"q204_sink_${System.nanoTime()}")
+    }),
+
     // Dataset card: the one-row corpus summary a release ships with —
     // doc/token/source counts, length stats, source concentration,
     // near-dup membership — every figure an exact integer (shares in
@@ -5652,6 +5675,27 @@ object SparkEntry {
     // Parsed-metadata expectations replayed in closed form from
     // documents.n_chars — grades the container parsers byte-for-byte.
     "q203_media_inventory" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS nc,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |      WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+        |  FROM documents)
+        |SELECT kind, count(*) AS n,
+        |  CAST(sum(CASE kind WHEN 'image' THEN nc % 56 + 8
+        |    WHEN 'video' THEN (nc % 8 + 1) * 160 END) AS BIGINT)
+        |    AS sum_width,
+        |  CAST(sum(CASE kind WHEN 'image' THEN nc % 32 + 8
+        |    WHEN 'video' THEN (nc % 8 + 1) * 90 END) AS BIGINT)
+        |    AS sum_height,
+        |  CAST(sum(CASE kind WHEN 'audio' THEN 16000 END) AS BIGINT)
+        |    AS sum_sample_rate,
+        |  CAST(sum(CASE kind WHEN 'audio' THEN nc
+        |    WHEN 'video' THEN nc * 10 END) AS BIGINT)
+        |    AS sum_duration_ms
+        |FROM m GROUP BY kind""".stripMargin,
+
+    // The q203 closed-form replay — streaming must equal batch.
+    "q204_stream_media_inventory" ->
       """WITH m AS (
         |  SELECT doc_id, CAST(n_chars AS BIGINT) AS nc,
         |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'

@@ -20,4 +20,15 @@ object FormatStage {
       df.write.mode(SaveMode.Overwrite).orc(dir)
       dir
     })
+
+  /** Write `df` as parquet once per key (a file-stream source needs a
+    * directory); return the directory.
+    */
+  def ensureParquet(spark: SparkSession, key: String)
+                   (df: => DataFrame): String =
+    staged.computeIfAbsent(s"parquet|$key", { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+      df.write.mode(SaveMode.Overwrite).parquet(dir)
+      dir
+    })
 }
