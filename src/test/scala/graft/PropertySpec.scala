@@ -216,4 +216,37 @@ class PropertySpec extends SparkSpec {
     val res = SCTest.check(prop)(_.withMinSuccessfulTests(10))
     assert(res.passed, res.status.toString)
   }
+
+  test("ranked-oracle contract (property): top-k on round(score,4) " +
+    "with id tie-break is invariant under sub-ulp score perturbation") {
+    import org.apache.spark.sql.expressions.Window
+    // scores sit on the 1e-4 grid ± jitter ≤ 1e-6 (the rank-on-rounded
+    // contract's stable region), with PLANTED exact ties at the
+    // rounded level; perturbation ±1e-12 models cross-engine float
+    // noise. The r5 q118 failure mode was exactly rank-k/rank-k+1
+    // flipping under such noise when ranking used the raw double.
+    def topk(scores: Seq[(Long, Double)], k: Int): Seq[Long] = {
+      val w = Window.orderBy(col("r").desc, col("id"))
+      scores.toDF("id", "s")
+        .withColumn("r", round(col("s"), 4))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .orderBy("rk").select("id").as[Long].collect().toSeq
+    }
+    val gen = for {
+      n <- Gen.choose(8, 24)
+      grid <- Gen.listOfN(n, Gen.choose(0, 9999))
+      jit <- Gen.listOfN(n, Gen.choose(-1000, 1000))
+      noise <- Gen.listOfN(n, Gen.oneOf(-1e-12, 0.0, 1e-12))
+    } yield (grid, jit, noise)
+    val prop = forAll(gen) { case (grid, jit, noise) =>
+      val base = grid.zip(jit).zipWithIndex.map { case ((g, j), i) =>
+        (i.toLong, g * 1e-4 + j * 1e-9)
+      }
+      val perturbed = base.zip(noise).map { case ((id, s), e) => (id, s + e) }
+      topk(base, 5) == topk(perturbed, 5)
+    }
+    val res = SCTest.check(prop)(_.withMinSuccessfulTests(20))
+    assert(res.passed, res.status.toString)
+  }
 }
