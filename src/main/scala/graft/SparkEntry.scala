@@ -3188,6 +3188,46 @@ object SparkEntry {
         s"q204_sink_${System.nanoTime()}")
     }),
 
+    // Fellegi–Sunter record-linkage scoring (the probabilistic ER
+    // classifier on top of q163's blocked candidates): per candidate
+    // pair, an agreement vector over (name, market segment, account
+    // balance proximity) scored with FIXED integer milli-log-odds
+    // weights, thresholded into match / possible / non-match — the
+    // classic 1969 linkage decision rule, integer-exact end-to-end.
+    // Blocking on nation keeps candidates |block|²-bounded; weights
+    // are corpus-independent constants (a production system estimates
+    // them by EM — the scoring/decision plumbing is identical).
+    "q205_record_linkage" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      val a = c.select(col("c_custkey").as("id_a"),
+        col("c_name").as("n_a"), col("c_nationkey").as("nk"),
+        col("c_mktsegment").as("seg_a"), col("bal_cents").as("bal_a"))
+      val b = c.select(col("c_custkey").as("id_b"),
+        col("c_name").as("n_b"), col("c_nationkey").as("nk"),
+        col("c_mktsegment").as("seg_b"), col("bal_cents").as("bal_b"))
+      a.join(b, Seq("nk")).filter(col("id_a") < col("id_b"))
+        .withColumn("w_name",
+          when(levenshtein(col("n_a"), col("n_b")) <= 1, 4000L)
+            .when(levenshtein(col("n_a"), col("n_b")) <= 3, 1500L)
+            .otherwise(-1000L))
+        .withColumn("w_seg",
+          when(col("seg_a") === col("seg_b"), 800L).otherwise(-600L))
+        .withColumn("w_bal",
+          when(abs(col("bal_a") - col("bal_b")) <= 50000L, 1200L)
+            .otherwise(-900L))
+        .withColumn("score", col("w_name") + col("w_seg") + col("w_bal"))
+        .withColumn("verdict",
+          when(col("score") >= 5000L, "match")
+            .when(col("score") >= 1000L, "possible")
+            .otherwise("non_match"))
+        .groupBy("verdict")
+        .agg(count(lit(1)).as("n_pairs"),
+          min("score").as("min_score"), max("score").as("max_score"),
+          countDistinct(col("id_a")).as("n_left_entities"))
+    }),
+
     // Dataset card: the one-row corpus summary a release ships with —
     // doc/token/source counts, length stats, source concentration,
     // near-dup membership — every figure an exact integer (shares in
@@ -5693,6 +5733,35 @@ object SparkEntry {
         |    WHEN 'video' THEN nc * 10 END) AS BIGINT)
         |    AS sum_duration_ms
         |FROM m GROUP BY kind""".stripMargin,
+
+    // Same blocked pairs, same fixed milli-log-odds, same thresholds.
+    "q205_record_linkage" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |p AS (
+        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |    CASE WHEN levenshtein(a.c_name, b.c_name) <= 1 THEN 4000
+        |      WHEN levenshtein(a.c_name, b.c_name) <= 3 THEN 1500
+        |      ELSE -1000 END AS w_name,
+        |    CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 800
+        |      ELSE -600 END AS w_seg,
+        |    CASE WHEN abs(a.bal_cents - b.bal_cents) <= 50000
+        |      THEN 1200 ELSE -900 END AS w_bal
+        |  FROM c a JOIN c b ON a.c_nationkey = b.c_nationkey
+        |    AND a.c_custkey < b.c_custkey),
+        |sc AS (
+        |  SELECT id_a, id_b, w_name + w_seg + w_bal AS score,
+        |    CASE WHEN w_name + w_seg + w_bal >= 5000 THEN 'match'
+        |      WHEN w_name + w_seg + w_bal >= 1000 THEN 'possible'
+        |      ELSE 'non_match' END AS verdict
+        |  FROM p)
+        |SELECT verdict, count(*) AS n_pairs,
+        |  CAST(min(score) AS BIGINT) AS min_score,
+        |  CAST(max(score) AS BIGINT) AS max_score,
+        |  count(DISTINCT id_a) AS n_left_entities
+        |FROM sc GROUP BY verdict""".stripMargin,
 
     // The q203 closed-form replay — streaming must equal batch.
     "q204_stream_media_inventory" ->
