@@ -25,8 +25,9 @@ import org.apache.spark.sql.types._
   *    else +1 — content-addressed, carried as a reference object into
   *    the generated code (no broadcast, no model file);
   *  - x_i scaled by round(x·10⁶) with Spark `round` semantics
-  *    (BigDecimal.valueOf + HALF_UP — ties away from zero, matching
-  *    C/DuckDB `round` on doubles);
+  *    (BigDecimal.valueOf + HALF_UP on the shortest decimal repr —
+  *    see `roundMicro`'s doc for the boundary class where this
+  *    diverges from C/DuckDB binary-value rounding);
   *  - output dim j = Σ_i sign(j,i)·x_i — exact long arithmetic;
   *  - null array, an array shorter than `inDims`, or any null element
   *    → null result (the projection of a malformed vector is
