@@ -5735,6 +5735,11 @@ object SparkEntry {
         |FROM m GROUP BY kind""".stripMargin,
 
     // Same blocked pairs, same fixed milli-log-odds, same thresholds.
+    // round() pin: the only rounded expr is round(c_acctbal*100) —
+    // acctbal carries exactly 2 decimals, so the product is integer-
+    // valued ± sub-ulp fp error, never near a .5 tie; both engines
+    // recover the same integer cents (the q106 pattern). Everything
+    // downstream is long arithmetic.
     "q205_record_linkage" ->
       """WITH c AS (
         |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,

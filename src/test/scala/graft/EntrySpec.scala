@@ -83,7 +83,8 @@ class EntrySpec extends SparkSpec {
       "q140_drift_report", "q25_ngram_jaccard", "q81_ngram_prefix",
       "q97_incremental_neardup",
       // strict-verified 2026-08-13 (round 6 additions)
-      "q193_orc_roundtrip")
+      "q193_orc_roundtrip",
+      "q205_record_linkage") // integer-cents pin; see oracle comment
     val offenders = SparkEntry.oracleSql.collect {
       case (name, sql)
         if sql.toLowerCase.contains("round(") && !pinned(name) => name
