@@ -3228,6 +3228,177 @@ object SparkEntry {
           countDistinct(col("id_a")).as("n_left_entities"))
     }),
 
+    // Market-basket association rules (the Agrawal/Srikant Apriori
+    // shape): baskets = orders, items = parts. The frequent-item
+    // prune runs FIRST — the Apriori invariant says no frequent pair
+    // has an infrequent member, so the per-basket pair generator only
+    // sees surviving items and candidate volume is Σ|pruned basket|²,
+    // never |catalog|². Support/confidence/lift as exact integers
+    // (basis points / milli via div); bounded top-20 by lift.
+    "q206_market_basket" -> ((s, d) => {
+      val minSupp = 2L
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val nOrders = Tables.orders(s, d)
+        .agg(count(lit(1)).as("n_orders"))
+      val freq = items.groupBy("pk").agg(count(lit(1)).as("n_item"))
+        .filter(col("n_item") >= minSupp)
+      val pruned = items.join(freq, "pk")
+      val a = pruned.select(col("ok"), col("pk").as("pk_a"),
+        col("n_item").as("n_a"))
+      val b = pruned.select(col("ok"), col("pk").as("pk_b"),
+        col("n_item").as("n_b"))
+      a.join(b, Seq("ok")).filter(col("pk_a") < col("pk_b"))
+        .groupBy("pk_a", "pk_b")
+        .agg(count(lit(1)).as("n_ab"),
+          first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+        .filter(col("n_ab") >= minSupp)
+        .crossJoin(broadcast(nOrders))
+        .select(col("pk_a"), col("pk_b"), col("n_ab"),
+          col("n_a"), col("n_b"),
+          expr("(n_ab * 10000) div n_a").as("conf_ab_bp"),
+          expr("(n_ab * n_orders * 1000) div (n_a * n_b)")
+            .as("lift_milli"))
+        .orderBy(col("lift_milli").desc, col("pk_a"), col("pk_b"))
+        .limit(20)
+    }),
+
+    // Interval-overlap analysis WITHOUT pair materialization: per
+    // supplier, the number of overlapping shipment-interval pairs and
+    // the peak number of concurrent shipments, via the sweep-line
+    // identity pairs = Σ_starts (active-before-start). A naive
+    // overlap self-join is Σ|supplier|² candidates (~36M at sf0.01);
+    // the sweep is one window pass over 2 events per interval —
+    // linear, partitioned by supplier, no all-pairs anywhere. Closed
+    // date intervals: an interval ending day X still overlaps one
+    // starting day X, so ends retire at X+1 and sort before same-day
+    // starts (delta −1 < +1); same-day starts tie-break on the line
+    // id so each pair counts exactly once.
+    "q207_ship_overlap" -> ((s, d) => {
+      val iv = Tables.lineitem(s, d).select(
+        col("l_suppkey").as("sk"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("iid"),
+        col("l_shipdate").cast("date").as("start_d"),
+        expr("date_add(cast(l_shipdate as date), " +
+          "cast(l_quantity as int) % 7 + 1)").as("end_d"))
+      val events = iv.select(col("sk"), col("start_d").as("dt"),
+          lit(1L).as("delta"), col("iid"))
+        .unionByName(iv.select(col("sk"),
+          expr("date_add(end_d, 1)").as("dt"),
+          lit(-1L).as("delta"), col("iid")))
+      val w = Window.partitionBy("sk")
+        .orderBy(col("dt"), col("delta"), col("iid"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      events.withColumn("active", sum(col("delta")).over(w))
+        .filter(col("delta") === 1L)
+        .groupBy("sk")
+        .agg(count(lit(1)).as("n_shipments"),
+          sum(col("active") - 1L).as("n_overlap_pairs"),
+          max(col("active")).as("peak_concurrency"))
+        .orderBy(col("n_overlap_pairs").desc, col("sk"))
+        .limit(20)
+    }),
+
+    // Functional-dependency audit (Metanome-style profiling): for
+    // each candidate FD X→Y, the LHS group count, how many groups
+    // see >1 distinct RHS, the worst group, and the total violating
+    // rows (rows beyond one RHS value per group). Two-level hash
+    // aggregates per candidate over the (X,Y) domain — never the
+    // row count — unioned into one report. Exact integers only.
+    "q208_fd_audit" -> ((s, d) => {
+      def audit(df: DataFrame, lhs: String, rhs: String,
+                tag: String): DataFrame =
+        df.groupBy(col(lhs).as("x"))
+          .agg(countDistinct(col(rhs)).as("n_rhs"))
+          .agg(lit(tag).as("fd"),
+            count(lit(1)).as("n_lhs_groups"),
+            sum(when(col("n_rhs") > 1, 1L).otherwise(0L))
+              .as("n_violating_groups"),
+            max(col("n_rhs")).as("max_rhs_per_lhs"),
+            sum(col("n_rhs") - 1L).as("n_excess_rhs"))
+      audit(Tables.nation(s, d), "n_nationkey", "n_regionkey",
+          "nation.nationkey->regionkey")
+        .unionByName(audit(Tables.customer(s, d), "c_nationkey",
+          "c_mktsegment", "customer.nationkey->mktsegment"))
+        .unionByName(audit(Tables.orders(s, d), "o_custkey",
+          "o_orderpriority", "orders.custkey->orderpriority"))
+        .unionByName(audit(Tables.lineitem(s, d), "l_partkey",
+          "l_suppkey", "lineitem.partkey->suppkey"))
+    }),
+
+    // ER blocking-quality metrics (the Fellegi–Sunter companion):
+    // reduction ratio computed EXACTLY from block sizes alone —
+    // Σ b·(b−1)/2 candidate pairs vs N·(N−1)/2, no pair ever
+    // materialized — and pair completeness measured on a
+    // deterministic id-sample (custkey % 20) whose ground-truth
+    // matches (name edit distance ≤ 3) ARE quadratic, but only over
+    // the fixed-size sample: at production scale the sample stays
+    // constant-sized while the exact reduction ratio still covers the
+    // full corpus. Integer basis points end-to-end.
+    "q209_blocking_metrics" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey").as("id"), col("c_name").as("nm"),
+          col("c_nationkey").as("blk"))
+      val tot = c.agg(count(lit(1)).as("n"))
+        .select(col("n"), expr("(n * (n - 1)) div 2").as("all_pairs"))
+      val cand = c.groupBy("blk").agg(count(lit(1)).as("b"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(expr("(b * (b - 1)) div 2")).as("cand_pairs"))
+      val smp = c.filter(col("id") % 20 === 0)
+      val truth = smp.select(col("id").as("id_a"), col("nm").as("nm_a"),
+          col("blk").as("blk_a"))
+        .crossJoin(smp.select(col("id").as("id_b"), col("nm").as("nm_b"),
+          col("blk").as("blk_b")))
+        .filter(col("id_a") < col("id_b") &&
+          levenshtein(col("nm_a"), col("nm_b")) <= 3)
+        .agg(count(lit(1)).as("n_truth"),
+          sum((col("blk_a") === col("blk_b")).cast("long"))
+            .as("n_captured"))
+      tot.crossJoin(broadcast(cand)).crossJoin(broadcast(truth))
+        .select(col("n").as("n_customers"), col("n_blocks"),
+          col("cand_pairs"), col("all_pairs"),
+          expr("10000 - (cand_pairs * 10000) div all_pairs")
+            .as("reduction_ratio_bp"),
+          col("n_truth"), col("n_captured"),
+          expr("CASE WHEN n_truth = 0 THEN NULL " +
+            "ELSE (n_captured * 10000) div n_truth END")
+            .as("pair_completeness_bp"))
+    }),
+
+    // HITS hubs & authorities (Kleinberg 1999) over the q147 doc link
+    // graph, TWO unnormalized power iterations in pure integer
+    // arithmetic: with hub₀ = auth₀ = 1, auth_k and hub_k are exact
+    // PATH COUNTS (alternating in/out walks of length k), so no
+    // normalization-induced float drift exists to pin — bit-identical
+    // under any partitioning and in the SQL replay. Each iteration is
+    // one edge-sized join + aggregate; the graph is built from the
+    // same arithmetic link targets q147's regex extraction is
+    // separately graded on. Bounded top-20 by (auth₂, id).
+    "q210_hits" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val edges = docs.select(col("doc_id").as("src"),
+          (col("doc_id") * 7 % 500).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          (col("doc_id") * 13 % 500).as("dst")))
+        .distinct()
+      val a1 = edges.groupBy("dst").agg(count(lit(1)).as("a1"))
+      val h1 = edges.join(a1, "dst").groupBy("src")
+        .agg(sum(col("a1")).as("h1"))
+      val a2 = edges.join(h1, "src").groupBy("dst")
+        .agg(sum(col("h1")).as("a2"))
+      val h2 = edges.join(a2, "dst").groupBy("src")
+        .agg(sum(col("a2")).as("h2"))
+      a2.select(col("dst").as("doc_id"), col("a2"))
+        .join(h2.select(col("src").as("doc_id"), col("h2")),
+          Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("a2"), lit(0L)).as("auth2"),
+          coalesce(col("h2"), lit(0L)).as("hub2"))
+        .orderBy(col("auth2").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // Dataset card: the one-row corpus summary a release ships with —
     // doc/token/source counts, length stats, source concentration,
     // near-dup membership — every figure an exact integer (shares in
@@ -5767,6 +5938,141 @@ object SparkEntry {
         |  CAST(max(score) AS BIGINT) AS max_score,
         |  count(DISTINCT id_a) AS n_left_entities
         |FROM sc GROUP BY verdict""".stripMargin,
+
+    "q206_market_basket" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |n AS (SELECT count(*) AS n_orders FROM orders),
+        |freq AS (
+        |  SELECT pk, count(*) AS n_item FROM items
+        |  GROUP BY pk HAVING count(*) >= 2),
+        |pruned AS (
+        |  SELECT i.ok, i.pk, f.n_item
+        |  FROM items i JOIN freq f USING (pk)),
+        |pairs AS (
+        |  SELECT a.pk AS pk_a, b.pk AS pk_b, count(*) AS n_ab,
+        |    min(a.n_item) AS n_a, min(b.n_item) AS n_b
+        |  FROM pruned a JOIN pruned b
+        |    ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY a.pk, b.pk HAVING count(*) >= 2)
+        |SELECT pk_a, pk_b, n_ab, n_a, n_b,
+        |  CAST((n_ab * 10000) // n_a AS BIGINT) AS conf_ab_bp,
+        |  CAST((n_ab * n_orders * 1000) // (n_a * n_b) AS BIGINT)
+        |    AS lift_milli
+        |FROM pairs, n
+        |ORDER BY lift_milli DESC, pk_a, pk_b LIMIT 20""".stripMargin,
+
+    "q207_ship_overlap" ->
+      """WITH iv AS (
+        |  SELECT l_suppkey AS sk,
+        |    l_orderkey * 10 + l_linenumber AS iid,
+        |    CAST(l_shipdate AS DATE) AS start_d,
+        |    CAST(l_shipdate AS DATE)
+        |      + (CAST(l_quantity AS INT) % 7 + 1) AS end_d
+        |  FROM lineitem),
+        |ev AS (
+        |  SELECT sk, start_d AS dt, 1 AS delta, iid FROM iv
+        |  UNION ALL
+        |  SELECT sk, end_d + 1 AS dt, -1 AS delta, iid FROM iv),
+        |sw AS (
+        |  SELECT sk, delta,
+        |    sum(delta) OVER (PARTITION BY sk ORDER BY dt, delta, iid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS active
+        |  FROM ev)
+        |SELECT sk, count(*) AS n_shipments,
+        |  CAST(sum(active - 1) AS BIGINT) AS n_overlap_pairs,
+        |  CAST(max(active) AS BIGINT) AS peak_concurrency
+        |FROM sw WHERE delta = 1 GROUP BY sk
+        |ORDER BY n_overlap_pairs DESC, sk LIMIT 20""".stripMargin,
+
+    "q208_fd_audit" ->
+      """WITH f1 AS (
+        |  SELECT n_nationkey AS x,
+        |    count(DISTINCT n_regionkey) AS n_rhs
+        |  FROM nation GROUP BY 1),
+        |f2 AS (
+        |  SELECT c_nationkey AS x,
+        |    count(DISTINCT c_mktsegment) AS n_rhs
+        |  FROM customer GROUP BY 1),
+        |f3 AS (
+        |  SELECT o_custkey AS x,
+        |    count(DISTINCT o_orderpriority) AS n_rhs
+        |  FROM orders GROUP BY 1),
+        |f4 AS (
+        |  SELECT l_partkey AS x,
+        |    count(DISTINCT l_suppkey) AS n_rhs
+        |  FROM lineitem GROUP BY 1)
+        |SELECT 'nation.nationkey->regionkey' AS fd,
+        |  count(*) AS n_lhs_groups,
+        |  CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating_groups,
+        |  max(n_rhs) AS max_rhs_per_lhs,
+        |  CAST(sum(n_rhs - 1) AS BIGINT) AS n_excess_rhs
+        |FROM f1
+        |UNION ALL
+        |SELECT 'customer.nationkey->mktsegment', count(*),
+        |  CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  max(n_rhs), CAST(sum(n_rhs - 1) AS BIGINT) FROM f2
+        |UNION ALL
+        |SELECT 'orders.custkey->orderpriority', count(*),
+        |  CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  max(n_rhs), CAST(sum(n_rhs - 1) AS BIGINT) FROM f3
+        |UNION ALL
+        |SELECT 'lineitem.partkey->suppkey', count(*),
+        |  CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  max(n_rhs), CAST(sum(n_rhs - 1) AS BIGINT) FROM f4""".stripMargin,
+
+    "q209_blocking_metrics" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS id, c_name AS nm, c_nationkey AS blk
+        |  FROM customer),
+        |tot AS (
+        |  SELECT count(*) AS n,
+        |    (count(*) * (count(*) - 1)) // 2 AS all_pairs FROM c),
+        |cand AS (
+        |  SELECT count(*) AS n_blocks,
+        |    CAST(sum((b * (b - 1)) // 2) AS BIGINT) AS cand_pairs
+        |  FROM (SELECT blk, count(*) AS b FROM c GROUP BY blk)),
+        |smp AS (SELECT * FROM c WHERE id % 20 = 0),
+        |truth AS (
+        |  SELECT count(*) AS n_truth,
+        |    CAST(sum(CASE WHEN a.blk = b.blk THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_captured
+        |  FROM smp a JOIN smp b ON a.id < b.id
+        |    AND levenshtein(a.nm, b.nm) <= 3)
+        |SELECT tot.n AS n_customers, cand.n_blocks, cand.cand_pairs,
+        |  CAST(tot.all_pairs AS BIGINT) AS all_pairs,
+        |  CAST(10000 - (cand.cand_pairs * 10000) // tot.all_pairs
+        |    AS BIGINT) AS reduction_ratio_bp,
+        |  truth.n_truth, truth.n_captured,
+        |  CAST(CASE WHEN truth.n_truth = 0 THEN NULL
+        |    ELSE (truth.n_captured * 10000) // truth.n_truth END
+        |    AS BIGINT) AS pair_completeness_bp
+        |FROM tot, cand, truth""".stripMargin,
+
+    "q210_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT doc_id AS src, doc_id * 7 % 500 AS dst
+        |    FROM documents
+        |    UNION ALL
+        |    SELECT doc_id, doc_id * 13 % 500 FROM documents)),
+        |a1 AS (SELECT dst, count(*) AS a1 FROM e GROUP BY dst),
+        |h1 AS (
+        |  SELECT e.src, CAST(sum(a1.a1) AS BIGINT) AS h1
+        |  FROM e JOIN a1 USING (dst) GROUP BY e.src),
+        |a2 AS (
+        |  SELECT e.dst, CAST(sum(h1.h1) AS BIGINT) AS a2
+        |  FROM e JOIN h1 USING (src) GROUP BY e.dst),
+        |h2 AS (
+        |  SELECT e.src, CAST(sum(a2.a2) AS BIGINT) AS h2
+        |  FROM e JOIN a2 USING (dst) GROUP BY e.src)
+        |SELECT COALESCE(a2.dst, h2.src) AS doc_id,
+        |  COALESCE(a2.a2, 0) AS auth2, COALESCE(h2.h2, 0) AS hub2
+        |FROM a2 FULL OUTER JOIN h2 ON a2.dst = h2.src
+        |ORDER BY auth2 DESC, doc_id LIMIT 20""".stripMargin,
 
     // The q203 closed-form replay — streaming must equal batch.
     "q204_stream_media_inventory" ->
