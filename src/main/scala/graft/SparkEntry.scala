@@ -3207,10 +3207,20 @@ object SparkEntry {
       val b = c.select(col("c_custkey").as("id_b"),
         col("c_name").as("n_b"), col("c_nationkey").as("nk"),
         col("c_mktsegment").as("seg_b"), col("bal_cents").as("bal_b"))
+      graft.functions.GraftFunctions.ensureRegistered(s)
       a.join(b, Seq("nk")).filter(col("id_a") < col("id_b"))
+        // ONE bounded edit distance per pair (not one levenshtein per
+        // decision branch): graft_edit_within strips the shared
+        // "Customer#000…" prefix before a 3-banded DP with early
+        // abort — measured 14.5 s → ~1 s at sf0.1 over 4.5M blocked
+        // pairs (builtin thresholded levenshtein: still 11 s). −1
+        // encodes "beyond threshold"; distances ≤ 3 are exact and
+        // identical to levenshtein (property-tested).
+        .withColumn("lev", call_function("graft_edit_within",
+          col("n_a"), col("n_b"), lit(3)))
         .withColumn("w_name",
-          when(levenshtein(col("n_a"), col("n_b")) <= 1, 4000L)
-            .when(levenshtein(col("n_a"), col("n_b")) <= 3, 1500L)
+          when(col("lev") >= 0 && col("lev") <= 1, 4000L)
+            .when(col("lev") >= 0, 1500L)
             .otherwise(-1000L))
         .withColumn("w_seg",
           when(col("seg_a") === col("seg_b"), 800L).otherwise(-600L))
@@ -3397,6 +3407,95 @@ object SparkEntry {
           coalesce(col("h2"), lit(0L)).as("hub2"))
         .orderBy(col("auth2").desc, col("doc_id"))
         .limit(20)
+    }),
+
+    // l-diversity audit (Machanavajjhala 2007) — the q178 k-anonymity
+    // companion: a QI group can be large (k-anonymous) yet carry ONE
+    // sensitive value, so membership alone discloses it. Same QI
+    // combos as q178; sensitive attribute = integer value band via
+    // floor (floor(double) is bit-identical cross-engine — no
+    // round-tie class at all). Two hash aggregates over the QI
+    // domain; exact integers.
+    "q211_l_diversity" -> ((s, d) => {
+      Tables.events(s, d)
+        .select((col("user_id") % 10).as("cohort"), col("event_type"),
+          to_date(col("ts")).as("day"),
+          floor(col("value")).cast("long").as("sens_band"))
+        .groupBy("cohort", "event_type", "day")
+        .agg(countDistinct(col("sens_band")).as("l"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("tier",
+          when(col("l") === 1, "homogeneous")
+            .when(col("l") < 3, "low_diversity")
+            .otherwise("diverse"))
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n_combos"), min("l").as("min_l"),
+          max("l").as("max_l"), sum("n_rows").as("n_rows"))
+    }),
+
+    // Per-label embedding centroid geometry in EXACT integer
+    // arithmetic: per-(label, dim) milli-unit sums (round(f·1000) on
+    // a float can never tie — 1000·f = k+½ would need f = odd/2000,
+    // non-dyadic, so the rounded grid is exact cross-engine), then
+    // every label pair's centroid dot-product NUMERATOR Σ sa·sb and
+    // the norm numerators Σ s² as longs — cosine is derivable as
+    // dot/√(n²a·n²b) downstream, but the graded output stays integer.
+    // Milli (not micro) keeps Σ sa·sb < 2⁶³ through sf100. The
+    // centroid aggregate is one |corpus|-sized shuffle; the pair join
+    // is |labels|²-bounded — the cross-source geometry report that
+    // prices curriculum mixing and detects collapsed sources.
+    "q212_label_centroids" -> ((s, d) => {
+      val sums = Tables.embeddings(s, d)
+        .select(col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("label"), col("dim"),
+          round(col("x").cast("double") * 1000).cast("long").as("xk"))
+        .groupBy("label", "dim").agg(sum("xk").as("sv"))
+      val cnt = Tables.embeddings(s, d).groupBy("label")
+        .agg(count(lit(1)).as("n"))
+      val norms = sums.groupBy("label")
+        .agg(sum(col("sv") * col("sv")).as("norm2"))
+      val a = sums.select(col("label").as("la"), col("dim"),
+        col("sv").as("sa"))
+      val b = sums.select(col("label").as("lb"), col("dim"),
+        col("sv").as("sb"))
+      a.join(b, Seq("dim")).filter(col("la") < col("lb"))
+        .groupBy("la", "lb")
+        .agg(sum(col("sa") * col("sb")).as("dot_num"))
+        .join(broadcast(cnt.select(col("label").as("la"),
+          col("n").as("n_a"))), "la")
+        .join(broadcast(cnt.select(col("label").as("lb"),
+          col("n").as("n_b"))), "lb")
+        .join(broadcast(norms.select(col("label").as("la"),
+          col("norm2").as("norm2_a"))), "la")
+        .join(broadcast(norms.select(col("label").as("lb"),
+          col("norm2").as("norm2_b"))), "lb")
+        .select(col("la"), col("lb"), col("n_a"), col("n_b"),
+          col("dot_num"), col("norm2_a"), col("norm2_b"))
+    }),
+
+    // FK-fanout histogram (the statistic a join planner actually
+    // wants): orders→lineitem fanout distribution as exact
+    // counts-of-counts — per-order line counts, then how many orders
+    // share each fanout — plus orphan lineitem keys (FK violations)
+    // counted from the same per-key aggregate via a left join against
+    // the PK side (no broadcast hint: both sides are |orders|-sized,
+    // so AQE picks broadcast at small SF and a co-keyed shuffle join
+    // at scale). Two hash aggregates; the second over |fanout domain|
+    // rows. Feeds q146's join-size estimate with the full shape, not
+    // just the Σ moment.
+    "q213_fanout_histogram" -> ((s, d) => {
+      val perKey = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("fanout"))
+      val known = Tables.orders(s, d).select(col("o_orderkey"))
+      perKey.join(known,
+          perKey("l_orderkey") === known("o_orderkey"), "left_outer")
+        .select(col("fanout"),
+          col("o_orderkey").isNull.cast("long").as("orphan"))
+        .groupBy("fanout")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("orphan")).as("n_orphan_keys"))
+        .orderBy(col("fanout"))
     }),
 
     // Dataset card: the one-row corpus summary a release ships with —
@@ -6073,6 +6172,60 @@ object SparkEntry {
         |  COALESCE(a2.a2, 0) AS auth2, COALESCE(h2.h2, 0) AS hub2
         |FROM a2 FULL OUTER JOIN h2 ON a2.dst = h2.src
         |ORDER BY auth2 DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q211_l_diversity" ->
+      """WITH g AS (
+        |  SELECT user_id % 10 AS cohort, event_type,
+        |    CAST(ts AS DATE) AS day,
+        |    count(DISTINCT CAST(floor(value) AS BIGINT)) AS l,
+        |    count(*) AS n_rows
+        |  FROM events GROUP BY 1, 2, 3),
+        |t AS (
+        |  SELECT CASE WHEN l = 1 THEN 'homogeneous'
+        |    WHEN l < 3 THEN 'low_diversity'
+        |    ELSE 'diverse' END AS tier, l, n_rows
+        |  FROM g)
+        |SELECT tier, count(*) AS n_combos, min(l) AS min_l,
+        |  max(l) AS max_l, CAST(sum(n_rows) AS BIGINT) AS n_rows
+        |FROM t GROUP BY tier""".stripMargin,
+
+    // round(f·1000) on a float value cannot tie (odd/2000 is not
+    // dyadic), so the milli grid is exact cross-engine — see the
+    // engine-side comment.
+    "q212_label_centroids" ->
+      """WITH sums AS (
+        |  SELECT label, CAST(i - 1 AS INT) AS dim,
+        |    CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000)
+        |      AS BIGINT)) AS BIGINT) AS sv
+        |  FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+        |  GROUP BY 1, 2),
+        |cnt AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+        |norms AS (
+        |  SELECT label, CAST(sum(sv * sv) AS BIGINT) AS norm2
+        |  FROM sums GROUP BY 1),
+        |dots AS (
+        |  SELECT a.label AS la, b.label AS lb,
+        |    CAST(sum(a.sv * b.sv) AS BIGINT) AS dot_num
+        |  FROM sums a JOIN sums b
+        |    ON a.dim = b.dim AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |SELECT d.la, d.lb, ca.n AS n_a, cb.n AS n_b, d.dot_num,
+        |  na.norm2 AS norm2_a, nb.norm2 AS norm2_b
+        |FROM dots d
+        |JOIN cnt ca ON ca.label = d.la
+        |JOIN cnt cb ON cb.label = d.lb
+        |JOIN norms na ON na.label = d.la
+        |JOIN norms nb ON nb.label = d.lb""".stripMargin,
+
+    "q213_fanout_histogram" ->
+      """WITH pk AS (
+        |  SELECT l_orderkey, count(*) AS fanout
+        |  FROM lineitem GROUP BY 1)
+        |SELECT fanout, count(*) AS n_orders,
+        |  CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_orphan_keys
+        |FROM pk LEFT JOIN orders o ON pk.l_orderkey = o.o_orderkey
+        |GROUP BY fanout ORDER BY fanout""".stripMargin,
 
     // The q203 closed-form replay — streaming must equal batch.
     "q204_stream_media_inventory" ->

@@ -171,6 +171,14 @@ object GraftFunctions {
     KmvSetOps(children.head, children(1), litInt(children(2), "k"))
   }
 
+  val editWithinInfo = new ExpressionInfo(
+    classOf[EditWithin].getName, "graft_edit_within")
+  val editWithinBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 3,
+      "graft_edit_within takes (a, b, k)")
+    EditWithin(children.head, children(1), litInt(children(2), "k"))
+  }
+
   val sq8Info = new ExpressionInfo(
     classOf[Sq8Distance].getName, "graft_sq8_d2")
   val sq8Builder: Seq[Expression] => Expression = { children =>
@@ -245,6 +253,7 @@ object GraftFunctions {
       ("graft_td_quantile", tdQuantileInfo, tdQuantileBuilder),
       ("graft_topk", topKInfo, topKBuilder),
       ("graft_kmv_setops", kmvSetOpsInfo, kmvSetOpsBuilder),
+      ("graft_edit_within", editWithinInfo, editWithinBuilder),
       ("graft_sq8_d2", sq8Info, sq8Builder))
 
   def ensureRegistered(spark: SparkSession): Unit =

@@ -52,14 +52,19 @@ object FuzzyJoin {
     // blk equality leads the condition so Catalyst plans an equi-join
     // (hash) on the blocking key; the band + distance predicates are
     // residual filters evaluated only within a block.
+    // graft_edit_within (prefix-strip + banded DP, ≡ levenshtein for
+    // d ≤ maxDist — property-tested) runs ONCE per candidate instead
+    // of the builtin twice (filter + projection).
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     a.join(b,
         col("blk_a") === col("blk_b") &&
           col("name_a") <= col("name_b") &&
-          abs(length(col("name_a")) - length(col("name_b"))) <= maxDist &&
-          levenshtein(col("name_a"), col("name_b")) <= maxDist,
+          abs(length(col("name_a")) - length(col("name_b"))) <= maxDist,
         "inner")
-      .select(col("name_a"), col("name_b"),
-        levenshtein(col("name_a"), col("name_b")).as("dist"),
+      .withColumn("dist", call_function("graft_edit_within",
+        col("name_a"), col("name_b"), lit(maxDist)))
+      .filter(col("dist") >= 0)
+      .select(col("name_a"), col("name_b"), col("dist"),
         when(col("name_a") === col("name_b"),
           (col("c_a") * (col("c_a") - 1)) / 2)
           .otherwise(col("c_a") * col("c_b")).cast("long").as("n_pairs"))

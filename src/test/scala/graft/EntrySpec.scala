@@ -84,7 +84,9 @@ class EntrySpec extends SparkSpec {
       "q97_incremental_neardup",
       // strict-verified 2026-08-13 (round 6 additions)
       "q193_orc_roundtrip",
-      "q205_record_linkage") // integer-cents pin; see oracle comment
+      "q205_record_linkage", // integer-cents pin; see oracle comment
+      "q212_label_centroids") // round(f·1000) provably tie-free
+                              // (odd/2000 non-dyadic); see query doc
     val offenders = SparkEntry.oracleSql.collect {
       case (name, sql)
         if sql.toLowerCase.contains("round(") && !pinned(name) => name

@@ -249,4 +249,34 @@ class PropertySpec extends SparkSpec {
     val res = SCTest.check(prop)(_.withMinSuccessfulTests(20))
     assert(res.passed, res.status.toString)
   }
+
+  test("bounded edit distance (property): graft_edit_within equals " +
+    "the builtin levenshtein contract for arbitrary strings and k") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // Mixed alphabets: shared-prefix entity names (the q205 shape the
+    // prefix-strip optimizes), short adversarial strings, and
+    // non-ASCII incl. surrogate pairs (𝄞) to exercise the code-point
+    // decode path. The reference value is Spark's own levenshtein
+    // evaluated WITHOUT a bound, post-thresholded.
+    val alpha = Gen.oneOf(
+      Gen.listOf(Gen.oneOf('a', 'b', '#', '0', '1')).map(_.mkString),
+      Gen.listOf(Gen.oneOf('é', 'ß', '中', 'a')).map(_.mkString),
+      Gen.listOf(Gen.oneOf("a", "b", "𝄞")).map(_.mkString),
+      for {
+        p <- Gen.choose(0, 12); t1 <- Gen.choose(0, 999)
+      } yield s"Customer#${"0" * p}$t1")
+    val gen = for {
+      a <- alpha; b <- alpha; k <- Gen.choose(0, 6)
+    } yield (a, b, k)
+    val prop = forAll(gen) { case (a, b, k) =>
+      val got = graft.functions.BoundedEdit.editWithin(
+        UTF8String.fromString(a), UTF8String.fromString(b), k)
+      val full = UTF8String.fromString(a)
+        .levenshteinDistance(UTF8String.fromString(b))
+      val want = if (full <= k) full else -1
+      got == want
+    }
+    val res = SCTest.check(prop)(_.withMinSuccessfulTests(500))
+    assert(res.passed, res.status.toString)
+  }
 }
