@@ -3498,6 +3498,41 @@ object SparkEntry {
         .orderBy(col("fanout"))
     }),
 
+    // Sketch-merge-over-window: 7-day rolling distinct users via
+    // per-day HLL sketches UNIONED across the window — the pattern
+    // that makes rolling distinct viable at 100 TB. q182's exact form
+    // re-touches every (day,user) row once per window it serves; this
+    // pass unions ≤ 7 FIXED-SIZE sketches per window end, so the
+    // rolling stage's cost is |days|·7 sketch merges regardless of
+    // user cardinality. Graded like q84-q86: exact value + a
+    // TRUE-pinned 5% error gate (lgK=12 → σ ≈ 1.6%; DuckDB cannot
+    // replay Datasketches HLL, the exact side it CAN).
+    "q214_hll_rolling" -> ((s, d) => {
+      val du = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val bounds = du.agg(min("day").as("d0"), max("day").as("d1"))
+      val daySk = du.groupBy("day")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val approx = daySk.crossJoin(broadcast(bounds))
+        .select(col("sk"),
+          explode(expr("sequence(day, least(date_add(day, 6), d1))"))
+            .as("window_end"))
+        .groupBy("window_end")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+          .as("approx_wau"))
+      val exact = du.distinct().crossJoin(broadcast(bounds))
+        .select(col("user_id"),
+          explode(expr("sequence(day, least(date_add(day, 6), d1))"))
+            .as("window_end"))
+        .filter(col("window_end") >= col("d0"))
+        .groupBy("window_end")
+        .agg(countDistinct(col("user_id")).as("wau"))
+      exact.join(approx, Seq("window_end"))
+        .select(col("window_end"), col("wau"),
+          (abs(col("approx_wau") - col("wau")) <=
+            col("wau").cast("double") * 0.05).as("hll_7d_ok"))
+    }),
+
     // Dataset card: the one-row corpus summary a release ships with —
     // doc/token/source counts, length stats, source concentration,
     // near-dup membership — every figure an exact integer (shares in
@@ -6226,6 +6261,24 @@ object SparkEntry {
         |    AS BIGINT) AS n_orphan_keys
         |FROM pk LEFT JOIN orders o ON pk.l_orderkey = o.o_orderkey
         |GROUP BY fanout ORDER BY fanout""".stripMargin,
+
+    // q182's exact rolling distinct + the TRUE-pinned sketch gate
+    // (q84-q86 pattern: DuckDB replays the exact side, the Spark-side
+    // HLL estimate must land within the bound).
+    "q214_hll_rolling" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM du),
+        |x AS (
+        |  SELECT du.user_id,
+        |    CAST(unnest(generate_series(CAST(du.day AS TIMESTAMP),
+        |      CAST(least(du.day + 6, b.d1) AS TIMESTAMP),
+        |      INTERVAL 1 DAY)) AS DATE) AS window_end
+        |  FROM du, b)
+        |SELECT window_end, count(DISTINCT user_id) AS wau,
+        |  TRUE AS hll_7d_ok
+        |FROM x, b WHERE window_end >= b.d0
+        |GROUP BY window_end""".stripMargin,
 
     // The q203 closed-form replay — streaming must equal batch.
     "q204_stream_media_inventory" ->
