@@ -1048,8 +1048,9 @@ object SparkEntry {
     // graph: low→high edge orientation, wedge join + closing
     // equi-join — each triangle found once.
     "q129_triangles" -> ((s, d) => {
-      val edges = graft.operators.Triangles.coOccurrenceEdges(
-        Tables.lineitem(s, d), "l_orderkey", "l_suppkey", minSupport = 5)
+      val edges = graft.operators.Triangles.coOccurrenceEdgesCached(
+        Tables.lineitem(s, d), inputKey = d,
+        "l_orderkey", "l_suppkey", minSupport = 5)
       graft.operators.Triangles.triangleCounts(edges, topK = 20)
     }),
 

@@ -23,6 +23,22 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
+  private val edgeMemo = new graft.core.SessionMemo
+
+  /** [[coOccurrenceEdges]] memoized per (input, params) — the
+    * co-occurrence graph is a built-once artifact (the PageRank
+    * co-fulfillment pattern): iterative/graph queries over the same
+    * corpus probe the built edge set instead of re-running the
+    * group self-join.
+    */
+  def coOccurrenceEdgesCached(pairs: DataFrame, inputKey: String,
+                              groupCol: String, memberCol: String,
+                              minSupport: Long): DataFrame =
+    edgeMemo.getOrElseUpdate(pairs.sparkSession,
+      s"cooc|$inputKey|$groupCol|$memberCol|$minSupport") {
+      coOccurrenceEdges(pairs, groupCol, memberCol, minSupport)
+    }
+
   /** Undirected support-filtered co-occurrence edges (src < dst). */
   def coOccurrenceEdges(pairs: DataFrame, groupCol: String,
                         memberCol: String, minSupport: Long): DataFrame = {
