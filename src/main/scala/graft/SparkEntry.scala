@@ -3534,6 +3534,49 @@ object SparkEntry {
             col("wau").cast("double") * 0.05).as("hll_7d_ok"))
     }),
 
+    // Exactly-once streaming materialization: file stream →
+    // foreachBatch → VersionedTable.upsert keyed on event_id, with
+    // micro-batch 0 delivered TWICE (simulated at-least-once source
+    // redelivery). The keyed idempotent commit absorbs the replay —
+    // the live snapshot hash-equals the batch ground truth, which is
+    // the "streaming sink with idempotent writes = exactly-once
+    // EFFECT" contract Structured Streaming actually offers (the
+    // foreachBatch epoch id + keyed upsert is the documented recipe).
+    // Staged in 4 files → 4 rate-limited micro-batches; each commit
+    // is an atomic manifest flip, so a concurrent reader sees only
+    // complete snapshots mid-stream.
+    "q215_stream_exactly_once" -> ((s, d) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val src = graft.sinks.FormatStage.ensureParquet(s, s"events-eo|$d") {
+        Tables.events(s, d).select(col("event_id"), col("event_type"))
+          .coalesce(4)
+      }
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_eo_").toString
+      val stream = s.readStream
+        .schema(StructType(Seq(StructField("event_id", LongType),
+          StructField("event_type", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.sinks.VersionedTable.upsert(s, root, batch,
+            keys = Seq("event_id"))
+          if (id == 0) // at-least-once redelivery of the first batch
+            graft.sinks.VersionedTable.upsert(s, root, batch,
+              keys = Seq("event_id"))
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.sinks.VersionedTable.readLive(s, root)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_id")).as("n_ids"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"))
+    }),
+
     // Dataset card: the one-row corpus summary a release ships with —
     // doc/token/source counts, length stats, source concentration,
     // near-dup membership — every figure an exact integer (shares in
@@ -6280,6 +6323,14 @@ object SparkEntry {
         |  TRUE AS hll_7d_ok
         |FROM x, b WHERE window_end >= b.d0
         |GROUP BY window_end""".stripMargin,
+
+    // Ground truth over the source table: a replay leak would double
+    // batch-0 counts and hash-fail.
+    "q215_stream_exactly_once" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT event_id) AS n_ids,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events GROUP BY event_type""".stripMargin,
 
     // The q203 closed-form replay — streaming must equal batch.
     "q204_stream_media_inventory" ->
