@@ -3577,6 +3577,35 @@ object SparkEntry {
           min("event_id").as("min_id"), max("event_id").as("max_id"))
     }),
 
+    // CDC MERGE with deletes: a change feed (inserts, updates,
+    // deletes, incl. MULTIPLE ordered changes per key) applied onto a
+    // base table via ChangeFeed.applyTo — matched-update, matched-
+    // delete, not-matched-insert, and untouched base rows all
+    // exercised. Feed ops derive deterministically from the key; the
+    // doubly-changed keys (%20==2 get seq 1 AND 2) prove the
+    // collapse honors the sequence order. Integer cents end-to-end.
+    "q216_cdc_merge" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_orderpriority").as("prio"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val base = o.filter(col("k") % 3 === 0)
+      val even = o.filter(col("k") % 2 === 0)
+      val first = even.select(col("k"),
+        lit(1L).as("seq"), col("k").as("tie"),
+        when(col("k") % 10 === 0, "D")
+          .when(col("k") % 10 < 5, "U").otherwise("I").as("op"),
+        col("prio"), (col("cents") * 2).as("cents"))
+      val second = o.filter(col("k") % 20 === 2).select(col("k"),
+        lit(2L).as("seq"), col("k").as("tie"), lit("U").as("op"),
+        col("prio"), (col("cents") * 3).as("cents"))
+      val merged = graft.operators.ChangeFeed.applyTo(
+        base, first.unionByName(second), "k", "seq", "tie", "op",
+        Seq("prio", "cents"))
+      merged.groupBy("prio")
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"),
+          min("k").as("min_key"), max("k").as("max_key"))
+    }),
+
     // Dataset card: the one-row corpus summary a release ships with —
     // doc/token/source counts, length stats, source concentration,
     // near-dup membership — every figure an exact integer (shares in
@@ -6331,6 +6360,40 @@ object SparkEntry {
         |  count(DISTINCT event_id) AS n_ids,
         |  min(event_id) AS min_id, max(event_id) AS max_id
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // round() pin: integer cents (totalprice has exactly 2 decimals —
+    // the q106/q205 pattern); everything downstream is long
+    // arithmetic. The struct-max collapse is replayed as row_number
+    // over seq DESC — identical because (k, seq) is unique.
+    "q216_cdc_merge" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |base AS (SELECT * FROM o WHERE k % 3 = 0),
+        |feed AS (
+        |  SELECT k, 1 AS seq,
+        |    CASE WHEN k % 10 = 0 THEN 'D'
+        |      WHEN k % 10 < 5 THEN 'U' ELSE 'I' END AS op,
+        |    prio, cents * 2 AS cents FROM o WHERE k % 2 = 0
+        |  UNION ALL
+        |  SELECT k, 2, 'U', prio, cents * 3 FROM o WHERE k % 20 = 2),
+        |last AS (
+        |  SELECT k, op, prio, cents FROM (
+        |    SELECT k, op, prio, cents,
+        |      row_number() OVER (PARTITION BY k ORDER BY seq DESC)
+        |        AS rn
+        |    FROM feed) WHERE rn = 1),
+        |final AS (
+        |  SELECT b.k, b.prio, b.cents FROM base b
+        |  LEFT JOIN (SELECT DISTINCT k FROM feed) f ON b.k = f.k
+        |  WHERE f.k IS NULL
+        |  UNION ALL
+        |  SELECT k, prio, cents FROM last WHERE op <> 'D')
+        |SELECT prio, count(*) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(k) AS min_key, max(k) AS max_key
+        |FROM final GROUP BY prio""".stripMargin,
 
     // The q203 closed-form replay — streaming must equal batch.
     "q204_stream_media_inventory" ->

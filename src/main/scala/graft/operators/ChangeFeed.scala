@@ -41,4 +41,28 @@ object ChangeFeed {
         col(s"last.$tieCol").as(tieCol) +:
         payloadCols.map(c => col(s"last.$c").as(c)): _*)
   }
+
+  /** MERGE the collapsed feed INTO a base table: the full Delta-style
+    * `WHEN MATCHED UPDATE / WHEN MATCHED AND op='D' DELETE / WHEN NOT
+    * MATCHED INSERT`, as two relational steps — (1) [[snapshot]]
+    * collapses the feed to one surviving row per key (map-side
+    * combined, |keys| rows cross the wire), (2) base rows whose key
+    * appears ANYWHERE in the feed leave via one left-anti join
+    * (final-delete keys vanish, updated keys are replaced), survivors
+    * union with the collapsed upserts. Both steps shuffle on the
+    * merge key only; payload width rides the scan, not the shuffle
+    * comparator. Returns `(key, payload...)` — the new table state
+    * for a [[graft.sinks.VersionedTable]] commit.
+    */
+  def applyTo(target: DataFrame, feed: DataFrame, keyCol: String,
+              seqCol: String, tieCol: String, opCol: String,
+              payloadCols: Seq[String]): DataFrame = {
+    val outCols = (keyCol +: payloadCols).map(col)
+    val changedKeys = feed.select(col(keyCol)).distinct()
+    val upserts = snapshot(feed, keyCol, seqCol, tieCol, opCol,
+      payloadCols).select(outCols: _*)
+    target.select(outCols: _*)
+      .join(changedKeys, Seq(keyCol), "left_anti")
+      .unionByName(upserts)
+  }
 }

@@ -176,4 +176,23 @@ class CurationOpsSpec extends SparkSpec {
     assert(snap(3L) === ((2L, 31L, 7.0)))
     assert(snap(4L) === ((5L, 41L, 2.5)))
   }
+
+  test("cdc applyTo: matched-update, matched-delete, not-matched-" +
+    "insert, untouched base rows, multi-change collapse") {
+    val base = Seq((1L, 100.0), (2L, 200.0), (9L, 900.0))
+      .toDF("k", "v")
+    val feed = Seq(
+      (1L, 1L, 10L, "U", 111.0),  // matched update
+      (2L, 1L, 20L, "D", 0.0),    // matched delete
+      (5L, 1L, 50L, "I", 555.0),  // not-matched insert
+      (7L, 1L, 70L, "U", 700.0),  // doubly-changed: seq 2 wins
+      (7L, 2L, 71L, "U", 777.0)
+      // k9 untouched
+    ).toDF("k", "seq", "tie", "op", "v")
+    val out = graft.operators.ChangeFeed
+      .applyTo(base, feed, "k", "seq", "tie", "op", Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out === Map(1L -> 111.0, 5L -> 555.0, 7L -> 777.0,
+      9L -> 900.0))
+  }
 }

@@ -85,8 +85,9 @@ class EntrySpec extends SparkSpec {
       // strict-verified 2026-08-13 (round 6 additions)
       "q193_orc_roundtrip",
       "q205_record_linkage", // integer-cents pin; see oracle comment
-      "q212_label_centroids") // round(f·1000) provably tie-free
+      "q212_label_centroids", // round(f·1000) provably tie-free
                               // (odd/2000 non-dyadic); see query doc
+      "q216_cdc_merge") // integer-cents pin; see oracle comment
     val offenders = SparkEntry.oracleSql.collect {
       case (name, sql)
         if sql.toLowerCase.contains("round(") && !pinned(name) => name
