@@ -23,6 +23,7 @@ object Profile {
     if (args.headOption.contains("stress-incr")) { stressIncremental(); return }
     if (args.headOption.contains("stress-vec")) { stressVectors(); return }
     if (args.headOption.contains("stress-exact")) { stressExactPairs(); return }
+    if (args.headOption.contains("stress-edit")) { stressEdit(); return }
     val spark = GraftSession.build("profile")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val docs = Tables.documents(spark, d).cache()
@@ -94,6 +95,35 @@ object Profile {
     * queries (8M codegen cosines). Validates that the vector
     * operators' costs are the linear scans they claim to be.
     */
+  /** ER-verify stress: 10M shared-prefix name pairs (the q205 shape)
+    * scored with the builtin thresholded levenshtein vs
+    * graft_edit_within — quantifies the custom expression's win at
+    * candidate-join scale.
+    */
+  def stressEdit(): Unit = {
+    val spark = GraftSession.build("profile-edit")
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val n = 10000000L
+    val pairs = spark.range(n).select(
+      concat(lit("Customer#"), lpad((col("id") % 97651).cast("string"),
+        9, "0")).as("a"),
+      concat(lit("Customer#"), lpad(((col("id") * 31) % 97651)
+        .cast("string"), 9, "0")).as("b"))
+    pairs.write.mode("overwrite").parquet("/tmp/stress_edit")
+    val pp = spark.read.parquet("/tmp/stress_edit")
+    println(s"stress edit pairs: ${pp.count()}")
+    t("builtin levenshtein(a,b,3) 10M") {
+      println("sum: " + pp.select(levenshtein(col("a"), col("b"), 3)
+        .as("d")).agg(sum("d")).collect()(0).getLong(0))
+    }
+    t("graft_edit_within(a,b,3) 10M") {
+      println("sum: " + pp.select(call_function("graft_edit_within",
+        col("a"), col("b"), lit(3)).as("d"))
+        .agg(sum("d")).collect()(0).getLong(0))
+    }
+    spark.stop()
+  }
+
   def stressVectors(): Unit = {
     val spark = GraftSession.build("profile-vec")
     graft.functions.GraftFunctions.ensureRegistered(spark)
