@@ -56,4 +56,20 @@ class GraftFacadeSpec extends SparkSpec {
     assert(out.getAs[String]("detected_lang") === "en")
     assert(out.getAs[Double]("quality_score") === 1.0)
   }
+
+  test("applyChanges/editWithin wired") {
+    val base = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    val feed = Seq((1L, 1L, 1L, "U", 11.0), (2L, 1L, 2L, "D", 0.0),
+      (3L, 1L, 3L, "I", 30.0)).toDF("k", "seq", "tie", "op", "v")
+    val out = Graft.applyChanges(base, feed, "k", "seq", "tie", "op",
+      Seq("v")).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out === Map(1L -> 11.0, 3L -> 30.0))
+
+    implicit val s = spark
+    val d = Seq(("kitten", "sitting"), ("abc", "abc"), ("abcd", "wxyz"))
+      .toDF("a", "b")
+      .select(Graft.editWithin($"a", $"b", 3).as("d"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(d === Seq(3, 0, -1)) // lev(abcd,wxyz)=4 > 3
+  }
 }
