@@ -24,6 +24,7 @@ object Profile {
     if (args.headOption.contains("stress-vec")) { stressVectors(); return }
     if (args.headOption.contains("stress-exact")) { stressExactPairs(); return }
     if (args.headOption.contains("stress-edit")) { stressEdit(); return }
+    if (args.headOption.contains("stress-sweep")) { stressSweep(); return }
     val spark = GraftSession.build("profile")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val docs = Tables.documents(spark, d).cache()
@@ -120,6 +121,41 @@ object Profile {
       println("sum: " + pp.select(call_function("graft_edit_within",
         col("a"), col("b"), lit(3)).as("d"))
         .agg(sum("d")).collect()(0).getLong(0))
+    }
+    spark.stop()
+  }
+
+  /** Sweep-line overlap stress: 1M intervals over 100 keys (10k per
+    * key). The q207 sweep is one window pass over 2M events; the
+    * naive overlap self-join would generate Σ 10k²/2 × 100 ≈ 5·10⁹
+    * candidate pairs — not runnable here, which is the point.
+    */
+  def stressSweep(): Unit = {
+    val spark = GraftSession.build("profile-sweep")
+    import org.apache.spark.sql.expressions.Window
+    val n = 1000000L
+    val iv = spark.range(n).select(
+      (col("id") % 100).as("sk"), col("id").as("iid"),
+      (col("id") * 37 % 100000).as("s"))
+      .withColumn("e", col("s") + col("iid") % 50 + 1)
+    iv.write.mode("overwrite").parquet("/tmp/stress_sweep")
+    val ip = spark.read.parquet("/tmp/stress_sweep")
+    println(s"stress sweep intervals: ${ip.count()}")
+    t("sweep-line pairs+peak, 1M intervals") {
+      val events = ip.select(col("sk"), col("s").as("x"),
+          lit(1L).as("delta"), col("iid"))
+        .unionByName(ip.select(col("sk"), (col("e") + 1).as("x"),
+          lit(-1L).as("delta"), col("iid")))
+      val w = Window.partitionBy("sk")
+        .orderBy(col("x"), col("delta"), col("iid"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val out = events.withColumn("active", sum(col("delta")).over(w))
+        .filter(col("delta") === 1L)
+        .groupBy("sk")
+        .agg(sum(col("active") - 1L).as("pairs"),
+          max(col("active")).as("peak"))
+        .agg(sum("pairs"), max("peak")).collect()(0)
+      println(s"total pairs: ${out.getLong(0)}, max peak: ${out.getLong(1)}")
     }
     spark.stop()
   }
