@@ -3606,6 +3606,30 @@ object SparkEntry {
           min("k").as("min_key"), max("k").as("max_key"))
     }),
 
+    // Audio DSP over binary columns: dominant-tone detection
+    // (Goertzel power at 20 candidate frequencies, argmax) on REAL
+    // 16-bit PCM WAV payloads. The synthetic corpus writes each
+    // audio doc a pure sine at (n_chars % 20 + 1)·100 Hz, so the
+    // detected tone has a closed integer form in the source table —
+    // a hash match grades the byte-level signal processing exactly
+    // (the q203 closed-form trick applied to the PAYLOAD, not just
+    // headers). Map-only UDF decode (the one legitimate UDF class),
+    // one tiny aggregate.
+    "q217_audio_tone" -> ((s, d) => {
+      val dir = graft.sinks.FormatStage.ensureParquet(s, s"tone|$d") {
+        Multimodal.toneMedia(s, Tables.documents(s, d))
+      }
+      val cands = (1 to 20).map(_ * 100).toArray
+      val detect = udf((b: Array[Byte]) =>
+        Multimodal.dominantTone(b, cands))
+      s.read.parquet(dir)
+        .select(detect(col("bytes")).as("tone_hz"))
+        .groupBy("tone_hz")
+        .agg(count(lit(1)).as("n_clips"))
+        .select(col("tone_hz").cast("int").as("tone_hz"),
+          col("n_clips"))
+    }),
+
     // Dataset card: the one-row corpus summary a release ships with —
     // doc/token/source counts, length stats, source concentration,
     // near-dup membership — every figure an exact integer (shares in
@@ -6394,6 +6418,14 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  min(k) AS min_key, max(k) AS max_key
         |FROM final GROUP BY prio""".stripMargin,
+
+    // Closed-form tone replay: the Spark side must RECOVER these
+    // frequencies from the PCM bytes.
+    "q217_audio_tone" ->
+      """SELECT CAST((n_chars % 20 + 1) * 100 AS INT) AS tone_hz,
+        |  count(*) AS n_clips
+        |FROM documents WHERE doc_id % 3 = 1
+        |GROUP BY 1""".stripMargin,
 
     // The q203 closed-form replay — streaming must equal batch.
     "q204_stream_media_inventory" ->

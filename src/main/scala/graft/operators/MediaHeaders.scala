@@ -263,6 +263,28 @@ object MediaHeaders {
     buf.array()
   }
 
+  /** 16-bit mono PCM WAV carrying a PURE SINE at `freqHz` — the
+    * closed-form audio fixture: the tone frequency is exactly
+    * recoverable from the payload, so byte-level DSP (Goertzel
+    * detection) can be graded against arithmetic on the source
+    * table, the same trick [[mp4Bytes]]/[[imageBytes]] play for
+    * metadata.
+    */
+  def toneWavBytes(sampleRate: Int, nSamples: Int,
+                   freqHz: Int): Array[Byte] = {
+    val arr = wavBytes(sampleRate, nSamples) // header + zeroed payload
+    val bb = java.nio.ByteBuffer.wrap(arr)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val w = 2.0 * math.Pi * freqHz / sampleRate
+    var i = 0
+    while (i < nSamples) {
+      bb.putShort(44 + 2 * i,
+        math.round(30000.0 * math.sin(w * i)).toShort)
+      i += 1
+    }
+    arr
+  }
+
   /** REAL encoded image via the JVM's own codec (`javax.imageio` —
     * present in every JRE, no new dependency): a deterministic
     * per-pixel pattern seeded by `seed`, written as `"png"` or

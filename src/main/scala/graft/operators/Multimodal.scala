@@ -137,6 +137,63 @@ object Multimodal {
       }
     }
 
+  /** Dominant-tone detection over a 16-bit mono PCM WAV: Goertzel
+    * power at each candidate frequency, argmax (ties → lower
+    * frequency). The ONLY float sensitivity is the argmax, and a pure
+    * sine's true bin carries orders of magnitude more power than any
+    * leakage bin at ≥ hundreds of samples — deterministic in
+    * practice and spec-pinned. None for corrupt/non-PCM input (the
+    * decodeStub contract).
+    */
+  def dominantTone(bytes: Array[Byte],
+                   candidatesHz: Array[Int]): Option[Int] =
+    MediaHeaders.parseWav(bytes).flatMap { info =>
+      if (info.bitsPerSample != 16 || info.channels != 1) None
+      else findWavData(bytes).flatMap { case (off, len) =>
+        val n = len / 2
+        if (n < 16 || candidatesHz.isEmpty) None
+        else {
+          var best = 0
+          var bestPower = -1.0
+          var c = 0
+          while (c < candidatesHz.length) {
+            val f = candidatesHz(c)
+            val coeff =
+              2.0 * math.cos(2.0 * math.Pi * f / info.sampleRate)
+            var s1 = 0.0
+            var s2 = 0.0
+            var i = 0
+            while (i < n) {
+              val lo = bytes(off + 2 * i) & 0xff
+              val hi = bytes(off + 2 * i + 1).toInt
+              val x = ((hi << 8) | lo).toDouble
+              val s0 = x + coeff * s1 - s2
+              s2 = s1
+              s1 = s0
+              i += 1
+            }
+            val p = s1 * s1 + s2 * s2 - coeff * s1 * s2
+            if (p > bestPower) { bestPower = p; best = f }
+            c += 1
+          }
+          Some(best)
+        }
+      }
+    }
+
+  /** Pure-tone audio corpus: one sine WAV per audio-kind doc, tone =
+    * (n_chars % 20 + 1)·100 Hz — every clip's frequency has a closed
+    * integer form in the source table, so detection is oracle-exact.
+    */
+  def toneMedia(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val gen = udf((id: Long, nChars: Int) =>
+      MediaHeaders.toneWavBytes(16000, nChars * 16,
+        (nChars % 20 + 1) * 100))
+    documents.filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id").as("media_id"),
+        gen(col("doc_id"), col("n_chars").cast("int")).as("bytes"))
+  }
+
   /** Locate the PCM payload: (offset, usable length) of the "data"
     * chunk, clamped to the buffer.
     */

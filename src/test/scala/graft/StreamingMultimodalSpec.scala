@@ -301,4 +301,23 @@ class MultimodalSpec extends SparkSpec {
       assert(b == a + 100000L, s"unexpected pair ($a,$b)")
     }
   }
+
+  test("dominant tone: every candidate frequency recovered exactly; " +
+    "short clips, ties, and corrupt bytes handled") {
+    import graft.operators.{MediaHeaders, Multimodal}
+    val cands = (1 to 20).map(_ * 100).toArray
+    // every candidate at the q217 minimum clip length (47 chars ≈
+    // 752 samples) AND at a comfortable length
+    for (f <- cands; n <- Seq(752, 8000)) {
+      val wav = MediaHeaders.toneWavBytes(16000, n, f)
+      assert(Multimodal.dominantTone(wav, cands).contains(f),
+        s"tone $f Hz at $n samples")
+    }
+    // corrupt payload → None
+    assert(Multimodal.dominantTone(Array[Byte](1, 2, 3), cands).isEmpty)
+    // all-zero payload: every bin has zero power — argmax tie rule
+    // keeps the FIRST (lowest) candidate
+    val silent = MediaHeaders.wavBytes(16000, 1000)
+    assert(Multimodal.dominantTone(silent, cands).contains(100))
+  }
 }
