@@ -3630,6 +3630,32 @@ object SparkEntry {
           col("n_clips"))
     }),
 
+    // Graph degree profile + h-index (the cheap degeneracy bound that
+    // sizes community/k-core work before running it): degrees from
+    // ONE aggregate over the memoized co-occurrence edges (shared
+    // with q129), then the h-index computed on the DEGREE DOMAIN —
+    // h = max_d min(d, |{v : deg(v) ≥ d}|), a window over
+    // counts-of-degrees (≤ max-degree rows), never a per-node sort.
+    "q218_degree_stats" -> ((s, d) => {
+      val edges = graft.operators.Triangles.coOccurrenceEdgesCached(
+        Tables.lineitem(s, d), inputKey = d,
+        "l_orderkey", "l_suppkey", minSupport = 5)
+      val deg = edges.select(col("src").as("n"))
+        .unionAll(edges.select(col("dst").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val dd = deg.groupBy("deg").agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("deg").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val h = dd.withColumn("cum", sum("cnt").over(w))
+        .agg(max(least(col("deg"), col("cum"))).as("h_index"))
+      val base = deg.agg(count(lit(1)).as("n_nodes"),
+        max("deg").as("max_degree"), sum("deg").as("deg_sum"))
+      base.crossJoin(broadcast(h))
+        .select(col("n_nodes"),
+          expr("deg_sum div 2").as("n_edges"),
+          col("max_degree"), col("h_index"))
+    }),
+
     // Dataset card: the one-row corpus summary a release ships with —
     // doc/token/source counts, length stats, source concentration,
     // near-dup membership — every figure an exact integer (shares in
@@ -6426,6 +6452,30 @@ object SparkEntry {
         |  count(*) AS n_clips
         |FROM documents WHERE doc_id % 3 = 1
         |GROUP BY 1""".stripMargin,
+
+    "q218_degree_stats" ->
+      """WITH gm AS (
+        |  SELECT DISTINCT l_orderkey AS g, l_suppkey AS m
+        |  FROM lineitem),
+        |e AS (
+        |  SELECT a.m AS src, b.m AS dst
+        |  FROM gm a JOIN gm b ON a.g = b.g AND a.m < b.m
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |deg AS (
+        |  SELECT n, count(*) AS deg FROM (
+        |    SELECT src AS n FROM e UNION ALL SELECT dst FROM e)
+        |  GROUP BY n),
+        |dd AS (
+        |  SELECT deg, count(*) AS cnt,
+        |    sum(count(*)) OVER (ORDER BY deg DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum
+        |  FROM deg GROUP BY deg)
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |  (SELECT CAST(sum(deg) AS BIGINT) // 2 FROM deg) AS n_edges,
+        |  (SELECT max(deg) FROM deg) AS max_degree,
+        |  (SELECT CAST(max(least(deg, cum)) AS BIGINT) FROM dd)
+        |    AS h_index""".stripMargin,
 
     // The q203 closed-form replay — streaming must equal batch.
     "q204_stream_media_inventory" ->
