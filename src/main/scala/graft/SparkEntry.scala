@@ -3641,7 +3641,7 @@ object SparkEntry {
         Tables.lineitem(s, d), inputKey = d,
         "l_orderkey", "l_suppkey", minSupport = 5)
       val deg = edges.select(col("src").as("n"))
-        .unionAll(edges.select(col("dst").as("n")))
+        .union(edges.select(col("dst").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg"))
       val dd = deg.groupBy("deg").agg(count(lit(1)).as("cnt"))
       val w = Window.orderBy(col("deg").desc)
