@@ -383,7 +383,10 @@ object SparkEntry {
     "q32_multimodal" -> ((s, d) => {
       import s.implicits._
       val media = Multimodal.withParsedMetadata(
-        Multimodal.syntheticMedia(s, Tables.documents(s, d)))
+        s.read.parquet(graft.sinks.FormatStage
+          .ensureParquet(s, s"media|$d") {
+            Multimodal.syntheticMedia(s, Tables.documents(s, d))
+          }))
       val feats = Multimodal.extractFeatures(media.as[Multimodal.MediaRecord])
       feats.toDF()
         .join(media.select("media_id", "width", "height", "sample_rate",
@@ -1873,7 +1876,13 @@ object SparkEntry {
     // generator → identical pixels, Hamming 0). No SQL oracle (binary
     // decode); the pair set and Hamming bound are pinned by spec.
     "q155_image_neardup" -> ((s, d) => {
-      val media = Multimodal.syntheticMedia(s, Tables.documents(s, d))
+      // media staged ONCE per session (same FormatStage key as
+      // q203/q204): the expensive javax.imageio ENCODE runs once,
+      // repeated queries pay only the decode
+      val media = s.read.parquet(graft.sinks.FormatStage
+          .ensureParquet(s, s"media|$d") {
+            Multimodal.syntheticMedia(s, Tables.documents(s, d))
+          })
         .filter(col("kind") === "image")
       // planted-dup ids offset by max(media_id)+1 (1-row broadcast),
       // not a constant: a fixed +100000 collides with genuine ids
@@ -2526,7 +2535,10 @@ object SparkEntry {
     // counts. Rows-only (binary decode); the keep-set invariants are
     // the q155/q37 specs composed.
     "q180_image_dedup_corpus" -> ((s, d) => {
-      val media = Multimodal.syntheticMedia(s, Tables.documents(s, d))
+      val media = s.read.parquet(graft.sinks.FormatStage
+          .ensureParquet(s, s"media|$d") {
+            Multimodal.syntheticMedia(s, Tables.documents(s, d))
+          })
         .filter(col("kind") === "image")
       // same max(media_id)+1 planted-id namespace as q155 — keeps
       // originals the min-id survivors at any corpus size
