@@ -3642,6 +3642,25 @@ object SparkEntry {
           col("n_clips"))
     }),
 
+    // Format-sniffing ingest audit: classify every media payload from
+    // its MAGIC NUMBERS alone (≤ 12 bytes read — the gate that
+    // distrusts declared kind/MIME columns at ingest) and
+    // cross-tabulate sniffed container vs declared kind. The
+    // synthetic corpus alternates png/jpeg by media_id parity within
+    // the image kind, so the full confusion matrix has a closed
+    // integer form. Map-only sniff + one domain-sized aggregate.
+    "q219_format_sniff" -> ((s, d) => {
+      val dir = graft.sinks.FormatStage.ensureParquet(s, s"media|$d") {
+        Multimodal.syntheticMedia(s, Tables.documents(s, d))
+      }
+      val sniff = udf((b: Array[Byte]) =>
+        graft.operators.MediaHeaders.sniffFormat(b))
+      s.read.parquet(dir)
+        .select(col("kind"), sniff(col("bytes")).as("container"))
+        .groupBy("kind", "container")
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // Graph degree profile + h-index (the cheap degeneracy bound that
     // sizes community/k-core work before running it): degrees from
     // ONE aggregate over the memoized co-occurrence edges (shared
@@ -6464,6 +6483,18 @@ object SparkEntry {
         |  count(*) AS n_clips
         |FROM documents WHERE doc_id % 3 = 1
         |GROUP BY 1""".stripMargin,
+
+    // Closed-form confusion matrix: image splits png/jpeg on id
+    // parity; audio is RIFF/WAVE; video is an ftyp box.
+    "q219_format_sniff" ->
+      """SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN 'png'
+        |    WHEN doc_id % 3 = 0 THEN 'jpeg'
+        |    WHEN doc_id % 3 = 1 THEN 'wav'
+        |    ELSE 'mp4' END AS container,
+        |  count(*) AS n
+        |FROM documents GROUP BY 1, 2""".stripMargin,
 
     "q218_degree_stats" ->
       """WITH gm AS (

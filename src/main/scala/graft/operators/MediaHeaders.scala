@@ -42,6 +42,25 @@ object MediaHeaders {
   /** PNG: 8-byte signature, then the IHDR chunk (always first):
     * length(4 BE) + "IHDR" + width(4 BE) + height(4 BE) + ...
     */
+  /** Container-format sniff from magic numbers alone — the ingest
+    * gate that distrusts declared MIME/kind columns: PNG signature,
+    * JPEG SOI, RIFF/WAVE, MP4 ftyp box, else "unknown". Reads ≤ 12
+    * bytes; never parses past the signature.
+    */
+  def sniffFormat(bytes: Array[Byte]): String = {
+    def b(i: Int) = bytes(i) & 0xff
+    if (bytes == null || bytes.length < 4) "unknown"
+    else if (bytes.length >= 8 && b(0) == 0x89 && b(1) == 0x50 &&
+      b(2) == 0x4e && b(3) == 0x47) "png"
+    else if (b(0) == 0xff && b(1) == 0xd8) "jpeg"
+    else if (bytes.length >= 12 && b(0) == 'R' && b(1) == 'I' &&
+      b(2) == 'F' && b(3) == 'F' && b(8) == 'W' && b(9) == 'A' &&
+      b(10) == 'V' && b(11) == 'E') "wav"
+    else if (bytes.length >= 12 && b(4) == 'f' && b(5) == 't' &&
+      b(6) == 'y' && b(7) == 'p') "mp4"
+    else "unknown"
+  }
+
   def parsePng(bytes: Array[Byte]): Option[PngInfo] =
     if (bytes == null || bytes.length < 24) None
     else if (!bytes.take(8).sameElements(PngSignature)) None
