@@ -3661,6 +3661,60 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // Open-schema semi-structured ingestion on ONE VariantType column
+    // (Spark 4 VARIANT — the engine-native answer to the reference's
+    // raw JSONB layer, `sql/raw_schema.sql:23-36`): event payloads
+    // ({"k": N}) and order payloads ({"priority", "cents"}) with
+    // DIVERGENT schemas land in a single variant column; typed access
+    // via try_variant_get routes per shape with no per-shape table and
+    // no from_json StructType. Binary variant encoding decodes each
+    // payload once (vs re-parsing JSON text per path, 3 paths here),
+    // and parquet-backed variant columns shred typed paths into the
+    // scan (PushVariantIntoScan). All-integer output.
+    "q220_variant_shred" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("props").as("payload"))
+      val ord = Tables.orders(s, d).select(
+        concat(lit("{\"priority\":\""), col("o_orderpriority"),
+          lit("\",\"cents\":"),
+          round(col("o_totalprice") * 100).cast("long").cast("string"),
+          lit("}")).as("payload"))
+      ev.unionByName(ord)
+        .select(parse_json(col("payload")).as("v"))
+        .select(
+          try_variant_get(col("v"), "$.priority", "string").as("priority"),
+          try_variant_get(col("v"), "$.k", "long").as("k"),
+          try_variant_get(col("v"), "$.cents", "long").as("cents"))
+        .groupBy(coalesce(col("priority"), lit("<event>")).as("shape"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum("k"), lit(0L)).as("sum_k"),
+          coalesce(sum("cents"), lit(0L)).as("sum_cents"))
+    }),
+
+    // Scheduler-cadence reconciliation (closes the round-5 "missing"
+    // item: `@daily` + `catchup=False`, etl_pipeline_dag.py:16-31):
+    // expand the daily tick calendar spanning the event log, mark
+    // days the pipeline ran (synthetic downtime: every 9-day cycle
+    // days 3-4 are down, anchored at 2024-01-01 — deterministic and
+    // replayable in SQL), and apply the catchup=False rule: only the
+    // LATEST missed tick is pending; older gaps are skipped forever.
+    // Calendar-domain frame (≤ thousands of rows for years of cadence)
+    // + two broadcast joins — scale-free regardless of event volume.
+    "q221_schedule_catchup" -> ((s, d) => {
+      val perDay = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val bounds = perDay.agg(min("day").as("d0"), max("day").as("d1"))
+      val ticks = graft.operators.Schedule.dailyTicks(
+        bounds, col("d0"), col("d1"))
+      val anchor = lit(java.sql.Date.valueOf("2024-01-01"))
+      val runLog = perDay.filter(
+        !pmod(datediff(col("day"), anchor), lit(9)).isin(3, 4))
+      val rec = graft.operators.Schedule.reconcileCatchupFalse(ticks, runLog)
+      rec.join(perDay, Seq("day"), "left")
+        .select(col("day"), col("status"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+    }),
+
     // Graph degree profile + h-index (the cheap degeneracy bound that
     // sizes community/k-core work before running it): degrees from
     // ONE aggregate over the memoized co-occurrence edges (shared
@@ -6495,6 +6549,48 @@ object SparkEntry {
         |    ELSE 'mp4' END AS container,
         |  count(*) AS n
         |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    // Variant shredding replayed with DuckDB's JSON path functions
+    // over the same heterogeneous payload union; all outputs integer.
+    "q220_variant_shred" ->
+      """WITH p AS (
+        |  SELECT props AS payload FROM events
+        |  UNION ALL
+        |  SELECT '{"priority":"' || o_orderpriority || '","cents":' ||
+        |    CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR) || '}'
+        |  FROM orders),
+        |x AS (
+        |  SELECT json_extract_string(payload, '$.priority') AS priority,
+        |    CAST(json_extract_string(payload, '$.k') AS BIGINT) AS k,
+        |    CAST(json_extract_string(payload, '$.cents') AS BIGINT) AS cents
+        |  FROM p)
+        |SELECT COALESCE(priority, '<event>') AS shape, count(*) AS n,
+        |  CAST(COALESCE(sum(k), 0) AS BIGINT) AS sum_k,
+        |  CAST(COALESCE(sum(cents), 0) AS BIGINT) AS sum_cents
+        |FROM x GROUP BY 1""".stripMargin,
+
+    // Calendar expansion + catchup=False replay: generate_series over
+    // the same [min,max] day bounds, identical downtime predicate,
+    // single max() pending decision. Dates and counts only.
+    "q221_schedule_catchup" ->
+      """WITH pd AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM pd),
+        |t AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+        |        AS DATE) AS day FROM b),
+        |r AS (SELECT day FROM pd
+        |      WHERE datediff('day', DATE '2024-01-01', day) % 9 NOT IN (3, 4)),
+        |m AS (SELECT max(t2.day) AS pending_day
+        |      FROM t t2 LEFT JOIN r r2 ON t2.day = r2.day
+        |      WHERE r2.day IS NULL)
+        |SELECT t.day,
+        |  CASE WHEN r.day IS NOT NULL THEN 'ran'
+        |    WHEN t.day = m.pending_day THEN 'pending'
+        |    ELSE 'skipped_no_catchup' END AS status,
+        |  CAST(COALESCE(pd.n_events, 0) AS BIGINT) AS n_events
+        |FROM t LEFT JOIN r ON t.day = r.day
+        |  LEFT JOIN pd ON t.day = pd.day CROSS JOIN m""".stripMargin,
 
     "q218_degree_stats" ->
       """WITH gm AS (
