@@ -3715,6 +3715,68 @@ object SparkEntry {
           coalesce(col("n_events"), lit(0L)).as("n_events"))
     }),
 
+    // Payload schema census — the ingest-governance companion to q220:
+    // every payload reduced to its SORTED top-level key set (the
+    // schema signature an open-schema raw layer is governed by), then
+    // counted with exact byte-size extremes per signature. A NEW
+    // signature appearing in this census IS schema drift at the raw
+    // layer, caught before any typed extraction. Map-only signature +
+    // one signature-domain aggregate; payload bytes never shuffle.
+    "q222_payload_key_census" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("props").as("payload"))
+      val ord = Tables.orders(s, d).select(
+        concat(lit("{\"priority\":\""), col("o_orderpriority"),
+          lit("\",\"cents\":"),
+          round(col("o_totalprice") * 100).cast("long").cast("string"),
+          lit("}")).as("payload"))
+      ev.unionByName(ord)
+        .select(
+          array_join(array_sort(json_object_keys(col("payload"))), ",")
+            .as("key_set"),
+          length(col("payload")).cast("long").as("bytes"))
+        .groupBy("key_set")
+        .agg(count(lit(1)).as("n"),
+          min("bytes").as("min_bytes"), max("bytes").as("max_bytes"),
+          sum("bytes").as("sum_bytes"))
+    }),
+
+    // Sequential-pattern support (A then B, ANY gap): the pattern-
+    // mining primitive behind "users who added-to-cart eventually
+    // purchase". NOT q134 (adjacent Markov transitions) and NOT
+    // q105/q161 (fixed funnels with step windows): support here is
+    // "∃ an occurrence of A strictly before an occurrence of B", per
+    // user, for EVERY ordered type pair. The scale trick: a user has
+    // A-before-B iff min_ts(A) < max_ts(B), so the corpus collapses
+    // to one (user, type) aggregate — pairs run on the TYPE DOMAIN
+    // (|types|² rows per user), linear in events, never an event-level
+    // self-join. Lift in exact basis points via integer div.
+    "q223_seq_support" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val ut = ev.groupBy(col("user_id"), col("event_type"))
+        .agg(min("ts").as("t0"), max("ts").as("t1"))
+      val totalUsers = ev.agg(
+        countDistinct(col("user_id")).as("n_users"))
+      val perType = ut.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_type_users"))
+      val a = ut.select(col("user_id"), col("event_type").as("x"),
+        col("t0"))
+      val b = ut.select(col("user_id"), col("event_type").as("y"),
+        col("t1"))
+      a.join(b, Seq("user_id"))
+        .filter(col("x") =!= col("y") && col("t0") < col("t1"))
+        .groupBy("x", "y")
+        .agg(count(lit(1)).as("support_users"))
+        .join(broadcast(perType.select(col("event_type").as("x"),
+          col("n_type_users").as("n_users_x"))), Seq("x"))
+        .join(broadcast(perType.select(col("event_type").as("y"),
+          col("n_type_users").as("n_users_y"))), Seq("y"))
+        .crossJoin(broadcast(totalUsers))
+        .select(col("x"), col("y"), col("support_users"),
+          col("n_users_x"), col("n_users_y"),
+          expr("(support_users * n_users * 10000) div " +
+            "(n_users_x * n_users_y)").as("lift_bp"))
+    }),
+
     // Graph degree profile + h-index (the cheap degeneracy bound that
     // sizes community/k-core work before running it): degrees from
     // ONE aggregate over the memoized co-occurrence edges (shared
@@ -6591,6 +6653,45 @@ object SparkEntry {
         |  CAST(COALESCE(pd.n_events, 0) AS BIGINT) AS n_events
         |FROM t LEFT JOIN r ON t.day = r.day
         |  LEFT JOIN pd ON t.day = pd.day CROSS JOIN m""".stripMargin,
+
+    // Key-set census replay: DuckDB json_keys + list_sort over the
+    // same payload union; ASCII payloads make char length = bytes.
+    "q222_payload_key_census" ->
+      """WITH p AS (
+        |  SELECT props AS payload FROM events
+        |  UNION ALL
+        |  SELECT '{"priority":"' || o_orderpriority || '","cents":' ||
+        |    CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR) || '}'
+        |  FROM orders)
+        |SELECT array_to_string(list_sort(json_keys(payload)), ',') AS key_set,
+        |  count(*) AS n,
+        |  CAST(min(length(payload)) AS BIGINT) AS min_bytes,
+        |  CAST(max(length(payload)) AS BIGINT) AS max_bytes,
+        |  CAST(sum(length(payload)) AS BIGINT) AS sum_bytes
+        |FROM p GROUP BY 1""".stripMargin,
+
+    // Same (user,type) min/max collapse, same strict-< pair rule,
+    // integer basis-point lift via // — exact replay of the type-
+    // domain sequential-support trick.
+    "q223_seq_support" ->
+      """WITH ut AS (
+        |  SELECT user_id, event_type, min(ts) AS t0, max(ts) AS t1
+        |  FROM events GROUP BY 1, 2),
+        |tu AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+        |pt AS (SELECT event_type, count(*) AS n_type_users FROM ut GROUP BY 1),
+        |sp AS (
+        |  SELECT a.event_type AS x, b.event_type AS y,
+        |    count(*) AS support_users
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |    AND a.event_type <> b.event_type AND a.t0 < b.t1
+        |  GROUP BY 1, 2)
+        |SELECT x, y, CAST(support_users AS BIGINT) AS support_users,
+        |  CAST(px.n_type_users AS BIGINT) AS n_users_x,
+        |  CAST(py.n_type_users AS BIGINT) AS n_users_y,
+        |  CAST((support_users * n_users * 10000)
+        |    // (px.n_type_users * py.n_type_users) AS BIGINT) AS lift_bp
+        |FROM sp JOIN pt px ON sp.x = px.event_type
+        |  JOIN pt py ON sp.y = py.event_type CROSS JOIN tu""".stripMargin,
 
     "q218_degree_stats" ->
       """WITH gm AS (

@@ -88,6 +88,9 @@ class EntrySpec extends SparkSpec {
       "q220_variant_shred",  // integer-cents pin (round(x*100)→BIGINT
                              // before any arithmetic); strict-verified
                              // at sf0.01 AND sf0.1 on 2026-08-13
+      "q222_payload_key_census", // same integer-cents pin inside the
+                             // payload literal; strict-verified at
+                             // sf0.01 AND sf0.1 on 2026-08-13
       "q212_label_centroids", // round(f·1000) provably tie-free
                               // (odd/2000 non-dyadic); see query doc
       "q216_cdc_merge") // integer-cents pin; see oracle comment

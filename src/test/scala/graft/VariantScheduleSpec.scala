@@ -74,6 +74,42 @@ class VariantScheduleSpec extends SparkSpec {
     assert(rec.toSeq === Seq("ran", "ran"))
   }
 
+  test("seq-support collapse: min/max per (user,type) ≡ event-level A-before-B") {
+    import spark.implicits._
+    // interleavings chosen to need the min/max rule, not adjacency:
+    // u1 has A..B..A (A before B even though the LAST A is after B),
+    // u2 has B..A only (no A-before-B), u3 has A,B at equal ts via
+    // distinct micros (strict < must hold).
+    val ev = Seq(
+      (1L, "A", 100L), (1L, "B", 200L), (1L, "A", 300L),
+      (2L, "B", 100L), (2L, "A", 200L),
+      (3L, "A", 100L), (3L, "B", 101L))
+      .toDF("user_id", "event_type", "us")
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"))
+    // brute force: event-level exists(a.ts < b.ts)
+    val brute = ev.as("a").join(ev.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") =!= col("b.event_type") &&
+        col("a.ts") < col("b.ts"))
+      .select(col("a.user_id").as("u"), col("a.event_type").as("x"),
+        col("b.event_type").as("y")).distinct()
+      .groupBy("x", "y").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // collapsed: the q223 shape
+    val ut = ev.groupBy("user_id", "event_type")
+      .agg(min("ts").as("t0"), max("ts").as("t1"))
+    val fast = ut.select(col("user_id"), col("event_type").as("x"), col("t0"))
+      .join(ut.select(col("user_id"), col("event_type").as("y"), col("t1")),
+        Seq("user_id"))
+      .filter(col("x") =!= col("y") && col("t0") < col("t1"))
+      .groupBy("x", "y").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(fast === brute)
+    // u1 (A..B..A) counts BOTH directions; u2 only B→A; u3 only A→B
+    assert(fast(("A", "B")) === 2L && fast(("B", "A")) === 2L)
+  }
+
   test("schedule: dailyTicks spans bounds inclusive") {
     import spark.implicits._
     val bounds = Seq(("2024-03-01", "2024-03-05")).toDF("a", "b")
