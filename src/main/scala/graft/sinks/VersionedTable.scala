@@ -63,6 +63,64 @@ object VersionedTable {
       .parquet(Paths.get(root).resolve(m.live).toString)
   }
 
+  // ------------------------------------------------------------------
+  // Time travel (unpartitioned path). Each commit also appends an
+  // IMMUTABLE per-version manifest under `root/_versions/vNNNNNNNN.json`
+  // — a few bytes per commit, never rewritten, so the version history
+  // survives manifest flips. A snapshot stays readable as long as its
+  // data dir survives retention (`keepVersions`); reading a pruned
+  // version fails loudly with the retention hint rather than returning
+  // partial data. This is the reproducibility contract a training-data
+  // pipeline needs: "read the exact corpus snapshot run X trained on",
+  // with the honest limitation that retention bounds how far back
+  // travel reaches (a real table format keeps file-level logs instead).
+  // ------------------------------------------------------------------
+
+  private def versionDirName(v: Long): String = f"v$v%08d"
+
+  private def versionManifestPath(root: Path, v: Long): Path =
+    root.resolve("_versions").resolve(s"${versionDirName(v)}.json")
+
+  /** Committed versions still readable (history entry AND data dir
+    * both present), ascending.
+    */
+  def versions(root: String): Seq[Long] = {
+    val rootP = Paths.get(root)
+    val hist = rootP.resolve("_versions")
+    if (!Files.isDirectory(hist)) Seq.empty
+    else {
+      val s = Files.list(hist)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toSeq
+          .flatMap { p =>
+            val n = p.getFileName.toString
+            """^v(\d{8})\.json$""".r.findFirstMatchIn(n)
+              .map(_.group(1).toLong)
+          }
+          .filter(v => Files.isDirectory(rootP.resolve(versionDirName(v))))
+          .sorted
+      } finally s.close()
+    }
+  }
+
+  /** Read the snapshot a specific commit produced. Fails if the
+    * version was never committed, or if retention already pruned its
+    * data directory.
+    */
+  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val rootP = Paths.get(root)
+    if (!Files.exists(versionManifestPath(rootP, version)))
+      throw new IllegalStateException(
+        s"version $version was never committed under $root")
+    val dir = rootP.resolve(versionDirName(version))
+    if (!Files.isDirectory(dir))
+      throw new IllegalStateException(
+        s"version $version of $root was pruned by retention — " +
+          "raise keepVersions on commit to travel further back")
+    spark.read.option("mergeSchema", "true").parquet(dir.toString)
+  }
+
   /** Run `writeTo(newVersionDir)` then atomically flip the manifest to
     * it. Returns the committed version. On `writeTo` failure nothing
     * is committed and the half-written version dir is removed — the
@@ -89,6 +147,12 @@ object VersionedTable {
         .getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath(rootP), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    // immutable history entry for time travel — written AFTER the flip
+    // so a version is only ever listed once it is fully committed
+    Files.createDirectories(rootP.resolve("_versions"))
+    Files.write(versionManifestPath(rootP, next),
+      s"""{"version": $next, "live": "$dirName"}"""
+        .getBytes(StandardCharsets.UTF_8))
     // prune: newest `keepVersions` dirs survive
     val s = Files.list(rootP)
     try {

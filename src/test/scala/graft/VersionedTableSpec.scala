@@ -61,6 +61,37 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.readLive(spark, root).count() === 4)
   }
 
+  test("time travel: each retained version reads its exact snapshot; " +
+      "pruned versions fail with the retention hint") {
+    val root = tmpRoot()
+    VersionedTable.upsert(spark, root,
+      Seq((1L, "a")).toDF("id", "v"), Seq("id"), keepVersions = 3)
+    VersionedTable.upsert(spark, root,
+      Seq((2L, "b")).toDF("id", "v"), Seq("id"), keepVersions = 3)
+    VersionedTable.upsert(spark, root,
+      Seq((1L, "A")).toDF("id", "v"), Seq("id"), keepVersions = 3)
+    assert(VersionedTable.versions(root) === Seq(1L, 2L, 3L))
+    def snap(ver: Long): Map[Long, String] =
+      VersionedTable.readVersion(spark, root, ver)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(snap(1L) === Map(1L -> "a"))
+    assert(snap(2L) === Map(1L -> "a", 2L -> "b"))
+    assert(snap(3L) === Map(1L -> "A", 2L -> "b"))
+    // a 4th commit with keepVersions=2 prunes v1 and v2: history says
+    // they existed, read fails loudly
+    VersionedTable.upsert(spark, root,
+      Seq((3L, "c")).toDF("id", "v"), Seq("id"), keepVersions = 2)
+    assert(VersionedTable.versions(root) === Seq(3L, 4L))
+    val e = intercept[IllegalStateException] {
+      VersionedTable.readVersion(spark, root, 1L)
+    }
+    assert(e.getMessage.contains("pruned by retention"))
+    val e2 = intercept[IllegalStateException] {
+      VersionedTable.readVersion(spark, root, 99L)
+    }
+    assert(e2.getMessage.contains("never committed"))
+  }
+
   test("failed write commits nothing and leaves the live version intact") {
     val root = tmpRoot()
     VersionedTable.upsert(spark, root,
