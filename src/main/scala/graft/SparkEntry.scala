@@ -3777,6 +3777,33 @@ object SparkEntry {
             "(n_users_x * n_users_y)").as("lift_bp"))
     }),
 
+    // Dynamic partition pruning over a date-partitioned fact: the
+    // events corpus staged ONCE per session in hive layout
+    // (event_date=…/), joined to a weekend-filtered day dim on the
+    // PARTITION column. Catalyst plants a DynamicPruning subquery in
+    // the fact scan's PartitionFilters (asserted in PlanSpec), so at
+    // scale only the ~2/7 weekend partitions are listed and read —
+    // the partition-layout twin of q116's zone-map skipping, and the
+    // mechanism that turns a 100 TB date-range star join into a scan
+    // of just the qualifying days. The dim derives from the fact's
+    // own partition listing: computing it reads ZERO data files.
+    "q224_dpp_join" -> ((s, d) => {
+      val dir = graft.sinks.FormatStage.ensurePartitionedParquet(
+        s, s"events_bydate|$d", Seq("event_date")) {
+        Tables.events(s, d).withColumn("event_date", to_date(col("ts")))
+      }
+      val fact = s.read.parquet(dir)
+      val dim = fact.select(col("event_date")).distinct()
+        .withColumn("is_weekend",
+          dayofweek(col("event_date")).isin(1, 7))
+      fact.join(broadcast(dim.filter(col("is_weekend"))
+          .select(col("event_date"))), Seq("event_date"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(get_json_object(col("props"), "$.k").cast("long"))
+            .as("sum_k"))
+    }),
+
     // Graph degree profile + h-index (the cheap degeneracy bound that
     // sizes community/k-core work before running it): degrees from
     // ONE aggregate over the memoized co-occurrence edges (shared
@@ -6692,6 +6719,17 @@ object SparkEntry {
         |    // (px.n_type_users * py.n_type_users) AS BIGINT) AS lift_bp
         |FROM sp JOIN pt px ON sp.x = px.event_type
         |  JOIN pt py ON sp.y = py.event_type CROSS JOIN tu""".stripMargin,
+
+    // Weekend-day filter replayed directly (DuckDB dayofweek: Sun=0,
+    // Sat=6 vs Spark Sun=1, Sat=7); the dim exists only to give the
+    // engine a join to prune with — semantically it IS this filter.
+    "q224_dpp_join" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k
+        |FROM events
+        |WHERE dayofweek(CAST(ts AS DATE)) IN (0, 6)
+        |GROUP BY 1""".stripMargin,
 
     "q218_degree_stats" ->
       """WITH gm AS (

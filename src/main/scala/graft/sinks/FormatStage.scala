@@ -31,4 +31,18 @@ object FormatStage {
       df.write.mode(SaveMode.Overwrite).parquet(dir)
       dir
     })
+
+  /** Write `df` as hive-layout partitioned parquet once per key;
+    * return the directory. The layout is what partition-pruning
+    * optimizations (static and dynamic) act on.
+    */
+  def ensurePartitionedParquet(spark: SparkSession, key: String,
+                               partitionCols: Seq[String])
+                              (df: => DataFrame): String =
+    staged.computeIfAbsent(s"parquet-part|$key", { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_pqp").toString
+      df.write.mode(SaveMode.Overwrite)
+        .partitionBy(partitionCols: _*).parquet(dir)
+      dir
+    })
 }

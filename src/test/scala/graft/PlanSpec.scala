@@ -154,4 +154,12 @@ class PlanSpec extends SparkSpec {
     val p = plan("q144_ks_test")
     assert("Scan parquet".r.findAllIn(p).length === 1, p)
   }
+
+  test("q224: dim filter reaches the fact scan as a dynamic partition " +
+    "prune (only qualifying date partitions are listed at run time)") {
+    val p = plan("q224_dpp_join")
+    assert(p.toLowerCase.contains("dynamicpruning"), p)
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
