@@ -430,8 +430,7 @@ object SparkEntry {
     // converges to the same warehouse state a full rebuild would give.
     // Side-effecting streaming pipeline → rows-only check.
     "q66_incremental_staging" -> ((s, d) => {
-      val work = java.nio.file.Files
-        .createTempDirectory("q66_inc").toString
+      val work = graft.core.ScratchDirs.fresh("q66_inc").toString
       val rawDir = s"$work/raw"
       val wh = s"$work/warehouse"
       val ckpt = s"$work/ckpt"

@@ -125,8 +125,12 @@ object EventsStream {
     // NB: set/restore of the session conf assumes no CONCURRENT query
     // submissions on this session (Verify/Bench/tests are sequential);
     // a multi-tenant caller should pass a dedicated session.
+    // 4 measured best on the sf0.1 family (2 under-parallelizes the
+    // 200k-row join batches, 32 pays 4.3s of no-data store commits —
+    // see the sizing note above; sweep rerun with tmpfs checkpoints).
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.props.getOrElse("graft.stream.partitions", "4"))
     // Complete mode emits every group when the source drains — the
     // extra NO-DATA micro-batch (whose only job is advancing the
     // watermark so Append-mode sinks finalize) is pure fixed cost
@@ -140,11 +144,16 @@ object EventsStream {
     val prevNoData = spark.conf.getOption(noDataKey)
     val finalize = needsFinalize.getOrElse(mode != OutputMode.Complete())
     if (!finalize) spark.conf.set(noDataKey, "false")
+    // explicit checkpoint on fast scratch (tmpfs locally): the WAL/
+    // commit/state small-file writes are the per-query floor — see
+    // ScratchDirs for the local-vs-cluster placement contract
+    val ckpt = graft.core.ScratchDirs.fresh(s"ckpt_$name")
     try {
       val q = df.writeStream
         .format("memory")
         .queryName(name)
         .outputMode(mode)
+        .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
@@ -154,6 +163,7 @@ object EventsStream {
         case Some(v) => spark.conf.set(noDataKey, v)
         case None    => spark.conf.unset(noDataKey)
       }
+      graft.core.ScratchDirs.delete(ckpt)
     }
     spark.table(name)
   }
