@@ -26,23 +26,35 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is physically INT64 TIMESTAMP(NANOS) parquet, which
-    * Spark's vectorized reader rejects. Read it as raw long nanoseconds
-    * (legacy conf) and convert to a microsecond TimestampType column —
-    * sub-microsecond precision is not semantically observable in any
-    * query (events are seconds apart; `event_id` is the tiebreaker).
+  /** `events.ts` has shipped in two physical parquet encodings across
+    * testdata generations: INT64 TIMESTAMP(NANOS) (rejected by Spark's
+    * vectorized reader → read as raw long nanoseconds via the legacy
+    * conf and convert) and plain TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false (reads as TIMESTAMP_NTZ). Branch on the
+    * footer schema so both arrive as the same session-tz (UTC)
+    * TimestampType — sub-microsecond precision is not semantically
+    * observable in any query (events are seconds apart; `event_id` is
+    * the tiebreaker).
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     // NB: session-sticky conf — later reads of OTHER nanos-timestamp
     // parquet in this session also get raw longs. All engine inputs go
     // through Tables.*, so the blast radius is this loader.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integer `div`, not `/`: float division at epoch-nanos magnitude
-    // (~1.7e18, double ulp = 256 ns) rounds before the cast and can be
-    // 1 µs off the true floor(ns/1000)
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer `div`, not `/`: float division at epoch-nanos
+        // magnitude (~1.7e18, double ulp = 256 ns) rounds before the
+        // cast and can be 1 µs off the true floor(ns/1000)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ → instant is wall-clock-preserving under the pinned UTC
+        // session tz (Verify/Bench/specs all set it)
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

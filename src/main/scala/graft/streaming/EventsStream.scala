@@ -13,16 +13,11 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** Parquet schema for the streaming source — ts arrives as raw
-    * INT64 nanos (see Tables.events) and converts post-read.
-    */
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  /** Streaming events source from the sf dir (schema pinned; the file
-    * source needs an explicit schema).
+  /** Streaming events source from the sf dir. The file source needs an
+    * explicit schema, and the physical `ts` encoding varies by testdata
+    * generation (INT64 nanos vs TIMESTAMP_NTZ micros — see
+    * Tables.events), so pin the stream schema to the batch footer
+    * schema of the same file and apply the matching conversion.
     */
   // one staged symlink dir per sfDir (repeat calls reuse it — no
   // temp-dir leak across Bench/Verify/Profile loops)
@@ -39,12 +34,19 @@ object EventsStream {
       java.nio.file.Files.createSymbolicLink(d.resolve("events.parquet"), src)
       d.toString
     })
-    spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(dir)
-      // integer `div`: see Tables.events — float division rounds at
-      // epoch-nanos magnitude
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Footer-driven schema (one cheap metadata read) so the stream sees
+    // exactly the physical types; conversion branch mirrors Tables.events.
+    val phys = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val raw = spark.readStream.schema(phys).parquet(dir)
+    phys("ts").dataType match {
+      case LongType =>
+        // integer `div`: see Tables.events — float division rounds at
+        // epoch-nanos magnitude
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Tumbling-window counts per event_type with a 1-hour watermark —
