@@ -3803,6 +3803,17 @@ object SparkEntry {
             .as("sum_k"))
     }),
 
+    // Hashed-bigram linear quality classifier (fastText-shape
+    // inference): feature-hash adjacent word bigrams into 4096
+    // buckets, sum deterministic integer bucket weights, threshold.
+    // ONE map-only codegen pass, no vocabulary state — the 100 TB
+    // quality-filter scoring plan. Exact BIGINT score ⇒ exact oracle.
+    "q225_quality_classifier" -> ((s, d) =>
+      graft.operators.QualityClassifier.score(
+        Tables.documents(s, d), "text", "doc_id")
+        .select(col("doc_id"), col("n_grams"), col("score"),
+          col("label"))),
+
     // Graph degree profile + h-index (the cheap degeneracy bound that
     // sizes community/k-core work before running it): degrees from
     // ONE aggregate over the memoized co-occurrence edges (shared
@@ -6729,6 +6740,37 @@ object SparkEntry {
         |FROM events
         |WHERE dayofweek(CAST(ts AS DATE)) IN (0, 6)
         |GROUP BY 1""".stripMargin,
+
+    // replays the exact md5 feature-hash arithmetic: bucket =
+    // int(md5(gram)[0:4], 16) % 4096, weight = int(md5('w:'+b)[0:4],
+    // 16) % 17 - 8 — integers end-to-end, no float drift possible
+    "q225_quality_classifier" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '') AS ts
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, greatest(len(ts) - 1, 0)::BIGINT AS n_grams,
+        |    list_transform(range(1, greatest(len(ts), 1)),
+        |      i -> ts[i] || ' ' || ts[i + 1]) AS grams
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id, n_grams,
+        |    CAST(coalesce(list_sum(list_transform(grams, gr ->
+        |      list_reduce(list_prepend(0::BIGINT,
+        |        list_transform(generate_series(1, 4),
+        |          j -> (strpos('0123456789abcdef', substr(md5('w:' ||
+        |            (list_reduce(list_prepend(0::BIGINT,
+        |              list_transform(generate_series(1, 4),
+        |                k -> (strpos('0123456789abcdef',
+        |                  substr(md5(gr), CAST(k AS INT), 1)) - 1)::BIGINT)),
+        |              (a, v) -> a * 16 + v) % 4096)::VARCHAR),
+        |            CAST(j AS INT), 1)) - 1)::BIGINT)),
+        |        (a, v) -> a * 16 + v) % 17 - 8)), 0) AS BIGINT) AS score
+        |  FROM g)
+        |SELECT doc_id, n_grams, score, (score > 0)::BIGINT AS label
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q218_degree_stats" ->
       """WITH gm AS (
