@@ -3803,6 +3803,16 @@ object SparkEntry {
             .as("sum_k"))
     }),
 
+    // Greedy k-center coreset (Gonzalez farthest-point): 8 maximally
+    // diverse embedding rows. k map-only scans + tree-agg argmax per
+    // round, dist column re-cached each round (flat lineage) — never
+    // a sort, shuffle, or corpus collect. Iterative argmax ⇒ rows-only
+    // (the q69/q131 class); exactness pinned in CoresetSpec against an
+    // independent driver-side reference.
+    "q226_kcenter_coreset" -> ((s, d) =>
+      graft.operators.Coreset.kCenters(
+        Tables.embeddings(s, d), "embedding", "vec_id", k = 8)),
+
     // Hashed-bigram linear quality classifier (fastText-shape
     // inference): feature-hash adjacent word bigrams into 4096
     // buckets, sum deterministic integer bucket weights, threshold.

@@ -37,8 +37,11 @@ class EntrySpec extends SparkSpec {
                                 // SQL-replayable (GraphSelectionSpec)
       "q155_image_neardup",     // binary image decode (dHash) — no SQL
                                 // oracle (MultimodalSpec)
-      "q180_image_dedup_corpus" // q155 ∘ components composition — same
+      "q180_image_dedup_corpus", // q155 ∘ components composition — same
                                 // binary-decode limitation
+      "q226_kcenter_coreset"    // iterative farthest-point argmax, not
+                                // SQL-replayable (CoresetSpec pins it
+                                // against a driver-side reference)
     ), s"unexpected rows-only set: $rowsOnly")
   }
 
