@@ -57,10 +57,22 @@ object QualityClassifier {
     * weight(bucket(bigram)); `label` = 1 iff score > 0. Exact
     * integers end-to-end. `dim` must be ≤ 65536 (the bucket hash is
     * 16 bits wide).
+    *
+    * `replayable = true` (default) derives hashes from md5 so any
+    * engine can replay the exact scores (the q225 oracle contract).
+    * `replayable = false` swaps in `xxhash64` — same model class and
+    * plan shape, ~6× cheaper per gram (md5 is the dominant inference
+    * cost: 2 digests per bigram; see `Profile stress-classify`) —
+    * for production scoring where cross-engine replay isn't needed.
     */
   def score(docs: DataFrame, textCol: String, idCol: String,
-            dim: Int = 4096): DataFrame = {
+            dim: Int = 4096, replayable: Boolean = true): DataFrame = {
     require(dim > 0 && dim <= 65536, s"dim must be in (0, 65536]: $dim")
+    def bucketOf(g: Column): Column =
+      if (replayable) bucket(g, dim) else pmod(xxhash64(g), lit(dim))
+    def weightOf(b: Column): Column =
+      if (replayable) weight(b)
+      else pmod(xxhash64(concat(lit("w:"), b.cast("string"))), lit(17)) - 8
     val ts = filter(split(lower(col(textCol)), "\\s+"), t => t =!= lit(""))
     // adjacent bigrams: slice to the first n-1 tokens, pair each with
     // its successor (SQL array indexing is 0-based; transform's i is
@@ -74,7 +86,7 @@ object QualityClassifier {
         col(idCol).as("doc_id"),
         greatest(size(col("ts")) - 1, lit(0)).cast("long").as("n_grams"),
         aggregate(col("grams"), lit(0L),
-          (acc, g) => acc + weight(bucket(g, dim))).as("score"))
+          (acc, g) => acc + weightOf(bucketOf(g))).as("score"))
       .withColumn("label", (col("score") > 0).cast("long"))
   }
 }

@@ -25,6 +25,8 @@ object Profile {
     if (args.headOption.contains("stress-exact")) { stressExactPairs(); return }
     if (args.headOption.contains("stress-edit")) { stressEdit(); return }
     if (args.headOption.contains("stress-sweep")) { stressSweep(); return }
+    if (args.headOption.contains("stress-classify")) { stressClassify(); return }
+    if (args.headOption.contains("stress-kcenter")) { stressKCenter(); return }
     val spark = GraftSession.build("profile")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val docs = Tables.documents(spark, d).cache()
@@ -156,6 +158,66 @@ object Profile {
           max(col("active")).as("peak"))
         .agg(sum("pairs"), max("peak")).collect()(0)
       println(s"total pairs: ${out.getLong(0)}, max peak: ${out.getLong(1)}")
+    }
+    spark.stop()
+  }
+
+  /** Hashed-bigram classifier throughput: 1M synthetic ~24-token docs
+    * scored in one map-only pass — the claim under test is that
+    * inference adds NO shuffle and runs at scan speed (the md5-per-
+    * gram cost is the knob; 2×md5 per bigram ≈ 48 digests/doc).
+    */
+  def stressClassify(): Unit = {
+    val spark = GraftSession.build("profile-classify")
+    val n = 1000000L
+    // deterministic word soup with Zipf-ish head reuse: token j of doc
+    // id is word#((id*31+j*7) % 5000)
+    val docs = spark.range(n).select(col("id"),
+      concat_ws(" ", expr(
+        "transform(sequence(0, 23), " +
+          "j -> concat('w', cast((id * 31 + j * 7) % 5000 as string)))"))
+        .as("text"))
+    docs.write.mode("overwrite").parquet("/tmp/stress_docs_qc")
+    val dp = spark.read.parquet("/tmp/stress_docs_qc")
+    println(s"stress docs: ${dp.count()}")
+    t("hashed-bigram classify 1M x 24 tokens (md5, replayable)") {
+      val r = graft.operators.QualityClassifier
+        .score(dp, "text", "id")
+        .agg(count(lit(1)), sum("score"), sum("label")).head()
+      println(s"docs=${r.getLong(0)} Σscore=${r.getLong(1)} " +
+        s"pos=${r.getLong(2)}")
+    }
+    t("hashed-bigram classify 1M x 24 tokens (xxhash64, fast)") {
+      val r = graft.operators.QualityClassifier
+        .score(dp, "text", "id", replayable = false)
+        .agg(count(lit(1)), sum("score"), sum("label")).head()
+      println(s"docs=${r.getLong(0)} Σscore=${r.getLong(1)} " +
+        s"pos=${r.getLong(2)}")
+    }
+    spark.stop()
+  }
+
+  /** Greedy k-center at 1M × 64-dim: 8 rounds, each ONE map-only
+    * scan + tree-agg argmax. The claim under test: per-round cost is
+    * flat (re-cached dist column, no lineage growth), total ≈ 8 ×
+    * one-pass-over-corpus.
+    */
+  def stressKCenter(): Unit = {
+    val spark = GraftSession.build("profile-kcenter")
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val n = 1000000L
+    val vecs = spark.range(n).select(col("id"),
+      expr("transform(sequence(0, 63), " +
+        "i -> cast(sin(cast(id * 64 + i as double)) * 0.1 as float))")
+        .as("v"))
+    vecs.write.mode("overwrite").parquet("/tmp/stress_vecs_kc")
+    val vp = spark.read.parquet("/tmp/stress_vecs_kc")
+    println(s"stress vectors: ${vp.count()}")
+    t("k-center greedy k=8 over 1M x 64") {
+      val sel = graft.operators.Coreset
+        .kCenters(vp, "v", "id", k = 8).collect()
+      println(sel.map(r => s"${r.getLong(1)}@%.4f".format(r.getDouble(2)))
+        .mkString(", "))
     }
     spark.stop()
   }

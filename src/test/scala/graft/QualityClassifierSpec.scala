@@ -76,4 +76,20 @@ class QualityClassifierSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("fast (xxhash64) variant: same shape, deterministic, bounded") {
+    val a = QualityClassifier.score(docs, "text", "doc_id",
+      replayable = false).collect().sortBy(_.getLong(0))
+    val b = QualityClassifier.score(docs, "text", "doc_id",
+      replayable = false).collect().sortBy(_.getLong(0))
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+    // same n_grams as the replayable path (tokenization is shared)
+    val md5 = QualityClassifier.score(docs, "text", "doc_id")
+      .collect().sortBy(_.getLong(0))
+    assert(a.map(_.getLong(1)).toSeq === md5.map(_.getLong(1)).toSeq)
+    assert(a.forall(r => math.abs(r.getLong(2)) <= 8 * r.getLong(1)))
+    val plan = QualityClassifier.score(docs, "text", "doc_id",
+      replayable = false).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
 }
