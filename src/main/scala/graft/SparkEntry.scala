@@ -3824,6 +3824,26 @@ object SparkEntry {
         .select(col("doc_id"), col("n_grams"), col("score"),
           col("label"))),
 
+    // The same classifier as a Structured Streaming pipeline (the
+    // Kappa claim for stateless scoring): documents staged once, file-
+    // STREAM read, scored per micro-batch by the IDENTICAL map-only
+    // expression, Complete-mode per-source aggregate. Stream ≡ batch
+    // ≡ DuckDB md5 replay — graded by hash like q204.
+    "q227_stream_quality_scores" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = graft.sinks.FormatStage.ensureParquet(s, s"docs|$d")(docs)
+      val stream = s.readStream.schema(docs.schema).parquet(dir)
+      val scored = graft.operators.QualityClassifier.score(
+        stream, "text", "doc_id", keep = Seq("source"))
+      graft.streaming.EventsStream.runToTable(s,
+        scored.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_grams").as("sum_grams"),
+          sum("score").as("sum_score"),
+          sum("label").as("n_pos")),
+        s"q227_sink_${System.nanoTime()}")
+    }),
+
     // Graph degree profile + h-index (the cheap degeneracy bound that
     // sizes community/k-core work before running it): degrees from
     // ONE aggregate over the memoized co-occurrence edges (shared
@@ -6781,6 +6801,39 @@ object SparkEntry {
         |  FROM g)
         |SELECT doc_id, n_grams, score, (score > 0)::BIGINT AS label
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // identical md5 arithmetic to q225, aggregated per source — the
+    // streaming result must hash-match this batch replay exactly
+    "q227_stream_quality_scores" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '') AS ts
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, greatest(len(ts) - 1, 0)::BIGINT AS n_grams,
+        |    list_transform(range(1, greatest(len(ts), 1)),
+        |      i -> ts[i] || ' ' || ts[i + 1]) AS grams
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id, source, n_grams,
+        |    CAST(coalesce(list_sum(list_transform(grams, gr ->
+        |      list_reduce(list_prepend(0::BIGINT,
+        |        list_transform(generate_series(1, 4),
+        |          j -> (strpos('0123456789abcdef', substr(md5('w:' ||
+        |            (list_reduce(list_prepend(0::BIGINT,
+        |              list_transform(generate_series(1, 4),
+        |                k -> (strpos('0123456789abcdef',
+        |                  substr(md5(gr), CAST(k AS INT), 1)) - 1)::BIGINT)),
+        |              (a, v) -> a * 16 + v) % 4096)::VARCHAR),
+        |            CAST(j AS INT), 1)) - 1)::BIGINT)),
+        |        (a, v) -> a * 16 + v) % 17 - 8)), 0) AS BIGINT) AS score
+        |  FROM g)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  CAST(sum(n_grams) AS BIGINT) AS sum_grams,
+        |  CAST(sum(score) AS BIGINT) AS sum_score,
+        |  CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |FROM s GROUP BY source ORDER BY source""".stripMargin,
 
     "q218_degree_stats" ->
       """WITH gm AS (

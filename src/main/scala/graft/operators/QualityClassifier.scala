@@ -66,7 +66,8 @@ object QualityClassifier {
     * for production scoring where cross-engine replay isn't needed.
     */
   def score(docs: DataFrame, textCol: String, idCol: String,
-            dim: Int = 4096, replayable: Boolean = true): DataFrame = {
+            dim: Int = 4096, replayable: Boolean = true,
+            keep: Seq[String] = Nil): DataFrame = {
     require(dim > 0 && dim <= 65536, s"dim must be in (0, 65536]: $dim")
     def bucketOf(g: Column): Column =
       if (replayable) bucket(g, dim) else pmod(xxhash64(g), lit(dim))
@@ -82,11 +83,12 @@ object QualityClassifier {
       .withColumn("grams", expr(
         "transform(slice(ts, 1, greatest(size(ts) - 1, 0)), " +
           "(t, i) -> concat(t, ' ', ts[i + 1]))"))
-      .select(
+      .select(Seq(
         col(idCol).as("doc_id"),
         greatest(size(col("ts")) - 1, lit(0)).cast("long").as("n_grams"),
         aggregate(col("grams"), lit(0L),
-          (acc, g) => acc + weightOf(bucketOf(g))).as("score"))
+          (acc, g) => acc + weightOf(bucketOf(g))).as("score")) ++
+        keep.map(col): _*)
       .withColumn("label", (col("score") > 0).cast("long"))
   }
 }
