@@ -240,8 +240,16 @@ object GraftFunctions {
       litInt(children(1), "inDims"), litInt(children(2), "outDims"))
   }
 
+  val md5iInfo = new ExpressionInfo(
+    classOf[Md5PrefixLong].getName, "graft_md5i")
+  val md5iBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2, "graft_md5i takes (str, nibbles)")
+    Md5PrefixLong(children.head, litInt(children(1), "nibbles"))
+  }
+
   private val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(("graft_cosine", cosineInfo, cosineBuilder),
+      ("graft_md5i", md5iInfo, md5iBuilder),
       ("graft_random_project", randomProjectInfo, randomProjectBuilder),
       ("graft_deflate_ratio", deflateRatioInfo, deflateRatioBuilder),
       ("graft_nfc", nfcInfo, nfcBuilder),

@@ -35,11 +35,12 @@ import org.apache.spark.sql.functions._
 object QualityClassifier {
 
   /** First `hexChars` hex digits of md5(`c`) as a non-negative long
-    * (4 hex chars → [0, 65535]). `conv` parses hex; the cast is
-    * exact at ≤ 15 hex chars.
+    * (4 hex chars → [0, 65535]) — the native `graft_md5i` expression,
+    * bit-identical to `cast(conv(substr(md5(c),1,n),16,10) as bigint)`
+    * (the form the oracle replays) without the hex-string round-trip.
     */
   private def md5Int(c: Column, hexChars: Int): Column =
-    conv(substring(md5(c), 1, hexChars), 16, 10).cast("long")
+    call_function("graft_md5i", c, lit(hexChars))
 
   /** Feature-hash bucket in [0, dim) for one gram. */
   private def bucket(gram: Column, dim: Int): Column =
@@ -69,6 +70,7 @@ object QualityClassifier {
             dim: Int = 4096, replayable: Boolean = true,
             keep: Seq[String] = Nil): DataFrame = {
     require(dim > 0 && dim <= 65536, s"dim must be in (0, 65536]: $dim")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     def bucketOf(g: Column): Column =
       if (replayable) bucket(g, dim) else pmod(xxhash64(g), lit(dim))
     def weightOf(b: Column): Column =

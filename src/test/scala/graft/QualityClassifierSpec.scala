@@ -77,6 +77,19 @@ class QualityClassifierSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("graft_md5i ≡ conv(substr(md5(x),1,n),16,10) for n in 1..15") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val strs = ("" +: "w:0" +: (1 to 200).map(i => s"tok$i gram$i")).toDF("s")
+    for (n <- Seq(1, 4, 8, 12, 15)) {
+      val bad = strs.select(
+          call_function("graft_md5i", col("s"), lit(n)).as("native"),
+          expr(s"cast(conv(substr(md5(s), 1, $n), 16, 10) as bigint)")
+            .as("idiom"))
+        .filter(col("native") =!= col("idiom")).count()
+      assert(bad === 0L, s"nibbles=$n")
+    }
+  }
+
   test("fast (xxhash64) variant: same shape, deterministic, bounded") {
     val a = QualityClassifier.score(docs, "text", "doc_id",
       replayable = false).collect().sortBy(_.getLong(0))
