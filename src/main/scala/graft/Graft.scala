@@ -231,4 +231,24 @@ object Graft {
     org.apache.spark.sql.functions.call_function("graft_edit_within",
       a, b, org.apache.spark.sql.functions.lit(k))
   }
+
+  /** Hashed-bigram linear quality scores (doc_id, n_grams, score,
+    * label [+ keep cols]): map-only fastText-shape inference.
+    * `replayable = false` swaps md5 → xxhash64 (≈10× cheaper) when
+    * cross-engine replay isn't needed. Works unchanged on streaming
+    * DataFrames (stateless).
+    */
+  def qualityScores(docs: DataFrame, textCol: String, idCol: String,
+                    dim: Int = 4096, replayable: Boolean = true,
+                    keep: Seq[String] = Nil): DataFrame =
+    operators.QualityClassifier.score(docs, textCol, idCol, dim,
+      replayable, keep)
+
+  /** k maximally diverse rows by greedy k-center over an embedding
+    * column: (sel_order, vec_id, radius) in selection order —
+    * coreset/anchor selection; O(N·k) map-only scans, never a sort.
+    */
+  def selectDiverse(emb: DataFrame, vecCol: String, idCol: String,
+                    k: Int): DataFrame =
+    operators.Coreset.kCenters(emb, vecCol, idCol, k)
 }

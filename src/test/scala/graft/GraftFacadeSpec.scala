@@ -72,4 +72,19 @@ class GraftFacadeSpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSeq
     assert(d === Seq(3, 0, -1)) // lev(abcd,wxyz)=4 > 3
   }
+
+  test("qualityScores/selectDiverse wired") {
+    val docs = Seq((1L, "alpha beta gamma", "s0"), (2L, "", "s1"))
+      .toDF("doc_id", "text", "source")
+    val qs = Graft.qualityScores(docs, "text", "doc_id",
+        keep = Seq("source")).orderBy("doc_id").collect()
+    assert(qs.map(_.getLong(1)).toSeq === Seq(2L, 0L)) // n_grams
+    assert(qs.map(_.getAs[String]("source")).toSeq === Seq("s0", "s1"))
+
+    val emb = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (3L, Array(1f, 0.01f))).toDF("vec_id", "embedding")
+    val sel = Graft.selectDiverse(emb, "embedding", "vec_id", 2)
+      .orderBy("sel_order").collect().map(_.getLong(1)).toSeq
+    assert(sel === Seq(1L, 2L)) // seed = min id; farthest = orthogonal
+  }
 }
