@@ -305,6 +305,7 @@ object SparkEntry {
     // Document fingerprint (rolling hash) + quality score + subword
     // count — deterministic per doc; rows-only (not SQL-expressible).
     "q26_fingerprint" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
       Tables.documents(s, d).select(
         col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fingerprint"),

@@ -113,10 +113,14 @@ object TextFunctions {
   /** Per-token 48-bit hash: the first 12 hex digits of md5, as a long.
     * md5 is the one digest every engine renders identically, so
     * downstream fingerprints stay verifiable against external oracles
-    * (xxhash64 exists only inside Spark).
+    * (xxhash64 exists only inside Spark). Native `graft_md5i` form —
+    * bit-identical to `conv(substr(md5(t),1,12),16,10)` (the idiom
+    * oracles replay) without the hex round-trip, which matters most
+    * inside [[fingerprint]]'s interpreted `aggregate` lambda. Callers
+    * must have `GraftFunctions.ensureRegistered` on the session.
     */
   def tokenHash48(t: Column): Column =
-    conv(substring(md5(t), 1, 12), 16, 10).cast("long")
+    call_function("graft_md5i", t, lit(12))
 
   /** Fingerprint modulus: 2^55. Keeps `acc*31 + hash48 < 2^63` at every
     * fold step, so the arithmetic is overflow-free — engines that CHECK

@@ -21,6 +21,16 @@ import org.apache.spark.sql.functions._
   */
 object WeightedSample {
 
+  /** 48-bit md5 prefix as a long — the native `graft_md5i` form of
+    * `conv(substr(md5(x),1,12),16,10)` (bit-identical; oracles keep
+    * replaying the spelled-out idiom). Callers that build DataFrames
+    * register the function; `aesKey` consumers go through
+    * [[topKPerGroup]], which does.
+    */
+  private def md5u48(c: org.apache.spark.sql.Column)
+  : org.apache.spark.sql.Column =
+    call_function("graft_md5i", c, lit(12))
+
   /** The A-ES sort key. Exposed for oracles/tests: engines that render
     * md5 identically compute the identical key.
     */
@@ -28,8 +38,8 @@ object WeightedSample {
              weight: org.apache.spark.sql.Column,
              salt: String): org.apache.spark.sql.Column = {
     // u in (0,1]: (h+1) / 2^48 over the first 12 md5 hex digits
-    val h = conv(substring(md5(concat_ws("|", lit(salt),
-      id.cast("string"))), 1, 12), 16, 10).cast("double")
+    val h = md5u48(concat_ws("|", lit(salt),
+      id.cast("string"))).cast("double")
     val u = (h + 1.0) / 281474976710656.0
     -log(u) / weight
   }
@@ -43,10 +53,11 @@ object WeightedSample {
   def splitAssign(df: DataFrame, idCol: String,
                   trainPct: Int = 90, valPct: Int = 5,
                   salt: String = "epoch0"): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
       s"bad split $trainPct/$valPct")
-    val h = conv(substring(md5(concat_ws("|", lit(salt),
-      col(idCol).cast("string"))), 1, 12), 16, 10).cast("bigint")
+    val h = md5u48(concat_ws("|", lit(salt),
+      col(idCol).cast("string")))
     val bucket = h % 100
     df.withColumn("split",
       when(bucket < trainPct, "train")
@@ -64,10 +75,11 @@ object WeightedSample {
   def mixSources(df: DataFrame, idCol: String, sourceCol: String,
                  rates: Map[String, Double], defaultRate: Double = 1.0,
                  salt: String = "epoch0"): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     require((rates.values.toSeq :+ defaultRate).forall(r => r >= 0 && r <= 1),
       "keep-rates must be in [0,1]")
-    val h = conv(substring(md5(concat_ws("|", lit(salt),
-      col(idCol).cast("string"))), 1, 12), 16, 10).cast("double")
+    val h = md5u48(concat_ws("|", lit(salt),
+      col(idCol).cast("string"))).cast("double")
     val u = h / 281474976710656.0
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
       when(col(sourceCol) === s, r).otherwise(acc)
@@ -91,6 +103,7 @@ object WeightedSample {
     */
   def temperatureMix(df: DataFrame, idCol: String, groupCol: String,
                      alpha: Double, salt: String = "epoch0"): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     require(alpha > 0 && alpha <= 1, s"alpha=$alpha must be in (0, 1]")
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n_g"))
     val total = counts.agg(sum("__n_g").cast("double").as("__nt"))
@@ -99,8 +112,8 @@ object WeightedSample {
         pow(col("__n_g").cast("double") / col("__nt"), alpha - 1.0))
     val rates = rr.crossJoin(broadcast(rr.agg(max("__rr").as("__mr"))))
       .select(col(groupCol), (col("__rr") / col("__mr")).as("__rate"))
-    val h = conv(substring(md5(concat_ws("|", lit(salt),
-      col(idCol).cast("string"))), 1, 12), 16, 10).cast("double")
+    val h = md5u48(concat_ws("|", lit(salt),
+      col(idCol).cast("string"))).cast("double")
     df.join(broadcast(rates), groupCol)
       .filter(h / 281474976710656.0 < col("__rate"))
       .drop("__rate")
@@ -113,6 +126,7 @@ object WeightedSample {
   def topKPerGroup(df: DataFrame, groupCol: String, idCol: String,
                    weightCol: String, k: Int,
                    salt: String = "epoch0"): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val w = Window.partitionBy(groupCol).orderBy(
       aesKey(col(idCol), col(weightCol), salt).asc, col(idCol).asc)
     df.filter(col(weightCol) > 0)

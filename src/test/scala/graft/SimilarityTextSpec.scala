@@ -474,6 +474,7 @@ class SimilarityTextSpec extends SparkSpec {
   }
 
   test("fingerprint is order-sensitive; shingles correct") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     val fps = Seq("a b c", "c b a").toDF("text")
       .select(TextFunctions.fingerprint($"text")).collect().map(_.getLong(0))
     assert(fps(0) !== fps(1))
