@@ -243,8 +243,10 @@ object GraftFunctions {
   val md5iInfo = new ExpressionInfo(
     classOf[Md5PrefixLong].getName, "graft_md5i")
   val md5iBuilder: Seq[Expression] => Expression = { children =>
-    require(children.length == 2, "graft_md5i takes (str, nibbles)")
-    Md5PrefixLong(children.head, litInt(children(1), "nibbles"))
+    require(children.length == 2 || children.length == 3,
+      "graft_md5i takes (str, nibbles[, offset])")
+    Md5PrefixLong(children.head, litInt(children(1), "nibbles"),
+      if (children.length == 3) litInt(children(2), "offset") else 0)
   }
 
   private val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =

@@ -33,13 +33,21 @@ object Md5Prefix {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  def eval(s: UTF8String, nibbles: Int): Long = {
+  def eval(s: UTF8String, nibbles: Int): Long = eval(s, nibbles, 0)
+
+  /** Hex digits [offset, offset+nibbles) of md5(str) as a long — the
+    * general form backing `conv(substr(md5(x), offset+1, nibbles),
+    * 16, 10)` (e.g. simhash's 64-bit hash = eval(t,8,0)·2³² +
+    * eval(t,8,8)).
+    */
+  def eval(s: UTF8String, nibbles: Int, offset: Int): Long = {
     val d = md.get()
     d.reset()
     val digest = d.digest(s.getBytes)
     var v = 0L
-    var i = 0
-    while (i < nibbles) {
+    var i = offset
+    val end = offset + nibbles
+    while (i < end) {
       val b = digest(i >> 1) & 0xff
       val nib = if ((i & 1) == 0) b >>> 4 else b & 0xf
       v = (v << 4) | nib
@@ -49,10 +57,11 @@ object Md5Prefix {
   }
 }
 
-/** Catalyst expression for [[Md5Prefix.eval]]; `nibbles` is bound at
-  * construction (a literal in SQL).
+/** Catalyst expression for [[Md5Prefix.eval]]; `nibbles` and `offset`
+  * are bound at construction (literals in SQL; arity-2 form means
+  * offset 0).
   */
-case class Md5PrefixLong(child: Expression, nibbles: Int)
+case class Md5PrefixLong(child: Expression, nibbles: Int, offset: Int = 0)
   extends UnaryExpression {
 
   override def dataType: DataType = LongType
@@ -63,14 +72,18 @@ case class Md5PrefixLong(child: Expression, nibbles: Int)
     else if (nibbles < 1 || nibbles > 15)
       TypeCheckResult.TypeCheckFailure(
         s"graft_md5i nibbles must be in [1, 15], got $nibbles")
+    else if (offset < 0 || offset + nibbles > 32)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_md5i offset+nibbles must fit the 32-digit md5, " +
+          s"got offset=$offset nibbles=$nibbles")
     else TypeCheckResult.TypeCheckSuccess
 
   override def nullSafeEval(s: Any): Any =
-    Md5Prefix.eval(s.asInstanceOf[UTF8String], nibbles)
+    Md5Prefix.eval(s.asInstanceOf[UTF8String], nibbles, offset)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.Md5Prefix.eval($c, $nibbles)")
+      c => s"graft.functions.Md5Prefix.eval($c, $nibbles, $offset)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

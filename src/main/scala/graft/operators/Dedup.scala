@@ -231,11 +231,12 @@ object Dedup {
     * shifts is the hot-path shape: per-(token,bit) substr/conv string
     * work after the ×64 explode measured 3× slower end-to-end.
     */
-  private def md5Long(t: Column): Column = {
-    val m = md5(t)
-    conv(substring(m, 1, 8), 16, 10).cast("long") * lit(4294967296L) +
-      conv(substring(m, 9, 8), 16, 10).cast("long")
-  }
+  private def md5Long(t: Column): Column =
+    // native digest-bytes halves (graft_md5i ≡ the conv/substr idiom,
+    // property-tested); same wrap arithmetic, no hex materialization.
+    // Callers run inside operators that register graft functions.
+    call_function("graft_md5i", t, lit(8)) * lit(4294967296L) +
+      call_function("graft_md5i", t, lit(8), lit(8))
 
   /** 64-bit SimHash per doc: the sign-sum per (doc, bit) is
     * Σ count(doc, token)·±1, so occurrences are FIRST collapsed to
@@ -251,6 +252,7 @@ object Dedup {
     * map-side-combined) for constant-size codegen. Returns (id, sh).
     */
   def simhashes(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val occ = df.select(col(idCol).as("id"),
       explode(split(lower(col(textCol)), "\\s+")).as("t"))
       .filter(col("t") =!= "")

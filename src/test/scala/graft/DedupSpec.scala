@@ -72,6 +72,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash: identical docs hamming 0; near-dups small distance; pairs found") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     val sh = corpus.select($"doc_id",
       Dedup.simhash(TextFunctions.tokens($"text")).as("sh")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

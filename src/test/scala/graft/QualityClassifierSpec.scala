@@ -90,6 +90,19 @@ class QualityClassifierSpec extends SparkSpec {
     }
   }
 
+  test("graft_md5i offset form ≡ conv(substr(md5(x),o+1,n),16,10)") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val strs = (1 to 200).map(i => s"tok$i").toDF("s")
+    for ((n, o) <- Seq((8, 8), (4, 12), (12, 20), (1, 31))) {
+      val bad = strs.select(
+          call_function("graft_md5i", col("s"), lit(n), lit(o)).as("native"),
+          expr(s"cast(conv(substr(md5(s), ${o + 1}, $n), 16, 10) as bigint)")
+            .as("idiom"))
+        .filter(col("native") =!= col("idiom")).count()
+      assert(bad === 0L, s"nibbles=$n offset=$o")
+    }
+  }
+
   test("fast (xxhash64) variant: same shape, deterministic, bounded") {
     val a = QualityClassifier.score(docs, "text", "doc_id",
       replayable = false).collect().sortBy(_.getLong(0))
