@@ -1241,8 +1241,8 @@ object SparkEntry {
     // row_number form this replaces is the oracle.
     "q141_domain_quota" -> ((s, d) => {
       graft.functions.GraftFunctions.ensureRegistered(s)
-      val prio = conv(substring(md5(concat_ws("|", lit("quota0"),
-        col("doc_id").cast("string"))), 1, 12), 16, 10).cast("bigint")
+      val prio = call_function("graft_md5i", concat_ws("|",
+        lit("quota0"), col("doc_id").cast("string")), lit(12))
       Tables.documents(s, d)
         .select(col("source"), col("doc_id"), prio.as("prio"))
         .groupBy("source")
@@ -1261,6 +1261,7 @@ object SparkEntry {
     // permutation — O(n_tok) state — for a gain no training run
     // notices). The whole plan is integer arithmetic → oracle-exact.
     "q142_mask_plan" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
       val docs = Tables.documents(s, d).select(col("doc_id"),
         graft.functions.TextFunctions.tokenCount(col("text"))
           .cast("long").as("n_tok"))
@@ -1270,9 +1271,9 @@ object SparkEntry {
           floor(col("n_tok").cast("double") * 0.15 / 3.0).cast("long")))
         .select(col("doc_id"), col("n_tok"),
           explode(sequence(lit(0L), col("n_spans") - 1)).as("span_idx"))
-        .withColumn("h", conv(substring(md5(concat_ws("|", lit("mask0"),
-          col("doc_id").cast("string"), col("span_idx").cast("string"))),
-          1, 12), 16, 10).cast("bigint"))
+        .withColumn("h", call_function("graft_md5i",
+          concat_ws("|", lit("mask0"), col("doc_id").cast("string"),
+            col("span_idx").cast("string")), lit(12)))
       spans
         .withColumn("len", lit(2L) + col("h") % 3)
         .withColumn("start",
@@ -1289,14 +1290,14 @@ object SparkEntry {
     // 100 TB this is ONE scan feeding 8 weighted partial aggregates
     // (the generator multiplies rows 8×, all map-side-combined).
     "q143_bootstrap" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
       val rows = Tables.lineitem(s, d)
         .select(round(col("l_extendedprice") * 100).cast("long")
           .as("cents"), col("l_orderkey"), col("l_linenumber"))
         .withColumn("b", explode(sequence(lit(0L), lit(7L))))
-      val h = conv(substring(md5(concat_ws("|", lit("boot0"),
+      val h = call_function("graft_md5i", concat_ws("|", lit("boot0"),
         col("b").cast("string"), col("l_orderkey").cast("string"),
-        col("l_linenumber").cast("string"))), 1, 12), 16, 10)
-        .cast("bigint")
+        col("l_linenumber").cast("string")), lit(12))
       rows.withColumn("w",
           when(h < 103548857136060L, 0L)
             .when(h < 207097714272121L, 1L)
@@ -1859,8 +1860,8 @@ object SparkEntry {
     "q154_shard_manifest" -> ((s, d) => {
       val docs = graft.operators.WeightedSample.splitAssign(
         Tables.documents(s, d), "doc_id")
-      val h48 = conv(substring(md5(concat_ws("|", lit("content0"),
-        col("text"))), 1, 12), 16, 10).cast("bigint")
+      val h48 = call_function("graft_md5i",
+        concat_ws("|", lit("content0"), col("text")), lit(12))
       docs.withColumn("shard", col("doc_id") % 8)
         .withColumn("h", h48)
         .groupBy("split", "shard")
@@ -1905,9 +1906,10 @@ object SparkEntry {
     // the scan projection; at 100 TB this never moves text across
     // the wire (ids + 8-byte hashes only).
     "q156_snapshot_diff" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
       def h48(c: org.apache.spark.sql.Column) =
-        conv(substring(md5(concat_ws("|",
-          lit("content0"), c)), 1, 12), 16, 10).cast("bigint")
+        call_function("graft_md5i",
+          concat_ws("|", lit("content0"), c), lit(12))
       val cur = Tables.documents(s, d)
         .filter(col("doc_id") % 17 =!= 0)
         .select(col("doc_id"), h48(col("text")).as("h_cur"),
@@ -1941,6 +1943,7 @@ object SparkEntry {
     // ȳ − θ·(x̄_arm − x̄_all). Two tiny aggregates over |users| rows
     // after one events scan.
     "q157_cuped" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
       val ev = Tables.events(s, d)
         .select(col("user_id"), col("ts"),
           round(col("value") * 100).cast("long").as("cents"))
@@ -1953,9 +1956,9 @@ object SparkEntry {
         .agg(sum(col("cents") * col("pre")).as("x"),
           sum(col("cents") * (lit(1L) - col("pre"))).as("y"))
         .withColumn("arm",
-          when(pmod(conv(substring(md5(concat_ws("|", lit("arm0"),
-            col("user_id").cast("string"))), 1, 12), 16, 10)
-            .cast("bigint"), lit(2)) === 0, "control")
+          when(pmod(call_function("graft_md5i", concat_ws("|",
+            lit("arm0"), col("user_id").cast("string")), lit(12)),
+            lit(2)) === 0, "control")
             .otherwise("treatment"))
       val stats = users.agg(count(lit(1)).as("n"), sum("x").as("sx"),
         sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
@@ -2938,6 +2941,7 @@ object SparkEntry {
     // distinct window minima per doc (hash identity); exact integer
     // hashes so the per-doc counts and checksum replay bit-identically.
     "q195_winnowing" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
       import org.apache.spark.sql.expressions.Window
       val toks = Tables.documents(s, d)
         .select(col("doc_id"),
@@ -2949,8 +2953,8 @@ object SparkEntry {
           "transform(sequence(1, size(ts) - 2), " +
             "i -> concat_ws(' ', slice(ts, i, 3)))")).as(Seq("p0", "g")))
         .select(col("doc_id"), (col("p0") + 1).as("p"),
-          conv(substring(md5(concat_ws("|", lit("win0"), col("g"))),
-            1, 12), 16, 10).cast("long").as("h"))
+          call_function("graft_md5i",
+            concat_ws("|", lit("win0"), col("g")), lit(12)).as("h"))
       val wWin = Window.partitionBy("doc_id").orderBy("p")
         .rowsBetween(Window.currentRow, 3)
       val wDoc = Window.partitionBy("doc_id")
