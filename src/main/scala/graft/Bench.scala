@@ -35,15 +35,37 @@ object Bench {
     // already absorbed JIT/codegen, so the min discards transient
     // machine-contention spikes (the graded round-3 run showed 6-26x
     // inflation on several queries that reproduced at 1x when idle).
+    // Per-query watchdog (same rationale as Verify's): a hung query
+    // must not lose the WHOLE bench artifact — on timeout its job
+    // group is cancelled, the elapsed budget is recorded as the time,
+    // and the sweep continues.
+    val budgetMs = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_MS",
+      "300000").toLong
+    val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() }
-        catch { case _: Throwable => -1L }
+        val task = pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            spark.sparkContext.setJobGroup(name, name,
+              interruptOnCancel = true)
+            try { SparkEntry.queries(name)(spark, sfDir).count(); () }
+            catch { case _: Throwable => () }
+            finally spark.sparkContext.clearJobGroup()
+          }
+        })
+        try task.get(budgetMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            spark.sparkContext.cancelJobGroup(name)
+            task.cancel(true)
+          case _: Throwable => ()
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> math.min(once(), once())
     }
+    pool.shutdownNow()
     // Output contract, hardened for the driver's bounded TAIL capture
     // (rounds 1-3 all lost the artifact to FRONT-truncation of one big
     // line): the long per-query map gets its own line FIRST, and the
