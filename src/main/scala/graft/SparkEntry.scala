@@ -231,6 +231,44 @@ object SparkEntry {
       graft.models.StarModels.factWeatherHourly(staged)
     }),
 
+    // The q18 pipeline GRADED EXACTLY: the synthetic fixture is closed
+    // form in (city, hour) — humidity is integer arithmetic, the md5
+    // surrogate keys and timestamps are string-deterministic, and the
+    // only float (temperature = base + 8·sin(...)) enters solely
+    // through a SIGN test (min |sin| over the fixture grid is ~1.3e-3,
+    // 12 orders above cross-libm ulp noise), so DuckDB can replay the
+    // whole flatten → clean → gate → star-join → aggregate chain from
+    // generate_series with exact integer expectations. Runs the SAME
+    // stages as q18 (including the quality gate and the dbt-parity
+    // schema tests, which must all pass for rows to come back at all)
+    // and star-joins fact to BOTH dims before aggregating.
+    "q228_pipeline_oracle" -> ((s, _) => {
+      val raw = graft.WeatherDemo.syntheticRaw(s, cities = 5, hours = 48)
+      val staged = graft.operators.Cleaning.clean(
+        graft.operators.Flatten.flattenResponses(raw, "demo-batch"))
+      val report = graft.operators.Quality.checkWeather(staged, "demo-batch")
+      require(report.passed, s"quality gate failed: $report")
+      val fact = graft.models.StarModels.factWeatherHourly(staged)
+      val dimLoc = graft.models.StarModels.dimLocation(staged)
+      val dimDt = graft.models.StarModels.dimDate(staged)
+      val failures = graft.models.StarModels.runSchemaTests(dimLoc, dimDt, fact)
+      require(failures.isEmpty, s"schema tests failed: $failures")
+      val cityIdx = substring(col("city"), 6, 5).cast("int")
+      fact
+        .join(broadcast(dimLoc), "location_id")
+        .join(broadcast(dimDt), "date_id")
+        .groupBy(col("city"), col("location_id"), col("date_id"),
+          col("iso_day_of_week"))
+        .agg(count(lit(1)).as("n_hours"),
+          countDistinct(col("ts_utc")).as("n_ts"),
+          sum(col("relative_humidity_pct")).as("sum_humidity"),
+          min(col("relative_humidity_pct")).as("min_humidity"),
+          max(col("relative_humidity_pct")).as("max_humidity"),
+          sum(hour(col("ts_utc"))).as("sum_hour"),
+          sum(when(col("temperature_c") > lit(15) + cityIdx, 1)
+            .otherwise(0)).as("n_above_base"))
+    }),
+
     // ------------------- training-data extension operators -------------
 
     // Text analysis: token counting (whitespace + subword estimate).
@@ -429,7 +467,11 @@ object SparkEntry {
     // keyed merge — two AvailableNow passes where the second sees ONLY
     // the newly-landed files (file-source checkpoint) yet the upsert
     // converges to the same warehouse state a full rebuild would give.
-    // Side-effecting streaming pipeline → rows-only check.
+    // GRADED EXACTLY (round 8): the end state is closed-form in
+    // (city, hour) — the q228 trick — so the oracle replays "latest
+    // row per (city, ts)" from generate_series with integer-exact
+    // aggregates (temperature pinned by its sign vs the city base;
+    // min |sin| on the grid ≫ cross-libm noise, see q228's comment).
     "q66_incremental_staging" -> ((s, d) => {
       val work = graft.core.ScratchDirs.fresh("q66_inc").toString
       val rawDir = s"$work/raw"
@@ -443,9 +485,14 @@ object SparkEntry {
       WeatherDemo.syntheticRaw(s, cities = 4, hours = 12)
         .write.mode("append").parquet(rawDir)
       graft.streaming.IncrementalStaging.runOnce(s, rawDir, wh, ckpt)
+      val cityIdx = substring(col("city"), 6, 5).cast("int")
       s.read.parquet(wh).groupBy("city")
         .agg(count(lit(1)).as("n_rows"),
-          round(avg("temperature_c"), 4).as("avg_temp"))
+          countDistinct(col("ts_utc")).as("n_ts"),
+          sum(col("relative_humidity_pct")).as("sum_humidity"),
+          sum(hour(col("ts_utc"))).as("sum_hour"),
+          sum(when(col("temperature_c") > lit(15) + cityIdx, 1)
+            .otherwise(0)).as("n_above_base"))
     }),
 
     // Sequence packing: concatenate-then-chunk docs into 2048-token
@@ -3909,17 +3956,24 @@ object SparkEntry {
 
     // Incremental near-dup maintenance: docs with doc_id % 10 == 0
     // arrive as the new batch; the rest are the already-indexed corpus.
-    // The batch's band hashes probe the corpus's persisted band index,
-    // so per-ingest work scales with the batch — never corpus². Cross-
-    // set pairs, exact-Jaccard verified; same signature params as q23,
-    // so the exact cross-set trigram-Jaccard SQL is the ground truth.
+    // The corpus index (band hashes + gram postings) is BUILT ONCE and
+    // persisted (NearDupIndex over VersionedTable, content-addressed);
+    // the batch's band hashes probe the STORED index and verification
+    // joins STORED postings, so per-ingest work scales with the batch —
+    // never corpus² and never a corpus-side MinHash recompute (the
+    // round-7 verdict's scale finding). Cross-set pairs, exact-Jaccard
+    // verified; same signature params as q23, so the exact cross-set
+    // trigram-Jaccard SQL is the ground truth.
     "q97_incremental_neardup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      Dedup.incrementalNearDups(
-        docs.filter(col("doc_id") % 10 =!= 0),
-        docs.filter(col("doc_id") % 10 === 0),
-        "text", "doc_id", shingleSize = 3, numHashes = 64, bands = 16,
-        threshold = 0.5)
+      val root = graft.operators.NearDupIndex.ensureBuilt(s,
+        docs.filter(col("doc_id") % 10 =!= 0), "text", "doc_id",
+        cacheKey = s"q97|$d")
+      graft.operators.NearDupIndex.probe(s, root,
+          docs.filter(col("doc_id") % 10 === 0), "text", "doc_id",
+          threshold = 0.5)
+        .select(col("id_a").as("corpus_id"), col("id_b").as("batch_id"),
+          col("jaccard"))
     }),
 
     // Single-pass observability: the corpus length gate runs ONCE and
@@ -6839,6 +6893,51 @@ object SparkEntry {
         |  CAST(sum(score) AS BIGINT) AS sum_score,
         |  CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
         |FROM s GROUP BY source ORDER BY source""".stripMargin,
+
+    // The q18/q228 weather fixture replayed from generate_series:
+    // 5 cities × 48 hours, humidity = 40 + (13c+7h) mod 55, md5
+    // surrogate keys over the same '|'-joined natural key (lat/lon
+    // render as '40.0'-style one-decimal strings in both engines),
+    // temperature entering ONLY via sign-vs-base (safe: min |sin| on
+    // the grid ≈ 1.3e-3; libm disagreement is ~1e-16).
+    "q228_pipeline_oracle" ->
+      """WITH w AS (
+        |  SELECT c, h,
+        |    'city_' || c AS city,
+        |    md5('city_' || c || '|' || (40 + c) || '.0|' ||
+        |      (2 + c) || '.0') AS location_id,
+        |    TIMESTAMP '2026-08-01 00:00:00' + h * INTERVAL 1 HOUR AS ts,
+        |    40 + (c * 13 + h * 7) % 55 AS humidity,
+        |    CASE WHEN sin((c + 1) * h / 7.0) > 0 THEN 1 ELSE 0 END AS above
+        |  FROM generate_series(0, 4) t1(c), generate_series(0, 47) t2(h))
+        |SELECT city, location_id, CAST(ts AS DATE) AS date_id,
+        |  CAST(isodow(CAST(ts AS DATE)) AS INT) AS iso_day_of_week,
+        |  count(*)::BIGINT AS n_hours,
+        |  count(DISTINCT ts)::BIGINT AS n_ts,
+        |  CAST(sum(humidity) AS BIGINT) AS sum_humidity,
+        |  CAST(min(humidity) AS INT) AS min_humidity,
+        |  CAST(max(humidity) AS INT) AS max_humidity,
+        |  CAST(sum(hour(ts)) AS BIGINT) AS sum_hour,
+        |  CAST(sum(above) AS BIGINT) AS n_above_base
+        |FROM w GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // Incremental staging's converged warehouse: latest row per
+    // (city, ts) over both landings = 4 cities × 12 hours of the same
+    // closed-form fixture (overlapping cities upsert to identical
+    // values, so the end state is landing-order independent).
+    "q66_incremental_staging" ->
+      """WITH w AS (
+        |  SELECT c, h,
+        |    40 + (c * 13 + h * 7) % 55 AS humidity,
+        |    CASE WHEN sin((c + 1) * h / 7.0) > 0 THEN 1 ELSE 0 END AS above
+        |  FROM generate_series(0, 3) t1(c), generate_series(0, 11) t2(h))
+        |SELECT 'city_' || c AS city,
+        |  count(*)::BIGINT AS n_rows,
+        |  count(DISTINCT h)::BIGINT AS n_ts,
+        |  CAST(sum(humidity) AS BIGINT) AS sum_humidity,
+        |  CAST(sum(h) AS BIGINT) AS sum_hour,
+        |  CAST(sum(above) AS BIGINT) AS n_above_base
+        |FROM w GROUP BY 1""".stripMargin,
 
     "q218_degree_stats" ->
       """WITH gm AS (

@@ -25,15 +25,22 @@ object Verify {
     // exists — a hang would silently zero every later query, the
     // round-6 failure shape). Each query runs in its own job group
     // with a generous budget; on timeout the group's Spark jobs are
-    // cancelled and the dump continues.
+    // cancelled and the dump continues. Hardening (round 8): each
+    // callable clears a stale interrupt flag (task.cancel(true) can
+    // race completion and poison the NEXT query on the shared worker),
+    // and a worker that cancelJobGroup/interrupt cannot unstick
+    // (driver-side planning, non-interruptible IO) is ABANDONED — the
+    // executor is replaced so later queries run instead of queueing
+    // forever behind the dead one and "timing out" unexecuted.
     val budgetMs = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_MS",
       "300000").toLong
-    val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    var pool = java.util.concurrent.Executors.newSingleThreadExecutor()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       val task = pool.submit(new java.util.concurrent.Callable[Unit] {
         override def call(): Unit = {
+          Thread.interrupted() // drop a stale cancel-race interrupt
           spark.sparkContext.setJobGroup(name, name,
             interruptOnCancel = true)
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -45,7 +52,13 @@ object Verify {
       catch {
         case _: java.util.concurrent.TimeoutException =>
           spark.sparkContext.cancelJobGroup(name)
-          task.cancel(true)
+          if (!task.isDone) task.cancel(true)
+          try task.get(15000, java.util.concurrent.TimeUnit.MILLISECONDS)
+          catch { case _: Throwable => () }
+          if (!task.isDone) {
+            pool.shutdownNow()
+            pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+          }
           System.err.println(s"[verify] $name failed: timeout ${budgetMs}ms")
         case e: Throwable =>
           val cause = Option(e.getCause).getOrElse(e)

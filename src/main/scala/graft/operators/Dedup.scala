@@ -150,16 +150,16 @@ object Dedup {
         threshold)
     }
 
-  /** Incremental near-dup: pairs between an arriving BATCH and an
-    * already-indexed CORPUS — the maintenance shape for a growing
-    * training corpus. At 100 TB a pipeline does not re-run all-pairs
-    * dedup on every ingest: it keeps the banded LSH index
-    * (id, band, band-hash — `bands` small rows per doc), computes
-    * signatures for the BATCH docs only, and equi-joins the index, so
-    * per-ingest work is O(|batch|) signatures plus a candidate join
-    * whose volume scales with the batch's collision count — never with
-    * corpus². Verification re-joins shingles for the touched ids only
-    * (the candidate set carries ids, not payloads).
+  /** Incremental near-dup, AD-HOC form: pairs between an arriving
+    * BATCH and a corpus, both given as DataFrames — BOTH sides'
+    * signatures are computed in this call. Use when the corpus is
+    * already in memory for other reasons or for one-shot jobs; the
+    * PRODUCTION maintenance path is [[NearDupIndex]], which persists
+    * the corpus's band index + gram postings (epoch-partitioned
+    * VersionedTable) so each ingest computes batch signatures only and
+    * probes/verifies against STORED data — per-ingest work scales with
+    * the batch, never corpus². Verification re-joins shingles for the
+    * touched ids only (the candidate set carries ids, not payloads).
     *
     * Returns (corpus_id, batch_id, jaccard) with jaccard ≥ threshold.
     * Cross-set pairs only: run `minhashNearDups(batch)` separately for
@@ -201,8 +201,9 @@ object Dedup {
     * J = common/(n_a + n_b - common) where common = count of shared
     * distinct grams — a join + hash-aggregate, no array intersection.
     */
-  private def verifyJaccard(candidates: DataFrame, grams: DataFrame,
-                            threshold: Double): DataFrame = {
+  private[operators] def verifyJaccard(candidates: DataFrame,
+                                       grams: DataFrame,
+                                       threshold: Double): DataFrame = {
     val a = grams.select(col("id").as("id_a"), col("g"), col("n_sh").as("n_a"))
     val b = grams.select(col("id").as("id_b"), col("g"), col("n_sh").as("n_b"))
     candidates
@@ -231,12 +232,19 @@ object Dedup {
     * shifts is the hot-path shape: per-(token,bit) substr/conv string
     * work after the ×64 explode measured 3× slower end-to-end.
     */
-  private def md5Long(t: Column): Column =
+  private def md5Long(t: Column): Column = {
     // native digest-bytes halves (graft_md5i ≡ the conv/substr idiom,
     // property-tested); same wrap arithmetic, no hex materialization.
-    // Callers run inside operators that register graft functions.
+    // Self-registering against the ACTIVE session so the public
+    // column-form callers ([[simhash]]) work on a fresh session without
+    // a manual GraftFunctions.ensureRegistered (the DataFrame-taking
+    // operators also register explicitly against THEIR input's session,
+    // which wins when the two differ).
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.GraftFunctions.ensureRegistered)
     call_function("graft_md5i", t, lit(8)) * lit(4294967296L) +
       call_function("graft_md5i", t, lit(8), lit(8))
+  }
 
   /** 64-bit SimHash per doc: the sign-sum per (doc, bit) is
     * Σ count(doc, token)·±1, so occurrences are FIRST collapsed to
@@ -275,7 +283,8 @@ object Dedup {
   }
 
   /** Column form kept for spot use/tests (interpreted HOF — fine for
-    * small data, use `simhashes` for bulk work).
+    * small data, use `simhashes` for bulk work). Self-registers
+    * `graft_md5i` against the active session (see [[md5Long]]).
     */
   def simhash(tokens: Column): Column = {
     val bitSums = transform(sequence(lit(0), lit(63)),

