@@ -29,15 +29,62 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *
   * This is deliberately the smallest useful subset of a transactional
   * table format: linear version history, atomic manifest flip,
-  * snapshot-isolated reads, no concurrent WRITERS (last manifest wins
-  * — a production deployment upgrades to Delta/Iceberg, whose
-  * log-append protocol adds writer coordination, time travel, and
-  * file-level stats; the reference sidesteps all of this by upserting
-  * into Postgres, transformation/clean_data.py:222-243).
+  * snapshot-isolated reads, and (round 8) OPTIMISTIC WRITER
+  * CONCURRENCY: data is written to a uniquely-named staging directory
+  * in parallel, and the version assignment + manifest flip happen
+  * under a short commit lock with a compare-and-set on the base
+  * version — a writer whose merge was computed against a superseded
+  * snapshot gets [[ConcurrentCommitException]] and [[upsert]]/
+  * [[upsertPartitioned]] re-read and re-merge, so interleaved writers
+  * can never silently drop each other's rows (lost-update
+  * impossibility is proven by VersionedTableSpec's interleaved-writer
+  * tests). A production deployment still upgrades to Delta/Iceberg for
+  * file-level stats and multi-cluster coordination; the reference
+  * sidesteps all of this by upserting into Postgres,
+  * transformation/clean_data.py:222-243.
   */
 object VersionedTable {
 
   final case class Manifest(version: Long, live: String)
+
+  /** The live version moved past the base a writer merged against —
+    * re-read and retry ([[upsert]] does this automatically).
+    */
+  final class ConcurrentCommitException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Commit-section mutex via atomic create-file; held only for the
+    * staging-dir rename + manifest flip (never during data writes).
+    * A lock older than `staleMs` is presumed crashed and reclaimed —
+    * commit sections are milliseconds, so a minute-old lock is a dead
+    * writer, not a slow one. (On object stores without atomic create,
+    * this slot is where a real table format's conditional-PUT goes.)
+    */
+  private def withCommitLock[T](root: Path, timeoutMs: Long = 60000,
+                                staleMs: Long = 60000)(body: => T): T = {
+    val lock = root.resolve("_commit.lock")
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var acquired = false
+    while (!acquired) {
+      try { Files.createFile(lock); acquired = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          try {
+            val age = System.currentTimeMillis() -
+              Files.getLastModifiedTime(lock).toMillis
+            if (age > staleMs) Files.deleteIfExists(lock)
+          } catch { case _: Throwable => () } // lock vanished: re-race
+          if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"commit lock $lock not acquired within ${timeoutMs}ms")
+          Thread.sleep(20)
+      }
+    }
+    try body finally Files.deleteIfExists(lock)
+  }
+
+  private def stagingDir(root: Path): Path =
+    root.resolve(s"_staging-${java.util.UUID.randomUUID}")
 
   private def manifestPath(root: Path): Path = root.resolve("_manifest.json")
 
@@ -121,78 +168,118 @@ object VersionedTable {
     spark.read.option("mergeSchema", "true").parquet(dir.toString)
   }
 
-  /** Run `writeTo(newVersionDir)` then atomically flip the manifest to
-    * it. Returns the committed version. On `writeTo` failure nothing
-    * is committed and the half-written version dir is removed — the
-    * live version is untouched.
+  /** Run `writeTo(stagingDir)` (in parallel with other writers — the
+    * staging name is unique), then under the commit lock assign the
+    * next version, rename staging into place, and atomically flip the
+    * manifest. Returns the committed version. On `writeTo` failure
+    * nothing is committed and staging is removed — the live version is
+    * untouched.
+    *
+    * `expectedBase` is the optimistic-concurrency token: pass the
+    * version the written data was DERIVED FROM (0 for "table did not
+    * exist") and the commit throws [[ConcurrentCommitException]] —
+    * after cleaning up staging — if another writer committed in
+    * between, instead of silently overwriting their rows. Omit it for
+    * blind/full-replace commits, which are serialized by the lock but
+    * never rejected.
     *
     * Retention: after the flip, only the newest `keepVersions`
     * version dirs survive (default: live + immediate predecessor, so
     * readers that resolved the previous manifest finish their scan;
     * raise it when readers may lag more than one commit).
     */
-  def commit(root: String, keepVersions: Int = 2)
+  def commit(root: String, keepVersions: Int = 2,
+             expectedBase: Option[Long] = None)
             (writeTo: String => Unit): Long = {
     val rootP = Paths.get(root)
     Files.createDirectories(rootP)
-    val prev = readManifest(root)
-    val next = prev.map(_.version + 1).getOrElse(1L)
-    val dirName = f"v$next%08d"
-    val dir = rootP.resolve(dirName)
-    try writeTo(dir.toString)
-    catch { case e: Throwable => deleteRecursively(dir); throw e }
-    val tmp = rootP.resolve(s"_manifest.json.tmp$next")
-    Files.write(tmp,
-      s"""{"version": $next, "live": "$dirName"}"""
-        .getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestPath(rootP), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    // immutable history entry for time travel — written AFTER the flip
-    // so a version is only ever listed once it is fully committed
-    Files.createDirectories(rootP.resolve("_versions"))
-    Files.write(versionManifestPath(rootP, next),
-      s"""{"version": $next, "live": "$dirName"}"""
-        .getBytes(StandardCharsets.UTF_8))
-    // prune: newest `keepVersions` dirs survive
-    val s = Files.list(rootP)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.toSeq
-        .filter(p => Files.isDirectory(p) &&
-          p.getFileName.toString.matches("v\\d{8}"))
-        .sortBy(_.getFileName.toString)
-        .dropRight(math.max(1, keepVersions))
-        .foreach(deleteRecursively)
-    } finally s.close()
-    next
+    val staging = stagingDir(rootP)
+    try writeTo(staging.toString)
+    catch { case e: Throwable => deleteRecursively(staging); throw e }
+    withCommitLock(rootP) {
+      val prev = readManifest(root)
+      val live = prev.map(_.version).getOrElse(0L)
+      expectedBase.filter(_ != live).foreach { base =>
+        deleteRecursively(staging)
+        throw new ConcurrentCommitException(
+          s"$root moved to v$live while this writer merged against " +
+            s"v$base — re-read and retry")
+      }
+      val next = live + 1
+      val dirName = versionDirName(next)
+      Files.move(staging, rootP.resolve(dirName),
+        StandardCopyOption.ATOMIC_MOVE)
+      val tmp = rootP.resolve(s"_manifest.json.tmp$next")
+      Files.write(tmp,
+        s"""{"version": $next, "live": "$dirName"}"""
+          .getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, manifestPath(rootP), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      // immutable history entry for time travel — written AFTER the
+      // flip so a version is only ever listed once fully committed
+      Files.createDirectories(rootP.resolve("_versions"))
+      Files.write(versionManifestPath(rootP, next),
+        s"""{"version": $next, "live": "$dirName"}"""
+          .getBytes(StandardCharsets.UTF_8))
+      // prune: newest `keepVersions` dirs survive
+      val s = Files.list(rootP)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toSeq
+          .filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.matches("v\\d{8}"))
+          .sortBy(_.getFileName.toString)
+          .dropRight(math.max(1, keepVersions))
+          .foreach(deleteRecursively)
+      } finally s.close()
+      next
+    }
   }
 
   /** Keyed upsert against the live snapshot, committed as a new
     * version — the manifest-indirected form of [[MergeWriter.merge]]
     * (unpartitioned): same anti-join ∪ updates merge, same schema
     * policy, but a concurrent reader can never observe a missing or
-    * half-swapped directory.
+    * half-swapped directory, and a CONCURRENT WRITER can never be
+    * silently overwritten: the merge is pinned to the base snapshot it
+    * read, the commit CAS-checks that base, and a lost race re-reads
+    * the new live snapshot and re-merges (bounded retries — updates
+    * are a plan, so re-executing them against the fresh base is safe
+    * for deterministic inputs, the same contract MERGE INTO gives).
     */
   def upsert(spark: SparkSession, root: String, updates: DataFrame,
              keys: Seq[String],
              schemaMode: MergeWriter.SchemaMode =
                MergeWriter.SchemaMode.Strict,
-             keepVersions: Int = 2): Long =
-    commit(root, keepVersions) { dir =>
-      readManifest(root) match {
-        case None =>
-          updates.write.mode(SaveMode.Overwrite).parquet(dir)
-        case Some(m) =>
-          val existing = spark.read.option("mergeSchema", "true")
-            .parquet(Paths.get(root).resolve(m.live).toString)
-          val (existingAligned, updatesAligned) =
-            MergeWriter.alignSchemas(existing, updates, keys, schemaMode)
-          val kept = existingAligned.join(
-            updates.select(keys.map(updates(_)): _*), keys, "left_anti")
-          kept.unionByName(updatesAligned)
-            .write.mode(SaveMode.Overwrite).parquet(dir)
+             keepVersions: Int = 2, maxRetries: Int = 10): Long = {
+    var attempt = 0
+    while (true) {
+      val base = readManifest(root)
+      try {
+        return commit(root, keepVersions,
+          expectedBase = Some(base.map(_.version).getOrElse(0L))) { dir =>
+          base match {
+            case None =>
+              updates.write.mode(SaveMode.Overwrite).parquet(dir)
+            case Some(m) =>
+              val existing = spark.read.option("mergeSchema", "true")
+                .parquet(Paths.get(root).resolve(m.live).toString)
+              val (existingAligned, updatesAligned) =
+                MergeWriter.alignSchemas(existing, updates, keys, schemaMode)
+              val kept = existingAligned.join(
+                updates.select(keys.map(updates(_)): _*), keys, "left_anti")
+              kept.unionByName(updatesAligned)
+                .write.mode(SaveMode.Overwrite).parquet(dir)
+          }
+        }
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
       }
     }
+    -1L // unreachable
+  }
 
   // ------------------------------------------------------------------
   // Partitioned mode: the manifest maps each partition (its Spark
@@ -258,10 +345,18 @@ object VersionedTable {
     * partition discovery (basePath = the version dir), unioned.
     * Partition-column filters prune directories as usual.
     */
-  def readLivePartitioned(spark: SparkSession, root: String): DataFrame = {
-    val m = readPartitionedManifest(root).getOrElse(
-      throw new IllegalStateException(
-        s"no partitioned _manifest.json under $root"))
+  def readLivePartitioned(spark: SparkSession, root: String): DataFrame =
+    readPartitionedSnapshot(spark, root,
+      readPartitionedManifest(root).getOrElse(
+        throw new IllegalStateException(
+          s"no partitioned _manifest.json under $root")))
+
+  /** The snapshot a SPECIFIC manifest describes — lets a writer pin
+    * its merge to the base version it CAS-commits against even if the
+    * live manifest moves mid-merge.
+    */
+  private def readPartitionedSnapshot(spark: SparkSession, root: String,
+                                      m: PartitionedManifest): DataFrame = {
     val rootP = Paths.get(root)
     val byDir = m.partitions.groupBy(_._2).toSeq.sortBy(_._1)
     byDir.map { case (dir, parts) =>
@@ -284,59 +379,85 @@ object VersionedTable {
                         updates: DataFrame, keys: Seq[String],
                         partitionColumns: Seq[String],
                         schemaMode: MergeWriter.SchemaMode =
-                          MergeWriter.SchemaMode.Strict): Long = {
+                          MergeWriter.SchemaMode.Strict,
+                        maxRetries: Int = 10): Long = {
     require(partitionColumns.nonEmpty,
       "partitionColumns empty — use upsert() for unpartitioned tables")
     val rootP = Paths.get(root)
     Files.createDirectories(rootP)
-    val prev = readPartitionedManifest(root)
-    val next = prev.map(_.version + 1).getOrElse(1L)
-    val dirName = f"v$next%08d"
-    val dir = rootP.resolve(dirName)
-    val merged = prev match {
-      case None => updates
-      case Some(m) =>
-        import org.apache.spark.sql.functions.{col, lit}
-        val touched = updates
-          .select(partitionColumns.map(updates(_)): _*).distinct().collect()
-        if (touched.isEmpty) return m.version
-        val touchedPred = touched
-          .map(r => partitionColumns.zipWithIndex
-            .map { case (c, i) => col(c) <=> lit(r.get(i)) }
-            .reduce(_ && _))
-          .reduce(_ || _)
-        val existing = readLivePartitioned(spark, root).filter(touchedPred)
-        val (existingAligned, updatesAligned) =
-          MergeWriter.alignSchemas(existing, updates, keys, schemaMode)
-        existingAligned.join(
-            updates.select(keys.map(updates(_)): _*), keys, "left_anti")
-          .unionByName(updatesAligned)
+    var attempt = 0
+    while (true) {
+      // pin the merge to the base snapshot; CAS-check it at commit
+      val prev = readPartitionedManifest(root)
+      val merged = prev match {
+        case None => updates
+        case Some(m) =>
+          import org.apache.spark.sql.functions.{col, lit}
+          val touched = updates
+            .select(partitionColumns.map(updates(_)): _*).distinct().collect()
+          if (touched.isEmpty) return m.version
+          val touchedPred = touched
+            .map(r => partitionColumns.zipWithIndex
+              .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+              .reduce(_ && _))
+            .reduce(_ || _)
+          val existing = readPartitionedSnapshot(spark, root, m)
+            .filter(touchedPred)
+          val (existingAligned, updatesAligned) =
+            MergeWriter.alignSchemas(existing, updates, keys, schemaMode)
+          existingAligned.join(
+              updates.select(keys.map(updates(_)): _*), keys, "left_anti")
+            .unionByName(updatesAligned)
+      }
+      val staging = stagingDir(rootP)
+      try merged.write.mode(SaveMode.Overwrite)
+        .partitionBy(partitionColumns: _*).parquet(staging.toString)
+      catch { case e: Throwable => deleteRecursively(staging); throw e }
+      try {
+        return withCommitLock(rootP) {
+          val cur = readPartitionedManifest(root)
+          if (cur.map(_.version) != prev.map(_.version)) {
+            deleteRecursively(staging)
+            throw new ConcurrentCommitException(
+              s"$root moved to v${cur.map(_.version).getOrElse(0L)} " +
+                s"while this writer merged against " +
+                s"v${prev.map(_.version).getOrElse(0L)} — retrying")
+          }
+          val next = prev.map(_.version + 1).getOrElse(1L)
+          val dirName = versionDirName(next)
+          Files.move(staging, rootP.resolve(dirName),
+            StandardCopyOption.ATOMIC_MOVE)
+          // the partitions actually written are the touched set, keyed
+          // by their Spark-escaped relative paths
+          val written = partitionLeafDirs(rootP.resolve(dirName),
+            partitionColumns.size).map(_.toString)
+          val newParts = prev.map(_.partitions).getOrElse(Map.empty) ++
+            written.map(_ -> dirName)
+          writePartitionedManifest(rootP,
+            PartitionedManifest(next, partitionColumns, newParts))
+          // retention: keep dirs referenced by the new manifest or the
+          // previous one (readers of the prior snapshot finish their
+          // scan)
+          val referenced = newParts.values.toSet ++
+            prev.map(_.partitions.values.toSet).getOrElse(Set.empty)
+          val s = Files.list(rootP)
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala.toSeq
+              .filter(p => Files.isDirectory(p) &&
+                p.getFileName.toString.matches("v\\d{8}") &&
+                !referenced(p.getFileName.toString))
+              .foreach(deleteRecursively)
+          } finally s.close()
+          next
+        }
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
     }
-    try merged.write.mode(SaveMode.Overwrite)
-      .partitionBy(partitionColumns: _*).parquet(dir.toString)
-    catch { case e: Throwable => deleteRecursively(dir); throw e }
-    // the partitions actually written are the touched set, keyed by
-    // their Spark-escaped relative paths
-    val written = partitionLeafDirs(dir, partitionColumns.size)
-      .map(_.toString)
-    val newParts = prev.map(_.partitions).getOrElse(Map.empty) ++
-      written.map(_ -> dirName)
-    writePartitionedManifest(rootP,
-      PartitionedManifest(next, partitionColumns, newParts))
-    // retention: keep dirs referenced by the new manifest or the
-    // previous one (readers of the prior snapshot finish their scan)
-    val referenced = newParts.values.toSet ++
-      prev.map(_.partitions.values.toSet).getOrElse(Set.empty)
-    val s = Files.list(rootP)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.toSeq
-        .filter(p => Files.isDirectory(p) &&
-          p.getFileName.toString.matches("v\\d{8}") &&
-          !referenced(p.getFileName.toString))
-        .foreach(deleteRecursively)
-    } finally s.close()
-    next
+    -1L // unreachable
   }
 
   /** Relative `col=value[/...]` leaf dirs under a version dir. */
