@@ -244,14 +244,19 @@ object SparkEntry {
     // and star-joins fact to BOTH dims before aggregating.
     "q228_pipeline_oracle" -> ((s, _) => {
       val raw = graft.WeatherDemo.syntheticRaw(s, cities = 5, hours = 48)
+      // the staged table feeds the gate (2 aggregates), both dims, the
+      // fact, and 13 schema-test branches — materialize it ONCE instead
+      // of re-running the flatten/clean window chain in every branch
       val staged = graft.operators.Cleaning.clean(
         graft.operators.Flatten.flattenResponses(raw, "demo-batch"))
+        .localCheckpoint(true)
       val report = graft.operators.Quality.checkWeather(staged, "demo-batch")
       require(report.passed, s"quality gate failed: $report")
       val fact = graft.models.StarModels.factWeatherHourly(staged)
       val dimLoc = graft.models.StarModels.dimLocation(staged)
       val dimDt = graft.models.StarModels.dimDate(staged)
-      val failures = graft.models.StarModels.runSchemaTests(dimLoc, dimDt, fact)
+      val failures =
+        graft.models.StarModels.runSchemaTestsFused(dimLoc, dimDt, fact)
       require(failures.isEmpty, s"schema tests failed: $failures")
       val cityIdx = substring(col("city"), 6, 5).cast("int")
       fact

@@ -77,6 +77,51 @@ object StarModels {
         Seq(childKey), "left_anti")
       .count()
 
+  /** The same 13 schema.yml tests fused into ONE Spark job: each test
+    * becomes a 1-row (test_name, violations) aggregate and the union
+    * is collected once — vs [[runSchemaTests]]'s 13 separate actions,
+    * whose per-job scheduling floor dominates on small dims (measured
+    * ~2s of pure overhead in the q228 capstone). Identical results;
+    * use this form from pipelines, the per-test form for debugging one
+    * failing test in isolation.
+    */
+  def runSchemaTestsFused(dimLoc: DataFrame, dimDt: DataFrame,
+                          fact: DataFrame): Seq[(String, Long)] = {
+    def nn(df: DataFrame, c: String, name: String): DataFrame =
+      df.filter(col(c).isNull)
+        .agg(count(lit(1)).as("violations"))
+        .select(lit(name).as("test_name"), col("violations"))
+    def uq(df: DataFrame, c: String, name: String): DataFrame =
+      df.groupBy(c).agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
+        .agg(count(lit(1)).as("violations"))
+        .select(lit(name).as("test_name"), col("violations"))
+    def rel(child: DataFrame, ck: String, parent: DataFrame, pk: String,
+            name: String): DataFrame =
+      child.filter(col(ck).isNotNull)
+        .join(broadcast(parent.select(col(pk).as(ck))), Seq(ck), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit(name).as("test_name"), col("violations"))
+    val checks = Seq(
+      nn(dimLoc, "location_id", "dim_location.location_id.not_null"),
+      uq(dimLoc, "location_id", "dim_location.location_id.unique"),
+      nn(dimLoc, "city", "dim_location.city.not_null"),
+      nn(dimLoc, "latitude", "dim_location.latitude.not_null"),
+      nn(dimLoc, "longitude", "dim_location.longitude.not_null"),
+      nn(dimDt, "date_id", "dim_date.date_id.not_null"),
+      uq(dimDt, "date_id", "dim_date.date_id.unique"),
+      nn(fact, "location_id", "fact.location_id.not_null"),
+      nn(fact, "date_id", "fact.date_id.not_null"),
+      nn(fact, "ts_utc", "fact.ts_utc.not_null"),
+      nn(fact, "temperature_c", "fact.temperature_c.not_null"),
+      rel(fact, "location_id", dimLoc, "location_id",
+        "fact.location_id.relationships"),
+      rel(fact, "date_id", dimDt, "date_id", "fact.date_id.relationships"))
+    checks.reduce(_ unionByName _)
+      .filter(col("violations") > 0)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+  }
+
   /** All schema.yml tests for the three models; returns failures as
     * (testName, violationCount) pairs — empty means green.
     */

@@ -36,6 +36,14 @@ object IncrementalStaging {
     // same deliberate sizing note as EventsStream.runToTable
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
+    // no stateful operators in this pipeline (the merge is foreachBatch
+    // side-effect, not watermarked state), so the trailing NO-DATA
+    // micro-batch — whose only purpose is watermark finalization — is
+    // pure per-run fixed cost: skip it (same knob runToTable scopes for
+    // Complete-mode aggregates; restored in the finally)
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNoData = spark.conf.getOption(noDataKey)
+    spark.conf.set(noDataKey, "false")
     try {
       val q = raw.writeStream
         .trigger(Trigger.AvailableNow())
@@ -51,6 +59,12 @@ object IncrementalStaging {
         }
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      prevNoData match {
+        case Some(v) => spark.conf.set(noDataKey, v)
+        case None    => spark.conf.unset(noDataKey)
+      }
+    }
   }
 }

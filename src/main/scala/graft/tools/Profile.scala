@@ -275,6 +275,18 @@ object Profile {
       println(sel.map(r => s"${r.getLong(1)}@%.4f".format(r.getDouble(2)))
         .mkString(", "))
     }
+    // The k-scaling claim (SURVEY §8.2): sequential is k driver rounds
+    // → wall grows ~linearly in k; the batched tournament is ONE
+    // distributed pass + driver math → near-flat in k until the
+    // (P·k)·k driver greedy shows up. Same corpus, same metric.
+    t("k-center sequential k=32") {
+      graft.operators.Coreset.kCenters(vp, "v", "id", k = 32).count()
+    }
+    for (k <- Seq(32, 128, 512)) {
+      t(s"k-center batched k=$k (32 partitions)") {
+        graft.operators.Coreset.kCentersBatched(vp, "v", "id", k = k).count()
+      }
+    }
     spark.stop()
   }
 

@@ -87,4 +87,72 @@ class CoresetSpec extends SparkSpec {
     assert(a.length === 5)
     assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
   }
+
+  // ------------------- batched (tournament) variant -------------------
+
+  /** True cover radius of a selection over the full point set. */
+  private def coverRadius(rows: Seq[(Long, Array[Float])],
+                          selected: Seq[Long]): Double = {
+    val byId = rows.toMap
+    rows.map { case (_, v) =>
+      selected.map(s => 1.0 - cosine(v, byId(s))).min }.max
+  }
+
+  test("batched equals sequential exactly at numPartitions = 1") {
+    // with one partition the local greedy nominates exactly the global
+    // selection, and the driver greedy re-derives the same sequence —
+    // ids, order, AND radii
+    val rows = randVecs(60, 8, seed = 7)
+    val df = rows.toDF("vec_id", "embedding")
+    val seq = Coreset.kCenters(df, "embedding", "vec_id", k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val bat = Coreset.kCentersBatched(df, "embedding", "vec_id", k = 6,
+        numPartitions = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(bat.map(t => (t._1, t._2)).toSeq === seq.map(t => (t._1, t._2)).toSeq)
+    bat.zip(seq).foreach { case ((_, _, rb), (_, _, rs)) =>
+      assert(math.abs(rb - rs) < 1e-12) }
+  }
+
+  test("batched covers all planted clusters across partitions") {
+    val rnd = new scala.util.Random(11)
+    val rows = for {
+      c <- 0 until 4; i <- 0 until 10
+    } yield {
+      val v = Array.fill(8)(rnd.nextGaussian().toFloat * 0.01f)
+      v(c * 2) += 1.0f
+      ((c * 10 + i + 1).toLong, v)
+    }
+    val sel = Coreset.kCentersBatched(rows.toDF("vec_id", "embedding"),
+        "embedding", "vec_id", k = 4, numPartitions = 3)
+      .collect().map(_.getLong(1))
+    val clusters = sel.map(id => (id - 1) / 10).toSet
+    assert(clusters.size === 4, s"selected ${sel.toSeq} → $clusters")
+  }
+
+  test("batched cover radius stays within 3x of sequential") {
+    // the constant-factor guarantee of the two-level scheme, checked
+    // empirically on random data (typical gap is far below the bound)
+    val rows = randVecs(200, 8, seed = 13)
+    val df = rows.toDF("vec_id", "embedding")
+    val seqSel = Coreset.kCenters(df, "embedding", "vec_id", k = 8)
+      .collect().map(_.getLong(1)).toSeq
+    val batSel = Coreset.kCentersBatched(df, "embedding", "vec_id", k = 8,
+        numPartitions = 4)
+      .collect().map(_.getLong(1)).toSeq
+    val rs = coverRadius(rows, seqSel)
+    val rb = coverRadius(rows, batSel)
+    assert(rb <= 3.0 * rs + 1e-9, s"batched cover $rb vs sequential $rs")
+  }
+
+  test("batched is deterministic and layout-independent") {
+    val rows = randVecs(80, 6, seed = 17)
+    val df1 = rows.toDF("vec_id", "embedding")
+    val df2 = rows.reverse.toDF("vec_id", "embedding").repartition(7)
+    val a = Coreset.kCentersBatched(df1, "embedding", "vec_id", k = 5,
+      numPartitions = 4).collect().map(_.toString).toSeq
+    val b = Coreset.kCentersBatched(df2, "embedding", "vec_id", k = 5,
+      numPartitions = 4).collect().map(_.toString).toSeq
+    assert(a === b) // hash-of-id partitions ignore the input layout
+  }
 }

@@ -132,6 +132,22 @@ class StarModelsSpec extends SparkSpec {
     assert(dimDt.count() === 1)
     assert(fact.count() === 9)
     assert(StarModels.runSchemaTests(dimLoc, dimDt, fact).isEmpty)
+    assert(StarModels.runSchemaTestsFused(dimLoc, dimDt, fact).isEmpty)
+  }
+
+  test("fused schema tests report the same violations as the per-test form") {
+    val dimLoc = StarModels.dimLocation(warehouse)
+    val dimDt = StarModels.dimDate(warehouse)
+    // orphan location keys + a null ts: two distinct failing tests
+    val bad = StarModels.factWeatherHourly(warehouse)
+      .withColumn("location_id", lit("deadbeef"))
+      .withColumn("ts_utc",
+        when(col("relative_humidity_pct") % 2 === 0, col("ts_utc")))
+    val slow = StarModels.runSchemaTests(dimLoc, dimDt, bad).toMap
+    val fused = StarModels.runSchemaTestsFused(dimLoc, dimDt, bad).toMap
+    assert(fused === slow)
+    assert(fused.contains("fact.location_id.relationships"))
+    assert(fused.contains("fact.ts_utc.not_null"))
   }
 
   test("dim_date ISO parts: 2026-08-01 is a Saturday -> isodow 6") {
