@@ -194,6 +194,27 @@ object Graft {
                                root: String): DataFrame =
     sinks.VersionedTable.readLivePartitioned(spark, root)
 
+  /** Add one epoch of documents to a persisted near-dup index (builds
+    * the index if `root` is empty): per-ingest work scales with the
+    * batch, never the corpus — see [[operators.NearDupIndex]].
+    */
+  def nearDupIndexIngest(spark: org.apache.spark.sql.SparkSession,
+                         root: String, docs: DataFrame, textCol: String,
+                         idCol: String, epoch: String): Unit =
+    operators.NearDupIndex.ingest(spark, root, docs, textCol, idCol, epoch)
+
+  /** Near-dup pairs between a batch and a persisted index's corpus:
+    * (id_a = corpus, id_b = batch, jaccard), exact-verified against
+    * STORED postings. `epochs` scopes the corpus side ("as of ingest
+    * j"); None probes the whole live index.
+    */
+  def nearDupIndexProbe(spark: org.apache.spark.sql.SparkSession,
+                        root: String, batch: DataFrame, textCol: String,
+                        idCol: String, threshold: Double = 0.7,
+                        epochs: Option[Seq[String]] = None): DataFrame =
+    operators.NearDupIndex.probe(spark, root, batch, textCol, idCol,
+      threshold, epochs)
+
   /** Grouped OLS trend from one sufficient-stats aggregate. */
   def trendFit(df: DataFrame, groupCols: Seq[String],
                x: org.apache.spark.sql.Column,

@@ -3981,6 +3981,35 @@ object SparkEntry {
           col("jaccard"))
     }),
 
+    // The maintenance LOOP graded exactly: two successive ingests into
+    // the persisted index (batch1 = doc_id%10==5 as epoch e1, batch2 =
+    // %10==0 as e2), each probed against the index AS OF its ingest
+    // via epoch scoping — so the grow→probe→append cycle replays
+    // deterministically (ingests are idempotent epoch upserts) and the
+    // oracle is plain cross-set trigram Jaccard with per-ingest corpus
+    // predicates. This grades what q97 alone cannot: that pairs for a
+    // LATER batch include members appended by an EARLIER one.
+    "q229_incremental_ingest" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val nd = graft.operators.NearDupIndex
+      val root = nd.ensureBuilt(s,
+        docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5),
+        "text", "doc_id", cacheKey = s"q229|$d")
+      val batch1 = docs.filter(col("doc_id") % 10 === 5)
+      val batch2 = docs.filter(col("doc_id") % 10 === 0)
+      nd.ingest(s, root, batch1, "text", "doc_id", "e1")
+      nd.ingest(s, root, batch2, "text", "doc_id", "e2")
+      val p1 = nd.probe(s, root, batch1, "text", "doc_id",
+        threshold = 0.5, epochs = Some(Seq("base")))
+        .withColumn("ingest", lit(1))
+      val p2 = nd.probe(s, root, batch2, "text", "doc_id",
+        threshold = 0.5, epochs = Some(Seq("base", "e1")))
+        .withColumn("ingest", lit(2))
+      p1.unionByName(p2)
+        .select(col("ingest"), col("id_a").as("corpus_id"),
+          col("id_b").as("batch_id"), col("jaccard"))
+    }),
+
     // Single-pass observability: the corpus length gate runs ONCE and
     // its quality report (counts / char totals / extremes / null-lang
     // / short-doc counts) is accumulated by Dataset.observe during
@@ -7930,6 +7959,46 @@ object SparkEntry {
         |HAVING count(*)::DOUBLE /
         |  (any_value(a.n_sh) + any_value(b.n_sh) - count(*))::DOUBLE
         |  >= 0.5""".stripMargin,
+
+    // The two-ingest maintenance loop: same trigram-Jaccard ground
+    // truth as q97, with per-ingest corpus predicates — ingest 1
+    // probes the base corpus (doc_id%10 ∉ {0,5}) with batch %10==5;
+    // ingest 2 probes base ∪ e1 (%10 <> 0) with batch %10==0.
+    "q229_incremental_ingest" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |    t -> t <> '') AS ts
+        |  FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |         ELSE list_transform(generate_series(1, len(ts) - 2),
+        |              i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END)) AS g
+        |  FROM tok WHERE len(ts) > 0),
+        |g AS (SELECT doc_id, g, count(*) OVER (PARTITION BY doc_id) AS n_sh FROM g0),
+        |p1 AS (
+        |  SELECT 1 AS ingest, a.doc_id AS corpus_id, b.doc_id AS batch_id,
+        |    round(count(*)::DOUBLE /
+        |      (any_value(a.n_sh) + any_value(b.n_sh) - count(*))::DOUBLE, 4)
+        |      AS jaccard
+        |  FROM g a JOIN g b ON a.g = b.g
+        |    AND (a.doc_id % 10) NOT IN (0, 5) AND (b.doc_id % 10) = 5
+        |  GROUP BY 2, 3
+        |  HAVING count(*)::DOUBLE /
+        |    (any_value(a.n_sh) + any_value(b.n_sh) - count(*))::DOUBLE
+        |    >= 0.5),
+        |p2 AS (
+        |  SELECT 2 AS ingest, a.doc_id AS corpus_id, b.doc_id AS batch_id,
+        |    round(count(*)::DOUBLE /
+        |      (any_value(a.n_sh) + any_value(b.n_sh) - count(*))::DOUBLE, 4)
+        |      AS jaccard
+        |  FROM g a JOIN g b ON a.g = b.g
+        |    AND (a.doc_id % 10) <> 0 AND (b.doc_id % 10) = 0
+        |  GROUP BY 2, 3
+        |  HAVING count(*)::DOUBLE /
+        |    (any_value(a.n_sh) + any_value(b.n_sh) - count(*))::DOUBLE
+        |    >= 0.5)
+        |SELECT * FROM p1 UNION ALL SELECT * FROM p2""".stripMargin,
 
     // The observe() report replayed as plain aggregates — equality
     // proves the in-flight metrics match a dedicated scan.

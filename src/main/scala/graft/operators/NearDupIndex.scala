@@ -122,12 +122,22 @@ object NearDupIndex {
     * the index that also appear in the batch are excluded from the
     * corpus side, so probing after [[ingest]] of the same batch (crash
     * retry, or an [[ingestAndProbe]] re-run) returns the same pairs.
+    *
+    * `epochs` restricts the corpus side to the named epochs (the
+    * partition column — Spark prunes the untouched partition dirs at
+    * planning): "probe against the index AS OF ingest j" replayed
+    * deterministically regardless of what was appended later. None =
+    * the whole live index.
     */
   def probe(spark: SparkSession, root: String, batch: DataFrame,
             textCol: String, idCol: String,
-            threshold: Double = 0.7): DataFrame = {
+            threshold: Double = 0.7,
+            epochs: Option[Seq[String]] = None): DataFrame = {
     require(exists(root), s"no committed index under $root")
     val p = readParams(root)
+    def scoped(df: DataFrame): DataFrame =
+      epochs.map(es => df.filter(col("epoch").isInCollection(es)))
+        .getOrElse(df)
     // batch-sized, used three times (bands, id exclusion, verify):
     // evaluate once — and materialize the batch's signature work too,
     // so the probe plan proper contains NO MinHash computation at all
@@ -139,8 +149,8 @@ object NearDupIndex {
     val batchBands = bandRows(batchGrams, p).localCheckpoint(true)
     val batchIds = batchGrams.select("id").distinct()
 
-    val idxBands = VersionedTable
-      .readLivePartitioned(spark, bandsRoot(root))
+    val idxBands = scoped(VersionedTable
+        .readLivePartitioned(spark, bandsRoot(root)))
       .join(batchIds, Seq("id"), "left_anti")
     val candidates = idxBands.alias("l")
       .join(batchBands.alias("r"), Seq("band", "h"))
@@ -150,8 +160,8 @@ object NearDupIndex {
     // stored postings of the TOUCHED corpus ids only — the candidate
     // id set is batch-collision-bounded, so AQE broadcasts the semi
     // join and the grams scan never feeds a corpus-sized shuffle
-    val corpusGrams = VersionedTable
-      .readLivePartitioned(spark, gramsRoot(root))
+    val corpusGrams = scoped(VersionedTable
+        .readLivePartitioned(spark, gramsRoot(root)))
       .select(col("id"), col("g"), col("n_sh"))
       .join(candidates.select(col("id_a").as("id")).distinct(),
         Seq("id"), "left_semi")

@@ -87,6 +87,10 @@ class EntrySpec extends SparkSpec {
       "q123_bm25", "q133_random_projection", "q134_markov_transitions",
       "q140_drift_report", "q25_ngram_jaccard", "q81_ngram_prefix",
       "q97_incremental_neardup",
+      "q229_incremental_ingest", // same pinned tree as q97 (integer
+                             // common/n_a/n_b quotient, single round);
+                             // strict-verified at sf0.001 + sf0.01 on
+                             // 2026-08-14 via tools/check_oracle.py
       // strict-verified 2026-08-13 (round 6 additions)
       "q193_orc_roundtrip",
       "q205_record_linkage", // integer-cents pin; see oracle comment

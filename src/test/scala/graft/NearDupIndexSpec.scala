@@ -91,6 +91,24 @@ class NearDupIndexSpec extends SparkSpec {
     assert(bands.select("epoch").distinct().count() === 2)
   }
 
+  test("epoch-scoped probe replays the index as of an earlier ingest") {
+    val root = tmpDir("ndidx")
+    NearDupIndex.ingest(spark, root, corpus, "text", "doc_id", "base")
+    NearDupIndex.ingest(spark, root, batch, "text", "doc_id", "e1")
+    val probe2 = Seq(
+      (8L, "the quick brown fox jumps over the lazy dog near the river bend"))
+      .toDF("doc_id", "text")
+    // scoped to base: doc 2 (an e1 member) must NOT appear even though
+    // it is in the live index; unscoped: it must
+    val baseOnly = pairsOf(NearDupIndex.probe(spark, root, probe2,
+      "text", "doc_id", 0.5, epochs = Some(Seq("base"))))
+    val live = pairsOf(NearDupIndex.probe(spark, root, probe2,
+      "text", "doc_id", 0.5))
+    assert(!baseOnly.exists(_._1 == 2L), s"e1 leaked into base scope: $baseOnly")
+    assert(baseOnly.exists(_._1 == 1L)) // base members still pair
+    assert(live.exists(_._1 == 2L), s"live probe missed e1: $live")
+  }
+
   test("params are pinned: mismatched ingest fails loudly") {
     val root = tmpDir("ndidx")
     NearDupIndex.ingest(spark, root, corpus, "text", "doc_id", "base",
