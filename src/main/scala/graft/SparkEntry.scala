@@ -4010,6 +4010,57 @@ object SparkEntry {
           col("id_b").as("batch_id"), col("jaccard"))
     }),
 
+    // CONTINUOUS corpus ingestion with online dedup — the production
+    // shape of the persisted index: a file stream of landing batches,
+    // foreachBatch probes the index as it stood BEFORE the batch
+    // (epoch scoping from a driver-tracked ledger) and then appends
+    // the batch as a new epoch; flagged pairs accumulate in a result
+    // table. Same q66 landing protocol (write → drain → write →
+    // drain, file-source checkpoint), so batch order is deterministic
+    // and the oracle is exactly q229's two-ingest ground truth.
+    "q230_stream_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val nd = graft.operators.NearDupIndex
+      val root = nd.ensureBuilt(s,
+        docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5),
+        "text", "doc_id", cacheKey = s"q230|$d")
+      val work = graft.core.ScratchDirs.fresh("q230_snd").toString
+      val landing = s"$work/landing"
+      val pairsDir = s"$work/pairs"
+      val ckpt = s"$work/ckpt"
+      val schema = docs.select("doc_id", "text").schema
+      val seen = scala.collection.mutable.ListBuffer("base")
+      def drain(): Unit = {
+        val q = s.readStream.schema(schema).parquet(landing)
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (!b.isEmpty) {
+              val epoch = s"e${seen.size}"
+              nd.probe(s, root, b, "text", "doc_id", threshold = 0.5,
+                  epochs = Some(seen.toList))
+                .withColumn("ingest", lit(seen.size))
+                .write.mode("append").parquet(pairsDir)
+              nd.ingest(s, root, b, "text", "doc_id", epoch)
+              seen += epoch
+              ()
+            }
+          }
+          .start()
+        q.awaitTermination()
+      }
+      docs.filter(col("doc_id") % 10 === 5).select("doc_id", "text")
+        .write.mode("append").parquet(landing)
+      drain()
+      docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text")
+        .write.mode("append").parquet(landing)
+      drain()
+      s.read.parquet(pairsDir)
+        .select(col("ingest"), col("id_a").as("corpus_id"),
+          col("id_b").as("batch_id"), col("jaccard"))
+    }),
+
     // Single-pass observability: the corpus length gate runs ONCE and
     // its quality report (counts / char totals / extremes / null-lang
     // / short-doc counts) is accumulated by Dataset.observe during
@@ -7965,6 +8016,44 @@ object SparkEntry {
     // probes the base corpus (doc_id%10 ∉ {0,5}) with batch %10==5;
     // ingest 2 probes base ∪ e1 (%10 <> 0) with batch %10==0.
     "q229_incremental_ingest" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |    t -> t <> '') AS ts
+        |  FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |         ELSE list_transform(generate_series(1, len(ts) - 2),
+        |              i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END)) AS g
+        |  FROM tok WHERE len(ts) > 0),
+        |g AS (SELECT doc_id, g, count(*) OVER (PARTITION BY doc_id) AS n_sh FROM g0),
+        |p1 AS (
+        |  SELECT 1 AS ingest, a.doc_id AS corpus_id, b.doc_id AS batch_id,
+        |    round(count(*)::DOUBLE /
+        |      (any_value(a.n_sh) + any_value(b.n_sh) - count(*))::DOUBLE, 4)
+        |      AS jaccard
+        |  FROM g a JOIN g b ON a.g = b.g
+        |    AND (a.doc_id % 10) NOT IN (0, 5) AND (b.doc_id % 10) = 5
+        |  GROUP BY 2, 3
+        |  HAVING count(*)::DOUBLE /
+        |    (any_value(a.n_sh) + any_value(b.n_sh) - count(*))::DOUBLE
+        |    >= 0.5),
+        |p2 AS (
+        |  SELECT 2 AS ingest, a.doc_id AS corpus_id, b.doc_id AS batch_id,
+        |    round(count(*)::DOUBLE /
+        |      (any_value(a.n_sh) + any_value(b.n_sh) - count(*))::DOUBLE, 4)
+        |      AS jaccard
+        |  FROM g a JOIN g b ON a.g = b.g
+        |    AND (a.doc_id % 10) <> 0 AND (b.doc_id % 10) = 0
+        |  GROUP BY 2, 3
+        |  HAVING count(*)::DOUBLE /
+        |    (any_value(a.n_sh) + any_value(b.n_sh) - count(*))::DOUBLE
+        |    >= 0.5)
+        |SELECT * FROM p1 UNION ALL SELECT * FROM p2""".stripMargin,
+
+    // Streaming ingestion is the SAME two-ingest loop driven through a
+    // checkpointed file stream — identical ground truth to q229.
+    "q230_stream_neardup" ->
       """WITH tok AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
         |    t -> t <> '') AS ts

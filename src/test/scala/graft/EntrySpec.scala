@@ -91,6 +91,10 @@ class EntrySpec extends SparkSpec {
                              // common/n_a/n_b quotient, single round);
                              // strict-verified at sf0.001 + sf0.01 on
                              // 2026-08-14 via tools/check_oracle.py
+      "q230_stream_neardup", // identical tree/ground truth to q229
+                             // (streaming drive of the same loop);
+                             // strict-verified at sf0.001 + sf0.01 on
+                             // 2026-08-14
       // strict-verified 2026-08-13 (round 6 additions)
       "q193_orc_roundtrip",
       "q205_record_linkage", // integer-cents pin; see oracle comment
