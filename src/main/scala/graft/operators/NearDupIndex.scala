@@ -88,6 +88,16 @@ object NearDupIndex {
     * both tables — per-ingest work scales with the batch, never the
     * corpus. Id spaces must be disjoint across epochs (keyed-index
     * contract).
+    *
+    * Redelivery-safe: each committed epoch records a content
+    * fingerprint (count + id/text hash-sum), and an ingest whose batch
+    * matches it is a NO-OP — one cheap aggregate instead of a
+    * signature recompute + table commit. That makes at-least-once
+    * landing pipelines (a redelivered file, a crash-retried job)
+    * idempotent at the cost of a scan of the BATCH, never the index.
+    * The fingerprint is written only after BOTH tables commit, so a
+    * crash between them leaves no fingerprint and the retry redoes
+    * both (epoch upserts are replace-by-key, hence safe to redo).
     */
   def ingest(spark: SparkSession, root: String, docs: DataFrame,
              textCol: String, idCol: String, epoch: String,
@@ -101,6 +111,11 @@ object NearDupIndex {
       Files.createDirectories(Paths.get(root))
       Files.write(pp, params.json.getBytes(StandardCharsets.UTF_8))
     }
+    val fp = fingerprint(docs, textCol, idCol)
+    val fpPath = Paths.get(root, "_epochs", s"$epoch.json")
+    if (Files.exists(fpPath) &&
+      new String(Files.readAllBytes(fpPath), StandardCharsets.UTF_8) == fp &&
+      exists(root)) return
     val grams = Dedup
       .shingleRows(docs, textCol, idCol, params.shingleSize)
       .localCheckpoint(true) // shingles feed both tables — compute once
@@ -112,6 +127,21 @@ object NearDupIndex {
       bandRows(grams, params)
         .select(epochLit, col("id"), col("band"), col("h")),
       keys = Seq("epoch", "id", "band"), partitionColumns = Seq("epoch"))
+    Files.createDirectories(fpPath.getParent)
+    Files.write(fpPath, fp.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** One-aggregate content fingerprint of (id, text): order-free
+    * (hash-SUM), so any plan producing the same rows fingerprints
+    * equal.
+    */
+  private def fingerprint(docs: DataFrame, textCol: String,
+                          idCol: String): String = {
+    val r = docs
+      .agg(count(lit(1)).as("n"),
+        sum(xxhash64(col(idCol).cast("string"), col(textCol))).as("h"))
+      .head()
+    s"""{"n": ${r.getLong(0)}, "h": ${if (r.isNullAt(1)) 0L else r.getLong(1)}}"""
   }
 
   /** Near-dup pairs between a BATCH and the indexed corpus:
@@ -194,13 +224,9 @@ object NearDupIndex {
   def ensureBuilt(spark: SparkSession, corpus: DataFrame, textCol: String,
                   idCol: String, cacheKey: String,
                   params: Params = Params()): String = {
-    val fp = corpus
-      .agg(count(lit(1)).as("n"),
-        sum(xxhash64(col(idCol).cast("string"), col(textCol))).as("h"))
-      .head()
+    val fp = fingerprint(corpus, textCol, idCol)
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$cacheKey|$params|${fp.getLong(0)}|${fp.getLong(1)}"
-        .getBytes(StandardCharsets.UTF_8))
+      .digest(s"$cacheKey|$params|$fp".getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
     val root = Paths.get(sys.props("java.io.tmpdir"),
       "graft-neardup-index", key).toString

@@ -109,6 +109,22 @@ class NearDupIndexSpec extends SparkSpec {
     assert(live.exists(_._1 == 2L), s"live probe missed e1: $live")
   }
 
+  test("redelivered epoch content is a no-op ingest (no new commit)") {
+    val root = tmpDir("ndidx")
+    NearDupIndex.ingest(spark, root, corpus, "text", "doc_id", "base")
+    NearDupIndex.ingest(spark, root, batch, "text", "doc_id", "e1")
+    val v = VersionedTable.readPartitionedManifest(s"$root/bands").get.version
+    // same content again: fingerprint matches → no table commit at all
+    NearDupIndex.ingest(spark, root, batch, "text", "doc_id", "e1")
+    assert(VersionedTable.readPartitionedManifest(s"$root/bands")
+      .get.version === v)
+    // CHANGED content under the same epoch name: must commit
+    val changed = batch.limit(2)
+    NearDupIndex.ingest(spark, root, changed, "text", "doc_id", "e1")
+    assert(VersionedTable.readPartitionedManifest(s"$root/bands")
+      .get.version > v)
+  }
+
   test("params are pinned: mismatched ingest fails loudly") {
     val root = tmpDir("ndidx")
     NearDupIndex.ingest(spark, root, corpus, "text", "doc_id", "base",
