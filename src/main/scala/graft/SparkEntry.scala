@@ -767,9 +767,11 @@ object SparkEntry {
     // common/min(|a|,|b|) ≥ 0.8 over the same inverted-index +
     // arithmetic-verify machinery as q25 — catches whole-quote
     // duplication that Jaccard scores near zero. Exact, so the oracle
-    // replays the full formula.
+    // replays the full formula. Auto-dispatched (round 8): the Σdf²/N
+    // probe picks the plain join on this uniform corpus and the
+    // one-sided prefix filter on a Zipf head — identical results.
     "q112_containment" -> ((s, d) =>
-      Dedup.ngramContainmentPairs(Tables.documents(s, d), "text",
+      Dedup.ngramContainmentAuto(Tables.documents(s, d), "text",
         "doc_id", n = 3, minContainment = 0.8)),
 
     // Collocation mining by PMI over the bigram contingency table:

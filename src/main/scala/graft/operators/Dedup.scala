@@ -373,10 +373,10 @@ object Dedup {
     * the Jaccard form, but NO symmetric length filter is admissible —
     * a tiny doc inside a huge one is exactly the hit we want, so
     * candidates are every gram-sharing pair (Σdf² over grams). On a
-    * Zipfian corpus the PPJoin-style bound still applies one-sided
-    * (only the SMALLER side's (1−t)-prefix needs to enter the index);
-    * kept plain here for the uniform fixture, same trade as
-    * [[ngramJaccardAuto]] documents.
+    * Zipfian corpus use [[ngramContainmentPairsPrefix]] (the one-sided
+    * PPJoin bound: only the SMALLER side's (1−t)-prefix enters the
+    * candidate join) or [[ngramContainmentAuto]], which probes the
+    * corpus shape and dispatches — same trade as [[ngramJaccardAuto]].
     */
   def ngramContainmentPairs(df: DataFrame, textCol: String, idCol: String,
                             n: Int = 3, minContainment: Double = 0.8)
@@ -392,6 +392,74 @@ object Dedup {
       .filter(col("containment") >= minContainment)
       .select(col("id_a"), col("id_b"),
         round(col("containment"), 4).as("containment"))
+  }
+
+  /** One-sided prefix-filtered exact containment — the Zipfian-corpus
+    * scale-out [[ngramContainmentPairs]]'s doc promises, identical
+    * results. For C(a,b) = common/min(|a|,|b|) ≥ t with |a| ≤ |b| the
+    * required overlap is o = ⌈t·|a|⌉, so under the global (df asc, g)
+    * gram order the SMALLER doc must share one of its first
+    * |a| − o + 1 grams with the larger (pigeonhole on its suffix) —
+    * only the smaller side's prefix enters the candidate join, probed
+    * against FULL postings on the other side (no symmetric bound is
+    * admissible: the tiny-doc-inside-huge-doc is the target hit).
+    * Candidate volume drops from Σ_g df(g)² to Σ_g df_pref(g)·df(g);
+    * on the Zipf head df_pref ≈ 0 (hot grams rank last and fall out
+    * of prefixes), which is where the plain join explodes. Arithmetic
+    * verification over full postings, as everywhere in this file.
+    */
+  def ngramContainmentPairsPrefix(df: DataFrame, textCol: String,
+                                  idCol: String, n: Int = 3,
+                                  minContainment: Double = 0.8)
+  : DataFrame =
+    containmentFromPostings(shingleRows(df, textCol, idCol, n),
+      minContainment)
+
+  private[operators] def containmentFromPostings(inv0: DataFrame,
+                                                 minContainment: Double)
+  : DataFrame = {
+    val inv = inv0.localCheckpoint(true)
+    val dfreq = inv.groupBy("g").agg(count(lit(1)).as("df"))
+    val ranked = inv.join(dfreq, "g")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("g"))))
+    val prefix = ranked.filter(
+        col("rk") <= col("n_sh") - ceil(lit(minContainment) * col("n_sh")) + 1)
+      .select("id", "g", "n_sh")
+    // the prefix side is the SMALLER doc (ties to the smaller id so
+    // each unordered pair generates once); normalize to id_a < id_b
+    val cand = prefix.alias("l").join(inv.alias("r"),
+        col("l.g") === col("r.g") &&
+          (col("l.n_sh") < col("r.n_sh") ||
+            (col("l.n_sh") === col("r.n_sh") && col("l.id") < col("r.id"))))
+      .select(least(col("l.id"), col("r.id")).as("id_a"),
+        greatest(col("l.id"), col("r.id")).as("id_b"))
+      .distinct()
+    cand
+      .join(inv.select(col("id").as("id_a"), col("g"),
+        col("n_sh").as("n_a")), Seq("id_a"))
+      .join(inv.select(col("id").as("id_b"), col("g"),
+        col("n_sh").as("n_b")), Seq("id_b", "g"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("common"),
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+      .withColumn("containment", col("common").cast("double") /
+        least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 4).as("containment"))
+  }
+
+  /** Shape-adaptive exact containment: the [[prefixFilterPays]] probe
+    * dispatches between the plain postings join and the one-sided
+    * prefix form. Identical results either way.
+    */
+  def ngramContainmentAuto(df: DataFrame, textCol: String, idCol: String,
+                           n: Int = 3, minContainment: Double = 0.8)
+  : DataFrame = {
+    val inv = shingleRows(df, textCol, idCol, n)
+    if (prefixFilterPays(inv)) containmentFromPostings(inv, minContainment)
+    else ngramContainmentPairs(df, textCol, idCol, n, minContainment)
   }
 
   /** PPJoin-style prefix-filtered exact n-gram Jaccard (Xiao, Wang,

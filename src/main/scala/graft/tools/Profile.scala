@@ -514,6 +514,16 @@ object Profile {
     println(s"plain candidates=$nPlainCand plainPairs=$nPrefix " +
       s"prefixPairs=$nPref equal=${nPrefix == nPref}")
 
+    // containment (one-sided prefix): same corpus, same dispatch story
+    val nContPlain = t("containment plain full run") {
+      Dedup.ngramContainmentPairs(z, "text", "doc", 2, 0.8).count()
+    }
+    val nContPref = t("containment prefix full run") {
+      Dedup.ngramContainmentPairsPrefix(z, "text", "doc", 2, 0.8).count()
+    }
+    println(s"containment plain=$nContPlain prefix=$nContPref " +
+      s"equal=${nContPlain == nContPref}")
+
     // the uniform corpus for contrast: prefix must NOT pay there
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val uinv = Dedup.shingleRows(

@@ -21,6 +21,36 @@ class ContainColloSpec extends SparkSpec {
     assert(jac === 0L, "Jaccard must NOT flag the subset (that's the point)")
   }
 
+  test("containment prefix filter equals the plain form (incl. values)") {
+    // mixed sizes + a shared-head vocabulary so prefixes actually prune:
+    // doc 2 ⊂ doc 1 (whole-quote), doc 4 ≈ doc 1 (same size), doc 3/5
+    // unrelated, doc 6 a tiny doc contained in doc 5
+    val big = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, big),
+      (2L, (10 to 17).map(i => s"w$i").mkString(" ")),
+      (3L, "x y z q r s t u v"),
+      (4L, big + " extra"),
+      (5L, "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11 p12"),
+      (6L, "p4 p5 p6 p7 p8")).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Double]("containment"))).toSet
+    for (t <- Seq(0.6, 0.8, 0.95)) {
+      val plain = canon(Dedup.ngramContainmentPairs(docs, "text",
+        "doc_id", n = 3, minContainment = t))
+      val pref = canon(Dedup.ngramContainmentPairsPrefix(docs, "text",
+        "doc_id", n = 3, minContainment = t))
+      assert(pref === plain, s"divergence at t=$t")
+      assert(plain.nonEmpty, s"fixture found no pairs at t=$t")
+    }
+    // the auto form agrees too (this corpus dispatches to plain)
+    val auto = canon(Dedup.ngramContainmentAuto(docs, "text", "doc_id",
+      n = 3, minContainment = 0.8))
+    assert(auto === canon(Dedup.ngramContainmentPairs(docs, "text",
+      "doc_id", n = 3, minContainment = 0.8)))
+  }
+
   test("collocations: hand-computed PMI on a fixed contingency table") {
     // corpus: "a b" ×6, "a c" ×2, "d b" ×2  (each doc = one bigram)
     val docs = (Seq.fill(6)("a b") ++ Seq.fill(2)("a c") ++
