@@ -4063,6 +4063,125 @@ object SparkEntry {
           col("id_b").as("batch_id"), col("jaccard"))
     }),
 
+    // ExactSubstr dedup (Lee et al. 2022): maximal repeated token
+    // runs at ARBITRARY offsets, keep-earliest — the
+    // suffix-array-granularity complement of q95's fixed-boundary
+    // spans. Every duplicated ≥8-token run is reported at its exact
+    // (doc, start, extent).
+    "q231_substring_dedup" -> ((s, d) =>
+      graft.operators.SpanDedup.exactSubstrIntervals(
+        Tables.documents(s, d), "doc_id", "text", minTokens = 8)),
+
+    // Bloom-sidecar file skipping: the equality-lookup complement of
+    // q116's zone maps — random (md5) layout so min/max stats prune
+    // NOTHING, per-file bloom admits ~true files + a measured
+    // false-positive tail. Probes mix present keys (doc_id % 7) and
+    // absent ones (doc_id + 1e6).
+    "q232_bloom_skip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val present = docs.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id").cast("string").as("probe_key"))
+      val absent = docs.where(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000L).cast("string").as("probe_key"))
+      graft.operators.BloomSkip.sidecarAndProbe(
+        docs.select(col("doc_id").cast("string").as("k")),
+        Seq(md5(col("k"))), files = 8, keyCol = "k",
+        probes = present.union(absent), probeCol = "probe_key")
+    }),
+
+    // t-closeness audit — the distributional third of the privacy
+    // triad (q178 k-anonymity, q211 l-diversity): per quasi-identifier
+    // group, the EMD between its sensitive-attribute distribution
+    // (value quartile-bucket, ORDERED) and the global one; a group
+    // whose distribution diverges more than t leaks the sensitive
+    // value even when k and l pass. Ordered-EMD = mean |cumulative
+    // difference|, kept EXACT in integer arithmetic over the common
+    // denominator n_g·N·(m−1) until the final rounded division, so
+    // the float never decides the gate (meets_t is a pure integer
+    // compare: 5·emd_num ≤ n_g·N·(m−1) ⟺ emd ≤ 0.2). Shape: one
+    // count aggregate over (QI, bucket), densified against the
+    // 4-bucket domain (bounded crossJoin: |QI-domain|×m rows), two
+    // tiny cumsum windows — never a row-level shuffle beyond the
+    // first aggregate.
+    "q233_t_closeness" -> ((s, d) =>
+      graft.operators.Privacy.tCloseness(
+        Tables.events(s, d).select(
+          (col("user_id") % 10).as("cohort"), col("event_type"),
+          least(floor(col("value") / 50), lit(3.0)).cast("long").as("vb")),
+        qi = Seq("cohort", "event_type"), vbCol = "vb", m = 4)),
+
+    // Equality deletes (merge-on-read): soft-delete 1/13th of the
+    // corpus by key (an O(|keys|) commit, zero data rewrite), read
+    // merge-on-read, vacuum (fold + reset), read again — both phases
+    // aggregate identically, proving delete visibility is immediate
+    // and vacuum is a pure layout change.
+    "q234_equality_deletes" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val vt = graft.sinks.VersionedTable
+      val work = graft.core.ScratchDirs.fresh("q234_ed").toString
+      vt.commit(work) { dir =>
+        docs.write.mode("overwrite").parquet(dir)
+      }
+      vt.softDelete(s, work,
+        docs.where(col("doc_id") % 13 === 0).select("doc_id"), Seq("doc_id"))
+      def agg(phase: String) = vt.readLiveWithDeletes(s, work, Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_id"))
+        .withColumn("phase", lit(phase))
+      // eager checkpoint: materialize the merge-on-read result BEFORE
+      // vacuum flips manifests (retention could prune its inputs)
+      val morRows = agg("mor").localCheckpoint(true)
+      vt.vacuumDeletes(s, work, Seq("doc_id"))
+      morRows.unionByName(agg("vacuumed"))
+        .select("phase", "source", "n_docs", "sum_chars", "min_id")
+    }),
+
+    // Interval-OVERLAP join (both sides intervals — log correlation /
+    // blast radius): error windows [ts, ts+30m] × purchase windows
+    // [ts−10m, ts+10m], bucketed equi-join with canonical-bucket
+    // dedup (no distinct, no cartesian). Output-bound by nature
+    // (~half a million overlapping pairs at sf0.1).
+    "q235_interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def side(t: String, pre: Long, post: Long) = ev
+        .where(col("event_type") === t)
+        .select(col("event_id").as("id"),
+          (unix_timestamp(col("ts")) - pre).as("s"),
+          (unix_timestamp(col("ts")) + post).as("e"))
+      graft.operators.IntervalJoin.overlap(
+        side("error", 0L, 1800L), side("purchase", 600L, 600L),
+        "id", "s", "e", widthSec = 1800L)
+    }),
+
+    // Incremental view maintenance: a per-cohort COUNT/SUM matview
+    // bootstrapped once, then maintained through two CDC delta
+    // batches (inserts; disjoint updates + deletes) WITHOUT touching
+    // the base again — IvmSpec proves the apply plan is
+    // view+delta-only. Graded against the full recompute.
+    "q236_ivm_aggregate" -> ((s, d) => {
+      val ivm = graft.operators.Ivm
+      val ev = Tables.events(s, d).select(col("event_id"),
+        (col("user_id") % 10).as("cohort"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val view0 = ivm.initialize(
+        ev.where(col("event_id") % 3 === 0), Seq("cohort"), "cents")
+      val ins = ev.where(col("event_id") % 3 === 1)
+        .select(col("cohort"), lit(1L).as("d_count"),
+          col("cents").as("d_sum"))
+      val view1 = ivm.applyDeltas(view0, ins, Seq("cohort"))
+      val cur = ev.where(col("event_id") % 3 <= 1)
+      val upd = cur // value doubles: d_sum = +cents, d_count = 0
+        .where(col("event_id") % 5 === 0 && col("event_id") % 7 =!= 0)
+        .select(col("cohort"), lit(0L).as("d_count"),
+          col("cents").as("d_sum"))
+      val del = cur.where(col("event_id") % 7 === 0)
+        .select(col("cohort"), lit(-1L).as("d_count"),
+          (-col("cents")).as("d_sum"))
+      ivm.applyDeltas(view1, upd.unionByName(del), Seq("cohort"))
+        .select(col("cohort"), col("n_rows"), col("sum_v").as("sum_cents"))
+    }),
+
     // Single-pass observability: the corpus length gate runs ONCE and
     // its quality report (counts / char totals / extremes / null-lang
     // / short-doc counts) is accumulated by Dataset.observe during
@@ -8090,6 +8209,163 @@ object SparkEntry {
         |    (any_value(a.n_sh) + any_value(b.n_sh) - count(*))::DOUBLE
         |    >= 0.5)
         |SELECT * FROM p1 UNION ALL SELECT * FROM p2""".stripMargin,
+
+    // ExactSubstr replayed literally: the same sliding 8-gram md5
+    // anchors, the same packed (doc*1e6 + i) keep-earliest key, the
+    // same gaps-and-islands merge.
+    "q231_substring_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |    md5(array_to_string(list_slice(toks, i + 1, i + 8), ' ')) AS h
+        |  FROM t, unnest(generate_series(0,
+        |    CAST(len(toks) - 8 AS BIGINT))) AS g(i)
+        |  WHERE len(toks) >= 8),
+        |f AS (SELECT h, min(doc_id * 1000000 + i) AS fk FROM s GROUP BY h),
+        |d AS (SELECT doc_id, i FROM s JOIN f USING (h)
+        |      WHERE doc_id * 1000000 + i > fk),
+        |w AS (SELECT doc_id, i, i - row_number()
+        |        OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM d)
+        |SELECT doc_id, min(i) AS start_tok,
+        |  max(i) - min(i) + 8 AS span_tokens
+        |FROM w GROUP BY doc_id, grp""".stripMargin,
+
+    // The bloom sidecar replayed bit-for-bit: same ntile(md5) file
+    // layout, same 48-bit md5 positions mod 256, same all-k-bits
+    // admission; n_true via soundness (true ⊆ admitted, spec-pinned).
+    "q232_bloom_skip" ->
+      """WITH a AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS k,
+        |    CAST(ntile(8) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)))
+        |      AS BIGINT) AS file_id
+        |  FROM documents),
+        |side AS (
+        |  SELECT DISTINCT file_id,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(generate_series(1, 12),
+        |        x -> (strpos('0123456789abcdef',
+        |          substr(md5('bloom' || j || '|' || k),
+        |            CAST(x AS INT), 1)) - 1)::BIGINT)),
+        |      (acc, v) -> acc * 16 + v) % 256 AS bit
+        |  FROM a, unnest(generate_series(1, 2)) AS u(j)),
+        |probes AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS probe_key
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT CAST(doc_id + 1000000 AS VARCHAR)
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |pp AS (
+        |  SELECT probe_key, j,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(generate_series(1, 12),
+        |        x -> (strpos('0123456789abcdef',
+        |          substr(md5('bloom' || j || '|' || probe_key),
+        |            CAST(x AS INT), 1)) - 1)::BIGINT)),
+        |      (acc, v) -> acc * 16 + v) % 256 AS bit
+        |  FROM probes, unnest(generate_series(1, 2)) AS u(j)),
+        |adm AS (
+        |  SELECT probe_key, file_id FROM pp JOIN side USING (bit)
+        |  GROUP BY probe_key, file_id HAVING count(*) = 2),
+        |scan AS (
+        |  SELECT probe_key, count(*) AS n_scan FROM adm
+        |  GROUP BY probe_key),
+        |tru AS (
+        |  SELECT k AS probe_key, count(DISTINCT file_id) AS n_true
+        |  FROM a GROUP BY k)
+        |SELECT p.probe_key, CAST(8 AS BIGINT) AS n_files,
+        |  CAST(COALESCE(s.n_scan, 0) AS BIGINT) AS n_scan,
+        |  CAST(COALESCE(t.n_true, 0) AS BIGINT) AS n_true,
+        |  CAST(COALESCE(s.n_scan, 0) - COALESCE(t.n_true, 0) AS BIGINT)
+        |    AS n_false_pos
+        |FROM (SELECT DISTINCT probe_key FROM probes) p
+        |LEFT JOIN scan s USING (probe_key)
+        |LEFT JOIN tru t USING (probe_key)""".stripMargin,
+
+    // Ordered-EMD t-closeness replayed in the same exact integer
+    // arithmetic (common denominator n_g·N·(m−1)); the float appears
+    // only in the final rounded division, identically placed.
+    "q233_t_closeness" ->
+      """WITH ev AS (
+        |  SELECT user_id % 10 AS cohort, event_type,
+        |    CAST(least(floor(value / 50), 3) AS BIGINT) AS vb
+        |  FROM events),
+        |counts AS (
+        |  SELECT cohort, event_type, vb, count(*) AS c
+        |  FROM ev GROUP BY 1, 2, 3),
+        |buckets AS (
+        |  SELECT CAST(b AS BIGINT) AS vb
+        |  FROM unnest(generate_series(0, 3)) AS t(b)),
+        |dense AS (
+        |  SELECT g.cohort, g.event_type, b.vb, COALESCE(c.c, 0) AS c
+        |  FROM (SELECT DISTINCT cohort, event_type FROM ev) g
+        |  CROSS JOIN buckets b
+        |  LEFT JOIN counts c ON c.cohort = g.cohort
+        |    AND c.event_type = g.event_type AND c.vb = b.vb),
+        |gcum AS (
+        |  SELECT b.vb, sum(COALESCE(gc.gc, 0))
+        |      OVER (ORDER BY b.vb ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND CURRENT ROW) AS cp
+        |  FROM buckets b LEFT JOIN (
+        |    SELECT vb, count(*) AS gc FROM ev GROUP BY vb) gc
+        |    ON gc.vb = b.vb),
+        |n AS (SELECT count(*) AS n FROM ev),
+        |cum AS (
+        |  SELECT d.cohort, d.event_type, d.vb,
+        |    sum(d.c) OVER (PARTITION BY d.cohort, d.event_type
+        |      ORDER BY d.vb ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND CURRENT ROW) AS cq,
+        |    sum(d.c) OVER (PARTITION BY d.cohort, d.event_type) AS n_g,
+        |    g.cp
+        |  FROM dense d JOIN gcum g ON g.vb = d.vb)
+        |SELECT cohort, event_type, CAST(any_value(n_g) AS BIGINT) AS n_g,
+        |  round(CAST(sum(abs(cq * n.n - cp * n_g)) AS DOUBLE) /
+        |    CAST(any_value(n_g) * n.n * 3 AS DOUBLE), 6) AS emd,
+        |  sum(abs(cq * n.n - cp * n_g)) * 5 <= any_value(n_g) * n.n * 3
+        |    AS meets_t
+        |FROM cum, n GROUP BY cohort, event_type, n.n""".stripMargin,
+
+    // Both phases replay as the same filtered aggregate — equality
+    // proves soft-delete visibility and vacuum neutrality at once.
+    "q234_equality_deletes" ->
+      """WITH base AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |    min(doc_id) AS min_id
+        |  FROM documents WHERE doc_id % 13 <> 0 GROUP BY source)
+        |SELECT 'mor' AS phase, * FROM base
+        |UNION ALL
+        |SELECT 'vacuumed' AS phase, * FROM base""".stripMargin,
+
+    // The inequality join replayed directly (DuckDB handles the theta
+    // join fine at oracle scale); floor(epoch) ≡ unix_timestamp.
+    "q235_interval_join" ->
+      """WITH e AS (
+        |  SELECT event_id AS id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+        |  FROM events WHERE event_type = 'error'),
+        |p AS (
+        |  SELECT event_id AS id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT e.id AS a_id, p.id AS b_id,
+        |  least(e.t + 1800, p.t + 600) - greatest(e.t, p.t - 600)
+        |    AS overlap_s
+        |FROM e JOIN p
+        |  ON e.t <= p.t + 600 AND p.t - 600 <= e.t + 1800""".stripMargin,
+
+    // The maintained view replayed as a full recompute of the final
+    // logical state: base ∪ inserts, minus deletes, updates doubled.
+    "q236_ivm_aggregate" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id % 10 AS cohort,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |fin AS (
+        |  SELECT cohort,
+        |    CASE WHEN event_id % 5 = 0 THEN cents * 2 ELSE cents END AS v
+        |  FROM ev WHERE event_id % 3 <= 1 AND event_id % 7 <> 0)
+        |SELECT cohort, count(*) AS n_rows,
+        |  CAST(sum(v) AS BIGINT) AS sum_cents
+        |FROM fin GROUP BY cohort""".stripMargin,
 
     // The observe() report replayed as plain aggregates — equality
     // proves the in-flight metrics match a dedicated scan.

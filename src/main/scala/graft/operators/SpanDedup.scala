@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact substring-span dedup (the span-granular form of "dedup
@@ -41,5 +42,63 @@ object SpanDedup {
         sum((col("first_id") < col("id")).cast("long")).as("n_dup_spans"))
       .withColumn("dup_frac",
         round(col("n_dup_spans") / col("n_spans"), 4))
+  }
+
+  /** ExactSubstr-style dedup: maximal repeated token spans at
+    * ARBITRARY offsets (the suffix-array-equivalent granularity of
+    * "Deduplicating Training Data Makes Language Models Better", Lee
+    * et al. 2022 — their ExactSubstr removes every ≥50-token substring
+    * that occurs elsewhere in the corpus, keeping one copy). The
+    * fixed-boundary [[dupSpanStats]] misses a copy shifted by one
+    * token; this form slides a `minTokens`-gram anchor over EVERY
+    * offset, so any repeated run of ≥ `minTokens` tokens is caught at
+    * its exact extent.
+    *
+    * Semantics (deterministic keep-first): an offset `(doc, i)` is
+    * duplicated iff the k-gram starting there also occurs at a
+    * strictly earlier `(doc', i')` in `(doc, pos)` order — the
+    * earliest copy survives, later copies (cross-doc AND intra-doc
+    * repeats) are flagged. Consecutive duplicated offsets merge into
+    * maximal islands: an island of anchor offsets `[s..e]` covers the
+    * repeated token run `[s, e + k - 1]`, reported as
+    * `(id, start_tok, span_tokens = e - s + k)`.
+    *
+    * Scale shape (suffix arrays don't distribute; this does): one
+    * explode to per-offset anchor hashes, one group-by for the
+    * first-occurrence table keyed on the digest (shuffle rows carry a
+    * 32-char md5, never span text — md5 because the external oracle
+    * computes it identically; at 100 TB swap in `xxhash64` over the
+    * joined span for 8-byte shuffle keys), one hash join back, then a
+    * per-document gaps-and-islands window — bounded by tokens-per-doc,
+    * never corpus-sized. Total: two shuffles plus the window, all
+    * linear in corpus token count. The `(doc, i)` pair is packed into
+    * one long (`doc * 1e6 + i`; token offsets < 1e6 asserted by the
+    * guard below) so "earliest occurrence" is a single `min` aggregate
+    * with map-side partial combine.
+    */
+  def exactSubstrIntervals(df: DataFrame, idCol: String, textCol: String,
+                           minTokens: Int = 8): DataFrame = {
+    val k = minTokens
+    val toks = split(col(textCol), " ")
+    val offs = df
+      .select(col(idCol).as("id"), toks.as("toks"))
+      .where(size(col("toks")).between(k, 1000000))
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), size(col("toks")) - lit(k)),
+          i => md5(array_join(
+            slice(col("toks"), i + lit(1), lit(k)), " ")))))
+      .select(col("id"), col("pos").cast("long").as("i"),
+        col("col").as("h"))
+    val packed = col("id") * lit(1000000L) + col("i")
+    val first = offs.groupBy("h").agg(min(packed).as("fk"))
+    val dup = offs.join(first, "h").where(packed > col("fk"))
+      .select(col("id"), col("i"))
+    val w = Window.partitionBy("id").orderBy("i")
+    dup
+      .withColumn("grp", col("i") - row_number().over(w))
+      .groupBy(col("id"), col("grp"))
+      .agg(min(col("i")).as("start_tok"),
+        (max(col("i")) - min(col("i")) + lit(k.toLong)).as("span_tokens"))
+      .select(col("id").as(idCol), col("start_tok"), col("span_tokens"))
   }
 }

@@ -282,6 +282,73 @@ object VersionedTable {
   }
 
   // ------------------------------------------------------------------
+  // Equality deletes (merge-on-read row deletes — Iceberg's equality
+  // delete files, the key-scoped cousin of Delta's deletion vectors).
+  // A delete writes ONLY the deleted keys, never the data: the key
+  // list lives in a nested VersionedTable under `root/_deletes`, so
+  // delete commits get the same CAS/atomic-flip protocol as data
+  // commits for free (concurrent deleters merge, never clobber).
+  // Readers subtract the delete set with a (broadcastable — deletes
+  // are key-sized, data is corpus-sized) anti-join; `vacuumDeletes`
+  // folds the set into a rewritten data version and empties it — the
+  // merge-on-read → copy-on-write flip, run when the delete set or
+  // read amplification grows past taste.
+  //
+  // Contract corner (documented, spec-pinned): the delete set masks
+  // keys at READ time, so a key re-upserted AFTER a soft delete stays
+  // hidden until `vacuumDeletes` resets the set. Sequence-numbered
+  // deletes (Iceberg's fix) are the upgrade if reinsert-after-delete
+  // must be visible immediately.
+  // ------------------------------------------------------------------
+
+  private def deletesRoot(root: String): String =
+    Paths.get(root).resolve("_deletes").toString
+
+  /** Soft-delete by key: commit `keys` (projected to `keyCols`,
+    * deduped) into the table's delete set. O(|keys|) write, zero data
+    * rewrite. Returns the delete-set version.
+    */
+  def softDelete(spark: SparkSession, root: String, keys: DataFrame,
+                 keyCols: Seq[String]): Long =
+    upsert(spark, deletesRoot(root),
+      keys.select(keyCols.map(keys(_)): _*).distinct(), keyCols)
+
+  /** Live snapshot minus the delete set (merge-on-read). Identical to
+    * [[readLive]] when no delete has ever committed.
+    */
+  def readLiveWithDeletes(spark: SparkSession, root: String,
+                          keyCols: Seq[String]): DataFrame = {
+    val base = readLive(spark, root)
+    readManifest(deletesRoot(root)) match {
+      case Some(_) =>
+        base.join(readLive(spark, deletesRoot(root)), keyCols, "left_anti")
+      case None => base
+    }
+  }
+
+  /** Fold the delete set into a rewritten data version (copy-on-write
+    * compaction) and reset the set to empty. Readers see the same
+    * rows before and after — only the physical layout changes. The
+    * data rewrite commits FIRST; a reader interleaving between the
+    * two flips sees the rewritten data plus the not-yet-cleared
+    * delete set, whose keys are already absent — the anti-join is
+    * then a no-op, so no anomaly window exists.
+    */
+  def vacuumDeletes(spark: SparkSession, root: String,
+                    keyCols: Seq[String], keepVersions: Int = 2): Long = {
+    val folded = readLiveWithDeletes(spark, root, keyCols)
+    val v = commit(root, keepVersions) { dir =>
+      folded.write.mode(SaveMode.Overwrite).parquet(dir)
+    }
+    val dr = deletesRoot(root)
+    if (readManifest(dr).isDefined) {
+      val empty = readLive(spark, dr).limit(0)
+      commit(dr) { dir => empty.write.mode(SaveMode.Overwrite).parquet(dir) }
+    }
+    v
+  }
+
+  // ------------------------------------------------------------------
   // Partitioned mode: the manifest maps each partition (its Spark
   // `col=value[/...]` relative path) to the version directory holding
   // its live data. A commit writes ONLY the touched partitions into a

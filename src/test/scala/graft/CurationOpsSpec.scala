@@ -94,6 +94,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(got(2L) === ((1L, 0L, 0.0)))
   }
 
+  test("exact-substring dedup: arbitrary-offset copies resolve to " +
+    "maximal islands; intra-doc repeats and whole-doc copies flagged; " +
+    "originals and short docs clean") {
+    val a = (1 to 20).map(i => s"a$i").mkString(" ")
+    val b = "z1 z2 " + (3 to 14).map(i => s"a$i").mkString(" ") +
+      " u1 u2 u3" // 12 tokens of doc 0 at offset 2 — not span-aligned
+    val c = a // whole-doc copy
+    val rep = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val dd = rep + " c1 c2 " + rep // intra-doc repeat at offset 10
+    val df = Seq((0L, a), (1L, b), (2L, c), (3L, dd), (4L, "s1 s2 s3"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.SpanDedup
+      .exactSubstrIntervals(df, "doc_id", "text", minTokens = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start_tok"),
+        r.getAs[Long]("span_tokens"))).toSet
+    assert(got === Set((1L, 2L, 12L), (2L, 0L, 20L), (3L, 10L, 8L)))
+  }
+
   test("stream-stream left outer join emits null-padded unmatched " +
     "purchases once the watermark finalizes them") {
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)

@@ -95,6 +95,16 @@ class EntrySpec extends SparkSpec {
                              // (streaming drive of the same loop);
                              // strict-verified at sf0.001 + sf0.01 on
                              // 2026-08-14
+      "q236_ivm_aggregate",  // integer-cents pin (round(value*100) →
+                             // BIGINT before any arithmetic, the
+                             // q205/q216 idiom); strict-verified at
+                             // sf0.001 + sf0.01 on 2026-08-14
+      "q233_t_closeness",    // exact-integer EMD numerator over the
+                             // common denominator n_g·N·(m−1); the
+                             // single rounded division is the ONLY
+                             // float op and the gate is a pure
+                             // integer compare; strict-verified at
+                             // sf0.001 + sf0.01 on 2026-08-14
       // strict-verified 2026-08-13 (round 6 additions)
       "q193_orc_roundtrip",
       "q205_record_linkage", // integer-cents pin; see oracle comment

@@ -98,6 +98,32 @@ class JoinOpsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("interval-overlap join: matches brute force, each pair exactly " +
+    "once despite multi-bucket spans, touching counts, disjoint " +
+    "excluded") {
+    // widths chosen so some pairs share 3+ buckets (width 10)
+    val a = Seq((1L, 0L, 35L), (2L, 50L, 55L), (3L, 100L, 100L))
+      .toDF("id", "s", "e")
+    val b = Seq((10L, 5L, 90L),   // overlaps 1 (long span, many buckets)
+      (11L, 35L, 40L),            // touches 1 at exactly 35 -> overlap 0
+      (12L, 56L, 60L),            // disjoint from 2 (gap of 1)
+      (13L, 95L, 100L))           // touches 3 at the point 100
+      .toDF("id", "s", "e")
+    val got = graft.operators.IntervalJoin
+      .overlap(a, b, "id", "s", "e", widthSec = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    assert(got === Seq((1L, 10L, 30L), (1L, 11L, 0L), (2L, 10L, 5L),
+      (3L, 13L, 0L)))
+    // exactly-once even when recomputed with a width that puts every
+    // overlapping pair in ONE bucket vs many: same result
+    val wide = graft.operators.IntervalJoin
+      .overlap(a, b, "id", "s", "e", widthSec = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    assert(wide === got, "bucket width must not change the answer")
+  }
+
   test("graft_cosine native expression matches the HOF formulation") {
     GraftFunctions.ensureRegistered(spark)
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

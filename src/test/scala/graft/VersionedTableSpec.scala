@@ -49,6 +49,37 @@ class VersionedTableSpec extends SparkSpec {
     assert(live.filter($"id" === 1L).select("extra").head().isNullAt(0))
   }
 
+  test("equality deletes: immediate merge-on-read visibility, vacuum " +
+    "is a pure layout change, re-upserted keys stay masked until " +
+    "vacuum, deletes of absent keys are no-ops") {
+    val root = tmpRoot()
+    VersionedTable.upsert(spark, root,
+      (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    // delete 3 keys + one absent key: O(|keys|) commit, no rewrite
+    VersionedTable.softDelete(spark, root,
+      Seq(2L, 5L, 9L, 99L).toDF("id"), Seq("id"))
+    def liveIds() = VersionedTable
+      .readLiveWithDeletes(spark, root, Seq("id"))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(liveIds() === Seq(1L, 3L, 4L, 6L, 7L, 8L, 10L))
+    // physical data untouched pre-vacuum (merge-on-read)
+    assert(VersionedTable.readLive(spark, root).count() === 10)
+    // re-upserting a soft-deleted key: masked until vacuum (the
+    // documented equality-delete contract corner)
+    VersionedTable.upsert(spark, root,
+      Seq((5L, "v5b"), (11L, "v11")).toDF("id", "v"), Seq("id"))
+    assert(liveIds() === Seq(1L, 3L, 4L, 6L, 7L, 8L, 10L, 11L))
+    // vacuum folds: same logical rows, physically shrunk, delete set
+    // reset — key 5's reinsert was folded away with the delete
+    VersionedTable.vacuumDeletes(spark, root, Seq("id"))
+    assert(liveIds() === Seq(1L, 3L, 4L, 6L, 7L, 8L, 10L, 11L))
+    assert(VersionedTable.readLive(spark, root).count() === 8)
+    // post-vacuum, the key is insertable again
+    VersionedTable.upsert(spark, root,
+      Seq((5L, "v5c")).toDF("id", "v"), Seq("id"))
+    assert(liveIds().contains(5L))
+  }
+
   test("retention keeps exactly live + predecessor versions") {
     val root = tmpRoot()
     (1 to 4).foreach(i => VersionedTable.upsert(spark, root,

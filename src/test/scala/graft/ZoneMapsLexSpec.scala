@@ -55,6 +55,42 @@ class ZoneMapsLexSpec extends SparkSpec {
     assert(scannedMatches === matches, "pruning must never drop a match")
   }
 
+  test("bloom skip: no false negatives ever; absent keys prune most " +
+    "files; saturated filter admits everything") {
+    val rows = (0L until 400L).map(i => s"k$i").toDF("k")
+    val present = (0L until 400L by 10).map(i => s"k$i").toDF("probe_key")
+    val absent = (0L until 30L).map(i => s"absent$i").toDF("probe_key")
+    val out = graft.operators.BloomSkip.sidecarAndProbe(
+        rows, Seq(md5($"k")), files = 8, keyCol = "k",
+        probes = present.union(absent), probeCol = "probe_key")
+      .collect().map(r => r.getAs[String]("probe_key") ->
+        ((r.getAs[Long]("n_scan"), r.getAs[Long]("n_true"),
+          r.getAs[Long]("n_false_pos")))).toMap
+    assert(out.size === 70)
+    // soundness: every present key's true file is admitted (n_true=1
+    // and n_scan >= 1); distinct keys live in exactly one file here
+    present.collect().map(_.getString(0)).foreach { k =>
+      val (scan, tru, fp) = out(k)
+      assert(tru === 1L, s"$k: its containing file must be admitted")
+      assert(scan >= 1L && fp === scan - tru)
+    }
+    // pruning: absent keys skip MOST of the 8 files (m=256,k=2 at
+    // ~50 keys/file ≈ 13% fill → fp rate well under half per file)
+    val absScans = absent.collect().map(r => out(r.getString(0))._1)
+    assert(absScans.forall(_ <= 8L))
+    assert(absScans.sum < 8L * 30L / 2,
+      s"absent keys should prune more than half the file visits: " +
+        s"${absScans.sum}")
+    // saturation: m=4 bits can't discriminate — everything admits,
+    // nothing is ever missed (soundness survives saturation)
+    val sat = graft.operators.BloomSkip.sidecarAndProbe(
+        rows, Seq(md5($"k")), files = 4, keyCol = "k",
+        probes = present, probeCol = "probe_key", mBits = 4, kHashes = 2)
+      .collect()
+    sat.foreach(r => assert(r.getAs[Long]("n_scan") === 4L &&
+      r.getAs[Long]("n_true") === 1L))
+  }
+
   test("band histogram: bands partition the rows near-equally") {
     val out = SparkEntry.queries("q117_band_histogram")(
         spark, "/root/testdata/sf0.001")
