@@ -772,7 +772,8 @@ object SparkEntry {
     // one-sided prefix filter on a Zipf head — identical results.
     "q112_containment" -> ((s, d) =>
       Dedup.ngramContainmentAuto(Tables.documents(s, d), "text",
-        "doc_id", n = 3, minContainment = 0.8)),
+        "doc_id", n = 3, minContainment = 0.8,
+        cacheKey = Some(s"$d|3|0.8"))),
 
     // Collocation mining by PMI over the bigram contingency table:
     // one token-stream aggregate, marginals as window sums over the

@@ -455,10 +455,13 @@ object Dedup {
     * prefix form. Identical results either way.
     */
   def ngramContainmentAuto(df: DataFrame, textCol: String, idCol: String,
-                           n: Int = 3, minContainment: Double = 0.8)
+                           n: Int = 3, minContainment: Double = 0.8,
+                           cacheKey: Option[String] = None)
   : DataFrame = {
     val inv = shingleRows(df, textCol, idCol, n)
-    if (prefixFilterPays(inv)) containmentFromPostings(inv, minContainment)
+    val pays = cacheKey.map(k => prefixFilterPaysCached(inv, s"contain|$k"))
+      .getOrElse(prefixFilterPays(inv))
+    if (pays) containmentFromPostings(inv, minContainment)
     else ngramContainmentPairs(df, textCol, idCol, n, minContainment)
   }
 
@@ -552,15 +555,36 @@ object Dedup {
     r.getLong(0).toDouble > blowupFactor * r.getLong(1)
   }
 
+  /** Session memo of [[prefixFilterPays]] decisions: the Σdf²/N probe
+    * is one postings aggregate — linear but a full corpus pass — and
+    * the decision is a pure function of the corpus content, so repeat
+    * dispatches on the same immutable input (the steady-state of a
+    * pipeline re-running its dedup stage) pay it once. Same
+    * content-key contract as [[graft.core.SessionMemo]]; entries are
+    * two boxed booleans per (session, corpus), so no eviction hook is
+    * needed.
+    */
+  private val dispatchMemo =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql
+      .SparkSession, String), java.lang.Boolean]()
+
+  private def prefixFilterPaysCached(inv: DataFrame,
+                                     cacheKey: String): Boolean =
+    dispatchMemo.computeIfAbsent((inv.sparkSession, cacheKey),
+      _ => prefixFilterPays(inv))
+
   /** Shape-adaptive exact n-gram Jaccard: probes the gram-frequency
     * skew and dispatches — plain ReuseExchange self-join for
     * uniform/small vocabularies, PPJoin prefix filtering when the
     * head would explode the join. Identical results either way.
     */
   def ngramJaccardAuto(df: DataFrame, textCol: String, idCol: String,
-                       n: Int = 2, minJaccard: Double = 0.5): DataFrame = {
+                       n: Int = 2, minJaccard: Double = 0.5,
+                       cacheKey: Option[String] = None): DataFrame = {
     val inv = shingleRows(df, textCol, idCol, n)
-    if (prefixFilterPays(inv)) ngramJaccardFromPostings(inv, minJaccard)
+    val pays = cacheKey.map(k => prefixFilterPaysCached(inv, s"jacc|$k"))
+      .getOrElse(prefixFilterPays(inv))
+    if (pays) ngramJaccardFromPostings(inv, minJaccard)
     else ngramJaccardPairs(df, textCol, idCol, n, minJaccard)
   }
 

@@ -429,8 +429,12 @@ object VersionedTable {
     byDir.map { case (dir, parts) =>
       val base = rootP.resolve(dir).toString
       val leaves = parts.keys.toSeq.sorted.map(k => s"$base/$k")
-      spark.read.option("basePath", base).option("mergeSchema", "true")
-        .parquet(leaves: _*)
+      // no mergeSchema: every file under one version dir was written
+      // by ONE commit (uniform schema), so footer-merging is pure
+      // planning cost — cross-COMMIT schema drift is reconciled by the
+      // allowMissingColumns union below, which is the only place it
+      // can appear
+      spark.read.option("basePath", base).parquet(leaves: _*)
     }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 

@@ -155,6 +155,32 @@ class PlanSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).length === 1, p)
   }
 
+  test("q235: interval-overlap join is an equi-join on bucket ids — " +
+    "no nested-loop, no cartesian, no distinct") {
+    val p = plan("q235_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // canonical-bucket emission means no dedup operator needed
+    assert(!p.contains("HashAggregate(keys=[a_id"), p)
+  }
+
+  test("q231: ExactSubstr is linear shuffles, no cartesian, no " +
+    "corpus-sized sort") {
+    val p = plan("q231_substring_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the only Sort is the per-doc island window — partition-local
+    // ("false, 0"), never a global sort ("true, 0")
+    assert(!p.contains("], true, 0"), p)
+  }
+
+  test("q232: bloom probe joins on bit ids and aggregates partial+" +
+    "final (never ships data rows to the probe)") {
+    val p = plan("q232_bloom_skip")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q224: dim filter reaches the fact scan as a dynamic partition " +
     "prune (only qualifying date partitions are listed at run time)") {
     val p = plan("q224_dpp_join")
