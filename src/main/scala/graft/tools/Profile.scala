@@ -28,6 +28,8 @@ object Profile {
     if (args.headOption.contains("stress-classify")) { stressClassify(); return }
     if (args.headOption.contains("stress-kcenter")) { stressKCenter(); return }
     if (args.headOption.contains("stress-stream")) { stressStream(); return }
+    if (args.headOption.contains("stress-substr")) { stressSubstr(); return }
+    if (args.headOption.contains("stress-ivjoin")) { stressIntervalJoin(); return }
     val spark = GraftSession.build("profile")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val docs = Tables.documents(spark, d).cache()
@@ -87,6 +89,67 @@ object Profile {
     t("components 100k docs") {
       val c = graft.operators.Components.connectedComponents(pairs)
       println(s"clusters: ${c.select("component").distinct().count()}")
+    }
+    spark.stop()
+  }
+
+  /** ExactSubstr stress: the 20× replicated corpus (100k docs, ~5.5M
+    * sliding anchor offsets at k=8). Replicas share their full prefix
+    * with the original, so virtually every doc carries one maximal
+    * duplicated island — the output is ~1 island/doc, while the anchor
+    * table and the first-occurrence aggregate carry the 5.5M-row load.
+    * Also half-corpus (50k) to check the wall grows ~linearly in
+    * corpus tokens (two shuffles, no quadratic term).
+    */
+  def stressSubstr(): Unit = {
+    val spark = GraftSession.build("profile-substr")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val base = Tables.documents(spark, d).select("doc_id", "text")
+    val n = base.agg(max("doc_id")).head().getLong(0) + 1
+    def corpus(reps: Int): org.apache.spark.sql.DataFrame =
+      (0 until reps).map { r =>
+        base.select((col("doc_id") + lit(r) * n).as("doc_id"),
+          concat(col("text"), lit(s" replica$r")).as("text"))
+      }.reduce(_ unionByName _)
+    Seq(10, 20).foreach { reps =>
+      corpus(reps).write.mode("overwrite").parquet("/tmp/stress_substr")
+      val docs = spark.read.parquet("/tmp/stress_substr")
+      println(s"substr corpus: ${docs.count()} docs")
+      t(s"exact-substr ${reps * 5}k docs") {
+        val out = graft.operators.SpanDedup
+          .exactSubstrIntervals(docs, "doc_id", "text", minTokens = 8)
+        println(s"islands: ${out.count()}")
+      }
+    }
+    spark.stop()
+  }
+
+  /** Interval-overlap join stress: 1M × 1M intervals, ~4 overlaps per
+    * right interval by construction (~4M output pairs) — the
+    * output-bound regime. The naive theta join is a 10¹² cross
+    * product; the bucketed equi-join + canonical-bucket dedup keeps
+    * work at (bucket collisions + output). Doubling the left side
+    * should ~double pairs and wall: no quadratic term.
+    */
+  def stressIntervalJoin(): Unit = {
+    val spark = GraftSession.build("profile-ivjoin")
+    val n = 1000000L
+    def mk(name: String, df: org.apache.spark.sql.DataFrame) = {
+      df.write.mode("overwrite").parquet(s"/tmp/stress_iv_$name")
+      spark.read.parquet(s"/tmp/stress_iv_$name")
+    }
+    val a = mk("a", spark.range(n).select(col("id"),
+      (col("id") * 10).as("s"), (col("id") * 10 + 20).as("e")))
+    val a2 = mk("a2", spark.range(2 * n).select(col("id"),
+      (col("id") * 5).as("s"), (col("id") * 5 + 20).as("e")))
+    val b = mk("b", spark.range(n).select(col("id"),
+      (col("id") * 10 + 5).as("s"), (col("id") * 10 + 25).as("e")))
+    Seq(("1M x 1M", a), ("2M x 1M", a2)).foreach { case (tag, left) =>
+      t(s"interval join $tag") {
+        val pairs = graft.operators.IntervalJoin
+          .overlap(left, b, "id", "s", "e", widthSec = 30L)
+        println(s"pairs: ${pairs.count()}")
+      }
     }
     spark.stop()
   }
