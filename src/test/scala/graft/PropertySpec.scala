@@ -279,4 +279,77 @@ class PropertySpec extends SparkSpec {
     val res = SCTest.check(prop)(_.withMinSuccessfulTests(500))
     assert(res.passed, res.status.toString)
   }
+
+  test("interval-overlap join (property): equals the brute-force " +
+    "theta join exactly-once for arbitrary intervals and widths") {
+    val iv = for {
+      s <- Gen.choose(0L, 200L); len <- Gen.choose(0L, 60L)
+    } yield (s, s + len)
+    val gen = for {
+      na <- Gen.choose(1, 8); nb <- Gen.choose(1, 8)
+      a <- Gen.listOfN(na, iv); b <- Gen.listOfN(nb, iv)
+      w <- Gen.oneOf(1L, 7L, 30L, 500L)
+    } yield (a, b, w)
+    val prop = forAll(gen) { case (a, b, w) =>
+      val adf = a.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+        .toDF("id", "s", "e")
+      val bdf = b.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+        .toDF("id", "s", "e")
+      val got = graft.operators.IntervalJoin
+        .overlap(adf, bdf, "id", "s", "e", w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+      val want = (for {
+        ((as, ae), ai) <- a.zipWithIndex
+        ((bs, be), bi) <- b.zipWithIndex
+        if as <= be && bs <= ae
+      } yield (ai.toLong, bi.toLong,
+        math.min(ae, be) - math.max(as, bs))).sorted
+      got == want // sorted SEQ compare: duplicates would fail, not hide
+    }
+    val res = SCTest.check(prop)(_.withMinSuccessfulTests(40))
+    assert(res.passed, res.status.toString)
+  }
+
+  test("ExactSubstr (property): islands equal the brute-force " +
+    "k-gram dup scan merged greedily, for arbitrary tiny corpora") {
+    val word = Gen.oneOf("x", "y", "z", "w")
+    val doc = for {
+      n <- Gen.choose(0, 24)
+      ws <- Gen.listOfN(n, word)
+    } yield ws.mkString(" ")
+    val gen = for {
+      nd <- Gen.choose(1, 5); docs <- Gen.listOfN(nd, doc)
+      k <- Gen.oneOf(2, 3)
+    } yield (docs, k)
+    val prop = forAll(gen) { case (docs, k) =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.SpanDedup
+        .exactSubstrIntervals(df, "doc_id", "text", minTokens = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      // brute force: every (doc, offset) k-gram, first occurrence in
+      // (doc, pos) order, dup offsets merged into maximal runs
+      val grams = for {
+        (t, di) <- docs.zipWithIndex
+        toks = t.split(" ").filter(_.nonEmpty)
+        i <- 0 to toks.length - k
+      } yield (di.toLong, i.toLong, toks.slice(i, i + k).mkString(" "))
+      val first = grams.groupBy(_._3)
+        .map { case (g, occ) => g -> occ.map(o => (o._1, o._2)).min }
+      val dups = grams.filter { case (d2, i, g) =>
+        Ordering[(Long, Long)].lt(first(g), (d2, i)) }
+        .map(o => (o._1, o._2)).sorted
+      val want = dups.groupBy { case (d2, i) =>
+        (d2, i - dups.count(o => o._1 == d2 && o._2 < i))
+      }.values.map { run =>
+        val is = run.map(_._2)
+        (run.head._1, is.min, is.max - is.min + k)
+      }.toSet
+      got == want
+    }
+    val res = SCTest.check(prop)(_.withMinSuccessfulTests(40))
+    assert(res.passed, res.status.toString)
+  }
 }
