@@ -284,4 +284,54 @@ object Graft {
   def selectDiverseBatched(emb: DataFrame, vecCol: String, idCol: String,
                            k: Int, numPartitions: Int = 32): DataFrame =
     operators.Coreset.kCentersBatched(emb, vecCol, idCol, k, numPartitions)
+
+  /** Maximal repeated token runs at arbitrary offsets (ExactSubstr,
+    * Lee et al. 2022) — see [[operators.SpanDedup.exactSubstrIntervals]].
+    */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                    minTokens: Int = 8): DataFrame =
+    operators.SpanDedup.exactSubstrIntervals(df, idCol, textCol, minTokens)
+
+  /** Interval×interval OVERLAP join (both sides intervals) — see
+    * [[operators.IntervalJoin.overlap]].
+    */
+  def overlapJoin(a: DataFrame, b: DataFrame, idCol: String, sCol: String,
+                  eCol: String, widthSec: Long): DataFrame =
+    operators.IntervalJoin.overlap(a, b, idCol, sCol, eCol, widthSec)
+
+  /** t-closeness release audit — see [[operators.Privacy.tCloseness]]. */
+  def tCloseness(df: DataFrame, qi: Seq[String], vbCol: String, m: Int,
+                 tNum: Long = 1, tDen: Long = 5): DataFrame =
+    operators.Privacy.tCloseness(df, qi, vbCol, m, tNum, tDen)
+
+  /** Merge-on-read soft delete / read / vacuum — see
+    * [[sinks.VersionedTable.softDelete]].
+    */
+  def softDelete(spark: SparkSession, root: String, keys: DataFrame,
+                 keyCols: Seq[String]): Long =
+    sinks.VersionedTable.softDelete(spark, root, keys, keyCols)
+
+  def readWithDeletes(spark: SparkSession, root: String,
+                      keyCols: Seq[String]): DataFrame =
+    sinks.VersionedTable.readLiveWithDeletes(spark, root, keyCols)
+
+  def vacuumDeletes(spark: SparkSession, root: String,
+                    keyCols: Seq[String]): Long =
+    sinks.VersionedTable.vacuumDeletes(spark, root, keyCols)
+
+  /** Materialized-aggregate maintenance under CDC deltas — see
+    * [[operators.Ivm]].
+    */
+  def maintainView(view: DataFrame, deltas: DataFrame,
+                   keys: Seq[String]): DataFrame =
+    operators.Ivm.applyDeltas(view, deltas, keys)
+
+  /** Per-file Bloom sidecar + point-lookup pruning report — see
+    * [[operators.BloomSkip.sidecarAndProbe]].
+    */
+  def bloomSkipReport(df: DataFrame, layout: Seq[org.apache.spark.sql.Column],
+                      files: Int, keyCol: String, probes: DataFrame,
+                      probeCol: String): DataFrame =
+    operators.BloomSkip.sidecarAndProbe(df, layout, files, keyCol,
+      probes, probeCol)
 }

@@ -4183,6 +4183,71 @@ object SparkEntry {
         .select(col("cohort"), col("n_rows"), col("sum_v").as("sum_cents"))
     }),
 
+    // STREAMING incremental view maintenance — the continuous drive of
+    // q236 (as q230 is to q229): CDC delta batches land as files, a
+    // checkpointed stream applies each to the versioned matview via
+    // Ivm.applyDeltas + VersionedTable.commit, base never rescanned.
+    // Same landing protocol as q66 (write → drain → write → drain),
+    // so batch order is deterministic and the oracle is exactly
+    // q236's full-recompute ground truth.
+    "q237_stream_ivm" -> ((s, d) => {
+      val ivm = graft.operators.Ivm
+      val vt = graft.sinks.VersionedTable
+      val ev = Tables.events(s, d).select(col("event_id"),
+        (col("user_id") % 10).as("cohort"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val work = graft.core.ScratchDirs.fresh("q237_sivm").toString
+      val landing = s"$work/landing"
+      val viewRoot = s"$work/view"
+      val ckpt = s"$work/ckpt"
+      vt.commit(viewRoot) { dir =>
+        ivm.initialize(ev.where(col("event_id") % 3 === 0),
+          Seq("cohort"), "cents").write.mode("overwrite").parquet(dir)
+      }
+      def drain(): Unit = {
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cohort",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("d_count",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("d_sum",
+            org.apache.spark.sql.types.LongType)))
+        val q = s.readStream.schema(schema).parquet(landing)
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (!b.isEmpty) {
+              val updated = graft.operators.Ivm
+                .applyDeltas(vt.readLive(s, viewRoot), b, Seq("cohort"))
+              vt.commit(viewRoot) { dir =>
+                updated.write.mode("overwrite").parquet(dir)
+              }
+              ()
+            }
+          }
+          .start()
+        q.awaitTermination()
+      }
+      val ins = ev.where(col("event_id") % 3 === 1)
+        .select(col("cohort"), lit(1L).as("d_count"),
+          col("cents").as("d_sum"))
+      ins.write.mode("append").parquet(landing)
+      drain()
+      val cur = ev.where(col("event_id") % 3 <= 1)
+      val upd = cur
+        .where(col("event_id") % 5 === 0 && col("event_id") % 7 =!= 0)
+        .select(col("cohort"), lit(0L).as("d_count"),
+          col("cents").as("d_sum"))
+      val del = cur.where(col("event_id") % 7 === 0)
+        .select(col("cohort"), lit(-1L).as("d_count"),
+          (-col("cents")).as("d_sum"))
+      upd.unionByName(del).write.mode("append").parquet(landing)
+      drain()
+      vt.readLive(s, viewRoot)
+        .select(col("cohort"), col("n_rows"), col("sum_v").as("sum_cents"))
+    }),
+
     // Single-pass observability: the corpus length gate runs ONCE and
     // its quality report (counts / char totals / extremes / null-lang
     // / short-doc counts) is accumulated by Dataset.observe during
@@ -8356,6 +8421,21 @@ object SparkEntry {
     // The maintained view replayed as a full recompute of the final
     // logical state: base ∪ inserts, minus deletes, updates doubled.
     "q236_ivm_aggregate" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id % 10 AS cohort,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |fin AS (
+        |  SELECT cohort,
+        |    CASE WHEN event_id % 5 = 0 THEN cents * 2 ELSE cents END AS v
+        |  FROM ev WHERE event_id % 3 <= 1 AND event_id % 7 <> 0)
+        |SELECT cohort, count(*) AS n_rows,
+        |  CAST(sum(v) AS BIGINT) AS sum_cents
+        |FROM fin GROUP BY cohort""".stripMargin,
+
+    // The streaming drive converges to the identical final state —
+    // same recompute ground truth as q236.
+    "q237_stream_ivm" ->
       """WITH ev AS (
         |  SELECT event_id, user_id % 10 AS cohort,
         |    CAST(round(value * 100) AS BIGINT) AS cents

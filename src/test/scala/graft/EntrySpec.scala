@@ -99,6 +99,10 @@ class EntrySpec extends SparkSpec {
                              // BIGINT before any arithmetic, the
                              // q205/q216 idiom); strict-verified at
                              // sf0.001 + sf0.01 on 2026-08-14
+      "q237_stream_ivm",     // identical tree/ground truth to q236
+                             // (streaming drive of the same loop);
+                             // strict-verified at sf0.001 + sf0.01 on
+                             // 2026-08-14
       "q233_t_closeness",    // exact-integer EMD numerator over the
                              // common denominator n_g·N·(m−1); the
                              // single rounded division is the ONLY
