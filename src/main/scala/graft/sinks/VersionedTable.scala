@@ -304,6 +304,12 @@ object VersionedTable {
   private def deletesRoot(root: String): String =
     Paths.get(root).resolve("_deletes").toString
 
+  /** Test seam: runs between vacuum's data commit and its delete-set
+    * reset, so VersionedTableSpec can interleave a racing softDelete
+    * deterministically (the production value is a no-op).
+    */
+  private[graft] var vacuumRaceHook: () => Unit = () => ()
+
   /** Soft-delete by key: commit `keys` (projected to `keyCols`,
     * deduped) into the table's delete set. O(|keys|) write, zero data
     * rewrite. Returns the delete-set version.
@@ -336,14 +342,25 @@ object VersionedTable {
     */
   def vacuumDeletes(spark: SparkSession, root: String,
                     keyCols: Seq[String], keepVersions: Int = 2): Long = {
+    val dr = deletesRoot(root)
+    // pin the delete-set version the fold consumes: the reset below
+    // CAS-checks it, so a softDelete landing BETWEEN fold and reset is
+    // never wiped (the reset is abandoned; the new keys keep masking,
+    // the folded-away keys are already absent so re-applying them is a
+    // no-op anti-join)
+    val foldedDeletesVersion = readManifest(dr).map(_.version)
     val folded = readLiveWithDeletes(spark, root, keyCols)
     val v = commit(root, keepVersions) { dir =>
       folded.write.mode(SaveMode.Overwrite).parquet(dir)
     }
-    val dr = deletesRoot(root)
-    if (readManifest(dr).isDefined) {
+    vacuumRaceHook() // test seam: deterministic fold↔reset interleave
+    foldedDeletesVersion.foreach { dv =>
       val empty = readLive(spark, dr).limit(0)
-      commit(dr) { dir => empty.write.mode(SaveMode.Overwrite).parquet(dir) }
+      try commit(dr, expectedBase = Some(dv)) { dir =>
+        empty.write.mode(SaveMode.Overwrite).parquet(dir)
+      } catch {
+        case _: ConcurrentCommitException => () // racing delete wins
+      }
     }
     v
   }

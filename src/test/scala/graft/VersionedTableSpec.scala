@@ -80,6 +80,28 @@ class VersionedTableSpec extends SparkSpec {
     assert(liveIds().contains(5L))
   }
 
+  test("a softDelete racing vacuum's reset is never wiped (CAS on the " +
+    "delete-set version)") {
+    val root = tmpRoot()
+    VersionedTable.upsert(spark, root,
+      (1L to 6L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    VersionedTable.softDelete(spark, root, Seq(2L).toDF("id"), Seq("id"))
+    // interleave: a new delete (key 4) lands AFTER vacuum folded key 2
+    // into the rewrite but BEFORE it resets the delete set
+    VersionedTable.vacuumRaceHook = () =>
+      VersionedTable.softDelete(spark, root, Seq(4L).toDF("id"), Seq("id"))
+    try VersionedTable.vacuumDeletes(spark, root, Seq("id"))
+    finally VersionedTable.vacuumRaceHook = () => ()
+    // key 2 folded away physically; key 4's racing delete still masks
+    assert(VersionedTable.readLive(spark, root).count() === 5)
+    assert(VersionedTable.readLiveWithDeletes(spark, root, Seq("id"))
+      .select("id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 3L, 5L, 6L))
+    // a later (un-raced) vacuum folds key 4 too
+    VersionedTable.vacuumDeletes(spark, root, Seq("id"))
+    assert(VersionedTable.readLive(spark, root).count() === 4)
+  }
+
   test("retention keeps exactly live + predecessor versions") {
     val root = tmpRoot()
     (1 to 4).foreach(i => VersionedTable.upsert(spark, root,
