@@ -4033,25 +4033,40 @@ object SparkEntry {
       val ckpt = s"$work/ckpt"
       val schema = docs.select("doc_id", "text").schema
       val seen = scala.collection.mutable.ListBuffer("base")
+      // skip the watermark-only no-data batch (no stateful operators
+      // here — the q66 note). Unlike q66's metadata-scale batches, the
+      // probe joins batch×stored-index at corpus width, so shuffle
+      // parallelism is NOT narrowed (measured: 4-way drains ran ~20%
+      // slower than 32-way on this shape).
       def drain(): Unit = {
-        val q = s.readStream.schema(schema).parquet(landing)
-          .writeStream
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .option("checkpointLocation", ckpt)
-          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            if (!b.isEmpty) {
-              val epoch = s"e${seen.size}"
-              nd.probe(s, root, b, "text", "doc_id", threshold = 0.5,
-                  epochs = Some(seen.toList))
-                .withColumn("ingest", lit(seen.size))
-                .write.mode("append").parquet(pairsDir)
-              nd.ingest(s, root, b, "text", "doc_id", epoch)
-              seen += epoch
-              ()
+        val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+        val prevNoData = s.conf.getOption(noDataKey)
+        s.conf.set(noDataKey, "false")
+        try {
+          val q = s.readStream.schema(schema).parquet(landing)
+            .writeStream
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              if (!b.isEmpty) {
+                val epoch = s"e${seen.size}"
+                nd.probe(s, root, b, "text", "doc_id", threshold = 0.5,
+                    epochs = Some(seen.toList))
+                  .withColumn("ingest", lit(seen.size))
+                  .write.mode("append").parquet(pairsDir)
+                nd.ingest(s, root, b, "text", "doc_id", epoch)
+                seen += epoch
+                ()
+              }
             }
+            .start()
+          q.awaitTermination()
+        } finally {
+          prevNoData match {
+            case Some(v) => s.conf.set(noDataKey, v)
+            case None    => s.conf.unset(noDataKey)
           }
-          .start()
-        q.awaitTermination()
+        }
       }
       docs.filter(col("doc_id") % 10 === 5).select("doc_id", "text")
         .write.mode("append").parquet(landing)
@@ -4138,6 +4153,75 @@ object SparkEntry {
         .select("phase", "source", "n_docs", "sum_chars", "min_id")
     }),
 
+    // Seasonal decomposition (STL-lite, moving-average flavor): per
+    // event type, daily counts split into trend (centered 7-day MA),
+    // day-of-week seasonal (mean of detrended), and residual. Kept in
+    // integer NUMERATORS end-to-end — trend_x7 = Σ window counts,
+    // detrended_x7 = 7·cnt − trend_x7, seasonal numerator = Σ per-dow
+    // detrended_x7 — with ONE rounded division per output column, so
+    // the replay is exact. Edge days without a full 7-day window are
+    // excluded (no padding guesses). Scale: one (type,day) aggregate,
+    // one 7-row window per series, one dow-domain aggregate broadcast
+    // back — corpus contributes a single map-side-combined shuffle.
+    "q238_seasonal_decompose" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          to_date(col("ts")).as("day"),
+          ((weekday(to_date(col("ts"))) + 1) % 7).as("dow"))
+        .agg(count(lit(1)).as("cnt"))
+      val w7 = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-3, 3)
+      val withTrend = daily
+        .withColumn("trend_x7", sum("cnt").over(w7))
+        .withColumn("n_win", count(lit(1)).over(w7))
+        .where(col("n_win") === 7)
+        .withColumn("det_x7", col("cnt") * 7 - col("trend_x7"))
+      val seas = withTrend.groupBy("event_type", "dow")
+        .agg(sum("det_x7").as("seas_num"), count(lit(1)).as("n_dow"))
+      withTrend.join(seas, Seq("event_type", "dow"))
+        .select(col("event_type"), col("day"), col("cnt"),
+          round(col("trend_x7").cast("double") / 7.0, 4).as("trend"),
+          round(col("seas_num").cast("double") /
+            (col("n_dow") * 7).cast("double"), 4).as("seasonal"),
+          round(col("cnt").cast("double") -
+            col("trend_x7").cast("double") / 7.0 -
+            col("seas_num").cast("double") /
+              (col("n_dow") * 7).cast("double"), 4).as("residual"))
+    }),
+
+    // Cross-source quantile normalization (rank-map each source's
+    // value distribution onto the pooled distribution — the feature-
+    // prep transform that removes per-source scale/shape differences
+    // while preserving within-source order): value → rank r within
+    // source (n_s rows) → pooled order statistic #⌈r·N/n_s⌉. Pure
+    // integer order-statistic arithmetic, no interpolation → exact
+    // replay. Scale note: ranks are windows (per-source partitions
+    // parallelize; the pooled rank is the q128 global-ordinals shape),
+    // and the order-statistic lookup is an equi-join on rank index.
+    "q239_quantile_normalize" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"),
+        col("event_type").as("source"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val n = ev.count()
+      val wSrc = Window.partitionBy("source")
+        .orderBy(col("cents"), col("event_id"))
+      val ranked = ev
+        .withColumn("r", row_number().over(wSrc))
+        .withColumn("n_s", count(lit(1)).over(Window.partitionBy("source")))
+        // integer `div` (not `/`, which is double division on longs
+        // and can disagree with the oracle's `//` by 1 — q179 note)
+        .withColumn("k", expr(s"(r * $n + n_s - 1) div n_s"))
+      val pooled = ev
+        .select(col("cents").as("norm_cents"), col("event_id").as("tie"))
+        .withColumn("k", row_number()
+          .over(Window.orderBy(col("norm_cents"), col("tie")))
+          .cast("long"))
+        .select("k", "norm_cents")
+      ranked.join(pooled, "k")
+        .select(col("event_id"), col("source"), col("cents"),
+          col("norm_cents"))
+    }),
+
     // Interval-OVERLAP join (both sides intervals — log correlation /
     // blast radius): error windows [ts, ts+30m] × purchase windows
     // [ts−10m, ts+10m], bucketed equi-join with canonical-bucket
@@ -4204,6 +4288,9 @@ object SparkEntry {
         ivm.initialize(ev.where(col("event_id") % 3 === 0),
           Seq("cohort"), "cents").write.mode("overwrite").parquet(dir)
       }
+      // same micro-batch sizing notes as q66/q230: delta batches are
+      // view-scale, no stateful operators → small shuffles, no
+      // watermark-only trailing batch
       def drain(): Unit = {
         val schema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("cohort",
@@ -4212,22 +4299,35 @@ object SparkEntry {
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("d_sum",
             org.apache.spark.sql.types.LongType)))
-        val q = s.readStream.schema(schema).parquet(landing)
-          .writeStream
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .option("checkpointLocation", ckpt)
-          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            if (!b.isEmpty) {
-              val updated = graft.operators.Ivm
-                .applyDeltas(vt.readLive(s, viewRoot), b, Seq("cohort"))
-              vt.commit(viewRoot) { dir =>
-                updated.write.mode("overwrite").parquet(dir)
+        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+        val prevNoData = s.conf.getOption(noDataKey)
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        s.conf.set(noDataKey, "false")
+        try {
+          val q = s.readStream.schema(schema).parquet(landing)
+            .writeStream
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              if (!b.isEmpty) {
+                val updated = graft.operators.Ivm
+                  .applyDeltas(vt.readLive(s, viewRoot), b, Seq("cohort"))
+                vt.commit(viewRoot) { dir =>
+                  updated.write.mode("overwrite").parquet(dir)
+                }
+                ()
               }
-              ()
             }
+            .start()
+          q.awaitTermination()
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+          prevNoData match {
+            case Some(v) => s.conf.set(noDataKey, v)
+            case None    => s.conf.unset(noDataKey)
           }
-          .start()
-        q.awaitTermination()
+        }
       }
       val ins = ev.where(col("event_id") % 3 === 1)
         .select(col("cohort"), lit(1L).as("d_count"),
@@ -8402,6 +8502,58 @@ object SparkEntry {
         |SELECT 'mor' AS phase, * FROM base
         |UNION ALL
         |SELECT 'vacuumed' AS phase, * FROM base""".stripMargin,
+
+    // Integer numerators replayed; one rounded division per column,
+    // identically placed (pin registered in EntrySpec).
+    "q238_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    dayofweek(CAST(ts AS DATE)) AS dow, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2, 3),
+        |t AS (
+        |  SELECT *, sum(cnt) OVER w AS trend_x7,
+        |    count(*) OVER w AS n_win
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |f AS (SELECT *, cnt * 7 - trend_x7 AS det_x7 FROM t
+        |      WHERE n_win = 7),
+        |seas AS (
+        |  SELECT event_type, dow, sum(det_x7) AS seas_num,
+        |    count(*) AS n_dow
+        |  FROM f GROUP BY 1, 2)
+        |SELECT f.event_type, f.day, f.cnt,
+        |  round(CAST(trend_x7 AS DOUBLE) / 7.0, 4) AS trend,
+        |  round(CAST(seas_num AS DOUBLE) /
+        |    CAST(n_dow * 7 AS DOUBLE), 4) AS seasonal,
+        |  round(CAST(f.cnt AS DOUBLE) - CAST(trend_x7 AS DOUBLE) / 7.0 -
+        |    CAST(seas_num AS DOUBLE) / CAST(n_dow * 7 AS DOUBLE), 4)
+        |    AS residual
+        |FROM f JOIN seas ON seas.event_type = f.event_type
+        |  AND seas.dow = f.dow""".stripMargin,
+
+    // Pure integer order statistics — rank, ceil-index, lookup — so
+    // the rank-map replays exactly.
+    "q239_quantile_normalize" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type AS source,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |n AS (SELECT count(*) AS n FROM ev),
+        |ranked AS (
+        |  SELECT event_id, source, cents,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY cents, event_id) AS r,
+        |    count(*) OVER (PARTITION BY source) AS n_s
+        |  FROM ev),
+        |pooled AS (
+        |  SELECT cents AS norm_cents,
+        |    row_number() OVER (ORDER BY cents, event_id) AS k
+        |  FROM ev)
+        |SELECT event_id, source, cents, norm_cents
+        |FROM ranked CROSS JOIN n
+        |JOIN pooled ON pooled.k =
+        |  (ranked.r * n.n + ranked.n_s - 1) // ranked.n_s""".stripMargin,
 
     // The inequality join replayed directly (DuckDB handles the theta
     // join fine at oracle scale); floor(epoch) ≡ unix_timestamp.

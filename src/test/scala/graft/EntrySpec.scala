@@ -103,6 +103,17 @@ class EntrySpec extends SparkSpec {
                              // (streaming drive of the same loop);
                              // strict-verified at sf0.001 + sf0.01 on
                              // 2026-08-14
+      "q238_seasonal_decompose", // integer numerators (window count
+                             // sums, detrended ×7, dow sums) with ONE
+                             // rounded division per output column,
+                             // identically placed both engines;
+                             // strict-verified at sf0.001 + sf0.01 on
+                             // 2026-08-14
+      "q239_quantile_normalize", // integer-cents pin + pure integer
+                             // order statistics (round(value*100) →
+                             // BIGINT, ranks, ceil-index div);
+                             // strict-verified at sf0.001 + sf0.01 on
+                             // 2026-08-14
       "q233_t_closeness",    // exact-integer EMD numerator over the
                              // common denominator n_g·N·(m−1); the
                              // single rounded division is the ONLY
