@@ -4153,6 +4153,22 @@ object SparkEntry {
         .select("phase", "source", "n_docs", "sum_chars", "min_id")
     }),
 
+    // Declarative expectation suite fused into ONE aggregate pass
+    // (Great Expectations / dbt-test shape): 7 expectations, one
+    // events scan, one report row each. The [0,400] range is
+    // DELIBERATELY tight so the report carries real violations —
+    // the gate's failure path is graded, not just its happy path.
+    "q240_expectation_suite" -> ((s, d) => {
+      val E = graft.operators.Expectations
+      E.run(Tables.events(s, d), Seq(
+        E.NotNull("event_id"), E.Unique("event_id"),
+        E.NotNull("user_id"), E.NotNull("ts"),
+        E.InRange("value", 0, 400),
+        E.InSet("event_type",
+          Seq("click", "error", "purchase", "signup", "view")),
+        E.RowCountBetween(100L, 100000000L)))
+    }),
+
     // Seasonal decomposition (STL-lite, moving-average flavor): per
     // event type, daily counts split into trend (centered 7-day MA),
     // day-of-week seasonal (mean of detrended), and residual. Kept in
@@ -8502,6 +8518,33 @@ object SparkEntry {
         |SELECT 'mor' AS phase, * FROM base
         |UNION ALL
         |SELECT 'vacuumed' AS phase, * FROM base""".stripMargin,
+
+    // Each expectation replayed as its own filtered aggregate; the
+    // union is the report.
+    "q240_expectation_suite" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n_rows,
+        |    count(*) FILTER (WHERE event_id IS NULL) AS v0,
+        |    count(*) FILTER (WHERE event_id IS NOT NULL)
+        |      - count(DISTINCT event_id) AS v1,
+        |    count(*) FILTER (WHERE user_id IS NULL) AS v2,
+        |    count(*) FILTER (WHERE ts IS NULL) AS v3,
+        |    count(*) FILTER (WHERE value IS NOT NULL
+        |      AND (value < 0 OR value > 400)) AS v4,
+        |    count(*) FILTER (WHERE event_type IS NOT NULL
+        |      AND event_type NOT IN
+        |        ('click','error','purchase','signup','view')) AS v5
+        |  FROM events)
+        |SELECT 'not_null' AS expectation, 'event_id' AS col_name,
+        |  n_rows, v0 AS n_violations, v0 = 0 AS passed FROM a
+        |UNION ALL SELECT 'unique', 'event_id', n_rows, v1, v1 = 0 FROM a
+        |UNION ALL SELECT 'not_null', 'user_id', n_rows, v2, v2 = 0 FROM a
+        |UNION ALL SELECT 'not_null', 'ts', n_rows, v3, v3 = 0 FROM a
+        |UNION ALL SELECT 'in_range', 'value', n_rows, v4, v4 = 0 FROM a
+        |UNION ALL SELECT 'in_set', 'event_type', n_rows, v5, v5 = 0 FROM a
+        |UNION ALL SELECT 'row_count_between', '*', n_rows,
+        |  CASE WHEN n_rows BETWEEN 100 AND 100000000 THEN 0 ELSE 1 END,
+        |  n_rows BETWEEN 100 AND 100000000 FROM a""".stripMargin,
 
     // Integer numerators replayed; one rounded division per column,
     // identically placed (pin registered in EntrySpec).
