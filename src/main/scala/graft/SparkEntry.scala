@@ -4153,6 +4153,34 @@ object SparkEntry {
         .select("phase", "source", "n_docs", "sum_chars", "min_id")
     }),
 
+    // Differentially-private count release (ε=0.2 Laplace) — the
+    // privacy family's release mechanism beside its audits (q178
+    // k-anonymity, q211 l-diversity, q233 t-closeness): per-type
+    // counts + Laplace(1/ε) noise from the seeded md5-uniform
+    // machinery (inverse-CDF on an EXACT rational u=(2m+1)/2e6, so u
+    // is never 0/1 and both engines ln() the identical double).
+    // true_count is emitted for GRADING; a production release ships
+    // only the noisy column + the epsilon ledger. One aggregate, one
+    // map-only noise projection.
+    "q241_dp_counts" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val eps = 0.2
+      val m = call_function("graft_md5i",
+        concat(lit("dp0|"), col("event_type")), lit(12)) % 1000000L
+      val u2m1 = m * 2 + 1 // odd in [1, 2e6-1]: u=(2m+1)/2e6 ∈ (0,1)
+      val absTerm = abs(u2m1 - lit(1000000L)) // |2u−1|·1e6, integer
+      val lnArg = (lit(1000000L) - absTerm).cast("double") / lit(1e6)
+      // 5.0 as a LITERAL, not 1/eps: 1.0/0.2 is a double-division
+      // whose rounding the oracle must not have to replicate
+      val noise = -signum((u2m1 - lit(1000000L)).cast("double")) *
+        lit(5.0) * log(lnArg)
+      Tables.events(s, d)
+        .groupBy("event_type").agg(count(lit(1)).as("true_count"))
+        .select(col("event_type"), col("true_count"),
+          round(col("true_count") + noise, 4).as("released_count"),
+          lit(eps).as("epsilon"))
+    }),
+
     // Declarative expectation suite fused into ONE aggregate pass
     // (Great Expectations / dbt-test shape): 7 expectations, one
     // events scan, one report row each. The [0,400] range is
@@ -8518,6 +8546,29 @@ object SparkEntry {
         |SELECT 'mor' AS phase, * FROM base
         |UNION ALL
         |SELECT 'vacuumed' AS phase, * FROM base""".stripMargin,
+
+    // Same 48-bit md5 → exact-rational u → inverse-CDF Laplace tree;
+    // ln of an identical double both engines (q113's ln precedent).
+    "q241_dp_counts" ->
+      """WITH c AS (
+        |  SELECT event_type, count(*) AS true_count FROM events
+        |  GROUP BY event_type),
+        |h AS (
+        |  SELECT *,
+        |    (list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(generate_series(1, 12),
+        |        x -> (strpos('0123456789abcdef',
+        |          substr(md5('dp0|' || event_type),
+        |            CAST(x AS INT), 1)) - 1)::BIGINT)),
+        |      (acc, v) -> acc * 16 + v) % 1000000) * 2 + 1 AS u2m1
+        |  FROM c)
+        |SELECT event_type, true_count,
+        |  round(true_count +
+        |    -sign(CAST(u2m1 - 1000000 AS DOUBLE)) * 5.0 *
+        |    ln(CAST(1000000 - abs(u2m1 - 1000000) AS DOUBLE) / 1e6),
+        |    4) AS released_count,
+        |  0.2 AS epsilon
+        |FROM h""".stripMargin,
 
     // Each expectation replayed as its own filtered aggregate; the
     // union is the report.
