@@ -4153,6 +4153,30 @@ object SparkEntry {
         .select("phase", "source", "n_docs", "sum_chars", "min_id")
     }),
 
+    // Deterministic inter-epoch shuffle (the training-loader "reshuffle
+    // every epoch, reproducibly" contract): per epoch, every doc gets
+    // a fresh md5(epoch|id) priority → shard = priority-hash mod 4,
+    // position = rank within shard. Different epochs give independent
+    // permutations; the same epoch always replays identically (resume
+    // a crashed run mid-epoch at the exact position). Scale: shard
+    // ranks are per-shard windows — parallel in the shard domain,
+    // never a global sort.
+    "q242_epoch_shuffle" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val docs = Tables.documents(s, d).select("doc_id")
+      val epochs = s.range(2).select(col("id").as("epoch"))
+      val prio = call_function("graft_md5i",
+        concat_ws("|", lit("shuf"), col("epoch").cast("string"),
+          col("doc_id").cast("string")), lit(12))
+      val keyed = docs.crossJoin(epochs)
+        .select(col("epoch"), col("doc_id"), prio.as("prio"))
+        .withColumn("shard", col("prio") % 4)
+      keyed.withColumn("pos", row_number().over(
+          Window.partitionBy("epoch", "shard")
+            .orderBy(col("prio"), col("doc_id"))).cast("long"))
+        .select("epoch", "shard", "pos", "doc_id", "prio")
+    }),
+
     // Differentially-private count release (ε=0.2 Laplace) — the
     // privacy family's release mechanism beside its audits (q178
     // k-anonymity, q211 l-diversity, q233 t-closeness): per-type
@@ -8546,6 +8570,24 @@ object SparkEntry {
         |SELECT 'mor' AS phase, * FROM base
         |UNION ALL
         |SELECT 'vacuumed' AS phase, * FROM base""".stripMargin,
+
+    // Same md5 priorities, same shard mod, same rank replay.
+    "q242_epoch_shuffle" ->
+      """WITH e AS (
+        |  SELECT d.doc_id, CAST(ep AS BIGINT) AS epoch,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(generate_series(1, 12),
+        |        x -> (strpos('0123456789abcdef',
+        |          substr(md5('shuf|' || ep || '|' ||
+        |            CAST(d.doc_id AS VARCHAR)),
+        |            CAST(x AS INT), 1)) - 1)::BIGINT)),
+        |      (acc, v) -> acc * 16 + v) AS prio
+        |  FROM documents d, unnest(generate_series(0, 1)) AS u(ep))
+        |SELECT epoch, prio % 4 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY epoch, prio % 4
+        |    ORDER BY prio, doc_id) AS BIGINT) AS pos,
+        |  doc_id, prio
+        |FROM e""".stripMargin,
 
     // Same 48-bit md5 → exact-rational u → inverse-CDF Laplace tree;
     // ln of an identical double both engines (q113's ln precedent).
