@@ -4279,12 +4279,14 @@ object SparkEntry {
         // integer `div` (not `/`, which is double division on longs
         // and can disagree with the oracle's `//` by 1 — q179 note)
         .withColumn("k", expr(s"(r * $n + n_s - 1) div n_s"))
-      val pooled = ev
-        .select(col("cents").as("norm_cents"), col("event_id").as("tie"))
-        .withColumn("k", row_number()
-          .over(Window.orderBy(col("norm_cents"), col("tie")))
-          .cast("long"))
-        .select("k", "norm_cents")
+      // pooled rank WITHOUT a single-partition global window: the
+      // q128 Ordinals machinery (range partition + per-partition rank
+      // + broadcast offsets) over the packed unique (cents, event_id)
+      // key — same total order, parallel at any scale
+      val pooled = graft.operators.Ordinals.globalOrdinals(
+          ev.select((col("cents") * 10000000L + col("event_id")).as("pk"),
+            col("cents").as("norm_cents")), "pk")
+        .select((col("ordinal") + 1L).as("k"), col("norm_cents"))
       ranked.join(pooled, "k")
         .select(col("event_id"), col("source"), col("cents"),
           col("norm_cents"))

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Dense global ordinals (0..n−1 in key order) WITHOUT a single-
   * partition global sort — the scalable version of `zipWithIndex` for
@@ -9,46 +10,44 @@ import org.apache.spark.sql.functions._
   * manifests, deterministic shuffles).
   *
   * A naive `row_number() OVER (ORDER BY key)` collapses the corpus
-  * into ONE task. Instead:
+  * into ONE task. Instead: range-repartition by the key (parallel,
+  * sampled boundaries), sort within partitions, and let
+  * `RDD.zipWithIndex` do its two passes (per-partition counts, then
+  * offset + local index) over the SAME materialized shuffle.
   *
-  *   1. range-repartition by the key (parallel, sampled boundaries),
-  *   2. sort within partitions (parallel),
-  *   3. count rows per partition — a tiny aggregate whose result is
-  *      #partitions rows collected to the driver (bounded by cluster
-  *      size, not data size),
-  *   4. broadcast the per-partition cumulative offsets back and add
-  *      them to the within-partition `row_number`.
+  * CORRECTNESS SUBTLETY (round 8, found by q239 at sf0.01): the two
+  * passes MUST observe one physical partitioning. Running them as two
+  * separate DataFrame actions re-executes `repartitionByRange`, whose
+  * boundary SAMPLER is seeded per-RDD-instance — the second run can
+  * draw different boundaries, so counts collected from run 1 mis-
+  * offset run 2's partitions (duplicate + missing ordinals; the old
+  * implementation did exactly this, and survived q128 only because a
+  * 500-row input was fully sampled, making boundaries accidentally
+  * stable). Dropping to ONE RDD instance fixes it structurally:
+  * both of `zipWithIndex`'s jobs run over the same RDD lineage, so
+  * the range shuffle's map outputs are computed once and REUSED, and
+  * the boundaries cannot differ. The RDD bridge costs codegen at the
+  * boundary — the price of a correct distributed zipWithIndex, and
+  * the row volume here is the corpus, paid once.
   *
-  * The output is deterministic for a unique key regardless of sampled
-  * partition boundaries: the range partitioner preserves global key
-  * order across partition ids, so offset + local rank reproduces the
-  * global rank exactly.
+  * Output is deterministic for a unique key regardless of sampled
+  * boundaries: range partitioning preserves global key order across
+  * partition ids, so offset + local index IS the global rank.
   */
 object Ordinals {
 
   def globalOrdinals(df: DataFrame, keyCol: String,
                      numPartitions: Int = 0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
     val parts =
       if (numPartitions > 0) numPartitions
-      else df.sparkSession.sessionState.conf.numShufflePartitions
+      else spark.sessionState.conf.numShufflePartitions
     val ranged = df.repartitionByRange(parts, col(keyCol))
       .sortWithinPartitions(keyCol)
-      .withColumn("__pid", spark_partition_id())
-    // Bounded driver collect: one row per partition.
-    val sizes = ranged.groupBy("__pid").count()
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    // Exclusive prefix sums over pid-sorted sizes; empty partitions
-    // are absent from the aggregate and contribute 0, so skipping
-    // them keeps the offsets correct.
-    val cum = sizes.map(_._2).scanLeft(0L)(_ + _).init
-    val offsetsDf = df.sparkSession.createDataFrame(
-      sizes.map(_._1).zip(cum).toSeq
-    ).toDF("__pid", "__offset")
-    val w = Window.partitionBy("__pid").orderBy(keyCol)
-    ranged.join(broadcast(offsetsDf), "__pid")
-      .withColumn("ordinal",
-        col("__offset") + row_number().over(w).cast("long") - 1L)
-      .drop("__pid", "__offset")
+    val schema = ranged.schema.add("ordinal", LongType, nullable = false)
+    val indexed = ranged.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(indexed, schema)
   }
 }

@@ -45,6 +45,22 @@ class GraphSelectionSpec extends SparkSpec {
     assert(out === Set((1L, 0L), (5L, 1L), (9L, 2L)))
   }
 
+  test("ordinals stay dense at sampler-stressing scale (the round-8 " +
+    "resample bug class: two plans drew different range boundaries)") {
+    // 20k keys >> sampler reach per partition — the old two-plan
+    // implementation produced duplicate + missing ordinals here
+    val df = spark.range(20000)
+      .select((col("id") * 2654435761L % 1000003L).as("k"),
+        col("id").as("tie"))
+      .select((col("k") * 100000L + col("tie")).as("k")) // unique
+    val out = Ordinals.globalOrdinals(df, "k", numPartitions = 16)
+    val stats = out.agg(min("ordinal"), max("ordinal"),
+      countDistinct(col("ordinal")), count(lit(1))).head()
+    assert(stats.getLong(0) === 0L)
+    assert(stats.getLong(1) === 19999L)
+    assert(stats.getLong(2) === 20000L && stats.getLong(3) === 20000L)
+  }
+
   test("triangle counts on K4 minus one edge") {
     // K4 on {1,2,3,4} minus edge (3,4): triangles {1,2,3} and {1,2,4}.
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
