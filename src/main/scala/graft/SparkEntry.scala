@@ -4153,6 +4153,38 @@ object SparkEntry {
         .select("phase", "source", "n_docs", "sum_chars", "min_id")
     }),
 
+    // Bitemporal query: TRANSACTION time (which commit knew it) ×
+    // VALID time (when it happened) — the warehouse composition of
+    // VersionedTable time travel (q94's SCD2 is the valid-time half).
+    // Two commits materialize the daily state as of Jan 15 and Jan 31;
+    // the same valid-time window [Jan 10, Jan 20] is then asked of
+    // BOTH transaction snapshots: v1 answers from what it knew
+    // (nothing past Jan 15), v2 from the full window — "what did the
+    // Jan-15 report say" stays reproducible after the data arrived.
+    "q243_bitemporal" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      val work = graft.core.ScratchDirs.fresh("q243_bt").toString
+      val ev = Tables.events(s, d).select(
+        (col("user_id") % 10).as("cohort"), to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      def daily(upTo: String) = ev.where(col("day") <= lit(upTo))
+        .groupBy("cohort", "day")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      vt.commit(work) { dir =>
+        daily("2024-01-15").write.mode("overwrite").parquet(dir)
+      }
+      vt.commit(work) { dir =>
+        daily("2024-01-31").write.mode("overwrite").parquet(dir)
+      }
+      def asOf(v: Long) = vt.readVersion(s, work, v)
+        .where(col("day").between(lit("2024-01-10"), lit("2024-01-20")))
+        .groupBy("cohort")
+        .agg(sum("n").as("n_events"), sum("sum_cents").as("sum_cents"))
+        .withColumn("tx_version", lit(v))
+      asOf(1L).unionByName(asOf(2L))
+        .select("tx_version", "cohort", "n_events", "sum_cents")
+    }),
+
     // Deterministic inter-epoch shuffle (the training-loader "reshuffle
     // every epoch, reproducibly" contract): per epoch, every doc gets
     // a fresh md5(epoch|id) priority → shard = priority-hash mod 4,
@@ -8572,6 +8604,27 @@ object SparkEntry {
         |SELECT 'mor' AS phase, * FROM base
         |UNION ALL
         |SELECT 'vacuumed' AS phase, * FROM base""".stripMargin,
+
+    // Both transaction snapshots replayed closed-form: v1 = valid
+    // window clipped at its commit horizon, v2 = the full window.
+    "q243_bitemporal" ->
+      """WITH ev AS (
+        |  SELECT user_id % 10 AS cohort, CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |w AS (
+        |  SELECT cohort, day, count(*) AS n, sum(cents) AS sc
+        |  FROM ev GROUP BY 1, 2)
+        |SELECT CAST(1 AS BIGINT) AS tx_version, cohort,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(sum(sc) AS BIGINT) AS sum_cents
+        |FROM w WHERE day BETWEEN '2024-01-10' AND '2024-01-15'
+        |GROUP BY cohort
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), cohort, CAST(sum(n) AS BIGINT),
+        |  CAST(sum(sc) AS BIGINT)
+        |FROM w WHERE day BETWEEN '2024-01-10' AND '2024-01-20'
+        |GROUP BY cohort""".stripMargin,
 
     // Same md5 priorities, same shard mod, same rank replay.
     "q242_epoch_shuffle" ->

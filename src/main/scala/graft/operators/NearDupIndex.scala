@@ -41,6 +41,19 @@ import graft.sinks.VersionedTable
   * date); re-ingesting an epoch replaces its rows key-wise, and
   * [[probe]] excludes the batch's own ids from the corpus side, so
   * crash-retry of an ingest is idempotent.
+  *
+  * CROSS-TABLE READ CONSISTENCY: `bands` and `grams` are two tables
+  * with two manifests, and [[ingest]] commits them sequentially — a
+  * concurrent UNSCOPED probe (`epochs = None`) can observe the
+  * in-flight epoch's bands before its grams land, in which case that
+  * epoch's candidates verify against no postings and its pairs are
+  * withheld until the ingest completes (read-committed-style: never
+  * wrong pairs, possibly not-yet-visible ones). EPOCH-SCOPED probes —
+  * the production loop (q229/q230) always scopes to the epochs known
+  * complete — filter the in-flight partition out of BOTH tables and
+  * are therefore snapshot-consistent. A single cross-table manifest
+  * (atomic (bandsVersion, gramsVersion) flip) is the upgrade if
+  * unscoped probes must also be snapshot-consistent.
   */
 object NearDupIndex {
 
