@@ -103,6 +103,9 @@ class EntrySpec extends SparkSpec {
                              // (streaming drive of the same loop);
                              // strict-verified at sf0.001 + sf0.01 on
                              // 2026-08-14
+      "q243_bitemporal",     // integer-cents pin (round(value*100) →
+                             // BIGINT before any arithmetic); strict-
+                             // verified at sf0.001 + sf0.01 2026-08-14
       "q241_dp_counts",      // ln of an exact-rational double (the
                              // q113 ln precedent), integer md5-derived
                              // numerators, literal 5.0 scale; strict-
