@@ -4153,6 +4153,37 @@ object SparkEntry {
         .select("phase", "source", "n_docs", "sum_chars", "min_id")
     }),
 
+    // OLAP-lattice maintenance: IVM composed with ROLLUP — one delta
+    // feed maintains ALL THREE granularities ((cohort,type), (cohort),
+    // grand total) of a materialized cube in one pass: the delta batch
+    // is rolled up once and merged into the lattice view keyed by the
+    // sentinel-ized level keys (real cohorts are 0..9 and types never
+    // 'ALL', so the sentinels are unambiguous level markers). Base
+    // never rescanned — the q236 contract at every granularity at
+    // once.
+    "q244_ivm_cube" -> ((s, d) => {
+      val ivm = graft.operators.Ivm
+      val ev = Tables.events(s, d).select(col("event_id"),
+        (col("user_id") % 10).as("cohort"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      def lattice(df: org.apache.spark.sql.DataFrame, sign: Int) = df
+        .rollup("cohort", "event_type")
+        .agg((count(lit(1)) * sign).as("d_count"),
+          (sum("cents") * sign).as("d_sum"))
+        .select(coalesce(col("cohort"), lit(-1L)).as("cohort_k"),
+          coalesce(col("event_type"), lit("ALL")).as("type_k"),
+          col("d_count"), col("d_sum"))
+      val view0 = lattice(ev.where(col("event_id") % 2 === 0), 1)
+        .select(col("cohort_k"), col("type_k"),
+          col("d_count").as("n_rows"), col("d_sum").as("sum_v"))
+      val ins = lattice(ev.where(col("event_id") % 2 === 1), 1)
+      val view1 = ivm.applyDeltas(view0, ins, Seq("cohort_k", "type_k"))
+      val del = lattice(ev.where(col("event_id") % 7 === 0), -1)
+      ivm.applyDeltas(view1, del, Seq("cohort_k", "type_k"))
+        .select(col("cohort_k"), col("type_k"), col("n_rows"),
+          col("sum_v").as("sum_cents"))
+    }),
+
     // Bitemporal query: TRANSACTION time (which commit knew it) ×
     // VALID time (when it happened) — the warehouse composition of
     // VersionedTable time travel (q94's SCD2 is the valid-time half).
@@ -8604,6 +8635,21 @@ object SparkEntry {
         |SELECT 'mor' AS phase, * FROM base
         |UNION ALL
         |SELECT 'vacuumed' AS phase, * FROM base""".stripMargin,
+
+    // The maintained lattice equals a rollup recompute of the final
+    // state (base ∪ inserts minus deletes) with the same sentinels.
+    "q244_ivm_cube" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id % 10 AS cohort, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |fin AS (
+        |  SELECT cohort, event_type, cents FROM ev
+        |  WHERE event_id % 7 <> 0)
+        |SELECT COALESCE(cohort, -1) AS cohort_k,
+        |  COALESCE(event_type, 'ALL') AS type_k,
+        |  count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM fin GROUP BY ROLLUP (cohort, event_type)""".stripMargin,
 
     // Both transaction snapshots replayed closed-form: v1 = valid
     // window clipped at its commit horizon, v2 = the full window.
