@@ -4153,6 +4153,14 @@ object SparkEntry {
         .select("phase", "source", "n_docs", "sum_chars", "min_id")
     }),
 
+    // ExactSubstr APPLY: excise every flagged island (keep the
+    // corpus-wide earliest copy) — what the dedup actually does to
+    // training data; q231 is the detect half. Whole-doc duplicates
+    // report as (0, "").
+    "q245_substring_apply" -> ((s, d) =>
+      graft.operators.SpanDedup.exactSubstrApply(
+        Tables.documents(s, d), "doc_id", "text", minTokens = 8)),
+
     // OLAP-lattice maintenance: IVM composed with ROLLUP — one delta
     // feed maintains ALL THREE granularities ((cohort,type), (cohort),
     // grand total) of a materialized cube in one pass: the delta batch
@@ -8635,6 +8643,43 @@ object SparkEntry {
         |SELECT 'mor' AS phase, * FROM base
         |UNION ALL
         |SELECT 'vacuumed' AS phase, * FROM base""".stripMargin,
+
+    // The q231 island machinery continued into the excision: covered
+    // offsets unnested, anti-joined, survivors re-joined in order.
+    "q245_substring_apply" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |    md5(array_to_string(list_slice(toks, i + 1, i + 8), ' ')) AS h
+        |  FROM t, unnest(generate_series(0,
+        |    CAST(len(toks) - 8 AS BIGINT))) AS g(i)
+        |  WHERE len(toks) >= 8),
+        |f AS (SELECT h, min(doc_id * 1000000 + i) AS fk FROM s GROUP BY h),
+        |d AS (SELECT doc_id, i FROM s JOIN f USING (h)
+        |      WHERE doc_id * 1000000 + i > fk),
+        |w AS (SELECT doc_id, i, i - row_number()
+        |        OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM d),
+        |isl AS (
+        |  SELECT doc_id, min(i) AS s0, max(i) - min(i) + 8 AS sp
+        |  FROM w GROUP BY doc_id, grp),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, s0 + u AS p
+        |  FROM isl, unnest(generate_series(0, sp - 1)) AS g(u)),
+        |tok AS (
+        |  SELECT doc_id, CAST(g.p - 1 AS BIGINT) AS p, toks[g.p] AS tok
+        |  FROM t, unnest(generate_series(1, len(toks))) AS g(p)),
+        |keep AS (
+        |  SELECT tok.doc_id, count(*) AS n_tokens_kept,
+        |    string_agg(tok.tok, ' ' ORDER BY tok.p) AS text_kept
+        |  FROM tok LEFT JOIN cov
+        |    ON cov.doc_id = tok.doc_id AND cov.p = tok.p
+        |  WHERE cov.p IS NULL
+        |  GROUP BY tok.doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens_orig,
+        |  COALESCE(k.n_tokens_kept, 0) AS n_tokens_kept,
+        |  COALESCE(k.text_kept, '') AS text_kept
+        |FROM t LEFT JOIN keep k ON k.doc_id = t.doc_id""".stripMargin,
 
     // The maintained lattice equals a rollup recompute of the final
     // state (base ∪ inserts minus deletes) with the same sentinels.

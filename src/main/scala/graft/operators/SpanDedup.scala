@@ -76,6 +76,43 @@ object SpanDedup {
     * guard below) so "earliest occurrence" is a single `min` aggregate
     * with map-side partial combine.
     */
+  /** The APPLY step of [[exactSubstrIntervals]]: excise every flagged
+    * island from the text, keeping the earliest copy corpus-wide —
+    * what ExactSubstr actually does to training data. Each doc
+    * reports original/kept token counts and the rejoined survivor
+    * text (token order preserved); docs with nothing flagged pass
+    * through whole.
+    *
+    * Scale shape: the islands pipeline plus one explode of COVERED
+    * offsets (≤ corpus tokens), an anti-join on (doc, offset), and a
+    * per-doc ordered re-aggregation — all linear, the window again
+    * per-doc-bounded.
+    */
+  def exactSubstrApply(df: DataFrame, idCol: String, textCol: String,
+                       minTokens: Int = 8): DataFrame = {
+    val islands = exactSubstrIntervals(df, idCol, textCol, minTokens)
+    val covered = islands.select(col(idCol).as("id"),
+      explode(sequence(col("start_tok"),
+        col("start_tok") + col("span_tokens") - 1)).as("p"))
+    val toks = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), " ")).as(Seq("p", "tok")))
+      .withColumn("p", col("p").cast("long"))
+    val kept = toks.join(covered, Seq("id", "p"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          x => x.getField("tok")), " ").as("text_kept"))
+    // LEFT from the corpus side: a doc whose every token was flagged
+    // (a whole-doc duplicate) still reports, as (0, "")
+    df.select(col(idCol).as("id"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens_orig"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens_orig"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+
   def exactSubstrIntervals(df: DataFrame, idCol: String, textCol: String,
                            minTokens: Int = 8): DataFrame = {
     val k = minTokens

@@ -111,6 +111,19 @@ class CurationOpsSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start_tok"),
         r.getAs[Long]("span_tokens"))).toSet
     assert(got === Set((1L, 2L, 12L), (2L, 0L, 20L), (3L, 10L, 8L)))
+
+    // APPLY: islands excised, earliest copies survive whole, a
+    // whole-doc duplicate reduces to empty
+    val applied = graft.operators.SpanDedup
+      .exactSubstrApply(df, "doc_id", "text", minTokens = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens_orig"), r.getAs[Long]("n_tokens_kept"),
+          r.getAs[String]("text_kept")))).toMap
+    assert(applied(0L) === ((20L, 20L, a)), "the original must survive")
+    assert(applied(1L) === ((17L, 5L, "z1 z2 u1 u2 u3")))
+    assert(applied(2L) === ((20L, 0L, "")))
+    assert(applied(3L) === ((18L, 10L, rep + " c1 c2")))
+    assert(applied(4L) === ((3L, 3L, "s1 s2 s3")))
   }
 
   test("stream-stream left outer join emits null-padded unmatched " +
