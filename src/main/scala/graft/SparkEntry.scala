@@ -4153,6 +4153,38 @@ object SparkEntry {
         .select("phase", "source", "n_docs", "sum_chars", "min_id")
     }),
 
+    // Hierarchy rollup via POINTER DOUBLING — the distributed answer
+    // to recursive CTEs (Spark has none): the parent chain
+    // u → u div 10 → … → 0 is closed in ⌈log₂ depth⌉ self-joins
+    // ((u→a, d) ⋈ (a→a', d') ⇒ (u→a', d+d')), each join edge-table-
+    // sized — 4 rounds cover depth ≤ 16, vs depth-many passes for
+    // naive iteration. The oracle replays depth/subtree CLOSED-FORM
+    // from the decimal structure (#digits / first digit), so equality
+    // independently proves the doubling correct. Rolled up: per
+    // level-1 subtree, users/events/cents/max-depth.
+    "q246_hierarchy_rollup" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      var state = ev.select(col("user_id").as("u")).distinct()
+        .select(col("u"),
+          when(col("u") > 0, expr("u div 10")).otherwise(lit(0L)).as("a"),
+          when(col("u") > 0, lit(1L)).otherwise(lit(0L)).as("d"))
+      for (_ <- 1 to 4) {
+        val hop = state.select(col("u").as("a"), col("a").as("a2"),
+          col("d").as("d2"))
+        state = state.join(hop, "a")
+          .select(col("u"), col("a2").as("a"), (col("d") + col("d2")).as("d"))
+      }
+      val depths = state.select(col("u").as("user_id"), col("d").as("depth"),
+        when(col("u") === 0, lit(0L)).otherwise(
+          expr("u div cast(pow(10, d - 1) as long)")).as("subtree"))
+      ev.join(depths, "user_id")
+        .groupBy("subtree")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"), sum("cents").as("sum_cents"),
+          max("depth").as("max_depth"))
+    }),
+
     // ExactSubstr APPLY: excise every flagged island (keep the
     // corpus-wide earliest copy) — what the dedup actually does to
     // training data; q231 is the detect half. Whole-doc duplicates
@@ -8643,6 +8675,27 @@ object SparkEntry {
         |SELECT 'mor' AS phase, * FROM base
         |UNION ALL
         |SELECT 'vacuumed' AS phase, * FROM base""".stripMargin,
+
+    // Depth/subtree replayed closed-form from the decimal chain
+    // (#digits / first digit) — an independent derivation, so a
+    // doubling bug cannot cancel out.
+    "q246_hierarchy_rollup" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |dd AS (
+        |  SELECT DISTINCT user_id,
+        |    CASE WHEN user_id = 0 THEN 0
+        |         ELSE length(CAST(user_id AS VARCHAR)) END AS depth,
+        |    CASE WHEN user_id = 0 THEN 0
+        |         ELSE CAST(substr(CAST(user_id AS VARCHAR), 1, 1)
+        |           AS BIGINT) END AS subtree
+        |  FROM ev)
+        |SELECT subtree, count(DISTINCT ev.user_id) AS n_users,
+        |  count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(max(depth) AS BIGINT) AS max_depth
+        |FROM ev JOIN dd USING (user_id)
+        |GROUP BY subtree""".stripMargin,
 
     // The q231 island machinery continued into the excision: covered
     // offsets unnested, anti-joined, survivors re-joined in order.
