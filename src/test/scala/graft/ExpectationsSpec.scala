@@ -48,6 +48,34 @@ class ExpectationsSpec extends SparkSpec {
     out.foreach(r => assert(r.getBoolean(4) && r.getLong(3) === 0L))
   }
 
+  test("property: fused violation counts equal direct filter counts " +
+    "on arbitrary frames with planted nulls/dupes") {
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val row = for {
+      id <- Gen.option(Gen.choose(0L, 5L)) // small domain → dupes
+      cat <- Gen.option(Gen.oneOf("a", "b", "z"))
+      v <- Gen.option(Gen.choose(-10.0, 120.0))
+    } yield (id, cat, v)
+    val gen = Gen.choose(1, 20).flatMap(n => Gen.listOfN(n, row))
+    val prop = forAll(gen) { rows =>
+      val df = rows.toDF("id", "cat", "v")
+      val got = Expectations.run(df, Seq(
+          NotNull("id"), Unique("id"), InRange("v", 0, 100),
+          InSet("cat", Seq("a", "b"))))
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          r.getLong(3)).toMap
+      val ids = rows.flatMap(_._1)
+      got(("not_null", "id")) == rows.count(_._1.isEmpty) &&
+        got(("unique", "id")) == ids.size - ids.distinct.size &&
+        got(("in_range", "v")) ==
+          rows.flatMap(_._3).count(x => x < 0 || x > 100) &&
+        got(("in_set", "cat")) == rows.flatMap(_._2).count(_ == "z")
+    }
+    val res = SCTest.check(prop)(_.withMinSuccessfulTests(25))
+    assert(res.passed, res.status.toString)
+  }
+
   test("the whole suite is ONE scan: a single aggregate subtree, no " +
     "joins, no repeated file reads") {
     val plan = SparkEntry.queries("q240_expectation_suite")(

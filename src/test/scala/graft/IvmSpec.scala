@@ -34,6 +34,46 @@ class IvmSpec extends SparkSpec {
       (r.getLong(1), r.getLong(2))).toSeq === Seq((1L, 9L)))
   }
 
+  test("property: arbitrary insert/update/delete sequences converge " +
+    "to the recompute of the surviving rows") {
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    // model: rows are (rowId -> (key, value)); ops append CDC deltas
+    val gen = for {
+      nIns <- Gen.choose(1, 12)
+      inserts <- Gen.listOfN(nIns, Gen.zip(Gen.oneOf("a", "b", "c"),
+        Gen.choose(-50L, 50L)))
+      nMut <- Gen.choose(0, 8)
+      muts <- Gen.listOfN(nMut, Gen.zip(Gen.choose(0, nIns - 1),
+        Gen.oneOf("del", "upd"), Gen.choose(-50L, 50L)))
+    } yield (inserts, muts)
+    val prop = forAll(gen) { case (inserts, muts) =>
+      val live = scala.collection.mutable.Map[Int, (String, Long)]()
+      val deltas = scala.collection.mutable.ListBuffer[(String, Long, Long)]()
+      inserts.zipWithIndex.foreach { case ((k, v), i) =>
+        live(i) = (k, v); deltas += ((k, 1L, v))
+      }
+      muts.foreach { case (rid, op, nv) =>
+        live.get(rid).foreach { case (k, ov) =>
+          if (op == "del") { live.remove(rid); deltas += ((k, -1L, -ov)) }
+          else { live(rid) = (k, nv); deltas += ((k, 0L, nv - ov)) }
+        }
+      }
+      val view = Ivm.applyDeltas(
+        Ivm.initialize(Seq.empty[(String, Long)].toDF("k", "v"),
+          Seq("k"), "v"),
+        deltas.toSeq.toDF("k", "d_count", "d_sum"), Seq("k"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+      val expect = live.values.groupBy(_._1).map { case (k, vs) =>
+        k -> ((vs.size.toLong, vs.map(_._2).sum))
+      }
+      view == expect
+    }
+    val res = SCTest.check(prop)(_.withMinSuccessfulTests(25))
+    assert(res.passed, res.status.toString)
+  }
+
   test("maintenance never rescans the base: the applied plan reads " +
     "only view + delta") {
     val base = spark.range(1000).select(($"id" % 7).as("k"),
