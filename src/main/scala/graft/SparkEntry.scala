@@ -4153,6 +4153,25 @@ object SparkEntry {
         .select("phase", "source", "n_docs", "sum_chars", "min_id")
     }),
 
+    // Wide→long unpivot (melt) via Spark's native `unpivot` — the
+    // inverse of q49's pivot, completing that surface pair: four
+    // integer-cents measures per line item melt to (metric, cents)
+    // rows. Map-only (a Generate over the scan), no shuffle.
+    "q247_unpivot" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity") * 100).cast("long").as("quantity_c"),
+        round(col("l_extendedprice") * 100).cast("long")
+          .as("extendedprice_c"),
+        round(col("l_discount") * 100).cast("long").as("discount_c"),
+        round(col("l_tax") * 100).cast("long").as("tax_c"))
+      li.unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("quantity_c"), col("extendedprice_c"),
+          col("discount_c"), col("tax_c")),
+        "metric", "cents")
+    }),
+
     // Hierarchy rollup via POINTER DOUBLING — the distributed answer
     // to recursive CTEs (Spark has none): the parent chain
     // u → u div 10 → … → 0 is closed in ⌈log₂ depth⌉ self-joins
@@ -8675,6 +8694,26 @@ object SparkEntry {
         |SELECT 'mor' AS phase, * FROM base
         |UNION ALL
         |SELECT 'vacuumed' AS phase, * FROM base""".stripMargin,
+
+    // The melt replayed as an explicit 4-way union with the same
+    // metric-name literals Spark's unpivot emits.
+    "q247_unpivot" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS quantity_c,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      AS extendedprice_c,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS discount_c,
+        |    CAST(round(l_tax * 100) AS BIGINT) AS tax_c
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, 'quantity_c' AS metric,
+        |  quantity_c AS cents FROM li
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'extendedprice_c',
+        |  extendedprice_c FROM li
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'discount_c',
+        |  discount_c FROM li
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'tax_c', tax_c
+        |FROM li""".stripMargin,
 
     // Depth/subtree replayed closed-form from the decimal chain
     // (#digits / first digit) — an independent derivation, so a
