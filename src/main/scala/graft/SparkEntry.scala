@@ -4204,6 +4204,51 @@ object SparkEntry {
           max("depth").as("max_depth"))
     }),
 
+    // Time-decayed counters per (event_type, user cohort) as of the
+    // corpus max ts: staircase half-life weights 2^-⌊age/2d⌋ in
+    // 2⁻²⁰-unit dyadic-integer space — ONE map-side-combinable hash
+    // aggregate, exact longs end-to-end (the smooth-EWMA libm `pow`
+    // is only ≤1-ulp reproducible; the staircase is the graded form).
+    // value rides the integer-cents pin (round(value·100) → BIGINT
+    // before any arithmetic).
+    "q248_decayed_counters" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        (col("user_id") % 20).as("cohort"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      graft.operators.Decay.decayedCounters(ev,
+        Seq("event_type", "cohort"), col("ts"), col("cents"),
+        halfLifeUs = 172800000000L) // 2-day half-life
+    }),
+
+    // Distribution-matching subsample: thin documents so length bands
+    // hit a 2:1:1 target — the "rebalance the mix by downsampling
+    // only" op. Integer acceptance thresholds (⌊K·w·2⁴⁸/(W·n)⌋ from
+    // the |buckets|-row histogram) against the 48-bit md5 uniform:
+    // no floats, the kept set replays bit-exact on any engine.
+    "q249_distribution_match" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        least(expr("n_chars div 200"), lit(2L)).as("len_bucket"))
+      graft.operators.DistributionMatch.sampleToTarget(docs,
+          col("len_bucket"), col("doc_id"),
+          Seq(("0", 2L), ("1", 1L), ("2", 1L)), "dm0|")
+        .select(col("doc_id"), col("len_bucket"))
+    }),
+
+    // Theil–Sen robust trend of monthly order volume per status —
+    // the breakdown-resistant complement to q136's OLS. Pairwise
+    // slopes on the BOUNDED month domain (the pre-aggregation
+    // contract: pairs are months², never rows²); the estimate is the
+    // lower-median ORDER STATISTIC, and each slope is one correctly-
+    // rounded IEEE division of exact ints — hash-exact, no float pin.
+    "q250_theil_sen" -> ((s, d) => {
+      val monthly = Tables.orders(s, d).select(col("o_orderstatus"),
+          ((year(col("o_orderdate")) - 1995) * 12 +
+            month(col("o_orderdate")) - 1).as("m"))
+        .groupBy("o_orderstatus", "m").agg(count(lit(1)).as("n_orders"))
+      graft.operators.TrendFit.theilSen(monthly, Seq("o_orderstatus"),
+        col("m"), col("n_orders"))
+    }),
+
     // ExactSubstr APPLY: excise every flagged island (keep the
     // corpus-wide earliest copy) — what the dedup actually does to
     // training data; q231 is the detect half. Whole-doc duplicates
@@ -8735,6 +8780,89 @@ object SparkEntry {
         |  CAST(max(depth) AS BIGINT) AS max_depth
         |FROM ev JOIN dd USING (user_id)
         |GROUP BY subtree""".stripMargin,
+
+    // Integer-cents pin + dyadic staircase weights: every weight is a
+    // power of two computed by an integer shift, sums are exact longs
+    // — no libm call anywhere, identical in any engine.
+    "q248_decayed_counters" ->
+      """WITH ev AS (
+        |  SELECT event_type, user_id % 20 AS cohort,
+        |    epoch_us(ts) AS t_us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |mx AS (SELECT max(t_us) AS asof_us FROM ev),
+        |w AS (
+        |  SELECT event_type, cohort, cents, asof_us,
+        |    (asof_us - t_us) // 172800000000 AS steps
+        |  FROM ev, mx)
+        |SELECT event_type, cohort, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN steps <= 20
+        |    THEN 1::BIGINT << (20 - steps) ELSE 0 END) AS BIGINT)
+        |    AS decayed_n_units,
+        |  CAST(sum(CASE WHEN steps <= 20
+        |    THEN cents * (1::BIGINT << (20 - steps)) ELSE 0 END)
+        |    AS BIGINT) AS decayed_value_units,
+        |  max(asof_us) AS asof_us
+        |FROM w GROUP BY event_type, cohort""".stripMargin,
+
+    // Replays the driver-side BigInt threshold arithmetic in HUGEINT:
+    // K = min ⌊n·W/w⌋, threshold = ⌊K·w·2⁴⁸/(W·n)⌋, accept iff the
+    // q68-idiom 48-bit md5 uniform is below it — all integer.
+    "q249_distribution_match" ->
+      """WITH d AS (
+        |  SELECT doc_id, least(n_chars // 200, 2) AS len_bucket
+        |  FROM documents),
+        |h AS (SELECT len_bucket, count(*) AS n FROM d GROUP BY len_bucket),
+        |k AS (SELECT min(n * 4 // w) AS kk FROM (
+        |  SELECT n, CASE WHEN len_bucket = 0 THEN 2 ELSE 1 END AS w
+        |  FROM h)),
+        |t AS (SELECT len_bucket,
+        |  CAST((kk::HUGEINT
+        |      * (CASE WHEN len_bucket = 0 THEN 2 ELSE 1 END)::HUGEINT
+        |      * 281474976710656::HUGEINT)
+        |    // (4::HUGEINT * n::HUGEINT) AS BIGINT) AS thresh
+        |  FROM h, k),
+        |u AS (SELECT doc_id, len_bucket,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(generate_series(1, 12),
+        |      j -> (strpos('0123456789abcdef',
+        |        substr(md5('dm0|' || CAST(doc_id AS VARCHAR)),
+        |          CAST(j AS INT), 1)) - 1)::BIGINT)),
+        |    (a, v) -> a * 16 + v) AS hv
+        |  FROM d)
+        |SELECT u.doc_id, u.len_bucket
+        |FROM u JOIN t USING (len_bucket)
+        |WHERE u.hv < t.thresh""".stripMargin,
+
+    // Lower-median order statistic over pairwise slopes; each slope
+    // is one correctly-rounded IEEE division of exact integers — no
+    // interpolation arithmetic, no float pin needed.
+    "q250_theil_sen" ->
+      """WITH m AS (
+        |  SELECT o_orderstatus,
+        |    (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1
+        |      AS m,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.o_orderstatus,
+        |    CAST(b.n_orders - a.n_orders AS DOUBLE)
+        |      / CAST(b.m - a.m AS DOUBLE) AS slope,
+        |    a.m AS x1, b.m AS x2
+        |  FROM m a JOIN m b
+        |    ON a.o_orderstatus = b.o_orderstatus AND a.m < b.m),
+        |r AS (
+        |  SELECT o_orderstatus, slope,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY slope, x1, x2) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderstatus) AS n_pairs
+        |  FROM p),
+        |np AS (SELECT o_orderstatus, count(*) AS n_points
+        |  FROM m GROUP BY 1)
+        |SELECT r.o_orderstatus, np.n_points, r.n_pairs,
+        |  r.slope AS ts_slope
+        |FROM r JOIN np USING (o_orderstatus)
+        |WHERE rn = (n_pairs + 1) // 2""".stripMargin,
 
     // The q231 island machinery continued into the excision: covered
     // offsets unnested, anti-joined, survivors re-joined in order.

@@ -56,4 +56,48 @@ object TrendFit {
       when(varx =!= 0.0 && vary =!= 0.0, (cov * cov) / (varx * vary))
         .as("r2"): _*)
   }
+
+  /** Per-group THEIL–SEN trend — the robust complement to [[olsFit]]
+    * (breakdown point 29% vs OLS's single-outlier failure: one bad
+    * ingest day cannot flip a drift verdict). The estimate is the
+    * LOWER MEDIAN (the ⌈P/2⌉-th smallest, a pure order statistic —
+    * no interpolation arithmetic to pin) of all pairwise slopes
+    * (y₂−y₁)/(x₂−x₁) over x₁ < x₂. Each slope is ONE IEEE division
+    * of exact integers — correctly rounded by the standard, hence
+    * bit-identical on any engine — so the output is hash-exact
+    * without a float pin.
+    *
+    * Input contract: one row per (group, x) — pre-aggregate to a
+    * BOUNDED x domain first (days/months/buckets). The pair join is
+    * |group|·n² on that bounded domain (months of a decade ≈ 10⁴
+    * pairs/group), NEVER on raw rows; x·1 and y must fit longs. For
+    * unbounded domains use the sampled repeated-median variant: cap
+    * points per group by a deterministic hash rank, which bounds
+    * pairs at maxPoints² with the estimator's usual √-consistency —
+    * that cap is the caller's pre-aggregation choice, not hidden
+    * here.
+    */
+  def theilSen(df: DataFrame, groupCols: Seq[String], x: Column,
+               y: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gk = groupCols.map(col)
+    val pts = df.select(gk :+ x.cast("long").as("x")
+      :+ y.cast("long").as("y"): _*)
+    val a = pts.select(gk :+ col("x").as("x1") :+ col("y").as("y1"): _*)
+    val b = pts.select(gk :+ col("x").as("x2") :+ col("y").as("y2"): _*)
+    val pairs = a.join(b, groupCols).filter(col("x1") < col("x2"))
+      .withColumn("slope", (col("y2") - col("y1")).cast("double") /
+        (col("x2") - col("x1")).cast("double"))
+    val ordered = Window.partitionBy(gk: _*)
+      .orderBy(col("slope"), col("x1"), col("x2"))
+    val whole = Window.partitionBy(gk: _*)
+    val med = pairs
+      .withColumn("rn", row_number().over(ordered))
+      .withColumn("n_pairs", count(lit(1)).over(whole))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+    val npts = pts.groupBy(gk: _*).agg(count(lit(1)).as("n_points"))
+    med.join(npts, groupCols)
+      .select(gk :+ col("n_points") :+ col("n_pairs")
+        :+ col("slope").as("ts_slope"): _*)
+  }
 }

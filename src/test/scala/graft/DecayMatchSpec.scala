@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Decay, DistributionMatch, TrendFit}
+
+/** q248–q250 family: staircase-decayed counters, distribution-
+  * matching subsample, Theil–Sen robust trend.
+  */
+class DecayMatchSpec extends SparkSpec {
+
+  test("decay: hand-computed staircase weights, truncation, mergeability") {
+    import spark.implicits._
+    // ages 0, 1h, 3h, 50h at halfLife = 2h → steps 0,0,1,25(>20 → 0)
+    val base = 1700000000000000L // epoch micros
+    val us = 3600L * 1000000L
+    val df = Seq(
+      ("a", base, 10L), ("a", base - 1 * us, 20L),
+      ("a", base - 3 * us, 30L), ("a", base - 50 * us, 40L))
+      .toDF("k", "t_us", "cents")
+      .select(col("k"), timestamp_micros(col("t_us")).as("ts"), col("cents"))
+    val got = Decay.decayedCounters(df, Seq("k"), col("ts"), col("cents"),
+      halfLifeUs = 2 * us).collect()
+    assert(got.length === 1)
+    val r = got.head
+    val u = 1L << 20
+    assert(r.getAs[Long]("n_events") === 4L)
+    // weights: u, u, u/2, 0
+    assert(r.getAs[Long]("decayed_n_units") === u + u + u / 2)
+    assert(r.getAs[Long]("decayed_value_units") ===
+      10L * u + 20L * u + 30L * (u / 2))
+    assert(r.getAs[Long]("asof_us") === base)
+
+    // mergeability at a shared instant: counters over two halves sum
+    // to the whole-corpus counter
+    val asof = lit(base)
+    def units(sub: org.apache.spark.sql.DataFrame): Long =
+      Decay.decayedCountersAsOf(sub, Seq("k"), col("ts"), col("cents"),
+          2 * us, asof)
+        .collect().headOption.map(_.getAs[Long]("decayed_value_units"))
+        .getOrElse(0L)
+    val whole = units(df)
+    val parts = units(df.filter(col("cents") <= 20)) +
+      units(df.filter(col("cents") > 20))
+    assert(whole === parts)
+  }
+
+  test("distribution match: kept set hits target ratios, idempotent, no upsample") {
+    import spark.implicits._
+    // bucket sizes 400/100: target 1:1 → K = 200, expect ~100 kept
+    // from the big bucket and ALL 100 from the small one (rate 1)
+    val df = (0 until 500).map(i =>
+      (i.toLong, if (i < 400) "big" else "small")).toDF("id", "b")
+    val kept = DistributionMatch.sampleToTarget(df, col("b"), col("id"),
+      Seq(("big", 1L), ("small", 1L)), "t0|")
+    val byB = kept.groupBy("b").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byB("small") === 100L, "rate-1 bucket must keep every row")
+    // expected 100 from 400 at rate 1/4; binomial 3σ ≈ 26
+    assert(math.abs(byB("big") - 100L) <= 30L, s"got ${byB("big")}")
+    // deterministic: a second run selects the identical id set
+    val again = DistributionMatch.sampleToTarget(df, col("b"), col("id"),
+      Seq(("big", 1L), ("small", 1L)), "t0|")
+    assert(kept.select("id").except(again.select("id")).count() === 0L)
+    assert(again.select("id").except(kept.select("id")).count() === 0L)
+    // different salt → different (but same-sized-ish) selection
+    val other = DistributionMatch.sampleToTarget(df, col("b"), col("id"),
+      Seq(("big", 1L), ("small", 1L)), "t1|")
+    assert(other.select("id").except(kept.select("id")).count() > 0L)
+    // bucket absent from the target is dropped entirely
+    val dropped = DistributionMatch.sampleToTarget(df, col("b"), col("id"),
+      Seq(("small", 1L)), "t0|")
+    assert(dropped.filter(col("b") === "big").count() === 0L)
+    assert(dropped.filter(col("b") === "small").count() === 100L)
+  }
+
+  test("theil-sen: robust to one outlier where OLS is not") {
+    import spark.implicits._
+    // y = 3x + 1 on x=0..9 with one wild outlier at x=5
+    val pts = (0 until 10).map(x =>
+      ("g", x.toLong, if (x == 5) 1000L else 3L * x + 1L))
+      .toDF("g", "x", "y")
+    val ts = TrendFit.theilSen(pts, Seq("g"), col("x"), col("y"))
+      .collect().head
+    assert(ts.getAs[Long]("n_points") === 10L)
+    assert(ts.getAs[Long]("n_pairs") === 45L)
+    assert(ts.getAs[Double]("ts_slope") === 3.0,
+      "median slope must shrug off the outlier")
+    val ols = TrendFit.olsFit(pts, Seq("g"), col("x"), col("y"))
+      .collect().head
+    assert(math.abs(ols.getAs[Double]("slope") - 3.0) > 5.0,
+      "OLS should be wrecked by the outlier (that's the contrast)")
+  }
+
+  test("theil-sen: exact lower-median on an even pair count") {
+    import spark.implicits._
+    // 3 points → 3 pairs; 4 points → 6 pairs (even): lower median is
+    // the 3rd smallest. Slopes for y=x² on x=0..3:
+    // pairs (0,1)=1 (0,2)=2 (0,3)=3 (1,2)=3 (1,3)=4 (2,3)=5 →
+    // sorted 1,2,3,3,4,5 → lower median (rank (6+1) div 2 = 3) = 3
+    val pts = (0 until 4).map(x => ("g", x.toLong, (x * x).toLong))
+      .toDF("g", "x", "y")
+    val ts = TrendFit.theilSen(pts, Seq("g"), col("x"), col("y"))
+      .collect().head
+    assert(ts.getAs[Long]("n_pairs") === 6L)
+    assert(ts.getAs[Double]("ts_slope") === 3.0)
+  }
+}

@@ -130,6 +130,10 @@ class EntrySpec extends SparkSpec {
                              // BIGINT, ranks, ceil-index div);
                              // strict-verified at sf0.001 + sf0.01 on
                              // 2026-08-14
+      "q248_decayed_counters", // integer-cents pin (round(value*100)
+                             // → BIGINT before any arithmetic);
+                             // weights are integer shifts — strict-
+                             // verified at sf0.001 + sf0.01 2026-08-14
       "q233_t_closeness",    // exact-integer EMD numerator over the
                              // common denominator n_g·N·(m−1); the
                              // single rounded division is the ONLY

@@ -188,4 +188,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PartitionFilters"), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q248: decayed counters are one partial+final hash aggregate " +
+    "over the scan — no window, no sort, 1-row broadcast asof join") {
+    val p = plan("q248_decayed_counters")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p) // the 1-row asof stat join
+    // map-side combine on the counter aggregate
+    assert(p.contains("partial_count") || p.contains("Partial"), p)
+  }
+
+  test("q249: distribution match is a broadcast threshold join + " +
+    "filter pass — the corpus is never shuffled") {
+    val p = plan("q249_distribution_match")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // only the |buckets|-row histogram aggregate shuffles
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q250: theil-sen pair join keys on the group column (pairs " +
+    "stay within groups — no cartesian)") {
+    val p = plan("q250_theil_sen")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
