@@ -4249,6 +4249,35 @@ object SparkEntry {
         col("m"), col("n_orders"))
     }),
 
+    // Split-conformal quality gate: calibrate a per-lang threshold on
+    // a held-out half of q225's integer classifier scores, flag
+    // apply-half docs above it — false-flag rate ≤ α = 1/8 by the
+    // conformal guarantee, no distributional assumption. Rank
+    // ⌈(n+1)(1−α)⌉ is exact integer arithmetic; the whole report is
+    // integers + an order-statistic τ.
+    "q251_conformal_filter" -> ((s, d) => {
+      val scored = graft.operators.QualityClassifier.score(
+        Tables.documents(s, d), "text", "doc_id", keep = Seq("lang"))
+      val h = call_function("graft_md5i",
+        concat(lit("cf0|"), col("doc_id").cast("string")), lit(12))
+      graft.operators.Conformal.splitConformal(
+        scored.filter(h % 2 === 0), scored.filter(h % 2 === 1),
+        Seq("lang"), "score", alphaNum = 1, alphaDen = 8)
+    }),
+
+    // Mann–Kendall monotone-trend TEST on the q250 input — the
+    // nonparametric significance companion to Theil–Sen's magnitude:
+    // S and the ×18 tie-corrected variance numerator, both exact
+    // integers (the z-score is one driver-side sqrt away).
+    "q252_mann_kendall" -> ((s, d) => {
+      val monthly = Tables.orders(s, d).select(col("o_orderstatus"),
+          ((year(col("o_orderdate")) - 1995) * 12 +
+            month(col("o_orderdate")) - 1).as("m"))
+        .groupBy("o_orderstatus", "m").agg(count(lit(1)).as("n_orders"))
+      graft.operators.TrendFit.mannKendall(monthly, Seq("o_orderstatus"),
+        col("m"), col("n_orders"))
+    }),
+
     // ExactSubstr APPLY: excise every flagged island (keep the
     // corpus-wide earliest copy) — what the dedup actually does to
     // training data; q231 is the detect half. Whole-doc duplicates
@@ -8863,6 +8892,92 @@ object SparkEntry {
         |  r.slope AS ts_slope
         |FROM r JOIN np USING (o_orderstatus)
         |WHERE rn = (n_pairs + 1) // 2""".stripMargin,
+
+    // q225's exact-integer score replay + md5-parity split; τ is the
+    // ⌈(n+1)·7/8⌉-th order statistic (pure integer rank) and every
+    // output column is an integer or that order statistic.
+    "q251_conformal_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '') AS ts
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang,
+        |    list_transform(range(1, greatest(len(ts), 1)),
+        |      i -> ts[i] || ' ' || ts[i + 1]) AS grams
+        |  FROM t),
+        |sc AS (
+        |  SELECT doc_id, lang,
+        |    CAST(coalesce(list_sum(list_transform(grams, gr ->
+        |      list_reduce(list_prepend(0::BIGINT,
+        |        list_transform(generate_series(1, 4),
+        |          j -> (strpos('0123456789abcdef', substr(md5('w:' ||
+        |            (list_reduce(list_prepend(0::BIGINT,
+        |              list_transform(generate_series(1, 4),
+        |                k -> (strpos('0123456789abcdef',
+        |                  substr(md5(gr), CAST(k AS INT), 1)) - 1)::BIGINT)),
+        |              (a, v) -> a * 16 + v) % 4096)::VARCHAR),
+        |            CAST(j AS INT), 1)) - 1)::BIGINT)),
+        |        (a, v) -> a * 16 + v) % 17 - 8)), 0) AS BIGINT) AS score
+        |  FROM g),
+        |hv AS (
+        |  SELECT doc_id, lang, score,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(generate_series(1, 12),
+        |        j -> (strpos('0123456789abcdef',
+        |          substr(md5('cf0|' || CAST(doc_id AS VARCHAR)),
+        |            CAST(j AS INT), 1)) - 1)::BIGINT)),
+        |      (a, v) -> a * 16 + v) AS h
+        |  FROM sc),
+        |cal AS (SELECT lang, score FROM hv WHERE h % 2 = 0),
+        |app AS (SELECT lang, score FROM hv WHERE h % 2 = 1),
+        |r AS (
+        |  SELECT lang, score,
+        |    row_number() OVER (PARTITION BY lang ORDER BY score) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS nc
+        |  FROM cal),
+        |tau AS (SELECT lang, score AS tau FROM r
+        |  WHERE rn = ((nc + 1) * 7 + 7) // 8),
+        |sz AS (SELECT lang, count(*) AS n_cal FROM cal GROUP BY lang)
+        |SELECT app.lang, sz.n_cal, tau.tau,
+        |  count(*) AS n_apply,
+        |  CAST(sum(CASE WHEN tau.tau IS NOT NULL
+        |    AND app.score > tau.tau THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged
+        |FROM app JOIN sz USING (lang)
+        |LEFT JOIN tau ON app.lang = tau.lang
+        |GROUP BY app.lang, sz.n_cal, tau.tau""".stripMargin,
+
+    // S and the ×18 variance numerator replayed with exact integer
+    // sums — no float anywhere in the graded columns.
+    "q252_mann_kendall" ->
+      """WITH m AS (
+        |  SELECT o_orderstatus,
+        |    (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1
+        |      AS m,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY 1, 2),
+        |s AS (
+        |  SELECT a.o_orderstatus,
+        |    CAST(sum(CASE WHEN b.n_orders > a.n_orders THEN 1
+        |      WHEN b.n_orders < a.n_orders THEN -1 ELSE 0 END)
+        |      AS BIGINT) AS s_stat
+        |  FROM m a JOIN m b
+        |    ON a.o_orderstatus = b.o_orderstatus AND a.m < b.m
+        |  GROUP BY 1),
+        |n AS (SELECT o_orderstatus, count(*) AS n_points
+        |  FROM m GROUP BY 1),
+        |t AS (SELECT o_orderstatus,
+        |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_corr
+        |  FROM (SELECT o_orderstatus, n_orders, count(*) AS t
+        |    FROM m GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT n.o_orderstatus, n.n_points, s.s_stat,
+        |  CAST(n.n_points * (n.n_points - 1) * (2 * n.n_points + 5)
+        |    - t.tie_corr AS BIGINT) AS var18
+        |FROM n JOIN s USING (o_orderstatus)
+        |JOIN t USING (o_orderstatus)""".stripMargin,
 
     // The q231 island machinery continued into the excision: covered
     // offsets unnested, anti-joined, survivors re-joined in order.

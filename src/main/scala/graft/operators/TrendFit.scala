@@ -100,4 +100,39 @@ object TrendFit {
       .select(gk :+ col("n_points") :+ col("n_pairs")
         :+ col("slope").as("ts_slope"): _*)
   }
+
+  /** Per-group MANN–KENDALL trend TEST statistics — the
+    * non-parametric "is there a monotone trend at all" significance
+    * companion to [[theilSen]]'s magnitude (Mann 1945, Kendall's τ):
+    * S = Σ_{x_i<x_j} sign(y_j − y_i), with the tie-corrected variance
+    * Var(S) = [n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)] / 18. Both are
+    * emitted as EXACT INTEGERS (S and the ×18 variance numerator
+    * `var18`) — the z-score is one driver-side division/sqrt away,
+    * but the engine-side contract stays hash-exact with no float to
+    * pin. Same bounded-x-domain pre-aggregation contract as
+    * [[theilSen]]: pairs are domain², never rows².
+    * Output: (groupCols..., n_points, s_stat, var18).
+    */
+  def mannKendall(df: DataFrame, groupCols: Seq[String], x: Column,
+                  y: Column): DataFrame = {
+    val gk = groupCols.map(col)
+    val pts = df.select(gk :+ x.cast("long").as("x")
+      :+ y.cast("long").as("y"): _*)
+    val a = pts.select(gk :+ col("x").as("x1") :+ col("y").as("y1"): _*)
+    val b = pts.select(gk :+ col("x").as("x2") :+ col("y").as("y2"): _*)
+    val sStat = a.join(b, groupCols).filter(col("x1") < col("x2"))
+      .groupBy(gk: _*)
+      .agg(sum(signum(col("y2") - col("y1")).cast("long")).as("s_stat"))
+    val n = pts.groupBy(gk: _*).agg(count(lit(1)).as("n_points"))
+    // tie groups over y: Σ t(t−1)(2t+5) per group
+    val ties = pts.groupBy(gk :+ col("y"): _*)
+      .agg(count(lit(1)).as("t"))
+      .groupBy(gk: _*)
+      .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5))
+        .as("tie_corr"))
+    n.join(sStat, groupCols).join(ties, groupCols)
+      .select(gk :+ col("n_points") :+ col("s_stat") :+
+        (col("n_points") * (col("n_points") - 1) *
+          (col("n_points") * 2 + 5) - col("tie_corr")).as("var18"): _*)
+  }
 }

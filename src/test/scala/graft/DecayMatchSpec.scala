@@ -91,6 +91,68 @@ class DecayMatchSpec extends SparkSpec {
       "OLS should be wrecked by the outlier (that's the contrast)")
   }
 
+  test("conformal: threshold is the exact order-statistic rank; " +
+    "small calibration yields null tau and zero flags") {
+    import spark.implicits._
+    // 15 calibration scores 1..15 → rank ⌈16·7/8⌉ = 14 → τ = 14
+    val cal = (1 to 15).map(v => ("g", v.toLong)).toDF("g", "s")
+    val app = Seq(("g", 13L), ("g", 14L), ("g", 15L), ("g", 99L))
+      .toDF("g", "s")
+    val got = graft.operators.Conformal.splitConformal(
+      cal, app, Seq("g"), "s", alphaNum = 1, alphaDen = 8)
+      .collect().head
+    assert(got.getAs[Long]("n_cal") === 15L)
+    assert(got.getAs[Long]("tau") === 14L)
+    assert(got.getAs[Long]("n_apply") === 4L)
+    assert(got.getAs[Long]("n_flagged") === 2L) // 15 and 99 exceed τ
+    // 3 calibration points at α=1/8: rank ⌈4·7/8⌉ = 4 > 3 → no τ
+    val tiny = (1 to 3).map(v => ("g", v.toLong)).toDF("g", "s")
+    val g2 = graft.operators.Conformal.splitConformal(
+      tiny, app, Seq("g"), "s", alphaNum = 1, alphaDen = 8)
+      .collect().head
+    assert(g2.isNullAt(g2.fieldIndex("tau")))
+    assert(g2.getAs[Long]("n_flagged") === 0L)
+  }
+
+  test("conformal: false-flag rate honors alpha on exchangeable data") {
+    import spark.implicits._
+    // deterministic pseudo-scores, split half/half: flag rate on the
+    // apply half must be ≤ α plus finite-sample slack
+    val rows = (0 until 2000).map { i =>
+      ("g", (i * 2654435761L) % 10007L, i % 2 == 0)
+    }
+    val cal = rows.filter(_._3).map(r => (r._1, r._2)).toDF("g", "s")
+    val app = rows.filterNot(_._3).map(r => (r._1, r._2)).toDF("g", "s")
+    val got = graft.operators.Conformal.splitConformal(
+      cal, app, Seq("g"), "s", alphaNum = 1, alphaDen = 10)
+      .collect().head
+    val rate = got.getAs[Long]("n_flagged").toDouble /
+      got.getAs[Long]("n_apply")
+    assert(rate <= 0.1 + 0.03, s"flag rate $rate breaches alpha=0.1")
+    assert(rate >= 0.02, s"flag rate $rate suspiciously low")
+  }
+
+  test("mann-kendall: hand-computed S and tie-corrected variance") {
+    import spark.implicits._
+    // y = 1,2,2,3 on x = 0..3: pairs (6): signs +1,+1,+1,0,+1,+1 → S=5
+    // ties: one group of t=2 → tie_corr = 2·1·9 = 18
+    // var18 = 4·3·13 − 18 = 138
+    val pts = Seq(("g", 0L, 1L), ("g", 1L, 2L), ("g", 2L, 2L),
+      ("g", 3L, 3L)).toDF("g", "x", "y")
+    val got = graft.operators.TrendFit.mannKendall(
+      pts, Seq("g"), col("x"), col("y")).collect().head
+    assert(got.getAs[Long]("n_points") === 4L)
+    assert(got.getAs[Long]("s_stat") === 5L)
+    assert(got.getAs[Long]("var18") === 138L)
+    // strictly decreasing series: S = −n(n−1)/2
+    val dec = (0 until 6).map(x => ("d", x.toLong, (100 - x).toLong))
+      .toDF("g", "x", "y")
+    val d2 = graft.operators.TrendFit.mannKendall(
+      dec, Seq("g"), col("x"), col("y")).collect().head
+    assert(d2.getAs[Long]("s_stat") === -15L)
+    assert(d2.getAs[Long]("var18") === 6L * 5L * 17L)
+  }
+
   test("theil-sen: exact lower-median on an even pair count") {
     import spark.implicits._
     // 3 points → 3 pairs; 4 points → 6 pairs (even): lower median is
