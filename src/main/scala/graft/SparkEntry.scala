@@ -4278,6 +4278,23 @@ object SparkEntry {
         col("m"), col("n_orders"))
     }),
 
+    // Cluster-aware anti-leak split — the FIX for what q96 detects:
+    // split assignment hashed on the near-dup CLUSTER label (memoized
+    // verified pair graph → connected components; singletons = own
+    // id), so no verified near-dup pair can straddle train/eval by
+    // construction. Same stateless md5 bucket arithmetic as q74.
+    "q253_cluster_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDupsCached(docs, d, "text", "doc_id",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      val comps = graft.operators.Components
+        .connectedComponentsCached(pairs, s"minhash05|$d")
+      graft.operators.WeightedSample.clusterSplit(
+          docs.select("doc_id"), "doc_id", comps,
+          trainPct = 90, valPct = 5, salt = "cs0")
+        .select(col("doc_id"), col("cluster"), col("split"))
+    }),
+
     // ExactSubstr APPLY: excise every flagged island (keep the
     // corpus-wide earliest copy) — what the dedup actually does to
     // training data; q231 is the detect half. Whole-doc duplicates
@@ -8978,6 +8995,37 @@ object SparkEntry {
         |    - t.tie_corr AS BIGINT) AS var18
         |FROM n JOIN s USING (o_orderstatus)
         |JOIN t USING (o_orderstatus)""".stripMargin,
+
+    // The q37 recursive-closure ground truth relabels every doc by
+    // its cluster (singletons keep their own id), then q74's md5
+    // bucket arithmetic keys on the CLUSTER — an independent replay
+    // of both halves of the composition.
+    "q253_cluster_split" ->
+      (ngramJaccardPairsCte +
+        """,
+          |ed AS (SELECT id_a AS s, id_b AS d FROM jpairs
+          |       UNION SELECT id_b, id_a FROM jpairs),
+          |reach AS (
+          |  SELECT s AS id, s AS comp FROM ed
+          |  UNION
+          |  SELECT ed.d, reach.comp FROM reach JOIN ed ON ed.s = reach.id),
+          |lab AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+          |cl AS (
+          |  SELECT dd.doc_id, coalesce(l.component, dd.doc_id) AS cluster
+          |  FROM documents dd LEFT JOIN lab l ON dd.doc_id = l.id),
+          |sp AS (
+          |  SELECT doc_id, cluster,
+          |    list_reduce(list_prepend(0::BIGINT,
+          |      list_transform(generate_series(1, 12),
+          |        j -> (strpos('0123456789abcdef',
+          |          substr(md5('cs0|' || CAST(cluster AS VARCHAR)),
+          |            CAST(j AS INT), 1)) - 1)::BIGINT)),
+          |      (a, v) -> a * 16 + v) % 100 AS b
+          |  FROM cl)
+          |SELECT doc_id, cluster,
+          |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM sp""".stripMargin),
 
     // The q231 island machinery continued into the excision: covered
     // offsets unnested, anti-joined, survivors re-joined in order.

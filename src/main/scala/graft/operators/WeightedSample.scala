@@ -74,6 +74,42 @@ object WeightedSample {
         .otherwise("test"))
   }
 
+  /** ANTI-LEAK split: [[splitAssign]] keyed by near-dup CLUSTER
+    * instead of document — the fix for what q96's leak gate detects.
+    * Hashing per document puts near-duplicate pairs on both sides of
+    * the train/eval fence (eval contamination); hashing the cluster
+    * label moves every member of a duplicate family together, so NO
+    * verified near-dup pair can straddle splits, by construction.
+    *
+    * `components` is the (id, component) labeling from
+    * [[Components.connectedComponents]] over the verified pair graph;
+    * documents absent from it (no near-dup) are their own singleton
+    * cluster (label = own id — disjoint from component labels, which
+    * are min member ids). The join is an id-keyed equi-join (cluster
+    * membership can be a large fraction of the corpus — it shuffles,
+    * deliberately; don't broadcast it), then the same stateless md5
+    * bucket arithmetic as [[splitAssign]]: growth-stable, re-dealable
+    * by salt, no driver state.
+    */
+  def clusterSplit(df: DataFrame, idCol: String, components: DataFrame,
+                   trainPct: Int = 90, valPct: Int = 5,
+                   salt: String = "epoch0"): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"bad split $trainPct/$valPct")
+    val withCluster = df
+      .join(components.select(col("id").as(idCol), col("component")),
+        Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("component"), col(idCol)))
+      .drop("component")
+    val h = md5u48(concat_ws("|", lit(salt), col("cluster").cast("string")))
+    val bucket = h % 100
+    withCluster.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
   /** Corpus mixing: downsample each source to a target keep-rate —
     * the composition knob corpus builders turn (e.g. 30% web, 100%
     * reference text). Per-row decision = the same md5-derived uniform

@@ -132,6 +132,32 @@ class DecayMatchSpec extends SparkSpec {
     assert(rate >= 0.02, s"flag rate $rate suspiciously low")
   }
 
+  test("cluster split: no pair straddles splits; singletons keep own id") {
+    import spark.implicits._
+    // 600 docs; pairs chain docs 0..299 into 100 clusters of 3
+    val docs = (0L until 600L).toDF("doc_id")
+    val comps = (0L until 300L).map(i => (i, i - i % 3))
+      .toDF("id", "component")
+    val asg = graft.operators.WeightedSample.clusterSplit(
+      docs, "doc_id", comps, trainPct = 80, valPct = 10, salt = "t")
+    // every clustered doc shares its cluster-mates' split
+    val pairs = (0L until 300L).filter(_ % 3 != 0).map(i => (i - i % 3, i))
+      .toDF("id_a", "id_b")
+    val leaks = pairs
+      .join(asg.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+      .join(asg.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+      .filter(col("sa") =!= col("sb"))
+    assert(leaks.count() === 0L, "near-dup pair straddles splits")
+    // singleton docs (300..599) use their own id as cluster
+    val singletons = asg.filter(col("doc_id") >= 300)
+    assert(singletons.filter(col("cluster") =!= col("doc_id")).count() === 0L)
+    // all three splits materialize with plausible mass
+    val bySplit = asg.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    assert(bySplit("train") > 350L, s"train too small: $bySplit")
+  }
+
   test("mann-kendall: hand-computed S and tie-corrected variance") {
     import spark.implicits._
     // y = 1,2,2,3 on x = 0..3: pairs (6): signs +1,+1,+1,0,+1,+1 → S=5
