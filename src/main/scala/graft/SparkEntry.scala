@@ -4295,6 +4295,26 @@ object SparkEntry {
         .select(col("doc_id"), col("cluster"), col("split"))
     }),
 
+    // Data-constrained mix planning: water-fill a token budget (5/8
+    // of total 2-epoch capacity) across sources, 3:1 weights on the
+    // first five — sources whose capacity undershoots their share
+    // saturate and the budget re-apportions; q194 is the uncapped
+    // special case. Exact integers end-to-end (cross-multiplied λ*
+    // frontier + largest-remainder), so Σ alloc == budget exactly.
+    "q254_budget_waterfill" -> ((s, d) => {
+      val toks = Tables.documents(s, d).select(col("source"),
+          size(filter(split(lower(col("text")), "\\s+"),
+            t => t =!= lit(""))).cast("long").as("n_tok"))
+        .groupBy("source").agg(sum("n_tok").as("n_tok"))
+      val caps = toks.select(col("source"),
+        (col("n_tok") * 2).as("cap"),
+        when(col("source").isin("src0", "src1", "src2", "src3", "src4"),
+          3L).otherwise(1L).as("w"))
+      val budget = caps.agg(expr("(sum(cap) * 5) div 8").as("budget"))
+      graft.operators.WaterFill.allocate(
+        caps.crossJoin(broadcast(budget)), "source", "cap", "w", "budget")
+    }),
+
     // ExactSubstr APPLY: excise every flagged island (keep the
     // corpus-wide earliest copy) — what the dedup actually does to
     // training data; q231 is the detect half. Whole-doc duplicates
@@ -9026,6 +9046,57 @@ object SparkEntry {
           |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
           |       ELSE 'test' END AS split
           |FROM sp""".stripMargin),
+
+    // Same windows, same cross-multiplied saturation frontier, same
+    // largest-remainder bonus — all integer arithmetic.
+    "q254_budget_waterfill" ->
+      """WITH tk AS (
+        |  SELECT source, CAST(sum(len(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '')))
+        |    AS BIGINT) AS n_tok
+        |  FROM documents GROUP BY source),
+        |c AS (
+        |  SELECT source, n_tok * 2 AS cap,
+        |    CASE WHEN source IN ('src0','src1','src2','src3','src4')
+        |      THEN 3::BIGINT ELSE 1::BIGINT END AS w
+        |  FROM tk),
+        |b AS (SELECT CAST((sum(cap) * 5) // 8 AS BIGINT) AS budget
+        |  FROM c),
+        |s1 AS (
+        |  SELECT c.*, b.budget,
+        |    row_number() OVER ord AS rn,
+        |    coalesce(sum(cap) OVER (ord ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0) AS sprev,
+        |    sum(w) OVER (ord ROWS BETWEEN CURRENT ROW AND UNBOUNDED
+        |      FOLLOWING) AS wrem
+        |  FROM c, b
+        |  WINDOW ord AS (ORDER BY CAST(cap AS DOUBLE)
+        |    / CAST(w AS DOUBLE), source)),
+        |s2 AS (SELECT *, CASE WHEN (budget - sprev) * w < cap * wrem
+        |    THEN rn END AS first_un FROM s1),
+        |s3 AS (SELECT *, min(first_un) OVER () AS rstar FROM s2),
+        |s4 AS (SELECT *,
+        |    max(CASE WHEN rn = rstar THEN sprev END) OVER () AS sstar,
+        |    max(CASE WHEN rn = rstar THEN wrem END) OVER () AS wstar
+        |  FROM s3),
+        |s5 AS (SELECT *, budget - sstar AS pool,
+        |    CASE WHEN rstar IS NOT NULL AND rn >= rstar
+        |      THEN (budget - sstar) * w // wstar END AS fl,
+        |    CASE WHEN rstar IS NOT NULL AND rn >= rstar
+        |      THEN ((budget - sstar) * w) % wstar END AS rem
+        |  FROM s4),
+        |s6 AS (SELECT *, pool - sum(coalesce(fl, 0)) OVER () AS short,
+        |    row_number() OVER (ORDER BY CASE WHEN rstar IS NOT NULL
+        |      AND rn >= rstar THEN 0 ELSE 1 END,
+        |      rem DESC NULLS LAST, source) AS brank
+        |  FROM s5)
+        |SELECT source, cap, w,
+        |  CAST(CASE WHEN rstar IS NULL OR rn < rstar THEN cap
+        |    ELSE fl + (CASE WHEN brank <= short THEN 1 ELSE 0 END)
+        |    END AS BIGINT) AS alloc,
+        |  CAST(CASE WHEN rstar IS NULL OR rn < rstar THEN 1 ELSE 0
+        |    END AS BIGINT) AS saturated
+        |FROM s6""".stripMargin,
 
     // The q231 island machinery continued into the excision: covered
     // offsets unnested, anti-joined, survivors re-joined in order.

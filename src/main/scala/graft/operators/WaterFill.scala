@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Capacity-capped proportional allocation (WATER-FILLING) — the
+  * "how many tokens do I take from each source" planner for a
+  * data-constrained pretraining mix (Muennighoff et al. 2023: sources
+  * have finite unique tokens and a repetition cap; demand beyond a
+  * source's capacity must spill to the others in weight proportion).
+  * q194's largest-remainder apportionment is the uncapped special
+  * case; this operator adds the saturation dynamics: sources whose
+  * capacity is below their proportional share fill to capacity and
+  * the remaining budget re-apportions over the rest — the classic
+  * water level λ* with allocation min(cap_s, λ*·w_s).
+  *
+  * Everything is EXACT integer arithmetic: the saturation frontier is
+  * found by cross-multiplied rational comparison (no float λ), the
+  * unsaturated shares are largest-remainder apportioned (floor + top
+  * remainders get +1), so Σ alloc == min(budget, Σ cap) EXACTLY and
+  * every alloc ≤ cap. Caps/weights/budget must keep budget·w and
+  * cap·Σw within long range — token counts do.
+  *
+  * Scale contract: the input is ONE ROW PER SOURCE — a domain-bounded
+  * table (tens to thousands of rows), never the corpus. The
+  * whole-frame windows below therefore run on a single partition by
+  * design; corpus-sized work (counting tokens per source) happens
+  * BEFORE this operator as an ordinary aggregate.
+  *
+  * Output: (key, cap, w, alloc, saturated).
+  */
+object WaterFill {
+
+  /** Allocate `budgetCol` (a per-row-constant column, e.g. joined
+    * from a 1-row stat) across rows with capacity `capCol` and
+    * integer weight `weightCol`, proportional to weight, capped at
+    * capacity. Keys must be distinct; all inputs non-negative longs.
+    */
+  def allocate(df: DataFrame, keyCol: String, capCol: String,
+               weightCol: String, budgetCol: String): DataFrame = {
+    val lam = col(capCol).cast("double") / col(weightCol).cast("double")
+    val byLam = Window.orderBy(lam, col(keyCol))
+    val whole = Window.orderBy(lam, col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val staged = df
+      .withColumn("graft_wf_rn", row_number().over(byLam))
+      .withColumn("graft_wf_sprev", coalesce(sum(col(capCol)).over(
+        byLam.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("graft_wf_wrem", sum(col(weightCol)).over(
+        byLam.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      // first row whose water level λ* = (B−S_prev)/W_rem sits below
+      // its own λ = cap/w — cross-multiplied, exact integers
+      .withColumn("graft_wf_first", when(
+        (col(budgetCol) - col("graft_wf_sprev")) * col(weightCol) <
+          col(capCol) * col("graft_wf_wrem"), col("graft_wf_rn")))
+      .withColumn("graft_wf_rstar", min(col("graft_wf_first")).over(whole))
+    val unsat = col("graft_wf_rstar").isNotNull &&
+      col("graft_wf_rn") >= col("graft_wf_rstar")
+    val scoped = staged
+      .withColumn("graft_wf_sstar", max(when(
+        col("graft_wf_rn") === col("graft_wf_rstar"),
+        col("graft_wf_sprev"))).over(whole))
+      .withColumn("graft_wf_wstar", max(when(
+        col("graft_wf_rn") === col("graft_wf_rstar"),
+        col("graft_wf_wrem"))).over(whole))
+      .withColumn("graft_wf_pool",
+        col(budgetCol) - col("graft_wf_sstar"))
+      .withColumn("graft_wf_floor", when(unsat, expr(
+        s"(graft_wf_pool * $weightCol) div graft_wf_wstar")))
+      .withColumn("graft_wf_rem", when(unsat,
+        (col("graft_wf_pool") * col(weightCol)) % col("graft_wf_wstar")))
+      .withColumn("graft_wf_short", col("graft_wf_pool") -
+        sum(when(unsat, col("graft_wf_floor")).otherwise(lit(0L)))
+          .over(whole))
+      .withColumn("graft_wf_brank", row_number().over(Window.orderBy(
+        when(unsat, lit(0)).otherwise(lit(1)),
+        col("graft_wf_rem").desc_nulls_last, col(keyCol))))
+    scoped.select(col(keyCol), col(capCol), col(weightCol),
+      when(!unsat, col(capCol))
+        .otherwise(col("graft_wf_floor") +
+          when(col("graft_wf_brank") <= col("graft_wf_short"), 1L)
+            .otherwise(0L)).as("alloc"),
+      (!unsat).cast("long").as("saturated"))
+  }
+}

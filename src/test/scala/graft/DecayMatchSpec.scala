@@ -179,6 +179,56 @@ class DecayMatchSpec extends SparkSpec {
     assert(d2.getAs[Long]("var18") === 6L * 5L * 17L)
   }
 
+  test("water-fill: hand-computed saturation; exact budget; caps hold") {
+    import spark.implicits._
+    // caps (10,100,100), weights (5,1,1), budget 60:
+    // λ = 2, 100, 100 → a saturates (alloc 10), pool 50 splits 25/25
+    val df = Seq(("a", 10L, 5L, 60L), ("b", 100L, 1L, 60L),
+      ("c", 100L, 1L, 60L)).toDF("k", "cap", "w", "budget")
+    val got = graft.operators.WaterFill.allocate(df, "k", "cap", "w",
+      "budget").collect().map(r => r.getAs[String]("k") ->
+      (r.getAs[Long]("alloc"), r.getAs[Long]("saturated"))).toMap
+    assert(got("a") === ((10L, 1L)))
+    assert(got("b") === ((25L, 0L)))
+    assert(got("c") === ((25L, 0L)))
+    // budget above total capacity: everything saturates at cap
+    val over = Seq(("a", 10L, 1L, 100L), ("b", 10L, 1L, 100L))
+      .toDF("k", "cap", "w", "budget")
+    val g2 = graft.operators.WaterFill.allocate(over, "k", "cap", "w",
+      "budget").collect()
+    assert(g2.map(_.getAs[Long]("alloc")).sum === 20L)
+    assert(g2.forall(_.getAs[Long]("saturated") === 1L))
+    // property sweep: Σ alloc == min(B, Σ cap), every alloc ≤ cap,
+    // unsaturated allocs proportional within the ±1 apportionment band
+    val caps = (0 until 17).map(i => (s"s$i",
+      (i * 37 % 91 + 3).toLong, (i % 4 + 1).toLong))
+    for (budget <- Seq(50L, 300L, 700L, 2000L)) {
+      val in = caps.map { case (k, c, w) => (k, c, w, budget) }
+        .toDF("k", "cap", "w", "budget")
+      val rows = graft.operators.WaterFill.allocate(in, "k", "cap",
+        "w", "budget").collect()
+      val totalCap = caps.map(_._2).sum
+      assert(rows.map(_.getAs[Long]("alloc")).sum ===
+        math.min(budget, totalCap), s"budget $budget")
+      rows.foreach { r =>
+        assert(r.getAs[Long]("alloc") <= r.getAs[Long]("cap"),
+          s"cap breach at budget $budget: $r")
+      }
+      val un = rows.filter(_.getAs[Long]("saturated") === 0L)
+      if (un.nonEmpty) {
+        val pool = budget -
+          rows.filter(_.getAs[Long]("saturated") === 1L)
+            .map(_.getAs[Long]("cap")).sum
+        val wSum = un.map(_.getAs[Long]("w")).sum
+        un.foreach { r =>
+          val exact = pool.toDouble * r.getAs[Long]("w") / wSum
+          assert(math.abs(r.getAs[Long]("alloc") - exact) <= 1.0,
+            s"unsat share off at budget $budget: $r vs $exact")
+        }
+      }
+    }
+  }
+
   test("theil-sen: exact lower-median on an even pair count") {
     import spark.implicits._
     // 3 points → 3 pairs; 4 points → 6 pairs (even): lower median is
