@@ -4315,6 +4315,19 @@ object SparkEntry {
         caps.crossJoin(broadcast(budget)), "source", "cap", "w", "budget")
     }),
 
+    // CUSUM drift alarm on daily event volume per type — the
+    // sequential sustained-shift detector (accumulated evidence, not
+    // per-point outliers). The max(0, ·) recursion is rewritten as
+    // cumsum − running-min, so the detector is two stacked windows
+    // over the (type, day) series, exact integers end-to-end.
+    "q255_cusum_drift" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      graft.operators.Cusum.detect(daily, Seq("event_type"), "day",
+        "n_events", slackDiv = 20L, threshDiv = 4L)
+    }),
+
     // ExactSubstr APPLY: excise every flagged island (keep the
     // corpus-wide earliest copy) — what the dedup actually does to
     // training data; q231 is the detect half. Whole-doc duplicates
@@ -9097,6 +9110,35 @@ object SparkEntry {
         |  CAST(CASE WHEN rstar IS NULL OR rn < rstar THEN 1 ELSE 0
         |    END AS BIGINT) AS saturated
         |FROM s6""".stripMargin,
+
+    // cumsum − running-min identity replayed with the same floor-div
+    // μ/slack — integer arithmetic only.
+    "q255_cusum_drift" ->
+      """WITH dc AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT *, sum(n_events) OVER (PARTITION BY event_type)
+        |      AS sx,
+        |    count(*) OVER (PARTITION BY event_type) AS nn
+        |  FROM dc),
+        |dd AS (
+        |  SELECT *, sx // nn AS mu,
+        |    n_events - (sx // nn) - ((sx // nn) // 20) AS d
+        |  FROM st),
+        |pp AS (
+        |  SELECT *, sum(d) OVER (PARTITION BY event_type
+        |    ORDER BY day) AS p
+        |  FROM dd),
+        |mm AS (
+        |  SELECT *, least(min(p) OVER (PARTITION BY event_type
+        |    ORDER BY day), 0) AS minp
+        |  FROM pp)
+        |SELECT event_type, day, n_events,
+        |  CAST(p - minp AS BIGINT) AS cusum,
+        |  CAST((p - minp > mu // 4) AS BIGINT) AS alarm
+        |FROM mm""".stripMargin,
 
     // The q231 island machinery continued into the excision: covered
     // offsets unnested, anti-joined, survivors re-joined in order.

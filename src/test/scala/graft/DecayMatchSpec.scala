@@ -229,6 +229,35 @@ class DecayMatchSpec extends SparkSpec {
     }
   }
 
+  test("cusum: matches the sequential max(0,...) recursion; a " +
+    "sustained shift to 130 alarms while one lone 130 does not") {
+    import spark.implicits._
+    // series: 10 in-control periods at 100, then 10 at 130 (+30%)
+    val series = ((0 until 10).map(t => ("g", t.toLong, 100L)) ++
+      (10 until 20).map(t => ("g", t.toLong, 130L)))
+      .toDF("g", "t", "x")
+    val got = graft.operators.Cusum.detect(series, Seq("g"), "t", "x",
+      slackDiv = 20L, threshDiv = 4L).orderBy("t").collect()
+    // independent sequential reference
+    val xs = (0 until 10).map(_ => 100L) ++ (0 until 10).map(_ => 130L)
+    val mu = xs.sum / xs.length
+    val slack = mu / 20
+    var s = 0L
+    val ref = xs.map { x => s = math.max(0L, s + (x - mu - slack)); s }
+    got.zip(ref).foreach { case (r, expected) =>
+      assert(r.getAs[Long]("cusum") === expected, s"t=${r.getAs[Long]("t")}")
+    }
+    // the sustained shift eventually alarms (cusum > μ/4)
+    assert(got.last.getAs[Long]("alarm") === 1L)
+    // the SAME level reached once does NOT accumulate enough evidence
+    val spike = ((0 until 17).map(t => ("g", t.toLong, 100L)) :+
+      (("g", 17L, 130L))).toDF("g", "t", "x")
+    val g2 = graft.operators.Cusum.detect(spike, Seq("g"), "t", "x",
+      slackDiv = 20L, threshDiv = 4L).orderBy("t").collect()
+    assert(g2.forall(_.getAs[Long]("alarm") === 0L),
+      "point spike must not trip the sustained-shift alarm")
+  }
+
   test("theil-sen: exact lower-median on an even pair count") {
     import spark.implicits._
     // 3 points → 3 pairs; 4 points → 6 pairs (even): lower median is
