@@ -4328,6 +4328,51 @@ object SparkEntry {
         "n_events", slackDiv = 20L, threshDiv = 4L)
     }),
 
+    // Golden-record survivorship — the APPLY step of the ER family
+    // (q125 match → q163 cluster → fuse): per fuzzy-name entity, one
+    // canonical record by explicit rules — majority vote w/ deterministic
+    // tie-break for categorical (brand), max for size, min integer
+    // cents for price. Only multi-member entities emit (singletons
+    // are already golden). Mode is a count aggregate + one top-1
+    // window over the |entities×brands| table, never a corpus sort.
+    "q256_golden_record" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val parts = Tables.part(s, d)
+      val names = parts.groupBy(col("p_name").as("name"))
+        .agg(min("p_partkey").as("name_id"))
+      val vm = graft.operators.FuzzyJoin.nameMatches(parts, "p_name",
+          element_at(split(col("p_name"), " "), -1), maxDist = 2)
+        .select(col("name_a"), col("name_b"))
+        .filter(col("name_a") =!= col("name_b"))
+      val edges = vm
+        .join(names.select(col("name").as("name_a"),
+          col("name_id").as("id_a")), "name_a")
+        .join(names.select(col("name").as("name_b"),
+          col("name_id").as("id_b")), "name_b")
+        .select(col("id_a"), col("id_b"))
+      val labels = graft.operators.Components.connectedComponents(edges)
+      val mem = parts
+        .join(names.withColumnRenamed("name", "p_name"), "p_name")
+        .join(labels.select(col("id").as("name_id"), col("component")),
+          Seq("name_id"), "left")
+        .withColumn("entity", coalesce(col("component"), col("name_id")))
+      val base = mem.groupBy("entity").agg(
+        count(lit(1)).as("n_members"),
+        countDistinct(col("p_name")).as("n_names"),
+        max("p_size").as("size_max"),
+        min(round(col("p_retailprice") * 100).cast("long"))
+          .as("price_min_cents"))
+      val brand = mem.groupBy("entity", "p_brand")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(Window.partitionBy("entity")
+          .orderBy(col("c").desc, col("p_brand"))))
+        .filter(col("rk") === 1)
+        .select(col("entity"), col("p_brand").as("brand"))
+      base.join(brand, "entity").filter(col("n_members") >= 2)
+        .select("entity", "n_members", "n_names", "brand", "size_max",
+          "price_min_cents")
+    }),
+
     // ExactSubstr APPLY: excise every flagged island (keep the
     // corpus-wide earliest copy) — what the dedup actually does to
     // training data; q231 is the detect half. Whole-doc duplicates
@@ -9139,6 +9184,54 @@ object SparkEntry {
         |  CAST(p - minp AS BIGINT) AS cusum,
         |  CAST((p - minp > mu // 4) AS BIGINT) AS alarm
         |FROM mm""".stripMargin,
+
+    // q163's recursive fuzzy-entity closure continued into the
+    // survivorship rules: vote/max/min replayed per entity; price
+    // rides the integer-cents pin.
+    "q256_golden_record" ->
+      """WITH RECURSIVE vals AS (
+        |  SELECT p_name AS name,
+        |    string_split(p_name, ' ')[-1] AS blk
+        |  FROM part GROUP BY 1),
+        |m AS (
+        |  SELECT a.name AS name_a, b.name AS name_b
+        |  FROM vals a JOIN vals b ON a.blk = b.blk AND a.name <= b.name
+        |    AND abs(length(a.name) - length(b.name)) <= 2
+        |    AND levenshtein(a.name, b.name) <= 2),
+        |pairs AS (
+        |  SELECT pa.p_partkey AS id_a, pb.p_partkey AS id_b
+        |  FROM m
+        |  JOIN part pa ON pa.p_name = m.name_a
+        |  JOIN part pb ON pb.p_name = m.name_b
+        |  WHERE pa.p_partkey <> pb.p_partkey),
+        |ed AS (SELECT id_a AS s, id_b AS d FROM pairs
+        |       UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT s AS id, s AS comp FROM ed
+        |  UNION
+        |  SELECT ed.d, reach.comp FROM reach JOIN ed ON ed.s = reach.id),
+        |lab AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+        |mem AS (
+        |  SELECT p.p_partkey, p.p_name, p.p_brand, p.p_size,
+        |    CAST(round(p.p_retailprice * 100) AS BIGINT) AS cents,
+        |    coalesce(l.component, p.p_partkey) AS entity
+        |  FROM part p LEFT JOIN lab l ON p.p_partkey = l.id),
+        |base AS (
+        |  SELECT entity, count(*) AS n_members,
+        |    count(DISTINCT p_name) AS n_names,
+        |    max(p_size) AS size_max,
+        |    CAST(min(cents) AS BIGINT) AS price_min_cents
+        |  FROM mem GROUP BY entity),
+        |bm AS (SELECT entity, p_brand, count(*) AS c
+        |  FROM mem GROUP BY 1, 2),
+        |br AS (SELECT entity, p_brand AS brand FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY entity
+        |    ORDER BY c DESC, p_brand) AS rk FROM bm)
+        |  WHERE rk = 1)
+        |SELECT b.entity, b.n_members, b.n_names, br.brand,
+        |  b.size_max, b.price_min_cents
+        |FROM base b JOIN br USING (entity)
+        |WHERE b.n_members >= 2""".stripMargin,
 
     // The q231 island machinery continued into the excision: covered
     // offsets unnested, anti-joined, survivors re-joined in order.
