@@ -4373,6 +4373,40 @@ object SparkEntry {
           "price_min_cents")
     }),
 
+    // Scaling-law subsample ladder: NESTED corpus fractions 1/8 ⊂ 1/4
+    // ⊂ 1/2 ⊂ 1 from one md5 uniform per doc — each doc's rung is the
+    // smallest fraction containing it, so every rung is a strict
+    // superset of the previous (the property scaling-law runs need:
+    // the 25% model trains on a superset of the 12.5% data). One scan,
+    // one |rungs|-row aggregate; rung sizes are binomial around n/8.
+    "q257_scaling_ladder" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val h = call_function("graft_md5i",
+        concat(lit("sl0|"), col("doc_id").cast("string")), lit(12))
+      val rung = when(h * 8 < lit(281474976710656L), 8L)
+        .when(h * 4 < lit(281474976710656L), 4L)
+        .when(h * 2 < lit(281474976710656L), 2L)
+        .otherwise(1L)
+      val toks = size(filter(split(lower(col("text")), "\\s+"),
+        t => t =!= lit(""))).cast("long")
+      Tables.documents(s, d)
+        .select(rung.as("rung_denom"), toks.as("n_tok"))
+        .groupBy("rung_denom")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    }),
+
+    // Exact Mann–Whitney U (click vs view event values) — the
+    // location-shift rank test beside q144's KS shape test. Doubled-
+    // rank integer space handles ties exactly (tie group [a,b] →
+    // doubled average 2·cum+cnt+1); one distinct-cents aggregate +
+    // one running window over the VALUE DOMAIN, never a row sort.
+    "q258_mann_whitney" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      graft.operators.RankTests.mannWhitneyU(ev, "cents", "event_type",
+        "click", "view")
+    }),
+
     // ExactSubstr APPLY: excise every flagged island (keep the
     // corpus-wide earliest copy) — what the dedup actually does to
     // training data; q231 is the detect half. Whole-doc duplicates
@@ -9232,6 +9266,54 @@ object SparkEntry {
         |  b.size_max, b.price_min_cents
         |FROM base b JOIN br USING (entity)
         |WHERE b.n_members >= 2""".stripMargin,
+
+    // Nested-fraction thresholds on the q68-idiom 48-bit uniform —
+    // rung = smallest containing fraction, pure integer compares.
+    "q257_scaling_ladder" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text),
+        |      '\s+'), x -> x <> '')) AS BIGINT) AS n_tok,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(generate_series(1, 12),
+        |        j -> (strpos('0123456789abcdef',
+        |          substr(md5('sl0|' || CAST(doc_id AS VARCHAR)),
+        |            CAST(j AS INT), 1)) - 1)::BIGINT)),
+        |      (a, v) -> a * 16 + v) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT CAST(CASE WHEN h * 8 < 281474976710656 THEN 8
+        |    WHEN h * 4 < 281474976710656 THEN 4
+        |    WHEN h * 2 < 281474976710656 THEN 2
+        |    ELSE 1 END AS BIGINT) AS rung_denom, n_tok
+        |  FROM d)
+        |SELECT rung_denom, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM r GROUP BY rung_denom""".stripMargin,
+
+    // Doubled-rank arithmetic replayed over the same distinct-cents
+    // table; integer-cents pin on the value.
+    "q258_mann_whitney" ->
+      """WITH f AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |bv AS (SELECT v, count(*) AS cnt,
+        |    CAST(sum(is_a) AS BIGINT) AS cnt_a
+        |  FROM f GROUP BY v),
+        |rk AS (SELECT *, coalesce(sum(cnt) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS cum
+        |  FROM bv),
+        |ag AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_all,
+        |    CAST(sum(cnt_a) AS BIGINT) AS n_a,
+        |    CAST(sum(cnt_a * (cum * 2 + cnt + 1)) AS BIGINT)
+        |      AS r_a_x2,
+        |    CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_cubes
+        |  FROM rk)
+        |SELECT n_a, n_all - n_a AS n_b,
+        |  r_a_x2 - n_a * (n_a + 1) AS u_a_x2, tie_cubes
+        |FROM ag""".stripMargin,
 
     // The q231 island machinery continued into the excision: covered
     // offsets unnested, anti-joined, survivors re-joined in order.

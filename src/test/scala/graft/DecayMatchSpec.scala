@@ -258,6 +258,51 @@ class DecayMatchSpec extends SparkSpec {
       "point spike must not trip the sustained-shift alarm")
   }
 
+  test("mann-whitney: hand-computed tie case; U_A + U_B = n_a*n_b") {
+    import spark.implicits._
+    // A = {1, 2}, B = {2, 3}: ranks 1, 2.5, 2.5, 4 →
+    // R_A = 3.5 → x2 = 7; U_A = 0.5 → x2 = 1; ties: t=2 → 6
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L))
+      .toDF("g", "v")
+    val got = graft.operators.RankTests.mannWhitneyU(df, "v", "g",
+      "a", "b").collect().head
+    assert(got.getAs[Long]("n_a") === 2L)
+    assert(got.getAs[Long]("n_b") === 2L)
+    assert(got.getAs[Long]("u_a_x2") === 1L)
+    assert(got.getAs[Long]("tie_cubes") === 6L)
+    // complement identity on a bigger deterministic sample
+    val big = (0 until 300).map(i =>
+      (if (i % 3 == 0) "a" else "b", (i * 17 % 23).toLong)).toDF("g", "v")
+    val ua = graft.operators.RankTests.mannWhitneyU(big, "v", "g",
+      "a", "b").collect().head
+    val ub = graft.operators.RankTests.mannWhitneyU(big, "v", "g",
+      "b", "a").collect().head
+    assert(ua.getAs[Long]("u_a_x2") + ub.getAs[Long]("u_a_x2") ===
+      2L * ua.getAs[Long]("n_a") * ua.getAs[Long]("n_b"))
+    // a clean location shift maximizes U: all of A below all of B
+    val sep = ((0 until 5).map(i => ("a", i.toLong)) ++
+      (5 until 12).map(i => ("b", i.toLong))).toDF("g", "v")
+    val us = graft.operators.RankTests.mannWhitneyU(sep, "v", "g",
+      "a", "b").collect().head
+    assert(us.getAs[Long]("u_a_x2") === 0L, "A fully below B => U_A = 0")
+  }
+
+  test("scaling ladder: rungs nest and cover the corpus") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q257_scaling_ladder")(spark, d)
+      .collect().map(r => r.getAs[Long]("rung_denom") ->
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    val total = rows.values.map(_._1).sum
+    assert(total === 500L, s"rungs must partition the corpus: $rows")
+    // the 1/8 rung holds roughly an eighth (binomial 4σ band)
+    val eighth = rows.getOrElse(8L, (0L, 0L))._1
+    assert(math.abs(eighth - 62.5) < 40, s"1/8 rung off: $eighth")
+    // nesting is definitional (threshold on one uniform): the
+    // cumulative count at fraction f equals the docs with h < f·2^48,
+    // so cum(1/4) ≥ cum(1/8) strictly by construction
+    assert(rows.keySet === Set(1L, 2L, 4L, 8L))
+  }
+
   test("theil-sen: exact lower-median on an even pair count") {
     import spark.implicits._
     // 3 points → 3 pairs; 4 points → 6 pairs (even): lower median is
