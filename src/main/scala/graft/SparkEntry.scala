@@ -4407,6 +4407,36 @@ object SparkEntry {
         "click", "view")
     }),
 
+    // Incremental decayed-counter maintenance, END TO END: history
+    // counted at a 7-step-earlier GRID-ALIGNED checkpoint, then
+    // advanced (shift right 7) and merged with the recent batch at
+    // the final instant — and the result must equal q248's one-shot
+    // recompute over ALL events at that instant, which is exactly
+    // what the oracle computes. This is the "merge yesterday's
+    // shifted counter with today's batch, never rescan history"
+    // contract, graded exact.
+    "q259_incremental_decay" -> ((s, d) => {
+      val h = 172800000000L // 2-day half-life
+      val ev = Tables.events(s, d).select(col("event_type"),
+        (col("user_id") % 20).as("cohort"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val asofRow = ev.agg(expr(
+        s"((max(unix_micros(ts)) + ${h}L - 1L) div ${h}L) * ${h}L")
+        .as("asof2"))
+      val staged = ev.crossJoin(broadcast(asofRow))
+        .withColumn("asof1", col("asof2") - lit(7L * h))
+      val D = graft.operators.Decay
+      val st1 = D.decayedCountersAsOf(
+        staged.filter(unix_micros(col("ts")) <= col("asof1")),
+        Seq("event_type", "cohort"), col("ts"), col("cents"), h,
+        col("asof1"))
+      val st2 = D.decayedCountersAsOf(
+        staged.filter(unix_micros(col("ts")) > col("asof1")),
+        Seq("event_type", "cohort"), col("ts"), col("cents"), h,
+        col("asof2"))
+      D.merge(D.advanced(st1, 7, h), st2, Seq("event_type", "cohort"))
+    }),
+
     // ExactSubstr APPLY: excise every flagged island (keep the
     // corpus-wide earliest copy) — what the dedup actually does to
     // training data; q231 is the detect half. Whole-doc duplicates
@@ -9314,6 +9344,31 @@ object SparkEntry {
         |SELECT n_a, n_all - n_a AS n_b,
         |  r_a_x2 - n_a * (n_a + 1) AS u_a_x2, tie_cubes
         |FROM ag""".stripMargin,
+
+    // ONE-SHOT recompute at the grid-aligned instant — the oracle
+    // never sees the checkpoint/advance/merge split, so equality
+    // proves the incremental path exact. Same q248 tree otherwise.
+    "q259_incremental_decay" ->
+      """WITH ev AS (
+        |  SELECT event_type, user_id % 20 AS cohort,
+        |    epoch_us(ts) AS t_us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |mx AS (SELECT ((max(t_us) + 172800000000 - 1)
+        |    // 172800000000) * 172800000000 AS asof_us FROM ev),
+        |w AS (
+        |  SELECT event_type, cohort, cents, asof_us,
+        |    (asof_us - t_us) // 172800000000 AS steps
+        |  FROM ev, mx)
+        |SELECT event_type, cohort, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN steps <= 20
+        |    THEN 1::BIGINT << (20 - steps) ELSE 0 END) AS BIGINT)
+        |    AS decayed_n_units,
+        |  CAST(sum(CASE WHEN steps <= 20
+        |    THEN cents * (1::BIGINT << (20 - steps)) ELSE 0 END)
+        |    AS BIGINT) AS decayed_value_units,
+        |  max(asof_us) AS asof_us
+        |FROM w GROUP BY event_type, cohort""".stripMargin,
 
     // The q231 island machinery continued into the excision: covered
     // offsets unnested, anti-joined, survivors re-joined in order.

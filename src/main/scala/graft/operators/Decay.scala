@@ -76,4 +76,39 @@ object Decay {
         sum(value.cast("long") * w).as("decayed_value_units"),
         max(asofUs).as("asof_us"))
   }
+
+  /** ADVANCE a counter table `stepsDelta` half-lives forward — the
+    * incremental-maintenance half of the design: yesterday's counters
+    * shift right, today's batch counters (at the new instant) merge
+    * in by plain addition, and history is never rescanned. The
+    * reference instants must be GRID-ALIGNED (multiples of
+    * halfLifeUs): ⌊(t₀+kh−t)/h⌋ = ⌊(t₀−t)/h⌋+k only holds on the
+    * grid — use a ⌈max_ts/h⌉·h instant, not a raw max. The shift is
+    * EXACT for events younger than unitBits−stepsDelta half-lives
+    * (every term divisible by 2^stepsDelta); older tails floor at the
+    * unit resolution, which is MORE accurate than re-truncating
+    * per event.
+    */
+  def advanced(counters: DataFrame, stepsDelta: Int,
+               halfLifeUs: Long): DataFrame = {
+    require(stepsDelta >= 0 && stepsDelta < 62,
+      s"stepsDelta out of range: $stepsDelta")
+    counters
+      .withColumn("decayed_n_units",
+        shiftright(col("decayed_n_units"), stepsDelta))
+      .withColumn("decayed_value_units",
+        shiftright(col("decayed_value_units"), stepsDelta))
+      .withColumn("asof_us",
+        col("asof_us") + lit(stepsDelta * halfLifeUs))
+  }
+
+  /** Merge counter tables sharing ONE reference instant (the
+    * mergeability contract): plain addition per key. */
+  def merge(a: DataFrame, b: DataFrame,
+            groupCols: Seq[String]): DataFrame =
+    a.unionByName(b).groupBy(groupCols.map(col): _*)
+      .agg(sum("n_events").as("n_events"),
+        sum("decayed_n_units").as("decayed_n_units"),
+        sum("decayed_value_units").as("decayed_value_units"),
+        max("asof_us").as("asof_us"))
 }

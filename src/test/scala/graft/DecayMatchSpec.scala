@@ -44,6 +44,33 @@ class DecayMatchSpec extends SparkSpec {
     assert(whole === parts)
   }
 
+  test("decay: grid-aligned advance + merge equals one-shot recompute") {
+    import spark.implicits._
+    val h = 3600L * 1000000L // 1h half-life
+    val grid0 = 1700000000000000L / h * h // grid-aligned base
+    // history: events 1..5 hours before grid0; batch: within the next
+    // 2 hours; final instant = grid0 + 2h (grid-aligned)
+    val hist = (1 to 5).map(k => ("k", grid0 - k * h, 10L * k))
+    val batch = Seq(("k", grid0 + h / 2, 7L), ("k", grid0 + h, 9L))
+    def mk(rows: Seq[(String, Long, Long)]) = rows.toDF("g", "t_us", "cents")
+      .select(col("g"), timestamp_micros(col("t_us")).as("ts"), col("cents"))
+    val D = graft.operators.Decay
+    val st1 = D.decayedCountersAsOf(mk(hist).withColumn("a", lit(grid0)),
+      Seq("g"), col("ts"), col("cents"), h, col("a"))
+    val st2 = D.decayedCountersAsOf(
+      mk(batch).withColumn("a", lit(grid0 + 2 * h)),
+      Seq("g"), col("ts"), col("cents"), h, col("a"))
+    val inc = D.merge(D.advanced(st1, 2, h), st2, Seq("g"))
+      .collect().head
+    val direct = D.decayedCountersAsOf(
+      mk(hist ++ batch).withColumn("a", lit(grid0 + 2 * h)),
+      Seq("g"), col("ts"), col("cents"), h, col("a")).collect().head
+    Seq("n_events", "decayed_n_units", "decayed_value_units", "asof_us")
+      .foreach { c =>
+        assert(inc.getAs[Long](c) === direct.getAs[Long](c), c)
+      }
+  }
+
   test("distribution match: kept set hits target ratios, idempotent, no upsample") {
     import spark.implicits._
     // bucket sizes 400/100: target 1:1 → K = 200, expect ~100 kept

@@ -130,6 +130,9 @@ class EntrySpec extends SparkSpec {
                              // BIGINT, ranks, ceil-index div);
                              // strict-verified at sf0.001 + sf0.01 on
                              // 2026-08-14
+      "q259_incremental_decay", // q248's integer tree at a grid-
+                             // aligned instant; strict-verified at
+                             // sf0.001 + sf0.01 2026-08-14
       "q258_mann_whitney",   // integer-cents pin (round(value*100) →
                              // BIGINT before ranking); strict-verified
                              // at sf0.001 + sf0.01 2026-08-14
