@@ -4437,6 +4437,32 @@ object SparkEntry {
       D.merge(D.advanced(st1, 7, h), st2, Seq("event_type", "cohort"))
     }),
 
+    // Weight-of-evidence feature audit: which length bands predict
+    // q225-classifier quality — the binned-lift diagnostic behind
+    // feature selection for a corpus quality model. Fixed-width bands
+    // (map-only — quantile binning at scale goes through q128's
+    // global ordinals instead), counts exact, WoE = ln(good_b·B /
+    // (bad_b·G)) — ln of an exact rational (the q241/q113 pin), one
+    // rounded emit. Laplace +1 smoothing keeps empty cells finite
+    // and exact.
+    "q260_woe_binning" -> ((s, d) => {
+      val scored = graft.operators.QualityClassifier.score(
+        Tables.documents(s, d), "text", "doc_id",
+        keep = Seq("n_chars"))
+      val cells = scored
+        .withColumn("bin", least(expr("n_chars div 150"), lit(3L)))
+        .groupBy("bin").agg(
+          (sum(col("label")) + 1L).as("n_good"),
+          (sum(lit(1L) - col("label")) + 1L).as("n_bad"))
+      val tot = cells.agg(sum("n_good").as("tot_good"),
+        sum("n_bad").as("tot_bad"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n_good"), col("n_bad"),
+          round(log((col("n_good") * col("tot_bad")).cast("double") /
+            (col("n_bad") * col("tot_good")).cast("double")), 6)
+            .as("woe"))
+    }),
+
     // ExactSubstr APPLY: excise every flagged island (keep the
     // corpus-wide earliest copy) — what the dedup actually does to
     // training data; q231 is the detect half. Whole-doc duplicates
@@ -9369,6 +9395,48 @@ object SparkEntry {
         |    AS BIGINT) AS decayed_value_units,
         |  max(asof_us) AS asof_us
         |FROM w GROUP BY event_type, cohort""".stripMargin,
+
+    // q225's exact-integer score replay feeding the WoE cells; the
+    // single ln-of-exact-rational + one round is the q241 pin shape.
+    "q260_woe_binning" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '') AS ts
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(len(ts), 1)),
+        |      i -> ts[i] || ' ' || ts[i + 1]) AS grams
+        |  FROM t),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(coalesce(list_sum(list_transform(grams, gr ->
+        |      list_reduce(list_prepend(0::BIGINT,
+        |        list_transform(generate_series(1, 4),
+        |          j -> (strpos('0123456789abcdef', substr(md5('w:' ||
+        |            (list_reduce(list_prepend(0::BIGINT,
+        |              list_transform(generate_series(1, 4),
+        |                k -> (strpos('0123456789abcdef',
+        |                  substr(md5(gr), CAST(k AS INT), 1)) - 1)::BIGINT)),
+        |              (a, v) -> a * 16 + v) % 4096)::VARCHAR),
+        |            CAST(j AS INT), 1)) - 1)::BIGINT)),
+        |        (a, v) -> a * 16 + v) % 17 - 8)), 0) AS BIGINT) AS score
+        |  FROM g),
+        |lb AS (
+        |  SELECT d.doc_id, least(d.n_chars // 150, 3) AS bin,
+        |    CASE WHEN sc.score > 0 THEN 1 ELSE 0 END AS label
+        |  FROM documents d JOIN sc USING (doc_id)),
+        |cells AS (
+        |  SELECT bin, CAST(sum(label) + 1 AS BIGINT) AS n_good,
+        |    CAST(sum(1 - label) + 1 AS BIGINT) AS n_bad
+        |  FROM lb GROUP BY bin),
+        |tot AS (SELECT CAST(sum(n_good) AS BIGINT) AS tot_good,
+        |  CAST(sum(n_bad) AS BIGINT) AS tot_bad FROM cells)
+        |SELECT bin, n_good, n_bad,
+        |  round(ln(CAST(n_good * tot_bad AS DOUBLE)
+        |    / CAST(n_bad * tot_good AS DOUBLE)), 6) AS woe
+        |FROM cells, tot""".stripMargin,
 
     // The q231 island machinery continued into the excision: covered
     // offsets unnested, anti-joined, survivors re-joined in order.

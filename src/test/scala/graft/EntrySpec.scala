@@ -130,6 +130,10 @@ class EntrySpec extends SparkSpec {
                              // BIGINT, ranks, ceil-index div);
                              // strict-verified at sf0.001 + sf0.01 on
                              // 2026-08-14
+      "q260_woe_binning",    // ln of an exact rational (integer WoE
+                             // cell counts), ONE rounded emit — the
+                             // q241/q113 ln pin; strict-verified at
+                             // sf0.001 + sf0.01 2026-08-14
       "q259_incremental_decay", // q248's integer tree at a grid-
                              // aligned instant; strict-verified at
                              // sf0.001 + sf0.01 2026-08-14
