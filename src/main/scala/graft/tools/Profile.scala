@@ -30,6 +30,7 @@ object Profile {
     if (args.headOption.contains("stress-stream")) { stressStream(); return }
     if (args.headOption.contains("stress-substr")) { stressSubstr(); return }
     if (args.headOption.contains("stress-ivjoin")) { stressIntervalJoin(); return }
+    if (args.headOption.contains("stress-series")) { stressSeries(); return }
     val spark = GraftSession.build("profile")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val docs = Tables.documents(spark, d).cache()
@@ -150,6 +151,51 @@ object Profile {
           .overlap(left, b, "id", "s", "e", widthSec = 30L)
         println(s"pairs: ${pairs.count()}")
       }
+    }
+    spark.stop()
+  }
+
+  /** Series-analytics stress (the q248/q249/q255/q258 family at
+    * 100–5000× bench scale): (a) decayed counters over 50M events —
+    * ONE map-side-combined aggregate, wall ≈ scan; (b) Mann–Whitney
+    * over 10M rows with a 10k-value domain — rank cost is the domain
+    * window, not the rows; (c) CUSUM over 100 series × 100k points —
+    * stacked running windows; (d) distribution-match acceptance over
+    * 10M rows — histogram + broadcast filter. Validates the
+    * "one-pass / domain-bounded" claims in SURVEY §8.2.
+    */
+  def stressSeries(): Unit = {
+    val spark = GraftSession.build("profile-series")
+    val ev = spark.range(50000000L).select(
+      (col("id") % 100).as("k"),
+      timestamp_micros(lit(1700000000000000L) -
+        (col("id") % 2592000L) * 1000000L).as("ts"),
+      (col("id") % 1000L).as("cents"))
+    t("decay counters 50M rows") {
+      println("rows: " + graft.operators.Decay.decayedCounters(
+        ev, Seq("k"), col("ts"), col("cents"), 172800000000L).count())
+    }
+    val mw = spark.range(10000000L).select(
+      when(col("id") % 3 === 0, "a").otherwise("b").as("g"),
+      (col("id") % 10007L).as("v"))
+    t("mann-whitney 10M rows") {
+      println(graft.operators.RankTests
+        .mannWhitneyU(mw, "v", "g", "a", "b").collect().toSeq)
+    }
+    val series = spark.range(10000000L).select(
+      (col("id") % 100).as("g"), expr("id div 100").as("tt"),
+      ((col("id") * 2654435761L) % 1000L).as("x"))
+    t("cusum 100 series x 100k") {
+      println("rows: " + graft.operators.Cusum
+        .detect(series, Seq("g"), "tt", "x").count())
+    }
+    val dm = spark.range(10000000L).select(col("id"),
+      (col("id") % 7).cast("string").as("b"))
+    t("distribution-match 10M rows") {
+      println("kept: " + graft.operators.DistributionMatch
+        .sampleToTarget(dm, col("b"), col("id"),
+          (0 until 7).map(i => (i.toString, i.toLong + 1)), "st|")
+        .count())
     }
     spark.stop()
   }
