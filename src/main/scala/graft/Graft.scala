@@ -334,4 +334,79 @@ object Graft {
                       probeCol: String): DataFrame =
     operators.BloomSkip.sidecarAndProbe(df, layout, files, keyCol,
       probes, probeCol)
+
+  /** Dyadic time-decayed per-key counters (mergeable, advanceable) —
+    * see [[operators.Decay.decayedCounters]].
+    */
+  def decayedCounters(df: DataFrame, groupCols: Seq[String],
+                      ts: org.apache.spark.sql.Column,
+                      value: org.apache.spark.sql.Column,
+                      halfLifeUs: Long): DataFrame =
+    operators.Decay.decayedCounters(df, groupCols, ts, value, halfLifeUs)
+
+  /** Deterministic downsample to a target bucket histogram — see
+    * [[operators.DistributionMatch.sampleToTarget]].
+    */
+  def matchDistribution(df: DataFrame, bucket: org.apache.spark.sql.Column,
+                        idCol: org.apache.spark.sql.Column,
+                        target: Seq[(String, Long)],
+                        salt: String = "dm0|"): DataFrame =
+    operators.DistributionMatch.sampleToTarget(df, bucket, idCol,
+      target, salt)
+
+  /** Anti-leak split keyed on near-dup cluster labels — see
+    * [[operators.WeightedSample.clusterSplit]].
+    */
+  def splitByCluster(df: DataFrame, idCol: String, components: DataFrame,
+                     trainPct: Int = 90, valPct: Int = 5,
+                     salt: String = "epoch0"): DataFrame =
+    operators.WeightedSample.clusterSplit(df, idCol, components,
+      trainPct, valPct, salt)
+
+  /** Capacity-capped proportional token-budget allocation — see
+    * [[operators.WaterFill.allocate]].
+    */
+  def allocateBudget(capacities: DataFrame, keyCol: String, capCol: String,
+                     weightCol: String, budgetCol: String): DataFrame =
+    operators.WaterFill.allocate(capacities, keyCol, capCol, weightCol,
+      budgetCol)
+
+  /** Sustained-shift CUSUM alarm over per-group series — see
+    * [[operators.Cusum.detect]].
+    */
+  def cusumDrift(series: DataFrame, groupCols: Seq[String],
+                 orderCol: String, valueCol: String,
+                 slackDiv: Long = 20L, threshDiv: Long = 4L): DataFrame =
+    operators.Cusum.detect(series, groupCols, orderCol, valueCol,
+      slackDiv, threshDiv)
+
+  /** Conformal quality gate with a distribution-free false-flag
+    * bound — see [[operators.Conformal.splitConformal]].
+    */
+  def conformalGate(cal: DataFrame, apply: DataFrame,
+                    groupCols: Seq[String], scoreCol: String,
+                    alphaNum: Long, alphaDen: Long): DataFrame =
+    operators.Conformal.splitConformal(cal, apply, groupCols, scoreCol,
+      alphaNum, alphaDen)
+
+  /** Robust per-group trend (Theil–Sen lower-median slope) and its
+    * Mann–Kendall significance statistics — see [[operators.TrendFit]].
+    */
+  def robustTrend(df: DataFrame, groupCols: Seq[String],
+                  x: org.apache.spark.sql.Column,
+                  y: org.apache.spark.sql.Column): DataFrame =
+    operators.TrendFit.theilSen(df, groupCols, x, y)
+
+  def trendTest(df: DataFrame, groupCols: Seq[String],
+                x: org.apache.spark.sql.Column,
+                y: org.apache.spark.sql.Column): DataFrame =
+    operators.TrendFit.mannKendall(df, groupCols, x, y)
+
+  /** Exact two-sample location-shift rank test — see
+    * [[operators.RankTests.mannWhitneyU]].
+    */
+  def rankShiftTest(df: DataFrame, valueCol: String, groupCol: String,
+                    groupA: String, groupB: String): DataFrame =
+    operators.RankTests.mannWhitneyU(df, valueCol, groupCol, groupA,
+      groupB)
 }

@@ -87,4 +87,49 @@ class GraftFacadeSpec extends SparkSpec {
       .orderBy("sel_order").collect().map(_.getLong(1)).toSeq
     assert(sel === Seq(1L, 2L)) // seed = min id; farthest = orthogonal
   }
+
+  test("series/analytics wrappers wired: decay, match, cluster split, " +
+    "water-fill, cusum, conformal, trends, rank test") {
+    import org.apache.spark.sql.functions._
+    val ev = Seq(("a", 1700000000000000L, 5L))
+      .toDF("k", "t_us", "cents")
+      .select($"k", timestamp_micros($"t_us").as("ts"), $"cents")
+    assert(Graft.decayedCounters(ev, Seq("k"), col("ts"), col("cents"),
+      3600000000L).collect().head.getAs[Long]("decayed_n_units") ===
+      (1L << 20))
+
+    val docs = (0L until 100L).map(i => (i, (i % 2).toString))
+      .toDF("id", "b")
+    assert(Graft.matchDistribution(docs, $"b", $"id",
+      Seq(("0", 1L), ("1", 1L))).count() > 0L)
+
+    val comps = Seq((1L, 0L)).toDF("id", "component")
+    val cs = Graft.splitByCluster(
+      Seq(0L, 1L, 2L).toDF("doc_id"), "doc_id", comps)
+    assert(cs.filter($"doc_id" === 1L).select("cluster")
+      .head().getLong(0) === 0L)
+
+    val caps = Seq(("x", 10L, 1L, 100L), ("y", 10L, 1L, 100L))
+      .toDF("k", "cap", "w", "budget")
+    assert(Graft.allocateBudget(caps, "k", "cap", "w", "budget")
+      .agg(sum("alloc")).head().getLong(0) === 20L)
+
+    val series = (0 until 10).map(t => ("g", t.toLong, 100L))
+      .toDF("g", "t", "x")
+    assert(Graft.cusumDrift(series, Seq("g"), "t", "x").count() === 10L)
+
+    val cal = (1 to 15).map(v => ("g", v.toLong)).toDF("g", "s")
+    assert(Graft.conformalGate(cal, cal, Seq("g"), "s", 1L, 8L)
+      .head().getAs[Long]("tau") === 14L)
+
+    val pts = (0 until 4).map(x => ("g", x.toLong, 2L * x)).toDF("g", "x", "y")
+    assert(Graft.robustTrend(pts, Seq("g"), col("x"), col("y"))
+      .head().getAs[Double]("ts_slope") === 2.0)
+    assert(Graft.trendTest(pts, Seq("g"), col("x"), col("y"))
+      .head().getAs[Long]("s_stat") === 6L)
+
+    val mw = Seq(("a", 1L), ("b", 2L)).toDF("g", "v")
+    assert(Graft.rankShiftTest(mw, "v", "g", "a", "b")
+      .head().getAs[Long]("u_a_x2") === 0L)
+  }
 }
