@@ -4407,6 +4407,18 @@ object SparkEntry {
         "click", "view")
     }),
 
+    // Exact 10%-trimmed and winsorized sums per event type — robust
+    // location without percentile interpolation: tie groups contribute
+    // clipped rank spans on the VALUE DOMAIN (one distinct-cents
+    // aggregate + a running window), exact integers end-to-end. The
+    // robust complement to q55's moment stats.
+    "q261_trimmed_stats" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      graft.operators.RankTests.trimmedStats(ev, Seq("event_type"),
+        "cents", trimDiv = 10L)
+    }),
+
     // Incremental decayed-counter maintenance, END TO END: history
     // counted at a 7-step-earlier GRID-ALIGNED checkpoint, then
     // advanced (shift right 7) and merged with the recent batch at
@@ -9370,6 +9382,34 @@ object SparkEntry {
         |SELECT n_a, n_all - n_a AS n_b,
         |  r_a_x2 - n_a * (n_a + 1) AS u_a_x2, tie_cubes
         |FROM ag""".stripMargin,
+
+    // Same clipped rank-span arithmetic on the distinct-cents table;
+    // integer-cents pin.
+    "q261_trimmed_stats" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |bv AS (SELECT event_type, v, count(*) AS cnt
+        |  FROM f GROUP BY 1, 2),
+        |rk AS (SELECT *,
+        |    coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM bv),
+        |st AS (SELECT *, n // 10 AS lo, n - n // 10 AS hi,
+        |    greatest(0, least(n - n // 10, cum + cnt)
+        |      - greatest(n // 10, cum)) AS kv
+        |  FROM rk)
+        |SELECT event_type, CAST(any_value(n) AS BIGINT) AS n,
+        |  CAST(any_value(hi) - any_value(lo) AS BIGINT) AS n_kept,
+        |  CAST(sum(kv * v) AS BIGINT) AS trimmed_sum,
+        |  CAST(sum(kv * v) + any_value(lo) *
+        |    (min(CASE WHEN cum + cnt >= lo + 1 THEN v END)
+        |     + min(CASE WHEN cum + cnt >= hi THEN v END)) AS BIGINT)
+        |    AS winsor_sum
+        |FROM st GROUP BY event_type""".stripMargin,
 
     // ONE-SHOT recompute at the grid-aligned instant — the oracle
     // never sees the checkpoint/advance/merge split, so equality

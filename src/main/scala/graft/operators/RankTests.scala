@@ -48,4 +48,46 @@ object RankTests {
         (col("r_a_x2") - col("n_a") * (col("n_a") + 1)).as("u_a_x2"),
         col("tie_cubes"))
   }
+
+  /** Per-group EXACT trimmed and winsorized sums — the robust
+    * location aggregates (drop, or clamp to, the outer n/trimDiv
+    * order statistics) computed on the VALUE DOMAIN: a tie group
+    * covering ranks (cum, cum+cnt] contributes
+    * max(0, min(hi, cum+cnt) − max(lo, cum)) copies, so the whole
+    * thing is one distinct-value aggregate + one running window +
+    * one fold — no row-level sort, no percentile interpolation,
+    * exact integers end-to-end (`valueCol` must be integral, e.g.
+    * cents). Output: groupCols ++ (n, n_kept, trimmed_sum,
+    * winsor_sum) where winsorized replaces each trimmed tail value
+    * by the boundary order statistic (ranks lo+1 and hi).
+    */
+  def trimmedStats(df: DataFrame, groupCols: Seq[String],
+                   valueCol: String, trimDiv: Long = 10L): DataFrame = {
+    require(trimDiv >= 2, s"trimDiv must be >= 2: $trimDiv")
+    val gk = groupCols.map(col)
+    val byV = df.select(gk :+ col(valueCol).cast("long").as("v"): _*)
+      .groupBy(gk :+ col("v"): _*).agg(count(lit(1)).as("cnt"))
+    val before = Window.partitionBy(gk: _*).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.partitionBy(gk: _*)
+    val staged = byV
+      .withColumn("cum", coalesce(sum("cnt").over(before), lit(0L)))
+      .withColumn("n", sum("cnt").over(whole))
+      .withColumn("lo", expr(s"n div ${trimDiv}L"))
+      .withColumn("hi", col("n") - col("lo"))
+      .withColumn("kv", greatest(lit(0L),
+        least(col("hi"), col("cum") + col("cnt")) -
+          greatest(col("lo"), col("cum"))))
+    staged.groupBy(gk: _*)
+      .agg(first("n").as("n"), first("lo").as("graft_lo"),
+        (first("hi") - first("lo")).as("n_kept"),
+        sum(col("kv") * col("v")).as("trimmed_sum"),
+        min(when(col("cum") + col("cnt") >= col("lo") + 1, col("v")))
+          .as("graft_vlo"),
+        min(when(col("cum") + col("cnt") >= col("hi"), col("v")))
+          .as("graft_vhi"))
+      .select(gk :+ col("n") :+ col("n_kept") :+ col("trimmed_sum") :+
+        (col("trimmed_sum") + col("graft_lo") *
+          (col("graft_vlo") + col("graft_vhi"))).as("winsor_sum"): _*)
+  }
 }

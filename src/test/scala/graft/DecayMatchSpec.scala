@@ -330,6 +330,43 @@ class DecayMatchSpec extends SparkSpec {
     assert(rows.keySet === Set(1L, 2L, 4L, 8L))
   }
 
+  test("trimmed stats: hand case with ties at the cut; sequential " +
+    "reference agreement") {
+    import spark.implicits._
+    // values 1..10 with trimDiv=10: lo=1, hi=9 → drop one 1 and one
+    // 10: trimmed = 2+..+9 = 44; winsorized adds 1·(v_2 + v_9) =
+    // 2 + 9 = 11 → 55... v_lo = order stat at rank 2 = 2, v_hi at
+    // rank 9 = 9 → winsor = 44 + 2 + 9 = 55 (clamp, don't drop)
+    val df = (1 to 10).map(v => ("g", v.toLong)).toDF("g", "v")
+    val got = graft.operators.RankTests.trimmedStats(df, Seq("g"), "v")
+      .collect().head
+    assert(got.getAs[Long]("n") === 10L)
+    assert(got.getAs[Long]("n_kept") === 8L)
+    assert(got.getAs[Long]("trimmed_sum") === 44L)
+    assert(got.getAs[Long]("winsor_sum") === 55L)
+    // ties spanning the cut: 30 copies of the same value — trimming
+    // removes copies, not the value
+    val ties = ((1 to 30).map(_ => ("t", 5L)) ++ Seq(("t", 100L)))
+      .toDF("g", "v")
+    val g2 = graft.operators.RankTests.trimmedStats(ties, Seq("g"), "v")
+      .collect().head
+    // n=31, lo=3, hi=28: keep ranks 4..28 → 25 fives (the 100 at
+    // rank 31 is trimmed); winsor adds 3·(5 + 5)
+    assert(g2.getAs[Long]("trimmed_sum") === 125L)
+    assert(g2.getAs[Long]("winsor_sum") === 155L)
+    // reference check on a scrambled multiset
+    val vals = (0 until 97).map(i => (i * 37 % 23).toLong)
+    val df3 = vals.map(("r", _)).toDF("g", "v")
+    val sorted = vals.sorted
+    val lo = 97 / 10
+    val kept = sorted.slice(lo, 97 - lo)
+    val g3 = graft.operators.RankTests.trimmedStats(df3, Seq("g"), "v")
+      .collect().head
+    assert(g3.getAs[Long]("trimmed_sum") === kept.sum)
+    assert(g3.getAs[Long]("winsor_sum") ===
+      kept.sum + lo * (kept.head + kept.last))
+  }
+
   test("theil-sen: exact lower-median on an even pair count") {
     import spark.implicits._
     // 3 points → 3 pairs; 4 points → 6 pairs (even): lower median is
