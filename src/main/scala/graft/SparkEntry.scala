@@ -4419,6 +4419,26 @@ object SparkEntry {
         "cents", trimDiv = 10L)
     }),
 
+    // Good–Turing counts-of-counts: the frequency-of-frequencies
+    // table N_r plus the smoothed-count numerator (r+1)·N_{r+1} —
+    // unseen-mass estimation for LM smoothing (the companion to
+    // q153's Kneser–Ney; P_unseen = N_1/N falls straight out of the
+    // r=1 row). Corpus cost is ONE term aggregate; counts-of-counts
+    // and the r+1 join live on the tiny frequency domain. Exact
+    // integers (the GT estimate r* = gt_num/N_r is one driver-side
+    // division away).
+    "q262_good_turing" -> ((s, d) => {
+      val toks = Tables.documents(s, d).select(
+        explode(filter(split(lower(col("text")), "\\s+"),
+          t => t =!= lit(""))).as("t"))
+      val tf = toks.groupBy("t").agg(count(lit(1)).as("r"))
+      val cc = tf.groupBy("r").agg(count(lit(1)).as("n_r"))
+      val nxt = cc.select((col("r") - 1).as("r"), col("n_r").as("n_r1"))
+      cc.join(nxt, Seq("r"), "left")
+        .select(col("r"), col("n_r"),
+          ((col("r") + 1) * coalesce(col("n_r1"), lit(0L))).as("gt_num"))
+    }),
+
     // Incremental decayed-counter maintenance, END TO END: history
     // counted at a 7-step-earlier GRID-ALIGNED checkpoint, then
     // advanced (shift right 7) and merged with the recent batch at
@@ -9410,6 +9430,19 @@ object SparkEntry {
         |     + min(CASE WHEN cum + cnt >= hi THEN v END)) AS BIGINT)
         |    AS winsor_sum
         |FROM st GROUP BY event_type""".stripMargin,
+
+    // Counts-of-counts + the (r+1)·N_{r+1} numerator, all integer.
+    "q262_good_turing" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text),
+        |    '\s+'), x -> x <> '')) AS t
+        |  FROM documents),
+        |tf AS (SELECT t, count(*) AS r FROM toks GROUP BY t),
+        |cc AS (SELECT r, count(*) AS n_r FROM tf GROUP BY r),
+        |nx AS (SELECT r - 1 AS r, n_r AS n_r1 FROM cc)
+        |SELECT cc.r, cc.n_r,
+        |  CAST((cc.r + 1) * coalesce(nx.n_r1, 0) AS BIGINT) AS gt_num
+        |FROM cc LEFT JOIN nx USING (r)""".stripMargin,
 
     // ONE-SHOT recompute at the grid-aligned instant — the oracle
     // never sees the checkpoint/advance/merge split, so equality
