@@ -4439,6 +4439,47 @@ object SparkEntry {
           ((col("r") + 1) * coalesce(col("n_r1"), lit(0L))).as("gt_num"))
     }),
 
+    // Decayed heavy hitters — the operator COMPOSITION the counters
+    // exist for: top-3 user cohorts per event type by decayed value
+    // (what's hot NOW, not all-time). The q248 aggregate feeds a
+    // top-k window over the |types×cohorts| counter table; the
+    // corpus-sized work stays the one counter pass.
+    "q263_decayed_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).select(col("event_type"),
+        (col("user_id") % 20).as("cohort"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val counters = graft.operators.Decay.decayedCounters(ev,
+        Seq("event_type", "cohort"), col("ts"), col("cents"),
+        halfLifeUs = 172800000000L)
+      counters.withColumn("rk", row_number().over(
+          Window.partitionBy("event_type").orderBy(
+            col("decayed_value_units").desc, col("cohort"))))
+        .filter(col("rk") <= 3)
+        .select("event_type", "cohort", "decayed_value_units", "rk")
+    }),
+
+    // Threshold sweep of the q225 classifier against a deterministic
+    // reference label (English-language docs): the PR-curve life
+    // table (threshold, tp, fp, fn, tn) at a fixed cutoff grid —
+    // integer confusion counts in ONE conditional-aggregation pass
+    // over the scored scan (thresholds explode on the tiny grid,
+    // never the corpus).
+    "q264_pr_sweep" -> ((s, d) => {
+      val scored = graft.operators.QualityClassifier.score(
+        Tables.documents(s, d), "text", "doc_id", keep = Seq("lang"))
+        .withColumn("y", (col("lang") === "en").cast("long"))
+      scored
+        .select(col("score"), col("y"),
+          explode(sequence(lit(-20L), lit(20L), lit(5L))).as("thresh"))
+        .withColumn("yhat", (col("score") > col("thresh")).cast("long"))
+        .groupBy("thresh")
+        .agg(sum(col("y") * col("yhat")).as("tp"),
+          sum((lit(1L) - col("y")) * col("yhat")).as("fp"),
+          sum(col("y") * (lit(1L) - col("yhat"))).as("fn"),
+          sum((lit(1L) - col("y")) * (lit(1L) - col("yhat"))).as("tn"))
+    }),
+
     // Incremental decayed-counter maintenance, END TO END: history
     // counted at a 7-step-earlier GRID-ALIGNED checkpoint, then
     // advanced (shift right 7) and merged with the recent batch at
@@ -9443,6 +9484,72 @@ object SparkEntry {
         |SELECT cc.r, cc.n_r,
         |  CAST((cc.r + 1) * coalesce(nx.n_r1, 0) AS BIGINT) AS gt_num
         |FROM cc LEFT JOIN nx USING (r)""".stripMargin,
+
+    // q248's counter tree + a per-type top-3 window; integer-cents
+    // pin rides along.
+    "q263_decayed_topk" ->
+      """WITH ev AS (
+        |  SELECT event_type, user_id % 20 AS cohort,
+        |    epoch_us(ts) AS t_us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |mx AS (SELECT max(t_us) AS asof_us FROM ev),
+        |w AS (
+        |  SELECT event_type, cohort, cents,
+        |    (asof_us - t_us) // 172800000000 AS steps
+        |  FROM ev, mx),
+        |ctr AS (
+        |  SELECT event_type, cohort,
+        |    CAST(sum(CASE WHEN steps <= 20
+        |      THEN cents * (1::BIGINT << (20 - steps)) ELSE 0 END)
+        |      AS BIGINT) AS decayed_value_units
+        |  FROM w GROUP BY event_type, cohort),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+        |    ORDER BY decayed_value_units DESC, cohort) AS INT) AS rk
+        |  FROM ctr)
+        |SELECT event_type, cohort, decayed_value_units, rk
+        |FROM r WHERE rk <= 3""".stripMargin,
+
+    // q225's score replay + the fixed threshold grid — conditional
+    // integer confusion counts, no floats.
+    "q264_pr_sweep" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '') AS ts
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang,
+        |    list_transform(range(1, greatest(len(ts), 1)),
+        |      i -> ts[i] || ' ' || ts[i + 1]) AS grams
+        |  FROM t),
+        |sc AS (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    CAST(coalesce(list_sum(list_transform(grams, gr ->
+        |      list_reduce(list_prepend(0::BIGINT,
+        |        list_transform(generate_series(1, 4),
+        |          j -> (strpos('0123456789abcdef', substr(md5('w:' ||
+        |            (list_reduce(list_prepend(0::BIGINT,
+        |              list_transform(generate_series(1, 4),
+        |                k -> (strpos('0123456789abcdef',
+        |                  substr(md5(gr), CAST(k AS INT), 1)) - 1)::BIGINT)),
+        |              (a, v) -> a * 16 + v) % 4096)::VARCHAR),
+        |            CAST(j AS INT), 1)) - 1)::BIGINT)),
+        |        (a, v) -> a * 16 + v) % 17 - 8)), 0) AS BIGINT) AS score
+        |  FROM g),
+        |grid AS (SELECT unnest(generate_series(-20, 20, 5))::BIGINT
+        |  AS thresh),
+        |cf AS (
+        |  SELECT thresh, y,
+        |    CASE WHEN score > thresh THEN 1 ELSE 0 END AS yhat
+        |  FROM sc, grid)
+        |SELECT thresh,
+        |  CAST(sum(y * yhat) AS BIGINT) AS tp,
+        |  CAST(sum((1 - y) * yhat) AS BIGINT) AS fp,
+        |  CAST(sum(y * (1 - yhat)) AS BIGINT) AS fn,
+        |  CAST(sum((1 - y) * (1 - yhat)) AS BIGINT) AS tn
+        |FROM cf GROUP BY thresh""".stripMargin,
 
     // ONE-SHOT recompute at the grid-aligned instant — the oracle
     // never sees the checkpoint/advance/merge split, so equality

@@ -134,6 +134,9 @@ class EntrySpec extends SparkSpec {
                              // cell counts), ONE rounded emit — the
                              // q241/q113 ln pin; strict-verified at
                              // sf0.001 + sf0.01 2026-08-14
+      "q263_decayed_topk",   // q248's integer-cents staircase tree +
+                             // a rank window; strict-verified at
+                             // sf0.001 + sf0.01 2026-08-14
       "q261_trimmed_stats",  // integer-cents pin (round(value*100) →
                              // BIGINT before ranking); strict-verified
                              // at sf0.001 + sf0.01 2026-08-14
