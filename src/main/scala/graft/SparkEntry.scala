@@ -4480,6 +4480,48 @@ object SparkEntry {
           sum((lit(1L) - col("y")) * (lit(1L) - col("yhat"))).as("tn"))
     }),
 
+    // Exact classifier AUC via the Mann–Whitney identity
+    // AUC = U/(n⁺·n⁻) — the threshold-free summary of q264's sweep,
+    // with ties worth exactly ½ (precisely what doubled ranks give).
+    // Emitted as integer numerators (auc = u_a_x2 / (2·n_a·n_b)
+    // driver-side); rank cost is the score DOMAIN, never a row sort.
+    "q265_classifier_auc" -> ((s, d) => {
+      val scored = graft.operators.QualityClassifier.score(
+        Tables.documents(s, d), "text", "doc_id", keep = Seq("lang"))
+        .withColumn("y",
+          when(col("lang") === "en", "pos").otherwise("neg"))
+      graft.operators.RankTests.mannWhitneyU(scored, "score", "y",
+        "pos", "neg")
+    }),
+
+    // Near-dup cluster purity vs source — is duplication WITHIN a
+    // crawl or ACROSS crawls (q145's matrix, resolved to cluster
+    // granularity): per multi-member cluster, member/source counts
+    // and the majority source with deterministic tie-break.
+    "q266_cluster_purity" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDupsCached(docs, d, "text", "doc_id",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      val comps = graft.operators.Components
+        .connectedComponentsCached(pairs, s"minhash05|$d")
+      val mem = docs.select(col("doc_id"), col("source"))
+        .join(comps.select(col("id").as("doc_id"), col("component")),
+          "doc_id")
+      val base = mem.groupBy("component").agg(
+        count(lit(1)).as("n_members"),
+        countDistinct(col("source")).as("n_sources"))
+      val major = mem.groupBy("component", "source")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("component")
+            .orderBy(col("c").desc, col("source"))))
+        .filter(col("rk") === 1)
+        .select(col("component"), col("source").as("majority_source"),
+          col("c").as("n_majority"))
+      base.join(major, "component")
+    }),
+
     // Incremental decayed-counter maintenance, END TO END: history
     // counted at a 7-step-earlier GRID-ALIGNED checkpoint, then
     // advanced (shift right 7) and merged with the recent batch at
@@ -9550,6 +9592,85 @@ object SparkEntry {
         |  CAST(sum(y * (1 - yhat)) AS BIGINT) AS fn,
         |  CAST(sum((1 - y) * (1 - yhat)) AS BIGINT) AS tn
         |FROM cf GROUP BY thresh""".stripMargin,
+
+    // q225 score replay into q258's doubled-rank machinery — AUC
+    // numerators with exact tie handling.
+    "q265_classifier_auc" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '') AS ts
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang,
+        |    list_transform(range(1, greatest(len(ts), 1)),
+        |      i -> ts[i] || ' ' || ts[i + 1]) AS grams
+        |  FROM t),
+        |sc AS (
+        |  SELECT doc_id, lang,
+        |    CAST(coalesce(list_sum(list_transform(grams, gr ->
+        |      list_reduce(list_prepend(0::BIGINT,
+        |        list_transform(generate_series(1, 4),
+        |          j -> (strpos('0123456789abcdef', substr(md5('w:' ||
+        |            (list_reduce(list_prepend(0::BIGINT,
+        |              list_transform(generate_series(1, 4),
+        |                k -> (strpos('0123456789abcdef',
+        |                  substr(md5(gr), CAST(k AS INT), 1)) - 1)::BIGINT)),
+        |              (a, v) -> a * 16 + v) % 4096)::VARCHAR),
+        |            CAST(j AS INT), 1)) - 1)::BIGINT)),
+        |        (a, v) -> a * 16 + v) % 17 - 8)), 0) AS BIGINT) AS score
+        |  FROM g),
+        |f AS (SELECT score AS v,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_a
+        |  FROM sc),
+        |bv AS (SELECT v, count(*) AS cnt,
+        |    CAST(sum(is_a) AS BIGINT) AS cnt_a
+        |  FROM f GROUP BY v),
+        |rk AS (SELECT *, coalesce(sum(cnt) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS cum
+        |  FROM bv),
+        |ag AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_all,
+        |    CAST(sum(cnt_a) AS BIGINT) AS n_a,
+        |    CAST(sum(cnt_a * (cum * 2 + cnt + 1)) AS BIGINT)
+        |      AS r_a_x2,
+        |    CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_cubes
+        |  FROM rk)
+        |SELECT n_a, n_all - n_a AS n_b,
+        |  r_a_x2 - n_a * (n_a + 1) AS u_a_x2, tie_cubes
+        |FROM ag""".stripMargin,
+
+    // The q37 closure relabeled with sources; majority via a rank
+    // over per-(cluster, source) counts.
+    "q266_cluster_purity" ->
+      (ngramJaccardPairsCte +
+        """,
+          |ed AS (SELECT id_a AS s, id_b AS d FROM jpairs
+          |       UNION SELECT id_b, id_a FROM jpairs),
+          |reach AS (
+          |  SELECT s AS id, s AS comp FROM ed
+          |  UNION
+          |  SELECT ed.d, reach.comp FROM reach JOIN ed ON ed.s = reach.id),
+          |lab AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+          |mem AS (
+          |  SELECT l.id AS doc_id, l.component, dd.source
+          |  FROM lab l JOIN documents dd ON dd.doc_id = l.id),
+          |base AS (
+          |  SELECT component, count(*) AS n_members,
+          |    count(DISTINCT source) AS n_sources
+          |  FROM mem GROUP BY 1),
+          |cs AS (
+          |  SELECT component, source, count(*) AS c
+          |  FROM mem GROUP BY 1, 2),
+          |mj AS (
+          |  SELECT component, source AS majority_source,
+          |    c AS n_majority
+          |  FROM (SELECT *, row_number() OVER (PARTITION BY component
+          |    ORDER BY c DESC, source) AS rk FROM cs)
+          |  WHERE rk = 1)
+          |SELECT base.component, base.n_members, base.n_sources,
+          |  mj.majority_source, mj.n_majority
+          |FROM base JOIN mj USING (component)""".stripMargin),
 
     // ONE-SHOT recompute at the grid-aligned instant — the oracle
     // never sees the checkpoint/advance/merge split, so equality
