@@ -4522,6 +4522,63 @@ object SparkEntry {
       base.join(major, "component")
     }),
 
+    // Cohen's kappa for the label-quality audit — chance-corrected
+    // agreement between declared `lang` and the q21 detector (the
+    // scalar verdict over q167's confusion matrix): κ = (N·agree −
+    // Σ row·col)/(N² − Σ row·col), emitted as exact integer
+    // numerator/denominator (κ itself is one driver-side division).
+    "q267_cohens_kappa" -> ((s, d) => {
+      val pred = TextFunctions.langIdByDoc(
+        Tables.documents(s, d), "text", "doc_id")
+        .select(col("doc_id"), col("detected_lang"))
+      val cells = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .join(pred, "doc_id")
+        .groupBy(col("lang").as("a"), col("detected_lang").as("p"))
+        .agg(count(lit(1)).as("c"))
+      val rowsC = cells.groupBy("a").agg(sum("c").as("row_c"))
+      val colsC = cells.groupBy("p").agg(sum("c").as("col_c"))
+      val pe = rowsC.join(colsC, col("a") === col("p"))
+        .agg(coalesce(sum(col("row_c") * col("col_c")), lit(0L))
+          .as("pe_num"))
+      val tot = cells.agg(sum("c").as("n"),
+        coalesce(sum(when(col("a") === col("p"), col("c"))), lit(0L))
+          .as("n_agree"))
+      tot.crossJoin(pe)
+        .select(col("n"), col("n_agree"), col("pe_num"),
+          (col("n") * col("n_agree") - col("pe_num")).as("kappa_num"),
+          (col("n") * col("n") - col("pe_num")).as("kappa_den"))
+    }),
+
+    // Exact-size stratified sample: per-source quotas apportioned by
+    // largest remainder (Σ quotas == 50 EXACTLY — not expected-value
+    // rates), members selected by smallest salted md5 rank — the
+    // deterministic eval-set constructor (growth-stable per stratum,
+    // idempotent across re-runs).
+    "q268_stratified_exact" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val sizes = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+      val tot = sizes.agg(sum("n_s").as("n_tot"))
+      val alloc = sizes.crossJoin(broadcast(tot))
+        .withColumn("fl", expr("(50L * n_s) div n_tot"))
+        .withColumn("rem", (lit(50L) * col("n_s")) % col("n_tot"))
+        .withColumn("short",
+          lit(50L) - sum("fl").over(Window.partitionBy()))
+        .withColumn("brank", row_number().over(
+          Window.orderBy(col("rem").desc, col("source"))))
+        .withColumn("k_s", col("fl") +
+          when(col("brank") <= col("short"), 1L).otherwise(0L))
+      val h = call_function("graft_md5i",
+        concat(lit("se0|"), col("doc_id").cast("string")), lit(12))
+      docs.withColumn("hv", h)
+        .withColumn("rk", row_number().over(Window.partitionBy("source")
+          .orderBy(col("hv"), col("doc_id"))))
+        .join(broadcast(alloc.select("source", "k_s")), "source")
+        .filter(col("rk") <= col("k_s"))
+        .select("source", "doc_id", "rk")
+    }),
+
     // Incremental decayed-counter maintenance, END TO END: history
     // counted at a 7-step-earlier GRID-ALIGNED checkpoint, then
     // advanced (shift right 7) and merged with the recent batch at
@@ -9671,6 +9728,82 @@ object SparkEntry {
           |SELECT base.component, base.n_members, base.n_sources,
           |  mj.majority_source, mj.n_majority
           |FROM base JOIN mj USING (component)""".stripMargin),
+
+    // q167's detector replay folded to the kappa numerators.
+    "q267_cohens_kappa" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    t -> t <> '')) AS t
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |    avg(CASE WHEN t IN ('der','die','das','und','ist','ein','nicht','zu') THEN 1.0 ELSE 0.0 END) AS s_de,
+        |    avg(CASE WHEN t IN ('the','and','of','to','is','in','that','it') THEN 1.0 ELSE 0.0 END) AS s_en,
+        |    avg(CASE WHEN t IN ('el','la','los','y','de','un','una','es') THEN 1.0 ELSE 0.0 END) AS s_es,
+        |    avg(CASE WHEN t IN ('le','la','les','et','de','un','une','est') THEN 1.0 ELSE 0.0 END) AS s_fr,
+        |    avg(CASE WHEN t IN ('il','la','di','e','un','una','che','per') THEN 1.0 ELSE 0.0 END) AS s_it
+        |  FROM toks GROUP BY doc_id),
+        |best AS (
+        |  SELECT doc_id, list_max([
+        |    {'score': s_de, 'lang': 'de'}, {'score': s_en, 'lang': 'en'},
+        |    {'score': s_es, 'lang': 'es'}, {'score': s_fr, 'lang': 'fr'},
+        |    {'score': s_it, 'lang': 'it'}]) AS b
+        |  FROM sc),
+        |pred AS (
+        |  SELECT doc_id,
+        |    CASE WHEN struct_extract(b, 'score') >= 0.05
+        |      THEN struct_extract(b, 'lang') ELSE 'und' END AS predicted
+        |  FROM best),
+        |cells AS (
+        |  SELECT d.lang AS a, p.predicted AS p, count(*) AS c
+        |  FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+        |  GROUP BY 1, 2),
+        |rc AS (SELECT a, CAST(sum(c) AS BIGINT) AS row_c
+        |  FROM cells GROUP BY a),
+        |cc2 AS (SELECT p, CAST(sum(c) AS BIGINT) AS col_c
+        |  FROM cells GROUP BY p),
+        |pe AS (SELECT CAST(coalesce(sum(row_c * col_c), 0) AS BIGINT)
+        |    AS pe_num
+        |  FROM rc JOIN cc2 ON rc.a = cc2.p),
+        |tt AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(coalesce(sum(CASE WHEN a = p THEN c END), 0)
+        |      AS BIGINT) AS n_agree
+        |  FROM cells)
+        |SELECT n, n_agree, pe_num,
+        |  n * n_agree - pe_num AS kappa_num,
+        |  n * n - pe_num AS kappa_den
+        |FROM tt, pe""".stripMargin,
+
+    // Largest-remainder quotas + salted-hash ranks replayed.
+    "q268_stratified_exact" ->
+      """WITH dd AS (SELECT doc_id, source FROM documents),
+        |sz AS (SELECT source, count(*) AS n_s FROM dd GROUP BY source),
+        |tt AS (SELECT sum(n_s) AS n_tot FROM sz),
+        |al AS (
+        |  SELECT source, n_s, (50 * n_s) // n_tot AS fl,
+        |    (50 * n_s) % n_tot AS rem
+        |  FROM sz, tt),
+        |al2 AS (
+        |  SELECT *, 50 - sum(fl) OVER () AS short,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS brank
+        |  FROM al),
+        |ks AS (SELECT source,
+        |    fl + (CASE WHEN brank <= short THEN 1 ELSE 0 END) AS k_s
+        |  FROM al2),
+        |hv AS (SELECT doc_id, source,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(generate_series(1, 12),
+        |      j -> (strpos('0123456789abcdef',
+        |        substr(md5('se0|' || CAST(doc_id AS VARCHAR)),
+        |          CAST(j AS INT), 1)) - 1)::BIGINT)),
+        |    (a, v) -> a * 16 + v) AS h
+        |  FROM dd),
+        |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY h, doc_id) AS INT) AS rk
+        |  FROM hv)
+        |SELECT rk.source, rk.doc_id, rk.rk
+        |FROM rk JOIN ks USING (source)
+        |WHERE rk.rk <= ks.k_s""".stripMargin,
 
     // ONE-SHOT recompute at the grid-aligned instant — the oracle
     // never sees the checkpoint/advance/merge split, so equality
