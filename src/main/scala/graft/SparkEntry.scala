@@ -2957,6 +2957,28 @@ object SparkEntry {
           max("event_id").as("max_event_id"))
     }),
 
+    // XML round-trip through Spark 4's NATIVE xml source (q193's ORC
+    // pattern on the remaining built-in format): stage events as XML
+    // once, read back under an EXPLICIT schema (no inference drift),
+    // aggregate — the oracle replays the aggregate from the parquet
+    // table, so equality proves the format preserves the data.
+    "q269_xml_roundtrip" -> ((s, d) => {
+      val path = graft.sinks.FormatStage.ensureXml(s, s"events|$d") {
+        Tables.events(s, d).select(col("event_id"), col("user_id"),
+          col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      }
+      s.read.schema(
+          "event_id BIGINT, user_id BIGINT, event_type STRING, " +
+            "cents BIGINT")
+        .format("xml").option("rowTag", "row").load(path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          countDistinct(col("user_id")).as("n_users"),
+          min("event_id").as("min_event_id"),
+          max("event_id").as("max_event_id"))
+    }),
+
     // Training-mix token-budget apportionment (largest remainder /
     // Hamilton): a 1M-token budget split across sources proportional
     // to their token mass — floor(B·t/T) each, the B − Σfloor leftover
@@ -7162,6 +7184,16 @@ object SparkEntry {
     // The oracle aggregates the ORIGINAL parquet — a hash match means
     // the engine-side ORC write+read round-trip preserved every value.
     "q193_orc_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  count(DISTINCT user_id) AS n_users,
+        |  min(event_id) AS min_event_id, max(event_id) AS max_event_id
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // Identical replay from the parquet table — format-roundtrip
+    // equality is the check (the q193 contract for XML).
+    "q269_xml_roundtrip" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |    AS sum_cents,

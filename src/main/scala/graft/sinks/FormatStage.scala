@@ -21,6 +21,17 @@ object FormatStage {
       dir
     })
 
+  /** Write `df` as XML once per key (Spark 4's native xml source);
+    * return the directory. */
+  def ensureXml(spark: SparkSession, key: String)
+               (df: => DataFrame): String =
+    staged.computeIfAbsent(s"xml|$key", { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_xml").toString
+      df.write.mode(SaveMode.Overwrite).format("xml")
+        .option("rowTag", "row").save(dir)
+      dir
+    })
+
   /** Write `df` as parquet once per key (a file-stream source needs a
     * directory); return the directory.
     */

@@ -159,6 +159,9 @@ class EntrySpec extends SparkSpec {
                              // float op and the gate is a pure
                              // integer compare; strict-verified at
                              // sf0.001 + sf0.01 on 2026-08-14
+      "q269_xml_roundtrip",  // q193's integer-cents pin applied to the
+                             // native XML source; strict-verified at
+                             // sf0.001 + sf0.01 2026-08-14
       // strict-verified 2026-08-13 (round 6 additions)
       "q193_orc_roundtrip",
       "q205_record_linkage", // integer-cents pin; see oracle comment
