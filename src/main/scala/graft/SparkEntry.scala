@@ -2979,6 +2979,20 @@ object SparkEntry {
           max("event_id").as("max_event_id"))
     }),
 
+    // Label-propagation communities on the supplier co-occurrence
+    // graph — the DENSE-structure detector beside q37's connected
+    // components (a single bridge edge cannot glue two tight clusters
+    // into one community). Synchronous fixed-round form with
+    // (count desc, label asc) tie-break: a pure function of the edge
+    // set, replayed by unrolling the 4 rounds in the oracle.
+    "q270_label_prop" -> ((s, d) => {
+      val edges = graft.operators.Triangles.coOccurrenceEdgesCached(
+        Tables.lineitem(s, d), inputKey = d,
+        "l_orderkey", "l_suppkey", minSupport = 5)
+      graft.operators.LabelProp.communities(edges, rounds = 4)
+        .select(col("id").as("supplier"), col("community"))
+    }),
+
     // Training-mix token-budget apportionment (largest remainder /
     // Hamilton): a 1M-token budget split across sources proportional
     // to their token mass — floor(B·t/T) each, the B − Σfloor leftover
@@ -7200,6 +7214,49 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS n_users,
         |  min(event_id) AS min_event_id, max(event_id) AS max_event_id
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // The q129 edge CTE + four UNROLLED synchronous rounds — the
+    // fixed-round determinism contract replayed literally.
+    "q270_label_prop" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS m
+        |            FROM lineitem),
+        |e0 AS (
+        |  SELECT a.m AS src, b.m AS dst
+        |  FROM os a JOIN os b ON a.o = b.o AND a.m < b.m
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |ed AS (SELECT src AS s, dst AS d FROM e0
+        |       UNION ALL SELECT dst, src FROM e0),
+        |n0 AS (SELECT DISTINCT s AS id FROM ed),
+        |l0 AS (SELECT id, id AS lab FROM n0),
+        |nl1 AS (SELECT ed.d AS id, l0.lab, count(*) AS c
+        |  FROM ed JOIN l0 ON ed.s = l0.id GROUP BY 1, 2),
+        |p1 AS (SELECT id, lab FROM (SELECT *, row_number() OVER (
+        |  PARTITION BY id ORDER BY c DESC, lab) AS rk FROM nl1)
+        |  WHERE rk = 1),
+        |l1 AS (SELECT n0.id, coalesce(p1.lab, n0.id) AS lab
+        |  FROM n0 LEFT JOIN p1 USING (id)),
+        |nl2 AS (SELECT ed.d AS id, l1.lab, count(*) AS c
+        |  FROM ed JOIN l1 ON ed.s = l1.id GROUP BY 1, 2),
+        |p2 AS (SELECT id, lab FROM (SELECT *, row_number() OVER (
+        |  PARTITION BY id ORDER BY c DESC, lab) AS rk FROM nl2)
+        |  WHERE rk = 1),
+        |l2 AS (SELECT n0.id, coalesce(p2.lab, n0.id) AS lab
+        |  FROM n0 LEFT JOIN p2 USING (id)),
+        |nl3 AS (SELECT ed.d AS id, l2.lab, count(*) AS c
+        |  FROM ed JOIN l2 ON ed.s = l2.id GROUP BY 1, 2),
+        |p3 AS (SELECT id, lab FROM (SELECT *, row_number() OVER (
+        |  PARTITION BY id ORDER BY c DESC, lab) AS rk FROM nl3)
+        |  WHERE rk = 1),
+        |l3 AS (SELECT n0.id, coalesce(p3.lab, n0.id) AS lab
+        |  FROM n0 LEFT JOIN p3 USING (id)),
+        |nl4 AS (SELECT ed.d AS id, l3.lab, count(*) AS c
+        |  FROM ed JOIN l3 ON ed.s = l3.id GROUP BY 1, 2),
+        |p4 AS (SELECT id, lab FROM (SELECT *, row_number() OVER (
+        |  PARTITION BY id ORDER BY c DESC, lab) AS rk FROM nl4)
+        |  WHERE rk = 1),
+        |l4 AS (SELECT n0.id, coalesce(p4.lab, n0.id) AS lab
+        |  FROM n0 LEFT JOIN p4 USING (id))
+        |SELECT id AS supplier, lab AS community FROM l4""".stripMargin,
 
     // Same floor/remainder apportionment, same (rem desc, source)
     // remainder ranking — integer-exact.

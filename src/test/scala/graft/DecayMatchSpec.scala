@@ -367,6 +367,42 @@ class DecayMatchSpec extends SparkSpec {
       kept.sum + lo * (kept.head + kept.last))
   }
 
+  test("label propagation: a bridge edge cannot glue two triangles " +
+    "(one component, two communities); sync rounds match a reference") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} joined by bridge 3-4
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val got = graft.operators.LabelProp.communities(edges, rounds = 4)
+      .collect().map(r => r.getAs[Long]("id") ->
+      r.getAs[Long]("community")).toMap
+    assert(got(1L) === got(2L) && got(2L) === got(3L))
+    assert(got(4L) === got(5L) && got(5L) === got(6L))
+    assert(got(1L) !== got(4L),
+      "bridge must not merge the two dense clusters")
+    // connected components WOULD merge them — the operators answer
+    // different questions
+    val comp = graft.operators.Components.connectedComponents(
+      edges.select(col("src").as("id_a"), col("dst").as("id_b")))
+      .select("component").distinct().count()
+    assert(comp === 1L)
+    // independent synchronous reference loop
+    val ed = Seq((1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    var lab = (1 to 6).map(i => i -> i).toMap
+    for (_ <- 1 to 4) {
+      lab = (1 to 6).map { v =>
+        val nbr = ed.collect { case (s, d) if d == v => lab(s) }
+        v -> (if (nbr.isEmpty) lab(v)
+              else nbr.groupBy(identity).toSeq
+                .map { case (l, occ) => (-occ.size, l) }.min._2)
+      }.toMap
+    }
+    (1 to 6).foreach { v =>
+      assert(got(v.toLong) === lab(v).toLong, s"node $v")
+    }
+  }
+
   test("theil-sen: exact lower-median on an even pair count") {
     import spark.implicits._
     // 3 points → 3 pairs; 4 points → 6 pairs (even): lower median is
