@@ -4497,23 +4497,33 @@ object SparkEntry {
 
     // Threshold sweep of the q225 classifier against a deterministic
     // reference label (English-language docs): the PR-curve life
-    // table (threshold, tp, fp, fn, tn) at a fixed cutoff grid —
-    // integer confusion counts in ONE conditional-aggregation pass
-    // over the scored scan (thresholds explode on the tiny grid,
-    // never the corpus).
+    // table (threshold, tp, fp, fn, tn) at a fixed cutoff grid. The
+    // corpus is scanned ONCE into per-score cells (the score DOMAIN —
+    // bounded, like q258's rank trick); the threshold grid then fans
+    // out over those cells only, so the sweep's cost is independent
+    // of grid size at corpus scale.
     "q264_pr_sweep" -> ((s, d) => {
       val scored = graft.operators.QualityClassifier.score(
         Tables.documents(s, d), "text", "doc_id", keep = Seq("lang"))
         .withColumn("y", (col("lang") === "en").cast("long"))
-      scored
-        .select(col("score"), col("y"),
+      val cells = scored.groupBy("score")
+        .agg(sum("y").as("pos"), count(lit(1)).as("n"))
+      val tot = cells.agg(sum("pos").as("tot_pos"),
+        (sum("n") - sum("pos")).as("tot_neg"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("score"), col("pos"), col("n"), col("tot_pos"),
+          col("tot_neg"),
           explode(sequence(lit(-20L), lit(20L), lit(5L))).as("thresh"))
-        .withColumn("yhat", (col("score") > col("thresh")).cast("long"))
         .groupBy("thresh")
-        .agg(sum(col("y") * col("yhat")).as("tp"),
-          sum((lit(1L) - col("y")) * col("yhat")).as("fp"),
-          sum(col("y") * (lit(1L) - col("yhat"))).as("fn"),
-          sum((lit(1L) - col("y")) * (lit(1L) - col("yhat"))).as("tn"))
+        .agg(first("tot_pos").as("tot_pos"),
+          first("tot_neg").as("tot_neg"),
+          sum(when(col("score") > col("thresh"), col("pos"))
+            .otherwise(0L)).as("tp"),
+          sum(when(col("score") > col("thresh"), col("n") - col("pos"))
+            .otherwise(0L)).as("fp"))
+        .select(col("thresh"), col("tp"), col("fp"),
+          (col("tot_pos") - col("tp")).as("fn"),
+          (col("tot_neg") - col("fp")).as("tn"))
     }),
 
     // Exact classifier AUC via the Mann–Whitney identity
