@@ -226,6 +226,21 @@ class PlanSpec extends SparkSpec {
       s"CUSUM must not join the series to itself:\n$p")
   }
 
+  test("q264: PR sweep fans the threshold grid out over score-domain " +
+    "cells — the corpus feeds one partial+final aggregate, no " +
+    "row-level grid multiplication") {
+    val p = plan("q264_pr_sweep")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("Partial") || p.contains("partial_count"), p)
+    // the Generate (grid explode) must sit ABOVE the per-score
+    // aggregate in the tree printout (operators print top-down), so
+    // it expands cells, not corpus rows
+    val gen = p.indexOf("Generate")
+    val agg = p.lastIndexOf("HashAggregate")
+    assert(gen >= 0 && agg >= 0 && gen < agg,
+      s"grid explode must expand domain cells, not scan rows:\n$p")
+  }
+
   test("q258: mann-whitney ranks on the distinct-value domain — the " +
     "corpus contributes one partial+final aggregate, no row sort " +
     "below it") {
