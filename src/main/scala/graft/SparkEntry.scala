@@ -545,14 +545,24 @@ object SparkEntry {
     // verifies their COMPOSITION end-to-end against one SQL replay.
     "q77_corpus_pipeline" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // qualityScore is computed inline (cheap scalar); the repetition
+      // score joins in via the aggregate-barriered form so the
+      // `repetition <= 0.5` gate below cannot be pushed into the
+      // (non-codegen) gram-construction expression — see the perf
+      // note on TextFunctions.repetitionScoreAgg.
       val rep = graft.functions.TextFunctions
-        .repetitionScore(docs, "text", "doc_id")
+        .repetitionScoreAgg(docs, "text", "doc_id")
         .select(col("doc_id"), col("repetition"))
-      val qual = docs.select(col("doc_id"),
-        graft.functions.TextFunctions.qualityScore(col("text")).as("qs"))
+      // quality gate as a bare Filter, never projected as a column:
+      // carrying `qs` through the join makes Catalyst evaluate the
+      // (non-codegen, HOF-heavy) expression TWICE per row — once in
+      // the pushed-down Filter, once in the Project feeding the join
+      // (measured 4.4 s vs 1.3 s for the whole capstone at sf0.1).
       val corpus = docs.filter(col("doc_id") >= 5)
-        .join(rep, "doc_id").join(qual, "doc_id")
-        .filter(col("qs") >= 0.5 && col("repetition") <= 0.5)
+        .filter(graft.functions.TextFunctions
+          .qualityScore(col("text")) >= 0.5)
+        .join(rep, "doc_id")
+        .filter(col("repetition") <= 0.5)
 
       val pairs = Dedup.minhashNearDupsCached(docs, d, "text", "doc_id",
         shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
@@ -562,10 +572,13 @@ object SparkEntry {
         .select(col("id").as("doc_id"))
       val deduped = corpus.join(losers, Seq("doc_id"), "left_anti")
 
-      val bench4 = Dedup.shingleRows(
+      // Raw (non-distinct) gram streams: the trailing distinct() on
+      // doc_id absorbs duplicate-gram join multiplicity, so the
+      // per-(id,g) dedup shuffle inside shingleRows is pure waste here.
+      val bench4 = Dedup.shingleRowsRaw(
         docs.filter(col("doc_id") < 5), "text", "doc_id", n = 4)
-        .select(col("g"))
-      val corpus4 = Dedup.shingleRows(
+        .select(col("g")).distinct()
+      val corpus4 = Dedup.shingleRowsRaw(
         docs.filter(col("doc_id") >= 5), "text", "doc_id", n = 4)
         .select(col("id").as("doc_id"), col("g"))
       val contaminated = corpus4.join(bench4, "g")
@@ -616,10 +629,14 @@ object SparkEntry {
     // have collisions at all.)
     "q72_decontaminate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val bench = Dedup.shingleRows(
+      // Raw gram streams (no per-(id,g) distinct): countDistinct(g)
+      // and min(bench_id) are insensitive to join multiplicity, but the
+      // bench side IS deduped first so corpus-side duplicates don't
+      // multiply against bench-side duplicates in the join output.
+      val bench = Dedup.shingleRowsRaw(
         docs.filter(col("doc_id") < 5), "text", "doc_id", n = 4)
-        .select(col("id").as("bench_id"), col("g"))
-      val corpus = Dedup.shingleRows(
+        .groupBy("g").agg(min(col("id")).as("bench_id"))
+      val corpus = Dedup.shingleRowsRaw(
         docs.filter(col("doc_id") >= 5), "text", "doc_id", n = 4)
         .select(col("id").as("doc_id"), col("g"))
       corpus.join(bench, "g")

@@ -182,26 +182,94 @@ object TextFunctions {
   def repetitionScore(df: org.apache.spark.sql.DataFrame, textCol: String,
                       idCol: String, n: Int = 3)
   : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol),
-      posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("p", "t")))
-      .filter(col("t") =!= "")
-    val w = Window.partitionBy(idCol).orderBy("p")
-    val gram = concat_ws(" ",
-      col("t") +: (1 until n).map(k => lead(col("t"), k).over(w)): _*)
-    toks
-      .withColumn("n_tok", count(lit(1)).over(Window.partitionBy(idCol)))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("g", gram)
-      .filter(col("rn") <= col("n_tok") - n + 1 ||
-        (col("n_tok") < n && col("rn") === 1))
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_grams"),
-        countDistinct(col("g")).as("n_distinct_grams"))
+    // Pure per-row array arithmetic — NO shuffle. The r8 form
+    // (explode + two windows + count-distinct aggregate) paid two
+    // per-doc sort exchanges for what is a scalar function of one
+    // document; at 100 TB this form is a map-only pass that pipelines
+    // into whatever filter consumes the score. Docs with zero tokens
+    // produce no gram stream and are dropped (matching the explode
+    // form, where they vanished before the aggregate).
+    // The token array is BOUND via its own projection before the gram
+    // transform: higher-order functions evaluate interpreted, and a
+    // lambda body that references a complex expression (rather than a
+    // bound column) re-evaluates it PER ELEMENT — the unbound form
+    // re-ran split+lower+filter once per token, O(n_tok²) per doc
+    // (measured 4.3 s vs 0.7 s over 5k docs at sf0.1). The alias is
+    // referenced several times from non-cheap expressions, so
+    // CollapseProject keeps the binding projection intact.
+    df.select(col(idCol), wordTokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col(idCol), wordGramsOfToks(col("toks"), n).as("grams"))
+      .select(col(idCol),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(array_distinct(col("grams"))).cast("long")
+          .as("n_distinct_grams"))
       .withColumn("repetition",
         round(lit(1.0) - col("n_distinct_grams").cast("double") /
           col("n_grams").cast("double"), 4))
   }
+
+  /** Lowercased whitespace tokens as a scalar array column (empty
+    * tokens from leading/double whitespace removed). */
+  def wordTokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= lit(""))
+
+  /** Word n-grams of one document as a scalar array column: starts
+    * 1..n_tok−n+1 when the doc has ≥n tokens, one whole-doc gram
+    * otherwise (the [[graft.operators.Dedup.shingleRows]] short-doc
+    * convention). Zero-token docs yield `[""]` — callers that must
+    * match the exploded form's drop-empty-docs behavior filter on
+    * `size(wordTokens(text)) >= 1` first.
+    *
+    * PERF: prefer projecting `wordTokens(text).as("toks")` first and
+    * calling [[wordGramsOfToks]] on the bound column — HOF lambdas
+    * evaluate interpreted and re-evaluate a complex `toks` argument
+    * per element. */
+  def wordGrams(text: Column, n: Int): Column =
+    wordGramsOfToks(wordTokens(text), n)
+
+  /** [[wordGrams]] over an already-computed token-array column. The
+    * lambda only touches the bound `toks` reference, so per-element
+    * work is O(n) slice+concat, not a re-tokenization of the doc. */
+  def wordGramsOfToks(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - n + 1),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array(concat_ws(" ", toks)))
+
+  /** Per-row repetition fraction (1 − distinct/total word n-grams,
+    * rounded to 4 dp) — the scalar form of [[repetitionScore]] for
+    * pipelines that already hold the doc row.
+    *
+    * PERF WARNING: higher-order functions don't whole-stage-codegen;
+    * if this lands in a Filter predicate (directly or via Catalyst
+    * pushing a filter on an aliased copy back through the Project),
+    * the gram construction is re-evaluated interpreted per reference
+    * — measured 19× slower than the once-evaluated Project form at
+    * sf0.1. Joining [[repetitionScoreAgg]] is the safe shape when a
+    * downstream filter consumes the score. */
+  def repetitionOf(text: Column, n: Int = 3): Column = {
+    val grams = wordGrams(text, n)
+    round(lit(1.0) - size(array_distinct(grams)).cast("double") /
+      size(grams).cast("double"), 4)
+  }
+
+  /** [[repetitionScore]] behind an aggregate barrier: same rows and
+    * values, but the trailing per-id aggregate (a no-op on the unique
+    * id) BLOCKS Catalyst from pushing a downstream `repetition <= x`
+    * filter into the gram-construction Project — without the barrier
+    * the pushed predicate re-evaluates the (non-codegen) higher-order
+    * gram expression per row interpreted, measured 4.7 s vs 1.3 s on
+    * the q77 capstone at sf0.1. The aggregate shuffles only the
+    * narrow (id, 3 numeric) rows. */
+  def repetitionScoreAgg(df: org.apache.spark.sql.DataFrame,
+                         textCol: String, idCol: String, n: Int = 3)
+  : org.apache.spark.sql.DataFrame =
+    repetitionScore(df, textCol, idCol, n)
+      .groupBy(idCol)
+      .agg(max("n_grams").as("n_grams"),
+        max("n_distinct_grams").as("n_distinct_grams"),
+        max("repetition").as("repetition"))
 
   /** Corpus-trained bigram-LM perplexity per document — the CCNet-
     * style "how surprising is this text under a language model"

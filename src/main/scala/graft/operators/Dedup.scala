@@ -55,26 +55,34 @@ object Dedup {
     */
   def shingleRows(df: DataFrame, textCol: String, idCol: String,
                   n: Int): DataFrame = {
-    val toks = df
-      .select(col(idCol).as("id"),
-        posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("p", "t")))
-      .filter(col("t") =!= "")
-    val w = Window.partitionBy("id").orderBy("p")
-    val gram = concat_ws(" ",
-      col("t") +: (1 until n).map(k => lead(col("t"), k).over(w)): _*)
-    // rn, not p, for the start-position filter: posexplode positions
-    // have gaps where empty tokens (leading/double whitespace) were
-    // filtered out; row_number over the same window is gap-free
-    val withGram = toks
-      .withColumn("n_tok", count(lit(1)).over(Window.partitionBy("id")))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("g", gram)
-      .filter(col("rn") <= col("n_tok") - n + 1 ||
-        (col("n_tok") < n && col("rn") === 1))
-      .select("id", "g").distinct()
+    val withGram = shingleRowsRaw(df, textCol, idCol, n).distinct()
     withGram.withColumn("n_sh",
       count(lit(1)).over(Window.partitionBy("id")))
   }
+
+  /** [[shingleRows]] without the per-(id,g) distinct and the n_sh
+    * window — the raw positional gram stream (one row per gram
+    * OCCURRENCE). Correct whenever the consumer dedups anyway (an
+    * equi-join followed by a distinct/countDistinct aggregate, as in
+    * decontamination) or wants occurrence counts.
+    *
+    * Shape: MAP-ONLY — the token array is bound in its own projection
+    * (see the HOF-rebinding note on TextFunctions.repetitionScore),
+    * grams come from one in-row array transform, and a Generate
+    * explodes them. Zero exchanges, vs the r8 form's two per-doc
+    * window sorts (lead over token position) — at 100 TB the gram
+    * stream pipelines straight into whatever shuffle consumes it
+    * instead of paying its own sort first. Short docs (< n tokens)
+    * yield one whole-doc gram; empty docs yield nothing.
+    */
+  def shingleRowsRaw(df: DataFrame, textCol: String, idCol: String,
+                     n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        graft.functions.TextFunctions.wordTokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("id"),
+        explode(graft.functions.TextFunctions
+          .wordGramsOfToks(col("toks"), n)).as("g"))
 
   /** MinHash signatures as 64 codegen'd min-aggregates over shingle
     * rows: returns (id, sig array<long>). One shuffle keyed by id

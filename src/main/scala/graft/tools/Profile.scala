@@ -31,6 +31,7 @@ object Profile {
     if (args.headOption.contains("stress-substr")) { stressSubstr(); return }
     if (args.headOption.contains("stress-ivjoin")) { stressIntervalJoin(); return }
     if (args.headOption.contains("stress-series")) { stressSeries(); return }
+    if (args.headOption.contains("stage77")) { stage77(); return }
     val spark = GraftSession.build("profile")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val docs = Tables.documents(spark, d).cache()
@@ -694,6 +695,82 @@ object Profile {
     val reps = args.lift(1).map(_.toInt).getOrElse(3)
     (1 to reps).foreach { i =>
       t(s"$name run$i") { graft.SparkEntry.queries(name)(spark, d).count() }
+    }
+    spark.stop()
+  }
+
+  /** Per-stage timing of the q77 corpus-pipeline capstone (perf audit
+    * for the r8 bench regression). */
+  def stage77(): Unit = {
+    val spark = GraftSession.build("stage77")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    (1 to 2).foreach { round =>
+      val docs = Tables.documents(spark, d)
+      // Each stage is localCheckpoint-materialized so downstream stage
+      // timings never re-execute upstream work: segment times ADD UP
+      // to an attribution of the full pipeline.
+      val repA = TextFunctions.repetitionScoreAgg(docs, "text", "doc_id")
+        .select(col("doc_id"), col("repetition"))
+      t(s"r$round gateA join-no-qs") {
+        docs.filter(col("doc_id") >= 5)
+          .join(repA, "doc_id")
+          .filter(col("repetition") <= 0.5).count()
+      }
+      t(s"r$round gateB qs-no-join") {
+        docs.filter(col("doc_id") >= 5)
+          .filter(TextFunctions.qualityScore(col("text")) >= 0.5).count()
+      }
+      t(s"r$round gateC qs+join") {
+        docs.filter(col("doc_id") >= 5)
+          .filter(TextFunctions.qualityScore(col("text")) >= 0.5)
+          .join(repA, "doc_id")
+          .filter(col("repetition") <= 0.5).count()
+      }
+      val corpus = t(s"r$round seg1 gate") {
+        val rep = TextFunctions.repetitionScoreAgg(docs, "text", "doc_id")
+          .select(col("doc_id"), col("repetition"))
+        docs.filter(col("doc_id") >= 5)
+          .filter(TextFunctions.qualityScore(col("text")) >= 0.5)
+          .join(rep, "doc_id")
+          .filter(col("repetition") <= 0.5)
+          .localCheckpoint(true)
+      }
+      val pairs = t(s"r$round seg2 pair graph") {
+        val p = Dedup.minhashNearDupsCached(docs, d, "text", "doc_id",
+          shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        p.count(); p
+      }
+      val losers = graft.operators.Components
+        .connectedComponentsCached(pairs, s"minhash05|$d")
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"))
+      val deduped = t(s"r$round seg3 anti-join") {
+        corpus.join(losers, Seq("doc_id"), "left_anti").localCheckpoint(true)
+      }
+      val contaminated = t(s"r$round seg4 contamination") {
+        val bench4 = Dedup.shingleRowsRaw(
+          docs.filter(col("doc_id") < 5), "text", "doc_id", n = 4)
+          .select(col("g")).distinct()
+        val corpus4 = Dedup.shingleRowsRaw(
+          docs.filter(col("doc_id") >= 5), "text", "doc_id", n = 4)
+          .select(col("id").as("doc_id"), col("g"))
+        corpus4.join(bench4, "g").select("doc_id").distinct()
+          .localCheckpoint(true)
+      }
+      val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      t(s"r$round seg5 split+pack") {
+        val train = graft.operators.WeightedSample
+          .splitAssign(clean, "doc_id")
+          .filter(col("split") === "train")
+          .select(col("source"), col("doc_id"),
+            TextFunctions.tokenCount(col("text")).as("n_tok"))
+        graft.operators.SequencePack
+          .pack(train, "source", "doc_id", "n_tok", budget = 2048)
+          .count()
+      }
+      t(s"r$round FULL q77") {
+        graft.SparkEntry.queries("q77_corpus_pipeline")(spark, d).count()
+      }
     }
     spark.stop()
   }
