@@ -43,17 +43,20 @@ import graft.sinks.VersionedTable
   * crash-retry of an ingest is idempotent.
   *
   * CROSS-TABLE READ CONSISTENCY: `bands` and `grams` are two tables
-  * with two manifests, and [[ingest]] commits them sequentially — a
-  * concurrent UNSCOPED probe (`epochs = None`) can observe the
-  * in-flight epoch's bands before its grams land, in which case that
-  * epoch's candidates verify against no postings and its pairs are
-  * withheld until the ingest completes (read-committed-style: never
-  * wrong pairs, possibly not-yet-visible ones). EPOCH-SCOPED probes —
-  * the production loop (q229/q230) always scopes to the epochs known
-  * complete — filter the in-flight partition out of BOTH tables and
-  * are therefore snapshot-consistent. A single cross-table manifest
-  * (atomic (bandsVersion, gramsVersion) flip) is the upgrade if
-  * unscoped probes must also be snapshot-consistent.
+  * with two manifests, committed sequentially by [[ingest]] — on
+  * their own they would give a concurrent UNSCOPED probe a
+  * read-committed view (an epoch's bands visible before its grams).
+  * So the index keeps ONE cross-table snapshot file,
+  * `root/_snapshot.json`, holding BOTH tables' full manifests and
+  * flipped by a single atomic move AFTER both commits land. [[probe]]
+  * reads through the snapshot: it observes either a (bands, grams)
+  * pair that was committed together or the previous such pair — never
+  * bands without their grams. Epoch-scoped probes get the same
+  * snapshot plus partition pruning. (The bands manifest is captured
+  * BEFORE the grams manifest when writing the snapshot, so even under
+  * a racing ingest every epoch present in the snapshot's bands has
+  * its grams; grams-without-bands is harmless — postings alone
+  * produce no candidates.)
   */
 object NearDupIndex {
 
@@ -68,6 +71,53 @@ object NearDupIndex {
 
   private def bandsRoot(root: String): String = s"$root/bands"
   private def gramsRoot(root: String): String = s"$root/grams"
+  private def snapshotPath(root: String) =
+    Paths.get(root, "_snapshot.json")
+
+  /** Atomically publish the CURRENT pair of table manifests as the
+    * index's read snapshot (two lines: bands manifest, grams
+    * manifest). Bands is captured first — see the class doc's
+    * consistency argument.
+    */
+  private def publishSnapshot(root: String): Unit = {
+    val b = VersionedTable.readPartitionedManifest(bandsRoot(root))
+      .getOrElse(sys.error(s"publishSnapshot before bands commit at $root"))
+    val g = VersionedTable.readPartitionedManifest(gramsRoot(root))
+      .getOrElse(sys.error(s"publishSnapshot before grams commit at $root"))
+    val body = VersionedTable.renderPartitionedManifest(b) + "\n" +
+      VersionedTable.renderPartitionedManifest(g)
+    val tmp = Paths.get(root, s"_snapshot.json.tmp${b.version}_${g.version}")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, snapshotPath(root),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The snapshot's (bands, grams) manifest pair. Falls back to the
+    * live per-table manifests for pre-snapshot index dirs (strictly
+    * weaker read-committed view, same data).
+    */
+  private def readSnapshot(root: String)
+  : (VersionedTable.PartitionedManifest,
+     VersionedTable.PartitionedManifest) = {
+    val p = snapshotPath(root)
+    if (Files.exists(p)) {
+      val lines = new String(Files.readAllBytes(p),
+        StandardCharsets.UTF_8).split("\n")
+      require(lines.length == 2, s"malformed $p")
+      val b = VersionedTable.parsePartitionedManifest(lines(0))
+        .getOrElse(sys.error(s"unparseable bands manifest in $p"))
+      val g = VersionedTable.parsePartitionedManifest(lines(1))
+        .getOrElse(sys.error(s"unparseable grams manifest in $p"))
+      (b, g)
+    } else {
+      val b = VersionedTable.readPartitionedManifest(bandsRoot(root))
+        .getOrElse(sys.error(s"no committed index under $root"))
+      val g = VersionedTable.readPartitionedManifest(gramsRoot(root))
+        .getOrElse(sys.error(s"no committed index under $root"))
+      (b, g)
+    }
+  }
 
   /** Both tables committed (params alone — e.g. a crash between the
     * two commits — is not "built"; [[ingest]] of the same epoch
@@ -140,6 +190,7 @@ object NearDupIndex {
       bandRows(grams, params)
         .select(epochLit, col("id"), col("band"), col("h")),
       keys = Seq("epoch", "id", "band"), partitionColumns = Seq("epoch"))
+    publishSnapshot(root)
     Files.createDirectories(fpPath.getParent)
     Files.write(fpPath, fp.getBytes(StandardCharsets.UTF_8))
   }
@@ -178,6 +229,10 @@ object NearDupIndex {
             epochs: Option[Seq[String]] = None): DataFrame = {
     require(exists(root), s"no committed index under $root")
     val p = readParams(root)
+    // ONE atomically-published (bands, grams) manifest pair for the
+    // whole probe — never bands of an epoch without its grams, even
+    // against a racing ingest (class-doc consistency argument).
+    val (bandsM, gramsM) = readSnapshot(root)
     def scoped(df: DataFrame): DataFrame =
       epochs.map(es => df.filter(col("epoch").isInCollection(es)))
         .getOrElse(df)
@@ -193,7 +248,7 @@ object NearDupIndex {
     val batchIds = batchGrams.select("id").distinct()
 
     val idxBands = scoped(VersionedTable
-        .readLivePartitioned(spark, bandsRoot(root)))
+        .readPartitionedSnapshot(spark, bandsRoot(root), bandsM))
       .join(batchIds, Seq("id"), "left_anti")
     val candidates = idxBands.alias("l")
       .join(batchBands.alias("r"), Seq("band", "h"))
@@ -204,7 +259,7 @@ object NearDupIndex {
     // id set is batch-collision-bounded, so AQE broadcasts the semi
     // join and the grams scan never feeds a corpus-sized shuffle
     val corpusGrams = scoped(VersionedTable
-        .readLivePartitioned(spark, gramsRoot(root)))
+        .readPartitionedSnapshot(spark, gramsRoot(root), gramsM))
       .select(col("id"), col("g"), col("n_sh"))
       .join(candidates.select(col("id_a").as("id")).distinct(),
         Seq("id"), "left_semi")

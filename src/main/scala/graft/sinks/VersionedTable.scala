@@ -3,6 +3,7 @@ package graft.sinks
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 
 /** Poor-man's commit protocol for the parquet-native upsert path —
   * closes the [[MergeWriter]] concurrency window (its dir swap gives a
@@ -102,12 +103,32 @@ object VersionedTable {
     }
   }
 
+  /** Hidden per-row write-sequence column: [[upsert]] stamps every
+    * written row with the commit version that wrote it, which is what
+    * lets equality deletes use Iceberg's sequence-number rule (a
+    * delete masks only rows written at-or-before it). Stripped from
+    * every public read; present in the physical parquet.
+    */
+  private[graft] val SeqCol = "_graft_seq"
+
   /** Read the live snapshot. Fails if the table has never committed. */
-  def readLive(spark: SparkSession, root: String): DataFrame = {
+  def readLive(spark: SparkSession, root: String): DataFrame =
+    readLiveStamped(spark, root).drop(SeqCol)
+
+  /** [[readLive]] keeping (and defaulting) the hidden write-sequence
+    * column — internal: the delete-mask join and vacuum's fold need
+    * it; rows from pre-stamping commits (or raw [[commit]] calls)
+    * default to sequence 0, i.e. "masked by any delete", the old
+    * conservative behavior.
+    */
+  private def readLiveStamped(spark: SparkSession, root: String): DataFrame = {
     val m = readManifest(root).getOrElse(throw new IllegalStateException(
       s"no _manifest.json under $root — table has never committed"))
-    spark.read.option("mergeSchema", "true")
+    val raw = spark.read.option("mergeSchema", "true")
       .parquet(Paths.get(root).resolve(m.live).toString)
+    if (raw.columns.contains(SeqCol))
+      raw.withColumn(SeqCol, coalesce(col(SeqCol), lit(0L)))
+    else raw.withColumn(SeqCol, lit(0L))
   }
 
   // ------------------------------------------------------------------
@@ -166,6 +187,7 @@ object VersionedTable {
         s"version $version of $root was pruned by retention — " +
           "raise keepVersions on commit to travel further back")
     spark.read.option("mergeSchema", "true").parquet(dir.toString)
+      .drop(SeqCol)
   }
 
   /** Run `writeTo(stagingDir)` (in parallel with other writers — the
@@ -255,17 +277,30 @@ object VersionedTable {
     var attempt = 0
     while (true) {
       val base = readManifest(root)
+      // Rows written by THIS commit carry its version as their write
+      // sequence (recomputed on CAS retry); surviving rows keep the
+      // sequence of the commit that last wrote them. This is what lets
+      // softDelete apply Iceberg's sequence-number rule instead of
+      // masking re-upserted keys forever.
+      val next = base.map(_.version + 1).getOrElse(1L)
+      val updatesStamped = updates.withColumn(SeqCol, lit(next))
       try {
         return commit(root, keepVersions,
           expectedBase = Some(base.map(_.version).getOrElse(0L))) { dir =>
           base match {
             case None =>
-              updates.write.mode(SaveMode.Overwrite).parquet(dir)
+              updatesStamped.write.mode(SaveMode.Overwrite).parquet(dir)
             case Some(m) =>
-              val existing = spark.read.option("mergeSchema", "true")
+              val existingRaw = spark.read.option("mergeSchema", "true")
                 .parquet(Paths.get(root).resolve(m.live).toString)
+              val existing =
+                if (existingRaw.columns.contains(SeqCol))
+                  existingRaw.withColumn(SeqCol,
+                    coalesce(col(SeqCol), lit(0L)))
+                else existingRaw.withColumn(SeqCol, lit(0L))
               val (existingAligned, updatesAligned) =
-                MergeWriter.alignSchemas(existing, updates, keys, schemaMode)
+                MergeWriter.alignSchemas(existing, updatesStamped, keys,
+                  schemaMode)
               val kept = existingAligned.join(
                 updates.select(keys.map(updates(_)): _*), keys, "left_anti")
               kept.unionByName(updatesAligned)
@@ -294,15 +329,24 @@ object VersionedTable {
   // merge-on-read → copy-on-write flip, run when the delete set or
   // read amplification grows past taste.
   //
-  // Contract corner (documented, spec-pinned): the delete set masks
-  // keys at READ time, so a key re-upserted AFTER a soft delete stays
-  // hidden until `vacuumDeletes` resets the set. Sequence-numbered
-  // deletes (Iceberg's fix) are the upgrade if reinsert-after-delete
-  // must be visible immediately.
+  // SEQUENCE NUMBERS (Iceberg's rule): every delete entry records the
+  // data table's commit version at delete time (`_del_seq`), every
+  // upserted row records the commit version that wrote it (hidden
+  // [[SeqCol]]), and the read-time mask applies a delete ONLY to rows
+  // whose write sequence ≤ the delete's sequence. A key re-upserted
+  // AFTER a soft delete is therefore visible immediately — no vacuum
+  // needed — while the delete keeps masking the pre-delete row until
+  // vacuum folds it away. Rows with no stamp (pre-stamping commits, or
+  // raw [[commit]] writes) default to sequence 0 = masked by any
+  // delete, the old conservative behavior.
   // ------------------------------------------------------------------
 
   private def deletesRoot(root: String): String =
     Paths.get(root).resolve("_deletes").toString
+
+  /** Delete-entry sequence column: the data version the delete masks
+    * up to (inclusive). */
+  private[graft] val DelSeqCol = "_del_seq"
 
   /** Test seam: runs between vacuum's data commit and its delete-set
     * reset, so VersionedTableSpec can interleave a racing softDelete
@@ -311,23 +355,57 @@ object VersionedTable {
   private[graft] var vacuumRaceHook: () => Unit = () => ()
 
   /** Soft-delete by key: commit `keys` (projected to `keyCols`,
-    * deduped) into the table's delete set. O(|keys|) write, zero data
-    * rewrite. Returns the delete-set version.
+    * deduped) into the table's delete set, stamped with the data
+    * table's CURRENT version — the sequence up to which this delete
+    * masks. Re-deleting a key advances its stamp (keyed upsert).
+    * O(|keys|) write, zero data rewrite. Returns the delete-set
+    * version.
+    *
+    * Concurrency note: a softDelete racing an in-flight upsert of the
+    * same key reads the pre-upsert version and so masks only the old
+    * row — the two commits are concurrent, and this rule resolves the
+    * race as reinsert-wins, matching wall-clock commit order when the
+    * operations are sequential.
     */
   def softDelete(spark: SparkSession, root: String, keys: DataFrame,
-                 keyCols: Seq[String]): Long =
+                 keyCols: Seq[String]): Long = {
+    val dataVersion = readManifest(root).map(_.version).getOrElse(0L)
     upsert(spark, deletesRoot(root),
-      keys.select(keyCols.map(keys(_)): _*).distinct(), keyCols)
+      keys.select(keyCols.map(keys(_)): _*).distinct()
+        .withColumn(DelSeqCol, lit(dataVersion)),
+      keyCols)
+  }
 
-  /** Live snapshot minus the delete set (merge-on-read). Identical to
-    * [[readLive]] when no delete has ever committed.
+  /** Live snapshot minus the delete set (merge-on-read, sequence-
+    * aware): a delete entry masks a row only when the row's write
+    * sequence ≤ the delete's. Identical to [[readLive]] when no
+    * delete has ever committed.
     */
   def readLiveWithDeletes(spark: SparkSession, root: String,
-                          keyCols: Seq[String]): DataFrame = {
-    val base = readLive(spark, root)
+                          keyCols: Seq[String]): DataFrame =
+    readLiveWithDeletesStamped(spark, root, keyCols).drop(SeqCol)
+
+  /** [[readLiveWithDeletes]] keeping the hidden write-sequence column
+    * — vacuum's fold must preserve stamps so that, if its delete-set
+    * reset loses the CAS race and stale entries survive, re-upserted
+    * rows (stamp > entry's sequence) stay visible.
+    */
+  private def readLiveWithDeletesStamped(spark: SparkSession, root: String,
+                                         keyCols: Seq[String]): DataFrame = {
+    val base = readLiveStamped(spark, root)
     readManifest(deletesRoot(root)) match {
       case Some(_) =>
-        base.join(readLive(spark, deletesRoot(root)), keyCols, "left_anti")
+        // legacy (pre-sequence) delete entries mask unconditionally
+        val dels = readLive(spark, deletesRoot(root))
+        val delsSeq =
+          (if (dels.columns.contains(DelSeqCol))
+             dels.withColumn(DelSeqCol,
+               coalesce(col(DelSeqCol), lit(Long.MaxValue)))
+           else dels.withColumn(DelSeqCol, lit(Long.MaxValue)))
+            .select((keyCols.map(col) :+ col(DelSeqCol)): _*)
+        base.join(delsSeq, keyCols, "left")
+          .filter(col(DelSeqCol).isNull || col(DelSeqCol) < col(SeqCol))
+          .drop(DelSeqCol)
       case None => base
     }
   }
@@ -349,7 +427,10 @@ object VersionedTable {
     // the folded-away keys are already absent so re-applying them is a
     // no-op anti-join)
     val foldedDeletesVersion = readManifest(dr).map(_.version)
-    val folded = readLiveWithDeletes(spark, root, keyCols)
+    // stamped fold: surviving rows keep their write sequences, so a
+    // stale delete entry left behind by a lost reset race still cannot
+    // re-mask a row that out-sequences it
+    val folded = readLiveWithDeletesStamped(spark, root, keyCols)
     val v = commit(root, keepVersions) { dir =>
       folded.write.mode(SaveMode.Overwrite).parquet(dir)
     }
@@ -394,32 +475,45 @@ object VersionedTable {
   def readPartitionedManifest(root: String): Option[PartitionedManifest] = {
     val p = manifestPath(Paths.get(root))
     if (!Files.exists(p)) None
-    else {
-      val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      val vm = """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
-      val cm = """"partitionColumns"\s*:\s*\[([^\]]*)\]""".r
-        .findFirstMatchIn(s)
-      val pm = """"partitions"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(s)
-      for (v <- vm; c <- cm; pp <- pm) yield {
-        val cols = """"([^"]+)"""".r.findAllMatchIn(c.group(1))
-          .map(_.group(1)).toSeq
-        val parts = """"([^"]+)"\s*:\s*"([^"]+)"""".r
-          .findAllMatchIn(pp.group(1))
-          .map(m => m.group(1) -> m.group(2)).toMap
-        PartitionedManifest(v.group(1).toLong, cols, parts)
-      }
+    else parsePartitionedManifest(
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+  }
+
+  /** Parse one partitioned-manifest JSON line (the format
+    * [[renderPartitionedManifest]] writes) — public so composite
+    * structures (e.g. NearDupIndex's cross-table snapshot) can embed
+    * and re-read table manifests.
+    */
+  def parsePartitionedManifest(s: String): Option[PartitionedManifest] = {
+    val vm = """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
+    val cm = """"partitionColumns"\s*:\s*\[([^\]]*)\]""".r
+      .findFirstMatchIn(s)
+    val pm = """"partitions"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(s)
+    for (v <- vm; c <- cm; pp <- pm) yield {
+      val cols = """"([^"]+)"""".r.findAllMatchIn(c.group(1))
+        .map(_.group(1)).toSeq
+      val parts = """"([^"]+)"\s*:\s*"([^"]+)"""".r
+        .findAllMatchIn(pp.group(1))
+        .map(m => m.group(1) -> m.group(2)).toMap
+      PartitionedManifest(v.group(1).toLong, cols, parts)
     }
+  }
+
+  /** One-line JSON for a partitioned manifest (inverse of
+    * [[parsePartitionedManifest]]). */
+  def renderPartitionedManifest(m: PartitionedManifest): String = {
+    val parts = m.partitions.toSeq.sorted
+      .map { case (k, v) => s""""$k": "$v"""" }.mkString(", ")
+    val cols = m.partitionColumns.map(c => s""""$c"""").mkString(", ")
+    s"""{"version": ${m.version}, "partitionColumns": [$cols], """ +
+      s""""partitions": {$parts}}"""
   }
 
   private def writePartitionedManifest(root: Path,
                                        m: PartitionedManifest): Unit = {
-    val parts = m.partitions.toSeq.sorted
-      .map { case (k, v) => s""""$k": "$v"""" }.mkString(", ")
-    val cols = m.partitionColumns.map(c => s""""$c"""").mkString(", ")
     val tmp = root.resolve(s"_manifest.json.tmp${m.version}")
     Files.write(tmp,
-      (s"""{"version": ${m.version}, "partitionColumns": [$cols], """ +
-        s""""partitions": {$parts}}""").getBytes(StandardCharsets.UTF_8))
+      renderPartitionedManifest(m).getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath(root), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
@@ -437,10 +531,12 @@ object VersionedTable {
 
   /** The snapshot a SPECIFIC manifest describes — lets a writer pin
     * its merge to the base version it CAS-commits against even if the
-    * live manifest moves mid-merge.
+    * live manifest moves mid-merge, and lets composite readers (the
+    * NearDupIndex cross-table snapshot) read a pinned older pair of
+    * tables consistently.
     */
-  private def readPartitionedSnapshot(spark: SparkSession, root: String,
-                                      m: PartitionedManifest): DataFrame = {
+  def readPartitionedSnapshot(spark: SparkSession, root: String,
+                              m: PartitionedManifest): DataFrame = {
     val rootP = Paths.get(root)
     val byDir = m.partitions.groupBy(_._2).toSeq.sortBy(_._1)
     byDir.map { case (dir, parts) =>

@@ -109,6 +109,45 @@ class NearDupIndexSpec extends SparkSpec {
     assert(live.exists(_._1 == 2L), s"live probe missed e1: $live")
   }
 
+  test("probe racing an in-flight ingest sees an epoch's bands AND " +
+    "grams or neither (cross-table snapshot)") {
+    val root = tmpDir("ndidx")
+    NearDupIndex.ingest(spark, root, corpus, "text", "doc_id", "base")
+    // Simulate an ingest caught mid-flight in the DANGEROUS state:
+    // epoch e1's BANDS committed to its table but its grams (and the
+    // snapshot flip) not yet — the state that, read through live
+    // per-table manifests, would surface candidates that verify
+    // against no postings.
+    val e1Bands = Dedup
+      .minhashSignatures(
+        Dedup.shingleRows(batch, "text", "doc_id", 3), 64)
+      .select(col("id"), explode(Dedup.bandHashes(col("sig"), 16, 4)).as("bh"))
+      .select(lit("e1").as("epoch"), col("id"),
+        col("bh.band").as("band"), col("bh.h").as("h"))
+    VersionedTable.upsertPartitioned(spark, s"$root/bands", e1Bands,
+      keys = Seq("epoch", "id", "band"), partitionColumns = Seq("epoch"))
+    // the live bands table DOES contain the in-flight epoch ...
+    assert(VersionedTable.readLivePartitioned(spark, s"$root/bands")
+      .filter(col("epoch") === "e1").count() > 0)
+    val probe2 = Seq(
+      (8L, "the quick brown fox jumps over the lazy dog near the river bend"))
+      .toDF("doc_id", "text")
+    // ... but the unscoped probe reads the SNAPSHOT pair: e1 invisible
+    // entirely (neither), base pairs unaffected
+    val during = pairsOf(NearDupIndex.probe(spark, root, probe2,
+      "text", "doc_id", 0.5))
+    assert(!during.exists(_._1 == 2L),
+      s"in-flight epoch's bands leaked into the probe: $during")
+    assert(during.exists(_._1 == 1L), s"base pairs lost: $during")
+    // complete the ingest (grams + bands replace-by-key + snapshot
+    // flip): now BOTH tables' e1 rows are visible together
+    NearDupIndex.ingest(spark, root, batch, "text", "doc_id", "e1")
+    val after = pairsOf(NearDupIndex.probe(spark, root, probe2,
+      "text", "doc_id", 0.5))
+    assert(after.exists { case (a, b, j) => a == 2L && b == 8L && j == 1.0 },
+      s"completed epoch not visible: $after")
+  }
+
   test("redelivered epoch content is a no-op ingest (no new commit)") {
     val root = tmpDir("ndidx")
     NearDupIndex.ingest(spark, root, corpus, "text", "doc_id", "base")

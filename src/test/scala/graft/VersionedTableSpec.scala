@@ -50,8 +50,8 @@ class VersionedTableSpec extends SparkSpec {
   }
 
   test("equality deletes: immediate merge-on-read visibility, vacuum " +
-    "is a pure layout change, re-upserted keys stay masked until " +
-    "vacuum, deletes of absent keys are no-ops") {
+    "is a pure layout change, sequence numbers make a re-upserted key " +
+    "visible BEFORE vacuum, deletes of absent keys are no-ops") {
     val root = tmpRoot()
     VersionedTable.upsert(spark, root,
       (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
@@ -64,17 +64,27 @@ class VersionedTableSpec extends SparkSpec {
     assert(liveIds() === Seq(1L, 3L, 4L, 6L, 7L, 8L, 10L))
     // physical data untouched pre-vacuum (merge-on-read)
     assert(VersionedTable.readLive(spark, root).count() === 10)
-    // re-upserting a soft-deleted key: masked until vacuum (the
-    // documented equality-delete contract corner)
+    // re-upserting a soft-deleted key: the new row OUT-SEQUENCES the
+    // delete entry and is visible immediately (Iceberg's sequence-
+    // number rule) — no vacuum needed
     VersionedTable.upsert(spark, root,
       Seq((5L, "v5b"), (11L, "v11")).toDF("id", "v"), Seq("id"))
-    assert(liveIds() === Seq(1L, 3L, 4L, 6L, 7L, 8L, 10L, 11L))
+    assert(liveIds() === Seq(1L, 3L, 4L, 5L, 6L, 7L, 8L, 10L, 11L))
+    assert(VersionedTable.readLiveWithDeletes(spark, root, Seq("id"))
+      .filter($"id" === 5L).select("v").as[String].head() === "v5b",
+      "the re-upserted ROW (not the deleted one) must be visible")
+    // the hidden sequence column never leaks into reads
+    assert(!VersionedTable.readLive(spark, root).columns
+      .contains("_graft_seq"))
     // vacuum folds: same logical rows, physically shrunk, delete set
-    // reset — key 5's reinsert was folded away with the delete
+    // reset — keys 2/9 drop physically, 5's reinsert survives
     VersionedTable.vacuumDeletes(spark, root, Seq("id"))
-    assert(liveIds() === Seq(1L, 3L, 4L, 6L, 7L, 8L, 10L, 11L))
-    assert(VersionedTable.readLive(spark, root).count() === 8)
-    // post-vacuum, the key is insertable again
+    assert(liveIds() === Seq(1L, 3L, 4L, 5L, 6L, 7L, 8L, 10L, 11L))
+    assert(VersionedTable.readLive(spark, root).count() === 9)
+    // a FRESH delete after the reinsert masks it again (its sequence
+    // is newer than the row's)
+    VersionedTable.softDelete(spark, root, Seq(5L).toDF("id"), Seq("id"))
+    assert(!liveIds().contains(5L))
     VersionedTable.upsert(spark, root,
       Seq((5L, "v5c")).toDF("id", "v"), Seq("id"))
     assert(liveIds().contains(5L))
