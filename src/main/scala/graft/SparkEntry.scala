@@ -4953,6 +4953,38 @@ object SparkEntry {
         .select(col("cohort"), col("n_rows"), col("sum_v").as("sum_cents"))
     }),
 
+    // Maintained MIN/MAX under deletes — the aggregate classic IVM
+    // refuses: per-cohort bounded top-k/bottom-k windows (graft_topk,
+    // O(k) state) plus discard thresholds, maintained through an
+    // insert batch and a delete batch; windows that drain past their
+    // correctness guarantee trigger a rescan of ONLY those cohorts
+    // (IvmSpec proves the no-drain path never touches the base).
+    // Graded against the full recompute.
+    "q273_ivm_minmax" -> ((s, d) => {
+      val ivm = graft.operators.Ivm
+      val ev = Tables.events(s, d).select(col("event_id"),
+        (col("user_id") % 10).as("cohort"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val view0 = ivm.initializeMinMax(
+        ev.where(col("event_id") % 3 === 0), Seq("cohort"),
+        "cents", "event_id", k = 4)
+      val ins = ev.where(col("event_id") % 3 === 1)
+        .select(col("cohort"), lit(1L).as("op"), col("cents"),
+          col("event_id"))
+      val cur1 = ev.where(col("event_id") % 3 <= 1)
+      val view1 = ivm.applyMinMaxDeltas(view0, ins, Seq("cohort"),
+        "cents", "event_id", k = 4, cur1)
+      val del = cur1.where(col("event_id") % 7 === 0)
+        .select(col("cohort"), lit(-1L).as("op"), col("cents"),
+          col("event_id"))
+      val cur2 = cur1.where(col("event_id") % 7 =!= 0)
+      val view2 = ivm.applyMinMaxDeltas(view1, del, Seq("cohort"),
+        "cents", "event_id", k = 4, cur2)
+      ivm.minMaxOf(view2, Seq("cohort"))
+        .select(col("cohort"), col("n_rows"),
+          col("max_v").as("max_cents"), col("min_v").as("min_cents"))
+    }),
+
     // STREAMING incremental view maintenance — the continuous drive of
     // q236 (as q230 is to q229): CDC delta batches land as files, a
     // checkpointed stream applies each to the versioned matview via
@@ -10210,6 +10242,19 @@ object SparkEntry {
         |SELECT cohort, count(*) AS n_rows,
         |  CAST(sum(v) AS BIGINT) AS sum_cents
         |FROM fin GROUP BY cohort""".stripMargin,
+
+    // Maintained MIN/MAX replayed as a full recompute of the final
+    // row multiset (inserts applied, deletes removed — updates are
+    // not part of this batch mix, so values stay raw cents).
+    "q273_ivm_minmax" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id % 10 AS cohort,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT cohort, count(*) AS n_rows,
+        |  max(cents) AS max_cents, min(cents) AS min_cents
+        |FROM ev WHERE event_id % 3 <= 1 AND event_id % 7 <> 0
+        |GROUP BY cohort""".stripMargin,
 
     // The streaming drive converges to the identical final state —
     // same recompute ground truth as q236.

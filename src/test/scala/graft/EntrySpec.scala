@@ -103,6 +103,10 @@ class EntrySpec extends SparkSpec {
                              // (streaming drive of the same loop);
                              // strict-verified at sf0.001 + sf0.01 on
                              // 2026-08-14
+      "q273_ivm_minmax",     // integer-cents pin (round(value*100) →
+                             // BIGINT before any min/max); strict-
+                             // verified at sf0.001 + sf0.01 + sf0.1 on
+                             // 2026-08-14
       "q247_unpivot",        // integer-cents pin (round(x*100) →
                              // BIGINT before the melt); strict-
                              // verified at sf0.001 + sf0.01 2026-08-14

@@ -93,4 +93,87 @@ class IvmSpec extends SparkSpec {
       .filter($"k" === 0L).collect().map(r => (r.getLong(1), r.getLong(2)))
     assert(got.toSeq === expect.toSeq)
   }
+
+  private def mmMap(view: org.apache.spark.sql.DataFrame) =
+    Ivm.minMaxOf(view, Seq("k")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+  private def noRescan: org.apache.spark.sql.DataFrame =
+    sys.error("base must NOT be rescanned when no window drained")
+
+  test("maintained MIN/MAX: deltas converge to the recompute; the " +
+    "base is rescanned ONLY when a window drains") {
+    val base = Seq(("a", 10L, 1L), ("a", 20L, 2L), ("a", 5L, 3L),
+      ("b", 7L, 4L)).toDF("k", "v", "rid")
+    val view0 = Ivm.initializeMinMax(base, Seq("k"), "v", "rid", k = 2)
+    assert(mmMap(view0) === Map("a" -> ((3L, 20L, 5L)),
+      "b" -> ((1L, 7L, 7L))))
+    // insert a=30, delete a's 20: windows absorb both — the throwing
+    // rescan thunk proves the base is never touched
+    val d1 = Seq(("a", 1L, 30L, 5L), ("a", -1L, 20L, 2L))
+      .toDF("k", "op", "v", "rid")
+    val view1 = Ivm.applyMinMaxDeltas(view0, d1, Seq("k"), "v", "rid",
+      k = 2, noRescan)
+    assert(mmMap(view1) === Map("a" -> ((3L, 30L, 5L)),
+      "b" -> ((1L, 7L, 7L))))
+    // delete a's 30 and 10: the top window drains (value 5 was pushed
+    // out of the k=2 window at init) — ONLY group a rescans, and the
+    // result is the exact recompute
+    val d2 = Seq(("a", -1L, 30L, 5L), ("a", -1L, 10L, 1L))
+      .toDF("k", "op", "v", "rid")
+    val after = Seq(("a", 5L, 3L), ("b", 7L, 4L)).toDF("k", "v", "rid")
+    val view2 = Ivm.applyMinMaxDeltas(view1, d2, Seq("k"), "v", "rid",
+      k = 2, after)
+    assert(mmMap(view2) === Map("a" -> ((1L, 5L, 5L)),
+      "b" -> ((1L, 7L, 7L))))
+    // a key vanishing entirely (count 0) drops without a rescan
+    val d3 = Seq(("a", -1L, 5L, 3L)).toDF("k", "op", "v", "rid")
+    val view3 = Ivm.applyMinMaxDeltas(view2, d3, Seq("k"), "v", "rid",
+      k = 2, noRescan)
+    assert(mmMap(view3) === Map("b" -> ((1L, 7L, 7L))))
+  }
+
+  test("maintained MIN/MAX: seeded random insert/delete churn with a " +
+    "tiny window equals the recompute at every step") {
+    val rnd = new scala.util.Random(42)
+    var live = Map.empty[Long, (String, Long)] // rid -> (k, v)
+    var nextRid = 0L
+    def liveDf = {
+      val rows = live.toSeq.map { case (rid, (k, v)) => (k, v, rid) }
+      if (rows.isEmpty) Seq.empty[(String, Long, Long)].toDF("k", "v", "rid")
+      else rows.toDF("k", "v", "rid")
+    }
+    // seed state
+    (1 to 12).foreach { _ =>
+      live += nextRid -> (("g" + rnd.nextInt(3), rnd.nextInt(50).toLong))
+      nextRid += 1
+    }
+    var view = Ivm.initializeMinMax(liveDf, Seq("k"), "v", "rid", k = 2)
+    (1 to 6).foreach { _ =>
+      // a batch of random inserts and deletes (deletes pick live rows)
+      val ops = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long, Long)]
+      (1 to 4).foreach { _ =>
+        if (live.nonEmpty && rnd.nextBoolean()) {
+          val rid = live.keys.toSeq.sorted.apply(rnd.nextInt(live.size))
+          val (k, v) = live(rid)
+          ops += ((k, -1L, v, rid)); live -= rid
+        } else {
+          val k = "g" + rnd.nextInt(3)
+          val v = rnd.nextInt(50).toLong
+          ops += ((k, 1L, v, nextRid)); live += nextRid -> ((k, v))
+          nextRid += 1
+        }
+      }
+      view = Ivm.applyMinMaxDeltas(view,
+        ops.toSeq.toDF("k", "op", "v", "rid"), Seq("k"), "v", "rid",
+        k = 2, liveDf)
+      val expect = live.values.groupBy(_._1).map { case (k, vs) =>
+        k -> ((vs.size.toLong, vs.map(_._2).max, vs.map(_._2).min))
+      }
+      assert(mmMap(view) === expect,
+        s"diverged from recompute; live=$live")
+    }
+  }
 }
