@@ -3920,11 +3920,88 @@ object SparkEntry {
     // diverse embedding rows. k map-only scans + tree-agg argmax per
     // round, dist column re-cached each round (flat lineage) — never
     // a sort, shuffle, or corpus collect. Iterative argmax ⇒ rows-only
-    // (the q69/q131 class); exactness pinned in CoresetSpec against an
-    // independent driver-side reference.
+    // (the q69/q131 class) ON REAL VECTORS; the ITERATION ITSELF is
+    // hash-graded by q274/q275's planted closed form, and the cover
+    // radius by q276's bound gate.
     "q226_kcenter_coreset" -> ((s, d) =>
       graft.operators.Coreset.kCenters(
         Tables.embeddings(s, d), "embedding", "vec_id", k = 8)),
+
+    // CLOSED-FORM k-center (the q203/q228 planted-fixture trick
+    // applied to iteration): on 8 mutually-orthogonal planted
+    // clusters, every Gonzalez step is forced — seed = global min id,
+    // each round's farthest point ties at distance exactly 1.0 across
+    // all uncovered clusters and the min-id tie-break picks the
+    // smallest uncovered cluster's min id. The full selection
+    // (order, id, radius) is therefore DuckDB-replayable and the
+    // iterative operator gets a hash-exact oracle.
+    "q274_kcenter_oracle" -> ((s, d) =>
+      graft.operators.Coreset.kCenters(
+        plantedOrthogonal(s, d), "embedding", "vec_id", k = 8)),
+
+    // The BATCHED (tournament) k-center on the same planted fixture:
+    // per-partition greedy nominates each partition's per-cluster
+    // min-id point (clusters ≤ k, so nothing is missed), hence every
+    // cluster's GLOBAL min id reaches the driver round and the final
+    // selection is provably identical to q274's closed form — the
+    // 100 TB path, hash-graded end to end.
+    "q275_kcenter_batched" -> ((s, d) =>
+      graft.operators.Coreset.kCentersBatched(
+        plantedOrthogonal(s, d), "embedding", "vec_id", k = 8,
+        numPartitions = 8)),
+
+    // Batched-vs-sequential cover-radius gate on the REAL embeddings
+    // (ErrorBounds pattern): the tournament form's cover radius must
+    // stay within the composable-coreset 3× bound of the sequential
+    // Gonzalez radius; the oracle recomputes the exact row count and
+    // pins the boolean TRUE, so a bound violation hash-mismatches.
+    "q276_kcenter_bound" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").cast("long").as("id"),
+          col("embedding").as("v"))
+      def cover(sel: DataFrame): Double = {
+        // bounded crossJoin: 8 broadcast centers (the q27-family
+        // stat-join shape), min-dist per point, max over points
+        val centers = broadcast(sel.select(col("vec_id").as("cid"))
+          .join(emb.select(col("id").as("cid"), col("v").as("cv")),
+            "cid"))
+        emb.crossJoin(centers)
+          .select(col("id"), (lit(1.0) -
+            call_function("graft_cosine", col("v"), col("cv")))
+            .as("dist"))
+          .groupBy("id").agg(min("dist").as("dmin"))
+          .agg(max("dmin")).head().getDouble(0)
+      }
+      val seqCover = cover(graft.operators.Coreset
+        .kCenters(emb, "v", "id", k = 8))
+      val batCover = cover(graft.operators.Coreset
+        .kCentersBatched(emb, "v", "id", k = 8, numPartitions = 8))
+      val n = math.min(8L, emb.count())
+      Seq((n, batCover <= 3.0 * seqCover + 1e-9))
+        .toDF("n_centers", "bound_ok")
+    }),
+
+    // CLOSED-FORM SemDeDup (q131's iterative k-means path hash-graded
+    // via the planted trick): UNIT one-hot clusters of EXACTLY equal
+    // size (ids truncated to a multiple of 8). Equal sizes make every
+    // Lloyd step provably noise-free: the seed assignment's distances
+    // are exact integers {0, 2} (deterministic min-cid ties), after
+    // one refinement every planted cluster lives in exactly ONE
+    // k-means cluster, and a containing cluster is STRICTLY closer
+    // (1 − 1/m < 1 + 1/m′) than any other — so identical vectors can
+    // never split across clusters, whatever the xxhash seed draw or
+    // float-sum order. In-cluster cosine is exactly 1.0 / 0.0, so the
+    // keep set is forced: min vec_id per planted cluster survives.
+    // cid is seed-dependent and excluded from the graded output.
+    "q277_semdedup_oracle" -> ((s, d) => {
+      val corpus = plantedUnitClusters(s, d)
+        .select(col("vec_id").as("id"), col("embedding").as("v"))
+      graft.operators.Similarity
+        .semanticDedup(corpus, nClusters = 8, threshold = 0.98,
+          inputKey = Some(s"planted-unit8|$d"))
+        .select(col("id"), col("keep"))
+    }),
 
     // Hashed-bigram linear quality classifier (fastText-shape
     // inference): feature-hash adjacent word bigrams into 4096
@@ -7061,6 +7138,53 @@ object SparkEntry {
       """SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS recall_ok,
         |  TRUE AS full_budget_exact
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
+
+    // Planted closed-form Gonzalez: seed = global min id (radius −1
+    // by convention), then the remaining 7 clusters' min ids in
+    // ascending order, each selected at exact distance 1.0.
+    "q274_kcenter_oracle" ->
+      """WITH pts AS (SELECT vec_id, vec_id % 8 AS g FROM embeddings),
+        |seed AS (SELECT min(vec_id) AS id0 FROM pts),
+        |gm AS (SELECT g, min(vec_id) AS mid FROM pts GROUP BY g),
+        |rest AS (
+        |  SELECT mid, row_number() OVER (ORDER BY mid) AS rn
+        |  FROM gm WHERE g <> (SELECT id0 % 8 FROM seed))
+        |SELECT CAST(1 AS BIGINT) AS sel_order, id0 AS vec_id,
+        |  -1.0 AS radius FROM seed
+        |UNION ALL
+        |SELECT rn + 1 AS sel_order, mid AS vec_id, 1.0 AS radius
+        |FROM rest""".stripMargin,
+
+    // The batched tournament provably reduces to the same closed form
+    // on the planted fixture (every cluster's global min id is
+    // nominated) — same oracle.
+    "q275_kcenter_batched" ->
+      """WITH pts AS (SELECT vec_id, vec_id % 8 AS g FROM embeddings),
+        |seed AS (SELECT min(vec_id) AS id0 FROM pts),
+        |gm AS (SELECT g, min(vec_id) AS mid FROM pts GROUP BY g),
+        |rest AS (
+        |  SELECT mid, row_number() OVER (ORDER BY mid) AS rn
+        |  FROM gm WHERE g <> (SELECT id0 % 8 FROM seed))
+        |SELECT CAST(1 AS BIGINT) AS sel_order, id0 AS vec_id,
+        |  -1.0 AS radius FROM seed
+        |UNION ALL
+        |SELECT rn + 1 AS sel_order, mid AS vec_id, 1.0 AS radius
+        |FROM rest""".stripMargin,
+
+    // ErrorBounds gate: exact center count + the pinned 3× cover-
+    // radius boolean.
+    "q276_kcenter_bound" ->
+      """SELECT LEAST(8, count(*)) AS n_centers, TRUE AS bound_ok
+        |FROM embeddings""".stripMargin,
+
+    // Planted SemDeDup closed form: the min id of each planted
+    // cluster survives, everything else is a dropped duplicate
+    // (same multiple-of-8 id truncation as the Spark fixture).
+    "q277_semdedup_oracle" ->
+      """WITH cut AS (SELECT 8 * (count(*) // 8) AS c FROM embeddings)
+        |SELECT vec_id AS id,
+        |  vec_id = min(vec_id) OVER (PARTITION BY vec_id % 8) AS keep
+        |FROM embeddings WHERE vec_id < (SELECT c FROM cut)""".stripMargin,
 
     "q88_ivfpq_recall" ->
       """SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS recall_ok,
@@ -10683,6 +10807,37 @@ object SparkEntry {
     * the all-pairs Jaccard-≥0.5 pair list `jpairs`. WITH RECURSIVE so
     * q37 can append a transitive-closure CTE.
     */
+  /** Planted separable fixture for grading ITERATIVE geometry
+    * operators closed-form (q274/q275/q277): 8 mutually-orthogonal
+    * "clusters" derived from the embeddings ids — vector = one-hot at
+    * coordinate (vec_id % 8), scaled by 1 + vec_id % 5 (cosine is
+    * scale-free, so in-cluster similarity is exactly 1.0 and
+    * cross-cluster exactly 0.0, with no float noise anywhere).
+    */
+  private def plantedOrthogonal(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"),
+      transform(sequence(lit(0), lit(7)),
+        i => when(i.cast("long") === col("vec_id") % 8,
+            (lit(1.0) + (col("vec_id") % 5).cast("double"))
+              .cast("float"))
+          .otherwise(lit(0.0f))).as("embedding"))
+
+  /** Unit-scale variant of [[plantedOrthogonal]] for operators whose
+    * geometry is NOT scale-free (k-means): one-hot vectors only, and
+    * ids truncated to a multiple of 8 so the planted clusters have
+    * EXACTLY equal sizes — the property that makes every Lloyd
+    * assignment provably deterministic (see q277's comment).
+    */
+  private def plantedUnitClusters(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.embeddings(s, d).count()
+    val cut = 8L * (n / 8L)
+    Tables.embeddings(s, d).filter(col("vec_id") < cut)
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(7)),
+          i => when(i.cast("long") === col("vec_id") % 8, lit(1.0f))
+            .otherwise(lit(0.0f))).as("embedding"))
+  }
+
   private val ngramJaccardPairsCte: String =
     """WITH RECURSIVE tok AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),

@@ -35,15 +35,21 @@ class EntrySpec extends SparkSpec {
                                 // SQL-replayable (BpeEncodeSpec)
       "q126_compress_ratio",    // deflate ratio — no zlib in DuckDB
                                 // (determinism in RetrievalFuzzySpec)
-      "q131_semantic_dedup",    // iterative k-means clustering — not
-                                // SQL-replayable (GraphSelectionSpec)
+      "q131_semantic_dedup",    // iterative k-means on REAL vectors —
+                                // not SQL-replayable (GraphSelection-
+                                // Spec); the iteration itself is
+                                // hash-graded via planted q277
       "q155_image_neardup",     // binary image decode (dHash) — no SQL
                                 // oracle (MultimodalSpec)
       "q180_image_dedup_corpus", // q155 ∘ components composition — same
                                 // binary-decode limitation
-      "q226_kcenter_coreset"    // iterative farthest-point argmax, not
-                                // SQL-replayable (CoresetSpec pins it
-                                // against a driver-side reference)
+      "q226_kcenter_coreset"    // iterative farthest-point argmax on
+                                // REAL vectors, not SQL-replayable
+                                // (CoresetSpec pins it against a
+                                // driver-side reference); the
+                                // iteration is hash-graded via planted
+                                // q274/q275, the cover radius via the
+                                // q276 bound gate
     ), s"unexpected rows-only set: $rowsOnly")
   }
 
