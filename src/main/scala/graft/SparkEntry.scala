@@ -4727,6 +4727,14 @@ object SparkEntry {
     // what the oracle computes. This is the "merge yesterday's
     // shifted counter with today's batch, never rescan history"
     // contract, graded exact.
+    // DATA-SPAN PRECONDITION: shift-exactness holds only for history
+    // events younger than unitBits − stepsDelta = 13 half-lives
+    // (~26 days at the 2-day half-life) before the checkpoint —
+    // Decay.advanced's documented tail divergence. The events table
+    // spans 30 days (< 26 + 7·2 = 40 days before asof2), so every
+    // event is in the exact window; regenerating the data past ~40
+    // days of span would make the oracle gate fail BY DESIGN, not by
+    // bug — widen unitBits or shrink stepsDelta then.
     "q259_incremental_decay" -> ((s, d) => {
       val h = 172800000000L // 2-day half-life
       val ev = Tables.events(s, d).select(col("event_type"),
@@ -9569,14 +9577,14 @@ object SparkEntry {
         |tau AS (SELECT lang, score AS tau FROM r
         |  WHERE rn = ((nc + 1) * 7 + 7) // 8),
         |sz AS (SELECT lang, count(*) AS n_cal FROM cal GROUP BY lang)
-        |SELECT app.lang, sz.n_cal, tau.tau,
+        |SELECT app.lang, coalesce(sz.n_cal, 0) AS n_cal, tau.tau,
         |  count(*) AS n_apply,
         |  CAST(sum(CASE WHEN tau.tau IS NOT NULL
         |    AND app.score > tau.tau THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_flagged
-        |FROM app JOIN sz USING (lang)
+        |FROM app LEFT JOIN sz ON app.lang = sz.lang
         |LEFT JOIN tau ON app.lang = tau.lang
-        |GROUP BY app.lang, sz.n_cal, tau.tau""".stripMargin,
+        |GROUP BY app.lang, coalesce(sz.n_cal, 0), tau.tau""".stripMargin,
 
     // S and the ×18 variance numerator replayed with exact integer
     // sums — no float anywhere in the graded columns.

@@ -61,9 +61,14 @@ object Conformal {
     val sizes = cal.groupBy(gk: _*).agg(count(lit(1)).as("n_cal"))
     val thresholds = sizes.join(
       taus.drop("n_cal"), groupCols, "left")
-    apply.join(broadcast(thresholds), groupCols)
+    // LEFT join from the apply side: a group with no calibration rows
+    // still surfaces (n_cal = 0, null τ, nothing flagged) — the same
+    // honest-vacuous contract as the small-calibration case, instead
+    // of silently vanishing from the report.
+    apply.join(broadcast(thresholds), groupCols, "left")
       .groupBy(gk: _*)
-      .agg(first(col("n_cal")).as("n_cal"), first(col("tau")).as("tau"),
+      .agg(coalesce(first(col("n_cal")), lit(0L)).as("n_cal"),
+        first(col("tau")).as("tau"),
         count(lit(1)).as("n_apply"),
         sum(when(col("tau").isNotNull && col(scoreCol) > col("tau"), 1L)
           .otherwise(0L)).as("n_flagged"))

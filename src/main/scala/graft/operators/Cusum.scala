@@ -37,7 +37,7 @@ object Cusum {
     */
   def detect(df: DataFrame, groupCols: Seq[String], orderCol: String,
              valueCol: String, slackDiv: Long = 20L,
-             threshDiv: Long = 1L): DataFrame = {
+             threshDiv: Long = 4L): DataFrame = {
     require(slackDiv > 0 && threshDiv > 0,
       s"divisors must be positive: $slackDiv, $threshDiv")
     val gk = groupCols.map(col)

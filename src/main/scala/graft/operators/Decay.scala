@@ -62,7 +62,16 @@ object Decay {
     // integer half-life steps since the event (`div` — Spark's `/` on
     // longs is DOUBLE division; `div` floors exactly, and both age and
     // divisor are non-negative by the max-ts contract)
-    val staged = df.withColumn("graft_age_us", asofUs - unix_micros(ts))
+    // Fail LOUDLY on a violated max-ts contract: an event newer than
+    // the reference instant would make steps negative and the
+    // shiftleft amount wrap mod 64 into silent garbage weights.
+    val staged = df.withColumn("graft_age_us",
+      when(asofUs - unix_micros(ts) < 0, raise_error(concat(
+        lit("Decay: event ts newer than asofUs by "),
+        (unix_micros(ts) - asofUs).cast("string"),
+        lit(" us — the reference instant must be >= max(ts)")))
+        .cast("long"))
+        .otherwise(asofUs - unix_micros(ts)))
       .withColumn("graft_steps", expr(s"graft_age_us div ${halfLifeUs}L"))
     val age = col("graft_steps")
     // SQL-level shiftleft: the Scala `shiftleft` helper takes a

@@ -18,8 +18,8 @@ import org.apache.spark.sql.functions._
   * Everything is EXACT integer arithmetic: the saturation frontier is
   * found by cross-multiplied rational comparison (no float λ), the
   * unsaturated shares are largest-remainder apportioned (floor + top
-  * remainders get +1), so Σ alloc == min(budget, Σ cap) EXACTLY and
-  * every alloc ≤ cap. Caps/weights/budget must keep budget·w and
+  * remainders get +1), so Σ alloc == min(budget, Σ cap over
+  * positive-weight rows) EXACTLY and every alloc ≤ cap. Caps/weights/budget must keep budget·w and
   * cap·Σw within long range — token counts do.
   *
   * Scale contract: the input is ONE ROW PER SOURCE — a domain-bounded
@@ -36,9 +36,28 @@ object WaterFill {
     * from a 1-row stat) across rows with capacity `capCol` and
     * integer weight `weightCol`, proportional to weight, capped at
     * capacity. Keys must be distinct; all inputs non-negative longs.
+    * Zero-weight rows allocate 0 by the water-fill identity
+    * (min(cap, λ*·0) = 0) — they can never absorb budget, so
+    * Σ alloc == min(budget, Σ cap over POSITIVE-weight rows).
     */
   def allocate(df: DataFrame, keyCol: String, capCol: String,
                weightCol: String, budgetCol: String): DataFrame = {
+    // w = 0 rows are excluded from the frontier (their λ = cap/w is
+    // undefined, and classifying them saturated would hand them their
+    // full cap and overshoot the budget); they re-enter at the end
+    // with alloc 0, saturated only in the degenerate cap = 0 sense.
+    val zeroW = df.filter(col(weightCol) === 0).select(
+      col(keyCol), col(capCol), col(weightCol),
+      lit(0L).as("alloc"),
+      (col(capCol) === 0).cast("long").as("saturated"))
+    val posW = df.filter(col(weightCol) > 0)
+    allocatePositive(posW, keyCol, capCol, weightCol, budgetCol)
+      .unionByName(zeroW)
+  }
+
+  private def allocatePositive(df: DataFrame, keyCol: String,
+                               capCol: String, weightCol: String,
+                               budgetCol: String): DataFrame = {
     val lam = col(capCol).cast("double") / col(weightCol).cast("double")
     val byLam = Window.orderBy(lam, col(keyCol))
     val whole = Window.orderBy(lam, col(keyCol))

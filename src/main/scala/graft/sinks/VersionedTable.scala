@@ -62,8 +62,10 @@ object VersionedTable {
     * this slot is where a real table format's conditional-PUT goes.)
     */
   private def withCommitLock[T](root: Path, timeoutMs: Long = 60000,
-                                staleMs: Long = 60000)(body: => T): T = {
-    val lock = root.resolve("_commit.lock")
+                                staleMs: Long = 60000,
+                                name: String = "_commit.lock")
+                               (body: => T): T = {
+    val lock = root.resolve(name)
     val deadline = System.currentTimeMillis() + timeoutMs
     var acquired = false
     while (!acquired) {
@@ -274,8 +276,7 @@ object VersionedTable {
              schemaMode: MergeWriter.SchemaMode =
                MergeWriter.SchemaMode.Strict,
              keepVersions: Int = 2, maxRetries: Int = 10): Long = {
-    var attempt = 0
-    while (true) {
+    def once(): Long = {
       val base = readManifest(root)
       // Rows written by THIS commit carry its version as their write
       // sequence (recomputed on CAS retry); surviving rows keep the
@@ -284,37 +285,81 @@ object VersionedTable {
       // masking re-upserted keys forever.
       val next = base.map(_.version + 1).getOrElse(1L)
       val updatesStamped = updates.withColumn(SeqCol, lit(next))
-      try {
-        return commit(root, keepVersions,
-          expectedBase = Some(base.map(_.version).getOrElse(0L))) { dir =>
-          base match {
-            case None =>
-              updatesStamped.write.mode(SaveMode.Overwrite).parquet(dir)
-            case Some(m) =>
-              val existingRaw = spark.read.option("mergeSchema", "true")
-                .parquet(Paths.get(root).resolve(m.live).toString)
-              val existing =
-                if (existingRaw.columns.contains(SeqCol))
-                  existingRaw.withColumn(SeqCol,
-                    coalesce(col(SeqCol), lit(0L)))
-                else existingRaw.withColumn(SeqCol, lit(0L))
-              val (existingAligned, updatesAligned) =
-                MergeWriter.alignSchemas(existing, updatesStamped, keys,
-                  schemaMode)
-              val kept = existingAligned.join(
-                updates.select(keys.map(updates(_)): _*), keys, "left_anti")
-              kept.unionByName(updatesAligned)
-                .write.mode(SaveMode.Overwrite).parquet(dir)
-          }
+      commit(root, keepVersions,
+        expectedBase = Some(base.map(_.version).getOrElse(0L))) { dir =>
+        base match {
+          case None =>
+            updatesStamped.write.mode(SaveMode.Overwrite).parquet(dir)
+          case Some(m) =>
+            val existingRaw = spark.read.option("mergeSchema", "true")
+              .parquet(Paths.get(root).resolve(m.live).toString)
+            val existing =
+              if (existingRaw.columns.contains(SeqCol))
+                existingRaw.withColumn(SeqCol,
+                  coalesce(col(SeqCol), lit(0L)))
+              else existingRaw.withColumn(SeqCol, lit(0L))
+            val (existingAligned, updatesAligned) =
+              MergeWriter.alignSchemas(existing, updatesStamped, keys,
+                schemaMode)
+            val kept = existingAligned.join(
+              updates.select(keys.map(updates(_)): _*), keys, "left_anti")
+            kept.unionByName(updatesAligned)
+              .write.mode(SaveMode.Overwrite).parquet(dir)
         }
-      } catch {
-        case e: ConcurrentCommitException =>
-          attempt += 1
-          if (attempt > maxRetries) throw e
       }
     }
-    -1L // unreachable
+    retryThenEscalate(Paths.get(root), maxRetries)(once())
   }
+
+  /** Run `once` with up to `maxRetries` optimistic CAS retries; if the
+    * budget drains, escalate: serialize the whole read-merge-commit
+    * under [[withMergeLock]] with a fresh budget (see its scaladoc for
+    * why that converges).
+    */
+  private def retryThenEscalate(rootP: Path, maxRetries: Int)
+                               (once: => Long): Long = {
+    def loop(): Long = {
+      var attempt = 0
+      while (true) {
+        try return once
+        catch {
+          case e: ConcurrentCommitException =>
+            attempt += 1
+            if (attempt > maxRetries) throw e
+            retryBackoff(attempt)
+        }
+      }
+      -1L // unreachable
+    }
+    try loop()
+    catch {
+      case _: ConcurrentCommitException => withMergeLock(rootP)(loop())
+    }
+  }
+
+  /** Randomized linear backoff between CAS retries: without it, N
+    * contending writers re-merge in lockstep (each merge takes longer
+    * than the inter-commit gap) and optimistic concurrency degrades
+    * into livelock — the standard commit-conflict backoff every
+    * optimistic table format applies.
+    */
+  private def retryBackoff(attempt: Int): Unit =
+    Thread.sleep(20L * math.min(attempt, 10) +
+      java.util.concurrent.ThreadLocalRandom.current().nextLong(150L))
+
+  /** Pessimistic escalation: a writer that exhausts its optimistic
+    * retry budget (contention so heavy that every re-merge loses the
+    * CAS race) serializes its whole read-merge-commit here instead of
+    * failing. Progress is then guaranteed: the only commits that can
+    * still sneak in are the ≤1-per-writer optimistic merges already
+    * in flight, so the post-escalation retry count is bounded by the
+    * writer count, not by luck. Held across a merge job — the stale
+    * window is sized for seconds-long holds, unlike the ms-scale
+    * commit lock.
+    */
+  private def withMergeLock[T](root: Path)(body: => T): T =
+    withCommitLock(root, timeoutMs = 300000, staleMs = 300000,
+      name = "_merge.lock")(body)
 
   // ------------------------------------------------------------------
   // Equality deletes (merge-on-read row deletes — Iceberg's equality
@@ -368,12 +413,17 @@ object VersionedTable {
     * operations are sequential.
     */
   def softDelete(spark: SparkSession, root: String, keys: DataFrame,
-                 keyCols: Seq[String]): Long = {
+                 keyCols: Seq[String], keepVersions: Int = 2,
+                 maxRetries: Int = 10): Long = {
     val dataVersion = readManifest(root).map(_.version).getOrElse(0L)
+    // keepVersions applies to the DELETE-SET sub-table: under many
+    // concurrent deleters a reader's pinned delete-set dir can lag
+    // several commits, so size retention to the worst expected lag
+    // (same contract as data-table commits)
     upsert(spark, deletesRoot(root),
       keys.select(keyCols.map(keys(_)): _*).distinct()
         .withColumn(DelSeqCol, lit(dataVersion)),
-      keyCols)
+      keyCols, keepVersions = keepVersions, maxRetries = maxRetries)
   }
 
   /** Live snapshot minus the delete set (merge-on-read, sequence-
@@ -419,31 +469,44 @@ object VersionedTable {
     * then a no-op, so no anomaly window exists.
     */
   def vacuumDeletes(spark: SparkSession, root: String,
-                    keyCols: Seq[String], keepVersions: Int = 2): Long = {
+                    keyCols: Seq[String], keepVersions: Int = 2,
+                    maxRetries: Int = 10): Long = {
     val dr = deletesRoot(root)
-    // pin the delete-set version the fold consumes: the reset below
-    // CAS-checks it, so a softDelete landing BETWEEN fold and reset is
-    // never wiped (the reset is abandoned; the new keys keep masking,
-    // the folded-away keys are already absent so re-applying them is a
-    // no-op anti-join)
-    val foldedDeletesVersion = readManifest(dr).map(_.version)
-    // stamped fold: surviving rows keep their write sequences, so a
-    // stale delete entry left behind by a lost reset race still cannot
-    // re-mask a row that out-sequences it
-    val folded = readLiveWithDeletesStamped(spark, root, keyCols)
-    val v = commit(root, keepVersions) { dir =>
-      folded.write.mode(SaveMode.Overwrite).parquet(dir)
-    }
-    vacuumRaceHook() // test seam: deterministic fold↔reset interleave
-    foldedDeletesVersion.foreach { dv =>
-      val empty = readLive(spark, dr).limit(0)
-      try commit(dr, expectedBase = Some(dv)) { dir =>
-        empty.write.mode(SaveMode.Overwrite).parquet(dir)
-      } catch {
-        case _: ConcurrentCommitException => () // racing delete wins
+    def once(): Long = {
+      // pin the DATA version first, then build the fold plan: the
+      // commit CAS-checks this base, so an upsert landing between the
+      // fold's snapshot read and the commit makes the vacuum retry
+      // instead of silently overwriting the new rows (the same
+      // lost-update shape the upsert CAS closes). A plan that happens
+      // to resolve one version NEWER than the pinned base only causes
+      // a spurious retry, never a loss.
+      val dataBase = readManifest(root).map(_.version).getOrElse(0L)
+      // pin the delete-set version the fold consumes: the reset below
+      // CAS-checks it, so a softDelete landing BETWEEN fold and reset
+      // is never wiped (the reset is abandoned; the new keys keep
+      // masking, the folded-away keys are already absent so
+      // re-applying them is a no-op anti-join)
+      val foldedDeletesVersion = readManifest(dr).map(_.version)
+      // stamped fold: surviving rows keep their write sequences, so a
+      // stale delete entry left behind by a lost reset race still
+      // cannot re-mask a row that out-sequences it
+      val folded = readLiveWithDeletesStamped(spark, root, keyCols)
+      val v = commit(root, keepVersions,
+        expectedBase = Some(dataBase)) { dir =>
+        folded.write.mode(SaveMode.Overwrite).parquet(dir)
       }
+      vacuumRaceHook() // test seam: deterministic fold↔reset interleave
+      foldedDeletesVersion.foreach { dv =>
+        val empty = readLive(spark, dr).limit(0)
+        try commit(dr, keepVersions, expectedBase = Some(dv)) { dir =>
+          empty.write.mode(SaveMode.Overwrite).parquet(dir)
+        } catch {
+          case _: ConcurrentCommitException => () // racing delete wins
+        }
+      }
+      v
     }
-    v
+    retryThenEscalate(Paths.get(root), maxRetries)(once())
   }
 
   // ------------------------------------------------------------------
@@ -569,8 +632,7 @@ object VersionedTable {
       "partitionColumns empty — use upsert() for unpartitioned tables")
     val rootP = Paths.get(root)
     Files.createDirectories(rootP)
-    var attempt = 0
-    while (true) {
+    def once(): Long = {
       // pin the merge to the base snapshot; CAS-check it at commit
       val prev = readPartitionedManifest(root)
       val merged = prev match {
@@ -597,8 +659,7 @@ object VersionedTable {
       try merged.write.mode(SaveMode.Overwrite)
         .partitionBy(partitionColumns: _*).parquet(staging.toString)
       catch { case e: Throwable => deleteRecursively(staging); throw e }
-      try {
-        return withCommitLock(rootP) {
+      withCommitLock(rootP) {
           val cur = readPartitionedManifest(root)
           if (cur.map(_.version) != prev.map(_.version)) {
             deleteRecursively(staging)
@@ -634,14 +695,9 @@ object VersionedTable {
               .foreach(deleteRecursively)
           } finally s.close()
           next
-        }
-      } catch {
-        case e: ConcurrentCommitException =>
-          attempt += 1
-          if (attempt > maxRetries) throw e
       }
     }
-    -1L // unreachable
+    retryThenEscalate(rootP, maxRetries)(once())
   }
 
   /** Relative `col=value[/...]` leaf dirs under a version dir. */

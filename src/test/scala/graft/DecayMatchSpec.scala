@@ -256,6 +256,67 @@ class DecayMatchSpec extends SparkSpec {
     }
   }
 
+  test("water-fill: zero-weight rows allocate 0 and never absorb budget") {
+    import spark.implicits._
+    // the pathological case: one zero-weight row with positive cap
+    // and budget below cap — classifying it saturated would hand it
+    // cap=10 against a budget of 5
+    val lone = Seq(("z", 10L, 0L, 5L)).toDF("k", "cap", "w", "budget")
+    val got = graft.operators.WaterFill.allocate(lone, "k", "cap", "w",
+      "budget").collect().head
+    assert(got.getAs[Long]("alloc") === 0L)
+    assert(got.getAs[Long]("saturated") === 0L)
+    // mixed: zero-weight rows sit out, positive-weight rows see the
+    // full budget; Σ alloc == min(budget, Σ cap over w>0)
+    val mixed = Seq(("a", 10L, 2L, 30L), ("b", 40L, 1L, 30L),
+      ("z1", 99L, 0L, 30L), ("z2", 0L, 0L, 30L))
+      .toDF("k", "cap", "w", "budget")
+    val rows = graft.operators.WaterFill.allocate(mixed, "k", "cap",
+      "w", "budget").collect()
+      .map(r => r.getAs[String]("k") ->
+        (r.getAs[Long]("alloc"), r.getAs[Long]("saturated"))).toMap
+    assert(rows("a") === ((10L, 1L))) // λ=5 < pool level → saturates
+    assert(rows("b") === ((20L, 0L))) // remaining 20 of the 30 budget
+    assert(rows("z1") === ((0L, 0L)))
+    assert(rows("z2") === ((0L, 1L))) // cap 0 is trivially full
+    assert(rows.values.map(_._1).sum === 30L)
+  }
+
+  test("conformal: a group present only in apply surfaces with " +
+    "n_cal=0, null tau, zero flags") {
+    import spark.implicits._
+    val cal = (1 to 15).map(v => ("g", v.toLong)).toDF("g", "s")
+    val app = Seq(("g", 15L), ("h", 7L), ("h", 8L)).toDF("g", "s")
+    val got = graft.operators.Conformal.splitConformal(
+      cal, app, Seq("g"), "s", alphaNum = 1, alphaDen = 8)
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(got.keySet === Set("g", "h"))
+    val h = got("h")
+    assert(h.getAs[Long]("n_cal") === 0L)
+    assert(h.isNullAt(h.fieldIndex("tau")))
+    assert(h.getAs[Long]("n_apply") === 2L)
+    assert(h.getAs[Long]("n_flagged") === 0L)
+    assert(got("g").getAs[Long]("n_flagged") === 1L) // 15 > τ=14
+  }
+
+  test("decay: an event newer than asofUs fails loudly, not silently") {
+    import spark.implicits._
+    val ev = Seq(("a", java.sql.Timestamp.valueOf("2026-01-02 00:00:00"),
+      100L)).toDF("g", "ts", "v")
+    val asof = org.apache.spark.sql.functions.lit(
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+    val ex = intercept[Exception] {
+      graft.operators.Decay.decayedCountersAsOf(ev, Seq("g"),
+        org.apache.spark.sql.functions.col("ts"),
+        org.apache.spark.sql.functions.col("v"),
+        halfLifeUs = 86400000000L,
+        asofUs = org.apache.spark.sql.functions.unix_micros(asof))
+        .collect()
+    }
+    assert(ex.getMessage.contains("newer than asofUs") ||
+      Option(ex.getCause).exists(_.getMessage.contains("newer than asofUs")))
+  }
+
   test("cusum: matches the sequential max(0,...) recursion; a " +
     "sustained shift to 130 alarms while one lone 130 does not") {
     import spark.implicits._

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+import graft.sinks.VersionedTable
+
+/** N-writer mixed-operation stress for the manifest/CAS protocol:
+  * 8 concurrent writers issue a seeded mix of upsert / softDelete /
+  * vacuumDeletes against one table, and the final state must equal a
+  * serial replay of each writer's own op sequence. The replay model is
+  * exact because (a) each writer's calls block until committed, so its
+  * OWN ops are serially ordered, (b) writers touch disjoint key
+  * ranges, so cross-writer data ops commute, and (c) vacuum is
+  * logically the identity on live rows — any interleaving that
+  * changes the outcome (the pre-CAS vacuum fold overwriting a
+  * concurrent upsert, a reset wiping a racing delete) is exactly the
+  * lost-update bug family this spec exists to catch.
+  */
+class VersionedTableStressSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("8 writers x mixed upsert/softDelete/vacuum converge to the " +
+    "serial replay of each writer's op sequence") {
+    val root = Files.createTempDirectory("vstress").resolve("t").toString
+    // retention must out-last the worst CAS lag under 8 writers: a
+    // fold plan pinned at vN must still find its dir after the other
+    // 7 writers commit ahead of it
+    val keep = 80
+    VersionedTable.upsert(spark, root,
+      Seq((0L, "seed")).toDF("id", "v"), Seq("id"), keepVersions = keep)
+    val nWriters = 8
+    val opsPerWriter = 10
+    val keysPerWriter = 10
+    val dataCommits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errors =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // per-writer serial model: key -> live value after its own ops
+    val models = Array.fill(nWriters)(
+      scala.collection.mutable.HashMap[Long, String]())
+    val threads = (0 until nWriters).map { w =>
+      new Thread(() => {
+        try {
+          val rnd = new java.util.Random(9000L + w)
+          val myKeys =
+            ((w + 1) * 100L until (w + 1) * 100L + keysPerWriter).toVector
+          (0 until opsPerWriter).foreach { step =>
+            val r = rnd.nextInt(10)
+            if (r < 6) { // upsert 1-3 of my keys
+              val ks = Vector.fill(1 + rnd.nextInt(3))(
+                myKeys(rnd.nextInt(keysPerWriter))).distinct
+              val rows = ks.map(k => (k, s"w${w}s$step"))
+              VersionedTable.upsert(spark, root, rows.toDF("id", "v"),
+                Seq("id"), keepVersions = keep, maxRetries = 30)
+              dataCommits.incrementAndGet()
+              rows.foreach { case (k, v) => models(w)(k) = v }
+            } else if (r < 9) { // softDelete 1-2 of my keys
+              val ks = Vector.fill(1 + rnd.nextInt(2))(
+                myKeys(rnd.nextInt(keysPerWriter))).distinct
+              VersionedTable.softDelete(spark, root, ks.toDF("id"),
+                Seq("id"), keepVersions = keep, maxRetries = 30)
+              ks.foreach(models(w).remove)
+            } else { // vacuum: logical identity, physical fold
+              VersionedTable.vacuumDeletes(spark, root, Seq("id"),
+                keepVersions = keep, maxRetries = 30)
+              dataCommits.incrementAndGet()
+            }
+          }
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(180000))
+    assert(threads.forall(!_.isAlive), "a stress writer is stuck")
+    assert(errors.isEmpty, s"writer threw: ${errors.toArray.toSeq}")
+    val got = VersionedTable.readLiveWithDeletes(spark, root, Seq("id"))
+      .select("id", "v").as[(Long, String)].collect().toMap
+    val expected = Map(0L -> "seed") ++ models.flatMap(_.toSeq)
+    assert(got === expected,
+      s"diverged: missing=${expected.keySet -- got.keySet} " +
+        s"extra=${got.keySet -- expected.keySet} " +
+        s"changed=${expected.collect { case (k, v)
+          if got.get(k).exists(_ != v) => k -> (v, got(k)) }}")
+    // history is linear: one version per successful data commit
+    // (seed + every upsert + every vacuum), CAS retries create none
+    assert(VersionedTable.readManifest(root).get.version ===
+      1L + dataCommits.get())
+  }
+}
