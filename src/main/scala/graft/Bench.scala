@@ -113,7 +113,12 @@ object Bench {
           if (elapsedNs.get >= 0) Some(elapsedNs.get / 1e9) else None
       }
     }
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    // local-iteration filter: comma-separated names → time just those
+    // (driver never sets it; the full sweep is the default contract)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n))).map { name =>
       val runs = Seq(timedOnce(name), timedOnce(name)).flatten
       (name, if (runs.nonEmpty) runs.min else budgetMs / 1000.0,
         runs.isEmpty)

@@ -419,7 +419,11 @@ object SparkEntry {
       graft.streaming.EventsStream.runToTable(s,
         graft.streaming.EventsStream.sessionize(
           graft.streaming.EventsStream.readEvents(s, d)),
-        s"q31_sink_${System.nanoTime()}")
+        s"q31_sink_${System.nanoTime()}",
+        // session-window merging is the heaviest per-row stateful op
+        // in the family — 16-way measured ~25% faster than the
+        // 4-way default on this shape (streamprof sweep)
+        partitions = Some(16))
     }),
 
     // Multimodal plumbing: synthetic binary media → per-partition batch
@@ -5351,7 +5355,10 @@ object SparkEntry {
       val anomalies = graft.streaming.EventsStream.detectAnomalies(ev, k = 5L)
       graft.streaming.EventsStream.runToTable(s, anomalies.toDF(),
         s"q62_sink_${System.nanoTime()}",
-        org.apache.spark.sql.streaming.OutputMode.Append())
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        // NoTimeout state fn fires only for keys WITH data — the
+        // no-data batch would invoke nothing and emit nothing
+        needsFinalize = Some(false))
         .select(col("user_id"), col("event_id"), col("value"),
           col("n_prior"))
     }),
@@ -5697,7 +5704,10 @@ object SparkEntry {
           graft.streaming.EventsStream.readEvents(s, d),
           Seq("user_id", "event_type")),
         s"q57_sink_${System.nanoTime()}",
-        org.apache.spark.sql.streaming.OutputMode.Append())
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        // first-arrivals emit in the data batch; the no-data batch
+        // would only evict watermark state that dies with the query
+        needsFinalize = Some(false))
     }),
 
     // Stream-stream interval join with bounded state (watermarks both

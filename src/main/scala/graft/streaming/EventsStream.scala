@@ -112,7 +112,8 @@ object EventsStream {
     */
   def runToTable(spark: SparkSession, df: DataFrame, name: String,
                  mode: OutputMode = OutputMode.Complete(),
-                 needsFinalize: Option[Boolean] = None): DataFrame = {
+                 needsFinalize: Option[Boolean] = None,
+                 partitions: Option[Int] = None): DataFrame = {
     // Stateful streaming cost scales with shuffle partitions (one
     // state store instance per partition per stateful operator); pin a
     // partition count sized to the data, not the core count — on a
@@ -130,9 +131,12 @@ object EventsStream {
     // 4 measured best on the sf0.1 family (2 under-parallelizes the
     // 200k-row join batches, 32 pays 4.3s of no-data store commits —
     // see the sizing note above; sweep rerun with tmpfs checkpoints).
+    // `partitions` overrides per query: heavier per-row stateful
+    // shapes (session windows) measured faster at 16.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
-      sys.props.getOrElse("graft.stream.partitions", "4"))
+      partitions.map(_.toString).getOrElse(
+        sys.props.getOrElse("graft.stream.partitions", "4")))
     // Complete mode emits every group when the source drains — the
     // extra NO-DATA micro-batch (whose only job is advancing the
     // watermark so Append-mode sinks finalize) is pure fixed cost

@@ -28,6 +28,7 @@ object Profile {
     if (args.headOption.contains("stress-classify")) { stressClassify(); return }
     if (args.headOption.contains("stress-kcenter")) { stressKCenter(); return }
     if (args.headOption.contains("stress-stream")) { stressStream(); return }
+    if (args.headOption.contains("streamprof")) { streamProf(); return }
     if (args.headOption.contains("stress-substr")) { stressSubstr(); return }
     if (args.headOption.contains("stress-ivjoin")) { stressIntervalJoin(); return }
     if (args.headOption.contains("stress-series")) { stressSeries(); return }
@@ -285,6 +286,56 @@ object Profile {
     * needs (1 PB/day ≈ 12M rows/s of 1 KB events across a 32-node
     * fleet).
     */
+  /** Micro-batch duration breakdown for the bench streaming family:
+    * where does the per-query fixed cost go (planning, WAL, state
+    * commit, addBatch)?
+    */
+  def streamProf(): Unit = {
+    val spark = GraftSession.build("profile-streamprof")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val es = graft.streaming.EventsStream
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    def run(name: String,
+            build: => org.apache.spark.sql.DataFrame,
+            mode: OutputMode, noData: Boolean,
+            parts: Int = 4): Unit = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+        noData.toString)
+      val ckpt = graft.core.ScratchDirs.fresh(s"sp_$name")
+      val t0 = System.nanoTime()
+      val q = build.writeStream.format("memory")
+        .queryName(s"sp_${name}_${System.nanoTime()}").outputMode(mode)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val total = (System.nanoTime() - t0) / 1e9
+      println(f"[streamprof] $name%-24s total ${total}%.2fs")
+      q.recentProgress.foreach { p =>
+        println(s"[streamprof]   batch ${p.batchId} rows=" +
+          s"${p.numInputRows} ${p.durationMs}")
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      graft.core.ScratchDirs.delete(ckpt)
+    }
+    def q92 = es.purchaseErrorLeftJoin(
+      es.readEvents(spark, d).filter(col("event_type") === "purchase"),
+      es.readEvents(spark, d).filter(col("event_type") === "error"))
+    def q31 = es.sessionize(es.readEvents(spark, d))
+    def q30 = es.windowedCounts(es.readEvents(spark, d))
+    (1 to 2).foreach { i =>
+      for (p <- Seq(4, 8, 16)) {
+        run(s"q92_leftjoin_p${p}_$i", q92, OutputMode.Append(),
+          noData = true, parts = p)
+        run(s"q31_session_p${p}_$i", q31, OutputMode.Complete(),
+          noData = false, parts = p)
+      }
+      run(s"q30_window_$i", q30, OutputMode.Complete(), noData = false)
+    }
+    spark.stop()
+  }
+
   def stressStream(): Unit = {
     val spark = GraftSession.build("profile-stream")
     import org.apache.spark.sql.streaming.Trigger
