@@ -4007,6 +4007,73 @@ object SparkEntry {
         .select(col("id"), col("keep"))
     }),
 
+    // Multi-suite decontamination MATRIX (q72 generalized): three eval
+    // suites checked against the corpus in ONE pass — suite 4-gram
+    // postings union into a single (suite, g) table, the corpus gram
+    // stream joins it ONCE, and per (doc, suite) hits fall out of the
+    // same gram-keyed aggregate. Adding an eval suite adds postings
+    // rows, never a corpus rescan — the per-suite-sequential form
+    // rereads 100 TB per benchmark.
+    "q278_decontam_matrix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val m = col("doc_id") % 97
+      val suites = Dedup.shingleRowsRaw(
+        docs.filter(m.isin(1L, 2L, 3L)), "text", "doc_id", n = 4)
+        .select((col("id") % 97).cast("long").as("suite"), col("g"),
+          col("id").as("bench_id"))
+        .groupBy("suite", "g").agg(min("bench_id").as("bh"))
+      val corpus = Dedup.shingleRowsRaw(
+        docs.filter(!m.isin(1L, 2L, 3L)), "text", "doc_id", n = 4)
+        .select(col("id").as("doc_id"), col("g"))
+      corpus.join(suites, "g")
+        .groupBy("doc_id", "suite")
+        .agg(countDistinct(col("g")).as("n_shared_grams"),
+          min("bh").as("first_bench_hit"))
+    }),
+
+    // Per-document n-gram NOVELTY in corpus order — the memorization-
+    // risk / freshness diagnostic: what fraction of a doc's distinct
+    // 4-grams appears in NO earlier document (first occurrence = this
+    // doc). No corpus-sized join-back: novelty counts come from
+    // grouping the (g, first_id) table by its OWN first_id, so the
+    // plan is two gram-keyed aggregates plus a |docs|-row join.
+    "q279_ngram_novelty" -> ((s, d) => {
+      val grams = Dedup.shingleRowsRaw(
+        Tables.documents(s, d), "text", "doc_id", n = 4)
+        .select(col("id"), col("g")).distinct()
+      val perDoc = grams.groupBy("id")
+        .agg(count(lit(1)).as("n_grams"))
+      val novel = grams.groupBy("g").agg(min(col("id")).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("n_novel"))
+      perDoc.join(novel, Seq("id"), "left")
+        .select(col("id").as("doc_id"), col("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+    }),
+
+    // Heaps-law vocabulary growth curve: cumulative (tokens, distinct
+    // types) after every 100 docs in doc_id order — the corpus-
+    // characterization stat behind tokenizer/vocab sizing. Each token
+    // type contributes via its FIRST document only (one token-keyed
+    // min aggregate), token totals via a map-side-combined bucket
+    // count; the cumulative window runs on the CHECKPOINT domain
+    // (|docs|/100 rows), never the token stream.
+    "q280_heaps_law" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        explode(graft.functions.TextFunctions.wordTokens(col("text")))
+          .as("t"))
+      val tokCounts = toks.groupBy(expr("doc_id div 100").as("b"))
+        .agg(count(lit(1)).as("toks"))
+      val newTypes = toks.groupBy("t").agg(min("doc_id").as("f"))
+        .groupBy(expr("f div 100").as("b")).agg(count(lit(1)).as("types"))
+      val w = Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tokCounts.join(newTypes, Seq("b"), "full")
+        .select((col("b") * 100 + 100).as("checkpoint_docs"),
+          sum(coalesce(col("toks"), lit(0L))).over(w).as("toks_cum"),
+          sum(coalesce(col("types"), lit(0L))).over(w).as("vocab_cum"))
+    }),
+
     // Hashed-bigram linear quality classifier (fastText-shape
     // inference): feature-hash adjacent word bigrams into 4096
     // buckets, sum deterministic integer bucket weights, threshold.
@@ -4108,7 +4175,7 @@ object SparkEntry {
     // trigram-Jaccard SQL is the ground truth.
     "q97_incremental_neardup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val root = graft.operators.NearDupIndex.ensureBuilt(s,
+      val root = graft.operators.NearDupIndex.ensureBuiltCached(s,
         docs.filter(col("doc_id") % 10 =!= 0), "text", "doc_id",
         cacheKey = s"q97|$d")
       graft.operators.NearDupIndex.probe(s, root,
@@ -4129,7 +4196,7 @@ object SparkEntry {
     "q229_incremental_ingest" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val nd = graft.operators.NearDupIndex
-      val root = nd.ensureBuilt(s,
+      val root = nd.ensureBuiltCached(s,
         docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5),
         "text", "doc_id", cacheKey = s"q229|$d")
       val batch1 = docs.filter(col("doc_id") % 10 === 5)
@@ -4158,7 +4225,7 @@ object SparkEntry {
     "q230_stream_neardup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val nd = graft.operators.NearDupIndex
-      val root = nd.ensureBuilt(s,
+      val root = nd.ensureBuiltCached(s,
         docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5),
         "text", "doc_id", cacheKey = s"q230|$d")
       val work = graft.core.ScratchDirs.fresh("q230_snd").toString
@@ -7203,6 +7270,60 @@ object SparkEntry {
         |SELECT vec_id AS id,
         |  vec_id = min(vec_id) OVER (PARTITION BY vec_id % 8) AS keep
         |FROM embeddings WHERE vec_id < (SELECT c FROM cut)""".stripMargin,
+
+    "q278_decontam_matrix" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |    t -> t <> '') AS ts
+        |  FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(ts) < 4 THEN [array_to_string(ts, ' ')]
+        |         ELSE list_transform(generate_series(1, len(ts) - 3),
+        |              i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+        |                   ts[i+3]) END) AS g
+        |  FROM tok WHERE len(ts) > 0)
+        |SELECT c.doc_id AS doc_id, b.doc_id % 97 AS suite,
+        |  count(DISTINCT c.g) AS n_shared_grams,
+        |  min(b.doc_id) AS first_bench_hit
+        |FROM g0 c JOIN g0 b ON c.g = b.g
+        |  AND b.doc_id % 97 IN (1, 2, 3) AND c.doc_id % 97 NOT IN (1, 2, 3)
+        |GROUP BY c.doc_id, b.doc_id % 97""".stripMargin,
+
+    "q279_ngram_novelty" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |    t -> t <> '') AS ts
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(ts) < 4 THEN [array_to_string(ts, ' ')]
+        |         ELSE list_transform(generate_series(1, len(ts) - 3),
+        |              i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+        |                   ts[i+3]) END) AS g
+        |  FROM tok WHERE len(ts) > 0),
+        |g0 AS (SELECT DISTINCT doc_id, g FROM gr),
+        |f AS (SELECT g, min(doc_id) AS fid FROM g0 GROUP BY g)
+        |SELECT g0.doc_id AS doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN f.fid = g0.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel
+        |FROM g0 JOIN f ON g0.g = f.g
+        |GROUP BY g0.doc_id""".stripMargin,
+
+    "q280_heaps_law" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), t -> t <> '')) AS t
+        |  FROM documents),
+        |tc AS (SELECT doc_id // 100 AS b, count(*) AS toks
+        |       FROM tok GROUP BY 1),
+        |nt AS (SELECT f // 100 AS b, count(*) AS types FROM
+        |       (SELECT t, min(doc_id) AS f FROM tok GROUP BY t)
+        |       GROUP BY 1)
+        |SELECT b * 100 + 100 AS checkpoint_docs,
+        |  sum(coalesce(toks, 0)) OVER (ORDER BY b) AS toks_cum,
+        |  sum(coalesce(types, 0)) OVER (ORDER BY b) AS vocab_cum
+        |FROM tc FULL JOIN nt USING (b)""".stripMargin,
 
     "q88_ivfpq_recall" ->
       """SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS recall_ok,

@@ -188,4 +188,21 @@ class NearDupIndexSpec extends SparkSpec {
     assert(r3 !== r1, "changed corpus must land in a fresh root")
     assert(NearDupIndex.exists(r3))
   }
+
+  test("ensureBuiltCached memoizes by key (fingerprint scan skipped on " +
+    "repeat) but distinct keys stay independent") {
+    val c1 = NearDupIndex.ensureBuiltCached(spark, corpus, "text",
+      "doc_id", cacheKey = "specCachedA")
+    // repeat with a DIFFERENT (wrong) corpus under the same key: the
+    // memo returns the first resolution — this is the documented
+    // caller promise, and exactly what skipping the scan means
+    val c2 = NearDupIndex.ensureBuiltCached(spark,
+      corpus.limit(1), "text", "doc_id", cacheKey = "specCachedA")
+    assert(c1 === c2)
+    val c3 = NearDupIndex.ensureBuiltCached(spark, corpus, "text",
+      "doc_id", cacheKey = "specCachedB")
+    assert(c3 !== c1, // cacheKey is part of the content address
+      "a distinct key must resolve independently, not hit the memo")
+    assert(NearDupIndex.exists(c3))
+  }
 }
