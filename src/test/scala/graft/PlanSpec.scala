@@ -254,4 +254,36 @@ class PlanSpec extends SparkSpec {
     assert(firstAgg >= 0 && firstSort >= 0, p)
     assert(p.contains("Partial") || p.contains("partial_count"), p)
   }
+
+  test("q278: multi-suite decontamination is one gram-keyed join — " +
+    "suites pre-aggregated to postings, no cartesian fan-out") {
+    val p = plan("q278_decontam_matrix")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the suite branch aggregates to (suite, g) BEFORE the join:
+    // min(bench_id) partials appear below the gram join
+    assert(p.contains("partial_min") || p.contains("Partial"), p)
+  }
+
+  test("q279: novelty has exactly ONE join, and it is doc-sized — " +
+    "novel counts come from the firsts table, never a gram join-back") {
+    val p = plan("q279_ngram_novelty")
+    assert(!p.contains("CartesianProduct"), p)
+    // one SortMergeJoin/ShuffledHashJoin/BroadcastHashJoin total: the
+    // |docs|-row perDoc ⋈ novel merge; gram rows feed only aggregates
+    val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).length
+    assert(joins === 1, s"expected 1 join, got $joins:\n$p")
+  }
+
+  test("q280: heaps-law window runs on the checkpoint domain above " +
+    "partial+final aggregates") {
+    val p = plan("q280_heaps_law")
+    assert("Window".r.findAllIn(p).length >= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // both branches pre-aggregate (token counts + first-doc types)
+    // with map-side partials before anything joins or windows
+    assert(p.contains("partial_min") || p.contains("Partial"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 4, p)
+  }
 }
