@@ -4074,6 +4074,23 @@ object SparkEntry {
           sum(coalesce(col("types"), lit(0L))).over(w).as("vocab_cum"))
     }),
 
+    // CONTINUOUS drift monitoring: the q255 CUSUM detector fed by a
+    // Structured-Streaming-maintained daily series (Complete-mode
+    // (type, day) aggregate over the event stream) — the production
+    // shape of a data-quality drift monitor: the stream keeps the
+    // domain-sized series current; the sequential detector reruns on
+    // the tiny series each trigger. AvailableNow ⇒ series ≡ batch
+    // GROUP BY ⇒ the q255 oracle grades the whole composition exact.
+    "q281_stream_drift" -> ((s, d) => {
+      val daily = graft.streaming.EventsStream.runToTable(s,
+        graft.streaming.EventsStream.readEvents(s, d)
+          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n_events")),
+        s"q281_sink_${System.nanoTime()}")
+      graft.operators.Cusum.detect(daily, Seq("event_type"), "day",
+        "n_events", slackDiv = 20L, threshDiv = 4L)
+    }),
+
     // Hashed-bigram linear quality classifier (fastText-shape
     // inference): feature-hash adjacent word bigrams into 4096
     // buckets, sum deterministic integer bucket weights, threshold.
@@ -9832,6 +9849,35 @@ object SparkEntry {
     // cumsum − running-min identity replayed with the same floor-div
     // μ/slack — integer arithmetic only.
     "q255_cusum_drift" ->
+      """WITH dc AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT *, sum(n_events) OVER (PARTITION BY event_type)
+        |      AS sx,
+        |    count(*) OVER (PARTITION BY event_type) AS nn
+        |  FROM dc),
+        |dd AS (
+        |  SELECT *, sx // nn AS mu,
+        |    n_events - (sx // nn) - ((sx // nn) // 20) AS d
+        |  FROM st),
+        |pp AS (
+        |  SELECT *, sum(d) OVER (PARTITION BY event_type
+        |    ORDER BY day) AS p
+        |  FROM dd),
+        |mm AS (
+        |  SELECT *, least(min(p) OVER (PARTITION BY event_type
+        |    ORDER BY day), 0) AS minp
+        |  FROM pp)
+        |SELECT event_type, day, n_events,
+        |  CAST(p - minp AS BIGINT) AS cusum,
+        |  CAST((p - minp > mu // 4) AS BIGINT) AS alarm
+        |FROM mm""".stripMargin,
+
+    // The streamed series is the SAME (type, day) counts, so the
+    // detector replay is identical to q255's.
+    "q281_stream_drift" ->
       """WITH dc AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,
         |    count(*) AS n_events

@@ -311,10 +311,34 @@ object VersionedTable {
     retryThenEscalate(Paths.get(root), maxRetries)(once())
   }
 
+  /** A merge whose pinned base snapshot was PRUNED by a concurrent
+    * writer's retention pass fails its read with file-not-found, not
+    * a CAS rejection — but it is the same conflict: the live manifest
+    * never references deleted files, so an FNF under a pinned read
+    * means the base moved and was reclaimed. Classified retryable
+    * (re-read the fresh manifest and re-merge), the same treatment
+    * real table formats give FileNotFoundException during commit
+    * conflicts.
+    */
+  private def isPrunedSnapshotRead(t: Throwable): Boolean = {
+    var cur: Throwable = t
+    var depth = 0
+    while (cur != null && depth < 12) {
+      if (cur.isInstanceOf[java.io.FileNotFoundException] ||
+          Option(cur.getMessage).exists(m =>
+            m.contains("FAILED_READ_FILE") ||
+              m.contains("File does not exist"))) return true
+      cur = cur.getCause
+      depth += 1
+    }
+    false
+  }
+
   /** Run `once` with up to `maxRetries` optimistic CAS retries; if the
     * budget drains, escalate: serialize the whole read-merge-commit
     * under [[withMergeLock]] with a fresh budget (see its scaladoc for
-    * why that converges).
+    * why that converges). Pruned-snapshot reads retry like CAS
+    * conflicts — see [[isPrunedSnapshotRead]].
     */
   private def retryThenEscalate(rootP: Path, maxRetries: Int)
                                (once: => Long): Long = {
@@ -327,13 +351,19 @@ object VersionedTable {
             attempt += 1
             if (attempt > maxRetries) throw e
             retryBackoff(attempt)
+          case e: Throwable if isPrunedSnapshotRead(e) =>
+            attempt += 1
+            if (attempt > maxRetries) throw e
+            retryBackoff(attempt)
         }
       }
       -1L // unreachable
     }
     try loop()
     catch {
-      case _: ConcurrentCommitException => withMergeLock(rootP)(loop())
+      case e: Throwable
+        if e.isInstanceOf[ConcurrentCommitException] ||
+          isPrunedSnapshotRead(e) => withMergeLock(rootP)(loop())
     }
   }
 

@@ -29,6 +29,7 @@ object Profile {
     if (args.headOption.contains("stress-kcenter")) { stressKCenter(); return }
     if (args.headOption.contains("stress-stream")) { stressStream(); return }
     if (args.headOption.contains("streamprof")) { streamProf(); return }
+    if (args.headOption.contains("stress-text")) { stressText(); return }
     if (args.headOption.contains("stress-substr")) { stressSubstr(); return }
     if (args.headOption.contains("stress-ivjoin")) { stressIntervalJoin(); return }
     if (args.headOption.contains("stress-series")) { stressSeries(); return }
@@ -286,6 +287,67 @@ object Profile {
     * needs (1 PB/day ≈ 12M rows/s of 1 KB events across a 32-node
     * fleet).
     */
+  /** Linearity evidence for the q278/q279/q280 text-analytics family
+    * at 20× the bench corpus (the `stress` replication recipe):
+    * multi-suite decontamination, n-gram novelty, and the Heaps curve
+    * must scale with corpus tokens — no quadratic term, no
+    * corpus-sized join-back.
+    */
+  def stressText(): Unit = {
+    val spark = GraftSession.build("profile-stress-text")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val base = Tables.documents(spark, d).select("doc_id", "text")
+    val n = base.agg(max("doc_id")).head().getLong(0) + 1
+    val big = (0 until 20).map { r =>
+      base.select((col("doc_id") + lit(r) * n).as("doc_id"),
+        concat(col("text"), lit(s" replica$r")).as("text"))
+    }.reduce(_ unionByName _)
+    big.write.mode("overwrite").parquet("/tmp/stress_text_docs")
+    val docs = spark.read.parquet("/tmp/stress_text_docs")
+    println(s"docs: ${docs.count()}")
+    // q278 core: 3-suite postings vs corpus, one gram-keyed join
+    t("decontam-matrix 100k docs") {
+      val m = col("doc_id") % 97
+      val suites = Dedup.shingleRowsRaw(
+        docs.filter(m.isin(1L, 2L, 3L)), "text", "doc_id", n = 4)
+        .select((col("id") % 97).as("suite"), col("g"),
+          col("id").as("bench_id"))
+        .groupBy("suite", "g").agg(min("bench_id").as("bh"))
+      val corpus = Dedup.shingleRowsRaw(
+        docs.filter(!m.isin(1L, 2L, 3L)), "text", "doc_id", n = 4)
+        .select(col("id").as("doc_id"), col("g"))
+      corpus.join(suites, "g").groupBy("doc_id", "suite")
+        .agg(countDistinct(col("g")).as("n"), min("bh").as("fb"))
+        .count()
+    }
+    // q279 core: two gram-keyed aggregates + doc-sized join
+    t("ngram-novelty 100k docs") {
+      val grams = Dedup.shingleRowsRaw(docs, "text", "doc_id", n = 4)
+        .select(col("id"), col("g")).distinct()
+      val perDoc = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
+      val novel = grams.groupBy("g").agg(min(col("id")).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("n_novel"))
+      perDoc.join(novel, Seq("id"), "left").count()
+    }
+    // q280 core: token firsts + bucket counts + checkpoint window
+    t("heaps-law 100k docs") {
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs.select(col("doc_id"),
+        explode(TextFunctions.wordTokens(col("text"))).as("t"))
+      val tc = toks.groupBy(expr("doc_id div 100").as("b"))
+        .agg(count(lit(1)).as("toks"))
+      val nt = toks.groupBy("t").agg(min("doc_id").as("f"))
+        .groupBy(expr("f div 100").as("b")).agg(count(lit(1)).as("types"))
+      val w = Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tc.join(nt, Seq("b"), "full")
+        .select(col("b"), sum(coalesce(col("toks"), lit(0L))).over(w),
+          sum(coalesce(col("types"), lit(0L))).over(w))
+        .count()
+    }
+    spark.stop()
+  }
+
   /** Micro-batch duration breakdown for the bench streaming family:
     * where does the per-query fixed cost go (planning, WAL, state
     * commit, addBatch)?
