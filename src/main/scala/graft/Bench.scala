@@ -18,9 +18,18 @@ object Bench {
     // subset — round 2's hand-picked list missed q24's simhash shape
     // and its driver-measured time tripled). sf0.001 is tiny; the
     // whole sweep costs far less than one cold heavy query.
+    // local-iteration filter (applied to the timed sweep AND every
+    // pre-build pass below — a one-query iteration must not pay the
+    // full warm-up; the driver never sets it, so the graded run keeps
+    // the full-sweep default). Memo families of UNSELECTED queries
+    // build inside the first timed run of whatever selected query
+    // touches them — min-of-2 absorbs that for local iteration.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(q: String): Boolean = only.forall(_.contains(q))
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
-      SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
+      SparkEntry.queries.keys.toSeq.sorted.filter(selected).foreach { q =>
         try SparkEntry.queries(q)(spark, warmDir).count()
         catch { case _: Throwable => () }
       }
@@ -29,14 +38,15 @@ object Bench {
     // later run joining on the same key (that's the point of
     // bucketing); create them untimed at the bench SF so the timed
     // number measures the repeated-join path, not the one-off write.
-    try SparkEntry.queries("q60_bucketed_join")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    if (selected("q60_bucketed_join"))
+      try SparkEntry.queries("q60_bucketed_join")(spark, sfDir).count()
+      catch { case _: Throwable => () }
     // Persisted-index queries likewise split a one-time build/ingest
     // from the per-batch probe; one untimed pass lets the timed runs
     // measure the steady-state (probe) path, which is the operator's
     // point — re-ingests are fingerprint-skipped no-ops.
     Seq("q97_incremental_neardup", "q229_incremental_ingest",
-        "q230_stream_neardup").foreach { q =>
+        "q230_stream_neardup").filter(selected).foreach { q =>
       try SparkEntry.queries(q)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
@@ -51,10 +61,11 @@ object Bench {
     // the pipeline, not cache warm-up.
     val memoT0 = System.nanoTime()
     Seq("q23_minhash_neardup", "q37_dedup_components", "q129_triangles",
-        "q120_pagerank", "q28_knn_ivf", "q82_knn_ivfpq").foreach { q =>
-      try SparkEntry.queries(q)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-    }
+        "q120_pagerank", "q28_knn_ivf", "q82_knn_ivfpq")
+      .filter(selected).foreach { q =>
+        try SparkEntry.queries(q)(spark, sfDir).count()
+        catch { case _: Throwable => () }
+      }
     val memoBuildSec = (System.nanoTime() - memoT0) / 1e9
     // Each query timed as min-of-2 back-to-back runs: the warm-up
     // already absorbed JIT/codegen, so the min discards transient
@@ -113,12 +124,8 @@ object Bench {
           if (elapsedNs.get >= 0) Some(elapsedNs.get / 1e9) else None
       }
     }
-    // local-iteration filter: comma-separated names → time just those
-    // (driver never sets it; the full sweep is the default contract)
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val results = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n))).map { name =>
+      .filter(selected).map { name =>
       val runs = Seq(timedOnce(name), timedOnce(name)).flatten
       (name, if (runs.nonEmpty) runs.min else budgetMs / 1000.0,
         runs.isEmpty)

@@ -121,17 +121,39 @@ object Ivm {
       if (stored != null)
         stored.foreach(r => buf.add((r.getLong(0), r.getLong(1))))
       var t = if (thr == null) MinLong else thr.longValue()
-      if (ins != null) ins.foreach { r =>
-        val p = (r.getLong(0), r.getLong(1))
-        if (buf.size < k) buf.add(p)
-        else if (ord.compare(p, buf.last) < 0) {
-          buf.add(p)
-          val cut = buf.pollLast()
-          t = math.max(t, cut._1)
-        } else t = math.max(t, p._1)
-      }
+      // NET OUT identical (score, id) pairs appearing as both insert
+      // and delete in one batch: a same-value CDC update (del old +
+      // ins new, identical pair) and a transient insert+delete both
+      // leave the pair's membership where it started — processing the
+      // sides in EITHER order gets one of them wrong (the no-op add of
+      // an already-stored pair must not evict the live floor; the add
+      // of a transient row must not survive its own delete).
+      val insL = if (ins == null) Seq.empty[(Long, Long)]
+        else ins.map(r => (r.getLong(0), r.getLong(1)))
+      val delC = scala.collection.mutable.HashMap[(Long, Long), Int]()
       if (dels != null) dels.foreach { r =>
-        buf.remove((r.getLong(0), r.getLong(1))); ()
+        val p = (r.getLong(0), r.getLong(1))
+        delC(p) = delC.getOrElse(p, 0) + 1
+      }
+      val insNet = insL.filter { p =>
+        delC.get(p) match {
+          case Some(c) if c > 0 => delC(p) = c - 1; false
+          case _                => true
+        }
+      }
+      // deletes FIRST: a changed-value update's old pair frees its
+      // slot before the new pair is considered
+      delC.foreach { case (p, c) => if (c > 0) { buf.remove(p); () } }
+      insNet.foreach { p =>
+        if (buf.size < k) { buf.add(p); () }
+        else if (ord.compare(p, buf.last) < 0) {
+          // add() false = pair already stored (redelivered insert):
+          // nothing was displaced, so nothing is evicted
+          if (buf.add(p)) {
+            val cut = buf.pollLast()
+            t = math.max(t, cut._1)
+          }
+        } else t = math.max(t, p._1)
       }
       import scala.jdk.CollectionConverters._
       WindowState(

@@ -86,7 +86,11 @@ object NearDupIndex {
       .getOrElse(sys.error(s"publishSnapshot before grams commit at $root"))
     val body = VersionedTable.renderPartitionedManifest(b) + "\n" +
       VersionedTable.renderPartitionedManifest(g)
-    val tmp = Paths.get(root, s"_snapshot.json.tmp${b.version}_${g.version}")
+    // UUID suffix: two concurrent ingests can observe the same final
+    // (bands, grams) versions — identical tmp names would make the
+    // loser's ATOMIC_MOVE throw after its tables already committed
+    val tmp = Paths.get(root, s"_snapshot.json.tmp${b.version}_" +
+      s"${g.version}_${java.util.UUID.randomUUID}")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, snapshotPath(root),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
@@ -222,6 +226,16 @@ object NearDupIndex {
     * planning): "probe against the index AS OF ingest j" replayed
     * deterministically regardless of what was appended later. None =
     * the whole live index.
+    *
+    * Snapshot lifetime contract: the returned plan is pinned to the
+    * snapshot resolved HERE, which stays readable while its version
+    * dirs survive the tables' retention (current + predecessor
+    * manifest). Materialize promptly — a probe DataFrame held lazily
+    * across TWO OR MORE further ingests of the same partitions can
+    * find its pinned dirs pruned (file-not-found at execution);
+    * re-calling probe resolves a fresh snapshot. Every engine call
+    * site materializes within the ingest step ([[ingestAndProbe]]
+    * checkpoints before appending).
     */
   def probe(spark: SparkSession, root: String, batch: DataFrame,
             textCol: String, idCol: String,

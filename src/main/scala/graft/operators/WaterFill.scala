@@ -46,9 +46,14 @@ object WaterFill {
     // undefined, and classifying them saturated would hand them their
     // full cap and overshoot the budget); they re-enter at the end
     // with alloc 0, saturated only in the degenerate cap = 0 sense.
-    val zeroW = df.filter(col(weightCol) === 0).select(
+    // w < 0 rows fail LOUDLY at execution — silently dropping a
+    // contract-violating row would vanish its key from the output.
+    val zeroW = df.filter(col(weightCol) <= 0).select(
       col(keyCol), col(capCol), col(weightCol),
-      lit(0L).as("alloc"),
+      when(col(weightCol) < 0, raise_error(concat(
+        lit("WaterFill: negative weight for key "),
+        col(keyCol).cast("string"))).cast("long"))
+        .otherwise(lit(0L)).as("alloc"),
       (col(capCol) === 0).cast("long").as("saturated"))
     val posW = df.filter(col(weightCol) > 0)
     allocatePositive(posW, keyCol, capCol, weightCol, budgetCol)

@@ -126,12 +126,19 @@ object VersionedTable {
   private def readLiveStamped(spark: SparkSession, root: String): DataFrame = {
     val m = readManifest(root).getOrElse(throw new IllegalStateException(
       s"no _manifest.json under $root — table has never committed"))
-    val raw = spark.read.option("mergeSchema", "true")
-      .parquet(Paths.get(root).resolve(m.live).toString)
-    if (raw.columns.contains(SeqCol))
-      raw.withColumn(SeqCol, coalesce(col(SeqCol), lit(0L)))
-    else raw.withColumn(SeqCol, lit(0L))
+    stampDefaulted(spark.read.option("mergeSchema", "true")
+      .parquet(Paths.get(root).resolve(m.live).toString))
   }
+
+  /** THE stamp-defaulting rule, in one place: a missing or null
+    * [[SeqCol]] means sequence 0 — "masked by any delete", the
+    * conservative pre-stamping behavior. The read path and the merge
+    * path must agree on this or deletes mask different rows in each.
+    */
+  private def stampDefaulted(df: DataFrame): DataFrame =
+    if (df.columns.contains(SeqCol))
+      df.withColumn(SeqCol, coalesce(col(SeqCol), lit(0L)))
+    else df.withColumn(SeqCol, lit(0L))
 
   // ------------------------------------------------------------------
   // Time travel (unpartitioned path). Each commit also appends an
@@ -291,13 +298,9 @@ object VersionedTable {
           case None =>
             updatesStamped.write.mode(SaveMode.Overwrite).parquet(dir)
           case Some(m) =>
-            val existingRaw = spark.read.option("mergeSchema", "true")
-              .parquet(Paths.get(root).resolve(m.live).toString)
-            val existing =
-              if (existingRaw.columns.contains(SeqCol))
-                existingRaw.withColumn(SeqCol,
-                  coalesce(col(SeqCol), lit(0L)))
-              else existingRaw.withColumn(SeqCol, lit(0L))
+            val existing = stampDefaulted(
+              spark.read.option("mergeSchema", "true")
+                .parquet(Paths.get(root).resolve(m.live).toString))
             val (existingAligned, updatesAligned) =
               MergeWriter.alignSchemas(existing, updatesStamped, keys,
                 schemaMode)
@@ -342,9 +345,14 @@ object VersionedTable {
     */
   private def retryThenEscalate(rootP: Path, maxRetries: Int)
                                (once: => Long): Long = {
-    def loop(): Long = {
+    def loop(yieldToMergeLock: Boolean): Long = {
       var attempt = 0
       while (true) {
+        // optimistic writers wait out an escalated writer's hold —
+        // without the yield, fresh optimistic merges would keep
+        // beating the lock holder's CAS and the escalation guarantee
+        // would be luck, not protocol
+        if (yieldToMergeLock) awaitMergeLockClear(rootP)
         try return once
         catch {
           case e: ConcurrentCommitException =>
@@ -359,11 +367,12 @@ object VersionedTable {
       }
       -1L // unreachable
     }
-    try loop()
+    try loop(yieldToMergeLock = true)
     catch {
       case e: Throwable
         if e.isInstanceOf[ConcurrentCommitException] ||
-          isPrunedSnapshotRead(e) => withMergeLock(rootP)(loop())
+          isPrunedSnapshotRead(e) =>
+        withMergeLock(rootP)(loop(yieldToMergeLock = false))
     }
   }
 
@@ -380,16 +389,34 @@ object VersionedTable {
   /** Pessimistic escalation: a writer that exhausts its optimistic
     * retry budget (contention so heavy that every re-merge loses the
     * CAS race) serializes its whole read-merge-commit here instead of
-    * failing. Progress is then guaranteed: the only commits that can
-    * still sneak in are the ≤1-per-writer optimistic merges already
-    * in flight, so the post-escalation retry count is bounded by the
-    * writer count, not by luck. Held across a merge job — the stale
-    * window is sized for seconds-long holds, unlike the ms-scale
-    * commit lock.
+    * failing. Progress is guaranteed because optimistic writers YIELD
+    * to a held merge lock ([[awaitMergeLockClear]] before each
+    * attempt): once the lock is up, the only commits that can still
+    * beat the holder's CAS are the ≤1-per-writer merges already in
+    * flight at escalation time, so the post-escalation retry count is
+    * bounded by the writer count, not by luck. Held across a merge
+    * job — the stale window is sized for seconds-long holds, unlike
+    * the ms-scale commit lock.
     */
   private def withMergeLock[T](root: Path)(body: => T): T =
     withCommitLock(root, timeoutMs = 300000, staleMs = 300000,
       name = "_merge.lock")(body)
+
+  /** Block while another writer holds the merge lock (stale locks are
+    * ignored) — the yield half of the escalation protocol.
+    */
+  private def awaitMergeLockClear(root: Path,
+                                  timeoutMs: Long = 300000): Unit = {
+    val lock = root.resolve("_merge.lock")
+    val deadline = System.currentTimeMillis() + timeoutMs
+    def held: Boolean =
+      try Files.exists(lock) &&
+        (System.currentTimeMillis() -
+          Files.getLastModifiedTime(lock).toMillis) < 300000
+      catch { case _: Throwable => false } // vanished mid-check
+    while (held && System.currentTimeMillis() < deadline)
+      Thread.sleep(20)
+  }
 
   // ------------------------------------------------------------------
   // Equality deletes (merge-on-read row deletes — Iceberg's equality
@@ -449,11 +476,16 @@ object VersionedTable {
     // keepVersions applies to the DELETE-SET sub-table: under many
     // concurrent deleters a reader's pinned delete-set dir can lag
     // several commits, so size retention to the worst expected lag
-    // (same contract as data-table commits)
+    // (same contract as data-table commits).
+    // SyncAllColumns: a delete set written by the pre-sequence code
+    // has no _del_seq column — Strict would reject the very first
+    // post-upgrade delete and make the documented legacy fallback
+    // (null stamp → mask-always) unreachable.
     upsert(spark, deletesRoot(root),
       keys.select(keyCols.map(keys(_)): _*).distinct()
         .withColumn(DelSeqCol, lit(dataVersion)),
-      keyCols, keepVersions = keepVersions, maxRetries = maxRetries)
+      keyCols, schemaMode = MergeWriter.SchemaMode.SyncAllColumns,
+      keepVersions = keepVersions, maxRetries = maxRetries)
   }
 
   /** Live snapshot minus the delete set (merge-on-read, sequence-
@@ -502,6 +534,10 @@ object VersionedTable {
                     keyCols: Seq[String], keepVersions: Int = 2,
                     maxRetries: Int = 10): Long = {
     val dr = deletesRoot(root)
+    // the delete-set version each fold attempt consumed — read by the
+    // reset AFTER the retried section, so a retryable failure in the
+    // reset can never re-run (and re-commit) the already-committed fold
+    var foldedDeletesVersion: Option[Long] = None
     def once(): Long = {
       // pin the DATA version first, then build the fold plan: the
       // commit CAS-checks this base, so an upsert landing between the
@@ -516,27 +552,33 @@ object VersionedTable {
       // is never wiped (the reset is abandoned; the new keys keep
       // masking, the folded-away keys are already absent so
       // re-applying them is a no-op anti-join)
-      val foldedDeletesVersion = readManifest(dr).map(_.version)
+      foldedDeletesVersion = readManifest(dr).map(_.version)
       // stamped fold: surviving rows keep their write sequences, so a
       // stale delete entry left behind by a lost reset race still
       // cannot re-mask a row that out-sequences it
       val folded = readLiveWithDeletesStamped(spark, root, keyCols)
-      val v = commit(root, keepVersions,
-        expectedBase = Some(dataBase)) { dir =>
+      commit(root, keepVersions, expectedBase = Some(dataBase)) { dir =>
         folded.write.mode(SaveMode.Overwrite).parquet(dir)
       }
-      vacuumRaceHook() // test seam: deterministic fold↔reset interleave
-      foldedDeletesVersion.foreach { dv =>
-        val empty = readLive(spark, dr).limit(0)
-        try commit(dr, keepVersions, expectedBase = Some(dv)) { dir =>
-          empty.write.mode(SaveMode.Overwrite).parquet(dir)
-        } catch {
-          case _: ConcurrentCommitException => () // racing delete wins
-        }
-      }
-      v
     }
-    retryThenEscalate(Paths.get(root), maxRetries)(once())
+    val v = retryThenEscalate(Paths.get(root), maxRetries)(once())
+    vacuumRaceHook() // test seam: deterministic fold↔reset interleave
+    // reset OUTSIDE the retried section: the fold is committed; losing
+    // the reset (racing delete's CAS win, or its own pinned read
+    // pruned) only leaves already-folded entries behind, which the
+    // sequence stamps keep harmless — never worth re-folding for
+    foldedDeletesVersion.foreach { dv =>
+      try {
+        val empty = readLive(spark, dr).limit(0)
+        commit(dr, keepVersions, expectedBase = Some(dv)) { dir =>
+          empty.write.mode(SaveMode.Overwrite).parquet(dir)
+        }
+      } catch {
+        case _: ConcurrentCommitException => () // racing delete wins
+        case e: Throwable if isPrunedSnapshotRead(e) => ()
+      }
+    }
+    v
   }
 
   // ------------------------------------------------------------------

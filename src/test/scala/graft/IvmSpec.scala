@@ -134,6 +134,32 @@ class IvmSpec extends SparkSpec {
     assert(mmMap(view3) === Map("b" -> ((1L, 7L, 7L))))
   }
 
+  test("maintained MIN/MAX: same-value update, transient row, and " +
+    "redelivered insert all leave the window exact (no phantom " +
+    "eviction, no phantom member)") {
+    val base = Seq(("a", 100L, 1L), ("a", 50L, 2L), ("a", 40L, 3L),
+      ("a", 10L, 4L)).toDF("k", "v", "rid")
+    val view0 = Ivm.initializeMinMax(base, Seq("k"), "v", "rid", k = 3)
+    assert(mmMap(view0) === Map("a" -> ((4L, 100L, 10L))))
+    // same-value CDC update of the max row: del(100,1) + ins(100,1).
+    // The buggy merge no-op-added the insert but still evicted the
+    // live floor, then the delete removed the real max — reporting 50.
+    val d1 = Seq(("a", -1L, 100L, 1L), ("a", 1L, 100L, 1L))
+      .toDF("k", "op", "v", "rid")
+    val view1 = Ivm.applyMinMaxDeltas(view0, d1, Seq("k"), "v", "rid",
+      k = 3, noRescan)
+    assert(mmMap(view1) === Map("a" -> ((4L, 100L, 10L))),
+      "a same-value update must not change the extrema")
+    // transient row inside one batch: ins(70,9) + del(70,9) nets out —
+    // the window must NOT retain the never-live pair as a phantom max
+    val d2 = Seq(("a", 1L, 70L, 9L), ("a", -1L, 70L, 9L),
+      ("a", -1L, 100L, 1L)).toDF("k", "op", "v", "rid")
+    val view2 = Ivm.applyMinMaxDeltas(view1, d2, Seq("k"), "v", "rid",
+      k = 3, noRescan)
+    assert(mmMap(view2) === Map("a" -> ((3L, 50L, 10L))),
+      "a transient insert+delete must leave no phantom member")
+  }
+
   test("maintained MIN/MAX: seeded random insert/delete churn with a " +
     "tiny window equals the recompute at every step") {
     val rnd = new scala.util.Random(42)

@@ -90,6 +90,30 @@ class VersionedTableSpec extends SparkSpec {
     assert(liveIds().contains(5L))
   }
 
+  test("a legacy delete set (no _del_seq column) keeps masking and " +
+    "accepts new sequence-stamped deletes without a schema error") {
+    val root = tmpRoot()
+    VersionedTable.upsert(spark, root,
+      (1L to 4L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    // fabricate the pre-sequence delete set: keys only, no _del_seq
+    VersionedTable.upsert(spark, s"$root/_deletes",
+      Seq(2L).toDF("id"), Seq("id"))
+    def liveIds() = VersionedTable
+      .readLiveWithDeletes(spark, root, Seq("id"))
+      .select("id").as[Long].collect().sorted.toSeq
+    // legacy entries mask unconditionally (null stamp → always-mask)
+    assert(liveIds() === Seq(1L, 3L, 4L))
+    // the first post-upgrade softDelete must evolve the delete-set
+    // schema (SyncAllColumns), not throw on the new _del_seq column
+    VersionedTable.softDelete(spark, root, Seq(3L).toDF("id"), Seq("id"))
+    assert(liveIds() === Seq(1L, 4L))
+    // and sequence semantics work from then on: re-upsert of the
+    // stamped delete's key is visible, the legacy-masked key stays gone
+    VersionedTable.upsert(spark, root,
+      Seq((3L, "v3b")).toDF("id", "v"), Seq("id"))
+    assert(liveIds() === Seq(1L, 3L, 4L))
+  }
+
   test("a softDelete racing vacuum's reset is never wiped (CAS on the " +
     "delete-set version)") {
     val root = tmpRoot()
