@@ -181,15 +181,29 @@ class IvmSpec extends SparkSpec {
       val ops = scala.collection.mutable.ArrayBuffer
         .empty[(String, Long, Long, Long)]
       (1 to 4).foreach { _ =>
-        if (live.nonEmpty && rnd.nextBoolean()) {
-          val rid = live.keys.toSeq.sorted.apply(rnd.nextInt(live.size))
-          val (k, v) = live(rid)
-          ops += ((k, -1L, v, rid)); live -= rid
-        } else {
-          val k = "g" + rnd.nextInt(3)
-          val v = rnd.nextInt(50).toLong
-          ops += ((k, 1L, v, nextRid)); live += nextRid -> ((k, v))
-          nextRid += 1
+        rnd.nextInt(5) match {
+          case 0 | 1 if live.nonEmpty => // delete a live row
+            val rid = live.keys.toSeq.sorted.apply(rnd.nextInt(live.size))
+            val (k, v) = live(rid)
+            ops += ((k, -1L, v, rid)); live -= rid
+          case 2 if live.nonEmpty => // in-batch UPDATE of a live row
+            // (del old + ins new, same rid; sometimes the same value
+            // — the no-op-update shape that corrupted the window)
+            val rid = live.keys.toSeq.sorted.apply(rnd.nextInt(live.size))
+            val (k, v) = live(rid)
+            val v2 = if (rnd.nextBoolean()) v else rnd.nextInt(50).toLong
+            ops += ((k, -1L, v, rid)); ops += ((k, 1L, v2, rid))
+            live += rid -> ((k, v2))
+          case 3 => // transient row: insert + delete in one batch
+            val k = "g" + rnd.nextInt(3)
+            val v = rnd.nextInt(50).toLong
+            ops += ((k, 1L, v, nextRid)); ops += ((k, -1L, v, nextRid))
+            nextRid += 1
+          case _ => // plain insert
+            val k = "g" + rnd.nextInt(3)
+            val v = rnd.nextInt(50).toLong
+            ops += ((k, 1L, v, nextRid)); live += nextRid -> ((k, v))
+            nextRid += 1
         }
       }
       view = Ivm.applyMinMaxDeltas(view,
