@@ -409,4 +409,35 @@ object Graft {
                     groupA: String, groupB: String): DataFrame =
     operators.RankTests.mannWhitneyU(df, valueCol, groupCol, groupA,
       groupB)
+
+  /** Exact n-gram benchmark decontamination (one suite) — see
+    * [[operators.Decontam.overlap]].
+    */
+  def decontaminate(corpus: DataFrame, bench: DataFrame,
+                    textCol: String, idCol: String,
+                    n: Int = 4): DataFrame =
+    operators.Decontam.overlap(corpus, bench, textCol, idCol, n)
+
+  /** Multi-suite decontamination in ONE corpus pass — see
+    * [[operators.Decontam.matrix]].
+    */
+  def decontaminateMatrix(corpus: DataFrame, suites: DataFrame,
+                          textCol: String, idCol: String,
+                          suiteCol: String, n: Int = 4): DataFrame =
+    operators.Decontam.matrix(corpus, suites, textCol, idCol,
+      suiteCol, n)
+
+  /** Per-document n-gram novelty in corpus order — see
+    * [[operators.TextStats.noveltyByDoc]].
+    */
+  def ngramNovelty(docs: DataFrame, textCol: String, idCol: String,
+                   n: Int = 4): DataFrame =
+    operators.TextStats.noveltyByDoc(docs, textCol, idCol, n)
+
+  /** Heaps-law vocabulary growth curve — see
+    * [[operators.TextStats.heapsCurve]].
+    */
+  def vocabGrowth(docs: DataFrame, textCol: String, idCol: String,
+                  checkpointDocs: Int = 100): DataFrame =
+    operators.TextStats.heapsCurve(docs, textCol, idCol, checkpointDocs)
 }

@@ -633,20 +633,9 @@ object SparkEntry {
     // have collisions at all.)
     "q72_decontaminate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      // Raw gram streams (no per-(id,g) distinct): countDistinct(g)
-      // and min(bench_id) are insensitive to join multiplicity, but the
-      // bench side IS deduped first so corpus-side duplicates don't
-      // multiply against bench-side duplicates in the join output.
-      val bench = Dedup.shingleRowsRaw(
-        docs.filter(col("doc_id") < 5), "text", "doc_id", n = 4)
-        .groupBy("g").agg(min(col("id")).as("bench_id"))
-      val corpus = Dedup.shingleRowsRaw(
-        docs.filter(col("doc_id") >= 5), "text", "doc_id", n = 4)
-        .select(col("id").as("doc_id"), col("g"))
-      corpus.join(bench, "g")
-        .groupBy("doc_id")
-        .agg(countDistinct(col("g")).as("n_shared_grams"),
-          min("bench_id").as("first_bench_hit"))
+      graft.operators.Decontam.overlap(
+        docs.filter(col("doc_id") >= 5), docs.filter(col("doc_id") < 5),
+        "text", "doc_id", n = 4)
     }),
 
     // Intra-doc repetition (duplicate-trigram fraction) — the
@@ -4017,18 +4006,11 @@ object SparkEntry {
     "q278_decontam_matrix" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val m = col("doc_id") % 97
-      val suites = Dedup.shingleRowsRaw(
-        docs.filter(m.isin(1L, 2L, 3L)), "text", "doc_id", n = 4)
-        .select((col("id") % 97).cast("long").as("suite"), col("g"),
-          col("id").as("bench_id"))
-        .groupBy("suite", "g").agg(min("bench_id").as("bh"))
-      val corpus = Dedup.shingleRowsRaw(
-        docs.filter(!m.isin(1L, 2L, 3L)), "text", "doc_id", n = 4)
-        .select(col("id").as("doc_id"), col("g"))
-      corpus.join(suites, "g")
-        .groupBy("doc_id", "suite")
-        .agg(countDistinct(col("g")).as("n_shared_grams"),
-          min("bh").as("first_bench_hit"))
+      graft.operators.Decontam.matrix(
+        docs.filter(!m.isin(1L, 2L, 3L)),
+        docs.filter(m.isin(1L, 2L, 3L))
+          .withColumn("suite", (col("doc_id") % 97).cast("long")),
+        "text", "doc_id", "suite", n = 4)
     }),
 
     // Per-document n-gram NOVELTY in corpus order — the memorization-
@@ -4037,18 +4019,9 @@ object SparkEntry {
     // doc). No corpus-sized join-back: novelty counts come from
     // grouping the (g, first_id) table by its OWN first_id, so the
     // plan is two gram-keyed aggregates plus a |docs|-row join.
-    "q279_ngram_novelty" -> ((s, d) => {
-      val grams = Dedup.shingleRowsRaw(
-        Tables.documents(s, d), "text", "doc_id", n = 4)
-        .select(col("id"), col("g")).distinct()
-      val perDoc = grams.groupBy("id")
-        .agg(count(lit(1)).as("n_grams"))
-      val novel = grams.groupBy("g").agg(min(col("id")).as("id"))
-        .groupBy("id").agg(count(lit(1)).as("n_novel"))
-      perDoc.join(novel, Seq("id"), "left")
-        .select(col("id").as("doc_id"), col("n_grams"),
-          coalesce(col("n_novel"), lit(0L)).as("n_novel"))
-    }),
+    "q279_ngram_novelty" -> ((s, d) =>
+      graft.operators.TextStats.noveltyByDoc(
+        Tables.documents(s, d), "text", "doc_id", n = 4)),
 
     // Heaps-law vocabulary growth curve: cumulative (tokens, distinct
     // types) after every 100 docs in doc_id order — the corpus-
@@ -4057,22 +4030,9 @@ object SparkEntry {
     // min aggregate), token totals via a map-side-combined bucket
     // count; the cumulative window runs on the CHECKPOINT domain
     // (|docs|/100 rows), never the token stream.
-    "q280_heaps_law" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val toks = Tables.documents(s, d).select(col("doc_id"),
-        explode(graft.functions.TextFunctions.wordTokens(col("text")))
-          .as("t"))
-      val tokCounts = toks.groupBy(expr("doc_id div 100").as("b"))
-        .agg(count(lit(1)).as("toks"))
-      val newTypes = toks.groupBy("t").agg(min("doc_id").as("f"))
-        .groupBy(expr("f div 100").as("b")).agg(count(lit(1)).as("types"))
-      val w = Window.orderBy("b")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      tokCounts.join(newTypes, Seq("b"), "full")
-        .select((col("b") * 100 + 100).as("checkpoint_docs"),
-          sum(coalesce(col("toks"), lit(0L))).over(w).as("toks_cum"),
-          sum(coalesce(col("types"), lit(0L))).over(w).as("vocab_cum"))
-    }),
+    "q280_heaps_law" -> ((s, d) =>
+      graft.operators.TextStats.heapsCurve(
+        Tables.documents(s, d), "text", "doc_id", checkpointDocs = 100)),
 
     // CONTINUOUS drift monitoring: the q255 CUSUM detector fed by a
     // Structured-Streaming-maintained daily series (Complete-mode

@@ -132,4 +132,34 @@ class GraftFacadeSpec extends SparkSpec {
     assert(Graft.rankShiftTest(mw, "v", "g", "a", "b")
       .head().getAs[Long]("u_a_x2") === 0L)
   }
+
+  test("text-corpus wrappers wired: decontaminate (single + matrix), " +
+    "novelty, vocab growth") {
+    val corpus = Seq((10L, "alpha beta gamma delta epsilon"),
+      (11L, "one two three four five")).toDF("doc_id", "text")
+    val bench = Seq((0L, "alpha beta gamma delta zeta"))
+      .toDF("doc_id", "text")
+    val hit = Graft.decontaminate(corpus, bench, "text", "doc_id")
+      .collect()
+    assert(hit.map(_.getAs[Long]("doc_id")).toSeq === Seq(10L))
+    assert(hit.head.getAs[Long]("n_shared_grams") === 1L) // a b g d
+    val suites = bench.withColumn("suite",
+      org.apache.spark.sql.functions.lit(7L))
+    val mx = Graft.decontaminateMatrix(corpus, suites, "text",
+      "doc_id", "suite").collect()
+    assert(mx.length === 1 && mx.head.getAs[Long]("suite") === 7L)
+    val nov = Graft.ngramNovelty(
+      Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text"),
+      "text", "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_novel"))
+      .toMap
+    // doc1's 2 grams are both first; doc2 shares "a b c d" → 1 novel
+    assert(nov === Map(1L -> 2L, 2L -> 1L))
+    val growth = Graft.vocabGrowth(
+      Seq((0L, "x y"), (150L, "x z")).toDF("doc_id", "text"),
+      "text", "doc_id", checkpointDocs = 100)
+      .orderBy("checkpoint_docs").collect()
+    assert(growth.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq === Seq((100L, 2L, 2L), (200L, 4L, 3L)))
+  }
 }
