@@ -49,9 +49,7 @@ object Decontam {
     */
   def matrix(corpus: DataFrame, suites: DataFrame, textCol: String,
              idCol: String, suiteCol: String, n: Int = 4): DataFrame = {
-    val postings = Dedup.shingleRowsRaw(
-      suites.select(col(idCol), col(textCol), col(suiteCol)),
-      textCol, idCol, n)
+    val postings = Dedup.shingleRowsRaw(suites, textCol, idCol, n)
       .join(suites.select(col(idCol).as("id"), col(suiteCol)), "id")
       .select(col(suiteCol).as("suite"), col("g"),
         col("id").as("bench_id"))

@@ -305,45 +305,23 @@ object Profile {
     big.write.mode("overwrite").parquet("/tmp/stress_text_docs")
     val docs = spark.read.parquet("/tmp/stress_text_docs")
     println(s"docs: ${docs.count()}")
-    // q278 core: 3-suite postings vs corpus, one gram-keyed join
+    // the PRODUCTION operators, not copies — a plan change in the
+    // lifted cores changes exactly what this ladder measures
+    val m = col("doc_id") % 97
     t("decontam-matrix 100k docs") {
-      val m = col("doc_id") % 97
-      val suites = Dedup.shingleRowsRaw(
-        docs.filter(m.isin(1L, 2L, 3L)), "text", "doc_id", n = 4)
-        .select((col("id") % 97).as("suite"), col("g"),
-          col("id").as("bench_id"))
-        .groupBy("suite", "g").agg(min("bench_id").as("bh"))
-      val corpus = Dedup.shingleRowsRaw(
-        docs.filter(!m.isin(1L, 2L, 3L)), "text", "doc_id", n = 4)
-        .select(col("id").as("doc_id"), col("g"))
-      corpus.join(suites, "g").groupBy("doc_id", "suite")
-        .agg(countDistinct(col("g")).as("n"), min("bh").as("fb"))
-        .count()
+      graft.operators.Decontam.matrix(
+        docs.filter(!m.isin(1L, 2L, 3L)),
+        docs.filter(m.isin(1L, 2L, 3L))
+          .withColumn("suite", (col("doc_id") % 97).cast("long")),
+        "text", "doc_id", "suite", n = 4).count()
     }
-    // q279 core: two gram-keyed aggregates + doc-sized join
     t("ngram-novelty 100k docs") {
-      val grams = Dedup.shingleRowsRaw(docs, "text", "doc_id", n = 4)
-        .select(col("id"), col("g")).distinct()
-      val perDoc = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
-      val novel = grams.groupBy("g").agg(min(col("id")).as("id"))
-        .groupBy("id").agg(count(lit(1)).as("n_novel"))
-      perDoc.join(novel, Seq("id"), "left").count()
+      graft.operators.TextStats
+        .noveltyByDoc(docs, "text", "doc_id", n = 4).count()
     }
-    // q280 core: token firsts + bucket counts + checkpoint window
     t("heaps-law 100k docs") {
-      import org.apache.spark.sql.expressions.Window
-      val toks = docs.select(col("doc_id"),
-        explode(TextFunctions.wordTokens(col("text"))).as("t"))
-      val tc = toks.groupBy(expr("doc_id div 100").as("b"))
-        .agg(count(lit(1)).as("toks"))
-      val nt = toks.groupBy("t").agg(min("doc_id").as("f"))
-        .groupBy(expr("f div 100").as("b")).agg(count(lit(1)).as("types"))
-      val w = Window.orderBy("b")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      tc.join(nt, Seq("b"), "full")
-        .select(col("b"), sum(coalesce(col("toks"), lit(0L))).over(w),
-          sum(coalesce(col("types"), lit(0L))).over(w))
-        .count()
+      graft.operators.TextStats
+        .heapsCurve(docs, "text", "doc_id", checkpointDocs = 100).count()
     }
     spark.stop()
   }
