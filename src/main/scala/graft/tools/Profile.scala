@@ -30,6 +30,7 @@ object Profile {
     if (args.headOption.contains("stress-stream")) { stressStream(); return }
     if (args.headOption.contains("streamprof")) { streamProf(); return }
     if (args.headOption.contains("stress-text")) { stressText(); return }
+    if (args.headOption.contains("probe-stages")) { probeStages(); return }
     if (args.headOption.contains("stress-substr")) { stressSubstr(); return }
     if (args.headOption.contains("stress-ivjoin")) { stressIntervalJoin(); return }
     if (args.headOption.contains("stress-series")) { stressSeries(); return }
@@ -287,6 +288,42 @@ object Profile {
     * needs (1 PB/day ≈ 12M rows/s of 1 KB events across a 32-node
     * fleet).
     */
+  /** Stage breakdown of one NearDupIndex probe at the bench SF: where
+    * does the per-batch cost go (batch signature checkpoints, band
+    * candidate join, postings verify)?
+    */
+  def probeStages(): Unit = {
+    val spark = GraftSession.build("profile-probe")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val docs = Tables.documents(spark, d)
+    val nd = graft.operators.NearDupIndex
+    val root = nd.ensureBuiltCached(spark,
+      docs.filter(col("doc_id") % 10 =!= 0), "text", "doc_id",
+      cacheKey = s"probeprof|$d")
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    (1 to 2).foreach { i =>
+      t(s"full probe (run $i)") {
+        nd.probe(spark, root, batch, "text", "doc_id",
+          threshold = 0.5).count()
+      }
+    }
+    // stage splits (same params as Params() default: shingle 3, 64
+    // hashes, 16 bands)
+    val grams = t("batch shingles ckpt") {
+      graft.operators.Dedup.shingleRows(batch, "text", "doc_id", 3)
+        .localCheckpoint(true)
+    }
+    t("batch bands ckpt") {
+      val sigs = graft.operators.Dedup.minhashSignatures(grams, 64)
+      sigs.select(col("id"),
+        explode(graft.operators.Dedup.bandHashes(col("sig"), 16, 4))
+          .as("bh"))
+        .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
+        .localCheckpoint(true)
+    }
+    spark.stop()
+  }
+
   /** Linearity evidence for the q278/q279/q280 text-analytics family
     * at 20× the bench corpus (the `stress` replication recipe):
     * multi-suite decontamination, n-gram novelty, and the Heaps curve
