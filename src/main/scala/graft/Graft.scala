@@ -185,14 +185,22 @@ object Graft {
   def versionedUpsertPartitioned(spark: org.apache.spark.sql.SparkSession,
                                  root: String, updates: DataFrame,
                                  keys: Seq[String],
-                                 partitionColumns: Seq[String]): Long =
+                                 partitionColumns: Seq[String],
+                                 keepManifests: Int = 2): Long =
     sinks.VersionedTable.upsertPartitioned(spark, root, updates, keys,
-      partitionColumns)
+      partitionColumns, keepManifests = keepManifests)
 
   /** Live snapshot of a partitioned manifest-committed table. */
   def readVersionedPartitioned(spark: org.apache.spark.sql.SparkSession,
                                root: String): DataFrame =
     sinks.VersionedTable.readLivePartitioned(spark, root)
+
+  /** Time-travel read of a partitioned table version — see
+    * [[sinks.VersionedTable.readPartitionedVersion]].
+    */
+  def readVersionedPartitionedAt(spark: org.apache.spark.sql.SparkSession,
+                                 root: String, version: Long): DataFrame =
+    sinks.VersionedTable.readPartitionedVersion(spark, root, version)
 
   /** Add one epoch of documents to a persisted near-dup index (builds
     * the index if `root` is empty): per-ingest work scales with the

@@ -187,13 +187,18 @@ object NearDupIndex {
       .shingleRows(docs, textCol, idCol, params.shingleSize)
       .localCheckpoint(true) // shingles feed both tables — compute once
     val epochLit = lit(epoch).as("epoch")
+    // keepManifests = 4: a snapshot-pinned probe stays valid across
+    // THREE further ingests (see probe's snapshot-lifetime contract),
+    // at the cost of a few extra epoch dirs on disk
     VersionedTable.upsertPartitioned(spark, gramsRoot(root),
       grams.select(epochLit, col("id"), col("g"), col("n_sh")),
-      keys = Seq("epoch", "id", "g"), partitionColumns = Seq("epoch"))
+      keys = Seq("epoch", "id", "g"), partitionColumns = Seq("epoch"),
+      keepManifests = 4)
     VersionedTable.upsertPartitioned(spark, bandsRoot(root),
       bandRows(grams, params)
         .select(epochLit, col("id"), col("band"), col("h")),
-      keys = Seq("epoch", "id", "band"), partitionColumns = Seq("epoch"))
+      keys = Seq("epoch", "id", "band"), partitionColumns = Seq("epoch"),
+      keepManifests = 4)
     publishSnapshot(root)
     Files.createDirectories(fpPath.getParent)
     Files.write(fpPath, fp.getBytes(StandardCharsets.UTF_8))
@@ -229,13 +234,13 @@ object NearDupIndex {
     *
     * Snapshot lifetime contract: the returned plan is pinned to the
     * snapshot resolved HERE, which stays readable while its version
-    * dirs survive the tables' retention (current + predecessor
-    * manifest). Materialize promptly — a probe DataFrame held lazily
-    * across TWO OR MORE further ingests of the same partitions can
-    * find its pinned dirs pruned (file-not-found at execution);
-    * re-calling probe resolves a fresh snapshot. Every engine call
-    * site materializes within the ingest step ([[ingestAndProbe]]
-    * checkpoints before appending).
+    * dirs survive the tables' retention — [[ingest]] commits with
+    * `keepManifests = 4`, so the pinned snapshot survives THREE
+    * further ingests. Materialize within that window (every engine
+    * call site materializes within the ingest step —
+    * [[ingestAndProbe]] checkpoints before appending); a probe held
+    * lazily past it fails file-not-found at execution, and re-calling
+    * probe resolves a fresh snapshot.
     */
   def probe(spark: SparkSession, root: String, batch: DataFrame,
             textCol: String, idCol: String,

@@ -190,6 +190,14 @@ object VersionedTable {
     if (!Files.exists(versionManifestPath(rootP, version)))
       throw new IllegalStateException(
         s"version $version was never committed under $root")
+    // a partitioned table's version dir holds only the partitions
+    // THAT commit touched — reading it flat would silently return
+    // partial data; route to the manifest-reassembling reader
+    if (readHistoryPartitionedManifest(rootP, version).isDefined)
+      throw new IllegalStateException(
+        s"version $version of $root is a PARTITIONED snapshot — " +
+          "use readPartitionedVersion (the flat dir holds only the " +
+          "partitions that commit touched)")
     val dir = rootP.resolve(versionDirName(version))
     if (!Files.isDirectory(dir))
       throw new IllegalStateException(
@@ -197,6 +205,38 @@ object VersionedTable {
           "raise keepVersions on commit to travel further back")
     spark.read.option("mergeSchema", "true").parquet(dir.toString)
       .drop(SeqCol)
+  }
+
+  private def readHistoryPartitionedManifest(
+      rootP: Path, version: Long): Option[PartitionedManifest] = {
+    val p = versionManifestPath(rootP, version)
+    if (!Files.exists(p)) None
+    else parsePartitionedManifest(
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+  }
+
+  /** Time-travel read of a PARTITIONED table: each commit's history
+    * entry records the FULL partition→dir map as of that commit, so
+    * any version whose referenced dirs survive retention
+    * (`keepManifests`) reassembles exactly. Fails loudly with the
+    * retention hint when a referenced dir was pruned.
+    */
+  def readPartitionedVersion(spark: SparkSession, root: String,
+                             version: Long): DataFrame = {
+    val rootP = Paths.get(root)
+    val m = readHistoryPartitionedManifest(rootP, version)
+      .getOrElse(throw new IllegalStateException(
+        s"version $version under $root has no partitioned history " +
+          "entry (never committed, or an unpartitioned table — use " +
+          "readVersion)"))
+    val pruned = m.partitions.values.toSet
+      .filterNot(d => Files.isDirectory(rootP.resolve(d)))
+    if (pruned.nonEmpty)
+      throw new IllegalStateException(
+        s"version $version of $root references pruned dirs $pruned — " +
+          "raise keepManifests on upsertPartitioned to travel " +
+          "further back")
+    readPartitionedSnapshot(spark, root, m)
   }
 
   /** Run `writeTo(stagingDir)` (in parallel with other writers — the
@@ -694,12 +734,22 @@ object VersionedTable {
     * snapshot) or the new one (complete new snapshot), never a
     * half-swapped mix — the property MergeWriter's per-dir swap loses.
     */
+  /** `keepManifests` widens retention to the dirs referenced by the
+    * NEWEST that-many manifests (history under `_versions/`, a few
+    * bytes per commit): a snapshot-pinned reader — a composite-index
+    * probe, a lagging concurrent merger — stays valid for
+    * keepManifests−1 further commits instead of one. Default 2 = the
+    * original current+predecessor behavior.
+    */
   def upsertPartitioned(spark: SparkSession, root: String,
                         updates: DataFrame, keys: Seq[String],
                         partitionColumns: Seq[String],
                         schemaMode: MergeWriter.SchemaMode =
                           MergeWriter.SchemaMode.Strict,
-                        maxRetries: Int = 10): Long = {
+                        maxRetries: Int = 10,
+                        keepManifests: Int = 2): Long = {
+    require(keepManifests >= 1,
+      s"keepManifests must be >= 1: $keepManifests")
     require(partitionColumns.nonEmpty,
       "partitionColumns empty — use upsert() for unpartitioned tables")
     val rootP = Paths.get(root)
@@ -752,11 +802,31 @@ object VersionedTable {
             written.map(_ -> dirName)
           writePartitionedManifest(rootP,
             PartitionedManifest(next, partitionColumns, newParts))
-          // retention: keep dirs referenced by the new manifest or the
-          // previous one (readers of the prior snapshot finish their
-          // scan)
+          // immutable history entry (after the flip, like the
+          // unpartitioned path) — feeds last-K retention below
+          Files.createDirectories(rootP.resolve("_versions"))
+          Files.write(versionManifestPath(rootP, next),
+            renderPartitionedManifest(
+              PartitionedManifest(next, partitionColumns, newParts))
+              .getBytes(StandardCharsets.UTF_8))
+          // retention: keep dirs referenced by the newest
+          // `keepManifests` manifests (fallback: new + previous, for
+          // tables predating the history dir)
+          val history = {
+            val vd = rootP.resolve("_versions")
+            val s = Files.list(vd)
+            try {
+              import scala.jdk.CollectionConverters._
+              s.iterator().asScala.toSeq
+                .filter(_.getFileName.toString.matches("v\\d{8}\\.json"))
+                .sortBy(_.getFileName.toString).takeRight(keepManifests)
+                .flatMap(p => parsePartitionedManifest(new String(
+                  Files.readAllBytes(p), StandardCharsets.UTF_8)))
+            } finally s.close()
+          }
           val referenced = newParts.values.toSet ++
-            prev.map(_.partitions.values.toSet).getOrElse(Set.empty)
+            prev.map(_.partitions.values.toSet).getOrElse(Set.empty) ++
+            history.flatMap(_.partitions.values).toSet
           val s = Files.list(rootP)
           try {
             import scala.jdk.CollectionConverters._

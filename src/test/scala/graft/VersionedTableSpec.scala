@@ -316,6 +316,46 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.readManifest(root).get.version === 11L)
   }
 
+  test("keepManifests widens partitioned retention: a snapshot pinned " +
+    "K-1 commits back still reads; partitioned time travel " +
+    "reassembles exact snapshots and fails loudly past retention") {
+    val root = tmpRoot()
+    def put(id: Long, v: Long, keep: Int = 3) =
+      VersionedTable.upsertPartitioned(spark, root,
+        Seq((s"d${id % 2}", id, v)).toDF("dt", "id", "v"),
+        Seq("dt", "id"), Seq("dt"), keepManifests = keep)
+    put(0L, 0L); put(1L, 1L)
+    // pin the v2 snapshot, then land two more commits (keep=3 keeps
+    // dirs referenced by the newest 3 manifests: v2, v3, v4)
+    val pinned = VersionedTable.readPartitionedManifest(root).get
+    put(0L, 10L); put(1L, 11L)
+    val snap = VersionedTable
+      .readPartitionedSnapshot(spark, root, pinned)
+      .select("id", "v").as[(Long, Long)].collect().toMap
+    assert(snap === Map(0L -> 0L, 1L -> 1L),
+      "the 2-commits-old pinned snapshot must still read under keep=3")
+    // partitioned time travel: every retained version exact
+    assert(VersionedTable.readPartitionedVersion(spark, root, 2L)
+      .select("id", "v").as[(Long, Long)].collect().toMap ===
+      Map(0L -> 0L, 1L -> 1L))
+    assert(VersionedTable.readPartitionedVersion(spark, root, 4L)
+      .select("id", "v").as[(Long, Long)].collect().toMap ===
+      Map(0L -> 10L, 1L -> 11L))
+    // the flat reader refuses partitioned versions (it would return
+    // only the touched partitions)
+    val eFlat = intercept[IllegalStateException] {
+      VersionedTable.readVersion(spark, root, 2L)
+    }
+    assert(eFlat.getMessage.contains("readPartitionedVersion"))
+    // push v1's dirs past retention: reading it names the pruned dirs
+    // and the keepManifests remedy
+    put(0L, 20L); put(1L, 21L); put(0L, 22L)
+    val eOld = intercept[IllegalStateException] {
+      VersionedTable.readPartitionedVersion(spark, root, 1L)
+    }
+    assert(eOld.getMessage.contains("keepManifests"))
+  }
+
   test("interleaved partitioned upserts converge with all partitions") {
     val root = tmpRoot()
     VersionedTable.upsertPartitioned(spark, root,
