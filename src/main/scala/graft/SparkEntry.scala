@@ -4051,6 +4051,36 @@ object SparkEntry {
         "n_events", slackDiv = 20L, threshDiv = 4L)
     }),
 
+    // q243's transaction-time reproducibility on the PARTITIONED
+    // store: two keyed-merge commits into a dt-partitioned
+    // VersionedTable (dt a function of the merge keys), then BOTH
+    // snapshots reassembled through readPartitionedVersion — each
+    // commit's history entry pins the full partition→dir map, so
+    // "what did the Jan-15 report say" replays exactly even though
+    // the second commit rewrote some of the same partitions.
+    "q282_partitioned_travel" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      val work = graft.core.ScratchDirs.fresh("q282_pt").toString
+      val ev = Tables.events(s, d).select(
+        (col("user_id") % 10).as("cohort"), to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      def daily(upTo: String) = ev.where(col("day") <= lit(upTo))
+        .groupBy("cohort", "day")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .withColumn("dt", (col("cohort") % 2).cast("string"))
+      vt.upsertPartitioned(s, work, daily("2024-01-15"),
+        Seq("dt", "cohort", "day"), Seq("dt"), keepManifests = 3)
+      vt.upsertPartitioned(s, work, daily("2024-01-31"),
+        Seq("dt", "cohort", "day"), Seq("dt"), keepManifests = 3)
+      def asOf(v: Long) = vt.readPartitionedVersion(s, work, v)
+        .where(col("day").between(lit("2024-01-10"), lit("2024-01-20")))
+        .groupBy("cohort")
+        .agg(sum("n").as("n_events"), sum("sum_cents").as("sum_cents"))
+        .withColumn("tx_version", lit(v))
+      asOf(1L).unionByName(asOf(2L))
+        .select("tx_version", "cohort", "n_events", "sum_cents")
+    }),
+
     // Hashed-bigram linear quality classifier (fastText-shape
     // inference): feature-hash adjacent word bigrams into 4096
     // buckets, sum deterministic integer bucket weights, threshold.
@@ -10344,6 +10374,27 @@ object SparkEntry {
     // Both transaction snapshots replayed closed-form: v1 = valid
     // window clipped at its commit horizon, v2 = the full window.
     "q243_bitemporal" ->
+      """WITH ev AS (
+        |  SELECT user_id % 10 AS cohort, CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |w AS (
+        |  SELECT cohort, day, count(*) AS n, sum(cents) AS sc
+        |  FROM ev GROUP BY 1, 2)
+        |SELECT CAST(1 AS BIGINT) AS tx_version, cohort,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(sum(sc) AS BIGINT) AS sum_cents
+        |FROM w WHERE day BETWEEN '2024-01-10' AND '2024-01-15'
+        |GROUP BY cohort
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), cohort, CAST(sum(n) AS BIGINT),
+        |  CAST(sum(sc) AS BIGINT)
+        |FROM w WHERE day BETWEEN '2024-01-10' AND '2024-01-20'
+        |GROUP BY cohort""".stripMargin,
+
+    // Identical math to q243 — the partitioned store reassembles the
+    // same two transaction snapshots.
+    "q282_partitioned_travel" ->
       """WITH ev AS (
         |  SELECT user_id % 10 AS cohort, CAST(ts AS DATE) AS day,
         |    CAST(round(value * 100) AS BIGINT) AS cents

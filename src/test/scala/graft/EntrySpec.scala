@@ -125,6 +125,10 @@ class EntrySpec extends SparkSpec {
       "q243_bitemporal",     // integer-cents pin (round(value*100) →
                              // BIGINT before any arithmetic); strict-
                              // verified at sf0.001 + sf0.01 2026-08-14
+      "q282_partitioned_travel", // q243's math verbatim on the
+                             // partitioned store — same integer-cents
+                             // pin; strict-verified at sf0.001 +
+                             // sf0.01 + sf0.1 2026-08-14
       "q241_dp_counts",      // ln of an exact-rational double (the
                              // q113 ln precedent), integer md5-derived
                              // numerators, literal 5.0 scale; strict-
