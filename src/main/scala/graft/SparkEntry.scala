@@ -4081,6 +4081,38 @@ object SparkEntry {
         .select("tx_version", "cohort", "n_events", "sum_cents")
     }),
 
+    // Corpus VERSION DIFF — backfill/ablation bookkeeping: v1 is the
+    // daily state computed from the first delivery (even event ids),
+    // v2 after the late half arrives; diffVersions classifies every
+    // (cohort, day) group added/changed/same (keyed merge never
+    // removes) and the report aggregates per cohort with the exact
+    // total |Δn| — "what did the backfill touch", graded closed-form
+    // from the same events arithmetic.
+    "q283_corpus_diff" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      val work = graft.core.ScratchDirs.fresh("q283_cd").toString
+      val ev = Tables.events(s, d).select(col("event_id"),
+        (col("user_id") % 10).as("cohort"), to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      def daily(src: DataFrame) = src.groupBy("cohort", "day")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .withColumn("dt", (col("cohort") % 2).cast("string"))
+      vt.upsertPartitioned(s, work, daily(ev.filter(col("event_id") % 2 === 0)),
+        Seq("dt", "cohort", "day"), Seq("dt"), keepManifests = 3)
+      vt.upsertPartitioned(s, work, daily(ev),
+        Seq("dt", "cohort", "day"), Seq("dt"), keepManifests = 3)
+      vt.diffVersions(s, work, 1L, 2L, Seq("dt", "cohort", "day"))
+        .groupBy("cohort")
+        .agg(sum(when(col("status") === "added", 1L).otherwise(0L))
+            .as("n_added"),
+          sum(when(col("status") === "changed", 1L).otherwise(0L))
+            .as("n_changed"),
+          sum(when(col("status") === "same", 1L).otherwise(0L))
+            .as("n_same"),
+          sum(coalesce(col("new_vals.n"), lit(0L)) -
+            coalesce(col("old_vals.n"), lit(0L))).as("dn_events"))
+    }),
+
     // Hashed-bigram linear quality classifier (fastText-shape
     // inference): feature-hash adjacent word bigrams into 4096
     // buckets, sum deterministic integer bucket weights, threshold.
@@ -10412,6 +10444,38 @@ object SparkEntry {
         |  CAST(sum(sc) AS BIGINT)
         |FROM w WHERE day BETWEEN '2024-01-10' AND '2024-01-20'
         |GROUP BY cohort""".stripMargin,
+
+    // Both versions' aggregates replayed, full-joined, classified —
+    // identical arithmetic to diffVersions' struct compare.
+    "q283_corpus_diff" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id % 10 AS cohort,
+        |    CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |v1 AS (
+        |  SELECT cohort, day, count(*) AS n, sum(cents) AS sc
+        |  FROM ev WHERE event_id % 2 = 0 GROUP BY 1, 2),
+        |v2 AS (
+        |  SELECT cohort, day, count(*) AS n, sum(cents) AS sc
+        |  FROM ev GROUP BY 1, 2),
+        |j AS (
+        |  SELECT coalesce(v1.cohort, v2.cohort) AS cohort,
+        |    v1.n AS n1, v1.sc AS sc1, v2.n AS n2, v2.sc AS sc2
+        |  FROM v1 FULL JOIN v2
+        |    ON v1.cohort = v2.cohort AND v1.day = v2.day)
+        |SELECT cohort,
+        |  CAST(sum(CASE WHEN n1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_added,
+        |  CAST(sum(CASE WHEN n1 IS NOT NULL AND n2 IS NOT NULL
+        |    AND (n1 <> n2 OR sc1 <> sc2) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_changed,
+        |  CAST(sum(CASE WHEN n1 IS NOT NULL AND n2 IS NOT NULL
+        |    AND n1 = n2 AND sc1 = sc2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_same,
+        |  CAST(sum(coalesce(n2, 0) - coalesce(n1, 0)) AS BIGINT)
+        |    AS dn_events
+        |FROM j GROUP BY cohort""".stripMargin,
 
     // Same md5 priorities, same shard mod, same rank replay.
     "q242_epoch_shuffle" ->

@@ -3,7 +3,7 @@ package graft.sinks
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lit}
+import org.apache.spark.sql.functions.{coalesce, col, lit, struct, when}
 
 /** Poor-man's commit protocol for the parquet-native upsert path —
   * closes the [[MergeWriter]] concurrency window (its dir swap gives a
@@ -237,6 +237,41 @@ object VersionedTable {
           "raise keepManifests on upsertPartitioned to travel " +
           "further back")
     readPartitionedSnapshot(spark, root, m)
+  }
+
+  /** Keyed DIFF of two retained versions — the "what changed between
+    * corpus v1 and v2" bookkeeping behind backfill audits and
+    * training-data ablations. Each key is classified `added` (only in
+    * v2), `removed` (only in v1), `changed` (both, any non-key column
+    * differs — null-safe), or `same`; the non-key columns ride along
+    * as `old_vals`/`new_vals` structs (null on the absent side).
+    * Works on both table forms: partitioned versions reassemble
+    * through [[readPartitionedVersion]], unpartitioned through
+    * [[readVersion]]. Cost: one co-keyed full-outer join of the two
+    * snapshots — at scale both sides shuffle once on the key.
+    */
+  def diffVersions(spark: SparkSession, root: String, v1: Long, v2: Long,
+                   keys: Seq[String]): DataFrame = {
+    def readAny(v: Long): DataFrame =
+      if (readHistoryPartitionedManifest(Paths.get(root), v).isDefined)
+        readPartitionedVersion(spark, root, v)
+      else readVersion(spark, root, v)
+    val a = readAny(v1)
+    val nonKeys = a.columns.filterNot(keys.contains).toSeq
+    // keys-only tables still need a non-null presence marker (an
+    // empty struct is not expressible): pack a constant
+    def packed(df: DataFrame, as: String) = df.select(
+      (keys.map(col) :+ (if (nonKeys.isEmpty) struct(lit(1).as("present"))
+        else struct(nonKeys.map(col): _*)).as(as)): _*)
+    packed(a, "old_vals")
+      .join(packed(readAny(v2), "new_vals"), keys, "full_outer")
+      .withColumn("status",
+        when(col("old_vals").isNull, "added")
+          .when(col("new_vals").isNull, "removed")
+          .when(!(col("old_vals") <=> col("new_vals")), "changed")
+          .otherwise("same"))
+      .select((keys.map(col) :+ col("status") :+ col("old_vals") :+
+        col("new_vals")): _*)
   }
 
   /** Run `writeTo(stagingDir)` (in parallel with other writers — the

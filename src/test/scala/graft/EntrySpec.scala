@@ -129,6 +129,10 @@ class EntrySpec extends SparkSpec {
                              // partitioned store — same integer-cents
                              // pin; strict-verified at sf0.001 +
                              // sf0.01 + sf0.1 2026-08-14
+      "q283_corpus_diff",    // integer-cents pin; diff classes are
+                             // integer equality on (count, cents
+                             // sum); strict-verified at sf0.001 +
+                             // sf0.01 + sf0.1 2026-08-14
       "q241_dp_counts",      // ln of an exact-rational double (the
                              // q113 ln precedent), integer md5-derived
                              // numerators, literal 5.0 scale; strict-

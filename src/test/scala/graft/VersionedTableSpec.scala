@@ -136,6 +136,38 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.readLive(spark, root).count() === 4)
   }
 
+  test("diffVersions classifies added/removed/changed/same on both " +
+    "table forms, null-safe on value columns") {
+    // unpartitioned: v1 = {1→a, 2→b, 3→null}, v2 = {2→b2, 3→null, 4→d}
+    // after a vacuumless soft... no deletes needed: use two commits
+    val root = tmpRoot()
+    VersionedTable.upsert(spark, root,
+      Seq((1L, Some("a")), (2L, Some("b")), (3L, None))
+        .toDF("id", "v"), Seq("id"), keepVersions = 5)
+    // second commit REPLACES the table state via a raw full commit so
+    // key 1 is genuinely removed (upsert alone never removes)
+    VersionedTable.commit(root, keepVersions = 5) { dir =>
+      Seq((2L, Some("b2")), (3L, None), (4L, Some("d")))
+        .toDF("id", "v").write.parquet(dir)
+    }
+    val d = VersionedTable.diffVersions(spark, root, 1L, 2L, Seq("id"))
+      .select("id", "status").as[(Long, String)].collect().toMap
+    assert(d === Map(1L -> "removed", 2L -> "changed",
+      3L -> "same", 4L -> "added"))
+    // partitioned form routes through readPartitionedVersion
+    val proot = tmpRoot()
+    VersionedTable.upsertPartitioned(spark, proot,
+      Seq(("d0", 1L, 10L)).toDF("dt", "id", "v"), Seq("dt", "id"),
+      Seq("dt"), keepManifests = 4)
+    VersionedTable.upsertPartitioned(spark, proot,
+      Seq(("d0", 1L, 11L), ("d1", 2L, 20L)).toDF("dt", "id", "v"),
+      Seq("dt", "id"), Seq("dt"), keepManifests = 4)
+    val pd = VersionedTable
+      .diffVersions(spark, proot, 1L, 2L, Seq("dt", "id"))
+      .select("id", "status").as[(Long, String)].collect().toMap
+    assert(pd === Map(1L -> "changed", 2L -> "added"))
+  }
+
   test("retention keeps exactly live + predecessor versions") {
     val root = tmpRoot()
     (1 to 4).foreach(i => VersionedTable.upsert(spark, root,
