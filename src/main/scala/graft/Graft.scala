@@ -202,6 +202,14 @@ object Graft {
                                  root: String, version: Long): DataFrame =
     sinks.VersionedTable.readPartitionedVersion(spark, root, version)
 
+  /** Keyed added/removed/changed/same diff of two retained versions —
+    * see [[sinks.VersionedTable.diffVersions]].
+    */
+  def diffVersions(spark: org.apache.spark.sql.SparkSession,
+                   root: String, v1: Long, v2: Long,
+                   keys: Seq[String]): DataFrame =
+    sinks.VersionedTable.diffVersions(spark, root, v1, v2, keys)
+
   /** Add one epoch of documents to a persisted near-dup index (builds
     * the index if `root` is empty): per-ingest work scales with the
     * batch, never the corpus — see [[operators.NearDupIndex]].
