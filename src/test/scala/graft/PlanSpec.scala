@@ -286,4 +286,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_min") || p.contains("Partial"), p)
     assert("HashAggregate".r.findAllIn(p).length >= 4, p)
   }
+
+  test("q283: version diff is one co-keyed full-outer join of the two " +
+    "snapshot scans — no cartesian, no nested loop") {
+    val p = plan("q283_corpus_diff")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("FullOuter"), p)
+  }
 }
