@@ -3909,6 +3909,35 @@ object SparkEntry {
             .as("sum_k"))
     }),
 
+    // Deterministic two-stage CLUSTER sample over the partitioned
+    // layout — the "audit 100 TB without scanning it" estimator:
+    // day-partitions are the clusters, a content-addressed md5 bit
+    // selects each with inclusion probability exactly 1/2, the scan
+    // READS ONLY the selected partition dirs (partition pruning on
+    // the literal-deterministic predicate — PlanSpec-asserted), and
+    // the Horvitz–Thompson ×2 expansion gives unbiased totals in
+    // exact integer space. The selection is md5-replayable, so the
+    // oracle computes the identical selected-day sums and expansion —
+    // the estimator's mechanics grade hash-exact (its statistical
+    // quality is the usual HT variance story, not a hash property).
+    "q284_cluster_sample" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val dir = graft.sinks.FormatStage.ensurePartitionedParquet(
+        s, s"events_bydate|$d", Seq("event_date")) {
+        Tables.events(s, d).withColumn("event_date", to_date(col("ts")))
+      }
+      s.read.parquet(dir)
+        .filter(call_function("graft_md5i",
+          concat(lit("cs0|"), col("event_date").cast("string")),
+          lit(12)) % 2 === 0)
+        .groupBy("event_type")
+        .agg(countDistinct(col("event_date")).as("n_days_sampled"),
+          count(lit(1)).as("n_rows_sampled"),
+          (count(lit(1)) * 2).as("ht_rows_est"),
+          (sum(round(col("value") * 100).cast("long")) * 2)
+            .as("ht_cents_est"))
+    }),
+
     // Greedy k-center coreset (Gonzalez farthest-point): 8 maximally
     // diverse embedding rows. k map-only scans + tree-agg argmax per
     // round, dist column re-cached each round (flat lineage) — never
@@ -10476,6 +10505,29 @@ object SparkEntry {
         |  CAST(sum(coalesce(n2, 0) - coalesce(n1, 0)) AS BIGINT)
         |    AS dn_events
         |FROM j GROUP BY cohort""".stripMargin,
+
+    // Same md5-bit day selection, same HT ×2 expansion.
+    "q284_cluster_sample" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(CAST(ts AS DATE) AS VARCHAR) AS ds,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |sel AS (
+        |  SELECT *, list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(generate_series(1, 12),
+        |      j -> (strpos('0123456789abcdef',
+        |        substr(md5('cs0|' || ds), CAST(j AS INT), 1))
+        |        - 1)::BIGINT)),
+        |    (a, v) -> a * 16 + v) AS h
+        |  FROM ev)
+        |SELECT event_type,
+        |  CAST(count(DISTINCT day) AS BIGINT) AS n_days_sampled,
+        |  count(*) AS n_rows_sampled,
+        |  CAST(count(*) * 2 AS BIGINT) AS ht_rows_est,
+        |  CAST(sum(cents) * 2 AS BIGINT) AS ht_cents_est
+        |FROM sel WHERE h % 2 = 0
+        |GROUP BY event_type""".stripMargin,
 
     // Same md5 priorities, same shard mod, same rank replay.
     "q242_epoch_shuffle" ->

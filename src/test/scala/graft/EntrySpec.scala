@@ -133,6 +133,10 @@ class EntrySpec extends SparkSpec {
                              // integer equality on (count, cents
                              // sum); strict-verified at sf0.001 +
                              // sf0.01 + sf0.1 2026-08-14
+      "q284_cluster_sample", // integer-cents pin + md5-replayable day
+                             // selection, HT expansion is integer ×2;
+                             // strict-verified at sf0.001 + sf0.01 +
+                             // sf0.1 2026-08-14
       "q241_dp_counts",      // ln of an exact-rational double (the
                              // q113 ln precedent), integer md5-derived
                              // numerators, literal 5.0 scale; strict-

@@ -294,4 +294,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("FullOuter"), p)
   }
+
+  test("q284: the md5 day selection is a PARTITION filter — " +
+    "unselected cluster dirs are never listed or read") {
+    val p = plan("q284_cluster_sample")
+    assert("PartitionFilters: \\[[^\\]]*md5prefixlong".r
+      .findFirstIn(p).isDefined,
+      s"sampling predicate did not reach PartitionFilters:\n$p")
+    // the data read carries only the aggregated columns
+    assert(p.contains("ReadSchema: struct<event_type:string," +
+      "value:double>"), p)
+  }
 }
