@@ -210,6 +210,24 @@ object Graft {
                    keys: Seq[String]): DataFrame =
     sinks.VersionedTable.diffVersions(spark, root, v1, v2, keys)
 
+  /** Equality deletes on the PARTITIONED table form (unconditional
+    * mask until vacuum — see the contract note on
+    * [[sinks.VersionedTable.softDeletePartitioned]]).
+    */
+  def softDeletePartitioned(spark: SparkSession, root: String,
+                            keys: DataFrame,
+                            keyCols: Seq[String]): Long =
+    sinks.VersionedTable.softDeletePartitioned(spark, root, keys, keyCols)
+
+  def readPartitionedWithDeletes(spark: SparkSession, root: String,
+                                 keyCols: Seq[String]): DataFrame =
+    sinks.VersionedTable.readLivePartitionedWithDeletes(spark, root,
+      keyCols)
+
+  def vacuumPartitionedDeletes(spark: SparkSession, root: String,
+                               keyCols: Seq[String]): Long =
+    sinks.VersionedTable.vacuumDeletesPartitioned(spark, root, keyCols)
+
   /** Add one epoch of documents to a persisted near-dup index (builds
     * the index if `root` is empty): per-ingest work scales with the
     * batch, never the corpus — see [[operators.NearDupIndex]].

@@ -877,6 +877,147 @@ object VersionedTable {
     retryThenEscalate(rootP, maxRetries)(once())
   }
 
+  // ------------------------------------------------------------------
+  // Equality deletes, PARTITIONED form. Same nested delete-set
+  // sub-table and CAS protocol as the unpartitioned family, with one
+  // HONEST contract difference: partitioned rows carry no write
+  // sequence, so a delete masks its key UNCONDITIONALLY until
+  // [[vacuumDeletesPartitioned]] folds it — a key re-upserted after
+  // softDeletePartitioned stays hidden until vacuum (the pre-sequence
+  // behavior the unpartitioned table upgraded away from; stamping
+  // partitioned writes is the upgrade path if that corner matters).
+  // ------------------------------------------------------------------
+
+  /** Soft-delete by key on a PARTITIONED table: O(|keys|) commit into
+    * the nested delete set, zero data rewrite.
+    */
+  def softDeletePartitioned(spark: SparkSession, root: String,
+                            keys: DataFrame, keyCols: Seq[String],
+                            keepVersions: Int = 2,
+                            maxRetries: Int = 10): Long =
+    upsert(spark, deletesRoot(root),
+      keys.select(keyCols.map(keys(_)): _*).distinct(),
+      keyCols, schemaMode = MergeWriter.SchemaMode.SyncAllColumns,
+      keepVersions = keepVersions, maxRetries = maxRetries)
+
+  /** Live partitioned snapshot minus the delete set (merge-on-read;
+    * unconditional mask — see the partitioned-deletes contract note).
+    */
+  def readLivePartitionedWithDeletes(spark: SparkSession, root: String,
+                                     keyCols: Seq[String]): DataFrame = {
+    val base = readLivePartitioned(spark, root)
+    readManifest(deletesRoot(root)) match {
+      case Some(_) =>
+        val dels = readLive(spark, deletesRoot(root))
+          .select(keyCols.map(col): _*)
+        base.join(dels, keyCols, "left_anti")
+      case None => base
+    }
+  }
+
+  /** Fold the delete set into rewritten partitions (only partitions
+    * that actually hold a deleted key rewrite) and reset the set —
+    * the merge-on-read → copy-on-write flip, CAS-protected on both
+    * tables like the unpartitioned vacuum. Old version dirs are
+    * pruned by the NEXT upsertPartitioned's retention pass.
+    */
+  def vacuumDeletesPartitioned(spark: SparkSession, root: String,
+                               keyCols: Seq[String],
+                               maxRetries: Int = 10): Long = {
+    val dr = deletesRoot(root)
+    var foldedDeletesVersion: Option[Long] = None
+    def once(): Long = {
+      val m = readPartitionedManifest(root).getOrElse(
+        throw new IllegalStateException(
+          s"no partitioned manifest under $root"))
+      foldedDeletesVersion = readManifest(dr).map(_.version)
+      if (foldedDeletesVersion.isEmpty) return m.version // nothing to fold
+      val dels = readLive(spark, dr).select(keyCols.map(col): _*)
+      val base = readPartitionedSnapshot(spark, root, m)
+      // partitions holding a deleted key — the only ones to rewrite
+      val touched = base.join(dels, keyCols, "left_semi")
+        .select(m.partitionColumns.map(col): _*).distinct().collect()
+      if (touched.isEmpty) return m.version
+      val touchedPred = touched
+        .map(r => m.partitionColumns.zipWithIndex
+          .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+          .reduce(_ && _))
+        .reduce(_ || _)
+      // Spark's own partition-path escaping, so fully-emptied
+      // partitions resolve to the manifest keys they must vacate
+      val esc = org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.escapePathName _
+      val coveredRel = touched.map(r =>
+        m.partitionColumns.zipWithIndex
+          .map { case (c, i) => s"$c=${esc(String.valueOf(r.get(i)))}" }
+          .mkString("/")).toSeq
+      val folded = base.filter(touchedPred).join(dels, keyCols, "left_anti")
+      replacePartitioned(spark, root, folded, m.partitionColumns,
+        covered = coveredRel, expectedBase = Some(m.version))
+    }
+    val v = retryThenEscalate(Paths.get(root), maxRetries)(once())
+    vacuumRaceHook() // same fold↔reset interleave seam as unpartitioned
+    foldedDeletesVersion.foreach { dv =>
+      try {
+        val empty = readLive(spark, dr).limit(0)
+        commit(dr, expectedBase = Some(dv)) { dir =>
+          empty.write.mode(SaveMode.Overwrite).parquet(dir)
+        }
+      } catch {
+        case _: ConcurrentCommitException => () // racing delete wins
+        case e: Throwable if isPrunedSnapshotRead(e) => ()
+      }
+    }
+    v
+  }
+
+  /** REPLACE the partitions `df` covers with exactly its rows (the
+    * partition-scoped overwrite upsertPartitioned cannot express —
+    * its keyed merge never removes a row): write df partitioned,
+    * flip ONLY the written partitions' manifest pointers, leave the
+    * rest untouched. `expectedBase` CAS-protects against concurrent
+    * commits like every other write. The vacuum fold builds on this.
+    */
+  private def replacePartitioned(spark: SparkSession, root: String,
+                                 df: DataFrame,
+                                 partitionColumns: Seq[String],
+                                 covered: Seq[String],
+                                 expectedBase: Option[Long]): Long = {
+    val rootP = Paths.get(root)
+    val staging = stagingDir(rootP)
+    try df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionColumns: _*).parquet(staging.toString)
+    catch { case e: Throwable => deleteRecursively(staging); throw e }
+    withCommitLock(rootP) {
+      val prev = readPartitionedManifest(root)
+      val live = prev.map(_.version).getOrElse(0L)
+      expectedBase.filter(_ != live).foreach { base =>
+        deleteRecursively(staging)
+        throw new ConcurrentCommitException(
+          s"$root moved to v$live while this writer replaced against " +
+            s"v$base — re-read and retry")
+      }
+      val next = live + 1
+      val dirName = versionDirName(next)
+      Files.move(staging, rootP.resolve(dirName),
+        StandardCopyOption.ATOMIC_MOVE)
+      val written = partitionLeafDirs(rootP.resolve(dirName),
+        partitionColumns.size).map(_.toString)
+      // a covered partition with NO written rows (every row replaced
+      // away) must lose its pointer, or its old rows would resurface
+      val newParts = (prev.map(_.partitions).getOrElse(Map.empty) ++
+        written.map(_ -> dirName)) -- (covered.toSet -- written.toSet)
+      writePartitionedManifest(rootP,
+        PartitionedManifest(next, partitionColumns, newParts))
+      Files.createDirectories(rootP.resolve("_versions"))
+      Files.write(versionManifestPath(rootP, next),
+        renderPartitionedManifest(
+          PartitionedManifest(next, partitionColumns, newParts))
+          .getBytes(StandardCharsets.UTF_8))
+      next
+    }
+  }
+
   /** Relative `col=value[/...]` leaf dirs under a version dir. */
   private def partitionLeafDirs(base: Path, depth: Int): Seq[Path] = {
     def walk(dir: Path, level: Int): Seq[Path] =

@@ -136,6 +136,40 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.readLive(spark, root).count() === 4)
   }
 
+  test("partitioned equality deletes: immediate mask, vacuum rewrites " +
+    "only touched partitions, a fully-emptied partition vacates its " +
+    "manifest pointer") {
+    val root = tmpRoot()
+    VersionedTable.upsertPartitioned(spark, root,
+      Seq(("d0", 1L, "a"), ("d0", 2L, "b"), ("d1", 3L, "c"),
+        ("d2", 4L, "d")).toDF("dt", "id", "v"),
+      Seq("dt", "id"), Seq("dt"), keepManifests = 4)
+    VersionedTable.softDeletePartitioned(spark, root,
+      Seq(1L, 3L).toDF("id"), Seq("id"))
+    def liveIds() = VersionedTable
+      .readLivePartitionedWithDeletes(spark, root, Seq("id"))
+      .select("id").as[Long].collect().sorted.toSeq
+    // masked immediately, physical data untouched
+    assert(liveIds() === Seq(2L, 4L))
+    assert(VersionedTable.readLivePartitioned(spark, root).count() === 4)
+    val before = VersionedTable.readPartitionedManifest(root).get
+    VersionedTable.vacuumDeletesPartitioned(spark, root, Seq("id"))
+    val after = VersionedTable.readPartitionedManifest(root).get
+    // d2 held no deleted key: its pointer must be untouched
+    assert(after.partitions("dt=d2") === before.partitions("dt=d2"),
+      s"untouched partition rewrote: $before -> $after")
+    // d0 rewrote (1 dropped, 2 kept); d1 emptied entirely and vacated
+    assert(after.partitions("dt=d0") !== before.partitions("dt=d0"))
+    assert(!after.partitions.contains("dt=d1"),
+      s"fully-emptied partition still pointed: ${after.partitions}")
+    assert(liveIds() === Seq(2L, 4L))
+    assert(VersionedTable.readLivePartitioned(spark, root).count() === 2)
+    // delete set reset: a fresh delete + immediate read still works
+    VersionedTable.softDeletePartitioned(spark, root,
+      Seq(4L).toDF("id"), Seq("id"))
+    assert(liveIds() === Seq(2L))
+  }
+
   test("diffVersions classifies added/removed/changed/same on both " +
     "table forms, null-safe on value columns") {
     // unpartitioned: v1 = {1→a, 2→b, 3→null}, v2 = {2→b2, 3→null, 4→d}
