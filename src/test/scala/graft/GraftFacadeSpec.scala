@@ -133,6 +133,28 @@ class GraftFacadeSpec extends SparkSpec {
       .head().getAs[Long]("u_a_x2") === 0L)
   }
 
+  test("partitioned-table wrappers wired: delete mask, vacuum, " +
+    "time travel, version diff") {
+    val root = java.nio.file.Files.createTempDirectory("gfp")
+      .resolve("t").toString
+    Graft.versionedUpsertPartitioned(spark, root,
+      Seq(("d0", 1L, 10L), ("d1", 2L, 20L)).toDF("dt", "id", "v"),
+      Seq("dt", "id"), Seq("dt"), keepManifests = 4)
+    Graft.versionedUpsertPartitioned(spark, root,
+      Seq(("d0", 1L, 11L)).toDF("dt", "id", "v"),
+      Seq("dt", "id"), Seq("dt"), keepManifests = 4)
+    assert(Graft.readVersionedPartitionedAt(spark, root, 1L)
+      .filter($"id" === 1L).select("v").as[Long].head() === 10L)
+    assert(Graft.diffVersions(spark, root, 1L, 2L, Seq("dt", "id"))
+      .filter($"status" === "changed").count() === 1L)
+    Graft.softDeletePartitioned(spark, root, Seq(2L).toDF("id"),
+      Seq("id"))
+    assert(Graft.readPartitionedWithDeletes(spark, root, Seq("id"))
+      .select("id").as[Long].collect().toSeq === Seq(1L))
+    Graft.vacuumPartitionedDeletes(spark, root, Seq("id"))
+    assert(Graft.readVersionedPartitioned(spark, root).count() === 1L)
+  }
+
   test("text-corpus wrappers wired: decontaminate (single + matrix), " +
     "novelty, vocab growth") {
     val corpus = Seq((10L, "alpha beta gamma delta epsilon"),
