@@ -7389,8 +7389,8 @@ object SparkEntry {
         |       (SELECT t, min(doc_id) AS f FROM tok GROUP BY t)
         |       GROUP BY 1)
         |SELECT b * 100 + 100 AS checkpoint_docs,
-        |  sum(coalesce(toks, 0)) OVER (ORDER BY b) AS toks_cum,
-        |  sum(coalesce(types, 0)) OVER (ORDER BY b) AS vocab_cum
+        |  CAST(sum(coalesce(toks, 0)) OVER (ORDER BY b) AS BIGINT) AS toks_cum,
+        |  CAST(sum(coalesce(types, 0)) OVER (ORDER BY b) AS BIGINT) AS vocab_cum
         |FROM tc FULL JOIN nt USING (b)""".stripMargin,
 
     "q88_ivfpq_recall" ->

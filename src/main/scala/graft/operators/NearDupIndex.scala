@@ -322,9 +322,15 @@ object NearDupIndex {
     root
   }
 
-  // (cacheKey, params) → resolved root for [[ensureBuiltCached]].
+  // (cacheKey, params) → lazily-built root for [[ensureBuiltCached]].
+  // The map holds a thunk, not the result: computeIfAbsent must stay
+  // O(1) under the bin lock (the build is multi-job Spark work — doing
+  // it inside computeIfAbsent would block unrelated keys sharing the
+  // bin and deadlock any re-entrant lookup, per the CHM contract). The
+  // lazy val inside the thunk serializes the actual build on its own
+  // monitor, outside the map.
   private val builtRoots =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, () => String]()
 
   /** [[ensureBuilt]] with the fingerprint scan memoized per JVM: the
     * caller PROMISES cacheKey fully identifies the corpus content for
@@ -338,7 +344,12 @@ object NearDupIndex {
     */
   def ensureBuiltCached(spark: SparkSession, corpus: DataFrame,
                         textCol: String, idCol: String, cacheKey: String,
-                        params: Params = Params()): String =
-    builtRoots.computeIfAbsent(s"$cacheKey|$params",
-      _ => ensureBuilt(spark, corpus, textCol, idCol, cacheKey, params))
+                        params: Params = Params()): String = {
+    val holder = builtRoots.computeIfAbsent(s"$cacheKey|$params", _ => {
+      lazy val root =
+        ensureBuilt(spark, corpus, textCol, idCol, cacheKey, params)
+      () => root
+    })
+    holder()
+  }
 }

@@ -398,14 +398,21 @@ object VersionedTable {
     * real table formats give FileNotFoundException during commit
     * conflicts.
     */
-  private def isPrunedSnapshotRead(t: Throwable): Boolean = {
+  private def isPrunedSnapshotRead(t: Throwable, rootP: Path): Boolean = {
+    // Only a missing file UNDER THE TABLE ROOT (incl. its _deletes
+    // sub-table) is a retention-race conflict; a genuinely missing
+    // input path elsewhere must fail fast instead of burning the whole
+    // backoff + merge-lock escalation budget before surfacing.
+    val roots = Set(rootP.toString,
+      rootP.toAbsolutePath.normalize.toString)
     var cur: Throwable = t
     var depth = 0
     while (cur != null && depth < 12) {
-      if (cur.isInstanceOf[java.io.FileNotFoundException] ||
-          Option(cur.getMessage).exists(m =>
-            m.contains("FAILED_READ_FILE") ||
-              m.contains("File does not exist"))) return true
+      val msg = Option(cur.getMessage).getOrElse("")
+      if ((cur.isInstanceOf[java.io.FileNotFoundException] ||
+            msg.contains("FAILED_READ_FILE") ||
+            msg.contains("File does not exist")) &&
+          roots.exists(msg.contains)) return true
       cur = cur.getCause
       depth += 1
     }

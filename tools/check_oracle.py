@@ -12,6 +12,30 @@ Driver-side tooling only — the Scala engine never imports this.
 """
 import json, math, sys, glob, os
 import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+def type_mismatches(spark_tbl, exp_arrow):
+    """Arrow-level type strictness (r9 judge item 2): the driver's hash is
+    type-sensitive, so a DuckDB HUGEINT/DECIMAL output column against a
+    Spark integer column hash-fails even when every value matches (q280's
+    failure mode). canon() below smooths integral floats for VALUE compare
+    (the driver treats 11 == 11.0), but it must not smooth decimal128 vs
+    int64 — flag that class loudly here."""
+    spark_types = {f.name.lower(): f.type for f in spark_tbl.schema}
+    bad = []
+    for f in exp_arrow.schema:
+        st = spark_types.get(f.name.lower())
+        if st is None:
+            continue
+        if pa.types.is_decimal(f.type) and (
+                pa.types.is_integer(st) or pa.types.is_floating(st)):
+            bad.append(f"{f.name}: oracle {f.type} vs spark {st} "
+                       f"(CAST the oracle column AS BIGINT/DOUBLE)")
+        elif pa.types.is_decimal(st) and (
+                pa.types.is_integer(f.type) or pa.types.is_floating(f.type)):
+            bad.append(f"{f.name}: spark {st} vs oracle {f.type}")
+    return bad
 
 def canon(rows, cols):
     # EXACT float repr (shortest round-trip), no tolerance: the
@@ -69,9 +93,15 @@ def main():
             results[name] = f"NO-ORACLE rows={len(got)}"
             continue
         try:
-            exp = con.execute(oracles[name]).fetchdf()
+            exp_arrow = con.execute(oracles[name]).fetch_arrow_table()
+            exp = exp_arrow.to_pandas()
         except Exception as e:
             results[name] = f"ORACLE-SQL-ERROR {e}"
+            n_fail += 1
+            continue
+        tm = type_mismatches(pq.read_table(files), exp_arrow)
+        if tm:
+            results[name] = f"TYPE-MISMATCH {tm}"
             n_fail += 1
             continue
         gc, ec = sorted(got.columns), sorted(exp.columns)
