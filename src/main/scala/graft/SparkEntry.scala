@@ -4142,6 +4142,79 @@ object SparkEntry {
             coalesce(col("old_vals.n"), lit(0L))).as("dn_events"))
     }),
 
+    // PARTITIONED equality deletes end-to-end (q234's phases on the
+    // partitioned table form): soft-delete keys confined to two
+    // source partitions (an O(|keys|) commit, zero data rewrite),
+    // read merge-on-read, vacuum (fold + reset), read again — both
+    // phases aggregate identically. The audit row proves the vacuum
+    // rewrote ONLY the touched partitions: manifest pointers at the
+    // vacuum version count exactly the sources holding a deleted key;
+    // every other partition still points at its original dir.
+    "q285_partitioned_deletes" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      val work = graft.core.ScratchDirs.fresh("q285_pd").toString
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      vt.upsertPartitioned(s, work, docs, Seq("doc_id"), Seq("source"),
+        keepManifests = 3)
+      vt.softDeletePartitioned(s, work,
+        docs.where(col("doc_id") % 13 === 0 &&
+          col("source").isin("src3", "src7")).select("doc_id"),
+        Seq("doc_id"))
+      def agg(phase: String) =
+        vt.readLivePartitionedWithDeletes(s, work, Seq("doc_id"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+            min("doc_id").as("min_id"))
+          .withColumn("phase", lit(phase))
+      // eager checkpoint: materialize the merge-on-read result BEFORE
+      // vacuum flips manifests (retention could prune its inputs)
+      val morRows = agg("mor").localCheckpoint(true)
+      val vv = vt.vacuumDeletesPartitioned(s, work, Seq("doc_id"))
+      val m = vt.readPartitionedManifest(work).get
+      val rewritten = m.partitions.values.count(_ == f"v$vv%08d").toLong
+      val audit = s.range(1).select(
+        lit("audit").as("phase"), lit("_partitions").as("source"),
+        lit(rewritten).as("n_docs"),
+        lit(m.partitions.size.toLong).as("sum_chars"),
+        lit(0L).as("min_id"))
+      morRows.unionByName(agg("vacuumed")).unionByName(audit)
+        .select("phase", "source", "n_docs", "sum_chars", "min_id")
+    }),
+
+    // Iceberg-style FILE-STATS pruning end-to-end — the PHYSICAL twin
+    // of q116's zone-map simulation: events laid into 16 real parquet
+    // files clustered by cents (deterministic ntile assignment, the
+    // layout a range-partitioning writer produces), committed to a
+    // VersionedTable whose commit harvests per-file min/max from the
+    // parquet FOOTERS into the _stats.json sidecar. The selective
+    // read opens ONLY files overlapping [1000, 3000]; the audit row
+    // grades the PRUNING DECISION itself (files scanned / total)
+    // against the oracle's replayed ntile zone maps — at 100 TB this
+    // decision is the difference between listing dozens of files and
+    // scanning tens of thousands.
+    "q287_file_stats_prune" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      val work = graft.core.ScratchDirs.fresh("q287_fsp").toString
+      val laid = Tables.events(s, d).select(col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("fid", ntile(16).over(
+          Window.orderBy(col("cents"), col("event_id"))))
+      vt.commit(work) { dir =>
+        laid.write.partitionBy("fid").parquet(dir)
+      }
+      val (lo, hi) = (1000L, 3000L)
+      val agg = vt.readLivePruned(s, work, "cents", lo, hi)
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          min("event_id").as("min_eid"), max("event_id").as("max_eid"))
+      val (scanned, total) = vt.pruneDecision(work, "cents", lo, hi)
+      agg.select(lit("rows").as("part"), col("n"), col("sum_cents"),
+          col("min_eid"), col("max_eid"))
+        .unionByName(s.range(1).select(lit("files").as("part"),
+          lit(scanned.toLong).as("n"), lit(total.toLong).as("sum_cents"),
+          lit(0L).as("min_eid"), lit(0L).as("max_eid")))
+    }),
+
     // Hashed-bigram linear quality classifier (fastText-shape
     // inference): feature-hash adjacent word bigrams into 4096
     // buckets, sum deterministic integer bucket weights, threshold.
@@ -5288,6 +5361,107 @@ object SparkEntry {
       drain()
       vt.readLive(s, viewRoot)
         .select(col("cohort"), col("n_rows"), col("sum_v").as("sum_cents"))
+    }),
+
+    // STREAMING drive for the maintained MIN/MAX view — q273's
+    // bounded-window state machine under q237's landing protocol.
+    // CDC delta batches land as files; a checkpointed AvailableNow
+    // stream applies each to the versioned view via
+    // Ivm.applyMinMaxDeltas, maintaining the base snapshot in a
+    // SIBLING versioned table so the drain-triggered partial rescan
+    // reads post-batch base state. The delete batch removes EVERY
+    // row with cents >= 5000 — all k=4 stored top pairs of every
+    // cohort — so the rescan provably fires inside a micro-batch
+    // (per-SF data checked: >= 5 such rows per cohort at all SFs).
+    // Oracle = full recompute, q273's ground-truth pattern.
+    "q286_stream_ivm_minmax" -> ((s, d) => {
+      val ivm = graft.operators.Ivm
+      val vt = graft.sinks.VersionedTable
+      val ev = Tables.events(s, d).select(col("event_id"),
+        (col("user_id") % 10).as("cohort"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val work = graft.core.ScratchDirs.fresh("q286_simm").toString
+      val landing = s"$work/landing"
+      val viewRoot = s"$work/view"
+      val baseRoot = s"$work/base"
+      val ckpt = s"$work/ckpt"
+      val base0 = ev.where(col("event_id") % 3 === 0)
+      vt.commit(baseRoot) { dir =>
+        base0.write.mode("overwrite").parquet(dir)
+      }
+      vt.commit(viewRoot) { dir =>
+        ivm.initializeMinMax(base0, Seq("cohort"), "cents", "event_id",
+          k = 4).write.mode("overwrite").parquet(dir)
+      }
+      def drain(): Unit = {
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cohort",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("op",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cents",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType)))
+        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+        val prevNoData = s.conf.getOption(noDataKey)
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        s.conf.set(noDataKey, "false")
+        try {
+          val q = s.readStream.schema(schema).parquet(landing)
+            .writeStream
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              if (!b.isEmpty) {
+                val bb = b.localCheckpoint(true)
+                // base snapshot FIRST: the by-name rescanBase below
+                // must see post-batch base state when a drained
+                // window forces the partial rescan
+                val newBase = vt.readLive(s, baseRoot)
+                  .join(bb.where(col("op") < 0).select("event_id"),
+                    Seq("event_id"), "left_anti")
+                  .unionByName(bb.where(col("op") > 0)
+                    .select("event_id", "cohort", "cents"))
+                  .localCheckpoint(true)
+                vt.commit(baseRoot) { dir =>
+                  newBase.write.mode("overwrite").parquet(dir)
+                }
+                val updated = ivm.applyMinMaxDeltas(
+                  vt.readLive(s, viewRoot), bb, Seq("cohort"),
+                  "cents", "event_id", k = 4,
+                  vt.readLive(s, baseRoot))
+                vt.commit(viewRoot) { dir =>
+                  updated.write.mode("overwrite").parquet(dir)
+                }
+                ()
+              }
+            }
+            .start()
+          q.awaitTermination()
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+          prevNoData match {
+            case Some(v) => s.conf.set(noDataKey, v)
+            case None    => s.conf.unset(noDataKey)
+          }
+        }
+      }
+      ev.where(col("event_id") % 3 === 1)
+        .select(col("cohort"), lit(1L).as("op"), col("cents"),
+          col("event_id"))
+        .write.mode("append").parquet(landing)
+      drain()
+      val cur1 = ev.where(col("event_id") % 3 <= 1)
+      cur1.where(col("event_id") % 7 === 0 || col("cents") >= 5000)
+        .select(col("cohort"), lit(-1L).as("op"), col("cents"),
+          col("event_id"))
+        .write.mode("append").parquet(landing)
+      drain()
+      ivm.minMaxOf(vt.readLive(s, viewRoot), Seq("cohort"))
+        .select(col("cohort"), col("n_rows"),
+          col("max_v").as("max_cents"), col("min_v").as("min_cents"))
     }),
 
     // Single-pass observability: the corpus length gate runs ONCE and
@@ -6754,9 +6928,9 @@ object SparkEntry {
         |SELECT CASE WHEN is_valid THEN 'ok' ELSE 'quarantined' END
         |    AS status,
         |  count(*) AS n,
-        |  sum(CASE WHEN is_valid
+        |  CAST(sum(CASE WHEN is_valid
         |    THEN CAST(json_extract_string(payload, '$.p') AS BIGINT)
-        |    END) AS sum_p,
+        |    END) AS BIGINT) AS sum_p,
         |  count(DISTINCT CASE WHEN is_valid
         |    THEN json_extract_string(payload, '$.s') END) AS n_statuses
         |FROM v GROUP BY 1""".stripMargin,
@@ -7303,9 +7477,10 @@ object SparkEntry {
         |  SELECT mid, row_number() OVER (ORDER BY mid) AS rn
         |  FROM gm WHERE g <> (SELECT id0 % 8 FROM seed))
         |SELECT CAST(1 AS BIGINT) AS sel_order, id0 AS vec_id,
-        |  -1.0 AS radius FROM seed
+        |  CAST(-1.0 AS DOUBLE) AS radius FROM seed
         |UNION ALL
-        |SELECT rn + 1 AS sel_order, mid AS vec_id, 1.0 AS radius
+        |SELECT rn + 1 AS sel_order, mid AS vec_id,
+        |  CAST(1.0 AS DOUBLE) AS radius
         |FROM rest""".stripMargin,
 
     // The batched tournament provably reduces to the same closed form
@@ -7319,9 +7494,10 @@ object SparkEntry {
         |  SELECT mid, row_number() OVER (ORDER BY mid) AS rn
         |  FROM gm WHERE g <> (SELECT id0 % 8 FROM seed))
         |SELECT CAST(1 AS BIGINT) AS sel_order, id0 AS vec_id,
-        |  -1.0 AS radius FROM seed
+        |  CAST(-1.0 AS DOUBLE) AS radius FROM seed
         |UNION ALL
-        |SELECT rn + 1 AS sel_order, mid AS vec_id, 1.0 AS radius
+        |SELECT rn + 1 AS sel_order, mid AS vec_id,
+        |  CAST(1.0 AS DOUBLE) AS radius
         |FROM rest""".stripMargin,
 
     // ErrorBounds gate: exact center count + the pinned 3× cover-
@@ -9605,6 +9781,55 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'vacuumed' AS phase, * FROM base""".stripMargin,
 
+    // Partitioned phases replay the source-confined delete; the audit
+    // row's closed form: rewritten partitions = sources holding a
+    // deleted key, total partitions = distinct sources.
+    "q285_partitioned_deletes" ->
+      """WITH live AS (
+        |  SELECT source, doc_id, n_chars FROM documents
+        |  WHERE NOT (doc_id % 13 = 0 AND source IN ('src3', 'src7'))),
+        |base AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |    min(doc_id) AS min_id
+        |  FROM live GROUP BY source)
+        |SELECT 'mor' AS phase, * FROM base
+        |UNION ALL
+        |SELECT 'vacuumed' AS phase, * FROM base
+        |UNION ALL
+        |SELECT 'audit' AS phase, '_partitions' AS source,
+        |  (SELECT count(DISTINCT source) FROM documents
+        |     WHERE doc_id % 13 = 0 AND source IN ('src3', 'src7'))
+        |    AS n_docs,
+        |  (SELECT count(DISTINCT source) FROM documents) AS sum_chars,
+        |  CAST(0 AS BIGINT) AS min_id""".stripMargin,
+
+    // The decision table replayed: ntile(16) zone maps over the same
+    // total order (cents, event_id) give each file's [min,max]; files
+    // scanned = zones overlapping the interval. Row aggregates are
+    // the plain filter — integer-cents pin throughout.
+    "q287_file_stats_prune" ->
+      """WITH ev AS (
+        |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |laid AS (
+        |  SELECT event_id, cents,
+        |    ntile(16) OVER (ORDER BY cents, event_id) AS fid
+        |  FROM ev),
+        |z AS (
+        |  SELECT fid, min(cents) AS mn, max(cents) AS mx
+        |  FROM laid GROUP BY fid)
+        |SELECT 'rows' AS part, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(event_id) AS min_eid, max(event_id) AS max_eid
+        |FROM laid WHERE cents BETWEEN 1000 AND 3000
+        |UNION ALL
+        |SELECT 'files' AS part,
+        |  (SELECT count(*) FROM z WHERE mx >= 1000 AND mn <= 3000) AS n,
+        |  CAST(16 AS BIGINT) AS sum_cents,
+        |  CAST(0 AS BIGINT) AS min_eid,
+        |  CAST(0 AS BIGINT) AS max_eid""".stripMargin,
+
     // The melt replayed as an explicit 4-way union with the same
     // metric-name literals Spark's unpivot emits.
     "q247_unpivot" ->
@@ -10567,7 +10792,7 @@ object SparkEntry {
         |    -sign(CAST(u2m1 - 1000000 AS DOUBLE)) * 5.0 *
         |    ln(CAST(1000000 - abs(u2m1 - 1000000) AS DOUBLE) / 1e6),
         |    4) AS released_count,
-        |  0.2 AS epsilon
+        |  CAST(0.2 AS DOUBLE) AS epsilon
         |FROM h""".stripMargin,
 
     // Each expectation replayed as its own filtered aggregate; the
@@ -10706,6 +10931,20 @@ object SparkEntry {
         |SELECT cohort, count(*) AS n_rows,
         |  CAST(sum(v) AS BIGINT) AS sum_cents
         |FROM fin GROUP BY cohort""".stripMargin,
+
+    // The streaming MIN/MAX drive converges to the full recompute over
+    // the post-delete state — q273's ground-truth pattern, with the
+    // cents >= 5000 sweep that forces the in-batch partial rescan.
+    "q286_stream_ivm_minmax" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id % 10 AS cohort,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT cohort, count(*) AS n_rows,
+        |  max(cents) AS max_cents, min(cents) AS min_cents
+        |FROM ev WHERE event_id % 3 <= 1 AND event_id % 7 <> 0
+        |  AND cents < 5000
+        |GROUP BY cohort""".stripMargin,
 
     // The observe() report replayed as plain aggregates — equality
     // proves the in-flight metrics match a dedicated scan.
@@ -11046,7 +11285,7 @@ object SparkEntry {
         |    (CASE WHEN length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g'))::DOUBLE
         |            / greatest(length(text)::DOUBLE, 1.0) > 0.3 THEN 0.3 ELSE 1.0 END) *
         |    (CASE WHEN length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
-        |            / greatest(length(text)::DOUBLE, 1.0) > 0.3 THEN 0.5 ELSE 1.0 END), 4) AS quality_score,
+        |            / greatest(length(text)::DOUBLE, 1.0) > 0.3 THEN 0.5 ELSE 1.0 END), 4)::DOUBLE AS quality_score,
         |  CAST(coalesce(list_sum(list_transform(ts, x -> CAST(ceil(length(x) / 4.0) AS INT))), 0) AS INT) AS n_subwords
         |FROM t""".stripMargin,
 

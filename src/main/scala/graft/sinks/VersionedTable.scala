@@ -257,14 +257,27 @@ object VersionedTable {
         readPartitionedVersion(spark, root, v)
       else readVersion(spark, root, v)
     val a = readAny(v1)
-    val nonKeys = a.columns.filterNot(keys.contains).toSeq
+    val b = readAny(v2)
+    // non-key columns from BOTH schemas: SyncAllColumns upserts evolve
+    // the schema between versions, so a column present on only one
+    // side rides as a typed null on the other (a row whose only
+    // difference is the evolved column classifies `changed`, not
+    // `same` or a resolution error). Types come from the side that
+    // holds the column, v2 winning if both do.
+    val nonKeys = (a.columns ++ b.columns).distinct
+      .filterNot(keys.contains).toSeq
+    val typeOf = (a.schema.fields ++ b.schema.fields)
+      .map(f => f.name -> f.dataType).toMap
     // keys-only tables still need a non-null presence marker (an
     // empty struct is not expressible): pack a constant
     def packed(df: DataFrame, as: String) = df.select(
       (keys.map(col) :+ (if (nonKeys.isEmpty) struct(lit(1).as("present"))
-        else struct(nonKeys.map(col): _*)).as(as)): _*)
+        else struct(nonKeys.map { c =>
+          (if (df.columns.contains(c)) col(c).cast(typeOf(c))
+           else lit(null).cast(typeOf(c))).as(c)
+        }: _*)).as(as)): _*)
     packed(a, "old_vals")
-      .join(packed(readAny(v2), "new_vals"), keys, "full_outer")
+      .join(packed(b, "new_vals"), keys, "full_outer")
       .withColumn("status",
         when(col("old_vals").isNull, "added")
           .when(col("new_vals").isNull, "removed")
@@ -302,6 +315,9 @@ object VersionedTable {
     val staging = stagingDir(rootP)
     try writeTo(staging.toString)
     catch { case e: Throwable => deleteRecursively(staging); throw e }
+    // footer-stats harvest OUTSIDE the commit lock (paths in the
+    // sidecar are relative, so the staging→version rename keeps it)
+    writeStatsSidecar(staging)
     withCommitLock(rootP) {
       val prev = readManifest(root)
       val live = prev.map(_.version).getOrElse(0L)
@@ -405,14 +421,23 @@ object VersionedTable {
     // backoff + merge-lock escalation budget before surfacing.
     val roots = Set(rootP.toString,
       rootP.toAbsolutePath.normalize.toString)
+    // Decoupled checks over the whole cause chain: the FNF/marker
+    // condition and the root-path substring may live at DIFFERENT
+    // levels (Spark wraps the inner path-less FileNotFoundException
+    // in a FAILED_READ_FILE carrier that holds the path, or vice
+    // versa) — requiring both in the same message misclassifies a
+    // genuine retention race as fatal.
+    var sawFnf = false
+    var sawRoot = false
     var cur: Throwable = t
     var depth = 0
     while (cur != null && depth < 12) {
       val msg = Option(cur.getMessage).getOrElse("")
-      if ((cur.isInstanceOf[java.io.FileNotFoundException] ||
-            msg.contains("FAILED_READ_FILE") ||
-            msg.contains("File does not exist")) &&
-          roots.exists(msg.contains)) return true
+      if (cur.isInstanceOf[java.io.FileNotFoundException] ||
+          msg.contains("FAILED_READ_FILE") ||
+          msg.contains("File does not exist")) sawFnf = true
+      if (roots.exists(msg.contains)) sawRoot = true
+      if (sawFnf && sawRoot) return true
       cur = cur.getCause
       depth += 1
     }
@@ -441,7 +466,7 @@ object VersionedTable {
             attempt += 1
             if (attempt > maxRetries) throw e
             retryBackoff(attempt)
-          case e: Throwable if isPrunedSnapshotRead(e) =>
+          case e: Throwable if isPrunedSnapshotRead(e, rootP) =>
             attempt += 1
             if (attempt > maxRetries) throw e
             retryBackoff(attempt)
@@ -453,7 +478,7 @@ object VersionedTable {
     catch {
       case e: Throwable
         if e.isInstanceOf[ConcurrentCommitException] ||
-          isPrunedSnapshotRead(e) =>
+          isPrunedSnapshotRead(e, rootP) =>
         withMergeLock(rootP)(loop(yieldToMergeLock = false))
     }
   }
@@ -657,7 +682,7 @@ object VersionedTable {
         }
       } catch {
         case _: ConcurrentCommitException => () // racing delete wins
-        case e: Throwable if isPrunedSnapshotRead(e) => ()
+        case e: Throwable if isPrunedSnapshotRead(e, Paths.get(dr)) => ()
       }
     }
     v
@@ -823,6 +848,7 @@ object VersionedTable {
       try merged.write.mode(SaveMode.Overwrite)
         .partitionBy(partitionColumns: _*).parquet(staging.toString)
       catch { case e: Throwable => deleteRecursively(staging); throw e }
+      writeStatsSidecar(staging)
       withCommitLock(rootP) {
           val cur = readPartitionedManifest(root)
           if (cur.map(_.version) != prev.map(_.version)) {
@@ -950,14 +976,13 @@ object VersionedTable {
           .map { case (c, i) => col(c) <=> lit(r.get(i)) }
           .reduce(_ && _))
         .reduce(_ || _)
-      // Spark's own partition-path escaping, so fully-emptied
-      // partitions resolve to the manifest keys they must vacate
-      val esc = org.apache.spark.sql.catalyst.catalog
-        .ExternalCatalogUtils.escapePathName _
-      val coveredRel = touched.map(r =>
-        m.partitionColumns.zipWithIndex
-          .map { case (c, i) => s"$c=${esc(String.valueOf(r.get(i)))}" }
-          .mkString("/")).toSeq
+      // covered keys rendered by Spark's OWN dynamic-partition writer
+      // (not a hand escapePathName over String.valueOf, which diverges
+      // for null — Spark writes __HIVE_DEFAULT_PARTITION__ — and for
+      // timestamp values), so fully-emptied partitions resolve to
+      // byte-identical manifest keys they must vacate
+      val coveredRel = renderPartitionKeys(spark,
+        base.select(m.partitionColumns.map(col): _*).schema, touched)
       val folded = base.filter(touchedPred).join(dels, keyCols, "left_anti")
       replacePartitioned(spark, root, folded, m.partitionColumns,
         covered = coveredRel, expectedBase = Some(m.version))
@@ -972,7 +997,7 @@ object VersionedTable {
         }
       } catch {
         case _: ConcurrentCommitException => () // racing delete wins
-        case e: Throwable if isPrunedSnapshotRead(e) => ()
+        case e: Throwable if isPrunedSnapshotRead(e, Paths.get(dr)) => ()
       }
     }
     v
@@ -995,6 +1020,7 @@ object VersionedTable {
     try df.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionColumns: _*).parquet(staging.toString)
     catch { case e: Throwable => deleteRecursively(staging); throw e }
+    writeStatsSidecar(staging)
     withCommitLock(rootP) {
       val prev = readPartitionedManifest(root)
       val live = prev.map(_.version).getOrElse(0L)
@@ -1023,6 +1049,221 @@ object VersionedTable {
           .getBytes(StandardCharsets.UTF_8))
       next
     }
+  }
+
+  // ------------------------------------------------------------------
+  // Iceberg-style per-file column statistics. Every commit harvests
+  // row count + min/max per integer-typed column from the parquet
+  // FOOTERS of the files it just wrote (metadata only — no data read)
+  // into a `_stats.json` sidecar INSIDE the version dir, immutable
+  // alongside the data it describes. Selective readers consult it via
+  // [[readLivePruned]] to open only files whose [min,max] range
+  // overlaps the predicate — the file-skipping a real table format's
+  // manifest stats buy, which at 100 TB is the difference between
+  // listing 50 files and scanning 50,000. Stats are an OPTIMIZATION:
+  // a file without an entry (legacy commit, unsupported type) is
+  // always scanned, so pruning is sound by construction.
+  // ------------------------------------------------------------------
+
+  /** One data file's footer stats: row count and per-column inclusive
+    * [min,max] for INT32/INT64 columns (the analytics-key types; other
+    * types simply have no entry and never prune).
+    */
+  final case class FileStats(path: String, rows: Long,
+                             cols: Map[String, (Long, Long)])
+
+  private def dataFilesUnder(dir: Path): Seq[Path] = {
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val s = Files.walk(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          Files.isRegularFile(p) && n.endsWith(".parquet") &&
+            !n.startsWith("_") && !n.startsWith(".")
+        }
+        .toSeq.sortBy(_.toString)
+    } finally s.close()
+  }
+
+  /** Footer-only stats harvest for one parquet file: min/max across
+    * its row groups per INT32/INT64 column. Columns where any row
+    * group lacks usable statistics (or holds only nulls) are dropped —
+    * absent stats mean "always scan", never a wrong skip.
+    */
+  private def footerStats(f: Path): FileStats = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(f.toUri),
+      new org.apache.hadoop.conf.Configuration())
+    val r = ParquetFileReader.open(in)
+    try {
+      import scala.jdk.CollectionConverters._
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val acc = scala.collection.mutable.HashMap[String, (Long, Long)]()
+      val dead = scala.collection.mutable.HashSet[String]()
+      for (b <- blocks; c <- b.getColumns.asScala) {
+        val name = c.getPath.toDotString
+        val tn = c.getPrimitiveType.getPrimitiveTypeName
+        if ((tn == INT64 || tn == INT32) && !dead(name)) {
+          val st = c.getStatistics
+          if (st == null || st.isEmpty || !st.hasNonNullValue) {
+            // a block with no usable stats poisons the whole column:
+            // its rows could fall anywhere
+            if (st == null || st.isEmpty ||
+                st.getNumNulls != b.getRowCount) {
+              dead += name; acc.remove(name); ()
+            } // else: all-null block constrains nothing, keep going
+          } else {
+            val mn = st.genericGetMin match {
+              case l: java.lang.Long => l.longValue()
+              case i: java.lang.Integer => i.longValue()
+            }
+            val mx = st.genericGetMax match {
+              case l: java.lang.Long => l.longValue()
+              case i: java.lang.Integer => i.longValue()
+            }
+            val cur = acc.get(name)
+            acc(name) = cur match {
+              case Some((a, z)) => (math.min(a, mn), math.max(z, mx))
+              case None         => (mn, mx)
+            }
+          }
+        }
+      }
+      FileStats(f.toString, rows, acc.toMap)
+    } finally r.close()
+  }
+
+  private def statsPath(versionDir: Path): Path =
+    versionDir.resolve("_stats.json")
+
+  /** Harvest and write the `_stats.json` sidecar for every data file
+    * under `versionDir` (recursive — partitionBy layouts included),
+    * one JSON object per line, paths relative to the dir. Best-effort:
+    * a harvest failure leaves no sidecar and readers fall back to
+    * scanning everything.
+    */
+  private def writeStatsSidecar(versionDir: Path): Unit =
+    try {
+      def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      val lines = dataFilesUnder(versionDir).map { f =>
+        val st = footerStats(f)
+        val rel = versionDir.relativize(f).toString.replace('\\', '/')
+        val cols = st.cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+          s""""${esc(c)}": {"min": $mn, "max": $mx}"""
+        }.mkString(", ")
+        s"""{"path": "${esc(rel)}", "rows": ${st.rows}, "cols": {$cols}}"""
+      }
+      Files.write(statsPath(versionDir),
+        lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      ()
+    } catch { case _: Throwable => () } // stats are optional metadata
+
+  /** Parse the sidecar: relative path → stats. Empty when absent. */
+  def readStatsSidecar(versionDir: Path): Map[String, FileStats] = {
+    val p = statsPath(versionDir)
+    if (!Files.exists(p)) return Map.empty
+    val pathRe = """"path"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+    val rowsRe = """"rows"\s*:\s*(\d+)""".r
+    val colRe =
+      """"((?:[^"\\]|\\.)+)"\s*:\s*\{"min"\s*:\s*(-?\d+),\s*"max"\s*:\s*(-?\d+)\}""".r
+    def unesc(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+    new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .split("\n").filter(_.nonEmpty).flatMap { line =>
+        for {
+          pm <- pathRe.findFirstMatchIn(line)
+          rm <- rowsRe.findFirstMatchIn(line)
+        } yield {
+          val cols = colRe.findAllMatchIn(line).map(m =>
+            unesc(m.group(1)) -> (m.group(2).toLong, m.group(3).toLong))
+            .toMap - "path" // the path field also matches colRe's shape
+          val rel = unesc(pm.group(1))
+          rel -> FileStats(rel, rm.group(1).toLong, cols)
+        }
+      }.toMap
+  }
+
+  /** (files the interval predicate must scan, total live files) — the
+    * decision a stats-aware planner makes, exposed for specs and the
+    * decision-table oracle.
+    */
+  def pruneDecision(root: String, column: String,
+                    lo: Long, hi: Long): (Int, Int) = {
+    val m = readManifest(root).getOrElse(throw new IllegalStateException(
+      s"no _manifest.json under $root"))
+    val dirP = Paths.get(root).resolve(m.live)
+    val stats = readStatsSidecar(dirP)
+    val all = dataFilesUnder(dirP)
+    val scanned = all.count { f =>
+      val rel = dirP.relativize(f).toString.replace('\\', '/')
+      stats.get(rel).map(_.cols.get(column)) match {
+        case Some(Some((mn, mx))) => mx >= lo && mn <= hi
+        case _                    => true // no stats → must scan (sound)
+      }
+    }
+    (scanned, all.size)
+  }
+
+  /** [[readLive]] restricted to rows with `column` in [lo, hi],
+    * opening ONLY the files whose footer stats overlap the interval
+    * (plus any file without stats). The row-level filter still
+    * applies — file skipping is a planning optimization, the result
+    * equals `readLive(...).filter(column between lo and hi)` exactly.
+    */
+  def readLivePruned(spark: SparkSession, root: String, column: String,
+                     lo: Long, hi: Long): DataFrame = {
+    val m = readManifest(root).getOrElse(throw new IllegalStateException(
+      s"no _manifest.json under $root — table has never committed"))
+    val dirP = Paths.get(root).resolve(m.live)
+    val stats = readStatsSidecar(dirP)
+    val survivors = dataFilesUnder(dirP).filter { f =>
+      val rel = dirP.relativize(f).toString.replace('\\', '/')
+      stats.get(rel).map(_.cols.get(column)) match {
+        case Some(Some((mn, mx))) => mx >= lo && mn <= hi
+        case _                    => true
+      }
+    }
+    val df =
+      if (survivors.isEmpty)
+        spark.read.parquet(dirP.toString).limit(0) // schema, zero rows
+      else spark.read.option("basePath", dirP.toString)
+        .parquet(survivors.map(_.toString): _*)
+    stampDefaulted(df).drop(SeqCol)
+      .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+  }
+
+  /** Render partition tuples to their `col=value[/...]` relative paths
+    * with Spark's OWN dynamic-partition writer (a tiny temp write +
+    * dir listing): the manifest keys were harvested by
+    * [[partitionLeafDirs]] from dirs Spark wrote, so keys computed
+    * here match them byte-for-byte BY CONSTRUCTION — including null
+    * (`__HIVE_DEFAULT_PARTITION__`) and session-timezone timestamp
+    * rendering, where a hand `escapePathName(String.valueOf(v))`
+    * diverges and would leave a fully-emptied partition's stale
+    * pointer behind. `tuples` is a collected, partition-count-bounded
+    * set, so the temp write is O(|touched|) rows.
+    */
+  private def renderPartitionKeys(spark: SparkSession,
+                                  schema: org.apache.spark.sql.types.StructType,
+                                  tuples: Array[org.apache.spark.sql.Row])
+      : Seq[String] = {
+    if (tuples.isEmpty) return Seq.empty
+    val partitionColumns = schema.fieldNames.toSeq
+    val df = spark.createDataFrame(
+        java.util.Arrays.asList(tuples: _*), schema)
+      .withColumn("_graft_render", lit(1))
+    val tmp = Files.createTempDirectory("graft-partrender-")
+    val out = tmp.resolve("r")
+    try {
+      df.coalesce(1).write.mode(SaveMode.Overwrite)
+        .partitionBy(partitionColumns: _*).parquet(out.toString)
+      partitionLeafDirs(out, partitionColumns.size).map(_.toString)
+    } finally deleteRecursively(tmp)
   }
 
   /** Relative `col=value[/...]` leaf dirs under a version dir. */

@@ -195,7 +195,12 @@ class EntrySpec extends SparkSpec {
                              // sf0.01 AND sf0.1 on 2026-08-13
       "q212_label_centroids", // round(f·1000) provably tie-free
                               // (odd/2000 non-dyadic); see query doc
-      "q216_cdc_merge") // integer-cents pin; see oracle comment
+      "q216_cdc_merge", // integer-cents pin; see oracle comment
+      "q286_stream_ivm_minmax", // q273's integer-cents pin under the
+                             // streaming drive; strict-verified at
+                             // sf0.001 + sf0.01 2026-08-14
+      "q287_file_stats_prune") // integer-cents pin; file decision is
+                             // an integer zone-overlap count
     val offenders = SparkEntry.oracleSql.collect {
       case (name, sql)
         if sql.toLowerCase.contains("round(") && !pinned(name) => name

@@ -134,6 +134,27 @@ class IvmSpec extends SparkSpec {
     assert(mmMap(view3) === Map("b" -> ((1L, 7L, 7L))))
   }
 
+  test("maintained MIN/MAX: the partial rescan touches ONLY drained " +
+    "groups — a poisoned non-drained group in rescanBase must not " +
+    "leak into the result") {
+    val base = Seq(("a", 10L, 1L), ("a", 20L, 2L), ("a", 5L, 3L),
+      ("b", 7L, 4L)).toDF("k", "v", "rid")
+    val view0 = Ivm.initializeMinMax(base, Seq("k"), "v", "rid", k = 2)
+    // drain group a's top window (delete both stored pairs; 5 was
+    // pushed out at init so the floor is unknown)
+    val d = Seq(("a", -1L, 20L, 2L), ("a", -1L, 10L, 1L))
+      .toDF("k", "op", "v", "rid")
+    // rescanBase: group a correct, group b POISONED — if the rescan
+    // read any group beyond the drained set, b would come back 999
+    val poisoned = Seq(("a", 5L, 3L), ("b", 999L, 4L))
+      .toDF("k", "v", "rid")
+    val view1 = Ivm.applyMinMaxDeltas(view0, d, Seq("k"), "v", "rid",
+      k = 2, poisoned)
+    assert(mmMap(view1) === Map("a" -> ((1L, 5L, 5L)),
+      "b" -> ((1L, 7L, 7L))),
+      "rescan must semi-join to the drained keys only")
+  }
+
   test("maintained MIN/MAX: same-value update, transient row, and " +
     "redelivered insert all leave the window exact (no phantom " +
     "eviction, no phantom member)") {

@@ -170,6 +170,74 @@ class VersionedTableSpec extends SparkSpec {
     assert(liveIds() === Seq(2L))
   }
 
+  test("partitioned vacuum vacates fully-emptied null and timestamp " +
+    "partitions: covered keys are Spark-rendered, so they match the " +
+    "manifest keys byte-for-byte") {
+    // null partition value: Spark writes __HIVE_DEFAULT_PARTITION__,
+    // which String.valueOf-based hand rendering ("null") would miss —
+    // the emptied partition's stale pointer would resurface its rows
+    val root = tmpRoot()
+    VersionedTable.upsertPartitioned(spark, root,
+      Seq((Some("d0"), 1L, "a"), (Option.empty[String], 2L, "b"),
+        (Option.empty[String], 3L, "c")).toDF("dt", "id", "v"),
+      Seq("dt", "id"), Seq("dt"), keepManifests = 4)
+    val before = VersionedTable.readPartitionedManifest(root).get
+    assert(before.partitions.keySet ===
+      Set("dt=d0", "dt=__HIVE_DEFAULT_PARTITION__"))
+    VersionedTable.softDeletePartitioned(spark, root,
+      Seq(2L, 3L).toDF("id"), Seq("id"))
+    VersionedTable.vacuumDeletesPartitioned(spark, root, Seq("id"))
+    val after = VersionedTable.readPartitionedManifest(root).get
+    assert(!after.partitions.contains("dt=__HIVE_DEFAULT_PARTITION__"),
+      s"emptied null partition still pointed: ${after.partitions}")
+    assert(after.partitions("dt=d0") === before.partitions("dt=d0"),
+      "untouched partition must keep its pointer")
+    assert(VersionedTable.readLivePartitioned(spark, root)
+      .select("id").as[Long].collect().toSeq === Seq(1L))
+    // timestamp partition value: Spark renders the session-tz wall
+    // time with ':' path-escaped — hand rendering diverges there too
+    val troot = tmpRoot()
+    VersionedTable.upsertPartitioned(spark, troot,
+      Seq((java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), 1L),
+        (java.sql.Timestamp.valueOf("2024-01-02 11:45:00"), 2L))
+        .toDF("h", "id"),
+      Seq("h", "id"), Seq("h"), keepManifests = 4)
+    VersionedTable.softDeletePartitioned(spark, troot,
+      Seq(2L).toDF("id"), Seq("id"))
+    VersionedTable.vacuumDeletesPartitioned(spark, troot, Seq("id"))
+    val tafter = VersionedTable.readPartitionedManifest(troot).get
+    assert(tafter.partitions.size === 1,
+      s"emptied timestamp partition still pointed: ${tafter.partitions}")
+    assert(VersionedTable.readLivePartitioned(spark, troot)
+      .select("id").as[Long].collect().toSeq === Seq(1L))
+  }
+
+  test("diffVersions under schema evolution: columns added or removed " +
+    "between versions ride as typed nulls on the absent side and " +
+    "classify rows changed") {
+    val root = tmpRoot()
+    VersionedTable.upsert(spark, root,
+      Seq((1L, "a", 5L), (2L, "b", 6L)).toDF("id", "v", "old_only"),
+      Seq("id"), keepVersions = 5)
+    // v2 drops old_only and adds extra (the SyncAllColumns shape)
+    VersionedTable.commit(root, keepVersions = 5) { dir =>
+      Seq((1L, "a", 7L), (2L, "b", 8L)).toDF("id", "v", "extra")
+        .write.parquet(dir)
+    }
+    val d = VersionedTable.diffVersions(spark, root, 1L, 2L, Seq("id"))
+    val st = d.select("id", "status").as[(Long, String)].collect().toMap
+    assert(st === Map(1L -> "changed", 2L -> "changed"),
+      "evolved-column rows must classify changed, not same/throw")
+    // the packed structs union BOTH schemas, null-padded per side
+    val row = d.filter($"id" === 1L).select(
+      col("old_vals.v"), col("old_vals.extra"),
+      col("new_vals.old_only"), col("new_vals.extra")).head()
+    assert(row.getString(0) === "a")
+    assert(row.isNullAt(1), "extra must be null on the v1 side")
+    assert(row.isNullAt(2), "old_only must be null on the v2 side")
+    assert(row.getLong(3) === 7L)
+  }
+
   test("diffVersions classifies added/removed/changed/same on both " +
     "table forms, null-safe on value columns") {
     // unpartitioned: v1 = {1→a, 2→b, 3→null}, v2 = {2→b2, 3→null, 4→d}
@@ -200,6 +268,44 @@ class VersionedTableSpec extends SparkSpec {
       .diffVersions(spark, proot, 1L, 2L, Seq("dt", "id"))
       .select("id", "status").as[(Long, String)].collect().toMap
     assert(pd === Map(1L -> "changed", 2L -> "added"))
+  }
+
+  test("per-file footer stats: commit writes the _stats.json sidecar; " +
+    "a selective pruned read opens fewer files than the live version " +
+    "holds and equals the full filtered read; statless files and " +
+    "unstatted columns always scan (sound)") {
+    val root = tmpRoot()
+    // 4 disjoint value ranges laid out as 4 physical files via a
+    // partitionBy(fid) commit — file f holds v in [f*100, f*100+24]
+    val rows = for (f <- 0 to 3; i <- 0 to 24)
+      yield (f.toLong, f * 100L + i, s"r$f-$i")
+    VersionedTable.commit(root) { dir =>
+      rows.toDF("fid", "v", "s").write.partitionBy("fid").parquet(dir)
+    }
+    val m = VersionedTable.readManifest(root).get
+    val verDir = Paths.get(root).resolve(m.live)
+    val stats = VersionedTable.readStatsSidecar(verDir)
+    assert(stats.size === 4, s"expected 4 file entries: $stats")
+    assert(stats.values.forall(_.cols.contains("v")))
+    // interval [110, 220] overlaps files 1 and 2 only
+    val (scanned, total) = VersionedTable.pruneDecision(root, "v", 110L, 220L)
+    assert(total === 4 && scanned === 2,
+      s"expected 2 of 4 files scanned, got $scanned of $total")
+    val pruned = VersionedTable.readLivePruned(spark, root, "v", 110L, 220L)
+      .select("v").as[Long].collect().sorted.toSeq
+    val full = VersionedTable.readLive(spark, root)
+      .filter($"v" >= 110L && $"v" <= 220L)
+      .select("v").as[Long].collect().sorted.toSeq
+    assert(pruned === full && pruned.nonEmpty)
+    // a string column has no stats entry: every file scans
+    val (sAll, _) = VersionedTable.pruneDecision(root, "s", 0L, 0L)
+    assert(sAll === 4, "unstatted column must scan everything")
+    // no sidecar (legacy commit) → full scan, identical result
+    Files.delete(verDir.resolve("_stats.json"))
+    val (legacy, _) = VersionedTable.pruneDecision(root, "v", 110L, 220L)
+    assert(legacy === 4, "missing sidecar must scan everything")
+    assert(VersionedTable.readLivePruned(spark, root, "v", 110L, 220L)
+      .count() === full.size.toLong)
   }
 
   test("retention keeps exactly live + predecessor versions") {

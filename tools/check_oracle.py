@@ -10,19 +10,19 @@ row counts, schemas (loosely), and values (with float tolerance).
 
 Driver-side tooling only — the Scala engine never imports this.
 """
-import json, math, sys, glob, os
+import datetime, decimal, json, math, sys, glob, os
 import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-def type_mismatches(spark_tbl, exp_arrow):
+def type_mismatches(spark_schema, exp_arrow):
     """Arrow-level type strictness (r9 judge item 2): the driver's hash is
     type-sensitive, so a DuckDB HUGEINT/DECIMAL output column against a
     Spark integer column hash-fails even when every value matches (q280's
     failure mode). canon() below smooths integral floats for VALUE compare
     (the driver treats 11 == 11.0), but it must not smooth decimal128 vs
     int64 — flag that class loudly here."""
-    spark_types = {f.name.lower(): f.type for f in spark_tbl.schema}
+    spark_types = {f.name.lower(): f.type for f in spark_schema}
     bad = []
     for f in exp_arrow.schema:
         st = spark_types.get(f.name.lower())
@@ -35,36 +35,55 @@ def type_mismatches(spark_tbl, exp_arrow):
         elif pa.types.is_decimal(st) and (
                 pa.types.is_integer(f.type) or pa.types.is_floating(f.type)):
             bad.append(f"{f.name}: spark {st} vs oracle {f.type}")
+        elif (pa.types.is_date(f.type) and pa.types.is_timestamp(st)) or \
+                (pa.types.is_timestamp(f.type) and pa.types.is_date(st)):
+            # canon() renders midnight timestamps and dates identically
+            # (needed because the two READER paths differ) — so a real
+            # date-vs-timestamp column divergence must be flagged here,
+            # where the driver's type-sensitive hash would fail
+            bad.append(f"{f.name}: oracle {f.type} vs spark {st} "
+                       f"(align DATE vs TIMESTAMP)")
     return bad
+
+def canon_val(v):
+    if isinstance(v, decimal.Decimal):
+        # arrow-path oracles surface DECIMAL as Decimal objects;
+        # align their repr with the float/int canon below so
+        # Decimal('11.50') matches spark's 11.5 / 11
+        v = int(v) if v == v.to_integral_value() else float(v)
+    if isinstance(v, datetime.datetime):
+        # DATE columns surface as midnight datetime64 via the fetchdf
+        # (spark-result) path but as datetime.date via the arrow
+        # (oracle) path — normalize both to the ISO date so the same
+        # logical date32 compares equal regardless of reader path
+        if v != v:  # NaT propagates like NaN
+            return "NULL"
+        if v.time() == datetime.time(0, 0) and v.tzinfo is None:
+            return v.date().isoformat()
+        return str(v)
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            # integral floats render as ints: DuckDB HUGEINT
+            # sums come back float64 via pandas, and the
+            # driver's compare treats 11 == 11.0 (r5 evidence:
+            # uncast sum() oracle columns hash-passed against
+            # Spark longs)
+            return str(int(v))
+        return repr(v)
+    if v is None:
+        return "NULL"
+    return str(v)
 
 def canon(rows, cols):
     # EXACT float repr (shortest round-trip), no tolerance: the
     # driver hash-compares exact values, and the r5 local/driver gap
     # was this function's old 6-sig-digit smoothing hiding last-digit
     # round(double) drift. Local green must imply driver green.
-    out = []
-    for r in rows:
-        vals = []
-        for c in cols:
-            v = r[c]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    vals.append("NaN")
-                elif v == int(v) and abs(v) < 1e15:
-                    # integral floats render as ints: DuckDB HUGEINT
-                    # sums come back float64 via pandas, and the
-                    # driver's compare treats 11 == 11.0 (r5 evidence:
-                    # uncast sum() oracle columns hash-passed against
-                    # Spark longs)
-                    vals.append(str(int(v)))
-                else:
-                    vals.append(repr(v))
-            elif v is None:
-                vals.append("NULL")
-            else:
-                vals.append(str(v))
-        out.append(tuple(vals))
-    return sorted(out)
+    return sorted(tuple(canon_val(r[c]) for c in cols) for r in rows)
 
 def main():
     outdir, sfdir = sys.argv[1], sys.argv[2]
@@ -99,7 +118,7 @@ def main():
             results[name] = f"ORACLE-SQL-ERROR {e}"
             n_fail += 1
             continue
-        tm = type_mismatches(pq.read_table(files), exp_arrow)
+        tm = type_mismatches(pq.read_schema(files[0]), exp_arrow)
         if tm:
             results[name] = f"TYPE-MISMATCH {tm}"
             n_fail += 1
