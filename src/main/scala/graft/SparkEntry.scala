@@ -4215,6 +4215,113 @@ object SparkEntry {
           lit(0L).as("min_eid"), lit(0L).as("max_eid")))
     }),
 
+    // Small-file compaction as a table operation: 16 round-robin
+    // shards accrete (the streaming-ingest shape), compact(2) rewrites
+    // the live snapshot into exactly 2 bin-packed files as a NEW
+    // CAS-protected commit, and the fresh footer-stats sidecar answers
+    // COUNT(*) without a scan. Audit row grades the physical decision
+    // closed-form: files 16→2, metadata count == true count, version
+    // advanced to 2 — at 100 TB this rewrite is what keeps task-per-
+    // tiny-file overhead from dominating every read.
+    "q288_compact_table" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      val work = graft.core.ScratchDirs.fresh("q288_ct").toString
+      val ev = Tables.events(s, d).select(col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      vt.commit(work) { dir =>
+        ev.repartition(16).write.parquet(dir)
+      }
+      def liveFiles(): Long = {
+        val m = vt.readManifest(work).get
+        val dirP = java.nio.file.Paths.get(work).resolve(m.live)
+        val st = java.nio.file.Files.walk(dirP)
+        try st.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .count()
+        finally st.close()
+      }
+      val before = liveFiles()
+      val v = vt.compact(s, work, 2)
+      val after = liveFiles()
+      val metaCount = vt.countLive(work).getOrElse(-1L)
+      val agg = vt.readLive(s, work).agg(count(lit(1)).as("n"),
+        sum("cents").as("sum_cents"), min("event_id").as("min_eid"),
+        max("event_id").as("max_eid"))
+      agg.select(lit("rows").as("part"), col("n"), col("sum_cents"),
+          col("min_eid"), col("max_eid"))
+        .unionByName(s.range(1).select(lit("files").as("part"),
+          lit(after).as("n"), lit(before).as("sum_cents"),
+          lit(metaCount).as("min_eid"), lit(v).as("max_eid")))
+    }),
+
+    // Sort-clustered compaction (z-order-lite on one key): the same
+    // 16 scattered shards — where EVERY file spans the whole cents
+    // domain, so footer stats prune nothing (scanned_before = 16,
+    // graded closed-form) — range-repartitioned + sorted on cents by
+    // compactSorted, after which the pruned read of a narrow interval
+    // opens strictly fewer files and returns EXACTLY the full
+    // filtered result (both graded). The effectiveness bit uses
+    // Spark's sampling range partitioner — the idiomatic cluster-
+    // scale clustering mechanism — so the audit grades the invariants
+    // (no pruning before, strict improvement + equality after), not
+    // sampled boundary positions.
+    "q289_sorted_compact" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      val work = graft.core.ScratchDirs.fresh("q289_sc").toString
+      val ev = Tables.events(s, d).select(col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      vt.commit(work) { dir =>
+        ev.repartition(16).write.parquet(dir)
+      }
+      val (lo, hi) = (4000L, 6000L)
+      val (scanBefore, totalBefore) = vt.pruneDecision(work, "cents", lo, hi)
+      val v = vt.compactSorted(s, work, Seq("cents", "event_id"), 16)
+      val (scanAfter, totalAfter) = vt.pruneDecision(work, "cents", lo, hi)
+      val improved =
+        if (scanAfter < scanBefore && scanAfter <= totalAfter) 1L else 0L
+      // the pruned read's aggregate IS the soundness grade: the oracle
+      // replays the plain filter, so any wrongly-skipped file breaks
+      // the value hash
+      val prunedAgg = vt.readLivePruned(s, work, "cents", lo, hi)
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          min("event_id").as("min_eid"), max("event_id").as("max_eid"))
+      prunedAgg.select(lit("rows").as("part"), col("n"), col("sum_cents"),
+          col("min_eid"), col("max_eid"))
+        .unionByName(s.range(1).select(lit("files").as("part"),
+          lit(scanBefore.toLong).as("n"),
+          lit(totalBefore.toLong).as("sum_cents"),
+          lit(improved).as("min_eid"), lit(v).as("max_eid")))
+    }),
+
+    // String zone maps: documents laid out in 8 files contiguous by
+    // source (the clustered layout a source-partitioned corpus has),
+    // footer UTF8 min/max harvested into the sidecar as truncated
+    // Iceberg-style bounds, and a source-equality read opens only the
+    // files whose [lower,upper] admit the value. The pruning DECISION
+    // is graded against DuckDB's replayed per-file min/max zone maps
+    // (exact for these ≤16-char values), the row content against the
+    // plain filter, and countLive against count(*).
+    "q290_string_stats_prune" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      val work = graft.core.ScratchDirs.fresh("q290_ssp").toString
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .withColumn("fid", ntile(8).over(
+          Window.orderBy(col("source"), col("doc_id"))))
+      vt.commit(work) { dir =>
+        docs.write.partitionBy("fid").parquet(dir)
+      }
+      val target = "src5"
+      val (scanned, total) = vt.pruneDecisionEq(work, "source", target)
+      val metaCount = vt.countLive(work).getOrElse(-1L)
+      val agg = vt.readLivePrunedEq(s, work, "source", target)
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_did"),
+          max("doc_id").as("max_did"))
+      agg.select(lit("rows").as("part"), col("n"), col("min_did"),
+          col("max_did"))
+        .unionByName(s.range(1).select(lit("files").as("part"),
+          lit(scanned.toLong).as("n"), lit(total.toLong).as("min_did"),
+          lit(metaCount).as("max_did")))
+    }),
+
     // Hashed-bigram linear quality classifier (fastText-shape
     // inference): feature-hash adjacent word bigrams into 4096
     // buckets, sum deterministic integer bucket weights, threshold.
@@ -9829,6 +9936,66 @@ object SparkEntry {
         |  CAST(16 AS BIGINT) AS sum_cents,
         |  CAST(0 AS BIGINT) AS min_eid,
         |  CAST(0 AS BIGINT) AS max_eid""".stripMargin,
+
+    // Compaction audit: content equals the raw events projection
+    // (compaction must be a pure layout change), files 16 → 2,
+    // metadata count == count(*), version == 2.
+    "q288_compact_table" ->
+      """WITH ev AS (
+        |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT 'rows' AS part, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(event_id) AS min_eid, max(event_id) AS max_eid
+        |FROM ev
+        |UNION ALL
+        |SELECT 'files' AS part, CAST(2 AS BIGINT) AS n,
+        |  CAST(16 AS BIGINT) AS sum_cents,
+        |  (SELECT count(*) FROM ev) AS min_eid,
+        |  CAST(2 AS BIGINT) AS max_eid""".stripMargin,
+
+    // Sorted-compaction audit: the pruned interval read equals the
+    // plain filter (soundness — a wrongly-skipped file breaks the
+    // hash); the scattered layout scanned all 16 files (every round-
+    // robin shard straddles [4000,6000] — P(miss) < 1e-30 at sf0.001's
+    // 62 rows/file); clustering strictly improved the decision.
+    "q289_sorted_compact" ->
+      """WITH ev AS (
+        |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT 'rows' AS part, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(event_id) AS min_eid, max(event_id) AS max_eid
+        |FROM ev WHERE cents BETWEEN 4000 AND 6000
+        |UNION ALL
+        |SELECT 'files' AS part, CAST(16 AS BIGINT) AS n,
+        |  CAST(16 AS BIGINT) AS sum_cents,
+        |  CAST(1 AS BIGINT) AS min_eid,
+        |  CAST(2 AS BIGINT) AS max_eid""".stripMargin,
+
+    // String zone maps replayed: per-file min/max source from the
+    // same ntile(8) layout (≤16-char ASCII values ⇒ the truncated
+    // UTF8 bounds are exact and DuckDB's memcmp order equals the
+    // sidecar's unsigned-byte order), scan set = files admitting
+    // 'src5'; content from the plain equality filter; countLive ==
+    // count(*).
+    "q290_string_stats_prune" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source,
+        |    ntile(8) OVER (ORDER BY source, doc_id) AS fid
+        |  FROM documents),
+        |z AS (
+        |  SELECT fid, min(source) AS mn, max(source) AS mx
+        |  FROM docs GROUP BY fid)
+        |SELECT 'rows' AS part, count(*) AS n, min(doc_id) AS min_did,
+        |  max(doc_id) AS max_did
+        |FROM docs WHERE source = 'src5'
+        |UNION ALL
+        |SELECT 'files' AS part,
+        |  (SELECT count(*) FROM z WHERE mn <= 'src5' AND mx >= 'src5')
+        |    AS n,
+        |  CAST(8 AS BIGINT) AS min_did,
+        |  (SELECT count(*) FROM docs) AS max_did""".stripMargin,
 
     // The melt replayed as an explicit 4-way union with the same
     // metric-name literals Spark's unpivot emits.

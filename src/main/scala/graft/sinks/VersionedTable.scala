@@ -1065,12 +1065,68 @@ object VersionedTable {
   // always scanned, so pruning is sound by construction.
   // ------------------------------------------------------------------
 
-  /** One data file's footer stats: row count and per-column inclusive
-    * [min,max] for INT32/INT64 columns (the analytics-key types; other
-    * types simply have no entry and never prune).
+  /** One data file's footer stats: row count, per-column inclusive
+    * [min,max] for INT32/INT64 columns (the analytics-key types), and
+    * per-column [lower,upper] BOUNDS for UTF8 string columns —
+    * Iceberg-style truncated (lower = ≤16-codepoint prefix of the
+    * true min, upper = prefix of the true max with its last
+    * incrementable code point bumped), so arbitrarily long text never
+    * bloats the sidecar while the bounds stay sound. Other types
+    * simply have no entry and never prune.
     */
   final case class FileStats(path: String, rows: Long,
-                             cols: Map[String, (Long, Long)])
+                             cols: Map[String, (Long, Long)],
+                             strs: Map[String, (String, String)] =
+                               Map.empty)
+
+  /** Unsigned UTF-8 byte comparison — parquet's SortOrder for UTF8
+    * statistics and DuckDB's string collation; Java's UTF-16
+    * `compareTo` diverges for supplementary characters, so bound
+    * checks must NOT use it.
+    */
+  private def u8cmp(a: String, b: String): Int = {
+    val x = a.getBytes(StandardCharsets.UTF_8)
+    val y = b.getBytes(StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  private val StatsTruncLen = 16
+
+  /** Lower string bound: a ≤16-codepoint prefix — a prefix is ≤ the
+    * original in unsigned byte order, so it stays a valid lower bound.
+    */
+  private def truncLower(s: String): String =
+    if (s.codePointCount(0, s.length) <= StatsTruncLen) s
+    else s.substring(0, s.offsetByCodePoints(0, StatsTruncLen))
+
+  /** Upper string bound: the 16-codepoint prefix with its LAST
+    * incrementable code point bumped (UTF-8 byte order equals code-
+    * point order, so the bump keeps it ≥ every string sharing the
+    * prefix). None when no code point can be bumped (all U+10FFFF) —
+    * the column then carries no bound and never upper-prunes.
+    */
+  private def truncUpper(s: String): Option[String] = {
+    if (s.codePointCount(0, s.length) <= StatsTruncLen) return Some(s)
+    val prefix = s.substring(0, s.offsetByCodePoints(0, StatsTruncLen))
+    val cps = prefix.codePoints.toArray
+    var i = cps.length - 1
+    while (i >= 0) {
+      val next = if (cps(i) == 0xD7FF) 0xE000 else cps(i) + 1
+      if (next <= 0x10FFFF && (next < 0xD800 || next > 0xDFFF)) {
+        val bumped = cps.take(i) :+ next
+        return Some(new String(bumped, 0, bumped.length))
+      }
+      i -= 1
+    }
+    None
+  }
 
   private def dataFilesUnder(dir: Path): Seq[Path] = {
     if (!Files.isDirectory(dir)) return Seq.empty
@@ -1105,20 +1161,29 @@ object VersionedTable {
       val blocks = r.getFooter.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
       val acc = scala.collection.mutable.HashMap[String, (Long, Long)]()
+      val sacc = scala.collection.mutable.HashMap[String, (String, String)]()
       val dead = scala.collection.mutable.HashSet[String]()
+      def isUtf8(pt: org.apache.parquet.schema.PrimitiveType): Boolean =
+        pt.getLogicalTypeAnnotation match {
+          case _: org.apache.parquet.schema.LogicalTypeAnnotation
+                .StringLogicalTypeAnnotation => true
+          case _ => false
+        }
       for (b <- blocks; c <- b.getColumns.asScala) {
         val name = c.getPath.toDotString
         val tn = c.getPrimitiveType.getPrimitiveTypeName
-        if ((tn == INT64 || tn == INT32) && !dead(name)) {
+        val numeric = tn == INT64 || tn == INT32
+        val stringy = tn == BINARY && isUtf8(c.getPrimitiveType)
+        if ((numeric || stringy) && !dead(name)) {
           val st = c.getStatistics
           if (st == null || st.isEmpty || !st.hasNonNullValue) {
             // a block with no usable stats poisons the whole column:
             // its rows could fall anywhere
             if (st == null || st.isEmpty ||
                 st.getNumNulls != b.getRowCount) {
-              dead += name; acc.remove(name); ()
+              dead += name; acc.remove(name); sacc.remove(name); ()
             } // else: all-null block constrains nothing, keep going
-          } else {
+          } else if (numeric) {
             val mn = st.genericGetMin match {
               case l: java.lang.Long => l.longValue()
               case i: java.lang.Integer => i.longValue()
@@ -1132,10 +1197,33 @@ object VersionedTable {
               case Some((a, z)) => (math.min(a, mn), math.max(z, mx))
               case None         => (mn, mx)
             }
+          } else {
+            // parquet-mr's own binary-stats truncation (when enabled)
+            // already keeps min-≤/max-≥ semantics, so the footer
+            // values are valid bounds verbatim
+            val mn = st.genericGetMin
+              .asInstanceOf[org.apache.parquet.io.api.Binary]
+              .toStringUsingUTF8
+            val mx = st.genericGetMax
+              .asInstanceOf[org.apache.parquet.io.api.Binary]
+              .toStringUsingUTF8
+            val cur = sacc.get(name)
+            sacc(name) = cur match {
+              case Some((a, z)) =>
+                (if (u8cmp(mn, a) < 0) mn else a,
+                 if (u8cmp(mx, z) > 0) mx else z)
+              case None => (mn, mx)
+            }
           }
         }
       }
-      FileStats(f.toString, rows, acc.toMap)
+      // truncate string bounds AFTER the cross-block fold (truncating
+      // per block then folding could compare bumped uppers, which is
+      // still sound but looser)
+      val strs = sacc.toMap.flatMap { case (c, (mn, mx)) =>
+        truncUpper(mx).map(up => c -> (truncLower(mn), up))
+      }
+      FileStats(f.toString, rows, acc.toMap, strs)
     } finally r.close()
   }
 
@@ -1148,16 +1236,61 @@ object VersionedTable {
     * a harvest failure leaves no sidecar and readers fall back to
     * scanning everything.
     */
+  /** JSON string escape for the sidecar: backslash, quote, and the
+    * control characters that would break the line-per-file format.
+    */
+  private def escJson(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\\' => b.append("\\\\")
+        case '"'  => b.append("\\\"")
+        case '\n' => b.append("\\n")
+        case '\r' => b.append("\\r")
+        case '\t' => b.append("\\t")
+        case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+        case c    => b.append(c)
+      }
+      i += 1
+    }
+    b.toString
+  }
+
+  private def unescJson(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n'  => b.append('\n'); i += 2
+          case 'r'  => b.append('\r'); i += 2
+          case 't'  => b.append('\t'); i += 2
+          case 'u' if i + 5 < s.length + 1 && i + 6 <= s.length =>
+            b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16)
+              .toChar); i += 6
+          case o    => b.append(o); i += 2
+        }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
   private def writeStatsSidecar(versionDir: Path): Unit =
     try {
-      def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      def esc(s: String) = escJson(s)
       val lines = dataFilesUnder(versionDir).map { f =>
         val st = footerStats(f)
         val rel = versionDir.relativize(f).toString.replace('\\', '/')
         val cols = st.cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
           s""""${esc(c)}": {"min": $mn, "max": $mx}"""
         }.mkString(", ")
-        s"""{"path": "${esc(rel)}", "rows": ${st.rows}, "cols": {$cols}}"""
+        val strs = st.strs.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+          s""""${esc(c)}": {"min": "${esc(mn)}", "max": "${esc(mx)}"}"""
+        }.mkString(", ")
+        s"""{"path": "${esc(rel)}", "rows": ${st.rows}, """ +
+          s""""cols": {$cols}, "strs": {$strs}}"""
       }
       Files.write(statsPath(versionDir),
         lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
@@ -1172,7 +1305,10 @@ object VersionedTable {
     val rowsRe = """"rows"\s*:\s*(\d+)""".r
     val colRe =
       """"((?:[^"\\]|\\.)+)"\s*:\s*\{"min"\s*:\s*(-?\d+),\s*"max"\s*:\s*(-?\d+)\}""".r
-    def unesc(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+    val strRe =
+      (""""((?:[^"\\]|\\.)+)"\s*:\s*\{"min"\s*:\s*"((?:[^"\\]|\\.)*)",\s*""" +
+        """"max"\s*:\s*"((?:[^"\\]|\\.)*)"\}""").r
+    def unesc(s: String) = unescJson(s)
     new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
       .split("\n").filter(_.nonEmpty).flatMap { line =>
         for {
@@ -1182,8 +1318,11 @@ object VersionedTable {
           val cols = colRe.findAllMatchIn(line).map(m =>
             unesc(m.group(1)) -> (m.group(2).toLong, m.group(3).toLong))
             .toMap - "path" // the path field also matches colRe's shape
+          val strs = strRe.findAllMatchIn(line).map(m =>
+            unesc(m.group(1)) -> (unesc(m.group(2)), unesc(m.group(3))))
+            .toMap
           val rel = unesc(pm.group(1))
-          rel -> FileStats(rel, rm.group(1).toLong, cols)
+          rel -> FileStats(rel, rm.group(1).toLong, cols, strs)
         }
       }.toMap
   }
@@ -1235,6 +1374,140 @@ object VersionedTable {
         .parquet(survivors.map(_.toString): _*)
     stampDefaulted(df).drop(SeqCol)
       .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+  }
+
+  /** Must file `rel` be scanned for `column = value` (string)? Sound
+    * by construction: no stats entry → scan; bounds are the truncated
+    * [lower,upper] of the true [min,max] in unsigned UTF-8 byte order.
+    */
+  private def strFileOverlaps(stats: Map[String, FileStats], rel: String,
+                              column: String, value: String): Boolean =
+    stats.get(rel).map(_.strs.get(column)) match {
+      case Some(Some((lo, hi))) =>
+        u8cmp(value, lo) >= 0 && u8cmp(value, hi) <= 0
+      case _ => true
+    }
+
+  /** (files a string-equality predicate must scan, total live files)
+    * from the sidecar's truncated string bounds — [[pruneDecision]]'s
+    * UTF8 sibling, exposed for specs and the decision-table oracle.
+    */
+  def pruneDecisionEq(root: String, column: String,
+                      value: String): (Int, Int) = {
+    val m = readManifest(root).getOrElse(throw new IllegalStateException(
+      s"no _manifest.json under $root"))
+    val dirP = Paths.get(root).resolve(m.live)
+    val stats = readStatsSidecar(dirP)
+    val all = dataFilesUnder(dirP)
+    val scanned = all.count { f =>
+      strFileOverlaps(stats, dirP.relativize(f).toString.replace('\\', '/'),
+        column, value)
+    }
+    (scanned, all.size)
+  }
+
+  /** [[readLive]] restricted to `column = value` (string), opening
+    * only files whose truncated UTF8 bounds admit the value. Equals
+    * `readLive(...).filter(col(column) === value)` exactly — file
+    * skipping is planning, never semantics.
+    */
+  def readLivePrunedEq(spark: SparkSession, root: String, column: String,
+                       value: String): DataFrame = {
+    val m = readManifest(root).getOrElse(throw new IllegalStateException(
+      s"no _manifest.json under $root — table has never committed"))
+    val dirP = Paths.get(root).resolve(m.live)
+    val stats = readStatsSidecar(dirP)
+    val survivors = dataFilesUnder(dirP).filter { f =>
+      strFileOverlaps(stats, dirP.relativize(f).toString.replace('\\', '/'),
+        column, value)
+    }
+    val df =
+      if (survivors.isEmpty)
+        spark.read.parquet(dirP.toString).limit(0) // schema, zero rows
+      else spark.read.option("basePath", dirP.toString)
+        .parquet(survivors.map(_.toString): _*)
+    stampDefaulted(df).drop(SeqCol).filter(col(column) === lit(value))
+  }
+
+  /** Metadata-only COUNT(*) of the live snapshot — the sum of the
+    * sidecar's per-file row counts, no data read (the manifest-stats
+    * answer a real table format gives; at 100 TB this is microseconds
+    * against a full-scan count job). None when any live file lacks a
+    * sidecar entry (legacy commit, harvest failure) — the caller
+    * falls back to `readLive(...).count()`. Counts BASE rows: delete
+    * masks (the `_deletes` sub-table) are not applied, matching
+    * [[readLive]].
+    */
+  def countLive(root: String): Option[Long] = {
+    val m = readManifest(root).getOrElse(return None)
+    val dirP = Paths.get(root).resolve(m.live)
+    val stats = readStatsSidecar(dirP)
+    val all = dataFilesUnder(dirP)
+    val rels = all.map(f => dirP.relativize(f).toString.replace('\\', '/'))
+    if (rels.forall(stats.contains)) Some(rels.map(stats(_).rows).sum)
+    else None
+  }
+
+  // ------------------------------------------------------------------
+  // Table maintenance: compaction. Streaming ingest and per-batch
+  // upserts accrete SMALL files; at 100 TB the resulting task-per-
+  // tiny-file scan overhead (and footer-stats entries that span the
+  // whole key domain) dominate read cost. Compaction rewrites the
+  // live snapshot into few well-sized files as a NEW commit — same
+  // CAS + retry-or-escalate protocol as upsert, so a concurrent
+  // writer's rows are never lost: a lost race simply re-reads the
+  // fresh snapshot and re-packs it. Rows keep their original write-
+  // sequence stamps, so delete masks in the `_deletes` sub-table keep
+  // applying to exactly the rows they applied to before (rewriting
+  // data files must never change MoR visibility — the Iceberg
+  // rewrite-files rule).
+  // ------------------------------------------------------------------
+
+  /** Round-robin bin-pack of the live snapshot into exactly
+    * `numFiles` files (rows ≥ numFiles), committed as a new version.
+    * Returns the new version number.
+    */
+  def compact(spark: SparkSession, root: String, numFiles: Int,
+              keepVersions: Int = 2, maxRetries: Int = 10): Long = {
+    require(numFiles > 0, "numFiles must be positive")
+    def once(): Long = {
+      val base = readManifest(root).getOrElse(
+        throw new IllegalStateException(
+          s"no _manifest.json under $root — nothing to compact"))
+      val snap = readLiveStamped(spark, root)
+      commit(root, keepVersions, expectedBase = Some(base.version)) { dir =>
+        snap.repartition(numFiles)
+          .write.mode(SaveMode.Overwrite).parquet(dir)
+      }
+    }
+    retryThenEscalate(Paths.get(root), maxRetries)(once())
+  }
+
+  /** Sort-clustered compaction (the z-order-lite a single sort key
+    * needs): range-repartition the live snapshot on `sortCols` into
+    * `numFiles` files and sort within each, so each file covers a
+    * DISJOINT key range and the footer-stats sidecar turns a narrow
+    * predicate into a one-or-two-file scan ([[readLivePruned]] /
+    * [[pruneDecision]]). Range boundaries come from Spark's sampling
+    * range partitioner — the idiomatic cluster-scale mechanism; file
+    * count is ≤ numFiles (empty ranges write nothing).
+    */
+  def compactSorted(spark: SparkSession, root: String,
+                    sortCols: Seq[String], numFiles: Int,
+                    keepVersions: Int = 2, maxRetries: Int = 10): Long = {
+    require(sortCols.nonEmpty, "compactSorted needs at least one sort column")
+    def once(): Long = {
+      val base = readManifest(root).getOrElse(
+        throw new IllegalStateException(
+          s"no _manifest.json under $root — nothing to compact"))
+      val snap = readLiveStamped(spark, root)
+      commit(root, keepVersions, expectedBase = Some(base.version)) { dir =>
+        snap.repartitionByRange(numFiles, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+          .write.mode(SaveMode.Overwrite).parquet(dir)
+      }
+    }
+    retryThenEscalate(Paths.get(root), maxRetries)(once())
   }
 
   /** Render partition tuples to their `col=value[/...]` relative paths

@@ -199,8 +199,15 @@ class EntrySpec extends SparkSpec {
       "q286_stream_ivm_minmax", // q273's integer-cents pin under the
                              // streaming drive; strict-verified at
                              // sf0.001 + sf0.01 2026-08-14
-      "q287_file_stats_prune") // integer-cents pin; file decision is
+      "q287_file_stats_prune", // integer-cents pin; file decision is
                              // an integer zone-overlap count
+      "q288_compact_table",  // same integer-cents pin as q287;
+                             // strict-verified sf0.001/0.01/0.1
+                             // 2026-08-15
+      "q289_sorted_compact") // same integer-cents pin; audit columns
+                             // are integer file counts / bits;
+                             // strict-verified sf0.001/0.01/0.1
+                             // 2026-08-15
     val offenders = SparkEntry.oracleSql.collect {
       case (name, sql)
         if sql.toLowerCase.contains("round(") && !pinned(name) => name

@@ -308,6 +308,124 @@ class VersionedTableSpec extends SparkSpec {
       .count() === full.size.toLong)
   }
 
+  test("string footer stats: truncated UTF8 bounds prune equality " +
+    "reads to the right files, stay sound for >16-codepoint values " +
+    "sharing a prefix, and a missing sidecar scans everything") {
+    val root = tmpRoot()
+    // 4 files with disjoint string ranges (file f holds s in
+    // ["sf-000".."sf-024"]) plus a LONG column whose values share a
+    // 20-char prefix per file — its truncated bounds collapse to the
+    // bumped 16-codepoint prefix, so equality inside the file must
+    // still scan it (soundness under truncation)
+    val rows = for (f <- 0 to 3; i <- 0 to 24)
+      yield (f.toLong, f"s$f%d-$i%03d", ("p" * 20) + f"$f%d-$i%03d")
+    VersionedTable.commit(root) { dir =>
+      rows.toDF("fid", "s", "longs").write.partitionBy("fid").parquet(dir)
+    }
+    val m = VersionedTable.readManifest(root).get
+    val verDir = Paths.get(root).resolve(m.live)
+    val stats = VersionedTable.readStatsSidecar(verDir)
+    assert(stats.size === 4 && stats.values.forall(_.strs.contains("s")))
+    // truncation really happened for the long column
+    assert(stats.values.forall(_.strs.get("longs").forall { case (lo, hi) =>
+      lo.length <= 16 && hi.length <= 16
+    }))
+    val (scanned, total) = VersionedTable.pruneDecisionEq(root, "s", "s2-010")
+    assert(total === 4 && scanned === 1,
+      s"expected 1 of 4 files for s2-010, got $scanned of $total")
+    val pruned = VersionedTable.readLivePrunedEq(spark, root, "s", "s2-010")
+      .select("s").as[String].collect().toSeq
+    assert(pruned === Seq("s2-010"))
+    // a value below every file's range scans nothing and returns empty
+    val (none, _) = VersionedTable.pruneDecisionEq(root, "s", "a")
+    assert(none === 0)
+    assert(VersionedTable.readLivePrunedEq(spark, root, "s", "a").count() === 0)
+    // truncated long column: every file shares the same 16-prefix
+    // bounds region, equality inside file 1 must still find its row
+    val target = ("p" * 20) + "1-007"
+    val got = VersionedTable.readLivePrunedEq(spark, root, "longs", target)
+    assert(got.count() === 1, "truncation must never skip a match")
+    // no sidecar → full scan, identical result
+    Files.delete(verDir.resolve("_stats.json"))
+    val (legacy, _) = VersionedTable.pruneDecisionEq(root, "s", "s2-010")
+    assert(legacy === 4)
+    assert(VersionedTable.readLivePrunedEq(spark, root, "s", "s2-010")
+      .count() === 1)
+  }
+
+  test("countLive answers COUNT(*) from the sidecar without a scan " +
+    "and declines (None) when any file lacks stats") {
+    val root = tmpRoot()
+    VersionedTable.upsert(spark, root,
+      (1L to 37L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    assert(VersionedTable.countLive(root) === Some(37L))
+    assert(VersionedTable.countLive(root).get ===
+      VersionedTable.readLive(spark, root).count())
+    val m = VersionedTable.readManifest(root).get
+    Files.delete(Paths.get(root).resolve(m.live).resolve("_stats.json"))
+    assert(VersionedTable.countLive(root) === None)
+  }
+
+  test("compact bin-packs the live snapshot into exactly numFiles " +
+    "files in a new version, preserves content AND write-sequence " +
+    "stamps so existing delete masks keep applying") {
+    val root = tmpRoot()
+    VersionedTable.upsert(spark, root,
+      (1L to 200L).map(i => (i, i * 10L)).toDF("id", "v")
+        .repartition(8), Seq("id"))
+    // mask some keys BEFORE compaction (delete seq = 2 > row seq = 1)
+    VersionedTable.softDelete(spark, root,
+      Seq(5L, 6L, 7L).toDF("id"), Seq("id"))
+    def liveFiles(): Int = {
+      val m = VersionedTable.readManifest(root).get
+      Files.walk(Paths.get(root).resolve(m.live)).filter(p =>
+        p.getFileName.toString.endsWith(".parquet")).count().toInt
+    }
+    assert(liveFiles() === 8)
+    val v = VersionedTable.compact(spark, root, 2)
+    assert(v === 2L && liveFiles() === 2)
+    // content identical, deletes still masked post-rewrite
+    assert(VersionedTable.readLive(spark, root).count() === 200)
+    val masked = VersionedTable.readLiveWithDeletes(spark, root, Seq("id"))
+    assert(masked.count() === 197)
+    assert(masked.filter($"id".isin(5L, 6L, 7L)).count() === 0)
+    // the fresh sidecar still answers countLive
+    assert(VersionedTable.countLive(root) === Some(200L))
+    // a concurrent upsert racing the compaction is never lost: CAS
+    // rejects the stale base and the retry re-packs the fresh snapshot
+    VersionedTable.upsert(spark, root,
+      Seq((500L, 1L)).toDF("id", "v"), Seq("id"))
+    VersionedTable.compact(spark, root, 1)
+    assert(VersionedTable.readLive(spark, root)
+      .filter($"id" === 500L).count() === 1)
+  }
+
+  test("compactSorted clusters files on the sort key: a narrow " +
+    "interval that scanned every scattered file scans few after, " +
+    "with identical content") {
+    val root = tmpRoot()
+    // round-robin scatter: every one of 8 files spans ~the whole
+    // domain, so footer stats prune nothing
+    VersionedTable.commit(root) { dir =>
+      (1L to 800L).map(i => (i, i % 400L)).toDF("id", "k")
+        .repartition(8).write.parquet(dir)
+    }
+    val before = VersionedTable.pruneDecision(root, "k", 10L, 30L)
+    assert(before._2 === 8 && before._1 === 8,
+      s"scattered layout should prune nothing: $before")
+    val full = VersionedTable.readLive(spark, root)
+      .filter($"k" >= 10L && $"k" <= 30L)
+      .select("id").as[Long].collect().sorted.toSeq
+    VersionedTable.compactSorted(spark, root, Seq("k"), 8)
+    val after = VersionedTable.pruneDecision(root, "k", 10L, 30L)
+    assert(after._1 < after._2 && after._1 <= 2,
+      s"sorted layout must prune a narrow interval: $after")
+    val pruned = VersionedTable.readLivePruned(spark, root, "k", 10L, 30L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(pruned === full && full.size === 42)
+    assert(VersionedTable.readLive(spark, root).count() === 800)
+  }
+
   test("retention keeps exactly live + predecessor versions") {
     val root = tmpRoot()
     (1 to 4).foreach(i => VersionedTable.upsert(spark, root,
