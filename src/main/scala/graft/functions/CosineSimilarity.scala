@@ -249,8 +249,26 @@ object GraftFunctions {
       if (children.length == 3) litInt(children(2), "offset") else 0)
   }
 
+  val bloomInfo = new ExpressionInfo(
+    classOf[BloomAgg].getName, "graft_bloom")
+  val bloomBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2, "graft_bloom takes (hash, bits)")
+    BloomAgg(children.head, litInt(children(1), "bits"))
+      .toAggregateExpression()
+  }
+
+  val bloomContainsInfo = new ExpressionInfo(
+    classOf[BloomMightContain].getName, "graft_bloom_contains")
+  val bloomContainsBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2,
+      "graft_bloom_contains takes (sketch, hash)")
+    BloomMightContain(children.head, children(1))
+  }
+
   private val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(("graft_cosine", cosineInfo, cosineBuilder),
+      ("graft_bloom", bloomInfo, bloomBuilder),
+      ("graft_bloom_contains", bloomContainsInfo, bloomContainsBuilder),
       ("graft_md5i", md5iInfo, md5iBuilder),
       ("graft_random_project", randomProjectInfo, randomProjectBuilder),
       ("graft_deflate_ratio", deflateRatioInfo, deflateRatioBuilder),

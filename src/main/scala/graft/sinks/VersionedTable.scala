@@ -2,8 +2,8 @@ package graft.sinks
 
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lit, struct, when}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, concat, expr, lit, shiftleft, struct, when, xxhash64}
 
 /** Poor-man's commit protocol for the parquet-native upsert path —
   * closes the [[MergeWriter]] concurrency window (its dir swap gives a
@@ -308,7 +308,8 @@ object VersionedTable {
     * raise it when readers may lag more than one commit).
     */
   def commit(root: String, keepVersions: Int = 2,
-             expectedBase: Option[Long] = None)
+             expectedBase: Option[Long] = None,
+             validate: () => Unit = () => ())
             (writeTo: String => Unit): Long = {
     val rootP = Paths.get(root)
     Files.createDirectories(rootP)
@@ -327,6 +328,14 @@ object VersionedTable {
           s"$root moved to v$live while this writer merged against " +
             s"v$base — re-read and retry")
       }
+      // commit-time conflict validation (Iceberg's rewrite-validation
+      // shape): runs INSIDE the lock, so state it checks — e.g. "no
+      // position delete landed since this rewrite's snapshot read" —
+      // cannot change between the check and the flip. A throw aborts
+      // the commit cleanly (staging reclaimed) and surfaces to the
+      // caller's retry loop.
+      try validate()
+      catch { case e: Throwable => deleteRecursively(staging); throw e }
       val next = live + 1
       val dirName = versionDirName(next)
       Files.move(staging, rootP.resolve(dirName),
@@ -374,6 +383,7 @@ object VersionedTable {
              schemaMode: MergeWriter.SchemaMode =
                MergeWriter.SchemaMode.Strict,
              keepVersions: Int = 2, maxRetries: Int = 10): Long = {
+    var foldedPosVersion = 0L
     def once(): Long = {
       val base = readManifest(root)
       // Rows written by THIS commit carry its version as their write
@@ -383,15 +393,24 @@ object VersionedTable {
       // masking re-upserted keys forever.
       val next = base.map(_.version + 1).getOrElse(1L)
       val updatesStamped = updates.withColumn(SeqCol, lit(next))
+      // the merge rewrites every data file, so pending POSITION
+      // deletes must be folded into the base read and validated at
+      // commit (see the position-deletes section) — else the rewrite
+      // silently un-deletes them
+      foldedPosVersion = posVersion(root)
       commit(root, keepVersions,
-        expectedBase = Some(base.map(_.version).getOrElse(0L))) { dir =>
+        expectedBase = Some(base.map(_.version).getOrElse(0L)),
+        validate = () => {
+          if (posVersion(root) != foldedPosVersion)
+            throw new ConcurrentCommitException(
+              s"position deletes landed under $root during the " +
+                "merge — re-fold and retry")
+        }) { dir =>
         base match {
           case None =>
             updatesStamped.write.mode(SaveMode.Overwrite).parquet(dir)
-          case Some(m) =>
-            val existing = stampDefaulted(
-              spark.read.option("mergeSchema", "true")
-                .parquet(Paths.get(root).resolve(m.live).toString))
+          case Some(_) =>
+            val existing = readLiveWithPosDeletesStamped(spark, root)
             val (existingAligned, updatesAligned) =
               MergeWriter.alignSchemas(existing, updatesStamped, keys,
                 schemaMode)
@@ -402,7 +421,9 @@ object VersionedTable {
         }
       }
     }
-    retryThenEscalate(Paths.get(root), maxRetries)(once())
+    val v = retryThenEscalate(Paths.get(root), maxRetries)(once())
+    resetPosDeletes(spark, root, foldedPosVersion, keepVersions)
+    v
   }
 
   /** A merge whose pinned base snapshot was PRUNED by a concurrent
@@ -686,6 +707,297 @@ object VersionedTable {
       }
     }
     v
+  }
+
+  // ------------------------------------------------------------------
+  // POSITION deletes (Iceberg v2's second delete flavor): entries are
+  // (data file, row position) pairs, so a delete can target exact
+  // physical rows with NO key column at all — the natural output of a
+  // quality scan ("drop rows 17 and 93 of file X") and the cheap path
+  // when the matched rows are already known. MoR read = anti-join on
+  // (path, pos) against `_pos_deletes`, O(|deletes|), zero rewrite.
+  //
+  // Positions bind to PHYSICAL files, so any operation that rewrites
+  // data files must carry the masks along or they silently un-delete.
+  // The protocol (same one Iceberg's RewriteFiles validation uses):
+  //   - rewrites (upsert / compact*) pin the pos-delete set version
+  //     BEFORE their snapshot read, FOLD live entries into the rows
+  //     they rewrite, and VALIDATE inside the commit lock that the
+  //     set version is unchanged — a delete landing mid-rewrite forces
+  //     a retry that folds it, never a lost mask;
+  //   - softDeletePos re-checks the data version after committing its
+  //     entries and redoes the identification if a rewrite interleaved
+  //     — whichever side commits second detects the other;
+  //   - readers apply only entries whose path lies under the LIVE
+  //     version dir; entries left behind by a lost reset race are
+  //     stale by construction (their files were rewritten WITH the
+  //     fold, or re-resolved by the deleter's redo) and are reaped at
+  //     the next fold's reset.
+  // ------------------------------------------------------------------
+
+  private def posDeletesRoot(root: String): String =
+    Paths.get(root).resolve("_pos_deletes").toString
+
+  private[graft] val PdPathCol = "_pd_path"
+  private[graft] val PdPosCol = "_pd_pos"
+
+  private def posVersion(root: String): Long =
+    readManifest(posDeletesRoot(root)).map(_.version).getOrElse(0L)
+
+  /** Live snapshot with each row's physical address attached:
+    * `_pd_path` = `vNNNNNNNN/<file>` (version-dir-qualified so entries
+    * can never match a file of a different version) and `_pd_pos` =
+    * parquet row index within the file (Spark's `_metadata.row_index`
+    * — stable for an immutable file by construction).
+    */
+  private def withFilePos(spark: SparkSession, root: String,
+                          m: Manifest): DataFrame = {
+    val dirP = Paths.get(root).resolve(m.live)
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet(dirP.toString)
+      .select(col("*"),
+        concat(lit(m.live + "/"),
+          expr(s"substring_index(_metadata.file_path, '/${m.live}/', -1)"))
+          .as(PdPathCol),
+        col("_metadata.row_index").as(PdPosCol))
+    stampDefaulted(df)
+  }
+
+  /** Pos-delete entries that apply to the live snapshot (path under
+    * the live version dir). None when no delete ever committed.
+    */
+  private def livePosDeleteEntries(spark: SparkSession, root: String,
+                                   m: Manifest): Option[DataFrame] =
+    readManifest(posDeletesRoot(root)).map { _ =>
+      readLive(spark, posDeletesRoot(root))
+        .filter(col(PdPathCol).startsWith(m.live + "/"))
+        .select(col(PdPathCol), col(PdPosCol))
+    }
+
+  private def readLiveWithPosDeletesStamped(spark: SparkSession,
+                                            root: String): DataFrame = {
+    val m = readManifest(root).getOrElse(throw new IllegalStateException(
+      s"no _manifest.json under $root — table has never committed"))
+    val base = withFilePos(spark, root, m)
+    livePosDeleteEntries(spark, root, m) match {
+      case Some(dels) =>
+        base.join(dels, Seq(PdPathCol, PdPosCol), "left_anti")
+          .drop(PdPathCol, PdPosCol)
+      case None => base.drop(PdPathCol, PdPosCol)
+    }
+  }
+
+  /** Live snapshot minus position deletes (merge-on-read). Identical
+    * to [[readLive]] when no position delete has ever committed.
+    * Composes with equality deletes only additively (apply whichever
+    * read matches the delete flavor in use — mixing both on one table
+    * works but each read applies its own flavor).
+    */
+  def readLiveWithPosDeletes(spark: SparkSession, root: String): DataFrame =
+    readLiveWithPosDeletesStamped(spark, root).drop(SeqCol)
+
+  /** Delete the live rows matching `predicate` BY POSITION: identify
+    * (file, row-index) pairs with one metadata-column scan, commit
+    * them into `_pos_deletes` (keyed upsert — re-deleting a position
+    * is a no-op), zero data rewrite. If a rewrite interleaves, the
+    * freshly-committed entries may reference replaced files — detected
+    * by the post-commit version re-check and redone against the new
+    * snapshot (the rewrite side's commit-lock validation covers the
+    * opposite interleaving, see the section comment). Returns the
+    * delete-set version.
+    */
+  def softDeletePos(spark: SparkSession, root: String, predicate: Column,
+                    keepVersions: Int = 2, maxRetries: Int = 10): Long = {
+    var attempt = 0
+    while (true) {
+      val m = readManifest(root).getOrElse(throw new IllegalStateException(
+        s"no _manifest.json under $root"))
+      try {
+        val hits = withFilePos(spark, root, m).filter(predicate)
+          .select(col(PdPathCol), col(PdPosCol)).distinct()
+        val v = upsert(spark, posDeletesRoot(root), hits,
+          Seq(PdPathCol, PdPosCol),
+          schemaMode = MergeWriter.SchemaMode.SyncAllColumns,
+          keepVersions = keepVersions, maxRetries = maxRetries)
+        // entries are live only if the data snapshot we addressed is
+        // still the live one; otherwise a rewrite interleaved and we
+        // must re-identify (our stale entries stay harmlessly ignored
+        // until the next fold's reset reaps them)
+        if (readManifest(root).map(_.live).contains(m.live)) return v
+      } catch {
+        // the identification scan read a snapshot that retention
+        // pruned mid-read — same conflict, same retry
+        case e: Throwable if isPrunedSnapshotRead(e, Paths.get(root)) => ()
+      }
+      attempt += 1
+      if (attempt > maxRetries) throw new ConcurrentCommitException(
+        s"softDeletePos lost $attempt identification races under $root")
+    }
+    0L // unreachable
+  }
+
+  /** (live entries, stale entries) in the pos-delete set — the audit
+    * surface: stale entries reference non-live version dirs and are
+    * ignored by every reader.
+    */
+  def posDeleteEntryCounts(spark: SparkSession, root: String): (Long, Long) =
+    readManifest(posDeletesRoot(root)) match {
+      case None => (0L, 0L)
+      case Some(_) =>
+        val live = readManifest(root).map(_.live).getOrElse("")
+        val all = readLive(spark, posDeletesRoot(root))
+        val r = all.agg(
+          org.apache.spark.sql.functions.sum(
+            when(col(PdPathCol).startsWith(live + "/"), 1L)
+              .otherwise(0L)).as("l"),
+          org.apache.spark.sql.functions.count(lit(1)).as("n")).collect()(0)
+        val l = if (r.isNullAt(0)) 0L else r.getLong(0)
+        (l, r.getLong(1) - l)
+    }
+
+  /** Shared rewrite protocol for operations that replace the live
+    * data files (compaction, clustering): pin the pos-delete set, fold
+    * its live entries into the snapshot, commit the new layout with
+    * commit-lock validation that no delete landed mid-rewrite, then
+    * reset the folded set (CAS'd — a racing delete's entries survive).
+    * `layout` re-arranges rows only; it must not change their content.
+    */
+  /** Test seam: runs between a rewrite's pos-delete-version pin and
+    * its commit, so a spec can interleave a racing softDeletePos
+    * deterministically and assert the commit-lock validation forces a
+    * re-fold (production value is a no-op).
+    */
+  private[graft] var posFoldRaceHook: () => Unit = () => ()
+
+  private def rewriteFoldingPosDeletes(spark: SparkSession, root: String,
+                                       keepVersions: Int, maxRetries: Int)
+                                      (layout: DataFrame => DataFrame): Long = {
+    var foldedPosVersion = 0L
+    def once(): Long = {
+      val base = readManifest(root).getOrElse(
+        throw new IllegalStateException(
+          s"no _manifest.json under $root — nothing to rewrite"))
+      foldedPosVersion = posVersion(root)
+      posFoldRaceHook() // test seam: deterministic delete↔rewrite race
+      val snap = readLiveWithPosDeletesStamped(spark, root)
+      commit(root, keepVersions, expectedBase = Some(base.version),
+        validate = () => {
+          if (posVersion(root) != foldedPosVersion)
+            throw new ConcurrentCommitException(
+              s"position deletes landed under $root during the " +
+                "rewrite — re-fold and retry")
+        }) { dir =>
+        layout(snap).write.mode(SaveMode.Overwrite).parquet(dir)
+      }
+    }
+    val v = retryThenEscalate(Paths.get(root), maxRetries)(once())
+    resetPosDeletes(spark, root, foldedPosVersion, keepVersions)
+    v
+  }
+
+  /** CAS-reset of the pos-delete set after a fold: losing the race to
+    * a mid-air softDeletePos keeps its fresh entries (plus our folded
+    * ones, now stale-by-path and reader-invisible).
+    */
+  private def resetPosDeletes(spark: SparkSession, root: String,
+                              foldedVersion: Long,
+                              keepVersions: Int): Unit =
+    if (foldedVersion > 0L) {
+      val dr = posDeletesRoot(root)
+      try {
+        readManifest(dr).foreach { _ =>
+          val empty = readLive(spark, dr).limit(0)
+          commit(dr, keepVersions, expectedBase = Some(foldedVersion)) {
+            dir => empty.write.mode(SaveMode.Overwrite).parquet(dir)
+          }
+        }
+      } catch {
+        case _: ConcurrentCommitException => () // racing delete wins
+        case e: Throwable if isPrunedSnapshotRead(e, Paths.get(dr)) => ()
+      }
+    }
+
+  /** Fold the pos-delete set into a rewritten data version, touching
+    * ONLY the files that carry deletes: untouched files are copied
+    * byte-identical into the new version (a real format would
+    * re-reference them in the manifest; self-contained version dirs
+    * trade that for simplicity), files with deletes are re-read minus
+    * their masked positions. Returns (new data version, files
+    * rewritten) — the rewrite decision is the audit surface.
+    */
+  def vacuumPosDeletes(spark: SparkSession, root: String,
+                       keepVersions: Int = 2,
+                       maxRetries: Int = 10): (Long, Int) = {
+    var foldedPosVersion = 0L
+    var rewritten = 0
+    def once(): Long = {
+      val base = readManifest(root).getOrElse(
+        throw new IllegalStateException(
+          s"no _manifest.json under $root — nothing to vacuum"))
+      foldedPosVersion = posVersion(root)
+      val dirP = Paths.get(root).resolve(base.live)
+      // distinct delete-carrying paths: bounded by live file count —
+      // the same O(|files|) metadata the manifest itself is
+      val touched: Set[String] =
+        livePosDeleteEntries(spark, root, base) match {
+          case None => Set.empty
+          case Some(dels) => dels.select(PdPathCol).distinct()
+            .collect().map(_.getString(0)).toSet
+        }
+      val allPre = dataFilesUnder(dirP)
+      // a partitionBy layout can't mix dir-encoded and column-encoded
+      // partition values in one version dir, so a selective rewrite
+      // (flat survivor files beside untouched partition dirs) would
+      // break partition discovery — fall back to rewriting everything
+      // (partition values survive as data columns via the basePath
+      // read); flat layouts get the real only-touched-files rewrite
+      val flatLayout =
+        allPre.forall(f => !dirP.relativize(f).toString.contains("/"))
+      rewritten = if (flatLayout) touched.size else allPre.size
+      commit(root, keepVersions, expectedBase = Some(base.version),
+        validate = () => {
+          if (posVersion(root) != foldedPosVersion)
+            throw new ConcurrentCommitException(
+              s"position deletes landed under $root during the " +
+                "vacuum — re-fold and retry")
+        }) { dir =>
+        val out = Paths.get(dir)
+        Files.createDirectories(out)
+        val all = dataFilesUnder(dirP)
+        def qualify(f: Path): String =
+          base.live + "/" + dirP.relativize(f).toString.replace('\\', '/')
+        def mustRewrite(f: Path): Boolean =
+          !flatLayout || touched(qualify(f))
+        all.filterNot(mustRewrite).foreach { f =>
+          Files.copy(f, out.resolve(f.getFileName.toString))
+        }
+        val touchedFiles = all.filter(mustRewrite)
+        if (touchedFiles.nonEmpty) {
+          val masked = stampDefaulted(
+            spark.read.option("basePath", dirP.toString)
+              .option("mergeSchema", "true")
+              .parquet(touchedFiles.map(_.toString): _*)
+              .select(col("*"),
+                concat(lit(base.live + "/"),
+                  expr(s"substring_index(_metadata.file_path, " +
+                    s"'/${base.live}/', -1)")).as(PdPathCol),
+                col("_metadata.row_index").as(PdPosCol)))
+          val dels = livePosDeleteEntries(spark, root, base).get
+          val survivors = masked
+            .join(dels, Seq(PdPathCol, PdPosCol), "left_anti")
+            .drop(PdPathCol, PdPosCol)
+          val rw = out.resolve("_rw")
+          survivors.write.mode(SaveMode.Overwrite).parquet(rw.toString)
+          dataFilesUnder(rw).foreach { f =>
+            Files.move(f, out.resolve(f.getFileName.toString))
+          }
+          deleteRecursively(rw)
+        }
+      }
+    }
+    val v = retryThenEscalate(Paths.get(root), maxRetries)(once())
+    resetPosDeletes(spark, root, foldedPosVersion, keepVersions)
+    (v, rewritten)
   }
 
   // ------------------------------------------------------------------
@@ -1449,6 +1761,170 @@ object VersionedTable {
   }
 
   // ------------------------------------------------------------------
+  // Bloom-filter file skipping. Min/max zone maps prune NOTHING for
+  // an equality probe on a high-cardinality unclustered column (every
+  // file's [min,max] spans the domain). Real formats answer this with
+  // per-file bloom filters (Parquet bloom pages, Iceberg Puffin
+  // blobs): ~1 KB of bits per file turns `key = v` into a few-file
+  // scan with false positives only — a bloom miss is PROOF the file
+  // cannot hold the value, so skipping is sound by construction.
+  //
+  // Built as ONE Spark job: scan with `_metadata.file_path`, group by
+  // file, aggregate `graft_bloom(xxhash64(col), bits)` — a mergeable
+  // TypedImperativeAggregate, so executors ship one fixed-size buffer
+  // per (partition, file) partial and the driver collects exactly one
+  // row per live file (the same O(|files|) metadata it already holds).
+  // ------------------------------------------------------------------
+
+  private def bloomPath(versionDir: Path): Path =
+    versionDir.resolve("_bloom.json")
+
+  /** Build the `_bloom.json` sidecar for `columns` over the live
+    * version dir (one bloom per data file per column, `bits` bits
+    * each). The sidecar lives INSIDE the immutable version dir, so it
+    * can never describe different data than the files beside it and
+    * is reclaimed with the version. Size `bits` ≈ 10× the expected
+    * rows/file for ~1 % fpp. Values are hashed with SQL `xxhash64`;
+    * driver-side probes reproduce it via [[graft.functions.Bloom]].
+    */
+  def addBloomSidecar(spark: SparkSession, root: String,
+                      columns: Seq[String], bits: Int = 1 << 16): Unit = {
+    require(columns.nonEmpty, "addBloomSidecar needs at least one column")
+    val m = readManifest(root).getOrElse(throw new IllegalStateException(
+      s"no _manifest.json under $root"))
+    val dirP = Paths.get(root).resolve(m.live)
+    val files = dataFilesUnder(dirP)
+    if (files.isEmpty) return
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val src = spark.read.option("basePath", dirP.toString)
+      .parquet(files.map(_.toString): _*)
+      .select(col("_metadata.file_path").as("_graft_file") +:
+        columns.map(c => xxhash64(col(c)).as(s"_graft_h_$c")): _*)
+    val aggs = columns.map(c =>
+      expr(s"graft_bloom(`_graft_h_$c`, $bits)").as(s"_graft_b_$c"))
+    val rows = src.groupBy(col("_graft_file"))
+      .agg(aggs.head, aggs.tail: _*).collect() // one row per live file
+    val enc = java.util.Base64.getEncoder
+    val lines = rows.flatMap { r =>
+      val uri = new java.net.URI(r.getString(0))
+      val rel = dirP.relativize(Paths.get(uri)).toString.replace('\\', '/')
+      columns.zipWithIndex.map { case (c, i) =>
+        val sketch = r.getSeq[Long](i + 1).toArray
+        val words = sketch.drop(graft.functions.Bloom.HeaderLen)
+        val bb = java.nio.ByteBuffer.allocate(words.length * 8)
+        bb.asLongBuffer().put(words)
+        s"""{"path": "${escJson(rel)}", "column": "${escJson(c)}", """ +
+          s""""bits": ${sketch(0)}, "k": ${sketch(1)}, """ +
+          s""""words": "${enc.encodeToString(bb.array())}"}"""
+      }
+    }
+    Files.write(bloomPath(dirP),
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** Parse `_bloom.json`: (relative path, column) → HEADERED sketch
+    * (as [[graft.functions.Bloom.mightContain]] expects). Empty when
+    * absent.
+    */
+  def readBloomSidecar(versionDir: Path): Map[(String, String), Array[Long]] = {
+    val p = bloomPath(versionDir)
+    if (!Files.exists(p)) return Map.empty
+    val re = (""""path"\s*:\s*"((?:[^"\\]|\\.)*)",\s*""" +
+      """"column"\s*:\s*"((?:[^"\\]|\\.)*)",\s*""" +
+      """"bits"\s*:\s*(\d+),\s*"k"\s*:\s*(\d+),\s*""" +
+      """"words"\s*:\s*"([A-Za-z0-9+/=]*)"""").r
+    val dec = java.util.Base64.getDecoder
+    new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .split("\n").filter(_.nonEmpty).flatMap { line =>
+        re.findFirstMatchIn(line).map { mm =>
+          val bytes = dec.decode(mm.group(5))
+          val words = new Array[Long](bytes.length / 8)
+          java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(words)
+          val sketch = new Array[Long](
+            graft.functions.Bloom.HeaderLen + words.length)
+          sketch(0) = mm.group(3).toLong
+          sketch(1) = mm.group(4).toLong
+          System.arraycopy(words, 0, sketch,
+            graft.functions.Bloom.HeaderLen, words.length)
+          (unescJson(mm.group(1)), unescJson(mm.group(2))) -> sketch
+        }
+      }.toMap
+  }
+
+  /** Live files an equality probe must scan per the bloom sidecar:
+    * files with no bloom entry for the column always scan (sound).
+    * `hash` is the `xxhash64` of the probe value —
+    * [[graft.functions.Bloom.hashLong]]/`hashString` reproduce it.
+    */
+  private def bloomSurvivors(root: String, column: String,
+                             hash: Long): (Seq[Path], Path, Int) = {
+    val m = readManifest(root).getOrElse(throw new IllegalStateException(
+      s"no _manifest.json under $root"))
+    val dirP = Paths.get(root).resolve(m.live)
+    val blooms = readBloomSidecar(dirP)
+    val all = dataFilesUnder(dirP)
+    val survivors = all.filter { f =>
+      val rel = dirP.relativize(f).toString.replace('\\', '/')
+      blooms.get((rel, column)) match {
+        case Some(sketch) => graft.functions.Bloom.mightContain(sketch, hash)
+        case None         => true
+      }
+    }
+    (survivors, dirP, all.size)
+  }
+
+  /** (files `column = value` must scan per the bloom sidecar, total
+    * live files) — the planner decision, exposed for specs and the
+    * decision-table oracle.
+    */
+  def pruneDecisionBloomLong(root: String, column: String,
+                             value: Long): (Int, Int) = {
+    val (s, _, total) =
+      bloomSurvivors(root, column, graft.functions.Bloom.hashLong(value))
+    (s.size, total)
+  }
+
+  /** String flavor of [[pruneDecisionBloomLong]]. */
+  def pruneDecisionBloomStr(root: String, column: String,
+                            value: String): (Int, Int) = {
+    val (s, _, total) =
+      bloomSurvivors(root, column, graft.functions.Bloom.hashString(value))
+    (s.size, total)
+  }
+
+  /** [[readLive]] restricted to `column = value` (BIGINT), opening
+    * only the files whose bloom admits the value. The row filter still
+    * applies — false positives cost a file open, never a wrong row —
+    * so the result equals `readLive(...).filter(col === value)`
+    * exactly.
+    */
+  def readLivePrunedBloomLong(spark: SparkSession, root: String,
+                              column: String, value: Long): DataFrame = {
+    val (survivors, dirP, _) =
+      bloomSurvivors(root, column, graft.functions.Bloom.hashLong(value))
+    val df =
+      if (survivors.isEmpty)
+        spark.read.parquet(dirP.toString).limit(0) // schema, zero rows
+      else spark.read.option("basePath", dirP.toString)
+        .parquet(survivors.map(_.toString): _*)
+    stampDefaulted(df).drop(SeqCol).filter(col(column) === lit(value))
+  }
+
+  /** String flavor of [[readLivePrunedBloomLong]]. */
+  def readLivePrunedBloomStr(spark: SparkSession, root: String,
+                             column: String, value: String): DataFrame = {
+    val (survivors, dirP, _) =
+      bloomSurvivors(root, column, graft.functions.Bloom.hashString(value))
+    val df =
+      if (survivors.isEmpty)
+        spark.read.parquet(dirP.toString).limit(0)
+      else spark.read.option("basePath", dirP.toString)
+        .parquet(survivors.map(_.toString): _*)
+    stampDefaulted(df).drop(SeqCol).filter(col(column) === lit(value))
+  }
+
+  // ------------------------------------------------------------------
   // Table maintenance: compaction. Streaming ingest and per-batch
   // upserts accrete SMALL files; at 100 TB the resulting task-per-
   // tiny-file scan overhead (and footer-stats entries that span the
@@ -1465,22 +1941,16 @@ object VersionedTable {
 
   /** Round-robin bin-pack of the live snapshot into exactly
     * `numFiles` files (rows ≥ numFiles), committed as a new version.
+    * Folds any pending position deletes (the rewrite replaces their
+    * target files — [[rewriteFoldingPosDeletes]]); equality deletes
+    * keep applying unchanged because rows keep their sequence stamps.
     * Returns the new version number.
     */
   def compact(spark: SparkSession, root: String, numFiles: Int,
               keepVersions: Int = 2, maxRetries: Int = 10): Long = {
     require(numFiles > 0, "numFiles must be positive")
-    def once(): Long = {
-      val base = readManifest(root).getOrElse(
-        throw new IllegalStateException(
-          s"no _manifest.json under $root — nothing to compact"))
-      val snap = readLiveStamped(spark, root)
-      commit(root, keepVersions, expectedBase = Some(base.version)) { dir =>
-        snap.repartition(numFiles)
-          .write.mode(SaveMode.Overwrite).parquet(dir)
-      }
-    }
-    retryThenEscalate(Paths.get(root), maxRetries)(once())
+    rewriteFoldingPosDeletes(spark, root, keepVersions, maxRetries)(
+      _.repartition(numFiles))
   }
 
   /** Sort-clustered compaction (the z-order-lite a single sort key
@@ -1490,24 +1960,64 @@ object VersionedTable {
     * predicate into a one-or-two-file scan ([[readLivePruned]] /
     * [[pruneDecision]]). Range boundaries come from Spark's sampling
     * range partitioner — the idiomatic cluster-scale mechanism; file
-    * count is ≤ numFiles (empty ranges write nothing).
+    * count is ≤ numFiles (empty ranges write nothing). Folds pending
+    * position deletes like [[compact]].
     */
   def compactSorted(spark: SparkSession, root: String,
                     sortCols: Seq[String], numFiles: Int,
                     keepVersions: Int = 2, maxRetries: Int = 10): Long = {
     require(sortCols.nonEmpty, "compactSorted needs at least one sort column")
-    def once(): Long = {
-      val base = readManifest(root).getOrElse(
-        throw new IllegalStateException(
-          s"no _manifest.json under $root — nothing to compact"))
-      val snap = readLiveStamped(spark, root)
-      commit(root, keepVersions, expectedBase = Some(base.version)) { dir =>
-        snap.repartitionByRange(numFiles, sortCols.map(col): _*)
-          .sortWithinPartitions(sortCols.map(col): _*)
-          .write.mode(SaveMode.Overwrite).parquet(dir)
-      }
+    rewriteFoldingPosDeletes(spark, root, keepVersions, maxRetries) { snap =>
+      snap.repartitionByRange(numFiles, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
     }
-    retryThenEscalate(Paths.get(root), maxRetries)(once())
+  }
+
+  /** Morton bit-spread: the classic 4-step shift-or that doubles a
+    * 16-bit lane into even bit positions — pure built-in column ops,
+    * fully inside whole-stage codegen.
+    */
+  private def mortonSpread(x: Column): Column = {
+    var v = x.bitwiseAND(lit(0xFFFFL))
+    v = (v.bitwiseOR(shiftleft(v, 8))).bitwiseAND(lit(0x00FF00FFL))
+    v = (v.bitwiseOR(shiftleft(v, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    v = (v.bitwiseOR(shiftleft(v, 2))).bitwiseAND(lit(0x33333333L))
+    (v.bitwiseOR(shiftleft(v, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** TWO-dimensional z-order clustering: interleave the bits of both
+    * columns' 16-bit min-max-normalized lanes into one Morton value,
+    * range-repartition + sort on it, so each file covers a compact
+    * RECTANGLE of the (a, b) domain and footer stats prune narrow
+    * intervals on EITHER column — the multi-dimensional layout a
+    * single-key sort cannot give (sorting on `a` leaves `b` scattered
+    * across every file). Normalization uses double arithmetic: lane
+    * precision only shapes layout QUALITY; pruning soundness always
+    * comes from the per-file footer stats on the original columns.
+    * Folds pending position deletes like [[compact]].
+    */
+  def compactZOrder(spark: SparkSession, root: String,
+                    colA: String, colB: String, numFiles: Int,
+                    keepVersions: Int = 2, maxRetries: Int = 10): Long = {
+    import org.apache.spark.sql.functions.{floor, least, max => smax, min => smin}
+    rewriteFoldingPosDeletes(spark, root, keepVersions, maxRetries) { snap =>
+      val r = snap.agg(smin(col(colA)).cast("double"),
+        smax(col(colA)).cast("double"),
+        smin(col(colB)).cast("double"),
+        smax(col(colB)).cast("double")).collect()(0)
+      def lane(c: String, lo: Double, hi: Double): Column =
+        if (r.anyNull || hi <= lo) lit(0L)
+        else least(
+          floor((col(c).cast("double") - lit(lo)) / lit(hi - lo)
+            * lit(65536.0)).cast("long"), lit(65535L))
+      val z = mortonSpread(lane(colA, r.getDouble(0), r.getDouble(1)))
+        .bitwiseOR(shiftleft(
+          mortonSpread(lane(colB, r.getDouble(2), r.getDouble(3))), 1))
+      snap.withColumn("_graft_z", z)
+        .repartitionByRange(numFiles, col("_graft_z"))
+        .sortWithinPartitions(col("_graft_z"))
+        .drop("_graft_z")
+    }
   }
 
   /** Render partition tuples to their `col=value[/...]` relative paths

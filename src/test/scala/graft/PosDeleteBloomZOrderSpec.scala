@@ -1,0 +1,184 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.functions.Bloom
+import graft.sinks.VersionedTable
+import org.apache.spark.sql.functions._
+
+/** Round-11 table-format surface: per-file bloom skipping, Iceberg-
+  * style position deletes with rewrite folding + commit-lock
+  * validation, and two-dimensional z-order clustering.
+  */
+class PosDeleteBloomZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("pdbz").resolve("t").toString
+
+  test("bloom core: no false negatives ever, sane fpp on absents") {
+    val words = new Array[Long](1 << 10) // 65536 bits
+    val present = (0L until 1000L).map(Bloom.hashLong)
+    present.foreach(Bloom.set(words, _))
+    val sketch = new Array[Long](Bloom.HeaderLen + words.length)
+    sketch(0) = words.length * 64L; sketch(1) = Bloom.K.toLong
+    System.arraycopy(words, 0, sketch, Bloom.HeaderLen, words.length)
+    assert(present.forall(Bloom.mightContain(sketch, _)),
+      "a bloom miss on an inserted value breaks skipping soundness")
+    val fp = (1000000L until 1001000L)
+      .count(v => Bloom.mightContain(sketch, Bloom.hashLong(v)))
+    assert(fp < 50, s"fpp ${fp / 1000.0} far above the ~1% design point")
+  }
+
+  test("bloom sidecar prunes equality probes where min/max cannot, " +
+    "stays sound (present value's file always scans), and a missing " +
+    "sidecar scans everything") {
+    val root = tmpRoot()
+    // hash-scattered layout: every file spans ~the whole id domain, so
+    // footer min/max stats admit every file for any equality probe
+    val ids = (0L until 4000L).toDF("id")
+      .withColumn("payload", concat(lit("p"), col("id")))
+    VersionedTable.commit(root) { dir =>
+      ids.repartition(8, col("id")).write.parquet(dir)
+    }
+    val (mmScan, mmTotal) = VersionedTable.pruneDecision(root, "id", 1234L, 1234L)
+    assert(mmTotal === 8 && mmScan === 8,
+      s"scattered layout must defeat min/max stats, got $mmScan/$mmTotal")
+    VersionedTable.addBloomSidecar(spark, root, Seq("id"), bits = 1 << 14)
+    // present value: bloom may keep false-positive files but MUST keep
+    // the true holder — the row comes back exactly
+    val (bScan, bTotal) = VersionedTable.pruneDecisionBloomLong(root, "id", 1234L)
+    assert(bTotal === 8 && bScan >= 1 && bScan < 8,
+      s"bloom should prune most of 8 files, scanned $bScan")
+    val got = VersionedTable.readLivePrunedBloomLong(spark, root, "id", 1234L)
+      .select("id", "payload").as[(Long, String)].collect().toSeq
+    assert(got === Seq((1234L, "p1234")))
+    // absent value: typically zero files survive (fpp ~ per-file)
+    val (aScan, _) = VersionedTable.pruneDecisionBloomLong(root, "id", 99999999L)
+    assert(aScan <= 2, s"absent probe scanned $aScan of 8 files")
+    assert(VersionedTable.readLivePrunedBloomLong(spark, root, "id", 99999999L)
+      .count() === 0L)
+    // string column flavor via the string hash twin
+    VersionedTable.addBloomSidecar(spark, root, Seq("payload"), bits = 1 << 14)
+    val (sScan, _) =
+      VersionedTable.pruneDecisionBloomStr(root, "payload", "p777")
+    assert(sScan >= 1 && sScan < 8)
+    assert(VersionedTable.readLivePrunedBloomStr(spark, root, "payload", "p777")
+      .count() === 1L)
+    // no sidecar → full scan, identical result
+    val m = VersionedTable.readManifest(root).get
+    Files.delete(Paths.get(root).resolve(m.live).resolve("_bloom.json"))
+    val (legacy, _) = VersionedTable.pruneDecisionBloomLong(root, "id", 1234L)
+    assert(legacy === 8)
+  }
+
+  test("position deletes: MoR read masks exact rows, vacuum rewrites " +
+    "only delete-carrying files and leaves the rest byte-identical") {
+    val root = tmpRoot()
+    // 4 files clustered by id range so deletes land in exactly 1 file
+    val df = (0L until 400L).map(i => (i, s"v$i")).toDF("id", "v")
+    VersionedTable.commit(root) { dir =>
+      df.repartitionByRange(4, col("id")).sortWithinPartitions("id")
+        .write.parquet(dir)
+    }
+    val dv = VersionedTable.softDeletePos(spark, root,
+      col("id") >= 10L && col("id") < 20L)
+    assert(dv >= 1L)
+    // base read unchanged; MoR read masks the 10 rows
+    assert(VersionedTable.readLive(spark, root).count() === 400L)
+    val mor = VersionedTable.readLiveWithPosDeletes(spark, root)
+    assert(mor.count() === 390L)
+    assert(mor.filter(col("id") >= 10L && col("id") < 20L).count() === 0L)
+    val (liveN, staleN) = VersionedTable.posDeleteEntryCounts(spark, root)
+    assert(liveN === 10L && staleN === 0L)
+    // deleting the same rows again is a keyed no-op
+    VersionedTable.softDeletePos(spark, root,
+      col("id") >= 10L && col("id") < 15L)
+    assert(VersionedTable.posDeleteEntryCounts(spark, root)._1 === 10L)
+    // vacuum: only the one delete-carrying file rewrites
+    val mBefore = VersionedTable.readManifest(root).get
+    val dirBefore = Paths.get(root).resolve(mBefore.live)
+    val bytesBefore = Files.list(dirBefore).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet"))
+      .map(p => Paths.get(p).getFileName.toString ->
+        Files.readAllBytes(Paths.get(p)).toSeq).toMap
+    val (v2, rewritten) = VersionedTable.vacuumPosDeletes(spark, root)
+    assert(rewritten === 1, s"expected 1 of 4 files rewritten, got $rewritten")
+    val mAfter = VersionedTable.readManifest(root).get
+    assert(mAfter.version === v2)
+    val dirAfter = Paths.get(root).resolve(mAfter.live)
+    val after = Files.list(dirAfter).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet"))
+      .map(p => Paths.get(p).getFileName.toString ->
+        Files.readAllBytes(Paths.get(p)).toSeq).toMap
+    val carried = bytesBefore.keySet.intersect(after.keySet)
+    assert(carried.size === 3, "3 untouched files must carry over by name")
+    carried.foreach(n => assert(after(n) === bytesBefore(n),
+      s"untouched file $n changed bytes"))
+    assert(VersionedTable.readLive(spark, root).count() === 390L)
+    assert(VersionedTable.readLiveWithPosDeletes(spark, root).count() === 390L)
+    assert(VersionedTable.posDeleteEntryCounts(spark, root) === ((0L, 0L)))
+  }
+
+  test("rewrites fold position deletes: compact and upsert never " +
+    "resurrect masked rows; a delete racing the rewrite is re-folded " +
+    "via commit-lock validation") {
+    val root = tmpRoot()
+    VersionedTable.upsert(spark, root,
+      (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    VersionedTable.softDeletePos(spark, root, col("id") < 10L)
+    // compact folds the masks: the new BASE already excludes them
+    VersionedTable.compact(spark, root, 2)
+    assert(VersionedTable.readLive(spark, root).count() === 90L)
+    assert(VersionedTable.posDeleteEntryCounts(spark, root)._1 === 0L)
+    // upsert folds too
+    VersionedTable.softDeletePos(spark, root, col("id") === 50L)
+    VersionedTable.upsert(spark, root,
+      Seq((200L, "new")).toDF("id", "v"), Seq("id"))
+    val ids = VersionedTable.readLive(spark, root)
+      .select("id").as[Long].collect().toSet
+    assert(!ids.contains(50L) && ids.contains(200L) && ids.size === 90)
+    // race: a delete lands AFTER the rewrite pinned the delete-set
+    // version — validation must force a re-fold, never lose the mask
+    var fired = false
+    VersionedTable.posFoldRaceHook = () => {
+      if (!fired) {
+        fired = true
+        VersionedTable.softDeletePos(spark, root, col("id") === 60L)
+      }
+    }
+    try VersionedTable.compact(spark, root, 2)
+    finally VersionedTable.posFoldRaceHook = () => ()
+    assert(fired)
+    val ids2 = VersionedTable.readLive(spark, root)
+      .select("id").as[Long].collect().toSet
+    assert(!ids2.contains(60L),
+      "mid-rewrite delete was lost — validation failed to force re-fold")
+    assert(ids2.size === 89)
+  }
+
+  test("compactZOrder clusters BOTH dimensions: narrow intervals on " +
+    "either column prune files after, content preserved exactly") {
+    val root = tmpRoot()
+    // two independent uniform dims, scattered so nothing prunes before
+    val rows = (0L until 4096L).map { i =>
+      (i, (i * 2654435761L) % 1024L, (i * 40503L + 7L) % 1024L)
+    }
+    VersionedTable.commit(root) { dir =>
+      rows.toDF("id", "x", "y").repartition(16)
+        .write.parquet(dir)
+    }
+    val (xb, _) = VersionedTable.pruneDecision(root, "x", 100L, 160L)
+    val (yb, _) = VersionedTable.pruneDecision(root, "y", 100L, 160L)
+    assert(xb === 16 && yb === 16, "scattered layout must not prune")
+    VersionedTable.compactZOrder(spark, root, "x", "y", 16)
+    val (xa, xt) = VersionedTable.pruneDecision(root, "x", 100L, 160L)
+    val (ya, yt) = VersionedTable.pruneDecision(root, "y", 100L, 160L)
+    assert(xa < 16 && ya < 16,
+      s"z-order should prune both dims, got x=$xa/$xt y=$ya/$yt")
+    val got = VersionedTable.readLivePruned(spark, root, "x", 100L, 160L)
+      .select("id").as[Long].collect().toSet
+    val want = rows.filter(r => r._2 >= 100L && r._2 <= 160L).map(_._1).toSet
+    assert(got === want, "pruned read must equal the plain filter")
+    assert(VersionedTable.readLive(spark, root).count() === 4096L)
+  }
+}
