@@ -4322,6 +4322,162 @@ object SparkEntry {
           lit(metaCount).as("max_did")))
     }),
 
+    // Position-delete lifecycle end-to-end (Iceberg v2's second
+    // delete flavor): 4 range-clustered files, the 10 lowest ids
+    // deleted BY POSITION (one metadata scan, zero rewrite), a
+    // subset re-delete that must be a keyed no-op (the r11 delete-set
+    // corruption class, now regression-graded by the driver), then
+    // vacuum folds the masks rewriting ONLY the 1 delete-carrying
+    // file of 4. The MoR aggregate is checkpointed BEFORE the vacuum
+    // flips manifests; the audit row grades the physical decisions
+    // closed-form: rewritten=1, live entries pre-vacuum=10, zero
+    // stale/post entries, vacuum version=2 — at 100 TB this is what
+    // makes a 10-row delete cost one sidecar write, not a table scan.
+    "q291_pos_delete_vacuum" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      val work = graft.core.ScratchDirs.fresh("q291_pdv").toString
+      val ev = Tables.events(s, d).select(col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      vt.commit(work) { dir =>
+        ev.repartitionByRange(4, col("event_id"))
+          .sortWithinPartitions("event_id").write.parquet(dir)
+      }
+      vt.softDeletePos(s, work, col("event_id") < 10L)
+      vt.softDeletePos(s, work, col("event_id") < 5L) // keyed no-op
+      val (liveE, staleE) = vt.posDeleteEntryCounts(s, work)
+      def agg(df: org.apache.spark.sql.DataFrame, phase: String) =
+        df.agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+            min("event_id").as("min_eid"), max("event_id").as("max_eid"))
+          .select(lit(phase).as("phase"), col("n"), col("sum_cents"),
+            col("min_eid"), col("max_eid"))
+      // eager checkpoint: materialize merge-on-read BEFORE vacuum
+      // retention can prune the version it reads
+      val mor = agg(vt.readLiveWithPosDeletes(s, work), "mor")
+        .localCheckpoint(true)
+      val (v2, rewritten) = vt.vacuumPosDeletes(s, work)
+      val (liveA, staleA) = vt.posDeleteEntryCounts(s, work)
+      val audit = s.range(1).select(lit("audit").as("phase"),
+        lit(rewritten.toLong).as("n"), lit(liveE).as("sum_cents"),
+        lit(staleE + liveA + staleA).as("min_eid"), lit(v2).as("max_eid"))
+      mor.unionByName(agg(vt.readLive(s, work), "vacuumed"))
+        .unionByName(audit)
+    }),
+
+    // Bloom-sidecar file skipping on the VersionedTable itself (the
+    // sidecar twin of q232's join idiom): hash-scattered layout where
+    // every file spans the whole id domain, so footer min/max admits
+    // all 8 files for ANY equality probe (scanned_before = 8, graded
+    // closed-form); after addBloomSidecar the present-value probe
+    // scans strictly fewer files yet returns the row EXACTLY (the
+    // pruned read's aggregate is the soundness grade — a wrongly
+    // skipped file breaks the hash), and the absent-value probe scans
+    // ≤2 of 8 (fpp-bounded bit). At 100 TB bloom sidecars are what
+    // turn point lookups on non-cluster keys from full scans into
+    // O(1) file opens.
+    "q292_bloom_sidecar" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      val work = graft.core.ScratchDirs.fresh("q292_bs").toString
+      val ev = Tables.events(s, d).select(col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      vt.commit(work) { dir =>
+        ev.repartition(8, col("event_id")).write.parquet(dir)
+      }
+      val probe = 777L
+      val absent = 123456789L
+      val (mmScan, _) = vt.pruneDecision(work, "event_id", probe, probe)
+      vt.addBloomSidecar(s, work, Seq("event_id"), bits = 1 << 18)
+      val (bScan, bTotal) = vt.pruneDecisionBloomLong(work, "event_id", probe)
+      val (aScan, _) = vt.pruneDecisionBloomLong(work, "event_id", absent)
+      def agg(df: org.apache.spark.sql.DataFrame, part: String) =
+        df.agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+          .select(lit(part).as("part"), col("n"), col("sum_cents"),
+            lit(0L).as("flag"))
+      val present = agg(
+        vt.readLivePrunedBloomLong(s, work, "event_id", probe), "present")
+      val absentR = agg(
+        vt.readLivePrunedBloomLong(s, work, "event_id", absent), "absent")
+      val improved = if (bScan >= 1 && bScan < mmScan) 1L else 0L
+      val absentPruned = if (aScan <= 2) 1L else 0L
+      val audit = s.range(1).select(lit("files").as("part"),
+        lit(mmScan.toLong).as("n"), lit(bTotal.toLong).as("sum_cents"),
+        lit(improved + 2L * absentPruned).as("flag"))
+      present.unionByName(absentR).unionByName(audit)
+    }),
+
+    // Two-dimensional z-order compaction: two independent scrambled
+    // dims (x, y) over events, committed scattered so NOTHING prunes
+    // (16/16 on both columns — closed form), then compactZOrder
+    // Morton-interleaves both 16-bit lanes and range-clusters on the
+    // z value, after which a narrow interval on EITHER column opens
+    // strictly fewer files (strict-improvement bits, the q289 idiom)
+    // and the pruned reads equal the plain filters exactly. The
+    // multi-dimensional layout a single-key sort cannot give: sorting
+    // on x leaves y scattered across every file.
+    "q293_zorder_compact" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      val work = graft.core.ScratchDirs.fresh("q293_zc").toString
+      val ev = Tables.events(s, d).select(col("event_id"),
+        (col("event_id") * 2654435761L % 1024L).as("x"),
+        ((col("event_id") * 40503L + 7L) % 1024L).as("y"))
+      vt.commit(work) { dir =>
+        ev.repartition(16).write.parquet(dir)
+      }
+      val (lo, hi) = (100L, 160L)
+      val (xb, _) = vt.pruneDecision(work, "x", lo, hi)
+      val (yb, _) = vt.pruneDecision(work, "y", lo, hi)
+      vt.compactZOrder(s, work, "x", "y", 16)
+      val (xa, xt) = vt.pruneDecision(work, "x", lo, hi)
+      val (ya, yt) = vt.pruneDecision(work, "y", lo, hi)
+      def agg(df: org.apache.spark.sql.DataFrame, part: String) =
+        df.agg(count(lit(1)).as("n"), sum("event_id").as("s1"),
+            min("event_id").as("s2"), max("event_id").as("s3"))
+          .select(lit(part).as("part"), col("n"), col("s1"), col("s2"),
+            col("s3"))
+      val rowsX = agg(vt.readLivePruned(s, work, "x", lo, hi), "rows_x")
+      val rowsY = agg(vt.readLivePruned(s, work, "y", lo, hi), "rows_y")
+      val audit = s.range(1).select(lit("files").as("part"),
+        lit(xb.toLong).as("n"), lit(yb.toLong).as("s1"),
+        lit(if (xa < xt) 1L else 0L).as("s2"),
+        lit(if (ya < yt) 1L else 0L).as("s3"))
+      rowsX.unionByName(rowsY).unionByName(audit)
+    }),
+
+    // Iceberg-style TWO-LEVEL pruning on a partitioned table:
+    // documents partitioned by source (manifest keys answer partition
+    // pruning with zero IO), each partition's files range-clustered on
+    // doc_id (the upstream repartitionByRange survives through the
+    // partitionBy writer), so a (source = 'src5' AND doc_id interval)
+    // probe opens 1 of 20 partitions and, inside it, only the files
+    // whose footer stats overlap the interval. Partition counts are
+    // closed-form; file-level effectiveness is a strict-improvement
+    // bit (sampled range boundaries); content equals the plain filter
+    // exactly (soundness — a wrongly-skipped file breaks the hash).
+    // At 100 TB with thousands of partitions × files this two-level
+    // cut is the entire difference between metadata planning and a
+    // directory walk.
+    "q294_partitioned_prune" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      val work = graft.core.ScratchDirs.fresh("q294_pp").toString
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .repartitionByRange(8, col("doc_id"))
+      vt.upsertPartitioned(s, work, docs, Seq("doc_id"), Seq("source"))
+      val (lo, hi) = (100L, 220L)
+      val (pScan, pTotal, fScan, fTotal) =
+        vt.pruneDecisionPartitioned(work, "source=src5", "doc_id", lo, hi)
+      val pruned = vt.readLivePartitionedPruned(
+        s, work, "source=src5", "doc_id", lo, hi)
+      val agg = pruned.agg(count(lit(1)).as("n"),
+        sum("n_chars").as("sum_chars"), min("doc_id").as("min_did"),
+        max("doc_id").as("max_did"))
+      val improved = if (fScan < fTotal) 1L else 0L
+      agg.select(lit("rows").as("part"), col("n"), col("sum_chars"),
+          col("min_did"), col("max_did"))
+        .unionByName(s.range(1).select(lit("files").as("part"),
+          lit(pScan.toLong).as("n"), lit(pTotal.toLong).as("sum_chars"),
+          lit(improved).as("min_did"), lit(0L).as("max_did")))
+    }),
+
     // Hashed-bigram linear quality classifier (fastText-shape
     // inference): feature-hash adjacent word bigrams into 4096
     // buckets, sum deterministic integer bucket weights, threshold.
@@ -9996,6 +10152,89 @@ object SparkEntry {
         |    AS n,
         |  CAST(8 AS BIGINT) AS min_did,
         |  (SELECT count(*) FROM docs) AS max_did""".stripMargin,
+
+    // Position-delete lifecycle replayed: MoR and post-vacuum reads
+    // both equal the plain anti-filter (ids ≥ 10); the audit row's
+    // closed form — 1 of 4 range-clustered files rewritten, 10 live
+    // entries before the vacuum, 0 stale/post entries, vacuum lands
+    // version 2.
+    "q291_pos_delete_vacuum" ->
+      """WITH ev AS (
+        |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_id >= 10),
+        |base AS (
+        |  SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    min(event_id) AS min_eid, max(event_id) AS max_eid
+        |  FROM ev)
+        |SELECT 'mor' AS phase, * FROM base
+        |UNION ALL
+        |SELECT 'vacuumed' AS phase, * FROM base
+        |UNION ALL
+        |SELECT 'audit' AS phase, CAST(1 AS BIGINT) AS n,
+        |  CAST(10 AS BIGINT) AS sum_cents, CAST(0 AS BIGINT) AS min_eid,
+        |  CAST(2 AS BIGINT) AS max_eid""".stripMargin,
+
+    // Bloom-sidecar audit: present/absent probe contents equal the
+    // plain equality filters (soundness — a wrongly-skipped file
+    // breaks the hash); min/max scanned all 8 hash-scattered files
+    // (closed form); bloom strictly improved the present probe and
+    // the absent probe scanned ≤2 (flag = 1 + 2).
+    "q292_bloom_sidecar" ->
+      """WITH ev AS (
+        |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT 'present' AS part, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(0 AS BIGINT) AS flag
+        |FROM ev WHERE event_id = 777
+        |UNION ALL
+        |SELECT 'absent' AS part, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(0 AS BIGINT) AS flag
+        |FROM ev WHERE event_id = 123456789
+        |UNION ALL
+        |SELECT 'files' AS part, CAST(8 AS BIGINT) AS n,
+        |  CAST(8 AS BIGINT) AS sum_cents,
+        |  CAST(3 AS BIGINT) AS flag""".stripMargin,
+
+    // Z-order audit: both pruned interval reads equal the plain
+    // filters on the scrambled dims; the scattered layout scanned all
+    // 16 files on both columns (closed form); clustering strictly
+    // improved BOTH decisions (the multi-dimensional property).
+    "q293_zorder_compact" ->
+      """WITH ev AS (
+        |  SELECT event_id,
+        |    (event_id * 2654435761) % 1024 AS x,
+        |    (event_id * 40503 + 7) % 1024 AS y
+        |  FROM events)
+        |SELECT 'rows_x' AS part, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS s1, min(event_id) AS s2,
+        |  max(event_id) AS s3
+        |FROM ev WHERE x BETWEEN 100 AND 160
+        |UNION ALL
+        |SELECT 'rows_y' AS part, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS s1, min(event_id) AS s2,
+        |  max(event_id) AS s3
+        |FROM ev WHERE y BETWEEN 100 AND 160
+        |UNION ALL
+        |SELECT 'files' AS part, CAST(16 AS BIGINT) AS n,
+        |  CAST(16 AS BIGINT) AS s1, CAST(1 AS BIGINT) AS s2,
+        |  CAST(1 AS BIGINT) AS s3""".stripMargin,
+
+    // Two-level pruning replayed: content is the plain partition +
+    // interval filter; the audit row's partition numbers come from the
+    // data (1 selected, count(DISTINCT source) total); file-level
+    // effectiveness is the strict-improvement bit.
+    "q294_partitioned_prune" ->
+      """SELECT 'rows' AS part, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_did, max(doc_id) AS max_did
+        |FROM documents
+        |WHERE source = 'src5' AND doc_id BETWEEN 100 AND 220
+        |UNION ALL
+        |SELECT 'files' AS part, CAST(1 AS BIGINT) AS n,
+        |  (SELECT count(DISTINCT source) FROM documents) AS sum_chars,
+        |  CAST(1 AS BIGINT) AS min_did, CAST(0 AS BIGINT) AS max_did""".stripMargin,
 
     // The melt replayed as an explicit 4-way union with the same
     // metric-name literals Spark's unpivot emits.

@@ -383,6 +383,8 @@ object VersionedTable {
              schemaMode: MergeWriter.SchemaMode =
                MergeWriter.SchemaMode.Strict,
              keepVersions: Int = 2, maxRetries: Int = 10): Long = {
+    requireNoReservedColumns(updates.columns, s"upsert into $root",
+      Seq(SeqCol, AddrPathCol, AddrPosCol))
     var foldedPosVersion = 0L
     def once(): Long = {
       val base = readManifest(root)
@@ -741,6 +743,16 @@ object VersionedTable {
   private[graft] val PdPathCol = "_pd_path"
   private[graft] val PdPosCol = "_pd_pos"
 
+  // Read-time ADDRESS columns attached by [[withFilePos]] are named
+  // differently from the `_pos_deletes` table's own stored key columns
+  // (PdPathCol/PdPosCol): the delete table itself is committed through
+  // `upsert`, whose existing-snapshot read goes through the same
+  // withFilePos fold — identical names made drop(PdPathCol, PdPosCol)
+  // remove the table's REAL keys, null-padding prior entries and
+  // resurrecting deleted rows on the second softDeletePos.
+  private[graft] val AddrPathCol = "__graft_addr_path"
+  private[graft] val AddrPosCol = "__graft_addr_pos"
+
   private def posVersion(root: String): Long =
     readManifest(posDeletesRoot(root)).map(_.version).getOrElse(0L)
 
@@ -753,14 +765,29 @@ object VersionedTable {
   private def withFilePos(spark: SparkSession, root: String,
                           m: Manifest): DataFrame = {
     val dirP = Paths.get(root).resolve(m.live)
-    val df = spark.read.option("mergeSchema", "true")
+    val plain = spark.read.option("mergeSchema", "true")
       .parquet(dirP.toString)
+    requireNoReservedColumns(plain.columns, s"table $root",
+      Seq(AddrPathCol, AddrPosCol))
+    val df = plain
       .select(col("*"),
         concat(lit(m.live + "/"),
           expr(s"substring_index(_metadata.file_path, '/${m.live}/', -1)"))
-          .as(PdPathCol),
-        col("_metadata.row_index").as(PdPosCol))
+          .as(AddrPathCol),
+        col("_metadata.row_index").as(AddrPosCol))
     stampDefaulted(df)
+  }
+
+  /** Loud failure instead of silent column loss: internal plumbing
+    * attaches/derives columns with these names, so a user schema that
+    * collides would be dropped or overwritten mid-operation.
+    */
+  private def requireNoReservedColumns(cols: Seq[String], what: String,
+                                       reserved: Seq[String]): Unit = {
+    val clash = cols.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"$what uses reserved internal column name(s) ${clash.mkString(", ")}" +
+        " — rename them before writing through VersionedTable")
   }
 
   /** Pos-delete entries that apply to the live snapshot (path under
@@ -771,7 +798,7 @@ object VersionedTable {
     readManifest(posDeletesRoot(root)).map { _ =>
       readLive(spark, posDeletesRoot(root))
         .filter(col(PdPathCol).startsWith(m.live + "/"))
-        .select(col(PdPathCol), col(PdPosCol))
+        .select(col(PdPathCol).as(AddrPathCol), col(PdPosCol).as(AddrPosCol))
     }
 
   private def readLiveWithPosDeletesStamped(spark: SparkSession,
@@ -781,9 +808,9 @@ object VersionedTable {
     val base = withFilePos(spark, root, m)
     livePosDeleteEntries(spark, root, m) match {
       case Some(dels) =>
-        base.join(dels, Seq(PdPathCol, PdPosCol), "left_anti")
-          .drop(PdPathCol, PdPosCol)
-      case None => base.drop(PdPathCol, PdPosCol)
+        base.join(dels, Seq(AddrPathCol, AddrPosCol), "left_anti")
+          .drop(AddrPathCol, AddrPosCol)
+      case None => base.drop(AddrPathCol, AddrPosCol)
     }
   }
 
@@ -814,7 +841,8 @@ object VersionedTable {
         s"no _manifest.json under $root"))
       try {
         val hits = withFilePos(spark, root, m).filter(predicate)
-          .select(col(PdPathCol), col(PdPosCol)).distinct()
+          .select(col(AddrPathCol).as(PdPathCol),
+            col(AddrPosCol).as(PdPosCol)).distinct()
         val v = upsert(spark, posDeletesRoot(root), hits,
           Seq(PdPathCol, PdPosCol),
           schemaMode = MergeWriter.SchemaMode.SyncAllColumns,
@@ -941,7 +969,7 @@ object VersionedTable {
       val touched: Set[String] =
         livePosDeleteEntries(spark, root, base) match {
           case None => Set.empty
-          case Some(dels) => dels.select(PdPathCol).distinct()
+          case Some(dels) => dels.select(AddrPathCol).distinct()
             .collect().map(_.getString(0)).toSet
         }
       val allPre = dataFilesUnder(dirP)
@@ -980,12 +1008,12 @@ object VersionedTable {
               .select(col("*"),
                 concat(lit(base.live + "/"),
                   expr(s"substring_index(_metadata.file_path, " +
-                    s"'/${base.live}/', -1)")).as(PdPathCol),
-                col("_metadata.row_index").as(PdPosCol)))
+                    s"'/${base.live}/', -1)")).as(AddrPathCol),
+                col("_metadata.row_index").as(AddrPosCol)))
           val dels = livePosDeleteEntries(spark, root, base).get
           val survivors = masked
-            .join(dels, Seq(PdPathCol, PdPosCol), "left_anti")
-            .drop(PdPathCol, PdPosCol)
+            .join(dels, Seq(AddrPathCol, AddrPosCol), "left_anti")
+            .drop(AddrPathCol, AddrPosCol)
           val rw = out.resolve("_rw")
           survivors.write.mode(SaveMode.Overwrite).parquet(rw.toString)
           dataFilesUnder(rw).foreach { f =>
@@ -1569,19 +1597,31 @@ object VersionedTable {
     b.toString
   }
 
+  /** JSON string unescape. THROWS on a malformed escape (lone trailing
+    * backslash, truncated or non-hex \uXXXX): the sidecar parsers drop
+    * the whole line on failure, so a corrupt/truncated sidecar entry
+    * degrades to "no stats → must scan" (sound) instead of silently
+    * garbling into incorrect bounds that would prune wrongly.
+    */
   private def unescJson(s: String): String = {
     val b = new java.lang.StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '\\' && i + 1 < s.length) {
+      if (c == '\\') {
+        if (i + 1 >= s.length)
+          throw new IllegalArgumentException(
+            s"malformed JSON escape: lone trailing backslash in '$s'")
         s.charAt(i + 1) match {
           case 'n'  => b.append('\n'); i += 2
           case 'r'  => b.append('\r'); i += 2
           case 't'  => b.append('\t'); i += 2
-          case 'u' if i + 5 < s.length + 1 && i + 6 <= s.length =>
+          case 'u' =>
+            if (i + 6 > s.length)
+              throw new IllegalArgumentException(
+                s"malformed JSON escape: truncated \\u in '$s'")
             b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16)
-              .toChar); i += 6
+              .toChar); i += 6 // parseInt throws on non-hex — intended
           case o    => b.append(o); i += 2
         }
       } else { b.append(c); i += 1 }
@@ -1623,7 +1663,9 @@ object VersionedTable {
     def unesc(s: String) = unescJson(s)
     new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
       .split("\n").filter(_.nonEmpty).flatMap { line =>
-        for {
+        // a malformed line (truncated write, bad escape) drops out:
+        // its file then has no stats entry and always scans — sound
+        try for {
           pm <- pathRe.findFirstMatchIn(line)
           rm <- rowsRe.findFirstMatchIn(line)
         } yield {
@@ -1635,7 +1677,7 @@ object VersionedTable {
             .toMap
           val rel = unesc(pm.group(1))
           rel -> FileStats(rel, rm.group(1).toLong, cols, strs)
-        }
+        } catch { case _: IllegalArgumentException => None }
       }.toMap
   }
 
@@ -1761,6 +1803,92 @@ object VersionedTable {
   }
 
   // ------------------------------------------------------------------
+  // Two-level pruning on PARTITIONED tables — Iceberg's partition+file
+  // scheme: the manifest's partition keys answer partition pruning
+  // (no listing, no IO), then each surviving partition's version-dir
+  // stats sidecar answers file pruning within it. At 100 TB with
+  // thousands of partitions × thousands of files, level 1 cuts the
+  // candidate set by the partition predicate's selectivity and level 2
+  // by the clustering of the interval column — both from metadata the
+  // table already maintains.
+  // ------------------------------------------------------------------
+
+  /** Partition keys (manifest-relative `col=value[/...]` paths) that a
+    * partition-equality probe selects: exactly `partKey`, or keys it
+    * prefixes (nested partitioning). `partKey` uses Spark's own
+    * partition-path rendering — e.g. `"source=src5"`.
+    */
+  private def selectedPartitions(m: PartitionedManifest,
+                                 partKey: String): Map[String, String] =
+    m.partitions.filter { case (k, _) =>
+      k == partKey || k.startsWith(partKey + "/")
+    }
+
+  /** Surviving (file, mustScan) pairs within the selected partitions,
+    * file-pruned by each version dir's footer-stats sidecar (a file
+    * with no stats entry always scans — sound), plus the version dirs
+    * touched (for basePath reads).
+    */
+  private def partitionedSurvivors(root: String, partKey: String,
+                                   column: String, lo: Long, hi: Long)
+      : (Seq[(Path, Boolean, Path)], Int, Int) = {
+    val m = readPartitionedManifest(root).getOrElse(
+      throw new IllegalStateException(
+        s"no partitioned _manifest.json under $root"))
+    val rootP = Paths.get(root)
+    val selected = selectedPartitions(m, partKey)
+    val statsByDir = selected.values.toSeq.distinct
+      .map(d => d -> readStatsSidecar(rootP.resolve(d))).toMap
+    val files = selected.toSeq.sortBy(_._1).flatMap { case (k, dirName) =>
+      val verDir = rootP.resolve(dirName)
+      val stats = statsByDir(dirName)
+      dataFilesUnder(verDir.resolve(k)).map { f =>
+        val rel = verDir.relativize(f).toString.replace('\\', '/')
+        val scan = stats.get(rel).map(_.cols.get(column)) match {
+          case Some(Some((mn, mx))) => mx >= lo && mn <= hi
+          case _                    => true
+        }
+        (f, scan, verDir)
+      }
+    }
+    (files, selected.size, m.partitions.size)
+  }
+
+  /** The two-level pruning decision for `partKey`-partition rows with
+    * `column` in [lo, hi]: (partitions scanned, total partitions,
+    * files scanned within them, total files in the scanned
+    * partitions) — exposed for specs and the decision-table oracle.
+    */
+  def pruneDecisionPartitioned(root: String, partKey: String,
+                               column: String, lo: Long, hi: Long)
+      : (Int, Int, Int, Int) = {
+    val (files, pSel, pTotal) =
+      partitionedSurvivors(root, partKey, column, lo, hi)
+    (pSel, pTotal, files.count(_._2), files.size)
+  }
+
+  /** [[readLivePartitioned]] restricted to one partition and an
+    * interval on `column`, opening ONLY the files both pruning levels
+    * admit. The row-level filter still applies — the result equals
+    * `readLivePartitioned(...).filter(partition && interval)` exactly.
+    */
+  def readLivePartitionedPruned(spark: SparkSession, root: String,
+                                partKey: String, column: String,
+                                lo: Long, hi: Long): DataFrame = {
+    val (files, _, _) = partitionedSurvivors(root, partKey, column, lo, hi)
+    val survivors = files.filter(_._2)
+    val df =
+      if (survivors.isEmpty) // schema (incl. partition cols), zero rows
+        readLivePartitioned(spark, root).limit(0)
+      else survivors.groupBy(_._3).toSeq.sortBy(_._1.toString)
+        .map { case (verDir, fs) =>
+          spark.read.option("basePath", verDir.toString)
+            .parquet(fs.map(_._1.toString): _*)
+        }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    df.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+  }
+
+  // ------------------------------------------------------------------
   // Bloom-filter file skipping. Min/max zone maps prune NOTHING for
   // an equality probe on a high-cardinality unclustered column (every
   // file's [min,max] spans the domain). Real formats answer this with
@@ -1796,9 +1924,14 @@ object VersionedTable {
     val files = dataFilesUnder(dirP)
     if (files.isEmpty) return
     graft.functions.GraftFunctions.ensureRegistered(spark)
+    // relativize inside the job (the withFilePos idiom): _metadata
+    // .file_path is a URI string, and driver-side java.net.URI parsing
+    // throws on legal roots containing spaces or other URI-illegal
+    // characters
     val src = spark.read.option("basePath", dirP.toString)
       .parquet(files.map(_.toString): _*)
-      .select(col("_metadata.file_path").as("_graft_file") +:
+      .select(expr(s"substring_index(_metadata.file_path, '/${m.live}/', -1)")
+        .as("_graft_file") +:
         columns.map(c => xxhash64(col(c)).as(s"_graft_h_$c")): _*)
     val aggs = columns.map(c =>
       expr(s"graft_bloom(`_graft_h_$c`, $bits)").as(s"_graft_b_$c"))
@@ -1806,8 +1939,7 @@ object VersionedTable {
       .agg(aggs.head, aggs.tail: _*).collect() // one row per live file
     val enc = java.util.Base64.getEncoder
     val lines = rows.flatMap { r =>
-      val uri = new java.net.URI(r.getString(0))
-      val rel = dirP.relativize(Paths.get(uri)).toString.replace('\\', '/')
+      val rel = r.getString(0)
       columns.zipWithIndex.map { case (c, i) =>
         val sketch = r.getSeq[Long](i + 1).toArray
         val words = sketch.drop(graft.functions.Bloom.HeaderLen)
@@ -1837,7 +1969,9 @@ object VersionedTable {
     val dec = java.util.Base64.getDecoder
     new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
       .split("\n").filter(_.nonEmpty).flatMap { line =>
-        re.findFirstMatchIn(line).map { mm =>
+        // drop malformed lines (bad escape / base64): the file loses
+        // its bloom entry and always scans — sound
+        try re.findFirstMatchIn(line).map { mm =>
           val bytes = dec.decode(mm.group(5))
           val words = new Array[Long](bytes.length / 8)
           java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(words)
@@ -1848,7 +1982,7 @@ object VersionedTable {
           System.arraycopy(words, 0, sketch,
             graft.functions.Bloom.HeaderLen, words.length)
           (unescJson(mm.group(1)), unescJson(mm.group(2))) -> sketch
-        }
+        } catch { case _: IllegalArgumentException => None }
       }.toMap
   }
 
@@ -2001,6 +2135,8 @@ object VersionedTable {
                     keepVersions: Int = 2, maxRetries: Int = 10): Long = {
     import org.apache.spark.sql.functions.{floor, least, max => smax, min => smin}
     rewriteFoldingPosDeletes(spark, root, keepVersions, maxRetries) { snap =>
+      requireNoReservedColumns(snap.columns,
+        s"compactZOrder over $root", Seq("_graft_z"))
       val r = snap.agg(smin(col(colA)).cast("double"),
         smax(col(colA)).cast("double"),
         smin(col(colB)).cast("double"),

@@ -156,6 +156,130 @@ class PosDeleteBloomZOrderSpec extends SparkSpec {
     assert(ids2.size === 89)
   }
 
+  test("regression: repeated softDeletePos never corrupts the delete " +
+    "set (delete [10,20) then re-delete subset [10,15) keeps MoR at 390)") {
+    val root = tmpRoot()
+    VersionedTable.commit(root) { dir =>
+      (0L until 400L).map(i => (i, s"v$i")).toDF("id", "v")
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+        .write.parquet(dir)
+    }
+    VersionedTable.softDeletePos(spark, root,
+      col("id") >= 10L && col("id") < 20L)
+    assert(VersionedTable.readLiveWithPosDeletes(spark, root)
+      .count() === 390L)
+    VersionedTable.softDeletePos(spark, root,
+      col("id") >= 10L && col("id") < 15L)
+    // the r11 bug: the second delete's upsert read the delete table
+    // through the MoR fold, whose address columns shared the table's
+    // key names — prior entries were null-padded and rows 15-19 came
+    // back (MoR read 395)
+    assert(VersionedTable.readLiveWithPosDeletes(spark, root)
+      .count() === 390L)
+    assert(VersionedTable.posDeleteEntryCounts(spark, root) === ((10L, 0L)))
+    // a THIRD delete with fresh positions composes with the survivors
+    VersionedTable.softDeletePos(spark, root, col("id") === 399L)
+    assert(VersionedTable.readLiveWithPosDeletes(spark, root)
+      .count() === 389L)
+    assert(VersionedTable.posDeleteEntryCounts(spark, root) === ((11L, 0L)))
+  }
+
+  test("reserved-column contract: upsert rejects internal names loudly; " +
+    "user tables named like the delete table's keys still work") {
+    val root = tmpRoot()
+    // internal names are rejected at the write surface, not silently
+    // overwritten/dropped mid-operation
+    val bad1 = Seq((1L, 2L)).toDF("id", "_graft_seq")
+    val e1 = intercept[IllegalArgumentException] {
+      VersionedTable.upsert(spark, root, bad1, Seq("id"))
+    }
+    assert(e1.getMessage.contains("_graft_seq"))
+    val bad2 = Seq((1L, "x")).toDF("id", "__graft_addr_path")
+    intercept[IllegalArgumentException] {
+      VersionedTable.upsert(spark, root, bad2, Seq("id"))
+    }
+    // _pd_path/_pd_pos are NOT reserved for user data: the MoR address
+    // columns are namespaced apart, so a table using those names
+    // upserts and position-deletes cleanly
+    val userRoot = tmpRoot()
+    VersionedTable.upsert(spark, userRoot,
+      (0L until 50L).map(i => (i, s"f$i", i * 10L))
+        .toDF("id", "_pd_path", "_pd_pos"), Seq("id"))
+    VersionedTable.softDeletePos(spark, userRoot, col("id") < 5L)
+    val mor = VersionedTable.readLiveWithPosDeletes(spark, userRoot)
+    assert(mor.count() === 45L)
+    assert(mor.columns.toSet === Set("id", "_pd_path", "_pd_pos"))
+    VersionedTable.softDeletePos(spark, userRoot, col("id") < 3L) // no-op
+    assert(VersionedTable.readLiveWithPosDeletes(spark, userRoot)
+      .count() === 45L)
+  }
+
+  test("corrupt sidecar lines degrade to scan-everything, never to " +
+    "wrong bounds") {
+    val root = tmpRoot()
+    VersionedTable.commit(root) { dir =>
+      (0L until 100L).toDF("id").repartitionByRange(4, col("id"))
+        .write.parquet(dir)
+    }
+    val m = VersionedTable.readManifest(root).get
+    val statsP = Paths.get(root).resolve(m.live).resolve("_stats.json")
+    val lines = new String(Files.readAllBytes(statsP), "UTF-8")
+      .split("\n").filter(_.nonEmpty)
+    assert(lines.length === 4)
+    val (sc0, _) = VersionedTable.pruneDecision(root, "id", 0L, 10L)
+    assert(sc0 < 4, "clustered layout should prune before corruption")
+    // corrupt ONE line: inject a malformed \-u escape into its path
+    // value — that file must drop to no-stats (always scans), the
+    // others keep pruning
+    val marker = "\"path\": \""
+    val j = lines(0).indexOf(marker) + marker.length
+    val corrupted = lines.updated(0,
+      lines(0).substring(0, j) + "\\u12Z" + lines(0).substring(j))
+    Files.write(statsP, corrupted.mkString("\n").getBytes("UTF-8"))
+    val stats = VersionedTable.readStatsSidecar(
+      Paths.get(root).resolve(m.live))
+    assert(stats.size === 3, "the corrupt line must drop out")
+    val (sc1, t1) = VersionedTable.pruneDecision(root, "id", 90L, 99L)
+    assert(t1 === 4 && sc1 >= 1 && sc1 <= 2,
+      "stat-less corrupt file always scans; clean files still prune")
+    assert(VersionedTable.readLivePruned(spark, root, "id", 90L, 99L)
+      .count() === 10L)
+  }
+
+  test("two-level partitioned pruning: partition keys prune with zero " +
+    "IO, file stats prune within, pruned read equals the plain filter") {
+    val root = tmpRoot()
+    val rows = (0L until 2000L).map(i => (i, s"p${i % 5}", i * 3L))
+      .toDF("id", "grp", "v")
+    VersionedTable.upsertPartitioned(spark, root,
+      rows.repartitionByRange(8, col("id")), Seq("id"), Seq("grp"))
+    val (pScan, pTotal, fScan, fTotal) =
+      VersionedTable.pruneDecisionPartitioned(root, "grp=p2", "id",
+        100L, 200L)
+    assert(pScan === 1 && pTotal === 5)
+    assert(fScan >= 1 && fScan < fTotal,
+      s"range-clustered files should prune, got $fScan/$fTotal")
+    val got = VersionedTable.readLivePartitionedPruned(
+        spark, root, "grp=p2", "id", 100L, 200L)
+      .select("id").as[Long].collect().toSet
+    val want = (100L to 200L).filter(_ % 5 == 2).toSet
+    assert(got === want, "pruned read must equal the plain filter")
+    // a second upsert moves ONE partition to a new version dir — the
+    // survivors must come from each partition's OWN pinned dir
+    VersionedTable.upsertPartitioned(spark, root,
+      Seq((102L, "p2", 9999L)).toDF("id", "grp", "v"),
+      Seq("id"), Seq("grp"))
+    val got2 = VersionedTable.readLivePartitionedPruned(
+        spark, root, "grp=p2", "id", 100L, 200L)
+      .select("id", "v").as[(Long, Long)].collect().toMap
+    assert(got2.keySet === want && got2(102L) === 9999L)
+    // absent partition → zero rows, schema intact
+    val none = VersionedTable.readLivePartitionedPruned(
+      spark, root, "grp=nope", "id", 0L, 10L)
+    assert(none.count() === 0L &&
+      none.columns.toSet === Set("id", "grp", "v"))
+  }
+
   test("compactZOrder clusters BOTH dimensions: narrow intervals on " +
     "either column prune files after, content preserved exactly") {
     val root = tmpRoot()
