@@ -4478,6 +4478,77 @@ object SparkEntry {
           lit(improved).as("min_did"), lit(0L).as("max_did")))
     }),
 
+    // PARTITION-level column bounds (Iceberg manifest-entry bounds):
+    // events day-partitioned (30 partitions), each commit folds the
+    // per-file footer stats into one (rows, [min,max]) entry per
+    // partition in `_part_stats.json`, version-stamped against the
+    // manifest. Because event ids are ingest-monotone in ts, an
+    // interval on the DATA column event_id skips whole day partitions
+    // from ONE metadata file — no listing, no sidecar reads. The
+    // decision is graded against DuckDB's replayed per-day zone maps
+    // (exact, no density assumption); content equals the plain
+    // filter. At 100 TB this is the manifest-level cut that runs
+    // BEFORE any file-level pruning.
+    "q295_partition_bounds" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      val work = graft.core.ScratchDirs.fresh("q295_pb").toString
+      val ev = Tables.events(s, d).select(col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      vt.upsertPartitioned(s, work, ev, Seq("event_id"), Seq("day"))
+      val (lo, hi) = (200L, 299L)
+      val (pScan, pTotal, fScan, fTotal) =
+        vt.pruneDecisionPartitionedInterval(work, "event_id", lo, hi)
+      val pruned = vt.readLivePartitionedPrunedInterval(
+        s, work, "event_id", lo, hi)
+      val agg = pruned.agg(count(lit(1)).as("n"),
+        sum("cents").as("sum_cents"), min("day").as("min_day"),
+        max("day").as("max_day"))
+      agg.select(lit("rows").as("part"), col("n"), col("sum_cents"),
+          col("min_day"), col("max_day"))
+        .unionByName(s.range(1).select(lit("parts").as("part"),
+          lit(pScan.toLong).as("n"), lit(pTotal.toLong).as("sum_cents"),
+          lit(if (fScan <= fTotal) "ok" else "bad").as("min_day"),
+          lit(if (pScan < pTotal) "improved" else "no").as("max_day")))
+    }),
+
+    // Orphan-file cleanup (Iceberg remove_orphan_files): plant the
+    // four crash-artifact classes a died writer leaves — a _staging-*
+    // dir, a manifest-flip temp file, a moved-but-never-flipped
+    // version dir (no _versions history entry), and a vacuum _rw
+    // scratch dir inside the live version — then removeOrphans reaps
+    // exactly those four under the commit lock and the live snapshot
+    // reads back byte-identical (content hash). At 100 TB orphaned
+    // staging from killed jobs is real storage money and a real
+    // correctness trap for naive directory-listing readers.
+    "q296_orphan_cleanup" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      val work = graft.core.ScratchDirs.fresh("q296_oc").toString
+      val ev = Tables.events(s, d).select(col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      vt.upsert(s, work, ev, Seq("event_id"))
+      val rootP = java.nio.file.Paths.get(work)
+      val live = rootP.resolve(vt.readManifest(work).get.live)
+      def plantFile(p: java.nio.file.Path): Unit = {
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, "junk".getBytes)
+        ()
+      }
+      plantFile(rootP.resolve("_staging-crashed").resolve("part-x.parquet"))
+      plantFile(rootP.resolve("_manifest.json.tmp99"))
+      plantFile(rootP.resolve("v00000099").resolve("part-y.parquet"))
+      plantFile(live.resolve("_rw").resolve("part-z.parquet"))
+      val (nStaging, nTmp, nVdir, nRw) = vt.removeOrphans(work, 0L)
+      val agg = vt.readLive(s, work).agg(count(lit(1)).as("n"),
+        sum("cents").as("sum_cents"), min("event_id").as("min_eid"),
+        max("event_id").as("max_eid"))
+      agg.select(lit("rows").as("part"), col("n"), col("sum_cents"),
+          col("min_eid"), col("max_eid"))
+        .unionByName(s.range(1).select(lit("orphans").as("part"),
+          lit(nStaging.toLong).as("n"), lit(nTmp.toLong).as("sum_cents"),
+          lit(nVdir.toLong).as("min_eid"), lit(nRw.toLong).as("max_eid")))
+    }),
+
     // Hashed-bigram linear quality classifier (fastText-shape
     // inference): feature-hash adjacent word bigrams into 4096
     // buckets, sum deterministic integer bucket weights, threshold.
@@ -10235,6 +10306,45 @@ object SparkEntry {
         |SELECT 'files' AS part, CAST(1 AS BIGINT) AS n,
         |  (SELECT count(DISTINCT source) FROM documents) AS sum_chars,
         |  CAST(1 AS BIGINT) AS min_did, CAST(0 AS BIGINT) AS max_did""".stripMargin,
+
+    // Partition-bounds decision replayed as per-day zone maps (the
+    // q287 idiom at the PARTITION level): partitions scanned = days
+    // whose [min,max] event_id overlaps the interval; content is the
+    // plain filter; file-level soundness and partition improvement as
+    // constant flags.
+    "q295_partition_bounds" ->
+      """WITH ev AS (
+        |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+        |    strftime(ts, '%Y-%m-%d') AS day
+        |  FROM events),
+        |z AS (
+        |  SELECT day, min(event_id) AS mn, max(event_id) AS mx
+        |  FROM ev GROUP BY day)
+        |SELECT 'rows' AS part, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(day) AS min_day, max(day) AS max_day
+        |FROM ev WHERE event_id BETWEEN 200 AND 299
+        |UNION ALL
+        |SELECT 'parts' AS part,
+        |  (SELECT count(*) FROM z WHERE mx >= 200 AND mn <= 299) AS n,
+        |  (SELECT count(*) FROM z) AS sum_cents,
+        |  'ok' AS min_day, 'improved' AS max_day""".stripMargin,
+
+    // Orphan-cleanup audit: the live snapshot after cleanup equals the
+    // raw projection (cleanup must never touch committed data); each
+    // planted crash-artifact class reaped exactly once.
+    "q296_orphan_cleanup" ->
+      """WITH ev AS (
+        |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT 'rows' AS part, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(event_id) AS min_eid, max(event_id) AS max_eid
+        |FROM ev
+        |UNION ALL
+        |SELECT 'orphans' AS part, CAST(1 AS BIGINT) AS n,
+        |  CAST(1 AS BIGINT) AS sum_cents, CAST(1 AS BIGINT) AS min_eid,
+        |  CAST(1 AS BIGINT) AS max_eid""".stripMargin,
 
     // The melt replayed as an explicit 4-way union with the same
     // metric-name literals Spark's unpivot emits.

@@ -367,6 +367,95 @@ object VersionedTable {
     }
   }
 
+  /** Orphan cleanup (Iceberg's remove_orphan_files): reclaim artifacts
+    * a CRASHED writer left behind that no manifest will ever reference
+    * and no retention pass will ever visit —
+    *   - `_staging-*` dirs (writer died before its commit-lock move),
+    *   - `_manifest.json.tmp*` / `_part_stats.json.tmp*` flip temps,
+    *   - `v????????` version dirs with NO `_versions/` history entry
+    *     and not referenced by the live manifest (moved into place but
+    *     the flip never happened — the only way a v-dir exists without
+    *     an entry, since history is written right after each flip),
+    *   - `_rw` scratch dirs inside version dirs (vacuum died mid-fold).
+    * Committed-but-old version dirs are NEVER touched — their history
+    * entries exist and retention owns them. Runs under the commit lock
+    * so an in-flight writer's staging is safe, and only removes items
+    * older than `olderThanMs` (grace period against writers that
+    * haven't taken the lock yet — same contract as Iceberg's
+    * older_than). Applies to the root and its `_deletes`/
+    * `_pos_deletes` sub-tables. Returns (staging dirs, tmp files,
+    * unreferenced version dirs, _rw dirs) removed.
+    */
+  def removeOrphans(root: String,
+                    olderThanMs: Long = 24L * 3600 * 1000)
+      : (Int, Int, Int, Int) = {
+    val rootP = Paths.get(root)
+    if (!Files.isDirectory(rootP)) return (0, 0, 0, 0)
+    def oldEnough(p: Path): Boolean =
+      try System.currentTimeMillis -
+        Files.getLastModifiedTime(p).toMillis >= olderThanMs
+      catch { case _: Throwable => false }
+    def one(tp: Path): (Int, Int, Int, Int) =
+      withCommitLock(tp) {
+        import scala.jdk.CollectionConverters._
+        val referenced: Set[String] = {
+          val live = readManifest(tp.toString).map(_.live).toSet ++
+            readPartitionedManifest(tp.toString)
+              .map(_.partitions.values.toSet).getOrElse(Set.empty)
+          val hist = tp.resolve("_versions")
+          val fromHistory =
+            if (!Files.isDirectory(hist)) Set.empty[String]
+            else {
+              val s = Files.list(hist)
+              try s.iterator().asScala.toSeq
+                .filter(_.getFileName.toString.matches("v\\d{8}\\.json"))
+                .flatMap { p =>
+                  val txt = new String(Files.readAllBytes(p),
+                    StandardCharsets.UTF_8)
+                  // both manifest forms: "live" dir or partition map
+                  val liveRe = """"live"\s*:\s*"(v\d{8})"""".r
+                  liveRe.findFirstMatchIn(txt).map(_.group(1)).toSeq ++
+                    parsePartitionedManifest(txt)
+                      .map(_.partitions.values.toSeq).getOrElse(Seq.empty)
+                }.toSet
+              finally s.close()
+            }
+          live ++ fromHistory
+        }
+        val entries = {
+          val s = Files.list(tp)
+          try s.iterator().asScala.toSeq finally s.close()
+        }
+        var (nStaging, nTmp, nVdir, nRw) = (0, 0, 0, 0)
+        entries.filter(oldEnough).foreach { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith("_staging-") && Files.isDirectory(p)) {
+            deleteRecursively(p); nStaging += 1
+          } else if (n.matches("_manifest\\.json\\.tmp\\d+") ||
+                     n.matches("_part_stats\\.json\\.tmp\\d+")) {
+            Files.deleteIfExists(p); nTmp += 1
+          } else if (n.matches("v\\d{8}") && Files.isDirectory(p) &&
+                     !referenced(n)) {
+            deleteRecursively(p); nVdir += 1
+          }
+        }
+        // _rw scratch inside SURVIVING version dirs
+        entries.filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.matches("v\\d{8}")).foreach { vd =>
+          val rw = vd.resolve("_rw")
+          if (Files.isDirectory(rw) && oldEnough(rw)) {
+            deleteRecursively(rw); nRw += 1
+          }
+        }
+        (nStaging, nTmp, nVdir, nRw)
+      }
+    val roots = Seq(rootP) ++
+      Seq("_deletes", "_pos_deletes").map(rootP.resolve)
+        .filter(Files.isDirectory(_))
+    roots.map(one).reduce((a, b) =>
+      (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4))
+  }
+
   /** Keyed upsert against the live snapshot, committed as a new
     * version — the manifest-indirected form of [[MergeWriter.merge]]
     * (unpartitioned): same anti-join ∪ updates merge, same schema
@@ -1208,6 +1297,11 @@ object VersionedTable {
             partitionColumns.size).map(_.toString)
           val newParts = prev.map(_.partitions).getOrElse(Map.empty) ++
             written.map(_ -> dirName)
+          // partition-level bounds BEFORE the manifest flip: a crash
+          // between the two leaves stats.version > manifest.version,
+          // which readers reject (scan-all fallback, sound); stats
+          // lagging the manifest is equally rejected
+          writePartStats(rootP, next, newParts)
           writePartitionedManifest(rootP,
             PartitionedManifest(next, partitionColumns, newParts))
           // immutable history entry (after the flip, like the
@@ -1876,6 +1970,13 @@ object VersionedTable {
                                 partKey: String, column: String,
                                 lo: Long, hi: Long): DataFrame = {
     val (files, _, _) = partitionedSurvivors(root, partKey, column, lo, hi)
+    prunedPartitionedRead(spark, root, files, column, lo, hi)
+  }
+
+  private def prunedPartitionedRead(spark: SparkSession, root: String,
+                                    files: Seq[(Path, Boolean, Path)],
+                                    column: String, lo: Long, hi: Long)
+      : DataFrame = {
     val survivors = files.filter(_._2)
     val df =
       if (survivors.isEmpty) // schema (incl. partition cols), zero rows
@@ -1886,6 +1987,177 @@ object VersionedTable {
             .parquet(fs.map(_._1.toString): _*)
         }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
     df.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+  }
+
+  // ------------------------------------------------------------------
+  // PARTITION-level column bounds (`_part_stats.json`) — the Iceberg
+  // manifest-entry bounds: each upsertPartitioned commit folds the
+  // per-file footer stats of every live partition into one
+  // (rows, per-column [min,max]) entry per partition, version-stamped
+  // with the manifest version it describes. An interval predicate on a
+  // layout-correlated DATA column (ingest-monotone ids in a
+  // time-partitioned table, the classic case) then skips whole
+  // partitions from ONE metadata file — no per-partition sidecar
+  // reads, no listing. Soundness: a reader trusts the sidecar only if
+  // its version equals the live manifest's (a racing/failed commit
+  // degrades to scan-all-partitions), and a partition with incomplete
+  // file stats gets NO bounds (always scans).
+  // ------------------------------------------------------------------
+
+  final case class PartitionStats(rows: Long,
+                                  cols: Map[String, (Long, Long)])
+
+  private def partStatsPath(rootP: Path): Path =
+    rootP.resolve("_part_stats.json")
+
+  /** Fold one partition's per-file stats into partition bounds; None
+    * unless EVERY data file under the partition has a sidecar entry
+    * (partial knowledge must not masquerade as bounds). A column's
+    * bound requires stats in every file of the partition.
+    */
+  private def foldPartitionStats(verDir: Path, key: String,
+                                 sidecar: Map[String, FileStats])
+      : Option[PartitionStats] = {
+    val files = dataFilesUnder(verDir.resolve(key))
+    val rels = files.map(f =>
+      verDir.relativize(f).toString.replace('\\', '/'))
+    if (rels.isEmpty || !rels.forall(sidecar.contains)) None
+    else {
+      val fs = rels.map(sidecar)
+      val common = fs.map(_.cols.keySet).reduce(_ intersect _)
+      Some(PartitionStats(fs.map(_.rows).sum,
+        common.map(c => c -> (fs.map(_.cols(c)._1).min,
+          fs.map(_.cols(c)._2).max)).toMap))
+    }
+  }
+
+  /** Write `_part_stats.json` for the manifest state (version,
+    * partitions): one fold per live partition from its version dir's
+    * sidecar (sidecars are read once per distinct dir). Failures are
+    * swallowed — partition bounds are optional metadata; a missing or
+    * stale file means scan-all, never wrong pruning.
+    */
+  private def writePartStats(rootP: Path, version: Long,
+                             partitions: Map[String, String]): Unit =
+    try {
+      val sidecars = partitions.values.toSeq.distinct
+        .map(dn => dn -> readStatsSidecar(rootP.resolve(dn))).toMap
+      val lines = Seq(s"""{"version": $version}""") ++
+        partitions.toSeq.sortBy(_._1).flatMap { case (k, dn) =>
+          foldPartitionStats(rootP.resolve(dn), k, sidecars(dn)).map { ps =>
+            val cols = ps.cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+              s""""${escJson(c)}": {"min": $mn, "max": $mx}"""
+            }.mkString(", ")
+            s"""{"part": "${escJson(k)}", "rows": ${ps.rows}, """ +
+              s""""cols": {$cols}}"""
+          }
+        }
+      val tmp = rootP.resolve(s"_part_stats.json.tmp${version}")
+      Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, partStatsPath(rootP),
+        StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+      ()
+    } catch { case _: Throwable => () }
+
+  /** Parse `_part_stats.json`: (version it describes, partition key →
+    * bounds). None when absent; malformed lines drop out (their
+    * partitions always scan — sound).
+    */
+  def readPartStats(root: String)
+      : Option[(Long, Map[String, PartitionStats])] = {
+    val p = partStatsPath(Paths.get(root))
+    if (!Files.exists(p)) return None
+    val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    val lines = txt.split("\n").filter(_.nonEmpty)
+    if (lines.isEmpty) return None
+    val vRe = """"version"\s*:\s*(\d+)""".r
+    val version = vRe.findFirstMatchIn(lines.head)
+      .map(_.group(1).toLong).getOrElse(return None)
+    val partRe = """"part"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+    val rowsRe = """"rows"\s*:\s*(\d+)""".r
+    val colRe =
+      """"((?:[^"\\]|\\.)+)"\s*:\s*\{"min"\s*:\s*(-?\d+),\s*"max"\s*:\s*(-?\d+)\}""".r
+    val entries = lines.tail.flatMap { line =>
+      try for {
+        pm <- partRe.findFirstMatchIn(line)
+        rm <- rowsRe.findFirstMatchIn(line)
+      } yield {
+        val cols = colRe.findAllMatchIn(line).map(m =>
+          unescJson(m.group(1)) -> (m.group(2).toLong, m.group(3).toLong))
+          .toMap - "part"
+        unescJson(pm.group(1)) ->
+          PartitionStats(rm.group(1).toLong, cols)
+      } catch { case _: IllegalArgumentException => None }
+    }.toMap
+    Some((version, entries))
+  }
+
+  /** Partition keys an interval predicate on a DATA column must scan
+    * per the version-checked partition bounds: unknown partitions
+    * (no trusted sidecar, no entry, no bound for the column) always
+    * scan.
+    */
+  private def intervalSelectedPartitions(root: String,
+                                         m: PartitionedManifest,
+                                         column: String, lo: Long,
+                                         hi: Long): Map[String, String] = {
+    val trusted = readPartStats(root)
+      .filter(_._1 == m.version).map(_._2)
+    m.partitions.filter { case (k, _) =>
+      trusted.flatMap(_.get(k)).flatMap(_.cols.get(column)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None           => true // unknown → must scan (sound)
+      }
+    }
+  }
+
+  private def intervalSurvivors(root: String, column: String,
+                                lo: Long, hi: Long)
+      : (Seq[(Path, Boolean, Path)], Int, Int) = {
+    val m = readPartitionedManifest(root).getOrElse(
+      throw new IllegalStateException(
+        s"no partitioned _manifest.json under $root"))
+    val rootP = Paths.get(root)
+    val selected = intervalSelectedPartitions(root, m, column, lo, hi)
+    val statsByDir = selected.values.toSeq.distinct
+      .map(d => d -> readStatsSidecar(rootP.resolve(d))).toMap
+    val files = selected.toSeq.sortBy(_._1).flatMap { case (k, dirName) =>
+      val verDir = rootP.resolve(dirName)
+      val stats = statsByDir(dirName)
+      dataFilesUnder(verDir.resolve(k)).map { f =>
+        val rel = verDir.relativize(f).toString.replace('\\', '/')
+        val scan = stats.get(rel).map(_.cols.get(column)) match {
+          case Some(Some((mn, mx))) => mx >= lo && mn <= hi
+          case _                    => true
+        }
+        (f, scan, verDir)
+      }
+    }
+    (files, selected.size, m.partitions.size)
+  }
+
+  /** The partition-bounds pruning decision for `column` in [lo, hi]
+    * with NO partition predicate at all: (partitions scanned, total
+    * partitions, files scanned within them, total files in the
+    * scanned partitions).
+    */
+  def pruneDecisionPartitionedInterval(root: String, column: String,
+                                       lo: Long, hi: Long)
+      : (Int, Int, Int, Int) = {
+    val (files, pSel, pTotal) = intervalSurvivors(root, column, lo, hi)
+    (pSel, pTotal, files.count(_._2), files.size)
+  }
+
+  /** [[readLivePartitioned]] restricted to `column` in [lo, hi],
+    * opening only the files the partition-bounds + file-stats levels
+    * admit; equals the plain filtered read exactly.
+    */
+  def readLivePartitionedPrunedInterval(spark: SparkSession, root: String,
+                                        column: String, lo: Long,
+                                        hi: Long): DataFrame = {
+    val (files, _, _) = intervalSurvivors(root, column, lo, hi)
+    prunedPartitionedRead(spark, root, files, column, lo, hi)
   }
 
   // ------------------------------------------------------------------

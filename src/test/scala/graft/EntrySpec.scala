@@ -204,10 +204,26 @@ class EntrySpec extends SparkSpec {
       "q288_compact_table",  // same integer-cents pin as q287;
                              // strict-verified sf0.001/0.01/0.1
                              // 2026-08-15
-      "q289_sorted_compact") // same integer-cents pin; audit columns
+      "q289_sorted_compact", // same integer-cents pin; audit columns
                              // are integer file counts / bits;
                              // strict-verified sf0.001/0.01/0.1
                              // 2026-08-15
+      "q291_pos_delete_vacuum", // same integer-cents pin (round(value
+                             // *100) → BIGINT before any arithmetic);
+                             // audit columns are integer entry/file
+                             // counts; strict-verified sf0.001/0.01/
+                             // 0.1 2026-08-15
+      "q292_bloom_sidecar",  // same integer-cents pin; audit columns
+                             // are integer file counts / flag bits;
+                             // strict-verified sf0.001/0.01/0.1
+                             // 2026-08-15
+      "q295_partition_bounds", // same integer-cents pin; partition
+                             // decision is an integer zone-overlap
+                             // count; strict-verified sf0.001/0.01/
+                             // 0.1 2026-08-15
+      "q296_orphan_cleanup") // same integer-cents pin; audit columns
+                             // are integer artifact counts; strict-
+                             // verified sf0.001/0.01/0.1 2026-08-15
     val offenders = SparkEntry.oracleSql.collect {
       case (name, sql)
         if sql.toLowerCase.contains("round(") && !pinned(name) => name

@@ -280,6 +280,82 @@ class PosDeleteBloomZOrderSpec extends SparkSpec {
       none.columns.toSet === Set("id", "grp", "v"))
   }
 
+  test("partition-level column bounds: interval on a layout-correlated " +
+    "data column skips whole partitions; stale stats degrade to " +
+    "scan-all, never wrong pruning") {
+    val root = tmpRoot()
+    // 10 partitions with disjoint id ranges (the time-partitioned
+    // monotone-ingest shape)
+    val rows = (0L until 1000L).map(i => (i, s"g${i / 100}", i * 2L))
+      .toDF("id", "grp", "v")
+    VersionedTable.upsertPartitioned(spark, root, rows,
+      Seq("id"), Seq("grp"))
+    val (pScan, pTotal, fScan, fTotal) =
+      VersionedTable.pruneDecisionPartitionedInterval(root, "id",
+        250L, 399L)
+    assert(pTotal === 10 && pScan === 2,
+      s"ids 250-399 live in exactly g2,g3 — got $pScan/$pTotal")
+    assert(fScan <= fTotal)
+    val got = VersionedTable.readLivePartitionedPrunedInterval(
+        spark, root, "id", 250L, 399L)
+      .select("id").as[Long].collect().toSet
+    assert(got === (250L to 399L).toSet)
+    // incremental upsert into ONE partition refreshes the bounds file
+    // for the new manifest version — pruning still works after
+    VersionedTable.upsertPartitioned(spark, root,
+      Seq((260L, "g2", 9999L)).toDF("id", "grp", "v"),
+      Seq("id"), Seq("grp"))
+    val (pScan2, _, _, _) =
+      VersionedTable.pruneDecisionPartitionedInterval(root, "id",
+        250L, 399L)
+    assert(pScan2 === 2, "bounds must survive an incremental commit")
+    // a version-stale bounds file is REJECTED: pruning degrades to
+    // scan-all-partitions, never to pruning on stale bounds
+    val sp = Paths.get(root).resolve("_part_stats.json")
+    val stale = new String(Files.readAllBytes(sp), "UTF-8")
+      .replaceFirst("\\{\"version\": \\d+\\}", "{\"version\": 1}")
+    Files.write(sp, stale.getBytes("UTF-8"))
+    val (pScan3, pTotal3, _, _) =
+      VersionedTable.pruneDecisionPartitionedInterval(root, "id",
+        250L, 399L)
+    assert(pScan3 === pTotal3, "stale bounds must scan everything")
+    assert(VersionedTable.readLivePartitionedPrunedInterval(
+      spark, root, "id", 250L, 399L).count() === 150L)
+  }
+
+  test("removeOrphans reaps only crash artifacts: committed dirs and " +
+    "young staging survive, live content byte-identical") {
+    val root = tmpRoot()
+    VersionedTable.upsert(spark, root,
+      (0L until 100L).map(i => (i, i * 2L)).toDF("id", "v"), Seq("id"))
+    VersionedTable.upsert(spark, root,
+      Seq((100L, 200L)).toDF("id", "v"), Seq("id")) // 2 committed dirs
+    val rootP = Paths.get(root)
+    def plant(p: java.nio.file.Path): Unit = {
+      Files.createDirectories(p.getParent)
+      Files.write(p, "junk".getBytes)
+      ()
+    }
+    plant(rootP.resolve("_staging-dead").resolve("f.parquet"))
+    plant(rootP.resolve("_manifest.json.tmp7"))
+    plant(rootP.resolve("v00000042").resolve("f.parquet"))
+    val live = rootP.resolve(VersionedTable.readManifest(root).get.live)
+    plant(live.resolve("_rw").resolve("f.parquet"))
+    // a LONG grace period protects everything just planted
+    assert(VersionedTable.removeOrphans(root, 3600000L) === ((0, 0, 0, 0)))
+    assert(Files.isDirectory(rootP.resolve("_staging-dead")))
+    // zero grace reaps exactly the four artifact classes
+    assert(VersionedTable.removeOrphans(root, 0L) === ((1, 1, 1, 1)))
+    assert(!Files.exists(rootP.resolve("_staging-dead")))
+    assert(!Files.exists(rootP.resolve("v00000042")))
+    assert(!Files.exists(live.resolve("_rw")))
+    // both COMMITTED version dirs survive (history entries exist)
+    assert(VersionedTable.versions(root).size === 2)
+    assert(VersionedTable.readLive(spark, root).count() === 101L)
+    // idempotent
+    assert(VersionedTable.removeOrphans(root, 0L) === ((0, 0, 0, 0)))
+  }
+
   test("compactZOrder clusters BOTH dimensions: narrow intervals on " +
     "either column prune files after, content preserved exactly") {
     val root = tmpRoot()
