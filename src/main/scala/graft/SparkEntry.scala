@@ -4549,6 +4549,92 @@ object SparkEntry {
           lit(nVdir.toLong).as("min_eid"), lit(nRw.toLong).as("max_eid")))
     }),
 
+    // Conjunctive RECTANGLE pruning after z-order (q293's physical
+    // payoff read): the survivor set for (x interval AND y interval)
+    // is the INTERSECTION of the per-column survivor sets, which the
+    // Morton layout keeps near the rectangle's area fraction — a
+    // single-key sort can only bound one slab. Scattered layout scans
+    // 16/16 (closed form); after compactZOrder the rectangle read is
+    // a subset of BOTH single-dim reads (graded bit) and strictly
+    // better than a full scan (graded bit); content equals the plain
+    // conjunctive filter exactly.
+    "q297_zorder_rectangle" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      val work = graft.core.ScratchDirs.fresh("q297_zr").toString
+      val ev = Tables.events(s, d).select(col("event_id"),
+        (col("event_id") * 2654435761L % 1024L).as("x"),
+        ((col("event_id") * 40503L + 7L) % 1024L).as("y"))
+      vt.commit(work) { dir =>
+        ev.repartition(16).write.parquet(dir)
+      }
+      val (lo, hi) = (100L, 160L)
+      val (rb, _) = vt.pruneDecision2(work, "x", lo, hi, "y", lo, hi)
+      vt.compactZOrder(s, work, "x", "y", 16)
+      val (rect, total) = vt.pruneDecision2(work, "x", lo, hi, "y", lo, hi)
+      val (xa, _) = vt.pruneDecision(work, "x", lo, hi)
+      val (ya, _) = vt.pruneDecision(work, "y", lo, hi)
+      val subsetBit = if (rect <= math.min(xa, ya)) 1L else 0L
+      val improvedBit = if (rect < total) 1L else 0L
+      val agg = vt.readLivePruned2(s, work, "x", lo, hi, "y", lo, hi)
+        .agg(count(lit(1)).as("n"), sum("event_id").as("s1"),
+          min("event_id").as("s2"), max("event_id").as("s3"))
+      agg.select(lit("rows").as("part"), col("n"), col("s1"), col("s2"),
+          col("s3"))
+        .unionByName(s.range(1).select(lit("files").as("part"),
+          lit(rb.toLong).as("n"), lit(total.toLong).as("s1"),
+          lit(subsetBit).as("s2"), lit(improvedBit).as("s3")))
+    }),
+
+    // Exactly-once streaming ingest into a PARTITIONED VersionedTable
+    // (q215's twin on the partitioned store): file-stream micro-
+    // batches land via upsertPartitioned — only the touched event_type
+    // partitions rewrite per batch, untouched partitions keep their
+    // pinned dirs — and a simulated at-least-once REDELIVERY of batch
+    // 0 is absorbed by the keyed merge (same rows, new no-op version).
+    // The audit row proves 5 commits happened (4 batches + 1 replay)
+    // yet the table equals the plain aggregate: duplicate delivery
+    // cost a rewrite, never a duplicate row. The per-partition
+    // incremental rewrite is what makes continuous ingest affordable
+    // at 100 TB — a batch touches its partitions, not the table.
+    "q298_stream_partitioned_ingest" -> ((s, d) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      // repartition (not coalesce): guarantees exactly 4 staged files
+      // at every SF, so maxFilesPerTrigger=1 yields exactly 4 batches
+      // and the audit's commit count is closed-form
+      val src = graft.sinks.FormatStage.ensureParquet(s, s"events-eo4|$d") {
+        Tables.events(s, d).select(col("event_id"), col("event_type"))
+          .repartition(4)
+      }
+      val root = graft.core.ScratchDirs.fresh("q298_peo").toString
+      val stream = s.readStream
+        .schema(StructType(Seq(StructField("event_id", LongType),
+          StructField("event_type", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.sinks.VersionedTable.upsertPartitioned(s, root, batch,
+            keys = Seq("event_id"), partitionColumns = Seq("event_type"))
+          if (id == 0) // at-least-once redelivery of the first batch
+            graft.sinks.VersionedTable.upsertPartitioned(s, root, batch,
+              keys = Seq("event_id"), partitionColumns = Seq("event_type"))
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val m = graft.sinks.VersionedTable.readPartitionedManifest(root).get
+      graft.sinks.VersionedTable.readLivePartitioned(s, root)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_id")).as("n_ids"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"))
+        .unionByName(s.range(1).select(lit("_audit").as("event_type"),
+          lit(m.version).as("n_events"),
+          lit(m.partitions.size.toLong).as("n_ids"),
+          lit(0L).as("min_id"), lit(0L).as("max_id")))
+    }),
+
     // Hashed-bigram linear quality classifier (fastText-shape
     // inference): feature-hash adjacent word bigrams into 4096
     // buckets, sum deterministic integer bucket weights, threshold.
@@ -10345,6 +10431,39 @@ object SparkEntry {
         |SELECT 'orphans' AS part, CAST(1 AS BIGINT) AS n,
         |  CAST(1 AS BIGINT) AS sum_cents, CAST(1 AS BIGINT) AS min_eid,
         |  CAST(1 AS BIGINT) AS max_eid""".stripMargin,
+
+    // Rectangle audit: content is the plain conjunctive filter on the
+    // scrambled dims; scattered layout scanned all 16 (closed form);
+    // intersection-subset and improvement flags.
+    "q297_zorder_rectangle" ->
+      """WITH ev AS (
+        |  SELECT event_id,
+        |    (event_id * 2654435761) % 1024 AS x,
+        |    (event_id * 40503 + 7) % 1024 AS y
+        |  FROM events)
+        |SELECT 'rows' AS part, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS s1, min(event_id) AS s2,
+        |  max(event_id) AS s3
+        |FROM ev
+        |WHERE x BETWEEN 100 AND 160 AND y BETWEEN 100 AND 160
+        |UNION ALL
+        |SELECT 'files' AS part, CAST(16 AS BIGINT) AS n,
+        |  CAST(16 AS BIGINT) AS s1, CAST(1 AS BIGINT) AS s2,
+        |  CAST(1 AS BIGINT) AS s3""".stripMargin,
+
+    // Partitioned-ingest audit: table content equals the plain
+    // aggregate despite the redelivery; 5 commits (4 single-file
+    // batches + 1 replay); one partition per distinct event_type.
+    "q298_stream_partitioned_ingest" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT event_id) AS n_ids,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events GROUP BY event_type
+        |UNION ALL
+        |SELECT '_audit' AS event_type, CAST(5 AS BIGINT) AS n_events,
+        |  (SELECT count(DISTINCT event_type) FROM events) AS n_ids,
+        |  CAST(0 AS BIGINT) AS min_id,
+        |  CAST(0 AS BIGINT) AS max_id""".stripMargin,
 
     // The melt replayed as an explicit 4-way union with the same
     // metric-name literals Spark's unpivot emits.

@@ -1877,6 +1877,60 @@ object VersionedTable {
     stampDefaulted(df).drop(SeqCol).filter(col(column) === lit(value))
   }
 
+  /** Files a CONJUNCTIVE rectangle predicate (`colA` in [loA,hiA] AND
+    * `colB` in [loB,hiB]) must scan per the footer-stats sidecar: a
+    * file survives only if its bounds overlap BOTH intervals (missing
+    * stats on either column → scan, sound). This is the read that
+    * makes [[compactZOrder]] pay off on both dimensions at once — the
+    * survivor set is the INTERSECTION of the per-column sets, which a
+    * z-ordered layout keeps near the rectangle's area fraction while a
+    * single-key sort only bounds one slab.
+    */
+  def pruneDecision2(root: String, colA: String, loA: Long, hiA: Long,
+                     colB: String, loB: Long, hiB: Long): (Int, Int) = {
+    val (survivors, _, total) =
+      rectSurvivors(root, colA, loA, hiA, colB, loB, hiB)
+    (survivors.size, total)
+  }
+
+  private def rectSurvivors(root: String, colA: String, loA: Long,
+                            hiA: Long, colB: String, loB: Long,
+                            hiB: Long): (Seq[Path], Path, Int) = {
+    val m = readManifest(root).getOrElse(throw new IllegalStateException(
+      s"no _manifest.json under $root"))
+    val dirP = Paths.get(root).resolve(m.live)
+    val stats = readStatsSidecar(dirP)
+    val all = dataFilesUnder(dirP)
+    def overlaps(rel: String, c: String, lo: Long, hi: Long): Boolean =
+      stats.get(rel).map(_.cols.get(c)) match {
+        case Some(Some((mn, mx))) => mx >= lo && mn <= hi
+        case _                    => true
+      }
+    val survivors = all.filter { f =>
+      val rel = dirP.relativize(f).toString.replace('\\', '/')
+      overlaps(rel, colA, loA, hiA) && overlaps(rel, colB, loB, hiB)
+    }
+    (survivors, dirP, all.size)
+  }
+
+  /** [[readLive]] restricted to the rectangle, opening only files both
+    * column bounds admit; equals the plain conjunctive filter exactly.
+    */
+  def readLivePruned2(spark: SparkSession, root: String,
+                      colA: String, loA: Long, hiA: Long,
+                      colB: String, loB: Long, hiB: Long): DataFrame = {
+    val (survivors, dirP, _) =
+      rectSurvivors(root, colA, loA, hiA, colB, loB, hiB)
+    val df =
+      if (survivors.isEmpty)
+        spark.read.parquet(dirP.toString).limit(0) // schema, zero rows
+      else spark.read.option("basePath", dirP.toString)
+        .parquet(survivors.map(_.toString): _*)
+    stampDefaulted(df).drop(SeqCol)
+      .filter(col(colA) >= lit(loA) && col(colA) <= lit(hiA) &&
+        col(colB) >= lit(loB) && col(colB) <= lit(hiB))
+  }
+
   /** Metadata-only COUNT(*) of the live snapshot — the sum of the
     * sidecar's per-file row counts, no data read (the manifest-stats
     * answer a real table format gives; at 100 TB this is microseconds

@@ -380,5 +380,17 @@ class PosDeleteBloomZOrderSpec extends SparkSpec {
     val want = rows.filter(r => r._2 >= 100L && r._2 <= 160L).map(_._1).toSet
     assert(got === want, "pruned read must equal the plain filter")
     assert(VersionedTable.readLive(spark, root).count() === 4096L)
+    // conjunctive rectangle: survivor set is the INTERSECTION of the
+    // per-column sets, content equals the plain conjunctive filter
+    val (rect, rt) = VersionedTable.pruneDecision2(root,
+      "x", 100L, 160L, "y", 100L, 160L)
+    assert(rt === 16 && rect <= math.min(xa, ya) && rect < 16,
+      s"rectangle must scan a subset of both slabs, got $rect vs $xa/$ya")
+    val gotRect = VersionedTable.readLivePruned2(spark, root,
+        "x", 100L, 160L, "y", 100L, 160L)
+      .select("id").as[Long].collect().toSet
+    val wantRect = rows.filter(r => r._2 >= 100L && r._2 <= 160L &&
+      r._3 >= 100L && r._3 <= 160L).map(_._1).toSet
+    assert(gotRect === wantRect)
   }
 }
