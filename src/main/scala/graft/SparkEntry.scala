@@ -4635,6 +4635,39 @@ object SparkEntry {
           lit(0L).as("min_id"), lit(0L).as("max_id")))
     }),
 
+    // Schema evolution on the versioned store: commit 1 writes
+    // (k, cents); commit 2 upserts rows that ADD a column (prio)
+    // under SyncAllColumns — surviving legacy rows are null-padded,
+    // updated rows carry the new column, and time travel back to v1
+    // still reads the ORIGINAL 2-column schema. The aggregate groups
+    // by the evolved column with legacy nulls bucketed; the audit row
+    // pins v1's column count and row count. At 100 TB schema changes
+    // must be metadata-level — this grades that adding a column never
+    // rewrites or corrupts existing data.
+    "q299_schema_evolution" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      val work = graft.core.ScratchDirs.fresh("q299_se").toString
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderpriority").as("prio"))
+      vt.upsert(s, work, o.filter(col("k") % 2 === 0)
+        .select(col("k"), col("cents")), Seq("k"))
+      vt.upsert(s, work, o.filter(col("k") % 3 === 0)
+        .select(col("k"), (col("cents") * 2).as("cents"), col("prio")),
+        Seq("k"), schemaMode = graft.sinks.MergeWriter.SchemaMode.SyncAllColumns)
+      val v1 = vt.readVersion(s, work, 1L)
+      val v1Cols = v1.columns.length.toLong
+      val v1Rows = v1.count()
+      val live = vt.readLive(s, work)
+        .withColumn("prio_g", coalesce(col("prio"), lit("(legacy)")))
+      live.groupBy("prio_g")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .unionByName(s.range(1).select(lit("_audit").as("prio_g"),
+          lit(v1Cols).as("n"), lit(v1Rows).as("sum_cents"),
+          lit(0L).as("min_k"), lit(0L).as("max_k")))
+    }),
+
     // Hashed-bigram linear quality classifier (fastText-shape
     // inference): feature-hash adjacent word bigrams into 4096
     // buckets, sum deterministic integer bucket weights, threshold.
@@ -10464,6 +10497,29 @@ object SparkEntry {
         |  (SELECT count(DISTINCT event_type) FROM events) AS n_ids,
         |  CAST(0 AS BIGINT) AS min_id,
         |  CAST(0 AS BIGINT) AS max_id""".stripMargin,
+
+    // Schema-evolution replay: keys from either commit; k%3==0 rows
+    // carry the updated cents and the new column, surviving legacy
+    // rows (k%2==0 only) bucket as '(legacy)'; the audit pins v1's
+    // 2-column schema and its row count.
+    "q299_schema_evolution" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |m AS (
+        |  SELECT k,
+        |    CASE WHEN k % 3 = 0 THEN cents * 2 ELSE cents END AS cents,
+        |    CASE WHEN k % 3 = 0 THEN prio ELSE '(legacy)' END AS prio_g
+        |  FROM o WHERE k % 2 = 0 OR k % 3 = 0)
+        |SELECT prio_g, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM m GROUP BY prio_g
+        |UNION ALL
+        |SELECT '_audit' AS prio_g, CAST(2 AS BIGINT) AS n,
+        |  (SELECT count(*) FROM o WHERE k % 2 = 0) AS sum_cents,
+        |  CAST(0 AS BIGINT) AS min_k, CAST(0 AS BIGINT) AS max_k""".stripMargin,
 
     // The melt replayed as an explicit 4-way union with the same
     // metric-name literals Spark's unpivot emits.

@@ -221,9 +221,14 @@ class EntrySpec extends SparkSpec {
                              // decision is an integer zone-overlap
                              // count; strict-verified sf0.001/0.01/
                              // 0.1 2026-08-15
-      "q296_orphan_cleanup") // same integer-cents pin; audit columns
+      "q296_orphan_cleanup", // same integer-cents pin; audit columns
                              // are integer artifact counts; strict-
                              // verified sf0.001/0.01/0.1 2026-08-15
+      "q299_schema_evolution") // integer-cents pin (round(price*100)
+                             // → BIGINT before any arithmetic); audit
+                             // columns are integer schema/row counts;
+                             // strict-verified sf0.001/0.01/0.1
+                             // 2026-08-15
     val offenders = SparkEntry.oracleSql.collect {
       case (name, sql)
         if sql.toLowerCase.contains("round(") && !pinned(name) => name
