@@ -4668,6 +4668,44 @@ object SparkEntry {
           lit(0L).as("min_k"), lit(0L).as("max_k")))
     }),
 
+    // Partitioned small-file compaction: one ingest sliced across 6
+    // hash tasks leaves every event_type partition holding 6 small
+    // files (the per-batch accretion shape); compactPartitions
+    // rewrites each fragmented partition into ONE file via a single
+    // partition-column repartition and flips only their pointers.
+    // Audit: partitions rewritten = all of them (= distinct types,
+    // replayed), files 6·|types| → |types|, version 2, and the
+    // content hash proves compaction is a pure layout change. At
+    // 100 TB per-partition compaction is what keeps streaming-ingest
+    // file counts from dominating read planning.
+    "q300_partitioned_compaction" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      val work = graft.core.ScratchDirs.fresh("q300_pc").toString
+      val ev = Tables.events(s, d).select(col("event_id"), col("event_type"))
+        .repartition(6, col("event_id"))
+      vt.upsertPartitioned(s, work, ev, Seq("event_id"), Seq("event_type"))
+      def liveFiles(): Long = {
+        val m = vt.readPartitionedManifest(work).get
+        m.partitions.toSeq.map { case (k, dn) =>
+          val st = java.nio.file.Files.walk(
+            java.nio.file.Paths.get(work).resolve(dn).resolve(k))
+          try st.filter(_.getFileName.toString.endsWith(".parquet")).count()
+          finally st.close()
+        }.sum
+      }
+      val before = liveFiles()
+      val (v2, rewritten) = vt.compactPartitions(s, work)
+      val after = liveFiles()
+      vt.readLivePartitioned(s, work)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_id")).as("n_ids"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"))
+        .unionByName(s.range(1).select(lit("_audit").as("event_type"),
+          lit(rewritten.toLong).as("n"), lit(before).as("n_ids"),
+          lit(after).as("min_id"), lit(v2).as("max_id")))
+    }),
+
     // Hashed-bigram linear quality classifier (fastText-shape
     // inference): feature-hash adjacent word bigrams into 4096
     // buckets, sum deterministic integer bucket weights, threshold.
@@ -10520,6 +10558,20 @@ object SparkEntry {
         |SELECT '_audit' AS prio_g, CAST(2 AS BIGINT) AS n,
         |  (SELECT count(*) FROM o WHERE k % 2 = 0) AS sum_cents,
         |  CAST(0 AS BIGINT) AS min_k, CAST(0 AS BIGINT) AS max_k""".stripMargin,
+
+    // Partitioned-compaction audit: content is the plain aggregate
+    // (pure layout change); every partition was fragmented (6 files
+    // each) and compacts to exactly one file; version advances to 2.
+    "q300_partitioned_compaction" ->
+      """WITH t AS (SELECT count(DISTINCT event_type) AS k FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  count(DISTINCT event_id) AS n_ids,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events GROUP BY event_type
+        |UNION ALL
+        |SELECT '_audit' AS event_type, (SELECT k FROM t) AS n,
+        |  (SELECT 6 * k FROM t) AS n_ids, (SELECT k FROM t) AS min_id,
+        |  CAST(2 AS BIGINT) AS max_id""".stripMargin,
 
     // The melt replayed as an explicit 4-way union with the same
     // metric-name literals Spark's unpivot emits.

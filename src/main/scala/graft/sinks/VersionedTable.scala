@@ -1444,6 +1444,47 @@ object VersionedTable {
     * rest untouched. `expectedBase` CAS-protects against concurrent
     * commits like every other write. The vacuum fold builds on this.
     */
+  /** Compact FRAGMENTED partitions of a partitioned table — those
+    * holding at least `minFiles` data files (the accretion shape
+    * per-batch streaming ingest produces) — into ONE file each, as a
+    * CAS-protected commit that flips only their pointers; healthy
+    * partitions are never read or rewritten. Rows are re-clustered by
+    * a hash repartition on the partition columns, so each partition's
+    * rows land in one task and the dynamic-partition writer emits one
+    * file per partition. Returns (version, partitions rewritten) —
+    * (current version, 0) when nothing is fragmented. Old version
+    * dirs are pruned by the next upsertPartitioned's retention pass,
+    * same as vacuumDeletesPartitioned.
+    */
+  def compactPartitions(spark: SparkSession, root: String,
+                        minFiles: Int = 2,
+                        maxRetries: Int = 10): (Long, Int) = {
+    require(minFiles >= 2, s"minFiles must be >= 2: $minFiles")
+    val rootP = Paths.get(root)
+    var rewritten = 0
+    def once(): Long = {
+      val m = readPartitionedManifest(root).getOrElse(
+        throw new IllegalStateException(
+          s"no partitioned _manifest.json under $root"))
+      val frag = m.partitions.filter { case (k, dn) =>
+        dataFilesUnder(rootP.resolve(dn).resolve(k)).size >= minFiles
+      }
+      rewritten = frag.size
+      if (frag.isEmpty) return m.version
+      val df = frag.groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (dn, parts) =>
+          val base = rootP.resolve(dn).toString
+          spark.read.option("basePath", base)
+            .parquet(parts.keys.toSeq.sorted.map(k => s"$base/$k"): _*)
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
+        .repartition(m.partitionColumns.map(col): _*)
+      replacePartitioned(spark, root, df, m.partitionColumns,
+        covered = frag.keys.toSeq, expectedBase = Some(m.version))
+    }
+    val v = retryThenEscalate(rootP, maxRetries)(once())
+    (v, rewritten)
+  }
+
   private def replacePartitioned(spark: SparkSession, root: String,
                                  df: DataFrame,
                                  partitionColumns: Seq[String],
@@ -1474,6 +1515,10 @@ object VersionedTable {
       // away) must lose its pointer, or its old rows would resurface
       val newParts = (prev.map(_.partitions).getOrElse(Map.empty) ++
         written.map(_ -> dirName)) -- (covered.toSet -- written.toSet)
+      // keep partition-level bounds current across replace commits
+      // too, or interval pruning would degrade to scan-all (sound but
+      // ineffective) after every vacuum/compaction
+      writePartStats(rootP, next, newParts)
       writePartitionedManifest(rootP,
         PartitionedManifest(next, partitionColumns, newParts))
       Files.createDirectories(rootP.resolve("_versions"))

@@ -323,6 +323,49 @@ class PosDeleteBloomZOrderSpec extends SparkSpec {
       spark, root, "id", 250L, 399L).count() === 150L)
   }
 
+  test("compactPartitions rewrites only fragmented partitions to one " +
+    "file each; healthy partitions keep their pinned dirs; content " +
+    "identical; interval pruning still works after") {
+    val root = tmpRoot()
+    // 5 partitions with disjoint id ranges, fragmented 4 ways
+    val rows = (0L until 1000L).map(i => (i, s"g${i / 200}", i * 2L))
+      .toDF("id", "grp", "v")
+    VersionedTable.upsertPartitioned(spark, root,
+      rows.repartition(4, col("id")), Seq("id"), Seq("grp"))
+    // make ONE partition healthy: single-row rewrite of g4 only
+    VersionedTable.upsertPartitioned(spark, root,
+      rows.filter(col("grp") === "g4").coalesce(1),
+      Seq("id"), Seq("grp"))
+    val mBefore = VersionedTable.readPartitionedManifest(root).get
+    val (v, rewritten) = VersionedTable.compactPartitions(spark, root)
+    assert(rewritten === 4, s"only the 4 fragmented partitions rewrite")
+    val mAfter = VersionedTable.readPartitionedManifest(root).get
+    assert(mAfter.version === v)
+    assert(mAfter.partitions("grp=g4") === mBefore.partitions("grp=g4"),
+      "the healthy partition must keep its pinned dir")
+    mAfter.partitions.filter(_._1 != "grp=g4").values.foreach(d =>
+      assert(d === f"v$v%08d", "fragmented partitions flip to the new dir"))
+    // one file per rewritten partition
+    mAfter.partitions.filter(_._1 != "grp=g4").foreach { case (k, dn) =>
+      val files = Files.walk(Paths.get(root).resolve(dn).resolve(k))
+      try assert(files.filter(_.getFileName.toString.endsWith(".parquet"))
+        .count() === 1L)
+      finally files.close()
+    }
+    val got = VersionedTable.readLivePartitioned(spark, root)
+      .select("id", "v").as[(Long, Long)].collect().toSet
+    assert(got === (0L until 1000L).map(i => (i, i * 2L)).toSet)
+    // part-stats refreshed by the replace commit: interval pruning
+    // still selects exactly the covering partitions
+    val (pScan, pTotal, _, _) =
+      VersionedTable.pruneDecisionPartitionedInterval(root, "id",
+        250L, 399L)
+    assert(pTotal === 5 && pScan === 1,
+      s"ids 250-399 live in exactly g1 post-compaction, got $pScan")
+    // nothing fragmented now → no-op, no new version
+    assert(VersionedTable.compactPartitions(spark, root) === ((v, 0)))
+  }
+
   test("removeOrphans reaps only crash artifacts: committed dirs and " +
     "young staging survive, live content byte-identical") {
     val root = tmpRoot()
