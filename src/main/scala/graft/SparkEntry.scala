@@ -4706,6 +4706,64 @@ object SparkEntry {
           lit(after).as("min_id"), lit(v2).as("max_id")))
     }),
 
+    // TABLE-LIFECYCLE capstone (the q228 idiom for the table format):
+    // fragmented day-partitioned ingest → keyed soft-delete (zero
+    // rewrite) → MoR aggregate → partitioned vacuum (rewrites ONLY
+    // the day partitions holding deleted ids — replayed as count of
+    // distinct days of deleted keys) → per-partition compaction (all
+    // partitions to one file — counts replayed as distinct days) →
+    // partition-bounds interval pruning over the final layout (zone
+    // replay, the q295 idiom). Every phase's physical decision is an
+    // audit number the oracle recomputes from the data; the content
+    // hashes prove each maintenance step changed layout, never rows.
+    "q301_table_lifecycle" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      val work = graft.core.ScratchDirs.fresh("q301_tl").toString
+      val ev = Tables.events(s, d).select(col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .repartition(4, col("event_id"))
+      vt.upsertPartitioned(s, work, ev, Seq("event_id"), Seq("day"),
+        keepManifests = 4)
+      vt.softDeletePartitioned(s, work,
+        ev.where(col("event_id") < 40L).select("event_id"),
+        Seq("event_id"))
+      val mor = vt.readLivePartitionedWithDeletes(s, work, Seq("event_id"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("s1"),
+          min("event_id").as("s2"), max("event_id").as("s3"))
+        .select(lit("mor").as("phase"), col("n"), col("s1"), col("s2"),
+          col("s3"))
+        .localCheckpoint(true)
+      val vv = vt.vacuumDeletesPartitioned(s, work, Seq("event_id"))
+      val mv = vt.readPartitionedManifest(work).get
+      val vacuumRewrote =
+        mv.partitions.values.count(_ == f"v$vv%08d").toLong
+      val (_, compactRewrote) = vt.compactPartitions(s, work)
+      def liveFiles(): Long = {
+        val m = vt.readPartitionedManifest(work).get
+        m.partitions.toSeq.map { case (k, dn) =>
+          val st = java.nio.file.Files.walk(
+            java.nio.file.Paths.get(work).resolve(dn).resolve(k))
+          try st.filter(_.getFileName.toString.endsWith(".parquet")).count()
+          finally st.close()
+        }.sum
+      }
+      val filesAfter = liveFiles()
+      val (lo, hi) = (200L, 299L)
+      val (pScan, _, _, _) =
+        vt.pruneDecisionPartitionedInterval(work, "event_id", lo, hi)
+      val pruned = vt.readLivePartitionedPrunedInterval(
+          s, work, "event_id", lo, hi)
+        .agg(count(lit(1)).as("n"), sum("cents").as("s1"),
+          min("event_id").as("s2"), max("event_id").as("s3"))
+        .select(lit("pruned").as("phase"), col("n"), col("s1"),
+          col("s2"), col("s3"))
+      val audit = s.range(1).select(lit("audit").as("phase"),
+        lit(vacuumRewrote).as("n"), lit(compactRewrote.toLong).as("s1"),
+        lit(filesAfter).as("s2"), lit(pScan.toLong).as("s3"))
+      mor.unionByName(pruned).unionByName(audit)
+    }),
+
     // Hashed-bigram linear quality classifier (fastText-shape
     // inference): feature-hash adjacent word bigrams into 4096
     // buckets, sum deterministic integer bucket weights, threshold.
@@ -10572,6 +10630,37 @@ object SparkEntry {
         |SELECT '_audit' AS event_type, (SELECT k FROM t) AS n,
         |  (SELECT 6 * k FROM t) AS n_ids, (SELECT k FROM t) AS min_id,
         |  CAST(2 AS BIGINT) AS max_id""".stripMargin,
+
+    // Lifecycle replay: live = post-delete rows; vacuum pointer count
+    // = days holding BOTH deleted and surviving ids (a fully-emptied
+    // day vacates its pointer instead — the sf0.001 shape, where the
+    // delete consumes day 1 whole); compaction/file counts = live
+    // days; partition pruning = zone replay over live per-day bounds.
+    "q301_table_lifecycle" ->
+      """WITH ev AS (
+        |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+        |    strftime(ts, '%Y-%m-%d') AS day
+        |  FROM events),
+        |live AS (SELECT * FROM ev WHERE event_id >= 40),
+        |z AS (
+        |  SELECT day, min(event_id) AS mn, max(event_id) AS mx
+        |  FROM live GROUP BY day)
+        |SELECT 'mor' AS phase, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS s1,
+        |  min(event_id) AS s2, max(event_id) AS s3
+        |FROM live
+        |UNION ALL
+        |SELECT 'pruned' AS phase, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS s1,
+        |  min(event_id) AS s2, max(event_id) AS s3
+        |FROM live WHERE event_id BETWEEN 200 AND 299
+        |UNION ALL
+        |SELECT 'audit' AS phase,
+        |  (SELECT count(DISTINCT day) FROM live WHERE day IN
+        |     (SELECT DISTINCT day FROM ev WHERE event_id < 40)) AS n,
+        |  (SELECT count(DISTINCT day) FROM live) AS s1,
+        |  (SELECT count(DISTINCT day) FROM live) AS s2,
+        |  (SELECT count(*) FROM z WHERE mx >= 200 AND mn <= 299) AS s3""".stripMargin,
 
     // The melt replayed as an explicit 4-way union with the same
     // metric-name literals Spark's unpivot emits.

@@ -136,4 +136,75 @@ class VersionedTableStressSpec extends SparkSpec {
     assert(VersionedTable.readPartitionedManifest(root).get.version ===
       1L + nWriters.toLong * opsPerWriter)
   }
+
+  test("maintenance racing ingest: compactPartitions and removeOrphans " +
+    "interleave with 4 upsert writers without losing rows or pointers") {
+    val root = Files.createTempDirectory("vstressM").resolve("t").toString
+    val rootP = java.nio.file.Paths.get(root)
+    VersionedTable.upsertPartitioned(spark, root,
+      Seq(("seed", 0L, -1L)).toDF("dt", "id", "v"), Seq("dt", "id"),
+      Seq("dt"), keepManifests = 40)
+    // planted AGED crash artifacts: the orphan thread's grace period
+    // must reap exactly these while every live writer's staging stays
+    // untouched
+    def plantAged(p: java.nio.file.Path): Unit = {
+      Files.createDirectories(p.getParent)
+      Files.write(p, "junk".getBytes)
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(1000L))
+      Files.setLastModifiedTime(p.getParent,
+        java.nio.file.attribute.FileTime.fromMillis(1000L))
+      ()
+    }
+    plantAged(rootP.resolve("_staging-dead").resolve("f.parquet"))
+    plantAged(rootP.resolve("v00000099").resolve("f.parquet"))
+    val nWriters = 4
+    val opsPerWriter = 6
+    val errors =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val models = Array.fill(nWriters)(
+      scala.collection.mutable.HashMap[Long, Long]())
+    val writers = (0 until nWriters).map { w =>
+      new Thread(() => {
+        try {
+          val rnd = new java.util.Random(8000L + w)
+          (0 until opsPerWriter).foreach { step =>
+            val k = (w + 1) * 100L + rnd.nextInt(10)
+            val dt = s"d${k % 3}"
+            VersionedTable.upsertPartitioned(spark, root,
+              Seq((dt, k, w * 1000L + step)).toDF("dt", "id", "v"),
+              Seq("dt", "id"), partitionColumns = Seq("dt"),
+              maxRetries = 30, keepManifests = 40)
+            models(w)(k) = w * 1000L + step
+          }
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    val compactor = new Thread(() => {
+      try (0 until 4).foreach { _ =>
+        VersionedTable.compactPartitions(spark, root, maxRetries = 30)
+        Thread.sleep(40)
+      } catch { case t: Throwable => errors.add(t) }
+    })
+    val cleaner = new Thread(() => {
+      try (0 until 4).foreach { _ =>
+        VersionedTable.removeOrphans(root, olderThanMs = 600000L)
+        Thread.sleep(30)
+      } catch { case t: Throwable => errors.add(t) }
+    })
+    (writers :+ compactor :+ cleaner).foreach(_.start())
+    (writers :+ compactor :+ cleaner).foreach(_.join(180000))
+    assert(writers.forall(!_.isAlive) && !compactor.isAlive &&
+      !cleaner.isAlive, "a stress thread is stuck")
+    assert(errors.isEmpty, s"thread threw: ${errors.toArray.toSeq}")
+    // aged artifacts reaped; live data byte-for-byte the serial replay
+    assert(!Files.exists(rootP.resolve("_staging-dead")))
+    assert(!Files.exists(rootP.resolve("v00000099")))
+    val got = VersionedTable.readLivePartitioned(spark, root)
+      .select("id", "v").as[(Long, Long)].collect().toMap
+    val expected = Map(0L -> -1L) ++ models.flatMap(_.toSeq)
+    assert(got === expected,
+      s"diverged: missing=${expected.keySet -- got.keySet} " +
+        s"extra=${got.keySet -- expected.keySet}")
+  }
 }
