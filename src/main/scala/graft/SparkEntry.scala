@@ -4764,6 +4764,85 @@ object SparkEntry {
       mor.unionByName(pruned).unionByName(audit)
     }),
 
+    // Sorted per-partition clustering for SECONDARY-column pruning:
+    // cents is uncorrelated with the day partitioning, so partition
+    // bounds cannot prune a cents interval — before clustering the
+    // two-level read must open essentially every file. After
+    // compactPartitionsSorted(cents) each day's files cover disjoint
+    // cents ranges, and the same interval collapses to a few files
+    // per partition via the footer sidecars (strict-improvement bit
+    // on the total scanned count, soundness bit, version closed-form;
+    // content equals the plain filter). This is the layout move that
+    // makes secondary-column queries affordable on a time-partitioned
+    // 100 TB table.
+    "q302_partition_sorted_cluster" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      val work = graft.core.ScratchDirs.fresh("q302_psc").toString
+      val ev = Tables.events(s, d).select(col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .repartition(4, col("event_id"))
+      vt.upsertPartitioned(s, work, ev, Seq("event_id"), Seq("day"))
+      val (lo, hi) = (1000L, 2000L)
+      val (_, _, fb, _) =
+        vt.pruneDecisionPartitionedInterval(work, "cents", lo, hi)
+      val v2 = vt.compactPartitionsSorted(s, work, Seq("cents"))
+      val (_, _, fa, ft) =
+        vt.pruneDecisionPartitionedInterval(work, "cents", lo, hi)
+      val pruned = vt.readLivePartitionedPrunedInterval(
+          s, work, "cents", lo, hi)
+        .agg(count(lit(1)).as("n"), sum("cents").as("s1"),
+          min("event_id").as("s2"), max("event_id").as("s3"))
+      pruned.select(lit("rows").as("phase"), col("n"), col("s1"),
+          col("s2"), col("s3"))
+        .unionByName(s.range(1).select(lit("audit").as("phase"),
+          lit(if (fa < fb) 1L else 0L).as("n"),
+          lit(if (fa <= ft) 1L else 0L).as("s1"),
+          lit(v2).as("s2"), lit(0L).as("s3")))
+    }),
+
+    // Bloom sidecars on a PARTITIONED table: a point lookup on a
+    // scrambled high-cardinality column (k, uncorrelated with the day
+    // partitioning AND unclustered within partitions) is the query no
+    // other pruning level can touch — partition bounds span the
+    // domain, footer min/max spans the domain. Per-file blooms built
+    // per version dir admit ~1 of 120 files for the present value and
+    // ~0 for an absent one; the pruned reads equal the plain equality
+    // filters exactly. At 100 TB this is the Iceberg-Puffin answer to
+    // "find this document id" on a time-partitioned corpus.
+    "q303_partitioned_bloom" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      val work = graft.core.ScratchDirs.fresh("q303_pbl").toString
+      val ev = Tables.events(s, d).select(col("event_id"),
+        ((col("event_id") * 2654435761L) % 100000L).as("k"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .repartition(4, col("event_id"))
+      vt.upsertPartitioned(s, work, ev, Seq("event_id"), Seq("day"))
+      vt.addBloomSidecarPartitioned(s, work, Seq("k"), bits = 1 << 17)
+      val probe = 777L * 2654435761L % 100000L
+      val absent = -12345L
+      val (pScan, pTot) =
+        vt.pruneDecisionPartitionedBloomLong(work, "k", probe)
+      val (aScan, _) =
+        vt.pruneDecisionPartitionedBloomLong(work, "k", absent)
+      def agg(df: org.apache.spark.sql.DataFrame, part: String) =
+        df.agg(count(lit(1)).as("n"), sum("event_id").as("s1"),
+            min("event_id").as("s2"), max("event_id").as("s3"))
+          .select(lit(part).as("part"), col("n"), col("s1"), col("s2"),
+            col("s3"))
+      val present = agg(
+        vt.readLivePartitionedPrunedBloomLong(s, work, "k", probe),
+        "present")
+      val absentR = agg(
+        vt.readLivePartitionedPrunedBloomLong(s, work, "k", absent),
+        "absent")
+      val audit = s.range(1).select(lit("audit").as("part"),
+        lit(if (pScan >= 1 && pScan < pTot) 1L else 0L).as("n"),
+        lit(if (aScan <= 3) 1L else 0L).as("s1"),
+        lit(0L).as("s2"), lit(0L).as("s3"))
+      present.unionByName(absentR).unionByName(audit)
+    }),
+
     // Hashed-bigram linear quality classifier (fastText-shape
     // inference): feature-hash adjacent word bigrams into 4096
     // buckets, sum deterministic integer bucket weights, threshold.
@@ -10661,6 +10740,43 @@ object SparkEntry {
         |  (SELECT count(DISTINCT day) FROM live) AS s1,
         |  (SELECT count(DISTINCT day) FROM live) AS s2,
         |  (SELECT count(*) FROM z WHERE mx >= 200 AND mn <= 299) AS s3""".stripMargin,
+
+    // Sorted-cluster replay: content is the plain cents-interval
+    // filter; clustering strictly reduced the total files scanned and
+    // stayed sound; the rewrite is version 2.
+    "q302_partition_sorted_cluster" ->
+      """WITH ev AS (
+        |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT 'rows' AS phase, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS s1,
+        |  min(event_id) AS s2, max(event_id) AS s3
+        |FROM ev WHERE cents BETWEEN 1000 AND 2000
+        |UNION ALL
+        |SELECT 'audit' AS phase, CAST(1 AS BIGINT) AS n,
+        |  CAST(1 AS BIGINT) AS s1, CAST(2 AS BIGINT) AS s2,
+        |  CAST(0 AS BIGINT) AS s3""".stripMargin,
+
+    // Partitioned-bloom replay: both probe contents equal the plain
+    // equality filters (k collisions included on both sides);
+    // improvement and fpp-bound flags.
+    "q303_partitioned_bloom" ->
+      """WITH ev AS (
+        |  SELECT event_id, (event_id * 2654435761) % 100000 AS k
+        |  FROM events)
+        |SELECT 'present' AS part, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS s1,
+        |  min(event_id) AS s2, max(event_id) AS s3
+        |FROM ev WHERE k = (777 * 2654435761) % 100000
+        |UNION ALL
+        |SELECT 'absent' AS part, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS s1,
+        |  min(event_id) AS s2, max(event_id) AS s3
+        |FROM ev WHERE k = -12345
+        |UNION ALL
+        |SELECT 'audit' AS part, CAST(1 AS BIGINT) AS n,
+        |  CAST(1 AS BIGINT) AS s1, CAST(0 AS BIGINT) AS s2,
+        |  CAST(0 AS BIGINT) AS s3""".stripMargin,
 
     // The melt replayed as an explicit 4-way union with the same
     // metric-name literals Spark's unpivot emits.

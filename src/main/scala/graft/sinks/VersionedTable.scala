@@ -1485,6 +1485,39 @@ object VersionedTable {
     (v, rewritten)
   }
 
+  /** Sort-clustered rewrite of EVERY partition: range-repartition on
+    * (partition columns ++ sortCols) — partition values are the major
+    * key, so each output bucket holds a contiguous slice of ONE
+    * partition's sort range — then sort within, giving each partition
+    * ~`bucketsPerPartition` files with DISJOINT sortCol ranges. After
+    * this, an interval on a column UNCORRELATED with the partitioning
+    * (where partition bounds can't prune) still collapses to a few
+    * files per partition via the footer sidecars — the layout that
+    * makes two-level pruning pay on secondary columns. Committed via
+    * the same CAS'd replace as compaction. Returns the new version.
+    */
+  def compactPartitionsSorted(spark: SparkSession, root: String,
+                              sortCols: Seq[String],
+                              bucketsPerPartition: Int = 4,
+                              maxRetries: Int = 10): Long = {
+    require(sortCols.nonEmpty, "compactPartitionsSorted needs sort columns")
+    val rootP = Paths.get(root)
+    def once(): Long = {
+      val m = readPartitionedManifest(root).getOrElse(
+        throw new IllegalStateException(
+          s"no partitioned _manifest.json under $root"))
+      val keys = (m.partitionColumns ++ sortCols).map(col)
+      val n = math.max(1, bucketsPerPartition * m.partitions.size)
+      val df = readPartitionedSnapshot(spark, root, m)
+        .repartitionByRange(n, keys: _*)
+        .sortWithinPartitions(keys: _*)
+      replacePartitioned(spark, root, df, m.partitionColumns,
+        covered = m.partitions.keys.toSeq,
+        expectedBase = Some(m.version))
+    }
+    retryThenEscalate(rootP, maxRetries)(once())
+  }
+
   private def replacePartitioned(spark: SparkSession, root: String,
                                  df: DataFrame,
                                  partitionColumns: Seq[String],
@@ -2427,6 +2460,117 @@ object VersionedTable {
       else spark.read.option("basePath", dirP.toString)
         .parquet(survivors.map(_.toString): _*)
     stampDefaulted(df).drop(SeqCol).filter(col(column) === lit(value))
+  }
+
+  /** Partitioned flavor of [[addBloomSidecar]]: build per-file blooms
+    * for the LIVE partitions' files, one `_bloom.json` per distinct
+    * version dir (the sidecar stays beside the immutable data it
+    * describes, like the unpartitioned form). One grouped-aggregate
+    * Spark job per distinct dir — usually one or two.
+    */
+  def addBloomSidecarPartitioned(spark: SparkSession, root: String,
+                                 columns: Seq[String],
+                                 bits: Int = 1 << 16): Unit = {
+    require(columns.nonEmpty,
+      "addBloomSidecarPartitioned needs at least one column")
+    val m = readPartitionedManifest(root).getOrElse(
+      throw new IllegalStateException(
+        s"no partitioned _manifest.json under $root"))
+    val rootP = Paths.get(root)
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    m.partitions.groupBy(_._2).toSeq.sortBy(_._1).foreach {
+      case (dn, parts) =>
+        val dirP = rootP.resolve(dn)
+        val files = parts.keys.toSeq.sorted
+          .flatMap(k => dataFilesUnder(dirP.resolve(k)))
+        if (files.nonEmpty) {
+          val src = spark.read.option("basePath", dirP.toString)
+            .parquet(files.map(_.toString): _*)
+            .select(
+              expr(s"substring_index(_metadata.file_path, '/$dn/', -1)")
+                .as("_graft_file") +:
+              columns.map(c => xxhash64(col(c)).as(s"_graft_h_$c")): _*)
+          val aggs = columns.map(c =>
+            expr(s"graft_bloom(`_graft_h_$c`, $bits)").as(s"_graft_b_$c"))
+          val rows = src.groupBy(col("_graft_file"))
+            .agg(aggs.head, aggs.tail: _*).collect()
+          val enc = java.util.Base64.getEncoder
+          val lines = rows.flatMap { r =>
+            val rel = r.getString(0)
+            columns.zipWithIndex.map { case (c, i) =>
+              val sketch = r.getSeq[Long](i + 1).toArray
+              val words = sketch.drop(graft.functions.Bloom.HeaderLen)
+              val bb = java.nio.ByteBuffer.allocate(words.length * 8)
+              bb.asLongBuffer().put(words)
+              s"""{"path": "${escJson(rel)}", "column": "${escJson(c)}", """ +
+                s""""bits": ${sketch(0)}, "k": ${sketch(1)}, """ +
+                s""""words": "${enc.encodeToString(bb.array())}"}"""
+            }
+          }
+          Files.write(bloomPath(dirP),
+            lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+          ()
+        }
+    }
+  }
+
+  /** Live-partition files an equality probe must scan per the per-dir
+    * bloom sidecars (missing entries always scan — sound), plus each
+    * file's version dir for basePath reads.
+    */
+  private def partitionedBloomSurvivors(root: String, column: String,
+                                        hash: Long)
+      : (Seq[(Path, Boolean, Path)], Int) = {
+    val m = readPartitionedManifest(root).getOrElse(
+      throw new IllegalStateException(
+        s"no partitioned _manifest.json under $root"))
+    val rootP = Paths.get(root)
+    val bloomsByDir = m.partitions.values.toSeq.distinct
+      .map(dn => dn -> readBloomSidecar(rootP.resolve(dn))).toMap
+    val files = m.partitions.toSeq.sortBy(_._1).flatMap { case (k, dn) =>
+      val dirP = rootP.resolve(dn)
+      dataFilesUnder(dirP.resolve(k)).map { f =>
+        val rel = dirP.relativize(f).toString.replace('\\', '/')
+        val scan = bloomsByDir(dn).get((rel, column)) match {
+          case Some(sketch) =>
+            graft.functions.Bloom.mightContain(sketch, hash)
+          case None => true
+        }
+        (f, scan, dirP)
+      }
+    }
+    (files, files.size)
+  }
+
+  /** (files `column = value` must scan, total live files) on a
+    * PARTITIONED table per the bloom sidecars.
+    */
+  def pruneDecisionPartitionedBloomLong(root: String, column: String,
+                                        value: Long): (Int, Int) = {
+    val (files, total) = partitionedBloomSurvivors(root, column,
+      graft.functions.Bloom.hashLong(value))
+    (files.count(_._2), total)
+  }
+
+  /** [[readLivePartitioned]] restricted to `column = value` (BIGINT),
+    * opening only bloom-admitted files; equals the plain equality
+    * filter exactly (false positives cost a file open, never a row).
+    */
+  def readLivePartitionedPrunedBloomLong(spark: SparkSession,
+                                         root: String, column: String,
+                                         value: Long): DataFrame = {
+    val (files, _) = partitionedBloomSurvivors(root, column,
+      graft.functions.Bloom.hashLong(value))
+    val survivors = files.filter(_._2)
+    val df =
+      if (survivors.isEmpty)
+        readLivePartitioned(spark, root).limit(0)
+      else survivors.groupBy(_._3).toSeq.sortBy(_._1.toString)
+        .map { case (verDir, fs) =>
+          spark.read.option("basePath", verDir.toString)
+            .parquet(fs.map(_._1.toString): _*)
+        }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    df.filter(col(column) === lit(value))
   }
 
   // ------------------------------------------------------------------

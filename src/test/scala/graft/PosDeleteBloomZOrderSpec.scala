@@ -366,6 +366,48 @@ class PosDeleteBloomZOrderSpec extends SparkSpec {
     assert(VersionedTable.compactPartitions(spark, root) === ((v, 0)))
   }
 
+  test("partitioned bloom sidecars: point lookup on an unclustered " +
+    "non-partition key prunes across version dirs, pruned read exact") {
+    val root = tmpRoot()
+    val rows = (0L until 2000L)
+      .map(i => (i, (i * 2654435761L) % 100000L, s"g${i % 4}"))
+      .toDF("id", "k", "grp")
+    VersionedTable.upsertPartitioned(spark, root,
+      rows.repartition(4, col("id")), Seq("id"), Seq("grp"))
+    // move ONE partition to a second version dir, then build blooms:
+    // the builder must cover live files in BOTH dirs
+    VersionedTable.upsertPartitioned(spark, root,
+      Seq((9999L, (9999L * 2654435761L) % 100000L, "g3"))
+        .toDF("id", "k", "grp"), Seq("id"), Seq("grp"))
+    VersionedTable.addBloomSidecarPartitioned(spark, root, Seq("k"),
+      bits = 1 << 15)
+    val probe = (777L * 2654435761L) % 100000L
+    val (pScan, pTot) =
+      VersionedTable.pruneDecisionPartitionedBloomLong(root, "k", probe)
+    assert(pTot >= 16 && pScan >= 1 && pScan < pTot,
+      s"bloom should prune most of $pTot files, scanned $pScan")
+    val want = (0L until 2000L)
+      .filter(i => (i * 2654435761L) % 100000L == probe).toSet
+    assert(want.nonEmpty)
+    val got = VersionedTable.readLivePartitionedPrunedBloomLong(
+        spark, root, "k", probe)
+      .select("id").as[Long].collect().toSet
+    assert(got === want)
+    // probe a value that lives ONLY in the second version dir
+    val probe2 = (9999L * 2654435761L) % 100000L
+    val got2 = VersionedTable.readLivePartitionedPrunedBloomLong(
+        spark, root, "k", probe2)
+      .select("id").as[Long].collect().toSet
+    assert(got2.contains(9999L),
+      "a row in the newer version dir must be findable through blooms")
+    // absent value: near-zero scan, zero rows
+    val (aScan, _) =
+      VersionedTable.pruneDecisionPartitionedBloomLong(root, "k", -5L)
+    assert(aScan <= 3)
+    assert(VersionedTable.readLivePartitionedPrunedBloomLong(
+      spark, root, "k", -5L).count() === 0L)
+  }
+
   test("removeOrphans reaps only crash artifacts: committed dirs and " +
     "young staging survive, live content byte-identical") {
     val root = tmpRoot()
