@@ -4843,6 +4843,41 @@ object SparkEntry {
       present.unionByName(absentR).unionByName(audit)
     }),
 
+    // Named refs (Iceberg tags) pin retention: v1 is tagged
+    // "baseline", then THREE mutating commits land under
+    // keepVersions=2 — without the pin v1's dir would be pruned and
+    // the tag unreadable. The tagged read returns the ORIGINAL
+    // content exactly; the live read reflects the full mutation
+    // stack; the audit pins ref count and final version. This is the
+    // reproducibility contract by NAME: "the corpus snapshot run X
+    // trained on" survives however many ingests follow.
+    "q304_named_refs" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      val work = graft.core.ScratchDirs.fresh("q304_nr").toString
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      vt.upsert(s, work, o, Seq("k"))
+      vt.setRef(work, "baseline", 1L)
+      vt.upsert(s, work, o.filter(col("k") % 2 === 0)
+        .select(col("k"), (col("cents") * 2).as("cents")), Seq("k"))
+      vt.upsert(s, work, o.filter(col("k") % 3 === 0)
+        .select(col("k"), (col("cents") * 3).as("cents")), Seq("k"))
+      vt.upsert(s, work, o.filter(col("k") % 5 === 0)
+        .select(col("k"), (col("cents") * 5).as("cents")), Seq("k"))
+      def agg(df: org.apache.spark.sql.DataFrame, phase: String) =
+        df.agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+            min("k").as("min_k"), max("k").as("max_k"))
+          .select(lit(phase).as("phase"), col("n"), col("sum_cents"),
+            col("min_k"), col("max_k"))
+      val version = vt.readManifest(work).get.version
+      agg(vt.readRef(s, work, "baseline"), "baseline")
+        .unionByName(agg(vt.readLive(s, work), "live"))
+        .unionByName(s.range(1).select(lit("audit").as("phase"),
+          lit(vt.refs(work).size.toLong).as("n"),
+          lit(version).as("sum_cents"),
+          lit(0L).as("min_k"), lit(0L).as("max_k")))
+    }),
+
     // Hashed-bigram linear quality classifier (fastText-shape
     // inference): feature-hash adjacent word bigrams into 4096
     // buckets, sum deterministic integer bucket weights, threshold.
@@ -10777,6 +10812,34 @@ object SparkEntry {
         |SELECT 'audit' AS part, CAST(1 AS BIGINT) AS n,
         |  CAST(1 AS BIGINT) AS s1, CAST(0 AS BIGINT) AS s2,
         |  CAST(0 AS BIGINT) AS s3""".stripMargin,
+
+    // Refs replay: baseline = the untouched projection; live = the
+    // mutation stack applied last-wins (×5 beats ×3 beats ×2); one
+    // ref, final version 4.
+    "q304_named_refs" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |live AS (
+        |  SELECT k, CASE WHEN k % 5 = 0 THEN cents * 5
+        |    WHEN k % 3 = 0 THEN cents * 3
+        |    WHEN k % 2 = 0 THEN cents * 2
+        |    ELSE cents END AS cents
+        |  FROM o)
+        |SELECT 'baseline' AS phase, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM o
+        |UNION ALL
+        |SELECT 'live' AS phase, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM live
+        |UNION ALL
+        |SELECT 'audit' AS phase, CAST(1 AS BIGINT) AS n,
+        |  CAST(4 AS BIGINT) AS sum_cents, CAST(0 AS BIGINT) AS min_k,
+        |  CAST(0 AS BIGINT) AS max_k""".stripMargin,
 
     // The melt replayed as an explicit 4-way union with the same
     // metric-name literals Spark's unpivot emits.

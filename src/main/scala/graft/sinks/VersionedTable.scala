@@ -287,6 +287,91 @@ object VersionedTable {
         col("new_vals")): _*)
   }
 
+  // ------------------------------------------------------------------
+  // Named refs (Iceberg-style tags): `_refs.json` maps a name to a
+  // committed version, giving snapshots durable names ("the corpus
+  // run X trained on") — and a ref PINS RETENTION: both prune passes
+  // keep every version dir a ref'd snapshot references, so a tagged
+  // snapshot stays readable however many commits land after it.
+  // Ref updates serialize under the commit lock (read-modify-write of
+  // one small file, atomic move).
+  // ------------------------------------------------------------------
+
+  private def refsPath(rootP: Path): Path = rootP.resolve("_refs.json")
+
+  /** Parse `_refs.json`: name → version. Empty when absent. */
+  def refs(root: String): Map[String, Long] = {
+    val p = refsPath(Paths.get(root))
+    if (!Files.exists(p)) return Map.empty
+    val re = """"((?:[^"\\]|\\.)+)"\s*:\s*(\d+)""".r
+    val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    re.findAllMatchIn(txt).flatMap { m =>
+      try Some(unescJson(m.group(1)) -> m.group(2).toLong)
+      catch { case _: IllegalArgumentException => None }
+    }.toMap
+  }
+
+  private def writeRefs(rootP: Path, m: Map[String, Long]): Unit = {
+    val body = m.toSeq.sortBy(_._1)
+      .map { case (n, v) => s""""${escJson(n)}": $v""" }
+      .mkString("{", ", ", "}")
+    val tmp = rootP.resolve("_refs.json.tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, refsPath(rootP), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  /** Name a committed version. Fails if the version was never
+    * committed (no history entry). The named snapshot is pinned
+    * against retention from this point on.
+    */
+  def setRef(root: String, name: String, version: Long): Unit = {
+    require(name.nonEmpty && !name.contains("\n"), s"bad ref name: $name")
+    val rootP = Paths.get(root)
+    withCommitLock(rootP) {
+      if (!Files.exists(versionManifestPath(rootP, version)))
+        throw new IllegalStateException(
+          s"cannot tag $root@$version — version was never committed")
+      writeRefs(rootP, refs(root) + (name -> version))
+    }
+  }
+
+  /** Remove a named ref; its snapshot becomes prunable again at the
+    * next commit's retention pass.
+    */
+  def dropRef(root: String, name: String): Unit = {
+    val rootP = Paths.get(root)
+    withCommitLock(rootP) { writeRefs(rootP, refs(root) - name) }
+  }
+
+  /** Read the snapshot a named ref points at (unpartitioned tables —
+    * [[readPartitionedRef]] for partitioned).
+    */
+  def readRef(spark: SparkSession, root: String, name: String): DataFrame =
+    readVersion(spark, root, refs(root).getOrElse(name,
+      throw new IllegalStateException(s"no ref '$name' under $root")))
+
+  /** Partitioned flavor of [[readRef]]. */
+  def readPartitionedRef(spark: SparkSession, root: String,
+                         name: String): DataFrame =
+    readPartitionedVersion(spark, root, refs(root).getOrElse(name,
+      throw new IllegalStateException(s"no ref '$name' under $root")))
+
+  /** Version dirs that ref'd snapshots reference — excluded from both
+    * retention passes. Unpartitioned snapshots pin their own dir;
+    * partitioned snapshots pin every dir in their history manifest's
+    * partition map.
+    */
+  private def refPinnedDirs(rootP: Path): Set[String] =
+    refs(rootP.toString).values.toSet.flatMap { (v: Long) =>
+      if (!Files.exists(versionManifestPath(rootP, v)))
+        Set.empty[String]
+      else readHistoryPartitionedManifest(rootP, v)
+        .map(_.partitions.values.toSet)
+        .getOrElse(Set(versionDirName(v)))
+    }
+
   /** Run `writeTo(stagingDir)` (in parallel with other writers — the
     * staging name is unique), then under the commit lock assign the
     * next version, rename staging into place, and atomically flip the
@@ -352,7 +437,9 @@ object VersionedTable {
       Files.write(versionManifestPath(rootP, next),
         s"""{"version": $next, "live": "$dirName"}"""
           .getBytes(StandardCharsets.UTF_8))
-      // prune: newest `keepVersions` dirs survive
+      // prune: newest `keepVersions` dirs survive; ref'd snapshots
+      // are pinned regardless of age
+      val pinned = refPinnedDirs(rootP)
       val s = Files.list(rootP)
       try {
         import scala.jdk.CollectionConverters._
@@ -361,6 +448,7 @@ object VersionedTable {
             p.getFileName.toString.matches("v\\d{8}"))
           .sortBy(_.getFileName.toString)
           .dropRight(math.max(1, keepVersions))
+          .filterNot(p => pinned(p.getFileName.toString))
           .foreach(deleteRecursively)
       } finally s.close()
       next
@@ -1328,7 +1416,8 @@ object VersionedTable {
           }
           val referenced = newParts.values.toSet ++
             prev.map(_.partitions.values.toSet).getOrElse(Set.empty) ++
-            history.flatMap(_.partitions.values).toSet
+            history.flatMap(_.partitions.values).toSet ++
+            refPinnedDirs(rootP) // ref'd snapshots pin their dirs
           val s = Files.list(rootP)
           try {
             import scala.jdk.CollectionConverters._

@@ -224,6 +224,11 @@ class EntrySpec extends SparkSpec {
       "q296_orphan_cleanup", // same integer-cents pin; audit columns
                              // are integer artifact counts; strict-
                              // verified sf0.001/0.01/0.1 2026-08-15
+      "q304_named_refs",     // same integer-cents pin (round(price
+                             // *100) → BIGINT before ×2/×3/×5); audit
+                             // columns are integer ref/version counts;
+                             // strict-verified sf0.001/0.01/0.1
+                             // 2026-08-15
       "q302_partition_sorted_cluster", // same integer-cents pin; audit
                              // columns are improvement/soundness bits
                              // + version; strict-verified sf0.001/

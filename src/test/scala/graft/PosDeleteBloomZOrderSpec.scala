@@ -408,6 +408,50 @@ class PosDeleteBloomZOrderSpec extends SparkSpec {
       spark, root, "k", -5L).count() === 0L)
   }
 
+  test("named refs pin retention: a tagged snapshot survives commits " +
+    "past keepVersions; dropRef releases it; partitioned refs pin " +
+    "every dir their manifest references") {
+    val root = tmpRoot()
+    VersionedTable.upsert(spark, root,
+      (0L until 50L).map(i => (i, i)).toDF("id", "v"), Seq("id"))
+    VersionedTable.setRef(root, "baseline", 1L)
+    intercept[IllegalStateException] {
+      VersionedTable.setRef(root, "bogus", 99L) // never committed
+    }
+    // 3 commits at keepVersions=2: v1 would be pruned without the pin
+    (1 to 3).foreach { i =>
+      VersionedTable.upsert(spark, root,
+        Seq((i.toLong, i * 100L)).toDF("id", "v"), Seq("id"))
+    }
+    val base = VersionedTable.readRef(spark, root, "baseline")
+      .select("id", "v").as[(Long, Long)].collect().toMap
+    assert(base === (0L until 50L).map(i => (i, i)).toMap)
+    assert(VersionedTable.versions(root).contains(1L))
+    // dropRef: the next commit's retention reclaims v1
+    VersionedTable.dropRef(root, "baseline")
+    VersionedTable.upsert(spark, root,
+      Seq((99L, 9L)).toDF("id", "v"), Seq("id"))
+    assert(!VersionedTable.versions(root).contains(1L),
+      "un-pinned old version must be reclaimed")
+    intercept[IllegalStateException] {
+      VersionedTable.readRef(spark, root, "baseline")
+    }
+    // partitioned: the ref pins every dir its manifest references
+    val proot = tmpRoot()
+    VersionedTable.upsertPartitioned(spark, proot,
+      (0L until 90L).map(i => (i, s"g${i % 3}", i)).toDF("id", "grp", "v"),
+      Seq("id"), Seq("grp"))
+    VersionedTable.setRef(proot, "snap", 1L)
+    (1 to 4).foreach { i =>
+      VersionedTable.upsertPartitioned(spark, proot,
+        Seq((i.toLong, s"g${i % 3}", i * 100L)).toDF("id", "grp", "v"),
+        Seq("id"), Seq("grp"))
+    }
+    val snap = VersionedTable.readPartitionedRef(spark, proot, "snap")
+      .select("id", "v").as[(Long, Long)].collect().toMap
+    assert(snap === (0L until 90L).map(i => (i, i)).toMap)
+  }
+
   test("removeOrphans reaps only crash artifacts: committed dirs and " +
     "young staging survive, live content byte-identical") {
     val root = tmpRoot()
