@@ -228,6 +228,105 @@ object Graft {
                                keyCols: Seq[String]): Long =
     sinks.VersionedTable.vacuumDeletesPartitioned(spark, root, keyCols)
 
+  /** Row-level delete BY POSITION (zero rewrite; Iceberg v2's second
+    * delete flavor) — see [[sinks.VersionedTable.softDeletePos]].
+    */
+  def softDeleteByPosition(spark: SparkSession, root: String,
+                           predicate: org.apache.spark.sql.Column): Long =
+    sinks.VersionedTable.softDeletePos(spark, root, predicate)
+
+  /** Live snapshot minus position deletes (merge-on-read). */
+  def readWithPositionDeletes(spark: SparkSession,
+                              root: String): DataFrame =
+    sinks.VersionedTable.readLiveWithPosDeletes(spark, root)
+
+  /** Fold position deletes, rewriting ONLY delete-carrying files —
+    * returns (version, files rewritten).
+    */
+  def vacuumPositionDeletes(spark: SparkSession,
+                            root: String): (Long, Int) =
+    sinks.VersionedTable.vacuumPosDeletes(spark, root)
+
+  /** Bin-pack the live snapshot into `numFiles` files (new commit,
+    * delete masks preserved) — see [[sinks.VersionedTable.compact]].
+    */
+  def compactTable(spark: SparkSession, root: String,
+                   numFiles: Int): Long =
+    sinks.VersionedTable.compact(spark, root, numFiles)
+
+  /** Sort-clustered compaction: disjoint per-file key ranges so
+    * footer stats prune narrow predicates.
+    */
+  def compactTableSorted(spark: SparkSession, root: String,
+                         sortCols: Seq[String], numFiles: Int): Long =
+    sinks.VersionedTable.compactSorted(spark, root, sortCols, numFiles)
+
+  /** Two-dimensional z-order clustering (Morton interleave) so
+    * intervals on EITHER column prune files.
+    */
+  def compactTableZOrder(spark: SparkSession, root: String,
+                         colA: String, colB: String,
+                         numFiles: Int): Long =
+    sinks.VersionedTable.compactZOrder(spark, root, colA, colB, numFiles)
+
+  /** Rewrite fragmented partitions (≥ minFiles files) into one file
+    * each; healthy partitions untouched — returns (version,
+    * partitions rewritten).
+    */
+  def compactPartitions(spark: SparkSession, root: String,
+                        minFiles: Int = 2): (Long, Int) =
+    sinks.VersionedTable.compactPartitions(spark, root, minFiles)
+
+  /** Per-partition sort clustering on secondary columns — see
+    * [[sinks.VersionedTable.compactPartitionsSorted]].
+    */
+  def compactPartitionsSorted(spark: SparkSession, root: String,
+                              sortCols: Seq[String],
+                              bucketsPerPartition: Int = 4): Long =
+    sinks.VersionedTable.compactPartitionsSorted(spark, root, sortCols,
+      bucketsPerPartition)
+
+  /** Build per-file bloom sidecars for equality point lookups —
+    * unpartitioned tables.
+    */
+  def addBloomSkipping(spark: SparkSession, root: String,
+                       columns: Seq[String],
+                       bits: Int = 1 << 16): Unit =
+    sinks.VersionedTable.addBloomSidecar(spark, root, columns, bits)
+
+  /** Partitioned flavor of [[addBloomSkipping]]. */
+  def addBloomSkippingPartitioned(spark: SparkSession, root: String,
+                                  columns: Seq[String],
+                                  bits: Int = 1 << 16): Unit =
+    sinks.VersionedTable.addBloomSidecarPartitioned(spark, root,
+      columns, bits)
+
+  /** Reap crashed writers' leftovers (staging dirs, flip temps,
+    * never-flipped version dirs, vacuum scratch) — returns the four
+    * per-class counts; committed data is never touched.
+    */
+  def removeOrphans(root: String,
+                    olderThanMs: Long = 24L * 3600 * 1000)
+      : (Int, Int, Int, Int) =
+    sinks.VersionedTable.removeOrphans(root, olderThanMs)
+
+  /** Name a committed snapshot; the tag PINS retention. */
+  def tag(root: String, name: String, version: Long): Unit =
+    sinks.VersionedTable.setRef(root, name, version)
+
+  /** Drop a tag; its snapshot becomes prunable at the next commit. */
+  def dropTag(root: String, name: String): Unit =
+    sinks.VersionedTable.dropRef(root, name)
+
+  /** Read the snapshot a tag names (unpartitioned). */
+  def readTag(spark: SparkSession, root: String, name: String): DataFrame =
+    sinks.VersionedTable.readRef(spark, root, name)
+
+  /** Read the snapshot a tag names (partitioned). */
+  def readTagPartitioned(spark: SparkSession, root: String,
+                         name: String): DataFrame =
+    sinks.VersionedTable.readPartitionedRef(spark, root, name)
+
   /** Add one epoch of documents to a persisted near-dup index (builds
     * the index if `root` is empty): per-ingest work scales with the
     * batch, never the corpus — see [[operators.NearDupIndex]].

@@ -155,6 +155,43 @@ class GraftFacadeSpec extends SparkSpec {
     assert(Graft.readVersionedPartitioned(spark, root).count() === 1L)
   }
 
+  test("round-12 table wrappers wired: position deletes, compaction " +
+    "family, bloom skipping, orphans, tags") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("gfac12")
+      .resolve("t").toString
+    Graft.versionedUpsert(spark, root,
+      (0L until 100L).map(i => (i, i * 3L)).toDF("id", "v"), Seq("id"))
+    Graft.tag(root, "t0", 1L)
+    Graft.softDeleteByPosition(spark, root, col("id") < 5L)
+    assert(Graft.readWithPositionDeletes(spark, root).count() === 95L)
+    val (_, rw) = Graft.vacuumPositionDeletes(spark, root)
+    assert(rw >= 1)
+    assert(Graft.compactTable(spark, root, 2) >= 3L)
+    Graft.compactTableSorted(spark, root, Seq("id"), 4)
+    Graft.compactTableZOrder(spark, root, "id", "v", 4)
+    Graft.addBloomSkipping(spark, root, Seq("id"), bits = 1 << 14)
+    assert(Graft.removeOrphans(root, 0L) === ((0, 0, 0, 0)))
+    assert(Graft.readTag(spark, root, "t0").count() === 100L)
+    Graft.dropTag(root, "t0")
+    assert(Graft.readVersioned(spark, root).count() === 95L)
+    val proot = java.nio.file.Files.createTempDirectory("gfac12p")
+      .resolve("t").toString
+    Graft.versionedUpsertPartitioned(spark, proot,
+      (0L until 300L).map(i => (i, s"g${i % 3}", i))
+        .toDF("id", "grp", "v").repartition(4, col("id")),
+      Seq("id"), Seq("grp"))
+    Graft.tag(proot, "snap", 1L)
+    val (_, nComp) = Graft.compactPartitions(spark, proot)
+    assert(nComp === 3)
+    Graft.compactPartitionsSorted(spark, proot, Seq("v"))
+    Graft.addBloomSkippingPartitioned(spark, proot, Seq("v"),
+      bits = 1 << 14)
+    assert(Graft.readTagPartitioned(spark, proot, "snap")
+      .count() === 300L)
+    assert(Graft.readVersionedPartitioned(spark, proot).count() === 300L)
+  }
+
   test("text-corpus wrappers wired: decontaminate (single + matrix), " +
     "novelty, vocab growth") {
     val corpus = Seq((10L, "alpha beta gamma delta epsilon"),
