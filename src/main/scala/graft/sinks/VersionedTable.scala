@@ -1893,8 +1893,27 @@ object VersionedTable {
   private def writeStatsSidecar(versionDir: Path): Unit =
     try {
       def esc(s: String) = escJson(s)
-      val lines = dataFilesUnder(versionDir).map { f =>
-        val st = footerStats(f)
+      val files = dataFilesUnder(versionDir)
+      // harvest footers in parallel: a partitioned commit writes
+      // hundreds of small files and the per-file footer read is
+      // IO-latency-bound — sequential harvest was a visible fraction
+      // of every commit
+      val statsByFile: Map[Path, FileStats] =
+        if (files.size <= 4) files.map(f => f -> footerStats(f)).toMap
+        else {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(8, files.size))
+          try {
+            val futures = files.map { f =>
+              f -> pool.submit(new java.util.concurrent.Callable[FileStats] {
+                override def call(): FileStats = footerStats(f)
+              })
+            }
+            futures.map { case (f, fut) => f -> fut.get() }.toMap
+          } finally pool.shutdown()
+        }
+      val lines = files.map { f =>
+        val st = statsByFile(f)
         val rel = versionDir.relativize(f).toString.replace('\\', '/')
         val cols = st.cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
           s""""${esc(c)}": {"min": $mn, "max": $mx}"""
