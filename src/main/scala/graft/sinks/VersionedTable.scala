@@ -2681,6 +2681,53 @@ object VersionedTable {
     df.filter(col(column) === lit(value))
   }
 
+  /** String flavor of [[pruneDecisionPartitionedBloomLong]]. */
+  def pruneDecisionPartitionedBloomStr(root: String, column: String,
+                                       value: String): (Int, Int) = {
+    val (files, total) = partitionedBloomSurvivors(root, column,
+      graft.functions.Bloom.hashString(value))
+    (files.count(_._2), total)
+  }
+
+  /** String flavor of [[readLivePartitionedPrunedBloomLong]]. */
+  def readLivePartitionedPrunedBloomStr(spark: SparkSession,
+                                        root: String, column: String,
+                                        value: String): DataFrame = {
+    val (files, _) = partitionedBloomSurvivors(root, column,
+      graft.functions.Bloom.hashString(value))
+    val survivors = files.filter(_._2)
+    val df =
+      if (survivors.isEmpty)
+        readLivePartitioned(spark, root).limit(0)
+      else survivors.groupBy(_._3).toSeq.sortBy(_._1.toString)
+        .map { case (verDir, fs) =>
+          spark.read.option("basePath", verDir.toString)
+            .parquet(fs.map(_._1.toString): _*)
+        }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    df.filter(col(column) === lit(value))
+  }
+
+  /** Packaged exactly-once-effect streaming sink: the foreachBatch
+    * function q215/q298 hand-roll — each micro-batch lands as a keyed
+    * (optionally partitioned) upsert, so at-least-once redelivery
+    * collapses on the merge key and commits stay reader-atomic.
+    * Usage: `stream.writeStream.foreachBatch(
+    * VersionedTable.streamUpsertWriter(spark, root, keys)).start()`.
+    */
+  def streamUpsertWriter(spark: SparkSession, root: String,
+                         keys: Seq[String],
+                         partitionColumns: Seq[String] = Seq.empty)
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) => {
+      if (!batch.isEmpty) {
+        if (partitionColumns.isEmpty)
+          upsert(spark, root, batch, keys)
+        else
+          upsertPartitioned(spark, root, batch, keys, partitionColumns)
+      }
+      ()
+    }
+
   // ------------------------------------------------------------------
   // Table maintenance: compaction. Streaming ingest and per-batch
   // upserts accrete SMALL files; at 100 TB the resulting task-per-

@@ -406,6 +406,42 @@ class PosDeleteBloomZOrderSpec extends SparkSpec {
     assert(aScan <= 3)
     assert(VersionedTable.readLivePartitionedPrunedBloomLong(
       spark, root, "k", -5L).count() === 0L)
+    // string twin over a derived string key
+    val sroot = tmpRoot()
+    VersionedTable.upsertPartitioned(spark, sroot,
+      (0L until 1000L).map(i => (i, s"u${(i * 37L) % 500L}", s"g${i % 4}"))
+        .toDF("id", "name", "grp").repartition(4, col("id")),
+      Seq("id"), Seq("grp"))
+    VersionedTable.addBloomSidecarPartitioned(spark, sroot, Seq("name"),
+      bits = 1 << 15)
+    val (sScan, sTot) =
+      VersionedTable.pruneDecisionPartitionedBloomStr(sroot, "name", "u74")
+    assert(sScan >= 1 && sScan < sTot)
+    val wantS = (0L until 1000L)
+      .filter(i => s"u${(i * 37L) % 500L}" == "u74").toSet
+    assert(wantS.nonEmpty)
+    assert(VersionedTable.readLivePartitionedPrunedBloomStr(
+        spark, sroot, "name", "u74")
+      .select("id").as[Long].collect().toSet === wantS)
+  }
+
+  test("streamUpsertWriter: packaged foreachBatch sink lands batches " +
+    "exactly-once-effect on both table forms") {
+    val root = tmpRoot()
+    val w = VersionedTable.streamUpsertWriter(spark, root, Seq("id"))
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    w(b0, 0L); w(b0, 0L) // redelivery collapses on the key
+    w(Seq((3L, "c")).toDF("id", "v"), 1L)
+    assert(VersionedTable.readLive(spark, root)
+      .select("id", "v").as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    val proot = tmpRoot()
+    val pw = VersionedTable.streamUpsertWriter(spark, proot, Seq("id"),
+      Seq("grp"))
+    val pb = Seq((1L, "g0", 10L), (2L, "g1", 20L)).toDF("id", "grp", "v")
+    pw(pb, 0L); pw(pb, 0L)
+    assert(VersionedTable.readLivePartitioned(spark, proot)
+      .count() === 2L)
   }
 
   test("named refs pin retention: a tagged snapshot survives commits " +
