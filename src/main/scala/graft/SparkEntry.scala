@@ -4878,6 +4878,64 @@ object SparkEntry {
           lit(0L).as("min_k"), lit(0L).as("max_k")))
     }),
 
+    // Dynamic partition overwrite (the backfill write shape): 30 day
+    // partitions ingested, then days 02 and 04 are RECOMPUTED
+    // (cents×10) and overwritten wholesale — only their two manifest
+    // pointers flip to the overwrite version, every other day keeps
+    // its pinned dir (audit counts both, the flipped set closed-form
+    // and the untouched set replayed). Content is the mixed replay.
+    // At 100 TB "re-run these days" must cost those days, not the
+    // table — this is that write path, CAS-protected.
+    "q305_partition_overwrite" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      val work = graft.core.ScratchDirs.fresh("q305_po").toString
+      val ev = Tables.events(s, d).select(col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      vt.upsertPartitioned(s, work, ev, Seq("event_id"), Seq("day"))
+      val redo = Seq("2024-01-02", "2024-01-04")
+      val backfill = ev.where(col("day").isin(redo: _*))
+        .withColumn("cents", col("cents") * 10)
+      val v2 = vt.overwritePartitions(s, work, backfill, Seq("day"))
+      val m = vt.readPartitionedManifest(work).get
+      val flipped = m.partitions.values.count(_ == f"v$v2%08d").toLong
+      vt.readLivePartitioned(s, work)
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          min("event_id").as("min_eid"))
+        .unionByName(s.range(1).select(lit("_audit").as("day"),
+          lit(flipped).as("n"),
+          lit(m.partitions.size.toLong).as("sum_cents"),
+          lit(v2).as("min_eid")))
+    }),
+
+    // Predicate backfill on the unpartitioned store (replaceWhere):
+    // rows with k%7==0 are dropped and replaced by recomputed rows
+    // (cents×100) in ONE CAS-committed rewrite; a position delete
+    // issued BEFORE the overwrite stays folded (its rows never
+    // resurface — graded by the content hash), and replacement rows
+    // carry the new write sequence. The replay is a pure CASE.
+    "q306_overwrite_where" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      val work = graft.core.ScratchDirs.fresh("q306_ow").toString
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      vt.upsert(s, work, o, Seq("k"))
+      vt.softDeletePos(s, work, col("k") % 11 === 0)
+      val repl = o.filter(col("k") % 7 === 0)
+        .withColumn("cents", col("cents") * 100)
+      val v2 = vt.overwriteWhere(s, work, col("k") % 7 === 0, repl)
+      val (liveE, staleE) = vt.posDeleteEntryCounts(s, work)
+      vt.readLive(s, work)
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .select(lit("rows").as("part"), col("n"), col("sum_cents"),
+          col("min_k"), col("max_k"))
+        .unionByName(s.range(1).select(lit("audit").as("part"),
+          lit(liveE + staleE).as("n"), lit(v2).as("sum_cents"),
+          lit(0L).as("min_k"), lit(0L).as("max_k")))
+    }),
+
     // Hashed-bigram linear quality classifier (fastText-shape
     // inference): feature-hash adjacent word bigrams into 4096
     // buckets, sum deterministic integer bucket weights, threshold.
@@ -10839,6 +10897,48 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'audit' AS phase, CAST(1 AS BIGINT) AS n,
         |  CAST(4 AS BIGINT) AS sum_cents, CAST(0 AS BIGINT) AS min_k,
+        |  CAST(0 AS BIGINT) AS max_k""".stripMargin,
+
+    // Dynamic-overwrite replay: overwritten days carry ×10 cents, the
+    // rest the original; 2 pointers flipped, total = distinct days,
+    // overwrite is version 2.
+    "q305_partition_overwrite" ->
+      """WITH ev AS (
+        |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+        |    strftime(ts, '%Y-%m-%d') AS day
+        |  FROM events),
+        |fin AS (
+        |  SELECT event_id, day,
+        |    CASE WHEN day IN ('2024-01-02', '2024-01-04')
+        |      THEN cents * 10 ELSE cents END AS cents
+        |  FROM ev)
+        |SELECT day, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(event_id) AS min_eid
+        |FROM fin GROUP BY day
+        |UNION ALL
+        |SELECT '_audit' AS day, CAST(2 AS BIGINT) AS n,
+        |  (SELECT count(DISTINCT day) FROM ev) AS sum_cents,
+        |  CAST(2 AS BIGINT) AS min_eid""".stripMargin,
+
+    // replaceWhere replay: kept = not position-deleted (k%11<>0) OR
+    // re-inserted by the k%7 backfill (which carries ×100 cents); the
+    // pos-delete set fully folded (0 entries), overwrite is version 2.
+    "q306_overwrite_where" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |live AS (
+        |  SELECT k, CASE WHEN k % 7 = 0 THEN cents * 100
+        |    ELSE cents END AS cents
+        |  FROM o WHERE k % 7 = 0 OR k % 11 <> 0)
+        |SELECT 'rows' AS part, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM live
+        |UNION ALL
+        |SELECT 'audit' AS part, CAST(0 AS BIGINT) AS n,
+        |  CAST(2 AS BIGINT) AS sum_cents, CAST(0 AS BIGINT) AS min_k,
         |  CAST(0 AS BIGINT) AS max_k""".stripMargin,
 
     // The melt replayed as an explicit 4-way union with the same

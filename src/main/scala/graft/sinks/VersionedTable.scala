@@ -1533,6 +1533,70 @@ object VersionedTable {
     * rest untouched. `expectedBase` CAS-protects against concurrent
     * commits like every other write. The vacuum fold builds on this.
     */
+  /** Dynamic partition overwrite (Spark's `partitionOverwriteMode=
+    * dynamic` on the versioned store): every partition PRESENT in
+    * `df` is replaced wholesale by its rows; absent partitions are
+    * untouched. The backfill write shape — "recompute these days" —
+    * CAS-committed with only the touched pointers flipped. Returns
+    * the new version.
+    */
+  def overwritePartitions(spark: SparkSession, root: String,
+                          df: DataFrame, partitionColumns: Seq[String],
+                          maxRetries: Int = 10): Long = {
+    require(partitionColumns.nonEmpty,
+      "overwritePartitions needs partition columns")
+    val rootP = Paths.get(root)
+    Files.createDirectories(rootP)
+    def once(): Long = {
+      val base = readPartitionedManifest(root).map(_.version).getOrElse(0L)
+      // covered = exactly the written set: dynamic semantics never
+      // vacate a partition the replacement doesn't mention
+      replacePartitioned(spark, root, df, partitionColumns,
+        covered = Seq.empty, expectedBase = Some(base))
+    }
+    retryThenEscalate(rootP, maxRetries)(once())
+  }
+
+  /** Predicate backfill on the unpartitioned store (Delta's
+    * replaceWhere): rows matching `predicate` are dropped from the
+    * live snapshot and `replacement` rows take their place, as one
+    * CAS-committed rewrite that folds pending position deletes like
+    * every rewrite. Rows where the predicate evaluates to NULL are
+    * KEPT (only a definite match is replaced). Replacement rows carry
+    * the new commit's write sequence, so equality-delete masks from
+    * older commits never hide them.
+    */
+  def overwriteWhere(spark: SparkSession, root: String,
+                     predicate: Column, replacement: DataFrame,
+                     keepVersions: Int = 2, maxRetries: Int = 10): Long = {
+    requireNoReservedColumns(replacement.columns,
+      s"overwriteWhere into $root", Seq(SeqCol, AddrPathCol, AddrPosCol))
+    var foldedPosVersion = 0L
+    def once(): Long = {
+      val base = readManifest(root).getOrElse(
+        throw new IllegalStateException(
+          s"no _manifest.json under $root — nothing to overwrite"))
+      val next = base.version + 1
+      foldedPosVersion = posVersion(root)
+      val kept = readLiveWithPosDeletesStamped(spark, root)
+        .filter(!coalesce(predicate, lit(false)))
+      val replStamped = replacement.withColumn(SeqCol, lit(next))
+      commit(root, keepVersions, expectedBase = Some(base.version),
+        validate = () => {
+          if (posVersion(root) != foldedPosVersion)
+            throw new ConcurrentCommitException(
+              s"position deletes landed under $root during the " +
+                "overwrite — re-fold and retry")
+        }) { dir =>
+        kept.unionByName(replStamped)
+          .write.mode(SaveMode.Overwrite).parquet(dir)
+      }
+    }
+    val v = retryThenEscalate(Paths.get(root), maxRetries)(once())
+    resetPosDeletes(spark, root, foldedPosVersion, keepVersions)
+    v
+  }
+
   /** Compact FRAGMENTED partitions of a partitioned table — those
     * holding at least `minFiles` data files (the accretion shape
     * per-batch streaming ingest produces) — into ONE file each, as a

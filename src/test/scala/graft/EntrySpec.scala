@@ -224,6 +224,14 @@ class EntrySpec extends SparkSpec {
       "q296_orphan_cleanup", // same integer-cents pin; audit columns
                              // are integer artifact counts; strict-
                              // verified sf0.001/0.01/0.1 2026-08-15
+      "q305_partition_overwrite", // same integer-cents pin; audit
+                             // columns are integer pointer/partition
+                             // counts; strict-verified sf0.001/0.01/
+                             // 0.1 2026-08-15
+      "q306_overwrite_where", // same integer-cents pin; audit columns
+                             // are integer entry/version counts;
+                             // strict-verified sf0.001/0.01/0.1
+                             // 2026-08-15
       "q304_named_refs",     // same integer-cents pin (round(price
                              // *100) → BIGINT before ×2/×3/×5); audit
                              // columns are integer ref/version counts;
