@@ -4936,6 +4936,41 @@ object SparkEntry {
           lit(0L).as("min_k"), lit(0L).as("max_k")))
     }),
 
+    // Write-time CHECK constraints (Delta table constraints): two
+    // named SQL predicates registered on the table; a conforming
+    // upsert commits, a violating one is REJECTED whole (one
+    // batch-sized validation aggregate, per-constraint violation
+    // counts in the exception) and the table provably did not move —
+    // content equals the conforming write, version stays 1, the
+    // rejected batch's violation count is replayed by the oracle. At
+    // 100 TB a constraint that rejects at write time is the
+    // difference between a contract and a cleanup job.
+    "q307_check_constraints" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      val work = graft.core.ScratchDirs.fresh("q307_cc").toString
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      vt.addConstraint(work, "even_keys", "k % 2 = 0")
+      vt.addConstraint(work, "nonneg_cents", "cents >= 0")
+      vt.upsert(s, work, o.filter(col("k") % 2 === 0), Seq("k"))
+      val violations =
+        try { vt.upsert(s, work, o, Seq("k")); -1L }
+        catch {
+          case e: graft.sinks.VersionedTable.ConstraintViolationException =>
+            e.violations.getOrElse("even_keys", -1L)
+        }
+      val version = vt.readManifest(work).get.version
+      vt.readLive(s, work)
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .select(lit("rows").as("part"), col("n"), col("sum_cents"),
+          col("min_k"), col("max_k"))
+        .unionByName(s.range(1).select(lit("audit").as("part"),
+          lit(violations).as("n"), lit(version).as("sum_cents"),
+          lit(vt.constraints(work).size.toLong).as("min_k"),
+          lit(0L).as("max_k")))
+    }),
+
     // Hashed-bigram linear quality classifier (fastText-shape
     // inference): feature-hash adjacent word bigrams into 4096
     // buckets, sum deterministic integer bucket weights, threshold.
@@ -10939,6 +10974,24 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'audit' AS part, CAST(0 AS BIGINT) AS n,
         |  CAST(2 AS BIGINT) AS sum_cents, CAST(0 AS BIGINT) AS min_k,
+        |  CAST(0 AS BIGINT) AS max_k""".stripMargin,
+
+    // Constraint replay: live content = the conforming (even-keys)
+    // write only; the rejected batch's violation count = odd keys;
+    // version still 1; two constraints registered.
+    "q307_check_constraints" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT 'rows' AS part, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM o WHERE k % 2 = 0
+        |UNION ALL
+        |SELECT 'audit' AS part,
+        |  (SELECT count(*) FROM o WHERE k % 2 <> 0) AS n,
+        |  CAST(1 AS BIGINT) AS sum_cents, CAST(2 AS BIGINT) AS min_k,
         |  CAST(0 AS BIGINT) AS max_k""".stripMargin,
 
     // The melt replayed as an explicit 4-way union with the same

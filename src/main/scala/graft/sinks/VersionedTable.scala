@@ -562,6 +562,7 @@ object VersionedTable {
              keepVersions: Int = 2, maxRetries: Int = 10): Long = {
     requireNoReservedColumns(updates.columns, s"upsert into $root",
       Seq(SeqCol, AddrPathCol, AddrPosCol))
+    enforceConstraints(root, updates)
     var foldedPosVersion = 0L
     def once(): Long = {
       val base = readManifest(root)
@@ -1336,6 +1337,7 @@ object VersionedTable {
       s"keepManifests must be >= 1: $keepManifests")
     require(partitionColumns.nonEmpty,
       "partitionColumns empty — use upsert() for unpartitioned tables")
+    enforceConstraints(root, updates)
     val rootP = Paths.get(root)
     Files.createDirectories(rootP)
     def once(): Long = {
@@ -1533,6 +1535,96 @@ object VersionedTable {
     * rest untouched. `expectedBase` CAS-protects against concurrent
     * commits like every other write. The vacuum fold builds on this.
     */
+  // ------------------------------------------------------------------
+  // Write-time CHECK constraints (Delta's table constraints): named
+  // SQL predicates stored in `_constraints.json`; every row-adding
+  // write (upsert / upsertPartitioned / overwriteWhere) validates its
+  // BATCH in one aggregate pass and rejects the whole commit when any
+  // constraint is violated — the table can never transition into a
+  // state that violates its contract. Cost is one batch-sized job per
+  // write on constrained tables, zero on unconstrained ones.
+  // ------------------------------------------------------------------
+
+  final class ConstraintViolationException(
+      val violations: Map[String, Long], msg: String)
+    extends RuntimeException(msg)
+
+  private def constraintsPath(rootP: Path): Path =
+    rootP.resolve("_constraints.json")
+
+  /** Parse `_constraints.json`: name → SQL predicate. */
+  def constraints(root: String): Map[String, String] = {
+    val p = constraintsPath(Paths.get(root))
+    if (!Files.exists(p)) return Map.empty
+    val re = """"((?:[^"\\]|\\.)+)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+    val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    re.findAllMatchIn(txt).flatMap { m =>
+      try Some(unescJson(m.group(1)) -> unescJson(m.group(2)))
+      catch { case _: IllegalArgumentException => None }
+    }.toMap
+  }
+
+  private def writeConstraints(rootP: Path,
+                               m: Map[String, String]): Unit = {
+    val body = m.toSeq.sortBy(_._1)
+      .map { case (n, p) => s""""${escJson(n)}": "${escJson(p)}"""" }
+      .mkString("{", ", ", "}")
+    val tmp = rootP.resolve("_constraints.json.tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, constraintsPath(rootP),
+      StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  /** Register a named CHECK constraint (a SQL boolean expression over
+    * the table's columns). Applies to every subsequent row-adding
+    * write; existing data is NOT retro-validated (Delta's contract —
+    * validate existing rows first if that matters).
+    */
+  def addConstraint(root: String, name: String,
+                    predicateSql: String): Unit = {
+    require(name.nonEmpty && predicateSql.nonEmpty,
+      "constraint name and predicate must be non-empty")
+    val rootP = Paths.get(root)
+    Files.createDirectories(rootP)
+    withCommitLock(rootP) {
+      writeConstraints(rootP, constraints(root) + (name -> predicateSql))
+    }
+  }
+
+  /** Drop a named constraint. */
+  def dropConstraint(root: String, name: String): Unit = {
+    val rootP = Paths.get(root)
+    withCommitLock(rootP) {
+      writeConstraints(rootP, constraints(root) - name)
+    }
+  }
+
+  /** Validate a write batch against the table's constraints in ONE
+    * aggregate pass; throws [[ConstraintViolationException]] with
+    * per-constraint violation counts when any row fails (a NULL
+    * predicate counts as a violation — unknown is not proof of
+    * conformance).
+    */
+  private def enforceConstraints(root: String, batch: DataFrame): Unit = {
+    val cs = constraints(root)
+    if (cs.isEmpty) return
+    val aggs = cs.toSeq.sortBy(_._1).map { case (n, p) =>
+      org.apache.spark.sql.functions.sum(
+        when(!coalesce(expr(p), lit(false)), 1L).otherwise(0L)).as(n)
+    }
+    val row = batch.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val bad = cs.keys.toSeq.sorted.zipWithIndex.flatMap { case (n, i) =>
+      val v = if (row.isNullAt(i)) 0L else row.getLong(i)
+      if (v > 0) Some(n -> v) else None
+    }.toMap
+    if (bad.nonEmpty)
+      throw new ConstraintViolationException(bad,
+        s"write into $root rejected — constraint violations: " +
+          bad.map { case (n, v) => s"$n ($v rows)" }.mkString(", "))
+  }
+
   /** Dynamic partition overwrite (Spark's `partitionOverwriteMode=
     * dynamic` on the versioned store): every partition PRESENT in
     * `df` is replaced wholesale by its rows; absent partitions are
@@ -1545,6 +1637,7 @@ object VersionedTable {
                           maxRetries: Int = 10): Long = {
     require(partitionColumns.nonEmpty,
       "overwritePartitions needs partition columns")
+    enforceConstraints(root, df)
     val rootP = Paths.get(root)
     Files.createDirectories(rootP)
     def once(): Long = {
@@ -1571,6 +1664,7 @@ object VersionedTable {
                      keepVersions: Int = 2, maxRetries: Int = 10): Long = {
     requireNoReservedColumns(replacement.columns,
       s"overwriteWhere into $root", Seq(SeqCol, AddrPathCol, AddrPosCol))
+    enforceConstraints(root, replacement)
     var foldedPosVersion = 0L
     def once(): Long = {
       val base = readManifest(root).getOrElse(

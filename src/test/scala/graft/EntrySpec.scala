@@ -224,6 +224,10 @@ class EntrySpec extends SparkSpec {
       "q296_orphan_cleanup", // same integer-cents pin; audit columns
                              // are integer artifact counts; strict-
                              // verified sf0.001/0.01/0.1 2026-08-15
+      "q307_check_constraints", // same integer-cents pin; audit
+                             // columns are integer violation/version
+                             // counts; strict-verified sf0.001/0.01/
+                             // 0.1 2026-08-15
       "q305_partition_overwrite", // same integer-cents pin; audit
                              // columns are integer pointer/partition
                              // counts; strict-verified sf0.001/0.01/

@@ -425,6 +425,52 @@ class PosDeleteBloomZOrderSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet === wantS)
   }
 
+  test("check constraints: violating writes rejected whole with " +
+    "per-constraint counts, NULL predicate counts as violation, " +
+    "dropConstraint re-allows, partitioned writes enforced too") {
+    val root = tmpRoot()
+    VersionedTable.addConstraint(root, "pos_v", "v > 0")
+    VersionedTable.upsert(spark, root,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), Seq("id"))
+    val e = intercept[VersionedTable.ConstraintViolationException] {
+      VersionedTable.upsert(spark, root,
+        Seq((3L, 30L), (4L, -1L), (5L, 0L)).toDF("id", "v"), Seq("id"))
+    }
+    assert(e.violations === Map("pos_v" -> 2L))
+    assert(VersionedTable.readLive(spark, root).count() === 2L,
+      "a rejected write must not move the table")
+    // NULL predicate = violation (unknown is not conformance)
+    val e2 = intercept[VersionedTable.ConstraintViolationException] {
+      VersionedTable.upsert(spark, root,
+        Seq((6L, Option.empty[java.lang.Long])).toDF("id", "v")
+          .selectExpr("id", "CAST(v AS BIGINT) AS v"), Seq("id"))
+    }
+    assert(e2.violations("pos_v") === 1L)
+    VersionedTable.dropConstraint(root, "pos_v")
+    VersionedTable.upsert(spark, root,
+      Seq((4L, -1L)).toDF("id", "v"), Seq("id"))
+    assert(VersionedTable.readLive(spark, root).count() === 3L)
+    // partitioned form enforced through upsertPartitioned and
+    // overwritePartitions
+    val proot = tmpRoot()
+    VersionedTable.addConstraint(proot, "named", "name IS NOT NULL")
+    VersionedTable.upsertPartitioned(spark, proot,
+      Seq((1L, "a", "g0")).toDF("id", "name", "grp"),
+      Seq("id"), Seq("grp"))
+    intercept[VersionedTable.ConstraintViolationException] {
+      VersionedTable.upsertPartitioned(spark, proot,
+        Seq((2L, null.asInstanceOf[String], "g0"))
+          .toDF("id", "name", "grp"), Seq("id"), Seq("grp"))
+    }
+    intercept[VersionedTable.ConstraintViolationException] {
+      VersionedTable.overwritePartitions(spark, proot,
+        Seq((3L, null.asInstanceOf[String], "g1"))
+          .toDF("id", "name", "grp"), Seq("grp"))
+    }
+    assert(VersionedTable.readLivePartitioned(spark, proot)
+      .count() === 1L)
+  }
+
   test("streamUpsertWriter: packaged foreachBatch sink lands batches " +
     "exactly-once-effect on both table forms") {
     val root = tmpRoot()
