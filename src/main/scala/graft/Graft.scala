@@ -310,6 +310,46 @@ object Graft {
       : (Int, Int, Int, Int) =
     sinks.VersionedTable.removeOrphans(root, olderThanMs)
 
+  /** Dynamic partition overwrite — partitions present in `df` replace
+    * wholesale, absent partitions untouched (the backfill write).
+    */
+  def overwritePartitions(spark: SparkSession, root: String,
+                          df: DataFrame,
+                          partitionColumns: Seq[String]): Long =
+    sinks.VersionedTable.overwritePartitions(spark, root, df,
+      partitionColumns)
+
+  /** Predicate backfill (replaceWhere): matching rows replaced by
+    * `replacement` in one CAS-committed rewrite.
+    */
+  def overwriteWhere(spark: SparkSession, root: String,
+                     predicate: org.apache.spark.sql.Column,
+                     replacement: DataFrame): Long =
+    sinks.VersionedTable.overwriteWhere(spark, root, predicate,
+      replacement)
+
+  /** Register a write-time CHECK constraint (SQL predicate); every
+    * subsequent row-adding write validates its batch and rejects the
+    * whole commit on violation.
+    */
+  def addConstraint(root: String, name: String,
+                    predicateSql: String): Unit =
+    sinks.VersionedTable.addConstraint(root, name, predicateSql)
+
+  /** Drop a named CHECK constraint. */
+  def dropConstraint(root: String, name: String): Unit =
+    sinks.VersionedTable.dropConstraint(root, name)
+
+  /** The packaged exactly-once-effect streaming sink — see
+    * [[sinks.VersionedTable.streamUpsertWriter]].
+    */
+  def streamUpsertWriter(spark: SparkSession, root: String,
+                         keys: Seq[String],
+                         partitionColumns: Seq[String] = Seq.empty)
+      : (DataFrame, Long) => Unit =
+    sinks.VersionedTable.streamUpsertWriter(spark, root, keys,
+      partitionColumns)
+
   /** Name a committed snapshot; the tag PINS retention. */
   def tag(root: String, name: String, version: Long): Unit =
     sinks.VersionedTable.setRef(root, name, version)

@@ -190,6 +190,25 @@ class GraftFacadeSpec extends SparkSpec {
     assert(Graft.readTagPartitioned(spark, proot, "snap")
       .count() === 300L)
     assert(Graft.readVersionedPartitioned(spark, proot).count() === 300L)
+    // overwrite + constraint wrappers
+    Graft.overwritePartitions(spark, proot,
+      Seq((500L, "g0", 1L)).toDF("id", "grp", "v"), Seq("grp"))
+    assert(Graft.readVersionedPartitioned(spark, proot)
+      .filter(col("grp") === "g0").count() === 1L)
+    Graft.addConstraint(root, "pos_id", "id >= 0")
+    intercept[sinks.VersionedTable.ConstraintViolationException] {
+      Graft.versionedUpsert(spark, root,
+        Seq((-1L, 0L)).toDF("id", "v"), Seq("id"))
+    }
+    Graft.dropConstraint(root, "pos_id")
+    Graft.overwriteWhere(spark, root, col("id") < 10L,
+      Seq((5L, 555L)).toDF("id", "v"))
+    assert(Graft.readVersioned(spark, root)
+      .filter(col("id") < 10L).count() === 1L)
+    val w = Graft.streamUpsertWriter(spark, root, Seq("id"))
+    w(Seq((777L, 7L)).toDF("id", "v"), 99L)
+    assert(Graft.readVersioned(spark, root)
+      .filter(col("id") === 777L).count() === 1L)
   }
 
   test("text-corpus wrappers wired: decontaminate (single + matrix), " +
