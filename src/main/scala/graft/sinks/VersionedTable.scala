@@ -323,8 +323,10 @@ object VersionedTable {
   }
 
   /** Name a committed version. Fails if the version was never
-    * committed (no history entry). The named snapshot is pinned
-    * against retention from this point on.
+    * committed (no history entry) OR if retention already pruned any
+    * of its data dirs — a tag must actually pin a readable snapshot,
+    * never silently point at reclaimed storage. The named snapshot is
+    * pinned against retention from this point on.
     */
   def setRef(root: String, name: String, version: Long): Unit = {
     require(name.nonEmpty && !name.contains("\n"), s"bad ref name: $name")
@@ -333,6 +335,15 @@ object VersionedTable {
       if (!Files.exists(versionManifestPath(rootP, version)))
         throw new IllegalStateException(
           s"cannot tag $root@$version — version was never committed")
+      val needed = readHistoryPartitionedManifest(rootP, version)
+        .map(_.partitions.values.toSet)
+        .getOrElse(Set(versionDirName(version)))
+      val pruned = needed.filterNot(d =>
+        Files.isDirectory(rootP.resolve(d)))
+      if (pruned.nonEmpty)
+        throw new IllegalStateException(
+          s"cannot tag $root@$version — retention already pruned " +
+            s"$pruned; tag sooner or raise keepVersions/keepManifests")
       writeRefs(rootP, refs(root) + (name -> version))
     }
   }
@@ -459,18 +470,25 @@ object VersionedTable {
     * a CRASHED writer left behind that no manifest will ever reference
     * and no retention pass will ever visit —
     *   - `_staging-*` dirs (writer died before its commit-lock move),
-    *   - `_manifest.json.tmp*` / `_part_stats.json.tmp*` flip temps,
+    *   - flip/update temp files (`_manifest.json.tmp*`,
+    *     `_part_stats.json.tmp*`, `_refs.json.tmp*`,
+    *     `_constraints.json.tmp*`),
     *   - `v????????` version dirs with NO `_versions/` history entry
     *     and not referenced by the live manifest (moved into place but
     *     the flip never happened — the only way a v-dir exists without
     *     an entry, since history is written right after each flip),
-    *   - `_rw` scratch dirs inside version dirs (vacuum died mid-fold).
+    *   - `_rw` scratch inside version dirs (defensive: the current
+    *     vacuum only creates `_rw` inside staging, which the first
+    *     class covers — this reaps the artifact if a future rewrite
+    *     path ever leaves one in a committed dir).
     * Committed-but-old version dirs are NEVER touched — their history
-    * entries exist and retention owns them. Runs under the commit lock
-    * so an in-flight writer's staging is safe, and only removes items
-    * older than `olderThanMs` (grace period against writers that
-    * haven't taken the lock yet — same contract as Iceberg's
-    * older_than). Applies to the root and its `_deletes`/
+    * entries exist and retention owns them. The commit lock is held
+    * only to IDENTIFY and RENAME orphans into a `_trash-*` dir (O(1)
+    * moves — the lock's ms-scale staleness contract survives
+    * arbitrarily large debris); the actual recursive delete runs
+    * AFTER the lock is released. Only items older than `olderThanMs`
+    * are taken (grace period against writers that haven't locked yet —
+    * Iceberg's older_than). Applies to the root and its `_deletes`/
     * `_pos_deletes` sub-tables. Returns (staging dirs, tmp files,
     * unreferenced version dirs, _rw dirs) removed.
     */
@@ -483,8 +501,16 @@ object VersionedTable {
       try System.currentTimeMillis -
         Files.getLastModifiedTime(p).toMillis >= olderThanMs
       catch { case _: Throwable => false }
-    def one(tp: Path): (Int, Int, Int, Int) =
-      withCommitLock(tp) {
+    val tmpRe =
+      ("_manifest\\.json\\.tmp.*|_part_stats\\.json\\.tmp.*|" +
+        "_part_schema\\.json\\.tmp.*|" +
+        "_refs\\.json\\.tmp.*|_constraints\\.json\\.tmp.*").r
+    def one(tp: Path): (Int, Int, Int, Int) = {
+      // phase 1 (LOCKED, O(1) renames only): identify orphans and
+      // move them into a trash dir; a stale prior trash dir is taken
+      // too (its delete phase crashed)
+      val trash = tp.resolve(s"_trash-${java.util.UUID.randomUUID}")
+      val counts = withCommitLock(tp) {
         import scala.jdk.CollectionConverters._
         val referenced: Set[String] = {
           val live = readManifest(tp.toString).map(_.live).toSet ++
@@ -515,28 +541,39 @@ object VersionedTable {
           try s.iterator().asScala.toSeq finally s.close()
         }
         var (nStaging, nTmp, nVdir, nRw) = (0, 0, 0, 0)
+        var trashed = 0
+        def toTrash(p: Path): Unit = {
+          if (trashed == 0) Files.createDirectories(trash)
+          Files.move(p, trash.resolve(s"$trashed-${p.getFileName}"))
+          trashed += 1
+        }
         entries.filter(oldEnough).foreach { p =>
           val n = p.getFileName.toString
           if (n.startsWith("_staging-") && Files.isDirectory(p)) {
-            deleteRecursively(p); nStaging += 1
-          } else if (n.matches("_manifest\\.json\\.tmp\\d+") ||
-                     n.matches("_part_stats\\.json\\.tmp\\d+")) {
-            Files.deleteIfExists(p); nTmp += 1
+            toTrash(p); nStaging += 1
+          } else if (tmpRe.pattern.matcher(n).matches()) {
+            toTrash(p); nTmp += 1
           } else if (n.matches("v\\d{8}") && Files.isDirectory(p) &&
                      !referenced(n)) {
-            deleteRecursively(p); nVdir += 1
+            toTrash(p); nVdir += 1
+          } else if (n.startsWith("_trash-") && Files.isDirectory(p)) {
+            toTrash(p) // crashed prior cleanup — re-queue, uncounted
           }
         }
-        // _rw scratch inside SURVIVING version dirs
+        // _rw scratch inside SURVIVING version dirs (defensive class)
         entries.filter(p => Files.isDirectory(p) &&
           p.getFileName.toString.matches("v\\d{8}")).foreach { vd =>
           val rw = vd.resolve("_rw")
           if (Files.isDirectory(rw) && oldEnough(rw)) {
-            deleteRecursively(rw); nRw += 1
+            toTrash(rw); nRw += 1
           }
         }
         (nStaging, nTmp, nVdir, nRw)
       }
+      // phase 2 (UNLOCKED): the expensive recursive delete
+      deleteRecursively(trash)
+      counts
+    }
     val roots = Seq(rootP) ++
       Seq("_deletes", "_pos_deletes").map(rootP.resolve)
         .filter(Files.isDirectory(_))
@@ -1307,8 +1344,31 @@ object VersionedTable {
       // planning cost — cross-COMMIT schema drift is reconciled by the
       // allowMissingColumns union below, which is the only place it
       // can appear
-      spark.read.option("basePath", base).parquet(leaves: _*)
+      readLeavesTyped(spark, root, base, leaves)
     }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
+  /** basePath read with partition-column types FIXED to the recorded
+    * `_part_schema.json`: path type inference reinterprets lossy
+    * values (string "07" → int 7); an explicit schema makes Spark
+    * parse the raw path string under the recorded type instead.
+    * No-op (single read) when inference already agrees or no schema
+    * is recorded (legacy tables keep their old behavior).
+    */
+  private def readLeavesTyped(spark: SparkSession, root: String,
+                              base: String,
+                              leaves: Seq[String]): DataFrame = {
+    val df0 = spark.read.option("basePath", base).parquet(leaves: _*)
+    val recorded = partitionColumnTypes(root)
+    if (recorded.isEmpty) df0
+    else {
+      val fixed = org.apache.spark.sql.types.StructType(
+        df0.schema.map(f => recorded.get(f.name)
+          .map(t => f.copy(dataType = t)).getOrElse(f)))
+      if (fixed == df0.schema) df0
+      else spark.read.schema(fixed).option("basePath", base)
+        .parquet(leaves: _*)
+    }
   }
 
   /** Keyed upsert into a partitioned versioned table: merge the
@@ -1391,7 +1451,9 @@ object VersionedTable {
           // between the two leaves stats.version > manifest.version,
           // which readers reject (scan-all fallback, sound); stats
           // lagging the manifest is equally rejected
-          writePartStats(rootP, next, newParts)
+          writePartSchema(rootP, partitionColumns.map(c =>
+            c -> updates.schema(c).dataType))
+          writePartStats(rootP, next, newParts, prev)
           writePartitionedManifest(rootP,
             PartitionedManifest(next, partitionColumns, newParts))
           // immutable history entry (after the flip, like the
@@ -1691,6 +1753,105 @@ object VersionedTable {
     v
   }
 
+  // ------------------------------------------------------------------
+  // Partition-column TYPES (`_part_schema.json`): partitionBy strips
+  // partition columns from the data files, so reading them back goes
+  // through Spark's path type inference — which REINTERPRETS lossy
+  // values (a string partition "07" infers as int 7). Every
+  // partitioned write records the true types from its input schema;
+  // rewrite paths (compaction) re-attach partition values as LITERALS
+  // decoded from the manifest key and cast to the recorded type, so a
+  // rewrite can never rename a partition key or change a value.
+  // ------------------------------------------------------------------
+
+  private def partSchemaPath(rootP: Path): Path =
+    rootP.resolve("_part_schema.json")
+
+  private def writePartSchema(rootP: Path,
+      schema: Seq[(String, org.apache.spark.sql.types.DataType)]): Unit =
+    try {
+      val body = schema
+        .map { case (n, t) => s""""${escJson(n)}": "${escJson(t.json)}"""" }
+        .mkString("{", ", ", "}")
+      val tmp = rootP.resolve("_part_schema.json.tmp")
+      Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, partSchemaPath(rootP),
+        StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+      ()
+    } catch { case _: Throwable => () }
+
+  /** Recorded partition-column types; empty for legacy tables (their
+    * rewrites fall back to inference types — the pre-recording
+    * behavior).
+    */
+  def partitionColumnTypes(root: String)
+      : Map[String, org.apache.spark.sql.types.DataType] = {
+    val p = partSchemaPath(Paths.get(root))
+    if (!Files.exists(p)) return Map.empty
+    val re = """"((?:[^"\\]|\\.)+)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+    val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    re.findAllMatchIn(txt).flatMap { m =>
+      try Some(unescJson(m.group(1)) ->
+        org.apache.spark.sql.types.DataType.fromJson(unescJson(m.group(2))))
+      catch { case _: Throwable => None }
+    }.toMap
+  }
+
+  /** Reverse of Spark's partition-path escaping (%xx sequences). */
+  private def unescapePathSeg(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        try {
+          b.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => b.append(c); i += 1 }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
+  /** Read one partition's files with the partition-column values
+    * attached as LITERALS decoded from the manifest key — never from
+    * path inference — cast to `partTypes` (the Iceberg
+    * identity-partition read).
+    */
+  private def readPartitionExact(spark: SparkSession, verDir: Path,
+      key: String, partitionColumns: Seq[String],
+      partTypes: Map[String, org.apache.spark.sql.types.DataType])
+      : DataFrame = {
+    val files = dataFilesUnder(verDir.resolve(key))
+    val base = spark.read.parquet(files.map(_.toString): _*)
+    val segs = key.split('/').map { s =>
+      val i = s.indexOf('=')
+      unescapePathSeg(s.substring(0, i)) ->
+        unescapePathSeg(s.substring(i + 1))
+    }.toMap
+    partitionColumns.foldLeft(base) { (df, c) =>
+      val raw = segs(c)
+      val v = if (raw == "__HIVE_DEFAULT_PARTITION__")
+        lit(null) else lit(raw)
+      df.withColumn(c, v.cast(partTypes(c)))
+    }
+  }
+
+  /** The partition-column types a rewrite must emit: recorded types
+    * when present, else the inference types of the live snapshot (the
+    * legacy-table fallback).
+    */
+  private def rewritePartTypes(spark: SparkSession, root: String,
+      m: PartitionedManifest)
+      : Map[String, org.apache.spark.sql.types.DataType] = {
+    val recorded = partitionColumnTypes(root)
+    if (m.partitionColumns.forall(recorded.contains)) recorded
+    else readPartitionedSnapshot(spark, root, m)
+      .select(m.partitionColumns.map(col): _*).schema
+      .map(f => f.name -> f.dataType).toMap
+  }
+
   /** Compact FRAGMENTED partitions of a partitioned table — those
     * holding at least `minFiles` data files (the accretion shape
     * per-batch streaming ingest produces) — into ONE file each, as a
@@ -1718,11 +1879,14 @@ object VersionedTable {
       }
       rewritten = frag.size
       if (frag.isEmpty) return m.version
-      val df = frag.groupBy(_._2).toSeq.sortBy(_._1)
-        .map { case (dn, parts) =>
-          val base = rootP.resolve(dn).toString
-          spark.read.option("basePath", base)
-            .parquet(parts.keys.toSeq.sorted.map(k => s"$base/$k"): _*)
+      // partition values from the manifest keys, typed by the
+      // recorded schema — path inference would reinterpret lossy
+      // values (string "07" → int 7) and PERSIST the rename
+      val types = rewritePartTypes(spark, root, m)
+      val df = frag.toSeq.sortBy(_._1)
+        .map { case (k, dn) =>
+          readPartitionExact(spark, rootP.resolve(dn), k,
+            m.partitionColumns, types)
         }.reduce(_.unionByName(_, allowMissingColumns = true))
         .repartition(m.partitionColumns.map(col): _*)
       replacePartitioned(spark, root, df, m.partitionColumns,
@@ -1755,7 +1919,16 @@ object VersionedTable {
           s"no partitioned _manifest.json under $root"))
       val keys = (m.partitionColumns ++ sortCols).map(col)
       val n = math.max(1, bucketsPerPartition * m.partitions.size)
-      val df = readPartitionedSnapshot(spark, root, m)
+      // exact-typed partition values from the manifest keys (see
+      // compactPartitions) — a full-table rewrite must never rename
+      // a partition through path-inference lossiness
+      val types = rewritePartTypes(spark, root, m)
+      val rootP2 = Paths.get(root)
+      val df = m.partitions.toSeq.sortBy(_._1)
+        .map { case (k, dn) =>
+          readPartitionExact(spark, rootP2.resolve(dn), k,
+            m.partitionColumns, types)
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
         .repartitionByRange(n, keys: _*)
         .sortWithinPartitions(keys: _*)
       replacePartitioned(spark, root, df, m.partitionColumns,
@@ -1798,7 +1971,9 @@ object VersionedTable {
       // keep partition-level bounds current across replace commits
       // too, or interval pruning would degrade to scan-all (sound but
       // ineffective) after every vacuum/compaction
-      writePartStats(rootP, next, newParts)
+      writePartSchema(rootP, partitionColumns.map(c =>
+        c -> df.schema(c).dataType))
+      writePartStats(rootP, next, newParts, prev)
       writePartitionedManifest(rootP,
         PartitionedManifest(next, partitionColumns, newParts))
       Files.createDirectories(rootP.resolve("_versions"))
@@ -2374,17 +2549,30 @@ object VersionedTable {
   private def prunedPartitionedRead(spark: SparkSession, root: String,
                                     files: Seq[(Path, Boolean, Path)],
                                     column: String, lo: Long, hi: Long)
-      : DataFrame = {
+      : DataFrame =
+    prunedPartitionedReadWhere(spark, root, files,
+      col(column) >= lit(lo) && col(column) <= lit(hi))
+
+  /** Assemble a pruned partitioned read from (file, mustScan, version
+    * dir) triples — survivors grouped per version dir so partition
+    * values parse under the right basePath — then apply the row-level
+    * filter (file skipping is planning only; the filter preserves
+    * exact semantics).
+    */
+  private def prunedPartitionedReadWhere(spark: SparkSession,
+                                         root: String,
+                                         files: Seq[(Path, Boolean, Path)],
+                                         rowFilter: Column): DataFrame = {
     val survivors = files.filter(_._2)
     val df =
       if (survivors.isEmpty) // schema (incl. partition cols), zero rows
         readLivePartitioned(spark, root).limit(0)
       else survivors.groupBy(_._3).toSeq.sortBy(_._1.toString)
         .map { case (verDir, fs) =>
-          spark.read.option("basePath", verDir.toString)
-            .parquet(fs.map(_._1.toString): _*)
+          readLeavesTyped(spark, root, verDir.toString,
+            fs.map(_._1.toString))
         }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
-    df.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+    df.filter(rowFilter)
   }
 
   // ------------------------------------------------------------------
@@ -2430,23 +2618,39 @@ object VersionedTable {
   }
 
   /** Write `_part_stats.json` for the manifest state (version,
-    * partitions): one fold per live partition from its version dir's
-    * sidecar (sidecars are read once per distinct dir). Failures are
+    * partitions) INCREMENTALLY: entries for partitions whose dir
+    * mapping is unchanged since `prev` are carried over from the
+    * previous sidecar (trusted only when its version matches prev's),
+    * and only touched/new partitions re-fold from their version dir's
+    * sidecar — a one-partition commit pays one-partition metadata
+    * work, not table-wide IO under the commit lock. Failures are
     * swallowed — partition bounds are optional metadata; a missing or
     * stale file means scan-all, never wrong pruning.
     */
   private def writePartStats(rootP: Path, version: Long,
-                             partitions: Map[String, String]): Unit =
+                             partitions: Map[String, String],
+                             prev: Option[PartitionedManifest]): Unit =
     try {
-      val sidecars = partitions.values.toSeq.distinct
+      val prevParts = prev.map(_.partitions).getOrElse(Map.empty)
+      val trusted: Map[String, PartitionStats] = prev.flatMap { pm =>
+        readPartStats(rootP.toString)
+          .filter(_._1 == pm.version).map(_._2)
+      }.getOrElse(Map.empty)
+      def carried(k: String, dn: String): Boolean =
+        prevParts.get(k).contains(dn) && trusted.contains(k)
+      val needFold = partitions.filterNot { case (k, dn) => carried(k, dn) }
+      val sidecars = needFold.values.toSeq.distinct
         .map(dn => dn -> readStatsSidecar(rootP.resolve(dn))).toMap
       val lines = Seq(s"""{"version": $version}""") ++
         partitions.toSeq.sortBy(_._1).flatMap { case (k, dn) =>
-          foldPartitionStats(rootP.resolve(dn), k, sidecars(dn)).map { ps =>
-            val cols = ps.cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+          val ps =
+            if (carried(k, dn)) Some(trusted(k))
+            else foldPartitionStats(rootP.resolve(dn), k, sidecars(dn))
+          ps.map { st =>
+            val cols = st.cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
               s""""${escJson(c)}": {"min": $mn, "max": $mx}"""
             }.mkString(", ")
-            s"""{"part": "${escJson(k)}", "rows": ${ps.rows}, """ +
+            s"""{"part": "${escJson(k)}", "rows": ${st.rows}, """ +
               s""""cols": {$cols}}"""
           }
         }
@@ -2607,8 +2811,20 @@ object VersionedTable {
       expr(s"graft_bloom(`_graft_h_$c`, $bits)").as(s"_graft_b_$c"))
     val rows = src.groupBy(col("_graft_file"))
       .agg(aggs.head, aggs.tail: _*).collect() // one row per live file
+    Files.write(bloomPath(dirP),
+      renderBloomLines(rows, columns)
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** Render collected (file, bloom…) aggregate rows into the
+    * `_bloom.json` line format — shared by both sidecar builders so
+    * the sketch encoding has exactly one writer.
+    */
+  private def renderBloomLines(rows: Array[org.apache.spark.sql.Row],
+                               columns: Seq[String]): Seq[String] = {
     val enc = java.util.Base64.getEncoder
-    val lines = rows.flatMap { r =>
+    rows.toSeq.flatMap { r =>
       val rel = r.getString(0)
       columns.zipWithIndex.map { case (c, i) =>
         val sketch = r.getSeq[Long](i + 1).toArray
@@ -2620,9 +2836,6 @@ object VersionedTable {
           s""""words": "${enc.encodeToString(bb.array())}"}"""
       }
     }
-    Files.write(bloomPath(dirP),
-      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    ()
   }
 
   /** Parse `_bloom.json`: (relative path, column) → HEADERED sketch
@@ -2760,21 +2973,9 @@ object VersionedTable {
             expr(s"graft_bloom(`_graft_h_$c`, $bits)").as(s"_graft_b_$c"))
           val rows = src.groupBy(col("_graft_file"))
             .agg(aggs.head, aggs.tail: _*).collect()
-          val enc = java.util.Base64.getEncoder
-          val lines = rows.flatMap { r =>
-            val rel = r.getString(0)
-            columns.zipWithIndex.map { case (c, i) =>
-              val sketch = r.getSeq[Long](i + 1).toArray
-              val words = sketch.drop(graft.functions.Bloom.HeaderLen)
-              val bb = java.nio.ByteBuffer.allocate(words.length * 8)
-              bb.asLongBuffer().put(words)
-              s"""{"path": "${escJson(rel)}", "column": "${escJson(c)}", """ +
-                s""""bits": ${sketch(0)}, "k": ${sketch(1)}, """ +
-                s""""words": "${enc.encodeToString(bb.array())}"}"""
-            }
-          }
           Files.write(bloomPath(dirP),
-            lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+            renderBloomLines(rows, columns)
+              .mkString("\n").getBytes(StandardCharsets.UTF_8))
           ()
         }
     }
@@ -2827,16 +3028,8 @@ object VersionedTable {
                                          value: Long): DataFrame = {
     val (files, _) = partitionedBloomSurvivors(root, column,
       graft.functions.Bloom.hashLong(value))
-    val survivors = files.filter(_._2)
-    val df =
-      if (survivors.isEmpty)
-        readLivePartitioned(spark, root).limit(0)
-      else survivors.groupBy(_._3).toSeq.sortBy(_._1.toString)
-        .map { case (verDir, fs) =>
-          spark.read.option("basePath", verDir.toString)
-            .parquet(fs.map(_._1.toString): _*)
-        }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
-    df.filter(col(column) === lit(value))
+    prunedPartitionedReadWhere(spark, root, files,
+      col(column) === lit(value))
   }
 
   /** String flavor of [[pruneDecisionPartitionedBloomLong]]. */
@@ -2853,16 +3046,8 @@ object VersionedTable {
                                         value: String): DataFrame = {
     val (files, _) = partitionedBloomSurvivors(root, column,
       graft.functions.Bloom.hashString(value))
-    val survivors = files.filter(_._2)
-    val df =
-      if (survivors.isEmpty)
-        readLivePartitioned(spark, root).limit(0)
-      else survivors.groupBy(_._3).toSeq.sortBy(_._1.toString)
-        .map { case (verDir, fs) =>
-          spark.read.option("basePath", verDir.toString)
-            .parquet(fs.map(_._1.toString): _*)
-        }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
-    df.filter(col(column) === lit(value))
+    prunedPartitionedReadWhere(spark, root, files,
+      col(column) === lit(value))
   }
 
   /** Packaged exactly-once-effect streaming sink: the foreachBatch

@@ -534,6 +534,54 @@ class PosDeleteBloomZOrderSpec extends SparkSpec {
     assert(snap === (0L until 90L).map(i => (i, i)).toMap)
   }
 
+  test("setRef refuses to tag a retention-pruned version: a tag must " +
+    "pin a READABLE snapshot, never reclaimed storage") {
+    val root = tmpRoot()
+    (1 to 3).foreach { i =>
+      VersionedTable.upsert(spark, root,
+        Seq((i.toLong, i.toLong)).toDF("id", "v"), Seq("id"))
+    } // keepVersions=2 → v1's data dir is pruned, history entry stays
+    assert(!VersionedTable.versions(root).contains(1L))
+    val e = intercept[IllegalStateException] {
+      VersionedTable.setRef(root, "dead", 1L)
+    }
+    assert(e.getMessage.contains("pruned"))
+    VersionedTable.setRef(root, "ok", 3L) // live version tags fine
+    assert(VersionedTable.readRef(spark, root, "ok").count() === 3L)
+  }
+
+  test("compaction preserves lossy partition values exactly: a string " +
+    "partition '07' must never be reinterpreted as int 7 and renamed") {
+    val root = tmpRoot()
+    val rows = (0L until 200L).map(i => (i, f"${i % 4}%02d", i))
+      .toDF("id", "grp", "v") // grp in {00, 01, 02, 03} — all lossy
+    VersionedTable.upsertPartitioned(spark, root,
+      rows.repartition(4, col("id")), Seq("id"), Seq("grp"))
+    val keysBefore = VersionedTable.readPartitionedManifest(root)
+      .get.partitions.keySet
+    assert(keysBefore === Set("grp=00", "grp=01", "grp=02", "grp=03"))
+    val (_, n) = VersionedTable.compactPartitions(spark, root)
+    assert(n === 4)
+    val keysAfter = VersionedTable.readPartitionedManifest(root)
+      .get.partitions.keySet
+    assert(keysAfter === keysBefore,
+      s"compaction renamed partition keys: $keysAfter")
+    // values in the data are the original zero-padded strings, typed
+    // string per the recorded schema
+    val got = VersionedTable.readLivePartitioned(spark, root)
+    assert(got.schema("grp").dataType ===
+      org.apache.spark.sql.types.StringType)
+    assert(got.filter(col("grp") === "07").count() === 0L)
+    assert(got.filter(col("grp") === "02").count() === 50L)
+    assert(got.count() === 200L)
+    // the sorted rewrite preserves keys too
+    VersionedTable.compactPartitionsSorted(spark, root, Seq("v"), 2)
+    assert(VersionedTable.readPartitionedManifest(root)
+      .get.partitions.keySet === keysBefore)
+    assert(VersionedTable.readLivePartitioned(spark, root)
+      .filter(col("grp") === "03").count() === 50L)
+  }
+
   test("removeOrphans reaps only crash artifacts: committed dirs and " +
     "young staging survive, live content byte-identical") {
     val root = tmpRoot()
