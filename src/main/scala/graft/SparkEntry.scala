@@ -4971,6 +4971,36 @@ object SparkEntry {
           lit(0L).as("max_k")))
     }),
 
+    // Lossy partition values round-trip through maintenance exactly:
+    // zero-padded string partition keys ('00'..'06') are the values
+    // Spark's path type inference REINTERPRETS as ints — without the
+    // recorded partition schema, compaction would rename 'pad=00' to
+    // 'pad=0' and key-addressed reads would silently miss. The audit
+    // grades the invariant directly: after compactPartitions, the
+    // manifest keys equal the expected rendered set (bit), partition
+    // count and rewrite count are replayed, and the per-key contents
+    // (grouped by the STRING key) hash-match DuckDB's lpad replay.
+    "q308_lossy_partition_keys" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      val work = graft.core.ScratchDirs.fresh("q308_lpk").toString
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          lpad((col("doc_id") % 7).cast("string"), 2, "0").as("pad"))
+        .repartition(4, col("doc_id"))
+      vt.upsertPartitioned(s, work, docs, Seq("doc_id"), Seq("pad"))
+      val (_, rewritten) = vt.compactPartitions(s, work)
+      val keys = vt.readPartitionedManifest(work).get.partitions.keySet
+      val expected = (0 until 7).map(i => f"pad=$i%02d").toSet
+      val keysOk = if (keys == expected) 1L else 0L
+      vt.readLivePartitioned(s, work)
+        .groupBy("pad")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_did"))
+        .unionByName(s.range(1).select(lit("_audit").as("pad"),
+          lit(rewritten.toLong).as("n"), lit(keys.size.toLong)
+            .as("sum_chars"), lit(keysOk).as("min_did")))
+    }),
+
     // Hashed-bigram linear quality classifier (fastText-shape
     // inference): feature-hash adjacent word bigrams into 4096
     // buckets, sum deterministic integer bucket weights, threshold.
@@ -10993,6 +11023,23 @@ object SparkEntry {
         |  (SELECT count(*) FROM o WHERE k % 2 <> 0) AS n,
         |  CAST(1 AS BIGINT) AS sum_cents, CAST(2 AS BIGINT) AS min_k,
         |  CAST(0 AS BIGINT) AS max_k""".stripMargin,
+
+    // Lossy-key replay: per-key contents grouped by the zero-padded
+    // STRING; all 7 partitions fragmented and rewritten; manifest
+    // keys preserved exactly (bit).
+    "q308_lossy_partition_keys" ->
+      """WITH docs AS (
+        |  SELECT doc_id, n_chars,
+        |    lpad(CAST(doc_id % 7 AS VARCHAR), 2, '0') AS pad
+        |  FROM documents)
+        |SELECT pad, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_did
+        |FROM docs GROUP BY pad
+        |UNION ALL
+        |SELECT '_audit' AS pad, CAST(7 AS BIGINT) AS n,
+        |  CAST(7 AS BIGINT) AS sum_chars,
+        |  CAST(1 AS BIGINT) AS min_did""".stripMargin,
 
     // The melt replayed as an explicit 4-way union with the same
     // metric-name literals Spark's unpivot emits.
