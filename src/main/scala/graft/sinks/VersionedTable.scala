@@ -1798,60 +1798,6 @@ object VersionedTable {
     }.toMap
   }
 
-  /** Reverse of Spark's partition-path escaping (%xx sequences). */
-  private def unescapePathSeg(s: String): String = {
-    val b = new java.lang.StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 3 <= s.length) {
-        try {
-          b.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-          i += 3
-        } catch { case _: NumberFormatException => b.append(c); i += 1 }
-      } else { b.append(c); i += 1 }
-    }
-    b.toString
-  }
-
-  /** Read one partition's files with the partition-column values
-    * attached as LITERALS decoded from the manifest key — never from
-    * path inference — cast to `partTypes` (the Iceberg
-    * identity-partition read).
-    */
-  private def readPartitionExact(spark: SparkSession, verDir: Path,
-      key: String, partitionColumns: Seq[String],
-      partTypes: Map[String, org.apache.spark.sql.types.DataType])
-      : DataFrame = {
-    val files = dataFilesUnder(verDir.resolve(key))
-    val base = spark.read.parquet(files.map(_.toString): _*)
-    val segs = key.split('/').map { s =>
-      val i = s.indexOf('=')
-      unescapePathSeg(s.substring(0, i)) ->
-        unescapePathSeg(s.substring(i + 1))
-    }.toMap
-    partitionColumns.foldLeft(base) { (df, c) =>
-      val raw = segs(c)
-      val v = if (raw == "__HIVE_DEFAULT_PARTITION__")
-        lit(null) else lit(raw)
-      df.withColumn(c, v.cast(partTypes(c)))
-    }
-  }
-
-  /** The partition-column types a rewrite must emit: recorded types
-    * when present, else the inference types of the live snapshot (the
-    * legacy-table fallback).
-    */
-  private def rewritePartTypes(spark: SparkSession, root: String,
-      m: PartitionedManifest)
-      : Map[String, org.apache.spark.sql.types.DataType] = {
-    val recorded = partitionColumnTypes(root)
-    if (m.partitionColumns.forall(recorded.contains)) recorded
-    else readPartitionedSnapshot(spark, root, m)
-      .select(m.partitionColumns.map(col): _*).schema
-      .map(f => f.name -> f.dataType).toMap
-  }
-
   /** Compact FRAGMENTED partitions of a partitioned table — those
     * holding at least `minFiles` data files (the accretion shape
     * per-batch streaming ingest produces) — into ONE file each, as a
@@ -1879,14 +1825,15 @@ object VersionedTable {
       }
       rewritten = frag.size
       if (frag.isEmpty) return m.version
-      // partition values from the manifest keys, typed by the
-      // recorded schema — path inference would reinterpret lossy
-      // values (string "07" → int 7) and PERSIST the rename
-      val types = rewritePartTypes(spark, root, m)
-      val df = frag.toSeq.sortBy(_._1)
-        .map { case (k, dn) =>
-          readPartitionExact(spark, rootP.resolve(dn), k,
-            m.partitionColumns, types)
+      // readLeavesTyped parses partition values under the RECORDED
+      // types (one read per version dir) — path inference would
+      // reinterpret lossy values (string "07" → int 7) and PERSIST
+      // the rename through the rewrite
+      val df = frag.groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (dn, parts) =>
+          val base = rootP.resolve(dn).toString
+          readLeavesTyped(spark, root, base,
+            parts.keys.toSeq.sorted.map(k => s"$base/$k"))
         }.reduce(_.unionByName(_, allowMissingColumns = true))
         .repartition(m.partitionColumns.map(col): _*)
       replacePartitioned(spark, root, df, m.partitionColumns,
@@ -1919,16 +1866,10 @@ object VersionedTable {
           s"no partitioned _manifest.json under $root"))
       val keys = (m.partitionColumns ++ sortCols).map(col)
       val n = math.max(1, bucketsPerPartition * m.partitions.size)
-      // exact-typed partition values from the manifest keys (see
-      // compactPartitions) — a full-table rewrite must never rename
-      // a partition through path-inference lossiness
-      val types = rewritePartTypes(spark, root, m)
-      val rootP2 = Paths.get(root)
-      val df = m.partitions.toSeq.sortBy(_._1)
-        .map { case (k, dn) =>
-          readPartitionExact(spark, rootP2.resolve(dn), k,
-            m.partitionColumns, types)
-        }.reduce(_.unionByName(_, allowMissingColumns = true))
+      // readPartitionedSnapshot parses partition values under the
+      // recorded types (readLeavesTyped) — a full-table rewrite must
+      // never rename a partition through path-inference lossiness
+      val df = readPartitionedSnapshot(spark, root, m)
         .repartitionByRange(n, keys: _*)
         .sortWithinPartitions(keys: _*)
       replacePartitioned(spark, root, df, m.partitionColumns,
