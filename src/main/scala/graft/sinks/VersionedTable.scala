@@ -501,6 +501,23 @@ object VersionedTable {
       try System.currentTimeMillis -
         Files.getLastModifiedTime(p).toMillis >= olderThanMs
       catch { case _: Throwable => false }
+    // staging dirs age by the NEWEST mtime found anywhere under them:
+    // the dir's own mtime is set at creation and a long-running Spark
+    // write mutates only nested `_temporary/...` task files, so a
+    // top-level-mtime rule would reap an in-flight writer's staging
+    // mid-write after olderThanMs of honest work
+    def stagingOldEnough(p: Path): Boolean =
+      try {
+        val s = Files.walk(p)
+        val newest =
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala
+              .map(f => Files.getLastModifiedTime(f).toMillis)
+              .foldLeft(0L)(math.max)
+          } finally s.close()
+        System.currentTimeMillis - newest >= olderThanMs
+      } catch { case _: Throwable => false }
     val tmpRe =
       ("_manifest\\.json\\.tmp.*|_part_stats\\.json\\.tmp.*|" +
         "_part_schema\\.json\\.tmp.*|" +
@@ -550,7 +567,7 @@ object VersionedTable {
         entries.filter(oldEnough).foreach { p =>
           val n = p.getFileName.toString
           if (n.startsWith("_staging-") && Files.isDirectory(p)) {
-            toTrash(p); nStaging += 1
+            if (stagingOldEnough(p)) { toTrash(p); nStaging += 1 }
           } else if (tmpRe.pattern.matcher(n).matches()) {
             toTrash(p); nTmp += 1
           } else if (n.matches("v\\d{8}") && Files.isDirectory(p) &&
@@ -1397,6 +1414,12 @@ object VersionedTable {
       s"keepManifests must be >= 1: $keepManifests")
     require(partitionColumns.nonEmpty,
       "partitionColumns empty — use upsert() for unpartitioned tables")
+    // a batch whose partition-column TYPE drifted from the recorded
+    // `_part_schema.json` must fail loudly here: union coercion would
+    // write correct data but the type mismatch means the caller's
+    // mental model of the partition key space is wrong (int 7 vs
+    // string "07" address DIFFERENT partitions after path escaping)
+    requirePartitionTypesMatch(root, updates, partitionColumns)
     enforceConstraints(root, updates)
     val rootP = Paths.get(root)
     Files.createDirectories(rootP)
@@ -1450,9 +1473,14 @@ object VersionedTable {
           // partition-level bounds BEFORE the manifest flip: a crash
           // between the two leaves stats.version > manifest.version,
           // which readers reject (scan-all fallback, sound); stats
-          // lagging the manifest is equally rejected
+          // lagging the manifest is equally rejected.
+          // Types come from MERGED — the dataframe actually written —
+          // not the raw batch: alignSchemas/unionByName may have
+          // coerced the batch's partition-column types to the table's,
+          // and recording the batch's type would make readLeavesTyped
+          // parse every dir's path values under the wrong type.
           writePartSchema(rootP, partitionColumns.map(c =>
-            c -> updates.schema(c).dataType))
+            c -> merged.schema(c).dataType))
           writePartStats(rootP, next, newParts, prev)
           writePartitionedManifest(rootP,
             PartitionedManifest(next, partitionColumns, newParts))
@@ -1668,6 +1696,20 @@ object VersionedTable {
     * per-constraint violation counts when any row fails (a NULL
     * predicate counts as a violation — unknown is not proof of
     * conformance).
+    *
+    * CONTRACT: validation is BATCH-scoped — the raw update batch is
+    * checked, not the merged data as written (Delta checks the
+    * latter). Two visible consequences: (1) a constrained column
+    * legitimately ABSENT from a SyncAllColumns batch (null-padded
+    * later in the merge) fails here with a missing-column diagnosis
+    * rather than writing nulls past the constraint; (2) pre-existing
+    * rows rewritten by a merge are never re-validated (addConstraint
+    * documents that existing data is not retro-checked).
+    *
+    * A predicate that fails ANALYSIS (missing column, typo'd SQL) is
+    * rethrown as IllegalArgumentException naming the constraint and
+    * whether the cause is a column the batch lacks vs a malformed
+    * predicate — not a raw AnalysisException from deep in the agg.
     */
   private def enforceConstraints(root: String, batch: DataFrame): Unit = {
     val cs = constraints(root)
@@ -1676,7 +1718,43 @@ object VersionedTable {
       org.apache.spark.sql.functions.sum(
         when(!coalesce(expr(p), lit(false)), 1L).otherwise(0L)).as(n)
     }
-    val row = batch.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val row =
+      try batch.agg(aggs.head, aggs.tail: _*).collect()(0)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          // diagnose per constraint: which predicate fails analysis,
+          // and is it a column the batch lacks or a bad expression?
+          val batchCols = batch.columns.toSet
+          val broken = cs.toSeq.sortBy(_._1).flatMap { case (n, p) =>
+            val bad =
+              try { batch.select(expr(p)).queryExecution.analyzed; false }
+              catch { case _: Throwable => true }
+            if (!bad) None
+            else {
+              val missing =
+                try org.apache.spark.sql.catalyst.parser
+                  .CatalystSqlParser.parseExpression(p)
+                  .collect {
+                    case a: org.apache.spark.sql.catalyst.analysis
+                        .UnresolvedAttribute if !batchCols(a.name) =>
+                      a.name
+                  }
+                catch { case _: Throwable => Seq.empty }
+              val hint =
+                if (missing.nonEmpty)
+                  s"references ${missing.mkString(", ")} absent from " +
+                    "this batch (SyncAllColumns null-padding happens " +
+                    "AFTER validation — include the column explicitly)"
+                else "predicate fails analysis (malformed SQL or type " +
+                  "error)"
+              Some(s"$n [$p]: $hint")
+            }
+          }
+          throw new IllegalArgumentException(
+            s"constraint validation on $root could not analyze: " +
+              (if (broken.nonEmpty) broken.mkString("; ")
+               else e.getMessage), e)
+      }
     val bad = cs.keys.toSeq.sorted.zipWithIndex.flatMap { case (n, i) =>
       val v = if (row.isNullAt(i)) 0L else row.getLong(i)
       if (v > 0) Some(n -> v) else None
@@ -1766,6 +1844,32 @@ object VersionedTable {
 
   private def partSchemaPath(rootP: Path): Path =
     rootP.resolve("_part_schema.json")
+
+  /** Reject a write batch whose partition-column types disagree with
+    * the table's recorded `_part_schema.json` — the drift would be
+    * union-coerced into correct DATA but a corrupted partition KEY
+    * space (the lossy-value class `_part_schema.json` exists to
+    * prevent). Columns with no recorded type (first commit, legacy
+    * table, spec evolution adding a column) pass.
+    */
+  private def requirePartitionTypesMatch(root: String, batch: DataFrame,
+                                         partitionColumns: Seq[String])
+      : Unit = {
+    val recorded = partitionColumnTypes(root)
+    val drift = partitionColumns.flatMap { c =>
+      for {
+        rec <- recorded.get(c)
+        got <- batch.schema.find(_.name == c).map(_.dataType)
+        if rec != got
+      } yield s"$c: table has ${rec.simpleString}, batch has " +
+        got.simpleString
+    }
+    require(drift.isEmpty,
+      s"partition-column type drift writing into $root — " +
+        drift.mkString("; ") + " (cast the batch to the recorded " +
+        "types; path-encoded partition values are parsed under the " +
+        "recorded type, so a type flip silently re-addresses keys)")
+  }
 
   private def writePartSchema(rootP: Path,
       schema: Seq[(String, org.apache.spark.sql.types.DataType)]): Unit =
@@ -1892,6 +1996,20 @@ object VersionedTable {
     writeStatsSidecar(staging)
     withCommitLock(rootP) {
       val prev = readPartitionedManifest(root)
+      // a replace under a DIFFERENT partition-column list would
+      // silently flip the manifest's spec and merge a mixed key space
+      // (`day=...` pointers beside `other=...`) — fail loudly; spec
+      // evolution is the upsertPartitioned prefix-extension path, not
+      // the replace family
+      prev.filter(_.partitionColumns != partitionColumns).foreach { m =>
+        deleteRecursively(staging)
+        throw new IllegalArgumentException(
+          s"replace into $root with partition columns " +
+            s"${partitionColumns.mkString("(", ",", ")")} but the " +
+            s"table is partitioned by " +
+            s"${m.partitionColumns.mkString("(", ",", ")")} — " +
+            "replace/overwrite never changes the partition spec")
+      }
       val live = prev.map(_.version).getOrElse(0L)
       expectedBase.filter(_ != live).foreach { base =>
         deleteRecursively(staging)
