@@ -5001,6 +5001,45 @@ object SparkEntry {
             .as("sum_chars"), lit(keysOk).as("min_did")))
     }),
 
+    // DOUBLE footer-stats pruning (r13): q287's physical file-skipping
+    // extended to floating columns — 16 real files range-clustered on
+    // the raw double `value` (deterministic ntile layout) plus one
+    // deliberately NaN-POISONED file. The poisoned file's chunk stats
+    // are unreliable under NaN ordering, so the harvest records NO
+    // bounds for it and it must scan under EVERY interval — the audit
+    // row grades exactly that: scanned = replayed-zone-map survivors
+    // + 1 (the NaN file, whose clean value 9999.5 is far outside the
+    // probe). Content equals the plain filter (a NaN row satisfies no
+    // interval in either engine). At 100 TB this is metric-column
+    // pruning — SUM(value) WHERE value BETWEEN — that INT-only stats
+    // silently degraded to scan-all.
+    "q311_double_stats_prune" -> ((s, d) => {
+      import s.implicits._
+      val vt = graft.sinks.VersionedTable
+      val work = graft.core.ScratchDirs.fresh("q311_dsp").toString
+      val laid = Tables.events(s, d).select(col("event_id"), col("value"))
+        .withColumn("fid", ntile(16).over(
+          Window.orderBy(col("value"), col("event_id"))))
+      val poison = Seq((-1L, Double.NaN, 17), (-2L, 9999.5, 17))
+        .toDF("event_id", "value", "fid")
+      vt.commit(work) { dir =>
+        // coalesce(1): exactly ONE file per fid dir (the window
+        // already serialized laid), so total-files replays closed-form
+        laid.unionByName(poison).coalesce(1)
+          .write.partitionBy("fid").parquet(dir)
+      }
+      val (lo, hi) = (0.25, 0.75)
+      val (scanned, total) = vt.pruneDecisionDouble(work, "value", lo, hi)
+      val agg = vt.readLivePrunedDouble(s, work, "value", lo, hi)
+        .agg(count(lit(1)).as("n"), sum("value").as("sum_value"),
+          min("event_id").as("min_eid"), max("event_id").as("max_eid"))
+      agg.select(lit("rows").as("part"), col("n"), col("sum_value"),
+          col("min_eid"), col("max_eid"))
+        .unionByName(s.range(1).select(lit("files").as("part"),
+          lit(scanned.toLong).as("n"), lit(total.toDouble).as("sum_value"),
+          lit(0L).as("min_eid"), lit(0L).as("max_eid")))
+    }),
+
     // Hashed-bigram linear quality classifier (fastText-shape
     // inference): feature-hash adjacent word bigrams into 4096
     // buckets, sum deterministic integer bucket weights, threshold.
@@ -11040,6 +11079,35 @@ object SparkEntry {
         |SELECT '_audit' AS pad, CAST(7 AS BIGINT) AS n,
         |  CAST(7 AS BIGINT) AS sum_chars,
         |  CAST(1 AS BIGINT) AS min_did""".stripMargin,
+
+    // DOUBLE-stats pruning decision replayed as zone maps over the
+    // same deterministic ntile layout; the NaN-poisoned extra file
+    // always scans (+1), its NaN row satisfies no interval in either
+    // engine (DuckDB orders NaN above +inf, so BETWEEN excludes it).
+    "q311_double_stats_prune" ->
+      """WITH laid AS (
+        |  SELECT event_id, value,
+        |    ntile(16) OVER (ORDER BY value, event_id) AS fid
+        |  FROM events),
+        |all_rows AS (
+        |  SELECT * FROM laid
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(-1 AS BIGINT), 'NaN'::DOUBLE, 17),
+        |    (CAST(-2 AS BIGINT), 9999.5, 17)) t(event_id, value, fid)),
+        |z AS (
+        |  SELECT fid, min(value) AS mn, max(value) AS mx
+        |  FROM laid GROUP BY fid)
+        |SELECT 'rows' AS part, count(*) AS n, sum(value) AS sum_value,
+        |  min(event_id) AS min_eid, max(event_id) AS max_eid
+        |FROM all_rows WHERE value BETWEEN 0.25 AND 0.75
+        |UNION ALL
+        |SELECT 'files' AS part,
+        |  (SELECT count(*) FROM z
+        |   WHERE mx >= 0.25 AND mn <= 0.75) + 1 AS n,
+        |  CAST(17 AS DOUBLE) AS sum_value,
+        |  CAST(0 AS BIGINT) AS min_eid,
+        |  CAST(0 AS BIGINT) AS max_eid""".stripMargin,
 
     // The melt replayed as an explicit 4-way union with the same
     // metric-name literals Spark's unpivot emits.

@@ -2070,6 +2070,8 @@ object VersionedTable {
   final case class FileStats(path: String, rows: Long,
                              cols: Map[String, (Long, Long)],
                              strs: Map[String, (String, String)] =
+                               Map.empty,
+                             dbls: Map[String, (Double, Double)] =
                                Map.empty)
 
   /** Unsigned UTF-8 byte comparison — parquet's SortOrder for UTF8
@@ -2155,6 +2157,7 @@ object VersionedTable {
       val rows = blocks.map(_.getRowCount).sum
       val acc = scala.collection.mutable.HashMap[String, (Long, Long)]()
       val sacc = scala.collection.mutable.HashMap[String, (String, String)]()
+      val dacc = scala.collection.mutable.HashMap[String, (Double, Double)]()
       val dead = scala.collection.mutable.HashSet[String]()
       def isUtf8(pt: org.apache.parquet.schema.PrimitiveType): Boolean =
         pt.getLogicalTypeAnnotation match {
@@ -2166,16 +2169,42 @@ object VersionedTable {
         val name = c.getPath.toDotString
         val tn = c.getPrimitiveType.getPrimitiveTypeName
         val numeric = tn == INT64 || tn == INT32
+        val floaty = tn == DOUBLE || tn == FLOAT
         val stringy = tn == BINARY && isUtf8(c.getPrimitiveType)
-        if ((numeric || stringy) && !dead(name)) {
+        if ((numeric || floaty || stringy) && !dead(name)) {
           val st = c.getStatistics
           if (st == null || st.isEmpty || !st.hasNonNullValue) {
             // a block with no usable stats poisons the whole column:
-            // its rows could fall anywhere
+            // its rows could fall anywhere. For FLOAT/DOUBLE this is
+            // also the NaN guard — parquet-mr omits chunk statistics
+            // when a NaN was written (min/max ordering is unreliable
+            // under NaN), so a NaN-poisoned file lands here and keeps
+            // NO bounds: it always scans, never wrongly skips.
             if (st == null || st.isEmpty ||
                 st.getNumNulls != b.getRowCount) {
-              dead += name; acc.remove(name); sacc.remove(name); ()
+              dead += name; acc.remove(name); sacc.remove(name)
+              dacc.remove(name); ()
             } // else: all-null block constrains nothing, keep going
+          } else if (floaty) {
+            val mn = st.genericGetMin match {
+              case d: java.lang.Double => d.doubleValue()
+              case f: java.lang.Float  => f.doubleValue()
+            }
+            val mx = st.genericGetMax match {
+              case d: java.lang.Double => d.doubleValue()
+              case f: java.lang.Float  => f.doubleValue()
+            }
+            // a NaN bound (legacy writers) proves nothing — kill the
+            // column's stats for this file rather than trust ordering
+            if (mn.isNaN || mx.isNaN) {
+              dead += name; dacc.remove(name); ()
+            } else {
+              val cur = dacc.get(name)
+              dacc(name) = cur match {
+                case Some((a, z)) => (math.min(a, mn), math.max(z, mx))
+                case None         => (mn, mx)
+              }
+            }
           } else if (numeric) {
             val mn = st.genericGetMin match {
               case l: java.lang.Long => l.longValue()
@@ -2216,7 +2245,7 @@ object VersionedTable {
       val strs = sacc.toMap.flatMap { case (c, (mn, mx)) =>
         truncUpper(mx).map(up => c -> (truncLower(mn), up))
       }
-      FileStats(f.toString, rows, acc.toMap, strs)
+      FileStats(f.toString, rows, acc.toMap, strs, dacc.toMap)
     } finally r.close()
   }
 
@@ -2313,8 +2342,14 @@ object VersionedTable {
         val strs = st.strs.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
           s""""${esc(c)}": {"min": "${esc(mn)}", "max": "${esc(mx)}"}"""
         }.mkString(", ")
+        // Double.toString ALWAYS contains '.' (also in sci notation),
+        // keeping the dbls grammar disjoint from the integer cols one;
+        // ±Infinity render as bare words the reader's regex accepts
+        val dbls = st.dbls.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+          s""""${esc(c)}": {"min": $mn, "max": $mx}"""
+        }.mkString(", ")
         s"""{"path": "${esc(rel)}", "rows": ${st.rows}, """ +
-          s""""cols": {$cols}, "strs": {$strs}}"""
+          s""""cols": {$cols}, "strs": {$strs}, "dbls": {$dbls}}"""
       }
       Files.write(statsPath(versionDir),
         lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
@@ -2332,6 +2367,13 @@ object VersionedTable {
     val strRe =
       (""""((?:[^"\\]|\\.)+)"\s*:\s*\{"min"\s*:\s*"((?:[^"\\]|\\.)*)",\s*""" +
         """"max"\s*:\s*"((?:[^"\\]|\\.)*)"\}""").r
+    // floating bounds: Double.toString output (always contains '.')
+    // or ±Infinity — disjoint from colRe's bare-integer grammar, so
+    // neither regex can claim the other's entries
+    val dblNum = """-?(?:\d+\.\d+(?:[eE][+-]?\d+)?|Infinity)"""
+    val dblRe =
+      (""""((?:[^"\\]|\\.)+)"\s*:\s*\{"min"\s*:\s*(""" + dblNum +
+        """),\s*"max"\s*:\s*(""" + dblNum + """)\}""").r
     def unesc(s: String) = unescJson(s)
     new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
       .split("\n").filter(_.nonEmpty).flatMap { line =>
@@ -2347,8 +2389,11 @@ object VersionedTable {
           val strs = strRe.findAllMatchIn(line).map(m =>
             unesc(m.group(1)) -> (unesc(m.group(2)), unesc(m.group(3))))
             .toMap
+          val dbls = dblRe.findAllMatchIn(line).map(m =>
+            unesc(m.group(1)) -> (m.group(2).toDouble, m.group(3).toDouble))
+            .toMap
           val rel = unesc(pm.group(1))
-          rel -> FileStats(rel, rm.group(1).toLong, cols, strs)
+          rel -> FileStats(rel, rm.group(1).toLong, cols, strs, dbls)
         } catch { case _: IllegalArgumentException => None }
       }.toMap
   }
@@ -2389,6 +2434,59 @@ object VersionedTable {
     val survivors = dataFilesUnder(dirP).filter { f =>
       val rel = dirP.relativize(f).toString.replace('\\', '/')
       stats.get(rel).map(_.cols.get(column)) match {
+        case Some(Some((mn, mx))) => mx >= lo && mn <= hi
+        case _                    => true
+      }
+    }
+    val df =
+      if (survivors.isEmpty)
+        spark.read.parquet(dirP.toString).limit(0) // schema, zero rows
+      else spark.read.option("basePath", dirP.toString)
+        .parquet(survivors.map(_.toString): _*)
+    stampDefaulted(df).drop(SeqCol)
+      .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+  }
+
+  /** [[pruneDecision]] for a DOUBLE/FLOAT column: (files the interval
+    * predicate must scan, total live files) from the sidecar's `dbls`
+    * bounds. NaN-poisoned files carry no bounds (parquet omits their
+    * chunk stats; legacy NaN bounds are dropped at harvest) and always
+    * scan — and a NaN row can never satisfy lo ≤ x ≤ hi anyway, so
+    * skipping by non-NaN bounds is doubly sound.
+    */
+  def pruneDecisionDouble(root: String, column: String,
+                          lo: Double, hi: Double): (Int, Int) = {
+    val m = readManifest(root).getOrElse(throw new IllegalStateException(
+      s"no _manifest.json under $root"))
+    val dirP = Paths.get(root).resolve(m.live)
+    val stats = readStatsSidecar(dirP)
+    val all = dataFilesUnder(dirP)
+    val scanned = all.count { f =>
+      val rel = dirP.relativize(f).toString.replace('\\', '/')
+      stats.get(rel).map(_.dbls.get(column)) match {
+        case Some(Some((mn, mx))) => mx >= lo && mn <= hi
+        case _                    => true // no stats → must scan (sound)
+      }
+    }
+    (scanned, all.size)
+  }
+
+  /** [[readLivePruned]] for a DOUBLE/FLOAT column — opens only files
+    * whose floating bounds overlap [lo, hi] (plus any file without
+    * bounds); the row filter still applies, so the result equals the
+    * plain filtered read exactly (NaN rows fail the interval predicate
+    * in both plans).
+    */
+  def readLivePrunedDouble(spark: SparkSession, root: String,
+                           column: String, lo: Double,
+                           hi: Double): DataFrame = {
+    val m = readManifest(root).getOrElse(throw new IllegalStateException(
+      s"no _manifest.json under $root — table has never committed"))
+    val dirP = Paths.get(root).resolve(m.live)
+    val stats = readStatsSidecar(dirP)
+    val survivors = dataFilesUnder(dirP).filter { f =>
+      val rel = dirP.relativize(f).toString.replace('\\', '/')
+      stats.get(rel).map(_.dbls.get(column)) match {
         case Some(Some((mn, mx))) => mx >= lo && mn <= hi
         case _                    => true
       }
@@ -2650,7 +2748,9 @@ object VersionedTable {
   // ------------------------------------------------------------------
 
   final case class PartitionStats(rows: Long,
-                                  cols: Map[String, (Long, Long)])
+                                  cols: Map[String, (Long, Long)],
+                                  dbls: Map[String, (Double, Double)] =
+                                    Map.empty)
 
   private def partStatsPath(rootP: Path): Path =
     rootP.resolve("_part_stats.json")
@@ -2670,9 +2770,16 @@ object VersionedTable {
     else {
       val fs = rels.map(sidecar)
       val common = fs.map(_.cols.keySet).reduce(_ intersect _)
+      // a column's floating bound needs dbls in EVERY file of the
+      // partition — one NaN-poisoned (bound-less) file strips the
+      // whole partition's bound for that column, so partition-level
+      // skipping can never hide the file that must scan
+      val commonD = fs.map(_.dbls.keySet).reduce(_ intersect _)
       Some(PartitionStats(fs.map(_.rows).sum,
         common.map(c => c -> (fs.map(_.cols(c)._1).min,
-          fs.map(_.cols(c)._2).max)).toMap))
+          fs.map(_.cols(c)._2).max)).toMap,
+        commonD.map(c => c -> (fs.map(_.dbls(c)._1).min,
+          fs.map(_.dbls(c)._2).max)).toMap))
     }
   }
 
@@ -2709,8 +2816,11 @@ object VersionedTable {
             val cols = st.cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
               s""""${escJson(c)}": {"min": $mn, "max": $mx}"""
             }.mkString(", ")
+            val dbls = st.dbls.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+              s""""${escJson(c)}": {"min": $mn, "max": $mx}"""
+            }.mkString(", ")
             s"""{"part": "${escJson(k)}", "rows": ${st.rows}, """ +
-              s""""cols": {$cols}}"""
+              s""""cols": {$cols}, "dbls": {$dbls}}"""
           }
         }
       val tmp = rootP.resolve(s"_part_stats.json.tmp${version}")
@@ -2739,6 +2849,10 @@ object VersionedTable {
     val rowsRe = """"rows"\s*:\s*(\d+)""".r
     val colRe =
       """"((?:[^"\\]|\\.)+)"\s*:\s*\{"min"\s*:\s*(-?\d+),\s*"max"\s*:\s*(-?\d+)\}""".r
+    val dblNum = """-?(?:\d+\.\d+(?:[eE][+-]?\d+)?|Infinity)"""
+    val dblRe =
+      (""""((?:[^"\\]|\\.)+)"\s*:\s*\{"min"\s*:\s*(""" + dblNum +
+        """),\s*"max"\s*:\s*(""" + dblNum + """)\}""").r
     val entries = lines.tail.flatMap { line =>
       try for {
         pm <- partRe.findFirstMatchIn(line)
@@ -2747,8 +2861,11 @@ object VersionedTable {
         val cols = colRe.findAllMatchIn(line).map(m =>
           unescJson(m.group(1)) -> (m.group(2).toLong, m.group(3).toLong))
           .toMap - "part"
+        val dbls = dblRe.findAllMatchIn(line).map(m =>
+          unescJson(m.group(1)) ->
+            (m.group(2).toDouble, m.group(3).toDouble)).toMap
         unescJson(pm.group(1)) ->
-          PartitionStats(rm.group(1).toLong, cols)
+          PartitionStats(rm.group(1).toLong, cols, dbls)
       } catch { case _: IllegalArgumentException => None }
     }.toMap
     Some((version, entries))
@@ -2819,6 +2936,68 @@ object VersionedTable {
                                         hi: Long): DataFrame = {
     val (files, _, _) = intervalSurvivors(root, column, lo, hi)
     prunedPartitionedRead(spark, root, files, column, lo, hi)
+  }
+
+  /** The two-level interval machinery for a DOUBLE/FLOAT data column:
+    * partition bounds from `_part_stats.json`'s `dbls` entries (a
+    * partition with any NaN-poisoned file carries no bound and always
+    * scans), then per-file `dbls` bounds within survivors.
+    */
+  private def intervalSurvivorsDouble(root: String, column: String,
+                                      lo: Double, hi: Double)
+      : (Seq[(Path, Boolean, Path)], Int, Int) = {
+    val m = readPartitionedManifest(root).getOrElse(
+      throw new IllegalStateException(
+        s"no partitioned _manifest.json under $root"))
+    val rootP = Paths.get(root)
+    val trusted = readPartStats(root)
+      .filter(_._1 == m.version).map(_._2)
+    val selected = m.partitions.filter { case (k, _) =>
+      trusted.flatMap(_.get(k)).flatMap(_.dbls.get(column)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None           => true // unknown → must scan (sound)
+      }
+    }
+    val statsByDir = selected.values.toSeq.distinct
+      .map(d => d -> readStatsSidecar(rootP.resolve(d))).toMap
+    val files = selected.toSeq.sortBy(_._1).flatMap { case (k, dirName) =>
+      val verDir = rootP.resolve(dirName)
+      val stats = statsByDir(dirName)
+      dataFilesUnder(verDir.resolve(k)).map { f =>
+        val rel = verDir.relativize(f).toString.replace('\\', '/')
+        val scan = stats.get(rel).map(_.dbls.get(column)) match {
+          case Some(Some((mn, mx))) => mx >= lo && mn <= hi
+          case _                    => true
+        }
+        (f, scan, verDir)
+      }
+    }
+    (files, selected.size, m.partitions.size)
+  }
+
+  /** [[pruneDecisionPartitionedInterval]] for a DOUBLE/FLOAT column:
+    * (partitions scanned, total partitions, files scanned, files in
+    * the scanned partitions).
+    */
+  def pruneDecisionPartitionedIntervalDouble(root: String, column: String,
+                                             lo: Double, hi: Double)
+      : (Int, Int, Int, Int) = {
+    val (files, pSel, pTotal) =
+      intervalSurvivorsDouble(root, column, lo, hi)
+    (pSel, pTotal, files.count(_._2), files.size)
+  }
+
+  /** [[readLivePartitionedPrunedInterval]] for a DOUBLE/FLOAT column —
+    * equals the plain filtered read exactly (NaN rows fail the
+    * interval predicate in both plans).
+    */
+  def readLivePartitionedPrunedIntervalDouble(spark: SparkSession,
+                                              root: String,
+                                              column: String, lo: Double,
+                                              hi: Double): DataFrame = {
+    val (files, _, _) = intervalSurvivorsDouble(root, column, lo, hi)
+    prunedPartitionedReadWhere(spark, root, files,
+      col(column) >= lit(lo) && col(column) <= lit(hi))
   }
 
   // ------------------------------------------------------------------
