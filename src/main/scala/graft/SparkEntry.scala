@@ -5040,6 +5040,56 @@ object SparkEntry {
           lit(0L).as("min_eid"), lit(0L).as("max_eid")))
     }),
 
+    // DSv2 read surface capstone (r13): the SAME table, read two ways
+    // — spark.read.format("graft") with a WHERE (predicates pushed
+    // through SupportsPushDownFilters into the footer-stats sidecar
+    // pruning automatically) vs the hand-picked library readLivePruned
+    // — must agree exactly; the audit row grades (a) the pruning
+    // decision the DSv2 path took (from its own audit, equal to the
+    // library's closed-form decision) and (b) that the physical plan
+    // really shows the pushed conjuncts on the scan node. This is what
+    // makes q287–q308's machinery reachable from SELECT: a user who
+    // knows none of the ~dozen read methods gets the same file
+    // skipping from the format.
+    "q309_dsv2_read_surface" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      val work = graft.core.ScratchDirs.fresh("q309_dsv2").toString
+      val laid = Tables.events(s, d).select(col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("fid", ntile(16).over(
+          Window.orderBy(col("cents"), col("event_id"))))
+      vt.commit(work) { dir =>
+        laid.write.partitionBy("fid").parquet(dir)
+      }
+      val (lo, hi) = (1000L, 3000L)
+      val q = s.read.format("graft").load(work)
+        .filter(col("cents") >= lo && col("cents") <= hi)
+      val plan = q.queryExecution.executedPlan.toString
+      val pushedOk =
+        if (plan.contains(s"GreaterThanOrEqual(cents,$lo)") &&
+            plan.contains(s"LessThanOrEqual(cents,$hi)") &&
+            plan.contains("GraftTable(")) 1L else 0L
+      val dsv2 = q.agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+        min("event_id").as("min_eid"), max("event_id").as("max_eid"))
+      val lib = vt.readLivePruned(s, work, "cents", lo, hi)
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          min("event_id").as("min_eid"), max("event_id").as("max_eid"))
+      val (scanned, total) = vt.pruneDecision(work, "cents", lo, hi)
+      // force the DSv2 scan so its audit is recorded, then grade that
+      // the format took the SAME decision the library computes
+      dsv2.collect()
+      val audit = graft.sources.GraftScanAudit.last
+      val auditOk = if (audit.exists(a =>
+        a.filesScanned == scanned && a.filesTotal == total)) 1L else 0L
+      dsv2.select(lit("dsv2").as("part"), col("n"), col("sum_cents"),
+          col("min_eid"), col("max_eid"))
+        .unionByName(lib.select(lit("lib").as("part"), col("n"),
+          col("sum_cents"), col("min_eid"), col("max_eid")))
+        .unionByName(s.range(1).select(lit("files").as("part"),
+          lit(scanned.toLong).as("n"), lit(total.toLong).as("sum_cents"),
+          lit(pushedOk).as("min_eid"), lit(auditOk).as("max_eid")))
+    }),
+
     // Hashed-bigram linear quality classifier (fastText-shape
     // inference): feature-hash adjacent word bigrams into 4096
     // buckets, sum deterministic integer bucket weights, threshold.
@@ -11108,6 +11158,36 @@ object SparkEntry {
         |  CAST(17 AS DOUBLE) AS sum_value,
         |  CAST(0 AS BIGINT) AS min_eid,
         |  CAST(0 AS BIGINT) AS max_eid""".stripMargin,
+
+    // DSv2 vs library: both rows replay as the same filtered
+    // aggregate over the ntile layout; the files row replays the zone
+    // maps (q287 idiom) with the pushed-plan and audit-agreement flags
+    // as graded constants.
+    "q309_dsv2_read_surface" ->
+      """WITH ev AS (
+        |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |laid AS (
+        |  SELECT event_id, cents,
+        |    ntile(16) OVER (ORDER BY cents, event_id) AS fid
+        |  FROM ev),
+        |z AS (
+        |  SELECT fid, min(cents) AS mn, max(cents) AS mx
+        |  FROM laid GROUP BY fid),
+        |agg AS (
+        |  SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    min(event_id) AS min_eid, max(event_id) AS max_eid
+        |  FROM laid WHERE cents BETWEEN 1000 AND 3000)
+        |SELECT 'dsv2' AS part, n, sum_cents, min_eid, max_eid FROM agg
+        |UNION ALL
+        |SELECT 'lib' AS part, n, sum_cents, min_eid, max_eid FROM agg
+        |UNION ALL
+        |SELECT 'files' AS part,
+        |  (SELECT count(*) FROM z
+        |   WHERE mx >= 1000 AND mn <= 3000) AS n,
+        |  CAST(16 AS BIGINT) AS sum_cents,
+        |  CAST(1 AS BIGINT) AS min_eid,
+        |  CAST(1 AS BIGINT) AS max_eid""".stripMargin,
 
     // The melt replayed as an explicit 4-way union with the same
     // metric-name literals Spark's unpivot emits.

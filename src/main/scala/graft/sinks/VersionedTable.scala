@@ -135,7 +135,7 @@ object VersionedTable {
     * conservative pre-stamping behavior. The read path and the merge
     * path must agree on this or deletes mask different rows in each.
     */
-  private def stampDefaulted(df: DataFrame): DataFrame =
+  private[graft] def stampDefaulted(df: DataFrame): DataFrame =
     if (df.columns.contains(SeqCol))
       df.withColumn(SeqCol, coalesce(col(SeqCol), lit(0L)))
     else df.withColumn(SeqCol, lit(0L))
@@ -153,7 +153,7 @@ object VersionedTable {
   // travel reaches (a real table format keeps file-level logs instead).
   // ------------------------------------------------------------------
 
-  private def versionDirName(v: Long): String = f"v$v%08d"
+  private[graft] def versionDirName(v: Long): String = f"v$v%08d"
 
   private def versionManifestPath(root: Path, v: Long): Path =
     root.resolve("_versions").resolve(s"${versionDirName(v)}.json")
@@ -206,6 +206,15 @@ object VersionedTable {
     spark.read.option("mergeSchema", "true").parquet(dir.toString)
       .drop(SeqCol)
   }
+
+  /** The immutable history entry of `version` parsed as a PARTITIONED
+    * manifest — None for unpartitioned versions or never-committed
+    * ones. The DSv2 planner uses it to route time-travel reads and to
+    * file-prune historical partitioned snapshots.
+    */
+  private[graft] def historyPartitionedManifest(
+      root: String, version: Long): Option[PartitionedManifest] =
+    readHistoryPartitionedManifest(Paths.get(root), version)
 
   private def readHistoryPartitionedManifest(
       rootP: Path, version: Long): Option[PartitionedManifest] = {
@@ -1055,6 +1064,81 @@ object VersionedTable {
   def readLiveWithPosDeletes(spark: SparkSession, root: String): DataFrame =
     readLiveWithPosDeletesStamped(spark, root).drop(SeqCol)
 
+  // ------------------------------------------------------------------
+  // DSv2 bridge (graft.sources.GraftDataSource): the scan planner
+  // prunes FILES itself (sidecar + partition bounds routed from pushed
+  // filters), then needs the same merge-on-read masking the library
+  // reads apply — on a base that is a SUBSET of the live files. Key
+  // columns are derived from the delete sub-table's own schema, so
+  // the DSv2 surface needs no keyCols option.
+  // ------------------------------------------------------------------
+
+  /** Apply BOTH delete flavors to a raw parquet read of (a subset of)
+    * the flat live dir `m.live`. `base` must be the unprojected file
+    * relation (the `_metadata` address columns are attached here,
+    * before any join). Equality deletes use the sequence rule,
+    * position deletes the address anti-join — each applied only if
+    * its sub-table exists. Internal columns are dropped.
+    */
+  private[graft] def maskFlatDeletes(spark: SparkSession, root: String,
+                                     m: Manifest,
+                                     base: DataFrame): DataFrame = {
+    val hasPos = readManifest(posDeletesRoot(root)).isDefined
+    val withAddr =
+      if (!hasPos) stampDefaulted(base)
+      else {
+        requireNoReservedColumns(base.columns, s"table $root",
+          Seq(AddrPathCol, AddrPosCol))
+        stampDefaulted(base.select(col("*"),
+          concat(lit(m.live + "/"),
+            expr(s"substring_index(_metadata.file_path, '/${m.live}/', -1)"))
+            .as(AddrPathCol),
+          col("_metadata.row_index").as(AddrPosCol)))
+      }
+    val eqMasked = readManifest(deletesRoot(root)) match {
+      case Some(_) =>
+        val dels = readLive(spark, deletesRoot(root))
+        val keyCols = dels.columns.filterNot(_ == DelSeqCol).toSeq
+        val delsSeq =
+          (if (dels.columns.contains(DelSeqCol))
+             dels.withColumn(DelSeqCol,
+               coalesce(col(DelSeqCol), lit(Long.MaxValue)))
+           else dels.withColumn(DelSeqCol, lit(Long.MaxValue)))
+            .select((keyCols.map(col) :+ col(DelSeqCol)): _*)
+        withAddr.join(delsSeq, keyCols, "left")
+          .filter(col(DelSeqCol).isNull || col(DelSeqCol) < col(SeqCol))
+          .drop(DelSeqCol)
+      case None => withAddr
+    }
+    val posMasked =
+      if (!hasPos) eqMasked
+      else livePosDeleteEntries(spark, root, m) match {
+        case Some(dels) =>
+          eqMasked.join(dels, Seq(AddrPathCol, AddrPosCol), "left_anti")
+            .drop(AddrPathCol, AddrPosCol)
+        case None => eqMasked.drop(AddrPathCol, AddrPosCol)
+      }
+    posMasked.drop(SeqCol)
+  }
+
+  /** Apply the partitioned table's (unconditional) equality-delete
+    * mask to a pruned partitioned base — keyCols derived from the
+    * delete sub-table schema, mirroring
+    * [[readLivePartitionedWithDeletes]].
+    */
+  private[graft] def maskPartitionedDeletes(spark: SparkSession,
+                                            root: String,
+                                            base: DataFrame): DataFrame =
+    readManifest(deletesRoot(root)) match {
+      case Some(_) =>
+        val dels = readLive(spark, deletesRoot(root))
+        val keyCols = dels.columns.filterNot(_ == DelSeqCol).toSeq
+        if (keyCols.isEmpty) base
+        else base.join(dels.select(keyCols.map(col): _*), keyCols,
+          "left_anti")
+      case None => base
+    }
+
   /** Delete the live rows matching `predicate` BY POSITION: identify
     * (file, row-index) pairs with one metadata-column scan, commit
     * them into `_pos_deletes` (keyed upsert — re-deleting a position
@@ -1372,7 +1456,7 @@ object VersionedTable {
     * No-op (single read) when inference already agrees or no schema
     * is recorded (legacy tables keep their old behavior).
     */
-  private def readLeavesTyped(spark: SparkSession, root: String,
+  private[graft] def readLeavesTyped(spark: SparkSession, root: String,
                               base: String,
                               leaves: Seq[String]): DataFrame = {
     val df0 = spark.read.option("basePath", base).parquet(leaves: _*)
@@ -2079,7 +2163,7 @@ object VersionedTable {
     * `compareTo` diverges for supplementary characters, so bound
     * checks must NOT use it.
     */
-  private def u8cmp(a: String, b: String): Int = {
+  private[graft] def u8cmp(a: String, b: String): Int = {
     val x = a.getBytes(StandardCharsets.UTF_8)
     val y = b.getBytes(StandardCharsets.UTF_8)
     var i = 0
@@ -2123,7 +2207,7 @@ object VersionedTable {
     None
   }
 
-  private def dataFilesUnder(dir: Path): Seq[Path] = {
+  private[graft] def dataFilesUnder(dir: Path): Seq[Path] = {
     if (!Files.isDirectory(dir)) return Seq.empty
     val s = Files.walk(dir)
     try {

@@ -249,6 +249,10 @@ class EntrySpec extends SparkSpec {
                              // are integer partition/file/zone counts;
                              // strict-verified sf0.001/0.01/0.1
                              // 2026-08-15
+      "q309_dsv2_read_surface", // same integer-cents pin as q287;
+                             // audit columns are integer file counts
+                             // / flag bits; strict-verified sf0.001/
+                             // 0.01/0.1 2026-08-15
       "q299_schema_evolution") // integer-cents pin (round(price*100)
                              // → BIGINT before any arithmetic); audit
                              // columns are integer schema/row counts;

@@ -1,0 +1,149 @@
+package graft
+
+import java.nio.file.Files
+import graft.sinks.VersionedTable
+import graft.sources.GraftScanAudit
+import org.apache.spark.sql.functions._
+
+/** The DSv2 read surface: `format("graft")` resolves the observable
+  * snapshot (deletes masked), pushes eq/interval predicates into the
+  * sidecar pruning stack (audited), honors versionAsOf/ref time
+  * travel, and registers for SQL via USING graft.
+  */
+class GraftDataSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("dsv2").resolve("t").toString
+
+  test("flat live read equals readLive; equality + position deletes " +
+    "are masked by default and kept with withDeletes=false") {
+    val root = tmpRoot()
+    VersionedTable.upsert(spark, root,
+      (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    val viaFmt = spark.read.format("graft").load(root)
+    assert(viaFmt.columns.sorted.toSeq === Seq("id", "v"))
+    assert(viaFmt.count() === 20)
+    // equality-delete two keys, position-delete one row by predicate
+    VersionedTable.softDelete(spark, root, Seq(3L, 7L).toDF("id"),
+      Seq("id"))
+    VersionedTable.softDeletePos(spark, root, col("id") === 11L)
+    val masked = spark.read.format("graft").load(root)
+      .select("id").as[Long].collect().sorted
+    assert(masked === (1L to 20L)
+      .filterNot(Set(3L, 7L, 11L)).toArray)
+    val raw = spark.read.format("graft")
+      .option("withDeletes", "false").load(root)
+    assert(raw.count() === 20)
+  }
+
+  test("interval pushdown engages footer-stats file skipping and " +
+    "shows PushedFilters in the plan") {
+    val root = tmpRoot()
+    val df = spark.range(0, 4000)
+      .select(col("id"), (col("id") % 97).as("salt"))
+      .repartitionByRange(8, col("id"))
+    VersionedTable.upsert(spark, root, df, Seq("id"))
+    val q = spark.read.format("graft").load(root)
+      .filter(col("id") >= 100L && col("id") <= 400L)
+    val got = q.agg(count(lit(1)), sum("id")).head
+    val want = VersionedTable.readLive(spark, root)
+      .filter(col("id") >= 100L && col("id") <= 400L)
+      .agg(count(lit(1)), sum("id")).head
+    assert(got === want)
+    val d = GraftScanAudit.last.get
+    assert(d.filesTotal === 8)
+    assert(d.filesScanned < d.filesTotal,
+      s"pushdown skipped nothing: ${d.filesScanned}/${d.filesTotal}")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan.take(2000))
+    assert(plan.contains("GreaterThanOrEqual(id,100"), plan.take(2000))
+    // the scan node is the V1-wrapped row scan over the graft table
+    assert(plan.contains("Scan") && plan.contains("GraftTable("),
+      plan.take(500))
+  }
+
+  test("string equality pushdown uses truncated UTF8 bounds") {
+    val root = tmpRoot()
+    val df = spark.range(0, 1000)
+      .select(col("id"),
+        concat(lit("k"), format_string("%04d", col("id"))).as("key"))
+      .repartitionByRange(5, col("key"))
+    VersionedTable.upsert(spark, root, df, Seq("id"))
+    val q = spark.read.format("graft").load(root)
+      .filter(col("key") === "k0500")
+    assert(q.count() === 1)
+    val d = GraftScanAudit.last.get
+    assert(d.filesScanned === 1, s"${d.filesScanned}/${d.filesTotal}")
+  }
+
+  test("partitioned table: partition equality + data interval prune " +
+    "both levels; deletes masked") {
+    val root = tmpRoot()
+    val df = spark.range(0, 3000)
+      .select(col("id"), (col("id") % 3).cast("string").as("p"),
+        (col("id") % 1000).as("x"))
+    VersionedTable.upsertPartitioned(spark, root, df, Seq("id"), Seq("p"))
+    VersionedTable.softDeletePartitioned(spark, root,
+      Seq(0L, 9L).toDF("id"), Seq("id"))
+    val q = spark.read.format("graft").load(root)
+      .filter(col("p") === "1")
+    val gotIds = q.select("id").as[Long].collect().sorted
+    val wantIds = VersionedTable
+      .readLivePartitionedWithDeletes(spark, root, Seq("id"))
+      .filter(col("p") === "1").select("id").as[Long].collect().sorted
+    assert(gotIds === wantIds)
+    assert(!gotIds.contains(9L)) // 9 % 3 == 0 → other partition; use 1
+    val d = GraftScanAudit.last.get
+    assert(d.partitionsTotal === 3 && d.partitionsScanned === 1,
+      s"${d.partitionsScanned}/${d.partitionsTotal}")
+  }
+
+  test("versionAsOf and ref read retained snapshots without masking") {
+    val root = tmpRoot()
+    VersionedTable.upsert(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"),
+      keepVersions = 10)
+    VersionedTable.upsert(spark, root,
+      Seq((2L, "B"), (3L, "c")).toDF("id", "v"), Seq("id"),
+      keepVersions = 10)
+    VersionedTable.setRef(root, "first", 1L)
+    val v1 = spark.read.format("graft")
+      .option("versionAsOf", "1").load(root)
+    assert(v1.select("id").as[Long].collect().sorted === Array(1L, 2L))
+    assert(v1.filter(col("v") === "b").count() === 1)
+    val byRef = spark.read.format("graft")
+      .option("ref", "first").load(root)
+    assert(byRef.count() === 2)
+    val live = spark.read.format("graft").load(root)
+    assert(live.count() === 3)
+  }
+
+  test("a filter excluding every file returns zero rows with the " +
+    "table schema") {
+    val root = tmpRoot()
+    VersionedTable.upsert(spark, root,
+      (1L to 50L).map(i => (i, i * 2.0)).toDF("id", "x"), Seq("id"))
+    val q = spark.read.format("graft").load(root)
+      .filter(col("id") > 1000000L)
+    assert(q.columns.sorted.toSeq === Seq("id", "x"))
+    assert(q.count() === 0)
+    val d = GraftScanAudit.last.get
+    assert(d.filesScanned === 0)
+  }
+
+  test("SQL: CREATE TABLE USING graft + SELECT engages the same scan") {
+    val root = tmpRoot()
+    VersionedTable.upsert(spark, root,
+      (1L to 30L).map(i => (i, s"s$i")).toDF("id", "v"), Seq("id"))
+    spark.sql("DROP TABLE IF EXISTS graft_sql_t")
+    spark.sql(
+      s"CREATE TABLE graft_sql_t USING graft OPTIONS (path '$root')")
+    try {
+      val n = spark.sql(
+        "SELECT count(*) AS n FROM graft_sql_t WHERE id <= 10")
+        .head.getLong(0)
+      assert(n === 10)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_sql_t")
+  }
+}

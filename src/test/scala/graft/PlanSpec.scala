@@ -295,6 +295,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("FullOuter"), p)
   }
 
+  test("q309: the DSv2 graft scan plans as a V1-wrapped row scan with " +
+    "the interval conjuncts in PushedFilters and the pruned schema") {
+    val vt = graft.sinks.VersionedTable
+    val work = graft.core.ScratchDirs.fresh("plan_dsv2").toString
+    import org.apache.spark.sql.functions.col
+    vt.upsert(spark, work,
+      spark.range(0, 1000).select(col("id"), (col("id") * 3).as("m")),
+      Seq("id"))
+    val q = spark.read.format("graft").load(work)
+      .filter(col("m") >= 30 && col("m") <= 600).select("id")
+    val p = q.queryExecution.executedPlan.toString
+    // scan node type: RowDataSourceScanExec over the graft relation
+    assert(p.contains("Scan GraftTable("), p)
+    assert(p.contains("PushedFilters: [GreaterThanOrEqual(m,30), " +
+      "LessThanOrEqual(m,600)]"), p)
+    // column pruning reached the relation: only (id, m) survive —
+    // m stays because the residual filter re-evaluates row-level
+    assert(p.contains("ReadSchema: struct<id:bigint,m:bigint>"), p)
+  }
+
   test("q284: the md5 day selection is a PARTITION filter — " +
     "unselected cluster dirs are never listed or read") {
     val p = plan("q284_cluster_sample")
