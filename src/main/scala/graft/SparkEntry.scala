@@ -5090,6 +5090,71 @@ object SparkEntry {
           lit(pushedOk).as("min_eid"), lit(auditOk).as("max_eid")))
     }),
 
+    // Change-data-feed driving incremental view maintenance (r13): the
+    // production loop the r12 verdict asked for — table commits →
+    // readChanges row-level feed (insert/delete/update pre+post, each
+    // stamped with its commit) → Ivm.applyDeltas folds each commit's
+    // deltas into a maintained aggregate, which must equal recomputing
+    // the view from the final snapshot. The commit mix exercises every
+    // feed source: two keyed upserts (inserts + updates), a
+    // softDelete+vacuum (row-level effect enters the feed at the fold
+    // commit, when the physical rows disappear), and an overwriteWhere
+    // backfill (deletes + inserts in one commit). The audit row grades
+    // the FEED itself (total op rows, replayed closed-form in DuckDB)
+    // plus the fold==recompute bit. At 100 TB the per-commit feed is
+    // diff-of-consecutive-snapshots (touched partitions only on
+    // partitioned tables) and the view never rescans its base.
+    "q310_change_feed_ivm" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      val work = graft.core.ScratchDirs.fresh("q310_cdf").toString
+      val ev = Tables.events(s, d).select(col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val b1 = ev.filter(col("event_id") % 3 === 0)
+      val b2 = ev.filter(col("event_id") % 3 === 1)
+        .unionByName(ev.filter(col("event_id") % 6 === 0)
+          .select(col("event_id"), (col("cents") + 7).as("cents")))
+      vt.upsert(s, work, b1, Seq("event_id"), keepVersions = 20)
+      vt.upsert(s, work, b2, Seq("event_id"), keepVersions = 20)
+      vt.softDelete(s, work,
+        ev.filter(col("event_id") % 5 === 0).select("event_id"),
+        Seq("event_id"))
+      vt.vacuumDeletes(s, work, Seq("event_id"), keepVersions = 20)
+      val repl = ev.filter(col("event_id") % 3 === 2 &&
+          col("cents") < 200)
+        .select(col("event_id"), (col("cents") + 1).as("cents"))
+      vt.overwriteWhere(s, work, col("cents") < 500, repl,
+        keepVersions = 20)
+      val vs = vt.versions(work)
+      var view = graft.operators.Ivm.initialize(
+        vt.readLive(s, work).limit(0)
+          .select((col("event_id") % 3).as("grp"), col("cents")),
+        Seq("grp"), "cents")
+      var totalOps = 0L
+      for (v <- vs) {
+        val cdf = vt.readChanges(s, work, v - 1, v, Seq("event_id"))
+        totalOps += cdf.count()
+        val deltas = cdf.select((col("event_id") % 3).as("grp"),
+          when(col("_change_type").isin("insert", "update_postimage"),
+            1L).otherwise(-1L).as("d_count"),
+          when(col("_change_type").isin("insert", "update_postimage"),
+            col("cents")).otherwise(-col("cents")).as("d_sum"))
+        view = graft.operators.Ivm.applyDeltas(view, deltas, Seq("grp"))
+      }
+      val recompute = graft.operators.Ivm.initialize(
+        vt.readLive(s, work)
+          .select((col("event_id") % 3).as("grp"), col("cents")),
+        Seq("grp"), "cents")
+      val matches = view.unionByName(recompute)
+        .groupBy("grp", "n_rows", "sum_v")
+        .agg(count(lit(1)).as("c")).filter(col("c") =!= 2)
+        .count() == 0
+      view.select(lit("view").as("part"), col("grp"), col("n_rows"),
+          col("sum_v"))
+        .unionByName(s.range(1).select(lit("audit").as("part"),
+          lit(totalOps).as("grp"), lit(vs.size.toLong).as("n_rows"),
+          lit(if (matches) 1L else 0L).as("sum_v")))
+    }),
+
     // Hashed-bigram linear quality classifier (fastText-shape
     // inference): feature-hash adjacent word bigrams into 4096
     // buckets, sum deterministic integer bucket weights, threshold.
@@ -11188,6 +11253,44 @@ object SparkEntry {
         |  CAST(16 AS BIGINT) AS sum_cents,
         |  CAST(1 AS BIGINT) AS min_eid,
         |  CAST(1 AS BIGINT) AS max_eid""".stripMargin,
+
+    // The commit chain replayed as set algebra (anti-join upsert,
+    // filter deletes, backfill union); the audit's total_ops replays
+    // every feed row closed-form: v1 inserts + v2 inserts and pre/post
+    // pairs + v3 fold deletes + v4 backfill deletes/inserts.
+    "q310_change_feed_ivm" ->
+      """WITH ev AS (
+        |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |b1 AS (SELECT * FROM ev WHERE event_id % 3 = 0),
+        |b2 AS (
+        |  SELECT event_id, cents FROM ev WHERE event_id % 3 = 1
+        |  UNION ALL
+        |  SELECT event_id, cents + 7 FROM ev WHERE event_id % 6 = 0),
+        |s2 AS (
+        |  SELECT * FROM b2
+        |  UNION ALL SELECT * FROM b1 WHERE event_id % 6 <> 0),
+        |s3 AS (SELECT * FROM s2 WHERE event_id % 5 <> 0),
+        |repl AS (
+        |  SELECT event_id, cents + 1 AS cents FROM ev
+        |  WHERE event_id % 3 = 2 AND cents < 200),
+        |s4 AS (
+        |  SELECT * FROM s3 WHERE cents >= 500
+        |  UNION ALL SELECT * FROM repl),
+        |ops AS (
+        |  SELECT (SELECT count(*) FROM b1)
+        |    + (SELECT count(*) FROM ev WHERE event_id % 3 = 1)
+        |    + 2 * (SELECT count(*) FROM ev WHERE event_id % 6 = 0)
+        |    + (SELECT count(*) FROM s2 WHERE event_id % 5 = 0)
+        |    + (SELECT count(*) FROM s3 WHERE cents < 500)
+        |    + (SELECT count(*) FROM repl) AS total_ops)
+        |SELECT 'view' AS part, event_id % 3 AS grp,
+        |  count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_v
+        |FROM s4 GROUP BY event_id % 3
+        |UNION ALL
+        |SELECT 'audit' AS part,
+        |  (SELECT total_ops FROM ops) AS grp,
+        |  CAST(4 AS BIGINT) AS n_rows, CAST(1 AS BIGINT) AS sum_v""".stripMargin,
 
     // The melt replayed as an explicit 4-way union with the same
     // metric-name literals Spark's unpivot emits.

@@ -297,6 +297,155 @@ object VersionedTable {
   }
 
   // ------------------------------------------------------------------
+  // Change-data-feed (Delta CDF / Iceberg changelog shape): row-level
+  // (op, payload, commit version) between two retained versions,
+  // computed from the version history the table already keeps. Each
+  // step diffs CONSECUTIVE retained snapshots — for partitioned
+  // tables only the partitions whose dir pointer moved between the
+  // two manifests are read (per-step cost ∝ touched partitions, the
+  // scale shape); flat tables diff whole snapshots (each commit
+  // rewrote the whole dir anyway). Equality/position deletes are
+  // merge-on-read METADATA — their row-level effect enters the feed
+  // at the vacuum/rewrite commit that folds them into data files
+  // (exactly when the physical rows disappear). A version pruned by
+  // retention collapses its changes into the next retained version
+  // (net effect preserved — the fold telescopes).
+  // ------------------------------------------------------------------
+
+  /** CDF op column: insert | delete | update_preimage |
+    * update_postimage (Delta's vocabulary). */
+  val ChangeTypeCol = "_change_type"
+
+  /** CDF commit-version column. */
+  val ChangeVersionCol = "_commit_version"
+
+  /** Row-level changes between `fromVersion` (EXCLUSIVE; 0 = from the
+    * table's beginning) and `toVersion` (inclusive), keyed by `keys`:
+    * full payload columns (union of the step schemas) plus
+    * [[ChangeTypeCol]] and [[ChangeVersionCol]]. An update emits a
+    * preimage and a postimage row, both stamped with the commit that
+    * changed the key. Both endpoints must be retained (history entry
+    * + data dirs), else this fails with the retention hint.
+    * Consuming the feed with [[graft.operators.Ivm.applyDeltas]]
+    * (decompose ops into ±1/±value deltas) maintains an aggregate
+    * view equal to recomputing it from the final snapshot.
+    */
+  def readChanges(spark: SparkSession, root: String, fromVersion: Long,
+                  toVersion: Long, keys: Seq[String]): DataFrame = {
+    require(fromVersion >= 0 && toVersion > fromVersion,
+      s"need 0 <= fromVersion < toVersion: ($fromVersion, $toVersion)")
+    val vs = versions(root)
+    require(vs.contains(toVersion),
+      s"version $toVersion of $root is not readable (never committed " +
+        "or pruned by retention — raise keepVersions/keepManifests)")
+    require(fromVersion == 0 || vs.contains(fromVersion),
+      s"version $fromVersion of $root is not readable (never " +
+        "committed or pruned by retention)")
+    val steps = vs.filter(v => v > fromVersion && v <= toVersion)
+    val frames = steps.map { v =>
+      val prior = vs.filter(x => x >= fromVersion && x < v).lastOption
+        .filter(_ > 0).filter(_ >= fromVersion)
+      cdfStep(spark, root, prior, v, keys)
+    }.flatten
+    if (frames.isEmpty)
+      // no retained step in range: empty feed with the live schema
+      readChangesEmpty(spark, root, keys)
+    else frames.reduce((a, b) =>
+      a.unionByName(b, allowMissingColumns = true))
+  }
+
+  /** Zero-row CDF frame with the live snapshot's columns + op/version
+    * — keeps downstream consumers schema-stable on empty ranges.
+    */
+  private def readChangesEmpty(spark: SparkSession, root: String,
+                               keys: Seq[String]): DataFrame = {
+    val base =
+      if (readPartitionedManifest(root).isDefined)
+        readLivePartitioned(spark, root)
+      else readLive(spark, root)
+    base.limit(0)
+      .withColumn(ChangeTypeCol, lit(""))
+      .withColumn(ChangeVersionCol, lit(0L))
+  }
+
+  /** One CDF step: changes landing in version `v` relative to retained
+    * predecessor `prior` (None = table birth, everything inserts).
+    * None when a partitioned step touched no partitions.
+    */
+  private def cdfStep(spark: SparkSession, root: String,
+                      prior: Option[Long], v: Long,
+                      keys: Seq[String]): Option[DataFrame] = {
+    val rootP = Paths.get(root)
+    def readAny(ver: Long): DataFrame =
+      if (readHistoryPartitionedManifest(rootP, ver).isDefined)
+        readPartitionedVersion(spark, root, ver)
+      else readVersion(spark, root, ver)
+    prior match {
+      case None =>
+        val b = readAny(v)
+        requireNoReservedColumns(b.columns, s"readChanges over $root",
+          Seq(ChangeTypeCol, ChangeVersionCol))
+        Some(b.withColumn(ChangeTypeCol, lit("insert"))
+          .withColumn(ChangeVersionCol, lit(v)))
+      case Some(p) =>
+        val (a, b) = (readHistoryPartitionedManifest(rootP, p),
+            readHistoryPartitionedManifest(rootP, v)) match {
+          case (Some(pm0), Some(pm1)) =>
+            // only partitions whose dir pointer moved can differ —
+            // untouched partitions share the SAME immutable files
+            val touched = (pm0.partitions.keySet ++ pm1.partitions.keySet)
+              .filter(k => pm0.partitions.get(k) != pm1.partitions.get(k))
+            if (touched.isEmpty) return None
+            def restricted(m: PartitionedManifest): DataFrame = {
+              val sub = m.partitions.filter(kv => touched(kv._1))
+              if (sub.isEmpty)
+                readPartitionedSnapshot(spark, root, m).limit(0)
+              else readPartitionedSnapshot(spark, root,
+                m.copy(partitions = sub))
+            }
+            (restricted(pm0), restricted(pm1))
+          case _ => (readAny(p), readAny(v))
+        }
+        requireNoReservedColumns((a.columns ++ b.columns).distinct.toSeq,
+          s"readChanges over $root", Seq(ChangeTypeCol, ChangeVersionCol))
+        // pack non-key columns (union of both schemas, b's type wins)
+        // and diff on the keys — ONE co-keyed full-outer join per step
+        val nonKeys = (b.columns ++ a.columns).distinct
+          .filterNot(keys.contains).toSeq
+        val typeOf = (a.schema.fields ++ b.schema.fields)
+          .map(f => f.name -> f.dataType).toMap
+        def packed(df: DataFrame, as: String) = df.select(
+          (keys.map(col) :+ (if (nonKeys.isEmpty)
+            struct(lit(1).as("present"))
+          else struct(nonKeys.map { c =>
+            (if (df.columns.contains(c)) col(c).cast(typeOf(c))
+             else lit(null).cast(typeOf(c))).as(c)
+          }: _*)).as(as)): _*)
+        val d = packed(a, "__cdf_old")
+          .join(packed(b, "__cdf_new"), keys, "full_outer")
+          .withColumn("__cdf_status",
+            when(col("__cdf_old").isNull, "added")
+              .when(col("__cdf_new").isNull, "removed")
+              .when(!(col("__cdf_old") <=> col("__cdf_new")), "changed")
+              .otherwise("same"))
+        def unpack(side: String, statuses: Seq[String],
+                   op: Column): DataFrame =
+          d.filter(col("__cdf_status").isin(statuses: _*))
+            .select((keys.map(col) ++
+              nonKeys.map(c => col(side)(c).as(c)) :+
+              op.as(ChangeTypeCol) :+
+              lit(v).as(ChangeVersionCol)): _*)
+        val pre = unpack("__cdf_old", Seq("removed", "changed"),
+          when(col("__cdf_status") === "removed", "delete")
+            .otherwise("update_preimage"))
+        val post = unpack("__cdf_new", Seq("added", "changed"),
+          when(col("__cdf_status") === "added", "insert")
+            .otherwise("update_postimage"))
+        Some(pre.unionByName(post))
+    }
+  }
+
+  // ------------------------------------------------------------------
   // Named refs (Iceberg-style tags): `_refs.json` maps a name to a
   // committed version, giving snapshots durable names ("the corpus
   // run X trained on") — and a ref PINS RETENTION: both prune passes
