@@ -5155,6 +5155,66 @@ object SparkEntry {
           lit(if (matches) 1L else 0L).as("sum_v")))
     }),
 
+    // Streaming FROM the table (r13): the Kappa loop's closing edge —
+    // a Structured Streaming consumer subscribes to the table's
+    // COMMITS (file stream over the atomic `_versions/` history, one
+    // commit per micro-batch via maxFilesPerTrigger=1) and folds each
+    // commit's readChanges feed into a maintained aggregate, which
+    // must equal recomputing from the final snapshot. Exactly-once
+    // rides the file source's checkpointed seen-file log. The audit
+    // row grades batches delivered (closed-form 3), total feed ops
+    // (replayed in DuckDB), and the fold==recompute bit. This is the
+    // downstream-pipeline shape: q215/q298 subscribe to file landings;
+    // q313 subscribes to a graft table.
+    "q313_stream_from_table" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      val work = graft.core.ScratchDirs.fresh("q313_sft").toString
+      val ckpt = graft.core.ScratchDirs.fresh("q313_ckpt").toString
+      val ev = Tables.events(s, d).select(col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val b1 = ev.filter(col("event_id") % 4 === 0)
+      val b2 = ev.filter(col("event_id") % 4 === 1)
+        .unionByName(ev.filter(col("event_id") % 8 === 0)
+          .select(col("event_id"), (col("cents") + 3).as("cents")))
+      val b3 = ev.filter(col("event_id") % 4 === 2)
+      vt.upsert(s, work, b1, Seq("event_id"), keepVersions = 20)
+      vt.upsert(s, work, b2, Seq("event_id"), keepVersions = 20)
+      vt.upsert(s, work, b3, Seq("event_id"), keepVersions = 20)
+      var view = graft.operators.Ivm.initialize(
+        vt.readLive(s, work).limit(0)
+          .select((col("event_id") % 3).as("grp"), col("cents")),
+        Seq("grp"), "cents")
+      var batches = 0L
+      var totalOps = 0L
+      val q = vt.streamChanges(s, work, Seq("event_id"), ckpt,
+        maxFilesPerTrigger = Some(1)) { (cdf, _, _) =>
+        batches += 1
+        totalOps += cdf.count()
+        val deltas = cdf.select((col("event_id") % 3).as("grp"),
+          when(col("_change_type").isin("insert", "update_postimage"),
+            1L).otherwise(-1L).as("d_count"),
+          when(col("_change_type").isin("insert", "update_postimage"),
+            col("cents")).otherwise(-col("cents")).as("d_sum"))
+        view = graft.operators.Ivm.applyDeltas(view, deltas, Seq("grp"))
+          .localCheckpoint()
+        ()
+      }
+      q.awaitTermination()
+      val recompute = graft.operators.Ivm.initialize(
+        vt.readLive(s, work)
+          .select((col("event_id") % 3).as("grp"), col("cents")),
+        Seq("grp"), "cents")
+      val matches = view.unionByName(recompute)
+        .groupBy("grp", "n_rows", "sum_v")
+        .agg(count(lit(1)).as("c")).filter(col("c") =!= 2)
+        .count() == 0
+      view.select(lit("view").as("part"), col("grp"), col("n_rows"),
+          col("sum_v"))
+        .unionByName(s.range(1).select(lit("audit").as("part"),
+          lit(totalOps).as("grp"), lit(batches).as("n_rows"),
+          lit(if (matches) 1L else 0L).as("sum_v")))
+    }),
+
     // Hashed-bigram linear quality classifier (fastText-shape
     // inference): feature-hash adjacent word bigrams into 4096
     // buckets, sum deterministic integer bucket weights, threshold.
@@ -11291,6 +11351,37 @@ object SparkEntry {
         |SELECT 'audit' AS part,
         |  (SELECT total_ops FROM ops) AS grp,
         |  CAST(4 AS BIGINT) AS n_rows, CAST(1 AS BIGINT) AS sum_v""".stripMargin,
+
+    // Stream-from-table replay: the three commits as set algebra; the
+    // view over the final state; ops = v1 inserts + v2 inserts and
+    // pre/post pairs + v3 inserts; 3 batches, fold==recompute.
+    "q313_stream_from_table" ->
+      """WITH ev AS (
+        |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |b1 AS (SELECT * FROM ev WHERE event_id % 4 = 0),
+        |s2 AS (
+        |  SELECT event_id, cents FROM ev WHERE event_id % 4 = 1
+        |  UNION ALL
+        |  SELECT event_id, cents + 3 FROM ev WHERE event_id % 8 = 0
+        |  UNION ALL
+        |  SELECT * FROM b1 WHERE event_id % 8 <> 0),
+        |s3 AS (
+        |  SELECT * FROM s2
+        |  UNION ALL SELECT * FROM ev WHERE event_id % 4 = 2),
+        |ops AS (
+        |  SELECT (SELECT count(*) FROM b1)
+        |    + (SELECT count(*) FROM ev WHERE event_id % 4 = 1)
+        |    + 2 * (SELECT count(*) FROM ev WHERE event_id % 8 = 0)
+        |    + (SELECT count(*) FROM ev WHERE event_id % 4 = 2)
+        |      AS total_ops)
+        |SELECT 'view' AS part, event_id % 3 AS grp,
+        |  count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_v
+        |FROM s3 GROUP BY event_id % 3
+        |UNION ALL
+        |SELECT 'audit' AS part,
+        |  (SELECT total_ops FROM ops) AS grp,
+        |  CAST(3 AS BIGINT) AS n_rows, CAST(1 AS BIGINT) AS sum_v""".stripMargin,
 
     // The melt replayed as an explicit 4-way union with the same
     // metric-name literals Spark's unpivot emits.

@@ -158,6 +158,24 @@ object VersionedTable {
   private def versionManifestPath(root: Path, v: Long): Path =
     root.resolve("_versions").resolve(s"${versionDirName(v)}.json")
 
+  /** History entries appear ATOMICALLY (write-temp + move, dot-prefix
+    * so listings and the commit-discovery file stream never see the
+    * temp): [[streamChanges]] subscribes to `_versions/` as a file
+    * stream, and a half-written entry would make it skip that commit
+    * forever.
+    */
+  private def writeHistoryEntry(rootP: Path, v: Long,
+                                body: String): Unit = {
+    Files.createDirectories(rootP.resolve("_versions"))
+    val tmp = rootP.resolve("_versions")
+      .resolve(s".${versionDirName(v)}.json.tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, versionManifestPath(rootP, v),
+      StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
   /** Committed versions still readable (history entry AND data dir
     * both present), ascending.
     */
@@ -366,6 +384,49 @@ object VersionedTable {
     base.limit(0)
       .withColumn(ChangeTypeCol, lit(""))
       .withColumn(ChangeVersionCol, lit(0L))
+  }
+
+  /** Subscribe to the table's COMMITS as a Structured Streaming
+    * pipeline — the Kappa loop's missing edge: a downstream consumer
+    * follows a graft table the way q215/q298 follow file landings.
+    * Commit discovery is a file stream over `_versions/` (each commit
+    * publishes exactly one immutable history entry, atomically), so
+    * exactly-once delivery rides the file source's checkpointed seen-
+    * file log: after a restart only undiscovered commits replay.
+    * Each micro-batch hands `onBatch` the row-level
+    * [[readChanges]] feed covering the discovered version range
+    * (lo-1, hi] plus the range itself. Retention contract: the dirs
+    * of `lo-1..hi` must still be retained when the batch fires —
+    * size keepVersions/keepManifests to the maximum consumer lag
+    * (the stream fails loudly otherwise, never silently skips).
+    * `maxFilesPerTrigger=1` gives one-commit-per-batch granularity.
+    */
+  def streamChanges(spark: SparkSession, root: String, keys: Seq[String],
+                    checkpointDir: String,
+                    maxFilesPerTrigger: Option[Int] = None,
+                    trigger: org.apache.spark.sql.streaming.Trigger =
+                      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                   (onBatch: (DataFrame, Long, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.{regexp_extract, min => smin, max => smax}
+    val hist = Paths.get(root).resolve("_versions").toString
+    val reader = spark.readStream
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n))
+    reader.text(hist).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val vsRow = batch.select(regexp_extract(col("value"),
+            """"version"\s*:\s*(\d+)""", 1).cast("long").as("v"))
+          .filter(col("v").isNotNull && col("v") > 0)
+          .agg(smin("v").as("lo"), smax("v").as("hi")).collect()(0)
+        if (!vsRow.isNullAt(0)) {
+          val (lo, hi) = (vsRow.getLong(0), vsRow.getLong(1))
+          onBatch(readChanges(spark, root, lo - 1, hi, keys), lo, hi)
+        }
+      }
+      .trigger(trigger)
+      .start()
   }
 
   /** One CDF step: changes landing in version `v` relative to retained
@@ -602,10 +663,8 @@ object VersionedTable {
         StandardCopyOption.REPLACE_EXISTING)
       // immutable history entry for time travel — written AFTER the
       // flip so a version is only ever listed once fully committed
-      Files.createDirectories(rootP.resolve("_versions"))
-      Files.write(versionManifestPath(rootP, next),
-        s"""{"version": $next, "live": "$dirName"}"""
-          .getBytes(StandardCharsets.UTF_8))
+      writeHistoryEntry(rootP, next,
+        s"""{"version": $next, "live": "$dirName"}""")
       // prune: newest `keepVersions` dirs survive; ref'd snapshots
       // are pinned regardless of age
       val pinned = refPinnedDirs(rootP)
@@ -1719,11 +1778,9 @@ object VersionedTable {
             PartitionedManifest(next, partitionColumns, newParts))
           // immutable history entry (after the flip, like the
           // unpartitioned path) — feeds last-K retention below
-          Files.createDirectories(rootP.resolve("_versions"))
-          Files.write(versionManifestPath(rootP, next),
+          writeHistoryEntry(rootP, next,
             renderPartitionedManifest(
-              PartitionedManifest(next, partitionColumns, newParts))
-              .getBytes(StandardCharsets.UTF_8))
+              PartitionedManifest(next, partitionColumns, newParts)))
           // retention: keep dirs referenced by the newest
           // `keepManifests` manifests (fallback: new + previous, for
           // tables predating the history dir)
@@ -2268,11 +2325,9 @@ object VersionedTable {
       writePartStats(rootP, next, newParts, prev)
       writePartitionedManifest(rootP,
         PartitionedManifest(next, partitionColumns, newParts))
-      Files.createDirectories(rootP.resolve("_versions"))
-      Files.write(versionManifestPath(rootP, next),
+      writeHistoryEntry(rootP, next,
         renderPartitionedManifest(
-          PartitionedManifest(next, partitionColumns, newParts))
-          .getBytes(StandardCharsets.UTF_8))
+          PartitionedManifest(next, partitionColumns, newParts)))
       next
     }
   }
