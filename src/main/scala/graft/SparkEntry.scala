@@ -5215,6 +5215,62 @@ object SparkEntry {
           lit(if (matches) 1L else 0L).as("sum_v")))
     }),
 
+    // Partition-spec evolution (r13): a day-partitioned events table
+    // migrates to (day, event_type) IN PLACE — the new-spec commit
+    // lifts exactly the touched day whole and rewrites it under the
+    // new spec (its parent pointer replaced by per-type children);
+    // the other 29 days keep their old-spec dirs and stay readable in
+    // the same snapshot (the type column comes from DATA files in old
+    // dirs, from the PATH in new ones). Graded: per-type aggregate of
+    // the migrated day (content), v1 time travel still reassembling
+    // the FULL pre-migration snapshot under its recorded day-spec,
+    // and the two-level pruning decision across the mixed boundary —
+    // a day probe selects the migrated day's children beside the
+    // old-spec exact keys, and the pruned read equals the plain
+    // filter. Iceberg's spec-versioned manifests are the model; at
+    // 100 TB respec-by-full-rewrite is exactly the cost this avoids.
+    "q312_partition_spec_evolution" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      val work = graft.core.ScratchDirs.fresh("q312_pse").toString
+      val ev = Tables.events(s, d).select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      vt.upsertPartitioned(s, work, ev, Seq("event_id"), Seq("day"),
+        keepManifests = 10)
+      val d0 = ev.agg(min("day")).head.getString(0)
+      val upd = ev.filter(col("day") === d0)
+        .select(col("event_id"), col("day"), col("event_type"),
+          (col("cents") + 5).as("cents"))
+      vt.upsertPartitioned(s, work, upd, Seq("event_id"),
+        Seq("day", "event_type"), keepManifests = 10)
+      val m = vt.readPartitionedManifest(work).get
+      val keys = m.partitions.keySet
+      val nTypes = ev.filter(col("day") === d0)
+        .select("event_type").distinct().count()
+      val keysOk = !keys.contains(s"day=$d0") &&
+        keys.count(_.startsWith(s"day=$d0/")) == nTypes &&
+        vt.historyPartitionedManifest(work, 1L)
+          .exists(_.partitionColumns == Seq("day"))
+      val v1n = vt.readPartitionedVersion(s, work, 1L).count()
+      val (pSel, pTot, _, _) = vt.pruneDecisionPartitioned(
+        work, s"day=$d0", "event_id", 0L, Long.MaxValue)
+      val pruned = vt.readLivePartitionedPruned(
+        s, work, s"day=$d0", "event_id", 0L, Long.MaxValue)
+      val plain = vt.readLivePartitioned(s, work)
+        .filter(col("day") === d0)
+      val contentOk = pruned.agg(count(lit(1)), sum("cents")).head ==
+        plain.agg(count(lit(1)), sum("cents")).head
+      plain.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          min("event_id").as("min_eid"), max("event_id").as("max_eid"))
+        .withColumnRenamed("event_type", "part")
+        .unionByName(s.range(1).select(lit("_audit").as("part"),
+          lit(pSel.toLong).as("n"), lit(pTot.toLong).as("sum_cents"),
+          lit(v1n).as("min_eid"),
+          lit(if (keysOk && contentOk) 1L else 0L).as("max_eid")))
+    }),
+
     // Hashed-bigram linear quality classifier (fastText-shape
     // inference): feature-hash adjacent word bigrams into 4096
     // buckets, sum deterministic integer bucket weights, threshold.
@@ -11382,6 +11438,32 @@ object SparkEntry {
         |SELECT 'audit' AS part,
         |  (SELECT total_ops FROM ops) AS grp,
         |  CAST(3 AS BIGINT) AS n_rows, CAST(1 AS BIGINT) AS sum_v""".stripMargin,
+
+    // Spec-evolution replay: the migrated day's per-type aggregate
+    // over (original rows of other days ∪ updated rows of day0);
+    // audit replays partitions-selected (= types in day0),
+    // partitions-total (= other days + those children), the v1 row
+    // count, and the keys/content flags as constants.
+    "q312_partition_spec_evolution" ->
+      """WITH ev AS (
+        |  SELECT event_id, strftime(ts, '%Y-%m-%d') AS day,
+        |    event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |d0 AS (SELECT min(day) AS d FROM ev),
+        |upd AS (
+        |  SELECT event_id, day, event_type, cents + 5 AS cents
+        |  FROM ev WHERE day = (SELECT d FROM d0))
+        |SELECT event_type AS part, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(event_id) AS min_eid, max(event_id) AS max_eid
+        |FROM upd GROUP BY event_type
+        |UNION ALL
+        |SELECT '_audit' AS part,
+        |  (SELECT count(DISTINCT event_type) FROM upd) AS n,
+        |  (SELECT count(DISTINCT day) FROM ev) - 1
+        |    + (SELECT count(DISTINCT event_type) FROM upd) AS sum_cents,
+        |  (SELECT count(*) FROM ev) AS min_eid,
+        |  CAST(1 AS BIGINT) AS max_eid""".stripMargin,
 
     // The melt replayed as an explicit 4-way union with the same
     // metric-name literals Spark's unpivot emits.

@@ -1718,18 +1718,66 @@ object VersionedTable {
     def once(): Long = {
       // pin the merge to the base snapshot; CAS-check it at commit
       val prev = readPartitionedManifest(root)
+      // PARTITION-SPEC EVOLUTION (migrate-on-write): a commit may use
+      // a partition-column list that EXTENDS the table's current spec
+      // (old cols a strict prefix, e.g. day → day,type). The touched
+      // set is then computed on the OLD prefix columns, so every
+      // parent partition the batch lands in is lifted WHOLE, merged,
+      // and rewritten under the new spec; its parent pointer is
+      // dropped from the manifest and its children take over.
+      // Untouched partitions keep their old-spec dirs (readable —
+      // mixed key depths reassemble per dir, the new column coming
+      // from DATA files in old dirs and from the PATH in new ones),
+      // and migrate whenever a later commit touches them. Any other
+      // respec (reorder, replace, drop) needs a full rewrite into a
+      // new root — fail loudly.
+      val evolvesFrom: Option[Seq[String]] =
+        prev.map(_.partitionColumns)
+          .filter(_ != partitionColumns)
+          .map { old =>
+            require(old.size < partitionColumns.size &&
+              partitionColumns.take(old.size) == old,
+              s"partition-spec change ${old.mkString("(", ",", ")")} → " +
+                s"${partitionColumns.mkString("(", ",", ")")} on $root " +
+                "is not a prefix extension — only appending partition " +
+                "columns evolves in place; anything else needs a full " +
+                "rewrite into a new table root")
+            old
+          }
+      // mid-migration tables hold UNMIGRATED parent keys (fewer path
+      // segments than the current spec); every commit on such a table
+      // computes its touched set at the SHALLOWEST retained depth so a
+      // parent partition is always lifted whole — a child-granular
+      // merge would leave the parent pointer (and its stale rows)
+      // beside the new child
+      val minDepth = prev
+        .flatMap(_.partitions.keySet.map(_.count(_ == '/') + 1)
+          .minOption)
+        .getOrElse(partitionColumns.size)
+      val predCols = partitionColumns.take(
+        math.min(minDepth,
+          evolvesFrom.map(_.size).getOrElse(partitionColumns.size)))
+      var liftedKeys: Set[String] = Set.empty
       val merged = prev match {
         case None => updates
         case Some(m) =>
           import org.apache.spark.sql.functions.{col, lit}
           val touched = updates
-            .select(partitionColumns.map(updates(_)): _*).distinct().collect()
+            .select(predCols.map(updates(_)): _*).distinct().collect()
           if (touched.isEmpty) return m.version
           val touchedPred = touched
-            .map(r => partitionColumns.zipWithIndex
+            .map(r => predCols.zipWithIndex
               .map { case (c, i) => col(c) <=> lit(r.get(i)) }
               .reduce(_ && _))
             .reduce(_ || _)
+          if (predCols.size < partitionColumns.size) {
+            // parent keys whose dirs this commit supersedes — rendered
+            // by Spark's own writer so escaping matches the manifest
+            val prefixSchema = org.apache.spark.sql.types.StructType(
+              predCols.map(c => updates.schema(c)))
+            liftedKeys = renderPartitionKeys(spark, prefixSchema,
+              touched).toSet.intersect(m.partitions.keySet)
+          }
           val existing = readPartitionedSnapshot(spark, root, m)
             .filter(touchedPred)
           val (existingAligned, updatesAligned) =
@@ -1757,11 +1805,14 @@ object VersionedTable {
           Files.move(staging, rootP.resolve(dirName),
             StandardCopyOption.ATOMIC_MOVE)
           // the partitions actually written are the touched set, keyed
-          // by their Spark-escaped relative paths
+          // by their Spark-escaped relative paths; under spec
+          // evolution the lifted parents' pointers are dropped — their
+          // rows now live in the children written under the new spec
           val written = partitionLeafDirs(rootP.resolve(dirName),
             partitionColumns.size).map(_.toString)
-          val newParts = prev.map(_.partitions).getOrElse(Map.empty) ++
-            written.map(_ -> dirName)
+          val newParts =
+            (prev.map(_.partitions).getOrElse(Map.empty) -- liftedKeys) ++
+              written.map(_ -> dirName)
           // partition-level bounds BEFORE the manifest flip: a crash
           // between the two leaves stats.version > manifest.version,
           // which readers reject (scan-all fallback, sound); stats
@@ -2317,6 +2368,25 @@ object VersionedTable {
       // away) must lose its pointer, or its old rows would resurface
       val newParts = (prev.map(_.partitions).getOrElse(Map.empty) ++
         written.map(_ -> dirName)) -- (covered.toSet -- written.toSet)
+      // mixed-depth safety: a written child beside a surviving
+      // UNMIGRATED parent pointer would double its rows — dynamic
+      // overwrite cannot migrate a parent (it only covers the keys it
+      // writes); migrate via upsertPartitioned/compactPartitions first
+      val keySet = newParts.keySet
+      val clash = keySet.filter { k =>
+        val segs = k.split('/')
+        (1 until segs.length)
+          .exists(i => keySet.contains(segs.take(i).mkString("/")))
+      }
+      if (clash.nonEmpty) {
+        deleteRecursively(rootP.resolve(dirName))
+        throw new IllegalArgumentException(
+          s"replace into $root would leave child partition(s) " +
+            s"${clash.toSeq.sorted.mkString(", ")} beside their " +
+            "unmigrated parent pointer (rows would double) — migrate " +
+            "the parent first (any upsertPartitioned touching it, or " +
+            "compactPartitions)")
+      }
       // keep partition-level bounds current across replace commits
       // too, or interval pruning would degrade to scan-all (sound but
       // ineffective) after every vacuum/compaction

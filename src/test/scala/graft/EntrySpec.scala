@@ -249,6 +249,11 @@ class EntrySpec extends SparkSpec {
                              // are integer partition/file/zone counts;
                              // strict-verified sf0.001/0.01/0.1
                              // 2026-08-15
+      "q312_partition_spec_evolution", // integer-cents pin
+                             // (round(value*100) → BIGINT before +5);
+                             // audit columns are integer partition/
+                             // row counts + flag; strict-verified
+                             // sf0.001/0.01/0.1 2026-08-15
       "q313_stream_from_table", // integer-cents pin (round(value*100)
                              // → BIGINT before any arithmetic); audit
                              // columns are integer op/batch counts;
