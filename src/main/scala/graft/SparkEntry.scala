@@ -695,6 +695,33 @@ object SparkEntry {
           concat_ws("|", slice(col("subwords"), 1, 12)).as("head_subwords"))
     }),
 
+    // CLOSED-FORM BPE encode (r13, the q274-planted-twin treatment for
+    // q108's rows-only core): a PLANTED 5-merge table over 8 planted
+    // words whose iterative min-rank encodings are hand-derivable —
+    // including the case a rank-0 merge CREATES a rank-1 pair that
+    // then beats a pre-existing rank-2 pair ("abcd" → abc|d), the
+    // merge-all-disjoint pass ("ababab" → abab|ab), and unknown-symbol
+    // passthrough ("dcba" → d|c|b|a). Each document deterministically
+    // picks two planted words; DuckDB replays the expected token join
+    // from a VALUES table — so the SAME graft_bpe_encode loop q108
+    // runs on learned merges is hash-graded end to end here.
+    "q314_bpe_planted_oracle" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val words = Seq("abcd", "ababab", "abcx", "xyd", "dcba", "abab",
+        "cdx", "abcdab")
+      val wArr = words.map(w => s"'$w'").mkString("array(", ",", ")")
+      val merges = "array('a b','ab c','c d','x y','ab ab')"
+      Tables.documents(s, d).select(col("doc_id"),
+          expr(s"concat(element_at($wArr, " +
+            "cast(doc_id % 8 as int) + 1), ' ', " +
+            s"element_at($wArr, cast((doc_id + 3) % 8 as int) + 1))")
+            .as("text"))
+        .select(col("doc_id"),
+          expr(s"graft_bpe_encode(text, $merges)").as("sw"))
+        .select(col("doc_id"), size(col("sw")).as("n_subwords"),
+          concat_ws("|", col("sw")).as("subwords"))
+    }),
+
     // Web-crawl front door: HTML → text extraction as a fixed chain of
     // codegen regexp/replace steps (script/style/comment blocks, tags,
     // entities, whitespace). The corpus has no markup column, so the
@@ -11464,6 +11491,20 @@ object SparkEntry {
         |    + (SELECT count(DISTINCT event_type) FROM upd) AS sum_cents,
         |  (SELECT count(*) FROM ev) AS min_eid,
         |  CAST(1 AS BIGINT) AS max_eid""".stripMargin,
+
+    // Hand-derived min-rank encodings of the 8 planted words, joined
+    // twice per document — the loop's fixpoints as literals.
+    "q314_bpe_planted_oracle" ->
+      """WITH enc(i, c, j) AS (VALUES
+        |  (0, 2, 'abc|d'), (1, 2, 'abab|ab'), (2, 2, 'abc|x'),
+        |  (3, 2, 'xy|d'), (4, 4, 'd|c|b|a'), (5, 1, 'abab'),
+        |  (6, 2, 'cd|x'), (7, 3, 'abc|d|ab'))
+        |SELECT d.doc_id,
+        |  CAST(e1.c + e2.c AS INTEGER) AS n_subwords,
+        |  e1.j || '|' || e2.j AS subwords
+        |FROM documents d
+        |JOIN enc e1 ON e1.i = d.doc_id % 8
+        |JOIN enc e2 ON e2.i = (d.doc_id + 3) % 8""".stripMargin,
 
     // The melt replayed as an explicit 4-way union with the same
     // metric-name literals Spark's unpivot emits.
