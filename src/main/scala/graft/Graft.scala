@@ -600,6 +600,39 @@ object Graft {
     operators.Decontam.matrix(corpus, suites, textCol, idCol,
       suiteCol, n)
 
+  // ------------- table format: read surface + change feed (r13) ----
+
+  /** The observable snapshot of a graft table through the DataSource
+    * V2 surface — `spark.read.format("graft")`, with eq/interval
+    * predicates pushed into the partition/file pruning metadata
+    * automatically (see [[graft.sources.GraftDataSource]]).
+    */
+  def readTable(spark: SparkSession, root: String): DataFrame =
+    spark.read.format("graft").load(root)
+
+  /** Time-travel through the DSv2 surface (raw committed snapshot). */
+  def readTableVersion(spark: SparkSession, root: String,
+                       version: Long): DataFrame =
+    spark.read.format("graft").option("versionAsOf", version).load(root)
+
+  /** Row-level change feed (insert/delete/update pre+post, stamped
+    * with the commit) — see [[sinks.VersionedTable.readChanges]].
+    */
+  def readChanges(spark: SparkSession, root: String, fromVersion: Long,
+                  toVersion: Long, keys: Seq[String]): DataFrame =
+    sinks.VersionedTable.readChanges(spark, root, fromVersion,
+      toVersion, keys)
+
+  /** Subscribe to a table's commits as a micro-batch stream — see
+    * [[sinks.VersionedTable.streamChanges]].
+    */
+  def streamChanges(spark: SparkSession, root: String, keys: Seq[String],
+                    checkpointDir: String)
+                   (onBatch: (DataFrame, Long, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    sinks.VersionedTable.streamChanges(spark, root, keys,
+      checkpointDir)(onBatch)
+
   /** Per-document n-gram novelty in corpus order — see
     * [[operators.TextStats.noveltyByDoc]].
     */

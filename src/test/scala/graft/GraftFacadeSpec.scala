@@ -240,4 +240,27 @@ class GraftFacadeSpec extends SparkSpec {
     assert(growth.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .toSeq === Seq((100L, 2L, 2L), (200L, 4L, 3L)))
   }
+
+  test("table wrappers: readTable / readTableVersion / readChanges / " +
+    "streamChanges wired") {
+    val root = java.nio.file.Files.createTempDirectory("facadevt")
+      .resolve("t").toString
+    graft.sinks.VersionedTable.upsert(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"),
+      keepVersions = 10)
+    graft.sinks.VersionedTable.upsert(spark, root,
+      Seq((2L, "B")).toDF("id", "v"), Seq("id"), keepVersions = 10)
+    assert(Graft.readTable(spark, root).count() === 2)
+    assert(Graft.readTableVersion(spark, root, 1L)
+      .filter($"v" === "b").count() === 1)
+    val feed = Graft.readChanges(spark, root, 1L, 2L, Seq("id"))
+    assert(feed.count() === 2) // pre + post of the update
+    val ckpt = tmpDir("facadeckpt")
+    var batches = 0
+    val q = Graft.streamChanges(spark, root, Seq("id"), ckpt) {
+      (cdf, _, _) => batches += 1; cdf.count(); ()
+    }
+    q.awaitTermination()
+    assert(batches === 1) // one AvailableNow batch covering v1..v2
+  }
 }
