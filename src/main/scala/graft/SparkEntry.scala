@@ -5298,6 +5298,66 @@ object SparkEntry {
           lit(if (keysOk && contentOk) 1L else 0L).as("max_eid")))
     }),
 
+    // DSv2 WRITE surface (r13): the full round-trip a format user
+    // performs without knowing any library call — CREATE via
+    // df.write.format("graft") append (no keys), keyed MERGE via
+    // option("keys"), partitioned keyed ingest via
+    // option("partitionColumns"), and DYNAMIC partition overwrite via
+    // mode(overwrite)+partitionOverwriteMode=dynamic — then read back
+    // through the same format with predicates pruning partitions.
+    // Every write runs the versioned commit protocol (CAS, stats
+    // sidecars, history), so the audit's version counts are
+    // closed-form and the day probe's partition decision is graded.
+    "q315_dsv2_write_surface" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      val rootA = graft.core.ScratchDirs.fresh("q315_wa").toString
+      val rootB = graft.core.ScratchDirs.fresh("q315_wb").toString
+      val ev = Tables.events(s, d).select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      // flat: append creates, keyed append merges
+      ev.filter(col("event_id") % 4 <= 1)
+        .select("event_id", "cents")
+        .write.format("graft").mode("append").save(rootA)
+      ev.filter(col("event_id") % 4 === 1)
+        .select(col("event_id"), (col("cents") + 9).as("cents"))
+        .unionByName(ev.filter(col("event_id") % 4 === 2)
+          .select("event_id", "cents"))
+        .write.format("graft").mode("append")
+        .option("keys", "event_id").save(rootA)
+      // partitioned: keyed ingest, then dynamic overwrite of day0
+      ev.write.format("graft").mode("append")
+        .option("keys", "event_id")
+        .option("partitionColumns", "day").save(rootB)
+      val d0 = ev.agg(min("day")).head.getString(0)
+      ev.filter(col("day") === d0)
+        .select(col("event_id"), col("day"),
+          (col("cents") * 2).as("cents"))
+        .write.format("graft").mode("overwrite")
+        .option("partitionColumns", "day")
+        .option("partitionOverwriteMode", "dynamic").save(rootB)
+      val flat = s.read.format("graft").load(rootA)
+        .groupBy((col("event_id") % 5).as("g"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .select(lit("flat").as("part"), col("g"), col("n"),
+          col("sum_cents"))
+      val day0df = s.read.format("graft").load(rootB)
+        .filter(col("day") === d0)
+      val day0agg = day0df.agg(count(lit(1)).as("n"),
+        sum("cents").as("sum_cents")).head
+      val audit = graft.sources.GraftScanAudit.last
+      val pScan = audit.map(_.partitionsScanned.toLong).getOrElse(-1L)
+      val vA = vt.versions(rootA).size.toLong
+      val vB = vt.versions(rootB).size.toLong
+      flat
+        .unionByName(s.range(1).select(lit("day0").as("part"),
+          lit(-1L).as("g"), lit(day0agg.getLong(0)).as("n"),
+          lit(day0agg.getLong(1)).as("sum_cents")))
+        .unionByName(s.range(1).select(lit("_audit").as("part"),
+          lit(pScan).as("g"), lit(vA + vB).as("n"),
+          lit(ev.select("day").distinct().count()).as("sum_cents")))
+    }),
+
     // Hashed-bigram linear quality classifier (fastText-shape
     // inference): feature-hash adjacent word bigrams into 4096
     // buckets, sum deterministic integer bucket weights, threshold.
@@ -11505,6 +11565,37 @@ object SparkEntry {
         |FROM documents d
         |JOIN enc e1 ON e1.i = d.doc_id % 8
         |JOIN enc e2 ON e2.i = (d.doc_id + 3) % 8""".stripMargin,
+
+    // Write-surface replay: flat = append ∪ keyed-merge set algebra;
+    // day0 = the dynamically-overwritten partition (cents doubled);
+    // audit = one partition scanned for the day probe, 2+2 commit
+    // versions, total day count.
+    "q315_dsv2_write_surface" ->
+      """WITH ev AS (
+        |  SELECT event_id, strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |fa AS (
+        |  SELECT event_id, cents FROM ev WHERE event_id % 4 = 0
+        |  UNION ALL
+        |  SELECT event_id, cents + 9 FROM ev WHERE event_id % 4 = 1
+        |  UNION ALL
+        |  SELECT event_id, cents FROM ev WHERE event_id % 4 = 2),
+        |d0 AS (SELECT min(day) AS d FROM ev),
+        |fb0 AS (
+        |  SELECT event_id, cents * 2 AS cents FROM ev
+        |  WHERE day = (SELECT d FROM d0))
+        |SELECT 'flat' AS part, event_id % 5 AS g, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM fa GROUP BY event_id % 5
+        |UNION ALL
+        |SELECT 'day0' AS part, CAST(-1 AS BIGINT) AS g,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM fb0
+        |UNION ALL
+        |SELECT '_audit' AS part, CAST(1 AS BIGINT) AS g,
+        |  CAST(4 AS BIGINT) AS n,
+        |  (SELECT count(DISTINCT day) FROM ev) AS sum_cents""".stripMargin,
 
     // The melt replayed as an explicit 4-way union with the same
     // metric-name literals Spark's unpivot emits.

@@ -877,6 +877,70 @@ object VersionedTable {
     v
   }
 
+  /** APPEND (no keying): new version = live snapshot ∪ batch, exact
+    * duplicates preserved — the ingest shape for event/log tables
+    * where rows have no natural key. Strict schema (use [[upsert]]
+    * with SyncAllColumns to evolve). Appended rows carry the new
+    * commit's write sequence, so equality-delete masks from older
+    * commits never hide them; pending position deletes are folded
+    * like every rewrite.
+    */
+  def append(spark: SparkSession, root: String, batch: DataFrame,
+             keepVersions: Int = 2, maxRetries: Int = 10): Long = {
+    requireNoReservedColumns(batch.columns, s"append into $root",
+      Seq(SeqCol, AddrPathCol, AddrPosCol))
+    enforceConstraints(root, batch)
+    var foldedPosVersion = 0L
+    def once(): Long = {
+      val base = readManifest(root)
+      val next = base.map(_.version + 1).getOrElse(1L)
+      val stamped = batch.withColumn(SeqCol, lit(next))
+      foldedPosVersion = posVersion(root)
+      commit(root, keepVersions,
+        expectedBase = Some(base.map(_.version).getOrElse(0L)),
+        validate = () => {
+          if (posVersion(root) != foldedPosVersion)
+            throw new ConcurrentCommitException(
+              s"position deletes landed under $root during the " +
+                "append — re-fold and retry")
+        }) { dir =>
+        base match {
+          case None =>
+            stamped.write.mode(SaveMode.Overwrite).parquet(dir)
+          case Some(_) =>
+            readLiveWithPosDeletesStamped(spark, root)
+              .unionByName(stamped)
+              .write.mode(SaveMode.Overwrite).parquet(dir)
+        }
+      }
+    }
+    val v = retryThenEscalate(Paths.get(root), maxRetries)(once())
+    resetPosDeletes(spark, root, foldedPosVersion, keepVersions)
+    v
+  }
+
+  /** FULL REPLACE: the next version holds exactly `df` (the static
+    * overwrite / CTAS-over shape). Pending equality deletes stay
+    * harmless by the sequence rule (replacement rows out-sequence
+    * them); pending position deletes reference superseded files and
+    * are ignored by the live filter, reaped at the next fold.
+    */
+  def replaceTable(spark: SparkSession, root: String, df: DataFrame,
+                   keepVersions: Int = 2, maxRetries: Int = 10): Long = {
+    requireNoReservedColumns(df.columns, s"replace of $root",
+      Seq(SeqCol, AddrPathCol, AddrPosCol))
+    enforceConstraints(root, df)
+    def once(): Long = {
+      val base = readManifest(root).map(_.version).getOrElse(0L)
+      val next = base + 1
+      commit(root, keepVersions, expectedBase = Some(base)) { dir =>
+        df.withColumn(SeqCol, lit(next))
+          .write.mode(SaveMode.Overwrite).parquet(dir)
+      }
+    }
+    retryThenEscalate(Paths.get(root), maxRetries)(once())
+  }
+
   /** A merge whose pinned base snapshot was PRUNED by a concurrent
     * writer's retention pass fails its read with file-not-found, not
     * a CAS rejection — but it is the same conflict: the live manifest
@@ -1701,7 +1765,31 @@ object VersionedTable {
                         schemaMode: MergeWriter.SchemaMode =
                           MergeWriter.SchemaMode.Strict,
                         maxRetries: Int = 10,
-                        keepManifests: Int = 2): Long = {
+                        keepManifests: Int = 2): Long =
+    mergePartitioned(spark, root, updates, keys, partitionColumns,
+      schemaMode, maxRetries, keepManifests, antiJoin = true)
+
+  /** APPEND into a partitioned table (no keying): touched partitions
+    * become (their live rows ∪ batch rows), duplicates preserved;
+    * untouched partitions are never read or rewritten. Strict schema.
+    * Composes with spec evolution exactly like [[upsertPartitioned]].
+    */
+  def appendPartitioned(spark: SparkSession, root: String,
+                        batch: DataFrame,
+                        partitionColumns: Seq[String],
+                        maxRetries: Int = 10,
+                        keepManifests: Int = 2): Long =
+    mergePartitioned(spark, root, batch, keys = Seq.empty,
+      partitionColumns, MergeWriter.SchemaMode.Strict, maxRetries,
+      keepManifests, antiJoin = false)
+
+  private def mergePartitioned(spark: SparkSession, root: String,
+                               updates: DataFrame, keys: Seq[String],
+                               partitionColumns: Seq[String],
+                               schemaMode: MergeWriter.SchemaMode,
+                               maxRetries: Int,
+                               keepManifests: Int,
+                               antiJoin: Boolean): Long = {
     require(keepManifests >= 1,
       s"keepManifests must be >= 1: $keepManifests")
     require(partitionColumns.nonEmpty,
@@ -1780,11 +1868,15 @@ object VersionedTable {
           }
           val existing = readPartitionedSnapshot(spark, root, m)
             .filter(touchedPred)
-          val (existingAligned, updatesAligned) =
-            MergeWriter.alignSchemas(existing, updates, keys, schemaMode)
-          existingAligned.join(
-              updates.select(keys.map(updates(_)): _*), keys, "left_anti")
-            .unionByName(updatesAligned)
+          if (antiJoin) {
+            val (existingAligned, updatesAligned) =
+              MergeWriter.alignSchemas(existing, updates, keys,
+                schemaMode)
+            existingAligned.join(
+                updates.select(keys.map(updates(_)): _*), keys,
+                "left_anti")
+              .unionByName(updatesAligned)
+          } else existing.unionByName(updates) // append: strict schema
       }
       val staging = stagingDir(rootP)
       try merged.write.mode(SaveMode.Overwrite)
@@ -2131,6 +2223,30 @@ object VersionedTable {
     retryThenEscalate(rootP, maxRetries)(once())
   }
 
+  /** FULL static overwrite of a partitioned table: the next version
+    * holds exactly `df` under `partitionColumns` — every previous
+    * partition pointer is vacated (Spark's
+    * `partitionOverwriteMode=static` semantics; use
+    * [[overwritePartitions]] for dynamic). CAS-committed.
+    */
+  def replaceTablePartitioned(spark: SparkSession, root: String,
+                              df: DataFrame,
+                              partitionColumns: Seq[String],
+                              maxRetries: Int = 10): Long = {
+    require(partitionColumns.nonEmpty,
+      "replaceTablePartitioned needs partition columns")
+    enforceConstraints(root, df)
+    val rootP = Paths.get(root)
+    Files.createDirectories(rootP)
+    def once(): Long = {
+      val prev = readPartitionedManifest(root)
+      replacePartitioned(spark, root, df, partitionColumns,
+        covered = prev.map(_.partitions.keys.toSeq).getOrElse(Seq.empty),
+        expectedBase = Some(prev.map(_.version).getOrElse(0L)))
+    }
+    retryThenEscalate(rootP, maxRetries)(once())
+  }
+
   /** Predicate backfill on the unpartitioned store (Delta's
     * replaceWhere): rows matching `predicate` are dropped from the
     * live snapshot and `replacement` rows take their place, as one
@@ -2337,20 +2453,25 @@ object VersionedTable {
     writeStatsSidecar(staging)
     withCommitLock(rootP) {
       val prev = readPartitionedManifest(root)
-      // a replace under a DIFFERENT partition-column list would
-      // silently flip the manifest's spec and merge a mixed key space
-      // (`day=...` pointers beside `other=...`) — fail loudly; spec
-      // evolution is the upsertPartitioned prefix-extension path, not
-      // the replace family
-      prev.filter(_.partitionColumns != partitionColumns).foreach { m =>
-        deleteRecursively(staging)
-        throw new IllegalArgumentException(
-          s"replace into $root with partition columns " +
-            s"${partitionColumns.mkString("(", ",", ")")} but the " +
-            s"table is partitioned by " +
-            s"${m.partitionColumns.mkString("(", ",", ")")} — " +
-            "replace/overwrite never changes the partition spec")
-      }
+      // a PARTIAL replace under a DIFFERENT partition-column list
+      // would silently flip the manifest's spec and merge a mixed key
+      // space (`day=...` pointers beside `other=...`) — fail loudly;
+      // spec evolution is the upsertPartitioned prefix-extension path
+      // or a FULL replace (covered ⊇ every previous key: the old key
+      // space is vacated wholesale, so any new spec is consistent)
+      prev.filter(m => m.partitionColumns != partitionColumns &&
+          (m.partitions.keySet -- covered.toSet).nonEmpty)
+        .foreach { m =>
+          deleteRecursively(staging)
+          throw new IllegalArgumentException(
+            s"replace into $root with partition columns " +
+              s"${partitionColumns.mkString("(", ",", ")")} but the " +
+              s"table is partitioned by " +
+              s"${m.partitionColumns.mkString("(", ",", ")")} — a " +
+              "partial replace/overwrite never changes the partition " +
+              "spec (evolve via upsertPartitioned prefix extension, " +
+              "or replaceTablePartitioned for a full respec)")
+        }
       val live = prev.map(_.version).getOrElse(0L)
       expectedBase.filter(_ != live).foreach { base =>
         deleteRecursively(staging)

@@ -28,7 +28,9 @@ import graft.sinks.VersionedTable
   * pruning metadata the library reads use — partition-path equality
   * and version-checked partition bounds (`_part_stats.json`) at level
   * 1, per-file footer-stats sidecars (`_stats.json`: INT/UTF8/DOUBLE
-  * bounds) at level 2. File skipping is a sound approximation (a file
+  * bounds) AND per-file bloom sidecars (`_bloom.json`, equality/In
+  * probes on exact-typed Long/String literals) at level 2. File
+  * skipping is a sound approximation (a file
   * or partition without trusted bounds always scans), so EVERY filter
   * is also returned as residual for Spark to re-evaluate row-level —
   * exactly Iceberg/Delta's contract; `pushedFilters` advertises the
@@ -51,7 +53,10 @@ import graft.sinks.VersionedTable
 class GraftDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft"
 
-  override def supportsExternalMetadata(): Boolean = false
+  // true so WRITES to a not-yet-existing table work: Spark then hands
+  // getTable the dataframe's schema instead of calling inferSchema
+  // (which requires a committed manifest)
+  override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     GraftScanPlanner
@@ -67,13 +72,94 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 
 private[sources] class GraftTable(opts: GraftScanPlanner.Opts,
                                   tableSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft:${opts.root}"
   override def schema(): StructType = tableSchema
+  // BATCH_WRITE must accompany V1_BATCH_WRITE: DataFrameWriter's
+  // append/overwrite dispatch checks the former, the V1-fallback
+  // write exec the latter
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new GraftScanBuilder(opts, tableSchema)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWriteBuilder(opts.root, info)
+}
+
+/** DSv2 WRITE surface, V1 fallback (the JDBC pattern): planning is
+  * DSv2 (mode + truncate resolution), the row work delegates to the
+  * versioned-table commit protocol. Semantics by mode/options:
+  *
+  *   - append + `keys`        → keyed upsert (merge)
+  *   - append (no keys)       → append (duplicates preserved)
+  *   - overwrite              → full replace (static), or dynamic
+  *     partition overwrite when `partitionOverwriteMode=dynamic`
+  *     (option or session conf) and `partitionColumns` given
+  *
+  * `partitionColumns` (comma list) routes to the partitioned forms;
+  * `schemaMode=sync` selects SyncAllColumns evolution on upserts.
+  */
+private[sources] class GraftWriteBuilder(root: String,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  private var overwrite = false
+  override def truncate()
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    overwrite = true; this
+  }
+
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.V1Write {
+      override def toInsertableRelation: InsertableRelation =
+        new InsertableRelation {
+          override def insert(data: DataFrame,
+                              overwriteFlag: Boolean): Unit = {
+            val ow = overwrite || overwriteFlag
+            val o = info.options
+            def list(k: String): Option[Seq[String]] =
+              Option(o.get(k)).map(_.split(",").map(_.trim)
+                .filter(_.nonEmpty).toSeq).filter(_.nonEmpty)
+            val keys = list("keys")
+            val parts = list("partitionColumns")
+            val schemaMode = Option(o.get("schemaMode")) match {
+              case Some("sync") =>
+                graft.sinks.MergeWriter.SchemaMode.SyncAllColumns
+              case _ => graft.sinks.MergeWriter.SchemaMode.Strict
+            }
+            val spark = data.sparkSession
+            val dynamic = Option(o.get("partitionOverwriteMode"))
+              .getOrElse(spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"))
+              .equalsIgnoreCase("dynamic")
+            (ow, keys, parts) match {
+              case (true, _, Some(pc)) if dynamic =>
+                VersionedTable.overwritePartitions(spark, root, data, pc)
+              case (true, _, Some(pc)) =>
+                VersionedTable.replaceTablePartitioned(spark, root,
+                  data, pc)
+              case (true, _, None) =>
+                VersionedTable.replaceTable(spark, root, data)
+              case (false, Some(k), Some(pc)) =>
+                VersionedTable.upsertPartitioned(spark, root, data, k,
+                  pc, schemaMode)
+              case (false, Some(k), None) =>
+                VersionedTable.upsert(spark, root, data, k, schemaMode)
+              case (false, None, Some(pc)) =>
+                VersionedTable.appendPartitioned(spark, root, data, pc)
+              case (false, None, None) =>
+                VersionedTable.append(spark, root, data)
+            }
+            ()
+          }
+        }
+    }
 }
 
 private[sources] class GraftScanBuilder(opts: GraftScanPlanner.Opts,
@@ -241,13 +327,21 @@ private[graft] object GraftScanPlanner {
         val statsByDir = selected.values.toSeq.distinct
           .map(d => d -> VersionedTable.readStatsSidecar(rootP.resolve(d)))
           .toMap
+        val bloomsByDir =
+          if (!filters.exists(bloomable)) Map.empty[String,
+            Map[(String, String), Array[Long]]]
+          else selected.values.toSeq.distinct
+            .map(d => d ->
+              VersionedTable.readBloomSidecar(rootP.resolve(d))).toMap
         val files = selected.toSeq.sortBy(_._1).flatMap { case (k, dn) =>
           val verDir = rootP.resolve(dn)
           VersionedTable.dataFilesUnder(verDir.resolve(k)).map { f =>
             val rel = verDir.relativize(f).toString.replace('\\', '/')
-            val keep = filters.forall(statsSurvive(
+            val keep = filters.forall(fl => statsSurvive(
               statsByDir(dn).get(rel).map(fs =>
-                Bounds(fs.cols, fs.strs, fs.dbls)), _))
+                Bounds(fs.cols, fs.strs, fs.dbls)), fl) &&
+              bloomSurvives(
+                bloomsByDir.getOrElse(dn, Map.empty), rel, fl))
             (f, keep, verDir)
           }
         }
@@ -284,11 +378,15 @@ private[graft] object GraftScanPlanner {
         }
         val dirP = rootP.resolve(dirName)
         val stats = VersionedTable.readStatsSidecar(dirP)
+        val blooms =
+          if (filters.exists(bloomable))
+            VersionedTable.readBloomSidecar(dirP)
+          else Map.empty[(String, String), Array[Long]]
         val files = VersionedTable.dataFilesUnder(dirP).map { f =>
           val rel = dirP.relativize(f).toString.replace('\\', '/')
-          val keep = filters.forall(statsSurvive(
+          val keep = filters.forall(fl => statsSurvive(
             stats.get(rel).map(fs => Bounds(fs.cols, fs.strs, fs.dbls)),
-            _))
+            fl) && bloomSurvives(blooms, rel, fl))
           (f, keep)
         }
         val survivors = files.filter(_._2)
@@ -419,6 +517,48 @@ private[graft] object GraftScanPlanner {
         (if (lo.isInfinity) None else Some(BigDecimal(lo)),
          if (hi.isInfinity) None else Some(BigDecimal(hi)))
       })
+
+  /** Can this conjunct probe a `_bloom.json` sidecar? Only exact-type
+    * matches: blooms hash `xxhash64(col)` over the column's NATIVE
+    * Spark type, so only a Long literal (⇒ LongType column) or a
+    * String literal reproduces the build-side hash — an Int-typed
+    * column's literal arrives as Int and stays residual-only (sound).
+    */
+  private def bloomable(f: Filter): Boolean = f match {
+    case EqualTo(_, _: java.lang.Long)   => true
+    case EqualTo(_, _: String)           => true
+    case In(_, vs) => vs.nonEmpty &&
+      (vs.forall(_.isInstanceOf[java.lang.Long]) ||
+        vs.forall(_.isInstanceOf[String]))
+    case _ => false
+  }
+
+  /** Must file `rel` be scanned under `f` per the per-file blooms?
+    * A bloom miss is PROOF of absence (sound skip); no bloom for the
+    * (file, column) → scan.
+    */
+  private def bloomSurvives(blooms: Map[(String, String), Array[Long]],
+                            rel: String, f: Filter): Boolean = {
+    if (blooms.isEmpty) return true
+    def admits(c: String, hash: Long): Boolean =
+      blooms.get((rel, c))
+        .forall(graft.functions.Bloom.mightContain(_, hash))
+    f match {
+      case EqualTo(c, v: java.lang.Long) =>
+        admits(c, graft.functions.Bloom.hashLong(v))
+      case EqualTo(c, v: String) =>
+        admits(c, graft.functions.Bloom.hashString(v))
+      case In(c, vs) if vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[java.lang.Long]) =>
+        vs.exists(v => admits(c,
+          graft.functions.Bloom.hashLong(v.asInstanceOf[Long])))
+      case In(c, vs) if vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[String]) =>
+        vs.exists(v => admits(c,
+          graft.functions.Bloom.hashString(v.asInstanceOf[String])))
+      case _ => true
+    }
+  }
 
   /** Must a file/partition with bounds `b` be scanned under conjunct
     * `f`? None bounds → scan (sound).

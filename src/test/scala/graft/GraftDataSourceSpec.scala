@@ -77,6 +77,33 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(d.filesScanned === 1, s"${d.filesScanned}/${d.filesTotal}")
   }
 
+  test("bloom sidecar engages for equality probes through the format " +
+    "where min/max bounds admit every file") {
+    val root = tmpRoot()
+    // hash-scattered key: every file's [min,max] spans the domain, so
+    // footer bounds prune nothing — only the bloom can skip
+    val df = spark.range(0, 4000)
+      .select(col("id"), xxhash64(col("id")).as("skey"))
+      .repartition(8)
+    VersionedTable.upsert(spark, root, df, Seq("id"))
+    VersionedTable.addBloomSidecar(spark, root, Seq("skey"))
+    val probe = VersionedTable.readLive(spark, root)
+      .filter(col("id") === 1234L).select("skey").as[Long].head()
+    val q = spark.read.format("graft").load(root)
+      .filter(col("skey") === probe)
+    assert(q.count() === 1)
+    val d = GraftScanAudit.last.get
+    assert(d.filesTotal === 8)
+    assert(d.filesScanned < 8,
+      s"bloom skipped nothing: ${d.filesScanned}/8")
+    // absent value: a bloom miss everywhere → nothing scanned, and
+    // the read still returns zero rows with the right schema
+    val none = spark.read.format("graft").load(root)
+      .filter(col("skey") === lit(probe + 1L))
+    assert(none.count() === 0)
+    assert(GraftScanAudit.last.get.filesScanned <= 2) // ~1% fpp × 8
+  }
+
   test("partitioned table: partition equality + data interval prune " +
     "both levels; deletes masked") {
     val root = tmpRoot()
@@ -132,6 +159,57 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(d.filesScanned === 0)
   }
 
+  test("write surface: append / keyed upsert / overwrite through " +
+    "df.write.format(\"graft\")") {
+    val root = tmpRoot()
+    // create via plain append (new table, no manifest yet)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.format("graft").mode("append").save(root)
+    assert(VersionedTable.readLive(spark, root).count() === 2)
+    // append again WITHOUT keys: duplicates preserved
+    Seq((2L, "b")).toDF("id", "v")
+      .write.format("graft").mode("append").save(root)
+    assert(VersionedTable.readLive(spark, root).count() === 3)
+    // keyed upsert: collapses on id, updates in place
+    Seq((2L, "B"), (3L, "c")).toDF("id", "v")
+      .write.format("graft").mode("append").option("keys", "id")
+      .save(root)
+    val got = VersionedTable.readLive(spark, root)
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "a"), (2L, "B"), (3L, "c")))
+    // overwrite: full replace
+    Seq((9L, "z")).toDF("id", "v")
+      .write.format("graft").mode("overwrite").save(root)
+    assert(VersionedTable.readLive(spark, root)
+      .select("id").as[Long].collect().toSeq === Seq(9L))
+    // read back through the same format
+    assert(spark.read.format("graft").load(root).count() === 1)
+  }
+
+  test("write surface: partitioned upsert + dynamic partition " +
+    "overwrite via options") {
+    val root = tmpRoot()
+    Seq((1L, "p0", 10L), (2L, "p1", 20L), (3L, "p0", 30L))
+      .toDF("id", "p", "x")
+      .write.format("graft").mode("append")
+      .option("keys", "id").option("partitionColumns", "p").save(root)
+    assert(VersionedTable.readLivePartitioned(spark, root).count() === 3)
+    // dynamic overwrite of ONLY p0
+    Seq((7L, "p0", 70L)).toDF("id", "p", "x")
+      .write.format("graft").mode("overwrite")
+      .option("partitionColumns", "p")
+      .option("partitionOverwriteMode", "dynamic").save(root)
+    val after = VersionedTable.readLivePartitioned(spark, root)
+      .select("id").as[Long].collect().sorted
+    assert(after === Array(2L, 7L)) // p0 replaced wholesale, p1 kept
+    // static overwrite replaces the whole table
+    Seq((100L, "p9", 1L)).toDF("id", "p", "x")
+      .write.format("graft").mode("overwrite")
+      .option("partitionColumns", "p").save(root)
+    assert(VersionedTable.readLivePartitioned(spark, root)
+      .select("id").as[Long].collect().toSeq === Seq(100L))
+  }
+
   test("SQL: CREATE TABLE USING graft + SELECT engages the same scan") {
     val root = tmpRoot()
     VersionedTable.upsert(spark, root,
@@ -144,6 +222,11 @@ class GraftDataSourceSpec extends SparkSpec {
         "SELECT count(*) AS n FROM graft_sql_t WHERE id <= 10")
         .head.getLong(0)
       assert(n === 10)
+      // DML rides the same write surface (append semantics)
+      spark.sql("INSERT INTO graft_sql_t VALUES (31, 's31')")
+      assert(spark.sql("SELECT count(*) FROM graft_sql_t")
+        .head.getLong(0) === 31)
+      assert(VersionedTable.readLive(spark, root).count() === 31)
     } finally spark.sql("DROP TABLE IF EXISTS graft_sql_t")
   }
 }
