@@ -361,8 +361,10 @@ object VersionedTable {
         "committed or pruned by retention)")
     val steps = vs.filter(v => v > fromVersion && v <= toVersion)
     val frames = steps.map { v =>
+      // the retained predecessor within range; None only at table
+      // birth (fromVersion == 0 with nothing retained before v —
+      // fromVersion > 0 is itself retained by the require above)
       val prior = vs.filter(x => x >= fromVersion && x < v).lastOption
-        .filter(_ > 0).filter(_ >= fromVersion)
       cdfStep(spark, root, prior, v, keys)
     }.flatten
     if (frames.isEmpty)
@@ -393,13 +395,21 @@ object VersionedTable {
     * publishes exactly one immutable history entry, atomically), so
     * exactly-once delivery rides the file source's checkpointed seen-
     * file log: after a restart only undiscovered commits replay.
-    * Each micro-batch hands `onBatch` the row-level
-    * [[readChanges]] feed covering the discovered version range
-    * (lo-1, hi] plus the range itself. Retention contract: the dirs
-    * of `lo-1..hi` must still be retained when the batch fires —
-    * size keepVersions/keepManifests to the maximum consumer lag
-    * (the stream fails loudly otherwise, never silently skips).
-    * `maxFilesPerTrigger=1` gives one-commit-per-batch granularity.
+    * Each discovered commit is handed to `onBatch` INDIVIDUALLY
+    * (`readChanges(v-1, v)` with lo == hi == v), in version order
+    * within the batch — never as a min/max range: the file source
+    * can split mtime-tied commits non-contiguously across triggers
+    * (v1,v3 then v2), and a range fold would re-deliver the gap
+    * commit. Per-version delivery makes each commit's changes arrive
+    * exactly once; cross-batch ordering follows commit mtime (ties
+    * may reorder adjacent commits across triggers — additive
+    * consumers like Ivm deltas commute; strict-order consumers
+    * should run without maxFilesPerTrigger so AvailableNow delivers
+    * one ordered batch). Retention contract: the dirs of `v-1..v`
+    * must still be retained when the batch fires — size
+    * keepVersions/keepManifests to the maximum consumer lag (the
+    * stream fails loudly otherwise, never silently skips).
+    * `maxFilesPerTrigger=1` gives one-commit-per-trigger pacing.
     */
   def streamChanges(spark: SparkSession, root: String, keys: Seq[String],
                     checkpointDir: String,
@@ -408,7 +418,7 @@ object VersionedTable {
                       org.apache.spark.sql.streaming.Trigger.AvailableNow())
                    (onBatch: (DataFrame, Long, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    import org.apache.spark.sql.functions.{regexp_extract, min => smin, max => smax}
+    import org.apache.spark.sql.functions.regexp_extract
     val hist = Paths.get(root).resolve("_versions").toString
     val reader = spark.readStream
     maxFilesPerTrigger.foreach(n =>
@@ -416,13 +426,12 @@ object VersionedTable {
     reader.text(hist).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val vsRow = batch.select(regexp_extract(col("value"),
+        val vs = batch.select(regexp_extract(col("value"),
             """"version"\s*:\s*(\d+)""", 1).cast("long").as("v"))
           .filter(col("v").isNotNull && col("v") > 0)
-          .agg(smin("v").as("lo"), smax("v").as("hi")).collect()(0)
-        if (!vsRow.isNullAt(0)) {
-          val (lo, hi) = (vsRow.getLong(0), vsRow.getLong(1))
-          onBatch(readChanges(spark, root, lo - 1, hi, keys), lo, hi)
+          .distinct().collect().map(_.getLong(0)).sorted
+        vs.foreach { v =>
+          onBatch(readChanges(spark, root, v - 1, v, keys), v, v)
         }
       }
       .trigger(trigger)
@@ -1859,12 +1868,18 @@ object VersionedTable {
               .reduce(_ && _))
             .reduce(_ || _)
           if (predCols.size < partitionColumns.size) {
-            // parent keys whose dirs this commit supersedes — rendered
-            // by Spark's own writer so escaping matches the manifest
+            // keys this commit supersedes: the touched parents AND any
+            // manifest key UNDER them (a twice-evolved table holds
+            // intermediate-depth pointers like day=A/type=*, which the
+            // prefix merge lifts wholesale — leaving them beside the
+            // deeper children written below would double their rows).
+            // Rendered by Spark's own writer so escaping matches.
             val prefixSchema = org.apache.spark.sql.types.StructType(
               predCols.map(c => updates.schema(c)))
-            liftedKeys = renderPartitionKeys(spark, prefixSchema,
-              touched).toSet.intersect(m.partitions.keySet)
+            val parents = renderPartitionKeys(spark, prefixSchema,
+              touched).toSet
+            liftedKeys = m.partitions.keySet.filter(k =>
+              parents.exists(p => k == p || k.startsWith(p + "/")))
           }
           val existing = readPartitionedSnapshot(spark, root, m)
             .filter(touchedPred)
@@ -2647,7 +2662,15 @@ object VersionedTable {
       for (b <- blocks; c <- b.getColumns.asScala) {
         val name = c.getPath.toDotString
         val tn = c.getPrimitiveType.getPrimitiveTypeName
-        val numeric = tn == INT64 || tn == INT32
+        // DECIMAL-annotated INT32/INT64 store UNSCALED values: their
+        // footer bounds live in a different domain than the scaled
+        // values every read-path predicate compares, so recording
+        // them would let an interval read skip files that hold
+        // matching rows — no stats, always scan (sound)
+        val isDecimal = c.getPrimitiveType.getLogicalTypeAnnotation
+          .isInstanceOf[org.apache.parquet.schema.LogicalTypeAnnotation
+            .DecimalLogicalTypeAnnotation]
+        val numeric = (tn == INT64 || tn == INT32) && !isDecimal
         val floaty = tn == DOUBLE || tn == FLOAT
         val stringy = tn == BINARY && isUtf8(c.getPrimitiveType)
         if ((numeric || floaty || stringy) && !dead(name)) {

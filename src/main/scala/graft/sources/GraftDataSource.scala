@@ -175,7 +175,10 @@ private[sources] class GraftScanBuilder(opts: GraftScanPlanner.Opts,
     * row-level predicate must still run above the scan.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(GraftScanPlanner.prunable(opts, _))
+    // one manifest read for the whole conjunct list, not one per filter
+    val partCols = VersionedTable.readPartitionedManifest(opts.root)
+      .map(_.partitionColumns.toSet).getOrElse(Set.empty[String])
+    pushed = filters.filter(GraftScanPlanner.prunable(partCols, _))
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -422,9 +425,7 @@ private[graft] object GraftScanPlanner {
     * timestamp/date (physical INT64/INT32 stats), and string-equality
     * columns, plus partition-path equality.
     */
-  def prunable(o: Opts, f: Filter): Boolean = {
-    val partCols = VersionedTable.readPartitionedManifest(o.root)
-      .map(_.partitionColumns.toSet).getOrElse(Set.empty)
+  def prunable(partCols: Set[String], f: Filter): Boolean = {
     f match {
       case _ if partitionPathPrunable(f, partCols) => true
       case EqualTo(_, v)            => num(v).isDefined ||
@@ -467,10 +468,18 @@ private[graft] object GraftScanPlanner {
     def seg(c: String, v: Any): Option[String] =
       pathValue(v).map(r => s"$c=${ExternalCatalogUtils.escapePathName(r)}")
     val segments = key.split('/').toSet
+    // a key with NO segment for the filter's column cannot be
+    // excluded: mid-migration (spec-evolution) tables hold unmigrated
+    // parent keys whose rows carry the appended partition column in
+    // their DATA files — absence of the path segment is not proof of
+    // absence of the value
+    def hasCol(c: String): Boolean = segments.exists(_.startsWith(c + "="))
     f match {
-      case EqualTo(c, v) => seg(c, v).forall(segments.contains)
-      case In(c, vs)     => vs.exists(v => seg(c, v).forall(segments.contains))
-      case _             => true
+      case EqualTo(c, v) if hasCol(c) =>
+        seg(c, v).forall(segments.contains)
+      case In(c, vs) if hasCol(c) =>
+        vs.exists(v => seg(c, v).forall(segments.contains))
+      case _ => true
     }
   }
 
@@ -487,10 +496,18 @@ private[graft] object GraftScanPlanner {
       case n: Int    => Some(BigDecimal(n))
       case n: Long   => Some(BigDecimal(n))
       case n: Float  =>
-        if (n.isNaN) None else Some(BigDecimal.decimal(n))
+        // binary widen (n.toDouble), NOT decimal-text widen: the
+        // harvest stores FLOAT bounds as f.doubleValue(), and a
+        // decimal-repr literal (0.7) compared against the binary
+        // bound (0.699999988…) would wrongly skip the file
+        if (n.isNaN) None else Some(BigDecimal(n.toDouble))
       case n: Double =>
         if (n.isNaN) None else Some(BigDecimal(n))
-      case n: java.math.BigDecimal => Some(BigDecimal(n))
+      // java.math.BigDecimal (DecimalType literals) is deliberately
+      // UNPRUNABLE: decimal columns are physically INT32/INT64
+      // unscaled values, so the footer bounds are in a different
+      // domain than the literal — comparing them would skip files
+      // that hold matching rows
       case t: java.sql.Timestamp =>
         Some(BigDecimal(DateTimeUtils.fromJavaTimestamp(t)))
       case t: java.time.Instant =>

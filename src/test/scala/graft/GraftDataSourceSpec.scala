@@ -159,6 +159,56 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(d.filesScanned === 0)
   }
 
+  test("review fix: a filter on an APPENDED partition column still " +
+    "reads unmigrated old-spec dirs (value lives in their data files)") {
+    val root = tmpRoot()
+    val df = (1L to 60L)
+      .map(i => (i, s"d${i % 3}", s"t${i % 2}", i * 10L))
+      .toDF("id", "day", "typ", "cents")
+    VersionedTable.upsertPartitioned(spark, root, df,
+      Seq("id"), Seq("day"), keepManifests = 10)
+    // migrate ONLY d1 to (day, typ)
+    VersionedTable.upsertPartitioned(spark, root,
+      Seq((1000L, "d1", "t0", 1L)).toDF("id", "day", "typ", "cents"),
+      Seq("id"), Seq("day", "typ"), keepManifests = 10)
+    val got = spark.read.format("graft").load(root)
+      .filter(col("typ") === "t0").count()
+    val want = VersionedTable.readLivePartitioned(spark, root)
+      .filter(col("typ") === "t0").count()
+    assert(got === want)
+    // rows from unmigrated d0/d2 must be present (they hold typ in
+    // data files, not the path)
+    assert(got > 11, s"only migrated-dir rows came back: $got")
+  }
+
+  test("review fix: decimal-typed predicates never prune (unscaled " +
+    "stats domain) and float literals compare in the binary domain") {
+    val root = tmpRoot()
+    val df = spark.range(1, 101)
+      .select(col("id"),
+        (col("id") * lit(1.11)).cast("decimal(10,2)").as("dec"),
+        (col("id") / lit(10.0)).cast("float").as("f"))
+      .repartitionByRange(4, col("id"))
+    VersionedTable.upsert(spark, root, df, Seq("id"))
+    // decimal: correct rows, zero files skipped, no dec stats entry
+    val q = spark.read.format("graft").load(root)
+      .filter(col("dec") === new java.math.BigDecimal("55.50"))
+    assert(q.count() === 1)
+    val d = GraftScanAudit.last.get
+    assert(d.filesScanned === d.filesTotal,
+      s"decimal pruned: ${d.filesScanned}/${d.filesTotal}")
+    val live = java.nio.file.Paths.get(root)
+      .resolve(VersionedTable.readManifest(root).get.live)
+    assert(VersionedTable.readStatsSidecar(live)
+      .values.forall(fs => !fs.cols.contains("dec")))
+    // float: 0.7f is representable only in binary — equality through
+    // the format must find the row (harvest widened binary, literal
+    // widened binary)
+    val qf = spark.read.format("graft").load(root)
+      .filter(col("f") === lit(0.7f))
+    assert(qf.count() === 1)
+  }
+
   test("write surface: append / keyed upsert / overwrite through " +
     "df.write.format(\"graft\")") {
     val root = tmpRoot()

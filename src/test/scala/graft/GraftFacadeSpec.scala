@@ -261,6 +261,6 @@ class GraftFacadeSpec extends SparkSpec {
       (cdf, _, _) => batches += 1; cdf.count(); ()
     }
     q.awaitTermination()
-    assert(batches === 1) // one AvailableNow batch covering v1..v2
+    assert(batches === 2) // per-commit delivery: v1, then v2
   }
 }

@@ -104,6 +104,34 @@ class SpecEvolutionSpec extends SparkSpec {
     assert(viaRead.count() === 21)
   }
 
+  test("review fix: a SECOND evolution lifts intermediate-depth " +
+    "pointers of the touched parent — no row doubling") {
+    val root = tmpRoot()
+    seed(root) // (day) spec, d0..d2
+    // evolve to (day, typ) touching d1 → manifest holds d1/typ=* at
+    // depth 2, d0/d2 at depth 1
+    VersionedTable.upsertPartitioned(spark, root,
+      Seq((1000L, "d1", "t0", 77L)).toDF("id", "day", "typ", "cents"),
+      Seq("id"), Seq("day", "typ"), keepManifests = 10)
+    // evolve AGAIN to (day, typ, band) touching d1: the depth-2
+    // pointers day=d1/typ=* must be lifted (not just a depth-1
+    // day=d1, which no longer exists in the manifest)
+    VersionedTable.upsertPartitioned(spark, root,
+      Seq((2000L, "d1", "t1", "b0", 88L))
+        .toDF("id", "day", "typ", "band", "cents"),
+      Seq("id"), Seq("day", "typ", "band"),
+      graft.sinks.MergeWriter.SchemaMode.SyncAllColumns,
+      keepManifests = 10)
+    val keys = VersionedTable.readPartitionedManifest(root)
+      .get.partitions.keySet
+    assert(!keys.exists(k => k == "day=d1" ||
+      (k.startsWith("day=d1/") && k.count(_ == '/') < 2)), keys.toString)
+    val live = VersionedTable.readLivePartitioned(spark, root)
+    assert(live.count() === 62) // 60 seed + 1000 + 2000, NO doubling
+    assert(live.filter(col("day") === "d1").count() === 22)
+    assert(live.filter(col("id") === 1000L).count() === 1)
+  }
+
   test("non-prefix respec fails loudly; dynamic overwrite refuses " +
     "writing a child beside an unmigrated parent") {
     val root = tmpRoot()
