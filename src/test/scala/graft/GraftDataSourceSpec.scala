@@ -260,6 +260,32 @@ class GraftDataSourceSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq === Seq(100L))
   }
 
+  test("change feed through the format: option(changesFrom) returns " +
+    "the readChanges frame") {
+    val root = tmpRoot()
+    VersionedTable.upsert(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"),
+      keepVersions = 10)
+    VersionedTable.upsert(spark, root,
+      Seq((2L, "B"), (3L, "c")).toDF("id", "v"), Seq("id"),
+      keepVersions = 10)
+    val feed = spark.read.format("graft")
+      .option("changesFrom", "1").option("keys", "id").load(root)
+    assert(feed.columns.contains("_change_type"))
+    val ops = feed.select("id", "_change_type")
+      .as[(Long, String)].collect().toSet
+    assert(ops === Set((2L, "update_preimage"),
+      (2L, "update_postimage"), (3L, "insert")))
+    // default changesTo = latest; full history from 0
+    val all = spark.read.format("graft")
+      .option("changesFrom", "0").option("keys", "id").load(root)
+    assert(all.count() === 5) // 2 inserts + 1 insert + pre/post
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("changesFrom", "0").load(root)
+        .count()
+    }
+  }
+
   test("SQL: CREATE TABLE USING graft + SELECT engages the same scan") {
     val root = tmpRoot()
     VersionedTable.upsert(spark, root,
