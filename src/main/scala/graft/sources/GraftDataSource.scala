@@ -462,8 +462,27 @@ private[graft] object GraftScanPlanner {
       case LessThanOrEqual(_, v)    => num(v).isDefined
       case In(_, vs) => vs.nonEmpty &&
         (vs.forall(num(_).isDefined) || vs.forall(_.isInstanceOf[String]))
+      case StringStartsWith(_, v)   => v != null
       case _ => false
     }
+  }
+
+  /** Smallest string strictly greater than every `p`-prefixed string:
+    * `p` with its last incrementable code point bumped (surrogate-gap
+    * aware). None when no code point can be bumped.
+    */
+  private def prefixSuccessor(p: String): Option[String] = {
+    val cps = p.codePoints.toArray
+    var i = cps.length - 1
+    while (i >= 0) {
+      val next = if (cps(i) == 0xD7FF) 0xE000 else cps(i) + 1
+      if (next <= 0x10FFFF && (next < 0xD800 || next > 0xDFFF)) {
+        val bumped = cps.take(i) :+ next
+        return Some(new String(bumped, 0, bumped.length))
+      }
+      i -= 1
+    }
+    None
   }
 
   private def partitionPathPrunable(f: Filter,
@@ -620,6 +639,15 @@ private[graft] object GraftScanPlanner {
           }
         f match {
           case EqualTo(c, s: String) => strEq(c, s)
+          // p-prefixed strings occupy [p, successor(p)): the file's
+          // widened [lo,hi] must intersect it (widening only keeps
+          // MORE files — sound)
+          case StringStartsWith(c, p) if p != null =>
+            bb.strs.get(c).forall { case (lo, hi) =>
+              VersionedTable.u8cmp(hi, p) >= 0 &&
+                prefixSuccessor(p).forall(succ =>
+                  VersionedTable.u8cmp(lo, succ) < 0)
+            }
           case EqualTo(c, v) => num(v).forall(x =>
             numCheck(c, (lo, hi) =>
               lo.forall(_ <= x) && hi.forall(_ >= x)))

@@ -75,6 +75,13 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(q.count() === 1)
     val d = GraftScanAudit.last.get
     assert(d.filesScanned === 1, s"${d.filesScanned}/${d.filesTotal}")
+    // startsWith occupies [p, succ(p)) — prunes to the files whose
+    // bounds intersect it, still returning exactly the 10 matches
+    val sw = spark.read.format("graft").load(root)
+      .filter(col("key").startsWith("k051"))
+    assert(sw.count() === 10)
+    val d2 = GraftScanAudit.last.get
+    assert(d2.filesScanned === 1, s"${d2.filesScanned}/${d2.filesTotal}")
   }
 
   test("bloom sidecar engages for equality probes through the format " +
