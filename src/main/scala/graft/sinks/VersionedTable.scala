@@ -1792,6 +1792,26 @@ object VersionedTable {
       partitionColumns, MergeWriter.SchemaMode.Strict, maxRetries,
       keepManifests, antiJoin = false)
 
+
+  /** Balanced OR over per-partition equality conjunctions: a left
+    * fold gives a LINEAR-depth expression tree, and Catalyst's
+    * recursive visitors stack-overflow past ~10k touched partitions
+    * — a perfectly legal wide backfill. log-depth by halving.
+    */
+  private[graft] def touchedPredicate(cols: Seq[String],
+                               rows: Array[org.apache.spark.sql.Row])
+      : Column = {
+    def or(cs: IndexedSeq[Column]): Column =
+      if (cs.size == 1) cs.head
+      else {
+        val (l, r) = cs.splitAt(cs.size / 2)
+        or(l) || or(r)
+      }
+    or(rows.toIndexedSeq.map(r => cols.zipWithIndex
+      .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+      .reduce(_ && _)))
+  }
+
   private def mergePartitioned(spark: SparkSession, root: String,
                                updates: DataFrame, keys: Seq[String],
                                partitionColumns: Seq[String],
@@ -1862,11 +1882,7 @@ object VersionedTable {
           val touched = updates
             .select(predCols.map(updates(_)): _*).distinct().collect()
           if (touched.isEmpty) return m.version
-          val touchedPred = touched
-            .map(r => predCols.zipWithIndex
-              .map { case (c, i) => col(c) <=> lit(r.get(i)) }
-              .reduce(_ && _))
-            .reduce(_ || _)
+          val touchedPred = touchedPredicate(predCols, touched)
           if (predCols.size < partitionColumns.size) {
             // keys this commit supersedes: the touched parents AND any
             // manifest key UNDER them (a twice-evolved table holds
@@ -2034,11 +2050,7 @@ object VersionedTable {
       val touched = base.join(dels, keyCols, "left_semi")
         .select(m.partitionColumns.map(col): _*).distinct().collect()
       if (touched.isEmpty) return m.version
-      val touchedPred = touched
-        .map(r => m.partitionColumns.zipWithIndex
-          .map { case (c, i) => col(c) <=> lit(r.get(i)) }
-          .reduce(_ && _))
-        .reduce(_ || _)
+      val touchedPred = touchedPredicate(m.partitionColumns, touched)
       // covered keys rendered by Spark's OWN dynamic-partition writer
       // (not a hand escapePathName over String.valueOf, which diverges
       // for null — Spark writes __HIVE_DEFAULT_PARTITION__ — and for

@@ -34,6 +34,7 @@ object Profile {
     if (args.headOption.contains("stress-substr")) { stressSubstr(); return }
     if (args.headOption.contains("stress-ivjoin")) { stressIntervalJoin(); return }
     if (args.headOption.contains("stress-series")) { stressSeries(); return }
+    if (args.headOption.contains("stress-table")) { stressTable(); return }
     if (args.headOption.contains("stage77")) { stage77(); return }
     val spark = GraftSession.build("profile")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -62,6 +63,65 @@ object Profile {
     val common = pairs.groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .agg(count(lit(1)).as("common"))
     println("groups: " + t("groupBy common") { common.count() })
+    spark.stop()
+  }
+
+  /** Table-surface stress (r13): a 1M-row day-sliced partitioned
+    * table built from 8 commits (each touching 4 of 32 partitions),
+    * then the costs that matter at scale — DSv2 pruned interval read
+    * vs full scan, per-commit change feed vs full-history feed
+    * (per-commit must be batch-sized: the step diff opens only the
+    * partitions whose pointer moved), and a streamChanges catch-up.
+    */
+  def stressTable(): Unit = {
+    import graft.sinks.VersionedTable
+    val spark = GraftSession.build("profile-table")
+    val root = "/tmp/stress_table/t"
+    val rootP = java.nio.file.Paths.get("/tmp/stress_table")
+    if (java.nio.file.Files.exists(rootP)) {
+      val s = java.nio.file.Files.walk(rootP)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally s.close()
+    }
+    val n = 1000000L
+    t("8 partitioned commits, 125k rows / 4 partitions each") {
+      (0 until 8).foreach { i =>
+        val batch = spark.range(i * n / 8, (i + 1) * n / 8)
+          .select(col("id"),
+            expr(s"CAST(id * 32 DIV $n AS STRING)").as("p"),
+            (col("id") * 3).as("m"))
+        VersionedTable.upsertPartitioned(spark, root, batch,
+          Seq("id"), Seq("p"), keepManifests = 20)
+        ()
+      }
+    }
+    val (lo, hi) = (300000L, 450000L) // ~5% of the m domain
+    t("DSv2 pruned interval read") {
+      val s = spark.read.format("graft").load(root)
+        .filter(col("m") >= lo && col("m") <= hi)
+        .agg(sum("id")).head()
+      println(s"  sum=$s audit=${graft.sources.GraftScanAudit.last}")
+    }
+    t("full-scan equivalent") {
+      println("  sum=" + VersionedTable.readLivePartitioned(spark, root)
+        .filter(col("m") >= lo && col("m") <= hi).agg(sum("id")).head())
+    }
+    t("readChanges: LAST commit only") {
+      println("  ops=" + VersionedTable
+        .readChanges(spark, root, 7L, 8L, Seq("id")).count())
+    }
+    t("readChanges: full 8-commit history") {
+      println("  ops=" + VersionedTable
+        .readChanges(spark, root, 0L, 8L, Seq("id")).count())
+    }
+    t("streamChanges catch-up (8 commits, AvailableNow)") {
+      var total = 0L
+      val q = VersionedTable.streamChanges(spark, root, Seq("id"),
+        "/tmp/stress_table/ckpt") { (cdf, _, _) => total += cdf.count() }
+      q.awaitTermination()
+      println(s"  streamed ops=$total")
+    }
     spark.stop()
   }
 

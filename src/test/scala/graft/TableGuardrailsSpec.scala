@@ -91,6 +91,18 @@ class TableGuardrailsSpec extends SparkSpec {
     assert(!Files.exists(dead), "dead staging survived")
   }
 
+  test("a 100k-partition touched predicate builds and analyzes " +
+    "without stack overflow (balanced OR tree)") {
+    val rows = (0 until 100000)
+      .map(i => org.apache.spark.sql.Row(s"p$i")).toArray
+    val pred = VersionedTable.touchedPredicate(Seq("p"), rows)
+    // analysis walks the whole tree recursively — a left-folded OR
+    // chain of this size blows the default stack
+    val df = Seq(("p5", 1L), ("nope", 2L)).toDF("p", "x").filter(pred)
+    assert(df.queryExecution.analyzed != null)
+    assert(df.count() === 1)
+  }
+
   test("constraint referencing a column absent from the batch fails " +
     "with the constraint name and a missing-column hint") {
     val root = tmpRoot()
