@@ -323,6 +323,13 @@ private[graft] object GraftScanPlanner {
     * survivor sets from the same sidecar metadata the library reads
     * consult, survivors read through Spark's parquet source, deletes
     * masked. Records the decision in [[GraftScanAudit]].
+    *
+    * NB: this survivor assembly deliberately PARALLELS
+    * `VersionedTable.partitionedSurvivors`/`prunedPartitionedReadWhere`
+    * (generalized to arbitrary conjunct lists + blooms + the
+    * mixed-spec path-segment rule). When changing the sound-skip
+    * contract in either place, change BOTH — GraftDataSourceSpec and
+    * the q287–q316 decision oracles pin the agreement.
     */
   def pruned(spark: SparkSession, o: Opts,
              filters: Seq[Filter]): DataFrame = {
