@@ -110,11 +110,11 @@ object MergeWriter {
       val touched = updates.select(partitionColumns.map(updates(_)): _*)
         .distinct().collect()
       if (touched.isEmpty) return
-      val touchedPred = touched
-        .map(r => partitionColumns.zipWithIndex
-          .map { case (c, i) => col(c) <=> lit(r.get(i)) }
-          .reduce(_ && _))
-        .reduce(_ || _)
+      // balanced tree (VersionedTable.touchedPredicate), NOT a left
+      // fold: a wide backfill's linear OR chain stack-overflows
+      // Catalyst past ~10k touched partitions
+      val touchedPred =
+        VersionedTable.touchedPredicate(partitionColumns, touched)
       val kept = existingAligned.filter(touchedPred)
         .join(updates.select(keys.map(updates(_)): _*), keys, "left_anti")
       val merged = kept.unionByName(updatesAligned)

@@ -369,16 +369,17 @@ object VersionedTable {
     }.flatten
     if (frames.isEmpty)
       // no retained step in range: empty feed with the live schema
-      readChangesEmpty(spark, root, keys)
+      readChangesEmptyFrame(spark, root)
     else frames.reduce((a, b) =>
       a.unionByName(b, allowMissingColumns = true))
   }
 
   /** Zero-row CDF frame with the live snapshot's columns + op/version
-    * — keeps downstream consumers schema-stable on empty ranges.
+    * — keeps downstream consumers schema-stable on empty ranges (the
+    * DSv2 change-feed poller's steady state between commits).
     */
-  private def readChangesEmpty(spark: SparkSession, root: String,
-                               keys: Seq[String]): DataFrame = {
+  private[graft] def readChangesEmptyFrame(spark: SparkSession,
+                                           root: String): DataFrame = {
     val base =
       if (readPartitionedManifest(root).isDefined)
         readLivePartitioned(spark, root)
@@ -1801,6 +1802,7 @@ object VersionedTable {
   private[graft] def touchedPredicate(cols: Seq[String],
                                rows: Array[org.apache.spark.sql.Row])
       : Column = {
+    require(rows.nonEmpty, "touchedPredicate needs at least one row")
     def or(cs: IndexedSeq[Column]): Column =
       if (cs.size == 1) cs.head
       else {
@@ -3077,16 +3079,8 @@ object VersionedTable {
     * single-key sort only bounds one slab.
     */
   def pruneDecision2(root: String, colA: String, loA: Long, hiA: Long,
-                     colB: String, loB: Long, hiB: Long): (Int, Int) = {
-    val (survivors, _, total) =
-      rectSurvivors(root, colA, loA, hiA, colB, loB, hiB)
-    (survivors.size, total)
-  }
-
-  private def rectSurvivors(root: String, colA: String, loA: Long,
-                            hiA: Long, colB: String, loB: Long,
-                            hiB: Long): (Seq[Path], Path, Int) =
-    boxSurvivors(root, Seq((colA, loA, hiA), (colB, loB, hiB)))
+                     colB: String, loB: Long, hiB: Long): (Int, Int) =
+    pruneDecisionBox(root, Seq((colA, loA, hiA), (colB, loB, hiB)))
 
   /** Survivors of an N-dimensional box predicate (conjunction of
     * per-column intervals): the INTERSECTION of the per-column
@@ -3145,18 +3139,9 @@ object VersionedTable {
     */
   def readLivePruned2(spark: SparkSession, root: String,
                       colA: String, loA: Long, hiA: Long,
-                      colB: String, loB: Long, hiB: Long): DataFrame = {
-    val (survivors, dirP, _) =
-      rectSurvivors(root, colA, loA, hiA, colB, loB, hiB)
-    val df =
-      if (survivors.isEmpty)
-        spark.read.parquet(dirP.toString).limit(0) // schema, zero rows
-      else spark.read.option("basePath", dirP.toString)
-        .parquet(survivors.map(_.toString): _*)
-    stampDefaulted(df).drop(SeqCol)
-      .filter(col(colA) >= lit(loA) && col(colA) <= lit(hiA) &&
-        col(colB) >= lit(loB) && col(colB) <= lit(hiB))
-  }
+                      colB: String, loB: Long, hiB: Long): DataFrame =
+    readLivePrunedBox(spark, root,
+      Seq((colA, loA, hiA), (colB, loB, hiB)))
 
   /** Metadata-only COUNT(*) of the live snapshot — the sum of the
     * sidecar's per-file row counts, no data read (the manifest-stats
@@ -3909,10 +3894,6 @@ object VersionedTable {
     }
   }
 
-  /** Morton bit-spread: the classic 4-step shift-or that doubles a
-    * 16-bit lane into even bit positions — pure built-in column ops,
-    * fully inside whole-stage codegen.
-    */
   /** TWO-dimensional z-order clustering — delegates to the N-ary
     * [[compactZOrderN]] (bit-for-bit the same Morton value for two
     * columns: colA at even bit positions, colB at odd).
@@ -3941,7 +3922,8 @@ object VersionedTable {
                      cols: Seq[String], numFiles: Int,
                      keepVersions: Int = 2, maxRetries: Int = 10): Long = {
     import org.apache.spark.sql.functions.{floor, least, shiftright, max => smax, min => smin}
-    require(cols.size >= 2, s"z-order needs >= 2 columns: $cols")
+    require(cols.size >= 2 && cols.size <= 31,
+      s"z-order needs 2..31 columns (each gets >= 2 Morton bits): $cols")
     val n = cols.size
     val laneBits = math.min(16, 62 / n)
     val laneMax = (1L << laneBits) - 1
@@ -3951,13 +3933,20 @@ object VersionedTable {
       val aggs = cols.flatMap(c => Seq(smin(col(c)).cast("double"),
         smax(col(c)).cast("double")))
       val r = snap.agg(aggs.head, aggs.tail: _*).collect()(0)
-      def lane(c: String, lo: Double, hi: Double): Column =
-        if (r.anyNull || hi <= lo) lit(0L)
-        else least(
-          floor((col(c).cast("double") - lit(lo)) / lit(hi - lo)
-            * lit((laneMax + 1).toDouble)).cast("long"), lit(laneMax))
+      // bounds read INSIDE the null guard: an empty snapshot aggs to
+      // null min/max and an eager getDouble would NPE before the
+      // degenerate-lane fallback could fire
+      def lane(c: String, i: Int): Column =
+        if (r.anyNull) lit(0L)
+        else {
+          val (lo, hi) = (r.getDouble(2 * i), r.getDouble(2 * i + 1))
+          if (hi <= lo) lit(0L)
+          else least(
+            floor((col(c).cast("double") - lit(lo)) / lit(hi - lo)
+              * lit((laneMax + 1).toDouble)).cast("long"), lit(laneMax))
+        }
       val z = cols.zipWithIndex.map { case (c, i) =>
-        val v = lane(c, r.getDouble(2 * i), r.getDouble(2 * i + 1))
+        val v = lane(c, i)
         // bit j of lane i lands at position j*n + i
         (0 until laneBits).map(j =>
           shiftleft(shiftright(v, j).bitwiseAND(lit(1L)), j * n + i))

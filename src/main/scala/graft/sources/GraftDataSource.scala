@@ -277,6 +277,11 @@ private[graft] object GraftScanPlanner {
             "key columns"))
       (from, to, keys)
     }
+    // changesTo without changesFrom would silently fall through to a
+    // full snapshot read — the misuse a forgotten option produces
+    require(changes.isDefined || m.get("changesTo") == null,
+      "changesTo given without changesFrom — a change-feed read " +
+        "needs option(\"changesFrom\", ...)")
     require(changes.isEmpty || (asOf.isEmpty && byRef.isEmpty),
       "changesFrom cannot combine with versionAsOf/ref")
     Opts(root, asOf.orElse(byRef),
@@ -288,7 +293,14 @@ private[graft] object GraftScanPlanner {
     */
   def observable(spark: SparkSession, o: Opts): DataFrame = {
     o.changes.foreach { case (from, to, keys) =>
-      return VersionedTable.readChanges(spark, o.root, from, to, keys)
+      require(from <= to,
+        s"changesFrom $from is past changesTo $to under ${o.root}")
+      // from == to is the CDC poller's steady state between commits
+      // (changesFrom = last seen, default changesTo = latest): an
+      // empty feed with the stable schema, never an error
+      return if (from == to)
+        VersionedTable.readChangesEmptyFrame(spark, o.root)
+      else VersionedTable.readChanges(spark, o.root, from, to, keys)
     }
     val partitioned =
       VersionedTable.readPartitionedManifest(o.root).isDefined ||
@@ -334,8 +346,13 @@ private[graft] object GraftScanPlanner {
   def pruned(spark: SparkSession, o: Opts,
              filters: Seq[Filter]): DataFrame = {
     // a change-feed read is diff-computed, not file-assembled — no
-    // file pruning applies; filters stay residual above it
-    if (o.changes.isDefined) return observable(spark, o)
+    // file pruning applies; filters stay residual above it. Clear the
+    // audit so a consumer never attributes the PREVIOUS scan's
+    // decision to this one.
+    if (o.changes.isDefined) {
+      GraftScanAudit.last = None
+      return observable(spark, o)
+    }
     val rootP = Paths.get(o.root)
     val livePm = VersionedTable.readPartitionedManifest(o.root)
     val pm = o.versionAsOf match {

@@ -291,6 +291,18 @@ class GraftDataSourceSpec extends SparkSpec {
       spark.read.format("graft").option("changesFrom", "0").load(root)
         .count()
     }
+    // CDC poller steady state: changesFrom = latest → EMPTY feed with
+    // the stable schema, not an error
+    val idle = spark.read.format("graft")
+      .option("changesFrom", "2").option("keys", "id").load(root)
+    assert(idle.count() === 0)
+    assert(idle.columns.contains("_change_type"))
+    // changesTo without changesFrom is a misuse, not a silent full
+    // snapshot
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("changesTo", "2")
+        .option("keys", "id").load(root).count()
+    }
   }
 
   test("SQL: CREATE TABLE USING graft + SELECT engages the same scan") {

@@ -103,6 +103,18 @@ class TableGuardrailsSpec extends SparkSpec {
     assert(df.count() === 1)
   }
 
+  test("compactZOrder survives an emptied snapshot (degenerate " +
+    "lanes, no NPE on null bounds)") {
+    val root = tmpRoot()
+    VersionedTable.upsert(spark, root,
+      Seq((1L, 2L), (3L, 4L)).toDF("id", "x"), Seq("id"))
+    VersionedTable.replaceTable(spark, root,
+      spark.emptyDataset[(Long, Long)].toDF("id", "x"))
+    val v = VersionedTable.compactZOrder(spark, root, "id", "x", 2)
+    assert(v === 3L)
+    assert(VersionedTable.readLive(spark, root).count() === 0)
+  }
+
   test("constraint referencing a column absent from the batch fails " +
     "with the constraint name and a missing-column hint") {
     val root = tmpRoot()
