@@ -615,6 +615,22 @@ object Graft {
                        version: Long): DataFrame =
     spark.read.format("graft").option("versionAsOf", version).load(root)
 
+  /** Position deletes on the PARTITIONED table form — see
+    * [[sinks.VersionedTable.softDeletePosPartitioned]].
+    */
+  def softDeletePosPartitioned(spark: SparkSession, root: String,
+                               predicate: org.apache.spark.sql.Column)
+      : Long =
+    sinks.VersionedTable.softDeletePosPartitioned(spark, root, predicate)
+
+  def readPartitionedWithPosDeletes(spark: SparkSession,
+                                    root: String): DataFrame =
+    sinks.VersionedTable.readLivePartitionedWithPosDeletes(spark, root)
+
+  def vacuumPosDeletesPartitioned(spark: SparkSession,
+                                  root: String): (Long, Int) =
+    sinks.VersionedTable.vacuumPosDeletesPartitioned(spark, root)
+
   /** Row-level change feed (insert/delete/update pre+post, stamped
     * with the commit) — see [[sinks.VersionedTable.readChanges]].
     */

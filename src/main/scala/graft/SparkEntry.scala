@@ -4623,6 +4623,55 @@ object SparkEntry {
     // cost a rewrite, never a duplicate row. The per-partition
     // incremental rewrite is what makes continuous ingest affordable
     // at 100 TB — a batch touches its partitions, not the table.
+    // PARTITIONED position deletes (r13: q291's flat lifecycle on the
+    // partitioned form, closing the asymmetry): day-partitioned
+    // events, a predicate pos-delete landing ONLY in the earliest day
+    // (O(|positions|) commit, zero rewrite), immediate MoR masking, a
+    // keyed upsert into a DIFFERENT day (its rewrite folds nothing
+    // here but runs the fold+CAS machinery), then the selective
+    // vacuum rewriting EXACTLY the one delete-carrying day — every
+    // other day keeps its original v1 pointer (audited). Content is
+    // replayed closed-form at every phase. At 100 TB this is
+    // row-level correction priced at the deleted rows plus one
+    // partition rewrite, never a table rewrite.
+    "q317_partitioned_pos_deletes" -> ((s, d) => {
+      import s.implicits._
+      val vt = graft.sinks.VersionedTable
+      val work = graft.core.ScratchDirs.fresh("q317_ppd").toString
+      val ev = Tables.events(s, d).select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      vt.upsertPartitioned(s, work, ev, Seq("event_id"), Seq("day"),
+        keepManifests = 10)
+      val d0 = ev.agg(min("day")).head.getString(0)
+      val d1 = ev.agg(max("day")).head.getString(0)
+      vt.softDeletePosPartitioned(s, work,
+        col("day") === d0 && col("cents") % 2 === 0)
+      val mor = vt.readLivePartitionedWithPosDeletes(s, work)
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          min("event_id").as("min_eid"), max("event_id").as("max_eid"))
+        .head
+      vt.upsertPartitioned(s, work,
+        Seq((-1L, d1, 77L)).toDF("event_id", "day", "cents"),
+        Seq("event_id"), Seq("day"), keepManifests = 10)
+      val (_, rewrittenParts) =
+        vt.vacuumPosDeletesPartitioned(s, work)
+      val m = vt.readPartitionedManifest(work).get
+      val untouched = m.partitions.values.count(_ == "v00000001").toLong
+      val fin = vt.readLivePartitioned(s, work)
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          min("event_id").as("min_eid"), max("event_id").as("max_eid"))
+      fin.select(lit("final").as("part"), col("n"), col("sum_cents"),
+          col("min_eid"), col("max_eid"))
+        .unionByName(s.range(1).select(lit("mor").as("part"),
+          lit(mor.getLong(0)).as("n"), lit(mor.getLong(1)).as("sum_cents"),
+          lit(mor.getLong(2)).as("min_eid"),
+          lit(mor.getLong(3)).as("max_eid")))
+        .unionByName(s.range(1).select(lit("_audit").as("part"),
+          lit(rewrittenParts.toLong).as("n"), lit(untouched).as("sum_cents"),
+          lit(m.version).as("min_eid"), lit(0L).as("max_eid")))
+    }),
+
     // THREE-dimensional z-order (r13: the N-ary generalization the
     // r12 verdict flagged — 2-col Morton now delegates to the same
     // interleave): three mutually-scrambled dims, scattered layout
@@ -11212,6 +11261,35 @@ object SparkEntry {
         |SELECT 'files' AS part, CAST(16 AS BIGINT) AS n,
         |  CAST(16 AS BIGINT) AS s1, CAST(1 AS BIGINT) AS s2,
         |  CAST(1 AS BIGINT) AS s3""".stripMargin,
+
+    // Partitioned-pos-delete replay: mor = all rows minus (earliest
+    // day ∧ even cents); final = mor + the (-1, 77) insert; audit =
+    // exactly 1 partition rewritten, all-but-two days keep the v1
+    // pointer, final version 3.
+    "q317_partitioned_pos_deletes" ->
+      """WITH ev AS (
+        |  SELECT event_id, strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |d0 AS (SELECT min(day) AS d FROM ev),
+        |kept AS (
+        |  SELECT * FROM ev
+        |  WHERE NOT (day = (SELECT d FROM d0) AND cents % 2 = 0))
+        |SELECT 'final' AS part,
+        |  (SELECT count(*) FROM kept) + 1 AS n,
+        |  (SELECT CAST(sum(cents) AS BIGINT) FROM kept) + 77
+        |    AS sum_cents,
+        |  CAST(-1 AS BIGINT) AS min_eid,
+        |  (SELECT max(event_id) FROM kept) AS max_eid
+        |UNION ALL
+        |SELECT 'mor' AS part, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(event_id) AS min_eid, max(event_id) AS max_eid
+        |FROM kept
+        |UNION ALL
+        |SELECT '_audit' AS part, CAST(1 AS BIGINT) AS n,
+        |  (SELECT count(DISTINCT day) FROM ev) - 2 AS sum_cents,
+        |  CAST(3 AS BIGINT) AS min_eid, CAST(0 AS BIGINT) AS max_eid""".stripMargin,
 
     // 3D-box audit: content is the plain triple filter on the
     // scrambled dims; scattered layout scanned all 16 (closed form);

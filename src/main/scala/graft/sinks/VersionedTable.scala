@@ -1403,6 +1403,39 @@ object VersionedTable {
     posMasked.drop(SeqCol)
   }
 
+  /** DSv2 bridge: union per-version-dir frames with POSITION-delete
+    * masking applied — addresses must attach per dir BEFORE the union
+    * (metadata columns do not survive it), so the planner hands the
+    * raw per-dir frames here. Plain union when no pos-delete
+    * sub-table exists.
+    */
+  private[graft] def unionWithPosMask(spark: SparkSession, root: String,
+                                      m: PartitionedManifest,
+                                      groups: Seq[(String, DataFrame)])
+      : DataFrame = {
+    val hasPos = readManifest(posDeletesRoot(root)).isDefined
+    if (!hasPos)
+      groups.map(_._2)
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+    else {
+      val withAddr = groups.map { case (dirName, df) =>
+        requireNoReservedColumns(df.columns, s"table $root",
+          Seq(AddrPathCol, AddrPosCol))
+        df.select(col("*"),
+          concat(lit(dirName + "/"),
+            expr(s"substring_index(_metadata.file_path, " +
+              s"'/$dirName/', -1)")).as(AddrPathCol),
+          col("_metadata.row_index").as(AddrPosCol))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+      livePosDeleteEntriesPartitioned(spark, root, m) match {
+        case Some(dels) =>
+          withAddr.join(dels, Seq(AddrPathCol, AddrPosCol), "left_anti")
+            .drop(AddrPathCol, AddrPosCol)
+        case None => withAddr.drop(AddrPathCol, AddrPosCol)
+      }
+    }
+  }
+
   /** Apply the partitioned table's (unconditional) equality-delete
     * mask to a pruned partitioned base — keyCols derived from the
     * delete sub-table schema, mirroring
@@ -1837,6 +1870,7 @@ object VersionedTable {
     def once(): Long = {
       // pin the merge to the base snapshot; CAS-check it at commit
       val prev = readPartitionedManifest(root)
+      val pinnedPosVersion = posVersion(root)
       // PARTITION-SPEC EVOLUTION (migrate-on-write): a commit may use
       // a partition-column list that EXTENDS the table's current spec
       // (old cols a strict prefix, e.g. day → day,type). The touched
@@ -1899,7 +1933,11 @@ object VersionedTable {
             liftedKeys = m.partitions.keySet.filter(k =>
               parents.exists(p => k == p || k.startsWith(p + "/")))
           }
-          val existing = readPartitionedSnapshot(spark, root, m)
+          // read through the pos-delete fold: the merge rewrites the
+          // touched partitions' files, and carrying a masked row into
+          // new addresses would resurrect it (entries go stale with
+          // the old files). Identity when no pos sub-table exists.
+          val existing = posMaskedPartitionedSnapshot(spark, root, m)
             .filter(touchedPred)
           if (antiJoin) {
             val (existingAligned, updatesAligned) =
@@ -1924,6 +1962,12 @@ object VersionedTable {
               s"$root moved to v${cur.map(_.version).getOrElse(0L)} " +
                 s"while this writer merged against " +
                 s"v${prev.map(_.version).getOrElse(0L)} — retrying")
+          }
+          if (posVersion(root) != pinnedPosVersion) {
+            deleteRecursively(staging)
+            throw new ConcurrentCommitException(
+              s"position deletes landed under $root during the " +
+                "merge — re-fold and retry")
           }
           val next = prev.map(_.version + 1).getOrElse(1L)
           val dirName = versionDirName(next)
@@ -2046,8 +2090,11 @@ object VersionedTable {
           s"no partitioned manifest under $root"))
       foldedDeletesVersion = readManifest(dr).map(_.version)
       if (foldedDeletesVersion.isEmpty) return m.version // nothing to fold
+      val pinnedPos = posVersion(root)
       val dels = readLive(spark, dr).select(keyCols.map(col): _*)
-      val base = readPartitionedSnapshot(spark, root, m)
+      // fold through the pos-delete mask too: this rewrite supersedes
+      // the touched partitions' files
+      val base = posMaskedPartitionedSnapshot(spark, root, m)
       // partitions holding a deleted key — the only ones to rewrite
       val touched = base.join(dels, keyCols, "left_semi")
         .select(m.partitionColumns.map(col): _*).distinct().collect()
@@ -2062,7 +2109,8 @@ object VersionedTable {
         base.select(m.partitionColumns.map(col): _*).schema, touched)
       val folded = base.filter(touchedPred).join(dels, keyCols, "left_anti")
       replacePartitioned(spark, root, folded, m.partitionColumns,
-        covered = coveredRel, expectedBase = Some(m.version))
+        covered = coveredRel, expectedBase = Some(m.version),
+        expectedPosVersion = Some(pinnedPos))
     }
     val v = retryThenEscalate(Paths.get(root), maxRetries)(once())
     vacuumRaceHook() // same fold↔reset interleave seam as unpartitioned
@@ -2078,6 +2126,162 @@ object VersionedTable {
       }
     }
     v
+  }
+
+  // ------------------------------------------------------------------
+  // Position deletes, PARTITIONED form (r13 — closes the flat-only
+  // asymmetry): same `_pos_deletes` sub-table, addresses
+  // version-dir-qualified (`vNNNN/day=x/part-...`), so an entry can
+  // never match a file of a superseded dir. An entry is LIVE only
+  // while the manifest still maps its partition key to its version
+  // dir — a rewrite of that partition makes it stale (harmless: new
+  // files have new addresses), which is why EVERY partitioned
+  // rewrite path folds pending entries of the partitions it touches
+  // into its read and CAS-validates the pos-delete version at commit
+  // (the r12 "rewrite un-deletes rows" class, partitioned edition).
+  // Vacuum rewrites ONLY partitions holding a delete-carrying file.
+  // ------------------------------------------------------------------
+
+  /** Partitioned live snapshot with version-dir-qualified physical
+    * addresses attached (per version dir, BEFORE the union — metadata
+    * columns do not survive a union).
+    */
+  private def withFilePosPartitioned(spark: SparkSession, root: String,
+                                     m: PartitionedManifest): DataFrame = {
+    val rootP = Paths.get(root)
+    val byDir = m.partitions.groupBy(_._2).toSeq.sortBy(_._1)
+    byDir.map { case (dirName, parts) =>
+      val base = rootP.resolve(dirName).toString
+      val leaves = parts.keys.toSeq.sorted.map(k => s"$base/$k")
+      val df = readLeavesTyped(spark, root, base, leaves)
+      requireNoReservedColumns(df.columns, s"table $root",
+        Seq(AddrPathCol, AddrPosCol))
+      df.select(col("*"),
+        concat(lit(dirName + "/"),
+          expr(s"substring_index(_metadata.file_path, '/$dirName/', -1)"))
+          .as(AddrPathCol),
+        col("_metadata.row_index").as(AddrPosCol))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Pos-delete entries addressing files the live partitioned
+    * manifest still references. None when no delete ever committed.
+    */
+  private def livePosDeleteEntriesPartitioned(
+      spark: SparkSession, root: String,
+      m: PartitionedManifest): Option[DataFrame] =
+    readManifest(posDeletesRoot(root)).map { _ =>
+      val dirs = m.partitions.values.toSeq.distinct
+      readLive(spark, posDeletesRoot(root))
+        .filter(expr(s"substring_index($PdPathCol, '/', 1)")
+          .isin(dirs: _*))
+        .select(col(PdPathCol).as(AddrPathCol),
+          col(PdPosCol).as(AddrPosCol))
+    }
+
+  /** The snapshot `m` describes, minus live position deletes —
+    * identity when no pos-delete sub-table exists (zero extra cost
+    * on tables that never used them). The fold every partitioned
+    * REWRITE must read through.
+    */
+  private def posMaskedPartitionedSnapshot(spark: SparkSession,
+                                           root: String,
+                                           m: PartitionedManifest)
+      : DataFrame =
+    livePosDeleteEntriesPartitioned(spark, root, m) match {
+      case None => readPartitionedSnapshot(spark, root, m)
+      case Some(dels) =>
+        withFilePosPartitioned(spark, root, m)
+          .join(dels, Seq(AddrPathCol, AddrPosCol), "left_anti")
+          .drop(AddrPathCol, AddrPosCol)
+    }
+
+  /** Delete live partitioned rows matching `predicate` BY POSITION:
+    * one metadata-column scan, O(|positions|) keyed commit into
+    * `_pos_deletes`, zero data rewrite — [[softDeletePos]]'s
+    * partitioned sibling, with the same interleaved-rewrite re-check.
+    */
+  def softDeletePosPartitioned(spark: SparkSession, root: String,
+                               predicate: Column,
+                               keepVersions: Int = 2,
+                               maxRetries: Int = 10): Long = {
+    var attempt = 0
+    while (true) {
+      val m = readPartitionedManifest(root).getOrElse(
+        throw new IllegalStateException(
+          s"no partitioned _manifest.json under $root"))
+      try {
+        val hits = withFilePosPartitioned(spark, root, m)
+          .filter(predicate)
+          .select(col(AddrPathCol).as(PdPathCol),
+            col(AddrPosCol).as(PdPosCol)).distinct()
+        val v = upsert(spark, posDeletesRoot(root), hits,
+          Seq(PdPathCol, PdPosCol),
+          schemaMode = MergeWriter.SchemaMode.SyncAllColumns,
+          keepVersions = keepVersions, maxRetries = maxRetries)
+        if (readPartitionedManifest(root).map(_.version)
+            .contains(m.version)) return v
+      } catch {
+        case e: Throwable if isPrunedSnapshotRead(e, Paths.get(root)) => ()
+      }
+      attempt += 1
+      if (attempt > maxRetries) throw new ConcurrentCommitException(
+        s"softDeletePosPartitioned lost $attempt identification " +
+          s"races under $root")
+    }
+    0L // unreachable
+  }
+
+  /** Live partitioned snapshot minus position deletes (merge-on-read).
+    * Identical to [[readLivePartitioned]] when no position delete has
+    * ever committed.
+    */
+  def readLivePartitionedWithPosDeletes(spark: SparkSession,
+                                        root: String): DataFrame = {
+    val m = readPartitionedManifest(root).getOrElse(
+      throw new IllegalStateException(
+        s"no partitioned _manifest.json under $root"))
+    posMaskedPartitionedSnapshot(spark, root, m)
+  }
+
+  /** Fold live position deletes into rewritten PARTITIONS — only
+    * partitions whose current pointer holds a delete-carrying file
+    * rewrite; everything else keeps its pinned dir — then reset the
+    * delete set (CAS, landing deletes win). Returns (version,
+    * partitions rewritten).
+    */
+  def vacuumPosDeletesPartitioned(spark: SparkSession, root: String,
+                                  maxRetries: Int = 10): (Long, Int) = {
+    var foldedPosVersion = 0L
+    var rewritten = 0
+    def once(): Long = {
+      val m = readPartitionedManifest(root).getOrElse(
+        throw new IllegalStateException(
+          s"no partitioned manifest under $root"))
+      foldedPosVersion = posVersion(root)
+      val entries = livePosDeleteEntriesPartitioned(spark, root, m)
+        .getOrElse { rewritten = 0; return m.version }
+      // delete-carrying (dir, partition-key) pairs, LIVE only when
+      // the manifest still maps that key to that dir
+      val touchedKeys = entries.select(AddrPathCol).distinct()
+        .collect().map(_.getString(0)).flatMap { p =>
+          val segs = p.split('/')
+          val dir = segs.head
+          val key = segs.slice(1, segs.length - 1).mkString("/")
+          if (m.partitions.get(key).contains(dir)) Some(key) else None
+        }.toSet
+      rewritten = touchedKeys.size
+      if (touchedKeys.isEmpty) return m.version // stale-only entries
+      val sub = m.copy(partitions =
+        m.partitions.filter(kv => touchedKeys(kv._1)))
+      val folded = posMaskedPartitionedSnapshot(spark, root, sub)
+      replacePartitioned(spark, root, folded, m.partitionColumns,
+        covered = touchedKeys.toSeq, expectedBase = Some(m.version),
+        expectedPosVersion = Some(foldedPosVersion))
+    }
+    val v = retryThenEscalate(Paths.get(root), maxRetries)(once())
+    resetPosDeletes(spark, root, foldedPosVersion, keepVersions = 2)
+    (v, rewritten)
   }
 
   /** REPLACE the partitions `df` covers with exactly its rows (the
@@ -2415,19 +2619,16 @@ object VersionedTable {
       }
       rewritten = frag.size
       if (frag.isEmpty) return m.version
-      // readLeavesTyped parses partition values under the RECORDED
-      // types (one read per version dir) — path inference would
-      // reinterpret lossy values (string "07" → int 7) and PERSIST
-      // the rename through the rewrite
-      val df = frag.groupBy(_._2).toSeq.sortBy(_._1)
-        .map { case (dn, parts) =>
-          val base = rootP.resolve(dn).toString
-          readLeavesTyped(spark, root, base,
-            parts.keys.toSeq.sorted.map(k => s"$base/$k"))
-        }.reduce(_.unionByName(_, allowMissingColumns = true))
+      val pinnedPos = posVersion(root)
+      // posMaskedPartitionedSnapshot reads through readLeavesTyped
+      // (recorded partition-value types survive the rewrite) AND the
+      // pos-delete fold (this rewrite supersedes the touched files)
+      val df = posMaskedPartitionedSnapshot(spark, root,
+          m.copy(partitions = frag))
         .repartition(m.partitionColumns.map(col): _*)
       replacePartitioned(spark, root, df, m.partitionColumns,
-        covered = frag.keys.toSeq, expectedBase = Some(m.version))
+        covered = frag.keys.toSeq, expectedBase = Some(m.version),
+        expectedPosVersion = Some(pinnedPos))
     }
     val v = retryThenEscalate(rootP, maxRetries)(once())
     (v, rewritten)
@@ -2456,15 +2657,16 @@ object VersionedTable {
           s"no partitioned _manifest.json under $root"))
       val keys = (m.partitionColumns ++ sortCols).map(col)
       val n = math.max(1, bucketsPerPartition * m.partitions.size)
-      // readPartitionedSnapshot parses partition values under the
-      // recorded types (readLeavesTyped) — a full-table rewrite must
-      // never rename a partition through path-inference lossiness
-      val df = readPartitionedSnapshot(spark, root, m)
+      val pinnedPos = posVersion(root)
+      // typed partition values (readLeavesTyped) + the pos-delete
+      // fold, like every partitioned rewrite
+      val df = posMaskedPartitionedSnapshot(spark, root, m)
         .repartitionByRange(n, keys: _*)
         .sortWithinPartitions(keys: _*)
       replacePartitioned(spark, root, df, m.partitionColumns,
         covered = m.partitions.keys.toSeq,
-        expectedBase = Some(m.version))
+        expectedBase = Some(m.version),
+        expectedPosVersion = Some(pinnedPos))
     }
     retryThenEscalate(rootP, maxRetries)(once())
   }
@@ -2473,7 +2675,9 @@ object VersionedTable {
                                  df: DataFrame,
                                  partitionColumns: Seq[String],
                                  covered: Seq[String],
-                                 expectedBase: Option[Long]): Long = {
+                                 expectedBase: Option[Long],
+                                 expectedPosVersion: Option[Long] =
+                                   None): Long = {
     val rootP = Paths.get(root)
     val staging = stagingDir(rootP)
     try df.write.mode(SaveMode.Overwrite)
@@ -2507,6 +2711,15 @@ object VersionedTable {
         throw new ConcurrentCommitException(
           s"$root moved to v$live while this writer replaced against " +
             s"v$base — re-read and retry")
+      }
+      // rewrites that folded position deletes into their read must
+      // abort if NEW entries landed mid-rewrite, or the flip would
+      // resurrect freshly-deleted rows (the r12 un-delete class)
+      expectedPosVersion.filter(_ != posVersion(root)).foreach { pv =>
+        deleteRecursively(staging)
+        throw new ConcurrentCommitException(
+          s"position deletes landed under $root during the rewrite " +
+            s"(pinned pos v$pv) — re-fold and retry")
       }
       val next = live + 1
       val dirName = versionDirName(next)

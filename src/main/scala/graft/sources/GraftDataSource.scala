@@ -310,7 +310,10 @@ private[graft] object GraftScanPlanner {
       case (true, Some(v)) =>
         VersionedTable.readPartitionedVersion(spark, o.root, v)
       case (true, None) =>
-        val base = VersionedTable.readLivePartitioned(spark, o.root)
+        val base =
+          if (o.withDeletes)
+            VersionedTable.readLivePartitionedWithPosDeletes(spark, o.root)
+          else VersionedTable.readLivePartitioned(spark, o.root)
         if (o.withDeletes)
           VersionedTable.maskPartitionedDeletes(spark, o.root, base)
         else base
@@ -405,16 +408,21 @@ private[graft] object GraftScanPlanner {
         val base =
           if (survivors.isEmpty) observable(spark, o).limit(0)
           else {
-            val read = survivors.groupBy(_._3).toSeq.sortBy(_._1.toString)
+            val groups = survivors.groupBy(_._3).toSeq
+              .sortBy(_._1.toString)
               .map { case (verDir, fs) =>
-                VersionedTable.readLeavesTyped(spark, o.root,
-                  verDir.toString, fs.map(_._1.toString))
+                verDir.getFileName.toString ->
+                  VersionedTable.readLeavesTyped(spark, o.root,
+                    verDir.toString, fs.map(_._1.toString))
               }
-              .reduce((a, b) =>
-                a.unionByName(b, allowMissingColumns = true))
-            if (o.versionAsOf.isEmpty && o.withDeletes)
+            if (o.versionAsOf.isEmpty && o.withDeletes) {
+              // pos-delete masking needs addresses attached per dir
+              // BEFORE the union; identity without a pos sub-table
+              val read = VersionedTable.unionWithPosMask(spark, o.root,
+                m, groups)
               VersionedTable.maskPartitionedDeletes(spark, o.root, read)
-            else read
+            } else groups.map(_._2).reduce((a, b) =>
+              a.unionByName(b, allowMissingColumns = true))
           }
         base
       case None => // ---------------- flat form

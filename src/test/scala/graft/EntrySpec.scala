@@ -249,6 +249,11 @@ class EntrySpec extends SparkSpec {
                              // are integer partition/file/zone counts;
                              // strict-verified sf0.001/0.01/0.1
                              // 2026-08-15
+      "q317_partitioned_pos_deletes", // integer-cents pin
+                             // (round(value*100) → BIGINT before +77);
+                             // audit columns are integer partition/
+                             // version counts; strict-verified
+                             // sf0.001/0.01/0.1 2026-08-15
       "q315_dsv2_write_surface", // integer-cents pin (round(value
                              // *100) → BIGINT before +9/×2); audit
                              // columns are integer version/partition

@@ -263,4 +263,18 @@ class GraftFacadeSpec extends SparkSpec {
     q.awaitTermination()
     assert(batches === 2) // per-commit delivery: v1, then v2
   }
+
+  test("partitioned pos-delete wrappers wired") {
+    val root = java.nio.file.Files.createTempDirectory("facadeppd")
+      .resolve("t").toString
+    graft.sinks.VersionedTable.upsertPartitioned(spark, root,
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+        .toDF("id", "p", "x"), Seq("id"), Seq("p"))
+    Graft.softDeletePosPartitioned(spark, root, $"id" === 2L)
+    assert(Graft.readPartitionedWithPosDeletes(spark, root).count() === 2)
+    val (_, rewritten) = Graft.vacuumPosDeletesPartitioned(spark, root)
+    assert(rewritten === 1)
+    assert(graft.sinks.VersionedTable
+      .readLivePartitioned(spark, root).count() === 2)
+  }
 }
