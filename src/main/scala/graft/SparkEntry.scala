@@ -4672,6 +4672,50 @@ object SparkEntry {
           lit(m.version).as("min_eid"), lit(0L).as("max_eid")))
     }),
 
+    // Metadata-only COUNT(*) through the format (r13): a bare count
+    // over a graft table is COMPLETELY pushed down —
+    // SupportsPushDownAggregates answers it from the sidecar row
+    // counts, zero files opened (plan-flagged + audit-flagged) — on
+    // BOTH table forms; and the moment a merge-on-read delete
+    // sub-table exists the pushdown DECLINES (a base-row count would
+    // over-count the observable snapshot) and the exact masked count
+    // comes from the row-level path. At 100 TB this is the difference
+    // between a microsecond manifest read and a full-scan count job —
+    // with correctness always outranking the shortcut.
+    "q318_metadata_count" -> ((s, d) => {
+      import s.implicits._
+      val vt = graft.sinks.VersionedTable
+      val rootA = graft.core.ScratchDirs.fresh("q318_a").toString
+      val rootB = graft.core.ScratchDirs.fresh("q318_b").toString
+      val ev = Tables.events(s, d).select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      vt.upsert(s, rootA, ev.select("event_id", "cents"), Seq("event_id"))
+      vt.upsertPartitioned(s, rootB, ev, Seq("event_id"), Seq("day"))
+      def countVia(root: String): (Long, Long) = {
+        val q = s.read.format("graft").load(root).agg(count(lit(1)))
+        val n = q.head.getLong(0)
+        val pushedFlag =
+          if (q.queryExecution.executedPlan.toString
+              .contains("metadata count") &&
+            graft.sources.GraftScanAudit.last.exists(a =>
+              a.filesScanned == 0 &&
+                a.pushed.exists(_.contains("CountStar")))) 1L
+          else 0L
+        (n, pushedFlag)
+      }
+      val (nFlat, fFlat) = countVia(rootA)
+      val (nPart, fPart) = countVia(rootB)
+      // a delete sub-table must force the exact row-level path
+      vt.softDelete(s, rootA,
+        ev.filter(col("event_id") % 9 === 0).select("event_id"),
+        Seq("event_id"))
+      val (nMasked, fMasked) = countVia(rootA)
+      Seq(("flat", nFlat, fFlat), ("part", nPart, fPart),
+        ("masked", nMasked, 1L - fMasked))
+        .toDF("part", "n", "flag")
+    }),
+
     // THREE-dimensional z-order (r13: the N-ary generalization the
     // r12 verdict flagged — 2-col Morton now delegates to the same
     // interleave): three mutually-scrambled dims, scattered layout
@@ -11261,6 +11305,20 @@ object SparkEntry {
         |SELECT 'files' AS part, CAST(16 AS BIGINT) AS n,
         |  CAST(16 AS BIGINT) AS s1, CAST(1 AS BIGINT) AS s2,
         |  CAST(1 AS BIGINT) AS s3""".stripMargin,
+
+    // Metadata-count replay: both bare counts with the pushdown flag
+    // pinned 1; the masked count after equality deletes with the
+    // DECLINED flag pinned 1 (correctness outranks the shortcut).
+    "q318_metadata_count" ->
+      """SELECT 'flat' AS part, count(*) AS n, CAST(1 AS BIGINT) AS flag
+        |FROM events
+        |UNION ALL
+        |SELECT 'part' AS part, count(*) AS n, CAST(1 AS BIGINT) AS flag
+        |FROM events
+        |UNION ALL
+        |SELECT 'masked' AS part,
+        |  (SELECT count(*) FROM events WHERE event_id % 9 <> 0) AS n,
+        |  CAST(1 AS BIGINT) AS flag""".stripMargin,
 
     // Partitioned-pos-delete replay: mor = all rows minus (earliest
     // day ∧ even cents); final = mor + the (-1, 77) insert; audit =

@@ -3365,6 +3365,43 @@ object VersionedTable {
     * masks (the `_deletes` sub-table) are not applied, matching
     * [[readLive]].
     */
+  /** Metadata-only COUNT(*) of a PARTITIONED live snapshot — the sum
+    * of every live partition's sidecar row counts. None when any file
+    * lacks a sidecar entry (fall back to counting). Counts BASE rows
+    * (no delete masks), matching [[readLivePartitioned]].
+    */
+  def countLivePartitioned(root: String): Option[Long] = {
+    val m = readPartitionedManifest(root).getOrElse(return None)
+    val rootP = Paths.get(root)
+    var total = 0L
+    m.partitions.groupBy(_._2).foreach { case (dirName, parts) =>
+      val verDir = rootP.resolve(dirName)
+      val stats = readStatsSidecar(verDir)
+      parts.keys.foreach { k =>
+        val rels = dataFilesUnder(verDir.resolve(k))
+          .map(f => verDir.relativize(f).toString.replace('\\', '/'))
+        if (!rels.forall(stats.contains)) return None
+        total += rels.map(stats(_).rows).sum
+      }
+    }
+    Some(total)
+  }
+
+  /** Either table form's metadata COUNT(*); None when sidecars are
+    * incomplete or the table never committed.
+    */
+  private[graft] def countLiveAny(root: String): Option[Long] =
+    if (readPartitionedManifest(root).isDefined) countLivePartitioned(root)
+    else if (readManifest(root).isDefined) countLive(root)
+    else None
+
+  /** Does ANY merge-on-read delete sub-table exist? (A metadata count
+    * of base rows would then over-count the observable snapshot.)
+    */
+  private[graft] def hasAnyDeletes(root: String): Boolean =
+    readManifest(deletesRoot(root)).isDefined ||
+      readManifest(posDeletesRoot(root)).isDefined
+
   def countLive(root: String): Option[Long] = {
     val m = readManifest(root).getOrElse(return None)
     val dirP = Paths.get(root).resolve(m.live)

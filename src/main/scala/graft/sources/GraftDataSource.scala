@@ -165,10 +165,45 @@ private[sources] class GraftWriteBuilder(root: String,
 private[sources] class GraftScanBuilder(opts: GraftScanPlanner.Opts,
                                         tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedCount: Option[Long] = None
+
+  /** Metadata-only COUNT(*): an unfiltered, ungrouped count over a
+    * table with NO merge-on-read delete sub-tables answers from the
+    * sidecar row counts — zero data IO (Spark only attempts aggregate
+    * pushdown when no post-scan filters remain, and every graft
+    * filter is residual, so this fires exactly on bare counts).
+    * Declined (never wrong) for time travel, change feeds, tables
+    * with deletes, or incomplete sidecars.
+    */
+  private def metadataCount(agg: org.apache.spark.sql.connector
+      .expressions.aggregate.Aggregation): Option[Long] = {
+    val countStarOnly = agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0).isInstanceOf[
+        org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    if (!countStarOnly || pushed.nonEmpty || opts.versionAsOf.isDefined ||
+        opts.changes.isDefined ||
+        (opts.withDeletes && VersionedTable.hasAnyDeletes(opts.root)))
+      None
+    else VersionedTable.countLiveAny(opts.root)
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = metadataCount(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean =
+    metadataCount(agg) match {
+      case some @ Some(_) => pushedCount = some; true
+      case None => false
+    }
 
   /** Accept the conjuncts our stats can act on; return ALL filters as
     * residual — file/partition skipping is sound-but-inexact, so the
@@ -186,7 +221,39 @@ private[sources] class GraftScanBuilder(opts: GraftScanPlanner.Opts,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftScan(opts, required, pushed)
+  override def build(): Scan = pushedCount match {
+    case Some(n) => new GraftCountScan(opts, n)
+    case None    => new GraftScan(opts, required, pushed)
+  }
+}
+
+/** The completely-pushed COUNT(*) scan: one metadata-derived row,
+  * zero files opened.
+  */
+private[sources] class GraftCountScan(opts: GraftScanPlanner.Opts,
+                                      n: Long) extends V1Scan {
+  import org.apache.spark.sql.types.{LongType, StructField}
+  private val out = StructType(Seq(
+    StructField("count_star", LongType, nullable = false)))
+  override def readSchema(): StructType = out
+  override def description(): String =
+    s"GraftCountScan root=${opts.root} metadataCount=$n"
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val relation = new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = out
+      override def toString: String =
+        s"GraftTable(${opts.root}) [metadata count]"
+      override def buildScan(): RDD[Row] = {
+        GraftScanAudit.last = Some(GraftScanAudit.Decision(0, 0, 0, 0,
+          Seq(s"CountStar: metadata-only = $n")))
+        context.sparkSession.createDataFrame(
+          java.util.Arrays.asList(Row(n)), out).rdd
+      }
+    }
+    relation.asInstanceOf[T]
+  }
 }
 
 private[sources] class GraftScan(opts: GraftScanPlanner.Opts,

@@ -305,6 +305,40 @@ class GraftDataSourceSpec extends SparkSpec {
     }
   }
 
+  test("bare COUNT(*) answers from sidecar metadata with zero files " +
+    "opened; deletes or filters disable the pushdown") {
+    val root = tmpRoot()
+    VersionedTable.upsert(spark, root,
+      (1L to 500L).map(i => (i, i * 2)).toDF("id", "v"), Seq("id"))
+    val q = spark.read.format("graft").load(root)
+      .agg(count(lit(1)).as("n"))
+    assert(q.head.getLong(0) === 500)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("metadata count"), plan.take(800))
+    val d = GraftScanAudit.last.get
+    assert(d.filesScanned === 0 && d.pushed.exists(_.contains("CountStar")))
+    // partitioned form too
+    val root2 = tmpRoot()
+    VersionedTable.upsertPartitioned(spark, root2,
+      (1L to 90L).map(i => (i, s"p${i % 3}")).toDF("id", "p"),
+      Seq("id"), Seq("p"))
+    assert(spark.read.format("graft").load(root2).count() === 90)
+    assert(GraftScanAudit.last.get.pushed
+      .exists(_.contains("CountStar")))
+    // a delete sub-table makes the metadata count WRONG for the
+    // observable snapshot — pushdown must decline, count stays exact
+    VersionedTable.softDelete(spark, root, Seq(7L).toDF("id"), Seq("id"))
+    val q2 = spark.read.format("graft").load(root).agg(count(lit(1)))
+    assert(q2.head.getLong(0) === 499)
+    assert(!q2.queryExecution.executedPlan.toString
+      .contains("metadata count"))
+    // a filter keeps the row-level path (all filters are residual →
+    // Spark never attempts aggregate pushdown)
+    val q3 = spark.read.format("graft").load(root2)
+      .filter(col("p") === "p1").agg(count(lit(1)))
+    assert(q3.head.getLong(0) === 30)
+  }
+
   test("SQL: CREATE TABLE USING graft + SELECT engages the same scan") {
     val root = tmpRoot()
     VersionedTable.upsert(spark, root,
