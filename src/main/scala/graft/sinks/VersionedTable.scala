@@ -3402,6 +3402,49 @@ object VersionedTable {
     readManifest(deletesRoot(root)).isDefined ||
       readManifest(posDeletesRoot(root)).isDefined
 
+  /** Sidecar stats of EVERY live file, either table form — None when
+    * any live file lacks an entry (legacy commit, harvest failure):
+    * partial metadata must never masquerade as a complete answer.
+    * Backs the DSv2 metadata COUNT/MIN/MAX pushdown.
+    */
+  private[graft] def liveFileStatsAll(root: String)
+      : Option[Seq[FileStats]] = {
+    val rootP = Paths.get(root)
+    val out = Seq.newBuilder[FileStats]
+    readPartitionedManifest(root) match {
+      case Some(m) =>
+        m.partitions.groupBy(_._2).foreach { case (dn, parts) =>
+          val verDir = rootP.resolve(dn)
+          val stats = readStatsSidecar(verDir)
+          parts.keys.foreach { k =>
+            dataFilesUnder(verDir.resolve(k)).foreach { f =>
+              val rel = verDir.relativize(f).toString.replace('\\', '/')
+              stats.get(rel) match {
+                case Some(st) => out += st
+                case None     => return None
+              }
+            }
+          }
+        }
+        Some(out.result())
+      case None =>
+        readManifest(root) match {
+          case None => None
+          case Some(m) =>
+            val dirP = rootP.resolve(m.live)
+            val stats = readStatsSidecar(dirP)
+            dataFilesUnder(dirP).foreach { f =>
+              val rel = dirP.relativize(f).toString.replace('\\', '/')
+              stats.get(rel) match {
+                case Some(st) => out += st
+                case None     => return None
+              }
+            }
+            Some(out.result())
+        }
+    }
+  }
+
   def countLive(root: String): Option[Long] = {
     val m = readManifest(root).getOrElse(return None)
     val dirP = Paths.get(root).resolve(m.live)

@@ -170,38 +170,89 @@ private[sources] class GraftScanBuilder(opts: GraftScanPlanner.Opts,
 
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
-  private var pushedCount: Option[Long] = None
+  private var pushedAgg: Option[Seq[(org.apache.spark.sql.types.StructField,
+    org.apache.spark.sql.Column)]] = None
 
-  /** Metadata-only COUNT(*): an unfiltered, ungrouped count over a
-    * table with NO merge-on-read delete sub-tables answers from the
-    * sidecar row counts — zero data IO (Spark only attempts aggregate
-    * pushdown when no post-scan filters remain, and every graft
-    * filter is residual, so this fires exactly on bare counts).
-    * Declined (never wrong) for time travel, change feeds, tables
-    * with deletes, or incomplete sidecars.
+  /** Metadata-only COUNT(*)/MIN/MAX: an unfiltered, ungrouped
+    * aggregate over a table with NO merge-on-read delete sub-tables
+    * answers from the sidecar stats — zero data IO (Spark only
+    * attempts aggregate pushdown when no post-scan filters remain,
+    * and every graft filter is residual, so this fires exactly on
+    * bare aggregates). COUNT = sum of per-file row counts; MIN/MAX
+    * come from the EXACT integer/floating footer bounds (every live
+    * file must carry them — an all-null, NaN-poisoned, or legacy file
+    * declines the whole pushdown; truncated STRING bounds are never
+    * exact, so string min/max always declines). Declined means the
+    * row-level path runs — never a wrong shortcut.
     */
-  private def metadataCount(agg: org.apache.spark.sql.connector
-      .expressions.aggregate.Aggregation): Option[Long] = {
-    val countStarOnly = agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions()(0).isInstanceOf[
-        org.apache.spark.sql.connector.expressions.aggregate.CountStar]
-    if (!countStarOnly || pushed.nonEmpty || opts.versionAsOf.isDefined ||
-        opts.changes.isDefined ||
+  private def metadataAgg(agg: org.apache.spark.sql.connector
+      .expressions.aggregate.Aggregation)
+      : Option[Seq[(org.apache.spark.sql.types.StructField,
+        org.apache.spark.sql.Column)]] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.types._
+    if (pushed.nonEmpty || opts.versionAsOf.isDefined ||
+        opts.changes.isDefined || agg.groupByExpressions.nonEmpty ||
+        agg.aggregateExpressions.isEmpty ||
         (opts.withDeletes && VersionedTable.hasAnyDeletes(opts.root)))
-      None
-    else VersionedTable.countLiveAny(opts.root)
+      return None
+    val stats = VersionedTable.liveFileStatsAll(opts.root)
+      .getOrElse(return None)
+    def colName(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case f: NamedReference if f.fieldNames.length == 1 =>
+        Some(f.fieldNames()(0))
+      case _ => None
+    }
+    def bound(name: String, wantMin: Boolean)
+        : Option[(StructField, org.apache.spark.sql.Column)] = {
+      val f = tableSchema.find(_.name == name).getOrElse(return None)
+      if (stats.isEmpty) return None // empty table: SQL null — decline
+      val c: Option[org.apache.spark.sql.Column] = f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | DateType |
+             TimestampType if stats.forall(_.cols.contains(name)) =>
+          val v =
+            if (wantMin) stats.map(_.cols(name)._1).min
+            else stats.map(_.cols(name)._2).max
+          Some(f.dataType match {
+            case DateType => lit(java.time.LocalDate.ofEpochDay(v))
+            case TimestampType => lit(org.apache.spark.sql.catalyst
+              .util.DateTimeUtils.microsToInstant(v))
+            case dt => lit(v).cast(dt)
+          })
+        case FloatType | DoubleType
+            if stats.forall(_.dbls.contains(name)) =>
+          val v =
+            if (wantMin) stats.map(_.dbls(name)._1).min
+            else stats.map(_.dbls(name)._2).max
+          Some(lit(v).cast(f.dataType))
+        case _ => None
+      }
+      val tag = if (wantMin) "min" else "max"
+      c.map(col => (StructField(s"${tag}_$name", f.dataType), col))
+    }
+    val items = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        Some((StructField("count_star", LongType, nullable = false),
+          lit(stats.map(_.rows).sum)))
+      case m: Min => colName(m.column).flatMap(bound(_, wantMin = true))
+      case m: Max => colName(m.column).flatMap(bound(_, wantMin = false))
+      case _ => None
+    }
+    if (items.forall(_.isDefined)) Some(items.flatten) else None
   }
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate
-        .Aggregation): Boolean = metadataCount(agg).isDefined
+        .Aggregation): Boolean = metadataAgg(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate
         .Aggregation): Boolean =
-    metadataCount(agg) match {
-      case some @ Some(_) => pushedCount = some; true
+    metadataAgg(agg) match {
+      case some @ Some(_) => pushedAgg = some; true
       case None => false
     }
 
@@ -221,23 +272,23 @@ private[sources] class GraftScanBuilder(opts: GraftScanPlanner.Opts,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = pushedCount match {
-    case Some(n) => new GraftCountScan(opts, n)
-    case None    => new GraftScan(opts, required, pushed)
+  override def build(): Scan = pushedAgg match {
+    case Some(items) => new GraftAggScan(opts, items)
+    case None        => new GraftScan(opts, required, pushed)
   }
 }
 
-/** The completely-pushed COUNT(*) scan: one metadata-derived row,
+/** The completely-pushed metadata aggregate: one sidecar-derived row,
   * zero files opened.
   */
-private[sources] class GraftCountScan(opts: GraftScanPlanner.Opts,
-                                      n: Long) extends V1Scan {
-  import org.apache.spark.sql.types.{LongType, StructField}
-  private val out = StructType(Seq(
-    StructField("count_star", LongType, nullable = false)))
+private[sources] class GraftAggScan(opts: GraftScanPlanner.Opts,
+    items: Seq[(org.apache.spark.sql.types.StructField,
+      org.apache.spark.sql.Column)]) extends V1Scan {
+  private val out = StructType(items.map(_._1))
   override def readSchema(): StructType = out
   override def description(): String =
-    s"GraftCountScan root=${opts.root} metadataCount=$n"
+    s"GraftAggScan root=${opts.root} " +
+      items.map(_._1.name).mkString("[", ", ", "]")
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {
     val relation = new BaseRelation with TableScan {
@@ -247,9 +298,10 @@ private[sources] class GraftCountScan(opts: GraftScanPlanner.Opts,
         s"GraftTable(${opts.root}) [metadata count]"
       override def buildScan(): RDD[Row] = {
         GraftScanAudit.last = Some(GraftScanAudit.Decision(0, 0, 0, 0,
-          Seq(s"CountStar: metadata-only = $n")))
-        context.sparkSession.createDataFrame(
-          java.util.Arrays.asList(Row(n)), out).rdd
+          Seq("CountStar/MinMax: metadata-only " +
+            items.map(_._1.name).mkString(","))))
+        context.sparkSession.range(1)
+          .select(items.map { case (f, c) => c.as(f.name) }: _*).rdd
       }
     }
     relation.asInstanceOf[T]

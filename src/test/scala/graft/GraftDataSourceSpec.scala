@@ -339,6 +339,31 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(q3.head.getLong(0) === 30)
   }
 
+  test("MIN/MAX answer from exact footer bounds alongside COUNT; " +
+    "string min/max declines (truncated bounds are inexact)") {
+    val root = tmpRoot()
+    val df = spark.range(1, 1001)
+      .select(col("id"), (col("id") * lit(0.5)).as("x"),
+        concat(lit("s"), col("id")).as("name"))
+      .repartition(4)
+    VersionedTable.upsert(spark, root, df, Seq("id"))
+    val q = spark.read.format("graft").load(root)
+      .agg(min("id"), max("id"), max("x"), count(lit(1)))
+    val r = q.head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+      === ((1L, 1000L, 500.0, 1000L)))
+    assert(q.queryExecution.executedPlan.toString
+      .contains("metadata count"))
+    assert(GraftScanAudit.last.get.filesScanned === 0)
+    // a string min cannot come from truncated bounds — whole pushdown
+    // declines, result stays exact via the row path
+    val qs = spark.read.format("graft").load(root)
+      .agg(min("name"), count(lit(1)))
+    assert(qs.head.getString(0) === "s1")
+    assert(!qs.queryExecution.executedPlan.toString
+      .contains("metadata count"))
+  }
+
   test("SQL: CREATE TABLE USING graft + SELECT engages the same scan") {
     val root = tmpRoot()
     VersionedTable.upsert(spark, root,
