@@ -4672,6 +4672,62 @@ object SparkEntry {
           lit(m.version).as("min_eid"), lit(0L).as("max_eid")))
     }),
 
+    // ROUND-13 INTEROP CAPSTONE: the new surfaces composed in one
+    // lifecycle — table created through the DSv2 WRITE surface
+    // (keyed, day-partitioned), spec-EVOLVED to (day, event_type) by
+    // a commit touching the earliest day, POSITION deletes landed by
+    // predicate in a still-UNMIGRATED day, merge-on-read masking
+    // graded, then vacuumPosDeletesPartitioned folds them — and
+    // because the vacuum rewrites under the CURRENT spec, it
+    // COMPLETES that day's migration as a side effect (parent pointer
+    // swapped for per-type children). Audit: exactly 1 partition
+    // rewritten, the migrated day's child count (types surviving the
+    // delete), every other day still on its v1 pointer, final
+    // version 3. Every phase replays closed-form.
+    "q319_r13_capstone" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      val work = graft.core.ScratchDirs.fresh("q319_cap").toString
+      val ev = Tables.events(s, d).select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      ev.write.format("graft").mode("append")
+        .option("keys", "event_id").option("partitionColumns", "day")
+        .save(work)
+      val d0 = ev.agg(min("day")).head.getString(0)
+      val d1 = ev.agg(max("day")).head.getString(0)
+      // evolution commit: migrate d0 to (day, event_type), cents+5
+      vt.upsertPartitioned(s, work,
+        ev.filter(col("day") === d0)
+          .select(col("event_id"), col("day"), col("event_type"),
+            (col("cents") + 5).as("cents")),
+        Seq("event_id"), Seq("day", "event_type"), keepManifests = 10)
+      // position deletes in the UNMIGRATED day d1
+      vt.softDeletePosPartitioned(s, work,
+        col("day") === d1 && col("cents") % 3 === 0)
+      val mor = vt.readLivePartitionedWithPosDeletes(s, work)
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          min("event_id").as("min_eid"), max("event_id").as("max_eid"))
+        .head
+      val (_, rewritten) = vt.vacuumPosDeletesPartitioned(s, work)
+      val m = vt.readPartitionedManifest(work).get
+      val childrenD1 = m.partitions.keySet
+        .count(_.startsWith(s"day=$d1/")).toLong
+      val untouched = m.partitions.values.count(_ == "v00000001").toLong
+      val fin = vt.readLivePartitioned(s, work)
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          min("event_id").as("min_eid"), max("event_id").as("max_eid"))
+      fin.select(lit("final").as("part"), col("n"), col("sum_cents"),
+          col("min_eid"), col("max_eid"))
+        .unionByName(s.range(1).select(lit("mor").as("part"),
+          lit(mor.getLong(0)).as("n"), lit(mor.getLong(1)).as("sum_cents"),
+          lit(mor.getLong(2)).as("min_eid"),
+          lit(mor.getLong(3)).as("max_eid")))
+        .unionByName(s.range(1).select(lit("_audit").as("part"),
+          lit(rewritten.toLong).as("n"), lit(childrenD1).as("sum_cents"),
+          lit(untouched).as("min_eid"), lit(m.version).as("max_eid")))
+    }),
+
     // Metadata-only COUNT(*) through the format (r13): a bare count
     // over a graft table is COMPLETELY pushed down —
     // SupportsPushDownAggregates answers it from the sidecar row
@@ -11305,6 +11361,42 @@ object SparkEntry {
         |SELECT 'files' AS part, CAST(16 AS BIGINT) AS n,
         |  CAST(16 AS BIGINT) AS s1, CAST(1 AS BIGINT) AS s2,
         |  CAST(1 AS BIGINT) AS s3""".stripMargin,
+
+    // Capstone replay: state after evolution = d0 rows +5 ∪ the rest;
+    // mor = that minus (latest day ∧ cents%3=0); final ≡ mor (vacuum
+    // is layout-only); audit = 1 rewrite, surviving-type children of
+    // the migrated day, all-but-two days on v1, version 3.
+    "q319_r13_capstone" ->
+      """WITH ev AS (
+        |  SELECT event_id, strftime(ts, '%Y-%m-%d') AS day,
+        |    event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |d0 AS (SELECT min(day) AS d FROM ev),
+        |d1 AS (SELECT max(day) AS d FROM ev),
+        |state2 AS (
+        |  SELECT event_id, day, event_type, cents + 5 AS cents
+        |  FROM ev WHERE day = (SELECT d FROM d0)
+        |  UNION ALL
+        |  SELECT event_id, day, event_type, cents
+        |  FROM ev WHERE day <> (SELECT d FROM d0)),
+        |kept AS (
+        |  SELECT * FROM state2
+        |  WHERE NOT (day = (SELECT d FROM d1) AND cents % 3 = 0))
+        |SELECT 'final' AS part, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(event_id) AS min_eid, max(event_id) AS max_eid
+        |FROM kept
+        |UNION ALL
+        |SELECT 'mor' AS part, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(event_id) AS min_eid, max(event_id) AS max_eid
+        |FROM kept
+        |UNION ALL
+        |SELECT '_audit' AS part, CAST(1 AS BIGINT) AS n,
+        |  (SELECT count(DISTINCT event_type) FROM kept
+        |   WHERE day = (SELECT d FROM d1)) AS sum_cents,
+        |  (SELECT count(DISTINCT day) FROM ev) - 2 AS min_eid,
+        |  CAST(3 AS BIGINT) AS max_eid""".stripMargin,
 
     // Metadata-count replay: both bare counts with the pushdown flag
     // pinned 1; the masked count after equality deletes with the

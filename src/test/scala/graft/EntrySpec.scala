@@ -249,6 +249,11 @@ class EntrySpec extends SparkSpec {
                              // are integer partition/file/zone counts;
                              // strict-verified sf0.001/0.01/0.1
                              // 2026-08-15
+      "q319_r13_capstone",   // integer-cents pin (round(value*100) →
+                             // BIGINT before +5); audit columns are
+                             // integer partition/type/version counts;
+                             // strict-verified sf0.001/0.01/0.1
+                             // 2026-08-15
       "q317_partitioned_pos_deletes", // integer-cents pin
                              // (round(value*100) → BIGINT before +77);
                              // audit columns are integer partition/
