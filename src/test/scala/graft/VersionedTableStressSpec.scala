@@ -207,4 +207,77 @@ class VersionedTableStressSpec extends SparkSpec {
       s"diverged: missing=${expected.keySet -- got.keySet} " +
         s"extra=${got.keySet -- expected.keySet}")
   }
+
+  test("position deletes racing partitioned writers and a vacuum: " +
+    "deleted rows stay deleted, writer rows never lost") {
+    val root = Files.createTempDirectory("vstressPD").resolve("t").toString
+    // seed: 6 dedicated delete-target keys (ids 1..6) the writers
+    // never touch, spread across 3 partitions
+    VersionedTable.upsertPartitioned(spark, root,
+      (1L to 6L).map(k => (s"d${k % 3}", k, -k)).toDF("dt", "id", "v"),
+      Seq("dt", "id"), Seq("dt"), keepManifests = 80)
+    val nWriters = 4
+    val opsPerWriter = 4
+    val errors =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val models = Array.fill(nWriters)(
+      scala.collection.mutable.HashMap[Long, Long]())
+    val writers = (0 until nWriters).map { w =>
+      new Thread(() => {
+        try {
+          val rnd = new java.util.Random(9100L + w)
+          (0 until opsPerWriter).foreach { step =>
+            val k = (w + 1) * 100L + rnd.nextInt(8)
+            VersionedTable.upsertPartitioned(spark, root,
+              Seq((s"d${k % 3}", k, w * 1000L + step))
+                .toDF("dt", "id", "v"),
+              Seq("dt", "id"), Seq("dt"), maxRetries = 40,
+              keepManifests = 80)
+            models(w)(k) = w * 1000L + step
+          }
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    import org.apache.spark.sql.functions.col
+    val deleter = new Thread(() => {
+      try (1L to 6L).foreach { k =>
+        VersionedTable.softDeletePosPartitioned(spark, root,
+          col("id") === k, maxRetries = 60)
+      } catch { case t: Throwable => errors.add(t) }
+    })
+    val vacuumer = new Thread(() => {
+      try (0 until 3).foreach { _ =>
+        Thread.sleep(400)
+        VersionedTable.vacuumPosDeletesPartitioned(spark, root,
+          maxRetries = 40)
+        ()
+      } catch { case t: Throwable => errors.add(t) }
+    })
+    (writers :+ deleter :+ vacuumer).foreach(_.start())
+    (writers :+ deleter :+ vacuumer).foreach(_.join(240000))
+    assert(writers.forall(!_.isAlive) && !deleter.isAlive &&
+      !vacuumer.isAlive, "a racer is stuck")
+    assert(errors.isEmpty, s"racer threw: ${errors.toArray.toSeq}")
+    // a final vacuum folds whatever is still merge-on-read
+    VersionedTable.vacuumPosDeletesPartitioned(spark, root,
+      maxRetries = 40)
+    val rows = VersionedTable
+      .readLivePartitionedWithPosDeletes(spark, root)
+      .select("id", "v").as[(Long, Long)].collect()
+    assert(rows.map(_._1).distinct.length === rows.length,
+      s"duplicate live rows: ${rows.toSeq.sortBy(_._1)}")
+    val got = rows.toMap
+    // every pre-seeded target deleted; every writer row at its final
+    // serial value (a rewrite folding deletes must never drop or
+    // resurrect anything)
+    assert((1L to 6L).forall(k => !got.contains(k)),
+      s"deleted keys resurfaced: ${got.keySet.filter(_ <= 6L)}")
+    val expected = models.flatMap(_.toSeq).toMap
+    assert(got === expected,
+      s"diverged: missing=${expected.keySet -- got.keySet} " +
+        s"extra=${got.keySet -- expected.keySet}")
+    // physically folded too
+    assert(VersionedTable.readLivePartitioned(spark, root)
+      .filter(col("id") <= 6L).count() === 0)
+  }
 }
