@@ -199,6 +199,20 @@ object VersionedTable {
     }
   }
 
+  /** (version, publishedAtEpochMillis) for every retained commit,
+    * ascending. The publish instant is the history entry's mtime —
+    * stamped by [[writeHistoryEntry]]'s atomic move, i.e. the moment
+    * the commit became visible. Backs `TIMESTAMP AS OF` time travel:
+    * the snapshot "as of t" is the newest version published ≤ t.
+    */
+  def versionPublishTimes(root: String): Seq[(Long, Long)] = {
+    val rootP = Paths.get(root)
+    versions(root).map { v =>
+      v -> Files.getLastModifiedTime(versionManifestPath(rootP, v))
+        .toMillis
+    }
+  }
+
   /** Read the snapshot a specific commit produced. Fails if the
     * version was never committed, or if retention already pruned its
     * data directory.
@@ -2456,6 +2470,36 @@ object VersionedTable {
     retryThenEscalate(rootP, maxRetries)(once())
   }
 
+  /** Predicate backfill on the PARTITIONED store (replaceWhere at
+    * partition granularity): every live partition whose KEY satisfies
+    * `keyMatches` is vacated, `replacement`'s rows take their place,
+    * one CAS-committed swap with only the touched pointers flipped.
+    * The caller owns the contract that `keyMatches` is the EXACT
+    * truth value of its predicate on every row of the partition
+    * (i.e. the predicate addresses partition columns only) — this
+    * method replaces whole partitions, never rows. Backs the DSv2
+    * `INSERT OVERWRITE … PARTITION (…)` surface. Returns the new
+    * version.
+    */
+  def overwritePartitionsWhere(spark: SparkSession, root: String,
+                               keyMatches: String => Boolean,
+                               replacement: DataFrame,
+                               maxRetries: Int = 10): Long = {
+    enforceConstraints(root, replacement)
+    val rootP = Paths.get(root)
+    def once(): Long = {
+      val m = readPartitionedManifest(root).getOrElse(
+        throw new IllegalStateException(
+          s"no partitioned _manifest.json under $root — " +
+            "overwritePartitionsWhere needs an existing partitioned " +
+            "table"))
+      val covered = m.partitions.keys.filter(keyMatches).toSeq
+      replacePartitioned(spark, root, replacement, m.partitionColumns,
+        covered = covered, expectedBase = Some(m.version))
+    }
+    retryThenEscalate(rootP, maxRetries)(once())
+  }
+
   /** FULL static overwrite of a partitioned table: the next version
     * holds exactly `df` under `partitionColumns` — every previous
     * partition pointer is vacated (Spark's
@@ -2990,7 +3034,7 @@ object VersionedTable {
   /** JSON string escape for the sidecar: backslash, quote, and the
     * control characters that would break the line-per-file format.
     */
-  private def escJson(s: String): String = {
+  private[graft] def escJson(s: String): String = {
     val b = new java.lang.StringBuilder(s.length + 8)
     var i = 0
     while (i < s.length) {
@@ -3014,7 +3058,7 @@ object VersionedTable {
     * degrades to "no stats → must scan" (sound) instead of silently
     * garbling into incorrect bounds that would prune wrongly.
     */
-  private def unescJson(s: String): String = {
+  private[graft] def unescJson(s: String): String = {
     val b = new java.lang.StringBuilder(s.length)
     var i = 0
     while (i < s.length) {

@@ -64,17 +64,22 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
       .schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: java.util.Map[String, String]): Table =
+                        properties: java.util.Map[String, String]): Table = {
+    val props = properties.asScala.toMap
     new GraftTable(
       GraftScanPlanner.opts(new CaseInsensitiveStringMap(properties)),
-      schema)
+      schema, props)
+  }
 }
 
-private[sources] class GraftTable(opts: GraftScanPlanner.Opts,
-                                  tableSchema: StructType)
+private[graft] class GraftTable(opts: GraftScanPlanner.Opts,
+                                tableSchema: StructType,
+                                props: Map[String, String] = Map.empty)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
-  override def name(): String = s"graft:${opts.root}"
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  override def name(): String =
+    props.getOrElse("__graft_name", s"graft:${opts.root}")
   override def schema(): StructType = tableSchema
   // BATCH_WRITE must accompany V1_BATCH_WRITE: DataFrameWriter's
   // append/overwrite dispatch checks the former, the V1-fallback
@@ -82,13 +87,63 @@ private[sources] class GraftTable(opts: GraftScanPlanner.Opts,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+  override def properties(): java.util.Map[String, String] =
+    props.asJava
+  /** Catalog-declared partitioning (identity transforms) — surfaces
+    * in DESCRIBE and routes catalog INSERTs to the partitioned verbs.
+    */
+  override def partitioning(): Array[Transform] =
+    props.get("partitionColumns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty)
+        .map(org.apache.spark.sql.connector.expressions.Expressions
+          .identity(_)): Array[Transform])
+      .getOrElse(Array.empty)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new GraftScanBuilder(opts, tableSchema)
+      : ScanBuilder = {
+    // read options on a CATALOG table (spark.read.option("versionAsOf",
+    // …).table("cat.ns.t")) arrive here, not at loadTable — merge them
+    // over the table's stored properties so time travel / change feeds
+    // work through both spellings. Path-based reads already carried
+    // their options in `props`; re-merging identical values is a no-op.
+    val merged = new java.util.HashMap[String, String]()
+    props.foreach { case (k, v) => merged.put(k, v) }
+    options.asCaseSensitiveMap().asScala.foreach { case (k, v) =>
+      merged.put(k, v) }
+    new GraftScanBuilder(
+      GraftScanPlanner.opts(new CaseInsensitiveStringMap(merged)),
+      tableSchema)
+  }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new GraftWriteBuilder(opts.root, info)
+    new GraftWriteBuilder(opts.root, info, props)
+
+  // ---- SQL DELETE FROM … WHERE … ------------------------------------
+  // Merge-on-read position deletes (the Iceberg delete-file shape):
+  // the predicate is evaluated ONCE against the observable snapshot,
+  // matching row addresses land in the pos-delete sub-table, and every
+  // subsequent read masks them — no data-file rewrite on the delete
+  // path (vacuumPosDeletes folds them later). Sound for arbitrary
+  // translatable predicates, not just partition-aligned ones.
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    opts.versionAsOf.isEmpty && opts.changes.isEmpty &&
+      filters.forall(f => GraftFilterColumns.translate(f).isDefined)
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(opts.versionAsOf.isEmpty && opts.changes.isEmpty,
+      "DELETE on a time-travel/change-feed read is not a thing — " +
+        "address the live table")
+    val spark = SparkSession.active
+    val pred = filters.flatMap(GraftFilterColumns.translate)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    if (VersionedTable.readPartitionedManifest(opts.root).isDefined)
+      VersionedTable.softDeletePosPartitioned(spark, opts.root, pred)
+    else if (VersionedTable.readManifest(opts.root).isDefined)
+      VersionedTable.softDeletePos(spark, opts.root, pred)
+    // never-committed catalog table: DELETE of nothing is a no-op
+    ()
+  }
 }
 
 /** DSv2 WRITE surface, V1 fallback (the JDBC pattern): planning is
@@ -100,19 +155,44 @@ private[sources] class GraftTable(opts: GraftScanPlanner.Opts,
   *   - overwrite              → full replace (static), or dynamic
   *     partition overwrite when `partitionOverwriteMode=dynamic`
   *     (option or session conf) and `partitionColumns` given
+  *   - overwrite BY FILTER (SQL `INSERT OVERWRITE … PARTITION (…)`,
+  *     Delta's replaceWhere) → [[VersionedTable.overwriteWhere]] on
+  *     flat tables; on partitioned tables the predicate must address
+  *     partition columns by equality/IN so the vacated key set is
+  *     EXACT, and replacement rows are validated to satisfy it
   *
   * `partitionColumns` (comma list) routes to the partitioned forms;
   * `schemaMode=sync` selects SyncAllColumns evolution on upserts.
+  * Option lookup falls back to TABLE properties (catalog tables
+  * declare keys/partitionColumns once at CREATE TABLE, not per
+  * INSERT).
   */
 private[sources] class GraftWriteBuilder(root: String,
-    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo,
+    tableProps: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.write.WriteBuilder
-    with org.apache.spark.sql.connector.write.SupportsTruncate {
+    with org.apache.spark.sql.connector.write.SupportsTruncate
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
 
   private var overwrite = false
+  private var owFilters: Array[Filter] = Array.empty
   override def truncate()
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     overwrite = true; this
+  }
+  override def overwrite(filters: Array[Filter])
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    // AlwaysTrue ≡ truncate; anything else is a predicate backfill
+    val real = filters.filterNot(_.isInstanceOf[AlwaysTrue])
+    if (real.isEmpty) overwrite = true
+    else {
+      require(real.forall(f =>
+        GraftFilterColumns.translate(f).isDefined),
+        "INSERT OVERWRITE predicate not translatable to a graft " +
+          s"replaceWhere: ${real.mkString(", ")}")
+      owFilters = real
+    }
+    this
   }
 
   override def build(): org.apache.spark.sql.connector.write.Write =
@@ -123,18 +203,25 @@ private[sources] class GraftWriteBuilder(root: String,
                               overwriteFlag: Boolean): Unit = {
             val ow = overwrite || overwriteFlag
             val o = info.options
+            def opt(k: String): Option[String] =
+              Option(o.get(k)).orElse(tableProps.get(k))
             def list(k: String): Option[Seq[String]] =
-              Option(o.get(k)).map(_.split(",").map(_.trim)
+              opt(k).map(_.split(",").map(_.trim)
                 .filter(_.nonEmpty).toSeq).filter(_.nonEmpty)
             val keys = list("keys")
             val parts = list("partitionColumns")
-            val schemaMode = Option(o.get("schemaMode")) match {
+            val schemaMode = opt("schemaMode") match {
               case Some("sync") =>
                 graft.sinks.MergeWriter.SchemaMode.SyncAllColumns
               case _ => graft.sinks.MergeWriter.SchemaMode.Strict
             }
             val spark = data.sparkSession
-            val dynamic = Option(o.get("partitionOverwriteMode"))
+            if (owFilters.nonEmpty) {
+              GraftWriteBuilder.overwriteByFilter(spark, root,
+                owFilters, data)
+              return
+            }
+            val dynamic = opt("partitionOverwriteMode")
               .getOrElse(spark.conf.get(
                 "spark.sql.sources.partitionOverwriteMode", "static"))
               .equalsIgnoreCase("dynamic")
@@ -160,6 +247,114 @@ private[sources] class GraftWriteBuilder(root: String,
           }
         }
     }
+}
+
+private[sources] object GraftWriteBuilder {
+  import org.apache.spark.sql.functions.lit
+
+  /** `INSERT OVERWRITE … PARTITION (p=…)` / replaceWhere-by-filter.
+    * Flat tables take any translatable predicate
+    * ([[VersionedTable.overwriteWhere]] is row-level). Partitioned
+    * tables vacate WHOLE partitions, so the predicate must resolve to
+    * an exact partition-key set: equality/IN on partition columns
+    * only — and on a mid-migration (spec-evolution) table a key
+    * missing the filtered column's path segment cannot be classified,
+    * so the write fails loudly rather than guessing. Replacement rows
+    * are validated against the predicate first (Delta's replaceWhere
+    * contract): a row OUTSIDE the vacated set would otherwise land
+    * beside surviving old rows as a silent duplicate.
+    */
+  private[sources] def overwriteByFilter(spark: SparkSession,
+      root: String, filters: Array[Filter], data: DataFrame): Unit = {
+    val pred = filters.flatMap(GraftFilterColumns.translate)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val stray = data.filter(!org.apache.spark.sql.functions
+      .coalesce(pred, lit(false))).limit(1).count()
+    require(stray == 0L,
+      s"INSERT OVERWRITE into $root: replacement rows fall outside " +
+        s"the overwrite predicate ${filters.mkString(" AND ")} — " +
+        "they would survive beside the rows being kept")
+    VersionedTable.readPartitionedManifest(root) match {
+      case Some(m) =>
+        val partCols = m.partitionColumns.toSet
+        // Spark's static `PARTITION (day = 'x')` arrives as
+        // EqualNullSafe (never-null literal equality); a null-safe
+        // null addresses the __HIVE_DEFAULT_PARTITION__ key
+        require(filters.forall {
+          case EqualTo(c, v) =>
+            partCols(c) && GraftScanPlanner.pathRenderable(v)
+          case EqualNullSafe(c, v) => partCols(c) &&
+            (v == null || GraftScanPlanner.pathRenderable(v))
+          case In(c, vs) => partCols(c) && vs.nonEmpty &&
+            vs.forall(GraftScanPlanner.pathRenderable)
+          case _ => false
+        }, s"partitioned INSERT OVERWRITE into $root needs " +
+          s"equality/IN predicates on partition columns " +
+          s"(${m.partitionColumns.mkString(", ")}) with " +
+          "path-renderable literals — got " + filters.mkString(", "))
+        def filterCol(f: Filter): String = f match {
+          case EqualTo(c, _)       => c
+          case EqualNullSafe(c, _) => c
+          case In(c, _)            => c
+          case other => throw new IllegalStateException(
+            s"unreachable: $other passed the predicate-shape gate")
+        }
+        VersionedTable.overwritePartitionsWhere(spark, root, key => {
+          val segments = key.split('/').toSet
+          filters.map(filterCol).foreach { c =>
+            if (!segments.exists(_.startsWith(c + "=")))
+              throw new IllegalStateException(
+                s"partition key '$key' in $root carries no " +
+                  s"'$c=' segment (mid-migration spec evolution): " +
+                  "whole-partition overwrite cannot classify it — " +
+                  "complete the migration (compactPartitions) first")
+          }
+          filters.forall(f =>
+            GraftScanPlanner.partitionKeyMatches(key, f))
+        }, data)
+      case None =>
+        VersionedTable.overwriteWhere(spark, root, pred, data)
+    }
+    ()
+  }
+}
+
+/** V1 `Filter` → `Column` translation for the write/delete surfaces
+  * (DELETE FROM, INSERT OVERWRITE by filter). None = untranslatable —
+  * the caller must decline, never approximate.
+  */
+private[graft] object GraftFilterColumns {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+
+  private def ref(c: String): Column =
+    // V1 filter references render nested fields dotted and quote
+    // nothing; graft tables are flat, so backtick the whole name
+    // (a column literally named "a.b" resolves, nesting would not)
+    col(s"`$c`")
+
+  def translate(f: Filter): Option[Column] = f match {
+    case AlwaysTrue()             => Some(lit(true))
+    case AlwaysFalse()            => Some(lit(false))
+    case EqualTo(c, v)            => Some(ref(c) === lit(v))
+    case EqualNullSafe(c, v)      => Some(ref(c) <=> lit(v))
+    case GreaterThan(c, v)        => Some(ref(c) > lit(v))
+    case GreaterThanOrEqual(c, v) => Some(ref(c) >= lit(v))
+    case LessThan(c, v)           => Some(ref(c) < lit(v))
+    case LessThanOrEqual(c, v)    => Some(ref(c) <= lit(v))
+    case In(c, vs)                => Some(ref(c).isInCollection(vs.toSeq))
+    case IsNull(c)                => Some(ref(c).isNull)
+    case IsNotNull(c)             => Some(ref(c).isNotNull)
+    case StringStartsWith(c, v)   => Some(ref(c).startsWith(v))
+    case StringEndsWith(c, v)     => Some(ref(c).endsWith(v))
+    case StringContains(c, v)     => Some(ref(c).contains(v))
+    case And(l, r) =>
+      for (a <- translate(l); b <- translate(r)) yield a && b
+    case Or(l, r) =>
+      for (a <- translate(l); b <- translate(r)) yield a || b
+    case Not(ch) => translate(ch).map(!_)
+    case _ => None
+  }
 }
 
 private[sources] class GraftScanBuilder(opts: GraftScanPlanner.Opts,
@@ -332,6 +527,16 @@ private[sources] class GraftV1Relation(context: SQLContext,
   // name the table, not an object hash
   override def toString: String = s"GraftTable(${opts.root})"
   override def buildScan(): RDD[Row] = {
+    if (opts.emptyOk &&
+        VersionedTable.readManifest(opts.root).isEmpty &&
+        VersionedTable.readPartitionedManifest(opts.root).isEmpty) {
+      // a created-but-never-written catalog table: its declared
+      // schema with zero rows, zero files opened
+      GraftScanAudit.last = Some(GraftScanAudit.Decision(0, 0, 0, 0,
+        pushed.map(_.toString).toSeq))
+      return context.sparkSession.createDataFrame(
+        java.util.Collections.emptyList[Row](), required).rdd
+    }
     val df = GraftScanPlanner
       .pruned(context.sparkSession, opts, pushed.toSeq)
     val projected =
@@ -356,7 +561,8 @@ private[graft] object GraftScanPlanner {
 
   final case class Opts(root: String, versionAsOf: Option[Long],
                         withDeletes: Boolean,
-                        changes: Option[(Long, Long, Seq[String])] = None)
+                        changes: Option[(Long, Long, Seq[String])] = None,
+                        emptyOk: Boolean = false)
 
   def opts(m: CaseInsensitiveStringMap): Opts = {
     val rawPath = Option(m.get("path")).getOrElse(
@@ -404,7 +610,11 @@ private[graft] object GraftScanPlanner {
     require(changes.isEmpty || (asOf.isEmpty && byRef.isEmpty),
       "changesFrom cannot combine with versionAsOf/ref")
     Opts(root, asOf.orElse(byRef),
-      Option(m.get("withDeletes")).forall(_.toBoolean), changes)
+      Option(m.get("withDeletes")).forall(_.toBoolean), changes,
+      // catalog tables exist before their first commit (declared
+      // schema, zero rows); path-based reads of a manifest-less dir
+      // stay a loud error — "not a graft table"
+      emptyOk = Option(m.get("__graft_empty_ok")).exists(_.toBoolean))
   }
 
   /** The UNPRUNED dataframe the options address — schema inference
@@ -657,6 +867,37 @@ private[graft] object GraftScanPlanner {
     case d: java.sql.Date => Some(d.toString)
     case d: java.time.LocalDate => Some(d.toString)
     case _ => None
+  }
+
+  /** Can `v` be rendered as a partition-path segment value? (Gates
+    * the EXACT key classification below — an unrenderable literal
+    * must fail loudly upstream, not silently match nothing.)
+    */
+  private[sources] def pathRenderable(v: Any): Boolean =
+    v != null && pathValue(v).isDefined
+
+  /** EXACT partition-key classification for whole-partition overwrite
+    * (contrast [[partitionPathSurvives]], the sound OVER-approximation
+    * used for read pruning): the caller has already rejected keys
+    * missing the column's segment, so equality against the rendered
+    * segment IS the predicate's truth value on every row of the
+    * partition.
+    */
+  private[sources] def partitionKeyMatches(key: String,
+                                           f: Filter): Boolean = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    def seg(c: String, v: Any): Option[String] =
+      pathValue(v).map(r => s"$c=${ExternalCatalogUtils.escapePathName(r)}")
+    val segments = key.split('/').toSet
+    f match {
+      case EqualTo(c, v) => seg(c, v).exists(segments.contains)
+      case EqualNullSafe(c, null) => segments.contains(
+        s"$c=${ExternalCatalogUtils.DEFAULT_PARTITION_NAME}")
+      case EqualNullSafe(c, v) => seg(c, v).exists(segments.contains)
+      case In(c, vs) =>
+        vs.exists(v => seg(c, v).exists(segments.contains))
+      case _ => true
+    }
   }
 
   private def partitionPathSurvives(key: String, f: Filter): Boolean = {

@@ -254,6 +254,11 @@ class EntrySpec extends SparkSpec {
                              // integer partition/type/version counts;
                              // strict-verified sf0.001/0.01/0.1
                              // 2026-08-15
+      "q320_sql_catalog",    // integer-cents pin (round(value*100) →
+                             // BIGINT before *2); audit columns are
+                             // integer counts/versions;
+                             // strict-verified sf0.001/0.01/0.1
+                             // 2026-08-15
       "q317_partitioned_pos_deletes", // integer-cents pin
                              // (round(value*100) → BIGINT before +77);
                              // audit columns are integer partition/

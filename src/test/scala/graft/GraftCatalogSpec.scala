@@ -1,0 +1,204 @@
+package graft
+
+import java.nio.file.Files
+import graft.sinks.VersionedTable
+import org.apache.spark.sql.functions._
+
+/** The SQL catalog surface: name-addressed graft tables through a
+  * registered `TableCatalog` — DDL lifecycle, INSERT routing to the
+  * versioned commit protocol, DELETE as merge-on-read position
+  * deletes, INSERT OVERWRITE … PARTITION as whole-partition
+  * replaceWhere, and VERSION/TIMESTAMP AS OF time travel.
+  */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val wh: String = {
+    val dir = Files.createTempDirectory("graft_wh").toString
+    spark.conf.set("spark.sql.catalog.gcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcat.warehouse", dir)
+    dir
+  }
+
+  test("namespace + declared table lifecycle: create, read empty, " +
+    "insert (keyed upsert), show, drop") {
+    wh
+    spark.sql("CREATE NAMESPACE gcat.etl")
+    spark.sql("CREATE TABLE gcat.etl.t (id BIGINT, v STRING) " +
+      "USING graft TBLPROPERTIES ('keys' = 'id')")
+    // declared schema, zero rows, before any commit
+    val empty = spark.sql("SELECT * FROM gcat.etl.t")
+    assert(empty.columns.toSeq === Seq("id", "v"))
+    assert(empty.count() === 0)
+    spark.sql("INSERT INTO gcat.etl.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO gcat.etl.t VALUES (2, 'B'), (3, 'c')")
+    // keys='id' makes INSERT an upsert: 2 is updated, not duplicated
+    val got = spark.sql("SELECT id, v FROM gcat.etl.t ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(got === Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    val shown = spark.sql("SHOW TABLES IN gcat.etl")
+      .select("tableName").as[String].collect().toSeq
+    assert(shown === Seq("t"))
+    spark.sql("DROP TABLE gcat.etl.t")
+    assert(spark.sql("SHOW TABLES IN gcat.etl").count() === 0)
+  }
+
+  test("DELETE FROM is a merge-on-read position delete; time travel " +
+    "still sees the pre-delete snapshot") {
+    wh
+    spark.sql("CREATE TABLE gcat.etl.d (id BIGINT, v STRING) " +
+      "USING graft TBLPROPERTIES ('keys' = 'id')")
+    spark.sql("INSERT INTO gcat.etl.d " +
+      "SELECT id, concat('v', id) FROM range(20)")
+    spark.sql("DELETE FROM gcat.etl.d WHERE id >= 15 OR v = 'v3'")
+    val live = spark.sql("SELECT id FROM gcat.etl.d")
+      .as[Long].collect().sorted.toSeq
+    assert(live === (0L to 14L).filterNot(_ == 3L))
+    // the delete wrote NO data-file rewrite: v1 is still the full set
+    val v1 = spark.sql("SELECT id FROM gcat.etl.d VERSION AS OF 1")
+    assert(v1.count() === 20)
+    val root = s"$wh/etl/d"
+    val (liveEntries, staleEntries) =
+      VersionedTable.posDeleteEntryCounts(spark, root)
+    assert(liveEntries === 6, s"expected 6 live pos-delete entries, " +
+      s"got $liveEntries live / $staleEntries stale")
+  }
+
+  test("partitioned catalog table: INSERT routes through the " +
+    "partitioned upsert; INSERT OVERWRITE PARTITION replaces exactly " +
+    "one partition") {
+    wh
+    spark.sql("CREATE TABLE gcat.etl.p " +
+      "(id BIGINT, day STRING, cents BIGINT) USING graft " +
+      "PARTITIONED BY (day) TBLPROPERTIES ('keys' = 'id')")
+    val rows = (1L to 40L)
+      .map(i => (i, if (i % 2 == 0) "2024-01-02" else "2024-01-01",
+        i * 10))
+    rows.toDF("id", "day", "cents")
+      .createOrReplaceTempView("p_src")
+    spark.sql("INSERT INTO gcat.etl.p SELECT id, day, cents FROM p_src")
+    val root = s"$wh/etl/p"
+    val m0 = VersionedTable.readPartitionedManifest(root).get
+    assert(m0.partitionColumns === Seq("day"))
+    assert(m0.partitions.keySet ===
+      Set("day=2024-01-01", "day=2024-01-02"))
+    // positional INSERT after the first commit: column order must
+    // still be the DECLARED (id, day, cents), not data-then-partition
+    assert(spark.table("gcat.etl.p").columns.toSeq ===
+      Seq("id", "day", "cents"))
+    spark.sql("INSERT OVERWRITE gcat.etl.p " +
+      "PARTITION (day = '2024-01-02') " +
+      "SELECT id, cents * 2 FROM p_src WHERE day = '2024-01-02' " +
+      "AND id <= 10")
+    val m1 = VersionedTable.readPartitionedManifest(root).get
+    // untouched day keeps its original pointer; overwritten day moved
+    assert(m1.partitions("day=2024-01-01") ===
+      m0.partitions("day=2024-01-01"))
+    assert(m1.partitions("day=2024-01-02") !==
+      m0.partitions("day=2024-01-02"))
+    val after = spark.sql(
+      "SELECT day, count(*) AS n, sum(cents) AS s FROM gcat.etl.p " +
+        "GROUP BY day ORDER BY day")
+      .as[(String, Long, Long)].collect().toSeq
+    val oddSum = rows.filter(_._2 == "2024-01-01").map(_._3).sum
+    val evenSum = Seq(2L, 4L, 6L, 8L, 10L).map(_ * 10 * 2).sum
+    assert(after === Seq(("2024-01-01", 20L, oddSum),
+      ("2024-01-02", 5L, evenSum)))
+  }
+
+  test("overwrite-by-filter validates replacement rows against the " +
+    "predicate (the replaceWhere contract)") {
+    wh
+    spark.sql("CREATE TABLE gcat.etl.ow (id BIGINT, day STRING) " +
+      "USING graft PARTITIONED BY (day)")
+    spark.sql("INSERT INTO gcat.etl.ow VALUES (1, 'a'), (2, 'b')")
+    val stray = Seq((7L, "zz")).toDF("id", "day")
+    val e = intercept[Exception] {
+      stray.writeTo("gcat.etl.ow").overwrite(col("day") === "a")
+    }
+    assert(e.getMessage.contains("outside the overwrite predicate"),
+      e.getMessage)
+    Seq((9L, "a")).toDF("id", "day").writeTo("gcat.etl.ow")
+      .overwrite(col("day") === "a")
+    val got = spark.sql("SELECT id, day FROM gcat.etl.ow ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(got === Seq((2L, "b"), (9L, "a")).sortBy(_._1))
+  }
+
+  test("TIMESTAMP AS OF resolves the newest commit published at or " +
+    "before the instant; VERSION AS OF accepts a named ref") {
+    wh
+    spark.sql("CREATE TABLE gcat.etl.tt (id BIGINT) USING graft " +
+      "TBLPROPERTIES ('keys' = 'id')")
+    spark.sql("INSERT INTO gcat.etl.tt SELECT id FROM range(5)")
+    Thread.sleep(1100)
+    val between = java.time.Instant.now()
+    Thread.sleep(1100)
+    spark.sql("INSERT INTO gcat.etl.tt SELECT id + 100 FROM range(5)")
+    val tsLit = java.sql.Timestamp.from(between).toString
+    val asOf = spark.sql(
+      s"SELECT count(*) FROM gcat.etl.tt TIMESTAMP AS OF '$tsLit'")
+      .head.getLong(0)
+    assert(asOf === 5)
+    assert(spark.table("gcat.etl.tt").count() === 10)
+    // a timestamp before the first commit fails loudly
+    val tooEarly = java.sql.Timestamp.from(
+      between.minusSeconds(3600)).toString
+    val err = intercept[Exception](spark.sql(
+      s"SELECT * FROM gcat.etl.tt TIMESTAMP AS OF '$tooEarly'")
+      .collect())
+    assert(err.getMessage.contains("retained") ||
+      err.getMessage.contains("TIMESTAMP AS OF"),
+      err.getMessage)
+    val root = s"$wh/etl/tt"
+    VersionedTable.setRef(root, "stable", 1L)
+    val viaRef = spark.sql(
+      "SELECT count(*) FROM gcat.etl.tt VERSION AS OF 'stable'")
+      .head.getLong(0)
+    assert(viaRef === 5)
+  }
+
+  test("CTAS, ALTER TABLE properties, RENAME, and DROP NAMESPACE " +
+    "CASCADE") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.tmp")
+    spark.sql("CREATE TABLE gcat.tmp.c USING graft AS " +
+      "SELECT id, id * 2 AS dbl FROM range(10)")
+    assert(spark.table("gcat.tmp.c").count() === 10)
+    spark.sql(
+      "ALTER TABLE gcat.tmp.c SET TBLPROPERTIES ('keys' = 'id')")
+    // now INSERT is an upsert on id
+    spark.sql("INSERT INTO gcat.tmp.c SELECT id, id * 3 FROM range(5)")
+    assert(spark.table("gcat.tmp.c").count() === 10)
+    assert(spark.sql(
+      "SELECT dbl FROM gcat.tmp.c WHERE id = 2").head.getLong(0) === 6)
+    // RENAME TO takes a catalog-RELATIVE target identifier
+    spark.sql("ALTER TABLE gcat.tmp.c RENAME TO tmp.c2")
+    assert(spark.table("gcat.tmp.c2").count() === 10)
+    intercept[Exception](spark.table("gcat.tmp.c").collect())
+    spark.sql("DROP NAMESPACE gcat.tmp CASCADE")
+    intercept[Exception](spark.table("gcat.tmp.c2").collect())
+  }
+
+  test("catalog reads engage the same sidecar pruning as path reads") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.pr")
+    spark.sql("CREATE TABLE gcat.pr.z (id BIGINT, v BIGINT) " +
+      "USING graft TBLPROPERTIES ('keys' = 'id')")
+    val df = spark.range(0, 4000)
+      .select(col("id"), (col("id") * 7).as("v"))
+      .repartitionByRange(8, col("id"))
+    df.write.format("graft").mode("append").option("keys", "id")
+      .save(s"$wh/pr/z")
+    val q = spark.sql(
+      "SELECT sum(v) FROM gcat.pr.z WHERE id BETWEEN 100 AND 300")
+    val want = (100L to 300L).map(_ * 7).sum
+    assert(q.head.getLong(0) === want)
+    val d = graft.sources.GraftScanAudit.last.get
+    assert(d.filesScanned < d.filesTotal,
+      s"catalog read pruned nothing: ${d.filesScanned}/${d.filesTotal}")
+    assert(q.queryExecution.executedPlan.toString
+      .contains("PushedFilters"))
+  }
+}
