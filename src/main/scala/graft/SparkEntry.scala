@@ -4788,6 +4788,83 @@ object SparkEntry {
           lit(untouched).as("n"), lit(m.version).as("s")))
     }),
 
+    // Stats-driven auto-broadcast (r13): a graft DSv2 scan executes
+    // through the V1Scan fallback, whose wrapper DROPS
+    // SupportsReportStatistics — so joins against even a KB-sized
+    // graft dimension would plan sort-merge (two full shuffles of the
+    // fact side at 100 TB). GraftBroadcastStats recovers the size
+    // from the table's own manifest (live file bytes, driver-side)
+    // and plants an advisory BROADCAST hint on any join side that is
+    // a Project/Filter tree over one under-threshold graft scan. The
+    // graded bits: the join result (strategy-independent, closed-form)
+    // and the plan flag proving BroadcastHashJoin was chosen with NO
+    // user hint anywhere in the query.
+    "q321_stats_broadcast" -> ((s, d) => {
+      graft.plans.GraftBroadcastStats.install(s)
+      val vt = graft.sinks.VersionedTable
+      val work = graft.core.ScratchDirs.fresh("q321").toString
+      val ev = Tables.events(s, d).select(col("event_id"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val dim = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n_type"), sum("cents").as("s_type"))
+      vt.upsert(s, s"$work/fact", ev, Seq("event_id"))
+      vt.upsert(s, s"$work/dim", dim, Seq("event_type"))
+      val j = s.read.format("graft").load(s"$work/fact")
+        .join(s.read.format("graft").load(s"$work/dim"), "event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents") * col("n_type")).as("x"),
+          sum(col("s_type")).as("y"))
+      val bhj =
+        if (j.queryExecution.executedPlan.toString
+            .contains("BroadcastHashJoin")) 1L
+        else 0L
+      val r = j.head
+      s.range(1).select(lit(r.getLong(0)).as("n"),
+        lit(r.getLong(1)).as("x"), lit(r.getLong(2)).as("y"),
+        lit(bhj).as("bhj"))
+    }),
+
+    // Metadata tables (r13: Iceberg's t.history/t.files shape —
+    // option("metadata", …) or the catalog's t$kind names): commit
+    // history with publish instants, per-file bytes + sidecar row
+    // counts, per-partition rollups, named refs — all driver-read
+    // from manifests, zero data IO, read-only. Graded closed-form:
+    // two partitioned commits → history(2, live=2); files' row_count
+    // sums to the table count across exactly |days| partitions;
+    // partitions' rollup agrees; one ref at v1.
+    "q322_metadata_tables" -> ((s, d) => {
+      import s.implicits._
+      val vt = graft.sinks.VersionedTable
+      val work = graft.core.ScratchDirs.fresh("q322").toString
+      val ev = Tables.events(s, d).select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      vt.upsertPartitioned(s, work,
+        ev.filter(col("event_id") % 2 === 1), Seq("event_id"),
+        Seq("day"))
+      vt.upsertPartitioned(s, work,
+        ev.filter(col("event_id") % 2 === 0), Seq("event_id"),
+        Seq("day"))
+      vt.setRef(work, "stable", 1L)
+      def meta(kind: String) = s.read.format("graft")
+        .option("metadata", kind).load(work)
+      val hist = meta("history")
+        .agg(count(lit(1)).as("a"),
+          max(when(col("is_live"), col("version"))).as("b")).head
+      val files = meta("files")
+        .agg(sum("row_count").as("a"),
+          countDistinct("partition").as("b")).head
+      val parts = meta("partitions")
+        .agg(count(lit(1)).as("a"), sum("row_count").as("b")).head
+      val refs = meta("refs")
+        .agg(count(lit(1)).as("a"), sum("version").as("b")).head
+      Seq(("history", hist.getLong(0), hist.getLong(1)),
+        ("files", files.getLong(0), files.getLong(1)),
+        ("partitions", parts.getLong(0), parts.getLong(1)),
+        ("refs", refs.getLong(0), refs.getLong(1)))
+        .toDF("part", "a", "b")
+    }),
+
     // Metadata-only COUNT(*) through the format (r13): a bare count
     // over a graft table is COMPLETELY pushed down —
     // SupportsPushDownAggregates answers it from the sidecar row
@@ -11492,6 +11569,42 @@ object SparkEntry {
         |SELECT '_ptr' AS part,
         |  (SELECT count(DISTINCT day) FROM src) - 1 AS n,
         |  CAST(2 AS BIGINT) AS s""".stripMargin,
+
+    // Auto-broadcast replay: the per-type fact⋈dim aggregate in
+    // integer-cents space; bhj pinned 1 (the manifest-stats hint must
+    // have produced a broadcast join with no user hint).
+    "q321_stats_broadcast" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |dim AS (
+        |  SELECT event_type, count(*) AS n_type,
+        |    CAST(sum(cents) AS BIGINT) AS s_type
+        |  FROM ev GROUP BY event_type)
+        |SELECT count(*) AS n,
+        |  CAST(sum(ev.cents * dim.n_type) AS BIGINT) AS x,
+        |  CAST(sum(dim.s_type) AS BIGINT) AS y,
+        |  CAST(1 AS BIGINT) AS bhj
+        |FROM ev JOIN dim USING (event_type)""".stripMargin,
+
+    // Metadata-table replay: 2 retained commits (live = v2); files'
+    // sidecar row counts sum to the table count across |days|
+    // partitions; the partition rollup agrees; one ref pinned at v1.
+    "q322_metadata_tables" ->
+      """WITH src AS (
+        |  SELECT event_id, strftime(ts, '%Y-%m-%d') AS day
+        |  FROM events),
+        |d AS (SELECT count(DISTINCT day) AS nd, count(*) AS n
+        |      FROM src)
+        |SELECT 'history' AS part, CAST(2 AS BIGINT) AS a,
+        |  CAST(2 AS BIGINT) AS b
+        |UNION ALL
+        |SELECT 'files', (SELECT n FROM d), (SELECT nd FROM d)
+        |UNION ALL
+        |SELECT 'partitions', (SELECT nd FROM d), (SELECT n FROM d)
+        |UNION ALL
+        |SELECT 'refs', CAST(1 AS BIGINT), CAST(1 AS BIGINT)""".stripMargin,
 
     // Metadata-count replay: both bare counts with the pushdown flag
     // pinned 1; the masked count after equality deletes with the

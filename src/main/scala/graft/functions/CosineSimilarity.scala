@@ -297,8 +297,13 @@ object GraftFunctions {
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.injections.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // stats-driven auto-broadcast for graft-table joins (pre-CBO:
+    // after scan pushdown, before join planning); running sessions
+    // use GraftBroadcastStats.install instead
+    ext.injectPreCBORule(graft.plans.GraftBroadcastStats(_))
+  }
 }

@@ -1,0 +1,100 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Filter, HintInfo, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation, V1ScanWrapper}
+import graft.sources.{GraftScan, GraftScanPlanner, GraftTable}
+
+/** Statistics-driven automatic broadcast for graft-table joins.
+  *
+  * Why this exists: the graft DSv2 scan executes through Spark's
+  * `V1Scan` fallback, and the `V1ScanWrapper` the optimizer wraps it
+  * in does not forward `SupportsReportStatistics` — so a graft scan
+  * always reports the default (effectively infinite) size and a join
+  * against even a KB-sized graft dimension plans as a sort-merge join:
+  * two full shuffles where a broadcast would do. At 100 TB that is the
+  * difference between shuffling the fact table and not.
+  *
+  * The rule recovers the statistics from the table's own metadata —
+  * live data-file bytes summed from the manifest (driver-side,
+  * |files|-bounded, no data IO) — and plants a BROADCAST [[JoinHint]]
+  * on any join side that is a (Project|Filter)* tree over a single
+  * graft scan whose size is at or under
+  * `spark.sql.autoBroadcastJoinThreshold`. Soundness: Project/Filter
+  * never grow a subtree, so manifest bytes are an upper bound of the
+  * side's size; the hint is advisory (JoinSelection ignores it where
+  * the join type cannot legally build that side), an existing
+  * user/query hint on the side always wins, and threshold ≤ 0
+  * (broadcast disabled) disables the rule. Idempotent, so safe in a
+  * fixed-point batch.
+  *
+  * Wiring: `GraftExtensions` injects it as a pre-CBO rule
+  * (`spark.sql.extensions=graft.functions.GraftExtensions`); an
+  * already-running session calls [[GraftBroadcastStats.install]],
+  * which appends it to `spark.experimental.extraOptimizations` (the
+  * "User Provided Optimizers" batch — after scan pushdown, before
+  * physical planning).
+  */
+case class GraftBroadcastStats(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  /** Upper-bound byte size of a join side, when the side is a pure
+    * column-level tree over one graft scan; None = not a graft side
+    * or size unknowable (never guess).
+    */
+  private def graftSize(plan: LogicalPlan): Option[Long] = plan match {
+    case p: Project => graftSize(p.child)
+    case f: Filter  => graftSize(f.child)
+    case r: DataSourceV2ScanRelation =>
+      r.scan match {
+        case w: V1ScanWrapper => w.v1Scan match {
+          case g: GraftScan => GraftScanPlanner.liveBytes(g.opts)
+          case _            => None
+        }
+        case _ => None
+      }
+    // pre-pushdown shape (if the rule lands before the early
+    // scan-pushdown batch, e.g. via a differently-ordered injection)
+    case r: DataSourceV2Relation =>
+      r.table match {
+        case t: GraftTable => GraftScanPlanner.liveBytes(t.opts)
+        case _             => None
+      }
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val threshold = conf.autoBroadcastJoinThreshold
+    if (threshold <= 0) return plan
+    plan.transform {
+      case j @ Join(left, right, _, _, hint)
+          if hint.leftHint.isEmpty || hint.rightHint.isEmpty =>
+        def small(p: LogicalPlan): Boolean =
+          graftSize(p).exists(_ <= threshold)
+        val lh =
+          if (hint.leftHint.isEmpty && small(left))
+            Some(HintInfo(Some(BROADCAST)))
+          else hint.leftHint
+        val rh =
+          if (hint.rightHint.isEmpty && small(right))
+            Some(HintInfo(Some(BROADCAST)))
+          else hint.rightHint
+        if ((lh eq hint.leftHint) && (rh eq hint.rightHint)) j
+        else j.copy(hint = JoinHint(lh, rh))
+    }
+  }
+}
+
+object GraftBroadcastStats {
+  /** Activate on an already-running session (extensions can only be
+    * configured at session build): appends to
+    * `spark.experimental.extraOptimizations` once, idempotently.
+    */
+  def install(spark: SparkSession): Unit = synchronized {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(_.isInstanceOf[GraftBroadcastStats]))
+      spark.experimental.extraOptimizations =
+        cur :+ GraftBroadcastStats(spark)
+  }
+}

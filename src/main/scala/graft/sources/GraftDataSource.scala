@@ -72,9 +72,10 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   }
 }
 
-private[graft] class GraftTable(opts: GraftScanPlanner.Opts,
-                                tableSchema: StructType,
-                                props: Map[String, String] = Map.empty)
+private[graft] class GraftTable(
+    private[graft] val opts: GraftScanPlanner.Opts,
+    tableSchema: StructType,
+    props: Map[String, String] = Map.empty)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
@@ -116,8 +117,12 @@ private[graft] class GraftTable(opts: GraftScanPlanner.Opts,
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(opts.metadata.isEmpty,
+      s"metadata table '${opts.metadata.get}' of ${opts.root} is " +
+        "read-only")
     new GraftWriteBuilder(opts.root, info, props)
+  }
 
   // ---- SQL DELETE FROM … WHERE … ------------------------------------
   // Merge-on-read position deletes (the Iceberg delete-file shape):
@@ -128,11 +133,13 @@ private[graft] class GraftTable(opts: GraftScanPlanner.Opts,
   // translatable predicates, not just partition-aligned ones.
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     opts.versionAsOf.isEmpty && opts.changes.isEmpty &&
+      opts.metadata.isEmpty &&
       filters.forall(f => GraftFilterColumns.translate(f).isDefined)
   override def deleteWhere(filters: Array[Filter]): Unit = {
-    require(opts.versionAsOf.isEmpty && opts.changes.isEmpty,
-      "DELETE on a time-travel/change-feed read is not a thing — " +
-        "address the live table")
+    require(opts.versionAsOf.isEmpty && opts.changes.isEmpty &&
+      opts.metadata.isEmpty,
+      "DELETE on a time-travel/change-feed/metadata read is not a " +
+        "thing — address the live table")
     val spark = SparkSession.active
     val pred = filters.flatMap(GraftFilterColumns.translate)
       .reduceOption(_ && _)
@@ -389,7 +396,8 @@ private[sources] class GraftScanBuilder(opts: GraftScanPlanner.Opts,
     import org.apache.spark.sql.functions.lit
     import org.apache.spark.sql.types._
     if (pushed.nonEmpty || opts.versionAsOf.isDefined ||
-        opts.changes.isDefined || agg.groupByExpressions.nonEmpty ||
+        opts.changes.isDefined || opts.metadata.isDefined ||
+        agg.groupByExpressions.nonEmpty ||
         agg.aggregateExpressions.isEmpty ||
         (opts.withDeletes && VersionedTable.hasAnyDeletes(opts.root)))
       return None
@@ -503,9 +511,10 @@ private[sources] class GraftAggScan(opts: GraftScanPlanner.Opts,
   }
 }
 
-private[sources] class GraftScan(opts: GraftScanPlanner.Opts,
-                                 required: StructType,
-                                 pushed: Array[Filter]) extends V1Scan {
+private[graft] class GraftScan(
+    private[graft] val opts: GraftScanPlanner.Opts,
+    required: StructType,
+    pushed: Array[Filter]) extends V1Scan {
   override def readSchema(): StructType = required
   override def description(): String =
     s"GraftScan root=${opts.root}" +
@@ -562,7 +571,8 @@ private[graft] object GraftScanPlanner {
   final case class Opts(root: String, versionAsOf: Option[Long],
                         withDeletes: Boolean,
                         changes: Option[(Long, Long, Seq[String])] = None,
-                        emptyOk: Boolean = false)
+                        emptyOk: Boolean = false,
+                        metadata: Option[String] = None)
 
   def opts(m: CaseInsensitiveStringMap): Opts = {
     val rawPath = Option(m.get("path")).getOrElse(
@@ -609,18 +619,166 @@ private[graft] object GraftScanPlanner {
         "needs option(\"changesFrom\", ...)")
     require(changes.isEmpty || (asOf.isEmpty && byRef.isEmpty),
       "changesFrom cannot combine with versionAsOf/ref")
+    // metadata tables (Iceberg's t.history/t.files shape): inspect
+    // the table's own commit/file/partition/ref metadata as a
+    // DataFrame. Orthogonal options rejected — a metadata read IS the
+    // whole address.
+    val metadata = Option(m.get("metadata")).map(_.toLowerCase)
+    metadata.foreach { k =>
+      require(MetadataKinds(k),
+        s"unknown metadata table '$k' — one of " +
+          MetadataKinds.toSeq.sorted.mkString(", "))
+      require(asOf.isEmpty && byRef.isEmpty && changes.isEmpty,
+        "a metadata read cannot combine with versionAsOf/ref/" +
+          "changesFrom")
+    }
     Opts(root, asOf.orElse(byRef),
       Option(m.get("withDeletes")).forall(_.toBoolean), changes,
       // catalog tables exist before their first commit (declared
       // schema, zero rows); path-based reads of a manifest-less dir
       // stay a loud error — "not a graft table"
-      emptyOk = Option(m.get("__graft_empty_ok")).exists(_.toBoolean))
+      emptyOk = Option(m.get("__graft_empty_ok")).exists(_.toBoolean),
+      metadata = metadata)
+  }
+
+  val MetadataKinds: Set[String] =
+    Set("history", "files", "partitions", "refs")
+
+  /** The metadata tables — driver-assembled from manifests/sidecars
+    * (|files|-bounded, no data IO):
+    *
+    *   - `history`:    (version, published_at, form, is_live) per
+    *     retained commit — publish instants from the atomic
+    *     history-entry mtimes
+    *   - `files`:      (partition, file, bytes, row_count) per LIVE
+    *     data file; row_count null when the sidecar lacks the entry
+    *     (legacy commit) — absent metadata never fabricated
+    *   - `partitions`: (partition, dir, file_count, bytes, row_count)
+    *     per live partition pointer (one synthetic root row for flat
+    *     tables)
+    *   - `refs`:       (name, version) named refs
+    */
+  def metadataFrame(spark: SparkSession, root: String,
+                    kind: String): DataFrame = {
+    import spark.implicits._
+    val rootP = Paths.get(root)
+    val pm = VersionedTable.readPartitionedManifest(root)
+    val fm = if (pm.isDefined) None else VersionedTable.readManifest(root)
+    kind match {
+      case "history" =>
+        val liveV = pm.map(_.version).orElse(fm.map(_.version))
+        VersionedTable.versionPublishTimes(root).map { case (v, ms) =>
+          (v, new java.sql.Timestamp(ms),
+            if (VersionedTable.historyPartitionedManifest(root, v)
+              .isDefined) "partitioned" else "flat",
+            liveV.contains(v))
+        }.toDF("version", "published_at", "form", "is_live")
+      case "files" =>
+        val rows: Seq[(String, String, Long, Option[Long])] = pm match {
+          case Some(m) =>
+            m.partitions.toSeq.sortBy(_._1).flatMap { case (k, dn) =>
+              val verDir = rootP.resolve(dn)
+              val stats = VersionedTable.readStatsSidecar(verDir)
+              VersionedTable.dataFilesUnder(verDir.resolve(k)).map { f =>
+                val rel = verDir.relativize(f).toString
+                  .replace('\\', '/')
+                (k, s"$dn/$rel", Files.size(f), stats.get(rel).map(_.rows))
+              }
+            }
+          case None =>
+            val m = fm.getOrElse(return spark.emptyDataset[
+              (String, String, Long, Option[Long])].toDF(
+              "partition", "file", "bytes", "row_count"))
+            val dirP = rootP.resolve(m.live)
+            val stats = VersionedTable.readStatsSidecar(dirP)
+            VersionedTable.dataFilesUnder(dirP).map { f =>
+              val rel = dirP.relativize(f).toString.replace('\\', '/')
+              (null: String, s"${m.live}/$rel", Files.size(f),
+                stats.get(rel).map(_.rows))
+            }
+        }
+        rows.toDF("partition", "file", "bytes", "row_count")
+      case "partitions" =>
+        val rows: Seq[(String, String, Long, Long, Option[Long])] =
+          pm match {
+            case Some(m) =>
+              m.partitions.toSeq.sortBy(_._1).map { case (k, dn) =>
+                val verDir = rootP.resolve(dn)
+                val stats = VersionedTable.readStatsSidecar(verDir)
+                val fs = VersionedTable.dataFilesUnder(verDir.resolve(k))
+                val rels = fs.map(f => verDir.relativize(f).toString
+                  .replace('\\', '/'))
+                val rc =
+                  if (rels.forall(stats.contains))
+                    Some(rels.map(stats(_).rows).sum)
+                  else None // partial sidecar: no fabricated count
+                (k, dn, fs.size.toLong, fs.map(Files.size(_)).sum, rc)
+              }
+            case None =>
+              fm.toSeq.map { m =>
+                val dirP = rootP.resolve(m.live)
+                val stats = VersionedTable.readStatsSidecar(dirP)
+                val fs = VersionedTable.dataFilesUnder(dirP)
+                val rels = fs.map(f => dirP.relativize(f).toString
+                  .replace('\\', '/'))
+                val rc =
+                  if (rels.forall(stats.contains))
+                    Some(rels.map(stats(_).rows).sum)
+                  else None
+                (null: String, m.live, fs.size.toLong,
+                  fs.map(Files.size(_)).sum, rc)
+              }
+          }
+        rows.toDF("partition", "dir", "file_count", "bytes",
+          "row_count")
+      case "refs" =>
+        VersionedTable.refs(root).toSeq.sorted.toDF("name", "version")
+      case other => throw new IllegalArgumentException(
+        s"unknown metadata table '$other'")
+    }
+  }
+
+  /** Upper-bound byte size of the snapshot the options address: live
+    * (or time-travelled) data-file bytes summed from the manifest —
+    * driver-side metadata only, |files|-bounded, zero data IO. None
+    * when unknowable (change feeds, missing version dirs): statistics
+    * must never guess. Backs [[graft.plans.GraftBroadcastStats]].
+    */
+  def liveBytes(o: Opts): Option[Long] = {
+    if (o.changes.isDefined) return None
+    val rootP = Paths.get(o.root)
+    def bytesUnder(dir: Path): Long =
+      VersionedTable.dataFilesUnder(dir).map(Files.size(_)).sum
+    val pm = o.versionAsOf match {
+      case Some(v) => VersionedTable.historyPartitionedManifest(o.root, v)
+      case None    => VersionedTable.readPartitionedManifest(o.root)
+    }
+    pm match {
+      case Some(m) =>
+        Some(m.partitions.toSeq.map { case (k, dn) =>
+          bytesUnder(rootP.resolve(dn).resolve(k))
+        }.sum)
+      case None =>
+        o.versionAsOf match {
+          case Some(v) =>
+            val dir = rootP.resolve(VersionedTable.versionDirName(v))
+            if (Files.isDirectory(dir)) Some(bytesUnder(dir)) else None
+          case None =>
+            VersionedTable.readManifest(o.root) match {
+              case Some(m) => Some(bytesUnder(rootP.resolve(m.live)))
+              case None => if (o.emptyOk) Some(0L) else None
+            }
+        }
+    }
   }
 
   /** The UNPRUNED dataframe the options address — schema inference
     * and the empty-survivor fallback (schema with zero rows).
     */
   def observable(spark: SparkSession, o: Opts): DataFrame = {
+    o.metadata.foreach { kind =>
+      return metadataFrame(spark, o.root, kind)
+    }
     o.changes.foreach { case (from, to, keys) =>
       require(from <= to,
         s"changesFrom $from is past changesTo $to under ${o.root}")
@@ -677,11 +835,11 @@ private[graft] object GraftScanPlanner {
     */
   def pruned(spark: SparkSession, o: Opts,
              filters: Seq[Filter]): DataFrame = {
-    // a change-feed read is diff-computed, not file-assembled — no
-    // file pruning applies; filters stay residual above it. Clear the
-    // audit so a consumer never attributes the PREVIOUS scan's
-    // decision to this one.
-    if (o.changes.isDefined) {
+    // change-feed and metadata reads are computed, not file-assembled
+    // — no file pruning applies; filters stay residual above them.
+    // Clear the audit so a consumer never attributes the PREVIOUS
+    // scan's decision to this one.
+    if (o.changes.isDefined || o.metadata.isDefined) {
       GraftScanAudit.last = None
       return observable(spark, o)
     }

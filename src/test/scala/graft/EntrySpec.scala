@@ -259,6 +259,10 @@ class EntrySpec extends SparkSpec {
                              // integer counts/versions;
                              // strict-verified sf0.001/0.01/0.1
                              // 2026-08-15
+      "q321_stats_broadcast", // integer-cents pin (round(value*100)
+                             // → BIGINT before integer products/sums);
+                             // strict-verified sf0.001/0.01/0.1
+                             // 2026-08-15
       "q317_partitioned_pos_deletes", // integer-cents pin
                              // (round(value*100) → BIGINT before +77);
                              // audit columns are integer partition/
