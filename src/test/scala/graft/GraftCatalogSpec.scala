@@ -181,6 +181,23 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception](spark.table("gcat.tmp.c2").collect())
   }
 
+  test("a stray 'path' table property can never hijack the root; " +
+    "__graft_* properties are rejected by ALTER") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.guard")
+    spark.sql("CREATE TABLE gcat.guard.h (id BIGINT) USING graft " +
+      "TBLPROPERTIES ('path' = '/definitely/not/here', " +
+      "'keys' = 'id')")
+    spark.sql("INSERT INTO gcat.guard.h SELECT id FROM range(7)")
+    // the data landed under the WAREHOUSE root, not the stray path
+    assert(VersionedTable.readLive(spark, s"$wh/guard/h").count() === 7)
+    assert(spark.table("gcat.guard.h").count() === 7)
+    val e = intercept[Exception](spark.sql(
+      "ALTER TABLE gcat.guard.h SET TBLPROPERTIES " +
+        "('__graft_empty_ok' = 'false')"))
+    assert(e.getMessage.contains("catalog-internal"), e.getMessage)
+  }
+
   test("catalog reads engage the same sidecar pruning as path reads") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.pr")
