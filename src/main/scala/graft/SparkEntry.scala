@@ -4825,6 +4825,50 @@ object SparkEntry {
         lit(bhj).as("bhj"))
     }),
 
+    // External registration + SQL changelog (r13): a path-written
+    // graft table is registered under a catalog NAME via CREATE
+    // TABLE … LOCATION (zero copy — the stub holds only the catalog
+    // entry), its row-level change feed reads as the `t$changes`
+    // TABLE (Iceberg changelog shape: schema fixed at load, range by
+    // read options, diff keys from TBLPROPERTIES), and DROP removes
+    // the name while KEEPING the data (external contract). Graded
+    // closed-form: v1 inserts the odd half, v2 upserts everything
+    // with a changed payload → inserts = all rows, update pre/post =
+    // the odd half, live = all, data intact after DROP.
+    "q323_external_changelog" -> ((s, d) => {
+      import s.implicits._
+      val vt = graft.sinks.VersionedTable
+      if (!s.conf.getOption("spark.sql.catalog.g13").isDefined) {
+        s.conf.set("spark.sql.catalog.g13",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.g13.warehouse",
+          graft.core.ScratchDirs.fresh("q320_wh").toString)
+      }
+      s.sql("DROP NAMESPACE IF EXISTS g13.q323 CASCADE")
+      s.sql("CREATE NAMESPACE g13.q323")
+      val work = graft.core.ScratchDirs.fresh("q323_ext")
+        .resolve("t").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"))
+      vt.upsert(s, work,
+        ev.filter(col("event_id") % 2 === 1)
+          .withColumn("v", lit("a")), Seq("event_id"))
+      vt.upsert(s, work, ev.withColumn("v", lit("b")),
+        Seq("event_id"))
+      s.sql("CREATE TABLE g13.q323.ev (event_id BIGINT, " +
+        "event_type STRING, v STRING) USING graft " +
+        s"LOCATION '$work' TBLPROPERTIES ('keys' = 'event_id')")
+      val live = s.sql("SELECT count(*) FROM g13.q323.ev")
+        .head.getLong(0)
+      val ops = s.sql("SELECT _change_type AS part, count(*) AS n " +
+        "FROM g13.q323.`ev$changes` GROUP BY 1")
+      val opRows = ops.as[(String, Long)].collect().toMap
+      s.sql("DROP TABLE g13.q323.ev")
+      val kept = vt.readLive(s, work).count()
+      (opRows.toSeq ++ Seq(("live", live), ("kept", kept)))
+        .toDF("part", "n")
+    }),
+
     // Metadata tables (r13: Iceberg's t.history/t.files shape —
     // option("metadata", …) or the catalog's t$kind names): commit
     // history with publish instants, per-file bytes + sidecar row
@@ -11587,6 +11631,28 @@ object SparkEntry {
         |  CAST(sum(dim.s_type) AS BIGINT) AS y,
         |  CAST(1 AS BIGINT) AS bhj
         |FROM ev JOIN dim USING (event_type)""".stripMargin,
+
+    // External-changelog replay: inserts = every row (odd half at v1,
+    // even half at v2), update pre/post = the odd half (payload
+    // changed at v2), live = all rows, and the data survives DROP.
+    "q323_external_changelog" ->
+      """WITH o AS (
+        |  SELECT count(*) AS n_all,
+        |    sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS n_odd
+        |  FROM events)
+        |SELECT 'insert' AS part,
+        |  (SELECT CAST(n_all AS BIGINT) FROM o) AS n
+        |UNION ALL
+        |SELECT 'update_preimage',
+        |  (SELECT CAST(n_odd AS BIGINT) FROM o)
+        |UNION ALL
+        |SELECT 'update_postimage',
+        |  (SELECT CAST(n_odd AS BIGINT) FROM o)
+        |UNION ALL
+        |SELECT 'live', (SELECT CAST(n_all AS BIGINT) FROM o)
+        |UNION ALL
+        |SELECT 'kept', (SELECT CAST(n_all AS BIGINT) FROM o)""".stripMargin,
 
     // Metadata-table replay: 2 retained commits (live = v2); files'
     // sidecar row counts sum to the table count across |days|

@@ -144,9 +144,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     finally s.close()
   }
 
-  private def graftTable(ident: Identifier, root: Path,
+  /** Where the table's DATA lives: the stub directory itself for
+    * managed tables; the recorded external location for tables
+    * created with `LOCATION` (the stub then holds only
+    * `_graft_catalog.json`).
+    */
+  private def dataRoot(stub: Path): Path =
+    readMeta(stub).get(GraftCatalog.LocationKey)
+      .map(GraftCatalog.normalizePath).getOrElse(stub)
+
+  private def graftTable(ident: Identifier, stub: Path,
                          versionAsOf: Option[Long]): GraftTable = {
-    val meta = readMeta(root)
+    val meta = readMeta(stub)
+    val root = meta.get(GraftCatalog.LocationKey)
+      .map(GraftCatalog.normalizePath).getOrElse(stub)
     val rootS = root.toString
     // user TBLPROPERTIES first, then the catalog-owned keys — so a
     // stray 'path'/'__graft_*' property can never hijack the root
@@ -198,8 +209,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           ident.name().substring(dollar + 1).toLowerCase)
       if (GraftScanPlanner.MetadataKinds(kind)) {
         val baseIdent = Identifier.of(ident.namespace(), base)
-        val root = tablePath(baseIdent)
-        if (!isTableDir(root)) throw new NoSuchTableException(baseIdent)
+        val stub = tablePath(baseIdent)
+        if (!isTableDir(stub)) throw new NoSuchTableException(baseIdent)
+        val root = dataRoot(stub)
         val props = Map("path" -> root.toString,
           "metadata" -> kind,
           "__graft_name" ->
@@ -212,6 +224,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             SparkSession.active, root.toString, kind).schema,
           props)
       }
+      // `t$changes` = the change-data-feed as a TABLE (Iceberg's
+      // changelog shape): schema is the data schema + the change
+      // columns, fixed at load time; the RANGE comes from read
+      // options — option("changesFrom", v) [+ changesTo], default =
+      // full retained history; diff keys come from the table's
+      // `keys` TBLPROPERTY.
+      if (kind == "changes") {
+        val baseIdent = Identifier.of(ident.namespace(), base)
+        val stub = tablePath(baseIdent)
+        if (!isTableDir(stub)) throw new NoSuchTableException(baseIdent)
+        val root = dataRoot(stub)
+        val meta = readMeta(stub)
+        val keys = meta.getOrElse("keys",
+          throw new IllegalArgumentException(
+            s"$base has no 'keys' table property — a change feed " +
+              "needs the diff key columns (TBLPROPERTIES " +
+              "('keys' = '…'))"))
+        // default range = everything reconstructable: from birth when
+        // v1 is still retained, else from the earliest retained
+        // snapshot (pruned history cannot be diffed row-level)
+        val earliest = VersionedTable.versions(root.toString)
+          .headOption.map(h => if (h == 1L) 0L else h).getOrElse(0L)
+        val props = Map("path" -> root.toString,
+          "keys" -> keys,
+          "changesFrom" -> earliest.toString,
+          "__graft_name" ->
+            (catalogName +: ident.namespace() :+ ident.name())
+              .mkString("."))
+        val opts = GraftScanPlanner.opts(
+          new CaseInsensitiveStringMap(props.asJava))
+        return new GraftTable(opts,
+          VersionedTable.readChangesEmptyFrame(
+            SparkSession.active, root.toString).schema,
+          props)
+      }
     }
     val root = tablePath(ident)
     if (!isTableDir(root)) throw new NoSuchTableException(ident)
@@ -220,8 +267,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   /** `VERSION AS OF` — a retained commit number, or a named ref. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val root = tablePath(ident)
-    if (!isTableDir(root)) throw new NoSuchTableException(ident)
+    val stub = tablePath(ident)
+    if (!isTableDir(stub)) throw new NoSuchTableException(ident)
+    val root = dataRoot(stub)
     val v = version.toLongOption.getOrElse {
       VersionedTable.refs(root.toString).getOrElse(version,
         throw new IllegalArgumentException(
@@ -230,17 +278,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             VersionedTable.refs(root.toString).keys.toSeq.sorted
               .mkString(", ")))
     }
-    graftTable(ident, root, Some(v))
+    graftTable(ident, stub, Some(v))
   }
 
   /** `TIMESTAMP AS OF` (micros since epoch): newest commit whose
     * publish instant is ≤ the asked instant.
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
-    val root = tablePath(ident)
-    if (!isTableDir(root)) throw new NoSuchTableException(ident)
+    val stub = tablePath(ident)
+    if (!isTableDir(stub)) throw new NoSuchTableException(ident)
     val tsMillis = timestamp / 1000L
-    val times = VersionedTable.versionPublishTimes(root.toString)
+    val times =
+      VersionedTable.versionPublishTimes(dataRoot(stub).toString)
     val v = times.filter(_._2 <= tsMillis).map(_._1).maxOption
       .getOrElse(throw new IllegalArgumentException(
         s"TIMESTAMP AS OF on ${ident.name()}: no retained commit " +
@@ -249,7 +298,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           times.headOption.map { case (ver, t) =>
             s"v$ver at ${java.time.Instant.ofEpochMilli(t)}"
           }.getOrElse("<none>")))
-    graftTable(ident, root, Some(v))
+    graftTable(ident, stub, Some(v))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -278,11 +327,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           k.substring(TableCatalog.OPTION_PREFIX.length)
          else k) -> v
       }.toMap
+    // `LOCATION '…'` = EXTERNAL table: the stub dir holds only the
+    // catalog entry; data lives (or already lives — registering an
+    // existing path-based graft table is the point) at the location.
+    // DROP removes the catalog entry and keeps the data; PURGE
+    // removes both.
+    val location = Option(properties.get(TableCatalog.PROP_LOCATION))
+      .map(l => GraftCatalog.normalizePath(l).toString)
     val meta = user ++
       (if (partCols.nonEmpty)
         Map("partitionColumns" -> partCols.mkString(","))
-       else Map.empty) +
-      (GraftCatalog.SchemaKey -> schema.json)
+       else Map.empty) ++
+      location.map(GraftCatalog.LocationKey -> _) ++
+      (if (schema.nonEmpty)
+        Map(GraftCatalog.SchemaKey -> schema.json)
+       else Map.empty)
     writeMeta(root, meta)
     graftTable(ident, root, None)
   }
@@ -295,8 +354,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case (m, c: TableChange.SetProperty) =>
         require(c.property() != GraftCatalog.SchemaKey &&
           c.property() != "path" &&
+          c.property() != GraftCatalog.LocationKey &&
           !c.property().startsWith("__graft_"),
-          s"property '${c.property()}' is catalog-internal")
+          s"property '${c.property()}' is catalog-internal " +
+            "(repointing a table's location is not an ALTER)")
         m + (c.property() -> c.value())
       case (m, c: TableChange.RemoveProperty) =>
         m - c.property()
@@ -309,9 +370,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def dropTable(ident: Identifier): Boolean = {
-    val root = tablePath(ident)
-    if (!isTableDir(root)) false
-    else { GraftCatalog.deleteRecursively(root); true }
+    // DROP on an external (LOCATION) table removes the catalog entry
+    // and KEEPS the data — PURGE removes both (Iceberg's contract)
+    val stub = tablePath(ident)
+    if (!isTableDir(stub)) false
+    else { GraftCatalog.deleteRecursively(stub); true }
+  }
+
+  override def purgeTable(ident: Identifier): Boolean = {
+    val stub = tablePath(ident)
+    if (!isTableDir(stub)) return false
+    val data = dataRoot(stub)
+    GraftCatalog.deleteRecursively(stub)
+    if (data != stub) GraftCatalog.deleteRecursively(data)
+    true
   }
 
   override def renameTable(oldIdent: Identifier,
@@ -399,6 +471,11 @@ private[graft] object GraftCatalog {
     */
   val MetaFile = "_graft_catalog.json"
   val SchemaKey = "__schema"
+  val LocationKey = "location"
+
+  private[sources] def normalizePath(p: String): Path =
+    if (p.startsWith("file:")) Paths.get(java.net.URI.create(p))
+    else Paths.get(p)
 
   /** Spark-managed table properties that must not leak into the
     * write-option space.

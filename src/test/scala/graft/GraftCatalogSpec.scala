@@ -198,6 +198,82 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("catalog-internal"), e.getMessage)
   }
 
+  test("LOCATION registers an existing path-based table as EXTERNAL: " +
+    "reads/writes address the location, DROP keeps the data, PURGE " +
+    "removes it") {
+    wh
+    val ext = java.nio.file.Files.createTempDirectory("gcat_ext")
+      .resolve("t").toString
+    VersionedTable.upsert(spark, ext,
+      (1L to 9L).map(i => (i, i * 2)).toDF("id", "v"), Seq("id"))
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ext")
+    spark.sql("CREATE TABLE gcat.ext.t (id BIGINT, v BIGINT) " +
+      s"USING graft LOCATION '$ext' TBLPROPERTIES ('keys' = 'id')")
+    assert(spark.table("gcat.ext.t").count() === 9)
+    spark.sql("INSERT INTO gcat.ext.t VALUES (10, 20)")
+    // the write landed at the LOCATION, not under the warehouse stub
+    assert(VersionedTable.readLive(spark, ext).count() === 10)
+    // metadata names resolve against the location too
+    assert(spark.sql("SELECT sum(row_count) FROM gcat.ext.`t$files`")
+      .head.getLong(0) === 10)
+    spark.sql("DROP TABLE gcat.ext.t")
+    intercept[Exception](spark.table("gcat.ext.t").collect())
+    assert(VersionedTable.readLive(spark, ext).count() === 10,
+      "DROP of an external table must keep the data")
+    // re-register, then PURGE removes the data as well
+    spark.sql("CREATE TABLE gcat.ext.t (id BIGINT, v BIGINT) " +
+      s"USING graft LOCATION '$ext'")
+    spark.sql("DROP TABLE gcat.ext.t PURGE")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(ext)))
+  }
+
+  test("racing INSERTs into one catalog table settle by the " +
+    "table's CAS — no lost updates") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.conc")
+    spark.sql("CREATE TABLE gcat.conc.t (id BIGINT, v BIGINT) " +
+      "USING graft TBLPROPERTIES ('keys' = 'id')")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = (0 until 4).map { w =>
+      Future {
+        spark.sql("INSERT INTO gcat.conc.t " +
+          s"SELECT id, id * 10 FROM range(${w * 100}, ${w * 100 + 100})")
+      }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    val got = spark.table("gcat.conc.t")
+      .agg(count(lit(1)), sum("v")).head
+    assert(got.getLong(0) === 400)
+    assert(got.getLong(1) === (0L until 400L).map(_ * 10).sum)
+  }
+
+  test("change-feed reads through the catalog pick up the table's " +
+    "declared keys") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.cdf")
+    spark.sql("CREATE TABLE gcat.cdf.t (id BIGINT, v STRING) " +
+      "USING graft TBLPROPERTIES ('keys' = 'id')")
+    spark.sql("INSERT INTO gcat.cdf.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO gcat.cdf.t VALUES (2, 'B'), (3, 'c')")
+    // the t$changes table (Iceberg changelog shape): diff keys come
+    // from TBLPROPERTIES, the range from read options
+    val feed = spark.read.option("changesFrom", "1")
+      .table("gcat.cdf.`t$changes`")
+      .select("_change_type", "id").as[(String, Long)]
+      .collect().toSet
+    assert(feed === Set(("update_preimage", 2L),
+      ("update_postimage", 2L), ("insert", 3L)),
+      s"unexpected feed: $feed")
+    // no options: the full retained history through plain SQL
+    val full = spark.sql(
+      "SELECT _change_type, count(*) AS n FROM gcat.cdf.`t$changes` " +
+        "GROUP BY 1").as[(String, Long)].collect().toMap
+    assert(full === Map("insert" -> 3L, "update_preimage" -> 1L,
+      "update_postimage" -> 1L), s"unexpected full feed: $full")
+  }
+
   test("catalog reads engage the same sidecar pruning as path reads") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.pr")
