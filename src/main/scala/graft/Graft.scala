@@ -649,6 +649,36 @@ object Graft {
     sinks.VersionedTable.streamChanges(spark, root, keys,
       checkpointDir)(onBatch)
 
+  /** Whole-partition predicate backfill — see
+    * [[sinks.VersionedTable.overwritePartitionsWhere]] (the engine
+    * behind SQL `INSERT OVERWRITE … PARTITION (…)`).
+    */
+  def overwritePartitionsWhere(spark: SparkSession, root: String,
+                               keyMatches: String => Boolean,
+                               replacement: DataFrame): Long =
+    sinks.VersionedTable.overwritePartitionsWhere(spark, root,
+      keyMatches, replacement)
+
+  /** (version, publishedAtEpochMillis) per retained commit — the
+    * `TIMESTAMP AS OF` resolution surface.
+    */
+  def versionPublishTimes(root: String): Seq[(Long, Long)] =
+    sinks.VersionedTable.versionPublishTimes(root)
+
+  /** A metadata table (history/files/partitions/refs) as a
+    * DataFrame — what `option("metadata", …)` / the catalog's
+    * `t$kind` names read.
+    */
+  def metadataTable(spark: SparkSession, root: String,
+                    kind: String): DataFrame =
+    sources.GraftScanPlanner.metadataFrame(spark, root, kind)
+
+  /** Activate manifest-stats auto-broadcast on a running session —
+    * see [[plans.GraftBroadcastStats]].
+    */
+  def installBroadcastStats(spark: SparkSession): Unit =
+    plans.GraftBroadcastStats.install(spark)
+
   /** Per-document n-gram novelty in corpus order — see
     * [[operators.TextStats.noveltyByDoc]].
     */
