@@ -4342,9 +4342,11 @@ object VersionedTable {
     walk(base, depth).map(base.relativize)
   }
 
-  private def deleteRecursively(p: Path): Unit =
+  private[graft] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.delete(f))
+      finally s.close()
     }
 }

@@ -160,11 +160,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .map(GraftCatalog.normalizePath).getOrElse(stub)
     val rootS = root.toString
     // user TBLPROPERTIES first, then the catalog-owned keys — so a
-    // stray 'path'/'__graft_*' property can never hijack the root
+    // stray 'path'/'__graft_*'/planner-option property can never
+    // hijack the root or pin every read (belt to createTable/
+    // alterTable's braces: both reject these keys loudly)
     val props =
       meta.filterNot { case (k, _) =>
         k == GraftCatalog.SchemaKey || k == "path" ||
-          k.startsWith("__graft_")
+          k.startsWith("__graft_") ||
+          GraftCatalog.ReservedOptionKeys(k.toLowerCase)
       } ++ Map(
         "path" -> rootS,
         "__graft_empty_ok" -> "true",
@@ -174,17 +177,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       versionAsOf.map(v => "versionAsOf" -> v.toString)
     val opts = GraftScanPlanner.opts(
       new CaseInsensitiveStringMap(props.asJava))
-    // committed table: the OBSERVABLE schema is the truth (writes may
-    // have sync-evolved past the declared one); declared otherwise.
-    // Column ORDER is pinned to the declaration while the column SETS
-    // agree: a partitioned read appends partition columns last, and a
-    // shifting schema order would re-bind later POSITIONAL INSERTs to
-    // the wrong columns.
+    // Schema resolution, cheapest-truth-first:
+    //   - never committed → the declared schema;
+    //   - committed + declared + STRICT schema mode (the default) →
+    //     the declaration IS authoritative (strict writes reject new
+    //     columns), so simple-statement planning never pays an
+    //     O(|partitions|) footer walk;
+    //   - schemaMode=sync or no declaration (schemaless LOCATION
+    //     registration) → the OBSERVABLE schema is the truth, column
+    //     ORDER pinned to the declaration while the column sets agree
+    //     (a partitioned read appends partition columns last, and a
+    //     shifting order would re-bind later POSITIONAL INSERTs).
+    // An external table whose path-side writers diverged from the
+    // declaration surfaces at query time (loud AnalysisException on
+    // the missing column), never as silent misbinding.
     val declared = meta.get(GraftCatalog.SchemaKey)
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+    val committed = VersionedTable.readManifest(rootS).isDefined ||
+      VersionedTable.readPartitionedManifest(rootS).isDefined
+    val syncMode = meta.get("schemaMode").contains("sync")
     val schema =
-      if (VersionedTable.readManifest(rootS).isDefined ||
-          VersionedTable.readPartitionedManifest(rootS).isDefined) {
+      if (!committed) declared.getOrElse(throw new IllegalStateException(
+        s"table dir $root has neither a commit nor a declared " +
+          "schema — corrupt catalog entry"))
+      else if (declared.isDefined && !syncMode) declared.get
+      else {
         val obs =
           GraftScanPlanner.observable(SparkSession.active, opts).schema
         declared match {
@@ -193,9 +210,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             StructType(d.fieldNames.map(obs(_)))
           case _ => obs
         }
-      } else declared.getOrElse(throw new IllegalStateException(
-        s"table dir $root has neither a commit nor a declared " +
-          "schema — corrupt catalog entry"))
+      }
     new GraftTable(opts, schema, props)
   }
 
@@ -244,20 +259,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         // default range = everything reconstructable: from birth when
         // v1 is still retained, else from the earliest retained
         // snapshot (pruned history cannot be diffed row-level)
-        val earliest = VersionedTable.versions(root.toString)
-          .headOption.map(h => if (h == 1L) 0L else h).getOrElse(0L)
+        val vs = VersionedTable.versions(root.toString)
+        val earliest =
+          vs.headOption.map(h => if (h == 1L) 0L else h).getOrElse(0L)
         val props = Map("path" -> root.toString,
           "keys" -> keys,
           "changesFrom" -> earliest.toString,
+          "__graft_empty_ok" -> "true",
           "__graft_name" ->
             (catalogName +: ident.namespace() :+ ident.name())
-              .mkString("."))
+              .mkString(".")) ++
+          // never-committed table: an EMPTY feed with the declared
+          // schema, consistent with the catalog's emptyOk contract
+          // (changesTo's default would otherwise fail on "no
+          // retained versions")
+          (if (vs.isEmpty) Map("changesTo" -> "0") else Map.empty)
         val opts = GraftScanPlanner.opts(
           new CaseInsensitiveStringMap(props.asJava))
-        return new GraftTable(opts,
-          VersionedTable.readChangesEmptyFrame(
-            SparkSession.active, root.toString).schema,
-          props)
+        val schema =
+          if (vs.nonEmpty)
+            VersionedTable.readChangesEmptyFrame(
+              SparkSession.active, root.toString).schema
+          else StructType(
+            readMeta(stub).get(GraftCatalog.SchemaKey)
+              .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+              .getOrElse(throw new IllegalStateException(
+                s"$base has neither a commit nor a declared schema"))
+              .fields ++ Seq(
+              org.apache.spark.sql.types.StructField(
+                VersionedTable.ChangeTypeCol,
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField(
+                VersionedTable.ChangeVersionCol,
+                org.apache.spark.sql.types.LongType)))
+        return new GraftTable(opts, schema, props)
       }
     }
     val root = tablePath(ident)
@@ -270,6 +305,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val stub = tablePath(ident)
     if (!isTableDir(stub)) throw new NoSuchTableException(ident)
     val root = dataRoot(stub)
+    // fail loudly, like TIMESTAMP AS OF — the emptyOk contract covers
+    // live reads of a declared table, never a typo'd time travel
+    require(VersionedTable.versions(root.toString).nonEmpty,
+      s"VERSION AS OF on ${ident.name()}: the table has no retained " +
+        "commits")
     val v = version.toLongOption.getOrElse {
       VersionedTable.refs(root.toString).getOrElse(version,
         throw new IllegalArgumentException(
@@ -327,6 +367,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           k.substring(TableCatalog.OPTION_PREFIX.length)
          else k) -> v
       }.toMap
+    user.keys.find(k => GraftCatalog.ReservedOptionKeys(k.toLowerCase)
+        || k == "path" || k.startsWith("__graft_"))
+      .foreach(k => throw new IllegalArgumentException(
+        s"TBLPROPERTY '$k' is a per-read scan option (or catalog-" +
+          "internal) — it would pin every future read; pass it as a " +
+          "read option instead"))
     // `LOCATION '…'` = EXTERNAL table: the stub dir holds only the
     // catalog entry; data lives (or already lives — registering an
     // existing path-based graft table is the point) at the location.
@@ -342,6 +388,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       (if (schema.nonEmpty)
         Map(GraftCatalog.SchemaKey -> schema.json)
        else Map.empty)
+    // validate BEFORE persisting the stub: a schemaless registration
+    // must point at an existing committed table, or retrying with a
+    // corrected LOCATION would hit TableAlreadyExists on a broken stub
+    if (schema.isEmpty) {
+      val dataAt = location.map(Paths.get(_)).getOrElse(root).toString
+      require(VersionedTable.readManifest(dataAt).isDefined ||
+        VersionedTable.readPartitionedManifest(dataAt).isDefined,
+        s"CREATE TABLE ${ident.name()} without a schema needs an " +
+          s"existing committed graft table at $dataAt — declare " +
+          "columns, or fix the LOCATION")
+    }
     writeMeta(root, meta)
     graftTable(ident, root, None)
   }
@@ -350,17 +407,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
                           changes: TableChange*): Table = {
     val root = tablePath(ident)
     if (!isTableDir(root)) throw new NoSuchTableException(ident)
+    def guarded(k: String): String = {
+      require(k != GraftCatalog.SchemaKey && k != "path" &&
+        k != GraftCatalog.LocationKey && !k.startsWith("__graft_") &&
+        !GraftCatalog.ReservedOptionKeys(k.toLowerCase),
+        s"property '$k' is catalog-internal or a per-read scan " +
+          "option (repointing a table's location is not an ALTER)")
+      k
+    }
     val updated = changes.foldLeft(readMeta(root)) {
       case (m, c: TableChange.SetProperty) =>
-        require(c.property() != GraftCatalog.SchemaKey &&
-          c.property() != "path" &&
-          c.property() != GraftCatalog.LocationKey &&
-          !c.property().startsWith("__graft_"),
-          s"property '${c.property()}' is catalog-internal " +
-            "(repointing a table's location is not an ALTER)")
-        m + (c.property() -> c.value())
+        m + (guarded(c.property()) -> c.value())
       case (m, c: TableChange.RemoveProperty) =>
-        m - c.property()
+        // UNSET of location/__schema would orphan the data or brick
+        // the entry — same guard as SET
+        m - guarded(c.property())
       case (_, c) => throw new UnsupportedOperationException(
         s"ALTER TABLE ${ident.name()}: $c — graft schemas evolve on " +
           "write (tblproperty schemaMode=sync), not by DDL")
@@ -473,6 +534,17 @@ private[graft] object GraftCatalog {
   val SchemaKey = "__schema"
   val LocationKey = "location"
 
+  /** Planner/scan option keys a TABLE PROPERTY must never set — a
+    * TBLPROPERTY flows into every read's option map, so e.g.
+    * 'versionAsOf' as a property would pin all future SELECTs to one
+    * snapshot and 'metadata' would turn the table into its own file
+    * listing. Rejected loudly at CREATE/ALTER and stripped
+    * defensively at load.
+    */
+  val ReservedOptionKeys: Set[String] = Set(
+    "versionasof", "ref", "changesfrom", "changesto", "metadata",
+    "withdeletes")
+
   private[sources] def normalizePath(p: String): Path =
     if (p.startsWith("file:")) Paths.get(java.net.URI.create(p))
     else Paths.get(p)
@@ -486,11 +558,6 @@ private[graft] object GraftCatalog {
     TableCatalog.PROP_COMMENT, TableCatalog.PROP_COLLATION,
     TableCatalog.PROP_IS_MANAGED_LOCATION, TableCatalog.PROP_TABLE_TYPE)
 
-  private[sources] def deleteRecursively(p: Path): Unit = {
-    if (!Files.exists(p)) return
-    val s = Files.walk(p)
-    try s.sorted(java.util.Comparator.reverseOrder())
-      .forEach(f => { Files.deleteIfExists(f); () })
-    finally s.close()
-  }
+  private[sources] def deleteRecursively(p: Path): Unit =
+    VersionedTable.deleteRecursively(p)
 }

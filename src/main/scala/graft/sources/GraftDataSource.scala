@@ -161,7 +161,13 @@ private[graft] class GraftTable(
   *   - append (no keys)       → append (duplicates preserved)
   *   - overwrite              → full replace (static), or dynamic
   *     partition overwrite when `partitionOverwriteMode=dynamic`
-  *     (option or session conf) and `partitionColumns` given
+  *     (option or session conf) and `partitionColumns` given —
+  *     NB this dynamic routing serves the DataFrameWriter path only:
+  *     a catalog SQL `INSERT OVERWRITE` under the dynamic session
+  *     conf plans OverwritePartitionsDynamic, which has no V1
+  *     fallback exec in Spark, so it fails at analysis ("does not
+  *     support dynamic overwrite") — use the explicit
+  *     `PARTITION (…)` form or the writer API there
   *   - overwrite BY FILTER (SQL `INSERT OVERWRITE … PARTITION (…)`,
   *     Delta's replaceWhere) → [[VersionedTable.overwriteWhere]] on
   *     flat tables; on partitioned tables the predicate must address
@@ -225,7 +231,7 @@ private[sources] class GraftWriteBuilder(root: String,
             val spark = data.sparkSession
             if (owFilters.nonEmpty) {
               GraftWriteBuilder.overwriteByFilter(spark, root,
-                owFilters, data)
+                owFilters, data, parts)
               return
             }
             val dynamic = opt("partitionOverwriteMode")
@@ -272,15 +278,34 @@ private[sources] object GraftWriteBuilder {
     * beside surviving old rows as a silent duplicate.
     */
   private[sources] def overwriteByFilter(spark: SparkSession,
-      root: String, filters: Array[Filter], data: DataFrame): Unit = {
+      root: String, filters: Array[Filter], rawData: DataFrame,
+      parts: Option[Seq[String]] = None): Unit = {
     val pred = filters.flatMap(GraftFilterColumns.translate)
       .reduceOption(_ && _).getOrElse(lit(true))
+    // persist: the validation below and the write both consume this
+    // frame — one materialization closes the check-then-write window
+    // for non-deterministic inputs and halves expensive ones
+    val data = rawData.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val stray = data.filter(!org.apache.spark.sql.functions
       .coalesce(pred, lit(false))).limit(1).count()
     require(stray == 0L,
       s"INSERT OVERWRITE into $root: replacement rows fall outside " +
         s"the overwrite predicate ${filters.mkString(" AND ")} — " +
         "they would survive beside the rows being kept")
+    // first write to a declared-but-never-committed table: nothing
+    // to vacate, the overwrite degenerates to the initial (validated)
+    // insert — the standard idempotent-backfill-from-day-one pattern
+    if (VersionedTable.readManifest(root).isEmpty &&
+        VersionedTable.readPartitionedManifest(root).isEmpty) {
+      parts match {
+        case Some(pc) =>
+          VersionedTable.appendPartitioned(spark, root, data, pc)
+        case None => VersionedTable.append(spark, root, data)
+      }
+      return
+    }
     VersionedTable.readPartitionedManifest(root) match {
       case Some(m) =>
         val partCols = m.partitionColumns.toSet
@@ -323,6 +348,7 @@ private[sources] object GraftWriteBuilder {
         VersionedTable.overwriteWhere(spark, root, pred, data)
     }
     ()
+    } finally { data.unpersist(); () }
   }
 }
 
@@ -536,7 +562,9 @@ private[sources] class GraftV1Relation(context: SQLContext,
   // name the table, not an object hash
   override def toString: String = s"GraftTable(${opts.root})"
   override def buildScan(): RDD[Row] = {
-    if (opts.emptyOk &&
+    // versionAsOf excluded: time travel on a never-committed table
+    // must fail loudly (a typo'd version is not an empty snapshot)
+    if (opts.emptyOk && opts.versionAsOf.isEmpty &&
         VersionedTable.readManifest(opts.root).isEmpty &&
         VersionedTable.readPartitionedManifest(opts.root).isEmpty) {
       // a created-but-never-written catalog table: its declared

@@ -181,15 +181,19 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception](spark.table("gcat.tmp.c2").collect())
   }
 
-  test("a stray 'path' table property can never hijack the root; " +
-    "__graft_* properties are rejected by ALTER") {
+  test("a stray 'path' table property is rejected at CREATE (root " +
+    "hijack impossible); __graft_* properties are rejected by ALTER") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.guard")
+    val c = intercept[Exception](spark.sql(
+      "CREATE TABLE gcat.guard.h (id BIGINT) USING graft " +
+        "TBLPROPERTIES ('path' = '/definitely/not/here', " +
+        "'keys' = 'id')"))
+    assert(c.getMessage.contains("per-read scan option") ||
+      c.getMessage.contains("catalog-internal"), c.getMessage)
     spark.sql("CREATE TABLE gcat.guard.h (id BIGINT) USING graft " +
-      "TBLPROPERTIES ('path' = '/definitely/not/here', " +
-      "'keys' = 'id')")
+      "TBLPROPERTIES ('keys' = 'id')")
     spark.sql("INSERT INTO gcat.guard.h SELECT id FROM range(7)")
-    // the data landed under the WAREHOUSE root, not the stray path
     assert(VersionedTable.readLive(spark, s"$wh/guard/h").count() === 7)
     assert(spark.table("gcat.guard.h").count() === 7)
     val e = intercept[Exception](spark.sql(
@@ -272,6 +276,76 @@ class GraftCatalogSpec extends SparkSpec {
         "GROUP BY 1").as[(String, Long)].collect().toMap
     assert(full === Map("insert" -> 3L, "update_preimage" -> 1L,
       "update_postimage" -> 1L), s"unexpected full feed: $full")
+  }
+
+  test("review-pass guards: UNSET location rejected, reserved scan " +
+    "options rejected as TBLPROPERTIES, schemaless CREATE validates " +
+    "before persisting the stub") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.rv")
+    // reserved option key as a property would pin every future read
+    val e1 = intercept[Exception](spark.sql(
+      "CREATE TABLE gcat.rv.bad (id BIGINT) USING graft " +
+        "TBLPROPERTIES ('versionAsOf' = '1')"))
+    assert(e1.getMessage.contains("per-read scan option"),
+      e1.getMessage)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$wh/rv/bad")),
+      "a rejected CREATE must not leave a stub")
+    // schemaless registration of a nonexistent location fails BEFORE
+    // the stub lands, so the retry with a good location works
+    val e2 = intercept[Exception](spark.sql(
+      "CREATE TABLE gcat.rv.ext USING graft " +
+        "LOCATION '/definitely/not/a/table'"))
+    assert(e2.getMessage.contains("existing committed"), e2.getMessage)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$wh/rv/ext")))
+    // UNSET of catalog-internal keys is as guarded as SET (Spark
+    // itself pre-blocks 'location' in SQL; '__schema' reaches our
+    // guard — and the direct-API path is covered for both)
+    val ext = java.nio.file.Files.createTempDirectory("rv_ext")
+      .resolve("t").toString
+    VersionedTable.upsert(spark, ext,
+      Seq((1L, 2L)).toDF("id", "v"), Seq("id"))
+    spark.sql("CREATE TABLE gcat.rv.ok (id BIGINT, v BIGINT) " +
+      s"USING graft LOCATION '$ext'")
+    val e3 = intercept[Exception](spark.sql(
+      "ALTER TABLE gcat.rv.ok UNSET TBLPROPERTIES ('__schema')"))
+    assert(e3.getMessage.contains("catalog-internal"), e3.getMessage)
+    val cat = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val e4 = intercept[Exception](cat.alterTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("rv"), "ok"),
+      org.apache.spark.sql.connector.catalog.TableChange
+        .removeProperty("location")))
+    assert(e4.getMessage.contains("catalog-internal"), e4.getMessage)
+    assert(spark.table("gcat.rv.ok").count() === 1)
+  }
+
+  test("first write to a declared table may be INSERT OVERWRITE " +
+    "PARTITION; $changes and live reads of an empty table are empty " +
+    "while time travel fails loudly") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.fw")
+    spark.sql("CREATE TABLE gcat.fw.t (id BIGINT, day STRING) " +
+      "USING graft PARTITIONED BY (day) TBLPROPERTIES ('keys' = 'id')")
+    // empty-table contracts
+    assert(spark.table("gcat.fw.t").count() === 0)
+    assert(spark.sql("SELECT * FROM gcat.fw.`t$changes`").count() === 0)
+    val tt = intercept[Exception](spark.sql(
+      "SELECT * FROM gcat.fw.t VERSION AS OF 1").collect())
+    assert(tt.getMessage.contains("no retained commits"),
+      tt.getMessage)
+    // the standard idempotent-backfill pattern from day one
+    spark.sql("INSERT OVERWRITE gcat.fw.t PARTITION (day = 'd1') " +
+      "SELECT id FROM range(5)")
+    spark.sql("INSERT OVERWRITE gcat.fw.t PARTITION (day = 'd1') " +
+      "SELECT id FROM range(3)")
+    val got = spark.sql(
+      "SELECT day, count(*) AS n FROM gcat.fw.t GROUP BY day")
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("d1", 3L)), s"$got")
   }
 
   test("catalog reads engage the same sidecar pruning as path reads") {
