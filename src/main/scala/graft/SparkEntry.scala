@@ -7461,6 +7461,22 @@ object SparkEntry {
           .distinctEstimate(col("l_partkey"), 256).as("kmv_parts"))
     }),
 
+    // KMV exactness-plateau twin (r13, the q274/q314 planted-trick
+    // for q45's rows-only core): bottom-k is EXACT while the sketch
+    // holds fewer than k hashes (estimateFrom's documented plateau),
+    // so a sub-capacity domain (≤97 distinct per group, k=256) makes
+    // the sketch output equal COUNT(DISTINCT …) and DuckDB replays it
+    // hash-exact. q45 keeps its rows-only role for the supra-capacity
+    // estimate the sketch exists for — this pins that the merge/
+    // finish machinery is lossless below the plateau.
+    "q324_kmv_exact_twin" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), (col("l_partkey") % 97).as("dom"))
+        .groupBy("l_returnflag")
+        .agg(graft.functions.KmvSketch
+          .distinctEstimate(col("dom"), 256).as("n_exact"))
+    }),
+
     // t-digest quantile sketch (TypedImperativeAggregate): grouped
     // approximate percentiles from a bounded mergeable buffer —
     // the scale path for q39's exact percentile (which sorts every
@@ -7930,6 +7946,13 @@ object SparkEntry {
 
     // Exact set algebra replayed; the sketch-estimate bound booleans
     // are pinned TRUE — a Spark-side bound violation hash-mismatches.
+    // KMV exactness-plateau replay: below capacity the sketch IS
+    // count(distinct) — integer-exact, hash-graded.
+    "q324_kmv_exact_twin" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey % 97) AS n_exact
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
     "q111_kmv_setops" ->
       """WITH a AS (SELECT DISTINCT l_partkey FROM lineitem
         |           WHERE l_returnflag = 'R'),
