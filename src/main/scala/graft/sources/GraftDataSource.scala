@@ -82,13 +82,14 @@ private[graft] class GraftTable(
   override def name(): String =
     props.getOrElse("__graft_name", s"graft:${opts.root}")
   override def schema(): StructType = tableSchema
-  // BATCH_WRITE must accompany V1_BATCH_WRITE: DataFrameWriter's
-  // append/overwrite dispatch checks the former, the V1-fallback
-  // write exec the latter
+  // fully native write surface (no V1 fallback): OVERWRITE_DYNAMIC is
+  // what lets a clause-less catalog `INSERT OVERWRITE` plan under
+  // partitionOverwriteMode=dynamic — that plan has no V1 exec at all
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
   override def properties(): java.util.Map[String, String] =
     props.asJava
   /** Catalog-declared partitioning (identity transforms) — surfaces
@@ -153,21 +154,21 @@ private[graft] class GraftTable(
   }
 }
 
-/** DSv2 WRITE surface, V1 fallback (the JDBC pattern): planning is
-  * DSv2 (mode + truncate resolution), the row work delegates to the
+/** DSv2 WRITE surface, fully native: planning resolves the mode
+  * (append / truncate / overwrite-by-filter / dynamic overwrite),
+  * [[GraftWrite]] stages rows through executor-side parquet writers,
+  * and the driver-side commit routes the staged batch into the
   * versioned-table commit protocol. Semantics by mode/options:
   *
   *   - append + `keys`        → keyed upsert (merge)
   *   - append (no keys)       → append (duplicates preserved)
   *   - overwrite              → full replace (static), or dynamic
   *     partition overwrite when `partitionOverwriteMode=dynamic`
-  *     (option or session conf) and `partitionColumns` given —
-  *     NB this dynamic routing serves the DataFrameWriter path only:
-  *     a catalog SQL `INSERT OVERWRITE` under the dynamic session
-  *     conf plans OverwritePartitionsDynamic, which has no V1
-  *     fallback exec in Spark, so it fails at analysis ("does not
-  *     support dynamic overwrite") — use the explicit
-  *     `PARTITION (…)` form or the writer API there
+  *     (option or session conf) and `partitionColumns` given
+  *   - overwrite DYNAMIC (clause-less catalog `INSERT OVERWRITE`
+  *     under the dynamic session conf — the plan that REQUIRED this
+  *     native write, it has no V1 fallback exec) →
+  *     [[VersionedTable.overwritePartitions]]
   *   - overwrite BY FILTER (SQL `INSERT OVERWRITE … PARTITION (…)`,
   *     Delta's replaceWhere) → [[VersionedTable.overwriteWhere]] on
   *     flat tables; on partitioned tables the predicate must address
@@ -185,81 +186,35 @@ private[sources] class GraftWriteBuilder(root: String,
     tableProps: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate
-    with org.apache.spark.sql.connector.write.SupportsOverwrite {
+    with org.apache.spark.sql.connector.write.SupportsOverwrite
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
 
-  private var overwrite = false
-  private var owFilters: Array[Filter] = Array.empty
+  private var mode: GraftNativeWrite.Mode = GraftNativeWrite.Append
   override def truncate()
       : org.apache.spark.sql.connector.write.WriteBuilder = {
-    overwrite = true; this
+    mode = GraftNativeWrite.Truncate; this
+  }
+  override def overwriteDynamicPartitions()
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    mode = GraftNativeWrite.DynamicOverwrite; this
   }
   override def overwrite(filters: Array[Filter])
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     // AlwaysTrue ≡ truncate; anything else is a predicate backfill
     val real = filters.filterNot(_.isInstanceOf[AlwaysTrue])
-    if (real.isEmpty) overwrite = true
+    if (real.isEmpty) mode = GraftNativeWrite.Truncate
     else {
       require(real.forall(f =>
         GraftFilterColumns.translate(f).isDefined),
         "INSERT OVERWRITE predicate not translatable to a graft " +
           s"replaceWhere: ${real.mkString(", ")}")
-      owFilters = real
+      mode = GraftNativeWrite.OverwriteFilters(real)
     }
     this
   }
 
   override def build(): org.apache.spark.sql.connector.write.Write =
-    new org.apache.spark.sql.connector.write.V1Write {
-      override def toInsertableRelation: InsertableRelation =
-        new InsertableRelation {
-          override def insert(data: DataFrame,
-                              overwriteFlag: Boolean): Unit = {
-            val ow = overwrite || overwriteFlag
-            val o = info.options
-            def opt(k: String): Option[String] =
-              Option(o.get(k)).orElse(tableProps.get(k))
-            def list(k: String): Option[Seq[String]] =
-              opt(k).map(_.split(",").map(_.trim)
-                .filter(_.nonEmpty).toSeq).filter(_.nonEmpty)
-            val keys = list("keys")
-            val parts = list("partitionColumns")
-            val schemaMode = opt("schemaMode") match {
-              case Some("sync") =>
-                graft.sinks.MergeWriter.SchemaMode.SyncAllColumns
-              case _ => graft.sinks.MergeWriter.SchemaMode.Strict
-            }
-            val spark = data.sparkSession
-            if (owFilters.nonEmpty) {
-              GraftWriteBuilder.overwriteByFilter(spark, root,
-                owFilters, data, parts)
-              return
-            }
-            val dynamic = opt("partitionOverwriteMode")
-              .getOrElse(spark.conf.get(
-                "spark.sql.sources.partitionOverwriteMode", "static"))
-              .equalsIgnoreCase("dynamic")
-            (ow, keys, parts) match {
-              case (true, _, Some(pc)) if dynamic =>
-                VersionedTable.overwritePartitions(spark, root, data, pc)
-              case (true, _, Some(pc)) =>
-                VersionedTable.replaceTablePartitioned(spark, root,
-                  data, pc)
-              case (true, _, None) =>
-                VersionedTable.replaceTable(spark, root, data)
-              case (false, Some(k), Some(pc)) =>
-                VersionedTable.upsertPartitioned(spark, root, data, k,
-                  pc, schemaMode)
-              case (false, Some(k), None) =>
-                VersionedTable.upsert(spark, root, data, k, schemaMode)
-              case (false, None, Some(pc)) =>
-                VersionedTable.appendPartitioned(spark, root, data, pc)
-              case (false, None, None) =>
-                VersionedTable.append(spark, root, data)
-            }
-            ()
-          }
-        }
-    }
+    new GraftWrite(root, info, tableProps, mode)
 }
 
 private[sources] object GraftWriteBuilder {

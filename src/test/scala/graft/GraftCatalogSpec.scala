@@ -348,6 +348,42 @@ class GraftCatalogSpec extends SparkSpec {
     assert(got === Seq(("d1", 3L)), s"$got")
   }
 
+  test("clause-less INSERT OVERWRITE under partitionOverwriteMode=" +
+    "dynamic replaces exactly the partitions the batch mentions " +
+    "(native BatchWrite; no V1 fallback exists for this plan)") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.dyn")
+    spark.sql("CREATE TABLE gcat.dyn.t (id BIGINT, day STRING) " +
+      "USING graft PARTITIONED BY (day)")
+    spark.sql("INSERT INTO gcat.dyn.t VALUES " +
+      "(1, 'd1'), (2, 'd1'), (3, 'd2'), (4, 'd3')")
+    val prev = spark.conf.getOption(
+      "spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+      "dynamic")
+    try {
+      // no PARTITION clause: the touched set comes from the data —
+      // d1 is replaced (2 rows -> 1), d2 replaced, d3 untouched
+      spark.sql("INSERT OVERWRITE gcat.dyn.t VALUES " +
+        "(10, 'd1'), (30, 'd2'), (31, 'd2')")
+    } finally prev match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset(
+        "spark.sql.sources.partitionOverwriteMode")
+    }
+    val got = spark.sql(
+      "SELECT day, sort_array(collect_list(id)) FROM gcat.dyn.t " +
+        "GROUP BY day ORDER BY day")
+      .as[(String, Seq[Long])].collect().toSeq
+    assert(got === Seq(("d1", Seq(10L)), ("d2", Seq(30L, 31L)),
+      ("d3", Seq(4L))), s"$got")
+    // static mode keeps planning OverwriteByExpression(AlwaysTrue):
+    // a clause-less overwrite vacates EVERYTHING
+    spark.sql("INSERT OVERWRITE gcat.dyn.t VALUES (99, 'd9')")
+    assert(spark.table("gcat.dyn.t").count() === 1)
+  }
+
   test("catalog reads engage the same sidecar pruning as path reads") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.pr")
