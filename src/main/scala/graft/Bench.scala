@@ -10,6 +10,8 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // row-level SQL (UPDATE / MERGE INTO / DELETE-with-subquery)
+      .config("spark.sql.extensions", "graft.plans.GraftSqlExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed JVM warm-up at the smallest scale factor: first-run cost

@@ -7477,6 +7477,250 @@ object SparkEntry {
           .distinctEstimate(col("dom"), 256).as("n_exact"))
     }),
 
+    // SQL UPDATE (r13): copy-on-write through the post-hoc command
+    // rewrite — a partitioned UPDATE rewrites ONLY the partitions
+    // holding matching rows (days with zero clicks keep their v1
+    // pointer, graded as _ptr.n), the pre-update snapshot stays
+    // time-travelable (_v1), and a no-match UPDATE commits NOTHING
+    // (final version graded 2 in _ptr.s).
+    "q325_sql_update" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      if (!s.conf.getOption("spark.sql.catalog.g13").isDefined) {
+        s.conf.set("spark.sql.catalog.g13",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.g13.warehouse",
+          graft.core.ScratchDirs.fresh("q320_wh").toString)
+      }
+      s.sql("DROP NAMESPACE IF EXISTS g13.q325 CASCADE")
+      s.sql("CREATE NAMESPACE g13.q325")
+      val ev = Tables.events(s, d).select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      ev.createOrReplaceTempView("q325_src")
+      s.sql("CREATE TABLE g13.q325.ev (event_id BIGINT, day STRING, " +
+        "event_type STRING, cents BIGINT) USING graft " +
+        "PARTITIONED BY (day)")
+      s.sql("INSERT INTO g13.q325.ev " +
+        "SELECT event_id, day, event_type, cents FROM q325_src")
+      s.sql("UPDATE g13.q325.ev SET cents = cents * 2 " +
+        "WHERE event_type = 'click'")
+      val root = s.conf.get("spark.sql.catalog.g13.warehouse") +
+        "/q325/ev"
+      val untouched = vt.readPartitionedManifest(root).get
+        .partitions.values.count(_ == vt.versionDirName(1L)).toLong
+      s.sql("UPDATE g13.q325.ev SET cents = 0 " +
+        "WHERE event_type = 'no_such_type'") // no match → no commit
+      val finalVer = vt.readPartitionedManifest(root).get.version
+      val v1 = s.sql("SELECT count(*) AS n, sum(cents) AS sc " +
+        "FROM g13.q325.ev VERSION AS OF 1").head
+      s.sql("SELECT concat('t:', event_type) AS part, " +
+          "count(*) AS n, sum(cents) AS s FROM g13.q325.ev " +
+          "GROUP BY event_type")
+        .unionByName(s.range(1).select(lit("_v1").as("part"),
+          lit(v1.getLong(0)).as("n"), lit(v1.getLong(1)).as("s")))
+        .unionByName(s.range(1).select(lit("_ptr").as("part"),
+          lit(untouched).as("n"), lit(finalVer).as("s")))
+    }),
+
+    // SQL MERGE INTO (r13): the full clause set in one statement —
+    // conditional matched DELETE, matched UPDATE, not-matched INSERT,
+    // and conditional not-matched-by-source UPDATE — executed as one
+    // COW commit. Flags partition the outcome space so every clause's
+    // row set is graded: old (by-source, condition false), orph
+    // (by-source, condition true), upd (matched survivors), new
+    // (inserts); matched rows under 500 cents are deleted.
+    "q326_sql_merge" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      if (!s.conf.getOption("spark.sql.catalog.g13").isDefined) {
+        s.conf.set("spark.sql.catalog.g13",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.g13.warehouse",
+          graft.core.ScratchDirs.fresh("q320_wh").toString)
+      }
+      s.sql("DROP NAMESPACE IF EXISTS g13.q326 CASCADE")
+      s.sql("CREATE NAMESPACE g13.q326")
+      val ev = Tables.events(s, d).select(col("event_id"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      ev.createOrReplaceTempView("q326_src")
+      s.sql("CREATE TABLE g13.q326.t (event_id BIGINT, " +
+        "event_type STRING, cents BIGINT, flag STRING) USING graft")
+      s.sql("INSERT INTO g13.q326.t SELECT event_id, event_type, " +
+        "cents, 'old' FROM q326_src WHERE event_id % 2 = 1")
+      s.sql("""
+        MERGE INTO g13.q326.t t
+        USING (SELECT * FROM q326_src WHERE event_id % 3 <> 0) s
+        ON t.event_id = s.event_id
+        WHEN MATCHED AND s.cents < 500 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET cents = s.cents + 7, flag = 'upd'
+        WHEN NOT MATCHED THEN INSERT (event_id, event_type, cents,
+          flag) VALUES (s.event_id, s.event_type, s.cents, 'new')
+        WHEN NOT MATCHED BY SOURCE AND t.cents >= 500
+          THEN UPDATE SET flag = 'orph'
+      """)
+      val v1n = s.sql(
+        "SELECT count(*) FROM g13.q326.t VERSION AS OF 1")
+        .head.getLong(0)
+      s.sql("SELECT flag AS part, count(*) AS n, sum(cents) AS s " +
+          "FROM g13.q326.t GROUP BY flag")
+        .unionByName(s.range(1).select(lit("_v1").as("part"),
+          lit(v1n).as("n"), lit(0L).as("s")))
+    }),
+
+    // SQL DELETE with a subquery (r13): the predicate no V1 filter
+    // can express routes through the COW rewrite (version bumps, rows
+    // physically gone, pending position deletes folded), while a
+    // SECOND, simple DELETE on the same table stays merge-on-read
+    // (version unchanged, entries counted) — both shapes graded from
+    // one table.
+    "q327_sql_delete_subquery" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      if (!s.conf.getOption("spark.sql.catalog.g13").isDefined) {
+        s.conf.set("spark.sql.catalog.g13",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.g13.warehouse",
+          graft.core.ScratchDirs.fresh("q320_wh").toString)
+      }
+      s.sql("DROP NAMESPACE IF EXISTS g13.q327 CASCADE")
+      s.sql("CREATE NAMESPACE g13.q327")
+      val ev = Tables.events(s, d).select(col("event_id"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      ev.createOrReplaceTempView("q327_src")
+      s.sql("CREATE TABLE g13.q327.t (event_id BIGINT, " +
+        "event_type STRING, cents BIGINT) USING graft")
+      s.sql("INSERT INTO g13.q327.t " +
+        "SELECT event_id, event_type, cents FROM q327_src")
+      s.sql("DELETE FROM g13.q327.t WHERE event_id IN " +
+        "(SELECT event_id FROM q327_src " +
+        "WHERE event_type = 'error' AND cents < 500)")
+      val root = s.conf.get("spark.sql.catalog.g13.warehouse") +
+        "/q327/t"
+      val verAfterCow = vt.readManifest(root).get.version
+      s.sql("DELETE FROM g13.q327.t WHERE cents >= 15000") // MoR
+      val verAfterMor = vt.readManifest(root).get.version
+      val (liveEntries, _) = vt.posDeleteEntryCounts(s, root)
+      val v2 = s.sql("SELECT count(*) AS n FROM g13.q327.t " +
+        "VERSION AS OF 2").head.getLong(0)
+      s.sql("SELECT 'live' AS part, count(*) AS n, sum(cents) AS s " +
+          "FROM g13.q327.t")
+        .unionByName(s.range(1).select(lit("_ver").as("part"),
+          lit(verAfterCow * 10 + verAfterMor).as("n"),
+          lit(liveEntries).as("s")))
+        .unionByName(s.range(1).select(lit("_v2").as("part"),
+          lit(v2).as("n"), lit(0L).as("s")))
+    }),
+
+    // Clause-less dynamic INSERT OVERWRITE (r13): under
+    // partitionOverwriteMode=dynamic the touched set comes from the
+    // DATA (the plan Spark has no V1 fallback for — it requires the
+    // native BatchWrite): only the max day is replaced (tripled
+    // cents), every other day keeps its v1 pointer (_ptr.n).
+    "q328_sql_dynamic_overwrite" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      if (!s.conf.getOption("spark.sql.catalog.g13").isDefined) {
+        s.conf.set("spark.sql.catalog.g13",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.g13.warehouse",
+          graft.core.ScratchDirs.fresh("q320_wh").toString)
+      }
+      s.sql("DROP NAMESPACE IF EXISTS g13.q328 CASCADE")
+      s.sql("CREATE NAMESPACE g13.q328")
+      val ev = Tables.events(s, d).select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      ev.createOrReplaceTempView("q328_src")
+      s.sql("CREATE TABLE g13.q328.ev (event_id BIGINT, day STRING, " +
+        "event_type STRING, cents BIGINT) USING graft " +
+        "PARTITIONED BY (day)")
+      s.sql("INSERT INTO g13.q328.ev " +
+        "SELECT event_id, day, event_type, cents FROM q328_src")
+      val d1 = ev.agg(max("day")).head.getString(0)
+      val prevMode = s.conf.getOption(
+        "spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        s.sql("INSERT OVERWRITE g13.q328.ev " +
+          "SELECT event_id, day, event_type, cents * 3 " +
+          s"FROM q328_src WHERE day = '$d1'")
+      } finally prevMode match {
+        case Some(v) => s.conf.set(
+          "spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset(
+          "spark.sql.sources.partitionOverwriteMode")
+      }
+      val root = s.conf.get("spark.sql.catalog.g13.warehouse") +
+        "/q328/ev"
+      val untouched = vt.readPartitionedManifest(root).get
+        .partitions.values.count(_ == vt.versionDirName(1L)).toLong
+      s.sql("SELECT concat('t:', event_type) AS part, " +
+          "count(*) AS n, sum(cents) AS s FROM g13.q328.ev " +
+          "GROUP BY event_type")
+        .unionByName(s.range(1).select(lit("_ptr").as("part"),
+          lit(untouched).as("n"), lit(0L).as("s")))
+    }),
+
+    // SQL CALL procedures (r13): the Iceberg-procedures maintenance
+    // lifecycle in pure SQL — DELETE lands MoR position deletes, CALL
+    // vacuum folds them (targeted rewrite, graded >0 files), CALL
+    // compact bin-merges every partition to one file (graded via
+    // t$partitions), CALL set_ref pins the snapshot a later insert
+    // must not disturb, CALL remove_orphans reports a clean table.
+    "q329_sql_procedures" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      if (!s.conf.getOption("spark.sql.catalog.g13").isDefined) {
+        s.conf.set("spark.sql.catalog.g13",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.g13.warehouse",
+          graft.core.ScratchDirs.fresh("q320_wh").toString)
+      }
+      s.sql("DROP NAMESPACE IF EXISTS g13.q329 CASCADE")
+      s.sql("CREATE NAMESPACE g13.q329")
+      val ev = Tables.events(s, d).select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      ev.createOrReplaceTempView("q329_src")
+      s.sql("CREATE TABLE g13.q329.ev (event_id BIGINT, day STRING, " +
+        "event_type STRING, cents BIGINT) USING graft " +
+        "PARTITIONED BY (day)")
+      s.sql("INSERT INTO g13.q329.ev SELECT event_id, day, " +
+        "event_type, cents FROM q329_src WHERE event_id % 2 = 0")
+      s.sql("INSERT INTO g13.q329.ev SELECT event_id, day, " +
+        "event_type, cents FROM q329_src WHERE event_id % 2 = 1")
+      s.sql("DELETE FROM g13.q329.ev WHERE cents < 300") // MoR
+      val vac = s.sql(
+        "CALL g13.system.vacuum(table => 'q329.ev')").head
+      val posFolded = if (vac.getInt(2) > 0) 1L else 0L
+      s.sql("CALL g13.system.compact(table => 'q329.ev', " +
+        "min_files => 2)")
+      val maxFiles = s.sql(
+        "SELECT max(file_count) FROM g13.q329.`ev$partitions`")
+        .head.getLong(0)
+      s.sql("CALL g13.system.set_ref(table => 'q329.ev', " +
+        "name => 'stable')")
+      s.sql("INSERT INTO g13.q329.ev VALUES " +
+        "(9000001, '2030-01-01', 'synthetic', 12345)")
+      val atRef = s.sql("SELECT count(*) AS n, sum(cents) AS sc " +
+        "FROM g13.q329.ev VERSION AS OF 'stable'").head
+      val ro = s.sql("CALL g13.system.remove_orphans(" +
+        "table => 'q329.ev', older_than_hours => 0)").head
+      val orphans =
+        (ro.getInt(0) + ro.getInt(1) + ro.getInt(2) + ro.getInt(3))
+          .toLong
+      s.sql("SELECT concat('t:', event_type) AS part, " +
+          "count(*) AS n, sum(cents) AS s FROM g13.q329.ev " +
+          "GROUP BY event_type")
+        .unionByName(s.range(1).select(lit("_proc").as("part"),
+          lit(posFolded).as("n"), lit(maxFiles).as("s")))
+        .unionByName(s.range(1).select(lit("_ref").as("part"),
+          lit(atRef.getLong(0)).as("n"), lit(atRef.getLong(1)).as("s")))
+        .unionByName(s.range(1).select(lit("_orphans").as("part"),
+          lit(orphans).as("n"), lit(0L).as("s")))
+    }),
+
     // t-digest quantile sketch (TypedImperativeAggregate): grouped
     // approximate percentiles from a bounded mergeable buffer —
     // the scale path for q39's exact percentile (which sorts every
@@ -7952,6 +8196,138 @@ object SparkEntry {
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey % 97) AS n_exact
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // SQL-UPDATE replay: clicks doubled; _v1 = the raw pre-update
+    // snapshot; _ptr.n = days holding NO click (their pointers must
+    // survive the COW rewrite), _ptr.s = final version 2 (the second,
+    // no-match UPDATE must not have committed).
+    "q325_sql_update" ->
+      """WITH src AS (
+        |  SELECT event_id, strftime(ts, '%Y-%m-%d') AS day,
+        |    event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |upd AS (
+        |  SELECT event_id, day, event_type,
+        |    CASE WHEN event_type = 'click' THEN cents * 2
+        |         ELSE cents END AS cents
+        |  FROM src)
+        |SELECT 't:' || event_type AS part, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS s
+        |FROM upd GROUP BY event_type
+        |UNION ALL
+        |SELECT '_v1', (SELECT count(*) FROM src),
+        |  (SELECT CAST(sum(cents) AS BIGINT) FROM src)
+        |UNION ALL
+        |SELECT '_ptr',
+        |  (SELECT count(DISTINCT day) FROM src) -
+        |  (SELECT count(DISTINCT day) FROM src
+        |   WHERE event_type = 'click'),
+        |  CAST(2 AS BIGINT)""".stripMargin,
+
+    // SQL-MERGE replay: target = odd ids flagged old; source = ids
+    // not divisible by 3. matched ∧ cents<500 deleted; matched else
+    // cents+7 flag upd; source-only ids inserted flag new; target-only
+    // ids with cents>=500 flag orph, the rest stay old. _v1 = the odd
+    // half (pre-merge snapshot).
+    "q326_sql_merge" ->
+      """WITH src AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |tgt AS (SELECT * FROM src WHERE event_id % 2 = 1),
+        |m AS (
+        |  SELECT CASE
+        |      WHEN event_id % 3 <> 0 AND cents < 500 THEN 'del'
+        |      WHEN event_id % 3 <> 0 THEN 'upd'
+        |      WHEN cents >= 500 THEN 'orph'
+        |      ELSE 'old' END AS flag,
+        |    CASE WHEN event_id % 3 <> 0 THEN cents + 7
+        |         ELSE cents END AS cents
+        |  FROM tgt),
+        |ins AS (
+        |  SELECT 'new' AS flag, cents FROM src
+        |  WHERE event_id % 2 = 0 AND event_id % 3 <> 0),
+        |fin AS (
+        |  SELECT flag, cents FROM m WHERE flag <> 'del'
+        |  UNION ALL SELECT flag, cents FROM ins)
+        |SELECT flag AS part, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS s
+        |FROM fin GROUP BY flag
+        |UNION ALL
+        |SELECT '_v1', (SELECT count(*) FROM tgt),
+        |  CAST(0 AS BIGINT)""".stripMargin,
+
+    // SQL-DELETE-subquery replay: cheap errors removed by the COW
+    // rewrite (version 2), then cents>=15000 masked merge-on-read
+    // (version still 2 → _ver.n = 22; _ver.s = the live entry count);
+    // _v2 = the raw post-COW snapshot (MoR masks nothing physically).
+    "q327_sql_delete_subquery" ->
+      """WITH src AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |aftercow AS (
+        |  SELECT * FROM src
+        |  WHERE NOT (event_type = 'error' AND cents < 500)),
+        |live AS (SELECT * FROM aftercow WHERE NOT (cents >= 15000))
+        |SELECT 'live' AS part, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS s
+        |FROM live
+        |UNION ALL
+        |SELECT '_ver', CAST(22 AS BIGINT),
+        |  (SELECT count(*) FROM aftercow WHERE cents >= 15000)
+        |UNION ALL
+        |SELECT '_v2', (SELECT count(*) FROM aftercow),
+        |  CAST(0 AS BIGINT)""".stripMargin,
+
+    // CALL-procedures replay: live = survivors of the MoR delete
+    // (vacuum/compact change layout, never content) plus the
+    // post-ref synthetic row; _proc pins (pos files rewritten > 0,
+    // every partition compacted to 1 file); _ref = the pinned
+    // snapshot excludes the later insert; _orphans pins a clean
+    // table.
+    "q329_sql_procedures" ->
+      """WITH src AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |live0 AS (SELECT * FROM src WHERE NOT (cents < 300)),
+        |fin AS (
+        |  SELECT event_type, cents FROM live0
+        |  UNION ALL SELECT 'synthetic', CAST(12345 AS BIGINT))
+        |SELECT 't:' || event_type AS part, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS s
+        |FROM fin GROUP BY event_type
+        |UNION ALL
+        |SELECT '_proc', CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+        |UNION ALL
+        |SELECT '_ref', (SELECT count(*) FROM live0),
+        |  (SELECT CAST(sum(cents) AS BIGINT) FROM live0)
+        |UNION ALL
+        |SELECT '_orphans', CAST(0 AS BIGINT),
+        |  CAST(0 AS BIGINT)""".stripMargin,
+
+    // Dynamic-overwrite replay: the max day tripled, everything else
+    // untouched; _ptr.n = every other day keeps its v1 pointer.
+    "q328_sql_dynamic_overwrite" ->
+      """WITH src AS (
+        |  SELECT event_id, strftime(ts, '%Y-%m-%d') AS day,
+        |    event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |d1 AS (SELECT max(day) AS d FROM src),
+        |live AS (
+        |  SELECT event_id, day, event_type, cents FROM src
+        |  WHERE day <> (SELECT d FROM d1)
+        |  UNION ALL
+        |  SELECT event_id, day, event_type, cents * 3 FROM src
+        |  WHERE day = (SELECT d FROM d1))
+        |SELECT 't:' || event_type AS part, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS s
+        |FROM live GROUP BY event_type
+        |UNION ALL
+        |SELECT '_ptr',
+        |  (SELECT count(DISTINCT day) FROM src) - 1,
+        |  CAST(0 AS BIGINT)""".stripMargin,
 
     "q111_kmv_setops" ->
       """WITH a AS (SELECT DISTINCT l_partkey FROM lineitem

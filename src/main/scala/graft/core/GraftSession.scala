@@ -30,6 +30,11 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // row-level SQL (UPDATE / MERGE INTO / DELETE-with-subquery)
+      // on graft tables; the full GraftExtensions adds the function
+      // registry + stats-broadcast rule for sessions that want them
+      .config("spark.sql.extensions",
+        "graft.plans.GraftSqlExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -305,5 +305,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // after scan pushdown, before join planning); running sessions
     // use GraftBroadcastStats.install instead
     ext.injectPreCBORule(graft.plans.GraftBroadcastStats(_))
+    // SQL UPDATE / MERGE INTO / DELETE-with-subquery on graft tables
+    // (post-hoc: the stock analyzer resolves the command first)
+    ext.injectPostHocResolutionRule(graft.plans.GraftSqlRules(_))
   }
 }

@@ -23,11 +23,14 @@ import graft.sources.{GraftScan, GraftScanPlanner, GraftTable}
   * graft scan whose size is at or under
   * `spark.sql.autoBroadcastJoinThreshold`. Soundness: Project/Filter
   * never grow a subtree, so manifest bytes are an upper bound of the
-  * side's size; the hint is advisory (JoinSelection ignores it where
-  * the join type cannot legally build that side), an existing
-  * user/query hint on the side always wins, and threshold ≤ 0
-  * (broadcast disabled) disables the rule. Idempotent, so safe in a
-  * fixed-point batch.
+  * side's size; the hint is planted ONLY on a side the join type can
+  * legally build (inner/cross: either; left outer/semi/anti/existence:
+  * right only; right outer: left only; full outer: neither — Spark's
+  * JoinSelection REJECTS an illegal-build-side hint loudly rather than
+  * ignoring it, and an IN-subquery's ExistenceJoin is exactly where a
+  * naive left-side hint lands), an existing user/query hint on the
+  * side always wins, and threshold ≤ 0 (broadcast disabled) disables
+  * the rule. Idempotent, so safe in a fixed-point batch.
   *
   * Wiring: `GraftExtensions` injects it as a pre-CBO rule
   * (`spark.sql.extensions=graft.functions.GraftExtensions`); an
@@ -67,17 +70,27 @@ case class GraftBroadcastStats(spark: SparkSession)
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val threshold = conf.autoBroadcastJoinThreshold
     if (threshold <= 0) return plan
+    import org.apache.spark.sql.catalyst.plans.{Cross, ExistenceJoin, Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
     plan.transform {
-      case j @ Join(left, right, _, _, hint)
+      case j @ Join(left, right, joinType, _, hint)
           if hint.leftHint.isEmpty || hint.rightHint.isEmpty =>
         def small(p: LogicalPlan): Boolean =
           graftSize(p).exists(_ <= threshold)
+        val canBuildLeft = joinType match {
+          case Inner | Cross | RightOuter => true
+          case _                          => false
+        }
+        val canBuildRight = joinType match {
+          case Inner | Cross | LeftOuter | LeftSemi | LeftAnti |
+               _: ExistenceJoin => true
+          case _ => false
+        }
         val lh =
-          if (hint.leftHint.isEmpty && small(left))
+          if (hint.leftHint.isEmpty && canBuildLeft && small(left))
             Some(HintInfo(Some(BROADCAST)))
           else hint.leftHint
         val rh =
-          if (hint.rightHint.isEmpty && small(right))
+          if (hint.rightHint.isEmpty && canBuildRight && small(right))
             Some(HintInfo(Some(BROADCAST)))
           else hint.rightHint
         if ((lh eq hint.leftHint) && (rh eq hint.rightHint)) j

@@ -1,0 +1,531 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.SqlShims
+import graft.sinks.VersionedTable
+import graft.sources.GraftTable
+
+/** SQL `UPDATE` / `MERGE INTO` / `DELETE`-with-subquery for graft
+  * tables — the Delta-shaped extension path: the stock analyzer fully
+  * resolves the command (assignments aligned, star clauses expanded,
+  * subqueries planned), then this post-hoc rule swaps the resolved
+  * node for a runnable command that executes the copy-on-write
+  * rewrite through the versioned-commit protocol.
+  *
+  * Why a plan rewrite and not Spark's `SupportsRowLevelOperations`:
+  * the group-based framework requires a native `Batch` scan (the
+  * rewrite planner builds its own `DataSourceV2ScanRelation`, which
+  * never wraps a `V1Scan`), i.e. a bespoke executor-side parquet
+  * reader plus per-task delete-file application — redundant machinery
+  * when the observable-snapshot READ already exists as a plan. The
+  * command path reuses that read: condition and assignment
+  * expressions stay exprId-bound to the original relation, the new
+  * table content is computed as `Filter`/`Project`/`Join` plans over
+  * it, and the commit pins + CAS-checks the (manifest, pos-delete)
+  * versions it read. Delta shipped UPDATE/MERGE this exact way for
+  * years before the DSv2 row-level API existed.
+  *
+  * Semantics:
+  *   - UPDATE: matching rows take their assignments (all evaluated
+  *     against the PRE-update row), NULL-condition rows are kept
+  *     unchanged; flat tables rewrite the live snapshot, partitioned
+  *     tables rewrite ONLY the partitions holding matching rows (plus
+  *     destination partitions when an assignment moves a row's
+  *     partition value).
+  *   - DELETE: the rule takes over only when the predicate is beyond
+  *     the V1-translatable surface (subqueries, arithmetic) — simple
+  *     predicates keep the existing zero-rewrite merge-on-read
+  *     position-delete fast path.
+  *   - MERGE: full clause set — WHEN MATCHED [AND cond] THEN
+  *     UPDATE/DELETE, WHEN NOT MATCHED [AND cond] THEN INSERT, WHEN
+  *     NOT MATCHED BY SOURCE [AND cond] THEN UPDATE/DELETE; first
+  *     applicable clause wins; a target row matched by MORE than one
+  *     source row with an applicable clause raises the standard
+  *     cardinality violation. Partitioned tables rewrite only the
+  *     touched partitions.
+  *
+  * Wiring: `graft.functions.GraftExtensions` (everything) or
+  * `graft.plans.GraftSqlExtensions` (just this rule) via
+  * `spark.sql.extensions`.
+  */
+case class GraftSqlRules(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def graftTarget(plan: LogicalPlan): Option[GraftTable] =
+    plan match {
+      case SubqueryAlias(_, child) => graftTarget(child)
+      case r: DataSourceV2Relation => r.table match {
+        case t: GraftTable => Some(t)
+        case _ => None
+      }
+      case _ => None
+    }
+
+  /** Is this condition inside the V1 Filter surface the DELETE fast
+    * path (merge-on-read position deletes) can translate? Mirrors
+    * [[graft.sources.GraftFilterColumns]] — conservative: false routes
+    * to the row-level rewrite, which is always correct, just heavier.
+    */
+  private def v1Translatable(e: Expression): Boolean = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      v1Translatable(l) && v1Translatable(r)
+    case org.apache.spark.sql.catalyst.expressions.Or(l, r) =>
+      v1Translatable(l) && v1Translatable(r)
+    case org.apache.spark.sql.catalyst.expressions.Not(c) =>
+      v1Translatable(c)
+    // foldable, not Literal: at analysis time a SQL literal often
+    // still wears its implicit cast (id >= CAST(8 AS BIGINT)) — the
+    // optimizer folds it before the V1 path translates, so the fast
+    // path handles it
+    case b: org.apache.spark.sql.catalyst.expressions.BinaryComparison =>
+      (b.left, b.right) match {
+        case (_: AttributeReference, r) => r.foldable
+        case (l, _: AttributeReference) => l.foldable
+        case _ => false
+      }
+    case org.apache.spark.sql.catalyst.expressions.In(
+        _: AttributeReference, vs) => vs.forall(_.foldable)
+    case org.apache.spark.sql.catalyst.expressions.InSet(
+        _: AttributeReference, _) => true
+    case org.apache.spark.sql.catalyst.expressions.IsNull(
+        _: AttributeReference) => true
+    case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+        _: AttributeReference) => true
+    case org.apache.spark.sql.catalyst.expressions.StartsWith(
+        _: AttributeReference, _: Literal) => true
+    case org.apache.spark.sql.catalyst.expressions.EndsWith(
+        _: AttributeReference, _: Literal) => true
+    case org.apache.spark.sql.catalyst.expressions.Contains(
+        _: AttributeReference, _: Literal) => true
+    case _: Literal => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case u @ UpdateTable(target, assignments, condition)
+        if u.resolved && graftTarget(target).isDefined =>
+      GraftUpdateCommand(target, graftTarget(target).get, assignments,
+        condition)
+    case d @ DeleteFromTable(target, condition)
+        if d.resolved && graftTarget(target).isDefined &&
+          !v1Translatable(condition) =>
+      GraftDeleteCommand(target, graftTarget(target).get, condition)
+    case m: MergeIntoTable
+        if m.resolved && graftTarget(m.targetTable).isDefined =>
+      require(!m.withSchemaEvolution,
+        "MERGE ... WITH SCHEMA EVOLUTION is not supported on graft " +
+          "tables — evolve via upsert(schemaMode=sync) first")
+      GraftMergeCommand(m.targetTable,
+        graftTarget(m.targetTable).get, m.sourceTable,
+        m.mergeCondition, m.matchedActions, m.notMatchedActions,
+        m.notMatchedBySourceActions)
+    case _ => plan
+  }
+}
+
+/** Just the row-level SQL rule — what test/embedding sessions wire
+  * when they don't want the full [[graft.functions.GraftExtensions]]
+  * surface (function registry + stats-broadcast optimizer rule).
+  */
+class GraftSqlExtensions
+    extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(
+      ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectPostHocResolutionRule(GraftSqlRules(_))
+  }
+}
+
+private[plans] object GraftRowLevelExec {
+
+  /** Bounded optimistic retry: the new content is a PLAN over the
+    * live snapshot, so re-running the whole statement against the
+    * moved table is the correct (and deterministic-input-safe)
+    * conflict answer — the same contract the library upsert gives.
+    */
+  def withCowRetries[T](what: String)(body: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: VersionedTable.ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > 5) throw e
+          Thread.sleep(40L * attempt +
+            java.util.concurrent.ThreadLocalRandom.current()
+              .nextLong(40L * attempt + 1))
+      }
+    }
+    throw new IllegalStateException(s"unreachable: $what")
+  }
+
+  def guardLiveTarget(table: GraftTable, what: String): Unit = {
+    val o = table.opts
+    require(o.versionAsOf.isEmpty && o.changes.isEmpty &&
+      o.metadata.isEmpty,
+      s"$what on a time-travel/change-feed/metadata read is not a " +
+        "thing — address the live table")
+  }
+
+  def attrName(key: Expression, what: String): String = key match {
+    case a: AttributeReference => a.name
+    case other => throw new UnsupportedOperationException(
+      s"$what assigns to a nested field ($other) — graft table " +
+        "schemas are flat; assign the whole column")
+  }
+
+  /** `cond` as a tri-state Column, and its definite-match projection
+    * (NULL counts as no-match, the SQL rule for UPDATE/DELETE/MERGE).
+    */
+  def matchCol(cond: Option[Expression]): Column =
+    coalesce(cond.map(SqlShims.column).getOrElse(lit(true)), lit(false))
+
+  /** One pass of UPDATE: build (kept, transformed) from the resolved
+    * relation plan, commit COW. Returns true when a commit happened
+    * (false = no matching rows, no-op).
+    */
+  def runUpdate(spark: SparkSession, target: LogicalPlan,
+                table: GraftTable, assignments: Seq[Assignment],
+                condition: Option[Expression]): Boolean = {
+    guardLiveTarget(table, "UPDATE")
+    val root = table.opts.root
+    val df = SqlShims.ofRows(spark, target)
+    val isMatch = matchCol(condition)
+    val assignMap: Map[String, Column] = assignments.map { a =>
+      val name = attrName(a.key, "UPDATE SET")
+      val field = df.schema.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"UPDATE SET $name: no such column in $root"))
+      name -> SqlShims.column(a.value).cast(field.dataType)
+    }.toMap
+    val outCols = df.schema.fieldNames.toSeq.map(c =>
+      assignMap.getOrElse(c, col(c)).as(c))
+    val matched = df.filter(isMatch)
+    val transformed = matched.select(outCols: _*)
+    val kept = df.filter(!isMatch)
+
+    VersionedTable.readPartitionedManifest(root) match {
+      case Some(m) =>
+        val pv = VersionedTable.posDeleteVersion(root)
+        val pc = m.partitionColumns
+        // touched = source partitions of matching rows + destination
+        // partitions of their post-images (an assignment may move a
+        // row across partitions)
+        val affected = matched.select(pc.map(matched(_)): _*)
+          .unionByName(transformed.select(pc.map(col): _*))
+        VersionedTable.touchedCover(spark, root, affected) match {
+          case None => false
+          case Some((touchedPred, covered)) =>
+            val replacement =
+              kept.filter(touchedPred).unionByName(transformed)
+            VersionedTable.rewritePartitionsCovered(spark, root,
+              replacement, covered, m.version, pv)
+            true
+        }
+      case None =>
+        val fm = VersionedTable.readManifest(root).getOrElse(
+          return false) // declared, never committed: nothing matches
+        val pv = VersionedTable.posDeleteVersion(root)
+        if (matched.limit(1).isEmpty) return false
+        VersionedTable.rewriteLive(spark, root,
+          kept.unionByName(transformed), fm.version, pv)
+        true
+    }
+  }
+
+  def runDelete(spark: SparkSession, target: LogicalPlan,
+                table: GraftTable, condition: Expression): Boolean = {
+    guardLiveTarget(table, "DELETE")
+    val root = table.opts.root
+    val df = SqlShims.ofRows(spark, target)
+    val isMatch = matchCol(Some(condition))
+    val matched = df.filter(isMatch)
+    val kept = df.filter(!isMatch)
+    VersionedTable.readPartitionedManifest(root) match {
+      case Some(m) =>
+        val pv = VersionedTable.posDeleteVersion(root)
+        val pc = m.partitionColumns
+        val affected = matched.select(pc.map(matched(_)): _*)
+        VersionedTable.touchedCover(spark, root, affected) match {
+          case None => false
+          case Some((touchedPred, covered)) =>
+            VersionedTable.rewritePartitionsCovered(spark, root,
+              kept.filter(touchedPred), covered, m.version, pv)
+            true
+        }
+      case None =>
+        val fm = VersionedTable.readManifest(root).getOrElse(
+          return false)
+        val pv = VersionedTable.posDeleteVersion(root)
+        if (matched.limit(1).isEmpty) return false
+        VersionedTable.rewriteLive(spark, root, kept, fm.version, pv)
+        true
+    }
+  }
+
+  // ---- MERGE ---------------------------------------------------------
+
+  private val Tid = "__graft_merge_tid"
+  private val TPresent = "__graft_merge_tp"
+  private val SPresent = "__graft_merge_sp"
+  private val ActM = "__graft_merge_act_m"
+  private val ActB = "__graft_merge_act_b"
+  private val ActI = "__graft_merge_act_i"
+
+  /** Index of the first action whose condition definitely holds;
+    * -1 = no clause applies (keep the row / drop the insert).
+    */
+  private def firstApplicable(actions: Seq[MergeAction]): Column =
+    actions.zipWithIndex.foldRight(lit(-1): Column) {
+      case ((a, i), acc) => when(matchCol(a.condition), lit(i))
+        .otherwise(acc)
+    }
+
+  private def deleteIndices(actions: Seq[MergeAction]): Seq[Int] =
+    actions.zipWithIndex.collect {
+      case (_: DeleteAction, i) => i
+    }
+
+  /** The output value of column `name` under the branch taken by the
+    * action column: UPDATE actions project their assignment (cast to
+    * the column type), anything else keeps `orig`.
+    */
+  private def branched(actions: Seq[MergeAction], act: Column,
+                       name: String,
+                       dt: org.apache.spark.sql.types.DataType,
+                       orig: Column): Column =
+    actions.zipWithIndex.foldRight(orig) {
+      case ((u: UpdateAction, i), acc) =>
+        u.assignments.find(a =>
+            attrName(a.key, "MERGE UPDATE SET") == name) match {
+          case Some(a) =>
+            when(act === lit(i), SqlShims.column(a.value).cast(dt))
+              .otherwise(acc)
+          case None => acc
+        }
+      case (_, acc) => acc
+    }
+
+  private def insertProjection(actions: Seq[MergeAction], act: Column,
+      schema: org.apache.spark.sql.types.StructType): Seq[Column] =
+    schema.fields.toSeq.map { f =>
+      val c = actions.zipWithIndex.foldRight(
+          lit(null).cast(f.dataType)) {
+        case ((ins: InsertAction, i), acc) =>
+          ins.assignments.find(a =>
+              attrName(a.key, "MERGE INSERT") == f.name) match {
+            case Some(a) =>
+              when(act === lit(i), SqlShims.column(a.value)
+                .cast(f.dataType)).otherwise(acc)
+            case None => acc
+          }
+        case ((other, _), _) => throw new UnsupportedOperationException(
+          s"unsupported WHEN NOT MATCHED action: $other")
+      }
+      c.as(f.name)
+    }
+
+  def runMerge(spark: SparkSession, target: LogicalPlan,
+               table: GraftTable, source: LogicalPlan,
+               mergeCondition: Expression,
+               matchedActions: Seq[MergeAction],
+               notMatchedActions: Seq[MergeAction],
+               notMatchedBySourceActions: Seq[MergeAction]): Boolean = {
+    guardLiveTarget(table, "MERGE INTO")
+    val root = table.opts.root
+    (matchedActions ++ notMatchedBySourceActions).foreach {
+      case _: UpdateAction | _: DeleteAction => ()
+      case other => throw new UnsupportedOperationException(
+        s"unsupported matched/by-source MERGE action: $other " +
+          "(star actions should have been expanded by the analyzer)")
+    }
+    val tdf0 = SqlShims.ofRows(spark, target)
+    val sdf0 = SqlShims.ofRows(spark, source)
+    Seq(Tid, TPresent, SPresent, ActM, ActB, ActI).foreach { r =>
+      require(!tdf0.columns.contains(r) && !sdf0.columns.contains(r),
+        s"column name $r is reserved by MERGE execution")
+    }
+    val tSchema = tdf0.schema
+    // target columns MUST be addressed by attribute, never by name:
+    // after the join both sides are in scope and the source usually
+    // shares the names (AMBIGUOUS_REFERENCE otherwise)
+    val tAttr: Map[String, Attribute] =
+      target.output.map(a => a.name -> (a: Attribute)).toMap
+    def tcol(name: String): Column = SqlShims.column(tAttr(name))
+
+    val tdf = tdf0.withColumn(TPresent, lit(true))
+      .withColumn(Tid, monotonically_increasing_id())
+    val sdf = sdf0.withColumn(SPresent, lit(true))
+    val joined = tdf.join(sdf, SqlShims.column(mergeCondition),
+      "full_outer")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val tp = col(TPresent) === lit(true)
+      val sp = col(SPresent) === lit(true)
+
+      // ---- matched target rows -------------------------------------
+      val matchedRows = joined.filter(tp && sp)
+        .withColumn(ActM, firstApplicable(matchedActions))
+      if (matchedActions.nonEmpty) {
+        // SQL cardinality rule: >1 source rows may not act on one
+        // target row (nondeterministic update/delete)
+        val dup = matchedRows.filter(col(ActM) >= 0)
+          .groupBy(col(Tid)).count().filter(col("count") > 1)
+          .limit(1).count()
+        require(dup == 0L,
+          s"MERGE INTO $root: a target row matches more than one " +
+            "source row with an applicable WHEN MATCHED clause — " +
+            "the standard cardinality violation; de-duplicate the " +
+            "source or tighten the ON/clause conditions")
+      }
+      // one output row per target row: the applicable-action row if
+      // any (≤1 by the check above), else one arbitrary copy
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(Tid))
+        .orderBy(when(col(ActM) >= 0, 0).otherwise(1))
+      val picked = matchedRows
+        .withColumn("__graft_merge_rn", row_number().over(w))
+        .filter(col("__graft_merge_rn") === 1)
+      val mDel = deleteIndices(matchedActions)
+      val matchedOut = picked
+        .filter(if (mDel.isEmpty) lit(true)
+                else !col(ActM).isin(mDel.map(Integer.valueOf): _*))
+        .select(tSchema.fields.toSeq.map(f =>
+          branched(matchedActions, col(ActM), f.name, f.dataType,
+            tcol(f.name)).as(f.name)): _*)
+      val matchedChangedPre = matchedRows.filter(col(ActM) >= 0)
+
+      // ---- unmatched target rows (not matched by source) -----------
+      val bySourceRows = joined.filter(tp && !coalesce(sp, lit(false)))
+        .withColumn(ActB, firstApplicable(notMatchedBySourceActions))
+      val bDel = deleteIndices(notMatchedBySourceActions)
+      val bySourceOut = bySourceRows
+        .filter(if (bDel.isEmpty) lit(true)
+                else !col(ActB).isin(bDel.map(Integer.valueOf): _*))
+        .select(tSchema.fields.toSeq.map(f =>
+          branched(notMatchedBySourceActions, col(ActB), f.name,
+            f.dataType, tcol(f.name)).as(f.name)): _*)
+      val bySourceChangedPre = bySourceRows.filter(col(ActB) >= 0)
+
+      // ---- unmatched source rows → inserts --------------------------
+      val insertRows = joined.filter(!coalesce(tp, lit(false)) && sp)
+        .withColumn(ActI, firstApplicable(notMatchedActions))
+        .filter(col(ActI) >= 0)
+      val insertsOut =
+        if (notMatchedActions.isEmpty)
+          spark.createDataFrame(
+            java.util.Collections.emptyList[Row](), tSchema)
+        else insertRows.select(
+          insertProjection(notMatchedActions, col(ActI), tSchema): _*)
+
+      val content = matchedOut.unionByName(bySourceOut)
+        .unionByName(insertsOut)
+
+      VersionedTable.readPartitionedManifest(root) match {
+        case Some(m) =>
+          val pv = VersionedTable.posDeleteVersion(root)
+          val pc = m.partitionColumns
+          // pre-images of every row an applicable clause removes or
+          // rewrites, plus post-images of everything written
+          val changedPost = matchedChangedPre
+            .filter(if (mDel.isEmpty) lit(true)
+                    else !col(ActM).isin(mDel.map(Integer.valueOf): _*))
+            .select(tSchema.fields.toSeq.map(f =>
+              branched(matchedActions, col(ActM), f.name, f.dataType,
+                tcol(f.name)).as(f.name)): _*)
+            .unionByName(bySourceChangedPre
+              .filter(if (bDel.isEmpty) lit(true)
+                      else !col(ActB).isin(
+                        bDel.map(Integer.valueOf): _*))
+              .select(tSchema.fields.toSeq.map(f =>
+                branched(notMatchedBySourceActions, col(ActB), f.name,
+                  f.dataType, tcol(f.name)).as(f.name)): _*))
+            .unionByName(insertsOut)
+          val affected = matchedChangedPre
+            .select(pc.map(c => tcol(c).as(c)): _*)
+            .unionByName(bySourceChangedPre
+              .select(pc.map(c => tcol(c).as(c)): _*))
+            .unionByName(changedPost.select(pc.map(col): _*))
+          VersionedTable.touchedCover(spark, root, affected) match {
+            case None => false
+            case Some((touchedPred, covered)) =>
+              VersionedTable.rewritePartitionsCovered(spark, root,
+                content.filter(touchedPred), covered, m.version, pv)
+              true
+          }
+        case None =>
+          VersionedTable.readManifest(root) match {
+            case Some(fm) =>
+              val pv = VersionedTable.posDeleteVersion(root)
+              val anyChange = !matchedChangedPre.limit(1).isEmpty ||
+                !bySourceChangedPre.limit(1).isEmpty ||
+                !insertRows.limit(1).isEmpty
+              if (!anyChange) return false
+              VersionedTable.rewriteLive(spark, root, content,
+                fm.version, pv)
+              true
+            case None =>
+              // declared-but-never-committed target: only inserts can
+              // land; route them through the append verb so the first
+              // commit is a normal v1
+              if (insertsOut.limit(1).isEmpty) return false
+              table.partitioning().toSeq match {
+                case ps if ps.nonEmpty =>
+                  VersionedTable.appendPartitioned(spark, root,
+                    insertsOut, ps.map(_.references().head.fieldNames()
+                      .mkString(".")))
+                case _ =>
+                  VersionedTable.append(spark, root, insertsOut)
+              }
+              true
+          }
+      }
+    } finally { joined.unpersist(); () }
+  }
+}
+
+case class GraftUpdateCommand(target: LogicalPlan, table: GraftTable,
+    assignments: Seq[Assignment], condition: Option[Expression])
+    extends LeafRunnableCommand with SupportsSubquery {
+  override def innerChildren: Seq[LogicalPlan] = Seq(target)
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftRowLevelExec.withCowRetries("UPDATE") {
+      GraftRowLevelExec.runUpdate(spark, target, table, assignments,
+        condition)
+    }
+    Seq.empty
+  }
+}
+
+case class GraftDeleteCommand(target: LogicalPlan, table: GraftTable,
+    condition: Expression)
+    extends LeafRunnableCommand with SupportsSubquery {
+  override def innerChildren: Seq[LogicalPlan] = Seq(target)
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftRowLevelExec.withCowRetries("DELETE") {
+      GraftRowLevelExec.runDelete(spark, target, table, condition)
+    }
+    Seq.empty
+  }
+}
+
+case class GraftMergeCommand(target: LogicalPlan, table: GraftTable,
+    source: LogicalPlan, mergeCondition: Expression,
+    matchedActions: Seq[MergeAction],
+    notMatchedActions: Seq[MergeAction],
+    notMatchedBySourceActions: Seq[MergeAction])
+    extends LeafRunnableCommand with SupportsSubquery {
+  override def innerChildren: Seq[LogicalPlan] = Seq(target, source)
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftRowLevelExec.withCowRetries("MERGE INTO") {
+      GraftRowLevelExec.runMerge(spark, target, table, source,
+        mergeCondition, matchedActions, notMatchedActions,
+        notMatchedBySourceActions)
+    }
+    Seq.empty
+  }
+}

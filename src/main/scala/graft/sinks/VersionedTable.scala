@@ -2566,6 +2566,115 @@ object VersionedTable {
   }
 
   // ------------------------------------------------------------------
+  // Row-level COW rewrites — the execution layer for SQL UPDATE /
+  // MERGE INTO / DELETE-with-subquery (graft.plans.GraftSqlRules).
+  // The caller computes the new content as a PLAN over the observable
+  // snapshot (both delete families masked) plus its own transforms,
+  // pins the (manifest, pos-delete) versions it read, and commits
+  // here; any drift between pin and flip is a ConcurrentCommit-
+  // Exception the caller answers by recomputing everything (its
+  // content is a plan over the live table, so a re-run re-reads the
+  // fresh snapshot — the same deterministic re-merge contract upsert
+  // gives). Because the content is fully masked, restamping every
+  // row with the new commit's sequence is sound: pending equality
+  // deletes were already applied to the rewritten rows, and the
+  // fresh sequence out-ranks the entries for everything kept.
+  // ------------------------------------------------------------------
+
+  /** The position-delete sub-table's current version — what a
+    * row-level rewrite pins before reading, and [[rewriteLive]] /
+    * [[rewritePartitionsCovered]] CAS-check at the flip.
+    */
+  def posDeleteVersion(root: String): Long = posVersion(root)
+
+  /** Row-level COW rewrite, FLAT form: the next version holds exactly
+    * `content` (computed by the caller from the observable snapshot
+    * pinned at `expectedVersion`). One attempt — conflicts throw.
+    */
+  def rewriteLive(spark: SparkSession, root: String,
+                  content: DataFrame, expectedVersion: Long,
+                  expectedPosVersion: Long,
+                  keepVersions: Int = 2): Long = {
+    requireNoReservedColumns(content.columns,
+      s"row-level rewrite of $root",
+      Seq(SeqCol, AddrPathCol, AddrPosCol))
+    enforceConstraints(root, content)
+    val v = commit(root, keepVersions,
+      expectedBase = Some(expectedVersion),
+      validate = () => {
+        if (posVersion(root) != expectedPosVersion)
+          throw new ConcurrentCommitException(
+            s"position deletes landed under $root during the " +
+              "row-level rewrite — re-fold and retry")
+      }) { dir =>
+      content.withColumn(SeqCol, lit(expectedVersion + 1))
+        .write.mode(SaveMode.Overwrite).parquet(dir)
+    }
+    resetPosDeletes(spark, root, expectedPosVersion, keepVersions)
+    v
+  }
+
+  /** Row-level COW rewrite, PARTITIONED form: the partitions named in
+    * `covered` are vacated and `replacement` (their full new content,
+    * written at the manifest's spec depth) takes their place;
+    * untouched partition pointers survive as-is — per-statement work
+    * scales with the TOUCHED partitions, never the table. One
+    * attempt — conflicts throw.
+    */
+  def rewritePartitionsCovered(spark: SparkSession, root: String,
+                               replacement: DataFrame,
+                               covered: Seq[String],
+                               expectedVersion: Long,
+                               expectedPosVersion: Long): Long = {
+    val m = readPartitionedManifest(root).getOrElse(
+      throw new IllegalStateException(
+        s"no partitioned _manifest.json under $root — nothing to " +
+          "rewrite"))
+    requireNoReservedColumns(replacement.columns,
+      s"row-level rewrite of $root",
+      Seq(SeqCol, AddrPathCol, AddrPosCol))
+    requirePartitionTypesMatch(root, replacement, m.partitionColumns)
+    enforceConstraints(root, replacement)
+    replacePartitioned(spark, root, replacement, m.partitionColumns,
+      covered = covered, expectedBase = Some(expectedVersion),
+      expectedPosVersion = Some(expectedPosVersion))
+  }
+
+  /** The touched-partition cover for a row-level rewrite: given a
+    * frame of AFFECTED rows (pre-images being removed plus post-images
+    * being written), the predicate that selects their partitions and
+    * the manifest keys those partitions own. Computed at the
+    * SHALLOWEST retained key depth so a mid-migration
+    * (spec-evolution) parent partition is always lifted whole — the
+    * same rule every partitioned merge applies. None = no affected
+    * rows (the statement is a no-op; commit nothing).
+    */
+  def touchedCover(spark: SparkSession, root: String,
+                   affected: DataFrame)
+      : Option[(Column, Seq[String])] = {
+    val m = readPartitionedManifest(root).getOrElse(
+      throw new IllegalStateException(
+        s"no partitioned _manifest.json under $root"))
+    val minDepth = m.partitions.keySet.map(_.count(_ == '/') + 1)
+      .minOption.getOrElse(m.partitionColumns.size)
+    val predCols = m.partitionColumns.take(
+      math.min(minDepth, m.partitionColumns.size))
+    val touched = affected
+      .select(predCols.map(affected(_)): _*).distinct().collect()
+    if (touched.isEmpty) None
+    else {
+      val pred = touchedPredicate(predCols, touched)
+      val prefixSchema = org.apache.spark.sql.types.StructType(
+        predCols.map(c => affected.schema(c)))
+      val parents = renderPartitionKeys(spark, prefixSchema,
+        touched).toSet
+      val covered = m.partitions.keySet.filter(k =>
+        parents.exists(p => k == p || k.startsWith(p + "/"))).toSeq
+      Some((pred, covered))
+    }
+  }
+
+  // ------------------------------------------------------------------
   // Partition-column TYPES (`_part_schema.json`): partitionBy strips
   // partition columns from the data files, so reading them back goes
   // through Spark's path type inference — which REINTERPRETS lossy

@@ -51,10 +51,50 @@ import graft.sinks.VersionedTable
   * other's tables immediately, and commit-level races are settled by
   * the table's own CAS, not by the catalog.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = "graft"
   private var warehouse: Path = _
+
+  // ---- ProcedureCatalog: SQL CALL-able maintenance ---------------------
+  // CALL <cat>.system.{compact, compact_sorted, zorder, vacuum,
+  // set_ref, drop_ref, remove_orphans}(table => 'ns.t', …) — see
+  // [[GraftProcedures]].
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures
+        .UnboundProcedure =
+    GraftProcedures.load(this, ident)
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.isEmpty ||
+        namespace.sameElements(GraftProcedures.Namespace))
+      GraftProcedures.list()
+    else Array.empty
+
+  /** 'ns.t' (dots separating namespace levels) → the table's DATA
+    * root, through the same stub/LOCATION resolution reads use.
+    */
+  private[sources] def resolveDataRoot(tableRef: String): String = {
+    val parts = tableRef.split('.')
+    val ident = Identifier.of(parts.dropRight(1), parts.last)
+    val stub = tablePath(ident)
+    if (!isTableDir(stub)) throw new NoSuchTableException(ident)
+    dataRoot(stub).toString
+  }
+
+  /** The `keys` TBLPROPERTY of 'ns.t' — read from the STUB (external
+    * tables keep their properties on the stub, not the data root).
+    */
+  private[sources] def tableKeys(tableRef: String): Option[Seq[String]] = {
+    val parts = tableRef.split('.')
+    val stub = tablePath(Identifier.of(parts.dropRight(1), parts.last))
+    readMeta(stub).get("keys")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+  }
 
   override def name(): String = catalogName
 

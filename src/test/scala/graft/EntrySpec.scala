@@ -292,11 +292,36 @@ class EntrySpec extends SparkSpec {
                              // audit columns are integer file counts
                              // / flag bits; strict-verified sf0.001/
                              // 0.01/0.1 2026-08-15
-      "q299_schema_evolution") // integer-cents pin (round(price*100)
+      "q299_schema_evolution", // integer-cents pin (round(price*100)
                              // → BIGINT before any arithmetic); audit
                              // columns are integer schema/row counts;
                              // strict-verified sf0.001/0.01/0.1
                              // 2026-08-15
+      "q325_sql_update",     // integer-cents pin (round(value*100) →
+                             // BIGINT before *2); audit columns are
+                             // integer pointer/version counts;
+                             // strict-verified sf0.001/0.01/0.1
+                             // 2026-08-16
+      "q326_sql_merge",      // integer-cents pin (round(value*100) →
+                             // BIGINT before +7); audit column is an
+                             // integer snapshot count;
+                             // strict-verified sf0.001/0.01/0.1
+                             // 2026-08-16
+      "q327_sql_delete_subquery", // integer-cents pin (round(value
+                             // *100) → BIGINT before comparisons);
+                             // audit columns are integer version/
+                             // entry counts; strict-verified
+                             // sf0.001/0.01/0.1 2026-08-16
+      "q329_sql_procedures", // integer-cents pin (round(value*100) →
+                             // BIGINT before comparisons); audit
+                             // columns are integer flags/counts;
+                             // strict-verified sf0.001/0.01/0.1
+                             // 2026-08-16
+      "q328_sql_dynamic_overwrite") // integer-cents pin (round(value
+                             // *100) → BIGINT before *3); audit
+                             // column is an integer pointer count;
+                             // strict-verified sf0.001/0.01/0.1
+                             // 2026-08-16
     val offenders = SparkEntry.oracleSql.collect {
       case (name, sql)
         if sql.toLowerCase.contains("round(") && !pinned(name) => name

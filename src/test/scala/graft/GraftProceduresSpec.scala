@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.Files
+import graft.sinks.VersionedTable
+import org.apache.spark.sql.functions._
+
+/** SQL CALL-able table maintenance (`ProcedureCatalog`): every
+  * procedure is a spelling of an already-graded verb — these tests
+  * pin the spelling (argument binding, named args, defaults, result
+  * rows) and the catalog-side resolution (ns.t refs, external
+  * locations, keys from the stub).
+  */
+class GraftProceduresSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val wh: String = {
+    val dir = Files.createTempDirectory("graft_proc_wh").toString
+    spark.conf.set("spark.sql.catalog.pcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.pcat.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS pcat.m")
+    dir
+  }
+
+  test("CALL vacuum folds both delete families (MoR → COW flip) and " +
+    "reports the rewrite decision") {
+    wh
+    spark.sql("CREATE TABLE pcat.m.v (id BIGINT, x BIGINT) " +
+      "USING graft TBLPROPERTIES ('keys' = 'id')")
+    spark.sql("INSERT INTO pcat.m.v SELECT id, id FROM range(100)")
+    spark.sql("DELETE FROM pcat.m.v WHERE id < 10") // pos deletes
+    val root = s"$wh/m/v"
+    VersionedTable.softDelete(spark, root,
+      Seq(50L, 51L).toDF("id"), Seq("id")) // equality deletes
+    assert(spark.table("pcat.m.v").count() === 88)
+    val r = spark.sql("CALL pcat.system.vacuum(table => 'm.v')")
+    val row = r.head
+    assert(r.columns.toSeq ===
+      Seq("version", "eq_folded", "pos_files_rewritten"))
+    assert(row.getBoolean(1) === true)
+    assert(row.getInt(2) > 0)
+    // same rows, physically applied now
+    assert(spark.table("pcat.m.v").count() === 88)
+    val (liveEntries, _) =
+      VersionedTable.posDeleteEntryCounts(spark, root)
+    assert(liveEntries === 0L)
+  }
+
+  test("CALL compact merges small files per partition; positional " +
+    "args + defaults work") {
+    wh
+    spark.sql("CREATE TABLE pcat.m.c (id BIGINT, day STRING) " +
+      "USING graft PARTITIONED BY (day)")
+    // 3 appends → 3 files per touched partition
+    (1 to 3).foreach { i =>
+      spark.sql(s"INSERT INTO pcat.m.c VALUES (${i}0, 'd1'), " +
+        s"(${i}1, 'd2')")
+    }
+    val r = spark.sql("CALL pcat.system.compact('m.c')").head
+    assert(r.getInt(1) === 2, s"both partitions had 3 files: $r")
+    assert(spark.table("pcat.m.c").count() === 6)
+  }
+
+  test("CALL zorder reclusters a flat table; an interval read then " +
+    "prunes") {
+    wh
+    spark.sql("CREATE TABLE pcat.m.z (x BIGINT, y BIGINT) USING graft")
+    spark.range(0, 4096).select((col("id") % 64).as("x"),
+        floor(col("id") / 64).cast("long").as("y"))
+      .write.format("graft").mode("append").save(s"$wh/m/z")
+    spark.sql(
+      "CALL pcat.system.zorder(table => 'm.z', cols => 'x,y', " +
+        "num_files => 16)")
+    val q = spark.sql("SELECT count(*) FROM pcat.m.z " +
+      "WHERE x BETWEEN 0 AND 7 AND y BETWEEN 0 AND 7")
+    assert(q.head.getLong(0) === 64)
+    val dec = graft.sources.GraftScanAudit.last.get
+    assert(dec.filesScanned < dec.filesTotal,
+      s"z-order rectangle read pruned nothing: $dec")
+  }
+
+  test("CALL set_ref (default = live version) pins a snapshot; " +
+    "drop_ref removes it; remove_orphans reports zero on a clean " +
+    "table") {
+    wh
+    spark.sql("CREATE TABLE pcat.m.r (id BIGINT) USING graft " +
+      "TBLPROPERTIES ('keys' = 'id')")
+    spark.sql("INSERT INTO pcat.m.r SELECT id FROM range(5)")
+    val r1 = spark.sql(
+      "CALL pcat.system.set_ref(table => 'm.r', name => 'stable')")
+      .head
+    assert(r1.getString(0) === "stable" && r1.getLong(1) === 1L)
+    spark.sql("INSERT INTO pcat.m.r SELECT id FROM range(5, 8)")
+    assert(spark.sql(
+      "SELECT count(*) FROM pcat.m.r VERSION AS OF 'stable'")
+      .head.getLong(0) === 5L)
+    val r2 = spark.sql(
+      "CALL pcat.system.drop_ref(table => 'm.r', name => 'stable')")
+      .head
+    assert(r2.getLong(1) === 1L)
+    assert(VersionedTable.refs(s"$wh/m/r").isEmpty)
+    val ro = spark.sql(
+      "CALL pcat.system.remove_orphans(table => 'm.r', " +
+        "older_than_hours => 0)").head
+    assert(ro.getInt(0) === 0 && ro.getInt(2) === 0, s"$ro")
+  }
+
+  test("unknown procedure and flat-table compact fail loudly") {
+    wh
+    val e1 = intercept[Exception](
+      spark.sql("CALL pcat.system.nope(table => 'm.v')"))
+    assert(e1.getMessage.contains("nope"), e1.getMessage)
+    spark.sql("CREATE TABLE pcat.m.f (id BIGINT) USING graft")
+    spark.sql("INSERT INTO pcat.m.f SELECT id FROM range(3)")
+    val e2 = intercept[Exception](
+      spark.sql("CALL pcat.system.compact('m.f')"))
+    assert(e2.getMessage.contains("flat"), e2.getMessage)
+  }
+}

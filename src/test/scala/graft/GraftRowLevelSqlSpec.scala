@@ -1,0 +1,228 @@
+package graft
+
+import java.nio.file.Files
+import graft.sinks.VersionedTable
+import org.apache.spark.sql.functions._
+
+/** SQL row-level DML on graft tables — UPDATE, MERGE INTO, and
+  * DELETE-with-subquery through the post-hoc rewrite
+  * (graft.plans.GraftSqlRules), executing as copy-on-write commits
+  * against the versioned store. Partitioned statements must rewrite
+  * ONLY touched partitions (pointer-identity asserted).
+  */
+class GraftRowLevelSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val wh: String = {
+    val dir = Files.createTempDirectory("graft_rl_wh").toString
+    spark.conf.set("spark.sql.catalog.rcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.rcat.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS rcat.rl")
+    dir
+  }
+
+  test("UPDATE on a flat table: matching rows transformed, NULL " +
+    "condition keeps, old snapshot time-travelable; no-match UPDATE " +
+    "commits nothing") {
+    wh
+    spark.sql("CREATE TABLE rcat.rl.u (id BIGINT, v BIGINT, s STRING) " +
+      "USING graft")
+    spark.sql("INSERT INTO rcat.rl.u VALUES " +
+      "(1, 10, 'a'), (2, 20, 'b'), (3, 30, NULL), (4, 40, 'a')")
+    spark.sql("UPDATE rcat.rl.u SET v = v * 2, s = upper(s) " +
+      "WHERE s = 'a'")
+    val got = spark.sql("SELECT id, v, s FROM rcat.rl.u ORDER BY id")
+      .as[(Long, Long, Option[String])].collect().toSeq
+    assert(got === Seq((1L, 20L, Some("A")), (2L, 20L, Some("b")),
+      (3L, 30L, None), (4L, 80L, Some("A"))), s"$got")
+    // pre-update snapshot intact
+    val v1 = spark.sql(
+      "SELECT v FROM rcat.rl.u VERSION AS OF 1 WHERE id = 1")
+    assert(v1.head.getLong(0) === 10L)
+    val verBefore = VersionedTable.readManifest(s"$wh/rl/u").get.version
+    spark.sql("UPDATE rcat.rl.u SET v = 0 WHERE id = 999")
+    assert(VersionedTable.readManifest(s"$wh/rl/u").get.version ===
+      verBefore, "a no-match UPDATE must not commit")
+  }
+
+  test("UPDATE with a subquery condition (the predicate the MoR " +
+    "DELETE path can never translate)") {
+    wh
+    spark.sql("CREATE TABLE rcat.rl.usq (id BIGINT, v BIGINT) " +
+      "USING graft")
+    spark.sql("INSERT INTO rcat.rl.usq SELECT id, id FROM range(10)")
+    Seq(2L, 5L, 7L).toDF("bad").createOrReplaceTempView("rl_bad")
+    spark.sql("UPDATE rcat.rl.usq SET v = -1 " +
+      "WHERE id IN (SELECT bad FROM rl_bad)")
+    val neg = spark.sql(
+      "SELECT sort_array(collect_list(id)) FROM rcat.rl.usq " +
+        "WHERE v = -1").as[Seq[Long]].head()
+    assert(neg === Seq(2L, 5L, 7L))
+  }
+
+  test("partitioned UPDATE rewrites ONLY the touched partitions " +
+    "(untouched pointers keep their version dir), and an assignment " +
+    "may move rows across partitions") {
+    wh
+    spark.sql("CREATE TABLE rcat.rl.p (id BIGINT, day STRING, " +
+      "v BIGINT) USING graft PARTITIONED BY (day)")
+    spark.sql("INSERT INTO rcat.rl.p VALUES " +
+      "(1, 'd1', 10), (2, 'd1', 20), (3, 'd2', 30), (4, 'd3', 40)")
+    val root = s"$wh/rl/p"
+    val before = VersionedTable.readPartitionedManifest(root).get
+    spark.sql("UPDATE rcat.rl.p SET v = v + 1 WHERE day = 'd1'")
+    val after = VersionedTable.readPartitionedManifest(root).get
+    assert(after.partitions("day=d2") === before.partitions("day=d2"),
+      "untouched d2 pointer must survive the UPDATE as-is")
+    assert(after.partitions("day=d3") === before.partitions("day=d3"))
+    assert(after.partitions("day=d1") !== before.partitions("day=d1"))
+    val got = spark.sql("SELECT id, v FROM rcat.rl.p ORDER BY id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 11L), (2L, 21L), (3L, 30L), (4L, 40L)))
+    // partition-moving assignment: row 3 migrates d2 -> d9
+    spark.sql("UPDATE rcat.rl.p SET day = 'd9' WHERE id = 3")
+    val moved = spark.sql(
+      "SELECT day, count(*) FROM rcat.rl.p GROUP BY day ORDER BY day")
+      .as[(String, Long)].collect().toSeq
+    assert(moved === Seq(("d1", 2L), ("d3", 1L), ("d9", 1L)), s"$moved")
+    val m2 = VersionedTable.readPartitionedManifest(root).get
+    assert(!m2.partitions.contains("day=d2"),
+      "fully-vacated d2 must lose its pointer")
+  }
+
+  test("DELETE with a subquery routes through the COW rewrite; " +
+    "simple predicates keep the MoR position-delete fast path") {
+    wh
+    spark.sql("CREATE TABLE rcat.rl.d (id BIGINT, v BIGINT) " +
+      "USING graft")
+    spark.sql("INSERT INTO rcat.rl.d SELECT id, id * 10 FROM range(10)")
+    val root = s"$wh/rl/d"
+    // simple predicate: MoR — no data rewrite, version stays, entries
+    spark.sql("DELETE FROM rcat.rl.d WHERE id >= 8")
+    assert(VersionedTable.readManifest(root).get.version === 1L,
+      "translatable DELETE must stay merge-on-read (no rewrite)")
+    val (live1, _) = VersionedTable.posDeleteEntryCounts(spark, root)
+    assert(live1 === 2L)
+    // subquery predicate: COW — new version, rows physically gone,
+    // and the rewrite folds the pending position deletes
+    Seq(1L, 3L).toDF("bad").createOrReplaceTempView("rl_dbad")
+    spark.sql("DELETE FROM rcat.rl.d " +
+      "WHERE id IN (SELECT bad FROM rl_dbad)")
+    assert(VersionedTable.readManifest(root).get.version === 2L)
+    val left = spark.sql("SELECT sort_array(collect_list(id)) " +
+      "FROM rcat.rl.d").as[Seq[Long]].head()
+    assert(left === Seq(0L, 2L, 4L, 5L, 6L, 7L))
+    val (live2, _) = VersionedTable.posDeleteEntryCounts(spark, root)
+    assert(live2 === 0L, "COW rewrite must fold pending pos deletes")
+  }
+
+  test("MERGE INTO: conditional matched update + matched delete + " +
+    "not-matched insert + not-matched-by-source delete, in one " +
+    "statement; only touched partitions rewritten") {
+    wh
+    spark.sql("CREATE TABLE rcat.rl.m (id BIGINT, day STRING, " +
+      "v BIGINT) USING graft PARTITIONED BY (day)")
+    spark.sql("INSERT INTO rcat.rl.m VALUES " +
+      "(1, 'd1', 10), (2, 'd1', 20), (3, 'd2', 30), (4, 'd3', 40), " +
+      "(5, 'd4', 50)")
+    val root = s"$wh/rl/m"
+    val before = VersionedTable.readPartitionedManifest(root).get
+    Seq((1L, "d1", 100L), (2L, "d1", -1L), (9L, "d99", 90L))
+      .toDF("id", "day", "v").createOrReplaceTempView("rl_src")
+    spark.sql("""
+      MERGE INTO rcat.rl.m t USING rl_src s ON t.id = s.id
+      WHEN MATCHED AND s.v < 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, day, v) VALUES (s.id, s.day, s.v)
+      WHEN NOT MATCHED BY SOURCE AND t.day = 'd4' THEN DELETE
+    """)
+    val got = spark.sql("SELECT id, day, v FROM rcat.rl.m ORDER BY id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got === Seq((1L, "d1", 100L), (3L, "d2", 30L),
+      (4L, "d3", 40L), (9L, "d99", 90L)), s"$got")
+    val after = VersionedTable.readPartitionedManifest(root).get
+    assert(after.partitions("day=d2") === before.partitions("day=d2"),
+      "d2 (no matches, no clauses apply) must keep its pointer")
+    assert(after.partitions("day=d3") === before.partitions("day=d3"))
+    assert(!after.partitions.contains("day=d4"),
+      "by-source delete fully vacated d4")
+    assert(after.partitions.contains("day=d99"), "insert created d99")
+  }
+
+  test("MERGE cardinality violation: two source rows acting on one " +
+    "target row raises; a no-clause multi-match keeps exactly one " +
+    "copy of the target row") {
+    wh
+    spark.sql("CREATE TABLE rcat.rl.mc (id BIGINT, v BIGINT) " +
+      "USING graft")
+    spark.sql("INSERT INTO rcat.rl.mc VALUES (1, 10), (2, 20)")
+    Seq((1L, 5L), (1L, 6L)).toDF("id", "v")
+      .createOrReplaceTempView("rl_dup")
+    val e = intercept[Exception] {
+      spark.sql("MERGE INTO rcat.rl.mc t USING rl_dup s " +
+        "ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = s.v")
+    }
+    assert(e.getMessage.contains("cardinality"), e.getMessage)
+    // conditional clause that matches NEITHER duplicate: target row
+    // must survive exactly once
+    spark.sql("MERGE INTO rcat.rl.mc t USING rl_dup s " +
+      "ON t.id = s.id WHEN MATCHED AND s.v > 100 THEN DELETE " +
+      "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)")
+    val got = spark.sql("SELECT id, v FROM rcat.rl.mc ORDER BY id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 10L), (2L, 20L)), s"$got")
+  }
+
+  test("MERGE into a flat table via UPDATE SET * / INSERT * star " +
+    "expansion, driving the keyed-upsert shape in pure SQL") {
+    wh
+    spark.sql("CREATE TABLE rcat.rl.ms (id BIGINT, v STRING) " +
+      "USING graft")
+    spark.sql("INSERT INTO rcat.rl.ms VALUES (1, 'a'), (2, 'b')")
+    Seq((2L, "B"), (3L, "c")).toDF("id", "v")
+      .createOrReplaceTempView("rl_star")
+    spark.sql("MERGE INTO rcat.rl.ms t USING rl_star s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    val got = spark.sql("SELECT id, v FROM rcat.rl.ms ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(got === Seq((1L, "a"), (2L, "B"), (3L, "c")), s"$got")
+  }
+
+  test("subquery DML under the stats-broadcast rule: the rule must " +
+    "not plant a BROADCAST hint on an illegal build side (the left " +
+    "side of an IN-subquery's ExistenceJoin) — regression for the " +
+    "full-suite-order failure") {
+    wh
+    graft.plans.GraftBroadcastStats.install(spark)
+    spark.sql("CREATE TABLE rcat.rl.bs (id BIGINT, v BIGINT) " +
+      "USING graft")
+    spark.sql("INSERT INTO rcat.rl.bs SELECT id, id FROM range(10)")
+    Seq(4L, 6L).toDF("bad").createOrReplaceTempView("rl_bsbad")
+    // pre-fix: SparkStrategies.JoinSelection rejected the planted
+    // left-side hint on the existence join and the whole UPDATE died
+    spark.sql("UPDATE rcat.rl.bs SET v = -1 " +
+      "WHERE id IN (SELECT bad FROM rl_bsbad)")
+    val neg = spark.sql("SELECT sort_array(collect_list(id)) " +
+      "FROM rcat.rl.bs WHERE v = -1").as[Seq[Long]].head()
+    assert(neg === Seq(4L, 6L))
+    spark.sql("DELETE FROM rcat.rl.bs " +
+      "WHERE id IN (SELECT bad + 1 FROM rl_bsbad)")
+    assert(spark.table("rcat.rl.bs").count() === 8)
+  }
+
+  test("UPDATE folds pending MoR deletes instead of resurrecting " +
+    "them (the un-delete class)") {
+    wh
+    spark.sql("CREATE TABLE rcat.rl.f (id BIGINT, v BIGINT) " +
+      "USING graft")
+    spark.sql("INSERT INTO rcat.rl.f SELECT id, id FROM range(6)")
+    spark.sql("DELETE FROM rcat.rl.f WHERE id = 4") // MoR entry
+    spark.sql("UPDATE rcat.rl.f SET v = 99 WHERE id <= 1")
+    val got = spark.sql("SELECT id, v FROM rcat.rl.f ORDER BY id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 99L), (1L, 99L), (2L, 2L), (3L, 3L),
+      (5L, 5L)), s"deleted id=4 must stay deleted: $got")
+  }
+}

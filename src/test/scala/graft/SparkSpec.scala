@@ -16,6 +16,10 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.ansi.enabled", "false")
     .config("spark.ui.enabled", "false")
+    // just the row-level SQL rule — NOT the full GraftExtensions:
+    // BroadcastStatsSpec pins the uninstalled optimizer shape
+    .config("spark.sql.extensions",
+      "graft.plans.GraftSqlExtensions")
     .getOrCreate()
 
   def tmpDir(prefix: String): String =
