@@ -4744,12 +4744,7 @@ object SparkEntry {
       val vt = graft.sinks.VersionedTable
       // catalogs are cached by NAME at first use, so the warehouse is
       // session-stable; per-run state resets by dropping the namespace
-      if (!s.conf.getOption("spark.sql.catalog.g13").isDefined) {
-        s.conf.set("spark.sql.catalog.g13",
-          classOf[graft.sources.GraftCatalog].getName)
-        s.conf.set("spark.sql.catalog.g13.warehouse",
-          graft.core.ScratchDirs.fresh("q320_wh").toString)
-      }
+      ensureG13(s)
       s.sql("DROP NAMESPACE IF EXISTS g13.q320 CASCADE")
       s.sql("CREATE NAMESPACE g13.q320")
       val ev = Tables.events(s, d).select(col("event_id"),
@@ -4838,12 +4833,7 @@ object SparkEntry {
     "q323_external_changelog" -> ((s, d) => {
       import s.implicits._
       val vt = graft.sinks.VersionedTable
-      if (!s.conf.getOption("spark.sql.catalog.g13").isDefined) {
-        s.conf.set("spark.sql.catalog.g13",
-          classOf[graft.sources.GraftCatalog].getName)
-        s.conf.set("spark.sql.catalog.g13.warehouse",
-          graft.core.ScratchDirs.fresh("q320_wh").toString)
-      }
+      ensureG13(s)
       s.sql("DROP NAMESPACE IF EXISTS g13.q323 CASCADE")
       s.sql("CREATE NAMESPACE g13.q323")
       val work = graft.core.ScratchDirs.fresh("q323_ext")
@@ -7485,12 +7475,7 @@ object SparkEntry {
     // (final version graded 2 in _ptr.s).
     "q325_sql_update" -> ((s, d) => {
       val vt = graft.sinks.VersionedTable
-      if (!s.conf.getOption("spark.sql.catalog.g13").isDefined) {
-        s.conf.set("spark.sql.catalog.g13",
-          classOf[graft.sources.GraftCatalog].getName)
-        s.conf.set("spark.sql.catalog.g13.warehouse",
-          graft.core.ScratchDirs.fresh("q320_wh").toString)
-      }
+      ensureG13(s)
       s.sql("DROP NAMESPACE IF EXISTS g13.q325 CASCADE")
       s.sql("CREATE NAMESPACE g13.q325")
       val ev = Tables.events(s, d).select(col("event_id"),
@@ -7531,13 +7516,7 @@ object SparkEntry {
     // (by-source, condition true), upd (matched survivors), new
     // (inserts); matched rows under 500 cents are deleted.
     "q326_sql_merge" -> ((s, d) => {
-      val vt = graft.sinks.VersionedTable
-      if (!s.conf.getOption("spark.sql.catalog.g13").isDefined) {
-        s.conf.set("spark.sql.catalog.g13",
-          classOf[graft.sources.GraftCatalog].getName)
-        s.conf.set("spark.sql.catalog.g13.warehouse",
-          graft.core.ScratchDirs.fresh("q320_wh").toString)
-      }
+      ensureG13(s)
       s.sql("DROP NAMESPACE IF EXISTS g13.q326 CASCADE")
       s.sql("CREATE NAMESPACE g13.q326")
       val ev = Tables.events(s, d).select(col("event_id"),
@@ -7576,12 +7555,7 @@ object SparkEntry {
     // one table.
     "q327_sql_delete_subquery" -> ((s, d) => {
       val vt = graft.sinks.VersionedTable
-      if (!s.conf.getOption("spark.sql.catalog.g13").isDefined) {
-        s.conf.set("spark.sql.catalog.g13",
-          classOf[graft.sources.GraftCatalog].getName)
-        s.conf.set("spark.sql.catalog.g13.warehouse",
-          graft.core.ScratchDirs.fresh("q320_wh").toString)
-      }
+      ensureG13(s)
       s.sql("DROP NAMESPACE IF EXISTS g13.q327 CASCADE")
       s.sql("CREATE NAMESPACE g13.q327")
       val ev = Tables.events(s, d).select(col("event_id"),
@@ -7619,12 +7593,7 @@ object SparkEntry {
     // cents), every other day keeps its v1 pointer (_ptr.n).
     "q328_sql_dynamic_overwrite" -> ((s, d) => {
       val vt = graft.sinks.VersionedTable
-      if (!s.conf.getOption("spark.sql.catalog.g13").isDefined) {
-        s.conf.set("spark.sql.catalog.g13",
-          classOf[graft.sources.GraftCatalog].getName)
-        s.conf.set("spark.sql.catalog.g13.warehouse",
-          graft.core.ScratchDirs.fresh("q320_wh").toString)
-      }
+      ensureG13(s)
       s.sql("DROP NAMESPACE IF EXISTS g13.q328 CASCADE")
       s.sql("CREATE NAMESPACE g13.q328")
       val ev = Tables.events(s, d).select(col("event_id"),
@@ -7662,6 +7631,58 @@ object SparkEntry {
           lit(untouched).as("n"), lit(0L).as("s")))
     }),
 
+    // SQL DDL schema evolution + TRUNCATE (r13): ALTER TABLE ADD
+    // COLUMNS null-fills reads until data carries the column and
+    // flips the table to sync evolution (the next INSERT writes it);
+    // UPDATE back-fills the legacy rows; TRUNCATE is a merge-on-read
+    // full mask — zero data-file rewrite, the pre-truncate snapshot
+    // still time-travels.
+    "q330_sql_ddl_evolution" -> ((s, d) => {
+      ensureG13(s)
+      s.sql("DROP NAMESPACE IF EXISTS g13.q330 CASCADE")
+      s.sql("CREATE NAMESPACE g13.q330")
+      val ev = Tables.events(s, d).select(col("event_id"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      ev.createOrReplaceTempView("q330_src")
+      s.sql("CREATE TABLE g13.q330.t (event_id BIGINT, " +
+        "event_type STRING, cents BIGINT) USING graft")
+      s.sql("INSERT INTO g13.q330.t SELECT event_id, event_type, " +
+        "cents FROM q330_src WHERE event_id % 2 = 0")
+      s.sql("ALTER TABLE g13.q330.t ADD COLUMNS (score BIGINT)")
+      val nullScores = s.sql("SELECT count(*) FROM g13.q330.t " +
+        "WHERE score IS NULL").head.getLong(0)
+      s.sql("INSERT INTO g13.q330.t SELECT event_id, event_type, " +
+        "cents, cents * 2 FROM q330_src WHERE event_id % 2 = 1")
+      s.sql("UPDATE g13.q330.t SET score = cents " +
+        "WHERE score IS NULL")
+      // MATERIALIZE before the truncate — the frame is lazy and the
+      // dump below must not re-aggregate the emptied table
+      val aggRows = s.sql(
+        "SELECT concat('t:', event_type) AS part, count(*) AS n, " +
+          "sum(score) AS s FROM g13.q330.t GROUP BY event_type")
+        .collect().toSeq
+      val agg = s.createDataFrame(
+        s.sparkContext.parallelize(aggRows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("part",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("s",
+            org.apache.spark.sql.types.LongType))))
+      s.sql("TRUNCATE TABLE g13.q330.t")
+      val live = s.sql("SELECT count(*) FROM g13.q330.t")
+        .head.getLong(0)
+      val v3 = s.sql("SELECT count(*) FROM g13.q330.t VERSION AS OF 3")
+        .head.getLong(0)
+      agg
+        .unionByName(s.range(1).select(lit("_nulls").as("part"),
+          lit(nullScores).as("n"), lit(0L).as("s")))
+        .unionByName(s.range(1).select(lit("_trunc").as("part"),
+          lit(live).as("n"), lit(v3).as("s")))
+    }),
+
     // SQL CALL procedures (r13): the Iceberg-procedures maintenance
     // lifecycle in pure SQL — DELETE lands MoR position deletes, CALL
     // vacuum folds them (targeted rewrite, graded >0 files), CALL
@@ -7670,12 +7691,7 @@ object SparkEntry {
     // must not disturb, CALL remove_orphans reports a clean table.
     "q329_sql_procedures" -> ((s, d) => {
       val vt = graft.sinks.VersionedTable
-      if (!s.conf.getOption("spark.sql.catalog.g13").isDefined) {
-        s.conf.set("spark.sql.catalog.g13",
-          classOf[graft.sources.GraftCatalog].getName)
-        s.conf.set("spark.sql.catalog.g13.warehouse",
-          graft.core.ScratchDirs.fresh("q320_wh").toString)
-      }
+      ensureG13(s)
       s.sql("DROP NAMESPACE IF EXISTS g13.q329 CASCADE")
       s.sql("CREATE NAMESPACE g13.q329")
       val ev = Tables.events(s, d).select(col("event_id"),
@@ -8279,6 +8295,32 @@ object SparkEntry {
         |UNION ALL
         |SELECT '_v2', (SELECT count(*) FROM aftercow),
         |  CAST(0 AS BIGINT)""".stripMargin,
+
+    // DDL-evolution replay: evens inserted pre-ALTER score-less
+    // (back-filled score = cents by the UPDATE), odds inserted with
+    // score = cents*2; _nulls = the even half (null-filled reads
+    // before any data carried the column); _trunc = (0 live after
+    // TRUNCATE, full count at the pre-truncate snapshot).
+    "q330_sql_ddl_evolution" ->
+      """WITH src AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |fin AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 2 = 0 THEN cents
+        |         ELSE cents * 2 END AS score
+        |  FROM src)
+        |SELECT 't:' || event_type AS part, count(*) AS n,
+        |  CAST(sum(score) AS BIGINT) AS s
+        |FROM fin GROUP BY event_type
+        |UNION ALL
+        |SELECT '_nulls',
+        |  (SELECT count(*) FROM src WHERE event_id % 2 = 0),
+        |  CAST(0 AS BIGINT)
+        |UNION ALL
+        |SELECT '_trunc', CAST(0 AS BIGINT),
+        |  (SELECT count(*) FROM src)""".stripMargin,
 
     // CALL-procedures replay: live = survivors of the MoR delete
     // (vacuum/compact change layout, never content) plus the
@@ -14093,6 +14135,20 @@ object SparkEntry {
     * scale-free, so in-cluster similarity is exactly 1.0 and
     * cross-cluster exactly 0.0, with no float noise anywhere).
     */
+  /** Register the shared round-13 SQL catalog `g13` once per JVM —
+    * catalogs cache their warehouse at first use, so the conf guard
+    * (not a re-set) is load-bearing; queries reset per-run state by
+    * dropping their own namespace.
+    */
+  private def ensureG13(s: SparkSession): Unit = {
+    if (!s.conf.getOption("spark.sql.catalog.g13").isDefined) {
+      s.conf.set("spark.sql.catalog.g13",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.g13.warehouse",
+        graft.core.ScratchDirs.fresh("g13_wh").toString)
+    }
+  }
+
   private def plantedOrthogonal(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(col("vec_id"),
       transform(sequence(lit(0), lit(7)),

@@ -142,26 +142,17 @@ class GraftSqlExtensions
 
 private[plans] object GraftRowLevelExec {
 
-  /** Bounded optimistic retry: the new content is a PLAN over the
-    * live snapshot, so re-running the whole statement against the
-    * moved table is the correct (and deterministic-input-safe)
-    * conflict answer — the same contract the library upsert gives.
+  /** Statement-level optimistic retry: the new content is a PLAN
+    * over the live snapshot, so re-running the whole statement
+    * against the moved table is the correct (and deterministic-
+    * input-safe) conflict answer — the same contract the library
+    * upsert gives. Delegates to the versioned store's full protocol
+    * (randomized backoff, merge-lock escalation, retention-race FNF
+    * classified as a conflict), so a storm of concurrent DML settles
+    * exactly like a storm of library upserts.
     */
-  def withCowRetries[T](what: String)(body: => T): T = {
-    var attempt = 0
-    while (true) {
-      try return body
-      catch {
-        case e: VersionedTable.ConcurrentCommitException =>
-          attempt += 1
-          if (attempt > 5) throw e
-          Thread.sleep(40L * attempt +
-            java.util.concurrent.ThreadLocalRandom.current()
-              .nextLong(40L * attempt + 1))
-      }
-    }
-    throw new IllegalStateException(s"unreachable: $what")
-  }
+  def withCowRetries[T](root: String)(body: => T): T =
+    VersionedTable.withWriteRetries(root)(body)
 
   def guardLiveTarget(table: GraftTable, what: String): Unit = {
     val o = table.opts
@@ -230,9 +221,10 @@ private[plans] object GraftRowLevelExec {
         val fm = VersionedTable.readManifest(root).getOrElse(
           return false) // declared, never committed: nothing matches
         val pv = VersionedTable.posDeleteVersion(root)
+        val ev = VersionedTable.eqDeleteVersion(root)
         if (matched.limit(1).isEmpty) return false
         VersionedTable.rewriteLive(spark, root,
-          kept.unionByName(transformed), fm.version, pv)
+          kept.unionByName(transformed), fm.version, pv, ev)
         true
     }
   }
@@ -261,8 +253,10 @@ private[plans] object GraftRowLevelExec {
         val fm = VersionedTable.readManifest(root).getOrElse(
           return false)
         val pv = VersionedTable.posDeleteVersion(root)
+        val ev = VersionedTable.eqDeleteVersion(root)
         if (matched.limit(1).isEmpty) return false
-        VersionedTable.rewriteLive(spark, root, kept, fm.version, pv)
+        VersionedTable.rewriteLive(spark, root, kept, fm.version, pv,
+          ev)
         true
     }
   }
@@ -360,9 +354,17 @@ private[plans] object GraftRowLevelExec {
     val tdf = tdf0.withColumn(TPresent, lit(true))
       .withColumn(Tid, monotonically_increasing_id())
     val sdf = sdf0.withColumn(SPresent, lit(true))
+    // localCheckpoint, NOT persist: the joined frame (and the
+    // monotonically_increasing_id tids inside it) is consumed by
+    // SEVERAL jobs — cardinality check, no-op probes, touched-cover
+    // collect, and the final write. A persisted partition lost to an
+    // executor death would silently RECOMPUTE with different tids and
+    // possibly different join pairings (non-deterministic sources),
+    // letting the checked row set diverge from the committed one;
+    // a checkpointed block lost fails the statement loudly instead
+    // (the Delta source-materialization rationale).
     val joined = tdf.join(sdf, SqlShims.column(mergeCondition),
-      "full_outer")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      "full_outer").localCheckpoint()
     try {
       val tp = col(TPresent) === lit(true)
       val sp = col(SPresent) === lit(true)
@@ -461,12 +463,13 @@ private[plans] object GraftRowLevelExec {
           VersionedTable.readManifest(root) match {
             case Some(fm) =>
               val pv = VersionedTable.posDeleteVersion(root)
+              val ev = VersionedTable.eqDeleteVersion(root)
               val anyChange = !matchedChangedPre.limit(1).isEmpty ||
                 !bySourceChangedPre.limit(1).isEmpty ||
                 !insertRows.limit(1).isEmpty
               if (!anyChange) return false
               VersionedTable.rewriteLive(spark, root, content,
-                fm.version, pv)
+                fm.version, pv, ev)
               true
             case None =>
               // declared-but-never-committed target: only inserts can
@@ -484,7 +487,7 @@ private[plans] object GraftRowLevelExec {
               true
           }
       }
-    } finally { joined.unpersist(); () }
+    } finally { joined.unpersist(); () } // drops the checkpoint blocks
   }
 }
 
@@ -493,10 +496,14 @@ case class GraftUpdateCommand(target: LogicalPlan, table: GraftTable,
     extends LeafRunnableCommand with SupportsSubquery {
   override def innerChildren: Seq[LogicalPlan] = Seq(target)
   override def run(spark: SparkSession): Seq[Row] = {
-    GraftRowLevelExec.withCowRetries("UPDATE") {
+    val committed =
+      GraftRowLevelExec.withCowRetries(table.opts.root) {
       GraftRowLevelExec.runUpdate(spark, target, table, assignments,
         condition)
     }
+    // cached plans over the target must re-execute (the fast-path
+    // DELETE exec refreshes; the command path matches)
+    if (committed) SqlShims.recacheByPlan(spark, target)
     Seq.empty
   }
 }
@@ -506,9 +513,11 @@ case class GraftDeleteCommand(target: LogicalPlan, table: GraftTable,
     extends LeafRunnableCommand with SupportsSubquery {
   override def innerChildren: Seq[LogicalPlan] = Seq(target)
   override def run(spark: SparkSession): Seq[Row] = {
-    GraftRowLevelExec.withCowRetries("DELETE") {
+    val committed =
+      GraftRowLevelExec.withCowRetries(table.opts.root) {
       GraftRowLevelExec.runDelete(spark, target, table, condition)
     }
+    if (committed) SqlShims.recacheByPlan(spark, target)
     Seq.empty
   }
 }
@@ -521,11 +530,13 @@ case class GraftMergeCommand(target: LogicalPlan, table: GraftTable,
     extends LeafRunnableCommand with SupportsSubquery {
   override def innerChildren: Seq[LogicalPlan] = Seq(target, source)
   override def run(spark: SparkSession): Seq[Row] = {
-    GraftRowLevelExec.withCowRetries("MERGE INTO") {
+    val committed =
+      GraftRowLevelExec.withCowRetries(table.opts.root) {
       GraftRowLevelExec.runMerge(spark, target, table, source,
         mergeCondition, matchedActions, notMatchedActions,
         notMatchedBySourceActions)
     }
+    if (committed) SqlShims.recacheByPlan(spark, target)
     Seq.empty
   }
 }

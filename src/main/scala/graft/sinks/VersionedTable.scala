@@ -910,7 +910,9 @@ object VersionedTable {
     * like every rewrite.
     */
   def append(spark: SparkSession, root: String, batch: DataFrame,
-             keepVersions: Int = 2, maxRetries: Int = 10): Long = {
+             keepVersions: Int = 2, maxRetries: Int = 10,
+             schemaMode: MergeWriter.SchemaMode =
+               MergeWriter.SchemaMode.Strict): Long = {
     requireNoReservedColumns(batch.columns, s"append into $root",
       Seq(SeqCol, AddrPathCol, AddrPosCol))
     enforceConstraints(root, batch)
@@ -932,8 +934,11 @@ object VersionedTable {
           case None =>
             stamped.write.mode(SaveMode.Overwrite).parquet(dir)
           case Some(_) =>
+            // SyncAllColumns = the ALTER ADD COLUMNS / drifting-batch
+            // shape: either side's missing columns null-fill
             readLiveWithPosDeletesStamped(spark, root)
-              .unionByName(stamped)
+              .unionByName(stamped, allowMissingColumns =
+                schemaMode == MergeWriter.SchemaMode.SyncAllColumns)
               .write.mode(SaveMode.Overwrite).parquet(dir)
         }
       }
@@ -1010,9 +1015,9 @@ object VersionedTable {
     * why that converges). Pruned-snapshot reads retry like CAS
     * conflicts — see [[isPrunedSnapshotRead]].
     */
-  private def retryThenEscalate(rootP: Path, maxRetries: Int)
-                               (once: => Long): Long = {
-    def loop(yieldToMergeLock: Boolean): Long = {
+  private def retryThenEscalate[T](rootP: Path, maxRetries: Int)
+                                  (once: => T): T = {
+    def loop(yieldToMergeLock: Boolean): T = {
       var attempt = 0
       while (true) {
         // optimistic writers wait out an escalated writer's hold —
@@ -1032,7 +1037,7 @@ object VersionedTable {
             retryBackoff(attempt)
         }
       }
-      -1L // unreachable
+      throw new IllegalStateException("unreachable") // while(true)
     }
     try loop(yieldToMergeLock = true)
     catch {
@@ -1042,6 +1047,17 @@ object VersionedTable {
         withMergeLock(rootP)(loop(yieldToMergeLock = false))
     }
   }
+
+  /** The full write-conflict retry protocol (randomized backoff,
+    * merge-lock escalation, pruned-snapshot FNF classified as a
+    * conflict) for callers OUTSIDE this object — the row-level SQL
+    * commands wrap their read-compute-commit statement in it so a
+    * storm of concurrent DML settles exactly like a storm of library
+    * upserts.
+    */
+  private[graft] def withWriteRetries[T](root: String,
+      maxRetries: Int = 10)(body: => T): T =
+    retryThenEscalate(Paths.get(root), maxRetries)(body)
 
   /** Randomized linear backoff between CAS retries: without it, N
     * contending writers re-merge in lockstep (each merge takes longer
@@ -1835,9 +1851,11 @@ object VersionedTable {
                         batch: DataFrame,
                         partitionColumns: Seq[String],
                         maxRetries: Int = 10,
-                        keepManifests: Int = 2): Long =
+                        keepManifests: Int = 2,
+                        schemaMode: MergeWriter.SchemaMode =
+                          MergeWriter.SchemaMode.Strict): Long =
     mergePartitioned(spark, root, batch, keys = Seq.empty,
-      partitionColumns, MergeWriter.SchemaMode.Strict, maxRetries,
+      partitionColumns, schemaMode, maxRetries,
       keepManifests, antiJoin = false)
 
 
@@ -1961,7 +1979,8 @@ object VersionedTable {
                 updates.select(keys.map(updates(_)): _*), keys,
                 "left_anti")
               .unionByName(updatesAligned)
-          } else existing.unionByName(updates) // append: strict schema
+          } else existing.unionByName(updates, allowMissingColumns =
+            schemaMode == MergeWriter.SchemaMode.SyncAllColumns)
       }
       val staging = stagingDir(rootP)
       try merged.write.mode(SaveMode.Overwrite)
@@ -2587,13 +2606,24 @@ object VersionedTable {
     */
   def posDeleteVersion(root: String): Long = posVersion(root)
 
+  /** The EQUALITY-delete sub-table's current version — the flat
+    * row-level rewrite must pin this too: it restamps every surviving
+    * row with the new commit's sequence, so an equality delete landing
+    * between its observable read and its flip (no main-manifest or
+    * pos-version bump to CAS on) would be out-sequenced and silently
+    * un-deleted. Partitioned masks are sequence-free (unconditional
+    * until vacuum), so only [[rewriteLive]] needs the guard.
+    */
+  def eqDeleteVersion(root: String): Long =
+    readManifest(deletesRoot(root)).map(_.version).getOrElse(0L)
+
   /** Row-level COW rewrite, FLAT form: the next version holds exactly
     * `content` (computed by the caller from the observable snapshot
     * pinned at `expectedVersion`). One attempt — conflicts throw.
     */
   def rewriteLive(spark: SparkSession, root: String,
                   content: DataFrame, expectedVersion: Long,
-                  expectedPosVersion: Long,
+                  expectedPosVersion: Long, expectedEqVersion: Long,
                   keepVersions: Int = 2): Long = {
     requireNoReservedColumns(content.columns,
       s"row-level rewrite of $root",
@@ -2606,6 +2636,11 @@ object VersionedTable {
           throw new ConcurrentCommitException(
             s"position deletes landed under $root during the " +
               "row-level rewrite — re-fold and retry")
+        if (eqDeleteVersion(root) != expectedEqVersion)
+          throw new ConcurrentCommitException(
+            s"equality deletes landed under $root during the " +
+              "row-level rewrite — restamped rows would out-sequence " +
+              "them (un-delete); re-read and retry")
       }) { dir =>
       content.withColumn(SeqCol, lit(expectedVersion + 1))
         .write.mode(SaveMode.Overwrite).parquet(dir)

@@ -81,7 +81,9 @@ private[sources] class GraftWrite(root: String,
     val spark = SparkSession.active
     new GraftBatchWrite(root, info, tableProps, mode,
       GraftNativeWrite.writerConfs(spark),
-      spark.sessionState.conf.parquetCompressionCodec)
+      spark.sessionState.conf.parquetCompressionCodec,
+      org.apache.spark.sql.graft.SqlShims
+        .serializableHadoopConf(spark))
   }
 }
 
@@ -91,7 +93,9 @@ private[sources] final case class GraftCommitMessage(
 private[sources] class GraftBatchWrite(root: String,
     info: LogicalWriteInfo, tableProps: Map[String, String],
     mode: GraftNativeWrite.Mode, writerConfs: Map[String, String],
-    compression: String) extends BatchWrite {
+    compression: String,
+    hadoopConf: org.apache.spark.util.SerializableConfiguration)
+    extends BatchWrite {
 
   private val staging =
     java.nio.file.Paths.get(root)
@@ -101,7 +105,7 @@ private[sources] class GraftBatchWrite(root: String,
       physical: PhysicalWriteInfo): DataWriterFactory = {
     java.nio.file.Files.createDirectories(staging)
     new GraftDataWriterFactory(staging.toString, info.schema(),
-      writerConfs, compression)
+      writerConfs, compression, hadoopConf)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -192,9 +196,11 @@ private[sources] class GraftBatchWrite(root: String,
           case (Some(k), None) =>
             VersionedTable.upsert(spark, root, staged, k, schemaMode)
           case (None, Some(pc)) =>
-            VersionedTable.appendPartitioned(spark, root, staged, pc)
+            VersionedTable.appendPartitioned(spark, root, staged, pc,
+              schemaMode = schemaMode)
           case (None, None) =>
-            VersionedTable.append(spark, root, staged)
+            VersionedTable.append(spark, root, staged,
+              schemaMode = schemaMode)
         }
         ()
     }
@@ -203,13 +209,15 @@ private[sources] class GraftBatchWrite(root: String,
 
 private[sources] class GraftDataWriterFactory(stagingDir: String,
     schema: StructType, confs: Map[String, String],
-    compression: String) extends DataWriterFactory {
+    compression: String,
+    hadoopConf: org.apache.spark.util.SerializableConfiguration)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(
       s"$stagingDir/part-$partitionId-$taskId-${UUID.randomUUID}" +
         ".parquet",
-      schema, confs, compression)
+      schema, confs, compression, hadoopConf)
 }
 
 /** One task's writer: rows stream straight into a parquet file via
@@ -219,7 +227,8 @@ private[sources] class GraftDataWriterFactory(stagingDir: String,
   * nothing behind and commit a null path.
   */
 private[sources] class GraftDataWriter(path: String, schema: StructType,
-    confs: Map[String, String], compression: String)
+    confs: Map[String, String], compression: String,
+    hadoopConf: org.apache.spark.util.SerializableConfiguration)
     extends DataWriter[InternalRow] {
 
   private var writer: ParquetWriter[InternalRow] = null
@@ -234,7 +243,10 @@ private[sources] class GraftDataWriter(path: String, schema: StructType,
   }
 
   private def open(): ParquetWriter[InternalRow] = {
-    val conf = new Configuration()
+    // start from the SESSION's Hadoop conf (spark.hadoop.* tuning,
+    // filesystem settings), then overlay the SQLConf-derived parquet
+    // keys — staged files match what df.write.parquet would produce
+    val conf = new Configuration(hadoopConf.value)
     confs.foreach { case (k, v) => conf.set(k, v) }
     ParquetWriteSupport.setSchema(schema, conf)
     val codec =
@@ -260,7 +272,7 @@ private[sources] class GraftDataWriter(path: String, schema: StructType,
     try if (writer != null) writer.close()
     catch { case _: Throwable => () }
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(hadoopConf.value)
     fs.delete(p, false)
     ()
   }

@@ -245,9 +245,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val obs =
           GraftScanPlanner.observable(SparkSession.active, opts).schema
         declared match {
-          case Some(d)
-              if d.fieldNames.toSet == obs.fieldNames.toSet =>
-            StructType(d.fieldNames.map(obs(_)))
+          case Some(d) =>
+            // declaration-first union: declared columns keep their
+            // declared ORDER (a shifting order would re-bind later
+            // positional INSERTs) and their observable TYPE when data
+            // already carries them; declared-but-not-yet-written
+            // columns (ALTER ADD COLUMNS) survive with their declared
+            // type (reads null-fill them); write-evolved columns the
+            // declaration doesn't know yet append after.
+            val byName = obs.fields.map(f => f.name -> f).toMap
+            StructType(
+              d.fields.map(f => byName.getOrElse(f.name, f)) ++
+                obs.fields.filterNot(f =>
+                  d.fieldNames.contains(f.name)))
           case _ => obs
         }
       }
@@ -462,9 +472,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // UNSET of location/__schema would orphan the data or brick
         // the entry — same guard as SET
         m - guarded(c.property())
+      // ALTER TABLE … ADD COLUMNS: append-only, top-level, nullable —
+      // the DDL spelling of sync schema evolution. The declared
+      // schema gains the column (reads null-fill it until data
+      // carries it), and the table flips to schemaMode=sync so the
+      // next INSERT may actually write it.
+      case (m, c: TableChange.AddColumn) =>
+        require(c.fieldNames().length == 1,
+          s"ALTER TABLE ${ident.name()} ADD COLUMNS: nested field " +
+            s"${c.fieldNames().mkString(".")} — graft schemas are flat")
+        require(c.isNullable,
+          s"ALTER TABLE ${ident.name()} ADD COLUMNS " +
+            s"${c.fieldNames()(0)}: added columns must be NULLable " +
+            "(existing rows have no value for them)")
+        require(c.position() == null,
+          s"ALTER TABLE ${ident.name()} ADD COLUMNS: FIRST/AFTER " +
+            "positioning is not supported — new columns append")
+        val declared = m.get(GraftCatalog.SchemaKey)
+          .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+          .getOrElse(throw new UnsupportedOperationException(
+            s"ALTER TABLE ${ident.name()} ADD COLUMNS: the table was " +
+              "registered schemaless (LOCATION) — evolve it through " +
+              "writes (schemaMode=sync)"))
+        val name = c.fieldNames()(0)
+        require(!declared.fieldNames.exists(_.equalsIgnoreCase(name)),
+          s"ALTER TABLE ${ident.name()}: column '$name' already exists")
+        m + (GraftCatalog.SchemaKey ->
+          declared.add(org.apache.spark.sql.types.StructField(
+            name, c.dataType(), nullable = true)).json) +
+          ("schemaMode" -> "sync")
       case (_, c) => throw new UnsupportedOperationException(
-        s"ALTER TABLE ${ident.name()}: $c — graft schemas evolve on " +
-          "write (tblproperty schemaMode=sync), not by DDL")
+        s"ALTER TABLE ${ident.name()}: $c — graft supports " +
+          "ADD COLUMNS and table properties; other schema changes " +
+          "evolve on write (tblproperty schemaMode=sync), not by DDL")
     }
     writeMeta(root, updated)
     graftTable(ident, root, None)

@@ -82,6 +82,18 @@ private[graft] class GraftTable(
   override def name(): String =
     props.getOrElse("__graft_name", s"graft:${opts.root}")
   override def schema(): StructType = tableSchema
+  // VALUE equality (the Iceberg SparkTable pattern): every loadTable
+  // returns a fresh instance, and plan-level machinery — cache
+  // recaching after row-level DML in particular — compares relations
+  // via canonicalized equality, which bottoms out in Table.equals.
+  // Identity equality would make a cached `SELECT * FROM t` invisible
+  // to the UPDATE command's recacheByPlan.
+  override def equals(other: Any): Boolean = other match {
+    case t: GraftTable =>
+      t.opts == opts && t.schema() == tableSchema
+    case _ => false
+  }
+  override def hashCode(): Int = (opts, tableSchema).hashCode()
   // fully native write surface (no V1 fallback): OVERWRITE_DYNAMIC is
   // what lets a clause-less catalog `INSERT OVERWRITE` plan under
   // partitionOverwriteMode=dynamic — that plan has no V1 exec at all
@@ -531,9 +543,18 @@ private[sources] class GraftV1Relation(context: SQLContext,
     }
     val df = GraftScanPlanner
       .pruned(context.sparkSession, opts, pushed.toSeq)
+    // a DECLARED column no data file carries yet (ALTER TABLE …
+    // ADD COLUMNS before the first write of it) null-fills — the
+    // standard schema-evolution read contract; catalog analysis
+    // already rejected genuinely unknown columns
+    val have = df.columns.toSet
     val projected =
       if (required.isEmpty) df.select()
-      else df.select(required.fieldNames.toSeq.map(col): _*)
+      else df.select(required.fields.toSeq.map { f =>
+        if (have(f.name)) col(f.name)
+        else org.apache.spark.sql.functions.lit(null)
+          .cast(f.dataType).as(f.name)
+      }: _*)
     projected.rdd
   }
 }

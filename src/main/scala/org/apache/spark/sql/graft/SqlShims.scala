@@ -29,4 +29,25 @@ object SqlShims {
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** Re-execute any cached plans that contain `plan` — what every
+    * row-level command must do after its commit, or a CACHE TABLE'd
+    * target keeps serving the pre-DML snapshot (Spark's own
+    * DeleteFromTableExec refreshes; the command path must match).
+    */
+  def recacheByPlan(spark: SparkSession, plan: LogicalPlan): Unit = {
+    val classic =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.sharedState.cacheManager.recacheByPlan(classic, plan)
+  }
+
+  /** The session's full Hadoop configuration (core defaults +
+    * spark.hadoop.* + session overrides) wrapped serializable for
+    * shipping to executor-side writers.
+    */
+  def serializableHadoopConf(spark: SparkSession)
+      : org.apache.spark.util.SerializableConfiguration =
+    new org.apache.spark.util.SerializableConfiguration(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.newHadoopConf())
 }

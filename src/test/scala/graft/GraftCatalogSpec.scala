@@ -384,6 +384,56 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table("gcat.dyn.t").count() === 1)
   }
 
+  test("ALTER TABLE ADD COLUMNS: reads null-fill the new column " +
+    "until data carries it, the table flips to sync evolution, and " +
+    "positional binding of the old columns never shifts") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ddl")
+    spark.sql("CREATE TABLE gcat.ddl.t (id BIGINT, v STRING) " +
+      "USING graft")
+    spark.sql("INSERT INTO gcat.ddl.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE gcat.ddl.t ADD COLUMNS (score BIGINT)")
+    // declared-but-unwritten column null-fills on read
+    val afterAlter = spark.sql(
+      "SELECT id, v, score FROM gcat.ddl.t ORDER BY id")
+      .as[(Long, String, Option[Long])].collect().toSeq
+    assert(afterAlter === Seq((1L, "a", None), (2L, "b", None)))
+    // the next INSERT may write it (the ALTER flipped schemaMode=sync)
+    spark.sql("INSERT INTO gcat.ddl.t VALUES (3, 'c', 30)")
+    val got = spark.sql(
+      "SELECT id, v, score FROM gcat.ddl.t ORDER BY id")
+      .as[(Long, String, Option[Long])].collect().toSeq
+    assert(got === Seq((1L, "a", None), (2L, "b", None),
+      (3L, "c", Some(30L))), s"$got")
+    // and row-level SQL sees/sets it
+    spark.sql("UPDATE gcat.ddl.t SET score = id * 10 " +
+      "WHERE score IS NULL")
+    val scores = spark.sql(
+      "SELECT sort_array(collect_list(score)) FROM gcat.ddl.t")
+      .as[Seq[Long]].head()
+    assert(scores === Seq(10L, 20L, 30L))
+    // guards: duplicate / non-nullable-ish misuse fails loudly
+    val dup = intercept[Exception](spark.sql(
+      "ALTER TABLE gcat.ddl.t ADD COLUMNS (score BIGINT)"))
+    assert(dup.getMessage.contains("already exists"), dup.getMessage)
+  }
+
+  test("TRUNCATE TABLE is a merge-on-read full mask (zero data-file " +
+    "rewrite); time travel still sees the rows") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.tr")
+    spark.sql("CREATE TABLE gcat.tr.t (id BIGINT) USING graft")
+    spark.sql("INSERT INTO gcat.tr.t SELECT id FROM range(12)")
+    spark.sql("TRUNCATE TABLE gcat.tr.t")
+    assert(spark.table("gcat.tr.t").count() === 0)
+    assert(spark.sql("SELECT count(*) FROM gcat.tr.t VERSION AS OF 1")
+      .head.getLong(0) === 12,
+      "truncate must not rewrite the committed data")
+    spark.sql("INSERT INTO gcat.tr.t VALUES (99)")
+    assert(spark.table("gcat.tr.t").as[Long].collect().toSeq ===
+      Seq(99L))
+  }
+
   test("catalog reads engage the same sidecar pruning as path reads") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.pr")

@@ -212,6 +212,75 @@ class GraftRowLevelSqlSpec extends SparkSpec {
     assert(spark.table("rcat.rl.bs").count() === 8)
   }
 
+  test("flat row-level rewrite CAS-checks the EQUALITY-delete " +
+    "version: a concurrent softDelete between read and flip aborts " +
+    "instead of out-sequencing (un-deleting) the fresh entries") {
+    wh
+    import org.apache.spark.sql.functions.lit
+    val root = tmpDir("graft_rl_eqrace")
+    VersionedTable.upsert(spark, root,
+      spark.range(10).toDF("id").withColumn("v", lit(1L)), Seq("id"))
+    val ver = VersionedTable.readManifest(root).get.version
+    val pv = VersionedTable.posDeleteVersion(root)
+    val ev = VersionedTable.eqDeleteVersion(root)
+    // the "concurrent" equality delete lands after the pin
+    VersionedTable.softDelete(spark, root, Seq(3L).toDF("id"),
+      Seq("id"))
+    val content = spark.range(10).toDF("id").withColumn("v", lit(2L))
+    val e = intercept[VersionedTable.ConcurrentCommitException] {
+      VersionedTable.rewriteLive(spark, root, content, ver, pv, ev)
+    }
+    assert(e.getMessage.contains("equality deletes"), e.getMessage)
+    // re-pinned attempt succeeds, and the delete still masks
+    val ev2 = VersionedTable.eqDeleteVersion(root)
+    VersionedTable.rewriteLive(spark, root,
+      content.filter(col("id") =!= 3), ver, pv, ev2)
+    assert(VersionedTable.readLiveWithDeletes(spark, root, Seq("id"))
+      .count() === 9)
+  }
+
+  test("UPDATE/MERGE refresh cached plans over the target (a CACHE " +
+    "TABLE'd graft table must not serve the pre-DML snapshot)") {
+    wh
+    spark.sql("CREATE TABLE rcat.rl.cc (id BIGINT, v BIGINT) " +
+      "USING graft")
+    spark.sql("INSERT INTO rcat.rl.cc SELECT id, id FROM range(6)")
+    spark.sql("CACHE TABLE rcat.rl.cc")
+    assert(spark.table("rcat.rl.cc").count() === 6) // materialize
+    spark.sql("UPDATE rcat.rl.cc SET v = 99 WHERE id < 2")
+    val got = spark.sql(
+      "SELECT sum(v) FROM rcat.rl.cc").head.getLong(0)
+    assert(got === (99L * 2 + 2 + 3 + 4 + 5),
+      s"cached plan served stale rows: sum(v) = $got")
+    spark.sql("UNCACHE TABLE rcat.rl.cc")
+  }
+
+  test("six racing SQL UPDATEs serialize through the write-conflict " +
+    "protocol: every increment lands exactly once (no lost updates)") {
+    wh
+    spark.sql("CREATE TABLE rcat.rl.race (id BIGINT, v BIGINT) " +
+      "USING graft")
+    spark.sql("INSERT INTO rcat.rl.race SELECT id, 0 FROM range(20)")
+    import java.util.concurrent.Executors
+    val pool = Executors.newFixedThreadPool(6)
+    try {
+      val futs = (1 to 6).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            spark.sql("UPDATE rcat.rl.race SET v = v + 1")
+            ()
+          }
+        })
+      }
+      futs.foreach(_.get())
+    } finally pool.shutdown()
+    val vs = spark.sql("SELECT DISTINCT v FROM rcat.rl.race")
+      .as[Long].collect().toSeq
+    assert(vs === Seq(6L),
+      s"racing UPDATEs lost or doubled increments: distinct v = $vs")
+    assert(spark.table("rcat.rl.race").count() === 20)
+  }
+
   test("UPDATE folds pending MoR deletes instead of resurrecting " +
     "them (the un-delete class)") {
     wh
