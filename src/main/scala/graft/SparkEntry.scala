@@ -7631,6 +7631,58 @@ object SparkEntry {
           lit(untouched).as("n"), lit(0L).as("s")))
     }),
 
+    // Native streaming SINK (r13): writeStream.format("graft") — the
+    // packaged replacement for hand-rolled foreachBatch upsert loops
+    // (q298's shape). 4 staged files × maxFilesPerTrigger=1 = 4
+    // micro-batches, each an executor-staged parquet epoch committed
+    // through the keyed upsert; a SECOND AvailableNow run from the
+    // same checkpoint finds no new files and commits nothing (version
+    // pinned in _audit), and the per-query replay marker exists.
+    "q331_stream_sink" -> ((s, d) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val src = graft.sinks.FormatStage.ensureParquet(s,
+        s"events-eo4c|$d") {
+        Tables.events(s, d).select(col("event_id"), col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .repartition(4)
+      }
+      val root = graft.core.ScratchDirs.fresh("q331_sink").toString
+      val ckpt = graft.core.ScratchDirs.fresh("q331_ckpt").toString
+      def run(): Unit = {
+        val q = s.readStream
+          .schema(StructType(Seq(StructField("event_id", LongType),
+            StructField("event_type", StringType),
+            StructField("cents", LongType))))
+          .option("maxFilesPerTrigger", 1)
+          .parquet(src)
+          .writeStream.format("graft")
+          .option("keys", "event_id")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger
+            .AvailableNow())
+          .start(root)
+        q.awaitTermination()
+      }
+      run()
+      val verAfterFirst = graft.sinks.VersionedTable
+        .readManifest(root).get.version
+      run() // restart, no new files: nothing may commit
+      val verAfterSecond = graft.sinks.VersionedTable
+        .readManifest(root).get.version
+      val marker =
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(root)
+          .resolve("_stream_commits.json"))) 1L
+        else 0L
+      s.read.format("graft").load(root)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sc"))
+        .select(concat(lit("t:"), col("event_type")).as("part"),
+          col("n"), col("sc"))
+        .unionByName(s.range(1).select(lit("_audit").as("part"),
+          lit(verAfterFirst * 10 + verAfterSecond).as("n"),
+          lit(marker).as("sc")))
+    }),
+
     // SQL DDL schema evolution + TRUNCATE (r13): ALTER TABLE ADD
     // COLUMNS null-fills reads until data carries the column and
     // flips the table to sync evolution (the next INSERT writes it);
@@ -8295,6 +8347,22 @@ object SparkEntry {
         |UNION ALL
         |SELECT '_v2', (SELECT count(*) FROM aftercow),
         |  CAST(0 AS BIGINT)""".stripMargin,
+
+    // Streaming-sink replay: 4 keyed micro-batches over unique
+    // event_ids reassemble the full events table (upsert ≡ union on
+    // unique keys); _audit pins (4 commits after the first run,
+    // UNCHANGED after the no-new-data restart → 44) and the replay
+    // marker's existence.
+    "q331_stream_sink" ->
+      """WITH src AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT 't:' || event_type AS part, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sc
+        |FROM src GROUP BY event_type
+        |UNION ALL
+        |SELECT '_audit', CAST(44 AS BIGINT), CAST(1 AS BIGINT)""".stripMargin,
 
     // DDL-evolution replay: evens inserted pre-ALTER score-less
     // (back-filled score = cents by the UPDATE), odds inserted with

@@ -175,6 +175,15 @@ private[plans] object GraftRowLevelExec {
   def matchCol(cond: Option[Expression]): Column =
     coalesce(cond.map(SqlShims.column).getOrElse(lit(true)), lit(false))
 
+  /** The PUSHABLE match predicate: `Filter` already treats NULL as
+    * no-match, so the matched side uses the raw condition — wrapping
+    * it in coalesce() would make every conjunct untranslatable and
+    * the statement's own predicate would stop pruning the scan. The
+    * KEPT side genuinely needs the coalesce (NULL rows are kept).
+    */
+  def rawCond(cond: Option[Expression]): Column =
+    cond.map(SqlShims.column).getOrElse(lit(true))
+
   /** One pass of UPDATE: build (kept, transformed) from the resolved
     * relation plan, commit COW. Returns true when a commit happened
     * (false = no matching rows, no-op).
@@ -186,6 +195,7 @@ private[plans] object GraftRowLevelExec {
     val root = table.opts.root
     val df = SqlShims.ofRows(spark, target)
     val isMatch = matchCol(condition)
+    val matchRaw = rawCond(condition)
     val assignMap: Map[String, Column] = assignments.map { a =>
       val name = attrName(a.key, "UPDATE SET")
       val field = df.schema.find(_.name == name).getOrElse(
@@ -195,7 +205,7 @@ private[plans] object GraftRowLevelExec {
     }.toMap
     val outCols = df.schema.fieldNames.toSeq.map(c =>
       assignMap.getOrElse(c, col(c)).as(c))
-    val matched = df.filter(isMatch)
+    val matched = df.filter(matchRaw)
     val transformed = matched.select(outCols: _*)
     val kept = df.filter(!isMatch)
 
@@ -235,7 +245,7 @@ private[plans] object GraftRowLevelExec {
     val root = table.opts.root
     val df = SqlShims.ofRows(spark, target)
     val isMatch = matchCol(Some(condition))
-    val matched = df.filter(isMatch)
+    val matched = df.filter(rawCond(Some(condition)))
     val kept = df.filter(!isMatch)
     VersionedTable.readPartitionedManifest(root) match {
       case Some(m) =>

@@ -762,7 +762,8 @@ object VersionedTable {
     val tmpRe =
       ("_manifest\\.json\\.tmp.*|_part_stats\\.json\\.tmp.*|" +
         "_part_schema\\.json\\.tmp.*|" +
-        "_refs\\.json\\.tmp.*|_constraints\\.json\\.tmp.*").r
+        "_refs\\.json\\.tmp.*|_constraints\\.json\\.tmp.*|" +
+        "_stream_commits\\.json\\.tmp.*").r
     def one(tp: Path): (Int, Int, Int, Int) = {
       // phase 1 (LOCKED, O(1) renames only): identify orphans and
       // move them into a trash dir; a stale prior trash dir is taken
@@ -1875,7 +1876,12 @@ object VersionedTable {
         or(l) || or(r)
       }
     or(rows.toIndexedSeq.map(r => cols.zipWithIndex
-      .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+      .map { case (c, i) =>
+        // === / isNull, not <=>: semantically identical per branch
+        // (the value is a literal), but EqualTo + IsNull push into
+        // the scan pruning — EqualNullSafe would read every partition
+        if (r.isNullAt(i)) col(c).isNull else col(c) === lit(r.get(i))
+      }
       .reduce(_ && _)))
   }
 

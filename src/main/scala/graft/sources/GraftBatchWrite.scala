@@ -85,6 +85,21 @@ private[sources] class GraftWrite(root: String,
       org.apache.spark.sql.graft.SqlShims
         .serializableHadoopConf(spark))
   }
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    val spark = SparkSession.active
+    val truncate = mode match {
+      case GraftNativeWrite.Truncate => true // Complete output mode
+      case GraftNativeWrite.Append   => false
+      case other => throw new UnsupportedOperationException(
+        s"streaming write mode $other is not a thing")
+    }
+    new GraftStreamingWrite(root, info, tableProps, truncate,
+      GraftNativeWrite.writerConfs(spark),
+      spark.sessionState.conf.parquetCompressionCodec,
+      org.apache.spark.sql.graft.SqlShims
+        .serializableHadoopConf(spark))
+  }
 }
 
 private[sources] final case class GraftCommitMessage(

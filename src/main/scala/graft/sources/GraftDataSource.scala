@@ -101,7 +101,8 @@ private[graft] class GraftTable(
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.OVERWRITE_DYNAMIC)
+      TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.STREAMING_WRITE)
   override def properties(): java.util.Map[String, String] =
     props.asJava
   /** Catalog-declared partitioning (identity transforms) — surfaces
@@ -199,7 +200,11 @@ private[sources] class GraftWriteBuilder(root: String,
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate
     with org.apache.spark.sql.connector.write.SupportsOverwrite
-    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite
+    // Update output mode arrives as append; with `keys` the routed
+    // upsert makes it REAL per-key updates
+    with org.apache.spark.sql.internal.connector
+      .SupportsStreamingUpdateAsAppend {
 
   private var mode: GraftNativeWrite.Mode = GraftNativeWrite.Append
   override def truncate()
@@ -979,6 +984,11 @@ private[graft] object GraftScanPlanner {
       case _ if partitionPathPrunable(f, partCols) => true
       case EqualTo(_, v)            => num(v).isDefined ||
         v.isInstanceOf[String]
+      // non-null null-safe equality prunes exactly like EqualTo
+      // (stats bounds never cover nulls, so the null case is
+      // partition-path-only, handled above)
+      case EqualNullSafe(_, v) if v != null => num(v).isDefined ||
+        v.isInstanceOf[String]
       case GreaterThan(_, v)        => num(v).isDefined
       case GreaterThanOrEqual(_, v) => num(v).isDefined
       case LessThan(_, v)           => num(v).isDefined
@@ -986,6 +996,12 @@ private[graft] object GraftScanPlanner {
       case In(_, vs) => vs.nonEmpty &&
         (vs.forall(num(_).isDefined) || vs.forall(_.isInstanceOf[String]))
       case StringStartsWith(_, v)   => v != null
+      // boolean structure (a touched-partition predicate arrives as
+      // ONE Or-of-equalities conjunct): an And skips when EITHER side
+      // can, an Or only when BOTH sides can (an unevaluable branch
+      // makes the whole Or unskippable)
+      case And(l, r) => prunable(partCols, l) || prunable(partCols, r)
+      case Or(l, r)  => prunable(partCols, l) && prunable(partCols, r)
       case _ => false
     }
   }
@@ -1013,8 +1029,15 @@ private[graft] object GraftScanPlanner {
     f match {
       case EqualTo(c, v) => partCols(c) && v != null &&
         pathValue(v).isDefined
+      case EqualNullSafe(c, v) => partCols(c) &&
+        (v == null || pathValue(v).isDefined)
+      case IsNull(c) => partCols(c)
       case In(c, vs) => partCols(c) && vs.nonEmpty &&
         vs.forall(v => v != null && pathValue(v).isDefined)
+      case And(l, r) => partitionPathPrunable(l, partCols) ||
+        partitionPathPrunable(r, partCols)
+      case Or(l, r) => partitionPathPrunable(l, partCols) &&
+        partitionPathPrunable(r, partCols)
       case _ => false
     }
 
@@ -1073,11 +1096,22 @@ private[graft] object GraftScanPlanner {
     // their DATA files — absence of the path segment is not proof of
     // absence of the value
     def hasCol(c: String): Boolean = segments.exists(_.startsWith(c + "="))
+    def nullSeg(c: String): String =
+      s"$c=${ExternalCatalogUtils.DEFAULT_PARTITION_NAME}"
     f match {
       case EqualTo(c, v) if hasCol(c) =>
         seg(c, v).forall(segments.contains)
+      case EqualNullSafe(c, null) if hasCol(c) =>
+        segments.contains(nullSeg(c))
+      case EqualNullSafe(c, v) if hasCol(c) =>
+        seg(c, v).forall(segments.contains)
+      case IsNull(c) if hasCol(c) => segments.contains(nullSeg(c))
       case In(c, vs) if hasCol(c) =>
         vs.exists(v => seg(c, v).forall(segments.contains))
+      case And(l, r) => partitionPathSurvives(key, l) &&
+        partitionPathSurvives(key, r)
+      case Or(l, r) => partitionPathSurvives(key, l) ||
+        partitionPathSurvives(key, r)
       case _ => true
     }
   }
@@ -1146,6 +1180,8 @@ private[graft] object GraftScanPlanner {
     case In(_, vs) => vs.nonEmpty &&
       (vs.forall(_.isInstanceOf[java.lang.Long]) ||
         vs.forall(_.isInstanceOf[String]))
+    case And(l, r) => bloomable(l) || bloomable(r)
+    case Or(l, r)  => bloomable(l) && bloomable(r)
     case _ => false
   }
 
@@ -1172,6 +1208,10 @@ private[graft] object GraftScanPlanner {
           vs.forall(_.isInstanceOf[String]) =>
         vs.exists(v => admits(c,
           graft.functions.Bloom.hashString(v.asInstanceOf[String])))
+      case And(l, r) => bloomSurvives(blooms, rel, l) &&
+        bloomSurvives(blooms, rel, r)
+      case Or(l, r) => bloomSurvives(blooms, rel, l) ||
+        bloomSurvives(blooms, rel, r)
       case _ => true
     }
   }
@@ -1193,6 +1233,7 @@ private[graft] object GraftScanPlanner {
           }
         f match {
           case EqualTo(c, s: String) => strEq(c, s)
+          case EqualNullSafe(c, s: String) => strEq(c, s)
           // p-prefixed strings occupy [p, successor(p)): the file's
           // widened [lo,hi] must intersect it (widening only keeps
           // MORE files — sound)
@@ -1203,6 +1244,9 @@ private[graft] object GraftScanPlanner {
                   VersionedTable.u8cmp(lo, succ) < 0)
             }
           case EqualTo(c, v) => num(v).forall(x =>
+            numCheck(c, (lo, hi) =>
+              lo.forall(_ <= x) && hi.forall(_ >= x)))
+          case EqualNullSafe(c, v) if v != null => num(v).forall(x =>
             numCheck(c, (lo, hi) =>
               lo.forall(_ <= x) && hi.forall(_ >= x)))
           case GreaterThan(c, v) => num(v).forall(x =>
@@ -1220,6 +1264,10 @@ private[graft] object GraftScanPlanner {
             vs.exists(v => num(v).forall(x =>
               numCheck(c, (lo, hi) =>
                 lo.forall(_ <= x) && hi.forall(_ >= x))))
+          case And(l, r) =>
+            statsSurvive(b, l) && statsSurvive(b, r)
+          case Or(l, r) =>
+            statsSurvive(b, l) || statsSurvive(b, r)
           case _ => true
         }
     }

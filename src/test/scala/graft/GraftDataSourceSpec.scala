@@ -383,4 +383,29 @@ class GraftDataSourceSpec extends SparkSpec {
       assert(VersionedTable.readLive(spark, root).count() === 31)
     } finally spark.sql("DROP TABLE IF EXISTS graft_sql_t")
   }
+
+  test("boolean filter structure prunes: an OR of equalities (the " +
+    "touched-partition / backfill shape) skips files on both sides, " +
+    "an unevaluable OR branch soundly disables the skip") {
+    val root = tmpRoot()
+    VersionedTable.upsert(spark, root,
+      spark.range(0, 4000).select(col("id"), (col("id") * 3).as("v"))
+        .repartitionByRange(8, col("id")).toDF(), Seq("id"))
+    val df = spark.read.format("graft").load(root)
+    // two far-apart points: only the two covering files scan
+    val two = df.filter(col("id") === 10 || col("id") === 3990)
+      .agg(sum("v")).head.getLong(0)
+    assert(two === 10L * 3 + 3990L * 3)
+    val d = GraftScanAudit.last.get
+    assert(d.filesScanned <= 2 && d.filesTotal >= 8,
+      s"OR-of-equalities pruned nothing: $d")
+    // an OR with an unevaluable branch must scan everything (sound)
+    val n = df.filter(col("id") === 10 ||
+        (col("v") % 7 === 0)).count()
+    val d2 = GraftScanAudit.last.get
+    assert(d2.filesScanned === d2.filesTotal,
+      s"unevaluable OR branch still skipped files: $d2")
+    assert(n === spark.range(0, 4000).filter(
+      (col("id") === 10) || (col("id") * 3 % 7 === 0)).count())
+  }
 }

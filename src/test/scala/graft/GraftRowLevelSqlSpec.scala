@@ -255,6 +255,29 @@ class GraftRowLevelSqlSpec extends SparkSpec {
     spark.sql("UNCACHE TABLE rcat.rl.cc")
   }
 
+  test("partitioned UPDATE's rewrite read engages partition pruning " +
+    "(the touched-partition predicate pushes into the scan — work " +
+    "per statement scales with touched partitions, not the table)") {
+    wh
+    spark.sql("CREATE TABLE rcat.rl.pr (id BIGINT, day STRING, " +
+      "v BIGINT) USING graft PARTITIONED BY (day)")
+    val rows = (0L until 40L)
+      .map(i => (i, s"d${i % 8}", i))
+    import spark.implicits._
+    rows.toDF("id", "day", "v").createOrReplaceTempView("rl_pr_src")
+    spark.sql("INSERT INTO rcat.rl.pr SELECT * FROM rl_pr_src")
+    spark.sql("UPDATE rcat.rl.pr SET v = v + 100 WHERE day = 'd3'")
+    // the LAST DSv2 scan in the statement is the replacement read,
+    // filtered by the touched predicate over partition columns
+    val dec = graft.sources.GraftScanAudit.last.get
+    assert(dec.partitionsScanned < dec.partitionsTotal,
+      s"UPDATE's rewrite read scanned every partition: $dec")
+    val got = spark.sql(
+      "SELECT sum(v) FROM rcat.rl.pr WHERE day = 'd3'")
+      .head.getLong(0)
+    assert(got === (3L + 11 + 19 + 27 + 35) + 500)
+  }
+
   test("six racing SQL UPDATEs serialize through the write-conflict " +
     "protocol: every increment lands exactly once (no lost updates)") {
     wh
