@@ -7710,19 +7710,10 @@ object SparkEntry {
         "WHERE score IS NULL")
       // MATERIALIZE before the truncate — the frame is lazy and the
       // dump below must not re-aggregate the emptied table
-      val aggRows = s.sql(
+      val agg = s.sql(
         "SELECT concat('t:', event_type) AS part, count(*) AS n, " +
           "sum(score) AS s FROM g13.q330.t GROUP BY event_type")
-        .collect().toSeq
-      val agg = s.createDataFrame(
-        s.sparkContext.parallelize(aggRows, 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("part",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("n",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("s",
-            org.apache.spark.sql.types.LongType))))
+        .localCheckpoint(true)
       s.sql("TRUNCATE TABLE g13.q330.t")
       val live = s.sql("SELECT count(*) FROM g13.q330.t")
         .head.getLong(0)
@@ -14190,18 +14181,26 @@ object SparkEntry {
         |SELECT vec_id, round(sum(z * z), 4) AS z_norm_sq FROM z GROUP BY vec_id""".stripMargin
   )
 
-  /** Shared CTE prefix: exact distinct word-trigram sets per doc
-    * (mirroring Dedup.shingleRows n=3: lowercased \s+ tokens, short
-    * docs collapse to one whole-doc shingle, zero-token docs drop) and
-    * the all-pairs Jaccard-≥0.5 pair list `jpairs`. WITH RECURSIVE so
-    * q37 can append a transitive-closure CTE.
-    */
   /** Planted separable fixture for grading ITERATIVE geometry
     * operators closed-form (q274/q275/q277): 8 mutually-orthogonal
     * "clusters" derived from the embeddings ids — vector = one-hot at
     * coordinate (vec_id % 8), scaled by 1 + vec_id % 5 (cosine is
     * scale-free, so in-cluster similarity is exactly 1.0 and
     * cross-cluster exactly 0.0, with no float noise anywhere).
+    */
+  private def plantedOrthogonal(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"),
+      transform(sequence(lit(0), lit(7)),
+        i => when(i.cast("long") === col("vec_id") % 8,
+            (lit(1.0) + (col("vec_id") % 5).cast("double"))
+              .cast("float"))
+          .otherwise(lit(0.0f))).as("embedding"))
+
+  /** Unit-scale variant of [[plantedOrthogonal]] for operators whose
+    * geometry is NOT scale-free (k-means): one-hot vectors only, and
+    * ids truncated to a multiple of 8 so the planted clusters have
+    * EXACTLY equal sizes — the property that makes every Lloyd
+    * assignment provably deterministic (see q277's comment).
     */
   /** Register the shared round-13 SQL catalog `g13` once per JVM —
     * catalogs cache their warehouse at first use, so the conf guard
@@ -14217,20 +14216,6 @@ object SparkEntry {
     }
   }
 
-  private def plantedOrthogonal(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).select(col("vec_id"),
-      transform(sequence(lit(0), lit(7)),
-        i => when(i.cast("long") === col("vec_id") % 8,
-            (lit(1.0) + (col("vec_id") % 5).cast("double"))
-              .cast("float"))
-          .otherwise(lit(0.0f))).as("embedding"))
-
-  /** Unit-scale variant of [[plantedOrthogonal]] for operators whose
-    * geometry is NOT scale-free (k-means): one-hot vectors only, and
-    * ids truncated to a multiple of 8 so the planted clusters have
-    * EXACTLY equal sizes — the property that makes every Lloyd
-    * assignment provably deterministic (see q277's comment).
-    */
   private def plantedUnitClusters(s: SparkSession, d: String): DataFrame = {
     val n = Tables.embeddings(s, d).count()
     val cut = 8L * (n / 8L)
@@ -14241,6 +14226,12 @@ object SparkEntry {
             .otherwise(lit(0.0f))).as("embedding"))
   }
 
+  /** Shared CTE prefix: exact distinct word-trigram sets per doc
+    * (mirroring Dedup.shingleRows n=3: lowercased \s+ tokens, short
+    * docs collapse to one whole-doc shingle, zero-token docs drop) and
+    * the all-pairs Jaccard-≥0.5 pair list `jpairs`. WITH RECURSIVE so
+    * q37 can append a transitive-closure CTE.
+    */
   private val ngramJaccardPairsCte: String =
     """WITH RECURSIVE tok AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),

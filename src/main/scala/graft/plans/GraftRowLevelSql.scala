@@ -152,7 +152,12 @@ private[plans] object GraftRowLevelExec {
     * exactly like a storm of library upserts.
     */
   def withCowRetries[T](root: String)(body: => T): T =
-    VersionedTable.withWriteRetries(root)(body)
+    // escalate=false: a MERGE into a never-committed target calls
+    // append() inside the body, whose own retry loop would spin its
+    // full timeout against OUR held merge lock (non-reentrant);
+    // backoff-only with a deeper budget settles storms instead
+    VersionedTable.withWriteRetries(root, maxRetries = 20,
+      escalate = false)(body)
 
   def guardLiveTarget(table: GraftTable, what: String): Unit = {
     val o = table.opts
@@ -497,7 +502,7 @@ private[plans] object GraftRowLevelExec {
               true
           }
       }
-    } finally { joined.unpersist(); () } // drops the checkpoint blocks
+    } finally SqlShims.unpersistCheckpointed(joined)
   }
 }
 

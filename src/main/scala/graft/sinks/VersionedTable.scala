@@ -1057,8 +1057,37 @@ object VersionedTable {
     * upserts.
     */
   private[graft] def withWriteRetries[T](root: String,
-      maxRetries: Int = 10)(body: => T): T =
-    retryThenEscalate(Paths.get(root), maxRetries)(body)
+      maxRetries: Int = 10, escalate: Boolean = true)(body: => T): T =
+    if (escalate) retryThenEscalate(Paths.get(root), maxRetries)(body)
+    else {
+      // backoff-only variant for callers whose BODY itself runs verbs
+      // that escalate (the row-level SQL statements): taking the
+      // non-reentrant merge lock around such a body would self-block
+      // the inner awaitMergeLockClear for its full timeout
+      val rootP = Paths.get(root)
+      var attempt = 0
+      while (true) {
+        try return body
+        catch {
+          case e: ConcurrentCommitException =>
+            attempt += 1
+            if (attempt > maxRetries) throw e
+            retryBackoff(attempt)
+          case e: Throwable if isPrunedSnapshotRead(e, rootP) =>
+            attempt += 1
+            if (attempt > maxRetries) throw e
+            retryBackoff(attempt)
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
+  /** The table's commit lock, for graft-internal metadata updates
+    * that must be atomic ACROSS PROCESSES (the streaming sink's
+    * replay markers) — JVM synchronized only covers one driver.
+    */
+  private[graft] def withTableLock[T](root: String)(body: => T): T =
+    withCommitLock(Paths.get(root))(body)
 
   /** Randomized linear backoff between CAS retries: without it, N
     * contending writers re-merge in lockstep (each merge takes longer

@@ -253,11 +253,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             // columns (ALTER ADD COLUMNS) survive with their declared
             // type (reads null-fill them); write-evolved columns the
             // declaration doesn't know yet append after.
-            val byName = obs.fields.map(f => f.name -> f).toMap
+            val byName =
+              obs.fields.map(f => f.name.toLowerCase -> f).toMap
             StructType(
-              d.fields.map(f => byName.getOrElse(f.name, f)) ++
-                obs.fields.filterNot(f =>
-                  d.fieldNames.contains(f.name)))
+              d.fields.map(f =>
+                byName.getOrElse(f.name.toLowerCase, f)) ++
+                obs.fields.filterNot(f => d.fieldNames
+                  .exists(_.equalsIgnoreCase(f.name))))
           case _ => obs
         }
       }

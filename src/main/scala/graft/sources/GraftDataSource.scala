@@ -135,7 +135,15 @@ private[graft] class GraftTable(
     require(opts.metadata.isEmpty,
       s"metadata table '${opts.metadata.get}' of ${opts.root} is " +
         "read-only")
-    new GraftWriteBuilder(opts.root, info, props)
+    // Update output mode is only safe when the route is a keyed
+    // upsert (real per-key updates); accepting it on a keyless table
+    // would silently append partial aggregate states — so the
+    // update-as-append capability is granted per TABLE SHAPE
+    val hasKeys = Option(info.options.get("keys"))
+      .orElse(props.get("keys"))
+      .exists(_.trim.nonEmpty)
+    if (hasKeys) new GraftKeyedWriteBuilder(opts.root, info, props)
+    else new GraftWriteBuilder(opts.root, info, props)
   }
 
   // ---- SQL DELETE FROM … WHERE … ------------------------------------
@@ -200,11 +208,7 @@ private[sources] class GraftWriteBuilder(root: String,
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate
     with org.apache.spark.sql.connector.write.SupportsOverwrite
-    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite
-    // Update output mode arrives as append; with `keys` the routed
-    // upsert makes it REAL per-key updates
-    with org.apache.spark.sql.internal.connector
-      .SupportsStreamingUpdateAsAppend {
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
 
   private var mode: GraftNativeWrite.Mode = GraftNativeWrite.Append
   override def truncate()
@@ -233,6 +237,19 @@ private[sources] class GraftWriteBuilder(root: String,
   override def build(): org.apache.spark.sql.connector.write.Write =
     new GraftWrite(root, info, tableProps, mode)
 }
+
+/** The KEYED builder additionally accepts streaming Update output
+  * mode as append — sound only here, because the routed upsert turns
+  * each update row into a real per-key update; a keyless table never
+  * gets this capability (appended partial aggregate states would
+  * silently corrupt reads).
+  */
+private[sources] class GraftKeyedWriteBuilder(root: String,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo,
+    tableProps: Map[String, String])
+    extends GraftWriteBuilder(root, info, tableProps)
+    with org.apache.spark.sql.internal.connector
+      .SupportsStreamingUpdateAsAppend
 
 private[sources] object GraftWriteBuilder {
   import org.apache.spark.sql.functions.lit
@@ -552,11 +569,11 @@ private[sources] class GraftV1Relation(context: SQLContext,
     // ADD COLUMNS before the first write of it) null-fills — the
     // standard schema-evolution read contract; catalog analysis
     // already rejected genuinely unknown columns
-    val have = df.columns.toSet
+    val have = df.columns.map(_.toLowerCase).toSet
     val projected =
       if (required.isEmpty) df.select()
       else df.select(required.fields.toSeq.map { f =>
-        if (have(f.name)) col(f.name)
+        if (have(f.name.toLowerCase)) col(f.name) // resolves case-insensitively
         else org.apache.spark.sql.functions.lit(null)
           .cast(f.dataType).as(f.name)
       }: _*)

@@ -58,12 +58,18 @@ private[sources] class GraftStreamingWrite(root: String,
       val files = messages.collect {
         case GraftCommitMessage(p, _) if p != null => p
       }
-      val staged: DataFrame =
-        if (files.isEmpty)
-          spark.createDataFrame(
-            java.util.Collections.emptyList[Row](), info.schema())
-        else spark.read.schema(info.schema()).parquet(files.toSeq: _*)
-      route(spark, staged)
+      // an idle epoch (no rows) commits NOTHING — routing an empty
+      // frame through a keyed upsert would rewrite the whole table
+      // per no-op trigger and churn retention; Complete mode is the
+      // exception (an empty aggregate legitimately empties the table)
+      if (files.nonEmpty || truncate) {
+        val staged: DataFrame =
+          if (files.isEmpty)
+            spark.createDataFrame(
+              java.util.Collections.emptyList[Row](), info.schema())
+          else spark.read.schema(info.schema()).parquet(files.toSeq: _*)
+        route(spark, staged)
+      }
       GraftStreamCommits.record(root, info.queryId(), epochId)
     } finally deleteEpoch(epochId)
   }
@@ -132,10 +138,10 @@ private[sources] class GraftStreamingWriterFactory(stagingBase: String,
 
 /** Per-(query, table) last-committed-epoch markers — the replay
   * filter Spark's restart contract requires. One JSON object in
-  * `_stream_commits.json`, atomic tmp+move updates serialized by the
-  * table's commit lock being UNNEEDED here: a single streaming query
-  * commits its epochs sequentially, and distinct queries own distinct
-  * keys (last-writer-wins merge preserves both).
+  * `_stream_commits.json`; updates run read-modify-write under the
+  * TABLE's commit lock, because two streaming queries in different
+  * driver JVMs may feed one table and an unlocked interleaving would
+  * drop the other query's entry (re-opening its replay window).
   */
 private[graft] object GraftStreamCommits {
   private def path(root: String) =
@@ -156,7 +162,7 @@ private[graft] object GraftStreamCommits {
     readAll(root).get(queryId)
 
   def record(root: String, queryId: String, epochId: Long): Unit =
-    synchronized {
+    VersionedTable.withTableLock(root) {
       val m = readAll(root) + (queryId -> epochId)
       val body = m.toSeq.sortBy(_._1)
         .map { case (k, v) =>
@@ -164,7 +170,8 @@ private[graft] object GraftStreamCommits {
         .mkString("{", ", ", "}")
       val p = path(root)
       Files.createDirectories(p.getParent)
-      val tmp = p.resolveSibling(s"_stream_commits.json.tmp$epochId")
+      val tmp = p.resolveSibling(
+        s"_stream_commits.json.tmp${java.util.UUID.randomUUID}")
       Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
         StandardCopyOption.ATOMIC_MOVE)

@@ -41,6 +41,20 @@ object SqlShims {
     classic.sharedState.cacheManager.recacheByPlan(classic, plan)
   }
 
+  /** Release the materialized blocks behind a localCheckpoint'd
+    * frame — `Dataset.unpersist` is a no-op there (the checkpoint RDD
+    * was never registered with the cache manager), so without this a
+    * session running many large MERGEs accumulates executor storage
+    * until GC.
+    */
+  def unpersistCheckpointed(df: DataFrame): Unit = {
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(false))
+    ()
+  }
+
   /** The session's full Hadoop configuration (core defaults +
     * spark.hadoop.* + session overrides) wrapped serializable for
     * shipping to executor-side writers.

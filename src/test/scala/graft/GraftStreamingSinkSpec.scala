@@ -88,6 +88,75 @@ class GraftStreamingSinkSpec extends SparkSpec {
     """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).get.group(1)
   }
 
+  test("Update output mode needs keys: a keyed stream of changed " +
+    "aggregates upserts per key; a keyless one is rejected at start") {
+    val root = tmpDir("graft_ss_upd")
+    val ckpt = tmpDir("graft_ss_upd_ckpt")
+    val in = MemoryStream[(Long, Long)](spark)
+    in.addData((1L, 10L), (2L, 7L))
+    val agg = in.toDF().toDF("k", "x").groupBy("k")
+      .agg(sum("x").as("s"))
+    val q = agg.writeStream.format("graft")
+      .outputMode("update")
+      .option("keys", "k")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start(root)
+    q.awaitTermination()
+    in.addData((1L, 5L)) // only k=1 changes; update emits just it
+    val q2 = agg.writeStream.format("graft")
+      .outputMode("update")
+      .option("keys", "k")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start(root)
+    q2.awaitTermination()
+    val got = spark.read.format("graft").load(root)
+      .orderBy("k").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 15L), (2L, 7L)), s"$got")
+    // keyless update-as-append would append contradictory partial
+    // aggregate states — the capability is withheld, Spark rejects
+    // (asynchronously: the check runs on the stream thread)
+    val e = intercept[Exception] {
+      val bad = agg.writeStream.format("graft")
+        .outputMode("update")
+        .option("checkpointLocation", tmpDir("graft_ss_upd_bad"))
+        .trigger(Trigger.AvailableNow())
+        .start(tmpDir("graft_ss_upd_bad_t"))
+      bad.awaitTermination()
+    }
+    assert(e.getMessage.toLowerCase.contains("update") ||
+      Option(e.getCause).exists(
+        _.getMessage.toLowerCase.contains("update")), e.getMessage)
+  }
+
+  test("an idle epoch (zero rows) commits nothing — no version " +
+    "churn, no retention erosion") {
+    val root = tmpDir("graft_ss_idle")
+    val ckpt = tmpDir("graft_ss_idle_ckpt")
+    val in = MemoryStream[(Long, String)](spark)
+    in.addData((1L, "a"))
+    def start() = in.toDF().toDF("id", "v")
+      .writeStream.format("graft")
+      .option("keys", "id")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start(root)
+    var q = start(); q.awaitTermination()
+    val ver = VersionedTable.readManifest(root).get.version
+    // rows all filtered away upstream → an EMPTY (but real) batch
+    in.addData((2L, "__drop__"))
+    val q2 = in.toDF().toDF("id", "v").filter(col("v") =!= "__drop__")
+      .writeStream.format("graft")
+      .option("keys", "id")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start(root)
+    q2.awaitTermination()
+    assert(VersionedTable.readManifest(root).get.version === ver,
+      "an empty micro-batch must not rewrite the table")
+  }
+
   test("Complete output mode replaces the table per epoch") {
     val root = tmpDir("graft_ss_complete")
     val ckpt = tmpDir("graft_ss_complete_ckpt")
