@@ -189,6 +189,45 @@ private[plans] object GraftRowLevelExec {
   def rawCond(cond: Option[Expression]): Column =
     cond.map(SqlShims.column).getOrElse(lit(true))
 
+  def requireDeterministic(e: Expression, what: String): Unit =
+    require(e.deterministic,
+      s"$what must be deterministic — the statement evaluates it in " +
+        "more than one Spark job (matched/kept/no-op probes), and a " +
+        "value that changes between evaluations (rand(), shuffle-" +
+        "order-dependent exprs) would silently drop or duplicate rows")
+
+  def hasSubquery(e: Expression): Boolean =
+    org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+      .hasSubquery(e)
+
+  private val MatchFlag = "__graft_match_flag"
+
+  /** (matched, kept, cleanup): single-evaluation split of `df` by the
+    * statement condition. Subquery-free conditions keep the plain
+    * double-filter (each side pushes into the scan — two PRUNED scans
+    * beat one full-table materialization at any scale). A condition
+    * WITH a subquery is deterministic per-snapshot but not per-job: a
+    * concurrent commit to the subquery's table between the matched
+    * and kept jobs would put rows in neither/both branches — so the
+    * match flag is materialized ONCE (localCheckpoint; the subquery
+    * made pushdown impossible anyway, so the full scan was already
+    * being paid) and both branches derive from it. Callers must run
+    * `cleanup` after the final write job.
+    */
+  def splitMatched(df: DataFrame, cond: Option[Expression])
+      : (DataFrame, DataFrame, () => Unit) = {
+    cond.foreach(c => requireDeterministic(c, "the statement condition"))
+    if (!cond.exists(hasSubquery))
+      (df.filter(rawCond(cond)), df.filter(!matchCol(cond)), () => ())
+    else {
+      val flagged = df.withColumn(MatchFlag, matchCol(cond))
+        .localCheckpoint()
+      (flagged.filter(col(MatchFlag)).drop(MatchFlag),
+        flagged.filter(!col(MatchFlag)).drop(MatchFlag),
+        () => SqlShims.unpersistCheckpointed(flagged))
+    }
+  }
+
   /** One pass of UPDATE: build (kept, transformed) from the resolved
     * relation plan, commit COW. Returns true when a commit happened
     * (false = no matching rows, no-op).
@@ -199,10 +238,13 @@ private[plans] object GraftRowLevelExec {
     guardLiveTarget(table, "UPDATE")
     val root = table.opts.root
     val df = SqlShims.ofRows(spark, target)
-    val isMatch = matchCol(condition)
-    val matchRaw = rawCond(condition)
     val assignMap: Map[String, Column] = assignments.map { a =>
       val name = attrName(a.key, "UPDATE SET")
+      requireDeterministic(a.value, s"UPDATE SET $name")
+      require(!hasSubquery(a.value),
+        s"UPDATE SET $name: subqueries in assignment values are not " +
+          "supported — they would re-evaluate per job; compute the " +
+          "value via MERGE INTO with a source query instead")
       val field = df.schema.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"UPDATE SET $name: no such column in $root"))
@@ -210,11 +252,10 @@ private[plans] object GraftRowLevelExec {
     }.toMap
     val outCols = df.schema.fieldNames.toSeq.map(c =>
       assignMap.getOrElse(c, col(c)).as(c))
-    val matched = df.filter(matchRaw)
+    val (matched, kept, cleanup) = splitMatched(df, condition)
     val transformed = matched.select(outCols: _*)
-    val kept = df.filter(!isMatch)
 
-    VersionedTable.readPartitionedManifest(root) match {
+    try VersionedTable.readPartitionedManifest(root) match {
       case Some(m) =>
         val pv = VersionedTable.posDeleteVersion(root)
         val pc = m.partitionColumns
@@ -241,7 +282,7 @@ private[plans] object GraftRowLevelExec {
         VersionedTable.rewriteLive(spark, root,
           kept.unionByName(transformed), fm.version, pv, ev)
         true
-    }
+    } finally cleanup()
   }
 
   def runDelete(spark: SparkSession, target: LogicalPlan,
@@ -249,10 +290,8 @@ private[plans] object GraftRowLevelExec {
     guardLiveTarget(table, "DELETE")
     val root = table.opts.root
     val df = SqlShims.ofRows(spark, target)
-    val isMatch = matchCol(Some(condition))
-    val matched = df.filter(rawCond(Some(condition)))
-    val kept = df.filter(!isMatch)
-    VersionedTable.readPartitionedManifest(root) match {
+    val (matched, kept, cleanup) = splitMatched(df, Some(condition))
+    try VersionedTable.readPartitionedManifest(root) match {
       case Some(m) =>
         val pv = VersionedTable.posDeleteVersion(root)
         val pc = m.partitionColumns
@@ -273,7 +312,7 @@ private[plans] object GraftRowLevelExec {
         VersionedTable.rewriteLive(spark, root, kept, fm.version, pv,
           ev)
         true
-    }
+    } finally cleanup()
   }
 
   // ---- MERGE ---------------------------------------------------------
@@ -352,6 +391,32 @@ private[plans] object GraftRowLevelExec {
         s"unsupported matched/by-source MERGE action: $other " +
           "(star actions should have been expanded by the analyzer)")
     }
+    // The joined frame is checkpointed, so the ON condition evaluates
+    // exactly once — but clause conditions and assignment values run
+    // in SEVERAL jobs over the checkpoint (cardinality check, no-op
+    // probes, touched-cover, write): nondeterminism or an embedded
+    // subquery (re-scanned per job against a possibly-moved table)
+    // would make those jobs disagree on which rows changed.
+    (matchedActions ++ notMatchedActions ++ notMatchedBySourceActions)
+      .foreach { a =>
+        a.condition.foreach { c =>
+          requireDeterministic(c, "a MERGE clause condition")
+          require(!hasSubquery(c),
+            "subqueries in MERGE clause conditions are not supported " +
+              "— fold the predicate into the source query")
+        }
+        val assigns = a match {
+          case u: UpdateAction => u.assignments
+          case i: InsertAction => i.assignments
+          case _ => Seq.empty
+        }
+        assigns.foreach { as =>
+          requireDeterministic(as.value, "a MERGE assignment value")
+          require(!hasSubquery(as.value),
+            "subqueries in MERGE assignment values are not supported " +
+              "— compute them in the source query")
+        }
+      }
     val tdf0 = SqlShims.ofRows(spark, target)
     val sdf0 = SqlShims.ofRows(spark, source)
     Seq(Tid, TPresent, SPresent, ActM, ActB, ActI).foreach { r =>

@@ -129,12 +129,25 @@ private[sources] class GraftBatchWrite(root: String,
       case GraftCommitMessage(p, _) if p != null => p
     }
     try {
-      val staged: DataFrame =
-        if (files.isEmpty)
-          spark.createDataFrame(
-            java.util.Collections.emptyList[Row](), info.schema())
-        else spark.read.schema(info.schema()).parquet(files.toSeq: _*)
-      route(spark, staged)
+      // A zero-row APPEND/upsert into a committed table is a no-op —
+      // routing it through the verb would be a full-table rewrite and
+      // a version bump for nothing, churning retention (the streaming
+      // sink already skips idle epochs). Truncate/Overwrite keep
+      // their semantics (an empty overwrite MEANS "vacate"), and the
+      // first-ever write still materializes the table (v1 with zero
+      // rows) so path-based readers find a manifest.
+      val noopAppend = files.isEmpty &&
+        mode == GraftNativeWrite.Append &&
+        (VersionedTable.readManifest(root).isDefined ||
+          VersionedTable.readPartitionedManifest(root).isDefined)
+      if (!noopAppend) {
+        val staged: DataFrame =
+          if (files.isEmpty)
+            spark.createDataFrame(
+              java.util.Collections.emptyList[Row](), info.schema())
+          else spark.read.schema(info.schema()).parquet(files.toSeq: _*)
+        route(spark, staged)
+      }
     } finally deleteStaging()
   }
 

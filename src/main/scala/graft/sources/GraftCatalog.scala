@@ -74,12 +74,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       GraftProcedures.list()
     else Array.empty
 
+  /** 'ns.t' → Identifier via Spark's OWN multipart-identifier parser,
+    * not a raw split('.') — a quoted segment containing a dot
+    * (ns.`a.b`) must resolve to the `a.b` table, not a phantom
+    * two-level namespace.
+    */
+  private def parseTableRef(tableRef: String): Identifier = {
+    val parts = SparkSession.active.sessionState.sqlParser
+      .parseMultipartIdentifier(tableRef)
+    Identifier.of(parts.dropRight(1).toArray, parts.last)
+  }
+
   /** 'ns.t' (dots separating namespace levels) → the table's DATA
     * root, through the same stub/LOCATION resolution reads use.
     */
   private[sources] def resolveDataRoot(tableRef: String): String = {
-    val parts = tableRef.split('.')
-    val ident = Identifier.of(parts.dropRight(1), parts.last)
+    val ident = parseTableRef(tableRef)
     val stub = tablePath(ident)
     if (!isTableDir(stub)) throw new NoSuchTableException(ident)
     dataRoot(stub).toString
@@ -89,8 +99,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * tables keep their properties on the stub, not the data root).
     */
   private[sources] def tableKeys(tableRef: String): Option[Seq[String]] = {
-    val parts = tableRef.split('.')
-    val stub = tablePath(Identifier.of(parts.dropRight(1), parts.last))
+    val stub = tablePath(parseTableRef(tableRef))
     readMeta(stub).get("keys")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .filter(_.nonEmpty)

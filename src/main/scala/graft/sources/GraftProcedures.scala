@@ -47,13 +47,17 @@ private[sources] object GraftProcedures {
     "vacuum", "set_ref", "drop_ref", "remove_orphans")
 
   def load(catalog: GraftCatalog, ident: Identifier): UnboundProcedure = {
-    require(ident.namespace().sameElements(Namespace),
-      s"unknown procedure namespace " +
-        s"${ident.namespace().mkString(".")} — procedures live under " +
-        s"${catalog.name()}.system")
-    require(names.contains(ident.name()),
-      s"unknown procedure '${ident.name()}' — one of " +
-        names.mkString(", "))
+    // standard error class (ROUTINE_NOT_FOUND / SQLSTATE 42883), not a
+    // bare IllegalArgumentException — callers and error handlers see
+    // the same condition Spark's own unresolved-routine path raises
+    // (4.1 has no NoSuchProcedureException class to throw)
+    if (!ident.namespace().sameElements(Namespace) ||
+        !names.contains(ident.name()))
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "ROUTINE_NOT_FOUND",
+        messageParameters = Map("routineName" ->
+          (catalog.name() +: ident.namespace() :+ ident.name())
+            .map(s => s"`$s`").mkString(".")))
     new GraftProcedure(catalog, ident.name())
   }
 

@@ -116,4 +116,42 @@ class GraftProceduresSpec extends SparkSpec {
       spark.sql("CALL pcat.system.compact('m.f')"))
     assert(e2.getMessage.contains("flat"), e2.getMessage)
   }
+
+  test("unknown procedure raises the standard ROUTINE_NOT_FOUND " +
+    "condition (not a bare IllegalArgumentException), for name and " +
+    "namespace misses alike") {
+    wh
+    def condition(t: Throwable): Option[String] = {
+      var cur = t
+      while (cur != null) {
+        cur match {
+          case a: org.apache.spark.sql.AnalysisException
+              if a.getCondition != null => return Some(a.getCondition)
+          case _ => ()
+        }
+        cur = cur.getCause
+      }
+      None
+    }
+    val e1 = intercept[Exception](
+      spark.sql("CALL pcat.system.frobnicate(table => 'm.v')"))
+    assert(condition(e1).contains("ROUTINE_NOT_FOUND"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("CALL pcat.nosuchns.vacuum(table => 'm.v')"))
+    assert(condition(e2).contains("ROUTINE_NOT_FOUND"), e2.getMessage)
+  }
+
+  test("a quoted table segment containing a dot resolves through the " +
+    "SQL identifier parser (ns.`a.b`), not a raw split") {
+    wh
+    spark.sql("CREATE TABLE pcat.m.`a.b` (id BIGINT, x BIGINT) " +
+      "USING graft TBLPROPERTIES ('keys' = 'id')")
+    spark.sql("INSERT INTO pcat.m.`a.b` SELECT id, id FROM range(20)")
+    spark.sql("DELETE FROM pcat.m.`a.b` WHERE id < 5")
+    val r = spark.sql(
+      "CALL pcat.system.vacuum(table => 'm.`a.b`')").head
+    assert(r.getInt(2) > 0, "vacuum must fold the dotted table's " +
+      "pos deletes — wrong-path resolution would NoSuchTable or no-op")
+    assert(spark.table("pcat.m.`a.b`").count() === 15)
+  }
 }

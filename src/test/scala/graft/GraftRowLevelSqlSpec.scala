@@ -61,6 +61,38 @@ class GraftRowLevelSqlSpec extends SparkSpec {
     assert(neg === Seq(2L, 5L, 7L))
   }
 
+  test("nondeterministic UPDATE/DELETE conditions and assignment " +
+    "values are rejected loudly (they evaluate in more than one job " +
+    "and would drop or duplicate rows); a zero-row INSERT into a " +
+    "committed table commits nothing") {
+    wh
+    spark.sql("CREATE TABLE rcat.rl.nd (id BIGINT, v BIGINT) " +
+      "USING graft")
+    spark.sql("INSERT INTO rcat.rl.nd SELECT id, id FROM range(6)")
+    val root = s"$wh/rl/nd"
+    val e1 = intercept[Exception](spark.sql(
+      "UPDATE rcat.rl.nd SET v = 0 WHERE rand() < 0.5 AND id >= 0 " +
+        "AND id IN (SELECT id FROM range(3))"))
+    assert(e1.getMessage.contains("deterministic"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "UPDATE rcat.rl.nd SET v = CAST(rand() * 10 AS BIGINT) " +
+        "WHERE id = 1"))
+    assert(e2.getMessage.contains("deterministic"), e2.getMessage)
+    val e3 = intercept[Exception](spark.sql(
+      "DELETE FROM rcat.rl.nd WHERE rand() < 0.5 " +
+        "AND id IN (SELECT id FROM range(3))"))
+    assert(e3.getMessage.contains("deterministic"), e3.getMessage)
+    // nothing above may have committed, and neither may an INSERT
+    // that stages zero rows (no-op append: no version bump, no
+    // retention churn)
+    val ver = VersionedTable.readManifest(root).get.version
+    spark.sql("INSERT INTO rcat.rl.nd SELECT id, id FROM range(6) " +
+      "WHERE id < 0")
+    assert(VersionedTable.readManifest(root).get.version === ver,
+      "a zero-row INSERT into a committed table must not commit")
+    assert(spark.table("rcat.rl.nd").count() === 6)
+  }
+
   test("partitioned UPDATE rewrites ONLY the touched partitions " +
     "(untouched pointers keep their version dir), and an assignment " +
     "may move rows across partitions") {
