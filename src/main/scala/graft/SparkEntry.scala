@@ -7467,6 +7467,93 @@ object SparkEntry {
           .distinctEstimate(col("dom"), 256).as("n_exact"))
     }),
 
+    // Merge-on-read UPDATE/DELETE/MERGE (r14): with TBLPROPERTIES
+    // ('graft.dml.mode'='merge-on-read') a row-level statement commits
+    // ONE keyed batch into the pos-delete sub-table (pre-images as
+    // position deletes, post-images as append entries) and rewrites
+    // ZERO data files — graded against a COW twin running the same
+    // statements: results hash-equal pre-fold AND post-vacuum, the
+    // MoR table's manifest version and every partition pointer pinned
+    // unchanged (_audit.n), convergence + flat-MERGE equality pinned
+    // in _audit.s.
+    "q332_mor_update" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      ensureG13(s)
+      s.sql("DROP NAMESPACE IF EXISTS g13.q332 CASCADE")
+      s.sql("CREATE NAMESPACE g13.q332")
+      val ev = Tables.events(s, d).select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      ev.createOrReplaceTempView("q332_src")
+      // partitioned twins: same data, same UPDATE + (arithmetic,
+      // untranslatable → row-level path) DELETE
+      for (t <- Seq("cow", "mor")) {
+        val prop = if (t == "mor")
+          " TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')" else ""
+        s.sql(s"CREATE TABLE g13.q332.$t (event_id BIGINT, " +
+          "day STRING, event_type STRING, cents BIGINT) USING graft " +
+          s"PARTITIONED BY (day)$prop")
+        s.sql(s"INSERT INTO g13.q332.$t " +
+          "SELECT event_id, day, event_type, cents FROM q332_src")
+      }
+      val morRoot = s.conf.get("spark.sql.catalog.g13.warehouse") +
+        "/q332/mor"
+      val before = vt.readPartitionedManifest(morRoot).get
+      for (t <- Seq("cow", "mor")) {
+        s.sql(s"UPDATE g13.q332.$t SET cents = cents * 3 " +
+          "WHERE event_type = 'click'")
+        // sees the pending post-images (3× cents) and tombstones the
+        // matching ones — the MoR-on-MoR composition
+        s.sql(s"DELETE FROM g13.q332.$t WHERE cents % 7 = 0")
+      }
+      val after = vt.readPartitionedManifest(morRoot).get
+      val zeroRewrite =
+        if (after.version == before.version &&
+          after.partitions == before.partitions) 1L else 0L
+      def eq(a: DataFrame, b: DataFrame): Long =
+        if (a.exceptAll(b).limit(1).isEmpty &&
+          b.exceptAll(a).limit(1).isEmpty) 1L else 0L
+      val preFoldEq = eq(s.table("g13.q332.mor"),
+        s.table("g13.q332.cow"))
+      // SQL-surface fold; convergence graded below
+      s.sql("CALL g13.system.vacuum(table => 'q332.mor')")
+      val postFoldEq = eq(s.table("g13.q332.mor"),
+        s.table("g13.q332.cow"))
+      // flat twins: the same MERGE (matched update + insert) both ways
+      for (t <- Seq("fcow", "fmor")) {
+        val prop = if (t == "fmor")
+          " TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')" else ""
+        s.sql(s"CREATE TABLE g13.q332.$t (event_id BIGINT, " +
+          s"day STRING, event_type STRING, cents BIGINT) USING graft$prop")
+        s.sql(s"INSERT INTO g13.q332.$t SELECT event_id, day, " +
+          "event_type, cents FROM q332_src WHERE event_id % 10 = 3")
+        s.sql(s"""MERGE INTO g13.q332.$t t USING (
+          |  SELECT event_id, cents FROM q332_src
+          |  WHERE event_id % 4 = 1) src
+          |ON t.event_id = src.event_id
+          |WHEN MATCHED THEN UPDATE SET cents = t.cents + src.cents
+          |WHEN NOT MATCHED THEN INSERT (event_id, day, event_type,
+          |  cents) VALUES (src.event_id, 'x', 'merged', src.cents)
+          |""".stripMargin.replace("\n", " "))
+      }
+      val fmorRoot = s.conf.get("spark.sql.catalog.g13.warehouse") +
+        "/q332/fmor"
+      val fZero =
+        if (vt.readManifest(fmorRoot).get.version == 1L) 1L else 0L
+      val flatEq = eq(s.table("g13.q332.fmor"),
+        s.table("g13.q332.fcow"))
+      s.sql("SELECT concat('t:', event_type) AS part, " +
+          "count(*) AS n, sum(cents) AS c FROM g13.q332.mor " +
+          "GROUP BY event_type")
+        .unionByName(s.sql("SELECT 'f:' || event_type AS part, " +
+          "count(*) AS n, sum(cents) AS c FROM g13.q332.fmor " +
+          "GROUP BY event_type"))
+        .unionByName(s.range(1).select(lit("_audit").as("part"),
+          lit(zeroRewrite * 10 + fZero).as("n"),
+          lit(preFoldEq * 100 + postFoldEq * 10 + flatEq).as("c")))
+    }),
+
     // SQL UPDATE (r13): copy-on-write through the post-hoc command
     // rewrite — a partitioned UPDATE rewrites ONLY the partitions
     // holding matching rows (days with zero clicks keep their v1
@@ -8255,6 +8342,46 @@ object SparkEntry {
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey % 97) AS n_exact
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // MoR-DML replay: clicks tripled then exact-multiples-of-7 cents
+    // deleted (partitioned twins); the flat twins replay the MERGE
+    // (matched cents summed, unmatched source ids inserted as
+    // 'merged'). _audit pins: n = 11 (zero data-file commits on BOTH
+    // MoR tables — partitioned version+pointers unchanged, flat still
+    // v1), c = 111 (mor ≡ cow pre-fold, post-vacuum, and flat).
+    "q332_mor_update" ->
+      """WITH src AS (
+        |  SELECT event_id, strftime(ts, '%Y-%m-%d') AS day,
+        |    event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |upd AS (
+        |  SELECT event_id, day, event_type,
+        |    CASE WHEN event_type = 'click' THEN cents * 3
+        |         ELSE cents END AS cents
+        |  FROM src),
+        |fin AS (SELECT * FROM upd WHERE NOT (cents % 7 = 0)),
+        |flat0 AS (
+        |  SELECT event_id, event_type, cents FROM src
+        |  WHERE event_id % 10 = 3),
+        |msrc AS (
+        |  SELECT event_id, cents FROM src WHERE event_id % 4 = 1),
+        |fflat AS (
+        |  SELECT f.event_id, f.event_type,
+        |    f.cents + COALESCE(m.cents, 0) AS cents
+        |  FROM flat0 f LEFT JOIN msrc m ON f.event_id = m.event_id
+        |  UNION ALL
+        |  SELECT m.event_id, 'merged', m.cents FROM msrc m
+        |  WHERE m.event_id NOT IN (SELECT event_id FROM flat0))
+        |SELECT 't:' || event_type AS part, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS c
+        |FROM fin GROUP BY event_type
+        |UNION ALL
+        |SELECT 'f:' || event_type, count(*),
+        |  CAST(sum(cents) AS BIGINT)
+        |FROM fflat GROUP BY event_type
+        |UNION ALL
+        |SELECT '_audit', CAST(11 AS BIGINT),
+        |  CAST(111 AS BIGINT)""".stripMargin,
 
     // SQL-UPDATE replay: clicks doubled; _v1 = the raw pre-update
     // snapshot; _ptr.n = days holding NO click (their pointers must

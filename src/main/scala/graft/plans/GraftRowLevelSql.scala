@@ -250,6 +250,8 @@ private[plans] object GraftRowLevelExec {
           s"UPDATE SET $name: no such column in $root"))
       name -> SqlShims.column(a.value).cast(field.dataType)
     }.toMap
+    GraftMorExec.tryUpdate(spark, target, table, assignments,
+        condition).foreach(return _)
     val outCols = df.schema.fieldNames.toSeq.map(c =>
       assignMap.getOrElse(c, col(c)).as(c))
     val (matched, kept, cleanup) = splitMatched(df, condition)
@@ -289,6 +291,9 @@ private[plans] object GraftRowLevelExec {
                 table: GraftTable, condition: Expression): Boolean = {
     guardLiveTarget(table, "DELETE")
     val root = table.opts.root
+    requireDeterministic(condition, "the statement condition")
+    GraftMorExec.tryDelete(spark, target, table, condition)
+      .foreach(return _)
     val df = SqlShims.ofRows(spark, target)
     val (matched, kept, cleanup) = splitMatched(df, Some(condition))
     try VersionedTable.readPartitionedManifest(root) match {
@@ -317,23 +322,28 @@ private[plans] object GraftRowLevelExec {
 
   // ---- MERGE ---------------------------------------------------------
 
-  private val Tid = "__graft_merge_tid"
-  private val TPresent = "__graft_merge_tp"
-  private val SPresent = "__graft_merge_sp"
-  private val ActM = "__graft_merge_act_m"
-  private val ActB = "__graft_merge_act_b"
-  private val ActI = "__graft_merge_act_i"
+  private[plans] val Tid = "__graft_merge_tid"
+  private[plans] val TPresent = "__graft_merge_tp"
+  private[plans] val SPresent = "__graft_merge_sp"
+  private[plans] val ActM = "__graft_merge_act_m"
+  private[plans] val ActB = "__graft_merge_act_b"
+  private[plans] val ActI = "__graft_merge_act_i"
 
   /** Index of the first action whose condition definitely holds;
     * -1 = no clause applies (keep the row / drop the insert).
+    * `bind` turns an action expression into a Column — identity
+    * (SqlShims.column) for the COW path whose frame IS the resolved
+    * plan; name-rebinding for the MoR path's fresh addressed frame.
     */
-  private def firstApplicable(actions: Seq[MergeAction]): Column =
+  private[plans] def firstApplicable(actions: Seq[MergeAction],
+      bind: Expression => Column = SqlShims.column): Column =
     actions.zipWithIndex.foldRight(lit(-1): Column) {
-      case ((a, i), acc) => when(matchCol(a.condition), lit(i))
-        .otherwise(acc)
+      case ((a, i), acc) =>
+        when(coalesce(a.condition.map(bind).getOrElse(lit(true)),
+          lit(false)), lit(i)).otherwise(acc)
     }
 
-  private def deleteIndices(actions: Seq[MergeAction]): Seq[Int] =
+  private[plans] def deleteIndices(actions: Seq[MergeAction]): Seq[Int] =
     actions.zipWithIndex.collect {
       case (_: DeleteAction, i) => i
     }
@@ -342,24 +352,28 @@ private[plans] object GraftRowLevelExec {
     * action column: UPDATE actions project their assignment (cast to
     * the column type), anything else keeps `orig`.
     */
-  private def branched(actions: Seq[MergeAction], act: Column,
+  private[plans] def branched(actions: Seq[MergeAction], act: Column,
                        name: String,
                        dt: org.apache.spark.sql.types.DataType,
-                       orig: Column): Column =
+                       orig: Column,
+                       bind: Expression => Column = SqlShims.column)
+      : Column =
     actions.zipWithIndex.foldRight(orig) {
       case ((u: UpdateAction, i), acc) =>
         u.assignments.find(a =>
             attrName(a.key, "MERGE UPDATE SET") == name) match {
           case Some(a) =>
-            when(act === lit(i), SqlShims.column(a.value).cast(dt))
+            when(act === lit(i), bind(a.value).cast(dt))
               .otherwise(acc)
           case None => acc
         }
       case (_, acc) => acc
     }
 
-  private def insertProjection(actions: Seq[MergeAction], act: Column,
-      schema: org.apache.spark.sql.types.StructType): Seq[Column] =
+  private[plans] def insertProjection(actions: Seq[MergeAction],
+      act: Column,
+      schema: org.apache.spark.sql.types.StructType,
+      bind: Expression => Column = SqlShims.column): Seq[Column] =
     schema.fields.toSeq.map { f =>
       val c = actions.zipWithIndex.foldRight(
           lit(null).cast(f.dataType)) {
@@ -367,7 +381,7 @@ private[plans] object GraftRowLevelExec {
           ins.assignments.find(a =>
               attrName(a.key, "MERGE INSERT") == f.name) match {
             case Some(a) =>
-              when(act === lit(i), SqlShims.column(a.value)
+              when(act === lit(i), bind(a.value)
                 .cast(f.dataType)).otherwise(acc)
             case None => acc
           }
@@ -417,6 +431,9 @@ private[plans] object GraftRowLevelExec {
               "— compute them in the source query")
         }
       }
+    GraftMorExec.tryMerge(spark, target, table, source, mergeCondition,
+      matchedActions, notMatchedActions, notMatchedBySourceActions)
+      .foreach(return _)
     val tdf0 = SqlShims.ofRows(spark, target)
     val sdf0 = SqlShims.ofRows(spark, source)
     Seq(Tid, TPresent, SPresent, ActM, ActB, ActI).foreach { r =>
@@ -567,6 +584,335 @@ private[plans] object GraftRowLevelExec {
               true
           }
       }
+    } finally SqlShims.unpersistCheckpointed(joined)
+  }
+}
+
+/** MERGE-ON-READ row-level DML (the Iceberg MoR UPDATE/MERGE shape),
+  * taken when the table carries `TBLPROPERTIES ('graft.dml.mode' =
+  * 'merge-on-read')`: instead of copy-on-write partition/table
+  * rewrites, ONE keyed commit into the pos-delete sub-table
+  * position-deletes the pre-images and appends the post-images (plus
+  * in-place replacement/tombstoning of rows that were themselves
+  * pending appends) — zero data files rewritten, statement cost
+  * ∝ matched rows. At 100 TB with one changed row per partition this
+  * is the difference between touching every partition and touching
+  * none. Vacuum folds later; every rewrite verb folds pending
+  * post-images first and CAS-validates the sub-table version, so a
+  * racing rewrite can never drop them.
+  *
+  * Falls back to COW (returning None) when the shape doesn't fit:
+  * subqueries in the condition (they'd re-evaluate per job against a
+  * possibly-moved table — COW materializes a match flag instead), an
+  * assignment that MOVES rows across partitions (the append entry
+  * needs a live partition qualifier), MERGE into a partitioned table
+  * (inserted rows may target partitions with no live dir to qualify
+  * against), a never-committed target, or a schema colliding with the
+  * sub-table's key columns.
+  *
+  * Concurrency: identification reads the observable snapshot pinned
+  * to the manifest it saw; after the sub-table commit the manifest is
+  * re-checked — if a rewrite interleaved, every entry this statement
+  * wrote is already stale-by-qualifier (invisible) and the statement
+  * re-runs against the new snapshot, exactly softDeletePos's loop.
+  */
+private[plans] object GraftMorExec {
+  import GraftRowLevelExec.{attrName, guardLiveTarget, hasSubquery}
+  import graft.sinks.{VersionedTable => VT}
+
+  private val Internal: Set[String] = Set(
+    VT.AddrPathCol, VT.AddrPosCol, VT.MorKeyPathCol, VT.MorKeyPosCol,
+    VT.SeqCol)
+
+  def enabled(table: GraftTable): Boolean = {
+    val p = table.properties()
+    (Option(p.get("graft.dml.mode")) orElse Option(p.get("dmlMode")))
+      .exists(_.trim.equalsIgnoreCase("merge-on-read"))
+  }
+
+  private def quote(n: String): String = s"`${n.replace("`", "``")}`"
+
+  /** Rebind `e`'s references to the resolved target plan onto the
+    * fresh addressed frame, by NAME (graft schemas are flat, names
+    * unique per side); non-target attributes (a MERGE source's) keep
+    * their original binding.
+    */
+  private def rebind(e: Expression, fromOut: Seq[Attribute],
+                     to: DataFrame): Column = {
+    val names = fromOut.map(a => a.exprId -> a.name).toMap
+    SqlShims.column(e.transform {
+      case a: AttributeReference if names.contains(a.exprId) =>
+        SqlShims.expression(to.col(quote(names(a.exprId))))
+    })
+  }
+
+  private def retryLoop(root: String)(once: => Option[Boolean])
+      : Boolean = {
+    var attempt = 0
+    while (attempt <= 10) {
+      once match {
+        case Some(c) => return c
+        case None => attempt += 1
+      }
+    }
+    throw new VT.ConcurrentCommitException(
+      s"merge-on-read DML lost $attempt identification races under " +
+        root)
+  }
+
+  // ---- UPDATE / DELETE -------------------------------------------------
+
+  def tryUpdate(spark: SparkSession, target: LogicalPlan,
+                table: GraftTable, assignments: Seq[Assignment],
+                condition: Option[Expression]): Option[Boolean] =
+    tryMutation(spark, target, table, Some(assignments), condition)
+
+  def tryDelete(spark: SparkSession, target: LogicalPlan,
+                table: GraftTable, condition: Expression)
+      : Option[Boolean] =
+    tryMutation(spark, target, table, None, Some(condition))
+
+  private def tryMutation(spark: SparkSession, target: LogicalPlan,
+                          table: GraftTable,
+                          assignments: Option[Seq[Assignment]],
+                          condition: Option[Expression])
+      : Option[Boolean] = {
+    if (!enabled(table)) return None
+    val root = table.opts.root
+    if (condition.exists(hasSubquery)) return None
+    if (assignments.exists(_.exists(a => hasSubquery(a.value))))
+      return None
+    if (target.output.exists(a => VT.MorReservedCols(a.name) ||
+        Internal(a.name))) return None
+    val pm = VT.readPartitionedManifest(root)
+    // partition-moving assignments keep COW: the moved post-image
+    // would need a destination-partition qualifier that may not exist
+    pm.foreach { m =>
+      val assigned = assignments.getOrElse(Seq.empty)
+        .map(a => attrName(a.key, "UPDATE SET")).toSet
+      if (m.partitionColumns.exists(assigned)) return None
+    }
+    if (pm.isEmpty && VT.readManifest(root).isEmpty)
+      return Some(false) // declared, never committed: nothing matches
+    Some(retryLoop(root) {
+      mutateOnce(spark, root, target, assignments, condition)
+    })
+  }
+
+  /** One identification + commit attempt. None = a rewrite
+    * interleaved (entries stale, retry); Some(committed) otherwise.
+    */
+  private def mutateOnce(spark: SparkSession, root: String,
+                         target: LogicalPlan,
+                         assignments: Option[Seq[Assignment]],
+                         condition: Option[Expression])
+      : Option[Boolean] = {
+    // pinned BEFORE the identification read: racing MoR statements
+    // serialize on this CAS (each sees the other's post-images on its
+    // retry — two `SET v = v + 1` compose to +2, never duplicate)
+    val pinnedPos = VT.posDeleteVersion(root)
+    val partitioned = VT.readPartitionedManifest(root).isDefined
+    val (stamp, adf, newQualifier, stillCurrent) =
+      if (partitioned) {
+        val (m, df) = VT.morAddressedPartitioned(spark, root).get
+        // post-images stay in their source partition (partition
+        // assignments were excluded), so the qualifier is the source
+        // address minus its file segment: "<dir>/<partitionKey>"
+        val qual = expr(
+          s"substring(${VT.AddrPathCol}, 1, " +
+            s"length(${VT.AddrPathCol}) - " +
+            s"length(substring_index(${VT.AddrPathCol}, '/', -1)) - 1)")
+        (m.version + 1, df, qual,
+          () => VT.readPartitionedManifest(root).map(_.version)
+            .contains(m.version))
+      } else {
+        val (m, df) = VT.morAddressedFlat(spark, root).get
+        (m.version + 1, df, lit(m.live),
+          () => VT.readManifest(root).map(_.live).contains(m.live))
+      }
+    val bind = (e: Expression) => rebind(e, target.output, adf)
+    val condCol = condition.map(bind).getOrElse(lit(true))
+    val matched = adf.filter(condCol)
+    val dataFields =
+      adf.schema.fields.toSeq.filterNot(f => Internal(f.name))
+    val assignMap: Map[String, Column] =
+      assignments.getOrElse(Seq.empty).map { a =>
+        val name = attrName(a.key, "UPDATE SET")
+        name -> bind(a.value)
+      }.toMap
+    def post: Seq[Column] = dataFields.map(f =>
+      assignMap.getOrElse(f.name, col(quote(f.name)))
+        .cast(f.dataType).as(f.name))
+    def nulls: Seq[Column] = dataFields.map(f =>
+      lit(null).cast(f.dataType).as(f.name))
+    def key(path: Column, pos: Column, seq: Column,
+            dead: Column): Seq[Column] = Seq(
+      path.as(VT.PdPathCol), pos.cast("long").as(VT.PdPosCol),
+      seq.cast("long").as(VT.PdSeqCol),
+      dead.cast("boolean").as(VT.PdDeadCol))
+    val uuid = java.util.UUID.randomUUID.toString
+    val isBase = col(VT.AddrPathCol).isNotNull
+    val isDelete = assignments.isEmpty
+    // pre-images of matched BASE rows become position-delete entries
+    // (for UPDATE and DELETE alike)
+    val delEntries = matched.filter(isBase).select(
+      (nulls ++ key(col(VT.AddrPathCol), col(VT.AddrPosCol),
+        lit(null), lit(null))): _*)
+    val parts: Seq[DataFrame] =
+      if (isDelete)
+        Seq(delEntries,
+          // matched pending appends tombstone in place
+          matched.filter(!isBase).select(
+            (nulls ++ key(col(VT.MorKeyPathCol), col(VT.MorKeyPosCol),
+              lit(null), lit(true))): _*))
+      else
+        Seq(delEntries,
+          // base post-images under fresh synthetic keys
+          matched.filter(isBase).select(
+            (post ++ key(
+              concat(newQualifier, lit(s"/${VT.MorMarker}$uuid")),
+              monotonically_increasing_id(), lit(stamp),
+              lit(false))): _*),
+          // matched pending appends replace in place (keyed upsert)
+          matched.filter(!isBase).select(
+            (post ++ key(col(VT.MorKeyPathCol), col(VT.MorKeyPosCol),
+              lit(stamp), lit(false))): _*))
+    val batch =
+      parts.reduce(_.unionByName(_)).localCheckpoint()
+    try {
+      if (batch.limit(1).isEmpty) return Some(false)
+      VT.morCommitEntries(spark, root, batch, pinnedPos, stillCurrent)
+        .map(_ => true)
+    } finally SqlShims.unpersistCheckpointed(batch)
+  }
+
+  // ---- MERGE (flat tables) ----------------------------------------------
+
+  def tryMerge(spark: SparkSession, target: LogicalPlan,
+               table: GraftTable, source: LogicalPlan,
+               mergeCondition: Expression,
+               matchedActions: Seq[MergeAction],
+               notMatchedActions: Seq[MergeAction],
+               notMatchedBySourceActions: Seq[MergeAction])
+      : Option[Boolean] = {
+    if (!enabled(table)) return None
+    val root = table.opts.root
+    if (VT.readPartitionedManifest(root).isDefined) return None
+    if (VT.readManifest(root).isEmpty) return None
+    if (hasSubquery(mergeCondition)) return None
+    if (target.output.exists(a => VT.MorReservedCols(a.name) ||
+        Internal(a.name))) return None
+    Some(retryLoop(root) {
+      mergeOnce(spark, root, target, source, mergeCondition,
+        matchedActions, notMatchedActions, notMatchedBySourceActions)
+    })
+  }
+
+  private def mergeOnce(spark: SparkSession, root: String,
+                        target: LogicalPlan, source: LogicalPlan,
+                        mergeCondition: Expression,
+                        mA: Seq[MergeAction], nA: Seq[MergeAction],
+                        bA: Seq[MergeAction]): Option[Boolean] = {
+    import GraftRowLevelExec.{ActB, ActI, ActM, SPresent, TPresent, Tid}
+    val pinnedPos = VT.posDeleteVersion(root)
+    val (m, adf) = VT.morAddressedFlat(spark, root).get
+    val stamp = m.version + 1
+    val bind = (e: Expression) =>
+      GraftMorExec.rebind(e, target.output, adf)
+    val sdf0 = SqlShims.ofRows(spark, source)
+    Seq(Tid, TPresent, SPresent, ActM, ActB, ActI).foreach { r =>
+      require(!adf.columns.contains(r) && !sdf0.columns.contains(r),
+        s"column name $r is reserved by MERGE execution")
+    }
+    val dataFields =
+      adf.schema.fields.toSeq.filterNot(f => Internal(f.name))
+    val tdf = adf.withColumn(TPresent, lit(true))
+      .withColumn(Tid, monotonically_increasing_id())
+    val sdf = sdf0.withColumn(SPresent, lit(true))
+    // checkpointed for the same reason as the COW MERGE: several jobs
+    // consume the join and must agree on tids and pairings
+    val joined = tdf.join(sdf, bind(mergeCondition), "full_outer")
+      .localCheckpoint()
+    try {
+      val tp = col(TPresent) === lit(true)
+      val sp = col(SPresent) === lit(true)
+      val matchedRows = joined.filter(tp && sp)
+        .withColumn(ActM, GraftRowLevelExec.firstApplicable(mA, bind))
+      if (mA.nonEmpty) {
+        val dup = matchedRows.filter(col(ActM) >= 0)
+          .groupBy(col(Tid)).count().filter(col("count") > 1)
+          .limit(1).count()
+        require(dup == 0L,
+          s"MERGE INTO $root: a target row matches more than one " +
+            "source row with an applicable WHEN MATCHED clause — " +
+            "the standard cardinality violation; de-duplicate the " +
+            "source or tighten the ON/clause conditions")
+      }
+      val bySourceRows = joined.filter(tp && !coalesce(sp, lit(false)))
+        .withColumn(ActB, GraftRowLevelExec.firstApplicable(bA, bind))
+      val insertRows = joined.filter(!coalesce(tp, lit(false)) && sp)
+        .withColumn(ActI, GraftRowLevelExec.firstApplicable(nA, bind))
+        .filter(col(ActI) >= 0)
+
+      def tcolA(name: String): Column = adf.col(quote(name))
+      def isBase = tcolA(VT.AddrPathCol).isNotNull
+      def post(actions: Seq[MergeAction], act: Column): Seq[Column] =
+        dataFields.map(f => GraftRowLevelExec.branched(actions, act,
+          f.name, f.dataType, tcolA(f.name), bind).as(f.name))
+      def nulls: Seq[Column] = dataFields.map(f =>
+        lit(null).cast(f.dataType).as(f.name))
+      def key(path: Column, pos: Column, seq: Column,
+              dead: Column): Seq[Column] = Seq(
+        path.as(VT.PdPathCol), pos.cast("long").as(VT.PdPosCol),
+        seq.cast("long").as(VT.PdSeqCol),
+        dead.cast("boolean").as(VT.PdDeadCol))
+      def isDel(act: Column, actions: Seq[MergeAction]): Column = {
+        val idx = GraftRowLevelExec.deleteIndices(actions)
+        if (idx.isEmpty) lit(false)
+        else act.isin(idx.map(Integer.valueOf): _*)
+      }
+      val uuid = java.util.UUID.randomUUID.toString
+      def entriesFor(rows: DataFrame, act: Column,
+                     actions: Seq[MergeAction],
+                     tag: String): Seq[DataFrame] = {
+        val changed = rows.filter(act >= 0)
+        Seq(
+          // pre-images of changed base rows → position deletes
+          changed.filter(isBase).select(
+            (nulls ++ key(tcolA(VT.AddrPathCol), tcolA(VT.AddrPosCol),
+              lit(null), lit(null))): _*),
+          // updated base rows → fresh append entries
+          changed.filter(isBase && !isDel(act, actions)).select(
+            (post(actions, act) ++ key(
+              lit(s"${m.live}/${VT.MorMarker}$uuid$tag"),
+              monotonically_increasing_id(), lit(stamp),
+              lit(false))): _*),
+          // updated pending appends → replace in place
+          changed.filter(!isBase && !isDel(act, actions)).select(
+            (post(actions, act) ++ key(tcolA(VT.MorKeyPathCol),
+              tcolA(VT.MorKeyPosCol), lit(stamp), lit(false))): _*),
+          // deleted pending appends → tombstone in place
+          changed.filter(!isBase && isDel(act, actions)).select(
+            (nulls ++ key(tcolA(VT.MorKeyPathCol),
+              tcolA(VT.MorKeyPosCol), lit(null), lit(true))): _*))
+      }
+      val inserts =
+        if (nA.isEmpty) Seq.empty[DataFrame]
+        else Seq(insertRows.select(
+          (GraftRowLevelExec.insertProjection(nA, col(ActI),
+            org.apache.spark.sql.types.StructType(dataFields), bind) ++
+            key(lit(s"${m.live}/${VT.MorMarker}${uuid}i"),
+              monotonically_increasing_id(), lit(stamp),
+              lit(false))): _*))
+      val batch = (entriesFor(matchedRows, col(ActM), mA, "m") ++
+        entriesFor(bySourceRows, col(ActB), bA, "b") ++ inserts)
+        .reduce(_.unionByName(_)).localCheckpoint()
+      try {
+        if (batch.limit(1).isEmpty) return Some(false)
+        VT.morCommitEntries(spark, root, batch, pinnedPos,
+          () => VT.readManifest(root).map(_.live).contains(m.live))
+          .map(_ => true)
+      } finally SqlShims.unpersistCheckpointed(batch)
     } finally SqlShims.unpersistCheckpointed(joined)
   }
 }

@@ -1186,6 +1186,24 @@ object VersionedTable {
                  keyCols: Seq[String], keepVersions: Int = 2,
                  maxRetries: Int = 10): Long = {
     val dataVersion = readManifest(root).map(_.version).getOrElse(0L)
+    // pending MoR post-images carry sequence dataVersion+1 (they must
+    // out-rank every EXISTING delete, the COW restamp contract), so a
+    // LATER equality delete can never out-sequence them — tombstone
+    // the key-matching entries directly instead (identical to what
+    // softDeletePos does for its flavor). No-op without pending rows.
+    readManifest(root).foreach { m =>
+      liveMorAppendEntriesFlat(spark, root, m).foreach { a =>
+        val hits = a.join(
+            keys.select(keyCols.map(keys(_)): _*).distinct(), keyCols)
+          .select(col(PdPathCol), col(PdPosCol))
+          .withColumn(PdDeadCol, lit(true))
+        if (!hits.limit(1).isEmpty)
+          upsert(spark, posDeletesRoot(root), hits,
+            Seq(PdPathCol, PdPosCol),
+            schemaMode = MergeWriter.SchemaMode.SyncAllColumns,
+            keepVersions = keepVersions, maxRetries = maxRetries)
+      }
+    }
     // keepVersions applies to the DELETE-SET sub-table: under many
     // concurrent deleters a reader's pinned delete-set dir can lag
     // several commits, so size retention to the worst expected lag
@@ -1326,6 +1344,282 @@ object VersionedTable {
   private[graft] val PdPathCol = "_pd_path"
   private[graft] val PdPosCol = "_pd_pos"
 
+  // ------------------------------------------------------------------
+  // Merge-on-read ROW MUTATIONS (the Iceberg MoR UPDATE/MERGE shape):
+  // one keyed commit into the SAME `_pos_deletes` sub-table carries
+  // both halves of a row mutation — position-delete entries for the
+  // pre-images and APPEND entries holding the post-image data columns
+  // under synthetic paths `<qualifier>/_append_<uuid>` — so the
+  // statement is atomic (single sub-table commit), rewrites ZERO data
+  // files, and every piece of existing machinery extends for free:
+  //   - every rewrite verb already reads through the pos-masked
+  //     snapshot (now append-extended) and CAS-validates the
+  //     sub-table version at commit, so appends can never be dropped
+  //     by a concurrent rewrite;
+  //   - append entries are path-qualified by the snapshot they were
+  //     computed against (flat: the live version dir; partitioned:
+  //     `<dir>/<partitionKey>`), so a base rewrite auto-stales them
+  //     exactly like delete entries — the rewrite FOLDED them first;
+  //   - vacuum folds pending appends into real data files and the
+  //     CAS'd reset reaps the entries.
+  // Append entries add data columns to the sub-table (schema-synced
+  // upsert); `_pd_seq` carries the logical write sequence for the
+  // equality-delete rule and `_pd_dead` tombstones an append that a
+  // later DELETE removed (entries are keyed, so "remove" = replace
+  // with a dead row). Like position deletes, pending appends are
+  // live-read semantics only: time travel and CDF see them once
+  // folded, never before.
+  // ------------------------------------------------------------------
+
+  private[graft] val PdSeqCol = "_pd_seq"
+  private[graft] val PdDeadCol = "_pd_dead"
+  private[graft] val MorMarker = "_append_"
+  private[graft] val MorKeyPathCol = "__graft_mor_key_path"
+  private[graft] val MorKeyPosCol = "__graft_mor_key_pos"
+
+  /** Is this `_pd_path` a merge-on-read APPEND entry? (Its last
+    * segment wears the marker — no real data file ever does: Spark
+    * writers name files "part-…"/staged UUIDs, and the catalog
+    * rejects path separators in identifiers.)
+    */
+  private def isMorAppendPath: Column =
+    expr(s"substring_index($PdPathCol, '/', -1)").startsWith(MorMarker)
+
+  private def notDead(df: DataFrame): Column =
+    if (df.columns.contains(PdDeadCol))
+      !coalesce(col(PdDeadCol), lit(false))
+    else lit(true)
+
+  /** The sub-table's live rows, None when it never committed. */
+  private def posSubTableLive(spark: SparkSession,
+                              root: String): Option[DataFrame] =
+    readManifest(posDeletesRoot(root)).map(_ =>
+      readLive(spark, posDeletesRoot(root)))
+
+  /** Names every MoR verb must keep out of user schemas (the entry
+    * keys double as data columns in the sub-table).
+    */
+  private[graft] val MorReservedCols: Set[String] =
+    Set(PdPathCol, PdPosCol, PdSeqCol, PdDeadCol,
+      MorKeyPathCol, MorKeyPosCol)
+
+  /** Live MoR-append entries of a FLAT table: entry keys
+    * ([[PdPathCol]]/[[PdPosCol]]) + post-image data columns + the
+    * write sequence as [[SeqCol]]. None when the sub-table is absent
+    * or carries no data columns (pure position deletes).
+    */
+  private def liveMorAppendEntriesFlat(spark: SparkSession, root: String,
+                                       m: Manifest): Option[DataFrame] =
+    posSubTableLive(spark, root).flatMap { all =>
+      val dataCols =
+        all.columns.filterNot(MorReservedCols.contains).toSeq
+      if (dataCols.isEmpty) None
+      else Some {
+        val seqc =
+          if (all.columns.contains(PdSeqCol))
+            coalesce(col(PdSeqCol), lit(0L))
+          else lit(0L)
+        all.filter(col(PdPathCol)
+            .startsWith(m.live + "/" + MorMarker) && notDead(all))
+          .select((Seq(col(PdPathCol), col(PdPosCol), seqc.as(SeqCol)) ++
+            dataCols.map(col)): _*)
+      }
+    }
+
+  /** Live MoR-append entries of a PARTITIONED table — an entry is
+    * live iff the manifest STILL maps its qualifying partition key to
+    * its qualifying version dir (a rewrite of that partition folded
+    * and staled it). Same shape as the flat form.
+    */
+  private def liveMorAppendEntriesPartitioned(
+      spark: SparkSession, root: String,
+      m: PartitionedManifest): Option[DataFrame] =
+    posSubTableLive(spark, root).flatMap { all =>
+      val dataCols =
+        all.columns.filterNot(MorReservedCols.contains).toSeq
+      if (dataCols.isEmpty) None
+      else Some {
+        import spark.implicits._
+        val seqc =
+          if (all.columns.contains(PdSeqCol))
+            coalesce(col(PdSeqCol), lit(0L))
+          else lit(0L)
+        // qualifier = the entry path minus its marker segment; live
+        // qualifiers come straight from the manifest (driver-side,
+        // |partitions|-bounded, broadcast into the join)
+        val liveQuals = m.partitions.toSeq.sorted
+          .map { case (k, d) => s"$d/$k" }.toDF("__graft_mor_qual")
+        all.filter(isMorAppendPath && notDead(all))
+          .withColumn("__graft_mor_qual",
+            expr(s"substring($PdPathCol, 1, length($PdPathCol) - " +
+              s"length(substring_index($PdPathCol, '/', -1)) - 1)"))
+          .join(org.apache.spark.sql.functions.broadcast(liveQuals),
+            Seq("__graft_mor_qual"))
+          .select((Seq(col(PdPathCol), col(PdPosCol), seqc.as(SeqCol)) ++
+            dataCols.map(col)): _*)
+      }
+    }
+
+  /** Union pending append POST-IMAGES (data columns + [[SeqCol]])
+    * into a stamped snapshot frame — identity when none are pending.
+    * `allowMissingColumns` both ways: the table may have evolved past
+    * an old append (reads null-fill) or an append may carry a column
+    * the pruned base projection lacks.
+    */
+  private def withMorAppends(base: DataFrame,
+                             appends: Option[DataFrame]): DataFrame =
+    appends match {
+      case Some(a) => base.unionByName(
+        a.drop(PdPathCol, PdPosCol), allowMissingColumns = true)
+      case None => base
+    }
+
+  /** Pending append post-images ONLY, fully masked — what a pruned
+    * scan whose every base file was skipped must still return (append
+    * rows live in no file, so file-level skipping never covers them).
+    */
+  private[graft] def liveMorAppendsMaskedFlat(
+      spark: SparkSession, root: String, m: Manifest)
+      : Option[DataFrame] =
+    liveMorAppendEntriesFlat(spark, root, m).map(a =>
+      applyEqMaskSequenced(spark, root, a.drop(PdPathCol, PdPosCol))
+        .drop(SeqCol))
+
+  private[graft] def liveMorAppendsMaskedPartitioned(
+      spark: SparkSession, root: String, m: PartitionedManifest)
+      : Option[DataFrame] =
+    liveMorAppendEntriesPartitioned(spark, root, m).map(a =>
+      maskPartitionedDeletes(spark, root,
+        a.drop(PdPathCol, PdPosCol, SeqCol)))
+
+  /** The OBSERVABLE flat snapshot with every row's merge-on-read
+    * address attached — the identification read a MoR UPDATE/MERGE
+    * starts from:
+    *   - base-file rows carry ([[AddrPathCol]], [[AddrPosCol]]) and
+    *     null entry keys;
+    *   - pending append rows carry their sub-table entry keys
+    *     ([[MorKeyPathCol]], [[MorKeyPosCol]]) and null addresses.
+    * Both delete families are applied (the frame matches what SELECT
+    * sees). None when the table never committed.
+    */
+  private[graft] def morAddressedFlat(spark: SparkSession, root: String)
+      : Option[(Manifest, DataFrame)] =
+    readManifest(root).map { m =>
+      val base0 = withFilePos(spark, root, m)
+      val posMasked = livePosDeleteEntries(spark, root, m) match {
+        case Some(d) =>
+          base0.join(d, Seq(AddrPathCol, AddrPosCol), "left_anti")
+        case None => base0
+      }
+      val baseSide = posMasked
+        .withColumn(MorKeyPathCol, lit(null).cast("string"))
+        .withColumn(MorKeyPosCol, lit(null).cast("long"))
+      val both = liveMorAppendEntriesFlat(spark, root, m) match {
+        case Some(a) =>
+          baseSide.unionByName(
+            a.withColumnRenamed(PdPathCol, MorKeyPathCol)
+              .withColumnRenamed(PdPosCol, MorKeyPosCol)
+              .withColumn(AddrPathCol, lit(null).cast("string"))
+              .withColumn(AddrPosCol, lit(null).cast("long")),
+            allowMissingColumns = true)
+        case None => baseSide
+      }
+      (m, applyEqMaskSequenced(spark, root, both).drop(SeqCol))
+    }
+
+  /** [[morAddressedFlat]]'s partitioned sibling (unconditional
+    * equality mask, no sequence column).
+    */
+  private[graft] def morAddressedPartitioned(spark: SparkSession,
+                                             root: String)
+      : Option[(PartitionedManifest, DataFrame)] =
+    readPartitionedManifest(root).map { m =>
+      val base0 = withFilePosPartitioned(spark, root, m)
+      val posMasked =
+        livePosDeleteEntriesPartitioned(spark, root, m) match {
+          case Some(d) =>
+            base0.join(d, Seq(AddrPathCol, AddrPosCol), "left_anti")
+          case None => base0
+        }
+      val baseSide = posMasked
+        .withColumn(MorKeyPathCol, lit(null).cast("string"))
+        .withColumn(MorKeyPosCol, lit(null).cast("long"))
+      val both = liveMorAppendEntriesPartitioned(spark, root, m) match {
+        case Some(a) =>
+          baseSide.unionByName(
+            a.drop(SeqCol)
+              .withColumnRenamed(PdPathCol, MorKeyPathCol)
+              .withColumnRenamed(PdPosCol, MorKeyPosCol)
+              .withColumn(AddrPathCol, lit(null).cast("string"))
+              .withColumn(AddrPosCol, lit(null).cast("long")),
+            allowMissingColumns = true)
+        case None => baseSide
+      }
+      (m, maskPartitionedDeletes(spark, root, both))
+    }
+
+  /** Commit a merge-on-read mutation batch (delete entries + append
+    * post-images + in-place append replacements/tombstones, unioned
+    * by the caller) into the sub-table — ONE keyed commit, zero data
+    * files touched.
+    *
+    * Serialization contract (why row mutations can never partially
+    * apply or double-apply):
+    *   - the MAIN table's commit lock is held across {snapshot
+    *     re-validation + the sub-table commit}, so a base rewrite —
+    *     which flips its manifest under that same lock — either
+    *     happened before (we SEE it and abort having committed
+    *     NOTHING → the caller re-identifies) or happens after (its
+    *     own pos-version validation fires against our bump and it
+    *     re-folds WITH our entries);
+    *   - racing MoR statements serialize on the sub-table CAS
+    *     (`expectedPosVersion` pinned before the identification
+    *     read), so two concurrent `SET v = v + 1` compose to +2,
+    *     never to duplicated post-images.
+    * Lock-hold cost is the sub-table merge write — O(pending
+    * entries), never O(table). Returns None on either conflict (the
+    * caller re-runs identification against the fresh snapshot).
+    */
+  private[graft] def morCommitEntries(spark: SparkSession, root: String,
+                                      batch: DataFrame,
+                                      expectedPosVersion: Long,
+                                      snapshotStillCurrent: () => Boolean)
+      : Option[Long] = {
+    // the MAIN table's CHECK constraints apply to the post-image rows
+    // this commit makes visible (delete entries/tombstones carry null
+    // data and are exactly the rows a null-fails predicate would
+    // spuriously reject — exclude them, they remove visibility)
+    enforceConstraints(root,
+      batch.filter(col(PdSeqCol).isNotNull &&
+          !coalesce(col(PdDeadCol), lit(false)))
+        .drop(PdPathCol, PdPosCol, PdSeqCol, PdDeadCol))
+    val dr = posDeletesRoot(root)
+    val keys = Seq(PdPathCol, PdPosCol)
+    try {
+      withCommitLock(Paths.get(root)) {
+        if (!snapshotStillCurrent()) return None
+        val next = expectedPosVersion + 1
+        val stamped = batch.withColumn(SeqCol, lit(next))
+        Some(commit(dr, keepVersions = 2,
+            expectedBase = Some(expectedPosVersion)) { dir =>
+          val content = readManifest(dr) match {
+            case None => stamped
+            case Some(_) =>
+              val existing = readLiveStamped(spark, dr)
+              val (ea, ua) = MergeWriter.alignSchemas(existing,
+                stamped, keys, MergeWriter.SchemaMode.SyncAllColumns)
+              ea.join(batch.select(keys.map(batch(_)): _*), keys,
+                  "left_anti")
+                .unionByName(ua)
+          }
+          content.write.mode(SaveMode.Overwrite).parquet(dir)
+        })
+      }
+    } catch {
+      case _: ConcurrentCommitException => None // racing MoR statement
+    }
+  }
+
   // Read-time ADDRESS columns attached by [[withFilePos]] are named
   // differently from the `_pos_deletes` table's own stored key columns
   // (PdPathCol/PdPosCol): the delete table itself is committed through
@@ -1389,12 +1683,17 @@ object VersionedTable {
     val m = readManifest(root).getOrElse(throw new IllegalStateException(
       s"no _manifest.json under $root — table has never committed"))
     val base = withFilePos(spark, root, m)
-    livePosDeleteEntries(spark, root, m) match {
+    val masked = livePosDeleteEntries(spark, root, m) match {
       case Some(dels) =>
         base.join(dels, Seq(AddrPathCol, AddrPosCol), "left_anti")
           .drop(AddrPathCol, AddrPosCol)
       case None => base.drop(AddrPathCol, AddrPosCol)
     }
+    // pending merge-on-read post-images join the snapshot here, so
+    // every verb that folds through this read (upsert/append/vacuum/
+    // row-level rewrites) folds them too — and their pinned
+    // pos-version CAS already guards the race
+    withMorAppends(masked, liveMorAppendEntriesFlat(spark, root, m))
   }
 
   /** Live snapshot minus position deletes (merge-on-read). Identical
@@ -1437,7 +1736,28 @@ object VersionedTable {
             .as(AddrPathCol),
           col("_metadata.row_index").as(AddrPosCol)))
       }
-    val eqMasked = readManifest(deletesRoot(root)) match {
+    val posMasked =
+      if (!hasPos) withAddr
+      else livePosDeleteEntries(spark, root, m) match {
+        case Some(dels) =>
+          withAddr.join(dels, Seq(AddrPathCol, AddrPosCol), "left_anti")
+            .drop(AddrPathCol, AddrPosCol)
+        case None => withAddr.drop(AddrPathCol, AddrPosCol)
+      }
+    // appends union BEFORE the equality mask: a later eq delete must
+    // mask a pending post-image by the same sequence rule as any row
+    val withApps = withMorAppends(posMasked,
+      liveMorAppendEntriesFlat(spark, root, m))
+    applyEqMaskSequenced(spark, root, withApps).drop(SeqCol)
+  }
+
+  /** The equality-delete SEQUENCE rule (a delete masks only rows
+    * written at-or-before it) applied to any [[SeqCol]]-stamped
+    * frame — identity when no equality delete ever committed.
+    */
+  private def applyEqMaskSequenced(spark: SparkSession, root: String,
+                                   df: DataFrame): DataFrame =
+    readManifest(deletesRoot(root)) match {
       case Some(_) =>
         val dels = readLive(spark, deletesRoot(root))
         val keyCols = dels.columns.filterNot(_ == DelSeqCol).toSeq
@@ -1447,21 +1767,11 @@ object VersionedTable {
                coalesce(col(DelSeqCol), lit(Long.MaxValue)))
            else dels.withColumn(DelSeqCol, lit(Long.MaxValue)))
             .select((keyCols.map(col) :+ col(DelSeqCol)): _*)
-        withAddr.join(delsSeq, keyCols, "left")
+        df.join(delsSeq, keyCols, "left")
           .filter(col(DelSeqCol).isNull || col(DelSeqCol) < col(SeqCol))
           .drop(DelSeqCol)
-      case None => withAddr
+      case None => df
     }
-    val posMasked =
-      if (!hasPos) eqMasked
-      else livePosDeleteEntries(spark, root, m) match {
-        case Some(dels) =>
-          eqMasked.join(dels, Seq(AddrPathCol, AddrPosCol), "left_anti")
-            .drop(AddrPathCol, AddrPosCol)
-        case None => eqMasked.drop(AddrPathCol, AddrPosCol)
-      }
-    posMasked.drop(SeqCol)
-  }
 
   /** DSv2 bridge: union per-version-dir frames with POSITION-delete
     * masking applied — addresses must attach per dir BEFORE the union
@@ -1487,12 +1797,20 @@ object VersionedTable {
               s"'/$dirName/', -1)")).as(AddrPathCol),
           col("_metadata.row_index").as(AddrPosCol))
       }.reduce(_.unionByName(_, allowMissingColumns = true))
-      livePosDeleteEntriesPartitioned(spark, root, m) match {
+      val masked = livePosDeleteEntriesPartitioned(spark, root, m) match {
         case Some(dels) =>
           withAddr.join(dels, Seq(AddrPathCol, AddrPosCol), "left_anti")
             .drop(AddrPathCol, AddrPosCol)
         case None => withAddr.drop(AddrPathCol, AddrPosCol)
       }
+      // ALL live appends, not just the scanned partitions': file
+      // pruning is file-stats-based and appends live in no file —
+      // every pushed filter is also residual, so extra rows are
+      // re-filtered above the scan, and a row that only exists as a
+      // pending append still surfaces
+      withMorAppends(masked,
+        liveMorAppendEntriesPartitioned(spark, root, m)
+          .map(_.drop(SeqCol)))
     }
   }
 
@@ -1531,9 +1849,20 @@ object VersionedTable {
       val m = readManifest(root).getOrElse(throw new IllegalStateException(
         s"no _manifest.json under $root"))
       try {
-        val hits = withFilePos(spark, root, m).filter(predicate)
+        val baseHits = withFilePos(spark, root, m).filter(predicate)
           .select(col(AddrPathCol).as(PdPathCol),
             col(AddrPosCol).as(PdPosCol)).distinct()
+        // pending merge-on-read post-images live in no data file —
+        // a DELETE must tombstone the matching entries too (keyed
+        // replace with _pd_dead) or the rows it "deleted" stay visible
+        val hits = liveMorAppendEntriesFlat(spark, root, m) match {
+          case Some(a) => baseHits.unionByName(
+            a.filter(predicate)
+              .select(col(PdPathCol), col(PdPosCol))
+              .withColumn(PdDeadCol, lit(true)),
+            allowMissingColumns = true)
+          case None => baseHits
+        }
         val v = upsert(spark, posDeletesRoot(root), hits,
           Seq(PdPathCol, PdPosCol),
           schemaMode = MergeWriter.SchemaMode.SyncAllColumns,
@@ -1656,13 +1985,19 @@ object VersionedTable {
       foldedPosVersion = posVersion(root)
       val dirP = Paths.get(root).resolve(base.live)
       // distinct delete-carrying paths: bounded by live file count —
-      // the same O(|files|) metadata the manifest itself is
+      // the same O(|files|) metadata the manifest itself is. Append
+      // entries (synthetic `_append_` paths) address no file — they
+      // fold by being WRITTEN below, not by rewriting anything.
       val touched: Set[String] =
         livePosDeleteEntries(spark, root, base) match {
           case None => Set.empty
-          case Some(dels) => dels.select(AddrPathCol).distinct()
+          case Some(dels) => dels
+            .filter(!expr(s"substring_index($AddrPathCol, '/', -1)")
+              .startsWith(MorMarker))
+            .select(AddrPathCol).distinct()
             .collect().map(_.getString(0)).toSet
         }
+      val pendingAppends = liveMorAppendEntriesFlat(spark, root, base)
       val allPre = dataFilesUnder(dirP)
       // a partitionBy layout can't mix dir-encoded and column-encoded
       // partition values in one version dir, so a selective rewrite
@@ -1709,6 +2044,18 @@ object VersionedTable {
           survivors.write.mode(SaveMode.Overwrite).parquet(rw.toString)
           dataFilesUnder(rw).foreach { f =>
             Files.move(f, out.resolve(f.getFileName.toString))
+          }
+          deleteRecursively(rw)
+        }
+        // pending merge-on-read post-images materialize as NEW files
+        // (their sequence stamp survives the fold for the
+        // equality-delete rule); the CAS'd reset below reaps entries
+        pendingAppends.filter(!_.limit(1).isEmpty).foreach { apps =>
+          val rw = out.resolve("_rw_mor")
+          apps.drop(PdPathCol, PdPosCol)
+            .write.mode(SaveMode.Overwrite).parquet(rw.toString)
+          dataFilesUnder(rw).zipWithIndex.foreach { case (f, i) =>
+            Files.move(f, out.resolve(s"mor-$i-${f.getFileName}"))
           }
           deleteRecursively(rw)
         }
@@ -2255,14 +2602,22 @@ object VersionedTable {
   private def posMaskedPartitionedSnapshot(spark: SparkSession,
                                            root: String,
                                            m: PartitionedManifest)
-      : DataFrame =
-    livePosDeleteEntriesPartitioned(spark, root, m) match {
+      : DataFrame = {
+    val masked = livePosDeleteEntriesPartitioned(spark, root, m) match {
       case None => readPartitionedSnapshot(spark, root, m)
       case Some(dels) =>
         withFilePosPartitioned(spark, root, m)
           .join(dels, Seq(AddrPathCol, AddrPosCol), "left_anti")
           .drop(AddrPathCol, AddrPosCol)
     }
+    // pending merge-on-read post-images of the partitions `m` covers
+    // (restricted manifests restrict the appends too, so targeted
+    // folds fold exactly their own partitions' pending rows);
+    // partitioned frames are sequence-free — drop the stamp
+    withMorAppends(masked,
+      liveMorAppendEntriesPartitioned(spark, root, m)
+        .map(_.drop(SeqCol)))
+  }
 
   /** Delete live partitioned rows matching `predicate` BY POSITION:
     * one metadata-column scan, O(|positions|) keyed commit into
@@ -2279,10 +2634,20 @@ object VersionedTable {
         throw new IllegalStateException(
           s"no partitioned _manifest.json under $root"))
       try {
-        val hits = withFilePosPartitioned(spark, root, m)
+        val baseHits = withFilePosPartitioned(spark, root, m)
           .filter(predicate)
           .select(col(AddrPathCol).as(PdPathCol),
             col(AddrPosCol).as(PdPosCol)).distinct()
+        // matching merge-on-read post-images tombstone, like the flat
+        // form — they exist only as sub-table entries
+        val hits = liveMorAppendEntriesPartitioned(spark, root, m) match {
+          case Some(a) => baseHits.unionByName(
+            a.filter(predicate)
+              .select(col(PdPathCol), col(PdPosCol))
+              .withColumn(PdDeadCol, lit(true)),
+            allowMissingColumns = true)
+          case None => baseHits
+        }
         val v = upsert(spark, posDeletesRoot(root), hits,
           Seq(PdPathCol, PdPosCol),
           schemaMode = MergeWriter.SchemaMode.SyncAllColumns,

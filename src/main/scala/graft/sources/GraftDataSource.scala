@@ -775,6 +775,18 @@ private[graft] object GraftScanPlanner {
     val rootP = Paths.get(o.root)
     def bytesUnder(dir: Path): Long =
       VersionedTable.dataFilesUnder(dir).map(Files.size(_)).sum
+    // pending merge-on-read post-images add size a live read will
+    // produce beyond the base files: count the sub-table's live dir
+    // (an over-count — it also holds delete entries — but statistics
+    // here are an UPPER bound, and overstating only forgoes a
+    // broadcast, never wrongly takes one)
+    def morBytes: Long =
+      if (o.versionAsOf.isDefined) 0L
+      else VersionedTable
+        .readManifest(rootP.resolve("_pos_deletes").toString)
+        .map(pm => bytesUnder(rootP.resolve("_pos_deletes")
+          .resolve(pm.live)))
+        .getOrElse(0L)
     val pm = o.versionAsOf match {
       case Some(v) => VersionedTable.historyPartitionedManifest(o.root, v)
       case None    => VersionedTable.readPartitionedManifest(o.root)
@@ -783,7 +795,7 @@ private[graft] object GraftScanPlanner {
       case Some(m) =>
         Some(m.partitions.toSeq.map { case (k, dn) =>
           bytesUnder(rootP.resolve(dn).resolve(k))
-        }.sum)
+        }.sum + morBytes)
       case None =>
         o.versionAsOf match {
           case Some(v) =>
@@ -791,7 +803,8 @@ private[graft] object GraftScanPlanner {
             if (Files.isDirectory(dir)) Some(bytesUnder(dir)) else None
           case None =>
             VersionedTable.readManifest(o.root) match {
-              case Some(m) => Some(bytesUnder(rootP.resolve(m.live)))
+              case Some(m) =>
+                Some(bytesUnder(rootP.resolve(m.live)) + morBytes)
               case None => if (o.emptyOk) Some(0L) else None
             }
         }
@@ -919,7 +932,19 @@ private[graft] object GraftScanPlanner {
           selected.size, m.partitions.size, survivors.size, files.size,
           filters.map(_.toString)))
         val base =
-          if (survivors.isEmpty) observable(spark, o).limit(0)
+          if (survivors.isEmpty) {
+            // every base file skipped — but pending merge-on-read
+            // post-images live in NO file, so a live masked read must
+            // still surface them (residual filters re-apply above)
+            val empty = observable(spark, o).limit(0)
+            if (o.versionAsOf.isEmpty && o.withDeletes)
+              VersionedTable
+                .liveMorAppendsMaskedPartitioned(spark, o.root, m)
+                .map(a => empty.unionByName(a,
+                  allowMissingColumns = true))
+                .getOrElse(empty)
+            else empty
+          }
           else {
             val groups = survivors.groupBy(_._3).toSeq
               .sortBy(_._1.toString)
@@ -966,7 +991,19 @@ private[graft] object GraftScanPlanner {
         val survivors = files.filter(_._2)
         GraftScanAudit.last = Some(GraftScanAudit.Decision(
           1, 1, survivors.size, files.size, filters.map(_.toString)))
-        if (survivors.isEmpty) observable(spark, o).limit(0)
+        if (survivors.isEmpty) {
+          val empty = observable(spark, o).limit(0)
+          mOpt match {
+            case Some(m) if o.withDeletes =>
+              // pending MoR post-images surface even when every base
+              // file was stat-skipped
+              VersionedTable.liveMorAppendsMaskedFlat(spark, o.root, m)
+                .map(a => empty.unionByName(a,
+                  allowMissingColumns = true))
+                .getOrElse(empty)
+            case _ => empty
+          }
+        }
         else {
           val base = spark.read.option("mergeSchema", "true")
             .option("basePath", dirP.toString)

@@ -1,0 +1,338 @@
+package graft
+
+import java.nio.file.Files
+import graft.sinks.VersionedTable
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read UPDATE/MERGE/DELETE (`TBLPROPERTIES
+  * ('graft.dml.mode' = 'merge-on-read')`): statements commit ONE
+  * keyed batch into the pos-delete sub-table — pre-images as position
+  * deletes, post-images as append entries — rewriting ZERO data
+  * files; vacuum folds later. These tests pin:
+  *   - result-equality with the COW path on identical inputs,
+  *   - the zero-rewrite property (main manifest version/pointers
+  *     unchanged by the statement),
+  *   - vacuum convergence (fold produces the same rows physically),
+  *   - composition with every other surface that must see or fold
+  *     pending post-images (COW statements, upserts, DELETE fast
+  *     path, equality deletes, pruned DSv2 reads, time travel),
+  *   - serialization of racing MoR statements.
+  */
+class MorDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val wh: String = {
+    val dir = Files.createTempDirectory("graft_mor_wh").toString
+    spark.conf.set("spark.sql.catalog.mrcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mrcat.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mrcat.m")
+    dir
+  }
+
+  private def rows(table: String): Seq[(Long, Long, String)] =
+    spark.sql(s"SELECT id, v, s FROM $table ORDER BY id, v")
+      .as[(Long, Long, String)].collect().toSeq
+
+  private def seed(table: String): Unit =
+    spark.sql(s"INSERT INTO $table VALUES " +
+      "(1, 10, 'a'), (2, 20, 'b'), (3, 30, 'a'), (4, 40, 'c'), " +
+      "(5, 50, 'b'), (6, 60, 'a')")
+
+  test("flat MoR UPDATE: hash-equal to COW, zero data-file commits, " +
+    "vacuum converges to the COW result and resets the entry set") {
+    wh
+    spark.sql("CREATE TABLE mrcat.m.cow (id BIGINT, v BIGINT, " +
+      "s STRING) USING graft")
+    spark.sql("CREATE TABLE mrcat.m.mor (id BIGINT, v BIGINT, " +
+      "s STRING) USING graft " +
+      "TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')")
+    seed("mrcat.m.cow"); seed("mrcat.m.mor")
+    val morRoot = s"$wh/m/mor"
+    val verBefore = VersionedTable.readManifest(morRoot).get.version
+    spark.sql("UPDATE mrcat.m.cow SET v = v * 2, s = upper(s) " +
+      "WHERE s = 'a'")
+    spark.sql("UPDATE mrcat.m.mor SET v = v * 2, s = upper(s) " +
+      "WHERE s = 'a'")
+    assert(rows("mrcat.m.mor") === rows("mrcat.m.cow"))
+    // the MoR statement committed NOTHING to the data table
+    assert(VersionedTable.readManifest(morRoot).get.version ===
+      verBefore, "MoR UPDATE must not bump the data-table version")
+    val (live, _) = VersionedTable.posDeleteEntryCounts(spark, morRoot)
+    assert(live > 0, "pre-image delete entries must be pending")
+    // library read agrees with SQL
+    assert(VersionedTable.readLiveWithPosDeletes(spark, morRoot)
+      .orderBy("id").as[(Long, Long, String)].collect().toSeq ===
+      rows("mrcat.m.cow"))
+    // vacuum folds: rows identical, entries reset, version bumped
+    val (v2, rewrittenFiles) =
+      VersionedTable.vacuumPosDeletes(spark, morRoot)
+    assert(v2 === verBefore + 1)
+    assert(rewrittenFiles > 0, "matched base files carry deletes")
+    assert(rows("mrcat.m.mor") === rows("mrcat.m.cow"))
+    val (liveAfter, _) =
+      VersionedTable.posDeleteEntryCounts(spark, morRoot)
+    assert(liveAfter === 0L, "fold must reset the entry set")
+  }
+
+  test("second MoR UPDATE replaces pending post-images in place " +
+    "(no duplicate rows), and a no-match MoR UPDATE commits nothing") {
+    wh
+    spark.sql("CREATE TABLE mrcat.m.twice (id BIGINT, v BIGINT, " +
+      "s STRING) USING graft " +
+      "TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')")
+    seed("mrcat.m.twice")
+    spark.sql("UPDATE mrcat.m.twice SET v = v * 2 WHERE s = 'a'")
+    spark.sql("UPDATE mrcat.m.twice SET v = v + 1 WHERE s = 'a'")
+    assert(spark.table("mrcat.m.twice").count() === 6,
+      "in-place replacement must not duplicate pending rows")
+    assert(rows("mrcat.m.twice") === Seq(
+      (1L, 21L, "a"), (2L, 20L, "b"), (3L, 61L, "a"), (4L, 40L, "c"),
+      (5L, 50L, "b"), (6L, 121L, "a")))
+    val root = s"$wh/m/twice"
+    val pv = VersionedTable.posDeleteVersion(root)
+    spark.sql("UPDATE mrcat.m.twice SET v = 0 WHERE s = 'zzz'")
+    assert(VersionedTable.posDeleteVersion(root) === pv,
+      "a no-match MoR UPDATE must not commit entries")
+  }
+
+  test("partitioned MoR UPDATE: every partition pointer survives " +
+    "unchanged; a later upsert folds ONLY its touched partition's " +
+    "pending post-images, the rest stay pending and visible") {
+    wh
+    spark.sql("CREATE TABLE mrcat.m.p (id BIGINT, day STRING, " +
+      "v BIGINT) USING graft PARTITIONED BY (day) " +
+      "TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read', " +
+      "'keys' = 'id')")
+    spark.sql("INSERT INTO mrcat.m.p VALUES " +
+      "(1, 'd1', 10), (2, 'd1', 20), (3, 'd2', 30), (4, 'd3', 40)")
+    val root = s"$wh/m/p"
+    val before = VersionedTable.readPartitionedManifest(root).get
+    spark.sql("UPDATE mrcat.m.p SET v = v + 1000 WHERE v >= 20")
+    val after = VersionedTable.readPartitionedManifest(root).get
+    assert(after.partitions === before.partitions,
+      "MoR UPDATE must not move ANY partition pointer")
+    assert(spark.sql("SELECT id, v FROM mrcat.m.p ORDER BY id")
+      .as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 10L), (2L, 1020L), (3L, 1030L), (4L, 1040L)))
+    // an upsert into d1 folds d1's pending post-image; d2/d3 pending
+    // rows stay visible through the fold of an unrelated partition
+    Seq((7L, "d1", 70L)).toDF("id", "day", "v")
+      .write.format("graft").option("keys", "id")
+      .option("partitionColumns", "day").mode("append").save(root)
+    assert(spark.sql("SELECT id, v FROM mrcat.m.p ORDER BY id")
+      .as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 10L), (2L, 1020L), (3L, 1030L), (4L, 1040L),
+        (7L, 70L)))
+    // d1's new pointer ≠ old; d2/d3 pointers intact
+    val m3 = VersionedTable.readPartitionedManifest(root).get
+    assert(m3.partitions("day=d2") === before.partitions("day=d2"))
+    assert(m3.partitions("day=d3") === before.partitions("day=d3"))
+    assert(m3.partitions("day=d1") !== before.partitions("day=d1"))
+    // partitioned vacuum folds the remainder; nothing changes
+    // observably and the entry set drains
+    VersionedTable.vacuumPosDeletesPartitioned(spark, root)
+    assert(spark.sql("SELECT id, v FROM mrcat.m.p ORDER BY id")
+      .as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 10L), (2L, 1020L), (3L, 1030L), (4L, 1040L),
+        (7L, 70L)))
+    val (liveAfter, _) =
+      VersionedTable.posDeleteEntryCounts(spark, root)
+    assert(liveAfter === 0L)
+  }
+
+  test("MoR DELETE: an arithmetic (untranslatable) predicate " +
+    "pos-deletes base rows AND tombstones pending post-images; the " +
+    "translatable fast path tombstones them too") {
+    wh
+    spark.sql("CREATE TABLE mrcat.m.d (id BIGINT, v BIGINT, s STRING) " +
+      "USING graft " +
+      "TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')")
+    seed("mrcat.m.d")
+    // make rows 1,3,6 pending post-images first
+    spark.sql("UPDATE mrcat.m.d SET v = v * 2 WHERE s = 'a'")
+    val root = s"$wh/m/d"
+    val ver = VersionedTable.readManifest(root).get.version
+    // arithmetic predicate → the MoR DELETE path (not V1-translatable)
+    spark.sql("DELETE FROM mrcat.m.d WHERE id % 2 = 0") // 2,4,6
+    assert(VersionedTable.readManifest(root).get.version === ver,
+      "MoR DELETE must not rewrite data files")
+    assert(rows("mrcat.m.d") ===
+      Seq((1L, 20L, "a"), (3L, 60L, "a"), (5L, 50L, "b")))
+    // translatable predicate → deleteWhere fast path; row 3 is a
+    // PENDING post-image and must be tombstoned by it
+    spark.sql("DELETE FROM mrcat.m.d WHERE id = 3")
+    assert(rows("mrcat.m.d") === Seq((1L, 20L, "a"), (5L, 50L, "b")))
+    assert(VersionedTable.readManifest(root).get.version === ver)
+  }
+
+  test("flat MoR MERGE: full clause set hash-equal to COW, zero " +
+    "data-file commits; cardinality violation still raised") {
+    wh
+    Seq((2L, 200L, "x"), (4L, 400L, "y"), (9L, 900L, "z"),
+      (6L, 600L, "q")).toDF("id", "nv", "ns")
+      .createOrReplaceTempView("mor_src")
+    for (t <- Seq("mcow", "mmor")) {
+      val prop = if (t == "mmor")
+        " TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')" else ""
+      spark.sql(s"CREATE TABLE mrcat.m.$t (id BIGINT, v BIGINT, " +
+        s"s STRING) USING graft$prop")
+      seed(s"mrcat.m.$t")
+    }
+    val root = s"$wh/m/mmor"
+    val ver = VersionedTable.readManifest(root).get.version
+    def merge(t: String): Unit = spark.sql(
+      s"""MERGE INTO mrcat.m.$t t USING mor_src s ON t.id = s.id
+         |WHEN MATCHED AND s.ns = 'q' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.nv, s = s.ns
+         |WHEN NOT MATCHED THEN INSERT (id, v, s)
+         |  VALUES (s.id, s.nv, s.ns)
+         |WHEN NOT MATCHED BY SOURCE AND t.s = 'b' THEN
+         |  UPDATE SET v = t.v + 5""".stripMargin)
+    merge("mcow"); merge("mmor")
+    assert(rows("mrcat.m.mmor") === rows("mrcat.m.mcow"))
+    assert(VersionedTable.readManifest(root).get.version === ver,
+      "MoR MERGE must not bump the data-table version")
+    // vacuum converges
+    VersionedTable.vacuumPosDeletes(spark, root)
+    assert(rows("mrcat.m.mmor") === rows("mrcat.m.mcow"))
+    // cardinality violation unchanged under MoR
+    Seq((1L, 1L, "k"), (1L, 2L, "k")).toDF("id", "nv", "ns")
+      .createOrReplaceTempView("mor_dup")
+    val e = intercept[Exception](spark.sql(
+      "MERGE INTO mrcat.m.mmor t USING mor_dup s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET v = s.nv"))
+    assert(e.getMessage.contains("cardinality"), e.getMessage)
+  }
+
+  test("COW statements and rewrites FOLD pending post-images: a COW " +
+    "UPDATE over a MoR-pending table carries them into its rewrite") {
+    wh
+    spark.sql("CREATE TABLE mrcat.m.fold (id BIGINT, v BIGINT, " +
+      "s STRING) USING graft " +
+      "TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')")
+    seed("mrcat.m.fold")
+    spark.sql("UPDATE mrcat.m.fold SET v = v * 2 WHERE s = 'a'")
+    val root = s"$wh/m/fold"
+    // a subquery condition is MoR-ineligible → COW path → full fold
+    Seq(2L, 3L).toDF("k").createOrReplaceTempView("mor_fold_keys")
+    spark.sql("UPDATE mrcat.m.fold SET v = -1 " +
+      "WHERE id IN (SELECT k FROM mor_fold_keys)")
+    assert(rows("mrcat.m.fold") === Seq(
+      (1L, 20L, "a"), (2L, -1L, "b"), (3L, -1L, "a"), (4L, 40L, "c"),
+      (5L, 50L, "b"), (6L, 120L, "a")))
+    // the COW rewrite folded everything: entry set is reset
+    val (live, _) = VersionedTable.posDeleteEntryCounts(spark, root)
+    assert(live === 0L,
+      "a COW rewrite must fold and reset pending MoR entries")
+    assert(VersionedTable.readManifest(root).get.version >= 2L)
+  }
+
+  test("pruned DSv2 read whose every base file is stat-skipped " +
+    "still surfaces a pending post-image; time travel ignores " +
+    "pending entries; equality deletes mask them by sequence") {
+    wh
+    spark.sql("CREATE TABLE mrcat.m.pr (id BIGINT, v BIGINT, " +
+      "s STRING) USING graft " +
+      "TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')")
+    seed("mrcat.m.pr") // ids 1..6
+    spark.sql("UPDATE mrcat.m.pr SET id = 100 WHERE id = 5")
+    // id = 100 lives ONLY as a pending append; footer stats bound the
+    // base files to id ≤ 6, so every base file skips
+    val hit = spark.sql("SELECT id, v FROM mrcat.m.pr WHERE id = 100")
+      .as[(Long, Long)].collect().toSeq
+    assert(hit === Seq((100L, 50L)),
+      s"pending post-image must survive full file skipping: $hit")
+    val audit = graft.sources.GraftScanAudit.last.get
+    assert(audit.filesScanned === 0,
+      s"every base file should have been skipped: $audit")
+    // time travel: v1 is the pre-update snapshot, pending entries
+    // invisible (the documented MoR live-read-only contract)
+    assert(spark.sql(
+      "SELECT v FROM mrcat.m.pr VERSION AS OF 1 WHERE id = 5")
+      .head.getLong(0) === 50L)
+    // an equality delete AFTER the update masks the post-image
+    val root = s"$wh/m/pr"
+    VersionedTable.softDelete(spark, root,
+      Seq(100L).toDF("id"), Seq("id"))
+    assert(spark.sql("SELECT count(*) FROM mrcat.m.pr WHERE id = 100")
+      .head.getLong(0) === 0L)
+  }
+
+  test("racing MoR UPDATEs serialize: N concurrent increments " +
+    "compose to +N, never duplicate post-images") {
+    wh
+    spark.sql("CREATE TABLE mrcat.m.race (id BIGINT, v BIGINT, " +
+      "s STRING) USING graft " +
+      "TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')")
+    seed("mrcat.m.race")
+    val n = 4
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[
+      Throwable]()
+    (1 to n).foreach { _ =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          try spark.sql(
+            "UPDATE mrcat.m.race SET v = v + 1 WHERE s = 'a'")
+          catch { case t: Throwable => failures.add(t); () }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(120,
+      java.util.concurrent.TimeUnit.SECONDS))
+    assert(failures.isEmpty, s"racing updates failed: " +
+      s"${Option(failures.peek()).map(_.getMessage)}")
+    assert(spark.table("mrcat.m.race").count() === 6,
+      "no duplicated post-images")
+    assert(rows("mrcat.m.race") === Seq(
+      (1L, 10L + n, "a"), (2L, 20L, "b"), (3L, 30L + n, "a"),
+      (4L, 40L, "c"), (5L, 50L, "b"), (6L, 60L + n, "a")))
+  }
+
+  test("CHECK constraints reject a violating MoR UPDATE whole; the " +
+    "table stays untouched") {
+    wh
+    spark.sql("CREATE TABLE mrcat.m.ck (id BIGINT, v BIGINT, " +
+      "s STRING) USING graft " +
+      "TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')")
+    seed("mrcat.m.ck")
+    val root = s"$wh/m/ck"
+    VersionedTable.addConstraint(root, "v_positive", "v > 0")
+    val e = intercept[Exception](spark.sql(
+      "UPDATE mrcat.m.ck SET v = -5 WHERE s = 'a'"))
+    assert(e.getMessage.contains("v_positive") ||
+      Option(e.getCause).exists(_.getMessage.contains("v_positive")),
+      e.getMessage)
+    assert(rows("mrcat.m.ck") === Seq(
+      (1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "a"), (4L, 40L, "c"),
+      (5L, 50L, "b"), (6L, 60L, "a")))
+  }
+
+  test("MoR fallbacks stay COW: partition-moving assignment and " +
+    "partitioned MERGE still commit copy-on-write versions") {
+    wh
+    spark.sql("CREATE TABLE mrcat.m.fb (id BIGINT, day STRING, " +
+      "v BIGINT) USING graft PARTITIONED BY (day) " +
+      "TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')")
+    spark.sql("INSERT INTO mrcat.m.fb VALUES " +
+      "(1, 'd1', 10), (2, 'd2', 20)")
+    val root = s"$wh/m/fb"
+    val v1 = VersionedTable.readPartitionedManifest(root).get.version
+    // assigns the partition column → MoR ineligible → COW commit
+    spark.sql("UPDATE mrcat.m.fb SET day = 'd9' WHERE id = 1")
+    assert(VersionedTable.readPartitionedManifest(root).get.version
+      === v1 + 1, "partition-moving UPDATE must take the COW path")
+    assert(spark.sql("SELECT day FROM mrcat.m.fb WHERE id = 1")
+      .head.getString(0) === "d9")
+    // partitioned MERGE → COW
+    Seq((2L, "d2", 99L)).toDF("id", "day", "nv")
+      .createOrReplaceTempView("mor_fb_src")
+    spark.sql("MERGE INTO mrcat.m.fb t USING mor_fb_src s " +
+      "ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = s.nv")
+    assert(VersionedTable.readPartitionedManifest(root).get.version
+      === v1 + 2, "partitioned MERGE must take the COW path")
+    assert(spark.sql("SELECT v FROM mrcat.m.fb WHERE id = 2")
+      .head.getLong(0) === 99L)
+  }
+}
