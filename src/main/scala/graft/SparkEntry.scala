@@ -7467,6 +7467,61 @@ object SparkEntry {
           .distinctEstimate(col("dom"), 256).as("n_exact"))
     }),
 
+    // Column mapping (r14): ALTER TABLE RENAME COLUMN / DROP COLUMN /
+    // widening ALTER COLUMN TYPE are METADATA-ONLY — rename events
+    // normalize old physical names at read, drops tombstone the name,
+    // widenings cast historical narrow values up. Graded: reads over
+    // mixed-generation files, a post-DDL insert binding the new
+    // name + holding beyond-INT values, an UPDATE over both
+    // generations, time travel across the DDL boundary, and the
+    // zero-data-commit audit.
+    "q333_column_mapping" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      ensureG13(s)
+      s.sql("DROP NAMESPACE IF EXISTS g13.q333 CASCADE")
+      s.sql("CREATE NAMESPACE g13.q333")
+      Tables.events(s, d).select(col("event_id"),
+        col("event_type").as("etype"),
+        pmod(col("event_id"), lit(1000)).cast("int").as("small"),
+        col("event_type").as("junk"))
+        .createOrReplaceTempView("q333_src")
+      s.sql("CREATE TABLE g13.q333.t (event_id BIGINT, etype STRING, " +
+        "small INT, junk STRING) USING graft")
+      s.sql("INSERT INTO g13.q333.t SELECT event_id, etype, small, " +
+        "junk FROM q333_src WHERE event_id % 2 = 0")
+      val root = s.conf.get("spark.sql.catalog.g13.warehouse") +
+        "/q333/t"
+      // pin the pre-DDL snapshot (refs pin retention) so the
+      // across-the-boundary time travel below stays readable
+      s.sql("CALL g13.system.set_ref(table => 'q333.t', " +
+        "name => 'pre_ddl', version => 1)")
+      s.sql("ALTER TABLE g13.q333.t RENAME COLUMN etype TO event_type")
+      s.sql("ALTER TABLE g13.q333.t DROP COLUMN junk")
+      s.sql("ALTER TABLE g13.q333.t ALTER COLUMN small TYPE BIGINT")
+      // DDL committed NOTHING to the data table
+      val zeroDdl =
+        if (vt.readManifest(root).get.version == 1L) 1L else 0L
+      // post-DDL write binds the new names and the widened type
+      // (beyond-INT values land); junk is gone — 3 columns
+      s.sql("INSERT INTO g13.q333.t SELECT event_id, etype, " +
+        "small + 2200000000 FROM q333_src WHERE event_id % 2 = 1")
+      // an UPDATE over BOTH physical generations, binding new names
+      s.sql("UPDATE g13.q333.t SET small = small * 2 " +
+        "WHERE event_type = 'click'")
+      // time travel across the DDL boundary (current names)
+      val v1 = s.sql("SELECT count(*) AS n, sum(small) AS c " +
+        "FROM g13.q333.t VERSION AS OF 1").head
+      val colsOk =
+        if (s.table("g13.q333.t").columns.toSeq ==
+          Seq("event_id", "event_type", "small")) 1L else 0L
+      s.sql("SELECT concat('t:', event_type) AS part, count(*) AS n, " +
+          "sum(small) AS c FROM g13.q333.t GROUP BY event_type")
+        .unionByName(s.range(1).select(lit("_v1").as("part"),
+          lit(v1.getLong(0)).as("n"), lit(v1.getLong(1)).as("c")))
+        .unionByName(s.range(1).select(lit("_audit").as("part"),
+          lit(zeroDdl * 10 + colsOk).as("n"), lit(0L).as("c")))
+    }),
+
     // Merge-on-read UPDATE/DELETE/MERGE (r14): with TBLPROPERTIES
     // ('graft.dml.mode'='merge-on-read') a row-level statement commits
     // ONE keyed batch into the pos-delete sub-table (pre-images as
@@ -8342,6 +8397,37 @@ object SparkEntry {
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey % 97) AS n_exact
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // Column-mapping replay: evens inserted narrow pre-DDL, odds wide
+    // (+2.2e9, beyond INT) post-DDL under the renamed column, clicks
+    // doubled by the UPDATE over both generations; _v1 = the pre-DDL
+    // snapshot through current names; _audit pins (DDL committed no
+    // data version, final columns = event_id, event_type, small).
+    "q333_column_mapping" ->
+      """WITH src AS (
+        |  SELECT event_id, event_type,
+        |    CAST(event_id % 1000 AS BIGINT) AS small
+        |  FROM events),
+        |evens AS (SELECT * FROM src WHERE event_id % 2 = 0),
+        |odds AS (
+        |  SELECT event_id, event_type, small + 2200000000 AS small
+        |  FROM src WHERE event_id % 2 = 1),
+        |allr AS (
+        |  SELECT * FROM evens UNION ALL SELECT * FROM odds),
+        |fin AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_type = 'click' THEN small * 2
+        |         ELSE small END AS small
+        |  FROM allr)
+        |SELECT 't:' || event_type AS part, count(*) AS n,
+        |  CAST(sum(small) AS BIGINT) AS c
+        |FROM fin GROUP BY event_type
+        |UNION ALL
+        |SELECT '_v1', (SELECT count(*) FROM evens),
+        |  (SELECT CAST(sum(small) AS BIGINT) FROM evens)
+        |UNION ALL
+        |SELECT '_audit', CAST(11 AS BIGINT),
+        |  CAST(0 AS BIGINT)""".stripMargin,
 
     // MoR-DML replay: clicks tripled then exact-multiples-of-7 cents
     // deleted (partitioned twins); the flat twins replay the MERGE

@@ -113,6 +113,77 @@ object VersionedTable {
     */
   private[graft] val SeqCol = "_graft_seq"
 
+  // ------------------------------------------------------------------
+  // COLUMN RENAMES (`_column_renames.json`): ALTER TABLE … RENAME
+  // COLUMN is METADATA-ONLY — an ordered event list at the table root;
+  // every core read normalizes superseded physical names to the
+  // current logical name (old files keep their bytes; files written
+  // before and after a rename meet in one frame only through
+  // unionByName/mergeSchema, where the normalization coalesces them).
+  // Writes always use current names, so new files need no mapping.
+  // Pruning stays SOUND without translation: sidecar stats of
+  // pre-rename files are keyed by the old name, a filter on the new
+  // name finds no bounds, and a boundless file always scans — renamed
+  // columns lose skipping for old files only, and any compaction/
+  // vacuum rewrite migrates them (its read is normalized). The
+  // catalog layer guards the unsafe renames (partition columns, merge
+  // keys, constraint references) — see GraftCatalog.alterTable.
+  // ------------------------------------------------------------------
+
+  private def renamesPath(rootP: Path): Path =
+    rootP.resolve("_column_renames.json")
+
+  /** Ordered rename events (oldest first): Seq(from -> to). */
+  def columnRenames(root: String): Seq[(String, String)] = {
+    val p = renamesPath(Paths.get(root))
+    if (!Files.exists(p)) return Seq.empty
+    val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    val re = """\{"from"\s*:\s*"((?:[^"\\]|\\.)+)"\s*,\s*"to"\s*:\s*"((?:[^"\\]|\\.)+)"\}""".r
+    re.findAllMatchIn(txt).map(m =>
+      unescJson(m.group(1)) -> unescJson(m.group(2))).toSeq
+  }
+
+  /** Append a rename event (atomic write-temp + move, like every
+    * other root-level metadata file).
+    */
+  def addColumnRename(root: String, from: String, to: String): Unit = {
+    require(from.nonEmpty && to.nonEmpty && from != to,
+      s"rename $from -> $to is not a rename")
+    require(!MorReservedCols(to) && to != SeqCol &&
+      !MorReservedCols(from) && from != SeqCol,
+      s"rename $from -> $to collides with internal column names")
+    val rootP = Paths.get(root)
+    Files.createDirectories(rootP)
+    val events = columnRenames(root) :+ (from -> to)
+    val body = events.map { case (f, t) =>
+      s"""{"from": "${escJson(f)}", "to": "${escJson(t)}"}"""
+    }.mkString("[", ", ", "]")
+    val tmp = rootP.resolve("_column_renames.json.tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, renamesPath(rootP), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** Fold superseded physical column names into their current logical
+    * names, applying events in order so chains (a→b, b→c) resolve.
+    * A frame carrying BOTH generations of a name (mixed-generation
+    * union) coalesces old into new per row. Identity when no rename
+    * was ever recorded — zero cost on the common path.
+    */
+  private[graft] def normalizeRenames(root: String,
+                                      df: DataFrame): DataFrame = {
+    val events = columnRenames(root)
+    if (events.isEmpty) return df
+    events.foldLeft(df) { case (d, (from, to)) =>
+      val cols = d.columns
+      if (!cols.contains(from)) d
+      else if (!cols.contains(to)) d.withColumnRenamed(from, to)
+      else d.withColumn(to, coalesce(col(s"`$to`"), col(s"`$from`")))
+        .drop(from)
+    }
+  }
+
   /** Read the live snapshot. Fails if the table has never committed. */
   def readLive(spark: SparkSession, root: String): DataFrame =
     readLiveStamped(spark, root).drop(SeqCol)
@@ -126,8 +197,9 @@ object VersionedTable {
   private def readLiveStamped(spark: SparkSession, root: String): DataFrame = {
     val m = readManifest(root).getOrElse(throw new IllegalStateException(
       s"no _manifest.json under $root — table has never committed"))
-    stampDefaulted(spark.read.option("mergeSchema", "true")
-      .parquet(Paths.get(root).resolve(m.live).toString))
+    normalizeRenames(root, stampDefaulted(
+      spark.read.option("mergeSchema", "true")
+        .parquet(Paths.get(root).resolve(m.live).toString)))
   }
 
   /** THE stamp-defaulting rule, in one place: a missing or null
@@ -235,8 +307,12 @@ object VersionedTable {
       throw new IllegalStateException(
         s"version $version of $root was pruned by retention — " +
           "raise keepVersions on commit to travel further back")
-    spark.read.option("mergeSchema", "true").parquet(dir.toString)
-      .drop(SeqCol)
+    // time travel presents the CURRENT logical names (the "query
+    // through the current table definition" contract; per-snapshot
+    // schema re-presentation would need versioned schema metadata)
+    normalizeRenames(root,
+      spark.read.option("mergeSchema", "true").parquet(dir.toString)
+        .drop(SeqCol))
   }
 
   /** The immutable history entry of `version` parsed as a PARTITIONED
@@ -1390,11 +1466,14 @@ object VersionedTable {
       !coalesce(col(PdDeadCol), lit(false))
     else lit(true)
 
-  /** The sub-table's live rows, None when it never committed. */
+  /** The sub-table's live rows, None when it never committed.
+    * The MAIN table's column renames normalize the append entries'
+    * data columns (entry keys are reserved names, never renamed).
+    */
   private def posSubTableLive(spark: SparkSession,
                               root: String): Option[DataFrame] =
     readManifest(posDeletesRoot(root)).map(_ =>
-      readLive(spark, posDeletesRoot(root)))
+      normalizeRenames(root, readLive(spark, posDeletesRoot(root))))
 
   /** Names every MoR verb must keep out of user schemas (the entry
     * keys double as data columns in the sub-table).
@@ -1652,7 +1731,7 @@ object VersionedTable {
           expr(s"substring_index(_metadata.file_path, '/${m.live}/', -1)"))
           .as(AddrPathCol),
         col("_metadata.row_index").as(AddrPosCol))
-    stampDefaulted(df)
+    normalizeRenames(root, stampDefaulted(df))
   }
 
   /** Loud failure instead of silent column loss: internal plumbing
@@ -1725,7 +1804,7 @@ object VersionedTable {
                                      m: Manifest,
                                      base: DataFrame): DataFrame = {
     val hasPos = readManifest(posDeletesRoot(root)).isDefined
-    val withAddr =
+    val withAddr = normalizeRenames(root,
       if (!hasPos) stampDefaulted(base)
       else {
         requireNoReservedColumns(base.columns, s"table $root",
@@ -1735,7 +1814,7 @@ object VersionedTable {
             expr(s"substring_index(_metadata.file_path, '/${m.live}/', -1)"))
             .as(AddrPathCol),
           col("_metadata.row_index").as(AddrPosCol)))
-      }
+      })
     val posMasked =
       if (!hasPos) withAddr
       else livePosDeleteEntries(spark, root, m) match {
@@ -1785,8 +1864,8 @@ object VersionedTable {
       : DataFrame = {
     val hasPos = readManifest(posDeletesRoot(root)).isDefined
     if (!hasPos)
-      groups.map(_._2)
-        .reduce(_.unionByName(_, allowMissingColumns = true))
+      normalizeRenames(root, groups.map(_._2)
+        .reduce(_.unionByName(_, allowMissingColumns = true)))
     else {
       val withAddr = groups.map { case (dirName, df) =>
         requireNoReservedColumns(df.columns, s"table $root",
@@ -1797,12 +1876,13 @@ object VersionedTable {
               s"'/$dirName/', -1)")).as(AddrPathCol),
           col("_metadata.row_index").as(AddrPosCol))
       }.reduce(_.unionByName(_, allowMissingColumns = true))
-      val masked = livePosDeleteEntriesPartitioned(spark, root, m) match {
-        case Some(dels) =>
-          withAddr.join(dels, Seq(AddrPathCol, AddrPosCol), "left_anti")
-            .drop(AddrPathCol, AddrPosCol)
-        case None => withAddr.drop(AddrPathCol, AddrPosCol)
-      }
+      val masked = normalizeRenames(root,
+        livePosDeleteEntriesPartitioned(spark, root, m) match {
+          case Some(dels) =>
+            withAddr.join(dels, Seq(AddrPathCol, AddrPosCol),
+              "left_anti").drop(AddrPathCol, AddrPosCol)
+          case None => withAddr.drop(AddrPathCol, AddrPosCol)
+        })
       // ALL live appends, not just the scanned partitions': file
       // pruning is file-stats-based and appends live in no file —
       // every pushed filter is also residual, so extra rows are
@@ -2027,7 +2107,7 @@ object VersionedTable {
         }
         val touchedFiles = all.filter(mustRewrite)
         if (touchedFiles.nonEmpty) {
-          val masked = stampDefaulted(
+          val masked = normalizeRenames(root, stampDefaulted(
             spark.read.option("basePath", dirP.toString)
               .option("mergeSchema", "true")
               .parquet(touchedFiles.map(_.toString): _*)
@@ -2035,7 +2115,7 @@ object VersionedTable {
                 concat(lit(base.live + "/"),
                   expr(s"substring_index(_metadata.file_path, " +
                     s"'/${base.live}/', -1)")).as(AddrPathCol),
-                col("_metadata.row_index").as(AddrPosCol)))
+                col("_metadata.row_index").as(AddrPosCol))))
           val dels = livePosDeleteEntries(spark, root, base).get
           val survivors = masked
             .join(dels, Seq(AddrPathCol, AddrPosCol), "left_anti")
@@ -2159,16 +2239,19 @@ object VersionedTable {
                               m: PartitionedManifest): DataFrame = {
     val rootP = Paths.get(root)
     val byDir = m.partitions.groupBy(_._2).toSeq.sortBy(_._1)
-    byDir.map { case (dir, parts) =>
+    // no mergeSchema: every file under one version dir was written
+    // by ONE commit (uniform schema), so footer-merging is pure
+    // planning cost — cross-COMMIT schema drift is reconciled by the
+    // allowMissingColumns union below, which is the only place it
+    // can appear. Column renames normalize at the end (no caller
+    // attaches `_metadata` to THIS frame — the address paths build
+    // their own union from readLeavesTyped and normalize after
+    // attaching).
+    normalizeRenames(root, byDir.map { case (dir, parts) =>
       val base = rootP.resolve(dir).toString
       val leaves = parts.keys.toSeq.sorted.map(k => s"$base/$k")
-      // no mergeSchema: every file under one version dir was written
-      // by ONE commit (uniform schema), so footer-merging is pure
-      // planning cost — cross-COMMIT schema drift is reconciled by the
-      // allowMissingColumns union below, which is the only place it
-      // can appear
       readLeavesTyped(spark, root, base, leaves)
-    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true)))
   }
 
   /** basePath read with partition-column types FIXED to the recorded
@@ -2576,7 +2659,9 @@ object VersionedTable {
           expr(s"substring_index(_metadata.file_path, '/$dirName/', -1)"))
           .as(AddrPathCol),
         col("_metadata.row_index").as(AddrPosCol))
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    }.reduce(_.unionByName(_, allowMissingColumns = true)) match {
+      case df => normalizeRenames(root, df)
+    }
   }
 
   /** Pos-delete entries addressing files the live partitioned
@@ -3016,6 +3101,17 @@ object VersionedTable {
     */
   def eqDeleteVersion(root: String): Long =
     readManifest(deletesRoot(root)).map(_.version).getOrElse(0L)
+
+  /** The equality-delete sub-table's key columns (empty when none
+    * exists) — the catalog's rename guard consults this: renaming a
+    * live delete key would silently detach its mask.
+    */
+  def eqDeleteKeyCols(spark: SparkSession, root: String): Seq[String] =
+    readManifest(deletesRoot(root)) match {
+      case Some(_) => readLive(spark, deletesRoot(root)).columns
+        .filterNot(_ == DelSeqCol).toSeq
+      case None => Seq.empty
+    }
 
   /** Row-level COW rewrite, FLAT form: the next version holds exactly
     * `content` (computed by the caller from the observable snapshot

@@ -253,23 +253,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       else {
         val obs =
           GraftScanPlanner.observable(SparkSession.active, opts).schema
+        val dropped = meta.get(GraftCatalog.DroppedKey)
+          .map(_.split(",").map(_.trim.toLowerCase)
+            .filter(_.nonEmpty).toSet)
+          .getOrElse(Set.empty[String])
         declared match {
           case Some(d) =>
             // declaration-first union: declared columns keep their
             // declared ORDER (a shifting order would re-bind later
             // positional INSERTs) and their observable TYPE when data
-            // already carries them; declared-but-not-yet-written
-            // columns (ALTER ADD COLUMNS) survive with their declared
-            // type (reads null-fill them); write-evolved columns the
-            // declaration doesn't know yet append after.
+            // already carries them — EXCEPT when the declaration is a
+            // widening of the physical type (ALTER COLUMN TYPE): the
+            // declaration then wins and reads cast up. Declared-but-
+            // not-yet-written columns (ALTER ADD COLUMNS) survive with
+            // their declared type (reads null-fill them); write-
+            // evolved columns the declaration doesn't know yet append
+            // after; DROPPED names never resurface from old files.
             val byName =
               obs.fields.map(f => f.name.toLowerCase -> f).toMap
             StructType(
-              d.fields.map(f =>
-                byName.getOrElse(f.name.toLowerCase, f)) ++
+              d.fields.map { f =>
+                byName.get(f.name.toLowerCase) match {
+                  case Some(o) if GraftCatalog.widensType(o.dataType,
+                      f.dataType) => f
+                  case Some(o) => o
+                  case None => f
+                }
+              } ++
                 obs.fields.filterNot(f => d.fieldNames
-                  .exists(_.equalsIgnoreCase(f.name))))
-          case _ => obs
+                  .exists(_.equalsIgnoreCase(f.name)) ||
+                  dropped(f.name.toLowerCase)))
+          case _ => StructType(obs.fields.filterNot(f =>
+            dropped(f.name.toLowerCase)))
         }
       }
     new GraftTable(opts, schema, props)
@@ -476,6 +491,57 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "option (repointing a table's location is not an ALTER)")
       k
     }
+    val dataRootS = dataRoot(root).toString
+    def declaredOf(m: Map[String, String], what: String): StructType =
+      m.get(GraftCatalog.SchemaKey)
+        .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+        .getOrElse(throw new UnsupportedOperationException(
+          s"ALTER TABLE ${ident.name()} $what: the table was " +
+            "registered schemaless (LOCATION) — evolve it through " +
+            "writes (schemaMode=sync)"))
+    def commaSet(m: Map[String, String], k: String): Set[String] =
+      m.get(k).map(_.split(",").map(_.trim.toLowerCase)
+        .filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    // a column a structural change may not touch: partition columns
+    // (paths encode the name, types recorded in _part_schema), merge
+    // keys (verbs join by name), live equality-delete keys (the mask
+    // would silently detach), constraint references (the predicate
+    // would stop analyzing)
+    def guardStructural(m: Map[String, String], colName: String,
+                        what: String): Unit = {
+      val lc = colName.toLowerCase
+      require(!commaSet(m, "partitionColumns").contains(lc),
+        s"ALTER TABLE ${ident.name()} $what: '$colName' is a " +
+          "partition column — partition paths encode it; rewrite " +
+          "into a new table to change the partition spec")
+      require(!commaSet(m, "keys").contains(lc),
+        s"ALTER TABLE ${ident.name()} $what: '$colName' is a merge " +
+          "key (TBLPROPERTIES keys) — change the keys property first")
+      require(!VersionedTable.eqDeleteKeyCols(SparkSession.active,
+          dataRootS).exists(_.equalsIgnoreCase(colName)),
+        s"ALTER TABLE ${ident.name()} $what: '$colName' keys the " +
+          "live equality-delete set — vacuum the deletes first")
+      VersionedTable.constraints(dataRootS).foreach { case (n, p) =>
+        val refs =
+          try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseExpression(p).collect {
+              case a: org.apache.spark.sql.catalyst.analysis
+                  .UnresolvedAttribute => a.name.toLowerCase
+            }.toSet
+          catch { case _: Throwable => Set.empty[String] }
+        require(!refs.contains(lc),
+          s"ALTER TABLE ${ident.name()} $what: '$colName' is " +
+            s"referenced by CHECK constraint '$n' [$p] — drop the " +
+            "constraint first")
+      }
+    }
+    def widens(from: DataType, to: DataType): Boolean =
+      GraftCatalog.widensType(from, to)
+    // rename events recorded AFTER all validation, BEFORE the meta
+    // flip (both orders have a μs inconsistency window; DDL is not
+    // transactional here)
+    val renameEvents =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val updated = changes.foldLeft(readMeta(root)) {
       case (m, c: TableChange.SetProperty) =>
         m + (guarded(c.property()) -> c.value())
@@ -499,23 +565,112 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(c.position() == null,
           s"ALTER TABLE ${ident.name()} ADD COLUMNS: FIRST/AFTER " +
             "positioning is not supported — new columns append")
-        val declared = m.get(GraftCatalog.SchemaKey)
-          .map(j => DataType.fromJson(j).asInstanceOf[StructType])
-          .getOrElse(throw new UnsupportedOperationException(
-            s"ALTER TABLE ${ident.name()} ADD COLUMNS: the table was " +
-              "registered schemaless (LOCATION) — evolve it through " +
-              "writes (schemaMode=sync)"))
+        val declared = declaredOf(m, "ADD COLUMNS")
         val name = c.fieldNames()(0)
         require(!declared.fieldNames.exists(_.equalsIgnoreCase(name)),
           s"ALTER TABLE ${ident.name()}: column '$name' already exists")
+        // a DROPPED name may not come back: old files still carry the
+        // old values physically, and re-declaring the name would
+        // silently resurrect them for historical rows
+        require(!commaSet(m, GraftCatalog.DroppedKey)
+            .contains(name.toLowerCase),
+          s"ALTER TABLE ${ident.name()}: '$name' was previously " +
+            "DROPPED — re-adding it would resurrect old values; use " +
+            "a fresh name or rewrite the table")
         m + (GraftCatalog.SchemaKey ->
           declared.add(org.apache.spark.sql.types.StructField(
             name, c.dataType(), nullable = true)).json) +
           ("schemaMode" -> "sync")
+
+      // ALTER TABLE … RENAME COLUMN: METADATA-ONLY — a rename event
+      // at the data root; every read normalizes old physical names to
+      // the new logical name, so historical parquet stays readable
+      // without rewrite. Writes bind the new name from here on.
+      case (m, c: TableChange.RenameColumn) =>
+        require(c.fieldNames().length == 1,
+          s"ALTER TABLE ${ident.name()} RENAME COLUMN: nested field " +
+            s"${c.fieldNames().mkString(".")} — graft schemas are flat")
+        val from = c.fieldNames()(0)
+        val to = c.newName()
+        val declared = declaredOf(m, "RENAME COLUMN")
+        require(declared.fieldNames.exists(_.equalsIgnoreCase(from)),
+          s"ALTER TABLE ${ident.name()}: no column '$from'")
+        require(!declared.fieldNames.exists(_.equalsIgnoreCase(to)),
+          s"ALTER TABLE ${ident.name()}: column '$to' already exists")
+        require(!commaSet(m, GraftCatalog.DroppedKey)
+            .contains(to.toLowerCase),
+          s"ALTER TABLE ${ident.name()}: '$to' was previously " +
+            "DROPPED — renaming onto it would resurrect old values")
+        guardStructural(m, from, "RENAME COLUMN")
+        renameEvents += (from -> to)
+        m + (GraftCatalog.SchemaKey -> StructType(declared.fields.map(
+          f => if (f.name.equalsIgnoreCase(from)) f.copy(name = to)
+               else f)).json)
+
+      // ALTER TABLE … DROP COLUMN: the declared schema loses the
+      // column and its name is tombstoned; the physical bytes stay
+      // (reads project the declaration), and the table flips to sync
+      // evolution so later INSERTs may omit it.
+      case (m, c: TableChange.DeleteColumn) =>
+        require(c.fieldNames().length == 1,
+          s"ALTER TABLE ${ident.name()} DROP COLUMN: nested field " +
+            s"${c.fieldNames().mkString(".")} — graft schemas are flat")
+        val name = c.fieldNames()(0)
+        val declared = declaredOf(m, "DROP COLUMN")
+        if (!declared.fieldNames.exists(_.equalsIgnoreCase(name))) {
+          if (c.ifExists()) m
+          else throw new IllegalArgumentException(
+            s"ALTER TABLE ${ident.name()}: no column '$name'")
+        } else {
+          require(declared.fields.length > 1,
+            s"ALTER TABLE ${ident.name()}: cannot drop the only column")
+          guardStructural(m, name, "DROP COLUMN")
+          val dropped = (commaSet(m, GraftCatalog.DroppedKey) +
+            name.toLowerCase).toSeq.sorted.mkString(",")
+          m + (GraftCatalog.SchemaKey -> StructType(declared.fields
+            .filterNot(_.name.equalsIgnoreCase(name))).json) +
+            (GraftCatalog.DroppedKey -> dropped) +
+            ("schemaMode" -> "sync")
+        }
+
+      // ALTER TABLE … ALTER COLUMN … TYPE: widening only (reads cast
+      // historical narrow physical values to the declared type).
+      case (m, c: TableChange.UpdateColumnType) =>
+        require(c.fieldNames().length == 1,
+          s"ALTER TABLE ${ident.name()} ALTER COLUMN TYPE: nested " +
+            s"field ${c.fieldNames().mkString(".")} — graft schemas " +
+            "are flat")
+        val name = c.fieldNames()(0)
+        val declared = declaredOf(m, "ALTER COLUMN TYPE")
+        val field = declared.fields
+          .find(_.name.equalsIgnoreCase(name))
+          .getOrElse(throw new IllegalArgumentException(
+            s"ALTER TABLE ${ident.name()}: no column '$name'"))
+        require(widens(field.dataType, c.newDataType()),
+          s"ALTER TABLE ${ident.name()}: ${field.dataType.simpleString}" +
+            s" → ${c.newDataType().simpleString} is not a widening " +
+            "(tinyint→smallint→int→bigint, float→double) — anything " +
+            "else needs a rewrite")
+        // partition columns' types are recorded in _part_schema and
+        // parsed from paths — widening one silently re-keys partitions
+        require(!commaSet(m, "partitionColumns")
+            .contains(name.toLowerCase),
+          s"ALTER TABLE ${ident.name()}: '$name' is a partition " +
+            "column — its type is path-encoded; rewrite to change it")
+        m + (GraftCatalog.SchemaKey -> StructType(declared.fields.map(
+          f => if (f.name.equalsIgnoreCase(name))
+                 f.copy(dataType = c.newDataType())
+               else f)).json) +
+          ("schemaMode" -> "sync")
+
       case (_, c) => throw new UnsupportedOperationException(
         s"ALTER TABLE ${ident.name()}: $c — graft supports " +
-          "ADD COLUMNS and table properties; other schema changes " +
+          "ADD COLUMNS, RENAME COLUMN, DROP COLUMN, widening ALTER " +
+          "COLUMN TYPE, and table properties; other schema changes " +
           "evolve on write (tblproperty schemaMode=sync), not by DDL")
+    }
+    renameEvents.foreach { case (from, to) =>
+      VersionedTable.addColumnRename(dataRootS, from, to)
     }
     writeMeta(root, updated)
     graftTable(ident, root, None)
@@ -624,6 +779,28 @@ private[graft] object GraftCatalog {
   val MetaFile = "_graft_catalog.json"
   val SchemaKey = "__schema"
   val LocationKey = "location"
+
+  /** Tombstoned (DROPped) column names, comma-separated lowercase —
+    * excluded from the sync-mode observable schema union (the bytes
+    * stay in old files) and blocked from re-ADD.
+    */
+  val DroppedKey = "__graft_dropped"
+
+  /** Widening-safe type transitions (reads cast historical narrow
+    * physical values up; anything else needs a rewrite).
+    */
+  def widensType(from: org.apache.spark.sql.types.DataType,
+                 to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    val intRank = Map[DataType, Int](ByteType -> 1, ShortType -> 2,
+      IntegerType -> 3, LongType -> 4)
+    (from, to) match {
+      case (FloatType, DoubleType) => true
+      case (f, t) if intRank.contains(f) && intRank.contains(t) =>
+        intRank(f) < intRank(t)
+      case _ => false
+    }
+  }
 
   /** Planner/scan option keys a TABLE PROPERTY must never set — a
     * TBLPROPERTY flows into every read's option map, so e.g.

@@ -573,7 +573,11 @@ private[sources] class GraftV1Relation(context: SQLContext,
     val projected =
       if (required.isEmpty) df.select()
       else df.select(required.fields.toSeq.map { f =>
-        if (have(f.name.toLowerCase)) col(f.name) // resolves case-insensitively
+        // cast to the DECLARED type: after ALTER COLUMN … TYPE
+        // widening, historical files carry the narrow physical type
+        // and must surface widened (a same-type cast folds away)
+        if (have(f.name.toLowerCase))
+          col(f.name).cast(f.dataType).as(f.name)
         else org.apache.spark.sql.functions.lit(null)
           .cast(f.dataType).as(f.name)
       }: _*)
@@ -855,8 +859,9 @@ private[graft] object GraftScanPlanner {
           .parquet(dir.toString)
         if (o.withDeletes)
           VersionedTable.maskFlatDeletes(spark, o.root, m, base)
-        else VersionedTable.stampDefaulted(base)
-          .drop(VersionedTable.SeqCol)
+        else VersionedTable.normalizeRenames(o.root,
+          VersionedTable.stampDefaulted(base)
+            .drop(VersionedTable.SeqCol))
     }
   }
 
@@ -959,8 +964,9 @@ private[graft] object GraftScanPlanner {
               val read = VersionedTable.unionWithPosMask(spark, o.root,
                 m, groups)
               VersionedTable.maskPartitionedDeletes(spark, o.root, read)
-            } else groups.map(_._2).reduce((a, b) =>
-              a.unionByName(b, allowMissingColumns = true))
+            } else VersionedTable.normalizeRenames(o.root,
+              groups.map(_._2).reduce((a, b) =>
+                a.unionByName(b, allowMissingColumns = true)))
           }
         base
       case None => // ---------------- flat form
@@ -1011,8 +1017,9 @@ private[graft] object GraftScanPlanner {
           mOpt match {
             case Some(m) if o.withDeletes =>
               VersionedTable.maskFlatDeletes(spark, o.root, m, base)
-            case _ => VersionedTable.stampDefaulted(base)
-              .drop(VersionedTable.SeqCol)
+            case _ => VersionedTable.normalizeRenames(o.root,
+              VersionedTable.stampDefaulted(base)
+                .drop(VersionedTable.SeqCol))
           }
         }
     }
