@@ -4783,19 +4783,18 @@ object SparkEntry {
           lit(untouched).as("n"), lit(m.version).as("s")))
     }),
 
-    // Stats-driven auto-broadcast (r13): a graft DSv2 scan executes
-    // through the V1Scan fallback, whose wrapper DROPS
-    // SupportsReportStatistics — so joins against even a KB-sized
-    // graft dimension would plan sort-merge (two full shuffles of the
-    // fact side at 100 TB). GraftBroadcastStats recovers the size
-    // from the table's own manifest (live file bytes, driver-side)
-    // and plants an advisory BROADCAST hint on any join side that is
-    // a Project/Filter tree over one under-threshold graft scan. The
-    // graded bits: the join result (strategy-independent, closed-form)
-    // and the plan flag proving BroadcastHashJoin was chosen with NO
-    // user hint anywhere in the query.
+    // Stats-driven auto-broadcast (r13; re-pinned BOTH WAYS in r14):
+    // a graft DSv2 scan executes through the V1Scan fallback, whose
+    // wrapper DROPS SupportsReportStatistics — so joins against even
+    // a KB-sized graft dimension would plan sort-merge (two full
+    // shuffles of the fact side at 100 TB). Two independent fixes,
+    // each graded alone:
+    //   - GraftBroadcastStats plants an advisory BROADCAST hint from
+    //     manifest bytes (bhj = 1 with ONLY that rule);
+    //   - GraftScanStats re-wraps the scan so computeStats reports
+    //     real size+rows and Spark's own JoinSelection broadcasts
+    //     with NO hint anywhere (bhj2 = 1 with ONLY that rule).
     "q321_stats_broadcast" -> ((s, d) => {
-      graft.plans.GraftBroadcastStats.install(s)
       val vt = graft.sinks.VersionedTable
       val work = graft.core.ScratchDirs.fresh("q321").toString
       val ev = Tables.events(s, d).select(col("event_id"),
@@ -4805,19 +4804,36 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_type"), sum("cents").as("s_type"))
       vt.upsert(s, s"$work/fact", ev, Seq("event_id"))
       vt.upsert(s, s"$work/dim", dim, Seq("event_type"))
-      val j = s.read.format("graft").load(s"$work/fact")
+      def join() = s.read.format("graft").load(s"$work/fact")
         .join(s.read.format("graft").load(s"$work/dim"), "event_type")
         .agg(count(lit(1)).as("n"),
           sum(col("cents") * col("n_type")).as("x"),
           sum(col("s_type")).as("y"))
-      val bhj =
-        if (j.queryExecution.executedPlan.toString
-            .contains("BroadcastHashJoin")) 1L
-        else 0L
-      val r = j.head
+      def isBhj(df: org.apache.spark.sql.DataFrame): Long =
+        if (df.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin")) 1L else 0L
+      val saved = s.experimental.extraOptimizations
+      val (bhj, r, bhj2) =
+        try {
+          // hint rule alone
+          s.experimental.extraOptimizations = saved.filterNot(x =>
+            x.isInstanceOf[graft.plans.GraftBroadcastStats] ||
+              x.isInstanceOf[graft.plans.GraftScanStats]) :+
+            graft.plans.GraftBroadcastStats(s)
+          val j1 = join()
+          val f1 = isBhj(j1)
+          val res = j1.head
+          // reported-statistics rule alone: Spark's own JoinSelection
+          // must pick the broadcast from computeStats
+          s.experimental.extraOptimizations = saved.filterNot(x =>
+            x.isInstanceOf[graft.plans.GraftBroadcastStats] ||
+              x.isInstanceOf[graft.plans.GraftScanStats]) :+
+            graft.plans.GraftScanStats(s)
+          (f1, res, isBhj(join()))
+        } finally s.experimental.extraOptimizations = saved
       s.range(1).select(lit(r.getLong(0)).as("n"),
         lit(r.getLong(1)).as("x"), lit(r.getLong(2)).as("y"),
-        lit(bhj).as("bhj"))
+        lit(bhj * 10 + bhj2).as("bhj"))
     }),
 
     // External registration + SQL changelog (r13): a path-written
@@ -7467,6 +7483,183 @@ object SparkEntry {
           .distinctEstimate(col("dom"), 256).as("n_exact"))
     }),
 
+    // Multimodal planted twin (r14): the SAME byte-level decode path
+    // q32 exercises (javax.imageio PNG decode + raw 16-bit PCM reads
+    // through Multimodal.extractFeatures), over PLANTED media whose
+    // decoded statistics are closed-form integers — solid-color PNGs
+    // (mean R/G/B = the planted channels, luma stddev = 0) and
+    // constant-amplitude WAVs (meanAmp = rms = maxAbs = A/32768
+    // exactly; ×32768 recovers the integer A) — so DuckDB replays the
+    // decode end-to-end as arithmetic on doc_id (the q314/q324
+    // planted-twin trick, closing the q32 rows-only surface).
+    "q336_multimodal_twin" -> ((s, d) => {
+      import s.implicits._
+      val gen = udf((id: Long) =>
+        if (id % 2 == 0)
+          graft.operators.MediaHeaders.solidPngBytes(
+            (id % 16 + 4).toInt, (id % 8 + 4).toInt,
+            (id % 256).toInt, ((id * 7) % 256).toInt,
+            ((id * 13) % 256).toInt)
+        else graft.operators.MediaHeaders.constWavBytes(
+          16000, (id % 50 + 20).toInt, (id % 32000 + 100).toInt))
+      val media = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        when(col("doc_id") % 2 === 0, lit("image"))
+          .otherwise(lit("audio")).as("kind"),
+        gen(col("doc_id")).as("bytes"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("int").as("sample_rate"),
+        lit(null).cast("long").as("duration_ms"))
+      val feats = graft.operators.Multimodal
+        .extractFeatures(media.as[graft.operators.Multimodal.MediaRecord])
+        .toDF()
+      def f(i: Int) = element_at(col("feature"), i)
+      feats.select(col("media_id"), col("kind"),
+        when(col("kind") === "image", f(1))
+          .otherwise(f(1)).cast("long").as("e1"), // image w / audio ch
+        when(col("kind") === "image", f(2))
+          .otherwise(f(3)).cast("long").as("e2"), // image h / frames
+        when(col("kind") === "image", f(3))
+          .otherwise(f(4) * 32768).cast("long").as("e3"), // meanR / A
+        when(col("kind") === "image", f(4))
+          .otherwise(f(5) * 32768).cast("long").as("e4"), // meanG / A
+        when(col("kind") === "image", f(5))
+          .otherwise(f(6) * 32768).cast("long").as("e5"), // meanB / A
+        when(col("kind") === "image", f(7) * 1000)
+          .otherwise(f(7) * 1000).cast("long").as("e6")) // std / zcr
+    }),
+
+    // Branch writes / write-audit-publish (r14): a pipeline stages
+    // its batch on a NAMED BRANCH (write option `branch` — real
+    // version + ref, main manifest untouched), runs its quality gate
+    // against the branch read, and only then CALL fast_forward
+    // publishes — the C4 fail-fast-gate semantics at table level.
+    // Graded: main blind to staged commits, a failing gate costs
+    // nothing (drop the refs), the publish lands as a fresh main-line
+    // commit, and the WAP CAS (main moved since fork → publish
+    // refuses) — all pinned in _audit.
+    "q335_branch_wap" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      ensureG13(s)
+      s.sql("DROP NAMESPACE IF EXISTS g13.q335 CASCADE")
+      s.sql("CREATE NAMESPACE g13.q335")
+      val ev = Tables.events(s, d).select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      ev.createOrReplaceTempView("q335_src")
+      s.sql("CREATE TABLE g13.q335.ev (event_id BIGINT, day STRING, " +
+        "event_type STRING, cents BIGINT) USING graft " +
+        "PARTITIONED BY (day)")
+      s.sql("INSERT INTO g13.q335.ev SELECT event_id, day, " +
+        "event_type, cents FROM q335_src WHERE event_id % 2 = 0")
+      val root = s.conf.get("spark.sql.catalog.g13.warehouse") +
+        "/q335/ev"
+      val evensN = s.table("g13.q335.ev").count()
+      // stage the odd half on branch 'wap'
+      ev.filter(col("event_id") % 2 === 1)
+        .write.format("graft").option("branch", "wap")
+        .option("partitionColumns", "day").mode("append").save(root)
+      val mainBlind = if (s.table("g13.q335.ev").count() == evensN) 1L
+        else 0L
+      // the quality gate runs against the BRANCH read (C4 semantics)
+      val gateOk = if (s.sql("SELECT count(*) FROM g13.q335.ev " +
+          "VERSION AS OF 'wap' WHERE event_type IS NULL")
+          .head.getLong(0) == 0L) 1L else 0L
+      s.sql("CALL g13.system.fast_forward(table => 'q335.ev', " +
+        "branch => 'wap')")
+      // failed-gate leg: a poisoned batch stages, the gate catches
+      // it, the refs drop — main never sees it
+      s.range(1).select(lit(999999999L).as("event_id"),
+          lit("x").as("day"), lit("badrow").as("event_type"),
+          lit(-1L).as("cents"))
+        .write.format("graft").option("branch", "bad")
+        .option("partitionColumns", "day").mode("append").save(root)
+      val badCaught = if (s.sql("SELECT count(*) FROM g13.q335.ev " +
+          "VERSION AS OF 'bad' WHERE cents < 0")
+          .head.getLong(0) > 0L) 1L else 0L
+      s.sql("CALL g13.system.drop_ref(table => 'q335.ev', " +
+        "name => 'bad')")
+      s.sql("CALL g13.system.drop_ref(table => 'q335.ev', " +
+        "name => 'bad@base')")
+      // CAS-race leg: a branch forks, MAIN commits, publish refuses
+      s.range(1).select(lit(999999998L).as("event_id"),
+          lit("y").as("day"), lit("raced").as("event_type"),
+          lit(5L).as("cents"))
+        .write.format("graft").option("branch", "race")
+        .option("partitionColumns", "day").mode("append").save(root)
+      s.sql("INSERT INTO g13.q335.ev VALUES " +
+        "(999999997, 'z', 'synthetic', 12345)")
+      val raceBlocked =
+        try {
+          s.sql("CALL g13.system.fast_forward(table => 'q335.ev', " +
+            "branch => 'race')")
+          0L
+        } catch {
+          case e: Throwable
+              if e.getMessage != null &&
+                e.getMessage.contains("moved") => 1L
+          case _: Throwable => 0L
+        }
+      vt.dropRef(root, "race"); vt.dropRef(root, "race@base")
+      s.sql("SELECT concat('t:', event_type) AS part, count(*) AS n, " +
+          "sum(cents) AS c FROM g13.q335.ev GROUP BY event_type")
+        .unionByName(s.range(1).select(lit("_audit").as("part"),
+          lit(mainBlind * 10 + gateOk).as("n"),
+          lit(badCaught * 10 + raceBlocked).as("c")))
+    }),
+
+    // Persisted SQL views (r14): CREATE VIEW stores SQL text +
+    // creation context in the catalog (ViewCatalog + the extension
+    // DDL/substitution rules — stock Spark has neither); views
+    // compose (a view over a view), track later table commits (SQL,
+    // not snapshots), and interplay with time travel (a view pinning
+    // VERSION AS OF a ref stays at that snapshot). Graded: the
+    // dbt-style staged aggregate through two stacked views, the
+    // pinned-vs-live split after a second insert, and a schema test
+    // (null check) run against the view.
+    "q334_sql_views" -> ((s, d) => {
+      ensureG13(s)
+      s.sql("DROP NAMESPACE IF EXISTS g13.q334 CASCADE")
+      s.sql("CREATE NAMESPACE g13.q334")
+      Tables.events(s, d).select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("q334_src")
+      s.sql("CREATE TABLE g13.q334.ev (event_id BIGINT, " +
+        "event_type STRING, cents BIGINT) USING graft")
+      s.sql("INSERT INTO g13.q334.ev SELECT event_id, event_type, " +
+        "cents FROM q334_src WHERE event_id % 2 = 0")
+      s.sql("CALL g13.system.set_ref(table => 'q334.ev', " +
+        "name => 'v1pin', version => 1)")
+      // the dbt staging shape, as CATALOG objects: clean → agg
+      s.sql("CREATE VIEW g13.q334.clean AS " +
+        "SELECT event_id, event_type, cents FROM g13.q334.ev " +
+        "WHERE cents % 3 != 0")
+      s.sql("CREATE VIEW g13.q334.agg AS " +
+        "SELECT event_type, count(*) AS n, sum(cents) AS c " +
+        "FROM g13.q334.clean GROUP BY event_type")
+      s.sql("CREATE VIEW g13.q334.pinned AS " +
+        "SELECT count(*) AS n FROM g13.q334.ev " +
+        "VERSION AS OF 'v1pin'")
+      // the views are SQL, not snapshots: a later insert flows
+      // through clean/agg but NOT through pinned
+      s.sql("INSERT INTO g13.q334.ev SELECT event_id, event_type, " +
+        "cents FROM q334_src WHERE event_id % 2 = 1")
+      val pinnedN = s.sql("SELECT n FROM g13.q334.pinned")
+        .head.getLong(0)
+      // a schema test against the VIEW (the dbt-test shape)
+      val nullTypes = s.sql("SELECT count(*) FROM g13.q334.clean " +
+        "WHERE event_type IS NULL").head.getLong(0)
+      val shown = s.sql("SHOW VIEWS IN g13.q334").count()
+      s.sql("SELECT concat('t:', event_type) AS part, n, c " +
+          "FROM g13.q334.agg")
+        .unionByName(s.range(1).select(lit("_pin").as("part"),
+          lit(pinnedN).as("n"), lit(0L).as("c")))
+        .unionByName(s.range(1).select(lit("_audit").as("part"),
+          lit(shown).as("n"), lit(nullTypes).as("c")))
+    }),
+
     // Column mapping (r14): ALTER TABLE RENAME COLUMN / DROP COLUMN /
     // widening ALTER COLUMN TYPE are METADATA-ONLY — rename events
     // normalize old physical names at read, drops tombstone the name,
@@ -8397,6 +8590,73 @@ object SparkEntry {
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey % 97) AS n_exact
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // Planted-multimodal replay: every decoded statistic is
+    // closed-form arithmetic on doc_id — images (even ids): e1/e2 =
+    // planted width/height, e3..e5 = planted channel means, e6 = 0
+    // (solid color ⇒ zero luma stddev); audio (odd ids): e1 = 1
+    // channel, e2 = planted sample count, e3..e5 = the planted
+    // amplitude recovered from meanAmp/rms/maxAbs × 32768, e6 = 0
+    // (constant signal ⇒ zero crossings).
+    "q336_multimodal_twin" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END
+        |    AS kind,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 16 + 4
+        |       ELSE 1 END AS BIGINT) AS e1,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 8 + 4
+        |       ELSE doc_id % 50 + 20 END AS BIGINT) AS e2,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 256
+        |       ELSE doc_id % 32000 + 100 END AS BIGINT) AS e3,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id * 7) % 256
+        |       ELSE doc_id % 32000 + 100 END AS BIGINT) AS e4,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id * 13) % 256
+        |       ELSE doc_id % 32000 + 100 END AS BIGINT) AS e5,
+        |  CAST(0 AS BIGINT) AS e6
+        |FROM documents""".stripMargin,
+
+    // WAP replay: final main = all events (evens at v1, the odd half
+    // published via fast_forward) plus the one synthetic row the
+    // CAS-race leg committed to main; the poisoned 'badrow' and the
+    // blocked 'raced' branches never land. _audit pins (main blind to
+    // staged commits + gate-on-branch clean, poisoned batch caught +
+    // diverged publish refused).
+    "q335_branch_wap" ->
+      """WITH src AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |fin AS (
+        |  SELECT event_type, cents FROM src
+        |  UNION ALL SELECT 'synthetic', CAST(12345 AS BIGINT))
+        |SELECT 't:' || event_type AS part, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS c
+        |FROM fin GROUP BY event_type
+        |UNION ALL
+        |SELECT '_audit', CAST(11 AS BIGINT),
+        |  CAST(11 AS BIGINT)""".stripMargin,
+
+    // Persisted-views replay: the staged aggregate over all rows with
+    // cents not divisible by 3 (clean→agg view stack reads the live
+    // table incl. the post-view insert); _pin = the even half (the
+    // VERSION AS OF 'v1pin' view must not see the later insert);
+    // _audit pins (3 views listed, 0 null event_types via the view).
+    "q334_sql_views" ->
+      """WITH src AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |clean AS (SELECT * FROM src WHERE cents % 3 != 0)
+        |SELECT 't:' || event_type AS part, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS c
+        |FROM clean GROUP BY event_type
+        |UNION ALL
+        |SELECT '_pin',
+        |  (SELECT count(*) FROM src WHERE event_id % 2 = 0),
+        |  CAST(0 AS BIGINT)
+        |UNION ALL
+        |SELECT '_audit', CAST(3 AS BIGINT),
+        |  CAST(0 AS BIGINT)""".stripMargin,
 
     // Column-mapping replay: evens inserted narrow pre-DDL, odds wide
     // (+2.2e9, beyond INT) post-DDL under the renamed column, clicks
@@ -12328,8 +12588,10 @@ object SparkEntry {
         |  CAST(2 AS BIGINT) AS s""".stripMargin,
 
     // Auto-broadcast replay: the per-type fact⋈dim aggregate in
-    // integer-cents space; bhj pinned 1 (the manifest-stats hint must
-    // have produced a broadcast join with no user hint).
+    // integer-cents space; bhj pinned 11 — a broadcast join BOTH with
+    // only the manifest-stats hint rule (tens digit) AND with only
+    // the reported-statistics rule driving Spark's own JoinSelection
+    // (ones digit), no user hint anywhere.
     "q321_stats_broadcast" ->
       """WITH ev AS (
         |  SELECT event_id, event_type,
@@ -12342,7 +12604,7 @@ object SparkEntry {
         |SELECT count(*) AS n,
         |  CAST(sum(ev.cents * dim.n_type) AS BIGINT) AS x,
         |  CAST(sum(dim.s_type) AS BIGINT) AS y,
-        |  CAST(1 AS BIGINT) AS bhj
+        |  CAST(11 AS BIGINT) AS bhj
         |FROM ev JOIN dim USING (event_type)""".stripMargin,
 
     // External-changelog replay: inserts = every row (odd half at v1,

@@ -305,8 +305,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // after scan pushdown, before join planning); running sessions
     // use GraftBroadcastStats.install instead
     ext.injectPreCBORule(graft.plans.GraftBroadcastStats(_))
+    // real SupportsReportStatistics through the V1 fallback wrapper —
+    // every stats consumer (JoinSelection/CBO/AQE) sees manifest
+    // bytes + sidecar row counts, not the default infinite size
+    ext.injectPreCBORule(graft.plans.GraftScanStats(_))
     // SQL UPDATE / MERGE INTO / DELETE-with-subquery on graft tables
     // (post-hoc: the stock analyzer resolves the command first)
     ext.injectPostHocResolutionRule(graft.plans.GraftSqlRules(_))
+    // persisted views (CREATE/DROP/SHOW VIEW + SELECT substitution)
+    ext.injectResolutionRule(graft.plans.GraftViewSubstitution(_))
+    ext.injectHintResolutionRule(graft.plans.GraftViewDdl(_))
   }
 }

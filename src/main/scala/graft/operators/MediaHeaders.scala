@@ -282,6 +282,51 @@ object MediaHeaders {
     buf.array()
   }
 
+  /** 16-bit mono PCM WAV with every sample at CONSTANT `amplitude` —
+    * the planted decode twin whose PCM statistics are closed-form
+    * integers: meanAmp = rms = maxAbs = amplitude/32768 EXACTLY
+    * (dyadic values; repeated addition of equal dyadics and the sqrt
+    * of an exact square are both exact in IEEE doubles), zero
+    * crossings = 0. Multiplying the decoded stats back by 32768
+    * recovers the integer amplitude — DuckDB-replayable arithmetic
+    * over a REAL byte-level decode.
+    */
+  def constWavBytes(sampleRate: Int, nSamples: Int,
+                    amplitude: Int): Array[Byte] = {
+    require(amplitude > 0 && amplitude <= 32767,
+      s"amplitude out of 16-bit range: $amplitude")
+    val arr = wavBytes(sampleRate, nSamples) // header + zeroed payload
+    val bb = java.nio.ByteBuffer.wrap(arr)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < nSamples) {
+      bb.putShort(44 + 2 * i, amplitude.toShort)
+      i += 1
+    }
+    arr
+  }
+
+  /** SOLID-COLOR PNG (every pixel = (r,g,b)) — the image-side planted
+    * decode twin: PNG is lossless, so the decoded pixel statistics
+    * are closed-form (meanR/G/B = the planted ints, luma stddev = 0)
+    * and replayable as arithmetic on the source table.
+    */
+  def solidPngBytes(width: Int, height: Int,
+                    r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** 16-bit mono PCM WAV carrying a PURE SINE at `freqHz` — the
     * closed-form audio fixture: the tone frequency is exactly
     * recoverable from the payload, so byte-level DSP (Goertzel

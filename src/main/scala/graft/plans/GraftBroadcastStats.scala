@@ -111,3 +111,64 @@ object GraftBroadcastStats {
         cur :+ GraftBroadcastStats(spark)
   }
 }
+
+/** REAL statistics through the DSv2 scan (`SupportsReportStatistics`):
+  * the V1 fallback's `V1ScanWrapper` drops the interface, so this
+  * rule re-wraps every graft scan in a stats-forwarding subclass
+  * (shim: [[org.apache.spark.sql.graft.SqlShims.wrapScanWithStats]]).
+  * From then on `computeStats` is real — sizeInBytes from live
+  * manifest bytes (pending MoR entries included, an upper bound) and
+  * rowCount from the sidecar per-file counts when every live file
+  * carries one and no merge-on-read masks are pending — and EVERY
+  * stats consumer (JoinSelection's broadcast decision, CBO join
+  * reordering, AQE's initial estimates) sees it, not just the one
+  * join shape [[GraftBroadcastStats]] special-cases. The hint rule
+  * stays installed as the belt (it also covers sessions where only
+  * one of the two rules is wired).
+  */
+case class GraftScanStats(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    org.apache.spark.sql.graft.SqlShims.wrapScanWithStats(plan, {
+      case g: GraftScan => GraftScanStats.estimate(g)
+      case _ => None
+    })
+}
+
+object GraftScanStats {
+  import java.util.OptionalLong
+  import org.apache.spark.sql.connector.read.{Statistics => V2Statistics}
+
+  /** Driver-side metadata only (|files|-bounded, no data IO); None
+    * when nothing trustworthy is known — statistics must never guess.
+    */
+  private[graft] def estimate(g: GraftScan): Option[V2Statistics] = {
+    val o = g.opts
+    if (o.metadata.isDefined || o.changes.isDefined) return None
+    val size = GraftScanPlanner.liveBytes(o).getOrElse(return None)
+    // row count only when EVERY live file carries a sidecar count and
+    // no merge-on-read mask can change visible cardinality
+    val rows: Option[Long] =
+      if (o.versionAsOf.isDefined ||
+          (o.withDeletes &&
+            graft.sinks.VersionedTable.hasAnyDeletes(o.root))) None
+      else graft.sinks.VersionedTable.liveFileStatsAll(o.root)
+        .map(_.map(_.rows).sum)
+    Some(new V2Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(size)
+      override def numRows(): OptionalLong =
+        rows.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+    })
+  }
+
+  /** Append to a running session's extra optimizations, idempotent —
+    * the [[GraftBroadcastStats.install]] sibling.
+    */
+  def install(spark: SparkSession): Unit = synchronized {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(_.isInstanceOf[GraftScanStats]))
+      spark.experimental.extraOptimizations =
+        cur :+ GraftScanStats(spark)
+  }
+}

@@ -137,6 +137,10 @@ class GraftSqlExtensions
   override def apply(
       ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectPostHocResolutionRule(GraftSqlRules(_))
+    // persisted views (stock 4.1 has the ViewCatalog API but no DDL
+    // execs and no SELECT resolution — the Iceberg extension seam)
+    ext.injectResolutionRule(GraftViewSubstitution(_))
+    ext.injectHintResolutionRule(GraftViewDdl(_))
   }
 }
 

@@ -248,6 +248,64 @@ object VersionedTable {
     ()
   }
 
+  /** The highest version number EVER allocated under this root —
+    * manifest or history entry, retained or pruned, main or branch.
+    * Every committer allocates `maxAllocatedVersion + 1` under the
+    * commit lock, so main-line and branch commits share one
+    * collision-free sequence (a branch commit does not move the
+    * manifest, so `manifest.version + 1` alone would re-allocate a
+    * taken number and the staging rename would explode).
+    */
+  private def maxAllocatedVersion(rootP: Path): Long = {
+    val hist = rootP.resolve("_versions")
+    val maxHist =
+      if (!Files.isDirectory(hist)) 0L
+      else {
+        val s = Files.list(hist)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.flatMap { p =>
+            """^v(\d{8})\.json$""".r
+              .findFirstMatchIn(p.getFileName.toString)
+              .map(_.group(1).toLong)
+          }.foldLeft(0L)(math.max)
+        } finally s.close()
+      }
+    val manifestV = readManifest(rootP.toString).map(_.version)
+      .orElse(readPartitionedManifest(rootP.toString).map(_.version))
+      .getOrElse(0L)
+    math.max(maxHist, manifestV)
+  }
+
+  /** Is version `v`'s history entry a BRANCH commit (carries the
+    * branch marker)? Branch commits are real, time-travelable
+    * versions but are NOT on the main line: CDF walks and
+    * TIMESTAMP AS OF must skip them.
+    */
+  private[graft] def isBranchVersion(root: String, v: Long): Boolean = {
+    val p = versionManifestPath(Paths.get(root), v)
+    Files.exists(p) && new String(Files.readAllBytes(p),
+      StandardCharsets.UTF_8).contains(""""branch":""")
+  }
+
+  /** [[versions]] restricted to MAIN-LINE commits. */
+  def mainlineVersions(root: String): Seq[Long] =
+    versions(root).filterNot(isBranchVersion(root, _))
+
+  /** The DATA dir of a FLAT version — the history entry's `live`
+    * field: normally the conventional `vNNNNNNNN`, but a
+    * fast-forward publish references the BRANCH head's dir (dirs are
+    * immutable; sharing beats copying).
+    */
+  private[graft] def flatVersionDir(rootP: Path, v: Long): String = {
+    val p = versionManifestPath(rootP, v)
+    if (!Files.exists(p)) versionDirName(v)
+    else """"live"\s*:\s*"([^"]+)"""".r
+      .findFirstMatchIn(new String(Files.readAllBytes(p),
+        StandardCharsets.UTF_8))
+      .map(_.group(1)).getOrElse(versionDirName(v))
+  }
+
   /** Committed versions still readable (history entry AND data dir
     * both present), ascending.
     */
@@ -265,7 +323,17 @@ object VersionedTable {
             """^v(\d{8})\.json$""".r.findFirstMatchIn(n)
               .map(_.group(1).toLong)
           }
-          .filter(v => Files.isDirectory(rootP.resolve(versionDirName(v))))
+          .filter { v =>
+            // readable = every data dir the entry references survives
+            // (flat entries may reference a SHARED dir post-publish;
+            // partitioned entries reference their partition map)
+            readHistoryPartitionedManifest(rootP, v) match {
+              case Some(m) => m.partitions.values.forall(d =>
+                Files.isDirectory(rootP.resolve(d)))
+              case None => Files.isDirectory(
+                rootP.resolve(flatVersionDir(rootP, v)))
+            }
+          }
           .sorted
       } finally s.close()
     }
@@ -302,7 +370,7 @@ object VersionedTable {
         s"version $version of $root is a PARTITIONED snapshot — " +
           "use readPartitionedVersion (the flat dir holds only the " +
           "partitions that commit touched)")
-    val dir = rootP.resolve(versionDirName(version))
+    val dir = rootP.resolve(flatVersionDir(rootP, version))
     if (!Files.isDirectory(dir))
       throw new IllegalStateException(
         s"version $version of $root was pruned by retention — " +
@@ -442,7 +510,9 @@ object VersionedTable {
                   toVersion: Long, keys: Seq[String]): DataFrame = {
     require(fromVersion >= 0 && toVersion > fromVersion,
       s"need 0 <= fromVersion < toVersion: ($fromVersion, $toVersion)")
-    val vs = versions(root)
+    // MAIN-LINE only: a branch commit is not a change of the table
+    // until fast-forwarded (whereupon its version joins the line)
+    val vs = mainlineVersions(root)
     require(vs.contains(toVersion),
       s"version $toVersion of $root is not readable (never committed " +
         "or pruned by retention — raise keepVersions/keepManifests)")
@@ -517,7 +587,13 @@ object VersionedTable {
     reader.text(hist).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val vs = batch.select(regexp_extract(col("value"),
+        // BRANCH commits are not table changes until fast-forwarded
+        // (the publish writes a fresh unmarked entry): skip marked
+        // entries so a WAP pipeline's staging commits never leak
+        // into downstream consumers
+        val vs = batch
+          .filter(!col("value").contains(""""branch":"""))
+          .select(regexp_extract(col("value"),
             """"version"\s*:\s*(\d+)""", 1).cast("long").as("v"))
           .filter(col("v").isNotNull && col("v") > 0)
           .distinct().collect().map(_.getLong(0)).sorted
@@ -699,8 +775,223 @@ object VersionedTable {
         Set.empty[String]
       else readHistoryPartitionedManifest(rootP, v)
         .map(_.partitions.values.toSet)
-        .getOrElse(Set(versionDirName(v)))
+        .getOrElse(Set(flatVersionDir(rootP, v)))
     }
+
+  // ------------------------------------------------------------------
+  // BRANCH WRITES (write-audit-publish): a pipeline commits its batch
+  // to a NAMED BRANCH — a real version dir + history entry + ref move,
+  // with the MAIN manifest untouched — runs its quality gate against
+  // the branch read (`option("ref", branch)` / VERSION AS OF), and
+  // only then fast-forwards main to the branch head. A failed gate
+  // costs nothing: main never saw the batch. Mechanics:
+  //   - branch versions share the main sequence (maxAllocatedVersion
+  //     under the commit lock) and carry a `"branch"` marker in their
+  //     history entry, so CDF walks / TIMESTAMP AS OF stay on the
+  //     main line while VERSION AS OF <n> can still address them;
+  //   - the branch ref pins its head against retention; intermediate
+  //     branch versions are prunable like any superseded snapshot;
+  //   - the fork base is recorded as ref `<branch>@base`;
+  //     fast-forward CAS-requires main still AT that base — a main
+  //     commit during the audit makes publish fail loudly (re-run the
+  //     branch pipeline against the new live), never silently clobber.
+  // ------------------------------------------------------------------
+
+  private def currentMainVersion(root: String): Long =
+    readManifest(root).map(_.version)
+      .orElse(readPartitionedManifest(root).map(_.version))
+      .getOrElse(0L)
+
+  private def commitToBranch(root: String, branch: String,
+                             expectedRef: Option[Long],
+                             historyBody: Long => String)
+                            (writeTo: String => Unit): Long = {
+    require(branch.nonEmpty && !branch.contains("@") &&
+      !branch.contains("\n"), s"bad branch name: $branch")
+    val rootP = Paths.get(root)
+    Files.createDirectories(rootP)
+    val staging = stagingDir(rootP)
+    try writeTo(staging.toString)
+    catch { case e: Throwable => deleteRecursively(staging); throw e }
+    writeStatsSidecar(staging)
+    withCommitLock(rootP) {
+      if (refs(root).get(branch) != expectedRef) {
+        deleteRecursively(staging)
+        throw new ConcurrentCommitException(
+          s"branch '$branch' of $root moved past " +
+            s"${expectedRef.getOrElse(0L)} — re-read and retry")
+      }
+      val next = maxAllocatedVersion(rootP) + 1
+      Files.move(staging, rootP.resolve(versionDirName(next)),
+        StandardCopyOption.ATOMIC_MOVE)
+      writeHistoryEntry(rootP, next, historyBody(next))
+      val base: Map[String, Long] =
+        if (expectedRef.isEmpty)
+          Map(s"$branch@base" -> currentMainVersion(root))
+        else Map.empty
+      writeRefs(rootP, refs(root) + (branch -> next) ++ base)
+      next
+    }
+  }
+
+  /** Append `batch` to branch `branch` of a FLAT table. The first
+    * branch commit forks from the live observable snapshot (both
+    * delete families + pending MoR post-images folded); later ones
+    * extend the branch head. Returns the branch's new version.
+    */
+  def appendToBranch(spark: SparkSession, root: String,
+                     batch: DataFrame, branch: String,
+                     maxRetries: Int = 10): Long = {
+    requireNoReservedColumns(batch.columns,
+      s"branch append into $root", Seq(SeqCol, AddrPathCol, AddrPosCol))
+    enforceConstraints(root, batch)
+    require(readPartitionedManifest(root).isEmpty,
+      s"$root is partitioned — use appendPartitionedToBranch")
+    val rootP = Paths.get(root)
+    def once(): Long = {
+      val curRef = refs(root).get(branch)
+      val stamped =
+        batch.withColumn(SeqCol, lit(maxAllocatedVersion(rootP) + 1))
+      val content = curRef match {
+        case Some(v) =>
+          val dir = rootP.resolve(versionDirName(v))
+          if (!Files.isDirectory(dir))
+            throw new IllegalStateException(
+              s"branch '$branch' head v$v of $root was pruned")
+          normalizeRenames(root, stampDefaulted(
+            spark.read.option("mergeSchema", "true")
+              .parquet(dir.toString)))
+            .unionByName(stamped)
+        case None =>
+          if (readManifest(root).isEmpty) stamped
+          else readLiveWithPosDeletesStamped(spark, root)
+            .unionByName(stamped)
+      }
+      commitToBranch(root, branch, curRef, next =>
+        s"""{"version": $next, "live": "${versionDirName(next)}", """ +
+          s""""branch": "${escJson(branch)}"}""") { dir =>
+        content.write.mode(SaveMode.Overwrite).parquet(dir)
+      }
+    }
+    retryThenEscalate(rootP, maxRetries)(once())
+  }
+
+  /** [[appendToBranch]]'s PARTITIONED sibling: only the batch's
+    * partitions rewrite onto the branch (merged with the branch
+    * head's — or, on the first commit, the live observable's —
+    * content of those partitions); everything else keeps the base
+    * pointers in the branch's history manifest.
+    */
+  def appendPartitionedToBranch(spark: SparkSession, root: String,
+                                batch: DataFrame,
+                                partitionColumns: Seq[String],
+                                branch: String,
+                                maxRetries: Int = 10): Long = {
+    require(partitionColumns.nonEmpty,
+      "appendPartitionedToBranch needs partition columns")
+    requirePartitionTypesMatch(root, batch, partitionColumns)
+    enforceConstraints(root, batch)
+    val rootP = Paths.get(root)
+    def once(): Long = {
+      val curRef = refs(root).get(branch)
+      val baseM: Option[PartitionedManifest] = curRef match {
+        case Some(v) =>
+          Some(historyPartitionedManifest(root, v).getOrElse(
+            throw new IllegalStateException(
+              s"branch '$branch' head v$v of $root is not a " +
+                "partitioned snapshot")))
+        case None => readPartitionedManifest(root)
+      }
+      baseM.foreach(m => require(
+        m.partitionColumns == partitionColumns,
+        s"branch writes keep the partition spec " +
+          s"(${m.partitionColumns.mkString(",")}) — got " +
+          partitionColumns.mkString(",")))
+      val merged = baseM match {
+        case None => batch
+        case Some(m) =>
+          val touched = batch
+            .select(partitionColumns.map(batch(_)): _*)
+            .distinct().collect()
+          if (touched.isEmpty)
+            return curRef.getOrElse(m.version) // empty batch: no-op
+          val pred = touchedPredicate(partitionColumns, touched)
+          // live fork reads through the observable masks; a branch
+          // head is a raw committed snapshot (the readRef contract)
+          val existing =
+            if (curRef.isDefined)
+              readPartitionedSnapshot(spark, root, m).filter(pred)
+            else posMaskedPartitionedSnapshot(spark, root, m)
+              .filter(pred)
+          existing.unionByName(batch)
+      }
+      commitToBranch(root, branch, curRef, { next =>
+        val dirName = versionDirName(next)
+        val written = partitionLeafDirs(rootP.resolve(dirName),
+          partitionColumns.size).map(_.toString)
+        val newParts =
+          baseM.map(_.partitions).getOrElse(Map.empty) ++
+            written.map(_ -> dirName)
+        val body = renderPartitionedManifest(
+          PartitionedManifest(next, partitionColumns, newParts))
+        require(body.endsWith("}"), s"unexpected manifest body: $body")
+        body.dropRight(1) + s""", "branch": "${escJson(branch)}"}"""
+      }) { dir =>
+        merged.write.mode(SaveMode.Overwrite)
+          .partitionBy(partitionColumns: _*).parquet(dir)
+      }
+    }
+    retryThenEscalate(rootP, maxRetries)(once())
+  }
+
+  /** PUBLISH a branch: commit a FRESH main version whose manifest
+    * references the branch head's data dirs (dirs are immutable and
+    * self-contained — sharing them is free), iff the main line is
+    * still at the branch's fork base (the WAP CAS — a main commit
+    * during the audit fails the publish loudly; re-run the branch
+    * pipeline against the new live). A fresh version — rather than
+    * flipping to the head's own number — keeps history entries
+    * IMMUTABLE (streamChanges tails `_versions/` as a file stream)
+    * while making the publish a normal main-line commit for CDF and
+    * TIMESTAMP AS OF. Consumes the branch refs. Returns the published
+    * main version.
+    */
+  def fastForward(root: String, branch: String): Long = {
+    val rootP = Paths.get(root)
+    withCommitLock(rootP) {
+      val r = refs(root)
+      val head = r.getOrElse(branch, throw new IllegalStateException(
+        s"no branch '$branch' under $root — known refs: " +
+          r.keys.toSeq.sorted.mkString(", ")))
+      val base = r.getOrElse(s"$branch@base", 0L)
+      val curMain = currentMainVersion(root)
+      if (curMain != base)
+        throw new ConcurrentCommitException(
+          s"$root main moved to v$curMain since branch '$branch' " +
+            s"forked at v$base — re-run the branch pipeline against " +
+            "the new base and re-audit")
+      val next = maxAllocatedVersion(rootP) + 1
+      readHistoryPartitionedManifest(rootP, head) match {
+        case Some(m) =>
+          val published = PartitionedManifest(next,
+            m.partitionColumns, m.partitions)
+          writePartitionedManifest(rootP, published)
+          writeHistoryEntry(rootP, next,
+            renderPartitionedManifest(published))
+        case None =>
+          val body =
+            s"""{"version": $next, "live": "${versionDirName(head)}"}"""
+          val tmp = rootP.resolve(s"_manifest.json.tmp$next")
+          Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+          Files.move(tmp, manifestPath(rootP),
+            StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+          writeHistoryEntry(rootP, next, body)
+      }
+      writeRefs(rootP, r - branch - s"$branch@base")
+      next
+    }
+  }
 
   /** Run `writeTo(stagingDir)` (in parallel with other writers — the
     * staging name is unique), then under the commit lock assign the
@@ -751,7 +1042,8 @@ object VersionedTable {
       // caller's retry loop.
       try validate()
       catch { case e: Throwable => deleteRecursively(staging); throw e }
-      val next = live + 1
+      // allocate past BRANCH commits too — they share the sequence
+      val next = math.max(live, maxAllocatedVersion(rootP)) + 1
       val dirName = versionDirName(next)
       Files.move(staging, rootP.resolve(dirName),
         StandardCopyOption.ATOMIC_MOVE)
@@ -766,7 +1058,10 @@ object VersionedTable {
       writeHistoryEntry(rootP, next,
         s"""{"version": $next, "live": "$dirName"}""")
       // prune: newest `keepVersions` dirs survive; ref'd snapshots
-      // are pinned regardless of age
+      // are pinned regardless of age — and the LIVE dir is never
+      // touched (branch commits can be numerically newer than the
+      // main line, so "newest K" alone no longer implies the live
+      // dir is among them)
       val pinned = refPinnedDirs(rootP)
       val s = Files.list(rootP)
       try {
@@ -776,7 +1071,8 @@ object VersionedTable {
             p.getFileName.toString.matches("v\\d{8}"))
           .sortBy(_.getFileName.toString)
           .dropRight(math.max(1, keepVersions))
-          .filterNot(p => pinned(p.getFileName.toString))
+          .filterNot(p => pinned(p.getFileName.toString) ||
+            p.getFileName.toString == dirName)
           .foreach(deleteRecursively)
       } finally s.close()
       next
@@ -2467,7 +2763,8 @@ object VersionedTable {
               s"position deletes landed under $root during the " +
                 "merge — re-fold and retry")
           }
-          val next = prev.map(_.version + 1).getOrElse(1L)
+          val next = math.max(prev.map(_.version).getOrElse(0L),
+            maxAllocatedVersion(rootP)) + 1
           val dirName = versionDirName(next)
           Files.move(staging, rootP.resolve(dirName),
             StandardCopyOption.ATOMIC_MOVE)
@@ -3405,7 +3702,7 @@ object VersionedTable {
           s"position deletes landed under $root during the rewrite " +
             s"(pinned pos v$pv) — re-fold and retry")
       }
-      val next = live + 1
+      val next = math.max(live, maxAllocatedVersion(rootP)) + 1
       val dirName = versionDirName(next)
       Files.move(staging, rootP.resolve(dirName),
         StandardCopyOption.ATOMIC_MOVE)

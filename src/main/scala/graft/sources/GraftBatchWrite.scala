@@ -216,6 +216,23 @@ private[sources] class GraftBatchWrite(root: String,
             VersionedTable.replaceTable(spark, root, staged)
         }
         ()
+      case GraftNativeWrite.Append
+          if Option(o.get("branch")).exists(_.trim.nonEmpty) =>
+        // WRITE-AUDIT-PUBLISH: the batch lands on the named branch —
+        // main untouched until CALL fast_forward publishes. A WRITE
+        // OPTION only (a TBLPROPERTY would silently reroute every
+        // future insert).
+        val b = o.get("branch").trim
+        require(keys.isEmpty,
+          s"branch writes into $root are appends — keyed upsert onto " +
+            "a branch is not supported; upsert after fast_forward")
+        parts match {
+          case Some(pc) => VersionedTable.appendPartitionedToBranch(
+            spark, root, staged, pc, b)
+          case None =>
+            VersionedTable.appendToBranch(spark, root, staged, b)
+        }
+        ()
       case GraftNativeWrite.Append =>
         (keys, parts) match {
           case (Some(k), Some(pc)) =>

@@ -52,7 +52,8 @@ import graft.sinks.VersionedTable
   * the table's own CAS, not by the catalog.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
 
   private var catalogName: String = "graft"
   private var warehouse: Path = _
@@ -334,8 +335,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               "('keys' = '…'))"))
         // default range = everything reconstructable: from birth when
         // v1 is still retained, else from the earliest retained
-        // snapshot (pruned history cannot be diffed row-level)
-        val vs = VersionedTable.versions(root.toString)
+        // snapshot (pruned history cannot be diffed row-level);
+        // main-line only — branch staging commits are not changes
+        val vs = VersionedTable.mainlineVersions(root.toString)
         val earliest =
           vs.headOption.map(h => if (h == 1L) 0L else h).getOrElse(0L)
         val props = Map("path" -> root.toString,
@@ -404,8 +406,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val stub = tablePath(ident)
     if (!isTableDir(stub)) throw new NoSuchTableException(ident)
     val tsMillis = timestamp / 1000L
-    val times =
-      VersionedTable.versionPublishTimes(dataRoot(stub).toString)
+    val dr = dataRoot(stub).toString
+    // MAIN-LINE commits only: a branch's staging commit is not "the
+    // table at time t" until fast-forwarded
+    val mainline = VersionedTable.mainlineVersions(dr).toSet
+    val times = VersionedTable.versionPublishTimes(dr)
+      .filter(t => mainline(t._1))
     val v = times.filter(_._2 <= tsMillis).map(_._1).maxOption
       .getOrElse(throw new IllegalArgumentException(
         s"TIMESTAMP AS OF on ${ident.name()}: no retained commit " +
@@ -422,7 +428,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                            properties: java.util.Map[String, String])
       : Table = {
     val root = tablePath(ident)
-    if (isTableDir(root)) throw new TableAlreadyExistsException(ident)
+    if (isTableDir(root) || isViewDir(root))
+      throw new TableAlreadyExistsException(ident)
     val ns = nsPath(ident.namespace())
     if (ident.namespace().nonEmpty && !Files.isDirectory(ns))
       throw new NoSuchNamespaceException(
@@ -707,6 +714,188 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     ()
   }
 
+  // ---- ViewCatalog -------------------------------------------------------
+  // Persisted SQL views: `warehouse/<ns…>/<view>/_graft_view.json`
+  // stores the SQL text + the creation context (catalog/namespace for
+  // re-anchoring bare names) + the resolved schema. Views are
+  // resolved at READ by graft.plans.GraftViewSql (stock Spark 4.1 has
+  // the ViewCatalog API but neither V2 view commands nor SELECT
+  // resolution — the same extension seam Iceberg uses).
+
+  private def isViewDir(p: Path): Boolean =
+    Files.exists(p.resolve(GraftCatalog.ViewFile))
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    val dir = nsPath(ns)
+    if (!Files.isDirectory(dir))
+      throw new NoSuchNamespaceException(catalogName +: ns)
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq
+      .filter(isViewDir)
+      .map(p => Identifier.of(ns, p.getFileName.toString))
+      .sortBy(_.name())
+      .toArray
+    finally s.close()
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    isViewDir(tablePath(ident))
+
+  override def loadView(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val dir = tablePath(ident)
+    if (!isViewDir(dir))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident)
+    val m = readMeta0(dir.resolve(GraftCatalog.ViewFile))
+    val identName =
+      (catalogName +: ident.namespace() :+ ident.name()).mkString(".")
+    new org.apache.spark.sql.connector.catalog.View {
+      override def name(): String = identName
+      override def query(): String = m.getOrElse("sql", "")
+      override def currentCatalog(): String =
+        m.getOrElse("currentCatalog", catalogName)
+      override def currentNamespace(): Array[String] = {
+        val ns = m.getOrElse("currentNamespace", "")
+        if (ns.isEmpty) Array.empty else ns.split('/')
+      }
+      override def schema(): StructType =
+        m.get("schema").map(j =>
+          DataType.fromJson(j).asInstanceOf[StructType])
+          .getOrElse(new StructType())
+      override def queryColumnNames(): Array[String] = Array.empty
+      override def columnAliases(): Array[String] =
+        m.get("aliases").map(j =>
+          DataType.fromJson(j).asInstanceOf[StructType]
+            .fieldNames).getOrElse(Array.empty)
+      override def columnComments(): Array[String] = Array.empty
+      override def properties(): java.util.Map[String, String] =
+        m.filter(_._1.startsWith("p:"))
+          .map { case (k, v) => k.substring(2) -> v }.asJava
+    }
+  }
+
+  override def createView(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo)
+      : org.apache.spark.sql.connector.catalog.View =
+    writeViewMeta(info, replace = false)
+
+  override def replaceView(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo,
+      orCreate: Boolean)
+      : org.apache.spark.sql.connector.catalog.View = {
+    if (!orCreate && !viewExists(info.ident()))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(info.ident())
+    writeViewMeta(info, replace = true)
+  }
+
+  private def writeViewMeta(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo,
+      replace: Boolean)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val ident = info.ident()
+    val dir = tablePath(ident)
+    if (isTableDir(dir))
+      throw new TableAlreadyExistsException(ident)
+    if (!replace && isViewDir(dir))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(ident)
+    val ns = nsPath(ident.namespace())
+    if (ident.namespace().nonEmpty && !Files.isDirectory(ns))
+      throw new NoSuchNamespaceException(catalogName +: ident.namespace())
+    val aliasSchema = StructType(Option(info.columnAliases())
+      .getOrElse(Array.empty[String])
+      .map(a => org.apache.spark.sql.types.StructField(a,
+        org.apache.spark.sql.types.StringType)))
+    val m: Map[String, String] = Map(
+      "sql" -> info.sql(),
+      "currentCatalog" -> info.currentCatalog(),
+      "currentNamespace" -> info.currentNamespace().mkString("/"),
+      "schema" -> info.schema().json) ++
+      (if (aliasSchema.nonEmpty) Map("aliases" -> aliasSchema.json)
+       else Map.empty) ++
+      Option(info.properties()).map(_.asScala.toMap)
+        .getOrElse(Map.empty)
+        .filterNot { case (k, _) => org.apache.spark.sql.connector
+          .catalog.ViewCatalog.RESERVED_PROPERTIES.contains(k) }
+        .map { case (k, v) => s"p:$k" -> v }
+    Files.createDirectories(dir)
+    val body = m.toSeq.sortBy(_._1)
+      .map { case (k, v) =>
+        s""""${VersionedTable.escJson(k)}": "${VersionedTable.escJson(v)}""""
+      }.mkString("{", ", ", "}")
+    val tmp = dir.resolve(GraftCatalog.ViewFile + ".tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve(GraftCatalog.ViewFile),
+      StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    loadView(ident)
+  }
+
+  override def alterView(ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.ViewChange*)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val dir = tablePath(ident)
+    if (!isViewDir(dir))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident)
+    import org.apache.spark.sql.connector.catalog.ViewChange
+    val f = dir.resolve(GraftCatalog.ViewFile)
+    val updated = changes.foldLeft(readMeta0(f)) {
+      case (m, c: ViewChange.SetProperty) =>
+        m + (s"p:${c.property()}" -> c.value())
+      case (m, c: ViewChange.RemoveProperty) =>
+        m - s"p:${c.property()}"
+      case (_, c) => throw new UnsupportedOperationException(
+        s"ALTER VIEW ${ident.name()}: $c")
+    }
+    val body = updated.toSeq.sortBy(_._1)
+      .map { case (k, v) =>
+        s""""${VersionedTable.escJson(k)}": "${VersionedTable.escJson(v)}""""
+      }.mkString("{", ", ", "}")
+    val tmp = dir.resolve(GraftCatalog.ViewFile + ".tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, f, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean = {
+    val dir = tablePath(ident)
+    if (!isViewDir(dir)) false
+    else { GraftCatalog.deleteRecursively(dir); true }
+  }
+
+  override def renameView(oldIdent: Identifier,
+                          newIdent: Identifier): Unit = {
+    val from = tablePath(oldIdent)
+    if (!isViewDir(from))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(oldIdent)
+    val to = tablePath(newIdent)
+    if (isViewDir(to) || isTableDir(to))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(newIdent)
+    Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  /** Parse a flat escaped-string-map JSON file (the readMeta format,
+    * for an arbitrary path).
+    */
+  private def readMeta0(p: Path): Map[String, String] = {
+    if (!Files.exists(p)) return Map.empty
+    val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    val re = """"((?:[^"\\]|\\.)+)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+    re.findAllMatchIn(txt).flatMap { m =>
+      try Some(VersionedTable.unescJson(m.group(1)) ->
+        VersionedTable.unescJson(m.group(2)))
+      catch { case _: IllegalArgumentException => None }
+    }.toMap
+  }
+
   // ---- SupportsNamespaces ----------------------------------------------
 
   private def childNamespaces(dir: Path): Seq[String] = {
@@ -714,6 +903,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val s = Files.list(dir)
     try s.iterator().asScala.toSeq
       .filter(p => Files.isDirectory(p) && !isTableDir(p) &&
+        !isViewDir(p) &&
         !p.getFileName.toString.startsWith("_") &&
         !p.getFileName.toString.startsWith("."))
       .map(_.getFileName.toString).sorted
@@ -780,6 +970,9 @@ private[graft] object GraftCatalog {
   val SchemaKey = "__schema"
   val LocationKey = "location"
 
+  /** Persisted-view sidecar: SQL text + creation context + schema. */
+  val ViewFile = "_graft_view.json"
+
   /** Tombstoned (DROPped) column names, comma-separated lowercase —
     * excluded from the sync-mode observable schema union (the bytes
     * stay in old files) and blocked from re-ADD.
@@ -811,7 +1004,7 @@ private[graft] object GraftCatalog {
     */
   val ReservedOptionKeys: Set[String] = Set(
     "versionasof", "ref", "changesfrom", "changesto", "metadata",
-    "withdeletes")
+    "withdeletes", "branch")
 
   private[sources] def normalizePath(p: String): Path =
     if (p.startsWith("file:")) Paths.get(java.net.URI.create(p))

@@ -631,7 +631,7 @@ private[graft] object GraftScanPlanner {
     val changes = Option(m.get("changesFrom")).map { fromS =>
       val from = fromS.toLong
       val to = Option(m.get("changesTo")).map(_.toLong).getOrElse(
-        VersionedTable.versions(root).lastOption.getOrElse(
+        VersionedTable.mainlineVersions(root).lastOption.getOrElse(
           throw new IllegalStateException(
             s"$root has no retained versions — nothing to diff")))
       val keys = Option(m.get("keys"))
@@ -972,9 +972,11 @@ private[graft] object GraftScanPlanner {
       case None => // ---------------- flat form
         val (dirName, mOpt) = o.versionAsOf match {
           case Some(v) =>
-            // readVersion validates existence/retention loudly
+            // readVersion validates existence/retention loudly; the
+            // data dir comes from the history entry (a fast-forward
+            // publish shares the branch head's dir)
             VersionedTable.readVersion(spark, o.root, v)
-            (VersionedTable.versionDirName(v), None)
+            (VersionedTable.flatVersionDir(Paths.get(o.root), v), None)
           case None =>
             val m = VersionedTable.readManifest(o.root).getOrElse(
               throw new IllegalStateException(

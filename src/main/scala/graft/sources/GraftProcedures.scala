@@ -44,7 +44,7 @@ private[sources] object GraftProcedures {
     names.map(Identifier.of(Namespace, _)).toArray
 
   private val names = Seq("compact", "compact_sorted", "zorder",
-    "vacuum", "set_ref", "drop_ref", "remove_orphans")
+    "vacuum", "set_ref", "drop_ref", "remove_orphans", "fast_forward")
 
   def load(catalog: GraftCatalog, ident: Identifier): UnboundProcedure = {
     // standard error class (ROUTINE_NOT_FOUND / SQLSTATE 42883), not a
@@ -88,6 +88,8 @@ private[sources] object GraftProcedures {
         p("name", StringType))
       case "remove_orphans" => Array(p("table", StringType),
         p("older_than_hours", IntegerType, Some("24")))
+      case "fast_forward" => Array(p("table", StringType),
+        p("branch", StringType))
       case other => throw new IllegalStateException(s"unreachable: $other")
     }
 
@@ -109,6 +111,9 @@ private[sources] object GraftProcedures {
       StructField("tmp_files", IntegerType, nullable = false),
       StructField("version_dirs", IntegerType, nullable = false),
       StructField("scratch_dirs", IntegerType, nullable = false)))
+    case "fast_forward" => StructType(Seq(
+      StructField("branch", StringType, nullable = false),
+      StructField("version", LongType, nullable = false)))
     case other => throw new IllegalStateException(s"unreachable: $other")
   }
 
@@ -200,6 +205,11 @@ private[sources] object GraftProcedures {
         val (a, b, c, d) = VersionedTable.removeOrphans(root,
           olderThanMs = input.getInt(1).toLong * 3600L * 1000L)
         new GenericInternalRow(Array[Any](a, b, c, d))
+      case "fast_forward" =>
+        val branch = input.getUTF8String(1).toString
+        val v = VersionedTable.fastForward(root, branch)
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(branch), v))
       case other => throw new IllegalStateException(s"unreachable: $other")
     }
   }

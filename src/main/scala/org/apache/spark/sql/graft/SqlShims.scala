@@ -64,4 +64,64 @@ object SqlShims {
     new org.apache.spark.util.SerializableConfiguration(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .sessionState.newHadoopConf())
+
+  /** Statistics forwarding for the V1 fallback: after scan pushdown
+    * the logical relation holds Spark's `V1ScanWrapper`, which does
+    * NOT implement `SupportsReportStatistics` — so the wrapped scan's
+    * real statistics never reach `computeStats` and every graft scan
+    * planned as the default (effectively infinite) size. This shim
+    * re-wraps the scan in a subclass that forwards the estimate
+    * (class-extends-case-class is legal; the inherited structural
+    * equality keeps plan canonicalization and cache matching intact).
+    * Lives in the shim package because `PushedDownOperators` is
+    * `private[sql]`.
+    */
+  def wrapScanWithStats(
+      plan: LogicalPlan,
+      estimate: org.apache.spark.sql.connector.read.V1Scan =>
+        Option[org.apache.spark.sql.connector.read.Statistics])
+      : LogicalPlan = {
+    import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation, V1ScanWrapper}
+    plan.transform {
+      case r: DataSourceV2ScanRelation => r.scan match {
+        case w: V1ScanWrapper
+            if !w.isInstanceOf[StatsReportingV1ScanWrapper] =>
+          estimate(w.v1Scan) match {
+            case Some(st) => r.copy(scan =
+              new StatsReportingV1ScanWrapper(w, st))
+            case None => r
+          }
+        case _ => r
+      }
+    }
+  }
+}
+
+/** A `V1ScanWrapper` that additionally reports statistics — see
+  * [[SqlShims.wrapScanWithStats]].
+  */
+private[sql] class StatsReportingV1ScanWrapper(
+    base: org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper,
+    st: org.apache.spark.sql.connector.read.Statistics)
+  extends org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper(
+    base.v1Scan, base.handledFilters, base.pushedDownOperators)
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = st
+  // the INHERITED case-class equality made the rewrapped relation
+  // structurally equal to the original, so transformDown's fastEquals
+  // silently DISCARDED the replacement — equality must distinguish
+  // the stats wrapper from the plain one (two stats wrappers over
+  // equal scans still compare equal, keeping canonicalized plan
+  // comparisons stable across identical queries)
+  override def equals(other: Any): Boolean = other match {
+    case o: StatsReportingV1ScanWrapper => super.equals(o)
+    case _ => false
+  }
+  // the PLAIN wrapper's generated equals accepts any V1ScanWrapper
+  // whose canEqual says yes — without this, plain == stats-wrapped
+  // stays true asymmetrically and fastEquals still discards
+  override def canEqual(that: Any): Boolean =
+    that.isInstanceOf[StatsReportingV1ScanWrapper]
+  override def hashCode(): Int = super.hashCode() * 31 + 1
 }

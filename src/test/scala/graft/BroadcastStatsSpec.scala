@@ -37,11 +37,12 @@ class BroadcastStatsSpec extends SparkSpec {
       .join(spark.read.format("graft").load(dimRoot), "k")
       .agg(count(lit(1)).as("n"), sum(col("v") + col("w")).as("s"))
 
-    // the session is shared across suites — the rule may already be
+    // the session is shared across suites — the rules may already be
     // installed by an earlier test; only assert the uninstalled shape
-    // when it genuinely is uninstalled
-    val pre = spark.experimental.extraOptimizations
-      .exists(_.isInstanceOf[GraftBroadcastStats])
+    // when BOTH stats paths genuinely are uninstalled
+    val pre = spark.experimental.extraOptimizations.exists(r =>
+      r.isInstanceOf[GraftBroadcastStats] ||
+        r.isInstanceOf[graft.plans.GraftScanStats])
     if (!pre) {
       val before = query().queryExecution.executedPlan.toString
       assert(!bhj(before),
@@ -94,5 +95,49 @@ class BroadcastStatsSpec extends SparkSpec {
       assert(!bhj(q().queryExecution.executedPlan.toString))
     } finally spark.conf.set(
       "spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("SupportsReportStatistics through the V1 wrapper: with the " +
+    "HINT RULE REMOVED, the broadcast decision flows from the " +
+    "reported stats alone, and sidecar row counts reach the logical " +
+    "plan statistics") {
+    val (factRoot, dimRoot) = freshRoots()
+    VersionedTable.upsert(spark, factRoot,
+      spark.range(0, 5000).select(col("id"), (col("id") % 7).as("k"),
+        (col("id") * 3).as("v")), Seq("id"))
+    VersionedTable.upsert(spark, dimRoot,
+      spark.range(0, 7).select(col("id").as("k"),
+        (col("id") * 100).as("w")), Seq("k"))
+    val saved = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations =
+        saved.filterNot(r => r.isInstanceOf[GraftBroadcastStats] ||
+          r.isInstanceOf[graft.plans.GraftScanStats]) :+
+          graft.plans.GraftScanStats(spark)
+      def query() = spark.read.format("graft").load(factRoot)
+        .join(spark.read.format("graft").load(dimRoot), "k")
+        .agg(count(lit(1)).as("n"), sum(col("v") + col("w")).as("s"))
+      val q = query()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(bhj(plan),
+        s"reported stats alone must drive the broadcast:\n" +
+          plan.take(800))
+      // the LOGICAL statistics carry real numbers: manifest bytes
+      // and the sidecar row count (7 dim rows, no deletes pending)
+      val dimStats = spark.read.format("graft").load(dimRoot)
+        .queryExecution.optimizedPlan.stats
+      assert(dimStats.rowCount.contains(BigInt(7)), s"$dimStats")
+      assert(dimStats.sizeInBytes > 0 &&
+        dimStats.sizeInBytes < 1000000, s"$dimStats")
+      assert(q.head.getLong(0) === 5000L)
+      // a table with pending MoR masks must DECLINE the row count
+      // (visible cardinality differs from the file counts) but keep
+      // the size upper bound
+      VersionedTable.softDeletePos(spark, dimRoot, col("k") === 0)
+      val masked = spark.read.format("graft").load(dimRoot)
+        .queryExecution.optimizedPlan.stats
+      assert(masked.rowCount.isEmpty, s"$masked")
+      assert(masked.sizeInBytes > 0, s"$masked")
+    } finally spark.experimental.extraOptimizations = saved
   }
 }

@@ -312,6 +312,14 @@ class EntrySpec extends SparkSpec {
                              // audit columns are integer version/
                              // entry counts; strict-verified
                              // sf0.001/0.01/0.1 2026-08-16
+      "q335_branch_wap",     // integer-cents pin (round(value*100) →
+                             // BIGINT before sums); audit columns are
+                             // integer pin digits; strict-verified
+                             // sf0.001/0.01/0.1 2026-08-16
+      "q334_sql_views",      // integer-cents pin (round(value*100) →
+                             // BIGINT before sums); audit columns are
+                             // integer pin digits; strict-verified
+                             // sf0.001/0.01/0.1 2026-08-16
       "q332_mor_update",     // integer-cents pin (round(value*100) →
                              // BIGINT before *3/sums); audit columns
                              // are integer pin digits;
