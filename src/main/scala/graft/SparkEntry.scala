@@ -7579,10 +7579,9 @@ object SparkEntry {
       val badCaught = if (s.sql("SELECT count(*) FROM g13.q335.ev " +
           "VERSION AS OF 'bad' WHERE cents < 0")
           .head.getLong(0) > 0L) 1L else 0L
+      // dropping the branch drops its fork-base companions too
       s.sql("CALL g13.system.drop_ref(table => 'q335.ev', " +
         "name => 'bad')")
-      s.sql("CALL g13.system.drop_ref(table => 'q335.ev', " +
-        "name => 'bad@base')")
       // CAS-race leg: a branch forks, MAIN commits, publish refuses
       s.range(1).select(lit(999999998L).as("event_id"),
           lit("y").as("day"), lit("raced").as("event_type"),
@@ -7602,7 +7601,7 @@ object SparkEntry {
                 e.getMessage.contains("moved") => 1L
           case _: Throwable => 0L
         }
-      vt.dropRef(root, "race"); vt.dropRef(root, "race@base")
+      vt.dropRef(root, "race")
       s.sql("SELECT concat('t:', event_type) AS part, count(*) AS n, " +
           "sum(cents) AS c FROM g13.q335.ev GROUP BY event_type")
         .unionByName(s.range(1).select(lit("_audit").as("part"),

@@ -313,7 +313,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (post-hoc: the stock analyzer resolves the command first)
     ext.injectPostHocResolutionRule(graft.plans.GraftSqlRules(_))
     // persisted views (CREATE/DROP/SHOW VIEW + SELECT substitution)
-    ext.injectResolutionRule(graft.plans.GraftViewSubstitution(_))
+    ext.injectHintResolutionRule(graft.plans.GraftViewSubstitution(_))
     ext.injectHintResolutionRule(graft.plans.GraftViewDdl(_))
   }
 }

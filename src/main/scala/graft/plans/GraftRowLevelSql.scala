@@ -139,7 +139,7 @@ class GraftSqlExtensions
     ext.injectPostHocResolutionRule(GraftSqlRules(_))
     // persisted views (stock 4.1 has the ViewCatalog API but no DDL
     // execs and no SELECT resolution — the Iceberg extension seam)
-    ext.injectResolutionRule(GraftViewSubstitution(_))
+    ext.injectHintResolutionRule(GraftViewSubstitution(_))
     ext.injectHintResolutionRule(GraftViewDdl(_))
   }
 }
@@ -683,6 +683,14 @@ private[plans] object GraftMorExec {
       : Option[Boolean] = {
     if (!enabled(table)) return None
     val root = table.opts.root
+    // same determinism contract as COW — and stricter need: the MoR
+    // batch unions THREE branches that each re-filter the addressed
+    // frame before the checkpoint, so a nondeterministic condition
+    // could delete a row in one branch and not post-image it in
+    // another
+    condition.foreach(c =>
+      GraftRowLevelExec.requireDeterministic(c,
+        "the statement condition"))
     if (condition.exists(hasSubquery)) return None
     if (assignments.exists(_.exists(a => hasSubquery(a.value))))
       return None
@@ -737,8 +745,16 @@ private[plans] object GraftMorExec {
     val bind = (e: Expression) => rebind(e, target.output, adf)
     val condCol = condition.map(bind).getOrElse(lit(true))
     val matched = adf.filter(condCol)
+    // types come from the DECLARED relation, not the physical files:
+    // after a widening ALTER COLUMN TYPE the files are still narrow
+    // and a physical-type cast would overflow beyond-narrow values
+    val declaredType: Map[String,
+        org.apache.spark.sql.types.DataType] =
+      target.output.map(a => a.name.toLowerCase -> a.dataType).toMap
     val dataFields =
       adf.schema.fields.toSeq.filterNot(f => Internal(f.name))
+        .map(f => f.copy(dataType =
+          declaredType.getOrElse(f.name.toLowerCase, f.dataType)))
     val assignMap: Map[String, Column] =
       assignments.getOrElse(Seq.empty).map { a =>
         val name = attrName(a.key, "UPDATE SET")
@@ -828,8 +844,13 @@ private[plans] object GraftMorExec {
       require(!adf.columns.contains(r) && !sdf0.columns.contains(r),
         s"column name $r is reserved by MERGE execution")
     }
+    // declared types, not physical — see mutateOnce
+    val mDeclared: Map[String, org.apache.spark.sql.types.DataType] =
+      target.output.map(a => a.name.toLowerCase -> a.dataType).toMap
     val dataFields =
       adf.schema.fields.toSeq.filterNot(f => Internal(f.name))
+        .map(f => f.copy(dataType =
+          mDeclared.getOrElse(f.name.toLowerCase, f.dataType)))
     val tdf = adf.withColumn(TPresent, lit(true))
       .withColumn(Tid, monotonically_increasing_id())
     val sdf = sdf0.withColumn(SPresent, lit(true))

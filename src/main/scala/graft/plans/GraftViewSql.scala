@@ -58,17 +58,61 @@ case class GraftViewSubstitution(spark: SparkSession)
     val v = cat.loadView(ident)
     val parsed = spark.sessionState.sqlParser.parsePlan(v.query)
     // bare names in the stored SQL meant "in the creation context" —
-    // qualify them so the view reads the same tables from anywhere
+    // qualify them so the view reads the same tables from anywhere.
+    // CTEs must be INLINED here: this substitution runs in the Hints
+    // batch, which Spark 4 places AFTER the Substitution batch, so
+    // the analyzer's own CTESubstitution has already run and will
+    // never see an UnresolvedWith we inject (recursive CTEs in view
+    // SQL are not supported). Subquery expressions get the same
+    // treatment — resolveOperatorsUp never descends into them.
     val ctx: Seq[String] =
       v.currentCatalog +: v.currentNamespace.toSeq
-    val anchored = parsed.resolveOperatorsUp {
-      case r: UnresolvedRelation if r.multipartIdentifier.length == 1 =>
-        r.copy(multipartIdentifier = ctx :+ r.multipartIdentifier.head)
-      case r: UnresolvedRelation if r.multipartIdentifier.length == 2 &&
-          graftCatalog(r.multipartIdentifier.head).isEmpty =>
-        r.copy(multipartIdentifier =
-          v.currentCatalog +: r.multipartIdentifier)
-    }
+    def replaceRefs(p: LogicalPlan,
+                    defs: Map[String, LogicalPlan]): LogicalPlan =
+      p.resolveOperatorsUp {
+        case r: UnresolvedRelation
+            if r.multipartIdentifier.length == 1 &&
+              defs.contains(r.multipartIdentifier.head.toLowerCase) =>
+          defs(r.multipartIdentifier.head.toLowerCase)
+        case lp => lp.transformExpressionsUp {
+          case sq: org.apache.spark.sql.catalyst.expressions
+              .SubqueryExpression =>
+            sq.withNewPlan(replaceRefs(sq.plan, defs))
+        }
+      }
+    def inlineCtes(p: LogicalPlan): LogicalPlan =
+      p.resolveOperatorsUp {
+        case w: org.apache.spark.sql.catalyst.plans.logical
+            .UnresolvedWith =>
+          val defs = w.cteRelations
+            .foldLeft(Map.empty[String, LogicalPlan]) {
+              case (acc, (name, sub, _)) =>
+                acc + (name.toLowerCase -> replaceRefs(sub, acc))
+            }
+          replaceRefs(w.child, defs)
+        case lp => lp.transformExpressionsUp {
+          case sq: org.apache.spark.sql.catalyst.expressions
+              .SubqueryExpression =>
+            sq.withNewPlan(inlineCtes(sq.plan))
+        }
+      }
+    def anchorPlan(p: LogicalPlan): LogicalPlan =
+      p.resolveOperatorsUp {
+        case r: UnresolvedRelation
+            if r.multipartIdentifier.length == 1 =>
+          r.copy(multipartIdentifier =
+            ctx :+ r.multipartIdentifier.head)
+        case r: UnresolvedRelation
+            if r.multipartIdentifier.length == 2 &&
+              graftCatalog(r.multipartIdentifier.head).isEmpty =>
+          r.copy(multipartIdentifier =
+            v.currentCatalog +: r.multipartIdentifier)
+        case lp => lp.transformExpressionsUp {
+          case sq: org.apache.spark.sql.catalyst.expressions
+              .SubqueryExpression => sq.withNewPlan(anchorPlan(sq.plan))
+        }
+      }
+    val anchored = anchorPlan(inlineCtes(parsed))
     val aliased =
       if (v.columnAliases.nonEmpty)
         UnresolvedSubqueryColumnAliases(v.columnAliases.toSeq, anchored)
@@ -141,7 +185,10 @@ case class GraftViewDdl(spark: SparkSession) extends Rule[LogicalPlan] {
         case None => plan
       }
     case DropView(ui: org.apache.spark.sql.catalyst.analysis
-        .UnresolvedIdentifier, ifExists) =>
+        .UnresolvedIdentifier, ifExists)
+        // temp views take precedence over catalog views in DROP —
+        // leave them to the stock resolution
+        if !spark.sessionState.catalog.isTempView(ui.nameParts) =>
       graftFor(ui.nameParts) match {
         case Some((cat, parts)) =>
           GraftDropViewCommand(cat, Identifier.of(

@@ -288,9 +288,79 @@ object VersionedTable {
       StandardCharsets.UTF_8).contains(""""branch":""")
   }
 
-  /** [[versions]] restricted to MAIN-LINE commits. */
-  def mainlineVersions(root: String): Seq[Long] =
-    versions(root).filterNot(isBranchVersion(root, _))
+  /** [[versions]] restricted to MAIN-LINE commits — single pass over
+    * the history entries (each file read once: branch marker, data
+    * dirs, readability all come from the same bytes); this backs
+    * TIMESTAMP AS OF and CDF default-range planning.
+    */
+  def mainlineVersions(root: String): Seq[Long] = {
+    val rootP = Paths.get(root)
+    val hist = rootP.resolve("_versions")
+    if (!Files.isDirectory(hist)) return Seq.empty
+    val s = Files.list(hist)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.toSeq.flatMap { p =>
+        """^v(\d{8})\.json$""".r
+          .findFirstMatchIn(p.getFileName.toString)
+          .map(_.group(1).toLong).flatMap { v =>
+            val txt = new String(Files.readAllBytes(p),
+              StandardCharsets.UTF_8)
+            if (txt.contains(""""branch":""")) None
+            else {
+              val dirs = parsePartitionedManifest(txt)
+                .map(_.partitions.values.toSet)
+                .getOrElse {
+                  """"live"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+                    .map(m => Set(m.group(1)))
+                    .getOrElse(Set(versionDirName(v)))
+                }
+              if (dirs.forall(d => Files.isDirectory(rootP.resolve(d))))
+                Some(v)
+              else None
+            }
+          }
+      }.sorted
+    } finally s.close()
+  }
+
+  /** The data dirs of the newest `k` MAIN-LINE history entries —
+    * what the flat retention pass must preserve regardless of how
+    * many numerically-newer BRANCH dirs exist (and a published
+    * branch head's dir is referenced by a mainline entry, so sharing
+    * survives too). Reads entries newest-first, stopping after `k`
+    * mainline hits.
+    */
+  private def newestMainlineDirs(rootP: Path, k: Int): Set[String] = {
+    val hist = rootP.resolve("_versions")
+    if (!Files.isDirectory(hist)) return Set.empty
+    val names = {
+      val s = Files.list(hist)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.matches("v\\d{8}\\.json"))
+          .sortBy(_.getFileName.toString).reverse
+      } finally s.close()
+    }
+    var found = 0
+    val out = Set.newBuilder[String]
+    val it = names.iterator
+    while (found < k && it.hasNext) {
+      val p = it.next()
+      val txt = new String(Files.readAllBytes(p),
+        StandardCharsets.UTF_8)
+      if (!txt.contains(""""branch":""")) {
+        found += 1
+        out ++= parsePartitionedManifest(txt)
+          .map(_.partitions.values.toSet)
+          .getOrElse(
+            """"live"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+              .map(m => Set(m.group(1))).getOrElse(Set.empty))
+      }
+    }
+    out.result()
+  }
 
   /** The DATA dir of a FLAT version — the history entry's `live`
     * field: normally the conventional `vNNNNNNNN`, but a
@@ -748,7 +818,9 @@ object VersionedTable {
     */
   def dropRef(root: String, name: String): Unit = {
     val rootP = Paths.get(root)
-    withCommitLock(rootP) { writeRefs(rootP, refs(root) - name) }
+    // dropping a BRANCH also drops its fork-base companions
+    withCommitLock(rootP) { writeRefs(rootP,
+      refs(root) - name - s"$name@base" - s"$name@posbase") }
   }
 
   /** Read the snapshot a named ref points at (unpartitioned tables —
@@ -770,13 +842,17 @@ object VersionedTable {
     * partition map.
     */
   private def refPinnedDirs(rootP: Path): Set[String] =
-    refs(rootP.toString).values.toSet.flatMap { (v: Long) =>
-      if (!Files.exists(versionManifestPath(rootP, v)))
-        Set.empty[String]
-      else readHistoryPartitionedManifest(rootP, v)
-        .map(_.partitions.values.toSet)
-        .getOrElse(Set(flatVersionDir(rootP, v)))
-    }
+    refs(rootP.toString)
+      // @posbase companions hold POS-SUB-TABLE versions, not main
+      // versions — pinning main dirs by those numbers would be wrong
+      .filterNot(_._1.endsWith("@posbase"))
+      .values.toSet.flatMap { (v: Long) =>
+        if (!Files.exists(versionManifestPath(rootP, v)))
+          Set.empty[String]
+        else readHistoryPartitionedManifest(rootP, v)
+          .map(_.partitions.values.toSet)
+          .getOrElse(Set(flatVersionDir(rootP, v)))
+      }
 
   // ------------------------------------------------------------------
   // BRANCH WRITES (write-audit-publish): a pipeline commits its batch
@@ -825,9 +901,15 @@ object VersionedTable {
       Files.move(staging, rootP.resolve(versionDirName(next)),
         StandardCopyOption.ATOMIC_MOVE)
       writeHistoryEntry(rootP, next, historyBody(next))
+      // the fork pins BOTH the main version and the pos-delete
+      // sub-table version: merge-on-read DML and the DELETE fast path
+      // mutate main WITHOUT a manifest bump, and a publish that
+      // missed one would silently discard it (its entries stale
+      // against the branch's dirs)
       val base: Map[String, Long] =
         if (expectedRef.isEmpty)
-          Map(s"$branch@base" -> currentMainVersion(root))
+          Map(s"$branch@base" -> currentMainVersion(root),
+            s"$branch@posbase" -> posVersion(root))
         else Map.empty
       writeRefs(rootP, refs(root) + (branch -> next) ++ base)
       next
@@ -970,6 +1052,15 @@ object VersionedTable {
           s"$root main moved to v$curMain since branch '$branch' " +
             s"forked at v$base — re-run the branch pipeline against " +
             "the new base and re-audit")
+      // merge-on-read mutations bump only the pos-delete sub-table —
+      // a publish over them would stale (silently discard) their
+      // entries against the branch's dirs
+      val posBase = r.getOrElse(s"$branch@posbase", posVersion(root))
+      if (posVersion(root) != posBase)
+        throw new ConcurrentCommitException(
+          s"$root took merge-on-read mutations (pos-delete sub-table " +
+            s"moved past v$posBase) since branch '$branch' forked — " +
+            "re-run the branch pipeline against the new base")
       val next = maxAllocatedVersion(rootP) + 1
       readHistoryPartitionedManifest(rootP, head) match {
         case Some(m) =>
@@ -988,7 +1079,8 @@ object VersionedTable {
             StandardCopyOption.REPLACE_EXISTING)
           writeHistoryEntry(rootP, next, body)
       }
-      writeRefs(rootP, r - branch - s"$branch@base")
+      writeRefs(rootP, r - branch - s"$branch@base" -
+        s"$branch@posbase")
       next
     }
   }
@@ -1057,22 +1149,22 @@ object VersionedTable {
       // flip so a version is only ever listed once fully committed
       writeHistoryEntry(rootP, next,
         s"""{"version": $next, "live": "$dirName"}""")
-      // prune: newest `keepVersions` dirs survive; ref'd snapshots
-      // are pinned regardless of age — and the LIVE dir is never
-      // touched (branch commits can be numerically newer than the
-      // main line, so "newest K" alone no longer implies the live
-      // dir is among them)
+      // prune: the newest `keepVersions` MAIN-LINE snapshots' dirs
+      // survive (branch dirs never count toward K — they would evict
+      // recent main data while themselves being retained), ref'd
+      // snapshots (incl. branch heads) are pinned regardless of age,
+      // and the just-committed dir is always kept
       val pinned = refPinnedDirs(rootP)
+      val keepMain = newestMainlineDirs(rootP,
+        math.max(1, keepVersions)) + dirName
       val s = Files.list(rootP)
       try {
         import scala.jdk.CollectionConverters._
         s.iterator().asScala.toSeq
           .filter(p => Files.isDirectory(p) &&
             p.getFileName.toString.matches("v\\d{8}"))
-          .sortBy(_.getFileName.toString)
-          .dropRight(math.max(1, keepVersions))
           .filterNot(p => pinned(p.getFileName.toString) ||
-            p.getFileName.toString == dirName)
+            keepMain(p.getFileName.toString))
           .foreach(deleteRecursively)
       } finally s.close()
       next

@@ -138,6 +138,10 @@ private[sources] class GraftBatchWrite(root: String,
       // rows) so path-based readers find a manifest.
       val noopAppend = files.isEmpty &&
         mode == GraftNativeWrite.Append &&
+        // a zero-row BRANCH write still matters: the first one forks
+        // the branch (ref + fork base), and a WAP pipeline's empty
+        // epoch must leave a publishable branch behind
+        !Option(info.options.get("branch")).exists(_.trim.nonEmpty) &&
         (VersionedTable.readManifest(root).isDefined ||
           VersionedTable.readPartitionedManifest(root).isDefined)
       if (!noopAppend) {

@@ -584,6 +584,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"ALTER TABLE ${ident.name()}: '$name' was previously " +
             "DROPPED — re-adding it would resurrect old values; use " +
             "a fresh name or rewrite the table")
+        // and a RENAMED-AWAY name may not come back either: the
+        // rename normalization would fold the new column into the
+        // rename target (coalesce) and drop it from every read
+        require(!VersionedTable.columnRenames(dataRootS)
+            .exists(_._1.equalsIgnoreCase(name)),
+          s"ALTER TABLE ${ident.name()}: '$name' was renamed away — " +
+            "old files still carry it under that name and reads " +
+            "would fold the new column into the rename target; use " +
+            "a fresh name")
         m + (GraftCatalog.SchemaKey ->
           declared.add(org.apache.spark.sql.types.StructField(
             name, c.dataType(), nullable = true)).json) +
@@ -608,6 +617,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             .contains(to.toLowerCase),
           s"ALTER TABLE ${ident.name()}: '$to' was previously " +
             "DROPPED — renaming onto it would resurrect old values")
+        require(!VersionedTable.columnRenames(dataRootS)
+            .exists(_._1.equalsIgnoreCase(to)),
+          s"ALTER TABLE ${ident.name()}: '$to' was renamed away " +
+            "earlier — reusing it would fold this column into the " +
+            "old rename target; use a fresh name")
         guardStructural(m, from, "RENAME COLUMN")
         renameEvents += (from -> to)
         m + (GraftCatalog.SchemaKey -> StructType(declared.fields.map(

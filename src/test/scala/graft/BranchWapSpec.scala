@@ -127,7 +127,8 @@ class BranchWapSpec extends SparkSpec {
   }
 
   test("retention never reaps the live dir when branch dirs are " +
-    "numerically newer; intermediate branch versions stay prunable") {
+    "numerically newer; the keepVersions promise counts MAIN-LINE " +
+    "snapshots only; intermediate branch versions stay prunable") {
     wh
     val root = s"$wh/m/r"
     VersionedTable.append(spark, root, Seq((1L, 1L)).toDF("id", "v"))
@@ -139,5 +140,47 @@ class BranchWapSpec extends SparkSpec {
     VersionedTable.append(spark, root, Seq((2L, 2L)).toDF("id", "v"))
     assert(VersionedTable.readLive(spark, root).count() === 2)
     assert(VersionedTable.readRef(spark, root, "b").count() === 4)
+    // keepVersions=2 promised TWO main-line snapshots: v1 must still
+    // time-travel even though three branch dirs outrank it
+    assert(VersionedTable.readVersion(spark, root, 1L).count() === 1)
+  }
+
+  test("publish refuses when MERGE-ON-READ mutations landed on main " +
+    "after the fork (they bump only the sub-table, not the manifest)") {
+    wh
+    spark.sql("CREATE TABLE wcat.m.mor (id BIGINT, v BIGINT) " +
+      "USING graft " +
+      "TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')")
+    spark.sql("INSERT INTO wcat.m.mor SELECT id, id FROM range(4)")
+    val root = s"$wh/m/mor"
+    VersionedTable.appendToBranch(spark, root,
+      Seq((9L, 9L)).toDF("id", "v"), "wap")
+    // a MoR UPDATE on MAIN: no manifest bump, pos sub-table moves
+    spark.sql("UPDATE wcat.m.mor SET v = v + 100 WHERE id = 1")
+    assert(VersionedTable.readManifest(root).get.version === 1L)
+    val e = intercept[VersionedTable.ConcurrentCommitException](
+      VersionedTable.fastForward(root, "wap"))
+    assert(e.getMessage.contains("merge-on-read"), e.getMessage)
+    // the update survives; the branch can be dropped cleanly (drop
+    // cleans its fork-base companions too)
+    assert(spark.sql("SELECT v FROM wcat.m.mor WHERE id = 1")
+      .head.getLong(0) === 101L)
+    VersionedTable.dropRef(root, "wap")
+    assert(VersionedTable.refs(root).isEmpty)
+  }
+
+  test("a ZERO-ROW branch write still forks the branch (a WAP " +
+    "pipeline's empty epoch must leave a publishable branch)") {
+    wh
+    val root = s"$wh/m/z"
+    VersionedTable.append(spark, root, Seq((1L, 1L)).toDF("id", "v"))
+    spark.range(0).select(col("id"), col("id").as("v"))
+      .write.format("graft").option("branch", "wap")
+      .mode("append").save(root)
+    assert(VersionedTable.refs(root).contains("wap"),
+      s"${VersionedTable.refs(root)}")
+    val pub = VersionedTable.fastForward(root, "wap")
+    assert(pub > 1L)
+    assert(VersionedTable.readLive(spark, root).count() === 1)
   }
 }

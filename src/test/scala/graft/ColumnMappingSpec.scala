@@ -144,6 +144,25 @@ class ColumnMappingSpec extends SparkSpec {
     assert(e4.getMessage.contains("equality-delete"), e4.getMessage)
   }
 
+  test("a RENAMED-AWAY name may not be re-declared: ADD COLUMNS and " +
+    "RENAME ... TO onto a rename-event source are rejected (the " +
+    "normalization would fold the new column into the old target)") {
+    wh
+    spark.sql("CREATE TABLE cmcat.m.ra (id BIGINT, a BIGINT, " +
+      "c BIGINT) USING graft")
+    spark.sql("INSERT INTO cmcat.m.ra VALUES (1, 10, 99)")
+    spark.sql("ALTER TABLE cmcat.m.ra RENAME COLUMN a TO b")
+    val e1 = intercept[Exception](spark.sql(
+      "ALTER TABLE cmcat.m.ra ADD COLUMNS (a BIGINT)"))
+    assert(e1.getMessage.contains("renamed away"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "ALTER TABLE cmcat.m.ra RENAME COLUMN c TO a"))
+    assert(e2.getMessage.contains("renamed away"), e2.getMessage)
+    // reads unharmed
+    assert(spark.sql("SELECT b, c FROM cmcat.m.ra")
+      .as[(Long, Long)].head() === ((10L, 99L)))
+  }
+
   test("DROP COLUMN tombstones the name (no resurfacing through sync " +
     "schema resolution, no re-ADD), later INSERTs omit it") {
     wh

@@ -114,6 +114,49 @@ class GraftViewSpec extends SparkSpec {
     assert(e != null)
   }
 
+  test("view SQL with a CTE keeps its CTE references un-anchored; " +
+    "bare names INSIDE subqueries anchor to the creation context; " +
+    "DROP VIEW prefers a session temp view over a catalog view") {
+    wh
+    spark.sql("CREATE TABLE vcat.m.src (id BIGINT, v BIGINT) " +
+      "USING graft")
+    spark.sql("INSERT INTO vcat.m.src SELECT id, id * 3 FROM range(6)")
+    spark.sql("CREATE TABLE vcat.m.allow (id BIGINT) USING graft")
+    spark.sql("INSERT INTO vcat.m.allow VALUES (1), (4)")
+    val prevCat = spark.sessionState.catalogManager.currentCatalog
+    spark.sql("USE vcat.m")
+    try {
+      // CTE reference 'x' must NOT anchor to vcat.m.x; the bare
+      // subquery name 'allow' MUST anchor to vcat.m.allow
+      spark.sql("CREATE VIEW vcte AS WITH x AS " +
+        "(SELECT id, v FROM src WHERE id IN (SELECT id FROM allow)) " +
+        "SELECT sum(v) AS s FROM x")
+    } finally {
+      spark.sessionState.catalogManager.setCurrentCatalog(
+        prevCat.name())
+      spark.sql("USE spark_catalog.default")
+    }
+    // queried from ANOTHER context: both anchors must hold
+    assert(spark.sql("SELECT s FROM vcat.m.vcte").head.getLong(0)
+      === 15L) // 3*1 + 3*4
+    // DROP VIEW with a TEMP view of the same name under a graft
+    // current catalog must drop the temp view, not the catalog one
+    spark.sql("CREATE VIEW vcat.m.shadow AS SELECT 1 AS one")
+    spark.sql("CREATE TEMPORARY VIEW shadow AS SELECT 2 AS two")
+    val prev2 = spark.sessionState.catalogManager.currentCatalog
+    spark.sql("USE vcat.m")
+    try spark.sql("DROP VIEW shadow")
+    finally {
+      spark.sessionState.catalogManager.setCurrentCatalog(
+        prev2.name())
+      spark.sql("USE spark_catalog.default")
+    }
+    assert(spark.sessionState.catalog.getTempView("shadow").isEmpty,
+      "the TEMP view should have been dropped")
+    assert(spark.sql("SELECT one FROM vcat.m.shadow")
+      .head.getInt(0) === 1, "the catalog view must survive")
+  }
+
   test("views never shadow tables, don't list as tables or " +
     "namespaces, and CREATE TABLE over a view name is rejected") {
     wh

@@ -309,6 +309,36 @@ class MorDmlSpec extends SparkSpec {
       (5L, 50L, "b"), (6L, 60L, "a")))
   }
 
+  test("nondeterministic MoR UPDATE conditions are rejected like " +
+    "COW ones (the entry batch re-filters per branch pre-checkpoint)") {
+    wh
+    spark.sql("CREATE TABLE mrcat.m.nd (id BIGINT, v BIGINT) " +
+      "USING graft " +
+      "TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')")
+    spark.sql("INSERT INTO mrcat.m.nd SELECT id, id FROM range(4)")
+    val e = intercept[Exception](spark.sql(
+      "UPDATE mrcat.m.nd SET v = 0 WHERE rand() < 0.5"))
+    assert(e.getMessage.contains("deterministic"), e.getMessage)
+    assert(spark.sql("SELECT sum(v) FROM mrcat.m.nd")
+      .head.getLong(0) === 6L, "nothing may have committed")
+  }
+
+  test("MoR UPDATE after a widening ALTER COLUMN TYPE casts " +
+    "post-images to the DECLARED type (beyond-narrow values land)") {
+    wh
+    spark.sql("CREATE TABLE mrcat.m.wd (id BIGINT, n INT) " +
+      "USING graft " +
+      "TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')")
+    spark.sql("INSERT INTO mrcat.m.wd VALUES (1, 100), (2, 200)")
+    spark.sql("ALTER TABLE mrcat.m.wd ALTER COLUMN n TYPE BIGINT")
+    spark.sql("UPDATE mrcat.m.wd SET n = 4000000000 WHERE id = 1")
+    assert(spark.sql("SELECT id, n FROM mrcat.m.wd ORDER BY id")
+      .as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 4000000000L), (2L, 200L)))
+    // zero-rewrite property held through the widened path
+    assert(VersionedTable.readManifest(s"$wh/m/wd").get.version === 1L)
+  }
+
   test("MoR fallbacks stay COW: partition-moving assignment and " +
     "partitioned MERGE still commit copy-on-write versions") {
     wh
