@@ -7544,8 +7544,10 @@ object SparkEntry {
       ensureG13(s)
       s.sql("DROP NAMESPACE IF EXISTS g13.q335 CASCADE")
       s.sql("CREATE NAMESPACE g13.q335")
+      // month granularity — the branch stages the whole odd half, so
+      // partition count drives its commit cost (same trade as q332)
       val ev = Tables.events(s, d).select(col("event_id"),
-        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        date_format(col("ts"), "yyyy-MM").as("day"),
         col("event_type"),
         round(col("value") * 100).cast("long").as("cents"))
       ev.createOrReplaceTempView("q335_src")
@@ -7728,13 +7730,18 @@ object SparkEntry {
       ensureG13(s)
       s.sql("DROP NAMESPACE IF EXISTS g13.q332 CASCADE")
       s.sql("CREATE NAMESPACE g13.q332")
+      // month granularity: the twins pay ~12 partitioned commits
+      // each — partition count, not row count, is their cost driver
       val ev = Tables.events(s, d).select(col("event_id"),
-        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        date_format(col("ts"), "yyyy-MM").as("day"),
         col("event_type"),
         round(col("value") * 100).cast("long").as("cents"))
       ev.createOrReplaceTempView("q332_src")
-      // partitioned twins: same data, same UPDATE + (arithmetic,
-      // untranslatable → row-level path) DELETE
+      // partitioned twins on a THIRD of the events (the COW twin
+      // rewrites every clicked partition TWICE — that cost is the
+      // point being contrasted, not worth paying on the full table):
+      // same data, same UPDATE + (arithmetic, untranslatable →
+      // row-level path) DELETE
       for (t <- Seq("cow", "mor")) {
         val prop = if (t == "mor")
           " TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')" else ""
@@ -7742,7 +7749,8 @@ object SparkEntry {
           "day STRING, event_type STRING, cents BIGINT) USING graft " +
           s"PARTITIONED BY (day)$prop")
         s.sql(s"INSERT INTO g13.q332.$t " +
-          "SELECT event_id, day, event_type, cents FROM q332_src")
+          "SELECT event_id, day, event_type, cents FROM q332_src " +
+          "WHERE event_id % 3 = 0")
       }
       val morRoot = s.conf.get("spark.sql.catalog.g13.warehouse") +
         "/q332/mor"
@@ -7758,9 +7766,16 @@ object SparkEntry {
       val zeroRewrite =
         if (after.version == before.version &&
           after.partitions == before.partitions) 1L else 0L
+      // order-insensitive multiset fingerprint: one aggregate scan
+      // per side beats exceptAll's double anti-join set diff
+      def fp(df: DataFrame): (Long, Long) = {
+        val cs = df.columns.sorted.toSeq.map(col)
+        val r = df.select(xxhash64(struct(cs: _*)).as("h"))
+          .agg(count(lit(1)).as("n"), sum("h").as("s")).head
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
       def eq(a: DataFrame, b: DataFrame): Long =
-        if (a.exceptAll(b).limit(1).isEmpty &&
-          b.exceptAll(a).limit(1).isEmpty) 1L else 0L
+        if (fp(a) == fp(b)) 1L else 0L
       val preFoldEq = eq(s.table("g13.q332.mor"),
         s.table("g13.q332.cow"))
       // SQL-surface fold; convergence graded below
@@ -8699,11 +8714,12 @@ object SparkEntry {
         |  SELECT event_id, strftime(ts, '%Y-%m-%d') AS day,
         |    event_type, CAST(round(value * 100) AS BIGINT) AS cents
         |  FROM events),
+        |third AS (SELECT * FROM src WHERE event_id % 3 = 0),
         |upd AS (
         |  SELECT event_id, day, event_type,
         |    CASE WHEN event_type = 'click' THEN cents * 3
         |         ELSE cents END AS cents
-        |  FROM src),
+        |  FROM third),
         |fin AS (SELECT * FROM upd WHERE NOT (cents % 7 = 0)),
         |flat0 AS (
         |  SELECT event_id, event_type, cents FROM src

@@ -1026,6 +1026,70 @@ object VersionedTable {
     retryThenEscalate(rootP, maxRetries)(once())
   }
 
+  /** Iceberg's expire_snapshots: drop HISTORY ENTRIES (and any data
+    * dirs only they referenced) beyond the newest `retainLast`
+    * MAIN-LINE snapshots — the bound on `_versions/` growth that
+    * keeps per-commit allocation/listing O(retained), not O(all
+    * commits ever). Never touches: the live version, ref'd snapshots
+    * (tags and branch heads pin themselves), branch entries newer
+    * than the expiry cutoff, or any dir a KEPT entry references
+    * (published branches share dirs). Expired versions stop
+    * time-traveling with the standard never-committed error. Returns
+    * (live version, entries expired).
+    */
+  def expireSnapshots(root: String, retainLast: Int): (Long, Int) = {
+    require(retainLast >= 1, s"retainLast must be >= 1: $retainLast")
+    val rootP = Paths.get(root)
+    withCommitLock(rootP) {
+      val hist = rootP.resolve("_versions")
+      if (!Files.isDirectory(hist)) return (0L, 0)
+      import scala.jdk.CollectionConverters._
+      val entries: Seq[(Long, Path, String)] = {
+        val s = Files.list(hist)
+        try s.iterator().asScala.toSeq.flatMap { p =>
+          """^v(\d{8})\.json$""".r
+            .findFirstMatchIn(p.getFileName.toString)
+            .map(m => (m.group(1).toLong, p,
+              new String(Files.readAllBytes(p),
+                StandardCharsets.UTF_8)))
+        }.sortBy(_._1)
+        finally s.close()
+      }
+      val mainline = entries
+        .filterNot(_._3.contains(""""branch":""")).map(_._1)
+      val cutoff: Long = mainline.takeRight(retainLast)
+        .headOption.getOrElse(return (currentMainVersion(root), 0))
+      val pinnedVersions: Set[Long] =
+        refs(root).filterNot(_._1.endsWith("@posbase")).values.toSet +
+          currentMainVersion(root)
+      val (keep, expire) = entries.partition { case (v, _, _) =>
+        v >= cutoff || pinnedVersions(v)
+      }
+      if (expire.isEmpty) return (currentMainVersion(root), 0)
+      // dirs still referenced by ANY kept entry or the live manifest
+      // survive; dirs only expired entries referenced are reclaimed
+      def dirsOf(txt: String, v: Long): Set[String] =
+        parsePartitionedManifest(txt)
+          .map(_.partitions.values.toSet)
+          .getOrElse(
+            """"live"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+              .map(m => Set(m.group(1)))
+              .getOrElse(Set(versionDirName(v))))
+      val referenced: Set[String] =
+        keep.flatMap { case (v, _, txt) => dirsOf(txt, v) }.toSet ++
+          readManifest(root).map(m => Set(m.live)).getOrElse(
+            readPartitionedManifest(root)
+              .map(_.partitions.values.toSet).getOrElse(Set.empty))
+      expire.foreach { case (v, p, txt) =>
+        Files.deleteIfExists(p)
+        dirsOf(txt, v).filterNot(referenced).foreach { d =>
+          deleteRecursively(rootP.resolve(d))
+        }
+      }
+      (currentMainVersion(root), expire.size)
+    }
+  }
+
   /** PUBLISH a branch: commit a FRESH main version whose manifest
     * references the branch head's data dirs (dirs are immutable and
     * self-contained — sharing them is free), iff the main line is

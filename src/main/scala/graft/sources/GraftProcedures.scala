@@ -44,7 +44,7 @@ private[sources] object GraftProcedures {
     names.map(Identifier.of(Namespace, _)).toArray
 
   private val names = Seq("compact", "compact_sorted", "zorder",
-    "vacuum", "set_ref", "drop_ref", "remove_orphans", "fast_forward")
+    "vacuum", "set_ref", "drop_ref", "remove_orphans", "fast_forward", "expire_snapshots")
 
   def load(catalog: GraftCatalog, ident: Identifier): UnboundProcedure = {
     // standard error class (ROUTINE_NOT_FOUND / SQLSTATE 42883), not a
@@ -90,6 +90,8 @@ private[sources] object GraftProcedures {
         p("older_than_hours", IntegerType, Some("24")))
       case "fast_forward" => Array(p("table", StringType),
         p("branch", StringType))
+      case "expire_snapshots" => Array(p("table", StringType),
+        p("retain_last", IntegerType, Some("10")))
       case other => throw new IllegalStateException(s"unreachable: $other")
     }
 
@@ -114,6 +116,9 @@ private[sources] object GraftProcedures {
     case "fast_forward" => StructType(Seq(
       StructField("branch", StringType, nullable = false),
       StructField("version", LongType, nullable = false)))
+    case "expire_snapshots" => StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("expired", IntegerType, nullable = false)))
     case other => throw new IllegalStateException(s"unreachable: $other")
   }
 
@@ -210,6 +215,10 @@ private[sources] object GraftProcedures {
         val v = VersionedTable.fastForward(root, branch)
         new GenericInternalRow(Array[Any](
           UTF8String.fromString(branch), v))
+      case "expire_snapshots" =>
+        val (v, n) = VersionedTable.expireSnapshots(root,
+          retainLast = input.getInt(1))
+        new GenericInternalRow(Array[Any](v, n))
       case other => throw new IllegalStateException(s"unreachable: $other")
     }
   }

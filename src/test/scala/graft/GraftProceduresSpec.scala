@@ -117,6 +117,40 @@ class GraftProceduresSpec extends SparkSpec {
     assert(e2.getMessage.contains("flat"), e2.getMessage)
   }
 
+  test("CALL expire_snapshots bounds the history: entries beyond " +
+    "retain_last drop, their unshared dirs reclaim, refs and the " +
+    "live version survive, expired versions fail time travel loudly") {
+    wh
+    spark.sql("CREATE TABLE pcat.m.ex (id BIGINT, v BIGINT) " +
+      "USING graft TBLPROPERTIES ('keys' = 'id')")
+    (1 to 2).foreach(i => spark.sql(
+      s"INSERT INTO pcat.m.ex VALUES ($i, ${i * 10})"))
+    // tag v2 BEFORE retention can prune its dir — the ref must pin
+    // it through retention AND the expiry
+    spark.sql("CALL pcat.system.set_ref(table => 'm.ex', " +
+      "name => 'keepme', version => 2)")
+    (3 to 6).foreach(i => spark.sql(
+      s"INSERT INTO pcat.m.ex VALUES ($i, ${i * 10})"))
+    val root = s"$wh/m/ex"
+    assert(VersionedTable.versions(root).size >= 2)
+    val r = spark.sql("CALL pcat.system.expire_snapshots(" +
+      "table => 'm.ex', retain_last => 2)").head
+    assert(r.getLong(0) === 6L)
+    assert(r.getInt(1) === 3, s"$r") // v1,v3,v4 expire (v2 ref-pinned)
+    val vs = graft.sinks.VersionedTable
+      .mainlineVersions(root).toSet ++
+      VersionedTable.versions(root).toSet
+    assert(VersionedTable.versions(root).toSet === Set(2L, 5L, 6L),
+      s"$vs")
+    // live read + ref read intact; expired version fails loudly
+    assert(spark.table("pcat.m.ex").count() === 6)
+    assert(VersionedTable.readRef(spark, root, "keepme").count() === 2)
+    val e = intercept[Exception](
+      VersionedTable.readVersion(spark, root, 3L))
+    assert(e.getMessage.contains("never committed") ||
+      e.getMessage.contains("pruned"), e.getMessage)
+  }
+
   test("unknown procedure raises the standard ROUTINE_NOT_FOUND " +
     "condition (not a bare IllegalArgumentException), for name and " +
     "namespace misses alike") {
