@@ -140,8 +140,37 @@ object GraftScanStats {
   import java.util.OptionalLong
   import org.apache.spark.sql.connector.read.{Statistics => V2Statistics}
 
-  /** Driver-side metadata only (|files|-bounded, no data IO); None
-    * when nothing trustworthy is known — statistics must never guess.
+  /** Sidecar row-count memo keyed by (root, main-manifest version):
+    * the sidecar walk reads one stats file per version dir, and this
+    * rule runs per optimizer pass — same rationale (and same
+    * exactness argument: any commit bumps the version) as
+    * [[GraftScanPlanner.liveBytes]]'s memo. Bounded at 4096.
+    */
+  private val rowsMemo = new java.util.concurrent
+    .ConcurrentHashMap[(String, Long), Option[Long]]()
+
+  private def cachedLiveRows(root: String): Option[Long] = {
+    val v = graft.sinks.VersionedTable.readManifest(root)
+      .map(_.version)
+      .orElse(graft.sinks.VersionedTable
+        .readPartitionedManifest(root).map(_.version))
+      .getOrElse(return graft.sinks.VersionedTable
+        .liveFileStatsAll(root).map(_.map(_.rows).sum))
+    val key = (root, v)
+    val hit = rowsMemo.get(key)
+    if (hit != null) hit
+    else {
+      val r = graft.sinks.VersionedTable.liveFileStatsAll(root)
+        .map(_.map(_.rows).sum)
+      if (rowsMemo.size > 4096) rowsMemo.clear()
+      rowsMemo.put(key, r)
+      r
+    }
+  }
+
+  /** Driver-side metadata only (|files|-bounded, no data IO, memoized
+    * per manifest version); None when nothing trustworthy is known —
+    * statistics must never guess.
     */
   private[graft] def estimate(g: GraftScan): Option[V2Statistics] = {
     val o = g.opts
@@ -153,8 +182,7 @@ object GraftScanStats {
       if (o.versionAsOf.isDefined ||
           (o.withDeletes &&
             graft.sinks.VersionedTable.hasAnyDeletes(o.root))) None
-      else graft.sinks.VersionedTable.liveFileStatsAll(o.root)
-        .map(_.map(_.rows).sum)
+      else cachedLiveRows(o.root)
     Some(new V2Statistics {
       override def sizeInBytes(): OptionalLong = OptionalLong.of(size)
       override def numRows(): OptionalLong =

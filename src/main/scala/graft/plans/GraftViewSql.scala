@@ -30,6 +30,35 @@ import graft.sources.GraftCatalog
   *     a SubqueryAlias. Nested views resolve by analyzer fixpoint; a
   *     cyclic view fails the analyzer's iteration budget loudly.
   */
+/** JVM-wide negative cache for view-existence probes. The
+  * substitution rule runs on every analyzer iteration of every query,
+  * and each multipart relation that is NOT a view costs a filesystem
+  * probe — at object-store latencies that is real per-plan overhead.
+  * Misses are cached per (catalog, identifier) and scoped to an
+  * EPOCH that any view DDL through any [[GraftCatalog]] in this JVM
+  * bumps, so CREATE VIEW → SELECT in the same process always sees the
+  * new view (the same consistency level as Spark's JVM catalog
+  * cache; a view created by another process needs a new epoch, i.e.
+  * any local view DDL, to become visible through a cached miss —
+  * positive lookups are never cached here). Bounded at 4096 entries.
+  */
+object GraftViewLookups {
+  private val epoch = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val neg = new java.util.concurrent
+    .ConcurrentHashMap[(String, String), java.lang.Long]()
+  def invalidate(): Unit = { epoch.incrementAndGet(); () }
+  private[plans] def cachedMiss(cat: String, ident: Identifier)
+      : Boolean = {
+    val e = neg.get((cat, ident.toString))
+    e != null && e.longValue == epoch.get
+  }
+  private[plans] def recordMiss(cat: String, ident: Identifier)
+      : Unit = {
+    if (neg.size > 4096) neg.clear()
+    neg.put((cat, ident.toString), java.lang.Long.valueOf(epoch.get))
+  }
+}
+
 case class GraftViewSubstitution(spark: SparkSession)
     extends Rule[LogicalPlan] {
 
@@ -39,17 +68,43 @@ case class GraftViewSubstitution(spark: SparkSession)
       case _ => None
     } catch { case _: Exception => None }
 
+  /** Bare and namespace-qualified references expand with the CURRENT
+    * catalog/namespace (mirroring [[GraftViewDdl.expand]]) so a view
+    * resolves under `USE <graft_catalog>` too — but never when the
+    * name is shadowed by a temp view, which takes precedence in
+    * stock resolution.
+    */
+  private def expandParts(parts: Seq[String]): Option[Seq[String]] = {
+    val cm = spark.sessionState.catalogManager
+    def catalogExists(n: String): Boolean =
+      try { cm.catalog(n); true } catch { case _: Exception => false }
+    if (parts.length >= 2 && catalogExists(parts.head)) Some(parts)
+    else if (spark.sessionState.catalog.isTempView(parts)) None
+    else if (parts.length == 1)
+      Some(cm.currentCatalog.name() +:
+        (cm.currentNamespace.toSeq :+ parts.head))
+    else Some(cm.currentCatalog.name() +: parts)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
-      case u: UnresolvedRelation if u.multipartIdentifier.length >= 2 =>
-        val parts = u.multipartIdentifier
-        graftCatalog(parts.head) match {
-          case Some(cat) =>
-            val ident = Identifier.of(
-              parts.slice(1, parts.length - 1).toArray, parts.last)
-            if (cat.viewExists(ident)) substitute(cat, ident, parts)
-            else u
-          case None => u
+      case u: UnresolvedRelation =>
+        expandParts(u.multipartIdentifier) match {
+          case Some(parts) if parts.length >= 2 =>
+            graftCatalog(parts.head) match {
+              case Some(cat) =>
+                val ident = Identifier.of(
+                  parts.slice(1, parts.length - 1).toArray, parts.last)
+                if (GraftViewLookups.cachedMiss(parts.head, ident)) u
+                else if (cat.viewExists(ident))
+                  substitute(cat, ident, parts)
+                else {
+                  GraftViewLookups.recordMiss(parts.head, ident)
+                  u
+                }
+              case None => u
+            }
+          case _ => u
         }
     }
 

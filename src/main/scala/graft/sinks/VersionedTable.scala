@@ -83,7 +83,22 @@ object VersionedTable {
           Thread.sleep(20)
       }
     }
-    try body finally Files.deleteIfExists(lock)
+    // Staleness is judged by lock AGE, and some holders legitimately
+    // outlive staleMs (a merge-on-read commit keeps the MAIN lock
+    // across its sub-table merge job). Heartbeat the mtime while the
+    // body runs so a LIVE holder can never be reclaimed out from
+    // under its own critical section; a crashed holder stops
+    // refreshing and ages out exactly as before.
+    val hb = new Thread(() => {
+      try while (true) {
+        Thread.sleep(math.max(staleMs / 4, 1000))
+        Files.setLastModifiedTime(lock, java.nio.file.attribute
+          .FileTime.fromMillis(System.currentTimeMillis()))
+      } catch { case _: Throwable => () } // interrupted or lock gone
+    })
+    hb.setDaemon(true)
+    hb.start()
+    try body finally { hb.interrupt(); Files.deleteIfExists(lock) }
   }
 
   private def stagingDir(root: Path): Path =
@@ -149,8 +164,17 @@ object VersionedTable {
   def addColumnRename(root: String, from: String, to: String): Unit = {
     require(from.nonEmpty && to.nonEmpty && from != to,
       s"rename $from -> $to is not a rename")
-    require(!MorReservedCols(to) && to != SeqCol &&
-      !MorReservedCols(from) && from != SeqCol,
+    // validate against the FULL internal-name surface, not just the
+    // MoR entry keys: renaming onto the read-time address columns
+    // would let normalizeRenames coalesce user data into position-
+    // delete addressing (wrong rows deleted); onto _del_seq, break
+    // the equality-delete mask; onto a merge temp, corrupt MERGE
+    // routing. The `__graft` prefix is reserved wholesale (all
+    // plan-side temps live there).
+    def internal(n: String): Boolean =
+      MorReservedCols(n) || n == SeqCol || n == DelSeqCol ||
+        n == AddrPathCol || n == AddrPosCol || n.startsWith("__graft")
+    require(!internal(to) && !internal(from),
       s"rename $from -> $to collides with internal column names")
     val rootP = Paths.get(root)
     Files.createDirectories(rootP)
@@ -1714,14 +1738,41 @@ object VersionedTable {
                  keyCols: Seq[String], keepVersions: Int = 2,
                  maxRetries: Int = 10): Long = {
     val dataVersion = readManifest(root).map(_.version).getOrElse(0L)
-    // pending MoR post-images carry sequence dataVersion+1 (they must
-    // out-rank every EXISTING delete, the COW restamp contract), so a
-    // LATER equality delete can never out-sequence them — tombstone
-    // the key-matching entries directly instead (identical to what
-    // softDeletePos does for its flavor). No-op without pending rows.
+    // pin the pos sub-table version BEFORE the delete commits: only
+    // post-images written at-or-before this point belong to the
+    // delete's snapshot (entries a RACING update appends afterwards
+    // out-sequence the delete — reinsert-wins, the same race rule as
+    // the equality mask itself)
+    val pinnedPosV = posVersion(root)
+    // keepVersions applies to the DELETE-SET sub-table: under many
+    // concurrent deleters a reader's pinned delete-set dir can lag
+    // several commits, so size retention to the worst expected lag
+    // (same contract as data-table commits).
+    // SyncAllColumns: a delete set written by the pre-sequence code
+    // has no _del_seq column — Strict would reject the very first
+    // post-upgrade delete and make the documented legacy fallback
+    // (null stamp → mask-always) unreachable.
+    val out = upsert(spark, deletesRoot(root),
+      keys.select(keyCols.map(keys(_)): _*).distinct()
+        .withColumn(DelSeqCol, lit(dataVersion)),
+      keyCols, schemaMode = MergeWriter.SchemaMode.SyncAllColumns,
+      keepVersions = keepVersions, maxRetries = maxRetries)
+    // Pending MoR post-images carry sequence dataVersion+1 (they must
+    // out-rank every EXISTING delete, the COW restamp contract), so
+    // the equality delete above can never out-sequence them —
+    // tombstone the key-matching entries directly (identical to what
+    // softDeletePos does for its flavor). Ordered AFTER the equality
+    // delete is durable: a crash between the two commits then leaves
+    // the delete merely INCOMPLETE (post-images still visible; a
+    // re-run of the same delete finishes the job), never rows dead
+    // with no delete committed — the previous order permanently
+    // killed post-images when the delete itself failed to land.
+    // No-op without pending rows.
     readManifest(root).foreach { m =>
       liveMorAppendEntriesFlat(spark, root, m).foreach { a =>
-        val hits = a.join(
+        val hits = a
+          .filter(coalesce(col(SeqCol), lit(0L)) <= pinnedPosV)
+          .join(
             keys.select(keyCols.map(keys(_)): _*).distinct(), keyCols)
           .select(col(PdPathCol), col(PdPosCol))
           .withColumn(PdDeadCol, lit(true))
@@ -1732,19 +1783,7 @@ object VersionedTable {
             keepVersions = keepVersions, maxRetries = maxRetries)
       }
     }
-    // keepVersions applies to the DELETE-SET sub-table: under many
-    // concurrent deleters a reader's pinned delete-set dir can lag
-    // several commits, so size retention to the worst expected lag
-    // (same contract as data-table commits).
-    // SyncAllColumns: a delete set written by the pre-sequence code
-    // has no _del_seq column — Strict would reject the very first
-    // post-upgrade delete and make the documented legacy fallback
-    // (null stamp → mask-always) unreachable.
-    upsert(spark, deletesRoot(root),
-      keys.select(keyCols.map(keys(_)): _*).distinct()
-        .withColumn(DelSeqCol, lit(dataVersion)),
-      keyCols, schemaMode = MergeWriter.SchemaMode.SyncAllColumns,
-      keepVersions = keepVersions, maxRetries = maxRetries)
+    out
   }
 
   /** Live snapshot minus the delete set (merge-on-read, sequence-

@@ -845,6 +845,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     Files.move(tmp, dir.resolve(GraftCatalog.ViewFile),
       StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
+    // a new view must defeat any cached not-a-view probe result
+    graft.plans.GraftViewLookups.invalidate()
     loadView(ident)
   }
 
@@ -879,7 +881,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def dropView(ident: Identifier): Boolean = {
     val dir = tablePath(ident)
     if (!isViewDir(dir)) false
-    else { GraftCatalog.deleteRecursively(dir); true }
+    else {
+      GraftCatalog.deleteRecursively(dir)
+      graft.plans.GraftViewLookups.invalidate()
+      true
+    }
   }
 
   override def renameView(oldIdent: Identifier,
@@ -893,7 +899,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new org.apache.spark.sql.catalyst.analysis
         .ViewAlreadyExistsException(newIdent)
     Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
-    ()
+    graft.plans.GraftViewLookups.invalidate()
   }
 
   /** Parse a flat escaped-string-map JSON file (the readMeta format,

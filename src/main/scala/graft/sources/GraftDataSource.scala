@@ -768,14 +768,61 @@ private[graft] object GraftScanPlanner {
     }
   }
 
+  /** Memo of [[liveBytes]] keyed by the exact snapshot fingerprint
+    * (options + main-manifest version + pos-delete sub-table
+    * version). The always-on stats rules ([[graft.plans
+    * .GraftScanStats]], [[graft.plans.GraftBroadcastStats]]) probe
+    * every graft join side on every optimizer pass, and the raw walk
+    * (list + `Files.size` per live file) is |files|-bounded driver IO
+    * per PLAN — at object-store latencies that dominates planning
+    * cost. Every commit CAS-bumps a manifest version, so the
+    * fingerprint is exact: a hit returns precisely what the walk
+    * would recompute; a concurrent commit changes the version and
+    * misses. Bounded: cleared wholesale past 4096 entries.
+    */
+  private val liveBytesMemo = new java.util.concurrent
+    .ConcurrentHashMap[(Opts, Long, Long), Option[Long]]()
+
+  /** Version stamped in the table-root manifest, either table form
+    * (flat first — its parse is one regex pass over the same file).
+    */
+  private def manifestVer(root: String): Option[Long] =
+    VersionedTable.readManifest(root).map(_.version)
+      .orElse(VersionedTable.readPartitionedManifest(root)
+        .map(_.version))
+
   /** Upper-bound byte size of the snapshot the options address: live
     * (or time-travelled) data-file bytes summed from the manifest —
-    * driver-side metadata only, |files|-bounded, zero data IO. None
-    * when unknowable (change feeds, missing version dirs): statistics
-    * must never guess. Backs [[graft.plans.GraftBroadcastStats]].
+    * driver-side metadata only, |files|-bounded, zero data IO (and
+    * memoized per manifest version: O(1) metadata reads per repeat
+    * probe). None when unknowable (change feeds, missing version
+    * dirs): statistics must never guess. Backs
+    * [[graft.plans.GraftBroadcastStats]].
     */
   def liveBytes(o: Opts): Option[Long] = {
     if (o.changes.isDefined) return None
+    manifestVer(o.root) match {
+      case Some(v) =>
+        val posV = VersionedTable
+          .readManifest(Paths.get(o.root).resolve("_pos_deletes")
+            .toString)
+          .map(_.version).getOrElse(-1L)
+        val key = (o, v, posV)
+        val hit = liveBytesMemo.get(key)
+        if (hit != null) hit
+        else {
+          val r = liveBytes0(o)
+          if (liveBytesMemo.size > 4096) liveBytesMemo.clear()
+          liveBytesMemo.put(key, r)
+          r
+        }
+      // no manifest yet (empty/foreign dir): nothing to fingerprint,
+      // and the uncached walk is a couple of file-exists probes
+      case None => liveBytes0(o)
+    }
+  }
+
+  private def liveBytes0(o: Opts): Option[Long] = {
     val rootP = Paths.get(o.root)
     def bytesUnder(dir: Path): Long =
       VersionedTable.dataFilesUnder(dir).map(Files.size(_)).sum
