@@ -120,96 +120,118 @@ object Similarity {
       .join(radii.select(col("cid").as("cb"), col("rmax").as("rb")), "cb")
       .filter(col("cang") <= col("ra") + col("rb") + lit(tAngle + 1e-9))
       .select(col("ca"), col("cb"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    // Scoring kernel: each probe row loops over the BROADCAST member
-    // blocks of its allowed partner clusters in a primitive float
-    // loop — no 2M-row join materialization (the row-at-a-time join
-    // shape measured ~4× slower at 2k vectors). Pair coverage: a pair
-    // is scored exactly once, from the row in the smaller cluster
-    // (same cluster: smaller id). Arithmetic replicates graft_cosine
-    // exactly — double accumulation of widened floats in index order,
-    // dot/(√na·√nb), then Spark round HALF_UP at 4 dp — so the result
-    // set is bit-identical to the join formulation and the oracle's
-    // DuckDB replay. Assumes equal-length vectors (as graft_cosine's
-    // min-length truncation and these precomputed norms differ on
-    // ragged input). The broadcast holds the whole corpus: right for
-    // a verification gate (ids + floats, ~n·(d·4+8) bytes); at
-    // petabyte corpora the same kernel runs per cluster-pair block
-    // with both sides partitioned — the prune logic is unchanged.
-    val partnerMap: Map[Long, Array[Long]] = allowed.groupBy(_._1)
-      .map { case (ca, ps) => ca -> ps.map(_._2).sorted }
+    // Scoring kernel — DISTRIBUTED block-nested-loop over the allowed
+    // cluster pairs. Each cluster's members pack into id-ordered
+    // chunks of ≤ blockSize vectors, each chunk ONE row holding a
+    // contiguous float array (fixed stride: the array-of-arrays
+    // layout measured ~2 μs per scored pair — pointer chasing, not
+    // arithmetic). The tiny allowed list (≤ nLists² rows) broadcasts
+    // onto the A-side chunks; the B-side chunks arrive by an
+    // equi-join on cluster id — both sides partitioned by cid, no
+    // corpus-sized collect, driver memory flat at any corpus size
+    // (Profile `stress-annpairs` pins this at 100k vectors). Pair
+    // coverage: a pair is scored exactly once — cross-cluster from
+    // the (ca ≤ cb) orientation of the allowed list, same-cluster
+    // from chunk pairs with chk_a ≤ chk_b plus the id guard on the
+    // diagonal (chunks are id-ranges, so off-diagonal chunk pairs
+    // satisfy the guard by construction). Arithmetic replicates
+    // graft_cosine exactly — double accumulation of widened floats in
+    // index order, dot/(√na·√nb), then Spark round HALF_UP at 4 dp —
+    // so the result set is bit-identical to the join formulation and
+    // the oracle's DuckDB replay. Assumes equal-length vectors (as
+    // graft_cosine's min-length truncation and these precomputed
+    // norms differ on ragged input).
     val spark = df.sparkSession
     import spark.implicits._
-    val probe = base.join(assignments, "id")
+    val blockSize = 4096
+    val wById = Window.partitionBy("cid").orderBy("id")
+    val chunks = base.join(assignments, "id")
       .select(col("id"), col("cid"), col("v"))
-      .as[(Long, Long, Array[Float])]
-    // members per cluster as ONE contiguous float array (id-sorted,
-    // fixed stride): the array-of-arrays layout measured ~2 μs per
-    // scored pair — pointer chasing, not arithmetic; the flat layout
-    // keeps the inner dot loop on sequential memory
-    val members: Map[Long, (Array[Long], Array[Float], Array[Double], Int)] =
-      probe.collect().groupBy(_._2).map { case (cid, rs0) =>
-        val rs = rs0.sortBy(_._1)
-        val d = rs.head._3.length
-        require(rs.forall(_._3.length == d),
+      .withColumn("chk",
+        ((row_number().over(wById) - 1) / blockSize).cast("int"))
+      .select(col("cid"), col("chk"), col("id"), col("v"))
+      .as[(Long, Int, Long, Array[Float])]
+      .groupByKey(r => (r._1, r._2))
+      .mapGroups { (key: (Long, Int),
+                    it: Iterator[(Long, Int, Long, Array[Float])]) =>
+        val (cid, chk) = key
+        val rs = it.toArray.sortBy(_._3)
+        val d = rs.head._4.length
+        require(rs.forall(_._4.length == d),
           "exactCosinePairs requires equal-length vectors")
         val flat = new Array[Float](rs.length * d)
         val norms = new Array[Double](rs.length)
         var j = 0
         while (j < rs.length) {
-          val v = rs(j)._3
+          val v = rs(j)._4
           System.arraycopy(v, 0, flat, j * d, d)
           var s = 0.0; var i = 0
           while (i < d) { val x = v(i).toDouble; s += x * x; i += 1 }
           norms(j) = s
           j += 1
         }
-        cid -> ((rs.map(_._1), flat, norms, d))
+        (cid, chk, rs.map(_._3), flat, norms, d)
       }
-    val bc = spark.sparkContext.broadcast((members, partnerMap))
+      .toDF("cid", "chk", "ids", "flat", "norms", "d")
+      .localCheckpoint(true)
+    val aSide = chunks
+      .join(broadcast(allowed), col("cid") === col("ca"))
+      .select(col("ca"), col("cb"), col("chk").as("chk_a"),
+        col("ids").as("ids_a"), col("flat").as("flat_a"),
+        col("norms").as("norms_a"), col("d").as("d_a"))
+    val bSide = chunks.select(col("cid").as("cid_b"),
+      col("chk").as("chk_b"), col("ids").as("ids_b"),
+      col("flat").as("flat_b"), col("norms").as("norms_b"),
+      col("d").as("d_b"))
+    val paired = aSide.join(bSide, col("cb") === col("cid_b") &&
+        (col("ca") =!= col("cid_b") || col("chk_a") <= col("chk_b")))
+      .select(col("ca"), col("cb"), col("ids_a"), col("flat_a"),
+        col("norms_a"), col("d_a"), col("ids_b"), col("flat_b"),
+        col("norms_b"), col("d_b"))
+      .as[(Long, Long, Array[Long], Array[Float], Array[Double], Int,
+        Array[Long], Array[Float], Array[Double], Int)]
     val thr = threshold
-    probe.mapPartitions { it =>
-      val (mem, partners) = bc.value
-      it.flatMap { case (id, cid, v) =>
-        var na = 0.0
-        var i = 0
-        while (i < v.length) { val x = v(i).toDouble; na += x * x; i += 1 }
-        val sqa = math.sqrt(na)
-        val out = scala.collection.mutable.ArrayBuffer
-          .empty[(Long, Long, Double)]
-        val ps = partners.getOrElse(cid, Array.empty[Long])
-        var pi = 0
-        while (pi < ps.length) {
-          val (ids, flat, norms, d) = mem(ps(pi))
-          val sameCluster = ps(pi) == cid
-          val n = math.min(v.length, d)
-          var j = 0
-          while (j < ids.length) {
-            if (!sameCluster || ids(j) > id) {
-              val off = j * d
-              var dot = 0.0
-              var k = 0
-              while (k < n) { dot += v(k).toDouble * flat(off + k); k += 1 }
-              val denom = sqa * math.sqrt(norms(j))
-              if (denom != 0.0) {
-                val cos = dot / denom
-                // cheap pre-filter: only pairs that can round to >= thr
-                // pay the BigDecimal; 5e-5 covers the 4-dp half-step
-                if (cos >= thr - 5e-5) {
-                  val r = java.math.BigDecimal.valueOf(cos)
-                    .setScale(4, java.math.RoundingMode.HALF_UP)
-                    .doubleValue()
-                  if (r >= thr)
-                    out += ((math.min(id, ids(j)), math.max(id, ids(j)), r))
-                }
+    paired.flatMap { case (ca, cb, idsA, flatA, normsA, dA,
+        idsB, flatB, normsB, dB) =>
+      val same = ca == cb
+      val n = math.min(dA, dB)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Double)]
+      var i = 0
+      while (i < idsA.length) {
+        val ida = idsA(i)
+        val offA = i * dA
+        val sqa = math.sqrt(normsA(i))
+        var j = 0
+        while (j < idsB.length) {
+          if (!same || idsB(j) > ida) {
+            val offB = j * dB
+            var dot = 0.0
+            var k = 0
+            while (k < n) {
+              dot += flatA(offA + k).toDouble * flatB(offB + k)
+              k += 1
+            }
+            val denom = sqa * math.sqrt(normsB(j))
+            if (denom != 0.0) {
+              val cos = dot / denom
+              // cheap pre-filter: only pairs that can round to >= thr
+              // pay the BigDecimal; 5e-5 covers the 4-dp half-step
+              if (cos >= thr - 5e-5) {
+                val r = java.math.BigDecimal.valueOf(cos)
+                  .setScale(4, java.math.RoundingMode.HALF_UP)
+                  .doubleValue()
+                if (r >= thr)
+                  out += ((math.min(ida, idsB(j)),
+                    math.max(ida, idsB(j)), r))
               }
             }
-            j += 1
           }
-          pi += 1
+          j += 1
         }
-        out
+        i += 1
       }
+      out
     }.toDF("id_a", "id_b", "cosine")
   }
 

@@ -1767,20 +1767,33 @@ object VersionedTable {
     // re-run of the same delete finishes the job), never rows dead
     // with no delete committed — the previous order permanently
     // killed post-images when the delete itself failed to land.
-    // No-op without pending rows.
+    // No-op without pending rows. The pin compares the SUB-TABLE
+    // commit stamp (hidden [[SeqCol]] on the stored entries — NOT the
+    // main-table sequence the entries carry in [[PdSeqCol]], which
+    // racing updates share): entries committed at-or-before the
+    // pinned sub-table version predate this delete and die; later
+    // ones survive it.
     readManifest(root).foreach { m =>
-      liveMorAppendEntriesFlat(spark, root, m).foreach { a =>
-        val hits = a
-          .filter(coalesce(col(SeqCol), lit(0L)) <= pinnedPosV)
-          .join(
-            keys.select(keyCols.map(keys(_)): _*).distinct(), keyCols)
-          .select(col(PdPathCol), col(PdPosCol))
-          .withColumn(PdDeadCol, lit(true))
-        if (!hits.limit(1).isEmpty)
-          upsert(spark, posDeletesRoot(root), hits,
-            Seq(PdPathCol, PdPosCol),
-            schemaMode = MergeWriter.SchemaMode.SyncAllColumns,
-            keepVersions = keepVersions, maxRetries = maxRetries)
+      readManifest(posDeletesRoot(root)).foreach { _ =>
+        val all = normalizeRenames(root,
+          readLiveStamped(spark, posDeletesRoot(root)))
+        val dataCols = all.columns
+          .filterNot(c => MorReservedCols.contains(c) || c == SeqCol)
+        if (dataCols.nonEmpty) {
+          val hits = all
+            .filter(col(PdPathCol)
+              .startsWith(m.live + "/" + MorMarker) && notDead(all))
+            .filter(coalesce(col(SeqCol), lit(0L)) <= pinnedPosV)
+            .join(keys.select(keyCols.map(keys(_)): _*).distinct(),
+              keyCols)
+            .select(col(PdPathCol), col(PdPosCol))
+            .withColumn(PdDeadCol, lit(true))
+          if (!hits.limit(1).isEmpty)
+            upsert(spark, posDeletesRoot(root), hits,
+              Seq(PdPathCol, PdPosCol),
+              schemaMode = MergeWriter.SchemaMode.SyncAllColumns,
+              keepVersions = keepVersions, maxRetries = maxRetries)
+        }
       }
     }
     out

@@ -669,6 +669,32 @@ object Profile {
       println("pairs: " + graft.operators.Similarity
         .exactCosinePairs(fp, "v", "id", threshold = 0.8).count())
     }
+    // Driver-memory leg (r15): the scoring kernel is a distributed
+    // chunked cluster-pair block join — no corpus-sized collect, so
+    // driver heap stays flat as the corpus doubles. 100k × 64-dim
+    // floats ≈ 26 MB of raw vectors; a collect-based kernel would
+    // show up as a ≥ that-sized jump in retained driver heap.
+    val big = spark.range(100000L).select(col("id"),
+      expr("""transform(sequence(0, 63), i ->
+        |  cast(cast(xxhash64(id % 128, i) % 1000 as double) / 1000.0 +
+        |       cast(xxhash64(id, i + 64) % 1000 as double) / 20000.0
+        |    as float))""".stripMargin).as("v"))
+    big.write.mode("overwrite").parquet("/tmp/stress_exact_big")
+    val bp = spark.read.parquet("/tmp/stress_exact_big")
+    def usedHeapMb(): Long = {
+      val r = Runtime.getRuntime
+      System.gc(); Thread.sleep(200); System.gc()
+      (r.totalMemory() - r.freeMemory()) / (1024 * 1024)
+    }
+    val heapBefore = usedHeapMb()
+    t("exactCosinePairs 100k clustered, t=0.8, 128 lists (driver-mem)") {
+      println("pairs: " + graft.operators.Similarity
+        .exactCosinePairs(bp, "v", "id", threshold = 0.8, nLists = 128)
+        .count())
+    }
+    val heapAfter = usedHeapMb()
+    println(s"driver heap used: ${heapBefore} MB -> ${heapAfter} MB " +
+      s"(delta ${heapAfter - heapBefore} MB across a 100k-vector run)")
     spark.stop()
   }
 
