@@ -7483,6 +7483,84 @@ object SparkEntry {
           .distinctEstimate(col("dom"), 256).as("n_exact"))
     }),
 
+    // Partitioned merge-on-read MERGE (r15, lifting r14's COW
+    // fallback): the full clause set — matched DELETE, matched
+    // UPDATE, NOT MATCHED INSERT into a brand-new partition, NOT
+    // MATCHED BY SOURCE UPDATE — lands as ONE keyed entry commit
+    // with ZERO data files rewritten. Inserted rows qualify against
+    // their destination partition's manifest mapping, materialized
+    // as a content-free empty partition when absent — so the audit
+    // pins: every pre-existing partition pointer byte-identical,
+    // exactly one new mapping (the insert target), manifest version
+    // advanced by exactly the materialization commit, and the MoR
+    // result hash-equal to a COW twin both pre-fold and post-vacuum.
+    "q337_mor_merge_part" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      ensureG13(s)
+      s.sql("DROP NAMESPACE IF EXISTS g13.q337 CASCADE")
+      s.sql("CREATE NAMESPACE g13.q337")
+      // month granularity, third of the events — same cost shape as
+      // q332 (partition count drives the twin lifecycle, not rows)
+      val ev = Tables.events(s, d).select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM").as("day"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      ev.createOrReplaceTempView("q337_src")
+      for (t <- Seq("cow", "mor")) {
+        val prop = if (t == "mor")
+          " TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')" else ""
+        s.sql(s"CREATE TABLE g13.q337.$t (event_id BIGINT, " +
+          "day STRING, event_type STRING, cents BIGINT) USING graft " +
+          s"PARTITIONED BY (day)$prop")
+        s.sql(s"INSERT INTO g13.q337.$t " +
+          "SELECT event_id, day, event_type, cents FROM q337_src " +
+          "WHERE event_id % 3 = 1")
+      }
+      val morRoot = s.conf.get("spark.sql.catalog.g13.warehouse") +
+        "/q337/mor"
+      val before = vt.readPartitionedManifest(morRoot).get
+      for (t <- Seq("cow", "mor")) {
+        s.sql(s"""MERGE INTO g13.q337.$t t USING (
+          |  SELECT event_id, cents FROM q337_src
+          |  WHERE event_id % 4 = 2) src
+          |ON t.event_id = src.event_id
+          |WHEN MATCHED AND src.cents % 5 = 0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET cents = t.cents + src.cents
+          |WHEN NOT MATCHED THEN INSERT (event_id, day, event_type,
+          |  cents) VALUES (src.event_id, '2099-01', 'future',
+          |  src.cents)
+          |WHEN NOT MATCHED BY SOURCE AND t.event_type = 'click'
+          |THEN UPDATE SET cents = t.cents * 2
+          |""".stripMargin.replace("\n", " "))
+      }
+      val after = vt.readPartitionedManifest(morRoot).get
+      val ptrOk = before.partitions.forall { case (k, dd) =>
+        after.partitions.get(k).contains(dd) }
+      val newOnly = (after.partitions.keySet --
+        before.partitions.keySet) == Set("day=2099-01")
+      val verOk = after.version == before.version + 1
+      val zeroRewrite = if (ptrOk && newOnly && verOk) 1L else 0L
+      def fp(df: DataFrame): (Long, Long) = {
+        val cs = df.columns.sorted.toSeq.map(col)
+        val r = df.select(xxhash64(struct(cs: _*)).as("h"))
+          .agg(count(lit(1)).as("n"), sum("h").as("s")).head
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      def eq(a: DataFrame, b: DataFrame): Long =
+        if (fp(a) == fp(b)) 1L else 0L
+      val preFoldEq = eq(s.table("g13.q337.mor"),
+        s.table("g13.q337.cow"))
+      s.sql("CALL g13.system.vacuum(table => 'q337.mor')")
+      val postFoldEq = eq(s.table("g13.q337.mor"),
+        s.table("g13.q337.cow"))
+      s.sql("SELECT concat('t:', event_type) AS part, " +
+          "count(*) AS n, sum(cents) AS c FROM g13.q337.mor " +
+          "GROUP BY event_type")
+        .unionByName(s.range(1).select(lit("_audit").as("part"),
+          lit(zeroRewrite).as("n"),
+          lit(preFoldEq * 10 + postFoldEq).as("c")))
+    }),
+
     // Multimodal planted twin (r14): the SAME byte-level decode path
     // q32 exercises (javax.imageio PNG decode + raw 16-bit PCM reads
     // through Multimodal.extractFeatures), over PLANTED media whose
@@ -8604,6 +8682,40 @@ object SparkEntry {
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey % 97) AS n_exact
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // Partitioned-MoR-MERGE replay: target = ids ≡ 1 (mod 3); source
+    // = ids ≡ 2 (mod 4). matched ∧ cents%5=0 deleted; matched else
+    // cents summed; source-only ids inserted as 'future' (the new
+    // partition); target-only clicks doubled. _audit pins n = 1
+    // (pointers unmoved + exactly the materialized '2099-01' mapping
+    // + version advanced exactly once) and c = 11 (mor ≡ cow both
+    // pre-fold and post-vacuum).
+    "q337_mor_merge_part" ->
+      """WITH src AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |tgt AS (SELECT * FROM src WHERE event_id % 3 = 1),
+        |msrc AS (SELECT event_id, cents FROM src
+        |  WHERE event_id % 4 = 2),
+        |fin AS (
+        |  SELECT t.event_id,
+        |    CASE WHEN m.event_id IS NOT NULL THEN t.cents + m.cents
+        |         WHEN t.event_type = 'click' THEN t.cents * 2
+        |         ELSE t.cents END AS cents,
+        |    t.event_type
+        |  FROM tgt t LEFT JOIN msrc m ON t.event_id = m.event_id
+        |  WHERE m.event_id IS NULL OR NOT (m.cents % 5 = 0)
+        |  UNION ALL
+        |  SELECT m.event_id, m.cents, 'future'
+        |  FROM msrc m
+        |  WHERE m.event_id NOT IN (SELECT event_id FROM tgt))
+        |SELECT 't:' || event_type AS part, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS c
+        |FROM fin GROUP BY event_type
+        |UNION ALL
+        |SELECT '_audit', CAST(1 AS BIGINT),
+        |  CAST(11 AS BIGINT)""".stripMargin,
 
     // Planted-multimodal replay: every decoded statistic is
     // closed-form arithmetic on doc_id — images (even ids): e1/e2 =

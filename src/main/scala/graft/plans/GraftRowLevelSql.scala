@@ -609,10 +609,15 @@ private[plans] object GraftRowLevelExec {
   * subqueries in the condition (they'd re-evaluate per job against a
   * possibly-moved table — COW materializes a match flag instead), an
   * assignment that MOVES rows across partitions (the append entry
-  * needs a live partition qualifier), MERGE into a partitioned table
-  * (inserted rows may target partitions with no live dir to qualify
-  * against), a never-committed target, or a schema colliding with the
-  * sub-table's key columns.
+  * needs a live partition qualifier), a mid-spec-migration table
+  * (parent keys at shallower depth than the spec — entry qualifiers
+  * assume full-depth keys), a never-committed target, or a schema
+  * colliding with the sub-table's key columns. MERGE into a
+  * partitioned table (r15) qualifies inserted rows against their
+  * destination partition's manifest mapping, MATERIALIZED as an
+  * empty partition first when it doesn't exist yet — a content-free
+  * CAS commit, so a crash between it and the entry commit leaves the
+  * table visibly unchanged.
   *
   * Concurrency: identification reads the observable snapshot pinned
   * to the manifest it saw; after the sub-table commit the manifest is
@@ -817,8 +822,30 @@ private[plans] object GraftMorExec {
       : Option[Boolean] = {
     if (!enabled(table)) return None
     val root = table.opts.root
-    if (VT.readPartitionedManifest(root).isDefined) return None
-    if (VT.readManifest(root).isEmpty) return None
+    VT.readPartitionedManifest(root) match {
+      case Some(m) =>
+        // partitioned MoR MERGE: matched/by-source assignments must
+        // not MOVE rows across partitions (post-images keep their
+        // source qualifier, same rule as UPDATE); inserted rows SET
+        // partition columns by definition — they qualify against
+        // their destination partition, materialized on demand
+        val updateAssigned: Set[String] =
+          (matchedActions ++ notMatchedBySourceActions).flatMap {
+            case u: org.apache.spark.sql.catalyst.plans.logical
+                .UpdateAction =>
+              u.assignments.map(a => attrName(a.key, "MERGE SET"))
+            case _ => Seq.empty
+          }.toSet
+        if (m.partitionColumns.exists(updateAssigned)) return None
+        // mid-spec-migration tables hold parent keys at shallower
+        // depth; entry qualifiers assume full-depth keys — keep COW
+        // until the migration completes
+        if (m.partitions.keySet.exists(
+            _.count(_ == '/') + 1 != m.partitionColumns.size))
+          return None
+      case None =>
+        if (VT.readManifest(root).isEmpty) return None
+    }
     if (hasSubquery(mergeCondition)) return None
     if (target.output.exists(a => VT.MorReservedCols(a.name) ||
         Internal(a.name))) return None
@@ -835,8 +862,16 @@ private[plans] object GraftMorExec {
                         bA: Seq[MergeAction]): Option[Boolean] = {
     import GraftRowLevelExec.{ActB, ActI, ActM, SPresent, TPresent, Tid}
     val pinnedPos = VT.posDeleteVersion(root)
-    val (m, adf) = VT.morAddressedFlat(spark, root).get
-    val stamp = m.version + 1
+    val pm0 = VT.readPartitionedManifest(root)
+    val partitioned = pm0.isDefined
+    val (baseVersion, adf, flatLive) =
+      if (partitioned) {
+        val (m, df) = VT.morAddressedPartitioned(spark, root).get
+        (m.version, df, "")
+      } else {
+        val (m, df) = VT.morAddressedFlat(spark, root).get
+        (m.version, df, m.live)
+      }
     val bind = (e: Expression) =>
       GraftMorExec.rebind(e, target.output, adf)
     val sdf0 = SqlShims.ofRows(spark, source)
@@ -897,6 +932,58 @@ private[plans] object GraftMorExec {
         else act.isin(idx.map(Integer.valueOf): _*)
       }
       val uuid = java.util.UUID.randomUUID.toString
+      // Inserted rows need a LIVE destination qualifier. Flat tables
+      // qualify against the live dir; partitioned tables qualify
+      // against the manifest mapping of each row's destination
+      // partition — materialized as an EMPTY partition first when the
+      // partition doesn't exist yet (a content-free CAS commit:
+      // a crash between it and the entry commit leaves the table
+      // visibly unchanged, never a partial MERGE).
+      val insertsData: Option[DataFrame] =
+        if (nA.isEmpty) None
+        else Some(insertRows.select(
+          GraftRowLevelExec.insertProjection(nA, col(ActI),
+            org.apache.spark.sql.types.StructType(dataFields),
+            bind): _*))
+      // (rendered tuple→key frame, post-materialization manifest) —
+      // computed once, reused by the insert-entry qualifier join
+      val insertPrep: Option[(DataFrame,
+          graft.sinks.VersionedTable.PartitionedManifest)] =
+        if (!partitioned) None
+        else {
+          val pcols = pm0.get.partitionColumns
+          val touched = insertsData.map(ins =>
+            ins.select(pcols.map(ins(_)): _*).distinct().collect())
+            .getOrElse(Array.empty)
+          if (touched.isEmpty) None
+          else {
+            val pschema = org.apache.spark.sql.types.StructType(
+              pcols.map(c => insertsData.get.schema(c)))
+            val keyFrame = VT
+              .partitionKeyFrame(spark, pschema, touched)
+            val keys = keyFrame.select("__graft_pkey").collect()
+              .map(_.getString(0)).toSeq
+            try Some((keyFrame,
+              VT.materializeEmptyPartitions(spark, root,
+                insertsData.get, keys, expectedBase = baseVersion)))
+            catch {
+              case _: VT.ConcurrentCommitException => return None
+            }
+          }
+        }
+      val effectiveVersion =
+        insertPrep.map(_._2.version).getOrElse(baseVersion)
+      val stamp = effectiveVersion + 1
+      // qualifier of a CHANGED row's post-image: its source address
+      // minus the file segment (partitioned) / the live dir (flat) —
+      // post-images never move partitions (guarded in tryMerge)
+      def baseQual: Column =
+        if (partitioned) {
+          val ap = tcolA(VT.AddrPathCol)
+          val fileSeg = substring_index(ap, "/", -1)
+          ap.substr(lit(1),
+            (length(ap) - length(fileSeg) - lit(1)).cast("int"))
+        } else lit(flatLive)
       def entriesFor(rows: DataFrame, act: Column,
                      actions: Seq[MergeAction],
                      tag: String): Seq[DataFrame] = {
@@ -909,7 +996,7 @@ private[plans] object GraftMorExec {
           // updated base rows → fresh append entries
           changed.filter(isBase && !isDel(act, actions)).select(
             (post(actions, act) ++ key(
-              lit(s"${m.live}/${VT.MorMarker}$uuid$tag"),
+              concat(baseQual, lit(s"/${VT.MorMarker}$uuid$tag")),
               monotonically_increasing_id(), lit(stamp),
               lit(false))): _*),
           // updated pending appends → replace in place
@@ -921,22 +1008,47 @@ private[plans] object GraftMorExec {
             (nulls ++ key(tcolA(VT.MorKeyPathCol),
               tcolA(VT.MorKeyPosCol), lit(null), lit(true))): _*))
       }
-      val inserts =
-        if (nA.isEmpty) Seq.empty[DataFrame]
-        else Seq(insertRows.select(
-          (GraftRowLevelExec.insertProjection(nA, col(ActI),
-            org.apache.spark.sql.types.StructType(dataFields), bind) ++
-            key(lit(s"${m.live}/${VT.MorMarker}${uuid}i"),
+      val inserts: Seq[DataFrame] = insertsData match {
+        case None => Seq.empty
+        case Some(ins) if !partitioned =>
+          Seq(ins.select((ins.columns.toSeq.map(c =>
+            ins(quote(c))) ++
+            key(lit(s"$flatLive/${VT.MorMarker}${uuid}i"),
               monotonically_increasing_id(), lit(stamp),
               lit(false))): _*))
+        case Some(ins) => insertPrep match {
+          case None => Seq.empty // no insert rows materialized
+          case Some((keyFrame, mFinal)) =>
+            import spark.implicits._
+            val pcols = mFinal.partitionColumns
+            val quals = keyFrame
+              .join(mFinal.partitions.toSeq
+                .toDF("__graft_pkey", "__graft_dir"), "__graft_pkey")
+            val joinCond = pcols.map(c => ins(quote(c)) <=>
+              quals(quote(c))).reduce(_ && _)
+            val qualled = ins.join(broadcast(quals), joinCond)
+            Seq(qualled.select((dataFields.map(f =>
+              ins(quote(f.name))) ++
+              key(concat(quals("__graft_dir"), lit("/"),
+                  quals("__graft_pkey"),
+                  lit(s"/${VT.MorMarker}${uuid}i")),
+                monotonically_increasing_id(), lit(stamp),
+                lit(false))): _*))
+        }
+      }
       val batch = (entriesFor(matchedRows, col(ActM), mA, "m") ++
         entriesFor(bySourceRows, col(ActB), bA, "b") ++ inserts)
         .reduce(_.unionByName(_)).localCheckpoint()
       try {
         if (batch.limit(1).isEmpty) return Some(false)
+        val stillCurrent: () => Boolean =
+          if (partitioned)
+            () => VT.readPartitionedManifest(root).map(_.version)
+              .contains(effectiveVersion)
+          else
+            () => VT.readManifest(root).map(_.live).contains(flatLive)
         VT.morCommitEntries(spark, root, batch, pinnedPos,
-          () => VT.readManifest(root).map(_.live).contains(m.live))
-          .map(_ => true)
+          stillCurrent).map(_ => true)
       } finally SqlShims.unpersistCheckpointed(batch)
     } finally SqlShims.unpersistCheckpointed(joined)
   }

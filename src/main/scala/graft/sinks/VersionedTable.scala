@@ -2476,12 +2476,25 @@ object VersionedTable {
     readManifest(posDeletesRoot(root)) match {
       case None => (0L, 0L)
       case Some(_) =>
-        val live = readManifest(root).map(_.live).getOrElse("")
+        // liveness mirrors the read path: flat = under the live dir;
+        // partitioned = the entry's "<dir>/<partitionKey>" qualifier
+        // still mapped by the manifest
+        val isLive: org.apache.spark.sql.Column =
+          readPartitionedManifest(root) match {
+            case Some(m) =>
+              val quals = m.partitions.toSeq
+                .map { case (k, d) => s"$d/$k" }
+              expr(s"substring($PdPathCol, 1, length($PdPathCol) - " +
+                s"length(substring_index($PdPathCol, '/', -1)) - 1)")
+                .isin(quals: _*)
+            case None =>
+              val live = readManifest(root).map(_.live).getOrElse("")
+              col(PdPathCol).startsWith(live + "/")
+          }
         val all = readLive(spark, posDeletesRoot(root))
         val r = all.agg(
           org.apache.spark.sql.functions.sum(
-            when(col(PdPathCol).startsWith(live + "/"), 1L)
-              .otherwise(0L)).as("l"),
+            when(isLive, 1L).otherwise(0L)).as("l"),
           org.apache.spark.sql.functions.count(lit(1)).as("n")).collect()(0)
         val l = if (r.isNullAt(0)) 0L else r.getLong(0)
         (l, r.getLong(1) - l)
@@ -5438,6 +5451,122 @@ object VersionedTable {
         .repartitionByRange(numFiles, col("_graft_z"))
         .sortWithinPartitions(col("_graft_z"))
         .drop("_graft_z")
+    }
+  }
+
+  /** Tuple → rendered-key MAPPING as a DataFrame (partition columns
+    * + `__graft_pkey`), same Spark-writes-the-dirs fidelity as
+    * [[renderPartitionKeys]] but keeping the correspondence: the
+    * tuples are written through Spark's dynamic-partition writer and
+    * read BACK under the given schema (no path type re-inference),
+    * each row's key recovered from its own `_metadata.file_path`.
+    * |tuples| is partition-count-bounded, so callers broadcast the
+    * result into data-sized joins (merge-on-read MERGE qualifies its
+    * inserted rows this way).
+    */
+  private[graft] def partitionKeyFrame(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      tuples: Array[org.apache.spark.sql.Row]): DataFrame = {
+    val partitionColumns = schema.fieldNames.toSeq
+    val df = spark.createDataFrame(
+        java.util.Arrays.asList(tuples: _*), schema)
+      .withColumn("_graft_render", lit(1))
+    val tmp = Files.createTempDirectory("graft-partrender-")
+    val marker = tmp.getFileName.toString
+    val out = tmp.resolve("r")
+    df.coalesce(1).write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionColumns: _*).parquet(out.toString)
+    // read back with the EXPLICIT schema (path values parse under the
+    // recorded types, never re-inferred); the relative dir between
+    // the unique temp marker and the file name IS the key. The frame
+    // is collected to |tuples| local rows immediately so the temp dir
+    // can be deleted before returning.
+    val backSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("_graft_render",
+        org.apache.spark.sql.types.IntegerType) +: schema.fields)
+    try {
+      val rel = expr(
+        s"substring_index(_metadata.file_path, '/$marker/r/', -1)")
+      val rows = spark.read.schema(backSchema)
+        .option("basePath", out.toString).parquet(out.toString)
+        .withColumn("__graft_rel", rel)
+        .withColumn("__graft_pkey", expr(
+          "substring(__graft_rel, 1, length(__graft_rel) - " +
+            "length(substring_index(__graft_rel, '/', -1)) - 1)"))
+        .select((partitionColumns.map(col) :+ col("__graft_pkey")): _*)
+        .collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+        org.apache.spark.sql.types.StructType(schema.fields :+
+          org.apache.spark.sql.types.StructField("__graft_pkey",
+            org.apache.spark.sql.types.StringType)))
+    } finally deleteRecursively(tmp)
+  }
+
+  /** Register EMPTY partitions in the manifest — visible rows
+    * UNCHANGED: a fresh version dir holding one zero-row
+    * schema-carrying parquet file per missing leaf (Spark's
+    * single-directory writer creates the footer eagerly, so the leaf
+    * stays readable in the explicit-paths partition read), manifest
+    * mappings added for exactly the keys not already mapped.
+    * Merge-on-read MERGE uses this to give rows inserted into
+    * brand-new partitions a LIVE qualifier before the entry commit;
+    * the materialization is content-free, so a crash between the two
+    * commits leaves the table visibly unchanged (the retryable
+    * not-applied state, never a partial MERGE).
+    *
+    * `schemaSource` supplies the leaf-file schema (its non-partition
+    * columns, declared types). CAS: throws ConcurrentCommitException
+    * when the manifest moved past `expectedBase`.
+    */
+  private[graft] def materializeEmptyPartitions(spark: SparkSession,
+      root: String, schemaSource: DataFrame, keys: Seq[String],
+      expectedBase: Long): PartitionedManifest = {
+    val rootP = Paths.get(root)
+    val m0 = readPartitionedManifest(root).getOrElse(
+      throw new IllegalStateException(
+        s"materializeEmptyPartitions needs a partitioned table: $root"))
+    val missing = keys.distinct.filterNot(m0.partitions.contains)
+    if (missing.isEmpty) {
+      // nothing to add — but the caller pinned its snapshot at
+      // expectedBase; a newer version here means a FOREIGN commit
+      // interleaved (possibly another writer materializing the same
+      // partitions), and the caller must re-identify against it
+      if (m0.version != expectedBase)
+        throw new ConcurrentCommitException(
+          s"$root moved to v${m0.version} while a merge pinned " +
+            s"v$expectedBase — retrying")
+      return m0
+    }
+    val dataDf = schemaSource
+      .drop(m0.partitionColumns: _*).limit(0).coalesce(1)
+    val staging = stagingDir(rootP)
+    try missing.foreach { k =>
+      dataDf.write.mode(SaveMode.Overwrite)
+        .parquet(staging.resolve(k).toString)
+    } catch { case e: Throwable => deleteRecursively(staging); throw e }
+    writeStatsSidecar(staging)
+    withCommitLock(rootP) {
+      val cur = readPartitionedManifest(root)
+      if (!cur.map(_.version).contains(expectedBase)) {
+        deleteRecursively(staging)
+        throw new ConcurrentCommitException(
+          s"$root moved to v${cur.map(_.version).getOrElse(0L)} " +
+            s"while materializing empty partitions against " +
+            s"v$expectedBase — retrying")
+      }
+      val next = math.max(expectedBase, maxAllocatedVersion(rootP)) + 1
+      val dirName = versionDirName(next)
+      Files.move(staging, rootP.resolve(dirName),
+        StandardCopyOption.ATOMIC_MOVE)
+      val newParts = cur.get.partitions ++ missing.map(_ -> dirName)
+      val m = PartitionedManifest(next, m0.partitionColumns, newParts)
+      // partition-level bounds track the manifest version (lagging or
+      // leading stats are rejected → scan-all); empty partitions add
+      // no bounds but the version stamp must advance with the flip
+      writePartStats(rootP, next, newParts, cur)
+      writePartitionedManifest(rootP, m)
+      writeHistoryEntry(rootP, next, renderPartitionedManifest(m))
+      m
     }
   }
 
