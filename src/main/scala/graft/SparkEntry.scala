@@ -7561,6 +7561,49 @@ object SparkEntry {
           lit(preFoldEq * 10 + postFoldEq).as("c")))
     }),
 
+    // Atomic CTAS/RTAS (r15, StagingTableCatalog): CREATE TABLE AS
+    // SELECT stages the whole table — stub + first commit — in a
+    // hidden sibling and publishes it with one atomic move, so a
+    // failed CTAS leaves NO catalog entry (the dbt CREATE TABLE AS
+    // materialization contract); REPLACE TABLE AS SELECT swaps with
+    // rollback. Graded: a partitioned CTAS materialization, a
+    // DELIBERATELY failing CTAS (audited to leave zero debris), and
+    // a dbt-style RTAS re-materialization whose rows are the output.
+    "q338_ctas_rtas" -> ((s, d) => {
+      ensureG13(s)
+      s.sql("DROP NAMESPACE IF EXISTS g13.q338 CASCADE")
+      s.sql("CREATE NAMESPACE g13.q338")
+      val ev = Tables.events(s, d).select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM").as("day"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      ev.createOrReplaceTempView("q338_src")
+      s.sql("CREATE TABLE g13.q338.m USING graft " +
+        "PARTITIONED BY (day) AS SELECT event_id, day, event_type, " +
+        "cents FROM q338_src WHERE event_id % 5 = 0")
+      val stage1 = s.sql("SELECT count(*) FROM g13.q338.m")
+        .head.getLong(0)
+      // a failing CTAS must leave NO table behind (atomicity audit)
+      s.udf.register("q338_boom", udf((i: Long) =>
+        if (i >= 0) throw new RuntimeException("ctas boom") else i))
+      val failed =
+        try {
+          s.sql("CREATE TABLE g13.q338.bad USING graft AS " +
+            "SELECT q338_boom(event_id) AS x FROM q338_src")
+          0L
+        } catch { case _: Exception => 1L }
+      val noDebris =
+        if (s.sql("SHOW TABLES IN g13.q338").count() == 1L) 1L
+        else 0L
+      // dbt-style re-materialization of the same model
+      s.sql("REPLACE TABLE g13.q338.m USING graft AS " +
+        "SELECT event_type, count(*) AS n, sum(cents) AS c " +
+        "FROM q338_src WHERE event_id % 5 = 0 GROUP BY event_type")
+      s.sql("SELECT event_type AS part, n, c FROM g13.q338.m")
+        .unionByName(s.range(1).select(lit("_audit").as("part"),
+          lit(failed * 10 + noDebris).as("n"), lit(stage1).as("c")))
+    }),
+
     // Multimodal planted twin (r14): the SAME byte-level decode path
     // q32 exercises (javax.imageio PNG decode + raw 16-bit PCM reads
     // through Multimodal.extractFeatures), over PLANTED media whose
@@ -8716,6 +8759,22 @@ object SparkEntry {
         |UNION ALL
         |SELECT '_audit', CAST(1 AS BIGINT),
         |  CAST(11 AS BIGINT)""".stripMargin,
+
+    // CTAS/RTAS replay: the re-materialized model is a plain
+    // aggregate of the fifth of events the CTAS selected; _audit pins
+    // n = 11 (failing CTAS raised AND left zero debris) and c = the
+    // first materialization's row count.
+    "q338_ctas_rtas" ->
+      """WITH src AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_id % 5 = 0)
+        |SELECT event_type AS part, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS c
+        |FROM src GROUP BY event_type
+        |UNION ALL
+        |SELECT '_audit', CAST(11 AS BIGINT),
+        |  (SELECT count(*) FROM src)""".stripMargin,
 
     // Planted-multimodal replay: every decoded statistic is
     // closed-form arithmetic on doc_id — images (even ids): e1/e2 =

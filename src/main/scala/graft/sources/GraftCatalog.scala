@@ -53,7 +53,8 @@ import graft.sinks.VersionedTable
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
-    with org.apache.spark.sql.connector.catalog.ViewCatalog {
+    with org.apache.spark.sql.connector.catalog.ViewCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = "graft"
   private var warehouse: Path = _
@@ -187,7 +188,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new NoSuchNamespaceException(catalogName +: namespace)
     val s = Files.list(dir)
     try s.iterator().asScala.toSeq
-      .filter(isTableDir)
+      .filter(p => isTableDir(p) &&
+        // hidden siblings: in-flight CTAS staging and RTAS trash
+        !p.getFileName.toString.startsWith("."))
       .map(p => Identifier.of(namespace, p.getFileName.toString))
       .sortBy(_.name())
       .toArray
@@ -423,17 +426,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     graftTable(ident, stub, Some(v))
   }
 
-  override def createTable(ident: Identifier, schema: StructType,
-                           partitions: Array[Transform],
-                           properties: java.util.Map[String, String])
-      : Table = {
-    val root = tablePath(ident)
-    if (isTableDir(root) || isViewDir(root))
-      throw new TableAlreadyExistsException(ident)
-    val ns = nsPath(ident.namespace())
-    if (ident.namespace().nonEmpty && !Files.isDirectory(ns))
-      throw new NoSuchNamespaceException(
-        catalogName +: ident.namespace())
+  /** DDL property/partition processing shared by CREATE TABLE and
+    * the staged CTAS/RTAS path: identity partition columns, user
+    * TBLPROPERTIES with the reserved/scan-option guards, declared
+    * schema — everything but the location and the stub write.
+    */
+  private def ddlMeta(ident: Identifier, schema: StructType,
+                      partitions: Array[Transform],
+                      properties: java.util.Map[String, String])
+      : Map[String, String] = {
     val partCols = partitions.map {
       case t if t.name() == "identity" &&
           t.references().length == 1 &&
@@ -456,6 +457,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"TBLPROPERTY '$k' is a per-read scan option (or catalog-" +
           "internal) — it would pin every future read; pass it as a " +
           "read option instead"))
+    user ++
+      (if (partCols.nonEmpty)
+        Map("partitionColumns" -> partCols.mkString(","))
+       else Map.empty) ++
+      (if (schema.nonEmpty)
+        Map(GraftCatalog.SchemaKey -> schema.json)
+       else Map.empty)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String])
+      : Table = {
+    val root = tablePath(ident)
+    if (isTableDir(root) || isViewDir(root))
+      throw new TableAlreadyExistsException(ident)
+    val ns = nsPath(ident.namespace())
+    if (ident.namespace().nonEmpty && !Files.isDirectory(ns))
+      throw new NoSuchNamespaceException(
+        catalogName +: ident.namespace())
     // `LOCATION '…'` = EXTERNAL table: the stub dir holds only the
     // catalog entry; data lives (or already lives — registering an
     // existing path-based graft table is the point) at the location.
@@ -463,14 +484,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // removes both.
     val location = Option(properties.get(TableCatalog.PROP_LOCATION))
       .map(l => GraftCatalog.normalizePath(l).toString)
-    val meta = user ++
-      (if (partCols.nonEmpty)
-        Map("partitionColumns" -> partCols.mkString(","))
-       else Map.empty) ++
-      location.map(GraftCatalog.LocationKey -> _) ++
-      (if (schema.nonEmpty)
-        Map(GraftCatalog.SchemaKey -> schema.json)
-       else Map.empty)
+    val meta = ddlMeta(ident, schema, partitions, properties) ++
+      location.map(GraftCatalog.LocationKey -> _)
     // validate BEFORE persisting the stub: a schemaless registration
     // must point at an existing committed table, or retrying with a
     // corrected LOCATION would hit TableAlreadyExists on a broken stub
@@ -484,6 +499,87 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     writeMeta(root, meta)
     graftTable(ident, root, None)
+  }
+
+  // ---- StagingTableCatalog: atomic CTAS / RTAS -------------------------
+  // CREATE TABLE AS SELECT / REPLACE TABLE AS SELECT stage the WHOLE
+  // table — catalog stub + first data commit — in a hidden sibling
+  // dir (`.<name>.ctas-<uuid>`, invisible to listings), and publish
+  // it with an atomic directory move when the write succeeds. A
+  // failed or crashed CTAS leaves NO catalog entry and no visible
+  // table (the dbt CREATE TABLE AS materialization contract); RTAS
+  // swaps the old table out and restores it if the swap's second
+  // move fails.
+
+  override def stageCreate(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, info, replace = false, orCreate = false)
+
+  override def stageReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, info, replace = true, orCreate = false)
+
+  override def stageCreateOrReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, info, replace = true, orCreate = true)
+
+  private def stage(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo,
+      replace: Boolean, orCreate: Boolean)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val root = tablePath(ident)
+    if (isViewDir(root)) throw new TableAlreadyExistsException(ident)
+    if (!replace && isTableDir(root))
+      throw new TableAlreadyExistsException(ident)
+    if (replace && !orCreate && !isTableDir(root))
+      throw new NoSuchTableException(ident)
+    val ns = nsPath(ident.namespace())
+    if (ident.namespace().nonEmpty && !Files.isDirectory(ns))
+      throw new NoSuchNamespaceException(
+        catalogName +: ident.namespace())
+    require(Option(info.properties()
+        .get(TableCatalog.PROP_LOCATION)).isEmpty,
+      "CTAS/RTAS into an external LOCATION is not supported on " +
+        "graft catalogs — CREATE TABLE ... LOCATION, then INSERT")
+    val meta =
+      ddlMeta(ident, info.schema(), info.partitions(),
+        info.properties())
+    val staged = ns.resolve(
+      s".${seg(ident.name())}.ctas-${java.util.UUID.randomUUID}")
+    writeMeta(staged, meta)
+    val inner = graftTable(ident, staged, None)
+    new GraftStagedTable(inner,
+      onCommit = () => commitStaged(ident, root, staged, replace),
+      onAbort = () => GraftCatalog.deleteRecursively(staged))
+  }
+
+  private def commitStaged(ident: Identifier, root: Path,
+                           staged: Path, replace: Boolean): Unit = {
+    if (!replace && isTableDir(root)) {
+      GraftCatalog.deleteRecursively(staged)
+      throw new TableAlreadyExistsException(ident)
+    }
+    if (replace && isTableDir(root)) {
+      // two atomic moves with rollback: a failure moving the staged
+      // table in restores the old one, so the only non-atomic window
+      // is a crash BETWEEN the moves — which loses neither data dir
+      // (the old table survives in the hidden trash sibling), never
+      // publishes a partial table
+      val trash = root.resolveSibling(
+        s".${root.getFileName}.replaced-${java.util.UUID.randomUUID}")
+      Files.move(root, trash, StandardCopyOption.ATOMIC_MOVE)
+      try Files.move(staged, root, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case e: Throwable =>
+          Files.move(trash, root, StandardCopyOption.ATOMIC_MOVE)
+          throw e
+      }
+      GraftCatalog.deleteRecursively(trash)
+    } else Files.move(staged, root, StandardCopyOption.ATOMIC_MOVE)
+    ()
   }
 
   override def alterTable(ident: Identifier,
@@ -1041,4 +1137,30 @@ private[graft] object GraftCatalog {
 
   private[sources] def deleteRecursively(p: Path): Unit =
     VersionedTable.deleteRecursively(p)
+}
+
+/** The staged CTAS/RTAS table: a normal [[GraftTable]] rooted at the
+  * hidden staging dir (so the AS-SELECT write runs the full native
+  * DSv2 write path — keys, partitions, sidecars), plus the
+  * commit/abort hooks the atomic exec drives. Publication is the
+  * catalog's atomic directory move; abort deletes the staging dir.
+  */
+private[sources] class GraftStagedTable(inner: GraftTable,
+    onCommit: () => Unit, onAbort: () => Unit)
+    extends org.apache.spark.sql.connector.catalog.StagedTable
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  override def name(): String = inner.name()
+  override def schema(): StructType = inner.schema()
+  override def partitioning(): Array[Transform] = inner.partitioning()
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog
+        .TableCapability] = inner.capabilities()
+  override def properties(): java.util.Map[String, String] =
+    inner.properties()
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    inner.newWriteBuilder(info)
+  override def commitStagedChanges(): Unit = onCommit()
+  override def abortStagedChanges(): Unit = onAbort()
 }

@@ -330,6 +330,11 @@ class EntrySpec extends SparkSpec {
                              // columns are integer pin digits;
                              // strict-verified sf0.001/0.01/0.1
                              // 2026-08-16
+      "q338_ctas_rtas",      // integer-cents pin (round(value*100) →
+                             // BIGINT before sums); audit columns are
+                             // integer pin digits / counts;
+                             // strict-verified sf0.001/0.01/0.1
+                             // 2026-08-16
       "q331_stream_sink",    // integer-cents pin (round(value*100) →
                              // BIGINT before sums); audit columns are
                              // integer version digits + a flag;

@@ -454,4 +454,72 @@ class GraftCatalogSpec extends SparkSpec {
     assert(q.queryExecution.executedPlan.toString
       .contains("PushedFilters"))
   }
+
+  test("atomic CTAS: CREATE TABLE AS SELECT publishes a complete " +
+    "table; partitioned + keyed properties ride through; REPLACE " +
+    "TABLE AS SELECT swaps contents; CREATE OR REPLACE creates") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ctas")
+    spark.range(6).selectExpr("id", "CAST(id % 2 AS STRING) AS day",
+        "id * 10 AS v")
+      .createOrReplaceTempView("ctas_src")
+    spark.sql("CREATE TABLE gcat.ctas.c USING graft " +
+      "PARTITIONED BY (day) TBLPROPERTIES ('keys' = 'id') " +
+      "AS SELECT id, day, v FROM ctas_src")
+    assert(spark.sql("SELECT id, v FROM gcat.ctas.c ORDER BY id")
+      .as[(Long, Long)].collect().toSeq ===
+      (0L to 5L).map(i => (i, i * 10)))
+    // the staged write ran the full native path: partitioned manifest
+    // + declared keys honored by a later INSERT (upsert, not dup)
+    val root = s"$wh/ctas/c"
+    assert(VersionedTable.readPartitionedManifest(root).isDefined)
+    spark.sql("INSERT INTO gcat.ctas.c VALUES (2, '0', 999)")
+    assert(spark.sql("SELECT v FROM gcat.ctas.c WHERE id = 2")
+      .as[Long].collect().toSeq === Seq(999L))
+    // RTAS: full swap, schema change included
+    spark.sql("REPLACE TABLE gcat.ctas.c USING graft " +
+      "AS SELECT id, v * 2 AS w FROM ctas_src WHERE id < 3")
+    assert(spark.table("gcat.ctas.c").columns.toSeq ===
+      Seq("id", "w"))
+    assert(spark.sql("SELECT id, w FROM gcat.ctas.c ORDER BY id")
+      .as[(Long, Long)].collect().toSeq ===
+      Seq((0L, 0L), (1L, 20L), (2L, 40L)))
+    // CREATE OR REPLACE on a nonexistent table creates it
+    spark.sql("CREATE OR REPLACE TABLE gcat.ctas.c2 USING graft " +
+      "AS SELECT id FROM ctas_src WHERE id = 4")
+    assert(spark.sql("SELECT id FROM gcat.ctas.c2")
+      .as[Long].collect().toSeq === Seq(4L))
+    // REPLACE of a nonexistent table still fails loudly
+    val e = intercept[Exception](spark.sql(
+      "REPLACE TABLE gcat.ctas.missing USING graft " +
+        "AS SELECT 1 AS x"))
+    assert(e.getMessage.toLowerCase.contains("table"), e.getMessage)
+  }
+
+  test("a failing CTAS leaves NO catalog entry, no visible table, " +
+    "and a failing RTAS keeps the OLD table intact") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ctas2")
+    val boom = udf((i: Long) =>
+      if (i > 2) throw new RuntimeException("ctas boom") else i)
+    spark.udf.register("ctas_boom", boom)
+    spark.range(6).createOrReplaceTempView("ctas2_src")
+    intercept[Exception](spark.sql(
+      "CREATE TABLE gcat.ctas2.f USING graft " +
+        "AS SELECT ctas_boom(id) AS id FROM ctas2_src"))
+    // no entry, not listed, not loadable — and a retry succeeds
+    // (no TableAlreadyExists on leftover debris)
+    assert(spark.sql("SHOW TABLES IN gcat.ctas2").count() === 0)
+    intercept[Exception](spark.table("gcat.ctas2.f").collect())
+    spark.sql("CREATE TABLE gcat.ctas2.f USING graft " +
+      "AS SELECT id FROM ctas2_src WHERE id <= 2")
+    assert(spark.sql("SELECT count(*) FROM gcat.ctas2.f")
+      .head.getLong(0) === 3L)
+    // failing RTAS: old contents survive untouched
+    intercept[Exception](spark.sql(
+      "REPLACE TABLE gcat.ctas2.f USING graft " +
+        "AS SELECT ctas_boom(id) AS id FROM ctas2_src"))
+    assert(spark.sql("SELECT count(*) FROM gcat.ctas2.f")
+      .head.getLong(0) === 3L)
+  }
 }
