@@ -7604,6 +7604,35 @@ object SparkEntry {
           lit(failed * 10 + noDebris).as("n"), lit(stage1).as("c")))
     }),
 
+    // ANALYZE column statistics (r15): CALL system.analyze persists
+    // per-column NDV / null count / min / max version-stamped
+    // (`_column_stats.json`); the planner serves them through
+    // SupportsReportStatistics.columnStats ONLY while the fingerprint
+    // matches (stale degrades to absent — BroadcastStatsSpec pins the
+    // CBO filter-estimate and join-reorder consumption). Graded in
+    // exact mode: every recorded statistic replays as plain SQL
+    // aggregates over the same rows.
+    "q339_analyze_stats" -> ((s, d) => {
+      ensureG13(s)
+      s.sql("DROP NAMESPACE IF EXISTS g13.q339 CASCADE")
+      s.sql("CREATE NAMESPACE g13.q339")
+      Tables.events(s, d).select(col("event_id"),
+        when(col("event_type") === "view",
+          lit(null).cast("string"))
+          .otherwise(col("event_type")).as("etype"),
+        round(col("value") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("q339_src")
+      s.sql("CREATE TABLE g13.q339.t (event_id BIGINT, " +
+        "etype STRING, cents BIGINT) USING graft")
+      s.sql("INSERT INTO g13.q339.t SELECT event_id, etype, cents " +
+        "FROM q339_src")
+      s.sql("CALL g13.system.analyze(table => 'q339.t', " +
+        "exact => true)")
+      s.sql("SELECT col_name, ndv, nulls, " +
+        "coalesce(min, '') AS mn, coalesce(max, '') AS mx " +
+        "FROM g13.q339.`t$stats` ORDER BY col_name")
+    }),
+
     // Multimodal planted twin (r14): the SAME byte-level decode path
     // q32 exercises (javax.imageio PNG decode + raw 16-bit PCM reads
     // through Multimodal.extractFeatures), over PLANTED media whose
@@ -8775,6 +8804,36 @@ object SparkEntry {
         |UNION ALL
         |SELECT '_audit', CAST(11 AS BIGINT),
         |  (SELECT count(*) FROM src)""".stripMargin,
+
+    // ANALYZE replay: exact-mode statistics are plain aggregates —
+    // count(DISTINCT), null counts, min/max (integrals rendered as
+    // decimal strings both engines; string bounds are binary-min/max
+    // over ASCII values).
+    "q339_analyze_stats" ->
+      """WITH src AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_type = 'view' THEN NULL
+        |         ELSE event_type END AS etype,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT 'cents' AS col_name,
+        |  count(DISTINCT cents) AS ndv,
+        |  count(*) - count(cents) AS nulls,
+        |  COALESCE(CAST(min(cents) AS VARCHAR), '') AS mn,
+        |  COALESCE(CAST(max(cents) AS VARCHAR), '') AS mx
+        |FROM src
+        |UNION ALL
+        |SELECT 'etype', count(DISTINCT etype),
+        |  count(*) - count(etype),
+        |  COALESCE(min(etype), ''), COALESCE(max(etype), '')
+        |FROM src
+        |UNION ALL
+        |SELECT 'event_id', count(DISTINCT event_id),
+        |  count(*) - count(event_id),
+        |  COALESCE(CAST(min(event_id) AS VARCHAR), ''),
+        |  COALESCE(CAST(max(event_id) AS VARCHAR), '')
+        |FROM src
+        |ORDER BY col_name""".stripMargin,
 
     // Planted-multimodal replay: every decoded statistic is
     // closed-form arithmetic on doc_id — images (even ids): e1/e2 =

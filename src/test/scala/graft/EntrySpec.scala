@@ -335,6 +335,12 @@ class EntrySpec extends SparkSpec {
                              // integer pin digits / counts;
                              // strict-verified sf0.001/0.01/0.1
                              // 2026-08-16
+      "q339_analyze_stats",  // integer-cents pin (round(value*100) →
+                             // BIGINT before exact count-distinct /
+                             // min / max; bounds rendered as decimal
+                             // strings both engines);
+                             // strict-verified sf0.001/0.01/0.1
+                             // 2026-08-16
       "q331_stream_sink",    // integer-cents pin (round(value*100) →
                              // BIGINT before sums); audit columns are
                              // integer version digits + a flag;
