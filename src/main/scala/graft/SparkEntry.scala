@@ -7633,6 +7633,44 @@ object SparkEntry {
         "FROM g13.q339.`t$stats` ORDER BY col_name")
     }),
 
+    // HLL exactness-plateau twin (r15, the q324 trick's HLL half):
+    // the SAME Datasketches HLL path q34 exercises
+    // (hll_sketch_agg → hll_union/estimate), over a domain small
+    // enough (< 90 distinct per group, lgK = 12) that the sketch
+    // never leaves its coupon (LIST/SET) regime — where the estimate
+    // IS the exact distinct count by construction. DuckDB replays it
+    // as count(DISTINCT): integer-exact, hash-graded. q34 stays
+    // rows-only for the real estimate regime.
+    "q340_hll_exact_twin" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), (col("l_partkey") % 89).as("dom"))
+        .groupBy("l_returnflag")
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("dom")))
+          .as("n_exact"))
+    }),
+
+    // Embedding-near-dup planted twin (r15): the SAME hyperplane-LSH
+    // candidate banding + exact-cosine gate q29 exercises
+    // (Dedup.embeddingNearDups, identical bits/tables shape), over
+    // PLANTED axis-aligned unit vectors — members of a group share
+    // ONE basis vector (cosine exactly 1, and identical vectors
+    // co-bucket in every table, so LSH recall is 1 by construction),
+    // cross-group cosine is exactly 0 (< threshold, killed by the
+    // exact gate even when co-bucketed). The full output is therefore
+    // closed-form: every within-group pair at cosine 1.0. q29 stays
+    // rows-only for the real recall-<1 regime (bounded by q89's
+    // recall gate).
+    "q341_embed_neardup_twin" -> ((s, d) => {
+      val emb = Tables.documents(s, d)
+        .select(col("doc_id")).filter(col("doc_id") < 120)
+        .select(col("doc_id").as("vec_id"),
+          expr("transform(sequence(0, 63), i -> " +
+            "CASE WHEN i = doc_id % 40 THEN CAST(1.0 AS FLOAT) " +
+            "ELSE CAST(0.0 AS FLOAT) END)").as("embedding"))
+      Dedup.embeddingNearDups(emb, "embedding", "vec_id",
+        threshold = 0.4, bits = 7, tables = 4)
+    }),
+
     // Multimodal planted twin (r14): the SAME byte-level decode path
     // q32 exercises (javax.imageio PNG decode + raw 16-bit PCM reads
     // through Multimodal.extractFeatures), over PLANTED media whose
@@ -8834,6 +8872,25 @@ object SparkEntry {
         |  COALESCE(CAST(max(event_id) AS VARCHAR), '')
         |FROM src
         |ORDER BY col_name""".stripMargin,
+
+    // HLL exactness-plateau replay: below the coupon-regime capacity
+    // the Datasketches estimate IS count(distinct) — integer-exact.
+    "q340_hll_exact_twin" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey % 89) AS n_exact
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // Planted embed-near-dup replay: within-group pairs (shared basis
+    // vector) at cosine exactly 1.0; nothing else can pass the exact
+    // gate (cross-group cosine is exactly 0 < 0.4).
+    "q341_embed_neardup_twin" ->
+      """WITH ids AS (
+        |  SELECT doc_id FROM documents WHERE doc_id < 120)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(1.0 AS DOUBLE) AS cosine
+        |FROM ids a JOIN ids b
+        |  ON a.doc_id < b.doc_id
+        |  AND a.doc_id % 40 = b.doc_id % 40""".stripMargin,
 
     // Planted-multimodal replay: every decoded statistic is
     // closed-form arithmetic on doc_id — images (even ids): e1/e2 =

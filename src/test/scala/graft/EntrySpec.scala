@@ -24,10 +24,17 @@ class EntrySpec extends SparkSpec {
                                 // q228_pipeline_oracle (integer-exact
                                 // closed-form replay of the same run)
       "q28_knn_ivf",            // approximate (IVF recall < 1)
-      "q29_embed_neardup",      // approximate (LSH recall < 1)
+      "q29_embed_neardup",      // approximate (LSH recall < 1); the
+                                // banding+gate path is hash-graded
+                                // via planted q341 (closed-form
+                                // axis-aligned twin), recall bounded
+                                // by q89's gate
       "q32_multimodal",         // stubbed decode features
-      "q34_approx_distinct",    // HLL estimate
-      "q45_kmv_distinct",       // KMV estimate
+      "q34_approx_distinct",    // HLL estimate; the sketch path is
+                                // hash-graded via planted q340
+                                // (coupon-regime exactness plateau)
+      "q45_kmv_distinct",       // KMV estimate (exactness plateau
+                                // hash-graded via q324)
       "q69_bpe_vocab",          // iterative argmax, not SQL-replayable
       "q80_tdigest_quantile",   // t-digest estimate (bound in TDigestSpec)
       "q82_knn_ivfpq",          // approximate (SQ8 shortlist recall < 1)
