@@ -129,7 +129,7 @@ object Similarity {
     // onto the A-side chunks; the B-side chunks arrive by an
     // equi-join on cluster id — both sides partitioned by cid, no
     // corpus-sized collect, driver memory flat at any corpus size
-    // (Profile `stress-annpairs` pins this at 100k vectors). Pair
+    // (Profile `stress-exact` pins this at 100k vectors). Pair
     // coverage: a pair is scored exactly once — cross-cluster from
     // the (ca ≤ cb) orientation of the allowed list, same-cluster
     // from chunk pairs with chk_a ≤ chk_b plus the id guard on the

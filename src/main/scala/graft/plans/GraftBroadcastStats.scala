@@ -144,10 +144,10 @@ object GraftScanStats {
     * the sidecar walk reads one stats file per version dir, and this
     * rule runs per optimizer pass — same rationale (and same
     * exactness argument: any commit bumps the version) as
-    * [[GraftScanPlanner.liveBytes]]'s memo. Bounded at 4096.
+    * [[GraftScanPlanner.liveBytes]]'s memo.
     */
-  private val rowsMemo = new java.util.concurrent
-    .ConcurrentHashMap[(String, Long), Option[Long]]()
+  private val rowsMemo =
+    new graft.core.FingerprintMemo[(String, Long), Option[Long]]()
 
   private def cachedLiveRows(root: String): Option[Long] = {
     val v = graft.sinks.VersionedTable.readManifest(root)
@@ -156,28 +156,27 @@ object GraftScanStats {
         .readPartitionedManifest(root).map(_.version))
       .getOrElse(return graft.sinks.VersionedTable
         .liveFileStatsAll(root).map(_.map(_.rows).sum))
-    val key = (root, v)
-    val hit = rowsMemo.get(key)
-    if (hit != null) hit
-    else {
-      val r = graft.sinks.VersionedTable.liveFileStatsAll(root)
+    rowsMemo.getOrElseUpdate((root, v)) {
+      graft.sinks.VersionedTable.liveFileStatsAll(root)
         .map(_.map(_.rows).sum)
-      if (rowsMemo.size > 4096) rowsMemo.clear()
-      rowsMemo.put(key, r)
-      r
     }
   }
 
-  /** ANALYZE-stats memo per fingerprint — same shape as [[rowsMemo]]:
-    * the parse is one small file read, but this runs per optimizer
-    * pass on every graft relation.
+  /** ANALYZE-stats memo — same shape as [[rowsMemo]], with one extra
+    * key component: the stats FILE's identity (mtime + size). The
+    * table fingerprint alone is not enough, because `CALL
+    * system.analyze` writes the file WITHOUT bumping any manifest —
+    * a memoized "never analyzed" empty map under the bare fingerprint
+    * would make a later ANALYZE invisible to the planner until an
+    * unrelated commit (the query → analyze → query order is the
+    * natural one).
     */
-  private val colStatsMemo = new java.util.concurrent
-    .ConcurrentHashMap[(String, Long, Long, Long),
-      java.util.Map[org.apache.spark.sql.connector.expressions
-        .NamedReference,
-        org.apache.spark.sql.connector.read.colstats
-          .ColumnStatistics]]()
+  private val colStatsMemo = new graft.core.FingerprintMemo[
+    (String, Long, Long, Long, Long, Long),
+    java.util.Map[org.apache.spark.sql.connector.expressions
+      .NamedReference,
+      org.apache.spark.sql.connector.read.colstats
+        .ColumnStatistics]]()
 
   /** Per-column statistics from a FRESH `_column_stats.json`
     * (fingerprint must match the live table exactly — see
@@ -194,9 +193,10 @@ object GraftScanStats {
     import org.apache.spark.sql.connector.expressions.Expressions
     import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
     val fp = graft.sinks.VersionedTable.statsFingerprint(root)
-    val key = (root, fp._1, fp._2, fp._3)
-    val hit = colStatsMemo.get(key)
-    if (hit != null) return hit
+    val (fMtime, fSize) =
+      graft.sinks.VersionedTable.columnStatsFileId(root)
+    colStatsMemo.getOrElseUpdate(
+      (root, fp._1, fp._2, fp._3, fMtime, fSize)) {
     val built = graft.sinks.VersionedTable.readColumnStats(root) match {
       case Some(cs)
           if (cs.version, cs.posVersion, cs.eqVersion) == fp =>
@@ -219,8 +219,11 @@ object GraftScanStats {
             v.map(java.util.OptionalLong.of)
               .getOrElse(java.util.OptionalLong.empty())
           m.put(Expressions.column(name), new ColumnStatistics {
+            // ndv < 0 = "not computed" (non-hashable types skip the
+            // DISTINCT aggregate) — absent, never a guess
             override def distinctCount(): java.util.OptionalLong =
-              java.util.OptionalLong.of(c.ndv)
+              if (c.ndv >= 0) java.util.OptionalLong.of(c.ndv)
+              else java.util.OptionalLong.empty()
             override def nullCount(): java.util.OptionalLong =
               java.util.OptionalLong.of(c.nulls)
             override def min(): java.util.Optional[Object] =
@@ -238,9 +241,8 @@ object GraftScanStats {
         org.apache.spark.sql.connector.expressions.NamedReference,
         ColumnStatistics]()
     }
-    if (colStatsMemo.size > 4096) colStatsMemo.clear()
-    colStatsMemo.put(key, built)
     built
+    }
   }
 
   /** Driver-side metadata only (|files|-bounded, no data IO, memoized

@@ -941,10 +941,32 @@ private[plans] object GraftMorExec {
       // visibly unchanged, never a partial MERGE).
       val insertsData: Option[DataFrame] =
         if (nA.isEmpty) None
-        else Some(insertRows.select(
-          GraftRowLevelExec.insertProjection(nA, col(ActI),
-            org.apache.spark.sql.types.StructType(dataFields),
-            bind): _*))
+        else Some {
+          val raw = insertRows.select(
+            GraftRowLevelExec.insertProjection(nA, col(ActI),
+              org.apache.spark.sql.types.StructType(dataFields),
+              bind): _*)
+          // Hive/Spark dynamic-partition semantics fold the empty
+          // string into the null partition (__HIVE_DEFAULT_PARTITION__
+          // reads back as NULL — the COW write path does exactly
+          // this), so normalize '' → null on string partition columns
+          // BEFORE rendering/joining partition keys: otherwise the
+          // ''-keyed tuple renders to the null key and the <=> join
+          // back to the un-normalized rows silently drops them
+          pm0 match {
+            case Some(m) if partitioned =>
+              m.partitionColumns.foldLeft(raw) { (d, c) =>
+                if (d.schema(c).dataType ==
+                    org.apache.spark.sql.types.StringType)
+                  d.withColumn(c,
+                    when(length(col(quote(c))) === 0,
+                      lit(null).cast("string"))
+                      .otherwise(col(quote(c))))
+                else d
+              }
+            case _ => raw
+          }
+        }
       // (rendered tuple→key frame, post-materialization manifest) —
       // computed once, reused by the insert-entry qualifier join
       val insertPrep: Option[(DataFrame,
@@ -959,8 +981,11 @@ private[plans] object GraftMorExec {
           else {
             val pschema = org.apache.spark.sql.types.StructType(
               pcols.map(c => insertsData.get.schema(c)))
+            // distinct: after the ''→null normalization two touched
+            // tuples can render to the SAME key — duplicate keyFrame
+            // rows would double-join every matching insert row
             val keyFrame = VT
-              .partitionKeyFrame(spark, pschema, touched)
+              .partitionKeyFrame(spark, pschema, touched).distinct()
             val keys = keyFrame.select("__graft_pkey").collect()
               .map(_.getString(0)).toSeq
             try Some((keyFrame,

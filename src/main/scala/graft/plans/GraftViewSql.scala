@@ -43,19 +43,25 @@ import graft.sources.GraftCatalog
   * positive lookups are never cached here). Bounded at 4096 entries.
   */
 object GraftViewLookups {
-  private val epoch = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val epochCtr = new java.util.concurrent.atomic.AtomicLong(0L)
   private val neg = new java.util.concurrent
     .ConcurrentHashMap[(String, String), java.lang.Long]()
-  def invalidate(): Unit = { epoch.incrementAndGet(); () }
-  private[plans] def cachedMiss(cat: String, ident: Identifier)
+  def invalidate(): Unit = { epochCtr.incrementAndGet(); () }
+  /** Capture BEFORE probing the filesystem: a DDL racing between the
+    * probe and the record bumps past this value, so the recorded
+    * miss is stale on arrival instead of swallowing the new view.
+    */
+  private[plans] def epoch(): Long = epochCtr.get
+  private[plans] def cachedMiss(warehouse: String, ident: Identifier)
       : Boolean = {
-    val e = neg.get((cat, ident.toString))
-    e != null && e.longValue == epoch.get
+    val e = neg.get((warehouse, ident.toString))
+    e != null && e.longValue == epochCtr.get
   }
-  private[plans] def recordMiss(cat: String, ident: Identifier)
-      : Unit = {
+  private[plans] def recordMiss(warehouse: String, ident: Identifier,
+                                probeEpoch: Long): Unit = {
     if (neg.size > 4096) neg.clear()
-    neg.put((cat, ident.toString), java.lang.Long.valueOf(epoch.get))
+    neg.put((warehouse, ident.toString),
+      java.lang.Long.valueOf(probeEpoch))
   }
 }
 
@@ -95,12 +101,19 @@ case class GraftViewSubstitution(spark: SparkSession)
               case Some(cat) =>
                 val ident = Identifier.of(
                   parts.slice(1, parts.length - 1).toArray, parts.last)
-                if (GraftViewLookups.cachedMiss(parts.head, ident)) u
-                else if (cat.viewExists(ident))
-                  substitute(cat, ident, parts)
+                // keyed by WAREHOUSE (not catalog name): two catalogs
+                // sharing a name over different warehouses must not
+                // cross-poison each other's miss entries
+                val wh = cat.warehouseDir
+                if (GraftViewLookups.cachedMiss(wh, ident)) u
                 else {
-                  GraftViewLookups.recordMiss(parts.head, ident)
-                  u
+                  val probeEpoch = GraftViewLookups.epoch()
+                  if (cat.viewExists(ident))
+                    substitute(cat, ident, parts)
+                  else {
+                    GraftViewLookups.recordMiss(wh, ident, probeEpoch)
+                    u
+                  }
                 }
               case None => u
             }

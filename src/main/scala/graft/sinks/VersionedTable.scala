@@ -90,11 +90,20 @@ object VersionedTable {
     // under its own critical section; a crashed holder stops
     // refreshing and ages out exactly as before.
     val hb = new Thread(() => {
-      try while (true) {
-        Thread.sleep(math.max(staleMs / 4, 1000))
-        Files.setLastModifiedTime(lock, java.nio.file.attribute
-          .FileTime.fromMillis(System.currentTimeMillis()))
-      } catch { case _: Throwable => () } // interrupted or lock gone
+      var live = true
+      while (live) {
+        try {
+          Thread.sleep(math.max(staleMs / 4, 1000))
+          Files.setLastModifiedTime(lock, java.nio.file.attribute
+            .FileTime.fromMillis(System.currentTimeMillis()))
+        } catch {
+          case _: InterruptedException => live = false // body done
+          // transient IO hiccup must NOT kill the heartbeat — a dead
+          // heartbeat revives the stale-reclaim-of-a-live-holder race
+          // this thread exists to close; keep refreshing
+          case _: Throwable => ()
+        }
+      }
     })
     hb.setDaemon(true)
     hb.start()
@@ -5650,6 +5659,19 @@ object VersionedTable {
   private def columnStatsPath(rootP: Path): Path =
     rootP.resolve("_column_stats.json")
 
+  /** Identity of the persisted stats file (mtime millis, size) —
+    * (0, 0) when absent. ANALYZE writes the file WITHOUT bumping any
+    * manifest, so fingerprint-keyed caches must include this to see
+    * a fresh ANALYZE on an unchanged table.
+    */
+  private[graft] def columnStatsFileId(root: String): (Long, Long) = {
+    val p = columnStatsPath(Paths.get(root))
+    try {
+      if (!Files.exists(p)) (0L, 0L)
+      else (Files.getLastModifiedTime(p).toMillis, Files.size(p))
+    } catch { case _: Exception => (0L, 0L) } // racing replace
+  }
+
   /** Current (main, pos-delete, eq-delete) version fingerprint — any
     * commit to any of the three moves it.
     */
@@ -5689,8 +5711,19 @@ object VersionedTable {
       def add(kind: String, e: Column): Unit = {
         slots += ((f.name, kind)); aggs += e
       }
-      add("ndv", if (exact) countDistinct(c)
-                 else approx_count_distinct(c))
+      // map-typed columns are not usable in DISTINCT aggregation —
+      // skip their NDV (recorded as -1 = not computed) instead of
+      // failing the whole ANALYZE; null counts still work
+      def hasMap(dt: DataType): Boolean = dt match {
+        case _: MapType => true
+        case s: StructType => s.fields.exists(x => hasMap(x.dataType))
+        case a: ArrayType => hasMap(a.elementType)
+        case _ => false
+      }
+      val hashable = !hasMap(f.dataType)
+      if (hashable)
+        add("ndv", if (exact) countDistinct(c)
+                   else approx_count_distinct(c))
       add("nonnull", count(c))
       dtypeOf(f.dataType) match {
         case "integral" =>
@@ -5721,7 +5754,7 @@ object VersionedTable {
         if (row.isNullAt(i)) None else Some(row.getLong(i)))
     val cols = fields.map { f =>
       f.name -> ColumnStatEntry(dtypeOf(f.dataType),
-        lng(f.name, "ndv").getOrElse(0L),
+        lng(f.name, "ndv").getOrElse(-1L), // -1 = not computed
         total - lng(f.name, "nonnull").getOrElse(0L),
         str(f.name, "min"), str(f.name, "max"),
         lng(f.name, "avgLen"), lng(f.name, "maxLen"))
@@ -5769,15 +5802,17 @@ object VersionedTable {
         """(?:,\s*\"avgLen\":\s*(-?\d+))?""" +
         """(?:,\s*\"maxLen\":\s*(-?\d+))?\}""").r
     try {
-      val cols = colRe.findAllMatchIn(txt).flatMap { m =>
-        val name = unescJson(m.group(1))
-        if (name == "version" || name == "cols") None
-        else Some(name -> ColumnStatEntry(m.group(2),
+      // scan only INSIDE the "cols" object — a name-based guard would
+      // silently drop user columns literally named "version"/"cols"
+      val colsAt = txt.indexOf(""""cols": {""")
+      val colsTxt = if (colsAt < 0) "" else txt.substring(colsAt)
+      val cols = colRe.findAllMatchIn(colsTxt).map { m =>
+        unescJson(m.group(1)) -> ColumnStatEntry(m.group(2),
           m.group(3).toLong, m.group(4).toLong,
           Option(m.group(5)).map(unescJson),
           Option(m.group(6)).map(unescJson),
           Option(m.group(7)).map(_.toLong),
-          Option(m.group(8)).map(_.toLong)))
+          Option(m.group(8)).map(_.toLong))
       }.toMap
       for {
         v <- long1("version"); pv <- long1("posVersion")

@@ -109,6 +109,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
+  /** The warehouse root — the catalog's IDENTITY for caches (two
+    * catalogs may share a name across sessions but point at
+    * different warehouses).
+    */
+  private[graft] def warehouseDir: String = warehouse.toString
+
   override def initialize(name: String,
                           options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -544,6 +550,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         .get(TableCatalog.PROP_LOCATION)).isEmpty,
       "CTAS/RTAS into an external LOCATION is not supported on " +
         "graft catalogs — CREATE TABLE ... LOCATION, then INSERT")
+    // opportunistic reclamation of crashed-CTAS debris: staging and
+    // trash siblings are invisible to listings and no table-scoped
+    // procedure covers them, so each new stage sweeps the namespace
+    // for day-old leftovers (age-gated — in-flight stages are young)
+    GraftCatalog.reapStaleStaging(ns)
     val meta =
       ddlMeta(ident, info.schema(), info.partitions(),
         info.properties())
@@ -1137,6 +1148,30 @@ private[graft] object GraftCatalog {
 
   private[sources] def deleteRecursively(p: Path): Unit =
     VersionedTable.deleteRecursively(p)
+
+  /** Delete `.{name}.ctas-*` / `.{name}.replaced-*` siblings older
+    * than a day under a namespace dir — debris a crashed CTAS/RTAS
+    * driver left behind (abort never ran). Best-effort.
+    */
+  private[sources] def reapStaleStaging(ns: Path,
+                                        maxAgeMs: Long =
+                                          24L * 3600 * 1000): Unit =
+    try {
+      if (!Files.isDirectory(ns)) return
+      val cutoff = System.currentTimeMillis() - maxAgeMs
+      val s = Files.list(ns)
+      try s.iterator().asScala.toSeq
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith(".") &&
+            (n.contains(".ctas-") || n.contains(".replaced-")) &&
+            Files.isDirectory(p) &&
+            Files.getLastModifiedTime(p).toMillis < cutoff
+        }
+        .foreach(p => try deleteRecursively(p)
+          catch { case _: Exception => () })
+      finally s.close()
+    } catch { case _: Exception => () }
 }
 
 /** The staged CTAS/RTAS table: a normal [[GraftTable]] rooted at the

@@ -799,8 +799,8 @@ private[graft] object GraftScanPlanner {
     * would recompute; a concurrent commit changes the version and
     * misses. Bounded: cleared wholesale past 4096 entries.
     */
-  private val liveBytesMemo = new java.util.concurrent
-    .ConcurrentHashMap[(Opts, Long, Long), Option[Long]]()
+  private val liveBytesMemo =
+    new graft.core.FingerprintMemo[(Opts, Long, Long), Option[Long]]()
 
   /** Version stamped in the table-root manifest, either table form
     * (flat first — its parse is one regex pass over the same file).
@@ -826,15 +826,7 @@ private[graft] object GraftScanPlanner {
           .readManifest(Paths.get(o.root).resolve("_pos_deletes")
             .toString)
           .map(_.version).getOrElse(-1L)
-        val key = (o, v, posV)
-        val hit = liveBytesMemo.get(key)
-        if (hit != null) hit
-        else {
-          val r = liveBytes0(o)
-          if (liveBytesMemo.size > 4096) liveBytesMemo.clear()
-          liveBytesMemo.put(key, r)
-          r
-        }
+        liveBytesMemo.getOrElseUpdate((o, v, posV))(liveBytes0(o))
       // no manifest yet (empty/foreign dir): nothing to fingerprint,
       // and the uncached walk is a couple of file-exists probes
       case None => liveBytes0(o)

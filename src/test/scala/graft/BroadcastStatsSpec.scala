@@ -151,6 +151,18 @@ class BroadcastStatsSpec extends SparkSpec {
         when(col("id") % 100 === 0, lit(null).cast("long"))
           .otherwise(col("id") % 50).as("v"),
         concat(lit("s"), col("id") % 3).as("s")), Seq("id"))
+    // probe the planner BEFORE analyzing: the never-analyzed answer
+    // must not stick — ANALYZE writes no manifest bump, so the memo
+    // keys on the stats FILE identity too (r15 review finding)
+    val savedPre = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations =
+        savedPre.filterNot(r => r.isInstanceOf[GraftBroadcastStats] ||
+          r.isInstanceOf[graft.plans.GraftScanStats]) :+
+          graft.plans.GraftScanStats(spark)
+      assert(spark.read.format("graft").load(root)
+        .queryExecution.optimizedPlan.stats.attributeStats.isEmpty)
+    } finally spark.experimental.extraOptimizations = savedPre
     val st = VersionedTable.analyzeColumns(spark, root, exact = true)
     assert(st.rows === 1000L)
     assert(st.cols("k").ndv === 10L && st.cols("k").nulls === 0L)

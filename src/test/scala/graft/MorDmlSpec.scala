@@ -433,6 +433,40 @@ class MorDmlSpec extends SparkSpec {
     assert(liveAfter === 0L)
   }
 
+  test("partitioned MoR MERGE inserts with empty-string and null " +
+    "partition values fold into the null partition — Hive dynamic-" +
+    "partition semantics, matching the COW write path") {
+    wh
+    for (t <- Seq("ecow", "emor")) {
+      val prop = if (t == "emor")
+        " TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')" else ""
+      spark.sql(s"CREATE TABLE mrcat.m.$t (id BIGINT, day STRING, " +
+        s"v BIGINT) USING graft PARTITIONED BY (day)$prop")
+      spark.sql(s"INSERT INTO mrcat.m.$t VALUES (1, 'd1', 10)")
+    }
+    // one insert with day = '' and one with day = NULL — both must
+    // land (in the null partition), exactly once each
+    Seq((7L, "", 70L)).toDF("nid", "nday", "nv")
+      .unionByName(Seq((8L, null.asInstanceOf[String], 80L))
+        .toDF("nid", "nday", "nv"))
+      .createOrReplaceTempView("emor_src")
+    def merge(t: String): Unit = spark.sql(
+      s"""MERGE INTO mrcat.m.$t t USING emor_src s ON t.id = s.nid
+         |WHEN NOT MATCHED THEN INSERT (id, day, v)
+         |  VALUES (s.nid, s.nday, s.nv)""".stripMargin)
+    merge("ecow"); merge("emor")
+    def got(t: String): Seq[(Long, Option[String], Long)] =
+      spark.sql(s"SELECT id, day, v FROM mrcat.m.$t ORDER BY id")
+        .as[(Long, Option[String], Long)].collect().toSeq
+    assert(got("emor") === got("ecow"))
+    assert(got("emor") === Seq((1L, Some("d1"), 10L),
+      (7L, None, 70L), (8L, None, 80L)))
+    // the MoR side committed entries, not data files
+    val root = s"$wh/m/emor"
+    val (live, _) = VersionedTable.posDeleteEntryCounts(spark, root)
+    assert(live === 2L, s"expected 2 pending insert entries, $live")
+  }
+
   test("racing partitioned MoR MERGEs serialize: concurrent " +
     "increments compose and racing inserts into the SAME new " +
     "partition all land exactly once") {
