@@ -5180,9 +5180,12 @@ object SparkEntry {
     "q302_partition_sorted_cluster" -> ((s, d) => {
       val vt = graft.sinks.VersionedTable
       val work = graft.core.ScratchDirs.fresh("q302_psc").toString
+      // month granularity (the q332 rule): partition COUNT, not rows,
+      // drives this lifecycle twin's cost — the clustering/pruning
+      // demonstration is identical at ~12 partitions
       val ev = Tables.events(s, d).select(col("event_id"),
         round(col("value") * 100).cast("long").as("cents"),
-        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        date_format(col("ts"), "yyyy-MM").as("day"))
         .repartition(4, col("event_id"))
       vt.upsertPartitioned(s, work, ev, Seq("event_id"), Seq("day"))
       val (lo, hi) = (1000L, 2000L)
@@ -8274,8 +8277,11 @@ object SparkEntry {
       ensureG13(s)
       s.sql("DROP NAMESPACE IF EXISTS g13.q329 CASCADE")
       s.sql("CREATE NAMESPACE g13.q329")
+      // month granularity (the q332 rule): the procedures rewrite
+      // per-partition — the lifecycle's demonstration is identical
+      // at ~12 partitions, without paying ~365 tiny commits
       val ev = Tables.events(s, d).select(col("event_id"),
-        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        date_format(col("ts"), "yyyy-MM").as("day"),
         col("event_type"),
         round(col("value") * 100).cast("long").as("cents"))
       ev.createOrReplaceTempView("q329_src")

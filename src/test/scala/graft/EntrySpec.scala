@@ -250,8 +250,9 @@ class EntrySpec extends SparkSpec {
                              // 2026-08-15
       "q302_partition_sorted_cluster", // same integer-cents pin; audit
                              // columns are improvement/soundness bits
-                             // + version; strict-verified sf0.001/
-                             // 0.01/0.1 2026-08-15
+                             // + version; month granularity (r15);
+                             // strict-verified sf0.001/0.01/0.1
+                             // 2026-08-16
       "q301_table_lifecycle", // same integer-cents pin; audit columns
                              // are integer partition/file/zone counts;
                              // strict-verified sf0.001/0.01/0.1
