@@ -35,6 +35,7 @@ object Profile {
     if (args.headOption.contains("stress-ivjoin")) { stressIntervalJoin(); return }
     if (args.headOption.contains("stress-series")) { stressSeries(); return }
     if (args.headOption.contains("stress-table")) { stressTable(); return }
+    if (args.headOption.contains("stress-mormerge")) { stressMorMerge(); return }
     if (args.headOption.contains("stage77")) { stage77(); return }
     val spark = GraftSession.build("profile")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -122,6 +123,92 @@ object Profile {
       q.awaitTermination()
       println(s"  streamed ops=$total")
     }
+    spark.stop()
+  }
+
+  /** Partitioned merge-on-read MERGE at a REALISTIC partition count
+    * (512 — two orders past the graded twins): the scale claim at
+    * stake is that a MoR MERGE's cost is ∝ matched rows + one
+    * content-free materialization, INDEPENDENT of table partition
+    * count, while the COW twin pays a rewrite of every matched
+    * partition. Prints both times, pointer-move counts (MoR must be
+    * zero moved / one added), and row-equality of the two results.
+    */
+  def stressMorMerge(): Unit = {
+    import graft.sinks.VersionedTable
+    val spark = GraftSession.build("profile-mormerge")
+    val whP = java.nio.file.Paths.get("/tmp/stress_mor_wh")
+    if (java.nio.file.Files.exists(whP)) {
+      val s = java.nio.file.Files.walk(whP)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally s.close()
+    }
+    spark.conf.set("spark.sql.catalog.pmm",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.pmm.warehouse", whP.toString)
+    spark.sql("CREATE NAMESPACE pmm.s")
+    for (tn <- Seq("cow", "mor")) {
+      val prop = if (tn == "mor")
+        " TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')" else ""
+      spark.sql(s"CREATE TABLE pmm.s.$tn (id BIGINT, p STRING, " +
+        s"m BIGINT) USING graft PARTITIONED BY (p)$prop")
+      t(s"seed $tn: 1M rows / 512 partitions (one commit)") {
+        spark.range(0, 1000000L)
+          .select(col("id"), expr("CAST(id % 512 AS STRING)").as("p"),
+            (col("id") * 3).as("m"))
+          .createOrReplaceTempView("pmm_seed")
+        spark.sql(s"INSERT INTO pmm.s.$tn SELECT * FROM pmm_seed")
+      }
+    }
+    // matched rows confined to 8 partitions (p ∈ 0..7, every 250th
+    // row WITHIN those partitions — ~64 rows total) + 100 inserts
+    // into ONE brand-new partition
+    spark.range(0, 1000000L)
+      .filter(expr("id % 512 < 8 AND (id DIV 512) % 250 = 0"))
+      .select(col("id").as("sid"), lit(null).cast("string").as("sp"),
+        lit(1L).as("sm"))
+      .unionByName(spark.range(2000000L, 2000100L)
+        .select(col("id").as("sid"), lit("newpart").as("sp"),
+          col("id").as("sm")))
+      .createOrReplaceTempView("pmm_src")
+    def merge(tn: String): Unit = spark.sql(
+      s"""MERGE INTO pmm.s.$tn t USING pmm_src s ON t.id = s.sid
+         |WHEN MATCHED THEN UPDATE SET m = t.m + s.sm
+         |WHEN NOT MATCHED THEN INSERT (id, p, m)
+         |  VALUES (s.sid, 'newpart', s.sm)""".stripMargin)
+    val morRoot = s"$whP/s/mor"
+    val cowRoot = s"$whP/s/cow"
+    val morBefore =
+      VersionedTable.readPartitionedManifest(morRoot).get.partitions
+    val cowBefore =
+      VersionedTable.readPartitionedManifest(cowRoot).get.partitions
+    t("MoR MERGE (512-partition table, 8 matched partitions)") {
+      merge("mor")
+    }
+    t("COW MERGE (same statement, same table shape)") {
+      merge("cow")
+    }
+    val morAfter =
+      VersionedTable.readPartitionedManifest(morRoot).get.partitions
+    val cowAfter =
+      VersionedTable.readPartitionedManifest(cowRoot).get.partitions
+    def moved(b: Map[String, String], a: Map[String, String]): Int =
+      b.count { case (k, d) => !a.get(k).contains(d) }
+    println(s"  pointers moved: mor=${moved(morBefore, morAfter)} " +
+      s"(added ${morAfter.size - morBefore.size}), " +
+      s"cow=${moved(cowBefore, cowAfter)} " +
+      s"(added ${cowAfter.size - cowBefore.size})")
+    val chk = spark.sql(
+      """SELECT (SELECT CAST(sum(m) AS BIGINT) FROM pmm.s.mor) AS ms,
+        |  (SELECT CAST(sum(m) AS BIGINT) FROM pmm.s.cow) AS cs,
+        |  (SELECT count(*) FROM pmm.s.mor) AS mn,
+        |  (SELECT count(*) FROM pmm.s.cow) AS cn""".stripMargin)
+      .head
+    println(s"  equal: sums ${chk.getLong(0)} == ${chk.getLong(1)} " +
+      s"(${chk.getLong(0) == chk.getLong(1)}), " +
+      s"counts ${chk.getLong(2)} == ${chk.getLong(3)} " +
+      s"(${chk.getLong(2) == chk.getLong(3)})")
     spark.stop()
   }
 
