@@ -489,6 +489,17 @@ class GraftCatalogSpec extends SparkSpec {
       "AS SELECT id FROM ctas_src WHERE id = 4")
     assert(spark.sql("SELECT id FROM gcat.ctas.c2")
       .as[Long].collect().toSeq === Seq(4L))
+    // zero-row CTAS: the declared-schema empty table publishes (the
+    // zero-row write no-ops, the stub still lands atomically)
+    spark.sql("CREATE TABLE gcat.ctas.c0 USING graft " +
+      "AS SELECT id, v FROM ctas_src WHERE id < 0")
+    assert(spark.table("gcat.ctas.c0").columns.toSeq ===
+      Seq("id", "v"))
+    assert(spark.sql("SELECT count(*) FROM gcat.ctas.c0")
+      .head.getLong(0) === 0L)
+    spark.sql("INSERT INTO gcat.ctas.c0 VALUES (1, 11)")
+    assert(spark.sql("SELECT count(*) FROM gcat.ctas.c0")
+      .head.getLong(0) === 1L)
     // REPLACE of a nonexistent table still fails loudly
     val e = intercept[Exception](spark.sql(
       "REPLACE TABLE gcat.ctas.missing USING graft " +
