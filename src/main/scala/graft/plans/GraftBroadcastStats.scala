@@ -234,6 +234,33 @@ object GraftScanStats {
               optL(c.avgLen)
             override def maxLen(): java.util.OptionalLong =
               optL(c.maxLen)
+            // equi-height histogram (numeric columns analyzed with
+            // histogram_bins > 0): height = non-null rows per bin
+            override def histogram(): java.util.Optional[
+                org.apache.spark.sql.connector.read.colstats
+                  .Histogram] =
+              if (c.hist.isEmpty)
+                java.util.Optional.empty()
+              else {
+                val h = (cs.rows - c.nulls).toDouble /
+                  c.hist.size
+                java.util.Optional.of(
+                  new org.apache.spark.sql.connector.read.colstats
+                      .Histogram {
+                    override def height(): Double = h
+                    override def bins(): Array[
+                        org.apache.spark.sql.connector.read.colstats
+                          .HistogramBin] =
+                      c.hist.map { b =>
+                        new org.apache.spark.sql.connector.read
+                            .colstats.HistogramBin {
+                          override def lo(): Double = b.lo
+                          override def hi(): Double = b.hi
+                          override def ndv(): Long = b.ndv
+                        }
+                      }.toArray
+                  })
+              }
           })
         }
         m

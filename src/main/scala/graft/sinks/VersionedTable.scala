@@ -5645,12 +5645,19 @@ object VersionedTable {
   // or exact count(distinct) on request (the oracle-graded mode).
   // ------------------------------------------------------------------
 
+  /** One equi-height histogram bin: [lo, hi] with the bin's distinct
+    * count (the Spark/Hive ANALYZE histogram shape — heights are
+    * implicit: rows/|bins| per bin by construction).
+    */
+  final case class HistBin(lo: Double, hi: Double, ndv: Long)
+
   /** dtype ∈ {integral, floating, string, other}: how min/max were
     * rendered and how the planner re-types them.
     */
   final case class ColumnStatEntry(dtype: String, ndv: Long,
       nulls: Long, min: Option[String], max: Option[String],
-      avgLen: Option[Long], maxLen: Option[Long])
+      avgLen: Option[Long], maxLen: Option[Long],
+      hist: Seq[HistBin] = Seq.empty)
 
   final case class TableColumnStats(version: Long, posVersion: Long,
       eqVersion: Long, rows: Long, exact: Boolean,
@@ -5686,11 +5693,18 @@ object VersionedTable {
     (mainV, posV, eqV)
   }
 
-  /** One aggregate pass over the observable snapshot; persists and
+  /** One aggregate pass over the observable snapshot (plus two more
+    * when `histogramBins` > 0: an approx-percentile pass for the
+    * equi-height bin bounds, then a per-bin NDV pass — the same
+    * two-extra-scan budget Spark's own ANALYZE ... FOR COLUMNS pays
+    * with spark.sql.statistics.histogram.enabled); persists and
     * returns the stats. `exact` swaps HLL++ NDV for count(distinct).
+    * Histograms cover numeric columns only and give CBO skew-aware
+    * selectivity where the uniform min/max interpolation misleads.
     */
   def analyzeColumns(spark: SparkSession, root: String,
-                     exact: Boolean = false): TableColumnStats = {
+                     exact: Boolean = false,
+                     histogramBins: Int = 0): TableColumnStats = {
     import org.apache.spark.sql.functions.{approx_count_distinct, avg, ceil, count, countDistinct, length, max => fmax, min => fmin}
     val (mainV, posV, eqV) = statsFingerprint(root)
     require(mainV > 0L, s"$root has never committed — nothing to analyze")
@@ -5752,12 +5766,70 @@ object VersionedTable {
     def lng(f: String, k: String): Option[Long] =
       byField.get((f, k)).flatMap(i =>
         if (row.isNullAt(i)) None else Some(row.getLong(i)))
+    // equi-height histograms for numeric columns: bounds from one
+    // approx_percentile pass, per-bin NDV from one more aggregate
+    // (all columns × bins in a single job)
+    val hists: Map[String, Seq[HistBin]] =
+      if (histogramBins <= 0 || total == 0L) Map.empty
+      else {
+        import org.apache.spark.sql.functions.{approx_count_distinct, countDistinct}
+        val numeric = fields.filter(f =>
+          Set("integral", "floating")(dtypeOf(f.dataType)))
+        if (numeric.isEmpty) Map.empty
+        else {
+          val pcts = (0 to histogramBins)
+            .map(i => i.toDouble / histogramBins).mkString(",")
+          val bRow = df.agg(
+            expr(s"approx_percentile(CAST(`${numeric.head.name}` " +
+              s"AS DOUBLE), array($pcts), 10000)")
+              .as("__b0"),
+            numeric.tail.zipWithIndex.map { case (f, i) =>
+              expr(s"approx_percentile(CAST(`${f.name}` AS DOUBLE), " +
+                s"array($pcts), 10000)").as(s"__b${i + 1}")
+            }: _*).head
+          val bounds: Map[String, Seq[Double]] =
+            numeric.zipWithIndex.flatMap { case (f, i) =>
+              if (bRow.isNullAt(i)) None
+              else Some(f.name ->
+                bRow.getSeq[Double](i).toSeq)
+            }.toMap
+          if (bounds.isEmpty) Map.empty
+          else {
+            val nSlots = scala.collection.mutable.ArrayBuffer
+              .empty[(String, Int)]
+            val nAggs = scala.collection.mutable.ArrayBuffer
+              .empty[Column]
+            bounds.toSeq.sortBy(_._1).foreach { case (n, bs) =>
+              val cd = col(s"`$n`").cast("double")
+              (0 until histogramBins).foreach { i =>
+                val cond =
+                  if (i == 0) cd >= bs(0) && cd <= bs(1)
+                  else cd > bs(i) && cd <= bs(i + 1)
+                nSlots += ((n, i))
+                nAggs += (if (exact) countDistinct(when(cond, cd))
+                          else approx_count_distinct(when(cond, cd)))
+              }
+            }
+            val nRow = df.agg(nAggs.head.as("__h0"),
+              nAggs.toSeq.tail.zipWithIndex.map { case (e, i) =>
+                e.as(s"__h${i + 1}") }: _*).head
+            bounds.map { case (n, bs) =>
+              n -> (0 until histogramBins).map { i =>
+                val slot = nSlots.indexOf((n, i))
+                HistBin(bs(i), bs(i + 1),
+                  if (nRow.isNullAt(slot)) 0L else nRow.getLong(slot))
+              }.toSeq
+            }
+          }
+        }
+      }
     val cols = fields.map { f =>
       f.name -> ColumnStatEntry(dtypeOf(f.dataType),
         lng(f.name, "ndv").getOrElse(-1L), // -1 = not computed
         total - lng(f.name, "nonnull").getOrElse(0L),
         str(f.name, "min"), str(f.name, "max"),
-        lng(f.name, "avgLen"), lng(f.name, "maxLen"))
+        lng(f.name, "avgLen"), lng(f.name, "maxLen"),
+        hists.getOrElse(f.name, Seq.empty))
     }.toMap
     val stats = TableColumnStats(mainV, posV, eqV, total, exact, cols)
     val body = {
@@ -5766,10 +5838,14 @@ object VersionedTable {
       def optL(k: String, v: Option[Long]): String =
         v.map(n => s""", "$k": $n""").getOrElse("")
       val colBody = cols.toSeq.sortBy(_._1).map { case (n, c) =>
+        val histS =
+          if (c.hist.isEmpty) ""
+          else s""", "hist": "${c.hist
+            .map(b => s"${b.lo}:${b.hi}:${b.ndv}").mkString("|")}""""
         s""""${escJson(n)}": {"dtype": "${c.dtype}", "ndv": ${c.ndv}""" +
           s""", "nulls": ${c.nulls}""" + opt("min", c.min) +
           opt("max", c.max) + optL("avgLen", c.avgLen) +
-          optL("maxLen", c.maxLen) + "}"
+          optL("maxLen", c.maxLen) + histS + "}"
       }.mkString(", ")
       s"""{"version": $mainV, "posVersion": $posV, """ +
         s""""eqVersion": $eqV, "rows": $total, "exact": $exact, """ +
@@ -5800,7 +5876,17 @@ object VersionedTable {
         """(?:,\s*\"min\":\s*\"((?:[^"\\]|\\.)*)\")?""" +
         """(?:,\s*\"max\":\s*\"((?:[^"\\]|\\.)*)\")?""" +
         """(?:,\s*\"avgLen\":\s*(-?\d+))?""" +
-        """(?:,\s*\"maxLen\":\s*(-?\d+))?\}""").r
+        """(?:,\s*\"maxLen\":\s*(-?\d+))?""" +
+        """(?:,\s*\"hist\":\s*\"([^"]*)\")?\}""").r
+    def parseHist(s: String): Seq[HistBin] =
+      s.split('|').toSeq.filter(_.nonEmpty).flatMap { b =>
+        b.split(':') match {
+          case Array(lo, hi, n) =>
+            try Some(HistBin(lo.toDouble, hi.toDouble, n.toLong))
+            catch { case _: NumberFormatException => None }
+          case _ => None
+        }
+      }
     try {
       // scan only INSIDE the "cols" object — a name-based guard would
       // silently drop user columns literally named "version"/"cols"
@@ -5812,7 +5898,8 @@ object VersionedTable {
           Option(m.group(5)).map(unescJson),
           Option(m.group(6)).map(unescJson),
           Option(m.group(7)).map(_.toLong),
-          Option(m.group(8)).map(_.toLong))
+          Option(m.group(8)).map(_.toLong),
+          Option(m.group(9)).map(parseHist).getOrElse(Seq.empty))
       }.toMap
       for {
         v <- long1("version"); pv <- long1("posVersion")

@@ -96,7 +96,10 @@ private[sources] object GraftProcedures {
       // exact=false: HLL++ NDV, one pass at any scale (Spark's own
       // ANALYZE default); exact=true pays count(distinct) per column
       case "analyze" => Array(p("table", StringType),
-        p("exact", BooleanType, Some("false")))
+        p("exact", BooleanType, Some("false")),
+        // > 0: also record equi-height histograms for numeric
+        // columns (two extra scans, Spark's own ANALYZE budget)
+        p("histogram_bins", IntegerType, Some("0")))
       case other => throw new IllegalStateException(s"unreachable: $other")
     }
 
@@ -230,7 +233,8 @@ private[sources] object GraftProcedures {
         new GenericInternalRow(Array[Any](v, n))
       case "analyze" =>
         val st = VersionedTable.analyzeColumns(spark, root,
-          exact = input.getBoolean(1))
+          exact = input.getBoolean(1),
+          histogramBins = input.getInt(2))
         new GenericInternalRow(Array[Any](st.version, st.rows,
           st.cols.size))
       case other => throw new IllegalStateException(s"unreachable: $other")

@@ -218,6 +218,47 @@ class BroadcastStatsSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = saved
   }
 
+  test("equi-height histograms: skew-aware CBO selectivity where " +
+    "uniform min/max interpolation misleads; bins round-trip") {
+    val (root, _) = freshRoots()
+    // 90% zeros, 10% spread over 1..991 — a tail range filter is
+    // ~10x overestimated by the uniform interpolation
+    VersionedTable.upsert(spark, root,
+      spark.range(0, 10000).select(col("id"),
+        when(col("id") % 10 === 0, (col("id") % 1000) + 1)
+          .otherwise(0L).as("m")), Seq("id"))
+    VersionedTable.analyzeColumns(spark, root, exact = true)
+    val saved = spark.experimental.extraOptimizations
+    val cboWas = spark.conf.get("spark.sql.cbo.enabled")
+    try {
+      spark.experimental.extraOptimizations =
+        saved.filterNot(r => r.isInstanceOf[GraftBroadcastStats] ||
+          r.isInstanceOf[graft.plans.GraftScanStats]) :+
+          graft.plans.GraftScanStats(spark)
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      def est(): BigInt = spark.read.format("graft").load(root)
+        .filter(col("m") >= 500)
+        .queryExecution.optimizedPlan.stats.rowCount.get
+      val uniform = est()
+      // re-analyze WITH histograms: the stats-file-identity memo key
+      // must pick this up without any table commit
+      VersionedTable.analyzeColumns(spark, root, exact = true,
+        histogramBins = 16)
+      val cs = VersionedTable.readColumnStats(root).get
+      assert(cs.cols("m").hist.size === 16)
+      assert(cs.cols("m").hist.head.lo === 0.0)
+      val withHist = est()
+      // truth is 500 rows; uniform lands ~5000, histogram within a
+      // bin or two of truth
+      assert(uniform > BigInt(3000), s"uniform=$uniform")
+      assert(withHist < uniform / 2 && withHist > BigInt(0),
+        s"uniform=$uniform withHist=$withHist")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", cboWas)
+      spark.experimental.extraOptimizations = saved
+    }
+  }
+
   test("CostBasedJoinReorder consumes the analyzed NDVs: with fresh " +
     "stats a 3-table join re-associates to join the selective dim " +
     "first") {
