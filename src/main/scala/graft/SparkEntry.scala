@@ -8304,7 +8304,7 @@ object SparkEntry {
       s.sql("CALL g13.system.set_ref(table => 'q329.ev', " +
         "name => 'stable')")
       s.sql("INSERT INTO g13.q329.ev VALUES " +
-        "(9000001, '2030-01-01', 'synthetic', 12345)")
+        "(9000001, '2030-01', 'synthetic', 12345)")
       val atRef = s.sql("SELECT count(*) AS n, sum(cents) AS sc " +
         "FROM g13.q329.ev VERSION AS OF 'stable'").head
       val ro = s.sql("CALL g13.system.remove_orphans(" +

@@ -235,32 +235,39 @@ object GraftScanStats {
             override def maxLen(): java.util.OptionalLong =
               optL(c.maxLen)
             // equi-height histogram (numeric columns analyzed with
-            // histogram_bins > 0): height = non-null rows per bin
-            override def histogram(): java.util.Optional[
+            // histogram_bins > 0): height = non-null rows per bin.
+            // Precomputed ONCE at map build (the memoized stat object
+            // is probed per optimizer pass; rebuilding the bins array
+            // per call — or capturing the whole stats map in the
+            // closure — would be waste pinned in the memo)
+            private val histOpt: java.util.Optional[
                 org.apache.spark.sql.connector.read.colstats
                   .Histogram] =
               if (c.hist.isEmpty)
                 java.util.Optional.empty()
               else {
-                val h = (cs.rows - c.nulls).toDouble /
-                  c.hist.size
+                val h = (cs.rows - c.nulls).toDouble / c.hist.size
+                val binArr = c.hist.map { b =>
+                  new org.apache.spark.sql.connector.read
+                      .colstats.HistogramBin {
+                    override def lo(): Double = b.lo
+                    override def hi(): Double = b.hi
+                    override def ndv(): Long = b.ndv
+                  }: org.apache.spark.sql.connector.read.colstats
+                    .HistogramBin
+                }.toArray
                 java.util.Optional.of(
                   new org.apache.spark.sql.connector.read.colstats
                       .Histogram {
                     override def height(): Double = h
                     override def bins(): Array[
                         org.apache.spark.sql.connector.read.colstats
-                          .HistogramBin] =
-                      c.hist.map { b =>
-                        new org.apache.spark.sql.connector.read
-                            .colstats.HistogramBin {
-                          override def lo(): Double = b.lo
-                          override def hi(): Double = b.hi
-                          override def ndv(): Long = b.ndv
-                        }
-                      }.toArray
+                          .HistogramBin] = binArr
                   })
               }
+            override def histogram(): java.util.Optional[
+                org.apache.spark.sql.connector.read.colstats
+                  .Histogram] = histOpt
           })
         }
         m

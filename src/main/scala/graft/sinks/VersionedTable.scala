@@ -5772,54 +5772,66 @@ object VersionedTable {
     val hists: Map[String, Seq[HistBin]] =
       if (histogramBins <= 0 || total == 0L) Map.empty
       else {
-        import org.apache.spark.sql.functions.{approx_count_distinct, countDistinct}
+        import org.apache.spark.sql.functions.{approx_count_distinct, isnan}
         val numeric = fields.filter(f =>
           Set("integral", "floating")(dtypeOf(f.dataType)))
         if (numeric.isEmpty) Map.empty
         else {
+          // NaN rows are EXCLUDED from the histogram (they compare
+          // false against every bound, so leaving them in poisons the
+          // top boundary and silently zeroes the last bin's ndv)
+          def clean(n: String): Column = {
+            val cd = col(s"`$n`").cast("double")
+            when(isnan(cd), lit(null).cast("double")).otherwise(cd)
+          }
           val pcts = (0 to histogramBins)
             .map(i => i.toDouble / histogramBins).mkString(",")
-          val bRow = df.agg(
-            expr(s"approx_percentile(CAST(`${numeric.head.name}` " +
-              s"AS DOUBLE), array($pcts), 10000)")
-              .as("__b0"),
+          def pctAgg(n: String): Column =
+            expr(s"approx_percentile(" +
+              s"nanvl(CAST(`$n` AS DOUBLE), NULL), " +
+              s"array($pcts), 10000)")
+          val bRow = df.agg(pctAgg(numeric.head.name).as("__b0"),
             numeric.tail.zipWithIndex.map { case (f, i) =>
-              expr(s"approx_percentile(CAST(`${f.name}` AS DOUBLE), " +
-                s"array($pcts), 10000)").as(s"__b${i + 1}")
+              pctAgg(f.name).as(s"__b${i + 1}")
             }: _*).head
           val bounds: Map[String, Seq[Double]] =
             numeric.zipWithIndex.flatMap { case (f, i) =>
               if (bRow.isNullAt(i)) None
-              else Some(f.name ->
-                bRow.getSeq[Double](i).toSeq)
+              else {
+                val bs = bRow.getSeq[Double](i).toSeq
+                // a non-finite bound (±Inf column values) would
+                // round-trip into CBO — drop that column's histogram
+                if (bs.exists(b => b.isNaN || b.isInfinite)) None
+                else Some(f.name -> bs)
+              }
             }.toMap
           if (bounds.isEmpty) Map.empty
           else {
-            val nSlots = scala.collection.mutable.ArrayBuffer
-              .empty[(String, Int)]
-            val nAggs = scala.collection.mutable.ArrayBuffer
-              .empty[Column]
-            bounds.toSeq.sortBy(_._1).foreach { case (n, bs) =>
-              val cd = col(s"`$n`").cast("double")
-              (0 until histogramBins).foreach { i =>
+            // Per-bin NDV is ALWAYS HLL++, even in exact mode: bin
+            // ndv only feeds selectivity heuristics, and cols×bins
+            // exact countDistincts in one aggregate rewrite into an
+            // (cols×bins)-way Expand — a row amplification that
+            // breaks the documented two-extra-scan budget
+            val ordered = bounds.toSeq.sortBy(_._1)
+            val nAggs = ordered.flatMap { case (n, bs) =>
+              val cd = clean(n)
+              (0 until histogramBins).map { i =>
                 val cond =
                   if (i == 0) cd >= bs(0) && cd <= bs(1)
                   else cd > bs(i) && cd <= bs(i + 1)
-                nSlots += ((n, i))
-                nAggs += (if (exact) countDistinct(when(cond, cd))
-                          else approx_count_distinct(when(cond, cd)))
+                approx_count_distinct(when(cond, cd))
               }
             }
             val nRow = df.agg(nAggs.head.as("__h0"),
-              nAggs.toSeq.tail.zipWithIndex.map { case (e, i) =>
+              nAggs.tail.zipWithIndex.map { case (e, i) =>
                 e.as(s"__h${i + 1}") }: _*).head
-            bounds.map { case (n, bs) =>
+            ordered.zipWithIndex.map { case ((n, bs), ci) =>
               n -> (0 until histogramBins).map { i =>
-                val slot = nSlots.indexOf((n, i))
+                val slot = ci * histogramBins + i
                 HistBin(bs(i), bs(i + 1),
                   if (nRow.isNullAt(slot)) 0L else nRow.getLong(slot))
               }.toSeq
-            }
+            }.toMap
           }
         }
       }

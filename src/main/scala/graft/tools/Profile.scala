@@ -176,7 +176,7 @@ object Profile {
       s"""MERGE INTO pmm.s.$tn t USING pmm_src s ON t.id = s.sid
          |WHEN MATCHED THEN UPDATE SET m = t.m + s.sm
          |WHEN NOT MATCHED THEN INSERT (id, p, m)
-         |  VALUES (s.sid, 'newpart', s.sm)""".stripMargin)
+         |  VALUES (s.sid, s.sp, s.sm)""".stripMargin)
     val morRoot = s"$whP/s/mor"
     val cowRoot = s"$whP/s/cow"
     val morBefore =
