@@ -7674,6 +7674,51 @@ object SparkEntry {
         threshold = 0.4, bits = 7, tables = 4)
     }),
 
+    // IVF exactness twin (r15): the SAME coarse-quantize-then-probe
+    // path q28 exercises (kmeansLite centroids → nProbe nearest
+    // lists → exact cosine rank), over planted identical-vector
+    // groups where IVF is EXACT by construction: identical vectors
+    // assign to the same list, and a query that IS a member vector
+    // ranks lists by the same argmin — so its top probed list
+    // contains every true neighbor (cosine exactly 1.0; everything
+    // else is orthogonal and ranks below at any k ≤ group size − 1).
+    // DuckDB replays the output as id arithmetic. q28 stays
+    // rows-only for the real recall-<1 regime (bounded by q87).
+    "q342_ivf_exact_twin" -> ((s, d) => {
+      val corpus = Tables.documents(s, d)
+        .select(col("doc_id")).filter(col("doc_id") < 160)
+        .select(col("doc_id").as("id"),
+          expr("transform(sequence(0, 63), i -> " +
+            "CASE WHEN i = doc_id % 40 THEN CAST(1.0 AS FLOAT) " +
+            "ELSE CAST(0.0 AS FLOAT) END)").as("v"))
+      val queries = corpus.filter(col("id") < 8)
+        .select(col("id").as("qid"), col("v").as("qv"))
+      graft.operators.Similarity.ivfTopK(corpus, queries, k = 3,
+        nLists = 8, nProbe = 2, kmeansIters = 3)
+    }),
+
+    // IVF-SQ8 exactness twin (r15): the SAME quantized-candidate +
+    // exact-rerank path q82 exercises, with the rerank budget ≥ the
+    // probed candidate count — then the exact float rerank fully
+    // absorbs ANY scalar-quantization error and the output equals
+    // the closed-form neighbor set regardless of the codes. This
+    // hash-grades the whole SQ8 pipeline (stats pass, 1-byte codes,
+    // reconstruction scoring, shortlist, rerank); q82 stays
+    // rows-only for the real shortlist-recall regime (bounded by
+    // q88).
+    "q343_sq8_exact_twin" -> ((s, d) => {
+      val corpus = Tables.documents(s, d)
+        .select(col("doc_id")).filter(col("doc_id") < 160)
+        .select(col("doc_id").as("id"),
+          expr("transform(sequence(0, 63), i -> " +
+            "CASE WHEN i = doc_id % 40 THEN CAST(1.0 AS FLOAT) " +
+            "ELSE CAST(0.0 AS FLOAT) END)").as("v"))
+      val queries = corpus.filter(col("id") < 8)
+        .select(col("id").as("qid"), col("v").as("qv"))
+      graft.operators.Similarity.ivfPqTopK(corpus, queries, k = 3,
+        nLists = 8, nProbe = 2, rerank = 64, kmeansIters = 3)
+    }),
+
     // Multimodal planted twin (r14): the SAME byte-level decode path
     // q32 exercises (javax.imageio PNG decode + raw 16-bit PCM reads
     // through Multimodal.extractFeatures), over PLANTED media whose
@@ -8897,6 +8942,33 @@ object SparkEntry {
         |FROM ids a JOIN ids b
         |  ON a.doc_id < b.doc_id
         |  AND a.doc_id % 40 = b.doc_id % 40""".stripMargin,
+
+    // IVF exactness replay: the planted neighbor set is pure id
+    // arithmetic — same-group members at cosine exactly 1.0, ranked
+    // by id (the tie-break at equal cosine).
+    "q342_ivf_exact_twin" ->
+      """WITH ids AS (
+        |  SELECT doc_id FROM documents WHERE doc_id < 160)
+        |SELECT q.doc_id AS qid, i.doc_id AS neighbor_id,
+        |  CAST(1.0 AS DOUBLE) AS cosine,
+        |  row_number() OVER (PARTITION BY q.doc_id
+        |    ORDER BY i.doc_id) AS rank
+        |FROM ids q JOIN ids i
+        |  ON i.doc_id % 40 = q.doc_id % 40 AND i.doc_id <> q.doc_id
+        |WHERE q.doc_id < 8""".stripMargin,
+
+    // SQ8 exactness replay: identical to q342's — the full-budget
+    // exact rerank makes the quantized path's output closed-form.
+    "q343_sq8_exact_twin" ->
+      """WITH ids AS (
+        |  SELECT doc_id FROM documents WHERE doc_id < 160)
+        |SELECT q.doc_id AS qid, i.doc_id AS neighbor_id,
+        |  CAST(1.0 AS DOUBLE) AS cosine,
+        |  row_number() OVER (PARTITION BY q.doc_id
+        |    ORDER BY i.doc_id) AS rank
+        |FROM ids q JOIN ids i
+        |  ON i.doc_id % 40 = q.doc_id % 40 AND i.doc_id <> q.doc_id
+        |WHERE q.doc_id < 8""".stripMargin,
 
     // Planted-multimodal replay: every decoded statistic is
     // closed-form arithmetic on doc_id — images (even ids): e1/e2 =

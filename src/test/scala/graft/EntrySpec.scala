@@ -23,7 +23,13 @@ class EntrySpec extends SparkSpec {
                                 // — graded EXACTLY via its derived
                                 // q228_pipeline_oracle (integer-exact
                                 // closed-form replay of the same run)
-      "q28_knn_ivf",            // approximate (IVF recall < 1)
+      "q28_knn_ivf",            // approximate (IVF recall < 1); the
+                                // probe path is hash-graded via
+                                // planted q342 (identical-vector
+                                // groups: the query's top probed list
+                                // contains every true neighbor by
+                                // construction), recall bounded by
+                                // q87's gate
       "q29_embed_neardup",      // approximate (LSH recall < 1); the
                                 // banding+gate path is hash-graded
                                 // via planted q341 (closed-form
@@ -37,7 +43,12 @@ class EntrySpec extends SparkSpec {
                                 // hash-graded via q324)
       "q69_bpe_vocab",          // iterative argmax, not SQL-replayable
       "q80_tdigest_quantile",   // t-digest estimate (bound in TDigestSpec)
-      "q82_knn_ivfpq",          // approximate (SQ8 shortlist recall < 1)
+      "q82_knn_ivfpq",          // approximate (SQ8 shortlist recall
+                                // < 1); the full quantize + rerank
+                                // pipeline is hash-graded via planted
+                                // q343 (full-budget exact rerank =
+                                // closed-form output), recall bounded
+                                // by q88's gate
       "q108_bpe_encode",        // iterative min-rank merge loop, not
                                 // SQL-replayable (BpeEncodeSpec)
       "q126_compress_ratio",    // deflate ratio — no zlib in DuckDB
