@@ -7719,6 +7719,35 @@ object SparkEntry {
         nLists = 8, nProbe = 2, rerank = 64, kmeansIters = 3)
     }),
 
+    // dHash planted twin (r15): the SAME decode → 9×8 luma grid →
+    // gradient-bit → pigeonhole-chunk-join → exact-hamming path
+    // q155/q180 exercise, over 9×8-pixel gray PNGs whose dHash is a
+    // PLANNED 64-bit pattern (each grid block is one pixel; a ±10
+    // gray walk per row encodes any pattern losslessly). Group
+    // patterns are byte-replicated group bits, so within-group
+    // hamming is exactly 0 and cross-group hamming is ≥ 8 > the
+    // threshold — the full near-dup output is closed-form id
+    // arithmetic, hash-grading the byte-level dHash kernel q336's
+    // channel-mean twin doesn't touch. q155/q180 keep the realistic-
+    // media rows-only roles.
+    "q344_dhash_twin" -> ((s, d) => {
+      val gen = udf((id: Long) => {
+        val g = (id % 20).toInt
+        var h = 0L
+        var j = 0
+        while (j < 8) {
+          if (((g >> j) & 1) == 1) h |= (0xFFL << (8 * j))
+          j += 1
+        }
+        graft.operators.MediaHeaders.dhashPatternPngBytes(h)
+      })
+      val media = Tables.documents(s, d)
+        .select(col("doc_id")).filter(col("doc_id") < 60)
+        .select(col("doc_id").as("media_id"),
+          lit("image").as("kind"), gen(col("doc_id")).as("bytes"))
+      Multimodal.imageNearDups(media, maxHamming = 3)
+    }),
+
     // Multimodal planted twin (r14): the SAME byte-level decode path
     // q32 exercises (javax.imageio PNG decode + raw 16-bit PCM reads
     // through Multimodal.extractFeatures), over PLANTED media whose
@@ -8969,6 +8998,18 @@ object SparkEntry {
         |FROM ids q JOIN ids i
         |  ON i.doc_id % 40 = q.doc_id % 40 AND i.doc_id <> q.doc_id
         |WHERE q.doc_id < 8""".stripMargin,
+
+    // dHash-twin replay: within-group pairs at hamming exactly 0
+    // (identical planned patterns); cross-group patterns differ in
+    // ≥ 8 bits and never pass the threshold.
+    "q344_dhash_twin" ->
+      """WITH ids AS (
+        |  SELECT doc_id FROM documents WHERE doc_id < 60)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(0 AS INTEGER) AS hamming
+        |FROM ids a JOIN ids b
+        |  ON a.doc_id < b.doc_id
+        |  AND a.doc_id % 20 = b.doc_id % 20""".stripMargin,
 
     // Planted-multimodal replay: every decoded statistic is
     // closed-form arithmetic on doc_id — images (even ids): e1/e2 =

@@ -327,6 +327,38 @@ object MediaHeaders {
     bos.toByteArray
   }
 
+  /** A 9×8-pixel gray PNG whose dHash is EXACTLY `hash`: at that
+    * size every dHash grid block is a single pixel, so bit k (row
+    * k/8, col k%8) is `luma(r,c) < luma(r,c+1)` over pixels we set
+    * directly — a ±10 gray walk per row (PNG lossless, gray luma =
+    * the gray value exactly) encodes any 64-bit pattern. The
+    * closed-form fixture behind the q344 dHash twin: hamming
+    * distances between planted images equal popcount arithmetic on
+    * the planned patterns.
+    */
+  def dhashPatternPngBytes(hash: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var r = 0
+    while (r < 8) {
+      var v = 128
+      var c = 0
+      while (c < 9) {
+        val g = v & 0xff
+        img.setRGB(c, r, (g << 16) | (g << 8) | g)
+        if (c < 8) {
+          val bit = (hash >>> (r * 8 + c)) & 1L
+          v = if (bit == 1L) v + 10 else v - 10
+        }
+        c += 1
+      }
+      r += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** 16-bit mono PCM WAV carrying a PURE SINE at `freqHz` — the
     * closed-form audio fixture: the tone frequency is exactly
     * recoverable from the payload, so byte-level DSP (Goertzel
