@@ -7564,6 +7564,94 @@ object SparkEntry {
           lit(preFoldEq * 10 + postFoldEq).as("c")))
     }),
 
+    // Partition-MOVING merge-on-read DML (r16, lifting r15's last
+    // COW fallback): an UPDATE that reassigns the PARTITION column
+    // (the "correct the event date" mutation on a date-partitioned
+    // table) and a MERGE whose matched AND by-source clauses move
+    // rows again — including re-moving the UPDATE's still-pending
+    // post-images (tombstone + destination re-append, never an
+    // in-place replace that would keep the stale qualifier). Zero
+    // data files rewritten: the audit pins every pre-existing
+    // partition pointer byte-identical, new mappings only at the
+    // move/insert destinations, manifest advanced by exactly the two
+    // content-free materialization commits, and the MoR result
+    // hash-equal to a COW twin both pre-fold and post-vacuum.
+    "q345_mor_move_part" -> ((s, d) => {
+      val vt = graft.sinks.VersionedTable
+      ensureG13(s)
+      s.sql("DROP NAMESPACE IF EXISTS g13.q345 CASCADE")
+      s.sql("CREATE NAMESPACE g13.q345")
+      val ev = Tables.events(s, d).select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM").as("day"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      ev.createOrReplaceTempView("q345_src")
+      for (t <- Seq("cow", "mor")) {
+        val prop = if (t == "mor")
+          " TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')" else ""
+        s.sql(s"CREATE TABLE g13.q345.$t (event_id BIGINT, " +
+          "day STRING, event_type STRING, cents BIGINT) USING graft " +
+          s"PARTITIONED BY (day)$prop")
+        s.sql(s"INSERT INTO g13.q345.$t " +
+          "SELECT event_id, day, event_type, cents FROM q345_src " +
+          "WHERE event_id % 3 = 1")
+      }
+      val morRoot = s.conf.get("spark.sql.catalog.g13.warehouse") +
+        "/q345/mor"
+      val before = vt.readPartitionedManifest(morRoot).get
+      for (t <- Seq("cow", "mor")) {
+        // statement 1: partition-moving UPDATE (quarantine-by-type)
+        s.sql(s"UPDATE g13.q345.$t SET " +
+          "day = concat('q-', event_type), cents = cents + 1 " +
+          "WHERE cents % 7 = 0")
+        // statement 2: MERGE whose matched clause MOVES rows to
+        // 2099-12, by-source clause RE-MOVES the quarantined (still
+        // pending) rows to 'qq', inserts land in new 2099-01
+        s.sql(s"""MERGE INTO g13.q345.$t t USING (
+          |  SELECT event_id, cents FROM q345_src
+          |  WHERE event_id % 4 = 2) src
+          |ON t.event_id = src.event_id
+          |WHEN MATCHED AND src.cents % 5 = 0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET day = '2099-12',
+          |  cents = t.cents + src.cents
+          |WHEN NOT MATCHED THEN INSERT (event_id, day, event_type,
+          |  cents) VALUES (src.event_id, '2099-01', 'future',
+          |  src.cents)
+          |WHEN NOT MATCHED BY SOURCE AND t.day LIKE 'q-%'
+          |THEN UPDATE SET day = 'qq', cents = t.cents * 3
+          |""".stripMargin.replace("\n", " "))
+      }
+      val after = vt.readPartitionedManifest(morRoot).get
+      val ptrOk = before.partitions.forall { case (k, dd) =>
+        after.partitions.get(k).contains(dd) }
+      val newKeys = after.partitions.keySet -- before.partitions.keySet
+      val newOnly = newKeys.nonEmpty && newKeys.forall(k =>
+        k.startsWith("day=q-") ||
+          Set("day=qq", "day=2099-12", "day=2099-01")(k))
+      val verOk = after.version == before.version + 2
+      val zeroRewrite = if (ptrOk && newOnly && verOk) 1L else 0L
+      def fp(df: DataFrame): (Long, Long) = {
+        val cs = df.columns.sorted.toSeq.map(col)
+        val r = df.select(xxhash64(struct(cs: _*)).as("h"))
+          .agg(count(lit(1)).as("n"), sum("h").as("s")).head
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      def eq(a: DataFrame, b: DataFrame): Long =
+        if (fp(a) == fp(b)) 1L else 0L
+      val preFoldEq = eq(s.table("g13.q345.mor"),
+        s.table("g13.q345.cow"))
+      s.sql("CALL g13.system.vacuum(table => 'q345.mor')")
+      val postFoldEq = eq(s.table("g13.q345.mor"),
+        s.table("g13.q345.cow"))
+      s.sql("SELECT CASE WHEN day LIKE 'q%' OR day LIKE '2099%' " +
+          "THEN day ELSE 'base' END AS part, " +
+          "count(*) AS n, sum(cents) AS c FROM g13.q345.mor " +
+          "GROUP BY 1")
+        .unionByName(s.range(1).select(lit("_audit").as("part"),
+          lit(zeroRewrite).as("n"),
+          lit(preFoldEq * 10 + postFoldEq).as("c")))
+    }),
+
     // Atomic CTAS/RTAS (r15, StagingTableCatalog): CREATE TABLE AS
     // SELECT stages the whole table — stub + first commit — in a
     // hidden sibling and publishes it with one atomic move, so a
@@ -7602,9 +7690,45 @@ object SparkEntry {
       s.sql("REPLACE TABLE g13.q338.m USING graft AS " +
         "SELECT event_type, count(*) AS n, sum(cents) AS c " +
         "FROM q338_src WHERE event_id % 5 = 0 GROUP BY event_type")
+      // external-LOCATION leg (r16): the same CTAS contract with the
+      // data published AT a LOCATION — staged in a hidden sibling of
+      // the external path, atomic move on success; a failing
+      // external CTAS leaves ZERO debris at or next to the location
+      val extBase = java.nio.file.Files
+        .createTempDirectory("q338_ext")
+      val extLoc = s"$extBase/m_ext"
+      s.sql(s"CREATE TABLE g13.q338.ext USING graft " +
+        s"LOCATION '$extLoc' AS SELECT event_id, cents " +
+        "FROM q338_src WHERE event_id % 7 = 0")
+      val extRows = s.sql("SELECT count(*) FROM g13.q338.ext")
+        .head.getLong(0)
+      val extAtLoc = graft.sinks.VersionedTable
+        .readManifest(extLoc).isDefined
+      val extFailed =
+        try {
+          s.sql(s"CREATE TABLE g13.q338.extbad USING graft " +
+            s"LOCATION '$extBase/bad' AS " +
+            "SELECT q338_boom(event_id) AS x FROM q338_src")
+          0L
+        } catch { case _: Exception => 1L }
+      val extClean = {
+        val leftovers = {
+          val st = java.nio.file.Files.list(extBase)
+          try st.toArray.toSeq.map(_.toString.split('/').last)
+          finally st.close()
+        }
+        if (leftovers == Seq("m_ext")) 1L else 0L
+      }
+      val extOk =
+        if (extAtLoc && extFailed == 1L && extClean == 1L &&
+          extRows == s.sql("SELECT count(*) FROM q338_src " +
+            "WHERE event_id % 7 = 0").head.getLong(0)) 1L
+        else 0L
       s.sql("SELECT event_type AS part, n, c FROM g13.q338.m")
         .unionByName(s.range(1).select(lit("_audit").as("part"),
           lit(failed * 10 + noDebris).as("n"), lit(stage1).as("c")))
+        .unionByName(s.range(1).select(lit("_ext").as("part"),
+          lit(extOk).as("n"), lit(extRows).as("c")))
     }),
 
     // ANALYZE column statistics (r15): CALL system.analyze persists
@@ -7634,6 +7758,114 @@ object SparkEntry {
       s.sql("SELECT col_name, ndv, nulls, " +
         "coalesce(min, '') AS mn, coalesce(max, '') AS mx " +
         "FROM g13.q339.`t$stats` ORDER BY col_name")
+    }),
+
+    // Incremental column statistics (r16): ANALYZE once, then INSERT
+    // — the append commit FOLDS the batch into the persisted stats
+    // (rows/nulls/min-max add/widen, NDV = estimate of the UNION of
+    // mergeable HLL sketches) so the fingerprint advances WITH the
+    // table and the CBO stays live on a continuously-ingesting table
+    // (the reference's daily-batch pattern,
+    // airflow/dags/etl_pipeline_dag.py:30) with no re-scan. Graded
+    // exactly by the coupon-regime trick (q340): every column's
+    // domain stays far below the sketch's SET-regime capacity, where
+    // the union estimate IS the exact distinct count — DuckDB replays
+    // the folded NDVs as count(DISTINCT) over the full table. The
+    // `live` column pins fresh=true: the stats SURVIVED the insert.
+    "q346_stats_fold" -> ((s, d) => {
+      ensureG13(s)
+      s.sql("DROP NAMESPACE IF EXISTS g13.q346 CASCADE")
+      s.sql("CREATE NAMESPACE g13.q346")
+      Tables.events(s, d).select(
+        (col("event_id") % 89).as("eid"),
+        when(col("event_type") === "view",
+          lit(null).cast("string"))
+          .otherwise(col("event_type")).as("etype"),
+        (round(col("value") * 100).cast("long") % 83).as("dom"),
+        col("event_id"))
+        .createOrReplaceTempView("q346_src")
+      s.sql("CREATE TABLE g13.q346.t (eid BIGINT, etype STRING, " +
+        "dom BIGINT) USING graft")
+      s.sql("INSERT INTO g13.q346.t SELECT eid, etype, dom " +
+        "FROM q346_src WHERE event_id % 2 = 0")
+      s.sql("CALL g13.system.analyze(table => 'q346.t', " +
+        "exact => true)")
+      // this INSERT must NOT kill the stats — the fold advances them
+      s.sql("INSERT INTO g13.q346.t SELECT eid, etype, dom " +
+        "FROM q346_src WHERE event_id % 2 = 1")
+      s.sql("SELECT col_name, ndv, nulls, " +
+        "coalesce(min, '') AS mn, coalesce(max, '') AS mx, " +
+        "CASE WHEN fresh THEN 1 ELSE 0 END AS live " +
+        "FROM g13.q346.`t$stats` ORDER BY col_name")
+    }),
+
+    // t-digest exactness twin (r16, the q324/q340 trick's third
+    // verse, closing q80's rows-only core): below the merge
+    // threshold every value stays a SINGLETON centroid — sizeLimit
+    // = max(1, 4·n·q(1−q)/δ) < 2 whenever n < 2δ, so no two
+    // singletons ever combine regardless of partitioning/merge
+    // order — and the digest IS the sorted value list. The quantile
+    // estimator's midpoint interpolation over singletons is then a
+    // CLOSED FORM DuckDB replays exactly (integer values ⇒ exact
+    // double arithmetic; binary-exact q ∈ {.25, .5, .75}). Exercises
+    // the full TypedImperativeAggregate path: buffer fill, spill
+    // serialization, partial merge, finish, quantile eval. q80 stays
+    // rows-only for the real compressed regime (±1% rank bound in
+    // TDigestSpec).
+    "q347_tdigest_exact_twin" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 400)
+        .select((col("doc_id") % 8).as("g"),
+          col("doc_id").cast("double").as("v"))
+        .groupBy("g")
+        .agg(call_function("graft_tdigest",
+          col("v"), lit(100)).as("td"))
+        .select(col("g"),
+          round(call_function("graft_td_quantile", col("td"),
+            lit(0.25)), 4).as("p25"),
+          round(call_function("graft_td_quantile", col("td"),
+            lit(0.5)), 4).as("p50"),
+          round(call_function("graft_td_quantile", col("td"),
+            lit(0.75)), 4).as("p75"))
+    }),
+
+    // Deflate fixture twin (r16, closing q126's rows-only surface
+    // the only way a no-zlib oracle can): a PLANTED sf-invariant
+    // fixture corpus — run-length text, templated prose, a SHA-256
+    // hex chain (incompressible), a block-repetitive page, and the
+    // empty string — through the SAME graft_deflate_ratio expression
+    // q126 uses; the oracle pins the deflate SIZES as constants
+    // (java.util.zip raw DEFLATE at the default level is
+    // deterministic for fixed input — the determinism
+    // RetrievalFuzzySpec already asserts). Integer-exact: the graded
+    // columns are byte lengths, never float ratios. q126 stays
+    // rows-only for the real corpus.
+    "q348_deflate_twin" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      import s.implicits._
+      def hexChain(seed: String, n: Int): String = {
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        val sb = new StringBuilder
+        var cur = seed.getBytes("UTF-8")
+        while (sb.length < n) {
+          cur = md.digest(cur)
+          sb.append(cur.map("%02x".format(_)).mkString)
+        }
+        sb.substring(0, n)
+      }
+      val fixtures = Seq(
+        (1L, "a" * 1200),
+        (2L, "the quick brown fox jumps over the lazy dog. " * 30),
+        (3L, hexChain("graft-deflate-twin", 1200)),
+        (4L, ("abcdefgh" * 10 + "\n") * 15),
+        (5L, ""))
+      fixtures.toDF("fid", "text")
+        .withColumn("raw_len", length(col("text")).cast("long"))
+        .withColumn("deflated_len",
+          round(call_function("graft_deflate_ratio", col("text")) *
+            length(col("text"))).cast("long"))
+        .select("fid", "raw_len", "deflated_len")
     }),
 
     // HLL exactness-plateau twin (r15, the q324 trick's HLL half):
@@ -8907,6 +9139,50 @@ object SparkEntry {
         |SELECT '_audit', CAST(1 AS BIGINT),
         |  CAST(11 AS BIGINT)""".stripMargin,
 
+    // Partition-moving MoR replay: UPDATE-then-MERGE as two CASE
+    // folds (quarantine move, then matched/by-source/insert), final
+    // state grouped by a collapsed partition label ('base' for
+    // never-moved months — the moves themselves carry closed-form
+    // labels); _audit pins n = 1 (zero pre-existing pointers moved,
+    // destinations-only new mappings, exactly two materialization
+    // commits) and c = 11 (COW hash-equality pre-fold and
+    // post-vacuum).
+    "q345_mor_move_part" ->
+      """WITH src AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |tgt AS (SELECT event_id, event_type, cents FROM src
+        |  WHERE event_id % 3 = 1),
+        |upd AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN cents % 7 = 0 THEN 'q-' || event_type
+        |         ELSE 'base' END AS day,
+        |    CASE WHEN cents % 7 = 0 THEN cents + 1
+        |         ELSE cents END AS cents
+        |  FROM tgt),
+        |msrc AS (SELECT event_id, cents FROM src
+        |  WHERE event_id % 4 = 2),
+        |fin AS (
+        |  SELECT t.event_id,
+        |    CASE WHEN m.event_id IS NOT NULL THEN '2099-12'
+        |         WHEN t.day LIKE 'q-%' THEN 'qq'
+        |         ELSE t.day END AS day,
+        |    CASE WHEN m.event_id IS NOT NULL THEN t.cents + m.cents
+        |         WHEN t.day LIKE 'q-%' THEN t.cents * 3
+        |         ELSE t.cents END AS cents
+        |  FROM upd t LEFT JOIN msrc m ON t.event_id = m.event_id
+        |  WHERE m.event_id IS NULL OR NOT (m.cents % 5 = 0)
+        |  UNION ALL
+        |  SELECT m.event_id, '2099-01', m.cents FROM msrc m
+        |  WHERE m.event_id NOT IN (SELECT event_id FROM tgt))
+        |SELECT day AS part, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS c
+        |FROM fin GROUP BY day
+        |UNION ALL
+        |SELECT '_audit', CAST(1 AS BIGINT),
+        |  CAST(11 AS BIGINT)""".stripMargin,
+
     // CTAS/RTAS replay: the re-materialized model is a plain
     // aggregate of the fifth of events the CTAS selected; _audit pins
     // n = 11 (failing CTAS raised AND left zero debris) and c = the
@@ -8921,7 +9197,86 @@ object SparkEntry {
         |FROM src GROUP BY event_type
         |UNION ALL
         |SELECT '_audit', CAST(11 AS BIGINT),
-        |  (SELECT count(*) FROM src)""".stripMargin,
+        |  (SELECT count(*) FROM src)
+        |UNION ALL
+        |SELECT '_ext', CAST(1 AS BIGINT),
+        |  (SELECT count(*) FROM events
+        |   WHERE event_id % 7 = 0)""".stripMargin,
+
+    // t-digest twin replay: in the singleton regime the digest IS
+    // the sorted value list, so the quantile is the estimator's
+    // midpoint interpolation written out as SQL — i = ⌊q·n + ½⌋,
+    // est = x[i−1] + (x[i] − x[i−1])·(q·n − i + ½) — exact in
+    // doubles for integer values and binary-exact q.
+    "q347_tdigest_exact_twin" ->
+      """WITH src AS (
+        |  SELECT doc_id % 8 AS g, CAST(doc_id AS DOUBLE) AS v
+        |  FROM documents WHERE doc_id < 400),
+        |r AS (SELECT g, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY v) - 1 AS j,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM src),
+        |qs AS (SELECT CAST(0.25 AS DOUBLE) AS p
+        |  UNION ALL SELECT CAST(0.5 AS DOUBLE)
+        |  UNION ALL SELECT CAST(0.75 AS DOUBLE)),
+        |pts AS (SELECT gg.g, qs.p, gg.n,
+        |    CAST(floor(qs.p * gg.n + 0.5) AS BIGINT) AS i
+        |  FROM (SELECT DISTINCT g, n FROM r) gg CROSS JOIN qs),
+        |interp AS (
+        |  SELECT pts.g, pts.p,
+        |    lo.v + (hi.v - lo.v) * (pts.p * pts.n - pts.i + 0.5)
+        |      AS est
+        |  FROM pts
+        |  JOIN r lo ON lo.g = pts.g AND lo.j = pts.i - 1
+        |  JOIN r hi ON hi.g = pts.g AND hi.j = pts.i)
+        |SELECT g,
+        |  round(max(CASE WHEN p = 0.25 THEN est END), 4) AS p25,
+        |  round(max(CASE WHEN p = 0.5 THEN est END), 4) AS p50,
+        |  round(max(CASE WHEN p = 0.75 THEN est END), 4) AS p75
+        |FROM interp GROUP BY g""".stripMargin,
+
+    // Deflate twin replay: the fixture is sf-invariant, so the
+    // oracle pins the deflate byte sizes as CONSTANTS (verified
+    // against java.util.zip's deterministic raw-DEFLATE output at
+    // all three SFs; RetrievalFuzzySpec asserts the determinism the
+    // pin rests on).
+    "q348_deflate_twin" ->
+      """SELECT CAST(fid AS BIGINT) AS fid,
+        |  CAST(raw_len AS BIGINT) AS raw_len,
+        |  CAST(deflated_len AS BIGINT) AS deflated_len
+        |FROM (VALUES (1, 1200, 12), (2, 1350, 59), (3, 1200, 663),
+        |  (4, 1215, 28), (5, 0, 0))
+        |  AS t(fid, raw_len, deflated_len)""".stripMargin,
+
+    // Stats-fold replay: folded NDVs are coupon-regime HLL union
+    // estimates = exact count(DISTINCT) over the FULL table (both
+    // insert halves); nulls/min/max likewise replay as full-table
+    // aggregates; live = 1 pins that the fold kept the fingerprint
+    // fresh through the second INSERT.
+    "q346_stats_fold" ->
+      """WITH src AS (
+        |  SELECT event_id % 89 AS eid,
+        |    CASE WHEN event_type = 'view' THEN NULL
+        |         ELSE event_type END AS etype,
+        |    CAST(round(value * 100) AS BIGINT) % 83 AS dom
+        |  FROM events)
+        |SELECT * FROM (
+        |  SELECT 'eid' AS col_name, count(DISTINCT eid) AS ndv,
+        |    count(*) - count(eid) AS nulls,
+        |    CAST(min(eid) AS VARCHAR) AS mn,
+        |    CAST(max(eid) AS VARCHAR) AS mx,
+        |    CAST(1 AS INT) AS live FROM src
+        |  UNION ALL
+        |  SELECT 'etype', count(DISTINCT etype),
+        |    count(*) - count(etype),
+        |    coalesce(min(etype), ''), coalesce(max(etype), ''),
+        |    CAST(1 AS INT) FROM src
+        |  UNION ALL
+        |  SELECT 'dom', count(DISTINCT dom),
+        |    count(*) - count(dom),
+        |    CAST(min(dom) AS VARCHAR), CAST(max(dom) AS VARCHAR),
+        |    CAST(1 AS INT) FROM src)
+        |ORDER BY col_name""".stripMargin,
 
     // ANALYZE replay: exact-mode statistics are plain aggregates —
     // count(DISTINCT), null counts, min/max (integrals rendered as

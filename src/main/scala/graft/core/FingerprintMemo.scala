@@ -9,10 +9,14 @@ package graft.core
   * every optimizer pass: the memo turns a per-plan metadata walk into
   * O(1) map lookups.
   *
-  * Bounded by wholesale clear past `cap` entries (tables × versions;
-  * the check-then-clear is racy under concurrent puts, which can
-  * transiently overshoot the cap — harmless for a cache whose entries
-  * are all re-computable).
+  * Bounding evicts a QUARTER of the entries (whatever the map's
+  * iteration order surfaces first — effectively an arbitrary subset)
+  * instead of a wholesale clear, so overflow under a many-table
+  * workload degrades smoothly rather than discarding every hot
+  * planner entry at once. Concurrent computes of the same key
+  * deduplicate through `computeIfAbsent` — one thread runs the
+  * metadata walk, the rest wait on the bin (driver-side, bounded
+  * walk; the brief bin lock is cheaper than N duplicate walks).
   */
 final class FingerprintMemo[K, V <: AnyRef](cap: Int = 4096) {
   private val m = new java.util.concurrent.ConcurrentHashMap[K, V]()
@@ -20,10 +24,12 @@ final class FingerprintMemo[K, V <: AnyRef](cap: Int = 4096) {
     val hit = m.get(k)
     if (hit != null) hit
     else {
-      val v = compute
-      if (m.size > cap) m.clear()
-      m.put(k, v)
-      v
+      if (m.size > cap) {
+        val it = m.keySet.iterator
+        var n = cap / 4
+        while (n > 0 && it.hasNext) { it.next(); it.remove(); n -= 1 }
+      }
+      m.computeIfAbsent(k, _ => compute)
     }
   }
 }

@@ -86,7 +86,8 @@ object Similarity {
   def exactCosinePairs(df: DataFrame, vecCol: String, idCol: String,
                        threshold: Double, nLists: Int = 16,
                        kmeansIters: Int = 3,
-                       inputKey: Option[String] = None): DataFrame = {
+                       inputKey: Option[String] = None,
+                       blockSize: Int = 4096): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     // With inputKey, the cluster index rides the SAME session memo as
@@ -134,7 +135,19 @@ object Similarity {
     // the (ca ≤ cb) orientation of the allowed list, same-cluster
     // from chunk pairs with chk_a ≤ chk_b plus the id guard on the
     // diagonal (chunks are id-ranges, so off-diagonal chunk pairs
-    // satisfy the guard by construction). Arithmetic replicates
+    // satisfy the guard by construction). The chunk BUILD is itself
+    // fully parallel: rows range-partition on (cid, id) across a
+    // task count that grows with the corpus (never the old
+    // Window.partitionBy(cid) whose per-cluster sort ran on ONE
+    // task), and each task slices its sorted stream into ≤ blockSize
+    // spans locally. A chunk is labeled by its MIN id — within a cid
+    // the chunks are disjoint id-intervals (range partitioning keeps
+    // a cid's ids ordered across tasks too), so min-id labels order
+    // exactly like the intervals and every chk_a ≤ chk_b comparison
+    // below is unchanged. Chunk boundaries are NOT deterministic
+    // (range sampling), but the emitted pair set never depends on
+    // them — coverage is exactly-once for ANY id-range chunking and
+    // the arithmetic is per pair. Arithmetic replicates
     // graft_cosine exactly — double accumulation of widened floats in
     // index order, dot/(√na·√nb), then Spark round HALF_UP at 4 dp —
     // so the result set is bit-identical to the join formulation and
@@ -143,34 +156,50 @@ object Similarity {
     // norms differ on ragged input).
     val spark = df.sparkSession
     import spark.implicits._
-    val blockSize = 4096
-    val wById = Window.partitionBy("cid").orderBy("id")
-    val chunks = base.join(assignments, "id")
-      .select(col("id"), col("cid"), col("v"))
-      .withColumn("chk",
-        ((row_number().over(wById) - 1) / blockSize).cast("int"))
-      .select(col("cid"), col("chk"), col("id"), col("v"))
-      .as[(Long, Int, Long, Array[Float])]
-      .groupByKey(r => (r._1, r._2))
-      .mapGroups { (key: (Long, Int),
-                    it: Iterator[(Long, Int, Long, Array[Float])]) =>
-        val (cid, chk) = key
-        val rs = it.toArray.sortBy(_._3)
-        val d = rs.head._4.length
-        require(rs.forall(_._4.length == d),
-          "exactCosinePairs requires equal-length vectors")
-        val flat = new Array[Float](rs.length * d)
-        val norms = new Array[Double](rs.length)
-        var j = 0
-        while (j < rs.length) {
-          val v = rs(j)._4
-          System.arraycopy(v, 0, flat, j * d, d)
-          var s = 0.0; var i = 0
-          while (i < d) { val x = v(i).toDouble; s += x * x; i += 1 }
-          norms(j) = s
-          j += 1
+    val members = base.join(assignments, "id")
+      .select(col("cid"), col("id"), col("v"))
+      .localCheckpoint(true)
+    val total = members.count()
+    // ~4 blockSize-chunks per task; floor at the session parallelism,
+    // cap only as a runaway guard. At toy SF this is defaultParallelism;
+    // at 100 TB the task count follows the corpus.
+    val nPart = math.max(spark.sparkContext.defaultParallelism,
+      math.min(65536L, total / (blockSize.toLong * 4) + 1L).toInt)
+    val chunks = members
+      .repartitionByRange(nPart, col("cid"), col("id"))
+      .sortWithinPartitions(col("cid"), col("id"))
+      .as[(Long, Long, Array[Float])]
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[(Long, Long, Array[Long], Array[Float],
+            Array[Double], Int)] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): (Long, Long, Array[Long], Array[Float],
+              Array[Double], Int) = {
+            val cid = buf.head._1
+            val rs = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Long, Array[Float])]
+            while (buf.hasNext && buf.head._1 == cid &&
+                rs.length < blockSize)
+              rs += buf.next()
+            val d = rs.head._3.length
+            require(rs.forall(_._3.length == d),
+              "exactCosinePairs requires equal-length vectors")
+            val flat = new Array[Float](rs.length * d)
+            val norms = new Array[Double](rs.length)
+            var j = 0
+            while (j < rs.length) {
+              val v = rs(j)._3
+              System.arraycopy(v, 0, flat, j * d, d)
+              var s = 0.0; var i = 0
+              while (i < d) { val x = v(i).toDouble; s += x * x; i += 1 }
+              norms(j) = s
+              j += 1
+            }
+            // chunk label = min id of the span (input is (cid, id)-sorted)
+            (cid, rs.head._2, rs.map(_._2).toArray, flat, norms, d)
+          }
         }
-        (cid, chk, rs.map(_._3), flat, norms, d)
       }
       .toDF("cid", "chk", "ids", "flat", "norms", "d")
       .localCheckpoint(true)

@@ -162,17 +162,20 @@ object GraftScanStats {
     }
   }
 
-  /** ANALYZE-stats memo — same shape as [[rowsMemo]], with one extra
-    * key component: the stats FILE's identity (mtime + size). The
-    * table fingerprint alone is not enough, because `CALL
-    * system.analyze` writes the file WITHOUT bumping any manifest —
-    * a memoized "never analyzed" empty map under the bare fingerprint
-    * would make a later ANALYZE invisible to the planner until an
-    * unrelated commit (the query → analyze → query order is the
-    * natural one).
+  /** ANALYZE-stats memo — same shape as [[rowsMemo]], with two extra
+    * key components: the stats FILE's identity (mtime + size) and the
+    * JVM-local analyze epoch. The table fingerprint alone is not
+    * enough, because `CALL system.analyze` writes the file WITHOUT
+    * bumping any manifest — a memoized "never analyzed" empty map
+    * under the bare fingerprint would make a later ANALYZE invisible
+    * to the planner until an unrelated commit (the query → analyze →
+    * query order is the natural one). The epoch closes the mtime
+    * blind spot: two local re-ANALYZEs in the same millisecond with
+    * equal JSON length (different exact/histogram settings) would
+    * share a (mtime, size) id and serve the first run's stats.
     */
   private val colStatsMemo = new graft.core.FingerprintMemo[
-    (String, Long, Long, Long, Long, Long),
+    (String, Long, Long, Long, Long, Long, Long),
     java.util.Map[org.apache.spark.sql.connector.expressions
       .NamedReference,
       org.apache.spark.sql.connector.read.colstats
@@ -195,8 +198,9 @@ object GraftScanStats {
     val fp = graft.sinks.VersionedTable.statsFingerprint(root)
     val (fMtime, fSize) =
       graft.sinks.VersionedTable.columnStatsFileId(root)
+    val analyzeEpoch = graft.sinks.VersionedTable.columnStatsEpoch()
     colStatsMemo.getOrElseUpdate(
-      (root, fp._1, fp._2, fp._3, fMtime, fSize)) {
+      (root, fp._1, fp._2, fp._3, fMtime, fSize, analyzeEpoch)) {
     val built = graft.sinks.VersionedTable.readColumnStats(root) match {
       case Some(cs)
           if (cs.version, cs.posVersion, cs.eqVersion) == fp =>

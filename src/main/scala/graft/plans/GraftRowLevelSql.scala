@@ -607,17 +607,19 @@ private[plans] object GraftRowLevelExec {
   *
   * Falls back to COW (returning None) when the shape doesn't fit:
   * subqueries in the condition (they'd re-evaluate per job against a
-  * possibly-moved table — COW materializes a match flag instead), an
-  * assignment that MOVES rows across partitions (the append entry
-  * needs a live partition qualifier), a mid-spec-migration table
-  * (parent keys at shallower depth than the spec — entry qualifiers
-  * assume full-depth keys), a never-committed target, or a schema
-  * colliding with the sub-table's key columns. MERGE into a
-  * partitioned table (r15) qualifies inserted rows against their
-  * destination partition's manifest mapping, MATERIALIZED as an
-  * empty partition first when it doesn't exist yet — a content-free
-  * CAS commit, so a crash between it and the entry commit leaves the
-  * table visibly unchanged.
+  * possibly-moved table — COW materializes a match flag instead), a
+  * NONDETERMINISTIC assignment to a partition column (the destination
+  * is evaluated in more than one job and must reproduce), a
+  * mid-spec-migration table (parent keys at shallower depth than the
+  * spec — entry qualifiers assume full-depth keys), a never-committed
+  * target, or a schema colliding with the sub-table's key columns.
+  * Rows that need a LIVE destination qualifier — MERGE-inserted rows
+  * (r15) and UPDATE/MERGE post-images whose assignment MOVES them
+  * across partitions (r16) — qualify against their destination
+  * partition's manifest mapping, MATERIALIZED as an empty partition
+  * first when it doesn't exist yet: a content-free CAS commit, so a
+  * crash between it and the entry commit leaves the table visibly
+  * unchanged.
   *
   * Concurrency: identification reads the observable snapshot pinned
   * to the manifest it saw; after the sub-table commit the manifest is
@@ -653,6 +655,58 @@ private[plans] object GraftMorExec {
       case a: AttributeReference if names.contains(a.exprId) =>
         SqlShims.expression(to.col(quote(names(a.exprId))))
     })
+  }
+
+  /** Hive/Spark dynamic-partition semantics fold the empty string
+    * into the null partition (`__HIVE_DEFAULT_PARTITION__` reads back
+    * as NULL — the COW write path does exactly this), so rows headed
+    * for a partition qualifier normalize '' → null on string
+    * partition columns BEFORE rendering/joining partition keys:
+    * otherwise the ''-keyed tuple renders to the null key and the
+    * `<=>` join back to the un-normalized rows silently drops them.
+    */
+  private def normalizePartStrings(df: DataFrame,
+                                   pcols: Seq[String]): DataFrame =
+    pcols.foldLeft(df) { (d, c) =>
+      if (d.schema(c).dataType ==
+          org.apache.spark.sql.types.StringType)
+        d.withColumn(c,
+          when(length(col(quote(c))) === 0, lit(null).cast("string"))
+            .otherwise(col(quote(c))))
+      else d
+    }
+
+  /** Render `tuples` (already ''→null-normalized) to partition keys,
+    * register the missing ones as EMPTY partitions (one content-free
+    * CAS commit against `expectedBase` — a crash between it and the
+    * entry commit leaves the table visibly unchanged), and return the
+    * qualifier frame (partition columns + `__graft_pkey` +
+    * `__graft_dir`) joined against the POST-materialization manifest,
+    * plus that manifest. Shared by MERGE inserts and partition-MOVING
+    * UPDATE/MERGE post-images — every row that needs a LIVE
+    * destination qualifier. Throws ConcurrentCommitException when the
+    * manifest moved past `expectedBase`; callers retry
+    * identification.
+    */
+  private def qualifyDestinations(spark: SparkSession, root: String,
+      schemaSource: DataFrame,
+      pschema: org.apache.spark.sql.types.StructType,
+      tuples: Array[Row], expectedBase: Long)
+      : (DataFrame, VT.PartitionedManifest) = {
+    import spark.implicits._
+    // distinct: after the ''→null normalization two touched tuples
+    // can render to the SAME key — duplicate keyFrame rows would
+    // double-join every matching row
+    val keyFrame = VT.partitionKeyFrame(spark, pschema, tuples)
+      .distinct()
+    val keys = keyFrame.select("__graft_pkey").collect()
+      .map(_.getString(0)).toSeq
+    val mFinal = VT.materializeEmptyPartitions(spark, root,
+      schemaSource, keys, expectedBase)
+    val quals = keyFrame.join(
+      mFinal.partitions.toSeq.toDF("__graft_pkey", "__graft_dir"),
+      "__graft_pkey")
+    (quals, mFinal)
   }
 
   private def retryLoop(root: String)(once: => Option[Boolean])
@@ -702,17 +756,36 @@ private[plans] object GraftMorExec {
     if (target.output.exists(a => VT.MorReservedCols(a.name) ||
         Internal(a.name))) return None
     val pm = VT.readPartitionedManifest(root)
-    // partition-moving assignments keep COW: the moved post-image
-    // would need a destination-partition qualifier that may not exist
-    pm.foreach { m =>
+    // partition-moving assignments route through the MOVE variant:
+    // post-images qualify against their DESTINATION partition,
+    // materialized on demand (the same machinery MERGE inserts use) —
+    // zero data files rewritten even when the mutation crosses
+    // partitions. Two shapes still fall back to COW: nondeterministic
+    // partition assignments (the destination is evaluated in both the
+    // tuple-collection job and the entry job — it must reproduce),
+    // and mid-spec-migration tables (parent keys at shallower depth
+    // than the spec; destination qualifiers assume full-depth keys).
+    val moves = pm.exists { m =>
       val assigned = assignments.getOrElse(Seq.empty)
         .map(a => attrName(a.key, "UPDATE SET")).toSet
-      if (m.partitionColumns.exists(assigned)) return None
+      m.partitionColumns.exists(assigned)
+    }
+    if (moves) {
+      val pset = pm.get.partitionColumns.toSet
+      if (assignments.getOrElse(Seq.empty).exists(a =>
+          pset(attrName(a.key, "UPDATE SET")) &&
+            !a.value.deterministic)) return None
+      if (pm.get.partitions.keySet.exists(
+          _.count(_ == '/') + 1 != pm.get.partitionColumns.size))
+        return None
     }
     if (pm.isEmpty && VT.readManifest(root).isEmpty)
       return Some(false) // declared, never committed: nothing matches
     Some(retryLoop(root) {
-      mutateOnce(spark, root, target, assignments, condition)
+      if (moves)
+        moveMutateOnce(spark, root, target, assignments.get, condition)
+      else
+        mutateOnce(spark, root, target, assignments, condition)
     })
   }
 
@@ -811,6 +884,96 @@ private[plans] object GraftMorExec {
     } finally SqlShims.unpersistCheckpointed(batch)
   }
 
+  /** One identification + commit attempt for a partition-MOVING
+    * UPDATE on a partitioned MoR table. Differences from
+    * [[mutateOnce]]: every post-image qualifies against its
+    * DESTINATION partition's manifest mapping (materialized as an
+    * empty partition first when absent — the content-free CAS commit
+    * MERGE inserts pioneered), and matched pending appends are
+    * tombstoned + re-appended under the destination rather than
+    * replaced in place (an in-place replace would keep the OLD
+    * partition qualifier, so a later rewrite of the source partition
+    * would silently drop the moved row and partition-pruned scans
+    * would miss it). Rows whose assignment lands them back in their
+    * own partition take the same path — destination == source, no
+    * special case. None = a commit interleaved (retry).
+    */
+  private def moveMutateOnce(spark: SparkSession, root: String,
+                             target: LogicalPlan,
+                             assignments: Seq[Assignment],
+                             condition: Option[Expression])
+      : Option[Boolean] = {
+    val pinnedPos = VT.posDeleteVersion(root)
+    val (m, adf) = VT.morAddressedPartitioned(spark, root).get
+    val pcols = m.partitionColumns
+    val bind = (e: Expression) => rebind(e, target.output, adf)
+    val condCol = condition.map(bind).getOrElse(lit(true))
+    // checkpointed: the destination-tuple job and the entry job both
+    // consume the matched set and must agree on it (same reason
+    // mergeOnce checkpoints its join) — and a racing commit's
+    // retention pass must not yank files out from under job two
+    val matched = adf.filter(condCol).localCheckpoint()
+    try {
+    val declaredType: Map[String,
+        org.apache.spark.sql.types.DataType] =
+      target.output.map(a => a.name.toLowerCase -> a.dataType).toMap
+    val dataFields =
+      adf.schema.fields.toSeq.filterNot(f => Internal(f.name))
+        .map(f => f.copy(dataType =
+          declaredType.getOrElse(f.name.toLowerCase, f.dataType)))
+    val assignMap: Map[String, Column] = assignments.map { a =>
+      attrName(a.key, "UPDATE SET") -> bind(a.value)
+    }.toMap
+    val post: Seq[Column] = dataFields.map(f =>
+      assignMap.getOrElse(f.name, col(quote(f.name)))
+        .cast(f.dataType).as(f.name))
+    val nulls: Seq[Column] = dataFields.map(f =>
+      lit(null).cast(f.dataType).as(f.name))
+    def key(path: Column, pos: Column, seq: Column,
+            dead: Column): Seq[Column] = Seq(
+      path.as(VT.PdPathCol), pos.cast("long").as(VT.PdPosCol),
+      seq.cast("long").as(VT.PdSeqCol),
+      dead.cast("boolean").as(VT.PdDeadCol))
+    val isBase = col(VT.AddrPathCol).isNotNull
+    val postsN = normalizePartStrings(matched.select(post: _*), pcols)
+    val touched = postsN
+      .select(pcols.map(c => postsN(quote(c))): _*)
+      .distinct().collect()
+    if (touched.isEmpty) return Some(false) // no matching rows
+    val pschema = org.apache.spark.sql.types.StructType(
+      pcols.map(c => postsN.schema(c)))
+    val (quals, mFinal) =
+      try qualifyDestinations(spark, root, postsN, pschema, touched,
+        expectedBase = m.version)
+      catch { case _: VT.ConcurrentCommitException => return None }
+    val stamp = mFinal.version + 1
+    val uuid = java.util.UUID.randomUUID.toString
+    val joinCond = pcols.map(c => postsN(quote(c)) <=> quals(quote(c)))
+      .reduce(_ && _)
+    val appends = postsN.join(broadcast(quals), joinCond)
+      .select((dataFields.map(f => postsN(quote(f.name))) ++
+        key(concat(quals("__graft_dir"), lit("/"),
+            quals("__graft_pkey"), lit(s"/${VT.MorMarker}${uuid}u")),
+          monotonically_increasing_id(), lit(stamp),
+          lit(false))): _*)
+    val delEntries = matched.filter(isBase).select(
+      (nulls ++ key(col(VT.AddrPathCol), col(VT.AddrPosCol),
+        lit(null), lit(null))): _*)
+    val tombstones = matched.filter(!isBase).select(
+      (nulls ++ key(col(VT.MorKeyPathCol), col(VT.MorKeyPosCol),
+        lit(null), lit(true))): _*)
+    val batch = Seq(delEntries, tombstones, appends)
+      .reduce(_.unionByName(_)).localCheckpoint()
+    try {
+      if (batch.limit(1).isEmpty) return Some(false)
+      val stillCurrent = () => VT.readPartitionedManifest(root)
+        .map(_.version).contains(mFinal.version)
+      VT.morCommitEntries(spark, root, batch, pinnedPos, stillCurrent)
+        .map(_ => true)
+    } finally SqlShims.unpersistCheckpointed(batch)
+    } finally SqlShims.unpersistCheckpointed(matched)
+  }
+
   // ---- MERGE (flat tables) ----------------------------------------------
 
   def tryMerge(spark: SparkSession, target: LogicalPlan,
@@ -822,36 +985,44 @@ private[plans] object GraftMorExec {
       : Option[Boolean] = {
     if (!enabled(table)) return None
     val root = table.opts.root
-    VT.readPartitionedManifest(root) match {
+    val moving = VT.readPartitionedManifest(root) match {
       case Some(m) =>
-        // partitioned MoR MERGE: matched/by-source assignments must
-        // not MOVE rows across partitions (post-images keep their
-        // source qualifier, same rule as UPDATE); inserted rows SET
-        // partition columns by definition — they qualify against
-        // their destination partition, materialized on demand
-        val updateAssigned: Set[String] =
+        // partitioned MoR MERGE: matched/by-source assignments that
+        // MOVE rows across partitions take the destination-qualified
+        // path (post-images qualify against their destination
+        // partition, materialized on demand — the same machinery
+        // inserted rows always used). Nondeterministic partition
+        // assignments keep COW: the destination is evaluated in both
+        // the tuple-collection job and the entry job and must
+        // reproduce.
+        val updateAssignments =
           (matchedActions ++ notMatchedBySourceActions).flatMap {
             case u: org.apache.spark.sql.catalyst.plans.logical
-                .UpdateAction =>
-              u.assignments.map(a => attrName(a.key, "MERGE SET"))
+                .UpdateAction => u.assignments
             case _ => Seq.empty
-          }.toSet
-        if (m.partitionColumns.exists(updateAssigned)) return None
+          }
+        val pset = m.partitionColumns.toSet
+        val movingAssigns = updateAssignments.filter(a =>
+          pset(attrName(a.key, "MERGE SET")))
+        if (movingAssigns.exists(!_.value.deterministic)) return None
         // mid-spec-migration tables hold parent keys at shallower
         // depth; entry qualifiers assume full-depth keys — keep COW
         // until the migration completes
         if (m.partitions.keySet.exists(
             _.count(_ == '/') + 1 != m.partitionColumns.size))
           return None
+        movingAssigns.nonEmpty
       case None =>
         if (VT.readManifest(root).isEmpty) return None
+        false
     }
     if (hasSubquery(mergeCondition)) return None
     if (target.output.exists(a => VT.MorReservedCols(a.name) ||
         Internal(a.name))) return None
     Some(retryLoop(root) {
       mergeOnce(spark, root, target, source, mergeCondition,
-        matchedActions, notMatchedActions, notMatchedBySourceActions)
+        matchedActions, notMatchedActions, notMatchedBySourceActions,
+        moving)
     })
   }
 
@@ -859,7 +1030,8 @@ private[plans] object GraftMorExec {
                         target: LogicalPlan, source: LogicalPlan,
                         mergeCondition: Expression,
                         mA: Seq[MergeAction], nA: Seq[MergeAction],
-                        bA: Seq[MergeAction]): Option[Boolean] = {
+                        bA: Seq[MergeAction],
+                        moving: Boolean): Option[Boolean] = {
     import GraftRowLevelExec.{ActB, ActI, ActM, SPresent, TPresent, Tid}
     val pinnedPos = VT.posDeleteVersion(root)
     val pm0 = VT.readPartitionedManifest(root)
@@ -946,58 +1118,53 @@ private[plans] object GraftMorExec {
             GraftRowLevelExec.insertProjection(nA, col(ActI),
               org.apache.spark.sql.types.StructType(dataFields),
               bind): _*)
-          // Hive/Spark dynamic-partition semantics fold the empty
-          // string into the null partition (__HIVE_DEFAULT_PARTITION__
-          // reads back as NULL — the COW write path does exactly
-          // this), so normalize '' → null on string partition columns
-          // BEFORE rendering/joining partition keys: otherwise the
-          // ''-keyed tuple renders to the null key and the <=> join
-          // back to the un-normalized rows silently drops them
           pm0 match {
             case Some(m) if partitioned =>
-              m.partitionColumns.foldLeft(raw) { (d, c) =>
-                if (d.schema(c).dataType ==
-                    org.apache.spark.sql.types.StringType)
-                  d.withColumn(c,
-                    when(length(col(quote(c))) === 0,
-                      lit(null).cast("string"))
-                      .otherwise(col(quote(c))))
-                else d
-              }
+              normalizePartStrings(raw, m.partitionColumns)
             case _ => raw
           }
         }
-      // (rendered tuple→key frame, post-materialization manifest) —
-      // computed once, reused by the insert-entry qualifier join
-      val insertPrep: Option[(DataFrame,
+      // Post-image rows of a partition-MOVING MERGE (matched /
+      // by-source update actions assigning a partition column): data
+      // columns only, ''→null-normalized — these need destination
+      // qualifiers exactly like inserted rows do
+      def movedPostsOf(rows: DataFrame, act: Column,
+                       actions: Seq[MergeAction]): Option[DataFrame] =
+        if (!moving || actions.isEmpty) None
+        else Some(normalizePartStrings(
+          rows.filter(act >= 0 && !isDel(act, actions))
+            .select(post(actions, act): _*),
+          pm0.get.partitionColumns))
+      val movedM = movedPostsOf(matchedRows, col(ActM), mA)
+      val movedB = movedPostsOf(bySourceRows, col(ActB), bA)
+      // (destination qualifier frame, post-materialization manifest)
+      // — computed ONCE over all rows needing a live destination
+      // qualifier (inserts + moved post-images): one content-free
+      // materialization commit per statement, reused by every
+      // qualifier join below
+      val destPrep: Option[(DataFrame,
           graft.sinks.VersionedTable.PartitionedManifest)] =
         if (!partitioned) None
         else {
           val pcols = pm0.get.partitionColumns
-          val touched = insertsData.map(ins =>
-            ins.select(pcols.map(ins(_)): _*).distinct().collect())
-            .getOrElse(Array.empty)
+          val srcs = insertsData.toSeq ++ movedM.toSeq ++ movedB.toSeq
+          val touched =
+            srcs.map(d => d.select(pcols.map(c => d(quote(c))): _*))
+              .reduceOption(_.unionByName(_))
+              .map(_.distinct().collect()).getOrElse(Array.empty)
           if (touched.isEmpty) None
           else {
             val pschema = org.apache.spark.sql.types.StructType(
-              pcols.map(c => insertsData.get.schema(c)))
-            // distinct: after the ''→null normalization two touched
-            // tuples can render to the SAME key — duplicate keyFrame
-            // rows would double-join every matching insert row
-            val keyFrame = VT
-              .partitionKeyFrame(spark, pschema, touched).distinct()
-            val keys = keyFrame.select("__graft_pkey").collect()
-              .map(_.getString(0)).toSeq
-            try Some((keyFrame,
-              VT.materializeEmptyPartitions(spark, root,
-                insertsData.get, keys, expectedBase = baseVersion)))
+              pcols.map(c => srcs.head.schema(c)))
+            try Some(qualifyDestinations(spark, root, srcs.head,
+              pschema, touched, expectedBase = baseVersion))
             catch {
               case _: VT.ConcurrentCommitException => return None
             }
           }
         }
       val effectiveVersion =
-        insertPrep.map(_._2.version).getOrElse(baseVersion)
+        destPrep.map(_._2.version).getOrElse(baseVersion)
       val stamp = effectiveVersion + 1
       // qualifier of a CHANGED row's post-image: its source address
       // minus the file segment (partitioned) / the live dir (flat) —
@@ -1013,7 +1180,22 @@ private[plans] object GraftMorExec {
                      actions: Seq[MergeAction],
                      tag: String): Seq[DataFrame] = {
         val changed = rows.filter(act >= 0)
-        Seq(
+        if (moving)
+          // moving mode: updated rows re-append under their
+          // DESTINATION qualifier (movedEntries below) — here only
+          // the pre-images die: changed base rows position-delete,
+          // and ALL changed pending appends tombstone (an in-place
+          // replace would keep the old partition qualifier, so a
+          // later rewrite of the source partition would silently
+          // drop the moved row)
+          Seq(
+            changed.filter(isBase).select(
+              (nulls ++ key(tcolA(VT.AddrPathCol),
+                tcolA(VT.AddrPosCol), lit(null), lit(null))): _*),
+            changed.filter(!isBase).select(
+              (nulls ++ key(tcolA(VT.MorKeyPathCol),
+                tcolA(VT.MorKeyPosCol), lit(null), lit(true))): _*))
+        else Seq(
           // pre-images of changed base rows → position deletes
           changed.filter(isBase).select(
             (nulls ++ key(tcolA(VT.AddrPathCol), tcolA(VT.AddrPosCol),
@@ -1033,6 +1215,27 @@ private[plans] object GraftMorExec {
             (nulls ++ key(tcolA(VT.MorKeyPathCol),
               tcolA(VT.MorKeyPosCol), lit(null), lit(true))): _*))
       }
+      // moving mode: every updated row's post-image appends under its
+      // destination partition's manifest mapping — same qualifier
+      // join as inserts, distinct path tags per clause group so
+      // synthetic (path, pos) keys can never collide
+      def movedEntries(postsN: Option[DataFrame],
+                       tag: String): Seq[DataFrame] =
+        (postsN, destPrep) match {
+          case (Some(p), Some((quals, mFinal))) =>
+            val pcols = mFinal.partitionColumns
+            val joinCond = pcols
+              .map(c => p(quote(c)) <=> quals(quote(c)))
+              .reduce(_ && _)
+            Seq(p.join(broadcast(quals), joinCond)
+              .select((dataFields.map(f => p(quote(f.name))) ++
+                key(concat(quals("__graft_dir"), lit("/"),
+                    quals("__graft_pkey"),
+                    lit(s"/${VT.MorMarker}${uuid}v$tag")),
+                  monotonically_increasing_id(), lit(stamp),
+                  lit(false))): _*))
+          case _ => Seq.empty
+        }
       val inserts: Seq[DataFrame] = insertsData match {
         case None => Seq.empty
         case Some(ins) if !partitioned =>
@@ -1041,14 +1244,10 @@ private[plans] object GraftMorExec {
             key(lit(s"$flatLive/${VT.MorMarker}${uuid}i"),
               monotonically_increasing_id(), lit(stamp),
               lit(false))): _*))
-        case Some(ins) => insertPrep match {
+        case Some(ins) => destPrep match {
           case None => Seq.empty // no insert rows materialized
-          case Some((keyFrame, mFinal)) =>
-            import spark.implicits._
+          case Some((quals, mFinal)) =>
             val pcols = mFinal.partitionColumns
-            val quals = keyFrame
-              .join(mFinal.partitions.toSeq
-                .toDF("__graft_pkey", "__graft_dir"), "__graft_pkey")
             val joinCond = pcols.map(c => ins(quote(c)) <=>
               quals(quote(c))).reduce(_ && _)
             val qualled = ins.join(broadcast(quals), joinCond)
@@ -1062,7 +1261,9 @@ private[plans] object GraftMorExec {
         }
       }
       val batch = (entriesFor(matchedRows, col(ActM), mA, "m") ++
-        entriesFor(bySourceRows, col(ActB), bA, "b") ++ inserts)
+        entriesFor(bySourceRows, col(ActB), bA, "b") ++
+        movedEntries(movedM, "m") ++ movedEntries(movedB, "b") ++
+        inserts)
         .reduce(_.unionByName(_)).localCheckpoint()
       try {
         if (batch.limit(1).isEmpty) return Some(false)

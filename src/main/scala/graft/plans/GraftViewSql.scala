@@ -38,14 +38,24 @@ import graft.sources.GraftCatalog
   * EPOCH that any view DDL through any [[GraftCatalog]] in this JVM
   * bumps, so CREATE VIEW → SELECT in the same process always sees the
   * new view (the same consistency level as Spark's JVM catalog
-  * cache; a view created by another process needs a new epoch, i.e.
-  * any local view DDL, to become visible through a cached miss —
-  * positive lookups are never cached here). Bounded at 4096 entries.
+  * cache). Misses additionally expire after a short TTL, so a view
+  * created by ANOTHER process converges within seconds even if this
+  * JVM never runs local view DDL — without the TTL a cross-process
+  * CREATE VIEW stayed invisible here indefinitely (positive lookups
+  * are never cached). Bounded at 4096 entries.
   */
 object GraftViewLookups {
   private val epochCtr = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** value = (recording epoch, System.nanoTime at record). */
   private val neg = new java.util.concurrent
-    .ConcurrentHashMap[(String, String), java.lang.Long]()
+    .ConcurrentHashMap[(String, String), (Long, Long)]()
+  /** Cross-process convergence bound for cached misses (5 s): long
+    * enough to amortize object-store probes across the analyzer
+    * iterations of a burst of queries, short enough that a view
+    * published by another writer appears on the next human-scale
+    * retry.
+    */
+  private val ttlNanos = 5L * 1000 * 1000 * 1000
   def invalidate(): Unit = { epochCtr.incrementAndGet(); () }
   /** Capture BEFORE probing the filesystem: a DDL racing between the
     * probe and the record bumps past this value, so the recorded
@@ -55,13 +65,14 @@ object GraftViewLookups {
   private[plans] def cachedMiss(warehouse: String, ident: Identifier)
       : Boolean = {
     val e = neg.get((warehouse, ident.toString))
-    e != null && e.longValue == epochCtr.get
+    e != null && e._1 == epochCtr.get &&
+      (System.nanoTime() - e._2) < ttlNanos
   }
   private[plans] def recordMiss(warehouse: String, ident: Identifier,
                                 probeEpoch: Long): Unit = {
     if (neg.size > 4096) neg.clear()
     neg.put((warehouse, ident.toString),
-      java.lang.Long.valueOf(probeEpoch))
+      (probeEpoch, System.nanoTime()))
   }
 }
 

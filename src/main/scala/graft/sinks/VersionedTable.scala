@@ -1479,8 +1479,10 @@ object VersionedTable {
       Seq(SeqCol, AddrPathCol, AddrPosCol))
     enforceConstraints(root, batch)
     var foldedPosVersion = 0L
+    var preV = 0L // the CAS-validated predecessor, for the stats fold
     def once(): Long = {
       val base = readManifest(root)
+      preV = base.map(_.version).getOrElse(0L)
       val next = base.map(_.version + 1).getOrElse(1L)
       val stamped = batch.withColumn(SeqCol, lit(next))
       foldedPosVersion = posVersion(root)
@@ -1507,6 +1509,7 @@ object VersionedTable {
     }
     val v = retryThenEscalate(Paths.get(root), maxRetries)(once())
     resetPosDeletes(spark, root, foldedPosVersion, keepVersions)
+    foldColumnStatsOnAppend(spark, root, batch, preV, v)
     v
   }
 
@@ -2842,7 +2845,8 @@ object VersionedTable {
                           MergeWriter.SchemaMode.Strict): Long =
     mergePartitioned(spark, root, batch, keys = Seq.empty,
       partitionColumns, schemaMode, maxRetries,
-      keepManifests, antiJoin = false)
+      keepManifests, antiJoin = false,
+      statsFoldBatch = Some(batch))
 
 
   /** Balanced OR over per-partition equality conjunctions: a left
@@ -2876,7 +2880,9 @@ object VersionedTable {
                                schemaMode: MergeWriter.SchemaMode,
                                maxRetries: Int,
                                keepManifests: Int,
-                               antiJoin: Boolean): Long = {
+                               antiJoin: Boolean,
+                               statsFoldBatch: Option[DataFrame] =
+                                 None): Long = {
     require(keepManifests >= 1,
       s"keepManifests must be >= 1: $keepManifests")
     require(partitionColumns.nonEmpty,
@@ -2890,9 +2896,11 @@ object VersionedTable {
     enforceConstraints(root, updates)
     val rootP = Paths.get(root)
     Files.createDirectories(rootP)
+    var preV = 0L // the CAS-validated predecessor, for the stats fold
     def once(): Long = {
       // pin the merge to the base snapshot; CAS-check it at commit
       val prev = readPartitionedManifest(root)
+      preV = prev.map(_.version).getOrElse(0L)
       val pinnedPosVersion = posVersion(root)
       // PARTITION-SPEC EVOLUTION (migrate-on-write): a commit may use
       // a partition-column list that EXTENDS the table's current spec
@@ -3057,7 +3065,12 @@ object VersionedTable {
           next
       }
     }
-    retryThenEscalate(rootP, maxRetries)(once())
+    val v = retryThenEscalate(rootP, maxRetries)(once())
+    // pure appends (no keys, no anti-join) keep fresh column stats
+    // alive by folding the batch — see foldColumnStatsOnAppend
+    statsFoldBatch.foreach(b =>
+      foldColumnStatsOnAppend(spark, root, b, preV, v))
+    v
   }
 
   // ------------------------------------------------------------------
@@ -5549,11 +5562,17 @@ object VersionedTable {
     val dataDf = schemaSource
       .drop(m0.partitionColumns: _*).limit(0).coalesce(1)
     val staging = stagingDir(rootP)
-    try missing.foreach { k =>
-      dataDf.write.mode(SaveMode.Overwrite)
-        .parquet(staging.resolve(k).toString)
+    // the sidecar write sits INSIDE the cleanup guard: a failure
+    // there must delete the staging dir too, or it leaks inside the
+    // table root where no reaper sweeps (reapStaleStaging only
+    // covers the .ctas-/.replaced- namespace siblings)
+    try {
+      missing.foreach { k =>
+        dataDf.write.mode(SaveMode.Overwrite)
+          .parquet(staging.resolve(k).toString)
+      }
+      writeStatsSidecar(staging)
     } catch { case e: Throwable => deleteRecursively(staging); throw e }
-    writeStatsSidecar(staging)
     withCommitLock(rootP) {
       val cur = readPartitionedManifest(root)
       if (!cur.map(_.version).contains(expectedBase)) {
@@ -5652,12 +5671,17 @@ object VersionedTable {
   final case class HistBin(lo: Double, hi: Double, ndv: Long)
 
   /** dtype ∈ {integral, floating, string, other}: how min/max were
-    * rendered and how the planner re-types them.
+    * rendered and how the planner re-types them. `sketch` is the
+    * base64 DataSketches HLL the NDV came from — stored because it is
+    * MERGEABLE: an append commit folds the new batch's sketch into it
+    * (see [[foldColumnStatsOnAppend]]) so the statistics advance WITH
+    * the table instead of dying on the first post-ANALYZE insert.
     */
   final case class ColumnStatEntry(dtype: String, ndv: Long,
       nulls: Long, min: Option[String], max: Option[String],
       avgLen: Option[Long], maxLen: Option[Long],
-      hist: Seq[HistBin] = Seq.empty)
+      hist: Seq[HistBin] = Seq.empty,
+      sketch: Option[String] = None)
 
   final case class TableColumnStats(version: Long, posVersion: Long,
       eqVersion: Long, rows: Long, exact: Boolean,
@@ -5665,6 +5689,18 @@ object VersionedTable {
 
   private def columnStatsPath(rootP: Path): Path =
     rootP.resolve("_column_stats.json")
+
+  /** Bumped after every [[analyzeColumns]] publish in this JVM. The
+    * file-id below is (mtime, size) — two same-process re-ANALYZEs
+    * landing in the same millisecond with equal JSON length would
+    * otherwise be indistinguishable to mtime-keyed memos; including
+    * this epoch in the memo key makes every LOCAL analyze a
+    * guaranteed invalidation (cross-process writes are still covered
+    * by the mtime/size change).
+    */
+  private val colStatsEpochCtr =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] def columnStatsEpoch(): Long = colStatsEpochCtr.get
 
   /** Identity of the persisted stats file (mtime millis, size) —
     * (0, 0) when absent. ANALYZE writes the file WITHOUT bumping any
@@ -5738,6 +5774,11 @@ object VersionedTable {
       if (hashable)
         add("ndv", if (exact) countDistinct(c)
                    else approx_count_distinct(c))
+      // mergeable NDV sketch alongside the estimate — appends fold
+      // into it (foldColumnStatsOnAppend); canonical injective cast
+      // because DataSketches HLL takes int/long/string/binary only
+      if (hashable) sketchCast(f.dataType, c).foreach(cc =>
+        add("sk", org.apache.spark.sql.functions.hll_sketch_agg(cc)))
       add("nonnull", count(c))
       dtypeOf(f.dataType) match {
         case "integral" =>
@@ -5841,35 +5882,220 @@ object VersionedTable {
         total - lng(f.name, "nonnull").getOrElse(0L),
         str(f.name, "min"), str(f.name, "max"),
         lng(f.name, "avgLen"), lng(f.name, "maxLen"),
-        hists.getOrElse(f.name, Seq.empty))
+        hists.getOrElse(f.name, Seq.empty),
+        byField.get((f.name, "sk")).flatMap(i =>
+          if (row.isNullAt(i)) None
+          else Some(java.util.Base64.getEncoder
+            .encodeToString(row.getAs[Array[Byte]](i)))))
     }.toMap
     val stats = TableColumnStats(mainV, posV, eqV, total, exact, cols)
-    val body = {
-      def opt(k: String, v: Option[String]): String =
-        v.map(s => s""", "$k": "${escJson(s)}"""").getOrElse("")
-      def optL(k: String, v: Option[Long]): String =
-        v.map(n => s""", "$k": $n""").getOrElse("")
-      val colBody = cols.toSeq.sortBy(_._1).map { case (n, c) =>
-        val histS =
-          if (c.hist.isEmpty) ""
-          else s""", "hist": "${c.hist
-            .map(b => s"${b.lo}:${b.hi}:${b.ndv}").mkString("|")}""""
-        s""""${escJson(n)}": {"dtype": "${c.dtype}", "ndv": ${c.ndv}""" +
-          s""", "nulls": ${c.nulls}""" + opt("min", c.min) +
-          opt("max", c.max) + optL("avgLen", c.avgLen) +
-          optL("maxLen", c.maxLen) + histS + "}"
-      }.mkString(", ")
-      s"""{"version": $mainV, "posVersion": $posV, """ +
-        s""""eqVersion": $eqV, "rows": $total, "exact": $exact, """ +
-        s""""cols": {$colBody}}"""
+    writeColumnStatsFile(Paths.get(root), renderColumnStats(stats))
+    stats
+  }
+
+  /** Canonical injective cast for the mergeable NDV sketch —
+    * DataSketches HLL accepts int/long/string/binary only. None =
+    * not sketchable (nested types); such columns keep their one-shot
+    * NDV but lose it on fold (-1, absent — never a guess).
+    */
+  private def sketchCast(dt: org.apache.spark.sql.types.DataType,
+                         c: Column): Option[Column] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(c.cast("long"))
+      case StringType => Some(c)
+      case BinaryType => Some(c)
+      case FloatType | DoubleType | BooleanType | DateType |
+          TimestampType | _: DecimalType => Some(c.cast("string"))
+      case _ => None
     }
-    val rootP = Paths.get(root)
-    val tmp = rootP.resolve("_column_stats.json.tmp")
+  }
+
+  private def renderColumnStats(stats: TableColumnStats): String = {
+    def opt(k: String, v: Option[String]): String =
+      v.map(s => s""", "$k": "${escJson(s)}"""").getOrElse("")
+    def optL(k: String, v: Option[Long]): String =
+      v.map(n => s""", "$k": $n""").getOrElse("")
+    val colBody = stats.cols.toSeq.sortBy(_._1).map { case (n, c) =>
+      val histS =
+        if (c.hist.isEmpty) ""
+        else s""", "hist": "${c.hist
+          .map(b => s"${b.lo}:${b.hi}:${b.ndv}").mkString("|")}""""
+      // base64 is quote/backslash-free — safe inside the regex parser
+      val skS = c.sketch.map(s => s""", "sketch": "$s"""").getOrElse("")
+      s""""${escJson(n)}": {"dtype": "${c.dtype}", "ndv": ${c.ndv}""" +
+        s""", "nulls": ${c.nulls}""" + opt("min", c.min) +
+        opt("max", c.max) + optL("avgLen", c.avgLen) +
+        optL("maxLen", c.maxLen) + histS + skS + "}"
+    }.mkString(", ")
+    s"""{"version": ${stats.version}, """ +
+      s""""posVersion": ${stats.posVersion}, """ +
+      s""""eqVersion": ${stats.eqVersion}, "rows": ${stats.rows}, """ +
+      s""""exact": ${stats.exact}, "cols": {$colBody}}"""
+  }
+
+  private def writeColumnStatsFile(rootP: Path, body: String): Unit = {
+    // unique temp name: two concurrent writers (fold racing a fresh
+    // ANALYZE) must never interleave bytes in a shared temp file —
+    // last atomic move wins, and the loser's stamp simply reads stale
+    val tmp = rootP.resolve(
+      s"_column_stats.json.tmp-${java.util.UUID.randomUUID}")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, columnStatsPath(rootP),
       StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    stats
+    colStatsEpochCtr.incrementAndGet()
+  }
+
+  /** Fold an APPENDED batch into the persisted column statistics so
+    * they survive the commit instead of degrading to absent — the
+    * continuously-ingesting table (daily-batch pattern) keeps a live
+    * CBO without re-scanning. Sound because append-only deltas
+    * compose exactly: rows/nulls add, min/max widen, NDV is the
+    * estimate of the UNION of mergeable HLL sketches, string avgLen
+    * refolds from the recorded means. Histograms do NOT compose —
+    * they are dropped (absent, never wrong); `exact` flips to false
+    * (the folded NDV is a sketch estimate). Any non-append commit
+    * (upsert, delete, rewrite, vacuum) still invalidates by
+    * fingerprint — deletes can shrink true NDV/min/max in ways no
+    * stored summary can follow.
+    *
+    * Guard: folds ONLY when the stats were stamped at exactly the
+    * main version this append superseded AND the delete-sub-table
+    * versions are untouched — any interleaved commit (the CAS pins
+    * `preMainV` as the true predecessor) leaves the stats stale →
+    * absent, the pre-r16 behavior. Cost: one aggregate pass over the
+    * BATCH (never the table), only when fresh stats exist.
+    * Best-effort: a failure here leaves the old file, whose stale
+    * fingerprint reads as absent.
+    */
+  private[graft] def foldColumnStatsOnAppend(spark: SparkSession,
+      root: String, batch: DataFrame, preMainV: Long,
+      newMainV: Long): Unit = try {
+    if (preMainV == newMainV) return
+    val cs = readColumnStats(root).getOrElse(return)
+    val fpNow = statsFingerprint(root)
+    if (cs.version != preMainV || fpNow._1 != newMainV ||
+        cs.posVersion != fpNow._2 || cs.eqVersion != fpNow._3) return
+    import org.apache.spark.sql.functions.{avg, count, hll_sketch_agg, length, lit, max => fmax, min => fmin, sum}
+    val bTypes: Map[String, org.apache.spark.sql.types.StructField] =
+      batch.schema.fields.map(f => f.name.toLowerCase -> f).toMap
+    val slots = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String)]
+    val aggs = scala.collection.mutable.ArrayBuffer.empty[Column]
+    cs.cols.foreach { case (name, e) =>
+      bTypes.get(name.toLowerCase).foreach { bf =>
+        val c = col(s"`${bf.name}`")
+        def add(kind: String, expr: Column): Unit = {
+          slots += ((name, kind)); aggs += expr
+        }
+        add("nonnull", count(c))
+        e.dtype match {
+          case "integral" =>
+            add("min", fmin(c).cast("long").cast("string"))
+            add("max", fmax(c).cast("long").cast("string"))
+          case "floating" =>
+            add("min", fmin(c).cast("double").cast("string"))
+            add("max", fmax(c).cast("double").cast("string"))
+          case "string" =>
+            add("min", fmin(c))
+            add("max", fmax(c))
+            add("sumLen", sum(length(c)).cast("long"))
+            add("maxLen", fmax(length(c)).cast("long"))
+          case _ => ()
+        }
+        if (e.sketch.isDefined)
+          sketchCast(bf.dataType, c).foreach(cc =>
+            add("sk", hll_sketch_agg(cc)))
+      }
+    }
+    val row = batch.agg(count(lit(1)).as("__rows"),
+      aggs.toSeq.zipWithIndex.map { case (e, i) => e.as(s"__s$i") }: _*)
+      .head
+    val n = row.getLong(0)
+    if (n == 0L) return // nothing appended — stats already current
+    val byField = slots.toSeq.zipWithIndex
+      .map { case ((f, k), i) => (f, k) -> (i + 1) }.toMap
+    def slot(f: String, k: String): Option[Int] = byField.get((f, k))
+    def str(f: String, k: String): Option[String] =
+      slot(f, k).flatMap(i =>
+        if (row.isNullAt(i)) None else Some(String.valueOf(row.get(i))))
+    def lng(f: String, k: String): Option[Long] =
+      slot(f, k).flatMap(i =>
+        if (row.isNullAt(i)) None else Some(row.getLong(i)))
+    // all sketch unions + estimates in ONE tiny driver-side job
+    val toUnion = cs.cols.toSeq.sortBy(_._1).flatMap { case (name, e) =>
+      for {
+        old <- e.sketch
+        i <- slot(name, "sk") if !row.isNullAt(i)
+      } yield (name, java.util.Base64.getDecoder.decode(old),
+        row.getAs[Array[Byte]](i))
+    }
+    val unioned: Map[String, (String, Long)] =
+      if (toUnion.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.{hll_sketch_estimate, hll_union}
+        val exprs = toUnion.flatMap { case (name, a, b) =>
+          val u = hll_union(lit(a), lit(b),
+            allowDifferentLgConfigK = true)
+          Seq(u.as(s"u_$name"), hll_sketch_estimate(u).as(s"e_$name"))
+        }
+        val r = spark.range(1).select(exprs: _*).head
+        toUnion.zipWithIndex.map { case ((name, _, _), i) =>
+          name -> (java.util.Base64.getEncoder
+            .encodeToString(r.getAs[Array[Byte]](2 * i)),
+            r.getLong(2 * i + 1))
+        }.toMap
+      }
+    def mergeBound(dtype: String, a: Option[String], b: Option[String],
+                   wantMin: Boolean): Option[String] = (a, b) match {
+      case (None, x) => x
+      case (x, None) => x
+      case (Some(x), Some(y)) =>
+        val aSmaller = dtype match {
+          case "integral" => x.toLong <= y.toLong
+          case "floating" => x.toDouble <= y.toDouble
+          case _ => x <= y
+        }
+        Some(if (aSmaller == wantMin) x else y)
+    }
+    val newCols = cs.cols.map { case (name, e) =>
+      val inBatch = bTypes.contains(name.toLowerCase)
+      val nonNullB = if (inBatch) lng(name, "nonnull").getOrElse(0L)
+                     else 0L
+      val oldNonNull = cs.rows - e.nulls
+      val avgLen2 = e.dtype match {
+        case "string" if oldNonNull + nonNullB > 0 =>
+          val sumOld = e.avgLen.getOrElse(0L) * oldNonNull
+          val sumB = lng(name, "sumLen").getOrElse(0L)
+          Some((sumOld + sumB + oldNonNull + nonNullB - 1) /
+            (oldNonNull + nonNullB))
+        case _ => e.avgLen
+      }
+      name -> e.copy(
+        // no fresh values → NDV stands; fresh values without a
+        // mergeable sketch pair → -1 (absent, never a guess)
+        ndv = unioned.get(name).map(_._2).getOrElse(
+          if (nonNullB == 0L) e.ndv else -1L),
+        nulls = e.nulls + (n - nonNullB),
+        min = mergeBound(e.dtype, e.min, str(name, "min"),
+          wantMin = true),
+        max = mergeBound(e.dtype, e.max, str(name, "max"),
+          wantMin = false),
+        avgLen = avgLen2,
+        maxLen = Seq(e.maxLen, lng(name, "maxLen")).flatten
+          .reduceOption(_ max _),
+        hist = Seq.empty, // equi-height bins do not compose
+        sketch = unioned.get(name).map(_._1).orElse(
+          if (nonNullB == 0L) e.sketch else None))
+    }
+    val folded = TableColumnStats(newMainV, cs.posVersion,
+      cs.eqVersion, cs.rows + n, exact = false, newCols)
+    writeColumnStatsFile(Paths.get(root), renderColumnStats(folded))
+  } catch { // best-effort: the stale file reads as absent, never wrong
+    case e: Exception =>
+      System.err.println(s"[graft] column-stats fold skipped: $e")
   }
 
   /** Parse `_column_stats.json`; None when never analyzed. Callers
@@ -5889,7 +6115,8 @@ object VersionedTable {
         """(?:,\s*\"max\":\s*\"((?:[^"\\]|\\.)*)\")?""" +
         """(?:,\s*\"avgLen\":\s*(-?\d+))?""" +
         """(?:,\s*\"maxLen\":\s*(-?\d+))?""" +
-        """(?:,\s*\"hist\":\s*\"([^"]*)\")?\}""").r
+        """(?:,\s*\"hist\":\s*\"([^"]*)\")?""" +
+        """(?:,\s*\"sketch\":\s*\"([^"]*)\")?\}""").r
     def parseHist(s: String): Seq[HistBin] =
       s.split('|').toSeq.filter(_.nonEmpty).flatMap { b =>
         b.split(':') match {
@@ -5911,7 +6138,8 @@ object VersionedTable {
           Option(m.group(6)).map(unescJson),
           Option(m.group(7)).map(_.toLong),
           Option(m.group(8)).map(_.toLong),
-          Option(m.group(9)).map(parseHist).getOrElse(Seq.empty))
+          Option(m.group(9)).map(parseHist).getOrElse(Seq.empty),
+          Option(m.group(10)))
       }.toMap
       for {
         v <- long1("version"); pv <- long1("posVersion")

@@ -546,25 +546,116 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (ident.namespace().nonEmpty && !Files.isDirectory(ns))
       throw new NoSuchNamespaceException(
         catalogName +: ident.namespace())
-    require(Option(info.properties()
-        .get(TableCatalog.PROP_LOCATION)).isEmpty,
-      "CTAS/RTAS into an external LOCATION is not supported on " +
-        "graft catalogs — CREATE TABLE ... LOCATION, then INSERT")
     // opportunistic reclamation of crashed-CTAS debris: staging and
     // trash siblings are invisible to listings and no table-scoped
     // procedure covers them, so each new stage sweeps the namespace
     // for day-old leftovers (age-gated — in-flight stages are young)
     GraftCatalog.reapStaleStaging(ns)
-    val meta =
+    val meta0 =
       ddlMeta(ident, info.schema(), info.partitions(),
         info.properties())
     val staged = ns.resolve(
       s".${seg(ident.name())}.ctas-${java.util.UUID.randomUUID}")
-    writeMeta(staged, meta)
-    val inner = graftTable(ident, staged, None)
-    new GraftStagedTable(inner,
-      onCommit = () => commitStaged(ident, root, staged, replace),
-      onAbort = () => GraftCatalog.deleteRecursively(staged))
+    Option(info.properties().get(TableCatalog.PROP_LOCATION))
+      .map(l => GraftCatalog.normalizePath(l)) match {
+      case None =>
+        writeMeta(staged, meta0)
+        val inner = graftTable(ident, staged, None)
+        new GraftStagedTable(inner,
+          onCommit = () => commitStaged(ident, root, staged, replace),
+          onAbort = () => GraftCatalog.deleteRecursively(staged))
+      case Some(loc) =>
+        // EXTERNAL CTAS/RTAS (`CREATE TABLE ... LOCATION ... AS
+        // SELECT`, the standard lake idiom): the DATA stages in a
+        // hidden sibling of the external target — same dot-dir
+        // namespace the stub staging uses, swept by the same reaper
+        // — so a failed write leaves NO debris at the external path.
+        val parent = Option(loc.getParent).getOrElse(
+          throw new IllegalArgumentException(
+            s"CTAS LOCATION '$loc' has no parent directory"))
+        require(replace || !GraftCatalog.nonEmptyDir(loc),
+          s"CTAS external location $loc already holds data — use " +
+            "REPLACE TABLE AS SELECT, or register the existing " +
+            "table with CREATE TABLE ... LOCATION")
+        Files.createDirectories(parent)
+        GraftCatalog.reapStaleStaging(parent)
+        val stagedData = parent.resolve(
+          s".${loc.getFileName}.ctas-${java.util.UUID.randomUUID}")
+        // the staged stub points at the staged DATA dir; the commit
+        // re-points it to the final location before publishing
+        writeMeta(staged, meta0 +
+          (GraftCatalog.LocationKey -> stagedData.toString))
+        val inner = graftTable(ident, staged, None)
+        new GraftStagedTable(inner,
+          onCommit = () => commitStagedExternal(ident, root, staged,
+            loc, stagedData, replace),
+          onAbort = () => {
+            GraftCatalog.deleteRecursively(staged)
+            GraftCatalog.deleteRecursively(stagedData)
+          })
+    }
+  }
+
+  /** External-LOCATION CTAS/RTAS publish: DATA first, catalog stub
+    * second — every handled failure restores the external path (the
+    * RTAS trash sibling rolls back exactly like the managed swap),
+    * and the only crash window between the two moves leaves data at
+    * the location with NO catalog entry: never a visible partial
+    * table, and the data dir is a complete committed graft table
+    * re-registrable with `CREATE TABLE ... LOCATION`.
+    */
+  private def commitStagedExternal(ident: Identifier, root: Path,
+      staged: Path, loc: Path, stagedData: Path,
+      replace: Boolean): Unit = {
+    def cleanup(): Unit = {
+      GraftCatalog.deleteRecursively(staged)
+      GraftCatalog.deleteRecursively(stagedData)
+    }
+    if (!replace && isTableDir(root)) {
+      cleanup(); throw new TableAlreadyExistsException(ident)
+    }
+    if (!replace && GraftCatalog.nonEmptyDir(loc)) {
+      cleanup()
+      throw new IllegalStateException(
+        s"CTAS external location $loc gained data during the " +
+          "write — nothing published")
+    }
+    // re-point the stub at the FINAL location before any move
+    writeMeta(staged, readMeta(staged) +
+      (GraftCatalog.LocationKey -> loc.toString))
+    val trashData: Option[Path] =
+      if (replace && GraftCatalog.nonEmptyDir(loc)) {
+        val t = loc.resolveSibling(
+          s".${loc.getFileName}.replaced-${java.util.UUID.randomUUID}")
+        Files.move(loc, t, StandardCopyOption.ATOMIC_MOVE)
+        Some(t)
+      } else None
+    try {
+      if (Files.exists(stagedData))
+        Files.move(stagedData, loc, StandardCopyOption.ATOMIC_MOVE)
+      else // zero-commit CTAS staged no data: an empty external dir
+        Files.createDirectories(loc)
+    } catch {
+      case e: Throwable =>
+        trashData.foreach(t =>
+          Files.move(t, loc, StandardCopyOption.ATOMIC_MOVE))
+        cleanup()
+        throw e
+    }
+    try commitStaged(ident, root, staged, replace)
+    catch {
+      case e: Throwable =>
+        // un-publish the data so a failed catalog swap leaves the
+        // external path exactly as it was (best-effort)
+        try {
+          Files.move(loc, stagedData, StandardCopyOption.ATOMIC_MOVE)
+          trashData.foreach(t =>
+            Files.move(t, loc, StandardCopyOption.ATOMIC_MOVE))
+          GraftCatalog.deleteRecursively(stagedData)
+        } catch { case _: Exception => () }
+        throw e
+    }
+    trashData.foreach(GraftCatalog.deleteRecursively)
   }
 
   private def commitStaged(ident: Identifier, root: Path,
@@ -1148,6 +1239,13 @@ private[graft] object GraftCatalog {
 
   private[sources] def deleteRecursively(p: Path): Unit =
     VersionedTable.deleteRecursively(p)
+
+  /** Existing file, or a directory with at least one entry. */
+  private[sources] def nonEmptyDir(p: Path): Boolean =
+    Files.exists(p) && (!Files.isDirectory(p) || {
+      val s = Files.list(p)
+      try s.iterator().hasNext finally s.close()
+    })
 
   /** Delete `.{name}.ctas-*` / `.{name}.replaced-*` siblings older
     * than a day under a namespace dir — debris a crashed CTAS/RTAS

@@ -782,6 +782,36 @@ object Profile {
     val heapAfter = usedHeapMb()
     println(s"driver heap used: ${heapBefore} MB -> ${heapAfter} MB " +
       s"(delta ${heapAfter - heapBefore} MB across a 100k-vector run)")
+    // Chunk-build parallelism leg (r16): the chunk build is
+    // range-partitioned on (cid, id) with a task count that follows
+    // corpus/blockSize — NOT the old Window.partitionBy(cid) whose
+    // per-cluster sort ran on exactly one task per cluster. Proof:
+    // shrink blockSize so corpus/(blockSize·4) far exceeds both
+    // defaultParallelism and nLists, and watch the widest submitted
+    // stage. With blockSize=64 on the 50k corpus the chunk stage must
+    // run ≥ 196 tasks while nLists stays 64 — a width no
+    // cluster-keyed shuffle could reach.
+    val maxStage = new java.util.concurrent.atomic.AtomicInteger(0)
+    val widthListener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(
+          s: org.apache.spark.scheduler.SparkListenerStageSubmitted)
+          : Unit = {
+        maxStage.getAndUpdate(m => math.max(m, s.stageInfo.numTasks)); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(widthListener)
+    t("exactCosinePairs 50k clustered, blockSize=64 (width probe)") {
+      println("pairs: " + graft.operators.Similarity
+        .exactCosinePairs(cp, "v", "id", threshold = 0.8, nLists = 64,
+          blockSize = 64)
+        .count())
+    }
+    spark.sparkContext.removeSparkListener(widthListener)
+    val width = maxStage.get()
+    println(s"widest stage: $width tasks (nLists=64, " +
+      s"defaultParallelism=${spark.sparkContext.defaultParallelism}) — " +
+      (if (width > 64) "chunk build scales with corpus/blockSize, PASS"
+       else "FAIL: chunk build still cluster-bound"))
     spark.stop()
   }
 

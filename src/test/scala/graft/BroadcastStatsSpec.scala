@@ -218,6 +218,66 @@ class BroadcastStatsSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = saved
   }
 
+  test("column stats SURVIVE an append (r16): the commit folds the " +
+    "batch — rows/nulls/min-max advance, NDV from the HLL sketch " +
+    "union (exact in the coupon regime), histograms drop, the " +
+    "planner still serves them; a DELETE degrades to absent") {
+    val (root, _) = freshRoots()
+    def half(a: Long, b: Long) = spark.range(a, b).select(col("id"),
+      (col("id") % 7).as("k"),
+      when(col("id") % 5 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("s"), col("id") % 13)).as("s"))
+    VersionedTable.append(spark, root, half(0, 100))
+    VersionedTable.analyzeColumns(spark, root, exact = true,
+      histogramBins = 4)
+    assert(VersionedTable.readColumnStats(root).get
+      .cols("k").hist.nonEmpty, "bins requested")
+    VersionedTable.append(spark, root, half(100, 250))
+    val cs = VersionedTable.readColumnStats(root).get
+    val fp = VersionedTable.statsFingerprint(root)
+    assert((cs.version, cs.posVersion, cs.eqVersion) === fp,
+      "folded stats must be stamped FRESH at the post-append version")
+    assert(cs.rows === 250L && !cs.exact)
+    // coupon-regime HLL unions are exact by construction
+    assert(cs.cols("k").ndv === 7L)
+    assert(cs.cols("id").ndv === 250L)
+    assert(cs.cols("s").ndv === 13L)
+    assert(cs.cols("id").min.contains("0") &&
+      cs.cols("id").max.contains("249"))
+    assert(cs.cols("s").nulls === 50L) // ids ≡ 0 (mod 5)
+    assert(cs.cols("s").maxLen.contains(3L))
+    assert(cs.cols("k").hist.isEmpty,
+      "equi-height bins do not compose — folded stats drop them")
+    // the planner serves the FOLDED stats (fingerprint advanced with
+    // the table — no re-ANALYZE after the insert)
+    val saved = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations =
+        saved.filterNot(r => r.isInstanceOf[GraftBroadcastStats] ||
+          r.isInstanceOf[graft.plans.GraftScanStats]) :+
+          graft.plans.GraftScanStats(spark)
+      val leaf = spark.read.format("graft").load(root)
+        .queryExecution.optimizedPlan.stats
+      val kStat = leaf.attributeStats
+        .find(_._1.name == "k").map(_._2)
+      assert(kStat.exists(_.distinctCount.contains(BigInt(7))),
+        s"$leaf")
+      // a DELETE commit still invalidates: no stored summary can
+      // follow rows OUT of the table
+      VersionedTable.softDelete(spark, root,
+        Seq(0L).toDF("id"), Seq("id"))
+      val stale = spark.read.format("graft").load(root)
+        .queryExecution.optimizedPlan.stats
+      assert(stale.attributeStats.isEmpty, s"$stale")
+    } finally spark.experimental.extraOptimizations = saved
+    // a second append on the now-stale stats must NOT fold (the
+    // fingerprint no longer chains) — stays stale, never wrong
+    VersionedTable.append(spark, root, half(250, 260))
+    val cs2 = VersionedTable.readColumnStats(root).get
+    assert((cs2.version, cs2.posVersion, cs2.eqVersion) !==
+      VersionedTable.statsFingerprint(root))
+  }
+
   test("equi-height histograms: skew-aware CBO selectivity where " +
     "uniform min/max interpolation misleads; bins round-trip") {
     val (root, _) = freshRoots()

@@ -42,7 +42,12 @@ class EntrySpec extends SparkSpec {
       "q45_kmv_distinct",       // KMV estimate (exactness plateau
                                 // hash-graded via q324)
       "q69_bpe_vocab",          // iterative argmax, not SQL-replayable
-      "q80_tdigest_quantile",   // t-digest estimate (bound in TDigestSpec)
+      "q80_tdigest_quantile",   // t-digest estimate (bound in
+                                // TDigestSpec); the full aggregate/
+                                // merge/quantile path is hash-graded
+                                // via planted q347 (singleton-regime
+                                // exactness: n < 2δ ⇒ no centroid
+                                // ever merges)
       "q82_knn_ivfpq",          // approximate (SQ8 shortlist recall
                                 // < 1); the full quantize + rerank
                                 // pipeline is hash-graded via planted
@@ -52,7 +57,10 @@ class EntrySpec extends SparkSpec {
       "q108_bpe_encode",        // iterative min-rank merge loop, not
                                 // SQL-replayable (BpeEncodeSpec)
       "q126_compress_ratio",    // deflate ratio — no zlib in DuckDB
-                                // (determinism in RetrievalFuzzySpec)
+                                // (determinism in RetrievalFuzzySpec);
+                                // the deflate expression is
+                                // hash-graded via q348's pinned
+                                // fixture sizes
       "q131_semantic_dedup",    // iterative k-means on REAL vectors —
                                 // not SQL-replayable (GraphSelection-
                                 // Spec); the iteration itself is
@@ -349,6 +357,11 @@ class EntrySpec extends SparkSpec {
                              // columns are integer pin digits;
                              // strict-verified sf0.001/0.01/0.1
                              // 2026-08-16
+      "q345_mor_move_part",  // integer-cents pin (round(value*100) →
+                             // BIGINT before +1/+/×3/sums); audit
+                             // columns are integer pin digits;
+                             // strict-verified sf0.001/0.01/0.1
+                             // 2026-08-16
       "q338_ctas_rtas",      // integer-cents pin (round(value*100) →
                              // BIGINT before sums); audit columns are
                              // integer pin digits / counts;
@@ -360,6 +373,15 @@ class EntrySpec extends SparkSpec {
                              // strings both engines);
                              // strict-verified sf0.001/0.01/0.1
                              // 2026-08-16
+      "q346_stats_fold",     // integer-cents pin (round(value*100) →
+                             // BIGINT % 83 before coupon-regime NDV
+                             // folds / min / max); strict-verified
+                             // sf0.001/0.01/0.1 2026-08-16
+      "q347_tdigest_exact_twin", // singleton-regime pin: integer
+                             // values + binary-exact q make the
+                             // interpolation exact in doubles before
+                             // the round; strict-verified
+                             // sf0.001/0.01/0.1 2026-08-16
       "q331_stream_sink",    // integer-cents pin (round(value*100) →
                              // BIGINT before sums); audit columns are
                              // integer version digits + a flag;

@@ -507,6 +507,67 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("table"), e.getMessage)
   }
 
+  test("external-LOCATION CTAS/RTAS (r16): data publishes atomically " +
+    "AT the location; a failing write leaves ZERO debris at or next " +
+    "to the external path; occupied locations are rejected; RTAS " +
+    "swaps with rollback; DROP keeps the external data") {
+    wh
+    def dotEntries(p: java.nio.file.Path): Seq[String] = {
+      val s = java.nio.file.Files.list(p)
+      try s.toArray.toSeq.map(_.toString.split('/').last)
+        .filter(_.startsWith("."))
+      finally s.close()
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ext")
+    val extBase = java.nio.file.Files.createTempDirectory("gcat_ext")
+    val loc = s"$extBase/t1"
+    spark.range(5).selectExpr("id", "id * 7 AS v")
+      .createOrReplaceTempView("ext_src")
+    spark.sql(s"CREATE TABLE gcat.ext.e USING graft " +
+      s"LOCATION '$loc' AS SELECT id, v FROM ext_src")
+    assert(spark.sql("SELECT sum(v) FROM gcat.ext.e")
+      .head.getLong(0) === 70L)
+    // data lives AT the external location — a complete committed
+    // graft table, path-readable; no staging debris next to it
+    assert(VersionedTable.readManifest(loc).isDefined)
+    assert(spark.read.format("graft").load(loc).count() === 5L)
+    assert(dotEntries(extBase).isEmpty, dotEntries(extBase).toString)
+    // failing CTAS into a second location: the external path was
+    // never created, no hidden sibling remains, no catalog entry
+    val loc2 = s"$extBase/t2"
+    spark.udf.register("ext_boom", udf((i: Long) =>
+      if (i >= 0) throw new RuntimeException("ext boom") else i))
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE gcat.ext.e2 USING graft LOCATION '$loc2' " +
+        "AS SELECT ext_boom(id) AS id FROM ext_src"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(loc2)))
+    assert(dotEntries(extBase).isEmpty, dotEntries(extBase).toString)
+    assert(spark.sql("SHOW TABLES IN gcat.ext").count() === 1)
+    // CREATE into an already-occupied location is rejected loudly
+    val occ = intercept[Exception](spark.sql(
+      s"CREATE TABLE gcat.ext.e3 USING graft LOCATION '$loc' " +
+        "AS SELECT 1 AS x"))
+    assert(occ.getMessage.contains("already holds data"),
+      occ.getMessage)
+    // RTAS swaps the external data in place; a failing RTAS keeps
+    // BOTH the old table and the old external data intact
+    spark.sql(s"REPLACE TABLE gcat.ext.e USING graft " +
+      s"LOCATION '$loc' " +
+      "AS SELECT id, v * 2 AS w FROM ext_src WHERE id < 3")
+    assert(spark.sql("SELECT sum(w) FROM gcat.ext.e")
+      .head.getLong(0) === 42L)
+    intercept[Exception](spark.sql(
+      s"REPLACE TABLE gcat.ext.e USING graft LOCATION '$loc' " +
+        "AS SELECT ext_boom(id) AS id FROM ext_src"))
+    assert(spark.sql("SELECT sum(w) FROM gcat.ext.e")
+      .head.getLong(0) === 42L)
+    assert(dotEntries(extBase).isEmpty, dotEntries(extBase).toString)
+    // DROP removes the catalog entry, keeps the external data
+    spark.sql("DROP TABLE gcat.ext.e")
+    assert(spark.sql("SHOW TABLES IN gcat.ext").count() === 0)
+    assert(VersionedTable.readManifest(loc).isDefined)
+  }
+
   test("a failing CTAS leaves NO catalog entry, no visible table, " +
     "and a failing RTAS keeps the OLD table intact") {
     wh

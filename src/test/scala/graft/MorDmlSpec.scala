@@ -339,35 +339,161 @@ class MorDmlSpec extends SparkSpec {
     assert(VersionedTable.readManifest(s"$wh/m/wd").get.version === 1L)
   }
 
-  test("MoR fallbacks stay COW: partition-moving assignment — in " +
-    "UPDATE and in a MERGE matched clause — still commits " +
-    "copy-on-write versions") {
+  test("partition-MOVING MoR UPDATE (r16): hash-equal to COW, zero " +
+    "pre-existing pointers moved (only destination partitions " +
+    "materialize), pruned reads see rows under their NEW partition, " +
+    "a second move relocates the pending post-image, vacuum " +
+    "converges") {
     wh
-    spark.sql("CREATE TABLE mrcat.m.fb (id BIGINT, day STRING, " +
+    for (t <- Seq("mvcow", "mvmor")) {
+      val prop = if (t == "mvmor")
+        " TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')" else ""
+      spark.sql(s"CREATE TABLE mrcat.m.$t (id BIGINT, day STRING, " +
+        s"v BIGINT) USING graft PARTITIONED BY (day)$prop")
+      spark.sql(s"INSERT INTO mrcat.m.$t VALUES " +
+        "(1, 'd1', 10), (2, 'd1', 20), (3, 'd2', 30), (4, 'd3', 40)")
+    }
+    val root = s"$wh/m/mvmor"
+    val before = VersionedTable.readPartitionedManifest(root).get
+    def prows(t: String): Seq[(Long, String, Long)] =
+      spark.sql(s"SELECT id, day, v FROM mrcat.m.$t ORDER BY id")
+        .as[(Long, String, Long)].collect().toSeq
+    def upd(t: String): Unit = spark.sql(
+      s"UPDATE mrcat.m.$t SET day = concat('m', day), v = v + 1 " +
+        "WHERE v >= 20")
+    upd("mvcow"); upd("mvmor")
+    assert(prows("mvmor") === prows("mvcow"))
+    assert(prows("mvmor") === Seq((1L, "d1", 10L), (2L, "md1", 21L),
+      (3L, "md2", 31L), (4L, "md3", 41L)))
+    val after = VersionedTable.readPartitionedManifest(root).get
+    before.partitions.foreach { case (k, d) =>
+      assert(after.partitions(k) === d,
+        s"pre-existing partition $k must not move under a MOVING " +
+          "MoR UPDATE")
+    }
+    assert(after.partitions.keySet === before.partitions.keySet ++
+      Set("day=md1", "day=md2", "day=md3"))
+    assert(after.version === before.version + 1,
+      "exactly the one materialization commit may bump the manifest")
+    // destination-pruned read surfaces the moved row; source-pruned
+    // read no longer sees it
+    assert(spark.sql("SELECT id FROM mrcat.m.mvmor WHERE day = 'md1'")
+      .as[Long].collect().toSeq === Seq(2L))
+    assert(spark.sql("SELECT id FROM mrcat.m.mvmor WHERE day = 'd3'")
+      .count() === 0L)
+    // a SECOND moving statement relocates the now-PENDING post-image
+    // (tombstone + destination re-append, never an in-place replace
+    // that would keep the stale qualifier)
+    def upd2(t: String): Unit = spark.sql(
+      s"UPDATE mrcat.m.$t SET day = 'z', v = v * 10 WHERE id = 2")
+    upd2("mvcow"); upd2("mvmor")
+    assert(prows("mvmor") === prows("mvcow"))
+    assert(spark.sql("SELECT id FROM mrcat.m.mvmor WHERE day = 'z'")
+      .as[Long].collect().toSeq === Seq(2L))
+    assert(spark.sql("SELECT id FROM mrcat.m.mvmor " +
+      "WHERE day = 'md1'").count() === 0L)
+    // vacuum folds to the same rows and drains the entry set
+    VersionedTable.vacuumPosDeletesPartitioned(spark, root)
+    assert(prows("mvmor") === prows("mvcow"))
+    assert(VersionedTable.posDeleteEntryCounts(spark, root)._1 === 0L)
+    // nondeterministic partition assignments are rejected loudly on
+    // EVERY path (the moving MoR path evaluates the destination in
+    // two jobs; the COW fallback enforces the same rule)
+    val e = intercept[Exception](spark.sql(
+      "UPDATE mrcat.m.mvmor SET day = concat('r', " +
+        "cast(cast(rand() AS INT) AS STRING)) WHERE id = 3"))
+    assert(e.getMessage.contains("deterministic"), e.getMessage)
+  }
+
+  test("partition-MOVING MoR MERGE (r16): matched + by-source " +
+    "moves compose with inserts in ONE statement — hash-equal to " +
+    "COW, zero pre-existing pointers moved, one materialization " +
+    "commit covers all destination partitions, vacuum converges") {
+    wh
+    for (t <- Seq("mmcow", "mmmor")) {
+      val prop = if (t == "mmmor")
+        " TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')" else ""
+      spark.sql(s"CREATE TABLE mrcat.m.$t (id BIGINT, day STRING, " +
+        s"v BIGINT) USING graft PARTITIONED BY (day)$prop")
+      spark.sql(s"INSERT INTO mrcat.m.$t VALUES " +
+        "(1, 'd1', 10), (2, 'd1', 20), (3, 'd2', 30), (4, 'd3', 40)")
+    }
+    val root = s"$wh/m/mmmor"
+    val before = VersionedTable.readPartitionedManifest(root).get
+    // matched update MOVES id=2 to its source-supplied day; matched
+    // delete kills id=4; insert lands id=9 in new d9; by-source
+    // MOVES d2 rows to day 'bs' — all four kinds in one statement
+    Seq((2L, "mv", 200L, "up"), (4L, "", 0L, "del"),
+      (9L, "d9", 900L, "ins"))
+      .toDF("id", "sday", "nv", "tag")
+      .createOrReplaceTempView("mmmor_src")
+    def merge(t: String): Unit = spark.sql(
+      s"""MERGE INTO mrcat.m.$t t USING mmmor_src s ON t.id = s.id
+         |WHEN MATCHED AND s.tag = 'del' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.nv, day = s.sday
+         |WHEN NOT MATCHED THEN INSERT (id, day, v)
+         |  VALUES (s.id, s.sday, s.nv)
+         |WHEN NOT MATCHED BY SOURCE AND t.day = 'd2' THEN
+         |  UPDATE SET day = 'bs', v = t.v + 7""".stripMargin)
+    def prows(t: String): Seq[(Long, String, Long)] =
+      spark.sql(s"SELECT id, day, v FROM mrcat.m.$t ORDER BY id")
+        .as[(Long, String, Long)].collect().toSeq
+    merge("mmcow"); merge("mmmor")
+    assert(prows("mmmor") === prows("mmcow"))
+    assert(prows("mmmor") === Seq((1L, "d1", 10L), (2L, "mv", 200L),
+      (3L, "bs", 37L), (9L, "d9", 900L)))
+    val after = VersionedTable.readPartitionedManifest(root).get
+    before.partitions.foreach { case (k, d) =>
+      assert(after.partitions(k) === d,
+        s"pre-existing partition $k must not move under a MOVING " +
+          "MoR MERGE")
+    }
+    assert(after.partitions.keySet === before.partitions.keySet ++
+      Set("day=mv", "day=bs", "day=d9"))
+    assert(after.version === before.version + 1,
+      "ONE materialization commit must cover every destination " +
+        "partition (inserts + matched moves + by-source moves)")
+    // destination-pruned reads see the moved rows
+    assert(spark.sql("SELECT id FROM mrcat.m.mmmor WHERE day = 'mv'")
+      .as[Long].collect().toSeq === Seq(2L))
+    assert(spark.sql("SELECT id FROM mrcat.m.mmmor WHERE day = 'bs'")
+      .as[Long].collect().toSeq === Seq(3L))
+    VersionedTable.vacuumPosDeletesPartitioned(spark, root)
+    assert(prows("mmmor") === prows("mmcow"))
+    assert(VersionedTable.posDeleteEntryCounts(spark, root)._1 === 0L)
+  }
+
+  test("racing partition-MOVING MoR UPDATEs serialize: concurrent " +
+    "moves of DISTINCT rows into the same new partition all land " +
+    "exactly once") {
+    wh
+    spark.sql("CREATE TABLE mrcat.m.mvr (id BIGINT, day STRING, " +
       "v BIGINT) USING graft PARTITIONED BY (day) " +
       "TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')")
-    spark.sql("INSERT INTO mrcat.m.fb VALUES " +
-      "(1, 'd1', 10), (2, 'd2', 20)")
-    val root = s"$wh/m/fb"
-    val v1 = VersionedTable.readPartitionedManifest(root).get.version
-    // assigns the partition column → MoR ineligible → COW commit
-    spark.sql("UPDATE mrcat.m.fb SET day = 'd9' WHERE id = 1")
-    assert(VersionedTable.readPartitionedManifest(root).get.version
-      === v1 + 1, "partition-moving UPDATE must take the COW path")
-    assert(spark.sql("SELECT day FROM mrcat.m.fb WHERE id = 1")
-      .head.getString(0) === "d9")
-    // a MERGE whose MATCHED clause assigns the partition column moves
-    // rows across partitions → MoR ineligible → COW
-    Seq((2L, "d7", 99L)).toDF("id", "nday", "nv")
-      .createOrReplaceTempView("mor_fb_src")
-    spark.sql("MERGE INTO mrcat.m.fb t USING mor_fb_src s " +
-      "ON t.id = s.id WHEN MATCHED THEN " +
-      "UPDATE SET v = s.nv, day = s.nday")
-    assert(VersionedTable.readPartitionedManifest(root).get.version
-      === v1 + 2,
-      "partition-moving MERGE must take the COW path")
-    assert(spark.sql("SELECT day, v FROM mrcat.m.fb WHERE id = 2")
-      .as[(String, Long)].head === (("d7", 99L)))
+    spark.sql("INSERT INTO mrcat.m.mvr VALUES " +
+      "(1, 'd1', 10), (2, 'd1', 20), (3, 'd2', 30), (4, 'd2', 40)")
+    val n = 4
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    val failures =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (1 to n).foreach { i =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          try spark.sql(s"UPDATE mrcat.m.mvr SET day = 'hot', " +
+            s"v = v + 1000 WHERE id = $i")
+          catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(180,
+      java.util.concurrent.TimeUnit.SECONDS))
+    assert(failures.isEmpty,
+      s"racing moving UPDATEs failed: ${Option(failures.peek())}")
+    assert(spark.sql(
+      "SELECT id, v FROM mrcat.m.mvr WHERE day = 'hot' ORDER BY id")
+      .as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 1010L), (2L, 1020L), (3L, 1030L), (4L, 1040L)))
+    assert(spark.table("mrcat.m.mvr").count() === 4L)
   }
 
   test("partitioned MoR MERGE: full clause set hash-equal to COW; " +
