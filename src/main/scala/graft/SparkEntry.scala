@@ -9239,7 +9239,10 @@ object SparkEntry {
     // oracle pins the deflate byte sizes as CONSTANTS (verified
     // against java.util.zip's deterministic raw-DEFLATE output at
     // all three SFs; RetrievalFuzzySpec asserts the determinism the
-    // pin rests on).
+    // pin rests on). ENVIRONMENT-BOUND: the constants are this
+    // JVM/zlib build's output — a JDK linked against a different
+    // zlib (e.g. zlib-ng) produces different, equally valid streams;
+    // re-pin from a q348 run if the grading container's JDK changes.
     "q348_deflate_twin" ->
       """SELECT CAST(fid AS BIGINT) AS fid,
         |  CAST(raw_len AS BIGINT) AS raw_len,

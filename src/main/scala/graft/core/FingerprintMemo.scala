@@ -13,10 +13,14 @@ package graft.core
   * iteration order surfaces first — effectively an arbitrary subset)
   * instead of a wholesale clear, so overflow under a many-table
   * workload degrades smoothly rather than discarding every hot
-  * planner entry at once. Concurrent computes of the same key
-  * deduplicate through `computeIfAbsent` — one thread runs the
-  * metadata walk, the rest wait on the bin (driver-side, bounded
-  * walk; the brief bin lock is cheaper than N duplicate walks).
+  * planner entry at once. The compute runs OUTSIDE any map lock
+  * (compute-then-putIfAbsent, first writer wins): these computes do
+  * driver-side filesystem IO — seconds at object-store latency — and
+  * running them under a ConcurrentHashMap bin lock would serialize
+  * unrelated keys sharing a bin (one table's slow metadata walk
+  * stalling another table's planning) and throw on any re-entrant
+  * compute. Concurrent same-key computes may duplicate work; both
+  * produce the identical fingerprint-derived value.
   */
 final class FingerprintMemo[K, V <: AnyRef](cap: Int = 4096) {
   private val m = new java.util.concurrent.ConcurrentHashMap[K, V]()
@@ -24,12 +28,14 @@ final class FingerprintMemo[K, V <: AnyRef](cap: Int = 4096) {
     val hit = m.get(k)
     if (hit != null) hit
     else {
+      val v = compute
       if (m.size > cap) {
         val it = m.keySet.iterator
         var n = cap / 4
         while (n > 0 && it.hasNext) { it.next(); it.remove(); n -= 1 }
       }
-      m.computeIfAbsent(k, _ => compute)
+      val prev = m.putIfAbsent(k, v)
+      if (prev != null) prev else v
     }
   }
 }

@@ -198,7 +198,7 @@ object GraftScanStats {
     val fp = graft.sinks.VersionedTable.statsFingerprint(root)
     val (fMtime, fSize) =
       graft.sinks.VersionedTable.columnStatsFileId(root)
-    val analyzeEpoch = graft.sinks.VersionedTable.columnStatsEpoch()
+    val analyzeEpoch = graft.sinks.VersionedTable.columnStatsEpoch(root)
     colStatsMemo.getOrElseUpdate(
       (root, fp._1, fp._2, fp._3, fMtime, fSize, analyzeEpoch)) {
     val built = graft.sinks.VersionedTable.readColumnStats(root) match {

@@ -1478,13 +1478,23 @@ object VersionedTable {
     requireNoReservedColumns(batch.columns, s"append into $root",
       Seq(SeqCol, AddrPathCol, AddrPosCol))
     enforceConstraints(root, batch)
+    // When fresh stats exist the commit FOLDS the batch into them
+    // (foldColumnStatsOnAppend) — that aggregate must see EXACTLY
+    // the rows the write commits, so the batch is MATERIALIZED once
+    // and both the write and the fold read the materialization: a
+    // re-executed plan with nondeterministic lineage (rand()/uuid()
+    // columns, a source that moved between jobs) could otherwise
+    // stamp FRESH statistics describing rows that were never written.
+    val foldEligible = statsFoldEligible(root)
+    val b = if (foldEligible) batch.localCheckpoint() else batch
+    try {
     var foldedPosVersion = 0L
     var preV = 0L // the CAS-validated predecessor, for the stats fold
     def once(): Long = {
       val base = readManifest(root)
       preV = base.map(_.version).getOrElse(0L)
       val next = base.map(_.version + 1).getOrElse(1L)
-      val stamped = batch.withColumn(SeqCol, lit(next))
+      val stamped = b.withColumn(SeqCol, lit(next))
       foldedPosVersion = posVersion(root)
       commit(root, keepVersions,
         expectedBase = Some(base.map(_.version).getOrElse(0L)),
@@ -1509,9 +1519,20 @@ object VersionedTable {
     }
     val v = retryThenEscalate(Paths.get(root), maxRetries)(once())
     resetPosDeletes(spark, root, foldedPosVersion, keepVersions)
-    foldColumnStatsOnAppend(spark, root, batch, preV, v)
+    if (foldEligible) foldColumnStatsOnAppend(spark, root, b, preV, v)
     v
+    } finally if (foldEligible)
+      org.apache.spark.sql.graft.SqlShims.unpersistCheckpointed(b)
   }
+
+  /** True when `_column_stats.json` exists and is stamped at the
+    * CURRENT fingerprint — the only state an append fold can chain
+    * from (see [[foldColumnStatsOnAppend]]).
+    */
+  private def statsFoldEligible(root: String): Boolean =
+    readColumnStats(root).exists(cs =>
+      (cs.version, cs.posVersion, cs.eqVersion) ==
+        statsFingerprint(root))
 
   /** FULL REPLACE: the next version holds exactly `df` (the static
     * overwrite / CTAS-over shape). Pending equality deletes stay
@@ -2842,11 +2863,18 @@ object VersionedTable {
                         maxRetries: Int = 10,
                         keepManifests: Int = 2,
                         schemaMode: MergeWriter.SchemaMode =
-                          MergeWriter.SchemaMode.Strict): Long =
-    mergePartitioned(spark, root, batch, keys = Seq.empty,
+                          MergeWriter.SchemaMode.Strict): Long = {
+    // materialized when a stats fold will run — write and fold must
+    // read the SAME rows (see the flat append for the full rationale)
+    val foldEligible = statsFoldEligible(root)
+    val b = if (foldEligible) batch.localCheckpoint() else batch
+    try mergePartitioned(spark, root, b, keys = Seq.empty,
       partitionColumns, schemaMode, maxRetries,
       keepManifests, antiJoin = false,
-      statsFoldBatch = Some(batch))
+      statsFoldBatch = if (foldEligible) Some(b) else None)
+    finally if (foldEligible)
+      org.apache.spark.sql.graft.SqlShims.unpersistCheckpointed(b)
+  }
 
 
   /** Balanced OR over per-partition equality conjunctions: a left
@@ -5681,7 +5709,8 @@ object VersionedTable {
       nulls: Long, min: Option[String], max: Option[String],
       avgLen: Option[Long], maxLen: Option[Long],
       hist: Seq[HistBin] = Seq.empty,
-      sketch: Option[String] = None)
+      sketch: Option[String] = None,
+      lenSum: Option[Long] = None)
 
   final case class TableColumnStats(version: Long, posVersion: Long,
       eqVersion: Long, rows: Long, exact: Boolean,
@@ -5690,17 +5719,25 @@ object VersionedTable {
   private def columnStatsPath(rootP: Path): Path =
     rootP.resolve("_column_stats.json")
 
-  /** Bumped after every [[analyzeColumns]] publish in this JVM. The
-    * file-id below is (mtime, size) — two same-process re-ANALYZEs
-    * landing in the same millisecond with equal JSON length would
-    * otherwise be indistinguishable to mtime-keyed memos; including
-    * this epoch in the memo key makes every LOCAL analyze a
-    * guaranteed invalidation (cross-process writes are still covered
-    * by the mtime/size change).
+  /** Bumped after every stats publish for the given ROOT in this
+    * JVM (analyze AND append folds). The file-id below is (mtime,
+    * size) — two same-process stats writes landing in the same
+    * millisecond with equal JSON length would otherwise be
+    * indistinguishable to mtime-keyed memos; including this epoch in
+    * the memo key makes every LOCAL write a guaranteed invalidation
+    * (cross-process writes are still covered by the mtime/size
+    * change). PER ROOT: a JVM-global counter would let one
+    * continuously-ingesting table's folds invalidate every OTHER
+    * table's memo entries on each append.
     */
-  private val colStatsEpochCtr =
-    new java.util.concurrent.atomic.AtomicLong(0L)
-  private[graft] def columnStatsEpoch(): Long = colStatsEpochCtr.get
+  private val colStatsEpochs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def epochKey(rootP: Path): String =
+    rootP.toAbsolutePath.normalize.toString
+  private[graft] def columnStatsEpoch(root: String): Long = {
+    val v = colStatsEpochs.get(epochKey(Paths.get(root)))
+    if (v == null) 0L else v.longValue
+  }
 
   /** Identity of the persisted stats file (mtime millis, size) —
     * (0, 0) when absent. ANALYZE writes the file WITHOUT bumping any
@@ -5741,7 +5778,7 @@ object VersionedTable {
   def analyzeColumns(spark: SparkSession, root: String,
                      exact: Boolean = false,
                      histogramBins: Int = 0): TableColumnStats = {
-    import org.apache.spark.sql.functions.{approx_count_distinct, avg, ceil, count, countDistinct, length, max => fmax, min => fmin}
+    import org.apache.spark.sql.functions.{approx_count_distinct, avg, ceil, count, countDistinct, length, max => fmax, min => fmin, sum => fsum}
     val (mainV, posV, eqV) = statsFingerprint(root)
     require(mainV > 0L, s"$root has never committed — nothing to analyze")
     val df = spark.read.format("graft").load(root)
@@ -5792,6 +5829,10 @@ object VersionedTable {
           add("max", fmax(c))
           add("avgLen", ceil(avg(length(c))).cast("long"))
           add("maxLen", fmax(length(c)).cast("long"))
+          // exact length sum: the append fold refolds the average
+          // from this losslessly (re-deriving it from the ceil'd
+          // average would drift upward by ~1 byte per fold)
+          add("lenSum", fsum(length(c)).cast("long"))
         case _ => ()
       }
     }
@@ -5886,7 +5927,8 @@ object VersionedTable {
         byField.get((f.name, "sk")).flatMap(i =>
           if (row.isNullAt(i)) None
           else Some(java.util.Base64.getEncoder
-            .encodeToString(row.getAs[Array[Byte]](i)))))
+            .encodeToString(row.getAs[Array[Byte]](i)))),
+        lng(f.name, "lenSum"))
     }.toMap
     val stats = TableColumnStats(mainV, posV, eqV, total, exact, cols)
     writeColumnStatsFile(Paths.get(root), renderColumnStats(stats))
@@ -5927,7 +5969,8 @@ object VersionedTable {
       s""""${escJson(n)}": {"dtype": "${c.dtype}", "ndv": ${c.ndv}""" +
         s""", "nulls": ${c.nulls}""" + opt("min", c.min) +
         opt("max", c.max) + optL("avgLen", c.avgLen) +
-        optL("maxLen", c.maxLen) + histS + skS + "}"
+        optL("maxLen", c.maxLen) + optL("lenSum", c.lenSum) +
+        histS + skS + "}"
     }.mkString(", ")
     s"""{"version": ${stats.version}, """ +
       s""""posVersion": ${stats.posVersion}, """ +
@@ -5936,6 +5979,21 @@ object VersionedTable {
   }
 
   private def writeColumnStatsFile(rootP: Path, body: String): Unit = {
+    // crashed writers leak their uniquely-named temp file (no other
+    // reaper knows this name) — sweep hour-old ones before writing
+    try {
+      val cutoff = System.currentTimeMillis() - 3600L * 1000
+      val st = Files.list(rootP)
+      try st.forEach { p =>
+        try {
+          if (p.getFileName.toString
+                .startsWith("_column_stats.json.tmp-") &&
+              Files.getLastModifiedTime(p).toMillis < cutoff) {
+            Files.deleteIfExists(p); ()
+          }
+        } catch { case _: Exception => () }
+      } finally st.close()
+    } catch { case _: Exception => () }
     // unique temp name: two concurrent writers (fold racing a fresh
     // ANALYZE) must never interleave bytes in a shared temp file —
     // last atomic move wins, and the loser's stamp simply reads stale
@@ -5945,7 +6003,9 @@ object VersionedTable {
     Files.move(tmp, columnStatsPath(rootP),
       StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    colStatsEpochCtr.incrementAndGet()
+    colStatsEpochs.compute(epochKey(rootP),
+      (_, v) => java.lang.Long.valueOf(if (v == null) 1L else v + 1L))
+    ()
   }
 
   /** Fold an APPENDED batch into the persisted column statistics so
@@ -6056,7 +6116,14 @@ object VersionedTable {
         val aSmaller = dtype match {
           case "integral" => x.toLong <= y.toLong
           case "floating" => x.toDouble <= y.toDouble
-          case _ => x <= y
+          case _ =>
+            // UTF-8 byte order, matching Spark's UTF8String binary
+            // min/max — Java String ordering compares UTF-16 units
+            // and disagrees above the BMP (supplementary chars sort
+            // ABOVE U+E000..U+FFFF in bytes but below in UTF-16)
+            java.util.Arrays.compareUnsigned(
+              x.getBytes(StandardCharsets.UTF_8),
+              y.getBytes(StandardCharsets.UTF_8)) <= 0
         }
         Some(if (aSmaller == wantMin) x else y)
     }
@@ -6065,13 +6132,18 @@ object VersionedTable {
       val nonNullB = if (inBatch) lng(name, "nonnull").getOrElse(0L)
                      else 0L
       val oldNonNull = cs.rows - e.nulls
-      val avgLen2 = e.dtype match {
+      val (avgLen2, lenSum2) = e.dtype match {
         case "string" if oldNonNull + nonNullB > 0 =>
-          val sumOld = e.avgLen.getOrElse(0L) * oldNonNull
+          // exact stored sum when available (lossless across any
+          // number of folds); the ceil'd average only as a legacy
+          // fallback for pre-lenSum stats files
+          val sumOld = e.lenSum.getOrElse(
+            e.avgLen.getOrElse(0L) * oldNonNull)
           val sumB = lng(name, "sumLen").getOrElse(0L)
-          Some((sumOld + sumB + oldNonNull + nonNullB - 1) /
-            (oldNonNull + nonNullB))
-        case _ => e.avgLen
+          val total2 = oldNonNull + nonNullB
+          (Some((sumOld + sumB + total2 - 1) / total2),
+            Some(sumOld + sumB))
+        case _ => (e.avgLen, e.lenSum)
       }
       name -> e.copy(
         // no fresh values → NDV stands; fresh values without a
@@ -6084,6 +6156,7 @@ object VersionedTable {
         max = mergeBound(e.dtype, e.max, str(name, "max"),
           wantMin = false),
         avgLen = avgLen2,
+        lenSum = lenSum2,
         maxLen = Seq(e.maxLen, lng(name, "maxLen")).flatten
           .reduceOption(_ max _),
         hist = Seq.empty, // equi-height bins do not compose
@@ -6115,6 +6188,7 @@ object VersionedTable {
         """(?:,\s*\"max\":\s*\"((?:[^"\\]|\\.)*)\")?""" +
         """(?:,\s*\"avgLen\":\s*(-?\d+))?""" +
         """(?:,\s*\"maxLen\":\s*(-?\d+))?""" +
+        """(?:,\s*\"lenSum\":\s*(-?\d+))?""" +
         """(?:,\s*\"hist\":\s*\"([^"]*)\")?""" +
         """(?:,\s*\"sketch\":\s*\"([^"]*)\")?\}""").r
     def parseHist(s: String): Seq[HistBin] =
@@ -6138,8 +6212,9 @@ object VersionedTable {
           Option(m.group(6)).map(unescJson),
           Option(m.group(7)).map(_.toLong),
           Option(m.group(8)).map(_.toLong),
-          Option(m.group(9)).map(parseHist).getOrElse(Seq.empty),
-          Option(m.group(10)))
+          Option(m.group(10)).map(parseHist).getOrElse(Seq.empty),
+          Option(m.group(11)),
+          Option(m.group(9)).map(_.toLong))
       }.toMap
       for {
         v <- long1("version"); pv <- long1("posVersion")

@@ -630,6 +630,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         Files.move(loc, t, StandardCopyOption.ATOMIC_MOVE)
         Some(t)
       } else None
+    // A restore that cannot put the user's ORIGINAL data back at
+    // `loc` (e.g. a concurrent writer recreated the path) must NOT
+    // leave it in the `.replaced-` trash sibling — the staging
+    // reaper deletes those after a day. Park it under `.stranded-`
+    // (a name the reaper never matches) and fail naming the path.
+    def parkOrKeep(t: Path, cause: Throwable): Nothing = {
+      val park = loc.resolveSibling(
+        s".${loc.getFileName}.stranded-${java.util.UUID.randomUUID}")
+      val parked =
+        try { Files.move(t, park, StandardCopyOption.ATOMIC_MOVE); park }
+        catch { case _: Exception => t }
+      throw new IllegalStateException(
+        s"RTAS rollback could not restore $loc — the original " +
+          s"external data is preserved at $parked", cause)
+    }
     try {
       if (Files.exists(stagedData))
         Files.move(stagedData, loc, StandardCopyOption.ATOMIC_MOVE)
@@ -637,8 +652,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         Files.createDirectories(loc)
     } catch {
       case e: Throwable =>
-        trashData.foreach(t =>
-          Files.move(t, loc, StandardCopyOption.ATOMIC_MOVE))
+        trashData.foreach { t =>
+          try Files.move(t, loc, StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: Exception => cleanup(); parkOrKeep(t, e) }
+        }
         cleanup()
         throw e
     }
@@ -646,13 +663,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     catch {
       case e: Throwable =>
         // un-publish the data so a failed catalog swap leaves the
-        // external path exactly as it was (best-effort)
+        // external path exactly as it was
         try {
           Files.move(loc, stagedData, StandardCopyOption.ATOMIC_MOVE)
           trashData.foreach(t =>
             Files.move(t, loc, StandardCopyOption.ATOMIC_MOVE))
           GraftCatalog.deleteRecursively(stagedData)
-        } catch { case _: Exception => () }
+        } catch {
+          case _: Exception =>
+            trashData.filter(Files.exists(_))
+              .foreach(t => parkOrKeep(t, e))
+        }
         throw e
     }
     trashData.foreach(GraftCatalog.deleteRecursively)
