@@ -566,6 +566,18 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE gcat.ext.e")
     assert(spark.sql("SHOW TABLES IN gcat.ext").count() === 0)
     assert(VersionedTable.readManifest(loc).isDefined)
+    // PARTITIONED external CTAS: the staged write runs the full
+    // partitioned native path, and the move publishes the
+    // partitioned manifest at the location
+    val locP = s"$extBase/t3"
+    spark.sql(s"CREATE TABLE gcat.ext.ep USING graft " +
+      s"PARTITIONED BY (day) LOCATION '$locP' AS " +
+      "SELECT id, CAST(id % 2 AS STRING) AS day, v FROM ext_src")
+    assert(VersionedTable.readPartitionedManifest(locP).isDefined)
+    assert(spark.sql(
+      "SELECT sum(v) FROM gcat.ext.ep WHERE day = '1'")
+      .head.getLong(0) === 28L) // ids 1, 3 → 7 + 21
+    assert(dotEntries(extBase).isEmpty, dotEntries(extBase).toString)
   }
 
   test("a failing CTAS leaves NO catalog entry, no visible table, " +
