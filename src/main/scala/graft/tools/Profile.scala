@@ -209,6 +209,45 @@ object Profile {
       s"(${chk.getLong(0) == chk.getLong(1)}), " +
       s"counts ${chk.getLong(2)} == ${chk.getLong(3)} " +
       s"(${chk.getLong(2) == chk.getLong(3)})")
+    // Partition-MOVING UPDATE leg (r16): move ~64 rows spread across
+    // 8 source partitions into ONE quarantine partition. MoR must
+    // move ZERO pre-existing pointers (one materialization commit
+    // adds the destination) at cost ∝ matched rows; COW rewrites all
+    // 8 source partitions PLUS the destination.
+    val morB2 =
+      VersionedTable.readPartitionedManifest(morRoot).get.partitions
+    val cowB2 =
+      VersionedTable.readPartitionedManifest(cowRoot).get.partitions
+    def move(tn: String): Unit = spark.sql(
+      s"UPDATE pmm.s.$tn SET p = 'quarantine', m = m + 7 " +
+        "WHERE id % 512 < 8 AND (id DIV 512) % 250 = 1")
+    t("MoR partition-MOVING UPDATE (8 src partitions → 1 new)") {
+      move("mor")
+    }
+    t("COW partition-MOVING UPDATE (same statement)") {
+      move("cow")
+    }
+    val morA2 =
+      VersionedTable.readPartitionedManifest(morRoot).get.partitions
+    val cowA2 =
+      VersionedTable.readPartitionedManifest(cowRoot).get.partitions
+    println(s"  moving-UPDATE pointers moved: " +
+      s"mor=${moved(morB2, morA2)} " +
+      s"(added ${morA2.size - morB2.size}), " +
+      s"cow=${moved(cowB2, cowA2)} " +
+      s"(added ${cowA2.size - cowB2.size})")
+    val chk2 = spark.sql(
+      """SELECT (SELECT CAST(sum(m) AS BIGINT) FROM pmm.s.mor) AS ms,
+        |  (SELECT CAST(sum(m) AS BIGINT) FROM pmm.s.cow) AS cs,
+        |  (SELECT count(*) FROM pmm.s.mor
+        |   WHERE p = 'quarantine') AS mq,
+        |  (SELECT count(*) FROM pmm.s.cow
+        |   WHERE p = 'quarantine') AS cq""".stripMargin)
+      .head
+    println(s"  equal: sums ${chk2.getLong(0)} == ${chk2.getLong(1)} " +
+      s"(${chk2.getLong(0) == chk2.getLong(1)}), " +
+      s"quarantined ${chk2.getLong(2)} == ${chk2.getLong(3)} " +
+      s"(${chk2.getLong(2) == chk2.getLong(3)})")
     spark.stop()
   }
 

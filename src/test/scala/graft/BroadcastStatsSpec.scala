@@ -278,6 +278,34 @@ class BroadcastStatsSpec extends SparkSpec {
       VersionedTable.statsFingerprint(root))
   }
 
+  test("fold integrity under nondeterministic batch lineage: the " +
+    "folded statistics describe the rows actually WRITTEN (the " +
+    "append materializes the batch once for write + fold)") {
+    val (root, _) = freshRoots()
+    VersionedTable.append(spark, root,
+      spark.range(0, 50).select(col("id"), (col("id") % 5).as("k")))
+    VersionedTable.analyzeColumns(spark, root, exact = true)
+    // a rand()-derived column: re-executing this plan yields
+    // DIFFERENT values — without the write/fold materialization the
+    // folded min/max/ndv would describe rows not in the table
+    val nd = spark.range(50, 80).select(col("id"),
+      (rand() * 1000000).cast("long").as("k"))
+    VersionedTable.append(spark, root, nd)
+    val cs = VersionedTable.readColumnStats(root).get
+    assert((cs.version, cs.posVersion, cs.eqVersion) ===
+      VersionedTable.statsFingerprint(root), "fold must have run")
+    val actual = VersionedTable.readLive(spark, root)
+      .agg(min("k"), max("k"), countDistinct("k")).head
+    assert(cs.cols("k").min.contains(actual.getLong(0).toString),
+      s"${cs.cols("k")} vs table min ${actual.getLong(0)}")
+    assert(cs.cols("k").max.contains(actual.getLong(1).toString),
+      s"${cs.cols("k")} vs table max ${actual.getLong(1)}")
+    // coupon regime (≤ 35 distinct) ⇒ the folded sketch estimate is
+    // the exact distinct count of what was WRITTEN
+    assert(cs.cols("k").ndv === actual.getLong(2),
+      s"${cs.cols("k")} vs table ndv ${actual.getLong(2)}")
+  }
+
   test("equi-height histograms: skew-aware CBO selectivity where " +
     "uniform min/max interpolation misleads; bins round-trip") {
     val (root, _) = freshRoots()
