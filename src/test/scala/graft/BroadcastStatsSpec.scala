@@ -415,6 +415,29 @@ class BroadcastStatsSpec extends SparkSpec {
         assert(roots(innermost).contains(d1Name),
           s"NDV stats must reorder the selective join first:\n" +
             s"$reordered")
+        // r16: an INSERT must not blind the reorderer — the append
+        // FOLDS the fact's stats (no re-ANALYZE), the fingerprint
+        // advances, and the same reorder still fires
+        VersionedTable.append(spark, fRoot,
+          spark.range(20000, 22000).select(col("id"),
+            (col("id") % 1000).as("ka"), (col("id") % 2).as("kb")))
+        val cs = VersionedTable.readColumnStats(fRoot).get
+        assert((cs.version, cs.posVersion, cs.eqVersion) ===
+          VersionedTable.statsFingerprint(fRoot),
+          "append must fold, not invalidate")
+        val plan2 = spark.sql(
+          """SELECT count(*) FROM cbo_f f
+            |JOIN cbo_d2 d2 ON f.kb = d2.kb
+            |JOIN cbo_d1 d1 ON f.ka = d1.ka""".stripMargin)
+          .queryExecution.optimizedPlan
+        val reordered2 = org.apache.spark.sql.catalyst.optimizer
+          .CostBasedJoinReorder(plan2)
+        val joins2 = reordered2.collect { case j: Join => j }
+        val innermost2 = joins2.filter(j => roots(j).contains(fName))
+          .minBy(j => roots(j).size)
+        assert(roots(innermost2).contains(d1Name),
+          s"FOLDED stats must keep the reorder firing after an " +
+            s"INSERT:\n$reordered2")
       } finally {
         spark.conf.set("spark.sql.cbo.enabled", cboWas)
         spark.conf.set("spark.sql.cbo.joinReorder.enabled", jrWas)
