@@ -231,7 +231,7 @@ object VersionedTable {
     val m = readManifest(root).getOrElse(throw new IllegalStateException(
       s"no _manifest.json under $root — table has never committed"))
     normalizeRenames(root, stampDefaulted(
-      spark.read.option("mergeSchema", "true")
+      spark.read
         .parquet(Paths.get(root).resolve(m.live).toString)))
   }
 
@@ -482,7 +482,7 @@ object VersionedTable {
     // through the current table definition" contract; per-snapshot
     // schema re-presentation would need versioned schema metadata)
     normalizeRenames(root,
-      spark.read.option("mergeSchema", "true").parquet(dir.toString)
+      spark.read.parquet(dir.toString)
         .drop(SeqCol))
   }
 
@@ -974,7 +974,7 @@ object VersionedTable {
             throw new IllegalStateException(
               s"branch '$branch' head v$v of $root was pruned")
           normalizeRenames(root, stampDefaulted(
-            spark.read.option("mergeSchema", "true")
+            spark.read
               .parquet(dir.toString)))
             .unionByName(stamped)
         case None =>
@@ -2258,7 +2258,7 @@ object VersionedTable {
   private def withFilePos(spark: SparkSession, root: String,
                           m: Manifest): DataFrame = {
     val dirP = Paths.get(root).resolve(m.live)
-    val plain = spark.read.option("mergeSchema", "true")
+    val plain = spark.read
       .parquet(dirP.toString)
     requireNoReservedColumns(plain.columns, s"table $root",
       Seq(AddrPathCol, AddrPosCol))
@@ -2659,7 +2659,6 @@ object VersionedTable {
         if (touchedFiles.nonEmpty) {
           val masked = normalizeRenames(root, stampDefaulted(
             spark.read.option("basePath", dirP.toString)
-              .option("mergeSchema", "true")
               .parquet(touchedFiles.map(_.toString): _*)
               .select(col("*"),
                 concat(lit(base.live + "/"),
@@ -5627,32 +5626,37 @@ object VersionedTable {
   }
 
   /** Render partition tuples to their `col=value[/...]` relative paths
-    * with Spark's OWN dynamic-partition writer (a tiny temp write +
-    * dir listing): the manifest keys were harvested by
-    * [[partitionLeafDirs]] from dirs Spark wrote, so keys computed
-    * here match them byte-for-byte BY CONSTRUCTION — including null
+    * with Spark's OWN dynamic-partition writer, WITHOUT the writer:
+    * the writer's leaf path is `getPartitionPathString(name,
+    * Cast(col, StringType, sessionTz))` per level
+    * (PartitioningUtils.partitionPathExpression), so evaluating that
+    * exact expression pair on the driver reproduces the harvested
+    * keys byte-for-byte — including null/empty
     * (`__HIVE_DEFAULT_PARTITION__`) and session-timezone timestamp
     * rendering, where a hand `escapePathName(String.valueOf(v))`
     * diverges and would leave a fully-emptied partition's stale
-    * pointer behind. `tuples` is a collected, partition-count-bounded
-    * set, so the temp write is O(|touched|) rows.
+    * pointer behind. Replaces the previous tiny-temp-write +
+    * dir-listing probe (r16 optimization): one Spark write job +
+    * filesystem round per DML statement became a pure driver eval
+    * over the partition-count-bounded tuple set.
     */
   private def renderPartitionKeys(spark: SparkSession,
                                   schema: org.apache.spark.sql.types.StructType,
                                   tuples: Array[org.apache.spark.sql.Row])
       : Seq[String] = {
     if (tuples.isEmpty) return Seq.empty
-    val partitionColumns = schema.fieldNames.toSeq
-    val df = spark.createDataFrame(
-        java.util.Arrays.asList(tuples: _*), schema)
-      .withColumn("_graft_render", lit(1))
-    val tmp = Files.createTempDirectory("graft-partrender-")
-    val out = tmp.resolve("r")
-    try {
-      df.coalesce(1).write.mode(SaveMode.Overwrite)
-        .partitionBy(partitionColumns: _*).parquet(out.toString)
-      partitionLeafDirs(out, partitionColumns.size).map(_.toString)
-    } finally deleteRecursively(tmp)
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    val tz = Option(spark.sessionState.conf.sessionLocalTimeZone)
+    tuples.toSeq.map { row =>
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        val catalystLit = Literal.create(row.get(i), f.dataType)
+        val s = Cast(catalystLit, org.apache.spark.sql.types.StringType,
+          tz).eval(null)
+        ExternalCatalogUtils.getPartitionPathString(f.name,
+          if (s == null) null else s.toString)
+      }.mkString("/")
+    }
   }
 
   /** Relative `col=value[/...]` leaf dirs under a version dir. */

@@ -913,7 +913,7 @@ private[graft] object GraftScanPlanner {
             s"no _manifest.json under ${o.root} — not a graft table " +
               "(or it has never committed)"))
         val dir = Paths.get(o.root).resolve(m.live)
-        val base = spark.read.option("mergeSchema", "true")
+        val base = spark.read
           .parquet(dir.toString)
         if (o.withDeletes)
           VersionedTable.maskFlatDeletes(spark, o.root, m, base)
@@ -1071,7 +1071,7 @@ private[graft] object GraftScanPlanner {
           }
         }
         else {
-          val base = spark.read.option("mergeSchema", "true")
+          val base = spark.read
             .option("basePath", dirP.toString)
             .parquet(survivors.map(_._1.toString): _*)
           mOpt match {

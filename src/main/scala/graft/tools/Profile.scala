@@ -16,6 +16,7 @@ object Profile {
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("queries")) { profileQueries(args.tail); return }
+    if (args.headOption.contains("jobprof")) { jobProf(args.tail); return }
     if (args.headOption.contains("allqueries")) { allQueries(); return }
     if (args.headOption.contains("explain")) { explainQueries(args.tail); return }
     if (args.headOption.contains("stress")) { stressDedup(); return }
@@ -1051,6 +1052,86 @@ object Profile {
         t(s"p$pass $n") { fn(spark, d).count() }
       }
       println(f"[profile] PASS $pass TOTAL ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+    spark.stop()
+  }
+
+  /** Job-level attribution of ONE query (r16 optimization round):
+    * a listener records every job's wall span + description; the gap
+    * between summed job time and query wall time is driver-side work
+    * (manifest IO, file moves, planning). Warm run only — the query
+    * runs `reps` times and the LAST run is attributed, so JIT/codegen
+    * of the first run never pollutes the profile.
+    * runMain graft.tools.Profile jobprof q332_mor_update [reps]
+    */
+  def jobProf(args: Array[String]): Unit = {
+    val spark = GraftSession.build("profile-jobs")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val name = args(0)
+    val reps = args.lift(1).map(_.toInt).getOrElse(2)
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val done = scala.collection.concurrent.TrieMap
+      .empty[Int, (Double, String)]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val desc = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .orElse(Option(e.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))))
+          .getOrElse("?")
+        jobs.put(e.jobId, (System.nanoTime(), desc))
+      }
+      override def onJobEnd(
+          e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        Option(jobs.get(e.jobId)).foreach { case (t0, desc) =>
+          done.put(e.jobId, ((System.nanoTime() - t0) / 1e9, desc))
+        }
+      }
+    }
+    (1 until reps).foreach { i =>
+      t(s"$name warm$i") { graft.SparkEntry.queries(name)(spark, d).count() }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // Poor-man's driver profiler: sample the query thread every 10 ms
+    // and aggregate the deepest graft.* frame (else the top frame) —
+    // attributes the driver gap to actual code sites.
+    val qThread = Thread.currentThread()
+    val samples = new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.atomic.AtomicLong]()
+    @volatile var sampling = true
+    val sampler = new Thread(() => {
+      while (sampling) {
+        val st = qThread.getStackTrace
+        if (st.nonEmpty) {
+          val g = st.find(f => f.getClassName.startsWith("graft."))
+            .map(f => s"${f.getClassName}.${f.getMethodName}:${f.getLineNumber}")
+          val top = st.head
+          val key = g.getOrElse(s"${top.getClassName}.${top.getMethodName}")
+          samples.computeIfAbsent(key,
+            _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
+        }
+        Thread.sleep(10)
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
+    val t0 = System.nanoTime()
+    graft.SparkEntry.queries(name)(spark, d).count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    sampling = false
+    spark.sparkContext.removeSparkListener(listener)
+    Thread.sleep(300) // let the listener bus drain
+    val rows = done.toSeq.sortBy(_._1)
+    println(f"[jobprof] $name wall=$wall%.3fs jobs=${rows.size} jobSum=${rows.map(_._2._1).sum}%.3fs driverGap=${wall - rows.map(_._2._1).sum}%.3fs")
+    rows.foreach { case (id, (sec, desc)) =>
+      println(f"[jobprof]   job$id%-5d $sec%7.3fs  ${desc.take(110)}")
+    }
+    import scala.jdk.CollectionConverters._
+    val tot = samples.values.asScala.map(_.get).sum.toDouble.max(1)
+    samples.asScala.toSeq.sortBy(-_._2.get).take(30).foreach {
+      case (k, n) =>
+        println(f"[jobprof] drv ${n.get * 100 / tot}%5.1f%% (${n.get}%4d) $k")
     }
     spark.stop()
   }

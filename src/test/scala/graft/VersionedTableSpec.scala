@@ -210,6 +210,25 @@ class VersionedTableSpec extends SparkSpec {
       s"emptied timestamp partition still pointed: ${tafter.partitions}")
     assert(VersionedTable.readLivePartitioned(spark, troot)
       .select("id").as[Long].collect().toSeq === Seq(1L))
+    // empty-string and path-hostile string values (space, '=', '%',
+    // '/'): Spark's writer folds "" into the null partition and
+    // percent-escapes the rest — the driver-side renderer (r16) must
+    // keep matching the harvested keys byte-for-byte for all of them
+    val sroot = tmpRoot()
+    VersionedTable.upsertPartitioned(spark, sroot,
+      Seq(("", 1L), ("a b=c", 2L), ("p%2F/q", 3L), ("keep", 4L))
+        .toDF("k", "id"),
+      Seq("k", "id"), Seq("k"), keepManifests = 4)
+    val sbefore = VersionedTable.readPartitionedManifest(sroot).get
+    VersionedTable.softDeletePartitioned(spark, sroot,
+      Seq(1L, 2L, 3L).toDF("id"), Seq("id"))
+    VersionedTable.vacuumDeletesPartitioned(spark, sroot, Seq("id"))
+    val safter = VersionedTable.readPartitionedManifest(sroot).get
+    assert(safter.partitions.keySet === Set("k=keep"),
+      s"emptied escaped partitions still pointed: ${safter.partitions} " +
+        s"(before: ${sbefore.partitions.keySet})")
+    assert(VersionedTable.readLivePartitioned(spark, sroot)
+      .select("id").as[Long].collect().toSeq === Seq(4L))
   }
 
   test("diffVersions under schema evolution: columns added or removed " +
