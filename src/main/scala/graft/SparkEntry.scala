@@ -5537,13 +5537,24 @@ object SparkEntry {
       var totalOps = 0L
       for (v <- vs) {
         val cdf = vt.readChanges(s, work, v - 1, v, Seq("event_id"))
-        totalOps += cdf.count()
-        val deltas = cdf.select((col("event_id") % 3).as("grp"),
-          when(col("_change_type").isin("insert", "update_postimage"),
-            1L).otherwise(-1L).as("d_count"),
-          when(col("_change_type").isin("insert", "update_postimage"),
-            col("cents")).otherwise(-col("cents")).as("d_sum"))
-        view = graft.operators.Ivm.applyDeltas(view, deltas, Seq("grp"))
+        // ONE execution per step: the ops count and the group deltas
+        // come out of the same ≤3-row checkpointed aggregate — the
+        // lazy applyDeltas chain re-executes its inputs at every
+        // downstream action, so the raw cdf subtree used to run 3×
+        // (count here, then the matches and dump executions of view)
+        val step = cdf.select((col("event_id") % 3).as("grp"),
+            when(col("_change_type").isin("insert", "update_postimage"),
+              1L).otherwise(-1L).as("d_count"),
+            when(col("_change_type").isin("insert", "update_postimage"),
+              col("cents")).otherwise(-col("cents")).as("d_sum"))
+          .groupBy("grp")
+          .agg(count(lit(1)).as("ops"), sum("d_count").as("d_count"),
+            sum("d_sum").as("d_sum"))
+          .localCheckpoint(true)
+        totalOps += step.agg(coalesce(sum("ops"), lit(0L)))
+          .head.getLong(0)
+        view = graft.operators.Ivm.applyDeltas(view,
+          step.select("grp", "d_count", "d_sum"), Seq("grp"))
       }
       val recompute = graft.operators.Ivm.initialize(
         vt.readLive(s, work)
@@ -5594,13 +5605,22 @@ object SparkEntry {
       val q = vt.streamChanges(s, work, Seq("event_id"), ckpt,
         maxFilesPerTrigger = Some(1)) { (cdf, _, _) =>
         batches += 1
-        totalOps += cdf.count()
-        val deltas = cdf.select((col("event_id") % 3).as("grp"),
-          when(col("_change_type").isin("insert", "update_postimage"),
-            1L).otherwise(-1L).as("d_count"),
-          when(col("_change_type").isin("insert", "update_postimage"),
-            col("cents")).otherwise(-col("cents")).as("d_sum"))
-        view = graft.operators.Ivm.applyDeltas(view, deltas, Seq("grp"))
+        // one execution per commit: ops count and group deltas share
+        // a ≤3-row checkpointed aggregate (cdf used to execute twice
+        // — the count, then the view checkpoint re-running it)
+        val step = cdf.select((col("event_id") % 3).as("grp"),
+            when(col("_change_type").isin("insert", "update_postimage"),
+              1L).otherwise(-1L).as("d_count"),
+            when(col("_change_type").isin("insert", "update_postimage"),
+              col("cents")).otherwise(-col("cents")).as("d_sum"))
+          .groupBy("grp")
+          .agg(count(lit(1)).as("ops"), sum("d_count").as("d_count"),
+            sum("d_sum").as("d_sum"))
+          .localCheckpoint()
+        totalOps += step.agg(coalesce(sum("ops"), lit(0L)))
+          .head.getLong(0)
+        view = graft.operators.Ivm.applyDeltas(view,
+          step.select("grp", "d_count", "d_sum"), Seq("grp"))
           .localCheckpoint()
         ()
       }

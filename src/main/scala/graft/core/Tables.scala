@@ -16,8 +16,55 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$table.parquet")
+  /** Inferred-schema memo per (path, size, mtime): every schemaless
+    * `spark.read.parquet` launches a 1-task footer-inference job, and
+    * the bench sweep loads these fixed read-only files thousands of
+    * times (346 queries × 1-3 tables × warm-up + 2 timed runs). The
+    * file-identity key means a hit can only return what re-inference
+    * would; a regenerated testdata file moves size/mtime and misses.
+    * The value is a session-free StructType, so the memo is safe
+    * across sessions/tests in one JVM.
+    */
+  private val schemaMemo = new FingerprintMemo[
+    (String, Long, Long, String),
+    org.apache.spark.sql.types.StructType](64)
+
+  /** Nullable-relaxed, matching Spark's own file-source inference —
+    * a user schema is trusted verbatim, and a `required` footer field
+    * fed to Catalyst as nullable=false lets it constant-fold the
+    * null-count aggregates the quality queries compute.
+    */
+  private def relaxNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case s: org.apache.spark.sql.types.StructType =>
+      org.apache.spark.sql.types.StructType(s.fields.map(f =>
+        f.copy(dataType = relaxNullable(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = relaxNullable(a.elementType),
+        containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = relaxNullable(m.keyType),
+        valueType = relaxNullable(m.valueType),
+        valueContainsNull = true)
+    case other => other
+  }
+
+  def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    val path = s"$sfDir/$table.parquet"
+    val p = java.nio.file.Paths.get(path)
+    // the nanos-timestamp legacy conf changes what inference returns
+    // for events.ts — it is part of the schema's identity
+    val nanosConf = spark.conf
+      .getOption("spark.sql.legacy.parquet.nanosAsLong").getOrElse("")
+    val key = try {
+      (path, java.nio.file.Files.size(p),
+        java.nio.file.Files.getLastModifiedTime(p).toMillis, nanosConf)
+    } catch { case _: Throwable => (path, -1L, -1L, nanosConf) }
+    val schema = schemaMemo.getOrElseUpdate(key)(
+      relaxNullable(spark.read.parquet(path).schema)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -3,7 +3,7 @@ package graft.sinks
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, concat, expr, lit, shiftleft, struct, when, xxhash64}
+import org.apache.spark.sql.functions.{array, coalesce, col, concat, explode, expr, lit, shiftleft, struct, when, xxhash64}
 
 /** Poor-man's commit protocol for the parquet-native upsert path —
   * closes the [[MergeWriter]] concurrency window (its dir swap gives a
@@ -231,8 +231,7 @@ object VersionedTable {
     val m = readManifest(root).getOrElse(throw new IllegalStateException(
       s"no _manifest.json under $root — table has never committed"))
     normalizeRenames(root, stampDefaulted(
-      spark.read
-        .parquet(Paths.get(root).resolve(m.live).toString)))
+      memoFlatParquet(spark, Paths.get(root).resolve(m.live))))
   }
 
   /** THE stamp-defaulting rule, in one place: a missing or null
@@ -244,6 +243,115 @@ object VersionedTable {
     if (df.columns.contains(SeqCol))
       df.withColumn(SeqCol, coalesce(col(SeqCol), lit(0L)))
     else df.withColumn(SeqCol, lit(0L))
+
+  // ------------------------------------------------------------------
+  // Parquet-schema memo over version dirs. Every
+  // `spark.read.parquet(...)` without a user schema launches a 1-task
+  // footer-inference Spark job, and a single DML statement re-reads
+  // the same immutable version dirs a dozen-plus times (snapshot
+  // re-validation, address attachment, sub-table folds) — ~30 such
+  // jobs per q332-style statement. Version dirs never change once
+  // committed, but a table root CAN be dropped and re-created under
+  // the SAME deterministic dir names (v00000001) across runs, so a
+  // pure path key would serve stale schemas: the key carries a
+  // listing token (digest of every child's name:size — part-file
+  // names are UUIDs, so recreation always moves the token). A token
+  // hit can only return what re-inference would: same files ⇒ same
+  // footers ⇒ same schema. The memoized value is a session-free
+  // StructType, NOT a DataFrame — plans bind to a SparkSession and a
+  // stopped one would leak/fail; re-issuing the read with an explicit
+  // schema skips the inference job, which is the expensive part.
+  // ------------------------------------------------------------------
+  private val schemaMemo = new graft.core.FingerprintMemo[
+    String, org.apache.spark.sql.types.StructType](1024)
+
+  /** Digest of the paths' current contents: per dir the sorted
+    * (childName:size) list, per plain file its own (name:size),
+    * "!absent" otherwise. Cheap NIO vs a Spark inference job.
+    */
+  private def listingToken(paths: Seq[Path]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def mix(s: String): Unit =
+      md.update(s.getBytes(StandardCharsets.UTF_8))
+    paths.foreach { p =>
+      mix(p.toString); mix("|")
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          val entries = s.iterator().asScala.map { c =>
+            val sz = try Files.size(c) catch { case _: Throwable => -1L }
+            c.getFileName.toString + ":" + sz
+          }.toArray
+          scala.util.Sorting.quickSort(entries)
+          entries.foreach { e => mix(e); mix(",") }
+        } finally s.close()
+      } else if (Files.isRegularFile(p)) {
+        mix("f:" + (try Files.size(p)
+        catch { case _: Throwable => -1L }))
+      } else mix("!absent")
+    }
+    java.util.Base64.getEncoder.encodeToString(md.digest())
+  }
+
+  /** The inference side of [[schemaMemo]]: returns the memoized
+    * schema for (kind, base, extra, current listing of paths),
+    * computing via `infer` on the first sight of this exact file set.
+    * Forced NULLABLE: Spark's own inference path relaxes file-source
+    * schemas to nullable, but a USER schema is trusted verbatim — a
+    * `required` parquet field would reach Catalyst as nullable=false
+    * and let it constant-fold the null checks the MoR mask / missing-
+    * column union null-fills rely on (caught by ColumnMappingSpec's
+    * pending-post-image read, which returned nulls for real values).
+    */
+  private def memoSchema(kind: String, base: String,
+                         paths: Seq[String], extra: String = "")(
+      infer: => org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    schemaMemo.getOrElseUpdate(
+      kind + "|" + base + "|" + extra + "|" +
+        listingToken(paths.map(Paths.get(_))))(
+      relaxNullable(infer)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** `StructType.asNullable` is private[sql] — same relaxation. */
+  private def relaxNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case s: org.apache.spark.sql.types.StructType =>
+      org.apache.spark.sql.types.StructType(s.fields.map(f =>
+        f.copy(dataType = relaxNullable(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = relaxNullable(a.elementType),
+        containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = relaxNullable(m.keyType),
+        valueType = relaxNullable(m.valueType),
+        valueContainsNull = true)
+    case other => other
+  }
+
+  /** `spark.read.parquet` over ONE immutable flat version dir with
+    * schema inference memoized — see [[schemaMemo]].
+    */
+  private[graft] def memoFlatParquet(spark: SparkSession,
+                                     dir: Path): DataFrame = {
+    val d = dir.toString
+    val schema = memoSchema("flat", d, Seq(d))(
+      spark.read.parquet(d).schema)
+    spark.read.schema(schema).parquet(d)
+  }
+
+  /** basePath-anchored read of an immutable version dir's file SUBSET
+    * with inference memoized per exact file set — the stat-pruned
+    * survivor reads. See [[schemaMemo]].
+    */
+  private[graft] def memoFilesParquet(spark: SparkSession, base: Path,
+                                      files: Seq[String]): DataFrame = {
+    val b = base.toString
+    val schema = memoSchema("files", b, files)(
+      spark.read.option("basePath", b).parquet(files: _*).schema)
+    spark.read.schema(schema).option("basePath", b).parquet(files: _*)
+  }
 
   // ------------------------------------------------------------------
   // Time travel (unpartitioned path). Each commit also appends an
@@ -482,7 +590,7 @@ object VersionedTable {
     // through the current table definition" contract; per-snapshot
     // schema re-presentation would need versioned schema metadata)
     normalizeRenames(root,
-      spark.read.parquet(dir.toString)
+      memoFlatParquet(spark, dir)
         .drop(SeqCol))
   }
 
@@ -768,20 +876,29 @@ object VersionedTable {
               .when(col("__cdf_new").isNull, "removed")
               .when(!(col("__cdf_old") <=> col("__cdf_new")), "changed")
               .otherwise("same"))
-        def unpack(side: String, statuses: Seq[String],
-                   op: Column): DataFrame =
-          d.filter(col("__cdf_status").isin(statuses: _*))
-            .select((keys.map(col) ++
-              nonKeys.map(c => col(side)(c).as(c)) :+
-              op.as(ChangeTypeCol) :+
-              lit(v).as(ChangeVersionCol)): _*)
-        val pre = unpack("__cdf_old", Seq("removed", "changed"),
+        // SINGLE pass over the join: the old two-branch union
+        // (pre ∪ post) re-executed the whole full-outer subtree per
+        // branch — every CDF step paid its join twice. One row
+        // explodes into its 1-2 change events instead; the result
+        // SET is identical (changed keys yield both images, adds/
+        // removes one, sames none).
+        val oldEv = struct(
           when(col("__cdf_status") === "removed", "delete")
-            .otherwise("update_preimage"))
-        val post = unpack("__cdf_new", Seq("added", "changed"),
+            .otherwise("update_preimage").as(ChangeTypeCol),
+          col("__cdf_old").as("__cdf_img"))
+        val newEv = struct(
           when(col("__cdf_status") === "added", "insert")
-            .otherwise("update_postimage"))
-        Some(pre.unionByName(post))
+            .otherwise("update_postimage").as(ChangeTypeCol),
+          col("__cdf_new").as("__cdf_img"))
+        Some(d.filter(col("__cdf_status") =!= "same")
+          .withColumn("__cdf_ev", explode(
+            when(col("__cdf_status") === "changed", array(oldEv, newEv))
+              .when(col("__cdf_status") === "removed", array(oldEv))
+              .otherwise(array(newEv))))
+          .select((keys.map(col) ++
+            nonKeys.map(c => col("__cdf_ev")("__cdf_img")(c).as(c)) :+
+            col("__cdf_ev")(ChangeTypeCol).as(ChangeTypeCol) :+
+            lit(v).as(ChangeVersionCol)): _*))
     }
   }
 
@@ -974,8 +1091,7 @@ object VersionedTable {
             throw new IllegalStateException(
               s"branch '$branch' head v$v of $root was pruned")
           normalizeRenames(root, stampDefaulted(
-            spark.read
-              .parquet(dir.toString)))
+            memoFlatParquet(spark, dir)))
             .unionByName(stamped)
         case None =>
           if (readManifest(root).isEmpty) stamped
@@ -2258,8 +2374,7 @@ object VersionedTable {
   private def withFilePos(spark: SparkSession, root: String,
                           m: Manifest): DataFrame = {
     val dirP = Paths.get(root).resolve(m.live)
-    val plain = spark.read
-      .parquet(dirP.toString)
+    val plain = memoFlatParquet(spark, dirP)
     requireNoReservedColumns(plain.columns, s"table $root",
       Seq(AddrPathCol, AddrPosCol))
     val df = plain
@@ -2637,7 +2752,42 @@ object VersionedTable {
       // read); flat layouts get the real only-touched-files rewrite
       val flatLayout =
         allPre.forall(f => !dirP.relativize(f).toString.contains("/"))
-      rewritten = if (flatLayout) touched.size else allPre.size
+      // Byte-copies are sound only while the new dir stays SCHEMA-
+      // UNIFORM: reads infer from ONE footer (no mergeSchema), so a
+      // copied file whose physical columns differ from the rewritten
+      // survivors' / materialized post-images' (a rename event, a
+      // SeqCol-less legacy file, prior ADD COLUMNS) would have a
+      // whole generation's columns silently null out after the fold
+      // (ColumnMappingSpec's vacuum-after-RENAME read caught this).
+      // Probe the untouched set's raw (name, type) set against what
+      // the rewrites will write; any mismatch ⇒ rewrite everything.
+      def qualifyPre(f: Path): String =
+        base.live + "/" + dirP.relativize(f).toString.replace('\\', '/')
+      val uniformCopies = flatLayout && {
+        val untouchedPre = allPre.filterNot(f => touched(qualifyPre(f)))
+        untouchedPre.isEmpty || {
+          // SeqCol is exempt: a missing/null sequence reads as 0 by
+          // the stamp-defaulting rule, so a copied SeqCol-less file
+          // beside a stamped rewrite is value-identical either way —
+          // and exempting it preserves the byte-identical carry-over
+          // contract for raw-committed legacy dirs.
+          def names(s: org.apache.spark.sql.types.StructType) =
+            s.filterNot(_.name == SeqCol)
+              .map(f => (f.name, f.dataType)).toSet
+          val rawNames = names(memoFilesParquet(spark, dirP,
+            untouchedPre.map(_.toString)).schema)
+          val survivorsOk = touched.isEmpty || {
+            val touchedPre = allPre.filter(f => touched(qualifyPre(f)))
+            names(normalizeRenames(root, stampDefaulted(
+              memoFilesParquet(spark, dirP,
+                touchedPre.map(_.toString)))).schema) == rawNames
+          }
+          val morOk = pendingAppends.forall(a =>
+            names(a.drop(PdPathCol, PdPosCol).schema) == rawNames)
+          survivorsOk && morOk
+        }
+      }
+      rewritten = if (uniformCopies) touched.size else allPre.size
       commit(root, keepVersions, expectedBase = Some(base.version),
         validate = () => {
           if (posVersion(root) != foldedPosVersion)
@@ -2651,24 +2801,28 @@ object VersionedTable {
         def qualify(f: Path): String =
           base.live + "/" + dirP.relativize(f).toString.replace('\\', '/')
         def mustRewrite(f: Path): Boolean =
-          !flatLayout || touched(qualify(f))
+          !uniformCopies || touched(qualify(f))
         all.filterNot(mustRewrite).foreach { f =>
           Files.copy(f, out.resolve(f.getFileName.toString))
         }
         val touchedFiles = all.filter(mustRewrite)
         if (touchedFiles.nonEmpty) {
           val masked = normalizeRenames(root, stampDefaulted(
-            spark.read.option("basePath", dirP.toString)
-              .parquet(touchedFiles.map(_.toString): _*)
+            memoFilesParquet(spark, dirP,
+              touchedFiles.map(_.toString))
               .select(col("*"),
                 concat(lit(base.live + "/"),
                   expr(s"substring_index(_metadata.file_path, " +
                     s"'/${base.live}/', -1)")).as(AddrPathCol),
                 col("_metadata.row_index").as(AddrPosCol))))
-          val dels = livePosDeleteEntries(spark, root, base).get
-          val survivors = masked
-            .join(dels, Seq(AddrPathCol, AddrPosCol), "left_anti")
-            .drop(AddrPathCol, AddrPosCol)
+          // None only on a uniformity-forced full rewrite with no
+          // sub-table at all — nothing to mask then
+          val survivors = livePosDeleteEntries(spark, root, base) match {
+            case Some(dels) => masked
+              .join(dels, Seq(AddrPathCol, AddrPosCol), "left_anti")
+              .drop(AddrPathCol, AddrPosCol)
+            case None => masked.drop(AddrPathCol, AddrPosCol)
+          }
           val rw = out.resolve("_rw")
           survivors.write.mode(SaveMode.Overwrite).parquet(rw.toString)
           dataFilesUnder(rw).foreach { f =>
@@ -2813,17 +2967,25 @@ object VersionedTable {
   private[graft] def readLeavesTyped(spark: SparkSession, root: String,
                               base: String,
                               leaves: Seq[String]): DataFrame = {
-    val df0 = spark.read.option("basePath", base).parquet(leaves: _*)
+    // schema memoized per exact leaf file set (the partition-column
+    // types inference sees depend on WHICH leaf values are present,
+    // so the subset is part of the identity); the recorded override
+    // map is part of the key because a spec migration can change it
+    // without touching already-committed leaves
     val recorded = partitionColumnTypes(root)
-    if (recorded.isEmpty) df0
-    else {
-      val fixed = org.apache.spark.sql.types.StructType(
-        df0.schema.map(f => recorded.get(f.name)
+    val schema = memoSchema("leaves", base, leaves,
+      extra = recorded.toSeq.sortBy(_._1)
+        .map { case (k, v) => k + "=" + v.catalogString }
+        .mkString(";")) {
+      val inferred =
+        spark.read.option("basePath", base).parquet(leaves: _*).schema
+      if (recorded.isEmpty) inferred
+      else org.apache.spark.sql.types.StructType(
+        inferred.map(f => recorded.get(f.name)
           .map(t => f.copy(dataType = t)).getOrElse(f)))
-      if (fixed == df0.schema) df0
-      else spark.read.schema(fixed).option("basePath", base)
-        .parquet(leaves: _*)
     }
+    spark.read.schema(schema).option("basePath", base)
+      .parquet(leaves: _*)
   }
 
   /** Keyed upsert into a partitioned versioned table: merge the
@@ -4420,9 +4582,8 @@ object VersionedTable {
     }
     val df =
       if (survivors.isEmpty)
-        spark.read.parquet(dirP.toString).limit(0) // schema, zero rows
-      else spark.read.option("basePath", dirP.toString)
-        .parquet(survivors.map(_.toString): _*)
+        memoFlatParquet(spark, dirP).limit(0) // schema, zero rows
+      else memoFilesParquet(spark, dirP, survivors.map(_.toString))
     stampDefaulted(df).drop(SeqCol)
       .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
@@ -4473,9 +4634,8 @@ object VersionedTable {
     }
     val df =
       if (survivors.isEmpty)
-        spark.read.parquet(dirP.toString).limit(0) // schema, zero rows
-      else spark.read.option("basePath", dirP.toString)
-        .parquet(survivors.map(_.toString): _*)
+        memoFlatParquet(spark, dirP).limit(0) // schema, zero rows
+      else memoFilesParquet(spark, dirP, survivors.map(_.toString))
     stampDefaulted(df).drop(SeqCol)
       .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
@@ -4527,9 +4687,8 @@ object VersionedTable {
     }
     val df =
       if (survivors.isEmpty)
-        spark.read.parquet(dirP.toString).limit(0) // schema, zero rows
-      else spark.read.option("basePath", dirP.toString)
-        .parquet(survivors.map(_.toString): _*)
+        memoFlatParquet(spark, dirP).limit(0) // schema, zero rows
+      else memoFilesParquet(spark, dirP, survivors.map(_.toString))
     stampDefaulted(df).drop(SeqCol).filter(col(column) === lit(value))
   }
 
@@ -4589,9 +4748,8 @@ object VersionedTable {
     val (survivors, dirP, _) = boxSurvivors(root, bounds)
     val df =
       if (survivors.isEmpty)
-        spark.read.parquet(dirP.toString).limit(0) // schema, zero rows
-      else spark.read.option("basePath", dirP.toString)
-        .parquet(survivors.map(_.toString): _*)
+        memoFlatParquet(spark, dirP).limit(0) // schema, zero rows
+      else memoFilesParquet(spark, dirP, survivors.map(_.toString))
     stampDefaulted(df).drop(SeqCol)
       .filter(bounds.map { case (c, lo, hi) =>
         col(c) >= lit(lo) && col(c) <= lit(hi)
@@ -5240,9 +5398,8 @@ object VersionedTable {
       bloomSurvivors(root, column, graft.functions.Bloom.hashLong(value))
     val df =
       if (survivors.isEmpty)
-        spark.read.parquet(dirP.toString).limit(0) // schema, zero rows
-      else spark.read.option("basePath", dirP.toString)
-        .parquet(survivors.map(_.toString): _*)
+        memoFlatParquet(spark, dirP).limit(0) // schema, zero rows
+      else memoFilesParquet(spark, dirP, survivors.map(_.toString))
     stampDefaulted(df).drop(SeqCol).filter(col(column) === lit(value))
   }
 
@@ -5253,9 +5410,8 @@ object VersionedTable {
       bloomSurvivors(root, column, graft.functions.Bloom.hashString(value))
     val df =
       if (survivors.isEmpty)
-        spark.read.parquet(dirP.toString).limit(0)
-      else spark.read.option("basePath", dirP.toString)
-        .parquet(survivors.map(_.toString): _*)
+        memoFlatParquet(spark, dirP).limit(0)
+      else memoFilesParquet(spark, dirP, survivors.map(_.toString))
     stampDefaulted(df).drop(SeqCol).filter(col(column) === lit(value))
   }
 

@@ -913,8 +913,7 @@ private[graft] object GraftScanPlanner {
             s"no _manifest.json under ${o.root} — not a graft table " +
               "(or it has never committed)"))
         val dir = Paths.get(o.root).resolve(m.live)
-        val base = spark.read
-          .parquet(dir.toString)
+        val base = VersionedTable.memoFlatParquet(spark, dir)
         if (o.withDeletes)
           VersionedTable.maskFlatDeletes(spark, o.root, m, base)
         else VersionedTable.normalizeRenames(o.root,
@@ -1071,9 +1070,8 @@ private[graft] object GraftScanPlanner {
           }
         }
         else {
-          val base = spark.read
-            .option("basePath", dirP.toString)
-            .parquet(survivors.map(_._1.toString): _*)
+          val base = VersionedTable.memoFilesParquet(spark, dirP,
+            survivors.map(_._1.toString))
           mOpt match {
             case Some(m) if o.withDeletes =>
               VersionedTable.maskFlatDeletes(spark, o.root, m, base)

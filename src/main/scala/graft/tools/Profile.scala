@@ -1075,10 +1075,14 @@ object Profile {
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        val desc = Option(e.properties)
-          .flatMap(p => Option(p.getProperty("spark.job.description")))
-          .orElse(Option(e.properties)
-            .flatMap(p => Option(p.getProperty("callSite.short"))))
+        // attribute via the result stage's callsite: first graft.*
+        // frame of the long-form details, else the short name
+        val si = e.stageInfos.lastOption
+        val graftFrame = si.flatMap(_.details.linesIterator
+          .find(l => l.contains("graft.") && !l.contains("Profile")))
+          .map(_.trim.stripPrefix("at "))
+        val desc = graftFrame
+          .orElse(si.map(_.name))
           .getOrElse("?")
         jobs.put(e.jobId, (System.nanoTime(), desc))
       }

@@ -105,7 +105,24 @@ class ColumnMappingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq ===
       Seq((1L, 20L), (2L, 20L)))
     val root = s"$wh/m/rm"
-    VersionedTable.vacuumPosDeletes(spark, root)
+    // the fold must NOT byte-copy old-generation files next to
+    // rewritten ones: the folded dir is read from ONE footer, so a
+    // copied `amt` file beside written `cents` files would null a
+    // whole generation's values. The uniformity probe forces a full
+    // rewrite here — every file of the folded dir carries `cents`.
+    val (_, rewritten) = VersionedTable.vacuumPosDeletes(spark, root)
+    val live = VersionedTable.readManifest(root).get.live
+    val foldedFiles = Files.list(
+        java.nio.file.Paths.get(root).resolve(live))
+      .iterator()
+    val footerCols = {
+      import scala.jdk.CollectionConverters._
+      foldedFiles.asScala.filter(_.toString.endsWith(".parquet"))
+        .map(f => spark.read.parquet(f.toString).columns.toSet).toSeq
+    }
+    assert(footerCols.nonEmpty &&
+      footerCols.forall(_.contains("cents")), footerCols)
+    assert(rewritten > 0)
     assert(spark.sql("SELECT id, cents FROM cmcat.m.rm ORDER BY id")
       .as[(Long, Long)].collect().toSeq ===
       Seq((1L, 20L), (2L, 20L)))
